@@ -1,0 +1,116 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Core relational analytics over the star schema: scan→filter→join→agg
+  * shapes in their canonical Spark form.
+  *
+  * Design rules (the 100 TB story):
+  *   - filters sit directly over the scan so they push into parquet;
+  *   - dimension joins (`region`, `nation`) are explicitly `broadcast` —
+  *     they are tiny and must never shuffle the fact side;
+  *   - aggregations are expressed as `groupBy.agg` so Catalyst plans
+  *     partial (map-side) aggregation before the exchange;
+  *   - every output is deterministically ordered and doubles are rounded,
+  *     so results hash-match an exact SQL oracle.
+  *
+  * All transforms are pure DataFrame → DataFrame functions (same discipline
+  * as the reference's build_*_frame layer, reference:
+  * src/streaming/transforms/kpi_aggregator.py:146-203).
+  */
+object Tpch {
+
+  /** Pricing summary (TPC-H Q1 shape): single wide aggregation over the
+    * largest table. One shuffle on the (tiny-cardinality) group key; all
+    * aggregates computed map-side first.
+    */
+  def pricingSummary(lineitem: DataFrame): DataFrame =
+    lineitem
+      .filter(col("l_shipdate") <= lit("1998-09-01"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        round(sum(col("l_quantity")), 2).as("sum_qty"),
+        round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("sum_disc_price"),
+        round(avg(col("l_quantity")), 2).as("avg_qty"),
+        round(avg(col("l_extendedprice")), 2).as("avg_price"),
+        round(avg(col("l_discount")), 4).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+
+  /** Top unshipped-revenue orders (TPC-H Q3 shape): selective dimension
+    * filter, two joins, top-k. `customer` filtered before the join so only
+    * the matching segment shuffles.
+    */
+  def topOrders(customer: DataFrame, orders: DataFrame, lineitem: DataFrame): DataFrame =
+    customer
+      .filter(col("c_mktsegment") === "BUILDING")
+      .select("c_custkey")
+      .join(orders.filter(col("o_orderdate") < lit("1998-01-01")),
+        col("c_custkey") === col("o_custkey"))
+      .join(lineitem.filter(col("l_shipdate") > lit("1996-01-01")),
+        col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("o_orderkey"), col("o_orderdate"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+        .as("revenue"))
+      .select(col("o_orderkey"),
+        col("o_orderdate").cast("long").as("o_epoch"), col("revenue"))
+      .orderBy(col("revenue").desc, col("o_epoch").asc, col("o_orderkey").asc)
+      .limit(10)
+
+  /** Regional revenue rollup (TPC-H Q5 shape): fact table joined through a
+    * broadcast dimension chain customer→nation→region. The two dims are
+    * broadcast (≤25 rows); only the customer join shuffles, and AQE may
+    * broadcast that too at small SF.
+    */
+  def regionRevenue(region: DataFrame, nation: DataFrame, customer: DataFrame,
+      orders: DataFrame, lineitem: DataFrame): DataFrame = {
+    val asia = broadcast(region.filter(col("r_name") === "ASIA"))
+    val dims = broadcast(nation.join(asia, col("n_regionkey") === col("r_regionkey")))
+      .select("n_nationkey", "n_name")
+    customer.select("c_custkey", "c_nationkey")
+      .join(dims, col("c_nationkey") === col("n_nationkey"))
+      .join(orders.filter(col("o_orderdate") >= lit("1996-01-01") &&
+          col("o_orderdate") < lit("1997-01-01")),
+        col("c_custkey") === col("o_custkey"))
+      .join(lineitem, col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("n_name"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+        .as("revenue"))
+      .orderBy(col("n_name"))
+  }
+
+  /** Top customers per market segment: aggregate then rank with a window
+    * function. The window partitions by segment (5 keys) — fine here because
+    * the windowed input is already one row per customer (post-aggregation),
+    * not the raw fact table.
+    */
+  def topCustomersPerSegment(customer: DataFrame, orders: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spend = orders.groupBy(col("o_custkey"))
+      .agg(round(sum(col("o_totalprice")), 2).as("total_spend"),
+        count(lit(1)).as("n_orders"))
+    val ranked = customer.select("c_custkey", "c_mktsegment")
+      .join(spend, col("c_custkey") === col("o_custkey"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("c_mktsegment"))
+          .orderBy(col("total_spend").desc, col("c_custkey").asc)))
+    ranked.filter(col("rnk") <= 3)
+      .select("c_mktsegment", "rnk", "c_custkey", "total_spend", "n_orders")
+      .orderBy(col("c_mktsegment"), col("rnk"))
+  }
+
+  /** Orders with at least one returned line (semi-join shape): left_semi
+    * keeps the probe side small — no fact-side row multiplication.
+    */
+  def priorityReturnCounts(orders: DataFrame, lineitem: DataFrame): DataFrame =
+    orders
+      .join(lineitem.filter(col("l_returnflag") === "R").select("l_orderkey"),
+        col("o_orderkey") === col("l_orderkey"), "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum(col("o_totalprice")), 2).as("total_value"))
+      .orderBy(col("o_orderpriority"))
+}

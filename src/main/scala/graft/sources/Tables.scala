@@ -1,0 +1,35 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Batch loaders for the driver-provided parquet star schema (TESTDATA.md).
+  *
+  * Each loader is a thin `spark.read.parquet` so Catalyst sees the scan
+  * directly: filters and projections composed on top of these DataFrames are
+  * pushed into the parquet reader (PushedFilters / ReadSchema), which is the
+  * scale story — at 100 TB the scan must only materialize the columns and
+  * row groups a query touches.
+  *
+  * Mirrors the reference's source layer (reference: src/streaming/
+  * kafka_sources.py:171-180 JDBC snapshot, src/batch/batch_etl.py:13-20
+  * planned file sources) re-expressed as Spark batch sources.
+  */
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def table(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  def region(s: SparkSession, d: String): DataFrame = table(s, d, "region")
+  def nation(s: SparkSession, d: String): DataFrame = table(s, d, "nation")
+  def customer(s: SparkSession, d: String): DataFrame = table(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame = table(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame = table(s, d, "part")
+  def orders(s: SparkSession, d: String): DataFrame = table(s, d, "orders")
+  def lineitem(s: SparkSession, d: String): DataFrame = table(s, d, "lineitem")
+  def events(s: SparkSession, d: String): DataFrame = table(s, d, "events")
+  def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
+}
