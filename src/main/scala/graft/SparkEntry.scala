@@ -1,13 +1,116 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.ops.Tpch
+import graft.sources.Tables
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every implemented operator from SURVEY.md §2 is registered here twice:
+  * as a Spark query (`queries`) and as equivalent ANSI SQL for the DuckDB
+  * oracle (`oracleSql`). Column names and row order are deterministic and
+  * identical on both sides so the driver's sorted-column hash compare
+  * matches.
+  */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    Tpch.pricingSummary(Tables.lineitem(spark, "/root/testdata/sf0.001"))
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    relational ++ graft.ops.Frames.queries ++ graft.sources.Cdc.queries ++
+      graft.ops.Activity.queries ++ graft.ops.Alerts.queries ++
+      graft.ops.TextStats.queries ++ graft.ops.Dedup.queries ++
+      graft.ops.Similarity.queries
+
+  private def relational: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pricing_summary" -> ((s, d) => Tpch.pricingSummary(Tables.lineitem(s, d))),
+    "top_orders" -> ((s, d) =>
+      Tpch.topOrders(Tables.customer(s, d), Tables.orders(s, d), Tables.lineitem(s, d))),
+    "region_revenue" -> ((s, d) =>
+      Tpch.regionRevenue(Tables.region(s, d), Tables.nation(s, d),
+        Tables.customer(s, d), Tables.orders(s, d), Tables.lineitem(s, d))),
+    "top_customers_per_segment" -> ((s, d) =>
+      Tpch.topCustomersPerSegment(Tables.customer(s, d), Tables.orders(s, d))),
+    "priority_return_counts" -> ((s, d) =>
+      Tpch.priorityReturnCounts(Tables.orders(s, d), Tables.lineitem(s, d))),
+  )
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def oracleSql: Map[String, String] = relationalOracle ++
+    graft.ops.Frames.oracleSql ++ graft.sources.Cdc.oracleSql ++
+    graft.ops.Activity.oracleSql ++ graft.ops.Alerts.oracleSql ++
+    graft.ops.TextStats.oracleSql ++ graft.ops.Dedup.oracleSql ++
+    graft.ops.Similarity.oracleSql
+
+  private def relationalOracle: Map[String, String] = Map(
+    "pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  round(sum(l_quantity), 2) AS sum_qty,
+        |  round(sum(l_extendedprice), 2) AS sum_base_price,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+        |  round(avg(l_quantity), 2) AS avg_qty,
+        |  round(avg(l_extendedprice), 2) AS avg_price,
+        |  round(avg(l_discount), 4) AS avg_disc,
+        |  count(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "top_orders" ->
+      """SELECT o_orderkey,
+        |  epoch(o_orderdate)::BIGINT AS o_epoch,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        |  AND l_shipdate > TIMESTAMP '1996-01-01 00:00:00'
+        |GROUP BY o_orderkey, o_orderdate
+        |ORDER BY revenue DESC, o_epoch ASC, o_orderkey ASC
+        |LIMIT 10""".stripMargin,
+    "region_revenue" ->
+      """SELECT n_name,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM region
+        |JOIN nation ON n_regionkey = r_regionkey
+        |JOIN customer ON c_nationkey = n_nationkey
+        |JOIN orders ON o_custkey = c_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+        |GROUP BY n_name
+        |ORDER BY n_name""".stripMargin,
+    "top_customers_per_segment" ->
+      """WITH spend AS (
+        |  SELECT o_custkey,
+        |    round(sum(o_totalprice), 2) AS total_spend,
+        |    count(*) AS n_orders
+        |  FROM orders GROUP BY o_custkey
+        |), ranked AS (
+        |  SELECT c_mktsegment,
+        |    row_number() OVER (PARTITION BY c_mktsegment
+        |      ORDER BY total_spend DESC, c_custkey ASC) AS rnk,
+        |    c_custkey, total_spend, n_orders
+        |  FROM customer JOIN spend ON c_custkey = o_custkey
+        |)
+        |SELECT c_mktsegment, rnk, c_custkey, total_spend, n_orders
+        |FROM ranked WHERE rnk <= 3
+        |ORDER BY c_mktsegment, rnk""".stripMargin,
+    "priority_return_counts" ->
+      """SELECT o_orderpriority,
+        |  count(*) AS n_orders,
+        |  round(sum(o_totalprice), 2) AS total_value
+        |FROM orders
+        |WHERE o_orderkey IN (
+        |  SELECT l_orderkey FROM lineitem WHERE l_returnflag = 'R')
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+  )
 }

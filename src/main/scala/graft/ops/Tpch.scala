@@ -96,7 +96,8 @@ object Tpch {
       .join(spend, col("c_custkey") === col("o_custkey"))
       .withColumn("rnk", row_number().over(
         Window.partitionBy(col("c_mktsegment"))
-          .orderBy(col("total_spend").desc, col("c_custkey").asc)))
+          .orderBy(col("total_spend").desc, col("c_custkey").asc))
+        .cast("long"))
     ranked.filter(col("rnk") <= 3)
       .select("c_mktsegment", "rnk", "c_custkey", "total_spend", "n_orders")
       .orderBy(col("c_mktsegment"), col("rnk"))
