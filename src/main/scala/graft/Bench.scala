@@ -13,11 +13,13 @@ import org.apache.spark.sql.SparkSession
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      math.min(32, Runtime.getRuntime.availableProcessors).toString)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -28,6 +30,12 @@ object Bench {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+
+    // Untimed warm-up: absorb JVM/codegen/parquet-footer startup cost so the
+    // first timed query (alphabetical) isn't penalized vs the rest.
+    try SparkEntry.queries.get("pricing_summary")
+      .foreach(_(spark, sfDir).write.format("noop").mode("overwrite").save())
+    catch { case _: Throwable => () }
 
     var times = Vector.empty[(String, Double)]
     var errors = Vector.empty[(String, String)]

@@ -24,7 +24,7 @@ object SparkEntry {
     relational ++ graft.ops.Frames.queries ++ graft.sources.Cdc.queries ++
       graft.ops.Activity.queries ++ graft.ops.Alerts.queries ++
       graft.ops.TextStats.queries ++ graft.ops.Dedup.queries ++
-      graft.ops.Similarity.queries
+      graft.ops.Similarity.queries ++ graft.ops.Multimodal.queries
 
   private def relational: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pricing_summary" -> ((s, d) => Tpch.pricingSummary(Tables.lineitem(s, d))),
@@ -45,7 +45,7 @@ object SparkEntry {
     graft.ops.Frames.oracleSql ++ graft.sources.Cdc.oracleSql ++
     graft.ops.Activity.oracleSql ++ graft.ops.Alerts.oracleSql ++
     graft.ops.TextStats.oracleSql ++ graft.ops.Dedup.oracleSql ++
-    graft.ops.Similarity.oracleSql
+    graft.ops.Similarity.oracleSql ++ graft.ops.Multimodal.oracleSql
 
   private def relationalOracle: Map[String, String] = Map(
     "pricing_summary" ->

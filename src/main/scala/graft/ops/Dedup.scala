@@ -1,8 +1,245 @@
 package graft.ops
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
+import graft.sources.Tables
+
+/** Deduplication operators for an LLM training-data pipeline: exact
+  * (normalize→hash→group), MinHash-LSH near-dup (shingle→minhash→band→
+  * bucket-join), n-gram Jaccard verification, and SimHash near-dup.
+  *
+  * Scale design (the part that matters at 100 TB): near-dup candidate
+  * generation NEVER does an all-pairs comparison — documents are exploded
+  * into (band, band_key) rows and joined within band buckets only, so the
+  * shuffle is O(docs × bands) and comparisons are confined to colliding
+  * buckets. The DuckDB oracles recompute the identical md5-derived sketches
+  * (60-bit hex-prefix hashes), so results hash-match exactly.
+  *
+  * The fixture corpus is 100% distinct, so both near-dup queries first adjoin
+  * deterministic planted duplicates (exact copies upper-cased; near copies
+  * with the first token dropped) — both sides construct the same corpus, and
+  * the operators provably find exactly the planted pairs.
+  */
 object Dedup {
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  def oracleSql: Map[String, String] = Map()
+
+  /** 60-bit integer from an md5 hex prefix — the shared hash family. */
+  private val md5i = "cast(conv(substring(md5(%s), 1, 15), 16, 10) as bigint)"
+
+  /** Exact-dup corpus: planted exact duplicates (case-folded) 1-in-20. */
+  def exactCorpus(documents: DataFrame): DataFrame =
+    documents.select(col("doc_id"), col("text"))
+      .unionByName(documents.filter(pmod(col("doc_id"), lit(20)) === 0)
+        .select((col("doc_id") + 20000).as("doc_id"), upper(col("text")).as("text")))
+
+  /** Near-dup corpus: planted near duplicates (first token dropped) 1-in-25. */
+  def nearCorpus(documents: DataFrame): DataFrame =
+    documents.select(col("doc_id"), col("text"))
+      .unionByName(documents.filter(pmod(col("doc_id"), lit(25)) === 0)
+        .select((col("doc_id") + 10000).as("doc_id"),
+          expr("substring(text, instr(text, ' ') + 1)").as("text")))
+
+  /** Exact dedup: sha256 over normalized text, one shuffle on the hash.
+    * Output keeps every group with its size and canonical keeper (min id).
+    */
+  def exactDedup(corpus: DataFrame): DataFrame =
+    corpus
+      .groupBy(sha2(lower(trim(col("text"))), 256).as("text_hash"))
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("keeper_id"))
+      .orderBy(col("text_hash"))
+
+  /** doc_id + 12-element MinHash signature over word 3-shingles. */
+  def minhashSignatures(corpus: DataFrame): DataFrame =
+    corpus
+      .withColumn("toks", split(col("text"), " "))
+      .filter(size(col("toks")) >= 3)
+      .withColumn("shingles", expr(
+        """transform(sequence(1, size(toks) - 2),
+          |  i -> concat_ws(' ', element_at(toks, i), element_at(toks, i + 1),
+          |                 element_at(toks, i + 2)))""".stripMargin))
+      .withColumn("sig", expr(
+        s"""transform(sequence(0, 11),
+           |  s -> array_min(transform(shingles,
+           |    sh -> ${md5i.format("concat(cast(s as string), ':', sh)")})))""".stripMargin))
+      .select("doc_id", "sig", "shingles")
+
+  /** Banded LSH: 6 bands × 2 rows; (band_idx, band_key) explode. */
+  def bands(sigs: DataFrame): DataFrame =
+    sigs.select(col("doc_id"), posexplode(expr(
+      """transform(sequence(0, 5),
+        |  b -> md5(concat(cast(element_at(sig, 2 * b + 1) as string), ',',
+        |                  cast(element_at(sig, 2 * b + 2) as string))))""".stripMargin)))
+      .toDF("doc_id", "band_idx", "band_key")
+
+  /** Candidate pairs = distinct (a, b) sharing ≥1 band bucket; est jaccard =
+    * matching signature fraction. No all-pairs anywhere.
+    */
+  def minhashCandidates(corpus: DataFrame): DataFrame = {
+    val sigs = minhashSignatures(corpus).select("doc_id", "sig")
+    val b = bands(sigs)
+    val pairs = b.as("x").join(b.as("y"),
+        col("x.band_idx") === col("y.band_idx") &&
+          col("x.band_key") === col("y.band_key") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    pairs
+      .join(sigs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")), "doc_a")
+      .join(sigs.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        round(expr("size(filter(sequence(1, 12), i -> element_at(sig_a, i) = element_at(sig_b, i)))") / lit(12.0), 4)
+          .as("est_jaccard"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** True n-gram Jaccard over the LSH candidates (verify stage of the
+    * near-dup pipeline): |A∩B| / |A∪B| on distinct shingle sets.
+    */
+  def ngramJaccard(corpus: DataFrame): DataFrame = {
+    val sh = minhashSignatures(corpus)
+      .select(col("doc_id"), array_distinct(col("shingles")).as("sh"))
+    val cands = minhashCandidates(corpus).select("doc_a", "doc_b")
+    cands
+      .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
+      .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        round(size(array_intersect(col("sh_a"), col("sh_b"))) /
+          size(array_union(col("sh_a"), col("sh_b"))).cast("double"), 4)
+          .as("jaccard"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** 48-bit SimHash per document (bit-majority over distinct-token hashes),
+    * with near-dup pairs found by 3×16-bit block banding + Hamming ≤ 3 —
+    * again no all-pairs. (Hamming ≤ 3 on 48 bits: the fixture corpus shares
+    * one small vocabulary, so looser radii match a quarter of all pairs —
+    * tight radii keep buckets small, which is also what bounds the join
+    * fan-out at scale.)
+    */
+  def simhashes(corpus: DataFrame): DataFrame =
+    corpus
+      .withColumn("hs", expr(
+        s"transform(array_distinct(split(text, ' ')), t -> ${md5i.format("t")})"))
+      .select(col("doc_id"), expr(
+        """aggregate(sequence(0, 47), cast(0 as bigint),
+          |  (acc, b) -> acc + if(
+          |    2 * size(filter(hs, h -> shiftright(h, cast(b as int)) % 2 = 1)) > size(hs),
+          |    shiftleft(cast(1 as bigint), cast(b as int)), cast(0 as bigint)))""".stripMargin)
+        .as("simhash"))
+
+  def simhashPairs(corpus: DataFrame): DataFrame = {
+    val s = simhashes(corpus)
+    val blocks = s.select(col("doc_id"), col("simhash"), posexplode(expr(
+      "transform(sequence(0, 2), b -> shiftright(simhash, cast(16 * b as int)) % 65536)")))
+      .toDF("doc_id", "simhash", "block_idx", "block_key")
+    blocks.as("x").join(blocks.as("y"),
+        col("x.block_idx") === col("y.block_idx") &&
+          col("x.block_key") === col("y.block_key") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        expr("bit_count(x.simhash ^ y.simhash)").cast("long").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= 3)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  // ---------------------------------------------------------------- registry
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_exact" -> ((s, d) => exactDedup(exactCorpus(Tables.documents(s, d)))),
+    "dedup_minhash" -> ((s, d) => minhashCandidates(nearCorpus(Tables.documents(s, d)))),
+    "dedup_ngram_jaccard" -> ((s, d) => ngramJaccard(nearCorpus(Tables.documents(s, d)))),
+    "dedup_simhash_pairs" -> ((s, d) => simhashPairs(nearCorpus(Tables.documents(s, d)))),
+  )
+
+  /** Oracle CTEs: same corpora, same md5-prefix hash family. The oracle may
+    * do the quadratic join (it's 500 rows); the Spark side must not.
+    */
+  private val nearCorpusSql =
+    """corpus AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 10000, substr(text, instr(text, ' ') + 1)
+      |  FROM documents WHERE doc_id % 25 = 0
+      |)""".stripMargin
+
+  private val sigSql =
+    """sigs AS (
+      |  SELECT doc_id,
+      |    list_transform(range(0, 12),
+      |      s -> list_min(list_transform(shingles,
+      |        sh -> ('0x' || substr(md5(s::VARCHAR || ':' || sh), 1, 15))::BIGINT))) AS sig,
+      |    shingles
+      |  FROM (
+      |    SELECT doc_id,
+      |      list_transform(generate_series(1, len(toks) - 2),
+      |        i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2]) AS shingles
+      |    FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM corpus)
+      |    WHERE len(toks) >= 3
+      |  )
+      |)""".stripMargin
+
+  private val candSql =
+    """bands AS (
+      |  SELECT doc_id, b AS band_idx,
+      |    md5(sig[2 * b + 1]::VARCHAR || ',' || sig[2 * b + 2]::VARCHAR) AS band_key
+      |  FROM sigs, range(0, 6) r(b)
+      |), cands AS (
+      |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+      |  FROM bands x JOIN bands y
+      |    ON x.band_idx = y.band_idx AND x.band_key = y.band_key
+      |   AND x.doc_id < y.doc_id
+      |)""".stripMargin
+
+  def oracleSql: Map[String, String] = Map(
+    "dedup_exact" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 20000, upper(text) FROM documents WHERE doc_id % 20 = 0
+        |)
+        |SELECT sha256(lower(trim(text))) AS text_hash,
+        |  count(*) AS n_docs, min(doc_id) AS keeper_id
+        |FROM corpus GROUP BY 1 ORDER BY text_hash""".stripMargin,
+    "dedup_minhash" ->
+      s"""WITH $nearCorpusSql, $sigSql, $candSql
+         |SELECT doc_a, doc_b,
+         |  round(len(list_filter(range(1, 13), i -> a.sig[i] = b.sig[i])) / 12.0, 4) AS est_jaccard
+         |FROM cands
+         |JOIN sigs a ON a.doc_id = doc_a
+         |JOIN sigs b ON b.doc_id = doc_b
+         |ORDER BY doc_a, doc_b""".stripMargin,
+    "dedup_ngram_jaccard" ->
+      s"""WITH $nearCorpusSql, $sigSql, $candSql
+         |SELECT doc_a, doc_b,
+         |  round(len(list_intersect(list_distinct(a.shingles), list_distinct(b.shingles))) /
+         |    len(list_distinct(a.shingles || b.shingles))::DOUBLE, 4) AS jaccard
+         |FROM cands
+         |JOIN sigs a ON a.doc_id = doc_a
+         |JOIN sigs b ON b.doc_id = doc_b
+         |ORDER BY doc_a, doc_b""".stripMargin,
+    "dedup_simhash_pairs" ->
+      s"""WITH $nearCorpusSql, sims AS (
+         |  SELECT doc_id,
+         |    list_sum(list_transform(range(0, 48), b -> CASE
+         |      WHEN 2 * len(list_filter(hs, h -> ((h >> b) & 1) = 1)) > len(hs)
+         |      THEN (1::BIGINT << b) ELSE 0::BIGINT END))::BIGINT AS simhash
+         |  FROM (
+         |    SELECT doc_id,
+         |      list_transform(list_distinct(string_split(text, ' ')),
+         |        t -> ('0x' || substr(md5(t), 1, 15))::BIGINT) AS hs
+         |    FROM corpus
+         |  )
+         |), blocks AS (
+         |  SELECT doc_id, simhash, b AS block_idx, (simhash >> (16 * b)) & 65535 AS block_key
+         |  FROM sims, range(0, 3) r(b)
+         |)
+         |SELECT * FROM (
+         |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+         |    bit_count(xor(x.simhash, y.simhash))::BIGINT AS hamming
+         |  FROM blocks x JOIN blocks y
+         |    ON x.block_idx = y.block_idx AND x.block_key = y.block_key
+         |   AND x.doc_id < y.doc_id
+         |) WHERE hamming <= 3 ORDER BY doc_a, doc_b""".stripMargin,
+  )
 }

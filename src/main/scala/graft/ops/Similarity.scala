@@ -1,8 +1,144 @@
 package graft.ops
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
+import graft.sources.Tables
+
+/** Similarity search over the `embeddings` fixture (`Array[Float]` column):
+  * brute-force cosine top-k as the correctness baseline, and a
+  * sign-projection LSH-bucketed variant as the 100 TB scale path.
+  *
+  * Scale design: the query set is tiny and explicitly `broadcast`, so the
+  * probe side streams map-side with no shuffle of the corpus; the LSH
+  * variant additionally prunes the corpus to colliding buckets before any
+  * dot product is computed (bucket count 2^6; at real scale raise bits and
+  * add multi-probe). Dot products are `zip_with`+`aggregate` folds over
+  * `array<double>` — built-in, codegen'd, and bit-identical to the DuckDB
+  * oracle's fold.
+  */
 object Similarity {
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  def oracleSql: Map[String, String] = Map()
+
+  private val NumQueries = 5
+  private val TopK = 10
+
+  /** Left-fold dot product — element order fixed, so the double-precision
+    * result is deterministic and engine-independent. */
+  private def dot(a: String, b: String): String =
+    s"aggregate(zip_with($a, $b, (x, y) -> x * y), cast(0 as double), (acc, x) -> acc + x)"
+
+  private def cosExpr(a: String, b: String): String =
+    s"${dot(a, b)} / (sqrt(${dot(a, a)}) * sqrt(${dot(b, b)}))"
+
+  private def embDouble(embeddings: DataFrame): DataFrame =
+    embeddings.select(col("vec_id"), col("embedding").cast("array<double>").as("v"),
+      col("label"))
+
+  /** Brute-force exact cosine top-k for each query vector. */
+  def cosineTopK(embeddings: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val emb = embDouble(embeddings)
+    val queries = emb.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+    emb.join(broadcast(queries), col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        expr(cosExpr("qv", "v")).as("cos"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id").asc))
+        .cast("long"))
+      .filter(col("rnk") <= TopK)
+      .select(col("q_id"), col("rnk"), col("vec_id"), round(col("cos"), 4).as("cos"))
+      .orderBy(col("q_id"), col("rnk"))
+  }
+
+  /** Sign-projection LSH bucket id: 6 sign bits of the leading dimensions
+    * (a random-hyperplane sketch with axis-aligned planes — valid because
+    * the embedding dimensions are already random-ish; at scale, use seeded
+    * random hyperplanes via the same md5 trick as Dedup).
+    */
+  private val bucketExpr =
+    "aggregate(sequence(0, 5), 0, (acc, d) -> acc + if(element_at(v, d + 1) >= cast(0 as double), shiftleft(1, d), 0))"
+
+  /** ANN: prune to the query's LSH bucket, exact-cosine rerank inside it. */
+  def annLshTopK(embeddings: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val emb = embDouble(embeddings).withColumn("bucket", expr(bucketExpr))
+    val queries = emb.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("bucket").as("q_bucket"))
+    emb.join(broadcast(queries),
+        col("bucket") === col("q_bucket") && col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"), expr(cosExpr("qv", "v")).as("cos"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id").asc))
+        .cast("long"))
+      .filter(col("rnk") <= 5)
+      .select(col("q_id"), col("rnk"), col("vec_id"))
+      .orderBy(col("q_id"), col("rnk"))
+  }
+
+  /** Multimodal array-column stats per label class: count, mean L2 norm,
+    * mean leading component — the sanity profile a pipeline reports for an
+    * embedding table.
+    */
+  def embeddingStats(embeddings: DataFrame): DataFrame =
+    embDouble(embeddings)
+      .select(col("label"), expr(s"sqrt(${dot("v", "v")})").as("norm"),
+        expr("element_at(v, 1)").as("c0"))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n"),
+        round(avg(col("norm")), 4).as("avg_norm"),
+        round(avg(col("c0")), 4).as("avg_c0"))
+      .orderBy(col("label"))
+
+  // ---------------------------------------------------------------- registry
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ann_cosine_topk" -> ((s, d) => cosineTopK(Tables.embeddings(s, d))),
+    "ann_lsh_topk" -> ((s, d) => annLshTopK(Tables.embeddings(s, d))),
+    "embedding_stats" -> ((s, d) => embeddingStats(Tables.embeddings(s, d))),
+  )
+
+  /** DuckDB oracle mirrors the same left-fold dot product (list_reduce with
+    * an explicit 0.0 seed) so double arithmetic agrees bit-for-bit.
+    */
+  private def dotSql(a: String, b: String): String =
+    s"list_reduce([0.0::DOUBLE] || list_transform(range(1, 65), i -> $a[i] * $b[i]), (acc, x) -> acc + x)"
+
+  private def cosSql(a: String, b: String): String =
+    s"${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)}))"
+
+  def oracleSql: Map[String, String] = Map(
+    "ann_cosine_topk" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < $NumQueries),
+         |scored AS (
+         |  SELECT q_id, vec_id, ${cosSql("qv", "v")} AS cos,
+         |    row_number() OVER (PARTITION BY q_id
+         |      ORDER BY ${cosSql("qv", "v")} DESC, vec_id ASC) AS rnk
+         |  FROM e, q WHERE vec_id <> q_id
+         |)
+         |SELECT q_id, rnk, vec_id, round(cos, 4) AS cos
+         |FROM scored WHERE rnk <= $TopK ORDER BY q_id, rnk""".stripMargin,
+    "ann_lsh_topk" ->
+      s"""WITH e AS (
+         |  SELECT vec_id, embedding::DOUBLE[] AS v,
+         |    list_sum(list_transform(range(0, 6),
+         |      d -> CASE WHEN embedding[d + 1] >= 0 THEN (1 << d) ELSE 0 END))::BIGINT AS bucket
+         |  FROM embeddings
+         |),
+         |q AS (SELECT vec_id AS q_id, v AS qv, bucket AS q_bucket FROM e WHERE vec_id < $NumQueries),
+         |scored AS (
+         |  SELECT q_id, vec_id,
+         |    row_number() OVER (PARTITION BY q_id
+         |      ORDER BY ${cosSql("qv", "v")} DESC, vec_id ASC) AS rnk
+         |  FROM e, q WHERE bucket = q_bucket AND vec_id <> q_id
+         |)
+         |SELECT q_id, rnk, vec_id FROM scored WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin,
+    "embedding_stats" ->
+      s"""WITH e AS (SELECT label, embedding::DOUBLE[] AS v FROM embeddings)
+         |SELECT label, count(*) AS n,
+         |  round(avg(sqrt(${dotSql("v", "v")})), 4) AS avg_norm,
+         |  round(avg(v[1]), 4) AS avg_c0
+         |FROM e GROUP BY label ORDER BY label""".stripMargin,
+  )
 }

@@ -1,8 +1,174 @@
 package graft.ops
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
+import graft.sources.Tables
+
+/** Text-analysis operators for an LLM training-data pipeline over the
+  * `documents` fixture: quality stats, n-gram-heuristic language ID,
+  * BPE-ish token counting, and rolling-hash document fingerprinting.
+  *
+  * These extend the reference's capability set per the north-star brief
+  * (the reference itself has no text ops); expressions are all built-in
+  * higher-order functions (no UDFs), so everything stays in whole-stage
+  * codegen and scales embarrassingly-parallel: one narrow projection per
+  * document, no shuffle except the final stated aggregations.
+  */
 object TextStats {
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  def oracleSql: Map[String, String] = Map()
+
+  /** English-ish stopword list used by both the quality score and the
+    * language-ID profile (tiny by design: the corpus is synthetic). */
+  val enStop = Seq("the", "a", "of", "to", "and")
+  val deStop = Seq("der", "die", "das", "und", "ist")
+  val esStop = Seq("el", "la", "de", "y", "que")
+  val frStop = Seq("le", "les", "et", "des", "un")
+  val zhStop = Seq("的", "是", "了", "在", "我")
+
+  private def stopHits(tokens: String, words: Seq[String]): String =
+    s"size(filter($tokens, t -> t IN (${words.map(w => s"'$w'").mkString(", ")})))"
+
+  private def stopHitsSql(tokens: String, words: Seq[String]): String =
+    s"len(list_filter($tokens, t -> t IN (${words.map(w => s"'$w'").mkString(", ")})))"
+
+  /** Per-document stats: sizes, type-token ratio, stopword ratio, and a
+    * deterministic quality score (length saturation × lexical diversity).
+    */
+  def textStats(documents: DataFrame): DataFrame =
+    documents
+      .withColumn("toks", split(col("text"), " "))
+      .select(
+        col("doc_id"),
+        length(col("text")).cast("long").as("n_chars"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        size(array_distinct(col("toks"))).cast("long").as("n_distinct"),
+        round((length(col("text")) - size(col("toks")) + 1) /
+          size(col("toks")).cast("double"), 4).as("avg_token_len"),
+        round(size(array_distinct(col("toks"))) / size(col("toks")).cast("double"), 4)
+          .as("ttr"),
+        round(expr(stopHits("toks", enStop)) / size(col("toks")).cast("double"), 4)
+          .as("stopword_ratio"),
+        round(least(size(col("toks")) / lit(100.0), lit(1.0)) *
+          (size(array_distinct(col("toks"))) / size(col("toks")).cast("double")), 4)
+          .as("quality_score"))
+      .orderBy(col("doc_id"))
+
+  /** Language ID via stopword-profile scoring (an n-gram heuristic over
+    * word unigrams): score each language's profile, predict the argmax with
+    * a deterministic en>de>es>fr>zh tiebreak, and report agreement with the
+    * labeled `lang` column.
+    */
+  def langId(documents: DataFrame): DataFrame = {
+    val scored = documents
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("en_score", expr(stopHits("toks", enStop)))
+      .withColumn("de_score", expr(stopHits("toks", deStop)))
+      .withColumn("es_score", expr(stopHits("toks", esStop)))
+      .withColumn("fr_score", expr(stopHits("toks", frStop)))
+      .withColumn("zh_score", expr(stopHits("toks", zhStop)))
+    val best = greatest(col("en_score"), col("de_score"), col("es_score"),
+      col("fr_score"), col("zh_score"))
+    scored.select(
+      col("doc_id"), col("lang"),
+      col("en_score").cast("long").as("en_score"),
+      when(best === 0, lit("unknown"))
+        .when(col("en_score") === best, lit("en"))
+        .when(col("de_score") === best, lit("de"))
+        .when(col("es_score") === best, lit("es"))
+        .when(col("fr_score") === best, lit("fr"))
+        .otherwise(lit("zh")).as("predicted_lang"))
+      .withColumn("agrees", col("predicted_lang") === col("lang"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** BPE-ish token counting: whitespace tokens vs a regex lexer
+    * (letter-runs | digit-runs | single punctuation), rolled up per source —
+    * the corpus-level token accounting a data pipeline reports.
+    */
+  def tokenCounts(documents: DataFrame): DataFrame =
+    documents
+      .select(col("source"),
+        size(split(col("text"), " ")).as("ws_tokens"),
+        size(expr("regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]', 0)"))
+          .as("bpe_tokens"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("ws_tokens")).cast("long").as("total_ws_tokens"),
+        sum(col("bpe_tokens")).cast("long").as("total_bpe_tokens"))
+      .orderBy(col("source"))
+
+  /** Rolling polynomial hash fingerprint over the token stream
+    * (order-sensitive, unlike the dedup sketches): fold
+    * acc ← (acc·31 + h(token)) mod p with h = 60-bit md5 prefix mod p.
+    */
+  def fingerprints(documents: DataFrame): DataFrame =
+    documents
+      .select(col("doc_id"),
+        expr("""aggregate(
+          transform(split(text, ' '),
+            t -> cast(conv(substring(md5(t), 1, 15), 16, 10) as bigint) % 999999937),
+          cast(0 as bigint),
+          (acc, x) -> (acc * 31 + x) % 999999937)""").as("fingerprint"))
+      .orderBy(col("doc_id"))
+
+  // ---------------------------------------------------------------- registry
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_stats" -> ((s, d) => textStats(Tables.documents(s, d))),
+    "lang_id" -> ((s, d) => langId(Tables.documents(s, d))),
+    "token_counts" -> ((s, d) => tokenCounts(Tables.documents(s, d))),
+    "doc_fingerprint" -> ((s, d) => fingerprints(Tables.documents(s, d))),
+  )
+
+  def oracleSql: Map[String, String] = {
+    val toks = "string_split(text, ' ')"
+    Map(
+      "text_stats" ->
+        s"""SELECT doc_id,
+           |  length(text)::BIGINT AS n_chars,
+           |  len($toks)::BIGINT AS n_tokens,
+           |  len(list_distinct($toks))::BIGINT AS n_distinct,
+           |  round((length(text) - len($toks) + 1) / len($toks)::DOUBLE, 4) AS avg_token_len,
+           |  round(len(list_distinct($toks)) / len($toks)::DOUBLE, 4) AS ttr,
+           |  round(${stopHitsSql(toks, enStop)} / len($toks)::DOUBLE, 4) AS stopword_ratio,
+           |  round(least(len($toks) / 100.0, 1.0) *
+           |    (len(list_distinct($toks)) / len($toks)::DOUBLE), 4) AS quality_score
+           |FROM documents ORDER BY doc_id""".stripMargin,
+      "lang_id" ->
+        s"""WITH scored AS (
+           |  SELECT doc_id, lang,
+           |    ${stopHitsSql(toks, enStop)} AS en_score,
+           |    ${stopHitsSql(toks, deStop)} AS de_score,
+           |    ${stopHitsSql(toks, esStop)} AS es_score,
+           |    ${stopHitsSql(toks, frStop)} AS fr_score,
+           |    ${stopHitsSql(toks, zhStop)} AS zh_score
+           |  FROM documents
+           |), best AS (
+           |  SELECT *, greatest(en_score, de_score, es_score, fr_score, zh_score) AS b
+           |  FROM scored
+           |)
+           |SELECT doc_id, lang, en_score::BIGINT AS en_score,
+           |  CASE WHEN b = 0 THEN 'unknown'
+           |    WHEN en_score = b THEN 'en' WHEN de_score = b THEN 'de'
+           |    WHEN es_score = b THEN 'es' WHEN fr_score = b THEN 'fr'
+           |    ELSE 'zh' END AS predicted_lang,
+           |  (CASE WHEN b = 0 THEN 'unknown'
+           |    WHEN en_score = b THEN 'en' WHEN de_score = b THEN 'de'
+           |    WHEN es_score = b THEN 'es' WHEN fr_score = b THEN 'fr'
+           |    ELSE 'zh' END) = lang AS agrees
+           |FROM best ORDER BY doc_id""".stripMargin,
+      "token_counts" ->
+        s"""SELECT source, count(*) AS n_docs,
+           |  sum(len($toks))::BIGINT AS total_ws_tokens,
+           |  sum(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')))::BIGINT AS total_bpe_tokens
+           |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+      "doc_fingerprint" ->
+        s"""SELECT doc_id,
+           |  list_reduce(
+           |    [0::BIGINT] || list_transform($toks,
+           |      t -> ('0x' || substr(md5(t), 1, 15))::BIGINT % 999999937),
+           |    (acc, x) -> (acc * 31 + x) % 999999937) AS fingerprint
+           |FROM documents ORDER BY doc_id""".stripMargin,
+    )
+  }
 }

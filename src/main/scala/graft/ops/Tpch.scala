@@ -55,8 +55,11 @@ object Tpch {
       .groupBy(col("o_orderkey"), col("o_orderdate"))
       .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
         .as("revenue"))
+      // Parquet timestamps load as TIMESTAMP_NTZ in Spark 4, and NTZ→BIGINT
+      // is not a valid cast; route through LTZ (session tz is pinned UTC, so
+      // this matches the oracle's epoch()::BIGINT exactly).
       .select(col("o_orderkey"),
-        col("o_orderdate").cast("long").as("o_epoch"), col("revenue"))
+        col("o_orderdate").cast("timestamp").cast("long").as("o_epoch"), col("revenue"))
       .orderBy(col("revenue").desc, col("o_epoch").asc, col("o_orderkey").asc)
       .limit(10)
 
@@ -82,23 +85,36 @@ object Tpch {
       .orderBy(col("n_name"))
   }
 
-  /** Top customers per market segment: aggregate then rank with a window
-    * function. The window partitions by segment (5 keys) — fine here because
-    * the windowed input is already one row per customer (post-aggregation),
-    * not the raw fact table.
+  /** Top customers per market segment: aggregate then rank, two-phase.
+    *
+    * A single `row_number` over `partitionBy(c_mktsegment)` funnels every
+    * customer row through 5 tasks — a scale-killer at 100× customers. Phase 1
+    * ranks within (segment, salt-bucket) partitions — parallel across
+    * 5×64 keys — and keeps each bucket's local top-3, which provably contains
+    * the global top-3. Phase 2 re-ranks the ≤ 5×64×3 survivors, which is
+    * driver-trivial. Output is identical to the single-window plan.
     */
   def topCustomersPerSegment(customer: DataFrame, orders: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    val salts = 64
     val spend = orders.groupBy(col("o_custkey"))
       .agg(round(sum(col("o_totalprice")), 2).as("total_spend"),
         count(lit(1)).as("n_orders"))
-    val ranked = customer.select("c_custkey", "c_mktsegment")
+    val joined = customer.select("c_custkey", "c_mktsegment")
       .join(spend, col("c_custkey") === col("o_custkey"))
+    val localTop = joined
+      .withColumn("salt", pmod(col("c_custkey"), lit(salts)))
+      .withColumn("local_rnk", row_number().over(
+        Window.partitionBy(col("c_mktsegment"), col("salt"))
+          .orderBy(col("total_spend").desc, col("c_custkey").asc)))
+      .filter(col("local_rnk") <= 3)
+      .drop("salt", "local_rnk")
+    localTop
       .withColumn("rnk", row_number().over(
         Window.partitionBy(col("c_mktsegment"))
           .orderBy(col("total_spend").desc, col("c_custkey").asc))
         .cast("long"))
-    ranked.filter(col("rnk") <= 3)
+      .filter(col("rnk") <= 3)
       .select("c_mktsegment", "rnk", "c_custkey", "total_spend", "n_orders")
       .orderBy(col("c_mktsegment"), col("rnk"))
   }

@@ -1,8 +1,191 @@
 package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
+/** CDC envelope semantics (SURVEY.md §2 S2/S5/P1/P2/P6/U1/F6).
+  *
+  * The reference consumes Debezium change events: flat after-image rows
+  * carrying op metadata (`__op` ∈ c/u/r/d, `__table`, `__source_ts_ms`,
+  * `__deleted`) with TIMESTAMPTZ encoded as ISO-8601 strings (reference:
+  * src/streaming/schemas.py:15-20, kafka_sources.py:75-99). Here the
+  * envelope is derived deterministically from the `events` fixture so the
+  * exact same filter/normalize/union expressions run and are
+  * oracle-checkable; the Kafka/Avro transport lives in
+  * [[graft.streaming.KafkaStack]].
+  */
 object Cdc {
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  def oracleSql: Map[String, String] = Map()
+
+  import graft.ops.Synth.epochMs
+
+  /** ISO-8601 micros + literal Z, the Debezium ZonedTimestamp shape the
+    * reference parses first (reference: kafka_sources.py:95). */
+  val IsoMicros = "yyyy-MM-dd'T'HH:mm:ss.SSSSSS'Z'"
+  val IsoSeconds = "yyyy-MM-dd'T'HH:mm:ss'Z'"
+
+  /** Deterministic CDC envelope over `events`: __op cycles c/u/r/d on
+    * event_id, and the ts string takes one of the three wire shapes the
+    * 3-way coalesce must handle (micros+Z / seconds+Z / plain).
+    */
+  def envelope(events: DataFrame): DataFrame = {
+    val e = graft.ops.Synth.eventTime(events)
+    e.select(
+      col("event_id"), col("user_id"), col("event_type"), col("value"), col("props"),
+      element_at(array(lit("c"), lit("u"), lit("r"), lit("d")),
+        (pmod(col("event_id"), lit(4)) + 1).cast("int")).as("__op"),
+      lit("events").as("__table"),
+      epochMs(col("ts")).as("__source_ts_ms"),
+      (pmod(col("event_id"), lit(4)) === 3).as("__deleted"),
+      when(pmod(col("event_id"), lit(3)) === 0, date_format(col("ts"), IsoMicros))
+        .when(pmod(col("event_id"), lit(3)) === 1, date_format(col("ts"), IsoSeconds))
+        .otherwise(date_format(col("ts"), "yyyy-MM-dd HH:mm:ss"))
+        .as("ts_str"))
+  }
+
+  /** P1: keep create/update/snapshot-read, drop deletes
+    * (reference: kafka_sources.py:84-87). */
+  def opFilter(envelope: DataFrame): DataFrame =
+    envelope.filter(col("__op").isin("c", "u", "r"))
+
+  /** P2/F2: the 3-way to_timestamp coalesce over wire-shaped strings
+    * (reference: kafka_sources.py:92-98). `try_to_timestamp` because a
+    * non-matching pattern must yield NULL for the next branch, not an
+    * ANSI error.
+    */
+  def normalizeTs(df: DataFrame, tsCol: String): DataFrame =
+    df.withColumn(tsCol,
+      coalesce(
+        try_to_timestamp(col(tsCol), lit(IsoMicros)),
+        try_to_timestamp(col(tsCol), lit(IsoSeconds)),
+        try_to_timestamp(col(tsCol))))
+
+  /** S2: Confluent wire-format header strip — drop the 5-byte magic+schemaId
+    * prefix before decode (reference: kafka_sources.py:70-72). Same 1-based
+    * substring expression the reference uses, here over a synthesized
+    * 5-byte-prefixed payload.
+    */
+  def stripWireHeader(df: DataFrame, payloadCol: String): DataFrame =
+    df.withColumn(payloadCol,
+      expr(s"substring($payloadCol, 6, length($payloadCol) - 5)"))
+
+  // ---------------------------------------------------------------- registry
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // P1 + envelope: op filter over the CDC stream shape.
+    "cdc_op_filter" -> ((s, d) => opFilter(envelope(Tables.events(s, d)))
+      .select("event_id", "__op", "__table", "__source_ts_ms", "__deleted")
+      .orderBy("event_id")),
+    // P2: 3-way timestamp normalization — round-trips every wire shape.
+    "cdc_ts_normalize" -> ((s, d) => {
+      val env = normalizeTs(envelope(Tables.events(s, d)), "ts_str")
+      env.select(col("event_id"),
+        unix_micros(col("ts_str")).as("ts_us"),
+        pmod(col("event_id"), lit(3)).as("wire_shape"))
+        .orderBy("event_id")
+    }),
+    // S5 composition: envelope → op filter → ts normalize (the CDC reader
+    // minus the Kafka/Avro transport).
+    "cdc_reader" -> ((s, d) => {
+      val env = normalizeTs(opFilter(envelope(Tables.events(s, d))), "ts_str")
+      env.select(col("event_id"), col("__op"), col("__source_ts_ms"),
+        unix_micros(col("ts_str")).as("ts_us"), col("value"))
+        .orderBy("event_id")
+    }),
+    // S2: wire-header strip (string payload stands in for the Avro bytes).
+    "cdc_wire_strip" -> ((s, d) => {
+      val wired = Tables.events(s, d)
+        .select(col("event_id"), concat(lit("MAGIC"), col("props")).as("payload"))
+      stripWireHeader(wired, "payload")
+        .select(col("event_id"), col("payload"))
+        .orderBy("event_id")
+    }),
+    // P6/U1: the 3-way lit/null-pad normalization union, row-level
+    // (the aggregated form is Frames.kpiFrame).
+    "kpi_union" -> ((s, d) => graft.ops.Frames.kpiNormalize(Tables.events(s, d))
+      .select(unix_micros(col("event_time")).as("event_time_us"),
+        col("active_session_count"), col("revenue_amount"), col("order_count"),
+        col("request_count"), col("error_count"), col("latency_ms"))
+      .orderBy("event_time_us")),
+    // S7/F6: JSON serde round-trip — from_json over the props payload, then
+    // to_json of a struct (the aggregated.kpis read-back + Kafka-sink pair,
+    // reference: kafka_sources.py:160-168, kpi_aggregator.py:217-233).
+    "json_roundtrip" -> ((s, d) => Tables.events(s, d)
+      .select(col("event_id"),
+        from_json(col("props"), org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("k",
+            org.apache.spark.sql.types.LongType)))).getField("k").as("k"))
+      .select(col("event_id"), col("k"),
+        to_json(struct(col("event_id"), col("k"))).as("payload"))
+      .orderBy("event_id")),
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "cdc_op_filter" ->
+      """SELECT event_id,
+        |  (['c','u','r','d'])[(event_id % 4)::INT + 1] AS __op,
+        |  'events' AS __table,
+        |  epoch_ms(ts) AS __source_ts_ms,
+        |  (event_id % 4 = 3) AS __deleted
+        |FROM events
+        |WHERE (['c','u','r','d'])[(event_id % 4)::INT + 1] IN ('c','u','r')
+        |ORDER BY event_id""".stripMargin,
+    "cdc_ts_normalize" ->
+      """WITH env AS (
+        |  SELECT event_id,
+        |    CASE
+        |      WHEN event_id % 3 = 0 THEN strftime(ts, '%Y-%m-%dT%H:%M:%S.%fZ')
+        |      WHEN event_id % 3 = 1 THEN strftime(ts, '%Y-%m-%dT%H:%M:%SZ')
+        |      ELSE strftime(ts, '%Y-%m-%d %H:%M:%S')
+        |    END AS ts_str
+        |  FROM events
+        |)
+        |SELECT event_id,
+        |  epoch_us(coalesce(
+        |    try_strptime(ts_str, '%Y-%m-%dT%H:%M:%S.%fZ'),
+        |    try_strptime(ts_str, '%Y-%m-%dT%H:%M:%SZ'),
+        |    try_strptime(ts_str, '%Y-%m-%d %H:%M:%S'))) AS ts_us,
+        |  event_id % 3 AS wire_shape
+        |FROM env ORDER BY event_id""".stripMargin,
+    "cdc_reader" ->
+      """WITH env AS (
+        |  SELECT event_id,
+        |    (['c','u','r','d'])[(event_id % 4)::INT + 1] AS __op,
+        |    epoch_ms(ts) AS __source_ts_ms,
+        |    CASE
+        |      WHEN event_id % 3 = 0 THEN strftime(ts, '%Y-%m-%dT%H:%M:%S.%fZ')
+        |      WHEN event_id % 3 = 1 THEN strftime(ts, '%Y-%m-%dT%H:%M:%SZ')
+        |      ELSE strftime(ts, '%Y-%m-%d %H:%M:%S')
+        |    END AS ts_str,
+        |    value
+        |  FROM events
+        |)
+        |SELECT event_id, __op, __source_ts_ms,
+        |  epoch_us(coalesce(
+        |    try_strptime(ts_str, '%Y-%m-%dT%H:%M:%S.%fZ'),
+        |    try_strptime(ts_str, '%Y-%m-%dT%H:%M:%SZ'),
+        |    try_strptime(ts_str, '%Y-%m-%d %H:%M:%S'))) AS ts_us,
+        |  value
+        |FROM env WHERE __op IN ('c','u','r') ORDER BY event_id""".stripMargin,
+    "cdc_wire_strip" ->
+      """SELECT event_id, substr('MAGIC' || props, 6) AS payload
+        |FROM events ORDER BY event_id""".stripMargin,
+    "kpi_union" ->
+      """SELECT epoch_us(ts) AS event_time_us,
+        |  0 AS active_session_count, value AS revenue_amount, 1 AS order_count,
+        |  0 AS request_count, 0 AS error_count, NULL::DOUBLE AS latency_ms
+        |FROM events WHERE event_type = 'purchase'
+        |UNION ALL
+        |SELECT epoch_us(ts), 1, 0.0, 0, 0, 0, NULL FROM events WHERE event_type = 'signup'
+        |UNION ALL
+        |SELECT epoch_us(ts), 0, 0.0, 0, 1,
+        |  CASE WHEN event_type = 'error' THEN 1 ELSE 0 END, value * 100
+        |FROM events WHERE event_type IN ('click','view','error')
+        |ORDER BY event_time_us""".stripMargin,
+    "json_roundtrip" ->
+      """SELECT event_id,
+        |  json_extract(props, '$.k')::BIGINT AS k,
+        |  '{"event_id":' || event_id::VARCHAR || ',"k":' ||
+        |    json_extract(props, '$.k')::BIGINT::VARCHAR || '}' AS payload
+        |FROM events ORDER BY event_id""".stripMargin,
+  )
 }

@@ -29,7 +29,22 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame = table(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = table(s, d, "lineitem")
-  def events(s: SparkSession, d: String): DataFrame = table(s, d, "events")
+
+  /** `events.parquet` stores TIMESTAMP(NANOS), which Spark's parquet reader
+    * rejects unless `spark.sql.legacy.parquet.nanosAsLong=true` (set in the
+    * Verify/Bench/test sessions). The long nanos are truncated to
+    * microseconds here — exactly what DuckDB's micro-resolution TIMESTAMP
+    * does on the oracle side — and exposed as a proper TimestampType.
+    */
+  def events(s: SparkSession, d: String): DataFrame = {
+    val raw = table(s, d, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+      case _ => raw
+    }
+  }
+
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
 }
