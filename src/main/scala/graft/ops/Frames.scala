@@ -98,7 +98,6 @@ object Frames {
         epochMs(col("window.end")).as("updatedAt"),
         col("activeUsers"), col("revenue"), col("orders"), col("errorRate"),
         coalesce(col("latency_raw"), lit(0L)).cast("long").as("latency"))
-      .orderBy(col("updatedAt"))
 
   /** A3/P12/F3: keyed sliding-window agg with the least() intensity clamp
     * (reference: region_aggregator.py:102-131). */
@@ -123,7 +122,6 @@ object Frames {
         epochMs(col("window.end")).as("updatedAt"),
         col("region_name"), col("sales"),
         least(col("request_count") * lit(5.0), lit(100.0)).as("intensity"))
-      .orderBy(col("updatedAt"), col("region_name"))
   }
 
   /** A4/F2: tumbling-window count with epoch-ms timestamp and 12-hour label
@@ -137,7 +135,6 @@ object Frames {
         epochMs(col("window.end")).as("timestamp"),
         col("value"),
         date_format(col("window.end"), "hh:mm:ss a").as("label"))
-      .orderBy(col("timestamp"))
 
   /** A5/A6(P14): conditional pivot-style averages + per-window distinct node
     * count (reference: health_aggregator.py:31-49). Exact count distinct here
@@ -165,7 +162,6 @@ object Frames {
         when(col("total_nodes") > 0, lit(100.0)).otherwise(lit(0.0)).as("apiClusterScore"),
         when(col("total_nodes") > 0, lit("HEALTHY")).otherwise(lit("DOWN")).as("apiClusterStatus"),
         epochMs(col("window.end")).as("updatedAt"))
-      .orderBy(col("updatedAt"))
 
   /** A6: the streaming-shaped HLL variant (`approx_count_distinct`), kept as
     * its own query: approximate results can't hash-match an exact oracle, so
@@ -179,7 +175,6 @@ object Frames {
         count(lit(1)).as("n_events"))
       .select(epochMs(col("window.end")).as("updatedAt"),
         col("approx_users"), col("n_events"))
-      .orderBy(col("updatedAt"))
 
   /** A7/F1: sliding-window count formatted into the geo header payload
     * (reference: geo_header.py:32-44). */
@@ -196,7 +191,6 @@ object Frames {
         lit("V4-Orbit").as("engineVersion"),
         lit("Secure").as("protocolStatus"),
         epochMs(col("window.end")).as("updatedAt"))
-      .orderBy(col("updatedAt"))
 
   /** A8/P5/T5: global (unwindowed) platform breakdown — the `complete`-mode
     * running count (reference: device_platform.py:36-44). */
@@ -207,7 +201,6 @@ object Frames {
       .groupBy(col("platform"))
       .count()
       .select(col("platform").as("name"), col("count").as("value"))
-      .orderBy(col("name"))
 
   /** A9/T1: the richest-then-latest window pick the KPI writer makes per
     * micro-batch (reference: kpi_aggregator.py:60-67), as a plan-level
@@ -233,16 +226,23 @@ object Frames {
 
   // ---------------------------------------------------------------- registry
 
+  /** Batch registry: builders stay sort-free so they are legal streaming
+    * plans (sorting is unsupported before a streaming sink in update mode);
+    * deterministic output order for the oracle is applied here.
+    */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "kpi_sliding" -> ((s, d) => kpiFrame(Tables.events(s, d))),
-    "region_sliding" -> ((s, d) => regionFrame(Tables.events(s, d))),
-    "traffic_tumbling" -> ((s, d) => trafficFrame(Tables.events(s, d))),
-    "health_frame" -> ((s, d) => healthFrame(Tables.events(s, d))),
-    "approx_distinct_users" -> ((s, d) => approxDistinctFrame(Tables.events(s, d))),
-    "geo_header" -> ((s, d) => geoFrame(Tables.events(s, d))),
-    "platform_breakdown" -> ((s, d) => platformFrame(Tables.events(s, d))),
+    "kpi_sliding" -> ((s, d) => kpiFrame(Tables.events(s, d)).orderBy(col("updatedAt"))),
+    "region_sliding" -> ((s, d) =>
+      regionFrame(Tables.events(s, d)).orderBy(col("updatedAt"), col("region_name"))),
+    "traffic_tumbling" -> ((s, d) =>
+      trafficFrame(Tables.events(s, d)).orderBy(col("timestamp"))),
+    "health_frame" -> ((s, d) => healthFrame(Tables.events(s, d)).orderBy(col("updatedAt"))),
+    "approx_distinct_users" -> ((s, d) =>
+      approxDistinctFrame(Tables.events(s, d)).orderBy(col("updatedAt"))),
+    "geo_header" -> ((s, d) => geoFrame(Tables.events(s, d)).orderBy(col("updatedAt"))),
+    "platform_breakdown" -> ((s, d) => platformFrame(Tables.events(s, d)).orderBy(col("name"))),
     "top1_richest_window" -> ((s, d) => top1RichestWindow(Tables.events(s, d))),
-    "latest_window" -> ((s, d) => latestWindow(Tables.events(s, d))),
+    "latest_window" -> ((s, d) => latestWindow(Tables.events(s, d)))
   )
 
   /** DuckDB oracles. Sliding windows: each event belongs to exactly

@@ -1,0 +1,96 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types._
+
+/** Job wiring (SURVEY.md §2.9, §2.7 W2/W5/W6/W7): the three reference jobs'
+  * query graphs — same frame builders as the batch registry, same output
+  * modes/triggers/checkpoints as the reference
+  * (reference: src/streaming/jobs/transaction_analytics.py:17-41,
+  * infrastructure_analytics.py:11-22, derived_analytics.py:9-17).
+  *
+  * W2 discipline: `source()` is called once per query so no two queries
+  * share a plan node (sharing trips `Redefining watermark` once each query
+  * applies its own watermark after union).
+  */
+object Jobs {
+
+  val TriggerInterval = "10 seconds"
+  val WatermarkedModes = Map(
+    "kpi" -> "update", "activity" -> "append", "regions" -> "complete",
+    "traffic" -> "complete", "health" -> "complete", "geo" -> "complete",
+    "platform" -> "complete", "alerts" -> "update")
+
+  /** The events schema for streaming file sources (explicit — never inferred
+    * in the hot path, reference: schemas.py:23-170 discipline). */
+  val eventsSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts", TimestampType),
+    StructField("user_id", LongType), StructField("event_type", StringType),
+    StructField("value", DoubleType), StructField("props", StringType)))
+
+  /** File-based stream source for local/dev runs (S11 streaming form):
+    * parquet drop-dir with the explicit schema. Kafka deployments use
+    * [[KafkaStack.cdcStream]] instead. */
+  def fileEventStream(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream.schema(eventsSchema).parquet(dir)
+
+  private def start(frame: DataFrame, name: String, mode: String,
+      checkpointBase: String, writer: (DataFrame, Long) => Unit): StreamingQuery =
+    frame.writeStream
+      .outputMode(mode)
+      .foreachBatch { (df: DataFrame, id: Long) => writer(df, id) }
+      .option("checkpointLocation", s"$checkpointBase/$name")
+      .trigger(Trigger.ProcessingTime(TriggerInterval))
+      .queryName(name)
+      .start()
+
+  /** Transactions job: KPI (update) + activity (append) + regions (complete),
+    * one fresh source per query (W2). */
+  def transactionsJob(source: () => DataFrame, kv: KvStore,
+      checkpointBase: String): Seq[StreamingQuery] = Seq(
+    start(graft.ops.Frames.kpiFrame(source()), "kpi",
+      WatermarkedModes("kpi"), checkpointBase, KvSink.kpiWriter(kv)),
+    start(graft.ops.Activity.activityFeed(source()), "activity",
+      WatermarkedModes("activity"), checkpointBase, KvSink.activityWriter(kv)),
+    start(graft.ops.Frames.regionFrame(source()), "regions",
+      WatermarkedModes("regions"), checkpointBase, (df, _) => {
+        val rows = df.collect()
+        if (rows.nonEmpty) {
+          val latest = rows.map(_.getAs[Long]("updatedAt")).max
+          val payload = rows.filter(_.getAs[Long]("updatedAt") == latest)
+            .sortBy(_.getAs[String]("region_name"))
+            .map(r => s"""{"name":"${r.getAs[String]("region_name")}","intensity":${r.getAs[Double]("intensity")},"sales":${r.getAs[Double]("sales")}}""")
+          kv.writeJson(Keys.RegionsCurrent, payload.mkString("[", ",", "]"),
+            channel = Some(Keys.ChannelRegions))
+        }
+      }))
+
+  /** Infrastructure job: traffic (complete) + health (complete). */
+  def infrastructureJob(source: () => DataFrame, kv: KvStore,
+      checkpointBase: String): Seq[StreamingQuery] = Seq(
+    start(graft.ops.Frames.trafficFrame(source()), "traffic",
+      WatermarkedModes("traffic"), checkpointBase, KvSink.trafficWriter(kv)),
+    start(graft.ops.Frames.healthFrame(source()), "health",
+      WatermarkedModes("health"), checkpointBase, (df, _) => {
+        df.orderBy(org.apache.spark.sql.functions.col("updatedAt").desc).limit(1)
+          .collect().foreach { r =>
+            kv.writeHash("nexus:health:current", Map(
+              "cpu_centi" -> r.getAs[Long]("cpu_centi").toString,
+              "memory_centi" -> r.getAs[Long]("memory_centi").toString,
+              "updatedAt" -> r.getAs[Long]("updatedAt").toString))
+          }
+      }))
+
+  /** Derived job: platform breakdown (complete, unwindowed running agg). */
+  def derivedJob(source: () => DataFrame, kv: KvStore,
+      checkpointBase: String): Seq[StreamingQuery] = Seq(
+    start(graft.ops.Frames.platformFrame(source()), "platform",
+      WatermarkedModes("platform"), checkpointBase, (df, _) => {
+        val rows = df.collect().sortBy(_.getAs[String]("name"))
+        if (rows.nonEmpty)
+          kv.writeJson("nexus:platform:breakdown",
+            rows.map(r => s"""{"name":"${r.getAs[String]("name")}","value":${r.getAs[Long]("value")}}""")
+              .mkString("[", ",", "]"))
+      }))
+}

@@ -1,0 +1,174 @@
+package graft.streaming
+
+import scala.collection.concurrent.TrieMap
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+
+/** The reference's Redis sink family (SURVEY.md §2 S10/A9/T1/T3/W9) behind a
+  * pluggable KV interface: every write is the two-step write-then-publish
+  * contract of the reference's client (reference: src/streaming/
+  * redis_client.py:52-104, contract DESCRIPTION.md:1499-1524).
+  *
+  * `foreachBatch` writers run on the driver per micro-batch, exactly like
+  * the reference's `write_*_batch` functions; the store is injectable so
+  * tests observe writes in-memory and production plugs a Redis client with
+  * no change to the dataflow.
+  */
+trait KvStore extends Serializable {
+
+  /** HSET + optional TTL + optional PUBLISH. */
+  def writeHash(key: String, value: Map[String, String], ttlSeconds: Option[Int] = None,
+      channel: Option[String] = None): Unit
+
+  /** SET of a JSON string + optional PUBLISH. */
+  def writeJson(key: String, json: String, channel: Option[String] = None): Unit
+
+  /** LPUSH + LTRIM to maxLen + optional PUBLISH. */
+  def pushToList(key: String, json: String, maxLen: Int,
+      channel: Option[String] = None): Unit
+
+  /** HGETALL (empty when absent) — used by trend computation (W9). */
+  def readHash(key: String): Map[String, String]
+}
+
+/** Thread-safe in-memory KvStore for tests and local runs. */
+final class InMemoryKvStore extends KvStore {
+  val hashes = TrieMap.empty[String, Map[String, String]]
+  val strings = TrieMap.empty[String, String]
+  val lists = TrieMap.empty[String, List[String]]
+  val published = TrieMap.empty[String, List[String]]
+
+  private def publish(channel: Option[String], payload: String): Unit =
+    channel.foreach(c => published.updateWith(c)(l => Some(payload :: l.getOrElse(Nil))))
+
+  def writeHash(key: String, value: Map[String, String], ttlSeconds: Option[Int],
+      channel: Option[String]): Unit = {
+    hashes.put(key, value)
+    publish(channel, value.toSeq.sortBy(_._1).map { case (k, v) => s"$k=$v" }.mkString(","))
+  }
+
+  def writeJson(key: String, json: String, channel: Option[String]): Unit = {
+    strings.put(key, json)
+    publish(channel, json)
+  }
+
+  def pushToList(key: String, json: String, maxLen: Int, channel: Option[String]): Unit = {
+    lists.updateWith(key)(l => Some((json :: l.getOrElse(Nil)).take(maxLen)))
+    publish(channel, json)
+  }
+
+  def readHash(key: String): Map[String, String] = hashes.getOrElse(key, Map.empty)
+}
+
+/** Key/channel names (reference: src/streaming/config.py:46-66). */
+object Keys {
+  val KpiCurrent = "nexus:kpi:current"
+  def kpiSnapshot(epochHour: Long) = s"nexus:kpi:snapshot:$epochHour"
+  val TrafficTs = "nexus:traffic:timeseries"
+  val ActivityFeed = "nexus:activity:feed"
+  val RegionsCurrent = "nexus:regions:current"
+  val AlertRules = "nexus:alert:rules"
+  val AlertSummary = "nexus:alert:summary"
+  val ChannelKpi = "nexus.kpi"
+  val ChannelTraffic = "nexus.traffic"
+  val ChannelActivity = "nexus.activity"
+  val ChannelRegions = "nexus.regions"
+  val ChannelAlerts = "nexus.alerts"
+}
+
+object KvSink {
+
+  /** W9: trend vs the previous epoch-hour snapshot read back from the KV
+    * store; 0.0 when the previous value is missing or zero
+    * (reference: kpi_aggregator.py:28-51). */
+  def computeTrend(current: Double, previous: Option[Double]): Double =
+    previous match {
+      case None | Some(0.0) => 0.0
+      case Some(p) => math.round((current - p) / p * 1000.0) / 10.0
+    }
+
+  /** A9/T1 + W9: the KPI batch writer — pick the richest-then-latest window,
+    * write current hash + epoch-hour snapshot (TTL 7200 s), derive trends
+    * from the previous hour's snapshot (reference: kpi_aggregator.py:54-96).
+    */
+  def kpiWriter(kv: KvStore): (DataFrame, Long) => Unit = (batch, _) => {
+    val rows = batch
+      .orderBy((col("activeUsers") + col("orders") + col("latency")).desc,
+        col("updatedAt").desc)
+      .limit(1).collect()
+    rows.headOption.foreach { row =>
+      val current = Map(
+        "activeUsers" -> row.getAs[Long]("activeUsers").toString,
+        "revenue" -> row.getAs[Double]("revenue").toString,
+        "orders" -> row.getAs[Long]("orders").toString,
+        "errorRate" -> row.getAs[Double]("errorRate").toString,
+        "latency" -> row.getAs[Long]("latency").toString,
+        "updatedAt" -> row.getAs[Long]("updatedAt").toString)
+      val updatedAt = row.getAs[Long]("updatedAt")
+      val currentHour = updatedAt / 3600000L
+      val previous = kv.readHash(Keys.kpiSnapshot(math.max(currentHour - 1, 0)))
+      def trend(metric: String): String =
+        KvSink.computeTrend(current(metric).toDouble,
+          previous.get(metric).filter(_.nonEmpty).map(_.toDouble)).toString
+      val payload = current ++ Map(
+        "activeUsersTrend" -> trend("activeUsers"),
+        "revenueTrend" -> trend("revenue"),
+        "ordersTrend" -> trend("orders"),
+        "errorRateTrend" -> trend("errorRate"),
+        "latencyTrend" -> trend("latency"))
+      kv.writeHash(Keys.KpiCurrent, payload, channel = Some(Keys.ChannelKpi))
+      kv.writeHash(Keys.kpiSnapshot(currentHour), current, ttlSeconds = Some(7200))
+    }
+  }
+
+  /** T3 + list push: latest traffic point → capped list
+    * (reference: traffic_builder.py:19-32). */
+  def trafficWriter(kv: KvStore): (DataFrame, Long) => Unit = (batch, _) => {
+    batch.orderBy(col("timestamp").desc).limit(1).collect().foreach { row =>
+      kv.pushToList(Keys.TrafficTs,
+        s"""{"timestamp":${row.getAs[Long]("timestamp")},"value":${row.getAs[Long]("value")},"label":"${row.getAs[String]("label")}"}""",
+        maxLen = 21, channel = Some(Keys.ChannelTraffic))
+    }
+  }
+
+  /** T2: top-15 newest activities pushed oldest-first so the list head is
+    * newest (reference: activity_enricher.py:19-26). */
+  def activityWriter(kv: KvStore): (DataFrame, Long) => Unit = (batch, _) => {
+    val rows = batch.orderBy(col("timestamp").desc).limit(15).collect()
+    rows.reverseIterator.foreach { row =>
+      kv.pushToList(Keys.ActivityFeed, rowJson(row), maxLen = 15,
+        channel = Some(Keys.ChannelActivity))
+    }
+  }
+
+  /** A10: alert rules + summary writer (reference: alert_evaluator.py:21-38). */
+  def alertWriter(kv: KvStore): (DataFrame, Long) => Unit = (batch, _) => {
+    val rows = batch.collect()
+    if (rows.nonEmpty) {
+      kv.writeJson(Keys.AlertRules, rows.map(rowJson).mkString("[", ",", "]"),
+        channel = Some(Keys.ChannelAlerts))
+      val critical = rows.count(r =>
+        r.getAs[String]("severity") == "critical" && r.getAs[String]("status") != "ok")
+      val warning = rows.count(r =>
+        r.getAs[String]("severity") == "warning" && r.getAs[String]("status") != "ok")
+      val healthy = rows.count(r => r.getAs[String]("status") == "ok")
+      kv.writeHash(Keys.AlertSummary, Map(
+        "criticalCount" -> critical.toString,
+        "warningCount" -> warning.toString,
+        "healthyCount" -> healthy.toString,
+        "criticalImpact" -> "Currently affecting 0% of users",
+        "updatedAt" -> rows.map(_.getAs[Long]("updatedAt")).max.toString))
+    }
+  }
+
+  private def rowJson(row: Row): String =
+    row.schema.fields.map { f =>
+      val v = row.getAs[Any](f.name) match {
+        case null => "null"
+        case s: String => "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+        case other => other.toString
+      }
+      s""""${f.name}":$v"""
+    }.mkString("{", ",", "}")
+}

@@ -1,0 +1,53 @@
+package graft
+
+import java.sql.Timestamp
+
+import graft.sources.Cdc
+
+/** CDC envelope semantics: op filter and the 3-way timestamp normalization
+  * (property-style: many seeded random instants round-trip per wire shape).
+  */
+class CdcSpec extends SparkSpec {
+
+  test("opFilter keeps c/u/r and drops d") {
+    import spark.implicits._
+    val env = Cdc.envelope(
+      Seq(
+        (0L, Timestamp.valueOf("2024-01-01 00:00:00"), 1L, "click", 1.0, "{}"),
+        (1L, Timestamp.valueOf("2024-01-01 00:00:01"), 1L, "click", 1.0, "{}"),
+        (2L, Timestamp.valueOf("2024-01-01 00:00:02"), 1L, "click", 1.0, "{}"),
+        (3L, Timestamp.valueOf("2024-01-01 00:00:03"), 1L, "click", 1.0, "{}"))
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props"))
+    val kept = Cdc.opFilter(env).select("event_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(0L, 1L, 2L)) // event_id 3 → __op 'd' → dropped
+    assert(env.count() == 4)
+  }
+
+  test("normalizeTs round-trips every wire shape over random instants") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    // 60 instants across 2024 with microsecond precision; event_id fixes the
+    // wire shape: 0 → micros+Z, 1 → seconds+Z, 2 → plain.
+    val cases = (0 until 60).map { i =>
+      val us = 1704067200000000L + (rnd.nextDouble() * 31536000000000L).toLong
+      val shape = i % 3
+      val expected = if (shape == 0) us else (us / 1000000L) * 1000000L
+      (i.toLong * 3 + shape, us, expected)
+    }
+    val df = cases.toDF("event_id", "us", "expected")
+      .selectExpr("event_id", "timestamp_micros(us) as ts", "expected",
+        "1 as user_id", "'click' as event_type", "1.0 as value", "'{}' as props")
+    val bad = Cdc.normalizeTs(Cdc.envelope(df).join(df.select("event_id", "expected"), "event_id"), "ts_str")
+      .selectExpr("event_id", "unix_micros(ts_str) as got", "expected")
+      .where("got IS NULL OR got <> expected")
+      .count()
+    assert(bad == 0)
+  }
+
+  test("wire strip removes exactly the 5-byte header") {
+    import spark.implicits._
+    val df = Seq(("MAGICpayload", 1)).toDF("payload", "x")
+    val out = Cdc.stripWireHeader(df, "payload").select("payload").head().getString(0)
+    assert(out == "payload")
+  }
+}

@@ -1,0 +1,89 @@
+package graft
+
+import graft.ops.{Dedup, Similarity, TextStats}
+
+/** Dedup/similarity/text operators over crafted corpora with known
+  * duplicates and neighbors. */
+class DedupSpec extends SparkSpec {
+
+  private val base =
+    "the quick brown fox jumps over the lazy dog and runs far away tonight"
+
+  private def corpus = {
+    import spark.implicits._
+    Seq(
+      (1L, base),
+      (2L, base), // exact duplicate of 1
+      (3L, base + " extra"), // near duplicate of 1
+      (4L, "completely different words about spark window aggregation pipelines here today"),
+      (5L, "ANOTHER DISJOINT DOCUMENT WITH ITS OWN TOKENS ENTIRELY UNRELATED CONTENT"))
+      .toDF("doc_id", "text")
+  }
+
+  test("exact dedup groups identical normalized texts") {
+    val rows = Dedup.exactDedup(corpus).collect()
+    assert(rows.length == 4) // 1+2 collapse
+    val dup = rows.filter(_.getAs[Long]("n_docs") == 2)
+    assert(dup.length == 1 && dup.head.getAs[Long]("keeper_id") == 1L)
+  }
+
+  test("minhash LSH finds planted near-duplicates, not disjoint docs") {
+    val pairs = Dedup.minhashCandidates(corpus).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
+        r.getAs[Double]("est_jaccard"))).toList
+    val keys = pairs.map(p => (p._1, p._2)).toSet
+    assert(keys.contains((1L, 2L))) // identical → every band collides
+    assert(keys.contains((1L, 3L)) && keys.contains((2L, 3L))) // near dup
+    assert(!keys.exists(p => p._1 == 4L || p._2 == 4L)) // disjoint stays out
+    assert(pairs.find(p => (p._1, p._2) == (1L, 2L)).get._3 == 1.0)
+  }
+
+  test("ngram jaccard verifies candidates with true similarity") {
+    val rows = Dedup.ngramJaccard(corpus).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")) ->
+        r.getAs[Double]("jaccard")).toMap
+    assert(rows((1L, 2L)) == 1.0)
+    assert(rows((1L, 3L)) > 0.8 && rows((1L, 3L)) < 1.0)
+  }
+
+  test("simhash of identical docs is identical; near dup within radius") {
+    val sims = Dedup.simhashes(corpus).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("simhash")).toMap
+    assert(sims(1L) == sims(2L))
+    assert(java.lang.Long.bitCount(sims(1L) ^ sims(3L)) <= 10)
+    val pairs = Dedup.simhashPairs(corpus).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    assert(pairs.contains((1L, 2L)))
+  }
+
+  test("text stats and fingerprints are deterministic and sane") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b c a", "en", "s", 7L), (2L, "a b c a", "en", "s", 7L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val stats = TextStats.textStats(docs).collect()
+    assert(stats.forall(_.getAs[Long]("n_tokens") == 4L))
+    assert(stats.forall(_.getAs[Long]("n_distinct") == 3L))
+    val fps = TextStats.fingerprints(docs).collect().map(_.getAs[Long]("fingerprint"))
+    assert(fps.distinct.length == 1) // same text → same rolling hash
+  }
+
+  test("brute-force and LSH ANN agree inside a shared bucket") {
+    import spark.implicits._
+    // vectors in the all-positive orthant share bucket 63 (first 6 dims > 0)
+    def vec(seed: Int): Array[Float] = {
+      val r = new scala.util.Random(seed)
+      Array.fill(64)(r.nextFloat() + 0.01f)
+    }
+    val emb = (0 until 20).map(i => (i.toLong, vec(i), i % 3))
+      .toDF("vec_id", "embedding", "label")
+    val brute = Similarity.cosineTopK(emb).collect()
+    val lsh = Similarity.annLshTopK(emb).collect()
+    assert(brute.nonEmpty && lsh.nonEmpty)
+    // all vectors share one bucket → LSH top-5 must equal brute top-5
+    val bruteTop = brute.filter(_.getAs[Long]("rnk") <= 5)
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("rnk"), r.getAs[Long]("vec_id"))).toSet
+    val lshTop = lsh
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("rnk"), r.getAs[Long]("vec_id"))).toSet
+    assert(lshTop == bruteTop)
+  }
+}

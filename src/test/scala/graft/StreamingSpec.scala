@@ -1,0 +1,150 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.ops.Frames
+import graft.streaming.{AlertStateMachine, InMemoryKvStore, KvSink}
+import graft.streaming.AlertStateMachine.AlertEval
+
+/** Real Structured Streaming semantics (W1/W3/W4/W5): the same frame
+  * builders the batch oracle verifies, driven through MemoryStream with
+  * watermark + update mode, and the stateful alert machine.
+  */
+class StreamingSpec extends SparkSpec {
+
+  case class Evt(event_id: Long, ts: Timestamp, user_id: Long,
+      event_type: String, value: Double, props: String)
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  test("kpiFrame runs as a streaming query with watermark in update mode") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Evt]
+    val query = Frames.kpiFrame(input.toDF())
+      .writeStream
+      .format("memory")
+      .queryName("kpi_stream_test")
+      .outputMode(OutputMode.Update())
+      .start()
+    try {
+      input.addData(
+        Evt(0L, ts("2024-01-01 00:01:00"), 1L, "purchase", 10.0, "{}"),
+        Evt(1L, ts("2024-01-01 00:03:00"), 2L, "error", 5.0, "{}"),
+        Evt(2L, ts("2024-01-01 00:04:00"), 3L, "click", 2.0, "{}"))
+      query.processAllAvailable()
+      val rows = spark.sql("SELECT * FROM kpi_stream_test").collect()
+      assert(rows.nonEmpty) // sliding 30m/10m → 3 windows per event
+      val w = rows.filter(_.getAs[Long]("updatedAt") == 1704068400000L)
+      assert(w.length == 1)
+      assert(w(0).getAs[Long]("orders") == 1L)
+      assert(w(0).getAs[Double]("errorRate") == 50.0)
+
+      // late-but-within-watermark data updates the same window
+      input.addData(Evt(3L, ts("2024-01-01 00:02:00"), 4L, "purchase", 7.0, "{}"))
+      query.processAllAvailable()
+      val updated = spark.sql(
+        "SELECT * FROM kpi_stream_test WHERE updatedAt = 1704068400000")
+        .collect().maxBy(_.getAs[Long]("orders"))
+      assert(updated.getAs[Long]("orders") == 2L)
+      assert(updated.getAs[Double]("revenue") == 17.0)
+    } finally query.stop()
+  }
+
+  test("trafficFrame streams tumbling counts in complete mode") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Evt]
+    val query = Frames.trafficFrame(input.toDF())
+      .writeStream.format("memory").queryName("traffic_stream_test")
+      .outputMode(OutputMode.Complete())
+      .start()
+    try {
+      input.addData(
+        Evt(0L, ts("2024-01-01 00:01:00"), 1L, "click", 1.0, "{}"),
+        Evt(1L, ts("2024-01-01 00:02:00"), 1L, "view", 1.0, "{}"),
+        Evt(2L, ts("2024-01-01 00:20:00"), 1L, "click", 1.0, "{}"))
+      query.processAllAvailable()
+      val rows = spark.sql("SELECT * FROM traffic_stream_test ORDER BY timestamp")
+        .collect()
+      assert(rows.map(_.getAs[Long]("value")).toSeq == Seq(2L, 1L))
+    } finally query.stop()
+  }
+
+  test("alert state machine: normal → pending → firing → reset") {
+    // Pure transition first
+    var s = AlertStateMachine.initial
+    s = AlertStateMachine.step(s, breached = true)
+    assert(s.status == "pending" && s.consecutive == 1)
+    s = AlertStateMachine.step(s, breached = true)
+    assert(s.status == "pending" && s.consecutive == 2)
+    s = AlertStateMachine.step(s, breached = true)
+    assert(s.status == "firing" && s.consecutive == 3)
+    s = AlertStateMachine.step(s, breached = false)
+    assert(s.status == "normal" && s.consecutive == 0)
+  }
+
+  test("alert state machine fires after 3 consecutive breaches in a stream") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[AlertEval]
+    val query = AlertStateMachine(input.toDS())
+      .writeStream.format("memory").queryName("alert_stream_test")
+      .outputMode(OutputMode.Update())
+      .start()
+    try {
+      input.addData(AlertEval("r1", breached = true, 1000L))
+      query.processAllAvailable()
+      input.addData(AlertEval("r1", breached = true, 2000L))
+      query.processAllAvailable()
+      def status(): String = spark
+        .sql("SELECT status FROM alert_stream_test ORDER BY updatedAt DESC LIMIT 1")
+        .head().getString(0)
+      assert(status() == "pending")
+      input.addData(AlertEval("r1", breached = true, 3000L))
+      query.processAllAvailable()
+      assert(status() == "firing")
+      input.addData(AlertEval("r1", breached = false, 4000L))
+      query.processAllAvailable()
+      assert(status() == "normal")
+    } finally query.stop()
+  }
+
+  test("kpi foreachBatch writer picks richest window and computes trends") {
+    import spark.implicits._
+    val kv = new InMemoryKvStore
+    val writer = KvSink.kpiWriter(kv)
+    val hourMs = 3600000L
+    // previous hour snapshot present → trends computed against it
+    kv.writeHash(graft.streaming.Keys.kpiSnapshot(0L), Map(
+      "activeUsers" -> "2", "revenue" -> "10.0", "orders" -> "4",
+      "errorRate" -> "1.0", "latency" -> "100"))
+    val batch = Seq(
+      (5L, 20.0, 8L, 2.0, 200L, hourMs + 1000L), // richest
+      (1L, 1.0, 1L, 0.0, 10L, hourMs + 2000L))
+      .toDF("activeUsers", "revenue", "orders", "errorRate", "latency", "updatedAt")
+    writer(batch, 0L)
+    val cur = kv.hashes(graft.streaming.Keys.KpiCurrent)
+    assert(cur("activeUsers") == "5")
+    assert(cur("revenueTrend") == "100.0") // 10 → 20 = +100%
+    assert(cur("ordersTrend") == "100.0")
+    assert(kv.published.contains(graft.streaming.Keys.ChannelKpi)) // write-then-publish
+    assert(kv.hashes.contains(graft.streaming.Keys.kpiSnapshot(1L)))
+  }
+
+  test("activity writer pushes top-15 newest, newest at list head") {
+    import spark.implicits._
+    val kv = new InMemoryKvStore
+    val batch = (1 to 20).map(i =>
+      (s"evt_$i", s"user_$i", "view", f"2024-01-01T00:${i}%02d:00.000Z"))
+      .toDF("id", "user", "action", "timestamp")
+    KvSink.activityWriter(kv)(batch, 0L)
+    val list = kv.lists(graft.streaming.Keys.ActivityFeed)
+    assert(list.length == 15)
+    assert(list.head.contains("evt_20")) // newest first
+    assert(!list.exists(_.contains("evt_5\""))) // oldest 5 trimmed
+  }
+}
