@@ -47,4 +47,29 @@ object Tables {
 
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
+
+  /** S8: one-shot JDBC snapshot of a relational table (reference:
+    * src/streaming/kafka_sources.py:171-180). Not exercised here (no
+    * database in the container); partitioning options are what make it
+    * usable at scale — without partitionColumn a JDBC read is one task.
+    */
+  def jdbcSnapshot(s: SparkSession, url: String, table: String,
+      user: String, password: String,
+      partitionColumn: Option[String] = None,
+      numPartitions: Int = 8,
+      bounds: Option[(Long, Long)] = None): DataFrame = {
+    val base = s.read.format("jdbc")
+      .option("url", url)
+      .option("dbtable", table)
+      .option("user", user)
+      .option("password", password)
+    val partitioned = (partitionColumn, bounds) match {
+      case (Some(c), Some((lo, hi))) => base
+        .option("partitionColumn", c)
+        .option("lowerBound", lo).option("upperBound", hi)
+        .option("numPartitions", numPartitions)
+      case _ => base
+    }
+    partitioned.load()
+  }
 }

@@ -162,6 +162,30 @@ object KvSink {
     }
   }
 
+  /** A11: the legacy per-region rollup the reference's vestigial EBAP sink
+    * computes driver-side over collected rows — totals, per-region event and
+    * error counts, derived error rate (reference: src/streaming/sinks/
+    * redis_sink.py:56-124). Input rows: (region_name, is_error).
+    */
+  def regionRollupWriter(kv: KvStore): (DataFrame, Long) => Unit = (batch, _) => {
+    val rows = batch.collect()
+    if (rows.nonEmpty) {
+      val total = rows.length
+      val errors = rows.count(_.getAs[Boolean]("is_error"))
+      val perRegion = rows.groupBy(_.getAs[String]("region_name")).toSeq
+        .sortBy(_._1)
+        .map { case (region, rs) =>
+          val e = rs.count(_.getAs[Boolean]("is_error"))
+          s"""{"region":"$region","events":${rs.length},"errors":$e}"""
+        }
+      kv.writeHash("nexus:rollup:totals", Map(
+        "events" -> total.toString,
+        "errors" -> errors.toString,
+        "errorRate" -> (math.round(errors.toDouble / total * 10000.0) / 100.0).toString))
+      kv.writeJson("nexus:rollup:regions", perRegion.mkString("[", ",", "]"))
+    }
+  }
+
   private def rowJson(row: Row): String =
     row.schema.fields.map { f =>
       val v = row.getAs[Any](f.name) match {

@@ -74,6 +74,47 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("late data beyond the watermark is dropped (W8)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Evt]
+    val query = Frames.kpiFrame(input.toDF())
+      .writeStream.format("memory").queryName("late_data_test")
+      .outputMode(OutputMode.Update())
+      .start()
+    try {
+      input.addData(Evt(0L, ts("2024-01-01 00:01:00"), 1L, "purchase", 10.0, "{}"))
+      query.processAllAvailable()
+      // advance event time far ahead → watermark moves to 01:50
+      input.addData(Evt(1L, ts("2024-01-01 02:00:00"), 2L, "purchase", 1.0, "{}"))
+      query.processAllAvailable()
+      val before = spark.sql(
+        "SELECT count(*) FROM late_data_test WHERE updatedAt = 1704068400000")
+        .head().getLong(0)
+      // 00:05 is far behind the 01:50 watermark → must not update old windows
+      input.addData(Evt(2L, ts("2024-01-01 00:05:00"), 3L, "purchase", 99.0, "{}"))
+      query.processAllAvailable()
+      val after = spark.sql(
+        "SELECT count(*) FROM late_data_test WHERE updatedAt = 1704068400000")
+        .head().getLong(0)
+      assert(after == before) // no new update row emitted for the old window
+    } finally query.stop()
+  }
+
+  test("region rollup writer folds totals and per-region errors (A11)") {
+    import spark.implicits._
+    val kv = new InMemoryKvStore
+    val batch = Seq(
+      ("Japan", true), ("Japan", false), ("Brazil", false), ("Brazil", false))
+      .toDF("region_name", "is_error")
+    KvSink.regionRollupWriter(kv)(batch, 0L)
+    val totals = kv.hashes("nexus:rollup:totals")
+    assert(totals("events") == "4" && totals("errors") == "1")
+    assert(totals("errorRate") == "25.0")
+    assert(kv.strings("nexus:rollup:regions") ==
+      """[{"region":"Brazil","events":2,"errors":0},{"region":"Japan","events":2,"errors":1}]""")
+  }
+
   test("alert state machine: normal → pending → firing → reset") {
     // Pure transition first
     var s = AlertStateMachine.initial
