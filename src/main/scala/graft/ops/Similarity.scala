@@ -13,19 +13,20 @@ import graft.sources.Tables
   * probe side streams map-side with no shuffle of the corpus; the LSH
   * variant additionally prunes the corpus to colliding buckets before any
   * dot product is computed (bucket count 2^6; at real scale raise bits and
-  * add multi-probe). Dot products are `zip_with`+`aggregate` folds over
-  * `array<double>` — built-in, codegen'd, and bit-identical to the DuckDB
-  * oracle's fold.
+  * add multi-probe). Dot products use the native codegen'd
+  * [[graft.plans.VecDot]] expression — bit-identical to the DuckDB oracle's
+  * seeded left fold.
   */
 object Similarity {
 
   private val NumQueries = 5
   private val TopK = 10
 
-  /** Left-fold dot product — element order fixed, so the double-precision
-    * result is deterministic and engine-independent. */
-  private def dot(a: String, b: String): String =
-    s"aggregate(zip_with($a, $b, (x, y) -> x * y), cast(0 as double), (acc, x) -> acc + x)"
+  /** Native codegen'd dot product ([[graft.plans.VecDot]]) — a tight loop
+    * inside whole-stage codegen instead of an interpreted higher-order fold;
+    * identical left-to-right IEEE accumulation, so oracle results are
+    * bit-equal. */
+  private def dot(a: String, b: String): String = s"vec_dot($a, $b)"
 
   private def cosExpr(a: String, b: String): String =
     s"${dot(a, b)} / (sqrt(${dot(a, a)}) * sqrt(${dot(b, b)}))"
