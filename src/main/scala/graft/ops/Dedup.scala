@@ -48,16 +48,26 @@ object Dedup {
       .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("keeper_id"))
       .orderBy(col("text_hash"))
 
-  /** doc_id + word-3-shingle array (kept for exact Jaccard verification). */
-  def shingleSets(corpus: DataFrame): DataFrame =
+  /** One row per (doc_id, 3-shingle). Generated with posexplode +
+    * element_at — all codegen — rather than a `transform` lambda building
+    * per-doc arrays, which Catalyst interprets (measured ~3× slower on this
+    * corpus). Duplicate shingles are kept (harmless for min-sketches;
+    * Jaccard consumers dedup via collect_set).
+    */
+  def shingleRows(corpus: DataFrame): DataFrame =
     corpus
       .withColumn("toks", split(col("text"), " "))
       .filter(size(col("toks")) >= 3)
-      .withColumn("shingles", expr(
-        """transform(sequence(1, size(toks) - 2),
-          |  i -> concat_ws(' ', element_at(toks, i), element_at(toks, i + 1),
-          |                 element_at(toks, i + 2)))""".stripMargin))
-      .select("doc_id", "shingles")
+      .select(col("doc_id"), col("toks"), posexplode(col("toks")))
+      .filter(col("pos") <= size(col("toks")) - 3)
+      .select(col("doc_id"), concat_ws(" ", col("col"),
+        element_at(col("toks"), col("pos") + 2),
+        element_at(col("toks"), col("pos") + 3)).as("sh"))
+
+  /** doc_id + distinct 3-shingle set (for exact Jaccard verification). */
+  def shingleSets(corpus: DataFrame): DataFrame =
+    shingleRows(corpus).groupBy(col("doc_id"))
+      .agg(collect_set(col("sh")).as("shingles"))
 
   /** doc_id + 12-element MinHash signature over word 3-shingles.
     *
@@ -69,8 +79,7 @@ object Dedup {
     * which Catalyst interprets row-by-row (~10× slower on this shape).
     */
   def minhashSignatures(corpus: DataFrame): DataFrame = {
-    val hashed = shingleSets(corpus)
-      .select(col("doc_id"), explode(col("shingles")).as("sh"))
+    val hashed = shingleRows(corpus)
       .select(col("doc_id"), expr(s"${md5i.format("sh")} % 999999937").as("h"))
     val minCols = (0 until 12).map(i =>
       min((col("h") * (2 * i + 3) + i * 7919) % 999999937).as(s"m$i"))
@@ -91,7 +100,11 @@ object Dedup {
     * matching signature fraction. No all-pairs anywhere.
     */
   def minhashCandidates(corpus: DataFrame): DataFrame = {
-    val sigs = minhashSignatures(corpus).select("doc_id", "sig")
+    // The signature table appears four times in this plan (both sides of the
+    // band self-join, both sides of the est-jaccard join); persist it so the
+    // md5 sketch pipeline runs once. At cluster scale this is the sketch
+    // table you would checkpoint/bucket to storage between stages.
+    val sigs = minhashSignatures(corpus).select("doc_id", "sig").persist()
     val b = bands(sigs)
     val pairs = b.as("x").join(b.as("y"),
         col("x.band_idx") === col("y.band_idx") &&
@@ -113,7 +126,8 @@ object Dedup {
     */
   def ngramJaccard(corpus: DataFrame): DataFrame = {
     val sh = shingleSets(corpus)
-      .select(col("doc_id"), array_distinct(col("shingles")).as("sh"))
+      .select(col("doc_id"), col("shingles").as("sh"))
+      .persist()
     val cands = minhashCandidates(corpus).select("doc_a", "doc_b")
     cands
       .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
@@ -140,10 +154,11 @@ object Dedup {
     val hashed = corpus
       .withColumn("toks", split(col("text"), " "))
       .filter(size(col("toks")) >= 2)
-      .select(col("doc_id"), explode(expr(
-        """array_distinct(transform(sequence(1, size(toks) - 1),
-          |  i -> concat_ws(' ', element_at(toks, i), element_at(toks, i + 1))))""".stripMargin))
-        .as("bg"))
+      .select(col("doc_id"), col("toks"), posexplode(col("toks")))
+      .filter(col("pos") <= size(col("toks")) - 2)
+      .select(col("doc_id"),
+        concat_ws(" ", col("col"), element_at(col("toks"), col("pos") + 2)).as("bg"))
+      .distinct()
       .select(col("doc_id"), expr(md5i.format("bg")).as("h"))
     val aggCols = count(lit(1)).as("n") +:
       (0 until 48).map(b => sum(shiftright(col("h"), b) % 2).as(s"b$b"))
