@@ -137,10 +137,13 @@ object Frames {
         date_format(col("window.end"), "hh:mm:ss a").as("label"))
 
   /** A5/A6(P14): conditional pivot-style averages + per-window distinct node
-    * count (reference: health_aggregator.py:31-49). Exact count distinct here
-    * for oracle parity; [[approxDistinctFrame]] is the HLL variant.
+    * count (reference: health_aggregator.py:31-49). `exactDistinct = true`
+    * (batch/oracle) uses exact count distinct; streaming MUST use the
+    * reference's `approx_count_distinct` — Spark rejects exact distinct
+    * aggregation on streams, which is precisely why the reference reaches
+    * for HLL (A6).
     */
-  def healthFrame(events: DataFrame): DataFrame =
+  def healthFrame(events: DataFrame, exactDistinct: Boolean = true): DataFrame =
     Synth.eventTime(events)
       .withWatermark("ts", WatermarkDelay)
       .groupBy(window(col("ts"), Health._1, Health._2))
@@ -154,7 +157,8 @@ object Frames {
           .cast("long").as("cpu_raw"),
         round(avg(when(col("event_type") === "click", round(col("value") * 100))), 0)
           .cast("long").as("mem_raw"),
-        countDistinct(col("user_id")).as("total_nodes"))
+        (if (exactDistinct) countDistinct(col("user_id"))
+         else approx_count_distinct(col("user_id"))).as("total_nodes"))
       .select(
         coalesce(col("cpu_raw"), lit(0L)).as("cpu_centi"),
         coalesce(col("mem_raw"), lit(0L)).as("memory_centi"),

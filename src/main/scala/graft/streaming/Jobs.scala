@@ -36,23 +36,27 @@ object Jobs {
     spark.readStream.schema(eventsSchema).parquet(dir)
 
   private def start(frame: DataFrame, name: String, mode: String,
-      checkpointBase: String, writer: (DataFrame, Long) => Unit): StreamingQuery =
+      checkpointBase: String, writer: (DataFrame, Long) => Unit,
+      trigger: Trigger): StreamingQuery =
     frame.writeStream
       .outputMode(mode)
       .foreachBatch { (df: DataFrame, id: Long) => writer(df, id) }
       .option("checkpointLocation", s"$checkpointBase/$name")
-      .trigger(Trigger.ProcessingTime(TriggerInterval))
+      .trigger(trigger)
       .queryName(name)
       .start()
 
   /** Transactions job: KPI (update) + activity (append) + regions (complete),
-    * one fresh source per query (W2). */
+    * one fresh source per query (W2). `trigger` defaults to the reference's
+    * 10 s processing-time cadence; tests pass `Trigger.AvailableNow`.
+    */
   def transactionsJob(source: () => DataFrame, kv: KvStore,
-      checkpointBase: String): Seq[StreamingQuery] = Seq(
+      checkpointBase: String,
+      trigger: Trigger = Trigger.ProcessingTime(TriggerInterval)): Seq[StreamingQuery] = Seq(
     start(graft.ops.Frames.kpiFrame(source()), "kpi",
-      WatermarkedModes("kpi"), checkpointBase, KvSink.kpiWriter(kv)),
+      WatermarkedModes("kpi"), checkpointBase, KvSink.kpiWriter(kv), trigger),
     start(graft.ops.Activity.activityFeed(source()), "activity",
-      WatermarkedModes("activity"), checkpointBase, KvSink.activityWriter(kv)),
+      WatermarkedModes("activity"), checkpointBase, KvSink.activityWriter(kv), trigger),
     start(graft.ops.Frames.regionFrame(source()), "regions",
       WatermarkedModes("regions"), checkpointBase, (df, _) => {
         val rows = df.collect()
@@ -64,14 +68,15 @@ object Jobs {
           kv.writeJson(Keys.RegionsCurrent, payload.mkString("[", ",", "]"),
             channel = Some(Keys.ChannelRegions))
         }
-      }))
+      }, trigger))
 
   /** Infrastructure job: traffic (complete) + health (complete). */
   def infrastructureJob(source: () => DataFrame, kv: KvStore,
-      checkpointBase: String): Seq[StreamingQuery] = Seq(
+      checkpointBase: String,
+      trigger: Trigger = Trigger.ProcessingTime(TriggerInterval)): Seq[StreamingQuery] = Seq(
     start(graft.ops.Frames.trafficFrame(source()), "traffic",
-      WatermarkedModes("traffic"), checkpointBase, KvSink.trafficWriter(kv)),
-    start(graft.ops.Frames.healthFrame(source()), "health",
+      WatermarkedModes("traffic"), checkpointBase, KvSink.trafficWriter(kv), trigger),
+    start(graft.ops.Frames.healthFrame(source(), exactDistinct = false), "health",
       WatermarkedModes("health"), checkpointBase, (df, _) => {
         df.orderBy(org.apache.spark.sql.functions.col("updatedAt").desc).limit(1)
           .collect().foreach { r =>
@@ -80,11 +85,12 @@ object Jobs {
               "memory_centi" -> r.getAs[Long]("memory_centi").toString,
               "updatedAt" -> r.getAs[Long]("updatedAt").toString))
           }
-      }))
+      }, trigger))
 
   /** Derived job: platform breakdown (complete, unwindowed running agg). */
   def derivedJob(source: () => DataFrame, kv: KvStore,
-      checkpointBase: String): Seq[StreamingQuery] = Seq(
+      checkpointBase: String,
+      trigger: Trigger = Trigger.ProcessingTime(TriggerInterval)): Seq[StreamingQuery] = Seq(
     start(graft.ops.Frames.platformFrame(source()), "platform",
       WatermarkedModes("platform"), checkpointBase, (df, _) => {
         val rows = df.collect().sortBy(_.getAs[String]("name"))
@@ -92,5 +98,5 @@ object Jobs {
           kv.writeJson("nexus:platform:breakdown",
             rows.map(r => s"""{"name":"${r.getAs[String]("name")}","value":${r.getAs[Long]("value")}}""")
               .mkString("[", ",", "]"))
-      }))
+      }, trigger))
 }

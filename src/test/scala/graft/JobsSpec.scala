@@ -1,0 +1,71 @@
+package graft
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.streaming.{InMemoryKvStore, Jobs, Keys}
+
+/** End-to-end slice (SURVEY §7.2 step 2): parquet drop-dir file stream →
+  * the three reference job graphs → foreachBatch writers → in-memory KV,
+  * with checkpoints, real output modes, and AvailableNow triggers.
+  */
+class JobsSpec extends SparkSpec {
+
+  private def writeDropDir(): String = {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-stream-in").toString
+    Seq(
+      (0L, Timestamp.valueOf("2024-01-01 00:01:00"), 1L, "purchase", 10.0, "{}"),
+      (1L, Timestamp.valueOf("2024-01-01 00:02:00"), 2L, "signup", 0.0, "{}"),
+      (2L, Timestamp.valueOf("2024-01-01 00:03:00"), 3L, "error", 5.0, "{}"),
+      (3L, Timestamp.valueOf("2024-01-01 00:04:00"), 4L, "click", 2.0, "{}"),
+      (4L, Timestamp.valueOf("2024-01-01 00:16:00"), 5L, "view", 3.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("overwrite").parquet(dir)
+    dir
+  }
+
+  test("transactions job runs end-to-end from a file stream into the KV store") {
+    val in = writeDropDir()
+    val ckpt = Files.createTempDirectory("graft-ckpt").toString
+    val kv = new InMemoryKvStore
+    val queries = Jobs.transactionsJob(
+      () => Jobs.fileEventStream(spark, in), kv, ckpt, Trigger.AvailableNow())
+    try {
+      queries.foreach(_.awaitTermination(60000))
+      // KPI contract row landed with trend fields and published
+      val kpi = kv.hashes(Keys.KpiCurrent)
+      assert(kpi("orders") == "1")
+      assert(kpi("activeUsers") == "1")
+      assert(kpi.contains("revenueTrend"))
+      assert(kv.published.contains(Keys.ChannelKpi))
+      // activity feed capped list, newest first
+      val feed = kv.lists(Keys.ActivityFeed)
+      assert(feed.nonEmpty && feed.length <= 15)
+      assert(feed.head.contains("evt_4"))
+      // regions snapshot is the latest window only, name-sorted JSON
+      val regions = kv.strings(Keys.RegionsCurrent)
+      assert(regions.startsWith("[") && regions.contains("\"intensity\""))
+    } finally queries.foreach(q => if (q.isActive) q.stop())
+  }
+
+  test("infrastructure + derived jobs populate health, traffic, platform") {
+    val in = writeDropDir()
+    val ckpt = Files.createTempDirectory("graft-ckpt2").toString
+    val kv = new InMemoryKvStore
+    val queries =
+      Jobs.infrastructureJob(() => Jobs.fileEventStream(spark, in), kv, ckpt,
+        Trigger.AvailableNow()) ++
+      Jobs.derivedJob(() => Jobs.fileEventStream(spark, in), kv, ckpt,
+        Trigger.AvailableNow())
+    try {
+      queries.foreach(_.awaitTermination(60000))
+      assert(kv.lists(Keys.TrafficTs).nonEmpty)
+      assert(kv.hashes("nexus:health:current").contains("cpu_centi"))
+      val platform = kv.strings("nexus:platform:breakdown")
+      assert(platform.contains("\"name\"") && platform.contains("\"value\""))
+    } finally queries.foreach(q => if (q.isActive) q.stop())
+  }
+}
