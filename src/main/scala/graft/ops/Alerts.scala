@@ -75,10 +75,13 @@ object Alerts {
   // ---------------------------------------------------------------- registry
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "alert_rules" -> ((s, d) => alertFrame(Frames.kpiFrame(Tables.events(s, d)))
+    // The rule fan-out references the KPI frame once per rule; persist the
+    // (small) aggregated frame so the windowed aggregation runs once, not
+    // |rules| times.
+    "alert_rules" -> ((s, d) => alertFrame(Frames.kpiFrame(Tables.events(s, d)).persist())
       .orderBy(col("updatedAt"), col("id"))),
     "alert_summary" -> ((s, d) =>
-      alertSummary(alertFrame(Frames.kpiFrame(Tables.events(s, d))))),
+      alertSummary(alertFrame(Frames.kpiFrame(Tables.events(s, d)).persist()))),
   )
 
   /** Oracle: re-derive the KPI frame CTE (same as Frames.kpi_sliding), then
