@@ -58,17 +58,7 @@ object Jobs {
     start(graft.ops.Activity.activityFeed(source()), "activity",
       WatermarkedModes("activity"), checkpointBase, KvSink.activityWriter(kv), trigger),
     start(graft.ops.Frames.regionFrame(source()), "regions",
-      WatermarkedModes("regions"), checkpointBase, (df, _) => {
-        val rows = df.collect()
-        if (rows.nonEmpty) {
-          val latest = rows.map(_.getAs[Long]("updatedAt")).max
-          val payload = rows.filter(_.getAs[Long]("updatedAt") == latest)
-            .sortBy(_.getAs[String]("region_name"))
-            .map(r => s"""{"name":"${r.getAs[String]("region_name")}","intensity":${r.getAs[Double]("intensity")},"sales":${r.getAs[Double]("sales")}}""")
-          kv.writeJson(Keys.RegionsCurrent, payload.mkString("[", ",", "]"),
-            channel = Some(Keys.ChannelRegions))
-        }
-      }, trigger))
+      WatermarkedModes("regions"), checkpointBase, KvSink.regionsWriter(kv), trigger))
 
   /** Infrastructure job: traffic (complete) + health (complete). */
   def infrastructureJob(source: () => DataFrame, kv: KvStore,

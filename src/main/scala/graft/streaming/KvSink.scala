@@ -162,6 +162,40 @@ object KvSink {
     }
   }
 
+  /** T4: the flow arcs — regions of the latest window ranked by intensity;
+    * ranked[0] is the hub, ranked[1..5] become arcs into it
+    * (reference: region_aggregator.py:53-65). Returns the JSON payload, and
+    * [[regionsWriter]] publishes it alongside the region snapshot.
+    */
+  def flowsPayload(ranked: Seq[(String, Double)]): Option[String] =
+    if (ranked.length < 2) None
+    else {
+      val hub = ranked.head._1
+      val arcs = ranked.slice(1, 6).zipWithIndex.map { case ((region, intensity), i) =>
+        s"""{"id":"flow_${i + 1}","source":"$region","target":"$hub","value":$intensity}"""
+      }
+      Some(arcs.mkString("[", ",", "]"))
+    }
+
+  /** Regions writer: latest-window snapshot (name-sorted) + flow arcs
+    * (reference: region_aggregator.py:27-65). */
+  def regionsWriter(kv: KvStore): (DataFrame, Long) => Unit = (batch, _) => {
+    val rows = batch.collect()
+    if (rows.nonEmpty) {
+      val latest = rows.map(_.getAs[Long]("updatedAt")).max
+      val current = rows.filter(_.getAs[Long]("updatedAt") == latest)
+      val payload = current.sortBy(_.getAs[String]("region_name"))
+        .map(r => s"""{"name":"${r.getAs[String]("region_name")}","intensity":${r.getAs[Double]("intensity")},"sales":${r.getAs[Double]("sales")}}""")
+      kv.writeJson(Keys.RegionsCurrent, payload.mkString("[", ",", "]"),
+        channel = Some(Keys.ChannelRegions))
+      val ranked = current
+        .map(r => (r.getAs[String]("region_name"), r.getAs[Double]("intensity")))
+        .sortBy(-_._2).toSeq
+      flowsPayload(ranked).foreach(
+        kv.writeJson("nexus:flows:current", _, channel = Some("nexus.flows")))
+    }
+  }
+
   /** A11: the legacy per-region rollup the reference's vestigial EBAP sink
     * computes driver-side over collected rows — totals, per-region event and
     * error counts, derived error rate (reference: src/streaming/sinks/

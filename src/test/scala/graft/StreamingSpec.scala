@@ -176,6 +176,26 @@ class StreamingSpec extends SparkSpec {
     assert(kv.hashes.contains(graft.streaming.Keys.kpiSnapshot(1L)))
   }
 
+  test("regions writer ranks latest window and emits hub-centric flows (T4)") {
+    import spark.implicits._
+    val kv = new InMemoryKvStore
+    val batch = Seq(
+      // stale window rows must be ignored
+      ("Japan", 10.0, 5.0, 1000L),
+      // latest window: Brazil is the hub (highest intensity)
+      ("Japan", 20.0, 35.0, 2000L),
+      ("Brazil", 30.0, 90.0, 2000L),
+      ("India", 5.0, 10.0, 2000L))
+      .toDF("region_name", "sales", "intensity", "updatedAt")
+    KvSink.regionsWriter(kv)(batch, 0L)
+    val regions = kv.strings(graft.streaming.Keys.RegionsCurrent)
+    assert(regions ==
+      """[{"name":"Brazil","intensity":90.0,"sales":30.0},{"name":"India","intensity":10.0,"sales":5.0},{"name":"Japan","intensity":35.0,"sales":20.0}]""")
+    val flows = kv.strings("nexus:flows:current")
+    assert(flows ==
+      """[{"id":"flow_1","source":"Japan","target":"Brazil","value":35.0},{"id":"flow_2","source":"India","target":"Brazil","value":10.0}]""")
+  }
+
   test("activity writer pushes top-15 newest, newest at list head") {
     import spark.implicits._
     val kv = new InMemoryKvStore
