@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
 
 import graft.ops.Tpch
 import graft.sources.Tables
@@ -27,6 +28,14 @@ object SparkEntry {
       graft.ops.Similarity.queries ++ graft.ops.Multimodal.queries
 
   private def relational: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // S9 payload shape: the KPI frame serialized exactly as the Kafka sink
+    // sends it (key + to_json struct). No oracle — JSON float rendering
+    // differs across engines — so the driver records a rows-only check;
+    // the serde semantics are oracle-verified by json_roundtrip.
+    "kpi_kafka_payload" -> ((s, d) =>
+      graft.streaming.KafkaStack.kpiKafkaPayload(
+        graft.ops.Frames.kpiFrame(graft.sources.Tables.events(s, d)))
+        .orderBy(col("key"))),
     "pricing_summary" -> ((s, d) => Tpch.pricingSummary(Tables.lineitem(s, d))),
     "top_orders" -> ((s, d) =>
       Tpch.topOrders(Tables.customer(s, d), Tables.orders(s, d), Tables.lineitem(s, d))),

@@ -48,6 +48,20 @@ object Tables {
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
 
+  /** S11: CSV batch source with explicit schema — no inference in the hot
+    * path (schema inference re-reads the data; at 100 TB that is a second
+    * full scan). Reference plans these in src/batch/batch_etl.py:13-20.
+    */
+  def csv(spark: SparkSession, path: String,
+      schema: org.apache.spark.sql.types.StructType,
+      header: Boolean = true): DataFrame =
+    spark.read.schema(schema).option("header", header.toString).csv(path)
+
+  /** S11: JSON-lines batch source with explicit schema. */
+  def json(spark: SparkSession, path: String,
+      schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.read.schema(schema).json(path)
+
   /** S8: one-shot JDBC snapshot of a relational table (reference:
     * src/streaming/kafka_sources.py:171-180). Not exercised here (no
     * database in the container); partitioning options are what make it

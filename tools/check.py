@@ -63,6 +63,8 @@ def main():
         bad = []
         inexact = 0
         for col in s.columns:
+            if len(bad) > 3:
+                break
             sv, dv = s[col].tolist(), d[col].tolist()
             for i, (a, b) in enumerate(zip(sv, dv)):
                 if a is None and b is None:
@@ -86,7 +88,10 @@ def main():
             print(f"FAIL {name}: {len(bad)}+ mismatches, first: {bad[:3]}")
             n_fail += 1
         elif inexact:
-            print(f"PASS~ {name}: {len(s)} rows ({inexact} float cells inexact-but-close)")
+            # WARNING, not a clean pass: the driver hashes exactly, so
+            # close-but-inexact floats can still fail the real gate.
+            print(f"PASS~ {name}: {len(s)} rows ({inexact} float cells "
+                  f"inexact-but-close — driver may still fail these)")
             n_pass += 1
         else:
             print(f"PASS {name}: {len(s)} rows exact")
