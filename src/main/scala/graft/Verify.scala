@@ -11,11 +11,13 @@ object Verify {
     val spark = Session.builder("graft-verify", cpus.toInt).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    var errors = Vector.empty[(String, String)]
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        errors :+= name -> Option(e.getMessage).getOrElse(e.getClass.getName).take(300)
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
@@ -33,6 +35,10 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // Broken queries surface in the dump, not only on stderr: a query that
+    // crashes otherwise silently vanishes from the correctness report.
+    Files.writeString(Paths.get(s"$outDir/errors.json"),
+      errors.map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}"))
     spark.stop()
   }
 }

@@ -99,13 +99,27 @@ object Dedup {
   /** Candidate pairs = distinct (a, b) sharing ≥1 band bucket; est jaccard =
     * matching signature fraction. No all-pairs anywhere.
     */
+  /** Skew guard: LSH buckets larger than this are dropped before the
+    * self-join. A degenerate key (empty/boilerplate text) otherwise creates
+    * one mega-bucket whose pair fan-out is quadratic — the classic skew
+    * failure of LSH joins at scale. Applied identically in the oracle, so
+    * outputs still hash-match.
+    */
+  val MaxBucketSize = 1000
+
   def minhashCandidates(corpus: DataFrame): DataFrame = {
     // The signature table appears four times in this plan (both sides of the
     // band self-join, both sides of the est-jaccard join); persist it so the
     // md5 sketch pipeline runs once. At cluster scale this is the sketch
     // table you would checkpoint/bucket to storage between stages.
     val sigs = minhashSignatures(corpus).select("doc_id", "sig").persist()
-    val b = bands(sigs)
+    val allBands = bands(sigs)
+    val b = allBands
+      .withColumn("bucket_n", count(lit(1))
+        .over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("band_idx"), col("band_key"))))
+      .filter(col("bucket_n") <= MaxBucketSize)
+      .drop("bucket_n")
     val pairs = b.as("x").join(b.as("y"),
         col("x.band_idx") === col("y.band_idx") &&
           col("x.band_key") === col("y.band_key") &&
@@ -228,10 +242,15 @@ object Dedup {
       |)""".stripMargin
 
   private val candSql =
-    """bands AS (
+    """all_bands AS (
       |  SELECT doc_id, b AS band_idx,
       |    md5(sig[2 * b + 1]::VARCHAR || ',' || sig[2 * b + 2]::VARCHAR) AS band_key
       |  FROM sigs, range(0, 6) r(b)
+      |), bands AS (
+      |  SELECT doc_id, band_idx, band_key FROM (
+      |    SELECT *, count(*) OVER (PARTITION BY band_idx, band_key) AS bucket_n
+      |    FROM all_bands
+      |  ) WHERE bucket_n <= 1000
       |), cands AS (
       |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
       |  FROM bands x JOIN bands y

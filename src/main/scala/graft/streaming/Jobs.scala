@@ -77,6 +77,55 @@ object Jobs {
           }
       }, trigger))
 
+  /** Derived alerts job: consume a KPI snapshot stream (in production the
+    * `aggregated.kpis` read-back via [[KafkaStack.jsonStream]] — the
+    * reference routes alert evaluation through that derived topic precisely
+    * so the threshold eval + state machine don't chain stateful operators
+    * onto the windowed aggregation in one query), evaluate thresholds per
+    * rule, fold through the Normal→Pending→Firing machine, write
+    * rules+summary (reference: jobs/derived_analytics.py:9-17,
+    * alert_evaluator.py:43-88).
+    *
+    * `kpiRows` schema: (errorRate double, latency long, updatedAt long).
+    */
+  def alertsJob(kpiRows: () => DataFrame, kv: KvStore, checkpointBase: String,
+      trigger: Trigger = Trigger.ProcessingTime(TriggerInterval)): StreamingQuery = {
+    import org.apache.spark.sql.functions._
+    val spark0 = kpiRows().sparkSession
+    import spark0.implicits._
+    val evals = graft.ops.Alerts.rules.map { r =>
+      val breached: org.apache.spark.sql.Column = r.metricColumn match {
+        case None => lit(false)
+        case Some(c) => col(c).cast("double") >= lit(r.threshold)
+      }
+      kpiRows().select(lit(r.id).as("ruleId"), breached.as("breached"),
+        col("updatedAt").cast("long").as("updatedAt"))
+    }.reduce(_ unionByName _)
+      .as[AlertStateMachine.AlertEval]
+    AlertStateMachine(evals)
+      .toDF()
+      .writeStream
+      .outputMode(AlertStateMachine.outputMode)
+      .foreachBatch { (df: DataFrame, _: Long) =>
+        val rows = df.collect()
+        if (rows.nonEmpty) {
+          val payload = rows.sortBy(r => (r.getAs[String]("ruleId")))
+            .map(r => s"""{"id":"${r.getAs[String]("ruleId")}","status":"${r.getAs[String]("status")}","consecutive":${r.getAs[Int]("consecutive")},"updatedAt":${r.getAs[Long]("updatedAt")}}""")
+          kv.writeJson(Keys.AlertRules, payload.mkString("[", ",", "]"),
+            channel = Some(Keys.ChannelAlerts))
+          val firing = rows.count(_.getAs[String]("status") == "firing")
+          kv.writeHash(Keys.AlertSummary, Map(
+            "firingCount" -> firing.toString,
+            "healthyCount" -> (rows.length - firing).toString,
+            "updatedAt" -> rows.map(_.getAs[Long]("updatedAt")).max.toString))
+        }
+      }
+      .option("checkpointLocation", s"$checkpointBase/alerts")
+      .trigger(trigger)
+      .queryName("alerts")
+      .start()
+  }
+
   /** Derived job: platform breakdown (complete, unwindowed running agg). */
   def derivedJob(source: () => DataFrame, kv: KvStore,
       checkpointBase: String,

@@ -51,6 +51,31 @@ class JobsSpec extends SparkSpec {
     } finally queries.foreach(q => if (q.isActive) q.stop())
   }
 
+  test("alerts job folds kpi snapshots through the state machine (W4 end-to-end)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val ckpt = Files.createTempDirectory("graft-ckpt-alerts").toString
+    val kv = new InMemoryKvStore
+    val input = MemoryStream[(Double, Long, Long)]
+    val query = Jobs.alertsJob(
+      () => input.toDF().toDF("errorRate", "latency", "updatedAt"), kv, ckpt)
+    try {
+      // latency 500 >= 200 breaches alert_1; errorRate 0.0 keeps alert_2 ok
+      input.addData((0.0, 500L, 1000L)); query.processAllAvailable()
+      assert(kv.strings(Keys.AlertRules).contains("\"id\":\"alert_1\",\"status\":\"pending\""))
+      input.addData((0.0, 500L, 2000L)); query.processAllAvailable()
+      input.addData((0.0, 500L, 3000L)); query.processAllAvailable()
+      val rules = kv.strings(Keys.AlertRules)
+      assert(rules.contains("\"id\":\"alert_1\",\"status\":\"firing\",\"consecutive\":3"))
+      assert(rules.contains("\"id\":\"alert_2\",\"status\":\"normal\""))
+      assert(kv.hashes(Keys.AlertSummary)("firingCount") == "1")
+      // recovery resets
+      input.addData((0.0, 10L, 4000L)); query.processAllAvailable()
+      assert(kv.strings(Keys.AlertRules).contains("\"id\":\"alert_1\",\"status\":\"normal\""))
+    } finally query.stop()
+  }
+
   test("infrastructure + derived jobs populate health, traffic, platform") {
     val in = writeDropDir()
     val ckpt = Files.createTempDirectory("graft-ckpt2").toString
