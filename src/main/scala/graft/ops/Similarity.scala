@@ -77,6 +77,71 @@ object Similarity {
       .orderBy(col("q_id"), col("rnk"))
   }
 
+  /** Embedding-cosine near-dup pairs: sign-LSH bucket join, then cosine ≥
+    * threshold inside buckets — never all-pairs. The fixture corpus is
+    * random (no true near-dups), so the corpus is first augmented with
+    * deterministic perturbed copies (1-in-50, small rational offsets both
+    * engines compute identically); the operator provably finds exactly the
+    * planted pairs.
+    */
+  def embeddingNearDup(embeddings: DataFrame, threshold: Double = 0.99): DataFrame = {
+    val emb = embDouble(embeddings).select("vec_id", "v")
+    val planted = embeddings.filter(pmod(col("vec_id"), lit(50)) === 0)
+      .select((col("vec_id") + 100000).as("vec_id"),
+        expr("transform(cast(embedding as array<double>), (x, i) -> x + ((i % 5) - 2) / 500d)")
+          .as("v"))
+    val corpus = emb.unionByName(planted)
+      .withColumn("bucket", expr(bucketExpr))
+      .persist()
+    corpus.as("x").join(corpus.as("y"),
+        col("x.bucket") === col("y.bucket") && col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"),
+        expr(cosExpr("x.v", "y.v")).as("cos"))
+      .filter(col("cos") >= threshold)
+      .select(col("vec_a"), col("vec_b"), round(col("cos"), 4).as("cos"))
+      .orderBy(col("vec_a"), col("vec_b"))
+  }
+
+  /** IVF-style ANN: a deterministic coarse quantizer (centroids = vectors
+    * 100..107), every vector assigned to its nearest centroid (the posting
+    * lists), queries probe their top-2 centroids and rerank only those
+    * lists. This is the inverted-file scale path: at 100 TB the assignment
+    * is one broadcast-join pass and each query touches nprobe/K of the
+    * corpus.
+    */
+  def annIvfTopK(embeddings: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val emb = embDouble(embeddings).select("vec_id", "v")
+    val centroids = emb.filter(col("vec_id") >= 100 && col("vec_id") < 108)
+      .select(col("vec_id").as("c_id"), col("v").as("cv"))
+    // posting lists: nearest centroid per vector
+    val assigned = emb.join(broadcast(centroids), lit(true))
+      .select(col("vec_id"), col("v"), col("c_id"),
+        expr(cosExpr("v", "cv")).as("c_cos"))
+      .withColumn("crnk", row_number().over(
+        Window.partitionBy(col("vec_id")).orderBy(col("c_cos").desc, col("c_id").asc)))
+      .filter(col("crnk") === 1)
+      .select(col("vec_id"), col("v"), col("c_id"))
+    // queries probe their top-2 centroids
+    val probes = emb.filter(col("vec_id") < NumQueries)
+      .join(broadcast(centroids), lit(true))
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("c_id"),
+        expr(cosExpr("v", "cv")).as("c_cos"))
+      .withColumn("crnk", row_number().over(
+        Window.partitionBy(col("q_id")).orderBy(col("c_cos").desc, col("c_id").asc)))
+      .filter(col("crnk") <= 2)
+      .select(col("q_id"), col("qv"), col("c_id"))
+    assigned.join(broadcast(probes), Seq("c_id"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"), expr(cosExpr("qv", "v")).as("cos"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id").asc))
+        .cast("long"))
+      .filter(col("rnk") <= 5)
+      .select(col("q_id"), col("rnk"), col("vec_id"))
+      .orderBy(col("q_id"), col("rnk"))
+  }
+
   /** Multimodal array-column stats per label class: count, mean L2 norm,
     * mean leading component — the sanity profile a pipeline reports for an
     * embedding table.
@@ -96,6 +161,8 @@ object Similarity {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_cosine_topk" -> ((s, d) => cosineTopK(Tables.embeddings(s, d))),
     "ann_lsh_topk" -> ((s, d) => annLshTopK(Tables.embeddings(s, d))),
+    "ann_ivf_topk" -> ((s, d) => annIvfTopK(Tables.embeddings(s, d))),
+    "embedding_near_dup" -> ((s, d) => embeddingNearDup(Tables.embeddings(s, d))),
     "embedding_stats" -> ((s, d) => embeddingStats(Tables.embeddings(s, d))),
   )
 
@@ -133,6 +200,52 @@ object Similarity {
          |    row_number() OVER (PARTITION BY q_id
          |      ORDER BY ${cosSql("qv", "v")} DESC, vec_id ASC) AS rnk
          |  FROM e, q WHERE bucket = q_bucket AND vec_id <> q_id
+         |)
+         |SELECT q_id, rnk, vec_id FROM scored WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin,
+    "embedding_near_dup" ->
+      s"""WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |planted AS (
+         |  SELECT vec_id + 100000 AS vec_id,
+         |    list_transform(range(1, 65), i -> v[i] + (((i - 1) % 5) - 2) / 500.0) AS v
+         |  FROM base WHERE vec_id % 50 = 0
+         |),
+         |corpus AS (
+         |  SELECT vec_id, v,
+         |    list_sum(list_transform(range(0, 6),
+         |      d -> CASE WHEN v[d + 1] >= 0 THEN (1 << d) ELSE 0 END))::BIGINT AS bucket
+         |  FROM (SELECT * FROM base UNION ALL SELECT * FROM planted)
+         |)
+         |SELECT x.vec_id AS vec_a, y.vec_id AS vec_b,
+         |  round(${cosSql("x.v", "y.v")}, 4) AS cos
+         |FROM corpus x JOIN corpus y
+         |  ON x.bucket = y.bucket AND x.vec_id < y.vec_id
+         |WHERE ${cosSql("x.v", "y.v")} >= 0.99
+         |ORDER BY vec_a, vec_b""".stripMargin,
+    "ann_ivf_topk" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |c AS (SELECT vec_id AS c_id, v AS cv FROM e WHERE vec_id >= 100 AND vec_id < 108),
+         |assigned AS (
+         |  SELECT vec_id, v, c_id FROM (
+         |    SELECT e.vec_id, e.v, c.c_id,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${cosSql("e.v", "c.cv")} DESC, c.c_id ASC) AS crnk
+         |    FROM e, c
+         |  ) WHERE crnk = 1
+         |),
+         |probes AS (
+         |  SELECT q_id, qv, c_id FROM (
+         |    SELECT e.vec_id AS q_id, e.v AS qv, c.c_id,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${cosSql("e.v", "c.cv")} DESC, c.c_id ASC) AS crnk
+         |    FROM e, c WHERE e.vec_id < $NumQueries
+         |  ) WHERE crnk <= 2
+         |),
+         |scored AS (
+         |  SELECT q_id, vec_id,
+         |    row_number() OVER (PARTITION BY q_id
+         |      ORDER BY ${cosSql("qv", "v")} DESC, vec_id ASC) AS rnk
+         |  FROM assigned JOIN probes USING (c_id)
+         |  WHERE vec_id <> q_id
          |)
          |SELECT q_id, rnk, vec_id FROM scored WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin,
     "embedding_stats" ->
