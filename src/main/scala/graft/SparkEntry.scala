@@ -25,7 +25,8 @@ object SparkEntry {
     relational ++ graft.ops.Frames.queries ++ graft.sources.Cdc.queries ++
       graft.ops.Activity.queries ++ graft.ops.Alerts.queries ++
       graft.ops.TextStats.queries ++ graft.ops.Dedup.queries ++
-      graft.ops.Similarity.queries ++ graft.ops.Multimodal.queries
+      graft.ops.Similarity.queries ++ graft.ops.Multimodal.queries ++
+      graft.ops.Pipeline.queries
 
   private def relational: Map[String, (SparkSession, String) => DataFrame] = Map(
     // S9 payload shape: the KPI frame serialized exactly as the Kafka sink
@@ -54,7 +55,8 @@ object SparkEntry {
     graft.ops.Frames.oracleSql ++ graft.sources.Cdc.oracleSql ++
     graft.ops.Activity.oracleSql ++ graft.ops.Alerts.oracleSql ++
     graft.ops.TextStats.oracleSql ++ graft.ops.Dedup.oracleSql ++
-    graft.ops.Similarity.oracleSql ++ graft.ops.Multimodal.oracleSql
+    graft.ops.Similarity.oracleSql ++ graft.ops.Multimodal.oracleSql ++
+    graft.ops.Pipeline.oracleSql
 
   private def relationalOracle: Map[String, String] = Map(
     "pricing_summary" ->

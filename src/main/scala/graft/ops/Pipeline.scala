@@ -1,0 +1,122 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Composed training-data pipeline stages over `documents`: the filter →
+  * sample → pack chain a pretraining data pipeline runs ahead of
+  * tokenization.
+  *
+  * Everything is deterministic (hash-based sampling, doc_id-ordered
+  * packing) so the whole chain is oracle-checkable; every stage is a narrow
+  * projection or a single window/agg pass.
+  */
+object Pipeline {
+
+  /** Quality filter chain: keep documents passing ALL of length band, type
+    * -token-ratio floor, and stopword-signal floor — the standard heuristic
+    * gate. Emits keep/drop with the failing reasons for auditability
+    * (a pipeline that silently drops is undebuggable at 100 TB).
+    */
+  def qualityFilter(documents: DataFrame): DataFrame =
+    documents
+      .withColumn("toks", split(col("text"), " "))
+      .select(
+        col("doc_id"),
+        size(col("toks")).as("n_tokens"),
+        (size(array_distinct(col("toks"))) / size(col("toks")).cast("double")).as("ttr"),
+        (expr(s"size(filter(toks, t -> t IN ('the', 'a', 'of', 'to', 'and')))") /
+          size(col("toks")).cast("double")).as("stop_ratio"))
+      .select(
+        col("doc_id"),
+        col("n_tokens").cast("long").as("n_tokens"),
+        (col("n_tokens") >= 10 && col("n_tokens") <= 120).as("len_ok"),
+        (col("ttr") >= 0.3).as("ttr_ok"),
+        (col("stop_ratio") >= 0.01).as("stop_ok"))
+      .withColumn("keep", col("len_ok") && col("ttr_ok") && col("stop_ok"))
+      .orderBy(col("doc_id"))
+
+  /** Deterministic stratified sampling: per-source rates via a 60-bit md5
+    * hash of doc_id mod 100 — reproducible across runs/engines, no RNG
+    * state, and each stratum's rate is a pure config. Even sources keep
+    * 50%, odd sources 10%.
+    */
+  def stratifiedSample(documents: DataFrame): DataFrame =
+    documents
+      .withColumn("h", expr(
+        "cast(conv(substring(md5(cast(doc_id as string)), 1, 15), 16, 10) as bigint) % 100"))
+      .withColumn("rate",
+        when(pmod(regexp_extract(col("source"), "([0-9]+)$", 1).cast("long"), lit(2)) === 0,
+          lit(50)).otherwise(lit(10)))
+      .filter(col("h") < col("rate"))
+      .select(col("doc_id"), col("source"), col("h").as("hash_bucket"))
+      .orderBy(col("doc_id"))
+
+  /** Token-budget packing: assign documents (doc_id order) to ~2000-token
+    * bins via a running-total window — the sequence-packing step before
+    * batching. The single global cumsum is the batch-analytics form; at
+    * 100 TB you shard first (pack within hash partitions) since global
+    * order is a sequential constraint, and the per-shard plan is this one.
+    */
+  def tokenPacking(documents: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    documents
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .withColumn("cum_tokens",
+        sum(col("n_tokens")).over(Window.orderBy(col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("bin", ((col("cum_tokens") - col("n_tokens")) / 2000).cast("long"))
+      .orderBy(col("doc_id"))
+  }
+
+  // ---------------------------------------------------------------- registry
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "quality_filter" -> ((s, d) => qualityFilter(Tables.documents(s, d))),
+    "stratified_sample" -> ((s, d) => stratifiedSample(Tables.documents(s, d))),
+    "token_packing" -> ((s, d) => tokenPacking(Tables.documents(s, d))),
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "quality_filter" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    len(string_split(text, ' ')) AS n_tokens,
+        |    len(list_distinct(string_split(text, ' '))) /
+        |      len(string_split(text, ' '))::DOUBLE AS ttr,
+        |    len(list_filter(string_split(text, ' '),
+        |      t -> t IN ('the', 'a', 'of', 'to', 'and'))) /
+        |      len(string_split(text, ' '))::DOUBLE AS stop_ratio
+        |  FROM documents
+        |)
+        |SELECT doc_id, n_tokens::BIGINT AS n_tokens,
+        |  (n_tokens >= 10 AND n_tokens <= 120) AS len_ok,
+        |  (ttr >= 0.3) AS ttr_ok,
+        |  (stop_ratio >= 0.01) AS stop_ok,
+        |  ((n_tokens >= 10 AND n_tokens <= 120) AND ttr >= 0.3 AND stop_ratio >= 0.01) AS keep
+        |FROM t ORDER BY doc_id""".stripMargin,
+    "stratified_sample" ->
+      """WITH t AS (
+        |  SELECT doc_id, source,
+        |    ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 100 AS h,
+        |    CASE WHEN regexp_extract(source, '([0-9]+)$', 1)::BIGINT % 2 = 0
+        |      THEN 50 ELSE 10 END AS rate
+        |  FROM documents
+        |)
+        |SELECT doc_id, source, h AS hash_bucket
+        |FROM t WHERE h < rate ORDER BY doc_id""".stripMargin,
+    "token_packing" ->
+      """WITH t AS (
+        |  SELECT doc_id, len(string_split(text, ' '))::BIGINT AS n_tokens
+        |  FROM documents
+        |)
+        |SELECT doc_id, n_tokens,
+        |  sum(n_tokens) OVER (ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens,
+        |  ((sum(n_tokens) OVER (ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens) // 2000) AS bin
+        |FROM t ORDER BY doc_id""".stripMargin,
+  )
+}

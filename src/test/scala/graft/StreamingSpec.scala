@@ -176,6 +176,31 @@ class StreamingSpec extends SparkSpec {
     assert(kv.hashes.contains(graft.streaming.Keys.kpiSnapshot(1L)))
   }
 
+  test("streaming dedup drops duplicate event ids with bounded state") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Evt]
+    val query = Frames.streamDedup(input.toDF())
+      .select("event_id")
+      .writeStream.format("memory").queryName("dedup_stream_test")
+      .outputMode(OutputMode.Append())
+      .start()
+    try {
+      input.addData(
+        Evt(1L, ts("2024-01-01 00:01:00"), 1L, "click", 1.0, "{}"),
+        Evt(1L, ts("2024-01-01 00:01:30"), 1L, "click", 1.0, "{}"), // dup in-batch
+        Evt(2L, ts("2024-01-01 00:02:00"), 1L, "view", 1.0, "{}"))
+      query.processAllAvailable()
+      input.addData( // dup across batches, still within watermark
+        Evt(2L, ts("2024-01-01 00:03:00"), 1L, "view", 1.0, "{}"),
+        Evt(3L, ts("2024-01-01 00:04:00"), 1L, "view", 1.0, "{}"))
+      query.processAllAvailable()
+      val ids = spark.sql("SELECT event_id FROM dedup_stream_test")
+        .collect().map(_.getLong(0)).sorted
+      assert(ids.toSeq == Seq(1L, 2L, 3L))
+    } finally query.stop()
+  }
+
   test("regions writer ranks latest window and emits hub-centric flows (T4)") {
     import spark.implicits._
     val kv = new InMemoryKvStore
