@@ -60,12 +60,52 @@ object Multimodal {
         .as("fake_brightness"))
       .orderBy(col("doc_id"))
 
+  /** Output row of the batched decode stage. */
+  final case class DecodedMedia(doc_id: Long, n_bytes: Int, codec: String,
+      fake_luma: Double)
+
+  /** STUB batched decode via `mapPartitions`: the pattern a real media
+    * decoder needs — one expensive codec handle per PARTITION (not per
+    * row), then an iterator-to-iterator pass over the binary payloads.
+    * This is the Scala analog of the reference-free `mapInPandas` batch
+    * UDF pattern: the decode body below is a deterministic fake (byte sum),
+    * clearly marked; a JNI/FFI image or audio codec drops into
+    * `FakeCodec.decode` without touching the plan. Registered rows-only
+    * (no oracle — not SQL, by design).
+    */
+  def decodeBatched(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("doc_id"), col("media"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        // One codec init per partition — the whole point of the batch shape.
+        val codec = new FakeCodec()
+        rows.map { case (id, bytes) =>
+          DecodedMedia(id, bytes.length, codec.name, codec.decode(bytes))
+        }
+      }
+      .toDF()
+      .orderBy(col("doc_id"))
+  }
+
+  /** STUB stand-in for a native decoder handle (expensive to construct,
+    * reused across a partition). Deterministic: mean byte value as "luma".
+    */
+  private final class FakeCodec {
+    val name = "stub-codec-v0"
+    def decode(bytes: Array[Byte]): Double =
+      if (bytes.isEmpty) 0.0
+      else bytes.foldLeft(0L)((a, b) => a + (b & 0xff)).toDouble / bytes.length
+  }
+
   // ---------------------------------------------------------------- registry
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "media_meta" -> ((s, d) => mediaMeta(mediaTable(Tables.documents(s, d)))),
     "media_frame_sample" -> ((s, d) => frameSample(mediaTable(Tables.documents(s, d)))),
     "media_decode_stub" -> ((s, d) => decodeStub(mediaTable(Tables.documents(s, d)))),
+    "media_decode_batched" -> ((s, d) => decodeBatched(mediaTable(Tables.documents(s, d)))),
   )
 
   def oracleSql: Map[String, String] = Map(
