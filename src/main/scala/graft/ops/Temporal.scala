@@ -1,0 +1,97 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Temporal operators beyond the reference's window set: gap-based
+  * sessionization and an as-of join. Both are single-pass, user-partitioned
+  * plans — the partitioning key (user_id) is high-cardinality, so the work
+  * spreads across the cluster with one shuffle and no skew funnel.
+  */
+object Temporal {
+
+  /** Gap-based sessionization via Spark's native `session_window` (30-minute
+    * inactivity gap): start = first event, end = last event + gap. The
+    * oracle reproduces it with the classic islands construction
+    * (lag → gap flag → running sum).
+    */
+  def userSessions(events: DataFrame): DataFrame =
+    Synth.eventTime(events)
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value")), 2).as("session_value"))
+      .select(col("user_id"),
+        unix_micros(col("session_window.start")).as("session_start_us"),
+        unix_micros(col("session_window.end")).as("session_end_us"),
+        col("n_events"), col("session_value"))
+      .orderBy(col("user_id"), col("session_start_us"))
+
+  /** As-of join: every event annotated with the user's most recent purchase
+    * at-or-before it. Expressed as one `last(..., ignoreNulls)` running
+    * window over the user's timeline — no join at all, which beats any
+    * range-join formulation at scale (a single shuffle on user_id, then a
+    * sorted pass).
+    */
+  def asofLastPurchase(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = Synth.eventTime(events)
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    e.withColumn("last_purchase_value",
+        last(when(col("event_type") === "purchase", col("value")), ignoreNulls = true).over(w))
+      .withColumn("last_purchase_ts_us",
+        last(when(col("event_type") === "purchase", unix_micros(col("ts"))),
+          ignoreNulls = true).over(w))
+      .filter(col("event_type") =!= "purchase")
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("ts_us"),
+        col("last_purchase_value"), col("last_purchase_ts_us"))
+      .orderBy(col("event_id"))
+  }
+
+  // ---------------------------------------------------------------- registry
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "user_sessions" -> ((s, d) => userSessions(Tables.events(s, d))),
+    "asof_last_purchase" -> ((s, d) => asofLastPurchase(Tables.events(s, d))),
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "user_sessions" ->
+      """WITH marked AS (
+        |  SELECT user_id, ts, value,
+        |    CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+        |      OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_session
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        |), numbered AS (
+        |  SELECT *, sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |  FROM marked
+        |)
+        |SELECT user_id,
+        |  epoch_us(min(ts)) AS session_start_us,
+        |  epoch_us(max(ts)) + 1800000000 AS session_end_us,
+        |  count(*) AS n_events,
+        |  round(sum(value), 2) AS session_value
+        |FROM numbered GROUP BY user_id, session_id
+        |ORDER BY user_id, session_start_us""".stripMargin,
+    "asof_last_purchase" ->
+      """SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+        |  last_purchase_value, last_purchase_ts_us
+        |FROM (
+        |  SELECT event_id, user_id, ts, event_type,
+        |    last_value(CASE WHEN event_type = 'purchase' THEN value END IGNORE NULLS)
+        |      OVER w AS last_purchase_value,
+        |    last_value(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END IGNORE NULLS)
+        |      OVER w AS last_purchase_ts_us
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |)
+        |WHERE event_type <> 'purchase'
+        |ORDER BY event_id""".stripMargin,
+  )
+}
