@@ -1,0 +1,66 @@
+package graft
+
+import java.sql.Timestamp
+
+import graft.ops.{Pipeline, Temporal}
+
+/** Golden tests for the pipeline stages and temporal operators. */
+class PipelineSpec extends SparkSpec {
+
+  test("token packing assigns bins by running total in doc order") {
+    import spark.implicits._
+    // 4 docs × 900 tokens: cum 900/1800/2700/3600 → bins 0,0,0,1
+    val docs = (1 to 4).map(i =>
+      (i.toLong, Seq.fill(900)("w").mkString(" "), "en", "s", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val rows = Pipeline.tokenPacking(docs).collect()
+    assert(rows.map(_.getAs[Long]("n_tokens")).forall(_ == 900L))
+    assert(rows.map(_.getAs[Long]("bin")).toSeq == Seq(0L, 0L, 0L, 1L))
+  }
+
+  test("quality filter gates on length, diversity, and stopword signal") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over a lazy dog and runs home fast", "en", "s", 0L),
+      (2L, "too short", "en", "s", 0L), // fails length
+      (3L, Seq.fill(50)("same").mkString(" "), "en", "s", 0L)) // fails ttr+stop
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val byId = Pipeline.qualityFilter(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Boolean]("keep")).toMap
+    assert(byId(1L) && !byId(2L) && !byId(3L))
+  }
+
+  test("sessionization splits on the 30-minute gap") {
+    import spark.implicits._
+    val events = Seq(
+      (0L, Timestamp.valueOf("2024-01-01 00:00:00"), 1L, "click", 1.0, "{}"),
+      (1L, Timestamp.valueOf("2024-01-01 00:10:00"), 1L, "click", 2.0, "{}"),
+      (2L, Timestamp.valueOf("2024-01-01 01:00:00"), 1L, "click", 3.0, "{}"), // 50 min gap
+      (3L, Timestamp.valueOf("2024-01-01 00:05:00"), 2L, "view", 4.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val rows = Temporal.userSessions(events).collect()
+    val u1 = rows.filter(_.getAs[Long]("user_id") == 1L)
+    assert(u1.length == 2)
+    assert(u1.map(_.getAs[Long]("n_events")).toSeq == Seq(2L, 1L))
+    // session end = last event + 30 min gap
+    assert(u1(0).getAs[Long]("session_end_us") ==
+      Timestamp.valueOf("2024-01-01 00:40:00").getTime * 1000L)
+  }
+
+  test("as-of join carries the latest prior purchase forward") {
+    import spark.implicits._
+    val events = Seq(
+      (0L, Timestamp.valueOf("2024-01-01 00:00:00"), 1L, "view", 0.0, "{}"),
+      (1L, Timestamp.valueOf("2024-01-01 00:05:00"), 1L, "purchase", 42.0, "{}"),
+      (2L, Timestamp.valueOf("2024-01-01 00:10:00"), 1L, "click", 0.0, "{}"),
+      (3L, Timestamp.valueOf("2024-01-01 00:20:00"), 1L, "purchase", 7.0, "{}"),
+      (4L, Timestamp.valueOf("2024-01-01 00:25:00"), 1L, "view", 0.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val byId = Temporal.asofLastPurchase(events).collect()
+      .map(r => r.getAs[Long]("event_id") ->
+        Option(r.getAs[java.lang.Double]("last_purchase_value"))).toMap
+    assert(byId(0L).isEmpty) // before any purchase
+    assert(byId(2L).contains(42.0)) // after first purchase
+    assert(byId(4L).contains(7.0)) // after second purchase
+  }
+}
