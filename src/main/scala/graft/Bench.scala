@@ -34,6 +34,10 @@ object Bench {
     var times = Vector.empty[(String, Double)]
     var errors = Vector.empty[(String, String)]
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      // Evict any persist()ed intermediates from the previous query before
+      // starting the clock: leaked caches both skew this query's time and
+      // accumulate memory pressure across the 47-query session.
+      spark.catalog.clearCache()
       val t0 = System.nanoTime()
       try {
         fn(spark, sfDir).write.format("noop").mode("overwrite").save()

@@ -26,7 +26,8 @@ object SparkEntry {
       graft.ops.Activity.queries ++ graft.ops.Alerts.queries ++
       graft.ops.TextStats.queries ++ graft.ops.Dedup.queries ++
       graft.ops.Similarity.queries ++ graft.ops.Multimodal.queries ++
-      graft.ops.Pipeline.queries ++ graft.ops.Temporal.queries
+      graft.ops.Pipeline.queries ++ graft.ops.Temporal.queries ++
+      graft.ops.RegionLookup.queries
 
   private def relational: Map[String, (SparkSession, String) => DataFrame] = Map(
     // S9 payload shape: the KPI frame serialized exactly as the Kafka sink
@@ -56,7 +57,8 @@ object SparkEntry {
     graft.ops.Activity.oracleSql ++ graft.ops.Alerts.oracleSql ++
     graft.ops.TextStats.oracleSql ++ graft.ops.Dedup.oracleSql ++
     graft.ops.Similarity.oracleSql ++ graft.ops.Multimodal.oracleSql ++
-    graft.ops.Pipeline.oracleSql ++ graft.ops.Temporal.oracleSql
+    graft.ops.Pipeline.oracleSql ++ graft.ops.Temporal.oracleSql ++
+    graft.ops.RegionLookup.oracleSql
 
   private def relationalOracle: Map[String, String] = Map(
     "pricing_summary" ->

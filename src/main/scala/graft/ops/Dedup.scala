@@ -186,9 +186,18 @@ object Dedup {
 
   def simhashPairs(corpus: DataFrame): DataFrame = {
     val s = simhashes(corpus)
-    val blocks = s.select(col("doc_id"), col("simhash"), posexplode(expr(
+    val allBlocks = s.select(col("doc_id"), col("simhash"), posexplode(expr(
       "transform(sequence(0, 2), b -> shiftright(simhash, cast(16 * b as int)) % 65536)")))
       .toDF("doc_id", "simhash", "block_idx", "block_key")
+    // Same skew guard as minhashCandidates: a degenerate corpus (empty or
+    // boilerplate docs collapsing to one simhash) would otherwise mega-bucket
+    // the block self-join into quadratic fan-out. Mirrored in the oracle.
+    val blocks = allBlocks
+      .withColumn("bucket_n", count(lit(1))
+        .over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("block_idx"), col("block_key"))))
+      .filter(col("bucket_n") <= MaxBucketSize)
+      .drop("bucket_n")
     blocks.as("x").join(blocks.as("y"),
         col("x.block_idx") === col("y.block_idx") &&
           col("x.block_key") === col("y.block_key") &&
@@ -300,9 +309,14 @@ object Dedup {
          |    FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM corpus)
          |    WHERE len(toks) >= 2
          |  )
-         |), blocks AS (
+         |), all_blocks AS (
          |  SELECT doc_id, simhash, b AS block_idx, (simhash >> (16 * b)) & 65535 AS block_key
          |  FROM sims, range(0, 3) r(b)
+         |), blocks AS (
+         |  SELECT doc_id, simhash, block_idx, block_key FROM (
+         |    SELECT *, count(*) OVER (PARTITION BY block_idx, block_key) AS bucket_n
+         |    FROM all_blocks
+         |  ) WHERE bucket_n <= 1000
          |)
          |SELECT * FROM (
          |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,

@@ -83,7 +83,7 @@ object Frames {
     * `percentile_approx` so the result is oracle-checkable; the approximate
     * variant is a drop-in (same plan shape, no sort of the group).
     */
-  def kpiFrame(events: DataFrame): DataFrame =
+  def kpiFrame(events: DataFrame, approxLatency: Boolean = false): DataFrame =
     kpiNormalize(events)
       .withWatermark("event_time", WatermarkDelay)
       .groupBy(window(col("event_time"), Kpi._1, Kpi._2))
@@ -93,7 +93,15 @@ object Frames {
         sum("order_count").cast("long").as("orders"),
         round(sum("error_count") / greatest(sum("request_count"), lit(1)) * 100, 2)
           .as("errorRate"),
-        floor(expr("percentile(latency_ms, 0.5)")).as("latency_raw"))
+        floor(expr(
+          // The reference's own median is percentile_approx
+          // (kpi_aggregator.py:192); the exact form is registered for the
+          // oracle (approx estimates can't hash-match), the approx form as a
+          // rows-only query + a bound test (FramesApproxSpec) documenting
+          // the drop-in claim. Same plan shape either way — ApproxPercentile
+          // is a partial-mergeable ImperativeAggregate, no group sort.
+          if (approxLatency) "percentile_approx(latency_ms, 0.5, 10000)"
+          else "percentile(latency_ms, 0.5)")).as("latency_raw"))
       .select(
         epochMs(col("window.end")).as("updatedAt"),
         col("activeUsers"), col("revenue"), col("orders"), col("errorRate"),
@@ -248,6 +256,9 @@ object Frames {
     */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "kpi_sliding" -> ((s, d) => kpiFrame(Tables.events(s, d)).orderBy(col("updatedAt"))),
+    // Rows-only by nature (approx estimate); bound vs exact asserted in test.
+    "kpi_sliding_approx" -> ((s, d) =>
+      kpiFrame(Tables.events(s, d), approxLatency = true).orderBy(col("updatedAt"))),
     "region_sliding" -> ((s, d) =>
       regionFrame(Tables.events(s, d)).orderBy(col("updatedAt"), col("region_name"))),
     "traffic_tumbling" -> ((s, d) =>

@@ -54,18 +54,29 @@ object Pipeline {
       .select(col("doc_id"), col("source"), col("h").as("hash_bucket"))
       .orderBy(col("doc_id"))
 
-  /** Token-budget packing: assign documents (doc_id order) to ~2000-token
-    * bins via a running-total window — the sequence-packing step before
-    * batching. The single global cumsum is the batch-analytics form; at
-    * 100 TB you shard first (pack within hash partitions) since global
-    * order is a sequential constraint, and the per-shard plan is this one.
+  /** Number of packing shards: the cumsum runs independently inside each
+    * shard, so parallelism = Shards and no single task ever sees the whole
+    * corpus. Per-shard bins are the production semantics — a global order
+    * over 100 TB of docs is a sequential constraint nothing downstream needs.
+    */
+  val PackingShards = 16
+
+  /** Token-budget packing: assign documents to ~2000-token bins via a
+    * running-total window — the sequence-packing step before batching.
+    * Sharded: documents are hashed into [[PackingShards]] deterministic
+    * shards (md5-based so the oracle can reproduce it; Spark's `hash()` is
+    * murmur3 and engine-private) and the cumsum/bin assignment runs
+    * per-shard, so the window is partitioned and scales with cluster width
+    * instead of funneling into one `WindowExec` task.
     */
   def tokenPacking(documents: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     documents
       .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .withColumn("shard", expr(
+        s"cast(conv(substring(md5(cast(doc_id as string)), 1, 15), 16, 10) as bigint) % $PackingShards"))
       .withColumn("cum_tokens",
-        sum(col("n_tokens")).over(Window.orderBy(col("doc_id"))
+        sum(col("n_tokens")).over(Window.partitionBy(col("shard")).orderBy(col("doc_id"))
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .withColumn("bin", ((col("cum_tokens") - col("n_tokens")) / 2000).cast("long"))
       .orderBy(col("doc_id"))
@@ -107,16 +118,19 @@ object Pipeline {
         |)
         |SELECT doc_id, source, h AS hash_bucket
         |FROM t WHERE h < rate ORDER BY doc_id""".stripMargin,
+    // Window sum() is HUGEINT in DuckDB where Spark emits BIGINT — values
+    // match but the driver's typed hash doesn't; cast every windowed sum.
     "token_packing" ->
-      """WITH t AS (
-        |  SELECT doc_id, len(string_split(text, ' '))::BIGINT AS n_tokens
+      s"""WITH t AS (
+        |  SELECT doc_id, len(string_split(text, ' '))::BIGINT AS n_tokens,
+        |    ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % $PackingShards AS shard
         |  FROM documents
         |)
-        |SELECT doc_id, n_tokens,
-        |  sum(n_tokens) OVER (ORDER BY doc_id
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens,
-        |  ((sum(n_tokens) OVER (ORDER BY doc_id
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens) // 2000) AS bin
+        |SELECT doc_id, n_tokens, shard,
+        |  (sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT AS cum_tokens,
+        |  (((sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT - n_tokens) // 2000) AS bin
         |FROM t ORDER BY doc_id""".stripMargin,
   )
 }

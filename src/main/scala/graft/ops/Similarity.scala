@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.sources.Tables
@@ -52,22 +52,74 @@ object Similarity {
       .orderBy(col("q_id"), col("rnk"))
   }
 
-  /** Sign-projection LSH bucket id: 6 sign bits of the leading dimensions
-    * (a random-hyperplane sketch with axis-aligned planes — valid because
-    * the embedding dimensions are already random-ish; at scale, use seeded
-    * random hyperplanes via the same md5 trick as Dedup).
+  /** Banded sign-projection LSH, MinHash-style: 4 bands × 8 sign bits of
+    * consecutive dimensions (axis-aligned random-hyperplane sketch — valid
+    * because the embedding dimensions are already random-ish; at scale, use
+    * seeded random hyperplanes via the same md5 trick as Dedup). Candidates
+    * share ≥1 band, so discrimination is 2^8 per band (vs the previous
+    * single 2^6 bucket space) while recall survives a sign flip in any one
+    * band. Band keys are plain conditional sums — whole-stage codegen, not
+    * an interpreted `aggregate` lambda.
     */
-  private val bucketExpr =
-    "aggregate(sequence(0, 5), 0, (acc, d) -> acc + if(element_at(v, d + 1) >= cast(0 as double), shiftleft(1, d), 0))"
+  private val NumBands = 4
+  private val BandBits = 8
 
-  /** ANN: prune to the query's LSH bucket, exact-cosine rerank inside it. */
+  /** Bucket skew guard, same as [[Dedup.MaxBucketSize]]: band buckets larger
+    * than this are dropped before any self/probe join, so a degenerate
+    * embedding distribution (e.g. all-positive components) can't mega-bucket
+    * the join. Mirrored in the oracles.
+    */
+  private val MaxBucketSize = 1000
+
+  private def bandKey(b: Int): Column =
+    (0 until BandBits).map(d =>
+      when(element_at(col("v"), b * BandBits + d + 1) >= lit(0d), lit(1 << d))
+        .otherwise(lit(0)))
+      .reduce(_ + _).cast("long")
+
+  /** One row per (vec_id, band_idx, band_key), mega-buckets dropped. */
+  private def bandRows(emb: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    emb.select(col("vec_id"), posexplode(array((0 until NumBands).map(bandKey): _*)))
+      .toDF("vec_id", "band_idx", "band_key")
+      .withColumn("bucket_n", count(lit(1))
+        .over(Window.partitionBy(col("band_idx"), col("band_key"))))
+      .filter(col("bucket_n") <= MaxBucketSize)
+      .drop("bucket_n")
+  }
+
+  /** Shared oracle SQL for [[bandRows]]. */
+  private def bandRowsSql(src: String): String =
+    s"""all_bands AS (
+       |  SELECT vec_id, b AS band_idx,
+       |    list_sum(list_transform(range(0, $BandBits),
+       |      d -> CASE WHEN v[$BandBits * b + d + 1] >= 0 THEN (1 << d) ELSE 0 END))::BIGINT AS band_key
+       |  FROM $src, range(0, $NumBands) r(b)
+       |), bands AS (
+       |  SELECT vec_id, band_idx, band_key FROM (
+       |    SELECT *, count(*) OVER (PARTITION BY band_idx, band_key) AS bucket_n
+       |    FROM all_bands
+       |  ) WHERE bucket_n <= $MaxBucketSize
+       |)""".stripMargin
+
+  /** ANN: candidates = corpus vectors sharing ≥1 LSH band with the query;
+    * exact-cosine rerank over candidates only.
+    */
   def annLshTopK(embeddings: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val emb = embDouble(embeddings).withColumn("bucket", expr(bucketExpr))
+    val emb = embDouble(embeddings).select("vec_id", "v").persist()
+    val bands = bandRows(emb)
+    val qBands = bands.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("q_id"), col("band_idx"), col("band_key"))
+    val cands = bands.join(broadcast(qBands), Seq("band_idx", "band_key"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"))
+      .distinct()
     val queries = emb.filter(col("vec_id") < NumQueries)
-      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("bucket").as("q_bucket"))
-    emb.join(broadcast(queries),
-        col("bucket") === col("q_bucket") && col("vec_id") =!= col("q_id"))
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+    cands
+      .join(emb, "vec_id")
+      .join(broadcast(queries), "q_id")
       .select(col("q_id"), col("vec_id"), expr(cosExpr("qv", "v")).as("cos"))
       .withColumn("rnk", row_number().over(
         Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id").asc))
@@ -90,13 +142,18 @@ object Similarity {
       .select((col("vec_id") + 100000).as("vec_id"),
         expr("transform(cast(embedding as array<double>), (x, i) -> x + ((i % 5) - 2) / 500d)")
           .as("v"))
-    val corpus = emb.unionByName(planted)
-      .withColumn("bucket", expr(bucketExpr))
-      .persist()
-    corpus.as("x").join(corpus.as("y"),
-        col("x.bucket") === col("y.bucket") && col("x.vec_id") < col("y.vec_id"))
-      .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"),
-        expr(cosExpr("x.v", "y.v")).as("cos"))
+    val corpus = emb.unionByName(planted).persist()
+    val bands = bandRows(corpus)
+    val pairs = bands.as("x").join(bands.as("y"),
+        col("x.band_idx") === col("y.band_idx") &&
+          col("x.band_key") === col("y.band_key") &&
+          col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"))
+      .distinct()
+    pairs
+      .join(corpus.select(col("vec_id").as("vec_a"), col("v").as("va")), "vec_a")
+      .join(corpus.select(col("vec_id").as("vec_b"), col("v").as("vb")), "vec_b")
+      .select(col("vec_a"), col("vec_b"), expr(cosExpr("va", "vb")).as("cos"))
       .filter(col("cos") >= threshold)
       .select(col("vec_a"), col("vec_b"), round(col("cos"), 4).as("cos"))
       .orderBy(col("vec_a"), col("vec_b"))
@@ -188,18 +245,24 @@ object Similarity {
          |SELECT q_id, rnk, vec_id, round(cos, 4) AS cos
          |FROM scored WHERE rnk <= $TopK ORDER BY q_id, rnk""".stripMargin,
     "ann_lsh_topk" ->
-      s"""WITH e AS (
-         |  SELECT vec_id, embedding::DOUBLE[] AS v,
-         |    list_sum(list_transform(range(0, 6),
-         |      d -> CASE WHEN embedding[d + 1] >= 0 THEN (1 << d) ELSE 0 END))::BIGINT AS bucket
-         |  FROM embeddings
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |${bandRowsSql("e")},
+         |cands AS (
+         |  SELECT DISTINCT q.vec_id AS q_id, b.vec_id
+         |  FROM bands b JOIN bands q
+         |    ON b.band_idx = q.band_idx AND b.band_key = q.band_key
+         |  WHERE q.vec_id < $NumQueries AND b.vec_id <> q.vec_id
          |),
-         |q AS (SELECT vec_id AS q_id, v AS qv, bucket AS q_bucket FROM e WHERE vec_id < $NumQueries),
          |scored AS (
          |  SELECT q_id, vec_id,
          |    row_number() OVER (PARTITION BY q_id
-         |      ORDER BY ${cosSql("qv", "v")} DESC, vec_id ASC) AS rnk
-         |  FROM e, q WHERE bucket = q_bucket AND vec_id <> q_id
+         |      ORDER BY cos DESC, vec_id ASC) AS rnk
+         |  FROM (
+         |    SELECT c.q_id, c.vec_id, ${cosSql("qe.v", "ve.v")} AS cos
+         |    FROM cands c
+         |    JOIN e qe ON qe.vec_id = c.q_id
+         |    JOIN e ve ON ve.vec_id = c.vec_id
+         |  )
          |)
          |SELECT q_id, rnk, vec_id FROM scored WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin,
     "embedding_near_dup" ->
@@ -209,18 +272,20 @@ object Similarity {
          |    list_transform(range(1, 65), i -> v[i] + (((i - 1) % 5) - 2) / 500.0) AS v
          |  FROM base WHERE vec_id % 50 = 0
          |),
-         |corpus AS (
-         |  SELECT vec_id, v,
-         |    list_sum(list_transform(range(0, 6),
-         |      d -> CASE WHEN v[d + 1] >= 0 THEN (1 << d) ELSE 0 END))::BIGINT AS bucket
-         |  FROM (SELECT * FROM base UNION ALL SELECT * FROM planted)
+         |corpus AS (SELECT * FROM base UNION ALL SELECT * FROM planted),
+         |${bandRowsSql("corpus")},
+         |pairs AS (
+         |  SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
+         |  FROM bands x JOIN bands y
+         |    ON x.band_idx = y.band_idx AND x.band_key = y.band_key
+         |   AND x.vec_id < y.vec_id
          |)
-         |SELECT x.vec_id AS vec_a, y.vec_id AS vec_b,
-         |  round(${cosSql("x.v", "y.v")}, 4) AS cos
-         |FROM corpus x JOIN corpus y
-         |  ON x.bucket = y.bucket AND x.vec_id < y.vec_id
-         |WHERE ${cosSql("x.v", "y.v")} >= 0.99
-         |ORDER BY vec_a, vec_b""".stripMargin,
+         |SELECT vec_a, vec_b, round(cos, 4) AS cos FROM (
+         |  SELECT p.vec_a, p.vec_b, ${cosSql("a.v", "b.v")} AS cos
+         |  FROM pairs p
+         |  JOIN corpus a ON a.vec_id = p.vec_a
+         |  JOIN corpus b ON b.vec_id = p.vec_b
+         |) WHERE cos >= 0.99 ORDER BY vec_a, vec_b""".stripMargin,
     "ann_ivf_topk" ->
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
          |c AS (SELECT vec_id AS c_id, v AS cv FROM e WHERE vec_id >= 100 AND vec_id < 108),

@@ -51,13 +51,23 @@ object Cdc {
     * (reference: kafka_sources.py:92-98). `try_to_timestamp` because a
     * non-matching pattern must yield NULL for the next branch, not an
     * ANSI error.
+    *
+    * Each try branch is guarded by a cheap shape test that is a NECESSARY
+    * condition for its pattern to match (an IsoMicros match always ends in
+    * 'Z' and contains '.', an IsoSeconds match always ends in 'Z'), so the
+    * guards never change which branch wins — they only skip attempts that
+    * were guaranteed to fail. Without them, `try_to_timestamp`'s misses are
+    * exception-driven per row, and at 2/3 miss rate the parse dominated the
+    * whole query (~10× the cost of the same table's other projections).
     */
-  def normalizeTs(df: DataFrame, tsCol: String): DataFrame =
+  def normalizeTs(df: DataFrame, tsCol: String): DataFrame = {
+    val s = col(tsCol)
     df.withColumn(tsCol,
       coalesce(
-        try_to_timestamp(col(tsCol), lit(IsoMicros)),
-        try_to_timestamp(col(tsCol), lit(IsoSeconds)),
-        try_to_timestamp(col(tsCol))))
+        when(s.endsWith("Z") && s.contains("."), try_to_timestamp(s, lit(IsoMicros))),
+        when(s.endsWith("Z"), try_to_timestamp(s, lit(IsoSeconds))),
+        try_to_timestamp(s)))
+  }
 
   /** S2: Confluent wire-format header strip — drop the 5-byte magic+schemaId
     * prefix before decode (reference: kafka_sources.py:70-72). Same 1-based

@@ -113,10 +113,21 @@ object Jobs {
             .map(r => s"""{"id":"${r.getAs[String]("ruleId")}","status":"${r.getAs[String]("status")}","consecutive":${r.getAs[Int]("consecutive")},"updatedAt":${r.getAs[Long]("updatedAt")}}""")
           kv.writeJson(Keys.AlertRules, payload.mkString("[", ",", "]"),
             channel = Some(Keys.ChannelAlerts))
-          val firing = rows.count(_.getAs[String]("status") == "firing")
+          // Reference-shaped summary (alert_evaluator.py:28-36) — the same
+          // schema KvSink.alertWriter writes to this key, so readers via
+          // Serve.getAlertSummary see one contract regardless of which
+          // writer ran last. Severity comes from the rule config by ruleId;
+          // healthy is the machine's quiescent state only (its "normal"
+          // plays the reference's status == 'ok').
+          val sevById = graft.ops.Alerts.rules.map(r => r.id -> r.severity).toMap
+          val unhealthy = rows.filter(_.getAs[String]("status") != "normal")
+          def bySev(s: String) = unhealthy.count(r =>
+            sevById.getOrElse(r.getAs[String]("ruleId"), "warning") == s)
           kv.writeHash(Keys.AlertSummary, Map(
-            "firingCount" -> firing.toString,
-            "healthyCount" -> (rows.length - firing).toString,
+            "criticalCount" -> bySev("critical").toString,
+            "warningCount" -> bySev("warning").toString,
+            "healthyCount" -> rows.count(_.getAs[String]("status") == "normal").toString,
+            "criticalImpact" -> "Currently affecting 0% of users",
             "updatedAt" -> rows.map(_.getAs[Long]("updatedAt")).max.toString))
         }
       }
@@ -125,6 +136,37 @@ object Jobs {
       .queryName("alerts")
       .start()
   }
+
+  /** Schema of the derived KPI row stream [[alertsJob]] consumes
+    * (the `aggregated.kpis` read-back in production). */
+  val kpiRowsSchema: StructType = StructType(Seq(
+    StructField("errorRate", DoubleType), StructField("latency", LongType),
+    StructField("updatedAt", LongType)))
+
+  /** File-based form of the derived KPI stream for local/dev runs. */
+  def fileKpiStream(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream.schema(kpiRowsSchema).parquet(dir)
+
+  /** The KPI → derived-stream relay: re-publish each micro-batch's KPI rows
+    * into a drop-dir the alerts job tails — the file-source rendition of the
+    * reference's `aggregated.kpis` derived topic (derived_analytics.py:9-17).
+    * Routing alert evaluation through a materialized stream rather than
+    * chaining onto the windowed aggregation is what keeps each streaming
+    * query single-stateful-operator (agg here, mapGroupsWithState there).
+    */
+  def kpiRelayJob(source: () => DataFrame, derivedDir: String,
+      checkpointBase: String,
+      trigger: Trigger = Trigger.ProcessingTime(TriggerInterval)): StreamingQuery =
+    graft.ops.Frames.kpiFrame(source()).writeStream
+      .outputMode("update")
+      .foreachBatch { (df: DataFrame, _: Long) =>
+        df.select("errorRate", "latency", "updatedAt")
+          .write.mode("append").parquet(derivedDir)
+      }
+      .option("checkpointLocation", s"$checkpointBase/kpi-relay")
+      .trigger(trigger)
+      .queryName("kpi-relay")
+      .start()
 
   /** Derived job: platform breakdown (complete, unwindowed running agg). */
   def derivedJob(source: () => DataFrame, kv: KvStore,

@@ -178,12 +178,18 @@ object KvSink {
     }
 
   /** Regions writer: latest-window snapshot (name-sorted) + flow arcs
-    * (reference: region_aggregator.py:27-65). */
+    * (reference: region_aggregator.py:27-65). The latest-window filter runs
+    * IN-PLAN (broadcast max-join, same shape as `Frames.latestWindow`)
+    * before the collect: complete mode re-emits every window ever, so a
+    * driver-side filter over `batch.collect()` would grow without bound
+    * with stream lifetime — the collect must only ever see O(regions) rows.
+    */
   def regionsWriter(kv: KvStore): (DataFrame, Long) => Unit = (batch, _) => {
-    val rows = batch.collect()
-    if (rows.nonEmpty) {
-      val latest = rows.map(_.getAs[Long]("updatedAt")).max
-      val current = rows.filter(_.getAs[Long]("updatedAt") == latest)
+    val maxEnd = batch.agg(max(col("updatedAt")).as("max_updated"))
+    val current = batch
+      .join(broadcast(maxEnd), col("updatedAt") === col("max_updated"))
+      .collect()
+    if (current.nonEmpty) {
       val payload = current.sortBy(_.getAs[String]("region_name"))
         .map(r => s"""{"name":"${r.getAs[String]("region_name")}","intensity":${r.getAs[Double]("intensity")},"sales":${r.getAs[Double]("sales")}}""")
       kv.writeJson(Keys.RegionsCurrent, payload.mkString("[", ",", "]"),

@@ -16,10 +16,17 @@ object StreamMain {
     val spark = graft.Session.local("graft-streaming")
     val kv = new InMemoryKvStore
     val source = () => Jobs.fileEventStream(spark, inputDir)
+    // The alerts graph consumes the derived KPI stream (reference:
+    // `aggregated.kpis` topic), rendered here as a relay drop-dir.
+    val derivedDir = s"$ckpt/derived-kpis"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(derivedDir))
     val queries =
       Jobs.transactionsJob(source, kv, ckpt) ++
       Jobs.infrastructureJob(source, kv, ckpt) ++
-      Jobs.derivedJob(source, kv, ckpt)
+      Jobs.derivedJob(source, kv, ckpt) ++
+      Seq(
+        Jobs.kpiRelayJob(source, derivedDir, ckpt),
+        Jobs.alertsJob(() => Jobs.fileKpiStream(spark, derivedDir), kv, ckpt))
     sys.addShutdownHook(queries.foreach(q => if (q.isActive) q.stop()))
     spark.streams.awaitAnyTermination()
   }

@@ -85,6 +85,41 @@ class FramesSpec extends SparkSpec {
     assert(byId("evt_0").getAs[String]("timestamp").startsWith("2024-01-01T00:01:00.000"))
   }
 
+  test("kpi approx latency (percentile_approx) stays within the rank-error bound of exact") {
+    import org.apache.spark.sql.functions._
+    // percentile_approx's contract (accuracy=10000 → rank error ≤ n/10000,
+    // i.e. exact rank at fixture sizes) is that it returns an ELEMENT of
+    // the group at the target rank, where exact `percentile` interpolates
+    // the two middle elements — on sparse windows the VALUES can differ by
+    // half a neighbor gap, so the drop-in bound is the rank contract
+    // itself: every approx median must be one of the (at most two) middle
+    // elements of its window's latency multiset.
+    val events = graft.sources.Tables.events(spark, "/root/testdata/sf0.01")
+    val approx = Frames.kpiFrame(events, approxLatency = true)
+      .select(col("updatedAt"), col("latency").as("approx"))
+    val exact = Frames.kpiFrame(events)
+      .select(col("updatedAt"), col("latency").as("exact"))
+    val els = Frames.kpiNormalize(events)
+      .filter(col("latency_ms").isNotNull)
+      .groupBy(window(col("event_time"), "30 minutes", "10 minutes"))
+      .agg(sort_array(collect_list(floor(col("latency_ms")).cast("long"))).as("lats"))
+      .select((unix_timestamp(col("window.end")) * 1000).as("updatedAt"), col("lats"))
+    val joined = approx.join(exact, "updatedAt")
+      .join(els, Seq("updatedAt"), "left").collect()
+    assert(joined.length > 1000)
+    joined.foreach { r =>
+      val a = r.getAs[Long]("approx")
+      val lats = r.getAs[scala.collection.Seq[Long]]("lats")
+      if (lats == null) assert(a == 0L && r.getAs[Long]("exact") == 0L)
+      else {
+        val n = lats.length
+        val mids = Set(lats((n - 1) / 2), lats(n / 2))
+        assert(mids.contains(a),
+          s"approx $a not a middle element of $lats at ${r.getAs[Long]("updatedAt")}")
+      }
+    }
+  }
+
   test("alertFrame fans out one row per rule with threshold status") {
     val alerts = Alerts.alertFrame(Frames.kpiFrame(tinyEvents))
     val rows = alerts.collect()

@@ -69,11 +69,36 @@ class JobsSpec extends SparkSpec {
       val rules = kv.strings(Keys.AlertRules)
       assert(rules.contains("\"id\":\"alert_1\",\"status\":\"firing\",\"consecutive\":3"))
       assert(rules.contains("\"id\":\"alert_2\",\"status\":\"normal\""))
-      assert(kv.hashes(Keys.AlertSummary)("firingCount") == "1")
+      // reference-shaped summary: alert_1 (critical) firing, alert_2 +
+      // alert_3 quiescent
+      val summary = kv.hashes(Keys.AlertSummary)
+      assert(summary("criticalCount") == "1")
+      assert(summary("warningCount") == "0")
+      assert(summary("healthyCount") == "2")
+      assert(summary("criticalImpact").nonEmpty)
       // recovery resets
       input.addData((0.0, 10L, 4000L)); query.processAllAvailable()
       assert(kv.strings(Keys.AlertRules).contains("\"id\":\"alert_1\",\"status\":\"normal\""))
     } finally query.stop()
+  }
+
+  test("kpi relay feeds the alerts job through a derived drop-dir (StreamMain topology)") {
+    val in = writeDropDir()
+    val ckpt = Files.createTempDirectory("graft-ckpt-relay").toString
+    val derived = Files.createTempDirectory("graft-derived-kpis").toString
+    val kv = new InMemoryKvStore
+    val relay = Jobs.kpiRelayJob(
+      () => Jobs.fileEventStream(spark, in), derived, ckpt, Trigger.AvailableNow())
+    try relay.awaitTermination(60000) finally if (relay.isActive) relay.stop()
+    val alerts = Jobs.alertsJob(
+      () => Jobs.fileKpiStream(spark, derived), kv, ckpt, Trigger.AvailableNow())
+    try alerts.awaitTermination(60000) finally if (alerts.isActive) alerts.stop()
+    val summary = kv.hashes(Keys.AlertSummary)
+    assert(summary.keySet == Set("criticalCount", "warningCount", "healthyCount",
+      "criticalImpact", "updatedAt"))
+    assert(summary("criticalCount").toInt + summary("warningCount").toInt +
+      summary("healthyCount").toInt == graft.ops.Alerts.rules.length)
+    assert(kv.strings(Keys.AlertRules).contains("\"id\":\"alert_1\""))
   }
 
   test("infrastructure + derived jobs populate health, traffic, platform") {

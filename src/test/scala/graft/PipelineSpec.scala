@@ -7,15 +7,28 @@ import graft.ops.{Pipeline, Temporal}
 /** Golden tests for the pipeline stages and temporal operators. */
 class PipelineSpec extends SparkSpec {
 
-  test("token packing assigns bins by running total in doc order") {
+  test("token packing assigns bins by per-shard running total in doc order") {
     import spark.implicits._
-    // 4 docs × 900 tokens: cum 900/1800/2700/3600 → bins 0,0,0,1
-    val docs = (1 to 4).map(i =>
+    // 40 docs × 900 tokens hash into shards; within each shard the cumsum
+    // advances 900 per doc (in doc_id order) and the bin is the ~2000-token
+    // running-total bucket. Packing is per-shard by design — a global order
+    // would funnel the whole corpus through one WindowExec task.
+    val docs = (1 to 40).map(i =>
       (i.toLong, Seq.fill(900)("w").mkString(" "), "en", "s", 0L))
       .toDF("doc_id", "text", "lang", "source", "n_chars")
     val rows = Pipeline.tokenPacking(docs).collect()
+    assert(rows.length == 40)
     assert(rows.map(_.getAs[Long]("n_tokens")).forall(_ == 900L))
-    assert(rows.map(_.getAs[Long]("bin")).toSeq == Seq(0L, 0L, 0L, 1L))
+    rows.groupBy(_.getAs[Long]("shard")).foreach { case (_, rs) =>
+      val inOrder = rs.sortBy(_.getAs[Long]("doc_id"))
+      inOrder.zipWithIndex.foreach { case (r, i) =>
+        val cum = 900L * (i + 1)
+        assert(r.getAs[Long]("cum_tokens") == cum)
+        assert(r.getAs[Long]("bin") == (cum - 900L) / 2000L)
+      }
+    }
+    // more than one shard actually used, i.e. the window is partitioned
+    assert(rows.map(_.getAs[Long]("shard")).distinct.length > 1)
   }
 
   test("quality filter gates on length, diversity, and stopword signal") {

@@ -1,0 +1,89 @@
+#!/usr/bin/env python3
+"""Self-baseline bench gate: compare a bench JSON line against the previous
+round's BENCH_r{N}.json and flag per-query regressions.
+
+Usage:
+  SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 sbt -batch "runMain graft.Bench" \
+      2>/dev/null | grep -F '"metric"' > /tmp/bench_new.json
+  python3 tools/bench_compare.py BENCH_r03.json /tmp/bench_new.json
+
+Exit 1 if any overlapping query regressed more than REGRESSION_FACTOR
+(ignoring sub-second noise), or if a previously-passing query now errors.
+"""
+import json
+import sys
+
+REGRESSION_FACTOR = 2.0
+NOISE_FLOOR_SEC = 1.0  # both under this -> jitter, not signal
+
+
+def load(path):
+    # Accepted shapes: the raw one-line Bench output (possibly behind sbt's
+    # "[info] " prefix) or the driver's BENCH_r{N}.json wrapper, whose
+    # "parsed" field holds the same object.
+    with open(path) as f:
+        text = f.read()
+    try:
+        doc = json.loads(text)
+        if isinstance(doc, dict) and "queries" in doc:
+            return doc
+        if isinstance(doc, dict) and isinstance(doc.get("parsed"), dict):
+            return doc["parsed"]
+        if isinstance(doc, dict) and isinstance(doc.get("tail"), str):
+            text = doc["tail"]  # salvage from the truncated tail below
+    except json.JSONDecodeError:
+        pass
+    for line in text.splitlines():
+        if '"metric"' in line and "{" in line:
+            return json.loads(line[line.index("{"):])
+    # Last resort: the driver's wrapper truncates "tail" to 2 kB, cutting
+    # the JSON line mid-object — salvage whatever per-query pairs survived.
+    import re
+    if '"metric"' in text:
+        seg = text[text.index('"metric"'):]
+        queries = {m.group(1): float(m.group(2)) for m in
+                   re.finditer(r'"([a-z0-9_]+)":([0-9]+\.[0-9]+)', seg)
+                   if m.group(1) not in ("value",)}
+        total = re.search(r'"value":([0-9.]+)', seg)
+        if queries:
+            return {"value": float(total.group(1)) if total else 0.0,
+                    "queries": queries, "errors": {},
+                    "_partial": True}
+    raise SystemExit(f"no bench JSON line found in {path}")
+
+
+def main():
+    base_path = sys.argv[1] if len(sys.argv) > 1 else "BENCH_r03.json"
+    new_path = sys.argv[2] if len(sys.argv) > 2 else "/tmp/bench_new.json"
+    base, new = load(base_path), load(new_path)
+    bq, nq = base["queries"], new["queries"]
+
+    regressions, improved, errors = [], [], []
+    for name in sorted(set(bq) & set(nq)):
+        b, n = bq[name], nq[name]
+        if max(b, n) < NOISE_FLOOR_SEC:
+            continue
+        if n > b * REGRESSION_FACTOR:
+            regressions.append((name, b, n))
+        elif b > n * REGRESSION_FACTOR:
+            improved.append((name, b, n))
+    for name in sorted(set(bq) - set(nq)):
+        if name in new.get("errors", {}):
+            errors.append((name, new["errors"][name]))
+
+    print(f"baseline total {base['value']:.1f}s ({len(bq)} queries) -> "
+          f"new total {new['value']:.1f}s ({len(nq)} queries)")
+    for name, b, n in improved:
+        print(f"IMPROVED  {name}: {b:.2f}s -> {n:.2f}s")
+    for name, b, n in regressions:
+        print(f"REGRESSED {name}: {b:.2f}s -> {n:.2f}s (>{REGRESSION_FACTOR}x)")
+    for name, msg in errors:
+        print(f"ERROR     {name}: was {bq[name]:.2f}s, now fails: {msg[:120]}")
+    if not regressions and not errors:
+        print("OK: no per-query regression beyond "
+              f"{REGRESSION_FACTOR}x (noise floor {NOISE_FLOOR_SEC}s)")
+    sys.exit(1 if regressions or errors else 0)
+
+
+if __name__ == "__main__":
+    main()

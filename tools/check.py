@@ -60,6 +60,17 @@ def main():
             print(f"FAIL {name}: rows {len(s)} != {len(d)}")
             n_fail += 1
             continue
+        # The driver hashes TYPED values, so a dtype mismatch (e.g. DuckDB
+        # window sum() -> HUGEINT vs Spark BIGINT) fails its gate even when
+        # every value compares equal. Compare numpy kinds, not exact dtypes,
+        # so nullable Int64 vs int64 still passes.
+        dtype_bad = [(c, str(s[c].dtype), str(d[c].dtype)) for c in s.columns
+                     if s[c].dtype.kind != d[c].dtype.kind]
+        if dtype_bad:
+            print(f"FAIL {name}: dtype kind mismatch (driver hashes typed "
+                  f"values): {dtype_bad}")
+            n_fail += 1
+            continue
         bad = []
         inexact = 0
         for col in s.columns:
