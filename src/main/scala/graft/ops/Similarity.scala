@@ -199,6 +199,97 @@ object Similarity {
       .orderBy(col("q_id"), col("rnk"))
   }
 
+  /** Deterministic spherical k-means (Lloyd's) coarse quantizer — the
+    * trained counterpart of [[annIvfTopK]]'s fixture centroids. All heavy
+    * work is DataFrame-native and broadcast-shaped:
+    *
+    *   - seeds: the K vectors with the smallest md5(vec_id) — a hash-spread,
+    *     engine-reproducible pick (no RNG state);
+    *   - assignment: corpus × broadcast(K centroids), argmax cosine — the
+    *     same one-pass shape the 100 TB posting-list build uses;
+    *   - update: per-(centroid, component) mean computed as a LEFT FOLD OVER
+    *     SORTED member values, so the float sum has one canonical order and
+    *     repeated runs are bit-identical (a plain `avg` sums in partition
+    *     order and is run-to-run nondeterministic in the low bits);
+    *   - only the K×dim centroid matrix is ever collected to the driver
+    *     (O(K·dim) per iteration, independent of corpus size).
+    *
+    * Iterative float averaging cannot be mirrored bit-exactly in a one-shot
+    * DuckDB SQL oracle, so the trained query registers rows-only; recall and
+    * determinism are asserted in SimilaritySpec instead.
+    */
+  def kmeansCentroids(emb: DataFrame, k: Int = 8, iters: Int = 3): DataFrame = {
+    val spark = emb.sparkSession
+    import org.apache.spark.sql.expressions.Window
+    val seeds = emb
+      .withColumn("h", md5(col("vec_id").cast("string")))
+      .orderBy(col("h"))
+      .limit(k)
+      .withColumn("c_id", row_number().over(Window.orderBy(col("h"))).cast("int"))
+      .select(col("c_id"), col("v").as("cv"))
+    var cents = seeds.collect()
+      .map(r => (r.getAs[Int]("c_id"), r.getSeq[Double](r.fieldIndex("cv")).toVector))
+    for (_ <- 0 until iters) {
+      val cdf = spark.createDataFrame(cents.toSeq).toDF("c_id", "cv")
+      val assigned = emb.join(broadcast(cdf), lit(true))
+        .select(col("vec_id"), col("v"), col("c_id"),
+          expr(cosExpr("v", "cv")).as("c_cos"))
+        .withColumn("crnk", row_number().over(
+          Window.partitionBy(col("vec_id")).orderBy(col("c_cos").desc, col("c_id").asc)))
+        .filter(col("crnk") === 1)
+      val updated = assigned
+        .select(col("c_id"), posexplode(col("v")))
+        .toDF("c_id", "pos", "x")
+        .groupBy(col("c_id"), col("pos"))
+        .agg(expr("aggregate(array_sort(collect_list(x)), 0D, (a, b) -> a + b) / count(x)")
+          .as("m"))
+        .groupBy(col("c_id"))
+        .agg(expr("transform(array_sort(collect_list(struct(pos, m))), s -> s.m)").as("cv"))
+        .collect()
+        .map(r => (r.getAs[Int]("c_id"), r.getSeq[Double](r.fieldIndex("cv")).toVector))
+      // A centroid that lost all members keeps its previous position.
+      val byId = updated.toMap
+      cents = cents.map { case (id, old) => (id, byId.getOrElse(id, old)) }
+    }
+    spark.createDataFrame(cents.toSeq).toDF("c_id", "cv")
+  }
+
+  /** IVF ANN over TRAINED centroids ([[kmeansCentroids]]) — same probe shape
+    * as [[annIvfTopK]] (nprobe=2 of K=8) but the quantizer is fit to the
+    * corpus instead of picked from it. Rows-only registration (see
+    * [[kmeansCentroids]] for why); SimilaritySpec pins determinism and
+    * recall vs the exact baseline.
+    */
+  def annIvfTrainedTopK(embeddings: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val emb = embDouble(embeddings).select("vec_id", "v").persist()
+    val centroids = kmeansCentroids(emb)
+    val assigned = emb.join(broadcast(centroids), lit(true))
+      .select(col("vec_id"), col("v"), col("c_id"),
+        expr(cosExpr("v", "cv")).as("c_cos"))
+      .withColumn("crnk", row_number().over(
+        Window.partitionBy(col("vec_id")).orderBy(col("c_cos").desc, col("c_id").asc)))
+      .filter(col("crnk") === 1)
+      .select(col("vec_id"), col("v"), col("c_id"))
+    val probes = emb.filter(col("vec_id") < NumQueries)
+      .join(broadcast(centroids), lit(true))
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("c_id"),
+        expr(cosExpr("v", "cv")).as("c_cos"))
+      .withColumn("crnk", row_number().over(
+        Window.partitionBy(col("q_id")).orderBy(col("c_cos").desc, col("c_id").asc)))
+      .filter(col("crnk") <= 2)
+      .select(col("q_id"), col("qv"), col("c_id"))
+    assigned.join(broadcast(probes), Seq("c_id"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"), expr(cosExpr("qv", "v")).as("cos"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id").asc))
+        .cast("long"))
+      .filter(col("rnk") <= 5)
+      .select(col("q_id"), col("rnk"), col("vec_id"))
+      .orderBy(col("q_id"), col("rnk"))
+  }
+
   /** Multimodal array-column stats per label class: count, mean L2 norm,
     * mean leading component — the sanity profile a pipeline reports for an
     * embedding table.
@@ -219,6 +310,7 @@ object Similarity {
     "ann_cosine_topk" -> ((s, d) => cosineTopK(Tables.embeddings(s, d))),
     "ann_lsh_topk" -> ((s, d) => annLshTopK(Tables.embeddings(s, d))),
     "ann_ivf_topk" -> ((s, d) => annIvfTopK(Tables.embeddings(s, d))),
+    "ann_ivf_trained_topk" -> ((s, d) => annIvfTrainedTopK(Tables.embeddings(s, d))),
     "embedding_near_dup" -> ((s, d) => embeddingNearDup(Tables.embeddings(s, d))),
     "embedding_stats" -> ((s, d) => embeddingStats(Tables.embeddings(s, d))),
   )
