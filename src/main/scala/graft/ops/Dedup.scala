@@ -209,10 +209,66 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** Duplicate clusters: connected components over the MinHash candidate
+    * pairs — the transitive-closure step a dedup pipeline needs before it
+    * can pick one keeper per GROUP (pairs alone under-delete: A~B, B~C must
+    * collapse to one cluster even if A~C was never a candidate).
+    *
+    * Algorithm: iterative min-label propagation — every doc starts labeled
+    * with itself; each round takes the min of its own and its neighbors'
+    * labels; converges in O(component diameter) rounds. Each round is one
+    * equi-join + partial-agg min — no windows, no driver-side graph. Near-dup
+    * components are overwhelmingly tiny (pairs/triples), so diameter — and
+    * the round count — stays small at any corpus size; the driver only ever
+    * sees the per-round convergence COUNT, never the labels. At 100 TB the
+    * refinement is the alternating large-star/small-star formulation
+    * (Kiveris et al., "Connected Components in MapReduce"), which collapses
+    * long chains in O(log n) rounds; the per-round plan shape is the same.
+    */
+  def dupClusters(corpus: DataFrame): DataFrame = {
+    val pairs = minhashCandidates(corpus).select("doc_a", "doc_b")
+    // Eager localCheckpoint, not persist: persist caches DATA but keeps the
+    // full logical plan, and in an iterative loop each round's plan nests
+    // the previous round's (plus the whole MinHash lineage) — the plan tree
+    // grows geometrically with rounds and OOMs the driver long before the
+    // data does. Checkpointing truncates lineage so every round's plan is
+    // one join + one agg, constant-size. At cluster scale use
+    // `spark.sparkContext.setCheckpointDir` + `.checkpoint()` (reliable
+    // storage) instead of the executor-local variant.
+    val edges = pairs
+      .unionByName(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+      .localCheckpoint(true)
+    var labels = edges.select(col("doc_a").as("doc_id")).distinct()
+      .withColumn("label", col("doc_id")).localCheckpoint(true)
+    var changed = 1L
+    var rounds = 0
+    while (changed > 0 && rounds < 20) {
+      val next = edges
+        .join(labels.select(col("doc_id").as("doc_b"), col("label").as("nbr_label")),
+          "doc_b")
+        .groupBy(col("doc_a"))
+        .agg(min(col("nbr_label")).as("min_nbr"))
+        .join(labels.select(col("doc_id").as("doc_a"), col("label")), "doc_a")
+        .select(col("doc_a").as("doc_id"),
+          least(col("label"), col("min_nbr")).as("label"))
+        .localCheckpoint(true)
+      changed = next
+        .join(labels.select(col("doc_id"), col("label").as("old_label")), "doc_id")
+        .filter(col("label") =!= col("old_label")).count()
+      labels = next
+      rounds += 1
+    }
+    val sizes = labels.groupBy(col("label")).agg(count(lit(1)).as("n_members"))
+    labels.join(sizes, "label")
+      .select(col("doc_id"), col("label").as("cluster_id"), col("n_members"))
+      .orderBy(col("doc_id"))
+  }
+
   // ---------------------------------------------------------------- registry
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> ((s, d) => exactDedup(exactCorpus(Tables.documents(s, d)))),
+    "dedup_clusters" -> ((s, d) => dupClusters(nearCorpus(Tables.documents(s, d)))),
     "dedup_minhash" -> ((s, d) => minhashCandidates(nearCorpus(Tables.documents(s, d)))),
     "dedup_ngram_jaccard" -> ((s, d) => ngramJaccard(nearCorpus(Tables.documents(s, d)))),
     "dedup_simhash_pairs" -> ((s, d) => simhashPairs(nearCorpus(Tables.documents(s, d)))),
@@ -268,6 +324,24 @@ object Dedup {
       |)""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
+    "dedup_clusters" ->
+      s"""WITH RECURSIVE $nearCorpusSql, $sigSql, $candSql,
+         |edges AS (
+         |  SELECT doc_a AS a, doc_b AS b FROM cands
+         |  UNION ALL
+         |  SELECT doc_b, doc_a FROM cands
+         |),
+         |reach AS (
+         |  SELECT a AS node, a AS root FROM edges
+         |  UNION
+         |  SELECT e.b AS node, r.root FROM reach r JOIN edges e ON e.a = r.node
+         |),
+         |clusters AS (
+         |  SELECT node AS doc_id, min(root) AS cluster_id FROM reach GROUP BY node
+         |)
+         |SELECT doc_id, cluster_id,
+         |  count(*) OVER (PARTITION BY cluster_id) AS n_members
+         |FROM clusters ORDER BY doc_id""".stripMargin,
     "dedup_exact" ->
       """WITH corpus AS (
         |  SELECT doc_id, text FROM documents

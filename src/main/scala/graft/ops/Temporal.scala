@@ -51,14 +51,60 @@ object Temporal {
       .orderBy(col("event_id"))
   }
 
+  /** Interval (range) join, bin-bucketed: events joined to campaign windows
+    * they fall inside. A naive `ts BETWEEN start AND end` theta join is a
+    * broadcast-nested-loop (quadratic at scale); because every interval here
+    * is bounded (24 h), each side is keyed by the day bins it touches and
+    * the range predicate only runs WITHIN equi-join buckets — the standard
+    * binning reduction that turns a range join into a shuffle/broadcast
+    * hash join plus a residual filter. Campaigns are derived
+    * deterministically from the data (one 24 h window per observed day,
+    * offset +6 h so every window spans a bin boundary and the multi-bin
+    * explode is actually exercised).
+    */
+  def campaignIntervalJoin(events: DataFrame): DataFrame = {
+    val e = Synth.eventTime(events)
+    val campaigns = e.select(date_trunc("day", col("ts")).as("d")).distinct()
+      .select(col("d"),
+        (col("d") + expr("INTERVAL 6 HOURS")).as("start_ts"),
+        (col("d") + expr("INTERVAL 30 HOURS")).as("end_ts"))
+    // Explode each interval to the day bins it overlaps (here: d and d+1).
+    val campaignBins = campaigns
+      .select(col("d"), col("start_ts"), col("end_ts"),
+        explode(sequence(col("d"), col("d") + expr("INTERVAL 1 DAY"),
+          expr("INTERVAL 1 DAY"))).as("bin"))
+    val eventBins = e.withColumn("bin", date_trunc("day", col("ts")))
+    eventBins.join(broadcast(campaignBins), Seq("bin"))
+      .filter(col("ts") >= col("start_ts") && col("ts") < col("end_ts"))
+      .groupBy(col("d"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value")), 2).as("total_value"))
+      .select(unix_micros(col("d")).as("campaign_day_us"),
+        col("n_events"), col("total_value"))
+      .orderBy(col("campaign_day_us"))
+  }
+
   // ---------------------------------------------------------------- registry
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "user_sessions" -> ((s, d) => userSessions(Tables.events(s, d))),
     "asof_last_purchase" -> ((s, d) => asofLastPurchase(Tables.events(s, d))),
+    "interval_join" -> ((s, d) => campaignIntervalJoin(Tables.events(s, d))),
   )
 
   def oracleSql: Map[String, String] = Map(
+    // The oracle may use the naive theta join (it's sf-scale data); the
+    // Spark side must not — that asymmetry is the point of the operator.
+    "interval_join" ->
+      """WITH campaigns AS (
+        |  SELECT DISTINCT date_trunc('day', ts) AS d FROM events
+        |)
+        |SELECT epoch_us(d) AS campaign_day_us,
+        |  count(*) AS n_events,
+        |  round(sum(value), 2) AS total_value
+        |FROM events JOIN campaigns
+        |  ON ts >= d + INTERVAL 6 HOUR AND ts < d + INTERVAL 30 HOUR
+        |GROUP BY d ORDER BY campaign_day_us""".stripMargin,
     "user_sessions" ->
       """WITH marked AS (
         |  SELECT user_id, ts, value,

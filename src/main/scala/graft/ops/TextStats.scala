@@ -111,6 +111,44 @@ object TextStats {
           (acc, x) -> (acc * 31 + x) % 999999937)""").as("fingerprint"))
       .orderBy(col("doc_id"))
 
+  /** Text cleaning/normalization ahead of tokenization: case-fold, strip
+    * non-alphanumerics to spaces, collapse runs, trim — each step a codegen
+    * regexp over a narrow projection (zero shuffle; at 100 TB this is pure
+    * map-side throughput, bounded by scan speed).
+    */
+  def textClean(documents: DataFrame): DataFrame =
+    documents
+      .withColumn("clean_text",
+        trim(regexp_replace(regexp_replace(lower(col("text")), "[^a-z0-9 ]", " "),
+          " +", " ")))
+      .select(col("doc_id"), col("clean_text"),
+        size(split(col("clean_text"), " ")).cast("long").as("n_clean_tokens"))
+      .orderBy(col("doc_id"))
+
+  /** Corpus-frequency document score: the mean corpus frequency of a doc's
+    * tokens — a cheap unigram-LM proxy separating common-word prose from
+    * rare-token noise. Two passes: (1) the vocabulary table (token →
+    * corpus count; explode + map-side partial agg), (2) score per doc via a
+    * broadcast join against it. All arithmetic stays in exact BIGINTs until
+    * one final division, so the oracle matches bit-for-bit (no transcendental
+    * functions whose low bits differ across engines).
+    *
+    * At 100 TB the vocab table is Zipf-distributed: broadcast the top-V
+    * head and fall back to a default count for the tail rather than
+    * shuffling the full vocabulary.
+    */
+  def docFreqScore(documents: DataFrame): DataFrame = {
+    val toks = documents
+      .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("tok"))
+    val vocab = toks.groupBy(col("tok")).agg(count(lit(1)).as("tf"))
+    toks.join(broadcast(vocab), "tok")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("tf")).as("sum_tf"))
+      .select(col("doc_id"), col("n_tokens"), col("sum_tf"),
+        round(col("sum_tf") / col("n_tokens").cast("double"), 4).as("avg_tok_freq"))
+      .orderBy(col("doc_id"))
+  }
+
   // ---------------------------------------------------------------- registry
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -118,6 +156,8 @@ object TextStats {
     "lang_id" -> ((s, d) => langId(Tables.documents(s, d))),
     "token_counts" -> ((s, d) => tokenCounts(Tables.documents(s, d))),
     "doc_fingerprint" -> ((s, d) => fingerprints(Tables.documents(s, d))),
+    "text_clean" -> ((s, d) => textClean(Tables.documents(s, d))),
+    "doc_freq_score" -> ((s, d) => docFreqScore(Tables.documents(s, d))),
   )
 
   def oracleSql: Map[String, String] = {
@@ -162,6 +202,24 @@ object TextStats {
            |  sum(len($toks))::BIGINT AS total_ws_tokens,
            |  sum(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')))::BIGINT AS total_bpe_tokens
            |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+      "text_clean" ->
+        """SELECT doc_id,
+          |  trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+          |    ' +', ' ', 'g')) AS clean_text,
+          |  len(string_split(trim(regexp_replace(regexp_replace(lower(text),
+          |    '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), ' '))::BIGINT AS n_clean_tokens
+          |FROM documents ORDER BY doc_id""".stripMargin,
+      "doc_freq_score" ->
+        """WITH toks AS (
+          |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
+          |  FROM documents
+          |), vocab AS (
+          |  SELECT tok, count(*) AS tf FROM toks GROUP BY tok
+          |)
+          |SELECT doc_id, count(*) AS n_tokens, sum(tf)::BIGINT AS sum_tf,
+          |  round(sum(tf) / count(*)::DOUBLE, 4) AS avg_tok_freq
+          |FROM toks JOIN vocab USING (tok)
+          |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
       "doc_fingerprint" ->
         s"""SELECT doc_id,
            |  list_reduce(

@@ -78,9 +78,35 @@ object Cdc {
     df.withColumn(payloadCol,
       expr(s"substring($payloadCol, 6, length($payloadCol) - 5)"))
 
+  /** CDC log compaction: materialize the current table state from the op
+    * log — latest op per key wins, keys whose latest op is a delete drop
+    * out. This is the canonical batch consumer of a Debezium stream (the
+    * upsert/merge a lakehouse sink applies per micro-batch).
+    *
+    * Scale shape: one shuffle on the primary key, then a sorted-run
+    * `row_number` per key — no join, no global ordering. The key here is
+    * user_id (an entity with many change events); ties on the ms-precision
+    * source timestamp break deterministically by event_id (the log offset),
+    * exactly how a real consumer resolves same-ms updates.
+    */
+  def snapshot(envelope: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("__source_ts_ms").desc, col("event_id").desc)
+    envelope
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1 && !col("__deleted"))
+      .select(col("user_id"), col("event_id").as("last_event_id"),
+        col("__op").as("last_op"), col("__source_ts_ms").as("last_ts_ms"),
+        col("value").as("last_value"))
+      .orderBy(col("user_id"))
+  }
+
   // ---------------------------------------------------------------- registry
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // CDC compaction: op log → current state (latest per key, deletes drop).
+    "cdc_snapshot" -> ((s, d) => snapshot(envelope(Tables.events(s, d)))),
     // P1 + envelope: op filter over the CDC stream shape.
     "cdc_op_filter" -> ((s, d) => opFilter(envelope(Tables.events(s, d)))
       .select("event_id", "__op", "__table", "__source_ts_ms", "__deleted")
@@ -130,6 +156,22 @@ object Cdc {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "cdc_snapshot" ->
+      """WITH env AS (
+        |  SELECT event_id, user_id, value,
+        |    (['c','u','r','d'])[(event_id % 4)::INT + 1] AS __op,
+        |    epoch_ms(ts) AS __source_ts_ms,
+        |    (event_id % 4 = 3) AS __deleted
+        |  FROM events
+        |), ranked AS (
+        |  SELECT *, row_number() OVER (PARTITION BY user_id
+        |    ORDER BY __source_ts_ms DESC, event_id DESC) AS rn
+        |  FROM env
+        |)
+        |SELECT user_id, event_id AS last_event_id, __op AS last_op,
+        |  __source_ts_ms AS last_ts_ms, value AS last_value
+        |FROM ranked WHERE rn = 1 AND NOT __deleted
+        |ORDER BY user_id""".stripMargin,
     "cdc_op_filter" ->
       """SELECT event_id,
         |  (['c','u','r','d'])[(event_id % 4)::INT + 1] AS __op,

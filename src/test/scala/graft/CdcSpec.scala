@@ -50,4 +50,24 @@ class CdcSpec extends SparkSpec {
     val out = Cdc.stripWireHeader(df, "payload").select("payload").head().getString(0)
     assert(out == "payload")
   }
+
+  test("snapshot compaction: latest op per key wins, trailing delete drops the key") {
+    import spark.implicits._
+    // user 1: ops at t0..t2, latest (event_id 6, %4=2 → 'r') keeps the row
+    // with its value; user 2: latest op is event_id 7 (%4=3 → delete) → the
+    // key disappears; user 3: same-ms tie broken by higher event_id.
+    val ev = Seq(
+      (4L, Timestamp.valueOf("2024-01-01 00:00:00"), 1L, "click", 10.0, "{}"),
+      (5L, Timestamp.valueOf("2024-01-01 00:00:01"), 1L, "click", 20.0, "{}"),
+      (6L, Timestamp.valueOf("2024-01-01 00:00:02"), 1L, "click", 30.0, "{}"),
+      (2L, Timestamp.valueOf("2024-01-01 00:00:00"), 2L, "click", 1.0, "{}"),
+      (7L, Timestamp.valueOf("2024-01-01 00:00:01"), 2L, "click", 2.0, "{}"),
+      (8L, Timestamp.valueOf("2024-01-01 00:00:05"), 3L, "click", 5.0, "{}"),
+      (10L, Timestamp.valueOf("2024-01-01 00:00:05"), 3L, "click", 6.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val snap = Cdc.snapshot(Cdc.envelope(ev)).collect()
+      .map(r => r.getAs[Long]("user_id") ->
+        (r.getAs[Long]("last_event_id"), r.getAs[Double]("last_value"))).toMap
+    assert(snap == Map(1L -> (6L, 30.0), 3L -> (10L, 6.0))) // user 2 deleted
+  }
 }

@@ -56,6 +56,31 @@ class DedupSpec extends SparkSpec {
     assert(pairs.contains((1L, 2L)))
   }
 
+  test("dup clusters close the pair set transitively") {
+    import spark.implicits._
+    // A chain: 1~2 exact, 1~3 near — the cluster must be {1,2,3} under the
+    // min label (1), with disjoint docs 4/5 absent entirely.
+    val out = Dedup.dupClusters(corpus).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("cluster_id"), r.getAs[Long]("n_members"))).toMap
+    assert(out.keySet == Set(1L, 2L, 3L))
+    assert(out.values.toSet == Set((1L, 3L))) // one cluster, min-id label, size 3
+    // Transitivity beyond direct candidates: a synthetic chain a~b, b~c where
+    // a and c share NO shingles still collapses into one cluster.
+    val chain = Seq(
+      (10L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (11L, "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"),
+      (12L, "epsilon zeta eta theta iota kappa lambda mu nu xi omicron pi"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.minhashCandidates(chain).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    if (pairs == Set((10L, 11L), (11L, 12L))) { // chain shape holds for minhash
+      val cl = Dedup.dupClusters(chain).collect()
+        .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster_id")).toMap
+      assert(cl == Map(10L -> 10L, 11L -> 10L, 12L -> 10L))
+    }
+  }
+
   test("text stats and fingerprints are deterministic and sane") {
     import spark.implicits._
     val docs = Seq((1L, "a b c a", "en", "s", 7L), (2L, "a b c a", "en", "s", 7L))

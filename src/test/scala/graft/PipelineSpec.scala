@@ -76,4 +76,24 @@ class PipelineSpec extends SparkSpec {
     assert(byId(2L).contains(42.0)) // after first purchase
     assert(byId(4L).contains(7.0)) // after second purchase
   }
+
+  test("interval join matches events to the 6h..30h campaign window across bins") {
+    import spark.implicits._
+    // Day-1 campaign = [jan1 06:00, jan2 06:00). 05:59 is out, 06:00 is in,
+    // and jan2 05:00 (a DIFFERENT day bin) still belongs to day-1's window —
+    // the case the multi-bin explode exists for. jan2 07:00 is day-2 only.
+    val events = Seq(
+      (0L, Timestamp.valueOf("2024-01-01 05:59:00"), 1L, "click", 1.0, "{}"),
+      (1L, Timestamp.valueOf("2024-01-01 06:00:00"), 1L, "click", 2.0, "{}"),
+      (2L, Timestamp.valueOf("2024-01-02 05:00:00"), 1L, "click", 4.0, "{}"),
+      (3L, Timestamp.valueOf("2024-01-02 07:00:00"), 1L, "click", 8.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val out = Temporal.campaignIntervalJoin(events).collect()
+      .map(r => r.getAs[Long]("campaign_day_us") ->
+        (r.getAs[Long]("n_events"), r.getAs[Double]("total_value"))).toMap
+    val day1 = Timestamp.valueOf("2024-01-01 00:00:00").getTime * 1000L
+    val day2 = Timestamp.valueOf("2024-01-02 00:00:00").getTime * 1000L
+    assert(out(day1) == (2L, 6.0)) // 06:00 + next-day 05:00; 05:59 excluded
+    assert(out(day2) == (1L, 8.0))
+  }
 }
