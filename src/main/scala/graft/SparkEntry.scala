@@ -48,6 +48,10 @@ object SparkEntry {
       Tpch.topCustomersPerSegment(Tables.customer(s, d), Tables.orders(s, d))),
     "priority_return_counts" -> ((s, d) =>
       Tpch.priorityReturnCounts(Tables.orders(s, d), Tables.lineitem(s, d))),
+    "inactive_customers" -> ((s, d) =>
+      Tpch.inactiveCustomers(Tables.customer(s, d), Tables.orders(s, d))),
+    "order_priority_rollup" -> ((s, d) =>
+      Tpch.orderPriorityRollup(Tables.orders(s, d))),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -125,5 +129,26 @@ object SparkEntry {
         |  SELECT l_orderkey FROM lineitem WHERE l_returnflag = 'R')
         |GROUP BY o_orderpriority
         |ORDER BY o_orderpriority""".stripMargin,
+    "inactive_customers" ->
+      """SELECT c_mktsegment,
+        |  count(*) AS n_inactive,
+        |  min(c_custkey) AS min_custkey
+        |FROM customer
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey
+        |    AND o_orderdate >= TIMESTAMP '1998-01-01 00:00:00')
+        |GROUP BY c_mktsegment
+        |ORDER BY c_mktsegment""".stripMargin,
+    "order_priority_rollup" ->
+      """SELECT grouping(o_year, o_orderpriority)::BIGINT AS gid,
+        |  coalesce(o_year, -1) AS o_year,
+        |  coalesce(o_orderpriority, 'ALL') AS o_orderpriority,
+        |  count(*) AS n_orders,
+        |  round(sum(o_totalprice), 2) AS total_value
+        |FROM (SELECT year(o_orderdate)::BIGINT AS o_year, o_orderpriority, o_totalprice
+        |      FROM orders)
+        |GROUP BY ROLLUP(o_year, o_orderpriority)
+        |ORDER BY gid, o_year, o_orderpriority""".stripMargin,
   )
 }

@@ -149,9 +149,37 @@ object TextStats {
       .orderBy(col("doc_id"))
   }
 
+  /** TF-IDF top term per document — log-free: scoring by tf/df ranks
+    * identically to tf·log(N/df) for fixed tf ordering purposes here and,
+    * unlike the log form, stays in exact integer arithmetic until one final
+    * division, so the DuckDB oracle matches bit-for-bit (ln() low bits
+    * differ across engines). Two aggregates (per-doc tf, corpus df) joined
+    * on token, then one `row_number` per doc_id — a high-cardinality
+    * partition key, so no window funnel. At scale the df (vocabulary) side
+    * is Zipf-headed: broadcast the head, default the tail.
+    */
+  def docTopTerm(documents: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = documents
+      .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("tok"))
+    val tf = toks.groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+    val df = toks.select("doc_id", "tok").distinct()
+      .groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    tf.join(broadcast(df), "tok")
+      .withColumn("score", round(col("tf") / col("df").cast("double"), 6))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("doc_id"))
+          .orderBy(col("score").desc, col("tok").asc)))
+      .filter(col("rnk") === 1)
+      .select(col("doc_id"), col("tok").as("top_term"), col("tf"), col("df"),
+        col("score"))
+      .orderBy(col("doc_id"))
+  }
+
   // ---------------------------------------------------------------- registry
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "doc_top_term" -> ((s, d) => docTopTerm(Tables.documents(s, d))),
     "text_stats" -> ((s, d) => textStats(Tables.documents(s, d))),
     "lang_id" -> ((s, d) => langId(Tables.documents(s, d))),
     "token_counts" -> ((s, d) => tokenCounts(Tables.documents(s, d))),
@@ -202,6 +230,24 @@ object TextStats {
            |  sum(len($toks))::BIGINT AS total_ws_tokens,
            |  sum(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')))::BIGINT AS total_bpe_tokens
            |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+      "doc_top_term" ->
+        """WITH toks AS (
+          |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
+          |  FROM documents
+          |), tf AS (
+          |  SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY doc_id, tok
+          |), df AS (
+          |  SELECT tok, count(*) AS df
+          |  FROM (SELECT DISTINCT doc_id, tok FROM toks) GROUP BY tok
+          |), scored AS (
+          |  SELECT doc_id, tok, tf.tf, df.df,
+          |    round(tf.tf / df.df::DOUBLE, 6) AS score,
+          |    row_number() OVER (PARTITION BY doc_id
+          |      ORDER BY round(tf.tf / df.df::DOUBLE, 6) DESC, tok ASC) AS rnk
+          |  FROM tf JOIN df USING (tok)
+          |)
+          |SELECT doc_id, tok AS top_term, tf, df, score
+          |FROM scored WHERE rnk = 1 ORDER BY doc_id""".stripMargin,
       "text_clean" ->
         """SELECT doc_id,
           |  trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),

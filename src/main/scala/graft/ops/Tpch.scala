@@ -130,4 +130,40 @@ object Tpch {
       .agg(count(lit(1)).as("n_orders"),
         round(sum(col("o_totalprice")), 2).as("total_value"))
       .orderBy(col("o_orderpriority"))
+
+  /** Customers with no orders (anti-join shape): `left_anti` instead of a
+    * NOT IN subquery — the anti join streams the fact side through a hash
+    * lookup of the key set (one shuffle on the key, or none if the key side
+    * broadcasts); a NOT IN on a nullable key degenerates to a
+    * null-aware nested loop.
+    */
+  def inactiveCustomers(customer: DataFrame, orders: DataFrame): DataFrame =
+    customer
+      .join(orders.filter(col("o_orderdate") >= lit("1998-01-01")).select("o_custkey"),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_inactive"),
+        min(col("c_custkey")).as("min_custkey"))
+      .orderBy(col("c_mktsegment"))
+
+  /** Multi-level aggregation (ROLLUP): per (year, priority), per year, and
+    * grand total in ONE pass — Catalyst expands the grouping sets and still
+    * plans map-side partial aggregation, where three separate groupBys would
+    * re-shuffle the fact table three times. Grouping columns are
+    * null-marked at super-aggregate rows; both sides coalesce them to
+    * sentinels so ordering and hashing are engine-independent.
+    */
+  def orderPriorityRollup(orders: DataFrame): DataFrame =
+    orders
+      .withColumn("o_year", year(col("o_orderdate")).cast("long"))
+      .rollup(col("o_year"), col("o_orderpriority"))
+      // grouping_id() is only resolvable inside the rollup's own aggregate.
+      .agg(grouping_id().cast("long").as("gid"),
+        count(lit(1)).as("n_orders"),
+        round(sum(col("o_totalprice")), 2).as("total_value"))
+      .select(col("gid"),
+        coalesce(col("o_year"), lit(-1L)).as("o_year"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("o_orderpriority"),
+        col("n_orders"), col("total_value"))
+      .orderBy(col("gid"), col("o_year"), col("o_orderpriority"))
 }

@@ -233,4 +233,36 @@ class StreamingSpec extends SparkSpec {
     assert(list.head.contains("evt_20")) // newest first
     assert(!list.exists(_.contains("evt_5\""))) // oldest 5 trimmed
   }
+
+  test("CDC materializer keeps latest per key across batches, ignores stale ops") {
+    import spark.implicits._
+    import graft.streaming.CdcMaterializer
+    import graft.streaming.CdcMaterializer.CdcOp
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[CdcOp]
+    val query = CdcMaterializer(input.toDS())
+      .writeStream.format("memory").queryName("cdc_mat_test")
+      .outputMode(CdcMaterializer.outputMode)
+      .start()
+    try {
+      input.addData(
+        CdcOp(1L, 100L, 1L, "c", 10.0, deleted = false),
+        CdcOp(2L, 100L, 2L, "c", 1.0, deleted = false),
+        CdcOp(3L, 500L, 3L, "c", 99.0, deleted = false))
+      query.processAllAvailable()
+      input.addData(
+        CdcOp(1L, 200L, 4L, "u", 20.0, deleted = false), // newer → wins
+        CdcOp(2L, 300L, 5L, "d", 0.0, deleted = true),   // delete → tombstone
+        CdcOp(3L, 300L, 6L, "u", 7.0, deleted = false))  // STALE (ts 300 < 500)
+      query.processAllAvailable()
+      val state = spark.table("cdc_mat_test")
+        .groupBy($"key").agg(org.apache.spark.sql.functions.expr(
+          "max_by(struct(value, deleted, eventId), struct(tsMs, eventId)) AS cur"))
+        .select($"key", $"cur.value", $"cur.deleted", $"cur.eventId")
+        .collect().map(r => r.getLong(0) -> ((r.getDouble(1), r.getBoolean(2)))).toMap
+      assert(state(1L) == ((20.0, false))) // updated
+      assert(state(2L) == ((0.0, true)))   // tombstoned
+      assert(state(3L) == ((99.0, false))) // stale op ignored
+    } finally query.stop()
+  }
 }
