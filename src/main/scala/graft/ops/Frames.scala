@@ -214,6 +214,24 @@ object Frames {
       .count()
       .select(col("platform").as("name"), col("count").as("value"))
 
+  /** Pivot: platform × event_type count matrix in one pass. The value list
+    * is EXPLICIT — `pivot(col)` without one runs a whole extra distinct-scan
+    * job just to discover the columns, and makes the output schema
+    * data-dependent (a new event type would silently widen the table).
+    * Pivot lowers to the same single groupBy with conditional aggregates
+    * the oracle states directly.
+    */
+  def platformPivot(events: DataFrame): DataFrame =
+    events
+      .select(Synth.platform(col("event_id"), col("user_id")).as("platform"),
+        col("event_type"))
+      .filter(col("platform").isNotNull)
+      .groupBy(col("platform"))
+      .pivot("event_type", Seq("click", "view", "purchase", "signup", "error"))
+      .count()
+      .na.fill(0L)
+      .orderBy(col("platform"))
+
   /** A9/T1: the richest-then-latest window pick the KPI writer makes per
     * micro-batch (reference: kpi_aggregator.py:60-67), as a plan-level
     * TakeOrderedAndProject instead of a driver-side collect.
@@ -268,6 +286,7 @@ object Frames {
       approxDistinctFrame(Tables.events(s, d)).orderBy(col("updatedAt"))),
     "geo_header" -> ((s, d) => geoFrame(Tables.events(s, d)).orderBy(col("updatedAt"))),
     "platform_breakdown" -> ((s, d) => platformFrame(Tables.events(s, d)).orderBy(col("name"))),
+    "platform_pivot" -> ((s, d) => platformPivot(Tables.events(s, d))),
     "top1_richest_window" -> ((s, d) => top1RichestWindow(Tables.events(s, d))),
     "latest_window" -> ((s, d) => latestWindow(Tables.events(s, d)))
   )
@@ -375,6 +394,18 @@ object Frames {
            |  SELECT ${Synth.platformSql("event_id", "user_id")} AS platform FROM events
            |) WHERE platform IS NOT NULL
            |GROUP BY platform ORDER BY name""".stripMargin,
+      "platform_pivot" ->
+        s"""SELECT platform,
+           |  count(*) FILTER (WHERE event_type = 'click') AS click,
+           |  count(*) FILTER (WHERE event_type = 'view') AS view,
+           |  count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+           |  count(*) FILTER (WHERE event_type = 'signup') AS signup,
+           |  count(*) FILTER (WHERE event_type = 'error') AS error
+           |FROM (
+           |  SELECT ${Synth.platformSql("event_id", "user_id")} AS platform, event_type
+           |  FROM events
+           |) WHERE platform IS NOT NULL
+           |GROUP BY platform ORDER BY platform""".stripMargin,
       // approx_distinct_users: intentionally no oracle (HLL estimate).
     )
   }
