@@ -71,26 +71,34 @@ object RegionLookup {
   /** Per-region rollup after the two-level lookup; the per-event resolved
     * frame is the pre-agg intermediate.
     */
-  def regionLookup(spark: SparkSession, events: DataFrame): DataFrame = {
+  /** Per-event resolution — the enrichment frame itself. Broadcast-only
+    * (no stream shuffle, no join state), so it applies unchanged to a
+    * STREAMING events frame ([[graft.streaming.StreamJoins.enrichedEvents]]).
+    */
+  def resolvedEvents(spark: SparkSession, events: DataFrame): DataFrame = {
     val derived = events.select(
       col("event_id"), col("user_id"),
       element_at(array(countries.map(lit): _*),
         (pmod(col("user_id"), lit(countries.size)) + 1).cast("int")).as("country_code"),
       element_at(array(cities.map(lit): _*),
         (pmod(col("user_id"), lit(cities.size)) + 1).cast("int")).as("city"))
-    val resolved = derived
+    derived
       .join(broadcast(cityDim(spark)),
         col("country_code") === col("cc_city") && col("city") === col("city_pattern"),
         "left")
       .join(broadcast(countryDim(spark)),
         col("country_code") === col("cc_ctry"), "left")
-      .select(col("user_id"),
+      .select(col("event_id"), col("user_id"),
         coalesce(col("city_region"), col("ctry_region"), lit("Unknown")).as("region_name"),
         when(col("city_region").isNotNull, lit("city"))
           .when(col("ctry_region").isNotNull, lit("country"))
           .otherwise(lit("default")).as("src"),
         coalesce(col("city_lon"), col("ctry_lon")).as("lon"),
         coalesce(col("city_lat"), col("ctry_lat")).as("lat"))
+  }
+
+  def regionLookup(spark: SparkSession, events: DataFrame): DataFrame = {
+    val resolved = resolvedEvents(spark, events)
     resolved.groupBy(col("region_name"))
       .agg(count(lit(1)).as("n_events"),
         countDistinct(col("user_id")).as("n_users"),

@@ -234,6 +234,62 @@ class StreamingSpec extends SparkSpec {
     assert(!list.exists(_.contains("evt_5\""))) // oldest 5 trimmed
   }
 
+  test("stream-stream interval join matches within the window across batches") {
+    import spark.implicits._
+    import graft.streaming.StreamJoins
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Evt]
+    val query = StreamJoins.purchaseErrorJoin(input.toDF())
+      .writeStream.format("memory").queryName("ss_join_test")
+      .outputMode(OutputMode.Append())
+      .start()
+    try {
+      // Batch 1: purchases only — buffered as join state, nothing emitted.
+      input.addData(
+        Evt(0L, ts("2024-01-01 00:00:00"), 1L, "purchase", 50.0, "{}"),
+        Evt(1L, ts("2024-01-01 00:00:00"), 2L, "purchase", 60.0, "{}"))
+      query.processAllAvailable()
+      // Batch 2: user 1's error 5 min later (in window); user 2's error
+      // 20 min later (outside); user 3's error with no purchase at all.
+      input.addData(
+        Evt(2L, ts("2024-01-01 00:05:00"), 1L, "error", 0.0, "{}"),
+        Evt(3L, ts("2024-01-01 00:20:00"), 2L, "error", 0.0, "{}"),
+        Evt(4L, ts("2024-01-01 00:05:00"), 3L, "error", 0.0, "{}"))
+      query.processAllAvailable()
+      val rows = spark.table("ss_join_test").collect()
+        .map(r => (r.getAs[Long]("user_id"), r.getAs[Double]("purchase_value")))
+      assert(rows.toSeq == Seq((1L, 50.0)))
+    } finally query.stop()
+  }
+
+  test("stream-static enrichment resolves regions without stream shuffle") {
+    import spark.implicits._
+    import graft.streaming.StreamJoins
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Evt]
+    val enriched = StreamJoins.enrichedEvents(spark, input.toDF())
+    val query = enriched
+      .writeStream.format("memory").queryName("enrich_test")
+      .outputMode(OutputMode.Append())
+      .start()
+    try {
+      // user_id picks country/city deterministically (mod 10 / mod 9):
+      // 7 → IN (country fallback), 9 → XX (unmapped → default),
+      // 61 → CA + Vancouver (city override differing from CA's fallback).
+      input.addData(
+        Evt(0L, ts("2024-01-01 00:00:00"), 7L, "click", 1.0, "{}"),
+        Evt(1L, ts("2024-01-01 00:00:00"), 9L, "click", 1.0, "{}"),
+        Evt(2L, ts("2024-01-01 00:00:00"), 61L, "click", 1.0, "{}"))
+      query.processAllAvailable()
+      val byUser = spark.table("enrich_test").collect()
+        .map(r => r.getAs[Long]("user_id") ->
+          (r.getAs[String]("region_name"), r.getAs[String]("src"))).toMap
+      assert(byUser(7L) == (("India", "country")))
+      assert(byUser(9L) == (("Unknown", "default")))
+      assert(byUser(61L) == (("North America (West)", "city")))
+    } finally query.stop()
+  }
+
   test("CDC materializer keeps latest per key across batches, ignores stale ops") {
     import spark.implicits._
     import graft.streaming.CdcMaterializer
