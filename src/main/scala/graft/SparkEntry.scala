@@ -52,6 +52,8 @@ object SparkEntry {
       Tpch.inactiveCustomers(Tables.customer(s, d), Tables.orders(s, d))),
     "order_priority_rollup" -> ((s, d) =>
       Tpch.orderPriorityRollup(Tables.orders(s, d))),
+    "spend_quartiles" -> ((s, d) =>
+      Tpch.spendQuartiles(Tables.customer(s, d), Tables.orders(s, d))),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -150,5 +152,26 @@ object SparkEntry {
         |      FROM orders)
         |GROUP BY ROLLUP(o_year, o_orderpriority)
         |ORDER BY gid, o_year, o_orderpriority""".stripMargin,
+    "spend_quartiles" ->
+      """WITH spend AS (
+        |  SELECT o_custkey, round(sum(o_totalprice), 2) AS spend
+        |  FROM orders GROUP BY o_custkey
+        |), seg AS (
+        |  SELECT c_mktsegment, c_custkey, spend
+        |  FROM customer JOIN spend ON c_custkey = o_custkey
+        |), thresholds AS (
+        |  SELECT c_mktsegment,
+        |    quantile_cont(spend, 0.25) AS p25,
+        |    quantile_cont(spend, 0.5) AS p50,
+        |    quantile_cont(spend, 0.75) AS p75
+        |  FROM seg GROUP BY c_mktsegment
+        |)
+        |SELECT seg.c_mktsegment, c_custkey, spend,
+        |  CASE WHEN spend <= p25 THEN 1
+        |       WHEN spend <= p50 THEN 2
+        |       WHEN spend <= p75 THEN 3
+        |       ELSE 4 END::BIGINT AS quartile
+        |FROM seg JOIN thresholds USING (c_mktsegment)
+        |ORDER BY c_mktsegment, c_custkey""".stripMargin,
   )
 }

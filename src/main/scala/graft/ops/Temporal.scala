@@ -84,12 +84,32 @@ object Temporal {
       .orderBy(col("campaign_day_us"))
   }
 
+  /** Event-transition matrix (the funnel/Markov view): per user-timeline
+    * `lag` pairs each event with its predecessor, then a global count per
+    * (prev → next) transition. One shuffle on the high-cardinality user_id
+    * for the lag window, one map-side-combined aggregation over the tiny
+    * transition-type space. Ties on the second-resolution fixture ts break
+    * by event_id (log order) so the pairing is deterministic.
+    */
+  def eventTransitions(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Synth.eventTime(events)
+      .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+      .filter(col("prev_type").isNotNull)
+      .groupBy(col("prev_type"), col("event_type").as("next_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("prev_type"), col("next_type"), col("n"))
+      .orderBy(col("prev_type"), col("next_type"))
+  }
+
   // ---------------------------------------------------------------- registry
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "user_sessions" -> ((s, d) => userSessions(Tables.events(s, d))),
     "asof_last_purchase" -> ((s, d) => asofLastPurchase(Tables.events(s, d))),
     "interval_join" -> ((s, d) => campaignIntervalJoin(Tables.events(s, d))),
+    "event_transitions" -> ((s, d) => eventTransitions(Tables.events(s, d))),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -105,6 +125,17 @@ object Temporal {
         |FROM events JOIN campaigns
         |  ON ts >= d + INTERVAL 6 HOUR AND ts < d + INTERVAL 30 HOUR
         |GROUP BY d ORDER BY campaign_day_us""".stripMargin,
+    "event_transitions" ->
+      """WITH paired AS (
+        |  SELECT user_id, event_type,
+        |    lag(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS prev_type
+        |  FROM events
+        |)
+        |SELECT prev_type, event_type AS next_type, count(*) AS n
+        |FROM paired WHERE prev_type IS NOT NULL
+        |GROUP BY prev_type, event_type
+        |ORDER BY prev_type, next_type""".stripMargin,
     "user_sessions" ->
       """WITH marked AS (
         |  SELECT user_id, ts, value,

@@ -146,6 +146,32 @@ object Tpch {
         min(col("c_custkey")).as("min_custkey"))
       .orderBy(col("c_mktsegment"))
 
+  /** Quantile bucketing WITHOUT a global sort: `ntile(4)` over all
+    * customers needs one totally-ordered partition (the single-task window
+    * funnel this codebase bans); instead the per-segment quartile THRESHOLDS
+    * are computed in an ordinary aggregation (exact `percentile` here for
+    * oracle parity; `approx_percentile` at 100 TB), broadcast back, and each
+    * row labels itself by comparison — two shuffles total, both on group
+    * keys, nothing ordered globally.
+    */
+  def spendQuartiles(customer: DataFrame, orders: DataFrame): DataFrame = {
+    val spend = orders.groupBy(col("o_custkey"))
+      .agg(round(sum(col("o_totalprice")), 2).as("spend"))
+    val seg = customer.select(col("c_custkey"), col("c_mktsegment"))
+      .join(spend, col("c_custkey") === col("o_custkey"))
+    val thresholds = seg.groupBy(col("c_mktsegment"))
+      .agg(expr("percentile(spend, 0.25)").as("p25"),
+        expr("percentile(spend, 0.5)").as("p50"),
+        expr("percentile(spend, 0.75)").as("p75"))
+    seg.join(broadcast(thresholds), "c_mktsegment")
+      .select(col("c_mktsegment"), col("c_custkey"), col("spend"),
+        when(col("spend") <= col("p25"), 1L)
+          .when(col("spend") <= col("p50"), 2L)
+          .when(col("spend") <= col("p75"), 3L)
+          .otherwise(4L).as("quartile"))
+      .orderBy(col("c_mktsegment"), col("c_custkey"))
+  }
+
   /** Multi-level aggregation (ROLLUP): per (year, priority), per year, and
     * grand total in ONE pass — Catalyst expands the grouping sets and still
     * plans map-side partial aggregation, where three separate groupBys would
