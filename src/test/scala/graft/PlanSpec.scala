@@ -1,0 +1,72 @@
+package graft
+
+/** Plan-shape regression tests — the 100 TB audit encoded as assertions,
+  * so a refactor that silently degrades a plan (loses a broadcast, turns
+  * the interval join into a nested loop, widens a scan) fails CI instead
+  * of surfacing as a cluster incident. Asserted on the pre-execution
+  * physical plan over the sf0.001 fixtures.
+  */
+class PlanSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String = {
+    val p = SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+    spark.catalog.clearCache()
+    p
+  }
+
+  test("interval join plans as an equi hash join, never a nested loop") {
+    val p = plan("interval_join")
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"), p.take(2000))
+    assert(!p.contains("NestedLoop"), p.take(2000))
+  }
+
+  test("anti join broadcasts the key side") {
+    val p = plan("inactive_customers")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"), p.take(2000))
+  }
+
+  test("semi join stays a semi join (no fact-side multiplication)") {
+    assert(plan("priority_return_counts").contains("LeftSemi"))
+  }
+
+  test("latest-per-key top-1 gets the WindowGroupLimit pushdown") {
+    assert(plan("cdc_snapshot").contains("WindowGroupLimit"))
+    assert(plan("doc_top_term").contains("WindowGroupLimit"))
+  }
+
+  test("region lookup broadcasts both dim levels") {
+    val p = plan("region_lookup")
+    assert("BroadcastExchange".r.findAllIn(p).length >= 2, p.take(2000))
+  }
+
+  test("rollup is a single Expand pass, not repeated aggregations") {
+    val p = plan("order_priority_rollup")
+    assert("Expand".r.findAllIn(p).length == 1, p.take(2000))
+  }
+
+  test("pricing summary scan prunes to the touched columns only") {
+    // assert on the scan node's schema, not the (truncated) plan string
+    val scans = SparkEntry.queries("pricing_summary")(spark, sf)
+      .queryExecution.sparkPlan.collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+      }
+    assert(scans.nonEmpty)
+    val cols = scans.head.output.map(_.name).toSet
+    assert(cols.contains("l_quantity") && cols.size <= 6, cols.toString)
+  }
+
+  test("token packing window is sharded — no unpartitioned WindowExec") {
+    val p = plan("token_packing")
+    // every Window node must carry a partition spec (shard#...)
+    val windows = p.linesIterator.filter(_.contains("Window ")).toList
+    assert(windows.nonEmpty)
+    assert(p.contains("shard"), p.take(2000))
+  }
+
+  test("ANN queries broadcast the probe side, never shuffle the corpus for it") {
+    val p = plan("ann_cosine_topk")
+    assert(p.contains("BroadcastExchange"), p.take(2000))
+  }
+}
