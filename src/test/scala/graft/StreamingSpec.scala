@@ -234,6 +234,40 @@ class StreamingSpec extends SparkSpec {
     assert(!list.exists(_.contains("evt_5\""))) // oldest 5 trimmed
   }
 
+  test("observability recorder counts batches, rows, and watermark drops") {
+    import spark.implicits._
+    import graft.streaming.Observability
+    implicit val sqlCtx = spark.sqlContext
+    val rec = Observability.attach(spark)
+    val input = MemoryStream[Evt]
+    val query = Frames.kpiFrame(input.toDF())
+      .writeStream.format("memory").queryName("obs_test")
+      .outputMode(OutputMode.Update())
+      .start()
+    try {
+      input.addData(
+        Evt(0L, ts("2024-01-01 02:00:00"), 1L, "purchase", 10.0, "{}"),
+        Evt(1L, ts("2024-01-01 02:01:00"), 2L, "click", 1.0, "{}"))
+      query.processAllAvailable()
+      // Advance the watermark far past 02:xx, then feed a hopelessly late row:
+      // it must show up in droppedByWatermark, not silently vanish.
+      input.addData(Evt(2L, ts("2024-01-01 09:00:00"), 3L, "click", 1.0, "{}"))
+      query.processAllAvailable()
+      input.addData(Evt(3L, ts("2024-01-01 01:00:00"), 4L, "click", 1.0, "{}"))
+      query.processAllAvailable()
+      val s = rec.stats("obs_test")
+      assert(s.batches >= 3)
+      // kpiFrame unions three branches of the same source, so progress
+      // accounts each branch's read: 4 ingested rows × 3 branches.
+      assert(s.inputRows == 12L, s.toString)
+      assert(s.droppedByWatermark >= 1L, s.toString)
+      assert(s.maxBatchDurationMs > 0L)
+    } finally {
+      query.stop()
+      Observability.detach(spark, rec)
+    }
+  }
+
   test("stream-stream interval join matches within the window across batches") {
     import spark.implicits._
     import graft.streaming.StreamJoins
