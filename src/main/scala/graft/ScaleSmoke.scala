@@ -1,0 +1,51 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Scale smoke harness: fabricates a corpus N× the sf0.1 fixture by
+  * deterministic replication-with-mutation and runs the heavyweight
+  * document operators over it, printing per-operator seconds and output
+  * rows. Not part of the driver gates — a manual check that the sketch
+  * pipelines, skew caps, and iterative operators keep working well past
+  * fixture scale (the failure modes they guard against — mega-buckets,
+  * lineage blowup, window funnels — only show up with volume).
+  *
+  * Usage: sbt "runMain graft.ScaleSmoke [replicas]"   (default 20 → 100k docs)
+  */
+object ScaleSmoke {
+  def main(args: Array[String]): Unit = {
+    val replicas = args.headOption.map(_.toInt).getOrElse(20)
+    val spark = Session.local("graft-scale-smoke")
+    spark.sparkContext.setLogLevel("WARN")
+    val base = graft.sources.Tables.documents(spark, "/root/testdata/sf0.1")
+    // Replicate with a per-replica token suffix so replicas are near-dups of
+    // their original (every suffix shifts the shingle set slightly) and
+    // doc_ids stay unique.
+    val corpus = base.crossJoin(spark.range(replicas).toDF("rep"))
+      .select((col("doc_id") * replicas + col("rep")).as("doc_id"),
+        concat(col("text"), lit(" rep"), col("rep")).as("text"),
+        col("lang"), col("source"), col("n_chars"))
+      .localCheckpoint(true)
+    val n = corpus.count()
+    println(s"corpus: $n docs (${replicas}x sf0.1)")
+
+    def time(name: String)(df: => org.apache.spark.sql.DataFrame): Unit = {
+      spark.catalog.clearCache()
+      val t0 = System.nanoTime()
+      val rows = df.write.format("noop").mode("overwrite").save()
+      val secs = (System.nanoTime() - t0) / 1e9
+      println(f"$name%-22s ${secs}%8.2f s")
+    }
+
+    import graft.ops.{Dedup, Pipeline, TextStats}
+    time("exact_dedup") { Dedup.exactDedup(corpus) }
+    time("minhash_candidates") { Dedup.minhashCandidates(corpus) }
+    time("simhash_pairs") { Dedup.simhashPairs(corpus) }
+    time("dup_clusters") { Dedup.dupClusters(corpus) }
+    time("token_packing") { Pipeline.tokenPacking(corpus) }
+    time("quality_filter") { Pipeline.qualityFilter(corpus) }
+    time("doc_top_term") { TextStats.docTopTerm(corpus) }
+    time("doc_freq_score") { TextStats.docFreqScore(corpus) }
+    spark.stop()
+  }
+}

@@ -243,6 +243,9 @@ object Dedup {
     var changed = 1L
     var rounds = 0
     while (changed > 0 && rounds < 20) {
+      // Carry the pre-round label through the plan so convergence detection
+      // is a filter over the (already materialized) checkpoint, not an
+      // extra join against the previous labels frame.
       val next = edges
         .join(labels.select(col("doc_id").as("doc_b"), col("label").as("nbr_label")),
           "doc_b")
@@ -250,12 +253,11 @@ object Dedup {
         .agg(min(col("nbr_label")).as("min_nbr"))
         .join(labels.select(col("doc_id").as("doc_a"), col("label")), "doc_a")
         .select(col("doc_a").as("doc_id"),
-          least(col("label"), col("min_nbr")).as("label"))
+          least(col("label"), col("min_nbr")).as("label"),
+          col("label").as("old_label"))
         .localCheckpoint(true)
-      changed = next
-        .join(labels.select(col("doc_id"), col("label").as("old_label")), "doc_id")
-        .filter(col("label") =!= col("old_label")).count()
-      labels = next
+      changed = next.filter(col("label") =!= col("old_label")).count()
+      labels = next.select("doc_id", "label")
       rounds += 1
     }
     val sizes = labels.groupBy(col("label")).agg(count(lit(1)).as("n_members"))
