@@ -64,10 +64,18 @@ object Dedup {
         element_at(col("toks"), col("pos") + 2),
         element_at(col("toks"), col("pos") + 3)).as("sh"))
 
-  /** doc_id + distinct 3-shingle set (for exact Jaccard verification). */
+  /** doc_id + distinct HASHED 3-shingle set (for exact Jaccard
+    * verification). Shingles are hashed to 60-bit longs BEFORE the
+    * collect_set shuffle: Jaccard over hashed shingles equals Jaccard over
+    * the strings (modulo md5 collisions, negligible at 2^60) and the
+    * shuffle moves 8-byte longs instead of ~40-byte strings — at corpus
+    * scale the sketch build is shuffle-bound, so this is the cost.
+    */
   def shingleSets(corpus: DataFrame): DataFrame =
-    shingleRows(corpus).groupBy(col("doc_id"))
-      .agg(collect_set(col("sh")).as("shingles"))
+    shingleRows(corpus)
+      .select(col("doc_id"), expr(s"${md5i.format("sh")} % 999999937").as("h"))
+      .groupBy(col("doc_id"))
+      .agg(collect_set(col("h")).as("shingles"))
 
   /** doc_id + 12-element MinHash signature over word 3-shingles.
     *
@@ -165,6 +173,9 @@ object Dedup {
     // sums (one shuffle, map-side partial agg). The lambda formulation of
     // the same math (aggregate ∘ filter per bit) is interpreted by Catalyst
     // and ~15× slower — measured, not guessed.
+    // Hash BEFORE the distinct: the dedup shuffle then carries 8-byte longs
+    // rather than bigram strings (same result — equal bigrams hash equal;
+    // 2^60 collisions negligible).
     val hashed = corpus
       .withColumn("toks", split(col("text"), " "))
       .filter(size(col("toks")) >= 2)
@@ -172,8 +183,8 @@ object Dedup {
       .filter(col("pos") <= size(col("toks")) - 2)
       .select(col("doc_id"),
         concat_ws(" ", col("col"), element_at(col("toks"), col("pos") + 2)).as("bg"))
-      .distinct()
       .select(col("doc_id"), expr(md5i.format("bg")).as("h"))
+      .distinct()
     val aggCols = count(lit(1)).as("n") +:
       (0 until 48).map(b => sum(shiftright(col("h"), b) % 2).as(s"b$b"))
     val counts = hashed.groupBy(col("doc_id"))
@@ -293,7 +304,7 @@ object Dedup {
       |    list_transform(range(0, 12),
       |      i -> list_min(list_transform(hs,
       |        h -> (h * (2 * i + 3) + i * 7919) % 999999937))) AS sig,
-      |    shingles
+      |    hs
       |  FROM (
       |    SELECT doc_id, shingles,
       |      list_transform(shingles,
@@ -361,11 +372,14 @@ object Dedup {
          |JOIN sigs a ON a.doc_id = doc_a
          |JOIN sigs b ON b.doc_id = doc_b
          |ORDER BY doc_a, doc_b""".stripMargin,
+    // Jaccard over the HASHED shingle sets, mirroring the Spark side (which
+    // hashes before the collect_set shuffle); identical values modulo 2^60
+    // md5 collisions.
     "dedup_ngram_jaccard" ->
       s"""WITH $nearCorpusSql, $sigSql, $candSql
          |SELECT doc_a, doc_b,
-         |  round(len(list_intersect(list_distinct(a.shingles), list_distinct(b.shingles))) /
-         |    len(list_distinct(a.shingles || b.shingles))::DOUBLE, 4) AS jaccard
+         |  round(len(list_intersect(list_distinct(a.hs), list_distinct(b.hs))) /
+         |    len(list_distinct(a.hs || b.hs))::DOUBLE, 4) AS jaccard
          |FROM cands
          |JOIN sigs a ON a.doc_id = doc_a
          |JOIN sigs b ON b.doc_id = doc_b
@@ -377,11 +391,13 @@ object Dedup {
          |      WHEN 2 * len(list_filter(hs, h -> ((h >> b) & 1) = 1)) > len(hs)
          |      THEN (1::BIGINT << b) ELSE 0::BIGINT END))::BIGINT AS simhash
          |  FROM (
+         |    -- distinct AFTER hashing, mirroring the Spark side's
+         |    -- hash-then-distinct shuffle narrowing
          |    SELECT doc_id,
-         |      list_transform(list_distinct(
+         |      list_distinct(list_transform(
          |        list_transform(generate_series(1, len(toks) - 1),
-         |          i -> toks[i] || ' ' || toks[i + 1])),
-         |        t -> ('0x' || substr(md5(t), 1, 15))::BIGINT) AS hs
+         |          i -> toks[i] || ' ' || toks[i + 1]),
+         |        t -> ('0x' || substr(md5(t), 1, 15))::BIGINT)) AS hs
          |    FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM corpus)
          |    WHERE len(toks) >= 2
          |  )
