@@ -188,6 +188,32 @@ object Frames {
       .select(epochMs(col("window.end")).as("updatedAt"),
         col("approx_users"), col("n_events"))
 
+  /** Mergeable-sketch rollup — the warehouse distinct-count pattern exact
+    * counts can't do: per-day HLL sketches (Apache DataSketches binary
+    * column) built ONCE, then unioned to coarser grains without touching
+    * the raw data again. At 100 TB the daily sketch table is the stored
+    * intermediate; weekly/monthly/all-time distincts are cheap unions of
+    * kilobyte sketches, where an exact or approx_count_distinct re-rollup
+    * would rescan the fact table per grain. Rows-only (estimates have no
+    * exact SQL oracle); FramesSpec bounds the estimates against exact
+    * distinct counts and pins that union(day sketches) == direct week
+    * estimate.
+    */
+  def hllRollup(events: DataFrame): DataFrame = {
+    val daily = Synth.eventTime(events)
+      .groupBy(date_trunc("week", col("ts")).as("week"),
+        date_trunc("day", col("ts")).as("day"))
+      .agg(hll_sketch_agg(col("user_id")).as("sk"),
+        count(lit(1)).as("n_events"))
+    daily.groupBy(col("week"))
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est_weekly_users"),
+        sum(col("n_events")).as("n_events"),
+        count(lit(1)).as("n_days"))
+      .select(unix_micros(col("week")).as("week_us"),
+        col("est_weekly_users"), col("n_events"), col("n_days"))
+      .orderBy(col("week_us"))
+  }
+
   /** A7/F1: sliding-window count formatted into the geo header payload
     * (reference: geo_header.py:32-44). */
   def geoFrame(events: DataFrame): DataFrame =
@@ -284,6 +310,7 @@ object Frames {
     "health_frame" -> ((s, d) => healthFrame(Tables.events(s, d)).orderBy(col("updatedAt"))),
     "approx_distinct_users" -> ((s, d) =>
       approxDistinctFrame(Tables.events(s, d)).orderBy(col("updatedAt"))),
+    "hll_rollup" -> ((s, d) => hllRollup(Tables.events(s, d))),
     "geo_header" -> ((s, d) => geoFrame(Tables.events(s, d)).orderBy(col("updatedAt"))),
     "platform_breakdown" -> ((s, d) => platformFrame(Tables.events(s, d)).orderBy(col("name"))),
     "platform_pivot" -> ((s, d) => platformPivot(Tables.events(s, d))),

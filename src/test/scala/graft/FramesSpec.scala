@@ -130,4 +130,24 @@ class FramesSpec extends SparkSpec {
     assert(byRule("alert_1").exists(_.getAs[String]("status") == "firing"))
     assert(byRule("alert_3").forall(_.getAs[String]("status") == "pending"))
   }
+
+  test("HLL rollup: unioned day sketches estimate weekly distincts within bound") {
+    import org.apache.spark.sql.functions._
+    val events = graft.sources.Tables.events(spark, "/root/testdata/sf0.01")
+    val rollup = Frames.hllRollup(events).collect()
+      .map(r => r.getAs[Long]("week_us") ->
+        r.getAs[Long]("est_weekly_users").toDouble).toMap
+    val exact = graft.ops.Synth.eventTime(events)
+      .groupBy(date_trunc("week", col("ts")).as("week"))
+      .agg(countDistinct(col("user_id")).as("n"))
+      .collect()
+      .map(r => (r.getTimestamp(0).getTime * 1000L) -> r.getAs[Long]("n")).toMap
+    assert(rollup.keySet == exact.keySet)
+    // DataSketches HLL at default lgK=12: relative standard error ~1.6%;
+    // 5% is a comfortable deterministic bound at fixture cardinalities.
+    rollup.foreach { case (w, est) =>
+      val n = exact(w).toDouble
+      assert(math.abs(est - n) / n <= 0.05, s"week=$w est=$est exact=$n")
+    }
+  }
 }
