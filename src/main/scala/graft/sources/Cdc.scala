@@ -78,6 +78,35 @@ object Cdc {
     df.withColumn(payloadCol,
       expr(s"substring($payloadCol, 6, length($payloadCol) - 5)"))
 
+  /** S3 semantics: PERMISSIVE decode — a malformed payload must yield a row
+    * with null fields and the raw bytes in the corrupt-record channel, never
+    * kill the stream (the reference decodes Avro with PERMISSIVE mode,
+    * kafka_sources.py:79-82; spark-avro is absent from this container, so
+    * the same error-channel contract is exercised on the JSON path).
+    * Corruption is planted deterministically (1-in-7 payloads truncated) so
+    * the good/bad split is oracle-checkable.
+    */
+  def permissiveDecode(events: DataFrame): DataFrame = {
+    val wire = events.select(col("event_id"),
+      when(pmod(col("event_id"), lit(7)) === 0,
+        concat(lit("{broken"), col("props")))
+        .otherwise(col("props")).as("payload"))
+    wire
+      .select(col("event_id"), col("payload"),
+        from_json(col("payload"),
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("k",
+              org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("_corrupt",
+              org.apache.spark.sql.types.StringType))),
+          Map("mode" -> "PERMISSIVE", "columnNameOfCorruptRecord" -> "_corrupt"))
+          .as("data"))
+      .select(col("event_id"),
+        col("data.k").as("k"),
+        col("data._corrupt").isNotNull.as("is_corrupt"))
+      .orderBy(col("event_id"))
+  }
+
   /** CDC log compaction: materialize the current table state from the op
     * log — latest op per key wins, keys whose latest op is a delete drop
     * out. This is the canonical batch consumer of a Debezium stream (the
@@ -107,6 +136,8 @@ object Cdc {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // CDC compaction: op log → current state (latest per key, deletes drop).
     "cdc_snapshot" -> ((s, d) => snapshot(envelope(Tables.events(s, d)))),
+    // S3 semantics: PERMISSIVE decode error channel over planted corruption.
+    "json_permissive" -> ((s, d) => permissiveDecode(Tables.events(s, d))),
     // P1 + envelope: op filter over the CDC stream shape.
     "cdc_op_filter" -> ((s, d) => opFilter(envelope(Tables.events(s, d)))
       .select("event_id", "__op", "__table", "__source_ts_ms", "__deleted")
@@ -156,6 +187,12 @@ object Cdc {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "json_permissive" ->
+      """SELECT event_id,
+        |  CASE WHEN event_id % 7 = 0 THEN NULL
+        |    ELSE json_extract(props, '$.k')::BIGINT END AS k,
+        |  (event_id % 7 = 0) AS is_corrupt
+        |FROM events ORDER BY event_id""".stripMargin,
     "cdc_snapshot" ->
       """WITH env AS (
         |  SELECT event_id, user_id, value,
