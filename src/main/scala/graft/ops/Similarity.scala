@@ -221,14 +221,18 @@ object Similarity {
   def kmeansCentroids(emb: DataFrame, k: Int = 8, iters: Int = 3): DataFrame = {
     val spark = emb.sparkSession
     import org.apache.spark.sql.expressions.Window
+    // Seed ids are assigned driver-side over the already-collected K rows —
+    // a row_number window here would be unpartitioned (single-task WindowExec,
+    // the plan shape this codebase bans) for zero benefit.
     val seeds = emb
       .withColumn("h", md5(col("vec_id").cast("string")))
       .orderBy(col("h"))
       .limit(k)
-      .withColumn("c_id", row_number().over(Window.orderBy(col("h"))).cast("int"))
-      .select(col("c_id"), col("v").as("cv"))
+      .select(col("h"), col("v").as("cv"))
     var cents = seeds.collect()
-      .map(r => (r.getAs[Int]("c_id"), r.getSeq[Double](r.fieldIndex("cv")).toVector))
+      .sortBy(_.getAs[String]("h"))
+      .zipWithIndex
+      .map { case (r, i) => (i + 1, r.getSeq[Double](r.fieldIndex("cv")).toVector) }
     for (_ <- 0 until iters) {
       val cdf = spark.createDataFrame(cents.toSeq).toDF("c_id", "cv")
       val assigned = emb.join(broadcast(cdf), lit(true))
