@@ -54,6 +54,9 @@ object SparkEntry {
       Tpch.orderPriorityRollup(Tables.orders(s, d))),
     "spend_quartiles" -> ((s, d) =>
       Tpch.spendQuartiles(Tables.customer(s, d), Tables.orders(s, d))),
+    "order_profile" -> ((s, d) => Tpch.orderProfile(Tables.orders(s, d))),
+    "dq_report" -> ((s, d) =>
+      Tpch.dqReport(Tables.orders(s, d), Tables.lineitem(s, d))),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -173,5 +176,40 @@ object SparkEntry {
         |       ELSE 4 END::BIGINT AS quartile
         |FROM seg JOIN thresholds USING (c_mktsegment)
         |ORDER BY c_mktsegment, c_custkey""".stripMargin,
+    "order_profile" ->
+      """WITH vals AS (
+        |  SELECT 'o_custkey' AS col_name, o_custkey::VARCHAR AS val FROM orders
+        |  UNION ALL
+        |  SELECT 'o_orderpriority', o_orderpriority FROM orders
+        |  UNION ALL
+        |  SELECT 'o_totalprice', (o_totalprice::DECIMAL(18,2))::VARCHAR FROM orders
+        |  UNION ALL
+        |  SELECT 'o_orderdate', (o_orderdate::DATE)::VARCHAR FROM orders
+        |)
+        |SELECT col_name,
+        |  count(*) AS n_rows,
+        |  (sum(CASE WHEN val IS NULL THEN 1 ELSE 0 END))::BIGINT AS n_nulls,
+        |  count(DISTINCT val) AS n_distinct,
+        |  min(val) AS min_val,
+        |  max(val) AS max_val
+        |FROM vals GROUP BY col_name ORDER BY col_name""".stripMargin,
+    "dq_report" ->
+      """WITH scan AS (
+        |  SELECT
+        |    (sum(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END))::BIGINT AS nonpositive_total,
+        |    (sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END))::BIGINT AS null_custkey,
+        |    (sum(CASE WHEN o_orderdate > TIMESTAMP '2026-01-01 00:00:00'
+        |      THEN 1 ELSE 0 END))::BIGINT AS future_orderdate
+        |  FROM orders
+        |), orphan AS (
+        |  SELECT count(*) AS orphan_lineitems FROM lineitem
+        |  WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_orderkey = l_orderkey)
+        |)
+        |SELECT rule, violations FROM (
+        |  SELECT 'nonpositive_total' AS rule, nonpositive_total AS violations FROM scan
+        |  UNION ALL SELECT 'null_custkey', null_custkey FROM scan
+        |  UNION ALL SELECT 'future_orderdate', future_orderdate FROM scan
+        |  UNION ALL SELECT 'orphan_lineitems', orphan_lineitems FROM orphan
+        |) ORDER BY rule""".stripMargin,
   )
 }

@@ -146,6 +146,61 @@ object Tpch {
         min(col("c_custkey")).as("min_custkey"))
       .orderBy(col("c_mktsegment"))
 
+  /** Column profile (the `describe` a pipeline snapshots before training):
+    * per column — row count, null count, distinct count, min/max rendered
+    * as strings. One unpivot (`stack`) then one groupBy: a single pass over
+    * the table regardless of column count, where per-column queries would
+    * rescan once per column.
+    */
+  def orderProfile(orders: DataFrame): DataFrame =
+    orders
+      // doubles render via DECIMAL(18,2): Java and DuckDB double→string
+      // rendering can disagree (exponent forms); decimal strings are exact
+      // and identical on both engines.
+      .select(expr(
+        """stack(4,
+          |  'o_custkey', cast(o_custkey as string),
+          |  'o_orderpriority', o_orderpriority,
+          |  'o_totalprice', cast(cast(o_totalprice as decimal(18,2)) as string),
+          |  'o_orderdate', cast(cast(o_orderdate as date) as string)
+          |) as (col_name, val)""".stripMargin))
+      .groupBy(col("col_name"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(when(col("val").isNull, 1L).otherwise(0L)).as("n_nulls"),
+        countDistinct(col("val")).as("n_distinct"),
+        min(col("val")).as("min_val"),
+        max(col("val")).as("max_val"))
+      .orderBy(col("col_name"))
+
+  /** Data-quality report: named rules evaluated in ONE pass as conditional
+    * aggregates (no per-rule rescan), plus a referential-integrity rule as
+    * a broadcast anti-join count. The violations frame is what gates a
+    * pipeline run; rules that scan the same table fold into a single
+    * aggregation by construction.
+    */
+  def dqReport(orders: DataFrame, lineitem: DataFrame): DataFrame = {
+    val scanRules = orders.agg(
+      sum(when(col("o_totalprice") <= 0, 1L).otherwise(0L)).as("nonpositive_total"),
+      sum(when(col("o_custkey").isNull, 1L).otherwise(0L)).as("null_custkey"),
+      // fixed reference instant, not current_timestamp(): a DQ gate must be
+      // reproducible (and the oracle must compute the identical bound)
+      sum(when(col("o_orderdate") > lit("2026-01-01"), 1L).otherwise(0L))
+        .as("future_orderdate"))
+    val orphans = lineitem.select(col("l_orderkey"))
+      .join(orders.select(col("o_orderkey")),
+        col("l_orderkey") === col("o_orderkey"), "left_anti")
+      .agg(count(lit(1)).as("orphan_lineitems"))
+    scanRules.crossJoin(orphans)
+      .select(expr(
+        """stack(4,
+          |  'nonpositive_total', nonpositive_total,
+          |  'null_custkey', null_custkey,
+          |  'future_orderdate', future_orderdate,
+          |  'orphan_lineitems', orphan_lineitems
+          |) as (rule, violations)""".stripMargin))
+      .orderBy(col("rule"))
+  }
+
   /** Quantile bucketing WITHOUT a global sort: `ntile(4)` over all
     * customers needs one totally-ordered partition (the single-task window
     * funnel this codebase bans); instead the per-segment quartile THRESHOLDS

@@ -234,6 +234,46 @@ class StreamingSpec extends SparkSpec {
     assert(!list.exists(_.contains("evt_5\""))) // oldest 5 trimmed
   }
 
+  test("session_window sessionization runs as a stream and merges across batches") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Evt]
+    // The batch builder's session_window, streamed: watermark required for
+    // state eviction; update mode emits merged sessions as they grow.
+    val sessions = graft.ops.Synth.eventTime(input.toDF())
+      .withWatermark("ts", "10 minutes")
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("session_window.start").as("start"), col("user_id"), col("n_events"))
+    // Session-window streaming aggregation requires APPEND mode: a session
+    // only emits once the watermark passes its close (merging is final).
+    val query = sessions.writeStream.format("memory")
+      .queryName("session_stream_test")
+      .outputMode(OutputMode.Append())
+      .start()
+    try {
+      input.addData(Evt(0L, ts("2024-01-01 00:00:00"), 1L, "click", 1.0, "{}"))
+      query.processAllAvailable()
+      // same session continues in a later micro-batch (gap < 30 min)...
+      input.addData(Evt(1L, ts("2024-01-01 00:10:00"), 1L, "click", 1.0, "{}"))
+      query.processAllAvailable()
+      // ...a > 30 min gap opens a NEW session...
+      input.addData(Evt(2L, ts("2024-01-01 01:00:00"), 1L, "click", 1.0, "{}"))
+      query.processAllAvailable()
+      // ...and a far-future event advances the watermark so both closed
+      // user-1 sessions finalize and emit.
+      input.addData(Evt(3L, ts("2024-01-01 03:00:00"), 2L, "click", 1.0, "{}"))
+      query.processAllAvailable()
+      val emitted = spark.table("session_stream_test")
+        .filter($"user_id" === 1L)
+        .collect().map(r => r.getTimestamp(0).toString -> r.getAs[Long]("n_events")).toMap
+      assert(emitted == Map(
+        "2024-01-01 00:00:00.0" -> 2L, // merged across micro-batches
+        "2024-01-01 01:00:00.0" -> 1L)) // split by the gap
+    } finally query.stop()
+  }
+
   test("observability recorder counts batches, rows, and watermark drops") {
     import spark.implicits._
     import graft.streaming.Observability
