@@ -12,10 +12,11 @@ import graft.sources.Tables
   * Scale design: the query set is tiny and explicitly `broadcast`, so the
   * probe side streams map-side with no shuffle of the corpus; the LSH
   * variant additionally prunes the corpus to colliding buckets before any
-  * dot product is computed (bucket count 2^6; at real scale raise bits and
-  * add multi-probe). Dot products use the native codegen'd
-  * [[graft.plans.VecDot]] expression — bit-identical to the DuckDB oracle's
-  * seeded left fold.
+  * dot product is computed (banded 4×8-bit sign-LSH with a bucket-size skew
+  * cap). Dot products use the native codegen'd [[graft.plans.VecDot]]
+  * expression — bit-identical to the DuckDB oracle's seeded left fold, and
+  * reading the storage-format float arrays in place (no cast allocation,
+  * half the vector bytes in shuffles/caches).
   */
 object Similarity {
 
@@ -35,10 +36,18 @@ object Similarity {
     embeddings.select(col("vec_id"), col("embedding").cast("array<double>").as("v"),
       col("label"))
 
+  /** Float vectors consumed IN PLACE — [[graft.plans.VecDot]] reads float
+    * arrays directly with bit-identical results (float→double is exact),
+    * so the ANN paths skip the per-row array<double> cast and keep vectors
+    * at 4 bytes/element in shuffles and caches.
+    */
+  private def embFloat(embeddings: DataFrame): DataFrame =
+    embeddings.select(col("vec_id"), col("embedding").as("v"), col("label"))
+
   /** Brute-force exact cosine top-k for each query vector. */
   def cosineTopK(embeddings: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val emb = embDouble(embeddings)
+    val emb = embFloat(embeddings)
     val queries = emb.filter(col("vec_id") < NumQueries)
       .select(col("vec_id").as("q_id"), col("v").as("qv"))
     emb.join(broadcast(queries), col("vec_id") =!= col("q_id"))
@@ -107,7 +116,7 @@ object Similarity {
     */
   def annLshTopK(embeddings: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val emb = embDouble(embeddings).select("vec_id", "v").persist()
+    val emb = embFloat(embeddings).select("vec_id", "v").persist()
     val bands = bandRows(emb)
     val qBands = bands.filter(col("vec_id") < NumQueries)
       .select(col("vec_id").as("q_id"), col("band_idx"), col("band_key"))
@@ -168,7 +177,7 @@ object Similarity {
     */
   def annIvfTopK(embeddings: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val emb = embDouble(embeddings).select("vec_id", "v")
+    val emb = embFloat(embeddings).select("vec_id", "v")
     val centroids = emb.filter(col("vec_id") >= 100 && col("vec_id") < 108)
       .select(col("vec_id").as("c_id"), col("v").as("cv"))
     // posting lists: nearest centroid per vector
@@ -221,10 +230,14 @@ object Similarity {
   def kmeansCentroids(emb: DataFrame, k: Int = 8, iters: Int = 3): DataFrame = {
     val spark = emb.sparkSession
     import org.apache.spark.sql.expressions.Window
+    // Training works in double space (centroid means are doubles); the cast
+    // is exact, so training over a float corpus equals training over its
+    // double cast bit-for-bit. Callers keep the corpus float.
+    val embD = emb.select(col("vec_id"), col("v").cast("array<double>").as("v"))
     // Seed ids are assigned driver-side over the already-collected K rows —
     // a row_number window here would be unpartitioned (single-task WindowExec,
     // the plan shape this codebase bans) for zero benefit.
-    val seeds = emb
+    val seeds = embD
       .withColumn("h", md5(col("vec_id").cast("string")))
       .orderBy(col("h"))
       .limit(k)
@@ -235,7 +248,7 @@ object Similarity {
       .map { case (r, i) => (i + 1, r.getSeq[Double](r.fieldIndex("cv")).toVector) }
     for (_ <- 0 until iters) {
       val cdf = spark.createDataFrame(cents.toSeq).toDF("c_id", "cv")
-      val assigned = emb.join(broadcast(cdf), lit(true))
+      val assigned = embD.join(broadcast(cdf), lit(true))
         .select(col("vec_id"), col("v"), col("c_id"),
           expr(cosExpr("v", "cv")).as("c_cos"))
         .withColumn("crnk", row_number().over(
@@ -266,7 +279,7 @@ object Similarity {
     */
   def annIvfTrainedTopK(embeddings: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val emb = embDouble(embeddings).select("vec_id", "v").persist()
+    val emb = embFloat(embeddings).select("vec_id", "v").persist()
     val centroids = kmeansCentroids(emb)
     val assigned = emb.join(broadcast(centroids), lit(true))
       .select(col("vec_id"), col("v"), col("c_id"),

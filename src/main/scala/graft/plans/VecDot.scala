@@ -5,10 +5,11 @@ import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
 import org.apache.spark.sql.SparkSessionExtensions
 
-/** Native dot product over two `array<double>` columns.
+/** Native dot product over two vector columns — `array<double>`,
+  * `array<float>`, or a mix.
   *
   * Why a custom Catalyst expression: the built-in formulation
   * (`aggregate(zip_with(a, b, (x, y) -> x * y), 0d, (acc, x) -> acc + x)`)
@@ -19,6 +20,12 @@ import org.apache.spark.sql.SparkSessionExtensions
   * (left-to-right IEEE double accumulation), so results are bit-identical
   * to the DuckDB oracle's seeded fold.
   *
+  * Float arrays are consumed IN PLACE: float→double conversion is exact,
+  * so `(double) f1 * (double) f2` equals the product after an up-front
+  * `cast(array<double>)` bit-for-bit — but skipping the cast removes a
+  * per-row array allocation and keeps vectors at 4 bytes/element in
+  * shuffles and caches (the embedding table's storage format is float).
+  *
   * Extends the reference's capability set per the north-star brief (the
   * reference has no vector ops; its expression surface is §2.3 built-ins
   * only — reference: src/streaming/transforms directory).
@@ -26,25 +33,36 @@ import org.apache.spark.sql.SparkSessionExtensions
 case class VecDot(left: Expression, right: Expression)
     extends BinaryExpression {
 
-  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
-    case (ArrayType(DoubleType, _), ArrayType(DoubleType, _)) =>
-      TypeCheckResult.TypeCheckSuccess
-    case (l, r) => TypeCheckResult.TypeCheckFailure(
-      s"vec_dot requires two array<double> arguments, got ${l.sql} and ${r.sql}")
+  private def elemOk(t: DataType): Boolean = t match {
+    case ArrayType(DoubleType, _) | ArrayType(FloatType, _) => true
+    case _ => false
   }
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (elemOk(left.dataType) && elemOk(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"vec_dot requires array<double|float> arguments, got " +
+        s"${left.dataType.sql} and ${right.dataType.sql}")
 
   override def dataType: DataType = DoubleType
 
   override def prettyName: String = "vec_dot"
 
+  private def isFloat(t: DataType): Boolean =
+    t.asInstanceOf[ArrayType].elementType == FloatType
+
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
+    val lf = isFloat(left.dataType)
+    val rf = isFloat(right.dataType)
     val n = math.min(x.numElements(), y.numElements())
     var acc = 0.0
     var i = 0
     while (i < n) {
-      acc += x.getDouble(i) * y.getDouble(i)
+      val xv = if (lf) x.getFloat(i).toDouble else x.getDouble(i)
+      val yv = if (rf) y.getFloat(i).toDouble else y.getDouble(i)
+      acc += xv * yv
       i += 1
     }
     acc
@@ -55,11 +73,13 @@ case class VecDot(left: Expression, right: Expression)
       val n = ctx.freshName("n")
       val i = ctx.freshName("i")
       val acc = ctx.freshName("acc")
+      val xe = if (isFloat(left.dataType)) s"(double) $x.getFloat($i)" else s"$x.getDouble($i)"
+      val ye = if (isFloat(right.dataType)) s"(double) $y.getFloat($i)" else s"$y.getDouble($i)"
       s"""
          |int $n = java.lang.Math.min($x.numElements(), $y.numElements());
          |double $acc = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
-         |  $acc += $x.getDouble($i) * $y.getDouble($i);
+         |  $acc += $xe * $ye;
          |}
          |${ev.value} = $acc;
        """.stripMargin

@@ -18,6 +18,23 @@ class VecDotSpec extends SparkSpec {
     assert(bad == 0)
   }
 
+  test("vec_dot over float arrays is bit-identical to the double-cast path") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val df = (0 until 100).map { i =>
+      (i.toLong, Array.fill(64)(rnd.nextFloat() * 2 - 1),
+        Array.fill(64)(rnd.nextFloat() * 2 - 1))
+    }.toDF("id", "fa", "fb")
+    // float consumed in place vs an explicit up-front cast: float→double is
+    // exact, so the two paths must agree on every bit.
+    val bad = df.selectExpr(
+      "vec_dot(fa, fb) AS native_float",
+      "vec_dot(cast(fa as array<double>), cast(fb as array<double>)) AS cast_double",
+      "vec_dot(fa, cast(fb as array<double>)) AS mixed")
+      .where("native_float <> cast_double OR mixed <> cast_double").count()
+    assert(bad == 0)
+  }
+
   test("vec_dot handles length mismatch and nulls") {
     import spark.implicits._
     val df = Seq((Array(1.0, 2.0, 3.0), Array(4.0, 5.0))).toDF("a", "b")
