@@ -82,12 +82,56 @@ object Pipeline {
       .orderBy(col("doc_id"))
   }
 
+  /** The composed pipeline: clean → quality gate → exact dedup → sample →
+    * pack, as ONE query — what a user actually runs ahead of tokenization.
+    * Each stage narrows the corpus before the next (the cheap narrow
+    * filters run before the dedup shuffle; the packing window only ever
+    * sees survivors), and the whole chain is a single Catalyst plan, so
+    * column pruning and filter ordering apply across stage boundaries —
+    * the advantage of composing DataFrames over materializing each stage.
+    *
+    * Stages (all deterministic, mirrored 1:1 in the oracle CTE chain):
+    *   1. clean: case-fold, strip non-alphanumerics, collapse whitespace;
+    *   2. gate: 10..120 cleaned tokens and type-token ratio ≥ 0.3;
+    *   3. dedup: one doc per distinct cleaned text (min doc_id keeps);
+    *   4. sample: md5(doc_id) mod 100 < 50;
+    *   5. pack: per-shard running token total → 2000-token bins.
+    */
+  def endToEnd(documents: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cleaned = documents
+      .withColumn("clean_text",
+        trim(regexp_replace(regexp_replace(lower(col("text")), "[^a-z0-9 ]", " "),
+          " +", " ")))
+      .withColumn("toks", split(col("clean_text"), " "))
+      .withColumn("n_tokens", size(col("toks")).cast("long"))
+    val gated = cleaned
+      .filter(col("n_tokens") >= 10 && col("n_tokens") <= 120)
+      .filter(size(array_distinct(col("toks"))) / col("n_tokens").cast("double") >= 0.3)
+    val deduped = gated
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(sha2(col("clean_text"), 256)).orderBy(col("doc_id"))))
+      .filter(col("rn") === 1)
+    val sampled = deduped.filter(expr(
+      "cast(conv(substring(md5(cast(doc_id as string)), 1, 15), 16, 10) as bigint) % 100") < 50)
+    sampled
+      .withColumn("shard", expr(
+        s"cast(conv(substring(md5(cast(doc_id as string)), 1, 15), 16, 10) as bigint) % $PackingShards"))
+      .withColumn("cum_tokens",
+        sum(col("n_tokens")).over(Window.partitionBy(col("shard")).orderBy(col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("bin", ((col("cum_tokens") - col("n_tokens")) / 2000).cast("long"))
+      .select(col("doc_id"), col("n_tokens"), col("shard"), col("cum_tokens"), col("bin"))
+      .orderBy(col("doc_id"))
+  }
+
   // ---------------------------------------------------------------- registry
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "quality_filter" -> ((s, d) => qualityFilter(Tables.documents(s, d))),
     "stratified_sample" -> ((s, d) => stratifiedSample(Tables.documents(s, d))),
     "token_packing" -> ((s, d) => tokenPacking(Tables.documents(s, d))),
+    "pipeline_e2e" -> ((s, d) => endToEnd(Tables.documents(s, d))),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -118,6 +162,39 @@ object Pipeline {
         |)
         |SELECT doc_id, source, h AS hash_bucket
         |FROM t WHERE h < rate ORDER BY doc_id""".stripMargin,
+    "pipeline_e2e" ->
+      s"""WITH cleaned AS (
+         |  SELECT doc_id,
+         |    trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+         |      ' +', ' ', 'g')) AS clean_text
+         |  FROM documents
+         |), toks AS (
+         |  SELECT doc_id, clean_text,
+         |    string_split(clean_text, ' ') AS toks,
+         |    len(string_split(clean_text, ' '))::BIGINT AS n_tokens
+         |  FROM cleaned
+         |), gated AS (
+         |  SELECT * FROM toks
+         |  WHERE n_tokens BETWEEN 10 AND 120
+         |    AND len(list_distinct(toks)) / n_tokens::DOUBLE >= 0.3
+         |), deduped AS (
+         |  SELECT * FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY sha256(clean_text)
+         |      ORDER BY doc_id) AS rn
+         |    FROM gated
+         |  ) WHERE rn = 1
+         |), sampled AS (
+         |  SELECT doc_id, n_tokens,
+         |    ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % $PackingShards AS shard
+         |  FROM deduped
+         |  WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 100 < 50
+         |)
+         |SELECT doc_id, n_tokens, shard,
+         |  (sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT AS cum_tokens,
+         |  (((sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT - n_tokens) // 2000) AS bin
+         |FROM sampled ORDER BY doc_id""".stripMargin,
     // Window sum() is HUGEINT in DuckDB where Spark emits BIGINT — values
     // match but the driver's typed hash doesn't; cast every windowed sum.
     "token_packing" ->
