@@ -90,7 +90,39 @@ case class VecDot(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
-/** Session extension registering graft's native functions:
+/** Optimizer rule: elide `cast(x as array<double>)` directly under
+  * [[VecDot]] when `x` is `array<float>`. Sound because VecDot consumes
+  * float arrays in place with bit-identical results (float→double is an
+  * exact conversion, applied per element inside the loop) — the cast's
+  * only effect was a per-row array allocation, and any user query written
+  * against the old double-only signature keeps its exact results while
+  * losing the copy. The float→double cast never errors, so elision is
+  * valid under every cast eval mode.
+  */
+object VecDotCastElision
+    extends org.apache.spark.sql.catalyst.rules.Rule[
+      org.apache.spark.sql.catalyst.plans.logical.LogicalPlan] {
+  import org.apache.spark.sql.catalyst.expressions.Cast
+  import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+
+  private def strip(e: Expression): Expression = e match {
+    case c: Cast => (c.child.dataType, c.dataType) match {
+      case (ArrayType(FloatType, _), ArrayType(DoubleType, _)) => c.child
+      case _ => c
+    }
+    case other => other
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    plan.transformAllExpressions {
+      case v @ VecDot(l, r) =>
+        val (sl, sr) = (strip(l), strip(r))
+        if (sl.eq(l) && sr.eq(r)) v else VecDot(sl, sr)
+    }
+}
+
+/** Session extension registering graft's native surface — the scalar
+  * function AND the optimizer rule:
   * `spark.sql.extensions=graft.plans.GraftExtensions` (set by the
   * Verify/Bench/Explain mains and the test session).
   */
@@ -100,5 +132,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("vec_dot"),
       new ExpressionInfo(classOf[VecDot].getName, "vec_dot"),
       (children: Seq[Expression]) => VecDot(children.head, children(1))))
+    ext.injectOptimizerRule(_ => VecDotCastElision)
   }
 }

@@ -35,6 +35,29 @@ class VecDotSpec extends SparkSpec {
     assert(bad == 0)
   }
 
+  test("optimizer elides redundant double casts under vec_dot") {
+    import spark.implicits._
+    // non-literal inputs (derived from range's id) so constant folding
+    // can't evaluate the whole expression away before the rule is observed
+    val df = spark.range(1)
+      .selectExpr("array(cast(id + 1 as float), 2.0F) AS fa",
+        "array(3.0F, cast(id + 4 as float)) AS fb")
+      .selectExpr("vec_dot(cast(fa as array<double>), cast(fb as array<double>)) AS d")
+    val dots = df.queryExecution.optimizedPlan.expressions
+      .flatMap(_.collect { case v: graft.plans.VecDot => v })
+    assert(dots.nonEmpty)
+    // after elision both children are the raw float arrays, not casts
+    dots.foreach { v =>
+      assert(v.children.forall(c =>
+        c.dataType == org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.FloatType, containsNull = true) ||
+        c.dataType == org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.FloatType, containsNull = false)),
+        v.children.map(_.dataType).toString)
+    }
+    assert(df.head().getDouble(0) == 11.0)
+  }
+
   test("vec_dot handles length mismatch and nulls") {
     import spark.implicits._
     val df = Seq((Array(1.0, 2.0, 3.0), Array(4.0, 5.0))).toDF("a", "b")
