@@ -131,9 +131,32 @@ object Cdc {
       .orderBy(col("user_id"))
   }
 
+  /** MapType handling: parse the JSON payload as `map<string,long>` (the
+    * schema-less variant of the struct decode — right when producers add
+    * keys without coordination), extend it with a derived entry, explode to
+    * key/value rows, and aggregate per key. Map columns explode to long
+    * narrow rows — the scale-safe way to aggregate over dynamic keys (a
+    * pivot to columns would make the schema data-dependent).
+    */
+  def propsMap(events: DataFrame): DataFrame =
+    events
+      .select(col("event_id"),
+        map_concat(
+          from_json(col("props"), org.apache.spark.sql.types.MapType(
+            org.apache.spark.sql.types.StringType,
+            org.apache.spark.sql.types.LongType)),
+          map(lit("bucket"), pmod(col("event_id"), lit(5L)))).as("m"))
+      .select(col("event_id"), explode(col("m")))
+      .groupBy(col("key"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_v"),
+        min(col("value")).as("min_v"), max(col("value")).as("max_v"))
+      .orderBy(col("key"))
+
   // ---------------------------------------------------------------- registry
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // MapType: schema-less JSON map decode + derived entry + key rollup.
+    "props_map" -> ((s, d) => propsMap(Tables.events(s, d))),
     // CDC compaction: op log → current state (latest per key, deletes drop).
     "cdc_snapshot" -> ((s, d) => snapshot(envelope(Tables.events(s, d)))),
     // S3 semantics: PERMISSIVE decode error channel over planted corruption.
@@ -187,6 +210,15 @@ object Cdc {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "props_map" ->
+      """WITH kv AS (
+        |  SELECT 'k' AS key, json_extract(props, '$.k')::BIGINT AS value FROM events
+        |  UNION ALL
+        |  SELECT 'bucket', event_id % 5 FROM events
+        |)
+        |SELECT key, count(*) AS n, sum(value)::BIGINT AS sum_v,
+        |  min(value) AS min_v, max(value) AS max_v
+        |FROM kv GROUP BY key ORDER BY key""".stripMargin,
     "json_permissive" ->
       """SELECT event_id,
         |  CASE WHEN event_id % 7 = 0 THEN NULL
