@@ -52,6 +52,8 @@ object SparkEntry {
       Tpch.inactiveCustomers(Tables.customer(s, d), Tables.orders(s, d))),
     "order_priority_rollup" -> ((s, d) =>
       Tpch.orderPriorityRollup(Tables.orders(s, d))),
+    "order_priority_cube" -> ((s, d) =>
+      Tpch.orderPriorityCube(Tables.orders(s, d))),
     "spend_quartiles" -> ((s, d) =>
       Tpch.spendQuartiles(Tables.customer(s, d), Tables.orders(s, d))),
     "order_profile" -> ((s, d) => Tpch.orderProfile(Tables.orders(s, d))),
@@ -154,6 +156,16 @@ object SparkEntry {
         |FROM (SELECT year(o_orderdate)::BIGINT AS o_year, o_orderpriority, o_totalprice
         |      FROM orders)
         |GROUP BY ROLLUP(o_year, o_orderpriority)
+        |ORDER BY gid, o_year, o_orderpriority""".stripMargin,
+    "order_priority_cube" ->
+      """SELECT grouping(o_year, o_orderpriority)::BIGINT AS gid,
+        |  coalesce(o_year, -1) AS o_year,
+        |  coalesce(o_orderpriority, 'ALL') AS o_orderpriority,
+        |  count(*) AS n_orders,
+        |  round(sum(o_totalprice), 2) AS total_value
+        |FROM (SELECT year(o_orderdate)::BIGINT AS o_year, o_orderpriority, o_totalprice
+        |      FROM orders)
+        |GROUP BY CUBE(o_year, o_orderpriority)
         |ORDER BY gid, o_year, o_orderpriority""".stripMargin,
     "spend_quartiles" ->
       """WITH spend AS (

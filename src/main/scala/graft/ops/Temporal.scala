@@ -103,9 +103,33 @@ object Temporal {
       .orderBy(col("prev_type"), col("next_type"))
   }
 
+  /** RANGE-frame rolling window: at every event, the user's value total
+    * over the trailing hour BY EVENT TIME (`rangeBetween` over epoch
+    * seconds), not the trailing N rows — rows and time diverge whenever
+    * event density varies, which is always. Partitioned by the
+    * high-cardinality user key; one shuffle, sorted pass per user.
+    */
+  def rollingHourValue(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = Synth.eventTime(events)
+      .withColumn("ts_sec", unix_timestamp(col("ts")))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_sec"))
+      .rangeBetween(-3600L, 0L)
+    // Exact integer cents, not a double sum: within a RANGE frame the
+    // engines may fold ties in different orders, and double addition is
+    // order-sensitive at the ulp; integer sums are order-free.
+    e.withColumn("cents", floor(col("value") * 100).cast("long"))
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("ts_us"),
+        sum(col("cents")).over(w).as("rolling_1h_cents"),
+        count(lit(1)).over(w).as("rolling_1h_events"))
+      .orderBy(col("event_id"))
+  }
+
   // ---------------------------------------------------------------- registry
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "rolling_1h_value" -> ((s, d) => rollingHourValue(Tables.events(s, d))),
     "user_sessions" -> ((s, d) => userSessions(Tables.events(s, d))),
     "asof_last_purchase" -> ((s, d) => asofLastPurchase(Tables.events(s, d))),
     "interval_join" -> ((s, d) => campaignIntervalJoin(Tables.events(s, d))),
@@ -125,6 +149,19 @@ object Temporal {
         |FROM events JOIN campaigns
         |  ON ts >= d + INTERVAL 6 HOUR AND ts < d + INTERVAL 30 HOUR
         |GROUP BY d ORDER BY campaign_day_us""".stripMargin,
+    "rolling_1h_value" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, ts, epoch_us(ts) AS ts_us,
+        |    epoch_us(ts) // 1000000 AS ts_sec,
+        |    floor(value * 100)::BIGINT AS cents
+        |  FROM events
+        |)
+        |SELECT event_id, user_id, ts_us,
+        |  (sum(cents) OVER (PARTITION BY user_id ORDER BY ts_sec
+        |    RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW))::BIGINT AS rolling_1h_cents,
+        |  count(*) OVER (PARTITION BY user_id ORDER BY ts_sec
+        |    RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) AS rolling_1h_events
+        |FROM e ORDER BY event_id""".stripMargin,
     "event_transitions" ->
       """WITH paired AS (
         |  SELECT user_id, event_type,

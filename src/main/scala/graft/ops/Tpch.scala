@@ -201,6 +201,24 @@ object Tpch {
       .orderBy(col("rule"))
   }
 
+  /** CUBE: all four grouping sets of (year, priority) — detail, each
+    * one-dimension margin, and the grand total — in the same single-Expand
+    * pass as [[orderPriorityRollup]]; ROLLUP's hierarchy becomes the full
+    * cross of margins.
+    */
+  def orderPriorityCube(orders: DataFrame): DataFrame =
+    orders
+      .withColumn("o_year", year(col("o_orderdate")).cast("long"))
+      .cube(col("o_year"), col("o_orderpriority"))
+      .agg(grouping_id().cast("long").as("gid"),
+        count(lit(1)).as("n_orders"),
+        round(sum(col("o_totalprice")), 2).as("total_value"))
+      .select(col("gid"),
+        coalesce(col("o_year"), lit(-1L)).as("o_year"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("o_orderpriority"),
+        col("n_orders"), col("total_value"))
+      .orderBy(col("gid"), col("o_year"), col("o_orderpriority"))
+
   /** Quantile bucketing WITHOUT a global sort: `ntile(4)` over all
     * customers needs one totally-ordered partition (the single-task window
     * funnel this codebase bans); instead the per-segment quartile THRESHOLDS
