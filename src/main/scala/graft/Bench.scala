@@ -33,7 +33,12 @@ object Bench {
 
     var times = Vector.empty[(String, Double)]
     var errors = Vector.empty[(String, String)]
-    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+    // Optional args = query-name filter (iterate on one hotspot without
+    // paying for the full suite); no args = the full driver-run suite.
+    val selected =
+      if (args.isEmpty) SparkEntry.queries
+      else SparkEntry.queries.filter { case (k, _) => args.contains(k) }
+    selected.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       // Two timed runs, min taken: single-shot times on a shared host swing
       // 2-4× with ambient load; the min is the standard noise-robust
       // estimator and both runs do full work (cache cleared between, noop

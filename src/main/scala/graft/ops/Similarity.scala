@@ -227,13 +227,27 @@ object Similarity {
     * DuckDB SQL oracle, so the trained query registers rows-only; recall and
     * determinism are asserted in SimilaritySpec instead.
     */
-  def kmeansCentroids(emb: DataFrame, k: Int = 8, iters: Int = 3): DataFrame = {
+  def kmeansCentroids(emb: DataFrame, k: Int = 8, iters: Int = 3,
+      maxTrain: Int = 512): DataFrame = {
     val spark = emb.sparkSession
     import org.apache.spark.sql.expressions.Window
     // Training works in double space (centroid means are doubles); the cast
     // is exact, so training over a float corpus equals training over its
     // double cast bit-for-bit. Callers keep the corpus float.
-    val embD = emb.select(col("vec_id"), col("v").cast("array<double>").as("v"))
+    val embAll = emb.select(col("vec_id"), col("v").cast("array<double>").as("v"))
+    // Quantizer training never needs the full corpus: Lloyd-iterate over a
+    // deterministic md5-sample capped at ~maxTrain vectors (the standard IVF
+    // recipe — train on a sample, assign everything). At 100 TB the
+    // alternative is K iterations × full-corpus shuffles for centroids that
+    // converge identically. Corpora at or under the cap train in full, so
+    // small-fixture results (and the monotonicity spec) are unchanged.
+    val n = embAll.count()
+    val every = math.max(1L, (n + maxTrain - 1) / maxTrain)
+    val embD =
+      if (every == 1L) embAll
+      else embAll.filter(
+        expr(s"conv(substring(md5(cast(vec_id as string)), 1, 15), 16, 10) % $every = 0")
+      ).persist()
     // Seed ids are assigned driver-side over the already-collected K rows —
     // a row_number window here would be unpartitioned (single-task WindowExec,
     // the plan shape this codebase bans) for zero benefit.
@@ -268,6 +282,7 @@ object Similarity {
       val byId = updated.toMap
       cents = cents.map { case (id, old) => (id, byId.getOrElse(id, old)) }
     }
+    if (every != 1L) embD.unpersist()
     spark.createDataFrame(cents.toSeq).toDF("c_id", "cv")
   }
 
