@@ -27,7 +27,8 @@ object SparkEntry {
       graft.ops.TextStats.queries ++ graft.ops.Dedup.queries ++
       graft.ops.Similarity.queries ++ graft.ops.Multimodal.queries ++
       graft.ops.Pipeline.queries ++ graft.ops.Temporal.queries ++
-      graft.ops.RegionLookup.queries ++ graft.streaming.StreamJoins.queries
+      graft.ops.RegionLookup.queries ++ graft.streaming.StreamJoins.queries ++
+      graft.ops.Curation.queries
 
   private def relational: Map[String, (SparkSession, String) => DataFrame] = Map(
     // S9 payload shape: the KPI frame serialized exactly as the Kafka sink
@@ -69,7 +70,8 @@ object SparkEntry {
     graft.ops.TextStats.oracleSql ++ graft.ops.Dedup.oracleSql ++
     graft.ops.Similarity.oracleSql ++ graft.ops.Multimodal.oracleSql ++
     graft.ops.Pipeline.oracleSql ++ graft.ops.Temporal.oracleSql ++
-    graft.ops.RegionLookup.oracleSql ++ graft.streaming.StreamJoins.oracleSql
+    graft.ops.RegionLookup.oracleSql ++ graft.streaming.StreamJoins.oracleSql ++
+    graft.ops.Curation.oracleSql
 
   private def relationalOracle: Map[String, String] = Map(
     "pricing_summary" ->

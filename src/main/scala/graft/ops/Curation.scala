@@ -1,0 +1,311 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Corpus-curation operators for an LLM training-data pipeline over the
+  * `documents` fixture: PII scrubbing, repetition-based quality signals,
+  * cross-document line dedup, benchmark-contamination checks, length
+  * profiling, and incremental (snapshot-delta) dedup.
+  *
+  * Everything is built-in expressions over narrow projections — no UDFs, so
+  * the per-document work stays inside whole-stage codegen, and the only
+  * shuffles are the stated aggregations (line/shingle groupBys on
+  * high-cardinality hashed keys). The fixture corpus has no real PII or
+  * shared boilerplate, so where an operator needs positives the corpus is
+  * first augmented with DETERMINISTIC plants (arithmetic both engines
+  * compute identically), mirroring the planted-dup pattern in
+  * [[Dedup]]/[[Similarity]]: the operator then provably finds exactly the
+  * planted rows.
+  */
+object Curation {
+
+  private def toks(c: String = "text") = split(col(c), " ")
+
+  // ------------------------------------------------------------- PII scrub
+
+  /** Deterministically planted PII: every 7th doc gains an email, every
+    * 11th a phone number (some docs get both). Plain string arithmetic —
+    * identical in DuckDB.
+    */
+  private def piiCorpus(documents: DataFrame): DataFrame =
+    documents.select(col("doc_id"),
+      concat(col("text"),
+        when(pmod(col("doc_id"), lit(7)) === 0,
+          concat(lit(" contact u"), col("doc_id"), lit("@example.com")))
+          .otherwise(lit("")),
+        when(pmod(col("doc_id"), lit(11)) === 0,
+          concat(lit(" call 555-"),
+            lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0")))
+          .otherwise(lit(""))).as("text"))
+
+  private val EmailRe = "[a-z0-9]+@[a-z0-9]+\\.[a-z]+"
+  private val PhoneRe = "[0-9]{3}-[0-9]{4}"
+
+  /** PII redaction: count and replace email/phone shapes with typed tags.
+    * Pure map-side regex work — at 100 TB this runs at scan throughput with
+    * zero shuffle; the audit counts make the redaction rate reportable
+    * per-source without a second pass.
+    */
+  def piiScrub(documents: DataFrame): DataFrame =
+    piiCorpus(documents)
+      .select(col("doc_id"),
+        size(expr(s"regexp_extract_all(text, '$EmailRe', 0)")).cast("long")
+          .as("n_emails"),
+        size(expr(s"regexp_extract_all(text, '$PhoneRe', 0)")).cast("long")
+          .as("n_phones"),
+        regexp_replace(regexp_replace(col("text"), EmailRe, "<EMAIL>"),
+          PhoneRe, "<PHONE>").as("scrubbed"))
+      .orderBy(col("doc_id"))
+
+  // ---------------------------------------------- repetition quality signals
+
+  /** Gopher-style repetition signals per document: duplicate-bigram
+    * fraction and most-common-bigram share, with a keep/drop gate. The
+    * bigram mode is computed by explode → two-level agg (map-side partial
+    * combine on (doc_id, bigram) — never a per-doc collect), and only
+    * counts are compared, so there is no tie-break on WHICH bigram is top.
+    */
+  def repetitionStats(documents: DataFrame, maxTopFrac: Double = 0.2): DataFrame = {
+    val bigrams = documents
+      .filter(size(toks()) >= 2)
+      .select(col("doc_id"),
+        explode(expr("""transform(sequence(1, size(split(text, ' ')) - 1),
+          i -> concat(element_at(split(text, ' '), i), ' ',
+                      element_at(split(text, ' '), i + 1)))""")).as("bg"))
+    bigrams
+      .groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).cast("long").as("n_bigrams"),
+        count(lit(1)).as("n_distinct_bigrams"),
+        max(col("c")).cast("long").as("top_bigram_n"))
+      .select(col("doc_id"), col("n_bigrams"), col("n_distinct_bigrams"),
+        round(lit(1) - col("n_distinct_bigrams") / col("n_bigrams").cast("double"), 4)
+          .as("dup_bigram_frac"),
+        round(col("top_bigram_n") / col("n_bigrams").cast("double"), 4)
+          .as("top_bigram_frac"))
+      .withColumn("keep", col("top_bigram_frac") <= maxTopFrac)
+      .orderBy(col("doc_id"))
+  }
+
+  // ------------------------------------------------------ cross-doc line dedup
+
+  /** Number of tokens per pseudo-line (the fixture corpus has no newlines,
+    * so lines are fixed-width token chunks; with real documents this is
+    * `split(text, '\n')` and the rest of the operator is unchanged). */
+  private val LineTokens = 10
+
+  /** A line is boilerplate once it appears in this many distinct docs. */
+  private val MaxLineDocs = 2
+
+  /** CCNet-style cross-document line dedup: hash every line, count DISTINCT
+    * docs per line hash, drop lines above the boilerplate threshold, and
+    * reassemble documents in original line order. Scale shape: one shuffle
+    * on the 60-bit line hash (high cardinality, Zipf head is exactly the
+    * boilerplate being removed — the cap keeps its groups small), then one
+    * shuffle back on doc_id; reassembly sorts WITHIN each doc's collected
+    * struct list, never globally.
+    */
+  def lineDedup(documents: DataFrame): DataFrame = {
+    val lines = documents
+      .select(col("doc_id"), posexplode(expr(
+        s"""transform(sequence(0, cast(ceil(size(split(text, ' ')) / ${LineTokens}.0) as int) - 1),
+           |  i -> array_join(slice(split(text, ' '), i * $LineTokens + 1, $LineTokens), ' '))"""
+          .stripMargin)))
+      .toDF("doc_id", "pos", "line")
+      .withColumn("line_h",
+        expr("cast(conv(substring(md5(line), 1, 15), 16, 10) as bigint)"))
+    val boilerplate = lines
+      .groupBy(col("line_h"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"))
+      .filter(col("n_docs") > MaxLineDocs)
+      .select(col("line_h"))
+    lines.join(broadcast(boilerplate), Seq("line_h"), "left_anti")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_kept"),
+        expr("array_join(transform(array_sort(collect_list(struct(pos, line))), s -> s.line), ' ')")
+          .as("kept_text"))
+      .orderBy(col("doc_id"))
+  }
+
+  // -------------------------------------------------- benchmark contamination
+
+  /** Eval-set membership: every 97th doc plays the held-out benchmark. */
+  private val EvalMod = 97
+  private val ShingleTokens = 5
+
+  /** Contamination check: flag training documents sharing any
+    * [[ShingleTokens]]-gram with the (broadcast) eval set — the standard
+    * n-gram-overlap decontamination pass before training. Shingles are
+    * 60-bit md5 hashes, so the probe side shuffles 8-byte keys, and the
+    * eval side is distinct-reduced then broadcast: at 100 TB the corpus is
+    * never shuffled at all, just one map-side hash-join pass per doc.
+    */
+  def contaminationCheck(documents: DataFrame): DataFrame = {
+    val shingled = documents
+      .filter(size(toks()) >= ShingleTokens)
+      .select(col("doc_id"), explode(expr(
+        s"""transform(sequence(1, size(split(text, ' ')) - $ShingleTokens + 1),
+           |  i -> cast(conv(substring(md5(
+           |    array_join(slice(split(text, ' '), i, $ShingleTokens), ' ')), 1, 15), 16, 10) as bigint))"""
+          .stripMargin)).as("sh"))
+    val eval_ = shingled.filter(pmod(col("doc_id"), lit(EvalMod)) === 0)
+      .select(col("sh")).distinct()
+    val train = shingled.filter(pmod(col("doc_id"), lit(EvalMod)) =!= 0)
+    train
+      .join(broadcast(eval_.withColumn("hit", lit(1))), Seq("sh"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(coalesce(col("hit"), lit(0))).cast("long").as("n_contaminated"))
+      .withColumn("contaminated", col("n_contaminated") > 0)
+      .orderBy(col("doc_id"))
+  }
+
+  // ------------------------------------------------------- length histogram
+
+  private val BinWidth = 16
+
+  /** Token-length histogram per source (fixed-width bins) — the corpus
+    * shape profile a curation run reports. One map-side-combined groupBy on
+    * (source, bin): at any scale the result is O(sources × bins). */
+  def lengthHistogram(documents: DataFrame): DataFrame =
+    documents
+      .select(col("source"),
+        (expr(s"size(split(text, ' ')) div $BinWidth") * BinWidth)
+          .cast("long").as("bin_lo"))
+      .groupBy(col("source"), col("bin_lo"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy(col("source"), col("bin_lo"))
+
+  // ------------------------------------------------------ incremental dedup
+
+  /** Incremental dedup of an incoming batch against a prior corpus
+    * snapshot: even doc_ids play the already-ingested snapshot, odd ones
+    * the incoming batch, augmented with planted copies of snapshot docs
+    * (every 10th even doc re-arrives under a new id). An anti-join on the
+    * normalized content hash admits only genuinely-new documents — the
+    * planted re-arrivals provably vanish. At 100 TB the snapshot side is a
+    * pre-computed hash index (bucketed by this very hash, so the anti-join
+    * is co-located and shuffle-free); a Bloom-filter prefilter can drop the
+    * obvious non-dups before the join without changing its result.
+    */
+  def incrementalDedup(documents: DataFrame): DataFrame = {
+    def h(c: String) = sha2(lower(trim(col(c))), 256)
+    val prior = documents.filter(pmod(col("doc_id"), lit(2)) === 0)
+      .select(h("text").as("text_hash"))
+      .distinct()
+    val arrivals = documents.filter(pmod(col("doc_id"), lit(2)) === 1)
+      .select(col("doc_id"), col("text"))
+      .unionByName(documents
+        .filter(pmod(col("doc_id"), lit(20)) === 0)
+        .select((col("doc_id") + 40000).as("doc_id"), col("text")))
+    arrivals
+      .select(col("doc_id"), h("text").as("text_hash"))
+      .join(prior, Seq("text_hash"), "left_anti")
+      .select(col("doc_id"), col("text_hash"))
+      .orderBy(col("doc_id"))
+  }
+
+  // ---------------------------------------------------------------- registry
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pii_scrub" -> ((s, d) => piiScrub(Tables.documents(s, d))),
+    "repetition_stats" -> ((s, d) => repetitionStats(Tables.documents(s, d))),
+    "line_dedup" -> ((s, d) => lineDedup(Tables.documents(s, d))),
+    "contamination_check" -> ((s, d) => contaminationCheck(Tables.documents(s, d))),
+    "length_histogram" -> ((s, d) => lengthHistogram(Tables.documents(s, d))),
+    "incremental_dedup" -> ((s, d) => incrementalDedup(Tables.documents(s, d))),
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "pii_scrub" ->
+      s"""WITH pii AS (
+         |  SELECT doc_id, text ||
+         |    CASE WHEN doc_id % 7 = 0
+         |      THEN ' contact u' || doc_id || '@example.com' ELSE '' END ||
+         |    CASE WHEN doc_id % 11 = 0
+         |      THEN ' call 555-' || lpad((doc_id % 10000)::VARCHAR, 4, '0') ELSE '' END
+         |    AS text
+         |  FROM documents
+         |)
+         |SELECT doc_id,
+         |  len(regexp_extract_all(text, '$EmailRe'))::BIGINT AS n_emails,
+         |  len(regexp_extract_all(text, '$PhoneRe'))::BIGINT AS n_phones,
+         |  regexp_replace(regexp_replace(text, '$EmailRe', '<EMAIL>', 'g'),
+         |    '$PhoneRe', '<PHONE>', 'g') AS scrubbed
+         |FROM pii ORDER BY doc_id""".stripMargin,
+    "repetition_stats" ->
+      """WITH bg AS (
+        |  SELECT doc_id, unnest(list_transform(
+        |    generate_series(1, len(string_split(text, ' ')) - 1),
+        |    i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i + 1])) AS bg
+        |  FROM documents WHERE len(string_split(text, ' ')) >= 2
+        |), cnt AS (
+        |  SELECT doc_id, bg, count(*) AS c FROM bg GROUP BY doc_id, bg
+        |)
+        |SELECT doc_id,
+        |  sum(c)::BIGINT AS n_bigrams,
+        |  count(*) AS n_distinct_bigrams,
+        |  round(1 - count(*) / sum(c)::DOUBLE, 4) AS dup_bigram_frac,
+        |  round(max(c) / sum(c)::DOUBLE, 4) AS top_bigram_frac,
+        |  round(max(c) / sum(c)::DOUBLE, 4) <= 0.2 AS keep
+        |FROM cnt GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "line_dedup" ->
+      s"""WITH lines AS (
+         |  SELECT doc_id, unnest(list_transform(
+         |    generate_series(1, ceil(len(string_split(text, ' ')) / ${LineTokens}.0)::INT),
+         |    i -> {'pos': i - 1, 'line': array_to_string(
+         |      string_split(text, ' ')[((i - 1) * $LineTokens + 1):(i * $LineTokens)], ' ')})) AS l
+         |  FROM documents
+         |), hashed AS (
+         |  SELECT doc_id, l.pos AS pos, l.line AS line,
+         |    ('0x' || substr(md5(l.line), 1, 15))::BIGINT AS line_h
+         |  FROM lines
+         |), boiler AS (
+         |  SELECT line_h FROM hashed
+         |  GROUP BY line_h HAVING count(DISTINCT doc_id) > $MaxLineDocs
+         |)
+         |SELECT doc_id, count(*) AS n_kept,
+         |  string_agg(line, ' ' ORDER BY pos) AS kept_text
+         |FROM hashed
+         |WHERE line_h NOT IN (SELECT line_h FROM boiler)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "contamination_check" ->
+      s"""WITH sh AS (
+         |  SELECT doc_id,
+         |    unnest(list_transform(
+         |      generate_series(1, len(string_split(text, ' ')) - $ShingleTokens + 1),
+         |      i -> ('0x' || substr(md5(
+         |        array_to_string(string_split(text, ' ')[i:(i + $ShingleTokens - 1)], ' ')), 1, 15))::BIGINT)) AS sh
+         |  FROM documents WHERE len(string_split(text, ' ')) >= $ShingleTokens
+         |), ev AS (
+         |  SELECT DISTINCT sh FROM sh WHERE doc_id % $EvalMod = 0
+         |)
+         |SELECT doc_id, count(*) AS n_shingles,
+         |  sum(CASE WHEN ev.sh IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_contaminated,
+         |  sum(CASE WHEN ev.sh IS NOT NULL THEN 1 ELSE 0 END) > 0 AS contaminated
+         |FROM sh LEFT JOIN ev ON sh.sh = ev.sh
+         |WHERE doc_id % $EvalMod <> 0
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "length_histogram" ->
+      s"""SELECT source,
+         |  ((len(string_split(text, ' ')) // $BinWidth) * $BinWidth)::BIGINT AS bin_lo,
+         |  count(*) AS n_docs
+         |FROM documents GROUP BY source, bin_lo ORDER BY source, bin_lo""".stripMargin,
+    "incremental_dedup" ->
+      """WITH prior AS (
+        |  SELECT DISTINCT sha256(lower(trim(text))) AS text_hash
+        |  FROM documents WHERE doc_id % 2 = 0
+        |), arrivals AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1
+        |  UNION ALL
+        |  SELECT doc_id + 40000, text FROM documents WHERE doc_id % 20 = 0
+        |)
+        |SELECT doc_id, sha256(lower(trim(text))) AS text_hash
+        |FROM arrivals
+        |WHERE sha256(lower(trim(text))) NOT IN (SELECT text_hash FROM prior)
+        |ORDER BY doc_id""".stripMargin,
+  )
+}

@@ -1,0 +1,96 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.Curation
+
+/** Curation operators over crafted corpora with known PII, boilerplate,
+  * repetition, and contamination. */
+class CurationSpec extends SparkSpec {
+
+  private def docs(rows: (Long, String)*) = {
+    import spark.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  test("pii scrub redacts every planted email and phone") {
+    // doc 0 gets both plants (0 % 7 = 0 % 11 = 0), doc 7 the email,
+    // doc 11 the phone, doc 1 neither.
+    val out = Curation.piiScrub(docs(
+      0L -> "alpha beta", 1L -> "gamma delta",
+      7L -> "epsilon zeta", 11L -> "eta theta")).collect()
+    val byId = out.map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(byId(0L).getAs[Long]("n_emails") == 1 && byId(0L).getAs[Long]("n_phones") == 1)
+    assert(byId(7L).getAs[Long]("n_emails") == 1 && byId(7L).getAs[Long]("n_phones") == 0)
+    assert(byId(11L).getAs[Long]("n_phones") == 1)
+    assert(byId(1L).getAs[Long]("n_emails") == 0 && byId(1L).getAs[Long]("n_phones") == 0)
+    // No PII shape survives scrubbing, and the tags land where planted.
+    out.foreach { r =>
+      val t = r.getAs[String]("scrubbed")
+      assert(!t.matches(".*[a-z0-9]+@[a-z0-9]+\\.[a-z]+.*"), t)
+      assert(!t.matches(".*[0-9]{3}-[0-9]{4}.*"), t)
+    }
+    assert(byId(0L).getAs[String]("scrubbed") == "alpha beta contact <EMAIL> call <PHONE>")
+  }
+
+  test("repetition stats flag a degenerate doc and keep clean prose") {
+    val clean = (1 to 40).map(i => s"w$i").mkString(" ")
+    val loop = Seq.fill(20)("spam ham").mkString(" ")
+    val out = Curation.repetitionStats(docs(1L -> clean, 2L -> loop)).collect()
+    val byId = out.map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(byId(1L).getAs[Boolean]("keep"))
+    assert(byId(1L).getAs[Double]("dup_bigram_frac") == 0.0)
+    assert(!byId(2L).getAs[Boolean]("keep"))
+    // "ham spam" repeats 19×, "spam ham" 20× of 39 bigrams.
+    assert(byId(2L).getAs[Double]("top_bigram_frac") > 0.5)
+  }
+
+  test("line dedup removes a 3-doc boilerplate line but keeps unique lines") {
+    val boiler = (1 to 10).map(i => s"footer$i").mkString(" ")
+    val out = Curation.lineDedup(docs(
+      1L -> (((1 to 10).map(i => s"a$i").mkString(" ")) + " " + boiler),
+      2L -> (((1 to 10).map(i => s"b$i").mkString(" ")) + " " + boiler),
+      3L -> (((1 to 10).map(i => s"c$i").mkString(" ")) + " " + boiler),
+      4L -> ((1 to 10).map(i => s"d$i").mkString(" "))))
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_kept"), r.getAs[String]("kept_text"))).toMap
+    // Each of docs 1-3 loses exactly the shared footer line.
+    assert(out(1L) == (1L, (1 to 10).map(i => s"a$i").mkString(" ")))
+    assert(out(2L)._1 == 1L && out(3L)._1 == 1L)
+    assert(out(4L) == (1L, (1 to 10).map(i => s"d$i").mkString(" ")))
+  }
+
+  test("contamination check flags only docs sharing an eval 5-gram") {
+    val evalText = "held out benchmark question about spark joins here"
+    val out = Curation.contaminationCheck(docs(
+      0L -> evalText, // 0 % 97 == 0 → the eval doc (excluded from output)
+      1L -> ("prefix words " + evalText), // contains every eval 5-gram
+      2L -> "totally unrelated training document with distinct tokens")).collect()
+    val byId = out.map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(!byId.contains(0L))
+    assert(byId(1L).getAs[Boolean]("contaminated"))
+    assert(byId(1L).getAs[Long]("n_contaminated") >= 4)
+    assert(!byId(2L).getAs[Boolean]("contaminated"))
+  }
+
+  test("incremental dedup admits only content new vs the prior snapshot") {
+    val out = Curation.incrementalDedup(docs(
+      2L -> "already ingested content", // prior snapshot
+      3L -> "genuinely new content", // new arrival → admitted
+      5L -> "already ingested content", // odd doc duplicating prior → dropped
+      20L -> "snapshot doc that re-arrives")) // also planted as arrival 40020
+      .collect().map(_.getAs[Long]("doc_id"))
+    assert(out.sameElements(Array(3L)))
+  }
+
+  test("length histogram bins by 16-token widths per source") {
+    import spark.implicits._
+    val df = Seq(("web", (1 to 5).map(_ => "t").mkString(" ")),
+      ("web", (1 to 20).map(_ => "t").mkString(" ")),
+      ("books", (1 to 20).map(_ => "t").mkString(" ")))
+      .toDF("source", "text")
+    val out = Curation.lengthHistogram(df).collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Long]("bin_lo")) -> r.getAs[Long]("n_docs")).toMap
+    assert(out == Map(("books", 16L) -> 1L, ("web", 0L) -> 1L, ("web", 16L) -> 1L))
+  }
+}
