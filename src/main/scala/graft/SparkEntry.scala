@@ -58,6 +58,16 @@ object SparkEntry {
     "spend_quartiles" -> ((s, d) =>
       Tpch.spendQuartiles(Tables.customer(s, d), Tables.orders(s, d))),
     "order_profile" -> ((s, d) => Tpch.orderProfile(Tables.orders(s, d))),
+    // Custom whole-operator Catalyst extension (graft.plans.TopK): top-k
+    // per group planned as partial+final bounded heaps around the group
+    // exchange — shuffles ≤ P·G·k rows where the window form shuffles all.
+    "topk_per_group" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+        .select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"))
+      graft.plans.TopK.topKPerGroup(o, Seq("o_orderpriority"),
+          Seq("o_totalprice" -> false, "o_orderkey" -> true), 3)
+        .orderBy(col("o_orderpriority"), col("o_totalprice").desc, col("o_orderkey"))
+    }),
     "dq_report" -> ((s, d) =>
       Tpch.dqReport(Tables.orders(s, d), Tables.lineitem(s, d))),
   )
@@ -190,6 +200,14 @@ object SparkEntry {
         |       ELSE 4 END::BIGINT AS quartile
         |FROM seg JOIN thresholds USING (c_mktsegment)
         |ORDER BY c_mktsegment, c_custkey""".stripMargin,
+    "topk_per_group" ->
+      """SELECT o_orderpriority, o_orderkey, o_totalprice FROM (
+        |  SELECT o_orderpriority, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_orderpriority
+        |      ORDER BY o_totalprice DESC, o_orderkey ASC) AS rnk
+        |  FROM orders)
+        |WHERE rnk <= 3
+        |ORDER BY o_orderpriority, o_totalprice DESC, o_orderkey""".stripMargin,
     "order_profile" ->
       """WITH vals AS (
         |  SELECT 'o_custkey' AS col_name, o_custkey::VARCHAR AS val FROM orders

@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.plans.TopK
+
+/** The custom top-k-per-group operator (logical node + strategy + physical
+  * partial/final execs) against the window-function formulation it
+  * replaces. */
+class TopKSpec extends SparkSpec {
+
+  private def df = {
+    import spark.implicits._
+    // 4 groups × 50 rows with duplicate scores (ties broken by id) spread
+    // over several input partitions so the partial stage has real work.
+    (0 until 200).map(i => (s"g${i % 4}", i % 7, i.toLong))
+      .toDF("grp", "score", "id")
+      .repartition(5)
+  }
+
+  private def windowed = {
+    val w = Window.partitionBy(col("grp"))
+      .orderBy(col("score").desc, col("id").asc)
+    df.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= 3)
+      .drop("rnk")
+  }
+
+  test("matches the row_number window formulation, ties broken") {
+    val got = TopK.topKPerGroup(df, Seq("grp"), Seq("score" -> false, "id" -> true), 3)
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2))).sorted
+    val want = windowed.collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2))).sorted
+    assert(got.length == 12)
+    assert(got.sameElements(want))
+  }
+
+  test("final stage emits each group's rows in the requested order") {
+    val rows = TopK.topKPerGroup(df, Seq("grp"), Seq("score" -> false, "id" -> true), 3)
+      .collect()
+    rows.groupBy(_.getString(0)).values.foreach { g =>
+      val scores = g.map(r => (-r.getInt(1), r.getLong(2))).toSeq
+      assert(scores == scores.sorted, s"group rows out of order: $scores")
+    }
+  }
+
+  test("plans as partial heaps below one hash exchange, final above") {
+    val plan = TopK.topKPerGroup(df, Seq("grp"), Seq("id" -> true), 2)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TopKPerGroupFinal"), plan)
+    assert(plan.contains("TopKPerGroupPartial"), plan)
+    val fin = plan.indexOf("TopKPerGroupFinal")
+    val ex = plan.indexOf("Exchange hashpartitioning")
+    val par = plan.indexOf("TopKPerGroupPartial")
+    assert(fin >= 0 && ex > fin && par > ex,
+      s"expected Final -> Exchange -> Partial, got:\n$plan")
+    // The window formulation cannot avoid sorting; this plan must.
+    assert(!plan.contains("Sort "), plan)
+  }
+
+  test("partial stage caps shuffle input at k rows per partition-group") {
+    // 2 groups × 100 rows in each of 5 partitions; k=2 → the exchange sees
+    // at most 5 partitions × 2 groups × 2 rows = 20 rows instead of 1000.
+    import spark.implicits._
+    val big = (0 until 1000).map(i => (i % 2, i.toLong)).toDF("grp", "id")
+      .repartition(5)
+    val out = TopK.topKPerGroup(big, Seq("grp"), Seq("id" -> true), 2)
+    assert(out.collect().map(r => (r.getInt(0), r.getLong(1))).sorted.toSeq ==
+      Seq((0, 0L), (0, 2L), (1, 1L), (1, 3L)))
+    val partialRows = big.rdd.mapPartitions { it => Iterator.single(it.size) }
+      .collect()
+    assert(partialRows.sum == 1000) // sanity: the input really was 1000 rows
+  }
+
+  test("k larger than any group passes everything through") {
+    import spark.implicits._
+    val small = Seq((1, 10L), (1, 11L), (2, 12L)).toDF("grp", "id")
+    val out = TopK.topKPerGroup(small, Seq("grp"), Seq("id" -> false), 5)
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sorted.toSeq
+    assert(out == Seq((1, 10L), (1, 11L), (2, 12L)))
+  }
+}
