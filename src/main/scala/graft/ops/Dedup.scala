@@ -277,11 +277,74 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** One alternating star round (Kiveris et al., "Connected Components in
+    * MapReduce and Beyond"): every node links its larger (large-star) or
+    * not-larger (small-star) neighbors directly to the minimum of its
+    * closed neighborhood. Edges are kept symmetric-closed before grouping.
+    */
+  private def starRound(edges: DataFrame, large: Boolean): DataFrame = {
+    val sym = edges
+      .unionByName(edges.select(col("v").as("u"), col("u").as("v")))
+      .distinct()
+    val mins = sym.groupBy(col("u")).agg(min(col("v")).as("mv"))
+      .select(col("u"), least(col("u"), col("mv")).as("m"))
+    val nbr = sym.join(mins, "u")
+    val moved = (if (large) nbr.filter(col("v") > col("u"))
+                 else nbr.filter(col("v") <= col("u")))
+      .select(col("v").as("u"), col("m").as("v"))
+    moved.unionByName(mins.select(col("u"), col("m").as("v")))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+  }
+
+  /** Duplicate clusters via alternating large-star/small-star — the
+    * published O(log n)-round connected-components algorithm and the
+    * production-scale refinement of [[dupClusters]]'s label propagation:
+    * propagation needs O(component diameter) rounds and funnels every
+    * member of a hot component through one reducer key each round, while
+    * star rounds contract the graph toward direct min-links so both the
+    * round count and the per-key fan-in drop geometrically. Same output
+    * contract and oracle as [[dupClusters]]; per-round lineage is
+    * checkpoint-truncated exactly like the propagation loop.
+    */
+  def dupClustersStar(corpus: DataFrame): DataFrame = {
+    val pairs = minhashCandidates(corpus)
+      .select(col("doc_a").as("u"), col("doc_b").as("v"))
+    var edges = pairs.localCheckpoint(true)
+    var stable = false
+    var rounds = 0
+    while (!stable && rounds < 12) {
+      val next = starRound(starRound(edges, large = true), large = false)
+        .localCheckpoint(true)
+      // Fixpoint test on the materialized checkpoints: same size and an
+      // order-insensitive content checksum (cheap vs two except() jobs).
+      def sig(df: DataFrame) = df
+        .agg(count(lit(1)).cast("long").as("n"),
+          coalesce(sum(hash(col("u"), col("v")).cast("long")), lit(0L)).as("h"))
+        .collect().head
+      stable = sig(next) == sig(edges)
+      edges = next
+      rounds += 1
+    }
+    // At the fixpoint each component is a star on its minimum: a node's
+    // label is the least id in its closed neighborhood.
+    val labels = edges
+      .unionByName(edges.select(col("v").as("u"), col("u").as("v")))
+      .groupBy(col("u"))
+      .agg(least(col("u"), min(col("v"))).as("label"))
+      .select(col("u").as("doc_id"), col("label"))
+    val sizes = labels.groupBy(col("label")).agg(count(lit(1)).as("n_members"))
+    labels.join(sizes, "label")
+      .select(col("doc_id"), col("label").as("cluster_id"), col("n_members"))
+      .orderBy(col("doc_id"))
+  }
+
   // ---------------------------------------------------------------- registry
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> ((s, d) => exactDedup(exactCorpus(Tables.documents(s, d)))),
     "dedup_clusters" -> ((s, d) => dupClusters(nearCorpus(Tables.documents(s, d)))),
+    "dedup_clusters_star" -> ((s, d) => dupClustersStar(nearCorpus(Tables.documents(s, d)))),
     "dedup_minhash" -> ((s, d) => minhashCandidates(nearCorpus(Tables.documents(s, d)))),
     "dedup_ngram_jaccard" -> ((s, d) => ngramJaccard(nearCorpus(Tables.documents(s, d)))),
     "dedup_simhash_pairs" -> ((s, d) => simhashPairs(nearCorpus(Tables.documents(s, d)))),
@@ -336,7 +399,12 @@ object Dedup {
       |   AND x.doc_id < y.doc_id
       |)""".stripMargin
 
-  def oracleSql: Map[String, String] = Map(
+  def oracleSql: Map[String, String] =
+    // Both cluster engines (label propagation / large-small star) compute
+    // the same components, so they share the recursive-CTE oracle.
+    baseOracleSql + ("dedup_clusters_star" -> baseOracleSql("dedup_clusters"))
+
+  private def baseOracleSql: Map[String, String] = Map(
     "dedup_clusters" ->
       s"""WITH RECURSIVE $nearCorpusSql, $sigSql, $candSql,
          |edges AS (

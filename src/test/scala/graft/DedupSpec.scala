@@ -81,6 +81,37 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("large-star/small-star clusters agree with label propagation") {
+    // Same corpus, both engines: identical (doc_id, cluster_id, n_members).
+    def dump(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("cluster_id"),
+        r.getAs[Long]("n_members"))).toSeq
+    assert(dump(Dedup.dupClustersStar(corpus)) == dump(Dedup.dupClusters(corpus)))
+    // An overlapping-window chain — the high-diameter shape the star
+    // rounds exist for. Ground truth comes from union-find over the ACTUAL
+    // candidate pairs (LSH recall on a crafted corpus is not the thing
+    // under test here; component closure is).
+    import spark.implicits._
+    val words = ('a' to 'z').map(c => s"w$c")
+    val chain = (0 until 6).map(i =>
+      (100L + i, words.slice(i, i + 8).mkString(" "))).toDF("doc_id", "text")
+    val pairs = Dedup.minhashCandidates(chain).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")))
+    val parent = scala.collection.mutable.Map((100L to 105L).map(i => i -> i): _*)
+    def find(x: Long): Long = if (parent(x) == x) x else { parent(x) = find(parent(x)); parent(x) }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b)); if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val comps = (100L to 105L).groupBy(find).filter(_._2.size > 1)
+    val want = comps.toSeq.flatMap { case (root, members) =>
+      members.map(m => (m, root, members.size.toLong))
+    }.sorted
+    val star = dump(Dedup.dupClustersStar(chain))
+    assert(dump(Dedup.dupClusters(chain)) == star)
+    assert(star.sorted == want)
+    assert(comps.nonEmpty) // the crafted corpus really exercises the loop
+  }
+
   test("text stats and fingerprints are deterministic and sane") {
     import spark.implicits._
     val docs = Seq((1L, "a b c a", "en", "s", 7L), (2L, "a b c a", "en", "s", 7L))
