@@ -1,0 +1,132 @@
+package graft.ops
+
+import java.io.ByteArrayInputStream
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.util.sketch.CountMinSketch
+
+import graft.sources.Tables
+
+/** Corpus-mixing operators: deterministic sampling toward a target domain
+  * mixture, and mergeable count-min-sketch heavy-hitter accounting — the
+  * two knobs a training-data pipeline turns when composing a corpus from
+  * unevenly-sized sources.
+  */
+object Mixing {
+
+  /** Target mixture in integer parts (en-heavy, fr-light) — parts, not
+    * floats, so every derived quantity below stays in exact BIGINT
+    * arithmetic and the oracle matches bit-for-bit. */
+  private def parts(lang: Column): Column =
+    when(lang === "en", 4).when(lang === "de", 2).when(lang === "es", 2)
+      .when(lang === "fr", 1).otherwise(3).cast("long")
+
+  /** Deterministic mixture sampling: given per-language doc counts n_l and
+    * target parts p_l, the largest feasible corpus preserving the mixture
+    * has K = min_l floor(n_l / p_l) docs per part; each language keeps
+    * target_l = p_l·K docs via an md5-threshold on doc_id (reproducible,
+    * no RNG state, stable under reruns and partitioning). Output is the
+    * per-language audit row (counts, targets, kept, rate).
+    *
+    * Scale shape: one count agg over the corpus, a one-row min, and a
+    * broadcast threshold join back — the corpus itself is scanned twice,
+    * shuffled never. The thresholds frame is O(languages).
+    */
+  def domainMix(documents: DataFrame): DataFrame = {
+    val counted = documents.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("p", parts(col("lang")))
+    val k = counted.select(expr("min(n_docs div p)").as("k"))
+    val thr = counted.crossJoin(broadcast(k))
+      .select(col("lang"), col("n_docs"), (col("p") * col("k")).as("target_n"),
+        expr("(1000000 * (p * k)) div n_docs").as("thr_ppm"))
+    val kept = documents
+      .join(broadcast(thr.select(col("lang"), col("thr_ppm"))), "lang")
+      .filter(expr(
+        "cast(conv(substring(md5(cast(doc_id as string)), 1, 15), 16, 10) as bigint) % 1000000")
+        < col("thr_ppm"))
+      .groupBy(col("lang")).agg(count(lit(1)).as("kept_n"))
+    thr.join(kept, Seq("lang"), "left")
+      .select(col("lang"), col("n_docs"), col("target_n"),
+        coalesce(col("kept_n"), lit(0L)).cast("long").as("kept_n"),
+        round(col("target_n") / col("n_docs").cast("double"), 4).as("target_rate"))
+      .orderBy(col("lang"))
+  }
+
+  /** Count-min-sketch error bound (relative to total token count). */
+  val CmsEps = 0.001
+  val CmsConfidence = 0.99
+  val CmsSeed = 42
+
+  /** Heavy-hitter accounting via mergeable count-min sketches: each source
+    * aggregates its token stream into one CMS (map-side combinable, fixed
+    * ~few-KB size regardless of input volume), the per-source sketches are
+    * merged, and the merged sketch is probed for the corpus-wide exact
+    * top-N tokens for an accuracy audit.
+    *
+    * This is the second mergeable-sketch pattern next to
+    * [[Frames.hllRollup]] (distinct counts): per-partition sketches union
+    * into coarser grains without rescanning facts — at 100 TB the sketch
+    * table is per (source, day) and a month's heavy hitters cost a
+    * 30-row merge, not a 30-day scan. Only O(sources) sketch blobs and
+    * O(topN) probe tokens ever reach the driver. Estimates are
+    * deterministic (fixed seed) but sketch-approximate, so the query
+    * registers rows-only; MixingSpec pins the CMS guarantee
+    * (overcount-only, within eps·N).
+    */
+  def cmsHeavyHitters(documents: DataFrame, topN: Int = 10): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    val toks = documents
+      .select(col("source"), explode(split(lower(col("text")), " ")).as("tok"))
+    val perSource = toks.groupBy(col("source"))
+      .agg(expr(s"count_min_sketch(tok, ${CmsEps}d, ${CmsConfidence}d, $CmsSeed)")
+        .as("cms"))
+    val merged = perSource.collect()
+      .map(r => CountMinSketch.readFrom(
+        new ByteArrayInputStream(r.getAs[Array[Byte]]("cms"))))
+      .reduceLeft { (a, b) => a.mergeInPlace(b); a }
+    val top = toks.groupBy(col("tok")).agg(count(lit(1)).as("exact_n"))
+      .orderBy(col("exact_n").desc, col("tok").asc)
+      .limit(topN)
+      .collect()
+    top.map(r => (r.getAs[String]("tok"), r.getAs[Long]("exact_n"),
+        merged.estimateCount(r.getAs[String]("tok"))))
+      .toSeq.toDF("tok", "exact_n", "cms_est")
+      .orderBy(col("tok"))
+  }
+
+  // ---------------------------------------------------------------- registry
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "domain_mix" -> ((s, d) => domainMix(Tables.documents(s, d))),
+    "cms_heavy_hitters" -> ((s, d) => cmsHeavyHitters(Tables.documents(s, d))),
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "domain_mix" ->
+      """WITH counted AS (
+        |  SELECT lang, count(*) AS n_docs,
+        |    (CASE lang WHEN 'en' THEN 4 WHEN 'de' THEN 2 WHEN 'es' THEN 2
+        |      WHEN 'fr' THEN 1 ELSE 3 END)::BIGINT AS p
+        |  FROM documents GROUP BY lang
+        |), k AS (
+        |  SELECT min(n_docs // p) AS k FROM counted
+        |), thr AS (
+        |  SELECT lang, n_docs, p * k AS target_n,
+        |    (1000000 * (p * k)) // n_docs AS thr_ppm
+        |  FROM counted, k
+        |), kept AS (
+        |  SELECT d.lang, count(*) AS kept_n
+        |  FROM documents d JOIN thr USING (lang)
+        |  WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 1000000 < thr_ppm
+        |  GROUP BY d.lang
+        |)
+        |SELECT lang, n_docs, target_n,
+        |  coalesce(kept_n, 0)::BIGINT AS kept_n,
+        |  round(target_n / n_docs::DOUBLE, 4) AS target_rate
+        |FROM thr LEFT JOIN kept USING (lang)
+        |ORDER BY lang""".stripMargin,
+  )
+}
