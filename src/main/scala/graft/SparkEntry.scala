@@ -28,7 +28,8 @@ object SparkEntry {
       graft.ops.Similarity.queries ++ graft.ops.Multimodal.queries ++
       graft.ops.Pipeline.queries ++ graft.ops.Temporal.queries ++
       graft.ops.RegionLookup.queries ++ graft.streaming.StreamJoins.queries ++
-      graft.ops.Curation.queries ++ graft.ops.Mixing.queries
+      graft.ops.Curation.queries ++ graft.ops.Mixing.queries ++
+      graft.ops.Quantize.queries
 
   private def relational: Map[String, (SparkSession, String) => DataFrame] = Map(
     // S9 payload shape: the KPI frame serialized exactly as the Kafka sink

@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Quantize, Similarity}
+import graft.sources.Tables
+
+/** Product-quantization training, encoding, and ADC search over the
+  * sf0.001 embeddings fixture (50 unit-norm vectors — L2 order is cosine
+  * order, so the exact cosine baseline grounds recall). */
+class QuantizeSpec extends SparkSpec {
+
+  private lazy val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+  private lazy val embV = emb.select(col("vec_id"), col("embedding").as("v"))
+
+  test("codebooks are deterministic and Lloyd never raises quantization error") {
+    def dump(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Int]("sub_idx"), r.getAs[Int]("c_id")) ->
+        r.getSeq[Double](r.fieldIndex("cv")).toVector).toMap
+    val b1 = dump(Quantize.pqCodebooks(embV))
+    val b2 = dump(Quantize.pqCodebooks(embV))
+    assert(b1 == b2) // bit-identical: sorted-fold means, hash seeds
+    assert(b1.keys.map(_._1).toSet == (0 until Quantize.M).toSet)
+    assert(b1.keys.count(_._1 == 0) == Quantize.K)
+    assert(b1.values.forall(_.length == Quantize.Dim / Quantize.M))
+    val e0 = Quantize.quantizationError(embV, Quantize.pqCodebooks(embV, iters = 0))
+    val e3 = Quantize.quantizationError(embV, Quantize.pqCodebooks(embV, iters = 3))
+    assert(e3 <= e0 + 1e-9, s"training raised error: $e0 -> $e3")
+    assert(e3 > 0) // 16 centroids cannot represent 50 random vectors exactly
+  }
+
+  test("every vector encodes to M codes in [0, K)") {
+    val codes = Quantize.pqEncode(embV, Quantize.pqCodebooks(embV)).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getSeq[Int](r.fieldIndex("codes")))
+    assert(codes.length == embV.count())
+    codes.foreach { case (id, cs) =>
+      assert(cs.length == Quantize.M, s"vec $id has ${cs.length} codes")
+      assert(cs.forall(c => c >= 0 && c < Quantize.K))
+    }
+  }
+
+  test("ADC search is deterministic and recalls strong neighbors") {
+    // An iid-random corpus is PQ's no-structure worst case (all pairs near
+    // orthogonal; 8-byte codes cannot rank ~0.25-cosine neighbors, and
+    // should not be asserted to). The guarantee that matters for dedup/
+    // retrieval is that STRONG neighbors survive quantization: plant a
+    // slightly-perturbed twin of every query vector and it must come back
+    // as the top pick.
+    val twins = emb.filter(col("vec_id") < 5)
+      .select((col("vec_id") + 100000).as("vec_id"),
+        expr("transform(embedding, (x, i) -> x + cast(((i % 5) - 2) / 500d as float))")
+          .as("embedding"),
+        col("label"))
+    val corpus = emb.unionByName(twins)
+    val r1 = Quantize.annPqTopK(corpus).collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("rnk"), r.getAs[Long]("vec_id")))
+    val r2 = Quantize.annPqTopK(corpus).collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("rnk"), r.getAs[Long]("vec_id")))
+    assert(r1.sameElements(r2))
+    assert(r1.map(_._1).distinct.length == 5) // every query answered
+    (0L until 5L).foreach { q =>
+      val top = r1.find(t => t._1 == q && t._2 == 1L).get._3
+      assert(top == q + 100000, s"query $q: planted twin not rank-1 (got $top)")
+    }
+  }
+}
