@@ -69,4 +69,36 @@ class PlanSpec extends SparkSpec {
     val p = plan("ann_cosine_topk")
     assert(p.contains("BroadcastExchange"), p.take(2000))
   }
+
+  test("topk_per_group plans partial+final heaps and no sort below the limit") {
+    val p = plan("topk_per_group")
+    assert(p.contains("TopKPerGroupPartial") && p.contains("TopKPerGroupFinal"),
+      p.take(2000))
+    // the only Sort allowed is the final presentation orderBy above the operator
+    assert(p.indexOf("Sort ") < p.indexOf("TopKPerGroupFinal"), p.take(2000))
+  }
+
+  test("contamination check broadcasts the eval shingle set") {
+    val p = plan("contamination_check")
+    assert(p.contains("BroadcastExchange"), p.take(2000))
+    assert(!p.contains("NestedLoop"), p.take(2000))
+  }
+
+  test("line dedup anti-joins against a broadcast boilerplate set") {
+    val p = plan("line_dedup")
+    assert(p.contains("LeftAnti") && p.contains("BroadcastExchange"), p.take(2000))
+  }
+
+  test("domain mix joins thresholds broadcast — the corpus is never shuffled") {
+    val p = plan("domain_mix")
+    assert(p.contains("BroadcastExchange"), p.take(2000))
+  }
+
+  test("pii scrub and length histogram stay map-side until the stated agg") {
+    // narrow ops: no join of any kind in either plan
+    Seq("pii_scrub", "length_histogram").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("Join"), s"$q grew a join:\n${p.take(2000)}")
+    }
+  }
 }
