@@ -69,12 +69,14 @@ object Curation {
     * counts are compared, so there is no tie-break on WHICH bigram is top.
     */
   def repetitionStats(documents: DataFrame, maxTopFrac: Double = 0.2): DataFrame = {
+    // Tokenize ONCE per doc before the positional transform — `split`
+    // inside the lambda would re-tokenize per position (O(n²) chars/doc).
     val bigrams = documents
       .filter(size(toks()) >= 2)
+      .select(col("doc_id"), toks().as("tk"))
       .select(col("doc_id"),
-        explode(expr("""transform(sequence(1, size(split(text, ' ')) - 1),
-          i -> concat(element_at(split(text, ' '), i), ' ',
-                      element_at(split(text, ' '), i + 1)))""")).as("bg"))
+        explode(expr("""transform(sequence(1, size(tk) - 1),
+          i -> concat(element_at(tk, i), ' ', element_at(tk, i + 1)))""")).as("bg"))
     bigrams
       .groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("c"))
       .groupBy(col("doc_id"))
@@ -110,9 +112,10 @@ object Curation {
     */
   def lineDedup(documents: DataFrame): DataFrame = {
     val lines = documents
+      .select(col("doc_id"), toks().as("tk"))
       .select(col("doc_id"), posexplode(expr(
-        s"""transform(sequence(0, cast(ceil(size(split(text, ' ')) / ${LineTokens}.0) as int) - 1),
-           |  i -> array_join(slice(split(text, ' '), i * $LineTokens + 1, $LineTokens), ' '))"""
+        s"""transform(sequence(0, cast(ceil(size(tk) / ${LineTokens}.0) as int) - 1),
+           |  i -> array_join(slice(tk, i * $LineTokens + 1, $LineTokens), ' '))"""
           .stripMargin)))
       .toDF("doc_id", "pos", "line")
       .withColumn("line_h",
@@ -146,10 +149,11 @@ object Curation {
   def contaminationCheck(documents: DataFrame): DataFrame = {
     val shingled = documents
       .filter(size(toks()) >= ShingleTokens)
+      .select(col("doc_id"), toks().as("tk"))
       .select(col("doc_id"), explode(expr(
-        s"""transform(sequence(1, size(split(text, ' ')) - $ShingleTokens + 1),
+        s"""transform(sequence(1, size(tk) - $ShingleTokens + 1),
            |  i -> cast(conv(substring(md5(
-           |    array_join(slice(split(text, ' '), i, $ShingleTokens), ' ')), 1, 15), 16, 10) as bigint))"""
+           |    array_join(slice(tk, i, $ShingleTokens), ' ')), 1, 15), 16, 10) as bigint))"""
           .stripMargin)).as("sh"))
     val eval_ = shingled.filter(pmod(col("doc_id"), lit(EvalMod)) === 0)
       .select(col("sh")).distinct()
@@ -208,9 +212,97 @@ object Curation {
       .orderBy(col("doc_id"))
   }
 
+  // ------------------------------------------------------- curation funnel
+
+  /** The whole curation pass as ONE declarative plan — scrub → repetition
+    * gate → cross-doc line dedup → decontamination → mixture sampling —
+    * reported as a per-stage survivor funnel (the audit artifact a curation
+    * run ships with its output corpus). Each stage consumes the previous
+    * stage's survivors and, where text is rewritten (scrubbing, line
+    * dedup), downstream stages see the rewritten text — order matters and
+    * the oracle mirrors it stage for stage.
+    *
+    * The five counts are union branches of one plan; Spark recomputes the
+    * shared prefix per branch at this size — at 100 TB you persist each
+    * stage (they are the pipeline's checkpoint artifacts anyway) or hang
+    * `observe()` metrics on a single pass instead.
+    */
+  def curationFunnel(documents: DataFrame): DataFrame = {
+    val scrub = piiCorpus(documents)
+      .join(documents.select(col("doc_id"), col("lang")), "doc_id")
+      .select(col("doc_id"), col("lang"),
+        regexp_replace(regexp_replace(col("text"), EmailRe, "<EMAIL>"),
+          PhoneRe, "<PHONE>").as("text"))
+    val repKeep = scrub.filter(size(toks()) >= 2)
+      .select(col("doc_id"), toks().as("tk"))
+      .select(col("doc_id"), explode(expr("""transform(sequence(1, size(tk) - 1),
+        i -> concat(element_at(tk, i), ' ', element_at(tk, i + 1)))""")).as("bg"))
+      .groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id")).agg(sum(col("c")).as("n"), max(col("c")).as("m"))
+      .filter(round(col("m") / col("n").cast("double"), 4) <= 0.2)
+      .select(col("doc_id"))
+    // Stage frames are persisted: each is both a funnel branch and the next
+    // stage's input, and exactly this caching is the production shape too
+    // (stage outputs are the run's checkpoint artifacts).
+    val s2 = scrub.join(repKeep, "doc_id").persist()
+    val lines = s2
+      .select(col("doc_id"), toks().as("tk"))
+      .select(col("doc_id"), posexplode(expr(
+        s"""transform(sequence(0, cast(ceil(size(tk) / ${LineTokens}.0) as int) - 1),
+           |  i -> array_join(slice(tk, i * $LineTokens + 1, $LineTokens), ' '))"""
+          .stripMargin)))
+      .toDF("doc_id", "pos", "line")
+      .withColumn("line_h",
+        expr("cast(conv(substring(md5(line), 1, 15), 16, 10) as bigint)"))
+    val boiler = lines.groupBy(col("line_h"))
+      .agg(countDistinct(col("doc_id")).as("nd")).filter(col("nd") > MaxLineDocs)
+      .select(col("line_h"))
+    val s3 = lines.join(broadcast(boiler), Seq("line_h"), "left_anti")
+      .groupBy(col("doc_id"))
+      .agg(expr("array_join(transform(array_sort(collect_list(struct(pos, line))), s -> s.line), ' ')")
+        .as("text"))
+      .join(s2.select(col("doc_id"), col("lang")), "doc_id")
+      .persist()
+    val shingled = s3.filter(size(toks()) >= ShingleTokens)
+      .select(col("doc_id"), toks().as("tk"))
+      .select(col("doc_id"), explode(expr(
+        s"""transform(sequence(1, size(tk) - $ShingleTokens + 1),
+           |  i -> cast(conv(substring(md5(
+           |    array_join(slice(tk, i, $ShingleTokens), ' ')), 1, 15), 16, 10) as bigint))"""
+          .stripMargin)).as("sh"))
+    val eval_ = shingled.filter(pmod(col("doc_id"), lit(EvalMod)) === 0)
+      .select(col("sh")).distinct().withColumn("hit", lit(1))
+    val cleanIds = shingled.filter(pmod(col("doc_id"), lit(EvalMod)) =!= 0)
+      .join(broadcast(eval_), Seq("sh"), "left")
+      .groupBy(col("doc_id"))
+      .agg(sum(coalesce(col("hit"), lit(0))).as("nc"))
+      .filter(col("nc") === 0).select(col("doc_id"))
+    val s4 = s3.join(cleanIds, "doc_id").persist()
+    val counted = s4.groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
+      .withColumn("p", when(col("lang") === "en", 4).when(col("lang") === "de", 2)
+        .when(col("lang") === "es", 2).when(col("lang") === "fr", 1)
+        .otherwise(3).cast("long"))
+    val thr = counted.crossJoin(broadcast(counted.select(expr("min(n_docs div p)").as("k"))))
+      .select(col("lang"), expr("(1000000 * (p * k)) div n_docs").as("thr_ppm"))
+    val s5 = s4.join(broadcast(thr), "lang")
+      .filter(expr(
+        "cast(conv(substring(md5(cast(doc_id as string)), 1, 15), 16, 10) as bigint) % 1000000")
+        < col("thr_ppm"))
+    def stage(name: String, df: DataFrame): DataFrame =
+      df.agg(count(lit(1)).cast("long").as("n_docs"))
+        .select(lit(name).as("stage"), col("n_docs"))
+    stage("1_input", documents)
+      .unionByName(stage("2_rep_gate", s2))
+      .unionByName(stage("3_line_dedup", s3))
+      .unionByName(stage("4_decontam", s4))
+      .unionByName(stage("5_mix_sample", s5))
+      .orderBy(col("stage"))
+  }
+
   // ---------------------------------------------------------------- registry
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "curation_funnel" -> ((s, d) => curationFunnel(Tables.documents(s, d))),
     "pii_scrub" -> ((s, d) => piiScrub(Tables.documents(s, d))),
     "repetition_stats" -> ((s, d) => repetitionStats(Tables.documents(s, d))),
     "line_dedup" -> ((s, d) => lineDedup(Tables.documents(s, d))),
@@ -220,6 +312,81 @@ object Curation {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "curation_funnel" ->
+      s"""WITH scrub AS (
+         |  SELECT doc_id, lang,
+         |    regexp_replace(regexp_replace(text ||
+         |      CASE WHEN doc_id % 7 = 0
+         |        THEN ' contact u' || doc_id || '@example.com' ELSE '' END ||
+         |      CASE WHEN doc_id % 11 = 0
+         |        THEN ' call 555-' || lpad((doc_id % 10000)::VARCHAR, 4, '0') ELSE '' END,
+         |      '$EmailRe', '<EMAIL>', 'g'), '$PhoneRe', '<PHONE>', 'g') AS text
+         |  FROM documents
+         |), bg AS (
+         |  SELECT doc_id, unnest(list_transform(
+         |    generate_series(1, len(string_split(text, ' ')) - 1),
+         |    i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i + 1])) AS bg
+         |  FROM scrub WHERE len(string_split(text, ' ')) >= 2
+         |), repkeep AS (
+         |  SELECT doc_id FROM (
+         |    SELECT doc_id, sum(c) AS n, max(c) AS m
+         |    FROM (SELECT doc_id, bg, count(*) AS c FROM bg GROUP BY doc_id, bg)
+         |    GROUP BY doc_id)
+         |  WHERE round(m / n::DOUBLE, 4) <= 0.2
+         |), s2 AS (
+         |  SELECT scrub.* FROM scrub JOIN repkeep USING (doc_id)
+         |), lines AS (
+         |  SELECT doc_id, unnest(list_transform(
+         |    generate_series(1, ceil(len(string_split(text, ' ')) / ${LineTokens}.0)::INT),
+         |    i -> {'pos': i - 1, 'line': array_to_string(
+         |      string_split(text, ' ')[((i - 1) * $LineTokens + 1):(i * $LineTokens)], ' ')})) AS l
+         |  FROM s2
+         |), hashed AS (
+         |  SELECT doc_id, l.pos AS pos, l.line AS line,
+         |    ('0x' || substr(md5(l.line), 1, 15))::BIGINT AS line_h
+         |  FROM lines
+         |), boiler AS (
+         |  SELECT line_h FROM hashed GROUP BY line_h
+         |  HAVING count(DISTINCT doc_id) > $MaxLineDocs
+         |), s3 AS (
+         |  SELECT doc_id, lang, string_agg(line, ' ' ORDER BY pos) AS text
+         |  FROM hashed JOIN (SELECT doc_id, lang FROM s2) USING (doc_id)
+         |  WHERE line_h NOT IN (SELECT line_h FROM boiler)
+         |  GROUP BY doc_id, lang
+         |), sh AS (
+         |  SELECT doc_id, unnest(list_transform(
+         |    generate_series(1, len(string_split(text, ' ')) - $ShingleTokens + 1),
+         |    i -> ('0x' || substr(md5(
+         |      array_to_string(string_split(text, ' ')[i:(i + $ShingleTokens - 1)], ' ')), 1, 15))::BIGINT)) AS sh
+         |  FROM s3 WHERE len(string_split(text, ' ')) >= $ShingleTokens
+         |), ev AS (
+         |  SELECT DISTINCT sh FROM sh WHERE doc_id % $EvalMod = 0
+         |), cleanids AS (
+         |  SELECT doc_id FROM sh LEFT JOIN ev ON sh.sh = ev.sh
+         |  WHERE doc_id % $EvalMod <> 0
+         |  GROUP BY doc_id
+         |  HAVING sum(CASE WHEN ev.sh IS NOT NULL THEN 1 ELSE 0 END) = 0
+         |), s4 AS (
+         |  SELECT s3.* FROM s3 JOIN cleanids USING (doc_id)
+         |), counted AS (
+         |  SELECT lang, count(*) AS n_docs,
+         |    (CASE lang WHEN 'en' THEN 4 WHEN 'de' THEN 2 WHEN 'es' THEN 2
+         |      WHEN 'fr' THEN 1 ELSE 3 END)::BIGINT AS p
+         |  FROM s4 GROUP BY lang
+         |), thr AS (
+         |  SELECT lang, (1000000 * (p * k)) // n_docs AS thr_ppm
+         |  FROM counted, (SELECT min(n_docs // p) AS k FROM counted)
+         |), s5 AS (
+         |  SELECT s4.doc_id FROM s4 JOIN thr USING (lang)
+         |  WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 1000000 < thr_ppm
+         |)
+         |SELECT stage, n_docs FROM (
+         |  SELECT '1_input' AS stage, count(*) AS n_docs FROM documents
+         |  UNION ALL SELECT '2_rep_gate', count(*) FROM s2
+         |  UNION ALL SELECT '3_line_dedup', count(*) FROM s3
+         |  UNION ALL SELECT '4_decontam', count(*) FROM s4
+         |  UNION ALL SELECT '5_mix_sample', count(*) FROM s5
+         |) ORDER BY stage""".stripMargin,
     "pii_scrub" ->
       s"""WITH pii AS (
          |  SELECT doc_id, text ||
