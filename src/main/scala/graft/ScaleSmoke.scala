@@ -37,15 +37,19 @@ object ScaleSmoke {
       println(f"$name%-22s ${secs}%8.2f s")
     }
 
-    import graft.ops.{Dedup, Pipeline, TextStats}
+    import graft.ops.{Curation, Dedup, Pipeline, TextStats}
     time("exact_dedup") { Dedup.exactDedup(corpus) }
     time("minhash_candidates") { Dedup.minhashCandidates(corpus) }
     time("simhash_pairs") { Dedup.simhashPairs(corpus) }
     time("dup_clusters") { Dedup.dupClusters(corpus) }
+    time("dup_clusters_star") { Dedup.dupClustersStar(corpus) }
     time("token_packing") { Pipeline.tokenPacking(corpus) }
     time("quality_filter") { Pipeline.qualityFilter(corpus) }
     time("doc_top_term") { TextStats.docTopTerm(corpus) }
     time("doc_freq_score") { TextStats.docFreqScore(corpus) }
+    time("line_dedup") { Curation.lineDedup(corpus) }
+    time("contamination_check") { Curation.contaminationCheck(corpus) }
+    time("curation_funnel") { Curation.curationFunnel(corpus) }
     spark.stop()
   }
 }
