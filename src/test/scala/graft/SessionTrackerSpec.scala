@@ -64,6 +64,54 @@ class SessionTrackerSpec extends SparkSpec {
     }
   }
 
+  test("session state and timers survive a checkpointed restart") {
+    import spark.implicits._
+    val in = java.nio.file.Files.createTempDirectory("graft-tws-in").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-tws-ckpt").toString
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    def writeEvs(evs: Seq[Ev]): Unit =
+      evs.toDF().coalesce(1).write.mode("append").parquet(in)
+    def run(): Seq[Session] = {
+      // foreachBatch: memory-sink queries refuse checkpoint recovery.
+      val got = scala.collection.mutable.ArrayBuffer.empty[Session]
+      val src = spark.readStream.schema(Seq.empty[Ev].toDF().schema)
+        .parquet(in).as[Ev].withWatermark("ts", "0 seconds")
+      val q = SessionTracker(src, Gap).toDF()
+        .writeStream
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          got.synchronized { got ++= b.as[Session].collect() }; ()
+        }
+        .option("checkpointLocation", ckpt)
+        .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(60000)
+      if (q.isActive) q.stop()
+      got.toSeq
+    }
+    try {
+      writeEvs(Seq(Ev(1L, ts(1000), 5.0)))
+      assert(run().isEmpty) // session open, timer pending
+      // Restart: an in-gap event must EXTEND the restored session (state
+      // lost ⇒ a fresh session starting at 5000 would be emitted instead).
+      writeEvs(Seq(Ev(1L, ts(5000), 7.0)))
+      assert(run().isEmpty)
+      // Restart again: a far-future event advances the watermark past the
+      // restored timer's deadline — the full three-batch session closes.
+      writeEvs(Seq(Ev(2L, ts(60000), 1.0)))
+      val out = run()
+      assert(out == Seq(Session(1L, 1000, 5000, 2, 12.0)),
+        s"state/timer lost across restart: $out")
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("a gap crossed inside one batch emits the finished session immediately") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
