@@ -176,10 +176,33 @@ object TextStats {
       .orderBy(col("doc_id"))
   }
 
+  /** [[docTopTerm]] re-planned on the custom top-k-per-group physical
+    * operator ([[graft.plans.TopK]]) instead of the `row_number` window:
+    * same rows (same oracle), but the per-doc winner comes from k=1
+    * bounded heaps — partial before the doc_id exchange, no sort — where
+    * the window form sorts every (doc, token) group. High-cardinality
+    * grouping is exactly where the heap operator's map-side reduction
+    * pays: the exchange carries one row per (partition, doc). */
+  def docTopTermTopK(documents: DataFrame): DataFrame = {
+    val toks = documents
+      .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("tok"))
+    val tf = toks.groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+    val df = toks.select("doc_id", "tok").distinct()
+      .groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val scored = tf.join(broadcast(df), "tok")
+      .withColumn("score", round(col("tf") / col("df").cast("double"), 6))
+    graft.plans.TopK.topKPerGroup(scored, Seq("doc_id"),
+        Seq("score" -> false, "tok" -> true), 1)
+      .select(col("doc_id"), col("tok").as("top_term"), col("tf"), col("df"),
+        col("score"))
+      .orderBy(col("doc_id"))
+  }
+
   // ---------------------------------------------------------------- registry
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "doc_top_term" -> ((s, d) => docTopTerm(Tables.documents(s, d))),
+    "doc_top_term_topk" -> ((s, d) => docTopTermTopK(Tables.documents(s, d))),
     "text_stats" -> ((s, d) => textStats(Tables.documents(s, d))),
     "lang_id" -> ((s, d) => langId(Tables.documents(s, d))),
     "token_counts" -> ((s, d) => tokenCounts(Tables.documents(s, d))),
@@ -189,6 +212,11 @@ object TextStats {
   )
 
   def oracleSql: Map[String, String] = {
+    // The heap-operator re-plan returns identical rows — shared oracle.
+    baseOracleSql + ("doc_top_term_topk" -> baseOracleSql("doc_top_term"))
+  }
+
+  private def baseOracleSql: Map[String, String] = {
     val toks = "string_split(text, ' ')"
     Map(
       "text_stats" ->
