@@ -18,6 +18,18 @@ object Bench {
     val spark = Session.builder("graft-bench", cpus.toInt).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // Shuffle telemetry: bytes written to shuffle per query (stage metrics
+    // accumulate asynchronously; the snapshot after each query is taken
+    // post-settle and labeled approximate). The number the 100 TB lens
+    // cares about: a query whose shuffle volume ~equals its input volume
+    // is one partitioning mistake away from a cluster incident.
+    val shuffleBytes = new java.util.concurrent.atomic.AtomicLong(0L)
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onStageCompleted(
+          sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
+        shuffleBytes.addAndGet(sc.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
+    })
+
     def jstr(s: String): String = "\"" + s.flatMap {
       case '"'  => "\\\""
       case '\\' => "\\\\"
@@ -32,6 +44,7 @@ object Bench {
     catch { case _: Throwable => () }
 
     var times = Vector.empty[(String, Double)]
+    var shuffles = Vector.empty[(String, Long)]
     var errors = Vector.empty[(String, String)]
     // Optional args = query-name filter (iterate on one hotspot without
     // paying for the full suite); no args = the full driver-run suite.
@@ -59,12 +72,18 @@ object Bench {
             None
         }
       }
-      if (runs.nonEmpty) times :+= name -> runs.min
+      if (runs.nonEmpty) {
+        times :+= name -> runs.min
+        Thread.sleep(100) // let async stage-completion events settle
+        val sb = shuffleBytes.getAndSet(0L)
+        shuffles :+= name -> sb / 2 // two timed runs → per-run bytes
+      }
     }
     val qs = times.map { case (k, v) => s"${jstr(k)}:$v" }.mkString("{", ",", "}")
+    val sh = shuffles.map { case (k, v) => s"${jstr(k)}:$v" }.mkString("{", ",", "}")
     val errs = errors.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }.mkString("{", ",", "}")
     val total = times.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":${jstr(sfDir)}}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"shuffle_bytes":$sh,"errors":$errs,"sf":${jstr(sfDir)}}""")
     spark.stop()
   }
 }
