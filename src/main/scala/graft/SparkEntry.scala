@@ -59,6 +59,10 @@ object SparkEntry {
     "spend_quartiles" -> ((s, d) =>
       Tpch.spendQuartiles(Tables.customer(s, d), Tables.orders(s, d))),
     "order_profile" -> ((s, d) => Tpch.orderProfile(Tables.orders(s, d))),
+    "order_count_distribution" -> ((s, d) =>
+      Tpch.orderCountDistribution(Tables.customer(s, d), Tables.orders(s, d))),
+    "cheapest_supplier" -> ((s, d) =>
+      Tpch.cheapestSupplier(Tables.lineitem(s, d), Tables.supplier(s, d))),
     // Custom whole-operator Catalyst extension (graft.plans.TopK): top-k
     // per group planned as partial+final bounded heaps around the group
     // exchange — shuffles ≤ P·G·k rows where the window form shuffles all.
@@ -201,6 +205,26 @@ object SparkEntry {
         |       ELSE 4 END::BIGINT AS quartile
         |FROM seg JOIN thresholds USING (c_mktsegment)
         |ORDER BY c_mktsegment, c_custkey""".stripMargin,
+    "order_count_distribution" ->
+      """SELECT n_orders, count(*) AS n_customers FROM (
+        |  SELECT c_custkey, count(o_orderkey) AS n_orders
+        |  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |  GROUP BY c_custkey)
+        |GROUP BY n_orders
+        |ORDER BY n_customers DESC, n_orders DESC""".stripMargin,
+    "cheapest_supplier" ->
+      """WITH lines AS (
+        |  SELECT l_partkey, l_suppkey, l_extendedprice FROM lineitem
+        |), mn AS (
+        |  SELECT l_partkey, min(l_extendedprice) AS min_price
+        |  FROM lines GROUP BY l_partkey
+        |)
+        |SELECT DISTINCT l_partkey, s_name, round(l_extendedprice, 2) AS price
+        |FROM lines
+        |JOIN mn USING (l_partkey)
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE l_extendedprice = min_price
+        |ORDER BY l_partkey, s_name""".stripMargin,
     "topk_per_group" ->
       """SELECT o_orderpriority, o_orderkey, o_totalprice FROM (
         |  SELECT o_orderpriority, o_orderkey, o_totalprice,

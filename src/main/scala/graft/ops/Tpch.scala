@@ -146,6 +146,46 @@ object Tpch {
         min(col("c_custkey")).as("min_custkey"))
       .orderBy(col("c_mktsegment"))
 
+  /** Order-count distribution (TPC-H Q13 shape): customers bucketed by how
+    * many orders they placed, INCLUDING the zero bucket — the left outer
+    * join is the load-bearing part (an inner join silently drops the
+    * no-order customers, the classic distribution-query bug). Two
+    * aggregations, both map-side combinable; the join is on the
+    * high-cardinality customer key.
+    */
+  def orderCountDistribution(customer: DataFrame, orders: DataFrame): DataFrame =
+    customer.select(col("c_custkey"))
+      .join(orders.select(col("o_custkey"), col("o_orderkey")),
+        col("c_custkey") === col("o_custkey"), "left")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("n_orders")) // count(col) skips nulls
+      .groupBy(col("n_orders"))
+      .agg(count(lit(1)).as("n_customers"))
+      .orderBy(col("n_customers").desc, col("n_orders").desc)
+
+  /** Cheapest-supply-line-per-part (TPC-H Q2's correlated-min shape): the
+    * correlated subquery `price = (SELECT min(price) ...)` re-expressed as
+    * a min-aggregate joined back on (part, min-price) — the decorrelation
+    * Spark's optimizer would have to find, written directly. Both sides
+    * shuffle once on the part key; ties admit all minimal suppliers
+    * (deterministic output via the final sort).
+    */
+  def cheapestSupplier(lineitem: DataFrame, supplier: DataFrame): DataFrame = {
+    val lines = lineitem.select(col("l_partkey"), col("l_suppkey"),
+      col("l_extendedprice"))
+    val minPrice = lines.groupBy(col("l_partkey"))
+      .agg(min(col("l_extendedprice")).as("min_price"))
+    lines
+      .join(minPrice, Seq("l_partkey"))
+      .filter(col("l_extendedprice") === col("min_price"))
+      .join(broadcast(supplier.select(col("s_suppkey"), col("s_name"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("l_partkey"), col("s_name"),
+        round(col("l_extendedprice"), 2).as("price"))
+      .distinct() // the same supplier may hit the minimum on several lines
+      .orderBy(col("l_partkey"), col("s_name"))
+  }
+
   /** Column profile (the `describe` a pipeline snapshots before training):
     * per column — row count, null count, distinct count, min/max rendered
     * as strings. One unpivot (`stack`) then one groupBy: a single pass over
