@@ -62,6 +62,30 @@ object Tables {
       schema: org.apache.spark.sql.types.StructType): DataFrame =
     spark.read.schema(schema).json(path)
 
+  /** Multimodal ingest: raw media files as rows — (path, modificationTime,
+    * length, content binary), the entry point of the decode pipeline in
+    * [[graft.ops.Multimodal]]. `pathGlobFilter` prunes by extension at
+    * LISTING time (skipped files are never opened), and
+    * `maxFilesPerPartition`-style balance comes free from the source's
+    * bin-packing; at 100 TB pair this with an object-store listing
+    * manifest rather than a directory walk.
+    */
+  def binaryFiles(spark: SparkSession, path: String,
+      globFilter: Option[String] = None): DataFrame = {
+    val base = spark.read.format("binaryFile")
+    globFilter.fold(base)(g => base.option("pathGlobFilter", g)).load(path)
+  }
+
+  /** Schema-evolution read: parquet written by successive pipeline
+    * versions (columns added over time) unified under one schema —
+    * `mergeSchema` unions footer schemas at LISTING time; rows from files
+    * lacking a column read as null there. Opt-in per read because footer
+    * merging scales with file count (at 100 TB keep schemas in a catalog
+    * instead).
+    */
+  def parquetMerged(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("mergeSchema", "true").parquet(path)
+
   /** S8: one-shot JDBC snapshot of a relational table (reference:
     * src/streaming/kafka_sources.py:171-180). Not exercised here (no
     * database in the container); partitioning options are what make it

@@ -36,4 +36,31 @@ class FileSourcesSpec extends SparkSpec {
     assert(df.count() == 2)
     assert(df.orderBy("id").collect()(1).getString(1) == "beta")
   }
+
+  test("binaryFile source ingests raw media, glob-pruned at listing time") {
+    val dir = Files.createTempDirectory("graft-bin")
+    Files.write(dir.resolve("a.img"), Array[Byte](1, 2, 3, 4))
+    Files.write(dir.resolve("b.img"), Array[Byte](9, 8))
+    Files.write(dir.resolve("notes.txt"), "skip me".getBytes)
+    val df = Tables.binaryFiles(spark, dir.toString, Some("*.img"))
+    val rows = df.orderBy("path").collect()
+    assert(rows.length == 2) // the .txt never entered the scan
+    assert(rows.map(_.getAs[Long]("length")).toSeq == Seq(4L, 2L))
+    assert(rows.head.getAs[Array[Byte]]("content").toSeq == Seq[Byte](1, 2, 3, 4))
+  }
+
+  test("mergeSchema unifies parquet written by successive pipeline versions") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-evolve").toString
+    // v1 writer: (id, text); v2 added a quality column.
+    Seq((1L, "alpha")).toDF("id", "text")
+      .write.mode("append").parquet(dir)
+    Seq((2L, "beta", 0.9)).toDF("id", "text", "quality")
+      .write.mode("append").parquet(dir)
+    val df = Tables.parquetMerged(spark, dir)
+    assert(df.columns.sorted.toSeq == Seq("id", "quality", "text"))
+    val byId = df.collect().map(r => r.getAs[Long]("id") -> r).toMap
+    assert(byId(1L).isNullAt(byId(1L).fieldIndex("quality"))) // v1 rows: null
+    assert(byId(2L).getAs[Double]("quality") == 0.9)
+  }
 }
