@@ -63,6 +63,8 @@ object SparkEntry {
       Tpch.orderCountDistribution(Tables.customer(s, d), Tables.orders(s, d))),
     "cheapest_supplier" -> ((s, d) =>
       Tpch.cheapestSupplier(Tables.lineitem(s, d), Tables.supplier(s, d))),
+    "part_type_suppliers" -> ((s, d) =>
+      Tpch.partTypeSuppliers(Tables.part(s, d), Tables.lineitem(s, d))),
     // Custom whole-operator Catalyst extension (graft.plans.TopK): top-k
     // per group planned as partial+final bounded heaps around the group
     // exchange — shuffles ≤ P·G·k rows where the window form shuffles all.
@@ -225,6 +227,12 @@ object SparkEntry {
         |JOIN supplier ON l_suppkey = s_suppkey
         |WHERE l_extendedprice = min_price
         |ORDER BY l_partkey, s_name""".stripMargin,
+    "part_type_suppliers" ->
+      """SELECT p_type, count(*) AS n_suppliers FROM (
+        |  SELECT DISTINCT p_type, l_suppkey
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey)
+        |GROUP BY p_type
+        |ORDER BY n_suppliers DESC, p_type""".stripMargin,
     "topk_per_group" ->
       """SELECT o_orderpriority, o_orderkey, o_totalprice FROM (
         |  SELECT o_orderpriority, o_orderkey, o_totalprice,

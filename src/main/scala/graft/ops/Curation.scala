@@ -212,6 +212,28 @@ object Curation {
       .orderBy(col("doc_id"))
   }
 
+  // ------------------------------------------------------ priority sampling
+
+  private val SamplePerSource = 5
+
+  /** Deterministic bounded sample: exactly N docs per source, chosen by
+    * md5-hash priority — the distributed equivalent of per-stratum
+    * reservoir sampling (hash priority ⇔ random priority, but
+    * reproducible), executed on the custom top-k-per-group operator so
+    * each map partition forwards at most N rows per source to the
+    * exchange. Unlike the rate-based [[Pipeline.stratifiedSample]], the
+    * output size is exact, not expected.
+    */
+  def prioritySample(documents: DataFrame): DataFrame = {
+    val prioritized = documents
+      .select(col("source"), col("doc_id"),
+        md5(col("doc_id").cast("string")).as("pri"))
+    graft.plans.TopK.topKPerGroup(prioritized, Seq("source"),
+        Seq("pri" -> true, "doc_id" -> true), SamplePerSource)
+      .select(col("source"), col("doc_id"))
+      .orderBy(col("source"), col("doc_id"))
+  }
+
   // ------------------------------------------------------- curation funnel
 
   /** The whole curation pass as ONE declarative plan — scrub → repetition
@@ -303,6 +325,7 @@ object Curation {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "curation_funnel" -> ((s, d) => curationFunnel(Tables.documents(s, d))),
+    "priority_sample" -> ((s, d) => prioritySample(Tables.documents(s, d))),
     "pii_scrub" -> ((s, d) => piiScrub(Tables.documents(s, d))),
     "repetition_stats" -> ((s, d) => repetitionStats(Tables.documents(s, d))),
     "line_dedup" -> ((s, d) => lineDedup(Tables.documents(s, d))),
@@ -312,6 +335,14 @@ object Curation {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "priority_sample" ->
+      s"""SELECT source, doc_id FROM (
+         |  SELECT source, doc_id,
+         |    row_number() OVER (PARTITION BY source
+         |      ORDER BY md5(doc_id::VARCHAR) ASC, doc_id ASC) AS rnk
+         |  FROM documents)
+         |WHERE rnk <= $SamplePerSource
+         |ORDER BY source, doc_id""".stripMargin,
     "curation_funnel" ->
       s"""WITH scrub AS (
          |  SELECT doc_id, lang,

@@ -186,6 +186,21 @@ object Tpch {
       .orderBy(col("l_partkey"), col("s_name"))
   }
 
+  /** Supplier diversity per part type (TPC-H Q16 shape): how many distinct
+    * suppliers ship each part type — brand catalog breadth, computed as
+    * dedup-then-count: the (type, supplier) distinct runs BEFORE the
+    * count agg, so the count's shuffle carries one row per pair, not one
+    * per lineitem. The part dim joins broadcast.
+    */
+  def partTypeSuppliers(part: DataFrame, lineitem: DataFrame): DataFrame =
+    lineitem.select(col("l_partkey"), col("l_suppkey"))
+      .join(broadcast(part.select(col("p_partkey"), col("p_type"))),
+        col("l_partkey") === col("p_partkey"))
+      .select(col("p_type"), col("l_suppkey")).distinct()
+      .groupBy(col("p_type"))
+      .agg(count(lit(1)).as("n_suppliers"))
+      .orderBy(col("n_suppliers").desc, col("p_type"))
+
   /** Column profile (the `describe` a pipeline snapshots before training):
     * per column — row count, null count, distinct count, min/max rendered
     * as strings. One unpivot (`stack`) then one groupBy: a single pass over
