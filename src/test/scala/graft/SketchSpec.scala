@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.{Sketch, Sketches}
+import graft.sources.Tables
+
+/** Bottom-k sample sketch (typed Aggregator UDAF): merge algebra, partition
+  * invariance, agreement with the TopK physical operator, and quantile
+  * sanity.
+  */
+class SketchSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("mergeSketch is associative, commutative, and caps at k") {
+    val a = Sketch(Vector(1L, 5L, 9L), Vector(1.0, 5.0, 9.0))
+    val b = Sketch(Vector(2L, 5L, 8L), Vector(2.0, 4.0, 8.0))
+    val c = Sketch(Vector(3L, 7L), Vector(3.0, 7.0))
+    def m(x: Sketch, y: Sketch) = Sketches.mergeSketch(x, y, 4)
+    assert(m(a, b) == m(b, a))
+    assert(m(m(a, b), c) == m(a, m(b, c)))
+    assert(m(a, b) == Sketch(Vector(1L, 2L, 5L, 5L), Vector(1.0, 2.0, 4.0, 5.0)))
+    // tie on h resolved by v on both insert orders
+    assert(m(Sketch(Vector(5L), Vector(9.0)), Sketch(Vector(5L), Vector(1.0))).vs
+      == Vector(1.0, 9.0))
+  }
+
+  test("sketch rollup is partition-invariant (exercises partial-agg merges)") {
+    val orders = Tables.orders(spark, dir)
+    val one = Sketches.quantileSketchRollup(orders.repartition(1)).collect()
+    val many = Sketches.quantileSketchRollup(orders.repartition(32)).collect()
+    assert(one.length > 0)
+    assert(one.toSeq == many.toSeq)
+  }
+
+  test("aggregator sample equals the TopK physical operator's bottom-k") {
+    val orders = Tables.orders(spark, dir)
+    val base = orders.select(
+      date_trunc("week", col("o_orderdate")).as("week"),
+      expr("cast(conv(substring(md5(cast(o_orderkey as string)), 1, 15), 16, 10) as bigint)").as("h"),
+      col("o_totalprice").cast("double").as("v"))
+    val viaAgg = base.groupBy(col("week"))
+      .agg(Sketches.bottomK()(col("h"), col("v")).as("sk"))
+      .select(col("week"), col("sk.vs").as("vs"))
+    val viaTopK = graft.plans.TopK.topKPerGroup(
+        base, Seq("week"), Seq("h" -> true, "v" -> true), Sketches.K)
+      .groupBy(col("week"))
+      .agg(expr("transform(array_sort(collect_list(struct(h, v))), s -> s.v)").as("vs"))
+    val l = viaAgg.collect().map(r => r.getAs[Any]("week") -> r.getSeq[Double](1)).toMap
+    val r = viaTopK.collect().map(r => r.getAs[Any]("week") -> r.getSeq[Double](1)).toMap
+    assert(l.keySet == r.keySet)
+    l.keys.foreach(k => assert(l(k) == r(k), s"week $k"))
+  }
+
+  test("quantile estimates are ordered, in range, and exact for small groups") {
+    val orders = Tables.orders(spark, dir)
+    val out = Sketches.quantileSketchRollup(orders).collect()
+    assert(out.nonEmpty)
+    out.foreach { row =>
+      val (n, p25, p50, p75) = (row.getLong(1), row.getDouble(2), row.getDouble(3), row.getDouble(4))
+      assert(n > 0 && n <= Sketches.K)
+      assert(p25 <= p50 && p50 <= p75)
+    }
+    // groups at or under k carry the whole population: estimate == exact
+    val exact = orders
+      .select(date_trunc("week", col("o_orderdate")).as("week"),
+        col("o_totalprice").cast("double").as("v"))
+      .groupBy(col("week"))
+      .agg(count(lit(1)).as("n"), sort_array(collect_list(col("v"))).as("vs"))
+      .filter(col("n") <= Sketches.K)
+      .select(col("week"),
+        round(element_at(col("vs"), greatest(ceil(lit(0.5) * size(col("vs"))), lit(1L)).cast("int")), 2).as("p50"))
+      .collect().map(r => r.get(0) -> r.getDouble(1)).toMap
+    val est = out.map(r => r.get(0) -> r.getDouble(3)).toMap
+    exact.foreach { case (w, p) => assert(est(w) == p, s"week $w") }
+  }
+}
