@@ -339,6 +339,58 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** Minimum duplicated run length, in tokens, for [[duplicateSpans]]. */
+  val SpanGram = 5
+
+  /** Cross-document duplicate SPAN detection — the exact-substring analog
+    * of document-level near-dup (Lee et al., "Deduplicating Training Data
+    * Makes Language Models Better" treat ≥50-token repeated substrings as
+    * removable; the mechanism here is identical with a 5-token floor so the
+    * fixture corpus exercises it). A span is a maximal run of consecutive
+    * token positions whose [[SpanGram]]-grams each appear in more than one
+    * document.
+    *
+    * Scale shape: one positional-gram explode (docs × positions), grams
+    * hashed to 60-bit longs BEFORE any shuffle, the cross-doc test done as
+    * min(doc)≠max(doc) in a single partial-aggregated groupBy (no
+    * count-distinct), and span assembly is a per-document window (high-
+    * cardinality partition key — no global sort). The suffix-array approach
+    * of the paper is a single-machine construction; this explode→agg→window
+    * plan is the shuffle-bounded equivalent that survives a 1000-executor
+    * corpus.
+    */
+  def duplicateSpans(corpus: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val grams = corpus
+      .withColumn("toks", split(col("text"), " "))
+      .filter(size(col("toks")) >= SpanGram)
+      .select(col("doc_id"), col("toks"), posexplode(col("toks")))
+      .filter(col("pos") <= size(col("toks")) - SpanGram)
+      .select(col("doc_id"), col("pos").cast("long").as("pos"),
+        concat_ws(" ", col("col"),
+          element_at(col("toks"), col("pos") + 2),
+          element_at(col("toks"), col("pos") + 3),
+          element_at(col("toks"), col("pos") + 4),
+          element_at(col("toks"), col("pos") + 5)).as("g"))
+      .select(col("doc_id"), col("pos"), expr(md5i.format("g")).as("h"))
+    val crossDoc = grams.groupBy(col("h"))
+      .agg(min(col("doc_id")).as("mn"), max(col("doc_id")).as("mx"))
+      .filter(col("mn") =!= col("mx"))
+      .select("h")
+    val dupPos = grams.join(crossDoc, "h").select("doc_id", "pos")
+    dupPos
+      .withColumn("island",
+        col("pos") - row_number().over(
+          Window.partitionBy(col("doc_id")).orderBy(col("pos"))))
+      .groupBy(col("doc_id"), col("island"))
+      .agg(min(col("pos")).as("span_start"),
+        (max(col("pos")) + SpanGram - 1).as("span_end"),
+        count(lit(1)).as("n_grams"))
+      .select(col("doc_id"), col("span_start"), col("span_end"),
+        (col("span_end") - col("span_start") + 1).as("span_tokens"), col("n_grams"))
+      .orderBy(col("doc_id"), col("span_start"))
+  }
+
   // ---------------------------------------------------------------- registry
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -348,6 +400,7 @@ object Dedup {
     "dedup_minhash" -> ((s, d) => minhashCandidates(nearCorpus(Tables.documents(s, d)))),
     "dedup_ngram_jaccard" -> ((s, d) => ngramJaccard(nearCorpus(Tables.documents(s, d)))),
     "dedup_simhash_pairs" -> ((s, d) => simhashPairs(nearCorpus(Tables.documents(s, d)))),
+    "duplicate_spans" -> ((s, d) => duplicateSpans(Tables.documents(s, d))),
   )
 
   /** Oracle CTEs: same corpora, same md5-prefix hash family. The oracle may
@@ -452,6 +505,29 @@ object Dedup {
          |JOIN sigs a ON a.doc_id = doc_a
          |JOIN sigs b ON b.doc_id = doc_b
          |ORDER BY doc_a, doc_b""".stripMargin,
+    "duplicate_spans" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+        |), grams AS (
+        |  SELECT doc_id, u.i - 1 AS pos,
+        |    ('0x' || substr(md5(toks[u.i] || ' ' || toks[u.i+1] || ' ' ||
+        |      toks[u.i+2] || ' ' || toks[u.i+3] || ' ' || toks[u.i+4]), 1, 15))::BIGINT AS h
+        |  FROM toks, unnest(range(1, len(toks) - 3)) u(i)
+        |  WHERE len(toks) >= 5
+        |), cross_doc AS (
+        |  SELECT h FROM grams GROUP BY h HAVING min(doc_id) <> max(doc_id)
+        |), isl AS (
+        |  SELECT doc_id, pos,
+        |    pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS island
+        |  FROM grams JOIN cross_doc USING (h)
+        |)
+        |SELECT doc_id, span_start, span_end,
+        |  span_end - span_start + 1 AS span_tokens, n_grams
+        |FROM (
+        |  SELECT doc_id, min(pos) AS span_start, max(pos) + 4 AS span_end,
+        |    count(*) AS n_grams
+        |  FROM isl GROUP BY doc_id, island
+        |) ORDER BY doc_id, span_start""".stripMargin,
     "dedup_simhash_pairs" ->
       s"""WITH $nearCorpusSql, sims AS (
          |  SELECT doc_id,

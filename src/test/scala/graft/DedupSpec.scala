@@ -112,6 +112,22 @@ class DedupSpec extends SparkSpec {
     assert(comps.nonEmpty) // the crafted corpus really exercises the loop
   }
 
+  test("duplicate spans find exactly the planted shared run, merged maximally") {
+    import spark.implicits._
+    // docs 10/11 share tokens 5..14 (a 10-token run); doc 12 is disjoint.
+    val shared = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val c = Seq(
+      (10L, "p0 p1 p2 p3 p4 " + shared + " s0 s1 s2 s3"),
+      (11L, "q0 q1 q2 q3 q4 " + shared + " t0 t1 t2 t3"),
+      (12L, "r0 r1 r2 r3 r4 r5 r6 r7 r8 r9 r10 r11 r12 r13 r14 r15 r16 r17 r18"))
+      .toDF("doc_id", "text")
+    val spans = Dedup.duplicateSpans(c).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("span_start"),
+        r.getAs[Long]("span_end"), r.getAs[Long]("span_tokens"), r.getAs[Long]("n_grams")))
+    // one maximal span per sharing doc: positions 5..14, 6 five-grams merged
+    assert(spans.toSet == Set((10L, 5L, 14L, 10L, 6L), (11L, 5L, 14L, 10L, 6L)))
+  }
+
   test("text stats and fingerprints are deterministic and sane") {
     import spark.implicits._
     val docs = Seq((1L, "a b c a", "en", "s", 7L), (2L, "a b c a", "en", "s", 7L))
