@@ -145,13 +145,22 @@ object Similarity {
     * engines compute identically); the operator provably finds exactly the
     * planted pairs.
     */
-  def embeddingNearDup(embeddings: DataFrame, threshold: Double = 0.99): DataFrame = {
+  /** Corpus with deterministic perturbed near-duplicates planted 1-in-50
+    * (small rational offsets both engines compute identically) — the fixture
+    * corpus is random, so near-dup operators need these to have anything
+    * true to find.
+    */
+  private def plantedCorpus(embeddings: DataFrame): DataFrame = {
     val emb = embDouble(embeddings).select("vec_id", "v")
     val planted = embeddings.filter(pmod(col("vec_id"), lit(50)) === 0)
       .select((col("vec_id") + 100000).as("vec_id"),
         expr("transform(cast(embedding as array<double>), (x, i) -> x + ((i % 5) - 2) / 500d)")
           .as("v"))
-    val corpus = emb.unionByName(planted).persist()
+    emb.unionByName(planted)
+  }
+
+  def embeddingNearDup(embeddings: DataFrame, threshold: Double = 0.99): DataFrame = {
+    val corpus = plantedCorpus(embeddings).persist()
     val bands = bandRows(corpus)
     val pairs = bands.as("x").join(bands.as("y"),
         col("x.band_idx") === col("y.band_idx") &&
@@ -322,6 +331,50 @@ object Similarity {
       .orderBy(col("q_id"), col("rnk"))
   }
 
+  /** SemDeDup (Abbas et al., "SemDeDup: Data-efficient learning at
+    * web-scale through semantic deduplication", 2023): cluster embeddings
+    * with the trained coarse quantizer, then compare pairs ONLY within a
+    * cluster and drop all but one of each semantic-duplicate set.
+    *
+    * This is the third candidate-generation geometry next to sign-LSH
+    * banding ([[embeddingNearDup]]) and the inverted file ([[annIvfTopK]]):
+    * k-means cells adapt to the data distribution, so at 100 TB the
+    * within-cell pair join touches ~N²/K pairs with K grown proportionally
+    * to N (the paper uses K≈10⁵ for LAION) — and the same
+    * [[MaxBucketSize]] cap guards a degenerate cell. Output is one row per
+    * DROPPED vector with its kept representative (the least id among its
+    * ≥threshold neighbors — the deterministic stand-in for the paper's
+    * "keep the one farthest from the centroid").
+    *
+    * Registered rows-only: the trained centroids are an iterative float
+    * computation no one-shot SQL oracle can mirror bit-exactly (see
+    * [[kmeansCentroids]]); SimilaritySpec pins that the planted duplicates
+    * are exactly the dropped set.
+    */
+  def semanticDedup(embeddings: DataFrame, threshold: Double = 0.99): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val corpus = plantedCorpus(embeddings).persist()
+    val cents = kmeansCentroids(corpus)
+    val assigned = corpus.join(broadcast(cents), lit(true))
+      .select(col("vec_id"), col("v"), col("c_id"),
+        expr(cosExpr("v", "cv")).as("c_cos"))
+      .withColumn("crnk", row_number().over(
+        Window.partitionBy(col("vec_id")).orderBy(col("c_cos").desc, col("c_id").asc)))
+      .filter(col("crnk") === 1)
+      .select(col("vec_id"), col("v"), col("c_id"))
+      .withColumn("cell_n", count(lit(1)).over(Window.partitionBy(col("c_id"))))
+      .filter(col("cell_n") <= MaxBucketSize)
+    assigned.as("x").join(assigned.as("y"),
+        col("x.c_id") === col("y.c_id") && col("x.vec_id") < col("y.vec_id"))
+      .select(col("y.vec_id").as("vec_id"), col("x.vec_id").as("nbr"),
+        col("y.c_id").as("c_id"), expr(cosExpr("x.v", "y.v")).as("cos"))
+      .filter(col("cos") >= threshold)
+      .groupBy(col("vec_id"))
+      .agg(min(col("nbr")).as("keeper_id"), min(col("c_id")).as("c_id"),
+        round(max(col("cos")), 4).as("max_cos"))
+      .orderBy(col("vec_id"))
+  }
+
   /** Multimodal array-column stats per label class: count, mean L2 norm,
     * mean leading component — the sanity profile a pipeline reports for an
     * embedding table.
@@ -344,6 +397,7 @@ object Similarity {
     "ann_ivf_topk" -> ((s, d) => annIvfTopK(Tables.embeddings(s, d))),
     "ann_ivf_trained_topk" -> ((s, d) => annIvfTrainedTopK(Tables.embeddings(s, d))),
     "embedding_near_dup" -> ((s, d) => embeddingNearDup(Tables.embeddings(s, d))),
+    "semantic_dedup" -> ((s, d) => semanticDedup(Tables.embeddings(s, d))),
     "embedding_stats" -> ((s, d) => embeddingStats(Tables.embeddings(s, d))),
   )
 

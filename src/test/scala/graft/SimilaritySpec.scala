@@ -63,4 +63,19 @@ class SimilaritySpec extends SparkSpec {
     // fraction of the exact top-5.
     assert(recall >= 0.2, s"recall@5 = $recall")
   }
+
+  test("semantic dedup drops exactly the planted duplicates, keeping originals") {
+    val emb = graft.sources.Tables.embeddings(spark, sf)
+    val dropped = Similarity.semanticDedup(emb).collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("keeper_id"))).toMap
+    val planted = emb.select("vec_id").collect().map(_.getLong(0))
+      .filter(_ % 50 == 0).map(id => (id + 100000L) -> id).toMap
+    // every planted copy is dropped with its original as keeper; nothing
+    // else in the random corpus reaches cos >= 0.99
+    assert(dropped == planted, s"dropped=${dropped.toSeq.sorted} planted=${planted.toSeq.sorted}")
+    // deterministic across runs (trained quantizer + hash-ordered folds)
+    val again = Similarity.semanticDedup(emb).collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("keeper_id"))).toMap
+    assert(again == dropped)
+  }
 }
