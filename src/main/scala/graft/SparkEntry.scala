@@ -77,6 +77,19 @@ object SparkEntry {
     }),
     "dq_report" -> ((s, d) =>
       Tpch.dqReport(Tables.orders(s, d), Tables.lineitem(s, d))),
+    // Z-order layout key (graft.sources.Bucketing.zorderKey): the Morton
+    // interleave itself, oracle-checked bit-for-bit; the layout writer and
+    // its pruning/locality evidence live in BucketingSpec.
+    "zorder_key" -> ((s, d) => {
+      import org.apache.spark.sql.functions.{lit, pmod}
+      val o = Tables.orders(s, d)
+        .select(col("o_orderkey"),
+          pmod(col("o_orderkey"), lit(65536)).as("x"),
+          pmod(col("o_custkey"), lit(65536)).as("y"))
+      o.select(col("o_orderkey"), col("x"), col("y"),
+          graft.sources.Bucketing.zorderKey(col("x"), col("y")).as("zkey"))
+        .orderBy(col("o_orderkey"))
+    }),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -277,5 +290,13 @@ object SparkEntry {
         |  UNION ALL SELECT 'future_orderdate', future_orderdate FROM scan
         |  UNION ALL SELECT 'orphan_lineitems', orphan_lineitems FROM orphan
         |) ORDER BY rule""".stripMargin,
+    "zorder_key" ->
+      """SELECT o_orderkey, x, y,
+        |  list_sum(list_transform(range(0, 16),
+        |    i -> (((x >> i) & 1) << (2 * i)) + (((y >> i) & 1) << (2 * i + 1))))::BIGINT AS zkey
+        |FROM (
+        |  SELECT o_orderkey, o_orderkey % 65536 AS x, o_custkey % 65536 AS y
+        |  FROM orders)
+        |ORDER BY o_orderkey""".stripMargin,
   )
 }

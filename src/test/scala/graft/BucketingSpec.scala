@@ -59,4 +59,42 @@ class BucketingSpec extends SparkSpec {
       .select("doc_id").collect().map(_.getLong(0)).toSeq
     assert(ids == ids.sorted)
   }
+
+  test("z-order layout clusters BOTH dimensions per file; linear sort only one") {
+    import org.apache.spark.sql.functions._
+    val zdir = java.nio.file.Files.createTempDirectory("graft-zorder").toString
+    val ldir = java.nio.file.Files.createTempDirectory("graft-linear").toString
+    val orders = Tables.orders(spark, "/root/testdata/sf0.001")
+      .select(pmod(col("o_orderkey"), lit(65536)).as("x"),
+        pmod(col("o_custkey"), lit(65536)).as("y"))
+    Bucketing.writeZOrdered(orders, zdir, "x", "y", 16)
+    // linear layout: same file count, sorted by x alone
+    orders.repartitionByRange(16, col("x")).sortWithinPartitions(col("x"))
+      .write.mode("overwrite").parquet(ldir)
+    // Per-file min/max of the SECOND dimension = what parquet row-group
+    // stats would prune on a y-filter.
+    def avgYSpan(path: String): Double = {
+      val spans = spark.read.parquet(path)
+        .groupBy(input_file_name())
+        .agg((max(col("y")) - min(col("y"))).as("span"))
+        .collect().map(_.getAs[Long]("span").toDouble)
+      spans.sum / spans.length
+    }
+    val (zy, ly) = (avgYSpan(zdir), avgYSpan(ldir))
+    // x-sorted files each cover ~the full y range; z-ordered files cover a
+    // bounded rectangle. Require at least a 2x tighter y-spread (observed:
+    // ~4x on this fixture).
+    assert(zy < ly / 2.0, s"z-order avg y-span $zy not < half of linear $ly")
+    // and the z-ordered layout still clusters x (files cover disjoint-ish
+    // x rectangles, not the full range)
+    def avgXSpan(path: String): Double = {
+      val spans = spark.read.parquet(path)
+        .groupBy(input_file_name())
+        .agg((max(col("x")) - min(col("x"))).as("span"))
+        .collect().map(_.getAs[Long]("span").toDouble)
+      spans.sum / spans.length
+    }
+    val globalX = 65536.0
+    assert(avgXSpan(zdir) < globalX * 0.8, "z-order should also bound x per file")
+  }
 }
