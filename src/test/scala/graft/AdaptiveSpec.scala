@@ -61,4 +61,47 @@ class AdaptiveSpec extends SparkSpec {
       case (k, None) => spark.conf.unset(k)
     }
   }
+
+  /** Runtime row-level filtering: when a shuffle join's small side carries a
+    * selective predicate, the optimizer builds a Bloom filter over its join
+    * keys and pushes a might_contain probe into the BIG side's scan — at
+    * 100 TB this drops most fact rows at the scan instead of shipping them
+    * to the join. Thresholds here are scaled to fixture volume; the
+    * production defaults (creation ≤ 100MB build side, application ≥ 10GB
+    * scan) engage on exactly the dimension-filtered fact joins this repo's
+    * relational queries run.
+    */
+  test("a selective dim filter injects a runtime Bloom filter into the fact scan") {
+    val keep = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+      "spark.sql.optimizer.runtimeFilter.number.threshold",
+      "spark.sql.autoBroadcastJoinThreshold")
+      .map(k => k -> spark.conf.getOption(k)).toMap
+    try {
+      spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "100MB")
+      spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "1B")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+
+      val dir = "/root/testdata/sf0.001"
+      val orders = graft.sources.Tables.orders(spark, dir)
+        .filter(col("o_orderpriority") === "1-URGENT")
+      val lineitem = graft.sources.Tables.lineitem(spark, dir)
+      val joined = lineitem.join(orders,
+        col("l_orderkey") === col("o_orderkey"))
+      val optimized = joined.queryExecution.optimizedPlan.toString
+      // creation side: bloom_filter_agg over the filtered dim keys;
+      // application side: a might_contain probe on the fact key.
+      assert(optimized.contains("bloom_filter_agg"),
+        s"no bloom filter build side:\n${optimized.take(3000)}")
+      assert(optimized.contains("might_contain"),
+        s"no bloom filter probe on the fact side:\n${optimized.take(3000)}")
+      assert(joined.count() > 0)
+    } finally keep.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
 }
