@@ -50,6 +50,16 @@ object ScaleSmoke {
     time("line_dedup") { Curation.lineDedup(corpus) }
     time("contamination_check") { Curation.contaminationCheck(corpus) }
     time("curation_funnel") { Curation.curationFunnel(corpus) }
+    time("duplicate_spans") { Dedup.duplicateSpans(corpus) }
+    // embeddings scale path: replicate the vector fixture the same way
+    val embBase = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.1")
+    val embCorpus = embBase.crossJoin(spark.range(replicas).toDF("rep"))
+      .select((col("vec_id") * replicas + col("rep")).as("vec_id"),
+        expr("transform(embedding, (x, i) -> x + cast(rep as float) / 1000)").as("embedding"),
+        col("label"))
+      .localCheckpoint(true)
+    println(s"embeddings: ${embCorpus.count()} vectors")
+    time("semantic_dedup") { graft.ops.Similarity.semanticDedup(embCorpus) }
     spark.stop()
   }
 }

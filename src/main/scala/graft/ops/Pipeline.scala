@@ -38,6 +38,37 @@ object Pipeline {
       .withColumn("keep", col("len_ok") && col("ttr_ok") && col("stop_ok"))
       .orderBy(col("doc_id"))
 
+  /** Model-based quality gate: a linear classifier over document features —
+    * the inference shape the fastText-style quality models of DataComp /
+    * CCNet / FineWeb distill to (featurize → w·f + b → threshold). Weights
+    * here are fixed public literals standing in for trained ones; swapping
+    * in a real model is a config change, the plan is identical.
+    *
+    * Every feature is a ratio of integer counts and the score a
+    * fixed-order affine combination, so both engines compute bit-identical
+    * doubles and the scorer stays on the exact-hash oracle gate (an
+    * exp/ln sigmoid would not — libm differs across engines in the last
+    * ulp; thresholding the logit is the same decision boundary).
+    * Map-side only: no shuffle except the presentation sort.
+    */
+  def modelQualityScore(documents: DataFrame): DataFrame =
+    documents
+      .withColumn("toks", split(col("text"), " "))
+      .select(
+        col("doc_id"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        (size(array_distinct(col("toks"))) / size(col("toks")).cast("double")).as("ttr"),
+        (expr("size(filter(toks, t -> t IN ('the', 'a', 'of', 'to', 'and')))") /
+          size(col("toks")).cast("double")).as("stop_ratio"),
+        ((length(col("text")) - size(col("toks")) + 1) /
+          size(col("toks")).cast("double")).as("avg_tok_len"))
+      .select(col("doc_id"), col("n_tokens"),
+        round(lit(-1.5) + lit(2.0) * least(col("n_tokens") / lit(100.0), lit(1.0)) +
+          lit(1.5) * col("ttr") + lit(3.0) * col("stop_ratio") +
+          lit(0.5) * (col("avg_tok_len") / lit(10.0)), 4).as("score"))
+      .withColumn("keep", col("score") >= 0.5)
+      .orderBy(col("doc_id"))
+
   /** Deterministic stratified sampling: per-source rates via a 60-bit md5
     * hash of doc_id mod 100 — reproducible across runs/engines, no RNG
     * state, and each stratum's rate is a pure config. Even sources keep
@@ -129,12 +160,28 @@ object Pipeline {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "quality_filter" -> ((s, d) => qualityFilter(Tables.documents(s, d))),
+    "model_quality_score" -> ((s, d) => modelQualityScore(Tables.documents(s, d))),
     "stratified_sample" -> ((s, d) => stratifiedSample(Tables.documents(s, d))),
     "token_packing" -> ((s, d) => tokenPacking(Tables.documents(s, d))),
     "pipeline_e2e" -> ((s, d) => endToEnd(Tables.documents(s, d))),
   )
 
   def oracleSql: Map[String, String] = Map(
+    "model_quality_score" ->
+      """SELECT doc_id, n_tokens, score, score >= 0.5 AS keep FROM (
+        |  SELECT doc_id, n_tokens,
+        |    round(-1.5 + 2.0 * least(n_tokens / 100.0, 1.0) + 1.5 * ttr +
+        |      3.0 * stop_ratio + 0.5 * (avg_tok_len / 10.0), 4) AS score
+        |  FROM (
+        |    SELECT doc_id,
+        |      len(toks)::BIGINT AS n_tokens,
+        |      len(list_distinct(toks)) / len(toks)::DOUBLE AS ttr,
+        |      len(list_filter(toks, t -> t IN ('the', 'a', 'of', 'to', 'and'))) /
+        |        len(toks)::DOUBLE AS stop_ratio,
+        |      (length(text) - len(toks) + 1) / len(toks)::DOUBLE AS avg_tok_len
+        |    FROM (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents)
+        |  )
+        |) ORDER BY doc_id""".stripMargin,
     "quality_filter" ->
       """WITH t AS (
         |  SELECT doc_id,

@@ -101,4 +101,30 @@ class PlanSpec extends SparkSpec {
       assert(!p.contains("Join"), s"$q grew a join:\n${p.take(2000)}")
     }
   }
+
+  test("duplicate spans: doc-partitioned island window, no global sort funnel") {
+    val p = plan("duplicate_spans")
+    // the island window must be partitioned by doc_id (high-cardinality key)
+    val windows = p.linesIterator.filter(_.contains("Window ")).toList
+    assert(windows.nonEmpty && windows.forall(_.contains("doc_id")), windows.mkString("\n"))
+    assert(!p.contains("NestedLoop"), p.take(2000))
+  }
+
+  test("sketch rollup partial-aggregates the sample map-side before the shuffle") {
+    val p = plan("quantile_sketch_rollup")
+    // typed Aggregator plans as ObjectHashAggregate with a partial pass
+    // below the exchange: each map task ships one <=k sketch per group,
+    // never raw rows
+    assert(p.contains("ObjectHashAggregate"), p.take(2000))
+    assert(p.linesIterator.exists(l =>
+      l.contains("ObjectHashAggregate") && l.contains("partial")), p.take(3000))
+  }
+
+  test("zorder key is pure projection — no exchange, no window") {
+    val p = plan("zorder_key")
+    assert(!p.contains("Window"), p.take(2000))
+    // only the presentation orderBy's range exchange is allowed
+    val exchanges = p.linesIterator.filter(_.contains("Exchange")).toList
+    assert(exchanges.forall(_.contains("rangepartitioning")), exchanges.mkString("\n"))
+  }
 }

@@ -52,6 +52,30 @@ class SketchSpec extends SparkSpec {
     l.keys.foreach(k => assert(l(k) == r(k), s"week $k"))
   }
 
+  test("sketch aggregates incrementally across streaming micro-batches") {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.OutputMode
+    implicit val sqlCtx = spark.sqlContext
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Double)]
+    val agg = input.toDF().toDF("h", "v")
+      .groupBy(lit(1).as("g"))
+      .agg(Sketches.bottomK(4)(col("h"), col("v")).as("sk"))
+      .select(col("g"), col("sk.hs").as("hs"), col("sk.vs").as("vs"))
+    val query = agg.writeStream.format("memory").queryName("sketch_stream")
+      .outputMode(OutputMode.Complete()).start()
+    try {
+      input.addData((10L, 10.0), (3L, 3.0), (7L, 7.0))
+      query.processAllAvailable()
+      input.addData((1L, 1.0), (9L, 9.0), (2L, 2.0))
+      query.processAllAvailable()
+      val r = spark.sql("SELECT * FROM sketch_stream").collect().head
+      // bottom-4 hashes across BOTH batches: state carried the sketch and
+      // merged the second batch into it
+      assert(r.getSeq[Long](1) == Seq(1L, 2L, 3L, 7L))
+      assert(r.getSeq[Double](2) == Seq(1.0, 2.0, 3.0, 7.0))
+    } finally query.stop()
+  }
+
   test("quantile estimates are ordered, in range, and exact for small groups") {
     val orders = Tables.orders(spark, dir)
     val out = Sketches.quantileSketchRollup(orders).collect()
