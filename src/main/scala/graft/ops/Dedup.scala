@@ -143,6 +143,44 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** Incremental MinHash-LSH: near-dup candidates for a NEW batch against
+    * an already-indexed corpus — the ingest-time form of
+    * [[minhashCandidates]]. Band rows of the full corpus sit on one side
+    * (at 100 TB these are READ BACK from the persisted sketch/band table,
+    * not recomputed — cf. the persist note in [[minhashCandidates]]); only
+    * the delta's bands drive the probe side, so each increment shuffles
+    * O(Δdocs × bands) and old×old pairs are never re-derived. Every
+    * emitted pair involves a new document (new×old or new×new).
+    *
+    * The fixture's planted near-dups carry ids ≥ 10000, so they ARE the
+    * "new batch": the query provably finds exactly the arriving
+    * duplicates against the standing corpus.
+    */
+  def minhashIncremental(corpus: DataFrame, newFrom: Long = 10000L): DataFrame = {
+    val sigs = minhashSignatures(corpus).select("doc_id", "sig").persist()
+    val allBands = bands(sigs)
+    val b = allBands
+      .withColumn("bucket_n", count(lit(1))
+        .over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("band_idx"), col("band_key"))))
+      .filter(col("bucket_n") <= MaxBucketSize)
+      .drop("bucket_n")
+    val newBands = b.filter(col("doc_id") >= newFrom)
+    val pairs = b.as("x").join(newBands.as("y"),
+        col("x.band_idx") === col("y.band_idx") &&
+          col("x.band_key") === col("y.band_key") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    pairs
+      .join(sigs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")), "doc_a")
+      .join(sigs.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        round(expr("size(filter(sequence(1, 12), i -> element_at(sig_a, i) = element_at(sig_b, i)))") / lit(12.0), 4)
+          .as("est_jaccard"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
   /** True n-gram Jaccard over the LSH candidates (verify stage of the
     * near-dup pipeline): |A∩B| / |A∪B| on distinct shingle sets.
     */
@@ -398,6 +436,7 @@ object Dedup {
     "dedup_clusters" -> ((s, d) => dupClusters(nearCorpus(Tables.documents(s, d)))),
     "dedup_clusters_star" -> ((s, d) => dupClustersStar(nearCorpus(Tables.documents(s, d)))),
     "dedup_minhash" -> ((s, d) => minhashCandidates(nearCorpus(Tables.documents(s, d)))),
+    "dedup_minhash_incremental" -> ((s, d) => minhashIncremental(nearCorpus(Tables.documents(s, d)))),
     "dedup_ngram_jaccard" -> ((s, d) => ngramJaccard(nearCorpus(Tables.documents(s, d)))),
     "dedup_simhash_pairs" -> ((s, d) => simhashPairs(nearCorpus(Tables.documents(s, d)))),
     "duplicate_spans" -> ((s, d) => duplicateSpans(Tables.documents(s, d))),
@@ -492,6 +531,15 @@ object Dedup {
          |FROM cands
          |JOIN sigs a ON a.doc_id = doc_a
          |JOIN sigs b ON b.doc_id = doc_b
+         |ORDER BY doc_a, doc_b""".stripMargin,
+    "dedup_minhash_incremental" ->
+      s"""WITH $nearCorpusSql, $sigSql, $candSql
+         |SELECT doc_a, doc_b,
+         |  round(len(list_filter(range(1, 13), i -> a.sig[i] = b.sig[i])) / 12.0, 4) AS est_jaccard
+         |FROM cands
+         |JOIN sigs a ON a.doc_id = doc_a
+         |JOIN sigs b ON b.doc_id = doc_b
+         |WHERE doc_b >= 10000
          |ORDER BY doc_a, doc_b""".stripMargin,
     // Jaccard over the HASHED shingle sets, mirroring the Spark side (which
     // hashes before the collect_set shuffle); identical values modulo 2^60

@@ -113,6 +113,25 @@ object Pipeline {
       .orderBy(col("doc_id"))
   }
 
+  /** Shard manifest — the pipeline's final materialization contract: one
+    * row per (shard, bin) output unit with document count, token count,
+    * and an order-insensitive content checksum (bit_xor of the docs' md5
+    * hashes — overflow-free and commutative, so it's stable under any
+    * parallel execution order, unlike a sum). A training job consumes the
+    * manifest to size its data loader and to verify shard integrity after
+    * transfer; at 100 TB the manifest is the only thing small enough to
+    * diff between pipeline runs.
+    */
+  def shardManifest(documents: DataFrame): DataFrame =
+    tokenPacking(documents)
+      .withColumn("doc_h", expr(
+        "cast(conv(substring(md5(cast(doc_id as string)), 1, 15), 16, 10) as bigint)"))
+      .groupBy(col("shard"), col("bin"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("bin_tokens"),
+        expr("bit_xor(doc_h)").as("checksum"))
+      .orderBy(col("shard"), col("bin"))
+
   /** The composed pipeline: clean → quality gate → exact dedup → sample →
     * pack, as ONE query — what a user actually runs ahead of tokenization.
     * Each stage narrows the corpus before the next (the cheap narrow
@@ -163,6 +182,7 @@ object Pipeline {
     "model_quality_score" -> ((s, d) => modelQualityScore(Tables.documents(s, d))),
     "stratified_sample" -> ((s, d) => stratifiedSample(Tables.documents(s, d))),
     "token_packing" -> ((s, d) => tokenPacking(Tables.documents(s, d))),
+    "shard_manifest" -> ((s, d) => shardManifest(Tables.documents(s, d))),
     "pipeline_e2e" -> ((s, d) => endToEnd(Tables.documents(s, d))),
   )
 
@@ -256,5 +276,21 @@ object Pipeline {
         |  (((sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT - n_tokens) // 2000) AS bin
         |FROM t ORDER BY doc_id""".stripMargin,
+    "shard_manifest" ->
+      s"""WITH t AS (
+        |  SELECT doc_id, len(string_split(text, ' '))::BIGINT AS n_tokens,
+        |    ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % $PackingShards AS shard,
+        |    ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT AS doc_h
+        |  FROM documents
+        |), packed AS (
+        |  SELECT doc_id, n_tokens, shard, doc_h,
+        |    (((sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT - n_tokens) // 2000) AS bin
+        |  FROM t
+        |)
+        |SELECT shard, bin, count(*) AS n_docs,
+        |  (sum(n_tokens))::BIGINT AS bin_tokens,
+        |  bit_xor(doc_h) AS checksum
+        |FROM packed GROUP BY shard, bin ORDER BY shard, bin""".stripMargin,
   )
 }

@@ -112,6 +112,24 @@ class DedupSpec extends SparkSpec {
     assert(comps.nonEmpty) // the crafted corpus really exercises the loop
   }
 
+  test("incremental minhash emits only pairs involving the new batch") {
+    import spark.implicits._
+    // "old" corpus: docs 1-5; "new" arrivals 100-101 (100 dups doc 1)
+    val c = corpus.unionByName(Seq(
+      (100L, base), // new exact dup of old doc 1
+      (101L, "fresh unrelated arrival text with plenty of its own tokens here"))
+      .toDF("doc_id", "text"))
+    val inc = Dedup.minhashIncremental(c, newFrom = 100L).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    // every pair touches the new batch; the arriving dup is found
+    assert(inc.forall(_._2 >= 100L), inc.toString)
+    assert(inc.contains((1L, 100L)))
+    // and it equals the full recompute restricted to new-involving pairs
+    val full = Dedup.minhashCandidates(c).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    assert(inc == full.filter(_._2 >= 100L))
+  }
+
   test("duplicate spans find exactly the planted shared run, merged maximally") {
     import spark.implicits._
     // docs 10/11 share tokens 5..14 (a 10-token run); doc 12 is disjoint.
