@@ -77,6 +77,10 @@ object SparkEntry {
     }),
     "dq_report" -> ((s, d) =>
       Tpch.dqReport(Tables.orders(s, d), Tables.lineitem(s, d))),
+    "promo_revenue" -> ((s, d) =>
+      Tpch.promoRevenue(Tables.lineitem(s, d), Tables.part(s, d))),
+    "disjunctive_filter" -> ((s, d) =>
+      Tpch.disjunctiveFilter(Tables.lineitem(s, d))),
     // Z-order layout key (graft.sources.Bucketing.zorderKey): the Morton
     // interleave itself, oracle-checked bit-for-bit; the layout writer and
     // its pruning/locality evidence live in BucketingSpec.
@@ -290,6 +294,23 @@ object SparkEntry {
         |  UNION ALL SELECT 'future_orderdate', future_orderdate FROM scan
         |  UNION ALL SELECT 'orphan_lineitems', orphan_lineitems FROM orphan
         |) ORDER BY rule""".stripMargin,
+    "promo_revenue" ->
+      """SELECT
+        |  round(sum(CASE WHEN p_type = 'PROMO'
+        |    THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END), 2) AS promo_revenue,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue,
+        |  count(*) AS n_lines
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1996-02-01 00:00:00'""".stripMargin,
+    "disjunctive_filter" ->
+      """SELECT l_returnflag, count(*) AS n_lines,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM lineitem
+        |WHERE (l_quantity >= 1 AND l_quantity <= 11 AND l_discount < 0.05)
+        |   OR (l_quantity >= 20 AND l_quantity <= 30 AND l_discount > 0.07)
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
     "zorder_key" ->
       """SELECT o_orderkey, x, y,
         |  list_sum(list_transform(range(0, 16),

@@ -233,6 +233,43 @@ object Tpch {
     * pipeline run; rules that scan the same table fold into a single
     * aggregation by construction.
     */
+  /** Promotion revenue share (TPC-H Q14 shape): conditional numerator over
+    * a joined month of the fact table. The date filter sits on the scan
+    * (parquet min/max pruning); `part` broadcasts; the ratio is one
+    * conditional-sum pass — no second scan for the denominator.
+    */
+  def promoRevenue(lineitem: DataFrame, part: DataFrame): DataFrame =
+    lineitem
+      .filter(col("l_shipdate") >= lit("1996-01-01") &&
+        col("l_shipdate") < lit("1996-02-01"))
+      .join(broadcast(part.select(col("p_partkey"), col("p_type"))),
+        col("l_partkey") === col("p_partkey"))
+      .agg(
+        round(sum(when(col("p_type") === "PROMO",
+            col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .otherwise(lit(0.0))), 2).as("promo_revenue"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("total_revenue"),
+        count(lit(1)).as("n_lines"))
+
+  /** Disjunctive-predicate scan (TPC-H Q19 shape, single-table form): an
+    * OR of conjunct ranges pushed INTO the parquet scan as one compound
+    * filter — at 100 TB the row groups matching neither branch are never
+    * decompressed. PlanSpec pins the pushed `Or(...)`.
+    */
+  def disjunctiveFilter(lineitem: DataFrame): DataFrame =
+    lineitem
+      .filter(
+        (col("l_quantity") >= 1 && col("l_quantity") <= 11 &&
+          col("l_discount") < 0.05) ||
+        (col("l_quantity") >= 20 && col("l_quantity") <= 30 &&
+          col("l_discount") > 0.07))
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_lines"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("revenue"))
+      .orderBy(col("l_returnflag"))
+
   def dqReport(orders: DataFrame, lineitem: DataFrame): DataFrame = {
     val scanRules = orders.agg(
       sum(when(col("o_totalprice") <= 0, 1L).otherwise(0L)).as("nonpositive_total"),

@@ -120,6 +120,20 @@ class PlanSpec extends SparkSpec {
       l.contains("ObjectHashAggregate") && l.contains("partial")), p.take(3000))
   }
 
+  test("disjunctive predicate pushes into the parquet scan as one Or filter") {
+    val p = plan("disjunctive_filter")
+    val scanLine = p.linesIterator.find(_.contains("PushedFilters")).getOrElse("")
+    assert(scanLine.contains("Or("), s"no pushed Or:\n$scanLine")
+    assert(scanLine.contains("l_quantity"), scanLine)
+  }
+
+  test("promo revenue broadcasts the part dim and filters at the scan") {
+    val p = plan("promo_revenue")
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    val scanLine = p.linesIterator.find(_.contains("PushedFilters")).getOrElse("")
+    assert(scanLine.contains("l_shipdate"), s"date filter not pushed:\n$scanLine")
+  }
+
   test("zorder key is pure projection — no exchange, no window") {
     val p = plan("zorder_key")
     assert(!p.contains("Window"), p.take(2000))
