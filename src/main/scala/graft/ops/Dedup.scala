@@ -321,9 +321,13 @@ object Dedup {
     * closed neighborhood. Edges are kept symmetric-closed before grouping.
     */
   private def starRound(edges: DataFrame, large: Boolean): DataFrame = {
+    // No distinct on the symmetric closure: every input edge carries a
+    // strict order (u < v from the candidate pairs on entry; u > v from a
+    // star round's output), so the reversed set cannot collide with the
+    // original, and the downstream min-agg and final distinct are
+    // insensitive to duplicates anyway. Saves one full shuffle per round.
     val sym = edges
       .unionByName(edges.select(col("v").as("u"), col("u").as("v")))
-      .distinct()
     val mins = sym.groupBy(col("u")).agg(min(col("v")).as("mv"))
       .select(col("u"), least(col("u"), col("mv")).as("m"))
     val nbr = sym.join(mins, "u")
@@ -349,19 +353,24 @@ object Dedup {
     val pairs = minhashCandidates(corpus)
       .select(col("doc_a").as("u"), col("doc_b").as("v"))
     var edges = pairs.localCheckpoint(true)
+    // Fixpoint test on the materialized checkpoints: same size and an
+    // order-insensitive content checksum (cheap vs two except() jobs).
+    // The previous round's signature is carried over, not recomputed —
+    // one agg job per round, not two.
+    def sig(df: DataFrame) = df
+      .agg(count(lit(1)).cast("long").as("n"),
+        coalesce(sum(hash(col("u"), col("v")).cast("long")), lit(0L)).as("h"))
+      .collect().head
+    var edgeSig = sig(edges)
     var stable = false
     var rounds = 0
     while (!stable && rounds < 12) {
       val next = starRound(starRound(edges, large = true), large = false)
         .localCheckpoint(true)
-      // Fixpoint test on the materialized checkpoints: same size and an
-      // order-insensitive content checksum (cheap vs two except() jobs).
-      def sig(df: DataFrame) = df
-        .agg(count(lit(1)).cast("long").as("n"),
-          coalesce(sum(hash(col("u"), col("v")).cast("long")), lit(0L)).as("h"))
-        .collect().head
-      stable = sig(next) == sig(edges)
+      val nextSig = sig(next)
+      stable = nextSig == edgeSig
       edges = next
+      edgeSig = nextSig
       rounds += 1
     }
     // At the fixpoint each component is a star on its minimum: a node's
