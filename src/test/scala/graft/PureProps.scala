@@ -92,4 +92,41 @@ object PureProps extends Properties("graft.pure") {
         (folded.tsMs, folded.eventId) == ((winner.tsMs, winner.eventId))
       }
     }
+
+  // ---- bottom-k sketch merge algebra (graft.functions.Sketches) ----
+
+  import graft.functions.{Sketch, Sketches}
+
+  private val hv: Gen[(Long, Double)] = for {
+    h <- Gen.chooseNum(0L, 1000L) // small range forces hash ties
+    v <- Gen.chooseNum(-100.0, 100.0)
+  } yield (h, v)
+
+  private def mk(xs: List[(Long, Double)], k: Int): Sketch = {
+    val s = xs.sorted.take(k)
+    Sketch(s.map(_._1).toVector, s.map(_._2).toVector)
+  }
+
+  private val sketchInput: Gen[(List[(Long, Double)], List[(Long, Double)], Int)] =
+    for {
+      a <- Gen.listOf(hv); b <- Gen.listOf(hv); k <- Gen.chooseNum(1, 8)
+    } yield (a, b, k)
+
+  property("sketch merge = bottom-k of the concatenated inputs") =
+    forAll(sketchInput) { case (a, b, k) =>
+      Sketches.mergeSketch(mk(a, k), mk(b, k), k) == mk(a ++ b, k)
+    }
+
+  property("sketch merge is commutative and respects the cap") =
+    forAll(sketchInput) { case (a, b, k) =>
+      val m = Sketches.mergeSketch(mk(a, k), mk(b, k), k)
+      m == Sketches.mergeSketch(mk(b, k), mk(a, k), k) && m.hs.length <= k
+    }
+
+  property("sketch merge is associative under any split") =
+    forAll(sketchInput, Gen.listOf(hv)) { case ((a, b, k), c) =>
+      val l = Sketches.mergeSketch(Sketches.mergeSketch(mk(a, k), mk(b, k), k), mk(c, k), k)
+      val r = Sketches.mergeSketch(mk(a, k), Sketches.mergeSketch(mk(b, k), mk(c, k), k), k)
+      l == r
+    }
 }
