@@ -91,6 +91,29 @@ object Temporal {
     * transition-type space. Ties on the second-resolution fixture ts break
     * by event_id (log order) so the pairing is deterministic.
     */
+  /** Cohort retention matrix: users grouped by first-activity week, counted
+    * in each later week they return — the standard growth-analytics view
+    * over an events table. Shape: distinct (user, week) first (one shuffle,
+    * heavy dedup map-side), a per-user min for the cohort, one user-keyed
+    * join, then a tiny (cohort × offset) agg. No window functions, no
+    * self-join over raw events; at 100 TB the only wide row set is the
+    * distinct user-week pairs, ~|users| × active weeks.
+    */
+  def cohortRetention(events: DataFrame): DataFrame = {
+    val uw = Synth.eventTime(events)
+      .select(col("user_id"), date_trunc("week", col("ts")).as("week"))
+      .distinct()
+    val cohorts = uw.groupBy(col("user_id")).agg(min(col("week")).as("cohort_week"))
+    uw.join(cohorts, "user_id")
+      // day diffs between week-truncated stamps are exact multiples of 7
+      .select(unix_micros(col("cohort_week")).as("cohort_week_us"),
+        (datediff(col("week"), col("cohort_week")) / lit(7)).cast("long").as("week_offset"))
+      .groupBy(col("cohort_week_us"), col("week_offset"))
+      // (user, week) is already distinct → plain count IS distinct users
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy(col("cohort_week_us"), col("week_offset"))
+  }
+
   def eventTransitions(events: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
@@ -134,6 +157,7 @@ object Temporal {
     "asof_last_purchase" -> ((s, d) => asofLastPurchase(Tables.events(s, d))),
     "interval_join" -> ((s, d) => campaignIntervalJoin(Tables.events(s, d))),
     "event_transitions" -> ((s, d) => eventTransitions(Tables.events(s, d))),
+    "cohort_retention" -> ((s, d) => cohortRetention(Tables.events(s, d))),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -162,6 +186,17 @@ object Temporal {
         |  count(*) OVER (PARTITION BY user_id ORDER BY ts_sec
         |    RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) AS rolling_1h_events
         |FROM e ORDER BY event_id""".stripMargin,
+    "cohort_retention" ->
+      """WITH uw AS (
+        |  SELECT DISTINCT user_id, date_trunc('week', ts) AS week FROM events
+        |), cohorts AS (
+        |  SELECT user_id, min(week) AS cohort_week FROM uw GROUP BY user_id
+        |)
+        |SELECT epoch_us(cohort_week) AS cohort_week_us,
+        |  (date_diff('day', cohort_week, week) / 7)::BIGINT AS week_offset,
+        |  count(*) AS n_users
+        |FROM uw JOIN cohorts USING (user_id)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "event_transitions" ->
       """WITH paired AS (
         |  SELECT user_id, event_type,
