@@ -131,6 +131,54 @@ object Cdc {
       .orderBy(col("user_id"))
   }
 
+  /** SCD2 history build: the op log rendered as TYPE-2 dimension rows —
+    * every non-delete op opens a version valid [its ts, next op's ts);
+    * deletes close the prior version without emitting one; the open-ended
+    * version is `is_current`. One `lead` window per key (high-cardinality
+    * partition — no funnel), the companion of [[snapshot]]'s latest-only
+    * compaction: snapshot answers "what is", SCD2 answers "what was when",
+    * and a warehouse materializes both from the same log.
+    */
+  def scd2History(envelope: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("__source_ts_ms"), col("event_id"))
+    envelope
+      .withColumn("valid_to_ms", lead(col("__source_ts_ms"), 1).over(w))
+      .withColumn("version_n", row_number().over(w).cast("long"))
+      .filter(!col("__deleted"))
+      .select(col("user_id"), col("version_n"), col("event_id"), col("value"),
+        col("__source_ts_ms").as("valid_from_ms"), col("valid_to_ms"),
+        col("valid_to_ms").isNull.as("is_current"))
+      .orderBy(col("user_id"), col("version_n"))
+  }
+
+  /** Snapshot diff: the compacted state at an earlier log position vs now,
+    * classified added / removed / changed per key (unchanged suppressed) —
+    * the audit a pipeline runs between materialization versions. One full
+    * outer join on the key; at 100 TB both sides are the (already small)
+    * compacted snapshots, never the raw log, and co-locate if the snapshot
+    * table is bucketed by key ([[graft.sources.Bucketing]]).
+    */
+  def snapshotDiff(envelope: DataFrame, splitId: Long = 500): DataFrame = {
+    val old = snapshot(envelope.filter(col("event_id") < splitId))
+      .select(col("user_id"), col("last_event_id").as("old_event_id"),
+        col("last_value").as("old_value"))
+    val cur = snapshot(envelope)
+      .select(col("user_id"), col("last_event_id").as("new_event_id"),
+        col("last_value").as("new_value"))
+    old.join(cur, Seq("user_id"), "full_outer")
+      .withColumn("change",
+        when(col("old_event_id").isNull, "added")
+          .when(col("new_event_id").isNull, "removed")
+          .when(col("old_event_id") =!= col("new_event_id"), "changed")
+          .otherwise("unchanged"))
+      .filter(col("change") =!= "unchanged")
+      .select(col("user_id"), col("change"), col("old_event_id"),
+        col("new_event_id"), col("old_value"), col("new_value"))
+      .orderBy(col("user_id"))
+  }
+
   /** MapType handling: parse the JSON payload as `map<string,long>` (the
     * schema-less variant of the struct decode — right when producers add
     * keys without coordination), extend it with a derived entry, explode to
@@ -159,6 +207,10 @@ object Cdc {
     "props_map" -> ((s, d) => propsMap(Tables.events(s, d))),
     // CDC compaction: op log → current state (latest per key, deletes drop).
     "cdc_snapshot" -> ((s, d) => snapshot(envelope(Tables.events(s, d)))),
+    // Op log → type-2 dimension history (validity intervals per key).
+    "cdc_scd2" -> ((s, d) => scd2History(envelope(Tables.events(s, d)))),
+    // Compacted-state diff between two log positions.
+    "cdc_snapshot_diff" -> ((s, d) => snapshotDiff(envelope(Tables.events(s, d)))),
     // S3 semantics: PERMISSIVE decode error channel over planted corruption.
     "json_permissive" -> ((s, d) => permissiveDecode(Tables.events(s, d))),
     // P1 + envelope: op filter over the CDC stream shape.
@@ -225,6 +277,54 @@ object Cdc {
         |    ELSE json_extract(props, '$.k')::BIGINT END AS k,
         |  (event_id % 7 = 0) AS is_corrupt
         |FROM events ORDER BY event_id""".stripMargin,
+    "cdc_scd2" ->
+      """WITH env AS (
+        |  SELECT event_id, user_id, value,
+        |    epoch_ms(ts) AS __source_ts_ms,
+        |    (event_id % 4 = 3) AS __deleted
+        |  FROM events
+        |), v AS (
+        |  SELECT user_id, event_id, value, __source_ts_ms, __deleted,
+        |    lead(__source_ts_ms) OVER (PARTITION BY user_id
+        |      ORDER BY __source_ts_ms, event_id) AS valid_to_ms,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY __source_ts_ms, event_id) AS version_n
+        |  FROM env
+        |)
+        |SELECT user_id, version_n, event_id, value,
+        |  __source_ts_ms AS valid_from_ms, valid_to_ms,
+        |  valid_to_ms IS NULL AS is_current
+        |FROM v WHERE NOT __deleted
+        |ORDER BY user_id, version_n""".stripMargin,
+    "cdc_snapshot_diff" ->
+      """WITH env AS (
+        |  SELECT event_id, user_id, value,
+        |    epoch_ms(ts) AS __source_ts_ms,
+        |    (event_id % 4 = 3) AS __deleted
+        |  FROM events
+        |), snap_old AS (
+        |  SELECT user_id, event_id AS old_event_id, value AS old_value FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY user_id
+        |      ORDER BY __source_ts_ms DESC, event_id DESC) AS rn
+        |    FROM env WHERE event_id < 500
+        |  ) WHERE rn = 1 AND NOT __deleted
+        |), snap_new AS (
+        |  SELECT user_id, event_id AS new_event_id, value AS new_value FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY user_id
+        |      ORDER BY __source_ts_ms DESC, event_id DESC) AS rn
+        |    FROM env
+        |  ) WHERE rn = 1 AND NOT __deleted
+        |)
+        |SELECT user_id, change, old_event_id, new_event_id, old_value, new_value
+        |FROM (
+        |  SELECT user_id,
+        |    CASE WHEN old_event_id IS NULL THEN 'added'
+        |         WHEN new_event_id IS NULL THEN 'removed'
+        |         WHEN old_event_id <> new_event_id THEN 'changed'
+        |         ELSE 'unchanged' END AS change,
+        |    old_event_id, new_event_id, old_value, new_value
+        |  FROM snap_old FULL OUTER JOIN snap_new USING (user_id)
+        |) WHERE change <> 'unchanged' ORDER BY user_id""".stripMargin,
     "cdc_snapshot" ->
       """WITH env AS (
         |  SELECT event_id, user_id, value,
