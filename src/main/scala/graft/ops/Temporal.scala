@@ -114,6 +114,34 @@ object Temporal {
       .orderBy(col("cohort_week_us"), col("week_offset"))
   }
 
+  /** Per-entity outlier detection (2σ rule) in EXACT integer arithmetic:
+    * |x − μ| > 2σ is evaluated as (n·x − S)²·(n−1) > 4·n·(n·Q − S²) over
+    * integer cents (S = Σx, Q = Σx²) — no float mean, no float variance,
+    * no sqrt, so the flag is bit-deterministic and hash-exact across
+    * engines. Shape: one groupBy for the per-user moments, one key join
+    * back; both shuffles on the high-cardinality user key.
+    *
+    * Exact up to ~10⁴ events × 10⁵ cents per entity before the cubic term
+    * nears BIGINT range — comfortably beyond per-entity event counts; a
+    * 100 TB global variant would normalize to per-window moments first.
+    */
+  def userValueAnomalies(events: DataFrame): DataFrame = {
+    val e = Synth.eventTime(events)
+      .select(col("user_id"), col("event_id"),
+        floor(col("value") * 100).cast("long").as("cents"))
+    val stats = e.groupBy(col("user_id")).agg(
+      count(lit(1)).as("n"),
+      sum(col("cents")).as("s"),
+      sum(col("cents") * col("cents")).as("q"))
+    e.join(stats, "user_id")
+      .filter(col("n") >= 3)
+      .withColumn("dev", col("n") * col("cents") - col("s"))
+      .filter(col("dev") * col("dev") * (col("n") - 1) >
+        lit(4) * col("n") * (col("n") * col("q") - col("s") * col("s")))
+      .select(col("user_id"), col("event_id"), col("cents"))
+      .orderBy(col("user_id"), col("event_id"))
+  }
+
   def eventTransitions(events: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
@@ -158,6 +186,7 @@ object Temporal {
     "interval_join" -> ((s, d) => campaignIntervalJoin(Tables.events(s, d))),
     "event_transitions" -> ((s, d) => eventTransitions(Tables.events(s, d))),
     "cohort_retention" -> ((s, d) => cohortRetention(Tables.events(s, d))),
+    "user_value_anomalies" -> ((s, d) => userValueAnomalies(Tables.events(s, d))),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -186,6 +215,21 @@ object Temporal {
         |  count(*) OVER (PARTITION BY user_id ORDER BY ts_sec
         |    RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) AS rolling_1h_events
         |FROM e ORDER BY event_id""".stripMargin,
+    "user_value_anomalies" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, floor(value * 100)::BIGINT AS cents FROM events
+        |), stats AS (
+        |  SELECT user_id, count(*) AS n,
+        |    sum(cents)::BIGINT AS s,
+        |    sum(cents * cents)::BIGINT AS q
+        |  FROM e GROUP BY user_id
+        |)
+        |SELECT user_id, event_id, cents
+        |FROM e JOIN stats USING (user_id)
+        |WHERE n >= 3
+        |  AND (n * cents - s) * (n * cents - s) * (n - 1) >
+        |      4 * n * (n * q - s * s)
+        |ORDER BY user_id, event_id""".stripMargin,
     "cohort_retention" ->
       """WITH uw AS (
         |  SELECT DISTINCT user_id, date_trunc('week', ts) AS week FROM events
