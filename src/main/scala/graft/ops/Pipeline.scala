@@ -49,6 +49,11 @@ object Pipeline {
     * doubles and the scorer stays on the exact-hash oracle gate (an
     * exp/ln sigmoid would not — libm differs across engines in the last
     * ulp; thresholding the logit is the same decision boundary).
+    * The emitted score is floor(raw·10⁴) as an integer: `floor` of
+    * bit-identical doubles is exact, where decimal `round` is not — Spark
+    * rounds the SHORTEST decimal representation HALF_UP while DuckDB
+    * rints the scaled double, and at corpus scale real scores do land on
+    * .xxxx5 boundaries (4 docs at sf0.1 flipped between 0.6587/0.6588).
     * Map-side only: no shuffle except the presentation sort.
     */
   def modelQualityScore(documents: DataFrame): DataFrame =
@@ -62,11 +67,13 @@ object Pipeline {
           size(col("toks")).cast("double")).as("stop_ratio"),
         ((length(col("text")) - size(col("toks")) + 1) /
           size(col("toks")).cast("double")).as("avg_tok_len"))
-      .select(col("doc_id"), col("n_tokens"),
-        round(lit(-1.5) + lit(2.0) * least(col("n_tokens") / lit(100.0), lit(1.0)) +
+      .withColumn("raw",
+        lit(-1.5) + lit(2.0) * least(col("n_tokens") / lit(100.0), lit(1.0)) +
           lit(1.5) * col("ttr") + lit(3.0) * col("stop_ratio") +
-          lit(0.5) * (col("avg_tok_len") / lit(10.0)), 4).as("score"))
-      .withColumn("keep", col("score") >= 0.5)
+          lit(0.5) * (col("avg_tok_len") / lit(10.0)))
+      .select(col("doc_id"), col("n_tokens"),
+        floor(col("raw") * lit(10000.0)).cast("long").as("score_e4"),
+        (col("raw") >= 0.5).as("keep"))
       .orderBy(col("doc_id"))
 
   /** Deterministic stratified sampling: per-source rates via a 60-bit md5
@@ -188,10 +195,11 @@ object Pipeline {
 
   def oracleSql: Map[String, String] = Map(
     "model_quality_score" ->
-      """SELECT doc_id, n_tokens, score, score >= 0.5 AS keep FROM (
+      """SELECT doc_id, n_tokens,
+        |  floor(raw * 10000.0)::BIGINT AS score_e4, raw >= 0.5 AS keep FROM (
         |  SELECT doc_id, n_tokens,
-        |    round(-1.5 + 2.0 * least(n_tokens / 100.0, 1.0) + 1.5 * ttr +
-        |      3.0 * stop_ratio + 0.5 * (avg_tok_len / 10.0), 4) AS score
+        |    -1.5 + 2.0 * least(n_tokens / 100.0, 1.0) + 1.5 * ttr +
+        |      3.0 * stop_ratio + 0.5 * (avg_tok_len / 10.0) AS raw
         |  FROM (
         |    SELECT doc_id,
         |      len(toks)::BIGINT AS n_tokens,
