@@ -15,36 +15,59 @@ import org.apache.spark.sql.streaming.Trigger
   * `StreamingQueryProgress` — "keeping up" means processed ≥ input and
   * batch duration below the trigger interval.
   *
-  * Usage: sbt "runMain graft.StreamBench [rowsPerSecond] [seconds]"
+  * A second mode drives the `transformWithState` session tracker
+  * (RocksDB state store, event-time timers) — the stateful-processor
+  * throughput number, with per-user state writes on every event.
+  *
+  * Usage: sbt "runMain graft.StreamBench [rowsPerSecond] [seconds] [kpi|sessions]"
   *        (defaults 100000 eps for 30 s ≈ 25× the reference target)
   */
 object StreamBench {
   def main(args: Array[String]): Unit = {
     val eps = args.headOption.map(_.toInt).getOrElse(100000)
     val runSecs = args.lift(1).map(_.toInt).getOrElse(30)
+    val mode = args.lift(2).getOrElse("kpi")
     val spark = Session.local("graft-stream-bench")
     spark.sparkContext.setLogLevel("WARN")
 
-    val events = spark.readStream.format("rate")
+    val rate = spark.readStream.format("rate")
       .option("rowsPerSecond", eps.toString)
       .option("numPartitions", "8")
       .load()
-      .select(
-        col("value").as("event_id"),
-        col("timestamp").as("ts"),
-        pmod(col("value"), lit(100000)).as("user_id"),
-        // mix of the event types the KPI union consumes
-        when(pmod(col("value"), lit(4)) === 0, "purchase")
-          .when(pmod(col("value"), lit(4)) === 1, "signup")
-          .when(pmod(col("value"), lit(4)) === 2, "error")
-          .otherwise("click").as("event_type"),
-        (pmod(col("value"), lit(1000)) / lit(10.0)).as("value"),
-        lit("{}").as("props"))
 
-    val query = graft.ops.Frames.kpiFrame(events)
-      .writeStream.format("noop").outputMode("update")
-      .trigger(Trigger.ProcessingTime("1 second"))
-      .start()
+    val sink = mode match {
+      case "sessions" =>
+        import spark.implicits._
+        // transformWithState requires the RocksDB provider (multiple
+        // column families: value state + timers)
+        spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+        graft.streaming.SessionTracker(
+          rate.select(
+              pmod(col("value"), lit(50000)).as("userId"),
+              col("timestamp").as("ts"),
+              (pmod(col("value"), lit(1000)) / lit(10.0)).as("amount"))
+            .withWatermark("ts", "5 seconds")
+            .as[graft.streaming.SessionTracker.Ev],
+          gapMs = 10000L)
+          .toDF()
+          .writeStream.format("noop").outputMode("append")
+      case _ =>
+        val events = rate.select(
+          col("value").as("event_id"),
+          col("timestamp").as("ts"),
+          pmod(col("value"), lit(100000)).as("user_id"),
+          // mix of the event types the KPI union consumes
+          when(pmod(col("value"), lit(4)) === 0, "purchase")
+            .when(pmod(col("value"), lit(4)) === 1, "signup")
+            .when(pmod(col("value"), lit(4)) === 2, "error")
+            .otherwise("click").as("event_type"),
+          (pmod(col("value"), lit(1000)) / lit(10.0)).as("value"),
+          lit("{}").as("props"))
+        graft.ops.Frames.kpiFrame(events)
+          .writeStream.format("noop").outputMode("update")
+    }
+    val query = sink.trigger(Trigger.ProcessingTime("1 second")).start()
     Thread.sleep(runSecs * 1000L)
     val progress = query.recentProgress.toList
     query.stop()
@@ -63,7 +86,7 @@ object StreamBench {
     // shuffle + state-store commits), which bounds LATENCY, not throughput.
     val keepingUp = procRps >= inRps * 0.95
     println(
-      s"""{"metric":"stream_kpi_eps","target_eps":$eps,"run_secs":$runSecs,""" +
+      s"""{"metric":"stream_${mode}_eps","target_eps":$eps,"run_secs":$runSecs,""" +
       s""""batches":${batches.length},"total_rows":$totalRows,""" +
       s""""avg_input_rps":${inRps.round},"avg_processed_rps":${procRps.round},""" +
       s""""batch_ms_p50":${pct(0.5).round},"batch_ms_p95":${pct(0.95).round},""" +
