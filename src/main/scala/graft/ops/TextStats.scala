@@ -97,6 +97,62 @@ object TextStats {
         sum(col("bpe_tokens")).cast("long").as("total_bpe_tokens"))
       .orderBy(col("source"))
 
+  /** BPE vocabulary induction — the first N merge rules of byte-pair
+    * encoding (Sennrich et al. 2016) trained on the corpus. Each round
+    * counts adjacent symbol pairs weighted by word frequency, merges the
+    * most frequent pair (deterministic (freq, left, right) tiebreak), and
+    * re-segments.
+    *
+    * The production-scale insight (shared by HF tokenizers): training
+    * never iterates over the CORPUS — only over the word-frequency table,
+    * which is vocab-sized (≈10⁵ rows) regardless of corpus size. The
+    * corpus contributes exactly one explode+groupBy shuffle up front; the
+    * N Lloyd-style rounds then run on the tiny table (here with
+    * lineage-truncating checkpoints like the other iterative operators).
+    * Interpreted array lambdas are fine at vocab scale — this is the one
+    * place the codebase's no-interpreted-HOF hot-path rule does not bind.
+    *
+    * Registered rows-only (an N-round argmax recursion has no one-shot
+    * SQL mirror); TextStatsSpec pins the classic hand-computable corpus.
+    */
+  def bpeMerges(documents: DataFrame, nMerges: Int = 8): DataFrame = {
+    val spark = documents.sparkSession
+    import org.apache.spark.sql.expressions.Window
+    var vocab = documents
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+      .select(split(col("w"), "").as("syms"), col("freq"))
+      .localCheckpoint(true)
+    val merges = Vector.newBuilder[(Int, String, String, Long)]
+    for (i <- 1 to nMerges) {
+      val top = vocab
+        .select(col("freq"), expr(
+          """explode(transform(slice(syms, 1, size(syms) - 1),
+            |  (s, j) -> struct(s AS a, element_at(syms, j + 2) AS b)))""".stripMargin)
+          .as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum(col("freq")).as("pf"))
+        .orderBy(col("pf").desc, col("a"), col("b"))
+        .limit(1).collect()
+      if (top.nonEmpty) {
+        val (a, b, pf) = (top.head.getString(0), top.head.getString(1), top.head.getLong(2))
+        merges += ((i, a, b, pf))
+        // re-segment: left-to-right greedy replace of adjacent (a, b)
+        def q(s: String) = s.replace("'", "\\'")
+        vocab = vocab.withColumn("syms", expr(
+          s"""aggregate(syms, cast(array() as array<string>),
+             |  (acc, s) -> CASE WHEN size(acc) > 0
+             |      AND element_at(acc, -1) = '${q(a)}' AND s = '${q(b)}'
+             |    THEN concat(slice(acc, 1, size(acc) - 1), array('${q(a)}${q(b)}'))
+             |    ELSE concat(acc, array(s)) END)""".stripMargin))
+          .localCheckpoint(true)
+      }
+    }
+    spark.createDataFrame(merges.result())
+      .toDF("merge_n", "left", "right", "pair_freq")
+  }
+
   /** Rolling polynomial hash fingerprint over the token stream
     * (order-sensitive, unlike the dedup sketches): fold
     * acc ← (acc·31 + h(token)) mod p with h = 60-bit md5 prefix mod p.
@@ -209,6 +265,7 @@ object TextStats {
     "doc_fingerprint" -> ((s, d) => fingerprints(Tables.documents(s, d))),
     "text_clean" -> ((s, d) => textClean(Tables.documents(s, d))),
     "doc_freq_score" -> ((s, d) => docFreqScore(Tables.documents(s, d))),
+    "bpe_merges" -> ((s, d) => bpeMerges(Tables.documents(s, d))),
   )
 
   def oracleSql: Map[String, String] = {

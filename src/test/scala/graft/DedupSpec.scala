@@ -146,6 +146,22 @@ class DedupSpec extends SparkSpec {
     assert(spans.toSet == Set((10L, 5L, 14L, 10L, 6L), (11L, 5L, 14L, 10L, 6L)))
   }
 
+  test("bpe merges reproduce the classic hand computation") {
+    import spark.implicits._
+    // Sennrich et al.'s canonical corpus: low×5, lower×2, newest×6, widest×3
+    val c = Seq((1L,
+      (Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+        Seq.fill(6)("newest") ++ Seq.fill(3)("widest")).mkString(" ")))
+      .toDF("doc_id", "text")
+    val m = TextStats.bpeMerges(c, nMerges = 4).collect()
+      .map(r => (r.getAs[Int]("merge_n"), r.getAs[String]("left"),
+        r.getAs[String]("right"), r.getAs[Long]("pair_freq")))
+    // es/st tie at 9 → lex tiebreak picks (e,s); then (es,t); lo/ow tie at
+    // 7 → (l,o); then (lo,w)
+    assert(m.toList == List(
+      (1, "e", "s", 9L), (2, "es", "t", 9L), (3, "l", "o", 7L), (4, "lo", "w", 7L)))
+  }
+
   test("text stats and fingerprints are deterministic and sane") {
     import spark.implicits._
     val docs = Seq((1L, "a b c a", "en", "s", 7L), (2L, "a b c a", "en", "s", 7L))
