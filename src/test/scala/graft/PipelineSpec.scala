@@ -126,4 +126,31 @@ class PipelineSpec extends SparkSpec {
     assert(out(day1) == (2L, 6.0)) // 06:00 + next-day 05:00; 05:59 excluded
     assert(out(day2) == (1L, 8.0))
   }
+
+  test("shard manifest matches the physically written shard layout") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+    val dir = java.nio.file.Files.createTempDirectory("graft-shards").toString
+    // materialize the packed corpus exactly as a training-data writer would
+    graft.sources.Bucketing.writePartitioned(
+      Pipeline.tokenPacking(docs), dir, Seq("shard"), Seq("bin", "doc_id"))
+    // recompute the manifest FROM THE FILES and compare to the query
+    val fromFiles = spark.read.parquet(dir)
+      .withColumn("doc_h", expr(
+        "cast(conv(substring(md5(cast(doc_id as string)), 1, 15), 16, 10) as bigint)"))
+      // partition columns read back type-inferred from dir names (int)
+      .groupBy(col("shard").cast("long").as("shard"), col("bin"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("bin_tokens"),
+        expr("bit_xor(doc_h)").as("checksum"))
+      .collect()
+      .map(r => (r.getAs[Long]("shard"), r.getAs[Long]("bin")) ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("bin_tokens"), r.getAs[Long]("checksum")))
+      .toMap
+    val fromQuery = Pipeline.shardManifest(docs).collect()
+      .map(r => (r.getAs[Long]("shard"), r.getAs[Long]("bin")) ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("bin_tokens"), r.getAs[Long]("checksum")))
+      .toMap
+    assert(fromFiles == fromQuery)
+    assert(fromQuery.nonEmpty)
+  }
 }
