@@ -97,11 +97,38 @@ object Mixing {
       .orderBy(col("tok"))
   }
 
+  /** Token-budget mixture plan: given a total training-token budget and
+    * the target parts, how many tokens each language must contribute and
+    * how many EPOCHS (repeat passes, in parts-per-thousand) of its
+    * available tokens that implies — the Chinchilla-style planning table a
+    * data team produces before a run (epochs > 1000 ppt flag the sources
+    * that will repeat; cf. the "how many epochs is too many" line of
+    * Muennighoff et al. 2023). All arithmetic is exact BIGINT: budget and
+    * shares in integer parts, epochs as (1000·need)//have.
+    */
+  val BudgetTokens = 1000000L
+
+  def mixPlan(documents: DataFrame): DataFrame = {
+    val avail = documents
+      .select(col("lang"), size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("have_tokens"))
+      .withColumn("p", parts(col("lang")))
+    val total = avail.select(sum(col("p")).as("p_total"))
+    avail.crossJoin(broadcast(total))
+      .select(col("lang"), col("n_docs"), col("have_tokens"), col("p"),
+        expr(s"($BudgetTokens * p) div p_total").as("need_tokens"))
+      .withColumn("epochs_ppt", expr("(1000 * need_tokens) div have_tokens"))
+      .withColumn("repeats", col("epochs_ppt") > 1000L)
+      .orderBy(col("lang"))
+  }
+
   // ---------------------------------------------------------------- registry
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "domain_mix" -> ((s, d) => domainMix(Tables.documents(s, d))),
     "cms_heavy_hitters" -> ((s, d) => cmsHeavyHitters(Tables.documents(s, d))),
+    "mix_plan" -> ((s, d) => mixPlan(Tables.documents(s, d))),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -128,5 +155,21 @@ object Mixing {
         |  round(target_n / n_docs::DOUBLE, 4) AS target_rate
         |FROM thr LEFT JOIN kept USING (lang)
         |ORDER BY lang""".stripMargin,
+    "mix_plan" ->
+      """WITH avail AS (
+        |  SELECT lang, count(*) AS n_docs,
+        |    sum(len(string_split(text, ' ')))::BIGINT AS have_tokens,
+        |    (CASE lang WHEN 'en' THEN 4 WHEN 'de' THEN 2 WHEN 'es' THEN 2
+        |      WHEN 'fr' THEN 1 ELSE 3 END)::BIGINT AS p
+        |  FROM documents GROUP BY lang
+        |), total AS (SELECT sum(p)::BIGINT AS p_total FROM avail)
+        |SELECT lang, n_docs, have_tokens, p, need_tokens,
+        |  (1000 * need_tokens) // have_tokens AS epochs_ppt,
+        |  ((1000 * need_tokens) // have_tokens) > 1000 AS repeats
+        |FROM (
+        |  SELECT lang, n_docs, have_tokens, p,
+        |    (1000000 * p) // p_total AS need_tokens
+        |  FROM avail, total
+        |) ORDER BY lang""".stripMargin,
   )
 }
