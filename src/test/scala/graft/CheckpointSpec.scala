@@ -57,6 +57,41 @@ class CheckpointSpec extends SparkSpec {
     assert(Serve.parseNumber("HEALTHY") == "HEALTHY")
   }
 
+  test("parquet file sink is exactly-once across a checkpointed restart") {
+    val in = Files.createTempDirectory("graft-fsink-in").toString
+    val out = Files.createTempDirectory("graft-fsink-out").toString
+    val ckpt = Files.createTempDirectory("graft-fsink-ckpt").toString
+
+    def run(): Unit = {
+      val q = Jobs.fileEventStream(spark, in)
+        .select(org.apache.spark.sql.functions.col("event_id"),
+          org.apache.spark.sql.functions.col("event_type"))
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(60000)
+      if (q.isActive) q.stop()
+    }
+    writeBatch(in, Seq(
+      (0L, "2024-01-01 00:01:00", 1L, "purchase", 10.0, "{}"),
+      (1L, "2024-01-01 00:02:00", 2L, "click", 2.0, "{}")), "a")
+    run()
+    // restart from the same checkpoint with one new input file: committed
+    // batch 1 must NOT be re-emitted (the sink's transaction log +
+    // checkpointed offsets give end-to-end exactly-once for file sinks)
+    writeBatch(in, Seq(
+      (2L, "2024-01-01 00:03:00", 3L, "purchase", 5.0, "{}")), "b")
+    run()
+    val ids = spark.read.parquet(out).select("event_id")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(ids == Seq(0L, 1L, 2L), s"expected exactly-once output, got $ids")
+    // the sink's _spark_metadata transaction log is what readers honor
+    assert(new java.io.File(s"$out/_spark_metadata").exists())
+  }
+
   test("mapGroupsWithState state survives a checkpointed restart") {
     import spark.implicits._
     import graft.streaming.CdcMaterializer
