@@ -1,0 +1,51 @@
+package graft
+
+import graft.ops.{Dedup, Pipeline, TextStats}
+
+/** Degenerate-input behavior: the failure modes the scale guards exist for,
+  * exercised functionally. A boilerplate corpus (every doc identical) is
+  * THE mega-bucket case — without the LSH bucket caps the self-joins go
+  * quadratic; with them the operators return quickly and empty.
+  */
+class EdgeCaseSpec extends SparkSpec {
+
+  private def df(rows: Seq[(Long, String)]) = {
+    import spark.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  test("empty corpus: dedup/span/packing operators return empty, no errors") {
+    val empty = df(Seq.empty)
+    assert(Dedup.exactDedup(empty).count() == 0)
+    assert(Dedup.minhashCandidates(empty).count() == 0)
+    assert(Dedup.simhashPairs(empty).count() == 0)
+    assert(Dedup.duplicateSpans(empty).count() == 0)
+    assert(Pipeline.tokenPacking(empty).count() == 0)
+    assert(TextStats.bpeMerges(empty).count() == 0)
+  }
+
+  test("boilerplate corpus: the bucket caps stop quadratic pair fan-out") {
+    // 3000 identical docs: every band/block key collides into ONE bucket of
+    // size 3000 > MaxBucketSize=1000. Uncapped, the self-join would emit
+    // ~4.5M pairs; capped, the bucket is dropped and the result is empty.
+    val boiler = df((1L to 3000L).map(i =>
+      (i, "the same boilerplate sentence repeated in every document here")))
+    assert(Dedup.minhashCandidates(boiler).count() == 0)
+    assert(Dedup.simhashPairs(boiler).count() == 0)
+    // exact dedup is cap-free by design — a hash groupBy collapses the
+    // whole corpus to one group without any pair join
+    val exact = Dedup.exactDedup(boiler).collect()
+    assert(exact.length == 1 && exact.head.getAs[Long]("n_docs") == 3000L)
+  }
+
+  test("empty and single-token texts survive every text operator") {
+    val weird = df(Seq((1L, ""), (2L, "one"), (3L, "two words"),
+      (4L, "   "), (5L, "a b c d e f g h i j")))
+    // shingle-based ops skip too-short docs rather than erroring
+    assert(Dedup.duplicateSpans(weird).count() == 0) // no 5-gram overlap
+    val stats = TextStats.textStats(weird).collect()
+    assert(stats.length == 5)
+    val packed = Pipeline.tokenPacking(weird).collect()
+    assert(packed.length == 5 && packed.forall(_.getAs[Long]("n_tokens") >= 1))
+  }
+}
