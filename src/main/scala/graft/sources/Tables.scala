@@ -87,9 +87,9 @@ object Tables {
     spark.read.option("mergeSchema", "true").parquet(path)
 
   /** S8: one-shot JDBC snapshot of a relational table (reference:
-    * src/streaming/kafka_sources.py:171-180). Not exercised here (no
-    * database in the container); partitioning options are what make it
-    * usable at scale — without partitionColumn a JDBC read is one task.
+    * src/streaming/kafka_sources.py:171-180). Exercised against embedded
+    * Derby in JdbcSpec; the partitioning options are what make it usable
+    * at scale — without partitionColumn a JDBC read is one task.
     */
   def jdbcSnapshot(s: SparkSession, url: String, table: String,
       user: String, password: String,
