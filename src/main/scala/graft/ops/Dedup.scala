@@ -438,6 +438,28 @@ object Dedup {
       .orderBy(col("doc_id"), col("span_start"))
   }
 
+  /** Apply near-dup dedup to the corpus: every document annotated with its
+    * cluster (if any) and whether it SURVIVES — one keeper (min doc_id) per
+    * duplicate cluster, all unclustered docs kept. This is the
+    * detect→apply closure: [[minhashCandidates]] finds pairs,
+    * [[dupClusters]] closes them transitively, and this emits the
+    * deduplicated corpus a training run actually consumes. One broadcast
+    * join against the (tiny) cluster table; the corpus is never shuffled.
+    */
+  def dedupApply(corpus: DataFrame): DataFrame = {
+    val clusters = dupClusters(corpus)
+      .withColumn("keeper_id",
+        min(col("doc_id")).over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("cluster_id"))))
+      .select(col("doc_id"), col("cluster_id"), col("keeper_id"))
+    corpus.select(col("doc_id"))
+      .join(broadcast(clusters), Seq("doc_id"), "left")
+      .select(col("doc_id"), col("cluster_id"),
+        (col("cluster_id").isNull || (col("doc_id") === col("keeper_id")))
+          .as("survives"))
+      .orderBy(col("doc_id"))
+  }
+
   // ---------------------------------------------------------------- registry
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -449,6 +471,7 @@ object Dedup {
     "dedup_ngram_jaccard" -> ((s, d) => ngramJaccard(nearCorpus(Tables.documents(s, d)))),
     "dedup_simhash_pairs" -> ((s, d) => simhashPairs(nearCorpus(Tables.documents(s, d)))),
     "duplicate_spans" -> ((s, d) => duplicateSpans(Tables.documents(s, d))),
+    "dedup_apply" -> ((s, d) => dedupApply(nearCorpus(Tables.documents(s, d)))),
   )
 
   /** Oracle CTEs: same corpora, same md5-prefix hash family. The oracle may
@@ -524,6 +547,30 @@ object Dedup {
          |SELECT doc_id, cluster_id,
          |  count(*) OVER (PARTITION BY cluster_id) AS n_members
          |FROM clusters ORDER BY doc_id""".stripMargin,
+    "dedup_apply" ->
+      s"""WITH RECURSIVE $nearCorpusSql, $sigSql, $candSql,
+         |edges AS (
+         |  SELECT doc_a AS a, doc_b AS b FROM cands
+         |  UNION ALL
+         |  SELECT doc_b, doc_a FROM cands
+         |),
+         |reach AS (
+         |  SELECT a AS node, a AS root FROM edges
+         |  UNION
+         |  SELECT e.b AS node, r.root FROM reach r JOIN edges e ON e.a = r.node
+         |),
+         |clusters AS (
+         |  SELECT node AS doc_id, min(root) AS cluster_id FROM reach GROUP BY node
+         |),
+         |keepers AS (
+         |  SELECT doc_id, cluster_id,
+         |    min(doc_id) OVER (PARTITION BY cluster_id) AS keeper_id
+         |  FROM clusters
+         |)
+         |SELECT c.doc_id, k.cluster_id,
+         |  (k.cluster_id IS NULL OR c.doc_id = k.keeper_id) AS survives
+         |FROM corpus c LEFT JOIN keepers k USING (doc_id)
+         |ORDER BY c.doc_id""".stripMargin,
     "dedup_exact" ->
       """WITH corpus AS (
         |  SELECT doc_id, text FROM documents
