@@ -69,4 +69,65 @@ object Observability {
 
   def detach(spark: SparkSession, r: Recorder): Unit =
     spark.streams.removeListener(r)
+
+  // ------------------------------------------------------------ batch audit
+
+  /** One audit record per completed BATCH action: which datasets were read
+    * (file-scan paths), how many rows came out, how long it ran, and
+    * whether it failed — the access/lineage log a data-governance review
+    * asks for first. Driver-side only: the listener walks the executed
+    * plan for `FileSourceScanExec` nodes and reads their metrics; it never
+    * touches rows. At scale this is the hook an audit pipe (e.g. a lineage
+    * service) attaches to.
+    */
+  final case class BatchAudit(
+      action: String,
+      inputPaths: Seq[String],
+      outputRows: Long,
+      durationMs: Long,
+      failed: Boolean)
+
+  final class BatchRecorder extends org.apache.spark.sql.util.QueryExecutionListener {
+    val audits = new java.util.concurrent.ConcurrentLinkedQueue[BatchAudit]()
+
+    // AQE wraps the live plan in AdaptiveSparkPlanExec / QueryStageExec
+    // nodes whose subtrees are NOT `children`; a plain collect misses every
+    // scan. Walk through them explicitly.
+    private def scansOf(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.FileSourceScanExec] = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        scansOf(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        scansOf(q.plan)
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => Seq(s)
+      case other => other.children.flatMap(scansOf)
+    }
+
+    private def record(funcName: String,
+        qe: org.apache.spark.sql.execution.QueryExecution,
+        durationNs: Long, failed: Boolean): Unit = {
+      val scans = scansOf(qe.executedPlan)
+        .flatMap(_.relation.location.rootPaths.map(_.toString)).distinct
+      val rows = qe.executedPlan.metrics.get("numOutputRows")
+        .map(_.value).getOrElse(-1L)
+      audits.add(BatchAudit(funcName, scans, rows, durationNs / 1000000L, failed))
+    }
+
+    override def onSuccess(funcName: String,
+        qe: org.apache.spark.sql.execution.QueryExecution,
+        durationNs: Long): Unit = record(funcName, qe, durationNs, failed = false)
+
+    override def onFailure(funcName: String,
+        qe: org.apache.spark.sql.execution.QueryExecution,
+        exception: Exception): Unit = record(funcName, qe, 0L, failed = true)
+  }
+
+  def attachBatch(spark: SparkSession): BatchRecorder = {
+    val r = new BatchRecorder
+    spark.listenerManager.register(r)
+    r
+  }
+
+  def detachBatch(spark: SparkSession, r: BatchRecorder): Unit =
+    spark.listenerManager.unregister(r)
 }

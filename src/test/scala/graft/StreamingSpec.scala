@@ -308,6 +308,27 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("batch audit listener records input paths, rows, and duration") {
+    import graft.streaming.Observability
+    val rec = Observability.attachBatch(spark)
+    try {
+      val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+      val n = docs.filter(org.apache.spark.sql.functions.col("doc_id") < 100).count()
+      assert(n > 0)
+      // listener events arrive via the async bus — poll briefly
+      val deadline = System.currentTimeMillis() + 10000
+      def hits = {
+        import scala.jdk.CollectionConverters._
+        rec.audits.asScala.toList.filter(_.inputPaths.exists(_.contains("documents.parquet")))
+      }
+      while (hits.isEmpty && System.currentTimeMillis() < deadline) Thread.sleep(100)
+      val audit = hits.head
+      assert(!audit.failed)
+      assert(audit.durationMs >= 0)
+      assert(audit.inputPaths.exists(_.contains("sf0.001")))
+    } finally Observability.detachBatch(spark, rec)
+  }
+
   test("stream-stream interval join matches within the window across batches") {
     import spark.implicits._
     import graft.streaming.StreamJoins
