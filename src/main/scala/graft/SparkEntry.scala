@@ -75,6 +75,22 @@ object SparkEntry {
           Seq("o_totalprice" -> false, "o_orderkey" -> true), 3)
         .orderBy(col("o_orderpriority"), col("o_totalprice").desc, col("o_orderkey"))
     }),
+    // Same top-k as above, but written as the STANDARD rank-filter window
+    // query — the WindowTopKRewrite optimizer rule substitutes the custom
+    // operator; a green oracle row here proves the rewrite is sound on a
+    // query the user never changed (plan shape pinned in TopKSpec).
+    "topk_window_rewrite" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.functions.row_number
+      val w = Window.partitionBy(col("o_orderpriority"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      Tables.orders(s, d)
+        .select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"))
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 3)
+        .drop("rnk")
+        .orderBy(col("o_orderpriority"), col("o_totalprice").desc, col("o_orderkey"))
+    }),
     "dq_report" -> ((s, d) =>
       Tpch.dqReport(Tables.orders(s, d), Tables.lineitem(s, d))),
     "promo_revenue" -> ((s, d) =>
@@ -252,6 +268,14 @@ object SparkEntry {
         |GROUP BY p_type
         |ORDER BY n_suppliers DESC, p_type""".stripMargin,
     "topk_per_group" ->
+      """SELECT o_orderpriority, o_orderkey, o_totalprice FROM (
+        |  SELECT o_orderpriority, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_orderpriority
+        |      ORDER BY o_totalprice DESC, o_orderkey ASC) AS rnk
+        |  FROM orders)
+        |WHERE rnk <= 3
+        |ORDER BY o_orderpriority, o_totalprice DESC, o_orderkey""".stripMargin,
+    "topk_window_rewrite" ->
       """SELECT o_orderpriority, o_orderkey, o_totalprice FROM (
         |  SELECT o_orderpriority, o_orderkey, o_totalprice,
         |    row_number() OVER (PARTITION BY o_orderpriority

@@ -5,10 +5,12 @@ import scala.collection.mutable
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{Column, DataFrame, GraftPlanBridge, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, Descending, Expression, RowOrdering, SortOrder, UnsafeProjection, UnsafeRow}
-import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
+import org.apache.spark.sql.catalyst.expressions.{Alias, And, Ascending, Attribute, Cast, Descending, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual, Literal, PredicateHelper, RowNumber, RowOrdering, SortOrder, UnsafeProjection, UnsafeRow, WindowExpression}
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan, Project, UnaryNode, Window, WindowGroupLimit}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, UnspecifiedDistribution}
+import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
+import org.apache.spark.sql.types.{IntegerType, LongType}
 
 /** Whole-operator Catalyst extension: top-k rows per group, planned as a
   * PARTIAL per-partition pass before the shuffle and a FINAL pass after it —
@@ -113,6 +115,107 @@ object TopK {
 
     override protected def withNewChildInternal(newChild: SparkPlan): TopKPerGroupExec =
       copy(child = newChild)
+  }
+
+  /** Optimizer rule: plan the standard rank-filter window pattern
+    *
+    * {{{ Project(pl, Filter(rn <= k, Window(row_number() AS rn PARTITION BY g ORDER BY o))) }}}
+    *
+    * as [[TopKPerGroup]] whenever the rank column itself is projected away.
+    * Users keep writing the idiomatic window query (DataFrame or SQL); the
+    * engine substitutes the partial+final bounded-heap operator, cutting
+    * shuffle input from N rows to ≤ P·G·k and eliminating both sorts.
+    * Spark's own InferWindowGroupLimit fires in a later batch than custom
+    * operator-optimization rules, so this rule sees the raw pattern first
+    * (the WindowGroupLimit case below is a belt-and-braces guard).
+    *
+    * Soundness: row_number() breaks order-ties arbitrarily, and the heap
+    * operator keeps an arbitrary k among order-ties — the same semantic
+    * class. A query whose results are deterministic under row_number (i.e.
+    * whose window ordering is tie-unique) gets identical rows here. The
+    * rewrite only fires when:
+    *   - the Window computes EXACTLY one expression and it is row_number()
+    *     (rank()/dense_rank() keep ties and would need k-widening);
+    *   - the filter contains exactly one bound on that rank output (<=k,
+    *     <k, =1, or the literal-first mirror), possibly through an
+    *     integral cast; other conjuncts may only reference child columns
+    *     and are re-planted as a filter ABOVE the operator;
+    *   - the partition spec is non-empty (global top-k already plans as
+    *     TakeOrderedAndProject via the Limit path);
+    *   - the projection above references only the window child's columns,
+    *     so dropping the rank output is observationally safe.
+    */
+  object WindowTopKRewrite extends Rule[LogicalPlan] with PredicateHelper {
+
+    private object IntBound {
+      def unapply(e: Expression): Option[Int] = e match {
+        case Literal(v: Int, IntegerType) => Some(v)
+        case Literal(v: Long, LongType) if v <= Int.MaxValue.toLong => Some(v.toInt)
+        case _ => None
+      }
+    }
+
+    /** The rank side of the comparison: the attribute, possibly under an
+      * integral up-cast the analyzer inserted to match a long literal. */
+    private object RankRef {
+      def unapply(e: Expression): Option[Attribute] = e match {
+        case a: Attribute => Some(a)
+        case c: Cast if c.dataType == LongType || c.dataType == IntegerType =>
+          c.child match { case a: Attribute => Some(a); case _ => None }
+        case _ => None
+      }
+    }
+
+    private object RankLimit {
+      def unapply(e: Expression): Option[(Attribute, Int)] = e match {
+        case LessThanOrEqual(RankRef(a), IntBound(k)) => Some((a, k))
+        case LessThan(RankRef(a), IntBound(k)) => Some((a, k - 1))
+        case EqualTo(RankRef(a), IntBound(1)) => Some((a, 1))
+        case GreaterThanOrEqual(IntBound(k), RankRef(a)) => Some((a, k))
+        case GreaterThan(IntBound(k), RankRef(a)) => Some((a, k - 1))
+        case _ => None
+      }
+    }
+
+    override def apply(plan: LogicalPlan): LogicalPlan = plan.transformDown {
+      case p @ Project(pl, Filter(cond, w: Window))
+          if w.partitionSpec.nonEmpty && w.orderSpec.nonEmpty =>
+        w.windowExpressions match {
+          case Seq(al @ Alias(WindowExpression(_: RowNumber, _), _))
+              if pl.forall(_.references.subsetOf(w.child.outputSet)) =>
+            // The filter may conjoin the rank bound with ordinary
+            // predicates (`rn = 1 AND NOT deleted` — the CDC compaction
+            // shape). Splitting is sound: the residual conjuncts reference
+            // only child columns, and in the original plan they run AFTER
+            // the window too, so `Filter(rest, TopK)` selects the same
+            // rows. Predicate pushdown cannot slide `rest` below the
+            // custom node (it is not a known pass-through), so the
+            // select-then-filter order is preserved in the final plan.
+            val conjuncts = splitConjunctivePredicates(cond)
+            val (rankConds, rest) = conjuncts.partition {
+              case RankLimit(a, _) => a.exprId == al.exprId
+              case _ => false
+            }
+            val kOpt = rankConds match {
+              case Seq(RankLimit(_, k)) if k > 0 => Some(k)
+              case _ => None
+            }
+            if (kOpt.isEmpty ||
+                !rest.forall(_.references.subsetOf(w.child.outputSet))) p
+            else {
+              // If Spark already slid a WindowGroupLimit under the window,
+              // plan from its child: the TopK operator subsumes the limit.
+              val base = w.child match {
+                case WindowGroupLimit(_, _, _, _, grandchild) => grandchild
+                case other => other
+              }
+              val topk = TopKPerGroup(w.partitionSpec, w.orderSpec, kOpt.get, base)
+              Project(pl, rest.reduceOption(And(_, _))
+                .map(Filter(_, topk)).getOrElse(topk))
+            }
+          case _ => p
+        }
+    }
   }
 
   /** Public API: keep the top `k` rows per group under `orderBy`, resolved

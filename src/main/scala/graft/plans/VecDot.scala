@@ -133,6 +133,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[VecDot].getName, "vec_dot"),
       (children: Seq[Expression]) => VecDot(children.head, children(1))))
     ext.injectOptimizerRule(_ => VecDotCastElision)
+    ext.injectOptimizerRule(_ => TopK.WindowTopKRewrite)
     ext.injectPlannerStrategy(_ => TopK.TopKStrategy)
   }
 }

@@ -31,9 +31,18 @@ class PlanSpec extends SparkSpec {
     assert(plan("priority_return_counts").contains("LeftSemi"))
   }
 
-  test("latest-per-key top-1 gets the WindowGroupLimit pushdown") {
-    assert(plan("cdc_snapshot").contains("WindowGroupLimit"))
-    assert(plan("doc_top_term").contains("WindowGroupLimit"))
+  test("latest-per-key top-1 plans the TopK operator, not a sorted window") {
+    // WindowTopKRewrite supersedes Spark's WindowGroupLimit pushdown these
+    // queries used to get: the rank-filter pattern plans as partial+final
+    // bounded heaps — no per-partition sort, shuffle input capped at one
+    // row per (partition, key). cdc_snapshot exercises the conjunction
+    // split (rn = 1 AND NOT __deleted).
+    for (q <- Seq("cdc_snapshot", "doc_top_term")) {
+      val p = plan(q)
+      assert(p.contains("TopKPerGroupFinal"), s"$q:\n${p.take(2000)}")
+      assert(!p.contains("WindowGroupLimit"), s"$q:\n${p.take(2000)}")
+      assert(!p.contains("Window "), s"$q:\n${p.take(2000)}")
+    }
   }
 
   test("region lookup broadcasts both dim levels") {

@@ -79,4 +79,88 @@ class TopKSpec extends SparkSpec {
       .collect().map(r => (r.getInt(0), r.getLong(1))).sorted.toSeq
     assert(out == Seq((1, 10L), (1, 11L), (2, 12L)))
   }
+
+  // ---- WindowTopKRewrite: the optimizer substitutes the operator for the
+  // standard rank-filter window pattern (users never change their query). --
+
+  private val rewriteRuleName = "graft.plans.TopK$WindowTopKRewrite"
+
+  private def hasTopKLogical(df: org.apache.spark.sql.DataFrame): Boolean =
+    df.queryExecution.optimizedPlan.collect { case t: TopK.TopKPerGroup => t }.nonEmpty
+
+  test("rank-filter window pattern is auto-rewritten to the TopK operator") {
+    val q = windowed
+    assert(hasTopKLogical(q), q.queryExecution.optimizedPlan.toString)
+    val physical = q.queryExecution.executedPlan.toString
+    assert(physical.contains("TopKPerGroupFinal"), physical)
+    assert(!physical.contains("Window"), physical)
+    assert(!physical.contains("Sort "), physical)
+  }
+
+  test("auto-rewritten results equal the un-rewritten window execution") {
+    def rows = windowed.collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2))).sorted.toSeq
+    val rewritten = rows
+    spark.conf.set("spark.sql.optimizer.excludedRules", rewriteRuleName)
+    try {
+      assert(!hasTopKLogical(windowed),
+        "rule exclusion must disable the rewrite (negative control)")
+      assert(rows == rewritten)
+      assert(rows.size == 12)
+    } finally spark.conf.unset("spark.sql.optimizer.excludedRules")
+  }
+
+  test("rewrite fires on the SQL text form too") {
+    df.createOrReplaceTempView("topk_rewrite_src")
+    val q = spark.sql(
+      """SELECT grp, score, id FROM (
+        |  SELECT grp, score, id,
+        |    row_number() OVER (PARTITION BY grp ORDER BY score DESC, id) AS rnk
+        |  FROM topk_rewrite_src)
+        |WHERE rnk <= 3""".stripMargin)
+    assert(hasTopKLogical(q), q.queryExecution.optimizedPlan.toString)
+    assert(q.collect().length == 12)
+  }
+
+  test("conjoined residual predicates split: select top-k first, filter after") {
+    // rn = 1 AND score > 0 must pick the per-group best row FIRST and only
+    // then apply the residual predicate — groups whose best row fails it
+    // disappear entirely (they must NOT fall back to their second-best).
+    def q = {
+      val w = Window.partitionBy(col("grp"))
+        .orderBy(col("score").desc, col("id").asc)
+      df.withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") === 1 && col("id") % 2 === 0)
+        .drop("rnk")
+    }
+    assert(hasTopKLogical(q), q.queryExecution.optimizedPlan.toString)
+    val got = q.collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2))).sorted.toSeq
+    spark.conf.set("spark.sql.optimizer.excludedRules", rewriteRuleName)
+    try {
+      assert(!hasTopKLogical(q), "negative control: exclusion must disable the rewrite")
+      val want = q.collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2))).sorted.toSeq
+      assert(got == want, s"got $got, want $want")
+    } finally spark.conf.unset("spark.sql.optimizer.excludedRules")
+  }
+
+  test("no rewrite when the rank column survives the projection") {
+    val w = Window.partitionBy(col("grp"))
+      .orderBy(col("score").desc, col("id").asc)
+    val q = df.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= 3)
+    assert(!hasTopKLogical(q), q.queryExecution.optimizedPlan.toString)
+    assert(q.collect().length == 12)
+  }
+
+  test("no rewrite for rank() (keeps ties) or an unpartitioned window") {
+    val tied = Window.partitionBy(col("grp")).orderBy(col("score").desc)
+    val rankQ = df.withColumn("rnk", rank().over(tied))
+      .filter(col("rnk") <= 3).drop("rnk")
+    assert(!hasTopKLogical(rankQ), rankQ.queryExecution.optimizedPlan.toString)
+
+    val global = Window.orderBy(col("score").desc, col("id").asc)
+    val globalQ = df.withColumn("rnk", row_number().over(global))
+      .filter(col("rnk") <= 3).drop("rnk")
+    assert(!hasTopKLogical(globalQ), globalQ.queryExecution.optimizedPlan.toString)
+    assert(globalQ.collect().length == 3)
+  }
 }
