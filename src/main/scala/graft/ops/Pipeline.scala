@@ -139,6 +139,38 @@ object Pipeline {
         expr("bit_xor(doc_h)").as("checksum"))
       .orderBy(col("shard"), col("bin"))
 
+  val OrderShards = 8
+  val OrderSeed = "ord42"
+
+  /** Deterministic training-order shuffle: a reproducible pseudorandom
+    * permutation of the corpus with NO global sort. Each doc gets a seeded
+    * md5 order key; the key's prefix assigns one of [[OrderShards]]
+    * balanced shards (md5 is uniform, so shard sizes concentrate tightly);
+    * position within a shard is a rank over the key. The training loader
+    * reads shards in index order, rows in position order — a fixed global
+    * order that is statistically shuffled, reproducible run-to-run from
+    * the seed alone, and re-derivable for any single doc without touching
+    * the rest (audit: "where did doc X land in epoch 3's order?").
+    *
+    * Scale shape: the rank window partitions on shard — at 100 TB widen
+    * OrderShards to O(total/256 MB) so each window task sorts one
+    * shard-sized run; there is never a single-task WindowExec. Changing
+    * the seed re-shuffles every epoch (the standard epoch-reshuffle
+    * contract) for the cost of one narrow projection + per-shard sort.
+    */
+  def trainingOrder(documents: DataFrame, seed: String = OrderSeed): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    documents
+      .select(col("doc_id"),
+        md5(concat(lit(seed), lit(":"), col("doc_id").cast("string"))).as("okey"))
+      .withColumn("shard", expr(
+        s"cast(conv(substring(okey, 1, 4), 16, 10) as bigint) % $OrderShards"))
+      .withColumn("pos", row_number().over(
+        Window.partitionBy(col("shard")).orderBy(col("okey"), col("doc_id"))).cast("long"))
+      .select(col("doc_id"), col("shard"), col("pos"))
+      .orderBy(col("shard"), col("pos"))
+  }
+
   /** The composed pipeline: clean → quality gate → exact dedup → sample →
     * pack, as ONE query — what a user actually runs ahead of tokenization.
     * Each stage narrows the corpus before the next (the cheap narrow
@@ -190,10 +222,22 @@ object Pipeline {
     "stratified_sample" -> ((s, d) => stratifiedSample(Tables.documents(s, d))),
     "token_packing" -> ((s, d) => tokenPacking(Tables.documents(s, d))),
     "shard_manifest" -> ((s, d) => shardManifest(Tables.documents(s, d))),
+    "training_order" -> ((s, d) => trainingOrder(Tables.documents(s, d))),
     "pipeline_e2e" -> ((s, d) => endToEnd(Tables.documents(s, d))),
   )
 
   def oracleSql: Map[String, String] = Map(
+    "training_order" ->
+      s"""SELECT doc_id, shard, pos FROM (
+         |  SELECT doc_id, shard,
+         |    (row_number() OVER (PARTITION BY shard ORDER BY okey, doc_id))::BIGINT AS pos
+         |  FROM (
+         |    SELECT doc_id, okey,
+         |      ('0x' || substr(okey, 1, 4))::BIGINT % $OrderShards AS shard
+         |    FROM (
+         |      SELECT doc_id, md5('$OrderSeed:' || doc_id::VARCHAR) AS okey
+         |      FROM documents)))
+         |ORDER BY shard, pos""".stripMargin,
     "model_quality_score" ->
       """SELECT doc_id, n_tokens,
         |  floor(raw * 10000.0)::BIGINT AS score_e4, raw >= 0.5 AS keep FROM (

@@ -254,6 +254,56 @@ object TextStats {
       .orderBy(col("doc_id"))
   }
 
+  /** A bigram is "common" when the whole corpus contains it at least this
+    * many times; everything below is the model's long tail. */
+  val CommonBigramMin = 3L
+
+  /** Docs whose rare-bigram share exceeds this (ppm) get flagged. */
+  val NoveltyFlagPpm = 500000L
+
+  /** Corpus-model novelty score — the integer-exact skeleton of an n-gram
+    * LM perplexity filter (CCNet-style: score each doc against a model of
+    * the corpus; outliers on either end are gibberish or boilerplate).
+    * A true log-prob sum is transcendental and diverges across engines at
+    * ulp level, so the registered form scores the exact rational quantity
+    * the filter actually thresholds on: the fraction (ppm) of a doc's
+    * bigrams that fall in the corpus model's long tail (count <
+    * [[CommonBigramMin]]).
+    *
+    * Scale shape — the interesting part: scoring joins every doc bigram
+    * against the corpus model, but the model's HEAD (bigrams with count ≥
+    * min) is tiny relative to its tail (Zipf), so the engine broadcasts
+    * the head and counts tail hits as non-matches — the corpus-side
+    * stream is never shuffled for the probe. The same head-not-tail
+    * broadcast trick drives [[Curation]]'s line dedup; at 100 TB the head
+    * stays broadcastable long after the full model stops fitting anywhere.
+    * The two corpus passes (model build, scoring) share one bigram
+    * explode shape, map-side partial-aggregated.
+    */
+  def rareBigramScore(documents: DataFrame): DataFrame = {
+    def bigrams = documents
+      .withColumn("tk", split(col("text"), " "))
+      .filter(size(col("tk")) >= 2)
+      .select(col("doc_id"),
+        explode(expr("""transform(sequence(1, size(tk) - 1),
+          i -> concat(element_at(tk, i), ' ', element_at(tk, i + 1)))""")).as("bg"))
+    val perDoc = bigrams.groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("c"))
+    val commonHead = bigrams.groupBy(col("bg")).agg(count(lit(1)).as("n"))
+      .filter(col("n") >= CommonBigramMin)
+      .select(col("bg"), lit(1L).as("is_common"))
+    perDoc
+      .join(broadcast(commonHead), Seq("bg"), "left")
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).cast("long").as("n_bigrams"),
+        sum(when(col("is_common") === 1L, col("c")).otherwise(0L)).cast("long")
+          .as("common_n"))
+      .select(col("doc_id"), col("n_bigrams"),
+        (col("n_bigrams") - col("common_n")).as("rare_n"))
+      .withColumn("novelty_ppm", expr("(1000000 * rare_n) div n_bigrams"))
+      .withColumn("flagged", col("novelty_ppm") > NoveltyFlagPpm)
+      .orderBy(col("doc_id"))
+  }
+
   // ---------------------------------------------------------------- registry
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -266,6 +316,7 @@ object TextStats {
     "text_clean" -> ((s, d) => textClean(Tables.documents(s, d))),
     "doc_freq_score" -> ((s, d) => docFreqScore(Tables.documents(s, d))),
     "bpe_merges" -> ((s, d) => bpeMerges(Tables.documents(s, d))),
+    "rare_bigram_score" -> ((s, d) => rareBigramScore(Tables.documents(s, d))),
   )
 
   def oracleSql: Map[String, String] = {
@@ -276,6 +327,28 @@ object TextStats {
   private def baseOracleSql: Map[String, String] = {
     val toks = "string_split(text, ' ')"
     Map(
+      "rare_bigram_score" ->
+        s"""WITH bg AS (
+           |  SELECT doc_id, unnest(list_transform(
+           |    generate_series(1, len(string_split(text, ' ')) - 1),
+           |    i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i + 1])) AS bg
+           |  FROM documents WHERE len(string_split(text, ' ')) >= 2
+           |), cnt AS (
+           |  SELECT doc_id, bg, count(*) AS c FROM bg GROUP BY doc_id, bg
+           |), head AS (
+           |  SELECT bg FROM bg GROUP BY bg HAVING count(*) >= $CommonBigramMin
+           |), scored AS (
+           |  SELECT doc_id,
+           |    sum(c)::BIGINT AS n_bigrams,
+           |    sum(CASE WHEN head.bg IS NOT NULL THEN c ELSE 0 END)::BIGINT AS common_n
+           |  FROM cnt LEFT JOIN head ON cnt.bg = head.bg
+           |  GROUP BY doc_id
+           |)
+           |SELECT doc_id, n_bigrams,
+           |  n_bigrams - common_n AS rare_n,
+           |  (1000000 * (n_bigrams - common_n)) // n_bigrams AS novelty_ppm,
+           |  ((1000000 * (n_bigrams - common_n)) // n_bigrams) > $NoveltyFlagPpm AS flagged
+           |FROM scored ORDER BY doc_id""".stripMargin,
       "text_stats" ->
         s"""SELECT doc_id,
            |  length(text)::BIGINT AS n_chars,

@@ -31,6 +31,31 @@ class PipelineSpec extends SparkSpec {
     assert(rows.map(_.getAs[Long]("shard")).distinct.length > 1)
   }
 
+  test("training order is a seeded permutation with dense per-shard positions") {
+    import spark.implicits._
+    val docs = (1 to 200).map(i => (i.toLong, "t", "en", "s", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val rows = Pipeline.trainingOrder(docs).collect()
+    // a permutation: every doc exactly once
+    assert(rows.map(_.getAs[Long]("doc_id")).sorted.toSeq == (1L to 200L))
+    // positions within each shard are dense 1..n (a loader can seek by index)
+    rows.groupBy(_.getAs[Long]("shard")).values.foreach { rs =>
+      assert(rs.map(_.getAs[Long]("pos")).sorted.toSeq == (1L to rs.length))
+    }
+    // shards are balanced-ish (md5 uniformity): all used, none dominant
+    val sizes = rows.groupBy(_.getAs[Long]("shard")).view.mapValues(_.length)
+    assert(sizes.size == Pipeline.OrderShards)
+    assert(sizes.values.max < 3 * sizes.values.min)
+    // the order is shuffled, not doc_id order, and a new seed re-shuffles
+    val order = rows.sortBy(r => (r.getAs[Long]("shard"), r.getAs[Long]("pos")))
+      .map(_.getAs[Long]("doc_id")).toSeq
+    assert(order != order.sorted)
+    val reseeded = Pipeline.trainingOrder(docs, seed = "epoch2").collect()
+      .sortBy(r => (r.getAs[Long]("shard"), r.getAs[Long]("pos")))
+      .map(_.getAs[Long]("doc_id")).toSeq
+    assert(reseeded != order)
+  }
+
   test("quality filter gates on length, diversity, and stopword signal") {
     import spark.implicits._
     val docs = Seq(
