@@ -51,6 +51,8 @@ object ScaleSmoke {
     time("contamination_check") { Curation.contaminationCheck(corpus) }
     time("curation_funnel") { Curation.curationFunnel(corpus) }
     time("duplicate_spans") { Dedup.duplicateSpans(corpus) }
+    time("rare_bigram_score") { TextStats.rareBigramScore(corpus) }
+    time("training_order") { Pipeline.trainingOrder(corpus) }
     // embeddings scale path: replicate the vector fixture the same way
     val embBase = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.1")
     val embCorpus = embBase.crossJoin(spark.range(replicas).toDF("rep"))
