@@ -178,6 +178,28 @@ object TopK {
     }
 
     override def apply(plan: LogicalPlan): LogicalPlan = plan.transformDown {
+      // Group-key filter pushdown through the operator: a predicate whose
+      // every reference IS one of the group expressions (a bare attribute)
+      // is constant within each group, so it removes whole groups — doing
+      // that before the heaps is equivalent and prunes the competition.
+      // NOT sound for mere arguments of complex group exprs (rows of one
+      // group can differ there, and pre-filtering would change which rows
+      // compete), hence the bare-attribute restriction. Built-in pushdown
+      // can't do this — it doesn't know the node — so the rule does.
+      // Composes with the rewrite below: residual conjuncts it re-plants
+      // above the operator slide back under it here when group-key-only.
+      case f @ Filter(cond, t @ TopKPerGroup(g, _, _, child)) =>
+        val groupAttrs = org.apache.spark.sql.catalyst.expressions.AttributeSet(
+          g.collect { case a: Attribute => a })
+        val (push, keep) = splitConjunctivePredicates(cond)
+          .partition(c => c.deterministic && c.references.nonEmpty &&
+            c.references.subsetOf(groupAttrs))
+        if (push.isEmpty) f
+        else {
+          val pushed = t.copy(child = Filter(push.reduce(And(_, _)), child))
+          keep.reduceOption(And(_, _)).map(Filter(_, pushed)).getOrElse(pushed)
+        }
+
       case p @ Project(pl, Filter(cond, w: Window))
           if w.partitionSpec.nonEmpty && w.orderSpec.nonEmpty =>
         w.windowExpressions match {

@@ -143,6 +143,59 @@ class TopKSpec extends SparkSpec {
     } finally spark.conf.unset("spark.sql.optimizer.excludedRules")
   }
 
+  test("group-key filters push below the operator; row-level filters stay above") {
+    // grp is a group expression → constant per group → pushing it under
+    // the heaps is sound and prunes the competition. score is row-level →
+    // pre-filtering it would change which rows compete → must stay above.
+    val pushed = TopK.topKPerGroup(df, Seq("grp"), Seq("score" -> false, "id" -> true), 3)
+      .filter(col("grp") === "g1")
+    // After the push, no Filter remains above the operator (here the
+    // pushed predicate collapses all the way into the LocalRelation —
+    // downstream rules can keep optimizing it once it's below the node).
+    val pPlan = pushed.queryExecution.optimizedPlan.toString
+    val pIdx = pPlan.indexOf("TopKPerGroup")
+    val fIdx = pPlan.indexOf("Filter")
+    assert(pIdx >= 0 && (fIdx < 0 || fIdx > pIdx),
+      s"filter must not stay above the operator:\n$pPlan")
+    assert(pushed.collect().length == 3)
+
+    val kept = TopK.topKPerGroup(df, Seq("grp"), Seq("score" -> false, "id" -> true), 3)
+      .filter(col("score") > 4)
+    val kPlan = kept.queryExecution.optimizedPlan.toString
+    val kf = kPlan.indexOf("Filter")
+    val kt = kPlan.indexOf("TopKPerGroup")
+    assert(kf >= 0 && kt > kf, s"row-level filter must stay above:\n$kPlan")
+    // And the semantics differ from pre-filtering: each group's top-3 by
+    // score desc are 6,6,5 (ids break ties) — the >4 filter keeps all 12.
+    assert(kept.collect().length == 12)
+  }
+
+  test("rewritten plans equal the window execution on randomized inputs") {
+    import spark.implicits._
+    // Deliberate tie pressure (scores in 0..3) with a unique tie-break (id)
+    // so the window form is deterministic and set-equality is exact.
+    val rng = new scala.util.Random(7)
+    for (trial <- 1 to 4) {
+      val n = 50 + rng.nextInt(250)
+      val groups = 1 + rng.nextInt(7)
+      val k = 1 + rng.nextInt(5)
+      val rows = (0 until n).map(i => (s"g${rng.nextInt(groups)}", rng.nextInt(4), i.toLong))
+      def q = {
+        val w = Window.partitionBy(col("grp"))
+          .orderBy(col("score").desc, col("id").asc)
+        rows.toDF("grp", "score", "id").repartition(5)
+          .withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k).drop("rnk")
+      }
+      assert(hasTopKLogical(q))
+      val got = q.collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2))).sorted.toSeq
+      spark.conf.set("spark.sql.optimizer.excludedRules", rewriteRuleName)
+      try {
+        val want = q.collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2))).sorted.toSeq
+        assert(got == want, s"trial $trial (n=$n groups=$groups k=$k)")
+      } finally spark.conf.unset("spark.sql.optimizer.excludedRules")
+    }
+  }
+
   test("no rewrite when the rank column survives the projection") {
     val w = Window.partitionBy(col("grp"))
       .orderBy(col("score").desc, col("id").asc)
