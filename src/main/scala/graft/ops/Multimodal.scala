@@ -99,6 +99,96 @@ object Multimodal {
       else bytes.foldLeft(0L)((a, b) => a + (b & 0xff)).toDouble / bytes.length
   }
 
+  // ------------------------------------------------------ perceptual-hash dedup
+
+  /** Signature geometry: 16 blocks × 16 chars over a fixed 256-char prefix
+    * (a block-mean hash, the pHash family's simplest member). Media below
+    * this size are excluded — a perceptual hash needs a minimum payload. */
+  val PhashBlocks = 16
+  val PhashBlockLen = 16
+  val PhashMinLen: Int = PhashBlocks * PhashBlockLen
+  val PhashMaxHamming = 2
+  val PhashMaxBucket = 1000
+
+  /** Eligible media plus planted near-dups: every 25th doc reappears with
+    * its tail rewritten beyond the signature window — the re-encoded /
+    * re-wrapped asset whose content prefix is untouched (the case
+    * perceptual dedup exists to catch and exact content hashing misses:
+    * `mediaMeta.content_sha` differs on every plant). */
+  def phashCorpus(documents: DataFrame): DataFrame =
+    // Eligibility gates on the TYPED METADATA column (n_chars — equal to
+    // length(text) in the fixture), not the payload: at scale the size
+    // gate prunes from column stats without reading media bytes. The
+    // plants are emitted from the SAME scan via a conditional explode
+    // (1-or-2 structs per row) — one corpus pass, no self-union.
+    documents.filter(col("n_chars") >= PhashMinLen)
+      .select(explode(when(col("doc_id") % 25 === 0,
+          array(
+            struct(col("doc_id"), col("text")),
+            struct((col("doc_id") + 10000).as("doc_id"),
+              concat(substring(col("text"), 1, 280), lit(" remuxed tail")).as("text"))))
+        .otherwise(array(struct(col("doc_id"), col("text"))))).as("r"))
+      .select(col("r.doc_id").as("doc_id"), col("r.text").as("text"))
+
+  /** Block-mean perceptual signature: bit b is set iff block b's mean
+    * exceeds the whole-prefix mean — integer cross-multiplied
+    * (`blocks·Σblock > Σtotal`), so the signature is exact on both
+    * engines and the oracle hashes bit-for-bit. In a real media lake the
+    * decoder emits this (or DCT-based pHash) per asset as it decodes —
+    * the per-char lambda here stands in for that and is confined to the
+    * signature projection; everything downstream (banding, capped
+    * self-join, Hamming verify) is the operator's real scale shape.
+    */
+  def phashSignatures(corpus: DataFrame): DataFrame =
+    corpus
+      .withColumn("bsums", expr(
+        s"""transform(sequence(0, ${PhashBlocks - 1}, 1), b ->
+           |  aggregate(transform(sequence($PhashBlockLen * b + 1, $PhashBlockLen * (b + 1), 1),
+           |    i -> ascii(substring(text, i, 1))),
+           |    0L, (a, x) -> a + x))""".stripMargin))
+      .withColumn("total", expr("aggregate(bsums, 0L, (a, x) -> a + x)"))
+      .select(col("doc_id"), expr(
+        s"""aggregate(sequence(0, ${PhashBlocks - 1}, 1), 0L, (a, b) ->
+           |  a + if($PhashBlocks * element_at(bsums, b + 1) > total, shiftleft(1L, b), 0L))""".stripMargin)
+        .as("phash"))
+
+  /** Perceptual near-dup pairs: band the 16-bit signature into two 8-bit
+    * halves (Hamming ≤ 2 leaves at least one band intact), self-join per
+    * band with the [[PhashMaxBucket]] skew cap (same guard as the
+    * MinHash/SimHash paths — a corpus of monochrome assets collapses to
+    * one signature and must not go quadratic), then verify true Hamming
+    * distance on the candidates. Never all-pairs.
+    */
+  def phashPairs(documents: DataFrame): DataFrame = {
+    // The aggregate is a semantic no-op (doc_id is unique in the corpus)
+    // that materializes the signature RELATION before the self-join. It
+    // also works around a Spark constraint-propagation edge: a pure
+    // projection over the planted-corpus union lets alias constraints
+    // referencing pruned source columns reach the self-join's union
+    // rewrite, which crashes (`key not found`); an Aggregate propagates
+    // only grouping-column constraints, exactly like the SimHash path.
+    val s = phashSignatures(phashCorpus(documents))
+      .groupBy(col("doc_id")).agg(max(col("phash")).as("phash"))
+    val allBands = s.select(col("doc_id"), col("phash"), posexplode(expr(
+      "transform(sequence(0, 1, 1), b -> shiftright(phash, cast(8 * b as int)) % 256)")))
+      .toDF("doc_id", "phash", "band_idx", "band_key")
+    val bands = allBands
+      .withColumn("bucket_n", count(lit(1))
+        .over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("band_idx"), col("band_key"))))
+      .filter(col("bucket_n") <= PhashMaxBucket)
+      .drop("bucket_n")
+    bands.as("x").join(bands.as("y"),
+        col("x.band_idx") === col("y.band_idx") &&
+          col("x.band_key") === col("y.band_key") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        expr("bit_count(x.phash ^ y.phash)").cast("long").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= PhashMaxHamming)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
   // ---------------------------------------------------------------- registry
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -106,6 +196,7 @@ object Multimodal {
     "media_frame_sample" -> ((s, d) => frameSample(mediaTable(Tables.documents(s, d)))),
     "media_decode_stub" -> ((s, d) => decodeStub(mediaTable(Tables.documents(s, d)))),
     "media_decode_batched" -> ((s, d) => decodeBatched(mediaTable(Tables.documents(s, d)))),
+    "media_phash_dedup" -> ((s, d) => phashPairs(Tables.documents(s, d))),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -124,5 +215,39 @@ object Multimodal {
         |    hex(encode(substr(text, 33, 2))), hex(encode(substr(text, 49, 2)))) AS frames
         |FROM documents ORDER BY doc_id""".stripMargin,
     // media_decode_stub: no oracle — stubbed decode, rows-only check.
+    "media_phash_dedup" ->
+      s"""WITH pcorpus AS (
+         |  SELECT doc_id, text FROM documents WHERE n_chars >= $PhashMinLen
+         |  UNION ALL
+         |  SELECT doc_id + 10000, substr(text, 1, 280) || ' remuxed tail'
+         |  FROM documents WHERE n_chars >= $PhashMinLen AND doc_id % 25 = 0
+         |), sums AS (
+         |  SELECT doc_id,
+         |    list_transform(range(0, $PhashBlocks), b ->
+         |      list_sum(list_transform(generate_series($PhashBlockLen * b + 1, $PhashBlockLen * (b + 1)),
+         |        i -> ascii(substr(text, i, 1))))::BIGINT) AS bsums
+         |  FROM pcorpus
+         |), sigs AS (
+         |  SELECT doc_id,
+         |    list_sum(list_transform(range(0, $PhashBlocks), b -> CASE
+         |      WHEN $PhashBlocks * bsums[b + 1] > list_sum(bsums)::BIGINT
+         |      THEN (1::BIGINT << b) ELSE 0::BIGINT END))::BIGINT AS phash
+         |  FROM sums
+         |), bands AS (
+         |  SELECT doc_id, phash, b AS band_idx, (phash >> (8 * b)) % 256 AS band_key
+         |  FROM sigs, (SELECT unnest(range(0, 2)) AS b)
+         |), capped AS (
+         |  SELECT doc_id, phash, band_idx, band_key FROM (
+         |    SELECT *, count(*) OVER (PARTITION BY band_idx, band_key) AS bucket_n
+         |    FROM bands)
+         |  WHERE bucket_n <= $PhashMaxBucket
+         |)
+         |SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+         |  bit_count(xor(x.phash, y.phash))::BIGINT AS hamming
+         |FROM capped x JOIN capped y
+         |  ON x.band_idx = y.band_idx AND x.band_key = y.band_key
+         |  AND x.doc_id < y.doc_id
+         |WHERE bit_count(xor(x.phash, y.phash)) <= $PhashMaxHamming
+         |ORDER BY doc_a, doc_b""".stripMargin,
   )
 }

@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.Multimodal
+
+/** Perceptual-hash near-dup over the media path: catches what exact
+  * content hashing cannot, and stays safe on degenerate corpora. */
+class MultimodalSpec extends SparkSpec {
+
+  private def doc(id: Long, text: String) = (id, text, "en", "s", text.length.toLong)
+
+  test("tail-mutated re-encode pairs at Hamming 0 while content hashes differ") {
+    import spark.implicits._
+    // doc 25 (doc_id % 25 == 0) gets a planted twin with the tail rewritten
+    // beyond the 256-char signature window; fillers are sig-distinct.
+    val base = "ab" * 150 // 300 chars, first 256 identical in the plant
+    val docs = Seq(
+      doc(25, base),
+      doc(1, "z" * 300),
+      doc(2, ("xy" * 64) + ("q" * 172)),
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val pairs = Multimodal.phashPairs(docs).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"), r.getAs[Long]("hamming")))
+    assert(pairs.contains((25L, 10025L, 0L)), pairs.mkString(", "))
+    // Exact content hashing misses the same twin: the shas differ.
+    val shas = Multimodal.mediaMeta(Multimodal.mediaTable(
+        Multimodal.phashCorpus(docs).withColumn("lang", lit("en"))
+          .withColumn("source", lit("s")).withColumn("n_chars", length(col("text")))))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("content_sha")).toMap
+    assert(shas(25L) != shas(10025L))
+  }
+
+  test("monochrome corpus collapses to one signature and the cap stops the join") {
+    import spark.implicits._
+    // Every payload identical → every signature identical → one mega-bucket.
+    // With more docs than the cap, the bucket is dropped entirely: zero
+    // pairs instead of a quadratic self-join.
+    val n = Multimodal.PhashMaxBucket + 50
+    val docs = (1 to n).map(i => doc(i.toLong, "m" * 300))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    assert(Multimodal.phashPairs(docs).collect().isEmpty)
+  }
+
+  test("short media are excluded by the metadata gate") {
+    import spark.implicits._
+    val docs = Seq(doc(1, "tiny"), doc(2, "n" * 300))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val sigs = Multimodal.phashSignatures(Multimodal.phashCorpus(docs)).collect()
+    assert(sigs.map(_.getAs[Long]("doc_id")).toSet == Set(2L))
+  }
+}
