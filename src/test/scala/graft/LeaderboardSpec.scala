@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.streaming.Leaderboard
+import graft.streaming.Leaderboard.{Score, Standing}
+
+/** The transformWithState top-k leaderboard: MapState running totals,
+  * per-batch bounded-heap standings. */
+class LeaderboardSpec extends SparkSpec {
+
+  test("standings update across batches; an outsider accumulates into the top-k") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val input = MemoryStream[Score]
+    val query = Leaderboard(input.toDS(), k = 2)
+      .writeStream.format("memory").queryName("tws_board")
+      .outputMode(OutputMode.Update()).start()
+    def board(batch: Long): Seq[Standing] =
+      spark.sql("SELECT * FROM tws_board").as[Standing].collect().toSeq
+    try {
+      input.addData(
+        Score("eu", "ada", 10.0), Score("eu", "bob", 8.0), Score("eu", "cyd", 1.0),
+        Score("us", "dan", 5.0))
+      query.processAllAvailable()
+      val b1 = board(0)
+      assert(b1.filter(_.group == "eu").sortBy(_.rank) == Seq(
+        Standing("eu", 1, "ada", 10.0), Standing("eu", 2, "bob", 8.0)))
+      assert(b1.filter(_.group == "us") == Seq(Standing("us", 1, "dan", 5.0)))
+
+      // cyd was OUTSIDE the top-2 — her earlier 1.0 must still count: the
+      // map state is why (a bounded top-k list would have forgotten it).
+      // Batch 2 must emit cyd at #1 (1.0 + 9.5) over ada.
+      input.addData(Score("eu", "cyd", 9.5))
+      query.processAllAvailable()
+      val b2 = board(1)
+      assert(b2.contains(Standing("eu", 1, "cyd", 10.5)), b2.mkString(", "))
+      assert(b2.contains(Standing("eu", 2, "ada", 10.0)), b2.mkString(", "))
+
+      // Untouched group 'us' emitted nothing new in batch 2.
+      assert(b2.filter(_.group == "us") == Seq(Standing("us", 1, "dan", 5.0)))
+    } finally {
+      query.stop()
+      prev match {
+        case Some(v) =>
+          spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None =>
+          spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
+  test("ranks are dense, ties break by member, k bounds the emission") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val input = MemoryStream[Score]
+    val query = Leaderboard(input.toDS(), k = 3)
+      .writeStream.format("memory").queryName("tws_board2")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      input.addData(
+        Score("g", "a", 5.0), Score("g", "b", 5.0), Score("g", "c", 5.0),
+        Score("g", "d", 5.0), Score("g", "e", 7.0))
+      query.processAllAvailable()
+      val rows = spark.sql("SELECT * FROM tws_board2").as[Standing].collect().toSeq
+      // 5 members, k=3: e first, then the tied 5.0s in member order, cut at 3.
+      assert(rows.sortBy(_.rank).map(s => (s.rank, s.member, s.total)) == Seq(
+        (1, "e", 7.0), (2, "a", 5.0), (3, "b", 5.0)))
+    } finally {
+      query.stop()
+      prev match {
+        case Some(v) =>
+          spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None =>
+          spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+}
