@@ -460,6 +460,73 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  // ------------------------------------------------ exact set-similarity join
+
+  /** Jaccard threshold for the exact similarity join, as a fraction:
+    * J(A, B) ≥ JacNum/JacDen — kept rational so the verification is an
+    * integer cross-multiplication, never a float compare. */
+  val JacNum = 19
+  val JacDen = 20
+
+  /** EXACT set-similarity self-join via prefix filtering (the
+    * PPJoin/AllPairs family: Bayardo et al., "Scaling Up All Pairs
+    * Similarity Search", WWW'07) — the exact-threshold complement to the
+    * approximate MinHash/SimHash candidate paths: every token-set pair
+    * with Jaccard ≥ 19/20, no false negatives, no sketches.
+    *
+    * Prefix theorem: order every doc's distinct tokens by a single global
+    * order (document frequency asc, then token — rarest first); if
+    * J(A, B) ≥ t, then the first |A| − ⌈t·|A|⌉ + 1 tokens of A and the
+    * corresponding prefix of B must share a token. So candidates come
+    * from an equi-join on PREFIX tokens only — and because prefixes hold
+    * each doc's RAREST tokens, the join key distribution is the flat tail
+    * of the Zipf curve, not the head: fan-out per token is inherently
+    * small, with the usual bucket cap as the backstop. Verification joins
+    * the candidate pairs back to the full token table once, counts the
+    * intersection, and checks `JacDen·inter ≥ JacNum·(|A|+|B|−inter)` in
+    * exact integers.
+    *
+    * Scale: token tables shuffle on token/doc keys (high cardinality);
+    * nothing quadratic anywhere — candidates are bounded by prefix-token
+    * co-occurrence, the verify join is |candidates| × avg set size.
+    */
+  def jaccardPrefixJoin(corpus: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = corpus
+      .select(col("doc_id"), explode(array_distinct(split(col("text"), " "))).as("tok"))
+    val withDf = toks.join(
+      toks.groupBy(col("tok")).agg(count(lit(1)).as("df")), "tok")
+    val ranked = withDf
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("doc_id")).orderBy(col("df"), col("tok"))))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("doc_id"))))
+    // prefix length p = n - ceil(t·n) + 1, with ceil(4n/5) = (4n+4) div 5
+    val prefix = ranked
+      .filter(col("rnk") <= col("n") - expr(s"($JacNum * n + $JacNum) div $JacDen") + 1)
+      .select(col("doc_id"), col("tok"), col("n"))
+    val capped = prefix
+      .withColumn("bucket_n", count(lit(1)).over(Window.partitionBy(col("tok"))))
+      .filter(col("bucket_n") <= MaxBucketSize)
+      .drop("bucket_n")
+    val cands = capped.as("x").join(capped.as("y"),
+        col("x.tok") === col("y.tok") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        col("x.n").as("n_a"), col("y.n").as("n_b"))
+      .distinct()
+    val inter = cands
+      .join(toks.as("ta"), col("doc_a") === col("ta.doc_id"))
+      .join(toks.as("tb"),
+        col("doc_b") === col("tb.doc_id") && col("ta.tok") === col("tb.tok"))
+      .groupBy(col("doc_a"), col("doc_b"), col("n_a"), col("n_b"))
+      .agg(count(lit(1)).as("inter_n"))
+    inter
+      .withColumn("union_n", col("n_a") + col("n_b") - col("inter_n"))
+      .filter(lit(JacDen) * col("inter_n") >= lit(JacNum) * col("union_n"))
+      .select(col("doc_a"), col("doc_b"), col("inter_n").cast("long").as("inter_n"),
+        col("union_n").cast("long").as("union_n"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
   // ---------------------------------------------------------------- registry
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -472,6 +539,7 @@ object Dedup {
     "dedup_simhash_pairs" -> ((s, d) => simhashPairs(nearCorpus(Tables.documents(s, d)))),
     "duplicate_spans" -> ((s, d) => duplicateSpans(Tables.documents(s, d))),
     "dedup_apply" -> ((s, d) => dedupApply(nearCorpus(Tables.documents(s, d)))),
+    "dedup_jaccard_prefix" -> ((s, d) => jaccardPrefixJoin(nearCorpus(Tables.documents(s, d)))),
   )
 
   /** Oracle CTEs: same corpora, same md5-prefix hash family. The oracle may
@@ -529,6 +597,41 @@ object Dedup {
     baseOracleSql + ("dedup_clusters_star" -> baseOracleSql("dedup_clusters"))
 
   private def baseOracleSql: Map[String, String] = Map(
+    "dedup_jaccard_prefix" ->
+      s"""WITH $nearCorpusSql, toks AS (
+         |  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
+         |  FROM corpus
+         |), dfreq AS (
+         |  SELECT tok, count(*) AS df FROM toks GROUP BY tok
+         |), ranked AS (
+         |  SELECT t.doc_id, t.tok,
+         |    row_number() OVER (PARTITION BY t.doc_id ORDER BY df, t.tok) AS rnk,
+         |    count(*) OVER (PARTITION BY t.doc_id) AS n
+         |  FROM toks t JOIN dfreq USING (tok)
+         |), prefix AS (
+         |  SELECT doc_id, tok, n FROM ranked
+         |  WHERE rnk <= n - (($JacNum * n + $JacNum) // $JacDen) + 1
+         |), capped AS (
+         |  SELECT doc_id, tok, n FROM (
+         |    SELECT *, count(*) OVER (PARTITION BY tok) AS bucket_n FROM prefix)
+         |  WHERE bucket_n <= $MaxBucketSize
+         |), cands AS (
+         |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+         |    x.n AS n_a, y.n AS n_b
+         |  FROM capped x JOIN capped y
+         |    ON x.tok = y.tok AND x.doc_id < y.doc_id
+         |), inter AS (
+         |  SELECT doc_a, doc_b, n_a, n_b, count(*) AS inter_n
+         |  FROM cands
+         |  JOIN toks ta ON doc_a = ta.doc_id
+         |  JOIN toks tb ON doc_b = tb.doc_id AND ta.tok = tb.tok
+         |  GROUP BY doc_a, doc_b, n_a, n_b
+         |)
+         |SELECT doc_a, doc_b, inter_n::BIGINT AS inter_n,
+         |  (n_a + n_b - inter_n)::BIGINT AS union_n
+         |FROM inter
+         |WHERE $JacDen * inter_n >= $JacNum * (n_a + n_b - inter_n)
+         |ORDER BY doc_a, doc_b""".stripMargin,
     "dedup_clusters" ->
       s"""WITH RECURSIVE $nearCorpusSql, $sigSql, $candSql,
          |edges AS (

@@ -130,6 +130,34 @@ class DedupSpec extends SparkSpec {
     assert(inc == full.filter(_._2 >= 100L))
   }
 
+  test("prefix-filter jaccard join equals brute-force all-pairs (no false negatives)") {
+    import spark.implicits._
+    // Boundary-straddling fixture against the 19/20 threshold: five
+    // identical 40-token docs (J = 1), three one-token-swapped variants
+    // (vs the identical family: 39/41 ≈ 0.951 — just above; vs each
+    // other: 38/42 ≈ 0.905 — below), and two disjoint docs. Brute-force
+    // ground truth in Scala; the prefix-filtered join must equal it.
+    val base = (0 until 40).map(v => s"w$v")
+    val docs: Seq[(Long, String)] =
+      (0 until 5).map(i => (i.toLong, base.mkString(" "))) ++
+        (0 until 3).map(i => (10L + i, base.updated(i, s"swap$i").mkString(" "))) ++
+        Seq((20L, (0 until 40).map(v => s"z$v").mkString(" ")),
+          (21L, (0 until 40).map(v => s"y$v").mkString(" ")))
+    val df = docs.toDF("doc_id", "text")
+    val got = graft.ops.Dedup.jaccardPrefixJoin(df).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
+        r.getAs[Long]("inter_n"), r.getAs[Long]("union_n"))).toSet
+    val sets = docs.map { case (id, text) => id -> text.split(" ").toSet }.toMap
+    val want = (for {
+      a <- sets.keys; b <- sets.keys if a < b
+      inter = (sets(a) & sets(b)).size
+      union = (sets(a) | sets(b)).size
+      if graft.ops.Dedup.JacDen * inter >= graft.ops.Dedup.JacNum * union
+    } yield (a, b, inter.toLong, union.toLong)).toSet
+    assert(want.nonEmpty, "fixture must produce at least one qualifying pair")
+    assert(got == want, s"got ${got.size} pairs, want ${want.size}")
+  }
+
   test("duplicate spans find exactly the planted shared run, merged maximally") {
     import spark.implicits._
     // docs 10/11 share tokens 5..14 (a 10-token run); doc 12 is disjoint.
