@@ -177,6 +177,45 @@ object Temporal {
       .orderBy(col("event_id"))
   }
 
+  /** Max allowed delay between consecutive funnel stages (µs). */
+  val FunnelHopUs: Long = 24L * 3600 * 1000000
+
+  /** Ordered conversion funnel: per user, first `view`, first `click`
+    * strictly after it, first `purchase` strictly after that — each hop
+    * within [[FunnelHopUs]]. The MATCH_RECOGNIZE-style sequence pattern,
+    * expressed as filtered min-aggregations chained by key joins: stage
+    * N's frame is (user, t_{N-1}) → one user-keyed shuffle per stage, no
+    * windows, no per-user event sorting. All time arithmetic in integer
+    * MICROSECONDS on both engines (a raw timestamp compare would diverge
+    * where DuckDB keeps nanos Spark truncated).
+    *
+    * Output is the funnel report: per stage, users reaching it and the
+    * average hop delay in whole seconds (integer division — exact).
+    */
+  def conversionFunnel(events: DataFrame): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val e = events.select(col("user_id"), col("event_type"),
+      unix_micros(col("ts")).as("us"))
+    val v = e.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("us")).as("t_view"))
+    val c = e.filter(col("event_type") === "click").join(v, "user_id")
+      .filter(col("us") > col("t_view") && col("us") <= col("t_view") + FunnelHopUs)
+      .groupBy(col("user_id"), col("t_view")).agg(min(col("us")).as("t_click"))
+    val p = e.filter(col("event_type") === "purchase").join(c, "user_id")
+      .filter(col("us") > col("t_click") && col("us") <= col("t_click") + FunnelHopUs)
+      .groupBy(col("user_id"), col("t_click")).agg(min(col("us")).as("t_purchase"))
+    def report(df: DataFrame, stage: String, hopExpr: String) = df.agg(
+      count(lit(1)).as("n_users"),
+      coalesce(expr(s"(sum($hopExpr) div count(1)) div 1000000"), lit(0L))
+        .cast("long").as("avg_hop_secs"))
+      .select(lit(stage).as("stage"), col("n_users"), col("avg_hop_secs"))
+    report(v, "1_view", "0")
+      .unionByName(report(c, "2_click", "t_click - t_view"))
+      .unionByName(report(p, "3_purchase", "t_purchase - t_click"))
+      .orderBy(col("stage"))
+  }
+
   // ---------------------------------------------------------------- registry
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -187,9 +226,36 @@ object Temporal {
     "event_transitions" -> ((s, d) => eventTransitions(Tables.events(s, d))),
     "cohort_retention" -> ((s, d) => cohortRetention(Tables.events(s, d))),
     "user_value_anomalies" -> ((s, d) => userValueAnomalies(Tables.events(s, d))),
+    "conversion_funnel" -> ((s, d) => conversionFunnel(Tables.events(s, d))),
   )
 
   def oracleSql: Map[String, String] = Map(
+    "conversion_funnel" ->
+      s"""WITH e AS (
+         |  SELECT user_id, event_type, epoch_us(ts) AS us FROM events
+         |), v AS (
+         |  SELECT user_id, min(us) AS t_view FROM e
+         |  WHERE event_type = 'view' GROUP BY user_id
+         |), c AS (
+         |  SELECT e.user_id, t_view, min(us) AS t_click
+         |  FROM e JOIN v USING (user_id)
+         |  WHERE event_type = 'click' AND us > t_view AND us <= t_view + $FunnelHopUs
+         |  GROUP BY e.user_id, t_view
+         |), p AS (
+         |  SELECT e.user_id, t_click, min(us) AS t_purchase
+         |  FROM e JOIN c USING (user_id)
+         |  WHERE event_type = 'purchase' AND us > t_click AND us <= t_click + $FunnelHopUs
+         |  GROUP BY e.user_id, t_click
+         |)
+         |SELECT stage, n_users, avg_hop_secs FROM (
+         |  SELECT '1_view' AS stage, count(*) AS n_users, 0::BIGINT AS avg_hop_secs FROM v
+         |  UNION ALL
+         |  SELECT '2_click', count(*),
+         |    coalesce((sum(t_click - t_view)::BIGINT // count(*)) // 1000000, 0)::BIGINT FROM c
+         |  UNION ALL
+         |  SELECT '3_purchase', count(*),
+         |    coalesce((sum(t_purchase - t_click)::BIGINT // count(*)) // 1000000, 0)::BIGINT FROM p
+         |) ORDER BY stage""".stripMargin,
     // The oracle may use the naive theta join (it's sf-scale data); the
     // Spark side must not — that asymmetry is the point of the operator.
     "interval_join" ->

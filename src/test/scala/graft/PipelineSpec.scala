@@ -98,6 +98,32 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("conversion funnel: stage order and hop bound are enforced") {
+    import spark.implicits._
+    def ev(id: Long, secs: Long, user: Long, typ: String) =
+      (id, new Timestamp(secs * 1000), user, typ, 1.0, "{}")
+    val events = Seq(
+      // user 1: full conversion — view @0, click @60, purchase @120
+      ev(1, 0, 1, "view"), ev(2, 60, 1, "click"), ev(3, 120, 1, "purchase"),
+      // user 2: click BEFORE the first view → no click stage
+      ev(4, 100, 2, "click"), ev(5, 200, 2, "view"), ev(6, 300, 2, "purchase"),
+      // user 3: click beyond the 24h hop bound → out
+      ev(7, 0, 3, "view"), ev(8, 25 * 3600, 3, "click"),
+      // user 4: converts on the SECOND click after view; purchase counts
+      // from the FIRST qualifying click (min), not the later one
+      ev(9, 0, 4, "view"), ev(10, 10, 4, "click"), ev(11, 20, 4, "click"),
+      ev(12, 30, 4, "purchase"),
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val rows = Temporal.conversionFunnel(events).collect()
+      .map(r => r.getAs[String]("stage") ->
+        (r.getAs[Long]("n_users"), r.getAs[Long]("avg_hop_secs"))).toMap
+    assert(rows("1_view") == (4L, 0L))       // users 1,2,3,4 all viewed
+    // users with a qualifying click: 1 (60s after view) and 4 (10s after);
+    // user 2's click precedes the view, user 3's exceeds the hop bound.
+    assert(rows("2_click") == (2L, (60L + 10L) / 2))
+    assert(rows("3_purchase") == (2L, ((120L - 60L) + (30L - 10L)) / 2))
+  }
+
   test("sessionization splits on the 30-minute gap") {
     import spark.implicits._
     val events = Seq(
