@@ -19,7 +19,11 @@ import org.apache.spark.sql.streaming.Trigger
   * (RocksDB state store, event-time timers) — the stateful-processor
   * throughput number, with per-user state writes on every event.
   *
-  * Usage: sbt "runMain graft.StreamBench [rowsPerSecond] [seconds] [kpi|sessions]"
+  * A third mode drives the `transformWithState` + `MapState` top-k
+  * leaderboard — per-delta point reads/writes against RocksDB map state
+  * plus a per-group member scan each batch.
+  *
+  * Usage: sbt "runMain graft.StreamBench [rowsPerSecond] [seconds] [kpi|sessions|leaderboard]"
   *        (defaults 100000 eps for 30 s ≈ 25× the reference target)
   */
 object StreamBench {
@@ -52,6 +56,21 @@ object StreamBench {
           gapMs = 10000L)
           .toDF()
           .writeStream.format("noop").outputMode("append")
+      case "leaderboard" =>
+        import spark.implicits._
+        spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+        // 64 groups × 10k members: every delta is a MapState point
+        // read+write; every batch re-scans arriving groups' members.
+        graft.streaming.Leaderboard(
+          rate.select(
+              concat(lit("g"), pmod(col("value"), lit(64))).as("group"),
+              concat(lit("m"), pmod(col("value"), lit(640000))).as("member"),
+              (pmod(col("value"), lit(1000)) / lit(10.0)).as("delta"))
+            .as[graft.streaming.Leaderboard.Score],
+          k = 10)
+          .toDF()
+          .writeStream.format("noop").outputMode("update")
       case _ =>
         val events = rate.select(
           col("value").as("event_id"),
