@@ -20,8 +20,11 @@ class EdgeCaseSpec extends SparkSpec {
     assert(Dedup.minhashCandidates(empty).count() == 0)
     assert(Dedup.simhashPairs(empty).count() == 0)
     assert(Dedup.duplicateSpans(empty).count() == 0)
+    assert(Dedup.jaccardPrefixJoin(empty).count() == 0)
     assert(Pipeline.tokenPacking(empty).count() == 0)
+    assert(Pipeline.trainingOrder(empty).count() == 0)
     assert(TextStats.bpeMerges(empty).count() == 0)
+    assert(TextStats.rareBigramScore(empty).count() == 0)
   }
 
   test("boilerplate corpus: the bucket caps stop quadratic pair fan-out") {
@@ -36,6 +39,10 @@ class EdgeCaseSpec extends SparkSpec {
     // whole corpus to one group without any pair join
     val exact = Dedup.exactDedup(boiler).collect()
     assert(exact.length == 1 && exact.head.getAs[Long]("n_docs") == 3000L)
+    // the exact similarity join has the same guard: identical docs mean
+    // every prefix-token bucket holds all 3000 docs > cap → dropped
+    // (recall traded for a bound, same contract as the LSH paths)
+    assert(Dedup.jaccardPrefixJoin(boiler).count() == 0)
   }
 
   test("empty and single-token texts survive every text operator") {
