@@ -158,6 +158,39 @@ class DedupSpec extends SparkSpec {
     assert(got == want, s"got ${got.size} pairs, want ${want.size}")
   }
 
+  test("prefix-filter jaccard join equals brute force on randomized corpora") {
+    import spark.implicits._
+    // Random token sets drawn from a small vocabulary with replica-plus-
+    // mutation families, so pairs land on BOTH sides of the threshold.
+    val rng = new scala.util.Random(11)
+    for (trial <- 1 to 3) {
+      val vocabN = 30 + rng.nextInt(30)
+      val docs = scala.collection.mutable.ArrayBuffer.empty[(Long, String)]
+      var id = 0L
+      for (_ <- 0 until 12) {
+        val n = 20 + rng.nextInt(20)
+        val toks = new scala.util.Random(rng.nextLong())
+          .shuffle((0 until vocabN).toList).take(n).map(v => s"w$v")
+        docs += ((id, toks.mkString(" "))); id += 1
+        // mutated replica: drop 0-2 tokens, add 0-1
+        val mut = toks.drop(rng.nextInt(3)) ++ (if (rng.nextBoolean()) Seq(s"x$id") else Nil)
+        docs += ((id, mut.mkString(" "))); id += 1
+      }
+      val got = graft.ops.Dedup.jaccardPrefixJoin(docs.toSeq.toDF("doc_id", "text"))
+        .collect()
+        .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
+          r.getAs[Long]("inter_n"), r.getAs[Long]("union_n"))).toSet
+      val sets = docs.map { case (i, t) => i -> t.split(" ").toSet }.toMap
+      val want = (for {
+        a <- sets.keys; b <- sets.keys if a < b
+        inter = (sets(a) & sets(b)).size
+        union = (sets(a) | sets(b)).size
+        if graft.ops.Dedup.JacDen * inter >= graft.ops.Dedup.JacNum * union
+      } yield (a, b, inter.toLong, union.toLong)).toSet
+      assert(got == want, s"trial $trial: got ${got.size}, want ${want.size}")
+    }
+  }
+
   test("duplicate spans find exactly the planted shared run, merged maximally") {
     import spark.implicits._
     // docs 10/11 share tokens 5..14 (a 10-token run); doc 12 is disjoint.

@@ -45,6 +45,29 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("prefix-filter jaccard join never plans a nested loop or cartesian") {
+    val p = plan("dedup_jaccard_prefix")
+    assert(!p.contains("NestedLoop") && !p.contains("Cartesian"), p.take(2000))
+  }
+
+  test("conversion funnel is windowless: chained aggs and equi joins only") {
+    val p = plan("conversion_funnel")
+    assert(!p.contains("Window"), p.take(2000))
+    assert(p.contains("HashAggregate"), p.take(2000))
+    assert(!p.contains("NestedLoop") && !p.contains("Cartesian"), p.take(2000))
+  }
+
+  test("delta merge is join-free with map-side partial aggregation") {
+    val p = plan("agg_delta_merge")
+    assert(!p.contains("Join"), p.take(2000))
+    assert(p.contains("partial_count") || p.contains("partial_sum"), p.take(2000))
+  }
+
+  test("training order windows are shard-partitioned, never global") {
+    val p = plan("training_order")
+    assert(p.contains("hashpartitioning(shard"), p.take(2000))
+  }
+
   test("region lookup broadcasts both dim levels") {
     val p = plan("region_lookup")
     assert("BroadcastExchange".r.findAllIn(p).length >= 2, p.take(2000))
