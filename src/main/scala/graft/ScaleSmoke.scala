@@ -53,6 +53,7 @@ object ScaleSmoke {
     time("duplicate_spans") { Dedup.duplicateSpans(corpus) }
     time("rare_bigram_score") { TextStats.rareBigramScore(corpus) }
     time("jaccard_prefix_join") { Dedup.jaccardPrefixJoin(corpus) }
+    time("media_phash_dedup") { graft.ops.Multimodal.phashPairs(corpus) }
     time("training_order") { Pipeline.trainingOrder(corpus) }
     // embeddings scale path: replicate the vector fixture the same way
     val embBase = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.1")

@@ -141,11 +141,12 @@ object Multimodal {
     */
   def phashSignatures(corpus: DataFrame): DataFrame =
     corpus
-      .withColumn("bsums", expr(
-        s"""transform(sequence(0, ${PhashBlocks - 1}, 1), b ->
-           |  aggregate(transform(sequence($PhashBlockLen * b + 1, $PhashBlockLen * (b + 1), 1),
-           |    i -> ascii(substring(text, i, 1))),
-           |    0L, (a, x) -> a + x))""".stripMargin))
+      // Native codegen'd kernel (graft.plans.CharBlockSums): one pass over
+      // the code points. The equivalent nested-lambda formulation is
+      // interpreted AND quadratic on multi-byte text (each substring(i, 1)
+      // is O(i)); MultimodalSpec pins bit-equality of the two forms.
+      .withColumn("bsums",
+        expr(s"char_block_sums(text, $PhashBlocks, $PhashBlockLen)"))
       .withColumn("total", expr("aggregate(bsums, 0L, (a, x) -> a + x)"))
       .select(col("doc_id"), expr(
         s"""aggregate(sequence(0, ${PhashBlocks - 1}, 1), 0L, (a, b) ->

@@ -132,6 +132,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("vec_dot"),
       new ExpressionInfo(classOf[VecDot].getName, "vec_dot"),
       (children: Seq[Expression]) => VecDot(children.head, children(1))))
+    ext.injectFunction((
+      FunctionIdentifier("char_block_sums"),
+      new ExpressionInfo(classOf[CharBlockSums].getName, "char_block_sums"),
+      (children: Seq[Expression]) => {
+        import org.apache.spark.sql.catalyst.expressions.Literal
+        import org.apache.spark.sql.types.IntegerType
+        def intLit(e: Expression, name: String): Int = e match {
+          case Literal(v: Int, IntegerType) => v
+          case _ => throw new IllegalArgumentException(
+            s"char_block_sums: $name must be an integer literal, got $e")
+        }
+        CharBlockSums(children.head,
+          intLit(children(1), "blocks"), intLit(children(2), "blockLen"))
+      }))
     ext.injectOptimizerRule(_ => VecDotCastElision)
     ext.injectOptimizerRule(_ => TopK.WindowTopKRewrite)
     ext.injectPlannerStrategy(_ => TopK.TopKStrategy)

@@ -42,6 +42,32 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.phashPairs(docs).collect().isEmpty)
   }
 
+  test("native char_block_sums is bit-equal to the nested-lambda formulation") {
+    import spark.implicits._
+    // Mixed ASCII / CJK / short / exact-length payloads: code-point
+    // indexing must agree with substring-by-codepoint + ascii semantics.
+    val docs = Seq(
+      (1L, "plain ascii text " * 20),
+      (2L, "的是了在我" * 60),
+      (3L, ("mix 的 and ascii " * 20)),
+      (4L, "x" * 256),
+      (5L, "short"),
+      (6L, ""),
+    ).toDF("doc_id", "text")
+    val b = Multimodal.PhashBlocks
+    val l = Multimodal.PhashBlockLen
+    val native = docs.selectExpr("doc_id", s"char_block_sums(text, $b, $l) AS s")
+    val lambda = docs.selectExpr("doc_id",
+      s"""transform(sequence(0, ${b - 1}, 1), b ->
+         |  aggregate(transform(sequence($l * b + 1, $l * (b + 1), 1),
+         |    i -> ascii(substring(text, i, 1))),
+         |    0L, (a, x) -> a + x)) AS s""".stripMargin)
+    val n = native.collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val m = lambda.collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(n.keySet == m.keySet)
+    n.keySet.foreach(k => assert(n(k) == m(k), s"doc $k: ${n(k)} vs ${m(k)}"))
+  }
+
   test("short media are excluded by the metadata gate") {
     import spark.implicits._
     val docs = Seq(doc(1, "tiny"), doc(2, "n" * 300))
