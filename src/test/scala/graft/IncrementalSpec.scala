@@ -44,6 +44,31 @@ class IncrementalSpec extends SparkSpec {
     assert(d23.exists { case (_, _, n, s, m) => n == 1L && s == -568L && m == -568L })
   }
 
+  test("merge equals recompute on randomized event sets (any day split)") {
+    import spark.implicits._
+    // The cutoff sits on a day boundary, so merge==recompute must hold for
+    // ANY event distribution — randomized values, users, and times across
+    // the month, three trials.
+    val rng = new scala.util.Random(23)
+    for (trial <- 1 to 3) {
+      val events = (1 to 400).map { i =>
+        val day = 1 + rng.nextInt(28)
+        val sec = rng.nextInt(86400)
+        ev(i.toLong, f"2024-01-$day%02d 00:00:00", 1L + rng.nextInt(9),
+          (rng.nextDouble() - 0.3) * 1000)
+      }.map { case (id, ts0, u, t, v, p) =>
+        (id, new java.sql.Timestamp(ts0.getTime + rng.nextInt(86400) * 1000L), u, t, v, p)
+      }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      val merged = Incremental.aggDeltaMerge(events).collect()
+        .map(_.toSeq).toSeq
+      val oneShot = Incremental.dailyState(events)
+        .selectExpr("user_id", "unix_micros(day) AS day_us", "n_events",
+          "sum_cents", "max_cents")
+        .orderBy("user_id", "day_us").collect().map(_.toSeq).toSeq
+      assert(merged == oneShot, s"trial $trial")
+    }
+  }
+
   test("rare-bigram novelty flags gibberish, passes boilerplate") {
     import spark.implicits._
     // 5 docs share one common phrase (its bigrams hit the corpus head);
