@@ -492,8 +492,13 @@ object Dedup {
     */
   def jaccardPrefixJoin(corpus: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // The token table feeds four plan arms (df count, rank, and both
+    // sides of the verification join) — persist it so the explode runs
+    // once. At cluster scale this is the doc-token table you'd
+    // checkpoint/bucket between stages (same note as minhashCandidates).
     val toks = corpus
       .select(col("doc_id"), explode(array_distinct(split(col("text"), " "))).as("tok"))
+      .persist()
     val withDf = toks.join(
       toks.groupBy(col("tok")).agg(count(lit(1)).as("df")), "tok")
     val ranked = withDf
