@@ -54,6 +54,55 @@ class LeaderboardSpec extends SparkSpec {
     }
   }
 
+  test("MapState totals survive a checkpointed restart") {
+    import spark.implicits._
+    val in = java.nio.file.Files.createTempDirectory("graft-lb-in").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-lb-ckpt").toString
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+
+    def writeScores(rows: Seq[Score]): Unit =
+      rows.toDF().coalesce(1).write.mode("append").parquet(in)
+    def run(): Seq[Standing] = {
+      val got = scala.collection.mutable.ArrayBuffer.empty[Standing]
+      val src = spark.readStream
+        .schema(Seq.empty[Score].toDF().schema).parquet(in).as[Score]
+      val q = Leaderboard(src, k = 2).toDF()
+        .writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          got.synchronized { got ++= batch.as[Standing].collect() }
+          ()
+        }
+        .option("checkpointLocation", ckpt)
+        .outputMode(org.apache.spark.sql.streaming.OutputMode.Update())
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(60000)
+      if (q.isActive) q.stop()
+      got.toSeq
+    }
+
+    try {
+      writeScores(Seq(Score("g", "ada", 10.0), Score("g", "bob", 3.0)))
+      run()
+      // Restart from the checkpoint: bob's +8 must MERGE with the restored
+      // 3.0 (total 11), not start from zero — proving the map state came
+      // back from RocksDB, and the pre-restart input was not re-read.
+      writeScores(Seq(Score("g", "bob", 8.0)))
+      val out2 = run()
+      assert(out2.contains(Standing("g", 1, "bob", 11.0)), out2.mkString(", "))
+      assert(out2.contains(Standing("g", 2, "ada", 10.0)), out2.mkString(", "))
+    } finally {
+      prev match {
+        case Some(v) =>
+          spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None =>
+          spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("ranks are dense, ties break by member, k bounds the emission") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
