@@ -216,6 +216,35 @@ object Temporal {
       .orderBy(col("stage"))
   }
 
+  /** Calendar-spine densification with gap detection: generate the full
+    * day spine between the corpus bounds, cross it with the (tiny)
+    * event-type dimension, and anti-join the observed (type, day) pairs —
+    * the days each type went silent. The missing-row problem is the dual
+    * of aggregation (absent facts produce NO row, so "which days had
+    * nothing" needs a generated spine), and the shape here — bounded
+    * generated dims crossed small-side, facts only ever aggregated — is
+    * the one that survives scale: the spine is O(days × types) regardless
+    * of fact volume.
+    */
+  def activityCalendar(events: DataFrame): DataFrame = {
+    val days = events
+      .agg(min(date_trunc("day", col("ts"))).as("d0"),
+        max(date_trunc("day", col("ts"))).as("d1"))
+      .select(explode(expr("sequence(d0, d1, interval 1 day)")).as("day"))
+    val types = events.select(col("event_type")).distinct()
+    val active = events
+      .select(col("event_type"), date_trunc("day", col("ts")).as("day"))
+      .distinct()
+    val spine = days.crossJoin(broadcast(types))
+    spine.join(active, Seq("event_type", "day"), "left_anti")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_gap_days"))
+      .join(types, Seq("event_type"), "right")
+      .select(col("event_type"),
+        coalesce(col("n_gap_days"), lit(0L)).cast("long").as("n_gap_days"))
+      .orderBy(col("event_type"))
+  }
+
   // ---------------------------------------------------------------- registry
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -227,9 +256,31 @@ object Temporal {
     "cohort_retention" -> ((s, d) => cohortRetention(Tables.events(s, d))),
     "user_value_anomalies" -> ((s, d) => userValueAnomalies(Tables.events(s, d))),
     "conversion_funnel" -> ((s, d) => conversionFunnel(Tables.events(s, d))),
+    "activity_calendar" -> ((s, d) => activityCalendar(Tables.events(s, d))),
   )
 
   def oracleSql: Map[String, String] = Map(
+    "activity_calendar" ->
+      """WITH bounds AS (
+        |  SELECT min(date_trunc('day', ts)) AS d0, max(date_trunc('day', ts)) AS d1
+        |  FROM events
+        |), days AS (
+        |  SELECT unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS day FROM bounds
+        |), types AS (
+        |  SELECT DISTINCT event_type FROM events
+        |), active AS (
+        |  SELECT DISTINCT event_type, date_trunc('day', ts) AS day FROM events
+        |), gaps AS (
+        |  SELECT t.event_type, count(*) AS n_gap_days
+        |  FROM days d CROSS JOIN types t
+        |  WHERE NOT EXISTS (
+        |    SELECT 1 FROM active a
+        |    WHERE a.event_type = t.event_type AND a.day = d.day)
+        |  GROUP BY t.event_type
+        |)
+        |SELECT event_type, coalesce(n_gap_days, 0)::BIGINT AS n_gap_days
+        |FROM types LEFT JOIN gaps USING (event_type)
+        |ORDER BY event_type""".stripMargin,
     "conversion_funnel" ->
       s"""WITH e AS (
          |  SELECT user_id, event_type, epoch_us(ts) AS us FROM events

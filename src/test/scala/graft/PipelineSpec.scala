@@ -124,6 +124,22 @@ class PipelineSpec extends SparkSpec {
     assert(rows("3_purchase") == (2L, ((120L - 60L) + (30L - 10L)) / 2))
   }
 
+  test("activity calendar counts the silent days per type over the full spine") {
+    import spark.implicits._
+    def ev(id: Long, day: Int, typ: String) =
+      (id, Timestamp.valueOf(f"2024-03-$day%02d 12:00:00"), 1L, typ, 1.0, "{}")
+    // Spine = Mar 1..5 (bounds from the data). 'click' skips days 2 and 4;
+    // 'view' covers everything; 'buy' appears once → 4 gap days.
+    val events = Seq(
+      ev(1, 1, "click"), ev(2, 3, "click"), ev(3, 5, "click"),
+      ev(4, 1, "view"), ev(5, 2, "view"), ev(6, 3, "view"), ev(7, 4, "view"), ev(8, 5, "view"),
+      ev(9, 3, "buy"),
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val rows = Temporal.activityCalendar(events).collect()
+      .map(r => r.getAs[String]("event_type") -> r.getAs[Long]("n_gap_days")).toMap
+    assert(rows == Map("click" -> 2L, "view" -> 0L, "buy" -> 4L))
+  }
+
   test("sessionization splits on the 30-minute gap") {
     import spark.implicits._
     val events = Seq(
