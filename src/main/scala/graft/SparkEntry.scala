@@ -30,7 +30,7 @@ object SparkEntry {
       graft.ops.RegionLookup.queries ++ graft.streaming.StreamJoins.queries ++
       graft.ops.Curation.queries ++ graft.ops.Mixing.queries ++
       graft.ops.Quantize.queries ++ graft.functions.Sketches.queries ++
-      graft.ops.Incremental.queries
+      graft.ops.Incremental.queries ++ graft.functions.Bitmaps.queries
 
   private def relational: Map[String, (SparkSession, String) => DataFrame] = Map(
     // S9 payload shape: the KPI frame serialized exactly as the Kafka sink
@@ -123,7 +123,8 @@ object SparkEntry {
     graft.ops.Pipeline.oracleSql ++ graft.ops.Temporal.oracleSql ++
     graft.ops.RegionLookup.oracleSql ++ graft.streaming.StreamJoins.oracleSql ++
     graft.ops.Curation.oracleSql ++ graft.ops.Mixing.oracleSql ++
-    graft.functions.Sketches.oracleSql ++ graft.ops.Incremental.oracleSql
+    graft.functions.Sketches.oracleSql ++ graft.ops.Incremental.oracleSql ++
+    graft.functions.Bitmaps.oracleSql
 
   private def relationalOracle: Map[String, String] = Map(
     "pricing_summary" ->

@@ -3,6 +3,7 @@ package graft
 import org.scalacheck.{Gen, Prop, Properties}
 import org.scalacheck.Prop.{forAll, propBoolean}
 
+import graft.functions.{Bitmaps, BM}
 import graft.streaming.{AlertStateMachine, KvSink}
 
 /** ScalaCheck properties for the pure (Spark-free) logic. */
@@ -128,5 +129,33 @@ object PureProps extends Properties("graft.pure") {
       val l = Sketches.mergeSketch(Sketches.mergeSketch(mk(a, k), mk(b, k), k), mk(c, k), k)
       val r = Sketches.mergeSketch(mk(a, k), Sketches.mergeSketch(mk(b, k), mk(c, k), k), k)
       l == r
+    }
+
+  // ---- bitmap algebra: OR-merge must BE set union, across chunk bounds --
+
+  // Ids straddle chunk boundaries (chunk = id >> 12) on purpose.
+  private val idSet: Gen[List[Long]] =
+    Gen.listOf(Gen.oneOf(
+      Gen.chooseNum(0L, 100L), Gen.chooseNum(4090L, 4102L),
+      Gen.chooseNum(8189L, 8194L), Gen.chooseNum(0L, 1000000L)))
+
+  private def bm(ids: List[Long]): BM =
+    ids.foldLeft(BM(Vector.empty, Vector.empty))((b, id) => Bitmaps.or(b, Bitmaps.set(id)))
+
+  property("bitmap cardinality equals the set cardinality") =
+    forAll(idSet) { ids => Bitmaps.cardinality(bm(ids)) == ids.toSet.size }
+
+  property("bitmap OR is set union, commutative, idempotent") =
+    forAll(idSet, idSet) { (a, b) =>
+      val u = Bitmaps.or(bm(a), bm(b))
+      Bitmaps.cardinality(u) == (a.toSet ++ b.toSet).size &&
+        u == Bitmaps.or(bm(b), bm(a)) &&
+        Bitmaps.or(u, u) == u
+    }
+
+  property("bitmap OR is associative under any split") =
+    forAll(idSet, idSet, idSet) { (a, b, c) =>
+      Bitmaps.or(Bitmaps.or(bm(a), bm(b)), bm(c)) ==
+        Bitmaps.or(bm(a), Bitmaps.or(bm(b), bm(c)))
     }
 }
