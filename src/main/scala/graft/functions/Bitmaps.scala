@@ -31,8 +31,10 @@ case class BM(chunks: Seq[Long], words: Seq[Long])
   * for 10⁹ sparse ids a production build swaps this chunk layout for
   * RoaringBitmap containers (array/run/bitmap per chunk; same merge
   * algebra, not in this container's dependency set) behind the same
-  * Aggregator surface. Buffers here are persistent (copy-on-merge), which
-  * the fixture scale tolerates; the mutable-buffer variant is a drop-in.
+  * Aggregator surface. Per-row accumulation mutates a [[Bitmaps.BMBuf]]
+  * in place (O(1) per id); the immutable [[BM]] exists only at finish and
+  * as the column value — so dense groups cost O(rows + state), not
+  * O(rows × state).
   */
 object Bitmaps {
 
@@ -77,12 +79,59 @@ object Bitmaps {
   private[graft] def cardinality(b: BM): Long =
     b.words.foldLeft(0L)((acc, w) => acc + java.lang.Long.bitCount(w))
 
-  class BitmapAgg extends Aggregator[Long, BM, BM] {
-    def zero: BM = BM(Vector.empty, Vector.empty)
-    def reduce(b: BM, id: Long): BM = or(b, set(id))
-    def merge(x: BM, y: BM): BM = or(x, y)
-    def finish(r: BM): BM = r
-    def bufferEncoder = Encoders.product[BM]
+  /** Mutable accumulation buffer for [[BitmapAgg]]: chunk index → 64-word
+    * block, bit-set IN PLACE per input row — O(1) amortized per id, no
+    * allocation beyond first touch of a chunk. The immutable sorted [[BM]]
+    * is materialized only at the finish boundary; `merge` ORs block-wise
+    * into `this`. Kryo-encoded: the buffer crosses the wire only at the
+    * partial→final shuffle (one blob per group, never per row), where the
+    * java.util.HashMap payload serializes via Kryo's built-in map support.
+    */
+  final class BMBuf(val blocks: java.util.HashMap[java.lang.Long, Array[Long]])
+      extends Serializable {
+    def this() = this(new java.util.HashMap[java.lang.Long, Array[Long]]())
+
+    def add(id: Long): BMBuf = {
+      require(id >= 0, s"bitmap ids must be non-negative, got $id")
+      val chunk = java.lang.Long.valueOf(id >> ChunkBits)
+      val offset = (id & ((1 << ChunkBits) - 1)).toInt
+      var w = blocks.get(chunk)
+      if (w == null) { w = new Array[Long](WordsPerChunk); blocks.put(chunk, w) }
+      w(offset >> 6) |= 1L << (offset & 63)
+      this
+    }
+
+    def orInPlace(other: BMBuf): BMBuf = {
+      other.blocks.forEach { (chunk, ow) =>
+        val w = blocks.get(chunk)
+        if (w == null) blocks.put(chunk, ow.clone())
+        else { var i = 0; while (i < WordsPerChunk) { w(i) |= ow(i); i += 1 } }
+      }
+      this
+    }
+
+    /** Sorted-chunk immutable form — identical to folding [[Bitmaps.or]]
+      * over single-id bitmaps (pinned in PureProps). */
+    def toBM: BM = {
+      val chunkIds = blocks.keySet().toArray(new Array[java.lang.Long](0))
+        .map(_.longValue()).sorted
+      val words = new Array[Long](chunkIds.length * WordsPerChunk)
+      var i = 0
+      while (i < chunkIds.length) {
+        System.arraycopy(blocks.get(chunkIds(i)), 0, words, i * WordsPerChunk,
+          WordsPerChunk)
+        i += 1
+      }
+      BM(chunkIds.toIndexedSeq, words.toIndexedSeq)
+    }
+  }
+
+  class BitmapAgg extends Aggregator[Long, BMBuf, BM] {
+    def zero: BMBuf = new BMBuf()
+    def reduce(b: BMBuf, id: Long): BMBuf = b.add(id)
+    def merge(x: BMBuf, y: BMBuf): BMBuf = x.orInPlace(y)
+    def finish(r: BMBuf): BM = r.toBM
+    def bufferEncoder = Encoders.kryo[BMBuf]
     def outputEncoder = Encoders.product[BM]
   }
 

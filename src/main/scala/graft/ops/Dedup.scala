@@ -443,8 +443,17 @@ object Dedup {
     * duplicate cluster, all unclustered docs kept. This is the
     * detect→apply closure: [[minhashCandidates]] finds pairs,
     * [[dupClusters]] closes them transitively, and this emits the
-    * deduplicated corpus a training run actually consumes. One broadcast
-    * join against the (tiny) cluster table; the corpus is never shuffled.
+    * deduplicated corpus a training run actually consumes.
+    *
+    * The cluster join carries NO broadcast hint on purpose: the cluster
+    * table holds one row per duplicate-involved document, and at web-corpus
+    * dup rates (30–50%) that is a constant fraction of the corpus — far past
+    * any broadcast threshold. A forced hint would override Spark's own size
+    * check and OOM the executors at scale; instead the plain equi-join on
+    * `doc_id` lets AQE pick broadcast when the cluster table happens to be
+    * small and a shuffled hash join otherwise. (At cluster scale, bucket
+    * both sides on `doc_id` — `sources.Bucketing` — and the shuffle
+    * disappears too.)
     */
   def dedupApply(corpus: DataFrame): DataFrame = {
     val clusters = dupClusters(corpus)
@@ -453,7 +462,7 @@ object Dedup {
           .partitionBy(col("cluster_id"))))
       .select(col("doc_id"), col("cluster_id"), col("keeper_id"))
     corpus.select(col("doc_id"))
-      .join(broadcast(clusters), Seq("doc_id"), "left")
+      .join(clusters, Seq("doc_id"), "left")
       .select(col("doc_id"), col("cluster_id"),
         (col("cluster_id").isNull || (col("doc_id") === col("keeper_id")))
           .as("survives"))
@@ -472,7 +481,13 @@ object Dedup {
     * PPJoin/AllPairs family: Bayardo et al., "Scaling Up All Pairs
     * Similarity Search", WWW'07) — the exact-threshold complement to the
     * approximate MinHash/SimHash candidate paths: every token-set pair
-    * with Jaccard ≥ 19/20, no false negatives, no sketches.
+    * with Jaccard ≥ 19/20, no sketches. Exactness caveat: the prefix-token
+    * bucket cap below ([[MaxBucketSize]]) silently drops over-full buckets,
+    * so recall is exact only up to that cap — a degenerate corpus where
+    * thousands of docs share their rarest prefix token (e.g. thousands of
+    * identical documents, pinned in EdgeCaseSpec) loses those pairs. Same
+    * recall contract as the LSH paths' caps; raise the cap (or pre-dedup
+    * exact duplicates first) when full recall matters.
     *
     * Prefix theorem: order every doc's distinct tokens by a single global
     * order (document frequency asc, then token — rarest first); if
@@ -505,7 +520,7 @@ object Dedup {
       .withColumn("rnk", row_number().over(
         Window.partitionBy(col("doc_id")).orderBy(col("df"), col("tok"))))
       .withColumn("n", count(lit(1)).over(Window.partitionBy(col("doc_id"))))
-    // prefix length p = n - ceil(t·n) + 1, with ceil(4n/5) = (4n+4) div 5
+    // prefix length p = n - ceil(t·n) + 1, with ceil(19n/20) = (19n+19) div 20
     val prefix = ranked
       .filter(col("rnk") <= col("n") - expr(s"($JacNum * n + $JacNum) div $JacDen") + 1)
       .select(col("doc_id"), col("tok"), col("n"))

@@ -50,6 +50,20 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("NestedLoop") && !p.contains("Cartesian"), p.take(2000))
   }
 
+  test("dedup apply carries no forced broadcast on the cluster join") {
+    // The cluster table is O(duplicate-involved docs) — a constant fraction
+    // of the corpus at web dup rates — so a broadcast HINT would override
+    // Spark's size check and OOM at scale. The analyzed plan must be
+    // hint-free; AQE remains free to pick broadcast when the table is
+    // actually small (which it is on this fixture — that choice is Spark's,
+    // not a hard-coded override).
+    val qe = SparkEntry.queries("dedup_apply")(spark, sf).queryExecution
+    val analyzed = qe.analyzed.toString
+    assert(!analyzed.contains("ResolvedHint") && !analyzed.contains("UnresolvedHint"),
+      analyzed.take(2000))
+    spark.catalog.clearCache()
+  }
+
   test("conversion funnel is windowless: chained aggs and equi joins only") {
     val p = plan("conversion_funnel")
     assert(!p.contains("Window"), p.take(2000))

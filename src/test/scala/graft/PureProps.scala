@@ -158,4 +158,13 @@ object PureProps extends Properties("graft.pure") {
       Bitmaps.or(Bitmaps.or(bm(a), bm(b)), bm(c)) ==
         Bitmaps.or(bm(a), Bitmaps.or(bm(b), bm(c)))
     }
+
+  property("mutable BMBuf accumulation materializes the same BM as fold-of-or") =
+    forAll(idSet, idSet) { (a, b) =>
+      // The aggregation path (in-place add + in-place merge + toBM) must be
+      // byte-identical to the persistent algebra it replaced.
+      val x = a.foldLeft(new Bitmaps.BMBuf())(_.add(_))
+      val y = b.foldLeft(new Bitmaps.BMBuf())(_.add(_))
+      x.orInPlace(y).toBM == bm(a ++ b)
+    }
 }

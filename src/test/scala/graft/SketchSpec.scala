@@ -98,4 +98,24 @@ class SketchSpec extends SparkSpec {
     val est = out.map(r => r.get(0) -> r.getDouble(3)).toMap
     exact.foreach { case (w, p) => assert(est(w) == p, s"week $w") }
   }
+
+  test("bitmap rollup (mutable kryo buffer) matches exact distinct, any layout") {
+    // Exercises the full UDAF path — in-place BMBuf accumulation, kryo
+    // buffer serde across the partial→final exchange, OR-merge to week
+    // grain — against one-shot count(DISTINCT) computed in-plan.
+    import graft.functions.Bitmaps
+    val events = Tables.events(spark, dir)
+    val viaBitmap = Bitmaps.bitmapDistinctRollup(events)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+    val exact = events
+      .groupBy(date_trunc("week", col("ts")).as("week"))
+      .agg(count_distinct(col("user_id")).as("d"))
+      .select(unix_micros(col("week")), col("d"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(viaBitmap == exact)
+    // partition-layout invariance: one partition vs many must agree
+    val onePart = Bitmaps.bitmapDistinctRollup(events.repartition(1))
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+    assert(onePart == exact)
+  }
 }

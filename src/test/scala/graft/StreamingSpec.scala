@@ -3,6 +3,7 @@ package graft
 import java.sql.Timestamp
 
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.streaming.OutputMode
 
 import graft.ops.Frames
@@ -113,6 +114,21 @@ class StreamingSpec extends SparkSpec {
     assert(totals("errorRate") == "25.0")
     assert(kv.strings("nexus:rollup:regions") ==
       """[{"region":"Brazil","events":2,"errors":0},{"region":"Japan","events":2,"errors":1}]""")
+  }
+
+  test("region rollup collects O(regions) rows, never the raw batch") {
+    import spark.implicits._
+    // 10k raw rows over 3 regions: the driver-side array must be 3 rows —
+    // the in-plan groupBy is what crosses to the driver, not the batch.
+    val big = spark.range(10000)
+      .select((col("id") % 3).cast("string").as("region_name"),
+        (col("id") % 7 === 0).as("is_error"))
+    val collected = KvSink.regionRollup(big)
+    assert(collected.length == 3, s"driver saw ${collected.length} rows")
+    assert(collected.map(_.getAs[Long]("events")).sum == 10000L)
+    val kv = new InMemoryKvStore
+    KvSink.regionRollupWriter(kv)(big, 0L)
+    assert(kv.hashes("nexus:rollup:totals")("events") == "10000")
   }
 
   test("alert state machine: normal → pending → firing → reset") {
