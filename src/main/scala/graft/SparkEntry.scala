@@ -92,6 +92,31 @@ object SparkEntry {
         .drop("rnk")
         .orderBy(col("o_orderpriority"), col("o_totalprice").desc, col("o_orderkey"))
     }),
+    // Tie-keeping rank modes through the same rewrite: rank() keeps every
+    // boundary tie (a group can emit more than k rows), dense_rank() keeps
+    // all rows of the top-k DISTINCT order values. Both plan through the
+    // TopK operator's treemap tie path; DuckDB recomputes the window
+    // directly, so a hash match proves tie semantics, not just top-k.
+    "topk_rank_ties" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.functions.rank
+      val w = Window.partitionBy(col("l_suppkey")).orderBy(col("l_quantity").desc)
+      Tables.lineitem(s, d)
+        .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+        .withColumn("rnk", rank().over(w)).filter(col("rnk") <= 2).drop("rnk")
+        .orderBy(col("l_suppkey"), col("l_quantity").desc,
+          col("l_orderkey"), col("l_linenumber"))
+    }),
+    "topk_dense_rank" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.functions.dense_rank
+      val w = Window.partitionBy(col("l_suppkey")).orderBy(col("l_quantity").desc)
+      Tables.lineitem(s, d)
+        .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+        .withColumn("rnk", dense_rank().over(w)).filter(col("rnk") <= 2).drop("rnk")
+        .orderBy(col("l_suppkey"), col("l_quantity").desc,
+          col("l_orderkey"), col("l_linenumber"))
+    }),
     "dq_report" -> ((s, d) =>
       Tpch.dqReport(Tables.orders(s, d), Tables.lineitem(s, d))),
     "promo_revenue" -> ((s, d) =>
@@ -285,6 +310,20 @@ object SparkEntry {
         |  FROM orders)
         |WHERE rnk <= 3
         |ORDER BY o_orderpriority, o_totalprice DESC, o_orderkey""".stripMargin,
+    "topk_rank_ties" ->
+      """SELECT l_suppkey, l_orderkey, l_linenumber, l_quantity FROM (
+        |  SELECT l_suppkey, l_orderkey, l_linenumber, l_quantity,
+        |    rank() OVER (PARTITION BY l_suppkey ORDER BY l_quantity DESC) AS rnk
+        |  FROM lineitem)
+        |WHERE rnk <= 2
+        |ORDER BY l_suppkey, l_quantity DESC, l_orderkey, l_linenumber""".stripMargin,
+    "topk_dense_rank" ->
+      """SELECT l_suppkey, l_orderkey, l_linenumber, l_quantity FROM (
+        |  SELECT l_suppkey, l_orderkey, l_linenumber, l_quantity,
+        |    dense_rank() OVER (PARTITION BY l_suppkey ORDER BY l_quantity DESC) AS rnk
+        |  FROM lineitem)
+        |WHERE rnk <= 2
+        |ORDER BY l_suppkey, l_quantity DESC, l_orderkey, l_linenumber""".stripMargin,
     "order_profile" ->
       """WITH vals AS (
         |  SELECT 'o_custkey' AS col_name, o_custkey::VARCHAR AS val FROM orders

@@ -103,6 +103,54 @@ class LeaderboardSpec extends SparkSpec {
     }
   }
 
+  test("minTotal eviction bounds state with the documented standings tolerance") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val input = MemoryStream[Score]
+    val query = Leaderboard(input.toDS(), k = 2, minTotal = Some(5.0))
+      .writeStream.format("memory").queryName("tws_board_evict")
+      .outputMode(OutputMode.Update()).start()
+    def latest(): Seq[Standing] =
+      spark.sql("SELECT * FROM tws_board_evict").as[Standing].collect().toSeq
+    try {
+      // Two heavy members clear the threshold; dust does not.
+      input.addData(
+        Score("g", "ada", 10.0), Score("g", "bob", 8.0), Score("g", "dust", 1.0))
+      query.processAllAvailable()
+      val b1 = latest().sortBy(_.rank)
+      // Heavy members unperturbed by eviction — same standings as the
+      // no-eviction semantics would give.
+      assert(b1 == Seq(Standing("g", 1, "ada", 10.0), Standing("g", 2, "bob", 8.0)), b1)
+
+      // dust was EVICTED (1.0 < 5.0): its next arrival restarts from zero —
+      // 4.9 alone stays under the threshold, so it still can't rank, and
+      // its reported-would-be total is a lower bound on the true 5.9.
+      input.addData(Score("g", "dust", 4.9))
+      query.processAllAvailable()
+      val b2 = latest().filter(_.rank <= 2).sortBy(_.rank).distinct
+      assert(b2.forall(_.member != "dust"), b2.mkString(", "))
+
+      // A member whose single-batch delta clears the threshold enters and
+      // accumulates exactly from there on (no tolerance once >= minTotal).
+      input.addData(Score("g", "eve", 20.0))
+      query.processAllAvailable()
+      input.addData(Score("g", "eve", 1.0))
+      query.processAllAvailable()
+      assert(latest().contains(Standing("g", 1, "eve", 21.0)), latest().mkString(", "))
+    } finally {
+      query.stop()
+      prev match {
+        case Some(v) =>
+          spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None =>
+          spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("ranks are dense, ties break by member, k bounds the emission") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

@@ -45,6 +45,15 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("rank() and dense_rank() filters plan the TopK operator tie-aware") {
+    for (q <- Seq("topk_rank_ties", "topk_dense_rank")) {
+      val p = plan(q)
+      assert(p.contains("TopKPerGroupFinal"), s"$q:\n${p.take(2000)}")
+      assert(!p.contains("WindowGroupLimit"), s"$q:\n${p.take(2000)}")
+      assert(!p.contains("Window "), s"$q:\n${p.take(2000)}")
+    }
+  }
+
   test("prefix-filter jaccard join never plans a nested loop or cartesian") {
     val p = plan("dedup_jaccard_prefix")
     assert(!p.contains("NestedLoop") && !p.contains("Cartesian"), p.take(2000))

@@ -204,16 +204,119 @@ class TopKSpec extends SparkSpec {
     assert(q.collect().length == 12)
   }
 
-  test("no rewrite for rank() (keeps ties) or an unpartitioned window") {
-    val tied = Window.partitionBy(col("grp")).orderBy(col("score").desc)
-    val rankQ = df.withColumn("rnk", rank().over(tied))
-      .filter(col("rnk") <= 3).drop("rnk")
-    assert(!hasTopKLogical(rankQ), rankQ.queryExecution.optimizedPlan.toString)
-
+  test("no rewrite for an unpartitioned window") {
     val global = Window.orderBy(col("score").desc, col("id").asc)
     val globalQ = df.withColumn("rnk", row_number().over(global))
       .filter(col("rnk") <= 3).drop("rnk")
     assert(!hasTopKLogical(globalQ), globalQ.queryExecution.optimizedPlan.toString)
     assert(globalQ.collect().length == 3)
+  }
+
+  // ---- tie-keeping modes: rank() and dense_rank() rewrite too -----------
+
+  test("rank() filter rewrites tie-aware and equals the window execution") {
+    // Order by score only (heavy ties: score = i % 7): rank() <= 3 keeps
+    // every boundary tie, so groups emit MORE than 3 rows.
+    def q = {
+      val w = Window.partitionBy(col("grp")).orderBy(col("score").desc)
+      df.withColumn("rnk", rank().over(w)).filter(col("rnk") <= 3).drop("rnk")
+    }
+    assert(hasTopKLogical(q), q.queryExecution.optimizedPlan.toString)
+    val got = q.collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2))).sorted.toSeq
+    spark.conf.set("spark.sql.optimizer.excludedRules", rewriteRuleName)
+    try {
+      assert(!hasTopKLogical(q), "negative control")
+      val want = q.collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2))).sorted.toSeq
+      assert(got == want)
+      assert(got.size > 12, s"ties must widen the result past 4 groups x 3: ${got.size}")
+    } finally spark.conf.unset("spark.sql.optimizer.excludedRules")
+  }
+
+  test("dense_rank() filter rewrites and keeps all rows of top-k distinct values") {
+    def q = {
+      val w = Window.partitionBy(col("grp")).orderBy(col("score").desc)
+      df.withColumn("rnk", dense_rank().over(w)).filter(col("rnk") <= 2).drop("rnk")
+    }
+    assert(hasTopKLogical(q), q.queryExecution.optimizedPlan.toString)
+    val got = q.collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2))).sorted.toSeq
+    spark.conf.set("spark.sql.optimizer.excludedRules", rewriteRuleName)
+    try {
+      val want = q.collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2))).sorted.toSeq
+      assert(got == want)
+      // top-2 distinct scores per group (6 and 5), every tie kept
+      assert(got.forall { case (_, s, _) => s == 6 || s == 5 })
+    } finally spark.conf.unset("spark.sql.optimizer.excludedRules")
+  }
+
+  test("rank modes equal the window execution on randomized tie-heavy inputs") {
+    import spark.implicits._
+    val rng = new scala.util.Random(11)
+    for (trial <- 1 to 3) {
+      val n = 100 + rng.nextInt(200)
+      val groups = 1 + rng.nextInt(6)
+      val k = 1 + rng.nextInt(4)
+      val rows = (0 until n).map(i => (s"g${rng.nextInt(groups)}", rng.nextInt(3), i.toLong))
+      for (fn <- Seq("rank", "dense_rank")) {
+        def q = {
+          val w = Window.partitionBy(col("grp")).orderBy(col("score").desc)
+          val r = if (fn == "rank") rank().over(w) else dense_rank().over(w)
+          rows.toDF("grp", "score", "id").repartition(5)
+            .withColumn("rnk", r).filter(col("rnk") <= k).drop("rnk")
+        }
+        assert(hasTopKLogical(q), s"$fn trial $trial")
+        val got = q.collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2))).sorted.toSeq
+        spark.conf.set("spark.sql.optimizer.excludedRules", rewriteRuleName)
+        try {
+          val want = q.collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2))).sorted.toSeq
+          assert(got == want, s"$fn trial $trial (n=$n groups=$groups k=$k)")
+        } finally spark.conf.unset("spark.sql.optimizer.excludedRules")
+      }
+    }
+  }
+
+  // ---- memory fallback: budget-bounded partial flush + final spill ------
+
+  test("tiny retained-row budget exercises partial flush and final spill, same answer") {
+    import spark.implicits._
+    // 200 groups x 10 rows, k=2: retained rows (400) far exceed a budget of
+    // 4, forcing repeated partial flushes AND final-stage freeze+spill
+    // passes. The answer must be identical to the unbounded run.
+    val wide = (0 until 2000).map(i => (i % 200, i.toLong)).toDF("grp", "id")
+      .repartition(5)
+    def run() = TopK.topKPerGroup(wide, Seq("grp"), Seq("id" -> true), 2)
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sorted.toSeq
+    val unbounded = run()
+    assert(unbounded.size == 400)
+    spark.conf.set("spark.graft.topk.maxRetainedRows", "4")
+    try {
+      val bounded = run()
+      assert(bounded == unbounded)
+      // tie modes through the same bounded path
+      val w = Window.partitionBy(col("grp")).orderBy(col("id").asc)
+      def rq = wide.withColumn("rnk", rank().over(w)).filter(col("rnk") <= 2).drop("rnk")
+      assert(hasTopKLogical(rq))
+      assert(rq.collect().map(r => (r.getInt(0), r.getLong(1))).sorted.toSeq == unbounded)
+    } finally spark.conf.unset("spark.graft.topk.maxRetainedRows")
+  }
+
+  // ---- pathological literals must not truncate into a plausible k -------
+
+  test("unsatisfiable rank bounds are not rewritten and return zero rows") {
+    val w = Window.partitionBy(col("grp")).orderBy(col("score").desc, col("id").asc)
+    // -4294967295L.toInt wraps to 1; the guard must leave the plan alone.
+    val negWrap = df.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= lit(-4294967295L)).drop("rnk")
+    assert(!hasTopKLogical(negWrap), negWrap.queryExecution.optimizedPlan.toString)
+    assert(negWrap.collect().isEmpty)
+    // Int.MinValue - 1 underflows to Int.MaxValue on the strict path.
+    val minStrict = df.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") < lit(Int.MinValue)).drop("rnk")
+    assert(!hasTopKLogical(minStrict), minStrict.queryExecution.optimizedPlan.toString)
+    assert(minStrict.collect().isEmpty)
+    // rn < 1 is unsatisfiable (row_number starts at 1): no rewrite, no rows.
+    val ltOne = df.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") < 1).drop("rnk")
+    assert(!hasTopKLogical(ltOne), ltOne.queryExecution.optimizedPlan.toString)
+    assert(ltOne.collect().isEmpty)
   }
 }
