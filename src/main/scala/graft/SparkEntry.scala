@@ -30,13 +30,14 @@ object SparkEntry {
       graft.ops.RegionLookup.queries ++ graft.streaming.StreamJoins.queries ++
       graft.ops.Curation.queries ++ graft.ops.Mixing.queries ++
       graft.ops.Quantize.queries ++ graft.functions.Sketches.queries ++
-      graft.ops.Incremental.queries ++ graft.functions.Bitmaps.queries
+      graft.ops.Incremental.queries ++ graft.functions.Bitmaps.queries ++
+      graft.sources.AvroCodec.queries
 
   private def relational: Map[String, (SparkSession, String) => DataFrame] = Map(
     // S9 payload shape: the KPI frame serialized exactly as the Kafka sink
-    // sends it (key + to_json struct). No oracle — JSON float rendering
-    // differs across engines — so the driver records a rows-only check;
-    // the serde semantics are oracle-verified by json_roundtrip.
+    // sends it (key + to_json struct). Oracle-checked byte-for-byte: the
+    // DuckDB side re-renders the JSON by concatenation (Frames.oracleSql),
+    // which works because every double in the payload is round(x, 2).
     "kpi_kafka_payload" -> ((s, d) =>
       graft.streaming.KafkaStack.kpiKafkaPayload(
         graft.ops.Frames.kpiFrame(graft.sources.Tables.events(s, d)))
@@ -149,7 +150,7 @@ object SparkEntry {
     graft.ops.RegionLookup.oracleSql ++ graft.streaming.StreamJoins.oracleSql ++
     graft.ops.Curation.oracleSql ++ graft.ops.Mixing.oracleSql ++
     graft.functions.Sketches.oracleSql ++ graft.ops.Incremental.oracleSql ++
-    graft.functions.Bitmaps.oracleSql
+    graft.functions.Bitmaps.oracleSql ++ graft.sources.AvroCodec.oracleSql
 
   private def relationalOracle: Map[String, String] = Map(
     "pricing_summary" ->

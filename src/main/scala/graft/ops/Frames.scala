@@ -300,7 +300,13 @@ object Frames {
     */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "kpi_sliding" -> ((s, d) => kpiFrame(Tables.events(s, d)).orderBy(col("updatedAt"))),
-    // Rows-only by nature (approx estimate); bound vs exact asserted in test.
+    // Oracle-checked: percentile_approx's GK summary is EXACT while a
+    // group holds fewer rows than the accuracy parameter (rank error
+    // eps*n with eps = 1/accuracy, so < 1 row of error below n = 10000 —
+    // the FramesApproxSpec bound), and its exact answer is the
+    // lower-median element, which is DuckDB's quantile_disc. Windows at
+    // every fixture SF are far below 10000 rows; past that scale this
+    // row would revert to rows-only + the bound spec.
     "kpi_sliding_approx" -> ((s, d) =>
       kpiFrame(Tables.events(s, d), approxLatency = true).orderBy(col("updatedAt"))),
     "region_sliding" -> ((s, d) =>
@@ -324,8 +330,12 @@ object Frames {
     * contain ≥1 event) match Spark's `window()`.
     */
   def oracleSql: Map[String, String] = {
-    val kpiCte =
-      """WITH n AS (
+    // Parameterized on the median function: the exact form interpolates
+    // (quantile_cont, mirroring Spark's `percentile`); the approx form
+    // picks the lower-median element (quantile_disc, mirroring what the
+    // GK summary returns while exact — see the registry note).
+    def kpiCteWith(quantileFn: String) =
+      s"""WITH n AS (
         |  SELECT ts AS event_time, 0 AS asc_, value AS rev, 1 AS ord, 0 AS req, 0 AS err, NULL::DOUBLE AS lat
         |  FROM events WHERE event_type = 'purchase'
         |  UNION ALL
@@ -342,9 +352,10 @@ object Frames {
         |    round(sum(rev), 2) AS revenue,
         |    sum(ord)::BIGINT AS orders,
         |    round(sum(err) / greatest(sum(req), 1) * 100, 2) AS "errorRate",
-        |    coalesce(floor(quantile_cont(lat, 0.5)), 0)::BIGINT AS latency
+        |    coalesce(floor($quantileFn(lat, 0.5)), 0)::BIGINT AS latency
         |  FROM w GROUP BY wstart
         |)""".stripMargin
+    val kpiCte = kpiCteWith("quantile_cont")
     val regionCte =
       s"""WITH n AS (
          |  SELECT ts AS event_time,
@@ -367,6 +378,25 @@ object Frames {
       "kpi_sliding" ->
         s"""$kpiCte
            |SELECT * FROM agg ORDER BY "updatedAt"""".stripMargin,
+      "kpi_sliding_approx" ->
+        s"""${kpiCteWith("quantile_disc")}
+           |SELECT * FROM agg ORDER BY "updatedAt"""".stripMargin,
+      // S9 payload: the oracle re-renders the exact JSON string the Kafka
+      // sink would send. Longs render identically everywhere; the two
+      // double fields (revenue, errorRate) are round(x, 2) values whose
+      // shortest decimal form is what both Java's Double.toString and
+      // DuckDB's VARCHAR cast emit, so the concatenation is byte-identical.
+      "kpi_kafka_payload" ->
+        s"""$kpiCte
+           |SELECT "updatedAt"::VARCHAR AS key,
+           |  '{"activeUsers":' || "activeUsers"::VARCHAR
+           |  || ',"activeUsersTrend":0.0,"revenue":' || revenue::VARCHAR
+           |  || ',"revenueTrend":0.0,"orders":' || orders::VARCHAR
+           |  || ',"ordersTrend":0.0,"errorRate":' || "errorRate"::VARCHAR
+           |  || ',"errorRateTrend":0.0,"latency":' || latency::VARCHAR
+           |  || ',"latencyTrend":0.0,"updatedAt":' || "updatedAt"::VARCHAR
+           |  || '}' AS value
+           |FROM agg ORDER BY key""".stripMargin,
       "top1_richest_window" ->
         s"""$kpiCte
            |SELECT * FROM agg

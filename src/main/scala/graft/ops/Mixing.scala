@@ -1,10 +1,7 @@
 package graft.ops
 
-import java.io.ByteArrayInputStream
-
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.util.sketch.CountMinSketch
 
 import graft.sources.Tables
 
@@ -54,46 +51,60 @@ object Mixing {
       .orderBy(col("lang"))
   }
 
-  /** Count-min-sketch error bound (relative to total token count). */
-  val CmsEps = 0.001
-  val CmsConfidence = 0.99
-  val CmsSeed = 42
+  /** CMS geometry: depth 4 hash rows × width 1024 cells. eps = e/width
+    * (overcount ≤ eps·N with probability 1 − e^-depth); one md5 per token
+    * supplies all four row hashes (8 hex chars each — md5's 32 hex chars
+    * split exactly). */
+  val CmsDepth = 4
+  val CmsWidth = 1024
+  /** Overcount bound used by MixingSpec: eps = e / width. */
+  val CmsEps: Double = math.E / CmsWidth
 
   /** Heavy-hitter accounting via mergeable count-min sketches: each source
     * aggregates its token stream into one CMS (map-side combinable, fixed
-    * ~few-KB size regardless of input volume), the per-source sketches are
-    * merged, and the merged sketch is probed for the corpus-wide exact
-    * top-N tokens for an accuracy audit.
+    * depth×width cells regardless of input volume), the per-source
+    * sketches merge by CELL-WISE ADDITION — visible in the plan as a
+    * groupBy(row, cell) sum over the per-source sketch table — and the
+    * merged sketch is probed for the corpus-wide exact top-N tokens as an
+    * accuracy audit.
     *
     * This is the second mergeable-sketch pattern next to
     * [[Frames.hllRollup]] (distinct counts): per-partition sketches union
     * into coarser grains without rescanning facts — at 100 TB the sketch
     * table is per (source, day) and a month's heavy hitters cost a
-    * 30-row merge, not a 30-day scan. Only O(sources) sketch blobs and
-    * O(topN) probe tokens ever reach the driver. Estimates are
-    * deterministic (fixed seed) but sketch-approximate, so the query
-    * registers rows-only; MixingSpec pins the CMS guarantee
-    * (overcount-only, within eps·N).
+    * depth×width-row merge, not a 30-day scan. Nothing reaches the driver
+    * but the final topN rows.
+    *
+    * The row hashes are spec'd as md5 substrings (not a library's private
+    * seeding), so the DuckDB oracle rebuilds the IDENTICAL sketch and the
+    * estimates hash-match exactly; the CMS overcount-only/eps·N guarantee
+    * is additionally pinned in MixingSpec on adversarial corpora.
     */
   def cmsHeavyHitters(documents: DataFrame, topN: Int = 10): DataFrame = {
-    val spark = documents.sparkSession
-    import spark.implicits._
     val toks = documents
       .select(col("source"), explode(split(lower(col("text")), " ")).as("tok"))
-    val perSource = toks.groupBy(col("source"))
-      .agg(expr(s"count_min_sketch(tok, ${CmsEps}d, ${CmsConfidence}d, $CmsSeed)")
-        .as("cms"))
-    val merged = perSource.collect()
-      .map(r => CountMinSketch.readFrom(
-        new ByteArrayInputStream(r.getAs[Array[Byte]]("cms"))))
-      .reduceLeft { (a, b) => a.mergeInPlace(b); a }
+    val rowHashes = expr(
+      s"""transform(sequence(0, ${CmsDepth - 1}),
+         |  i -> cast(conv(substring(md5(tok), 1 + 8 * i, 8), 16, 10) as bigint)
+         |       % $CmsWidth)""".stripMargin)
+    // Per-source sketch: one row per occupied (hash row, cell) — the
+    // fixed-size CMS table a source would persist per day at scale.
+    val perSource = toks
+      .select(col("source"), posexplode(rowHashes).as(Seq("hrow", "cell")))
+      .groupBy(col("source"), col("hrow"), col("cell"))
+      .agg(count(lit(1)).as("n"))
+    // Merge = cell-wise add across sources (the CMS merge algebra).
+    val merged = perSource.groupBy(col("hrow"), col("cell"))
+      .agg(sum(col("n")).as("cell_n"))
     val top = toks.groupBy(col("tok")).agg(count(lit(1)).as("exact_n"))
       .orderBy(col("exact_n").desc, col("tok").asc)
       .limit(topN)
-      .collect()
-    top.map(r => (r.getAs[String]("tok"), r.getAs[Long]("exact_n"),
-        merged.estimateCount(r.getAs[String]("tok"))))
-      .toSeq.toDF("tok", "exact_n", "cms_est")
+    // Probe: estimate(tok) = min over hash rows of its cell counts.
+    top
+      .select(col("tok"), col("exact_n"), posexplode(rowHashes).as(Seq("hrow", "cell")))
+      .join(merged, Seq("hrow", "cell"))
+      .groupBy(col("tok"), col("exact_n"))
+      .agg(min(col("cell_n")).as("cms_est"))
       .orderBy(col("tok"))
   }
 
@@ -132,6 +143,32 @@ object Mixing {
   )
 
   def oracleSql: Map[String, String] = Map(
+    // The oracle rebuilds the IDENTICAL sketch (same md5 row hashes, same
+    // depth×width, same cell-wise merge) and probes it — estimate equality
+    // is exact, not a tolerance check.
+    "cms_heavy_hitters" ->
+      s"""WITH toks AS (
+         |  SELECT source, unnest(string_split(lower(text), ' ')) AS tok FROM documents
+         |), cells AS (
+         |  SELECT source, i AS hrow,
+         |    ('0x' || substr(md5(tok), 1 + 8 * i, 8))::BIGINT % $CmsWidth AS cell,
+         |    count(*) AS n
+         |  FROM toks, generate_series(0, ${CmsDepth - 1}) g(i)
+         |  GROUP BY source, hrow, cell
+         |), merged AS (
+         |  SELECT hrow, cell, sum(n) AS cell_n FROM cells GROUP BY hrow, cell
+         |), top AS (
+         |  SELECT tok, count(*) AS exact_n FROM toks GROUP BY tok
+         |  ORDER BY exact_n DESC, tok ASC LIMIT 10
+         |), probe AS (
+         |  SELECT t.tok, t.exact_n, i AS hrow,
+         |    ('0x' || substr(md5(t.tok), 1 + 8 * i, 8))::BIGINT % $CmsWidth AS cell
+         |  FROM top t, generate_series(0, ${CmsDepth - 1}) g(i)
+         |)
+         |SELECT p.tok, p.exact_n, min(m.cell_n)::BIGINT AS cms_est
+         |FROM probe p JOIN merged m USING (hrow, cell)
+         |GROUP BY p.tok, p.exact_n
+         |ORDER BY p.tok""".stripMargin,
     "domain_mix" ->
       """WITH counted AS (
         |  SELECT lang, count(*) AS n_docs,

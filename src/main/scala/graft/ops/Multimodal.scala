@@ -45,9 +45,10 @@ object Multimodal {
       .orderBy(col("doc_id"))
 
   /** STUB decode: deterministic fake features from the content hash — stands
-    * in for image decode / resize / feature extraction. Registered without
-    * an oracle on purpose (rows-only check): the real implementation would
-    * be a batched native decoder, not SQL.
+    * in for image decode / resize / feature extraction. A real codec is not
+    * SQL, but the STUB's features are pure byte functions, so the plumbing
+    * (binary column in, typed feature row out) is oracle-checked end to end;
+    * swapping in a native decoder only changes the feature math.
     */
   def decodeStub(media: DataFrame): DataFrame =
     media.select(
@@ -61,7 +62,7 @@ object Multimodal {
       .orderBy(col("doc_id"))
 
   /** Output row of the batched decode stage. */
-  final case class DecodedMedia(doc_id: Long, n_bytes: Int, codec: String,
+  final case class DecodedMedia(doc_id: Long, n_bytes: Long, codec: String,
       fake_luma: Double)
 
   /** STUB batched decode via `mapPartitions`: the pattern a real media
@@ -70,8 +71,9 @@ object Multimodal {
     * This is the Scala analog of the reference-free `mapInPandas` batch
     * UDF pattern: the decode body below is a deterministic fake (byte sum),
     * clearly marked; a JNI/FFI image or audio codec drops into
-    * `FakeCodec.decode` without touching the plan. Registered rows-only
-    * (no oracle — not SQL, by design).
+    * `FakeCodec.decode` without touching the plan. Because the fake is a
+    * pure byte function, the whole mapPartitions stage is oracle-checked
+    * (the oracle recomputes the byte-mean in SQL).
     */
   def decodeBatched(media: DataFrame): DataFrame = {
     val spark = media.sparkSession
@@ -82,7 +84,7 @@ object Multimodal {
         // One codec init per partition — the whole point of the batch shape.
         val codec = new FakeCodec()
         rows.map { case (id, bytes) =>
-          DecodedMedia(id, bytes.length, codec.name, codec.decode(bytes))
+          DecodedMedia(id, bytes.length.toLong, codec.name, codec.decode(bytes))
         }
       }
       .toDF()
@@ -215,7 +217,25 @@ object Multimodal {
         |    hex(encode(substr(text, 1, 2))), hex(encode(substr(text, 17, 2))),
         |    hex(encode(substr(text, 33, 2))), hex(encode(substr(text, 49, 2)))) AS frames
         |FROM documents ORDER BY doc_id""".stripMargin,
-    // media_decode_stub: no oracle — stubbed decode, rows-only check.
+    // The decode STUBS' fake features are pure byte functions (md5-derived
+    // dims; byte-mean luma), so the full plumbing — binary column, per-row
+    // projection, mapPartitions batch — hash-checks against a SQL
+    // recomputation. A real codec would revert these to rows-only.
+    "media_decode_stub" ->
+      """SELECT doc_id,
+        |  ('0x' || substr(md5(text), 1, 8))::BIGINT % 1920 AS fake_width,
+        |  ('0x' || substr(md5(text), 9, 8))::BIGINT % 1080 AS fake_height,
+        |  ('0x' || substr(md5(text), 17, 8))::BIGINT % 256 AS fake_brightness
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "media_decode_batched" ->
+      """SELECT doc_id,
+        |  octet_length(encode(text))::BIGINT AS n_bytes,
+        |  'stub-codec-v0' AS codec,
+        |  CASE WHEN length(text) = 0 THEN 0.0
+        |       ELSE list_sum(list_transform(generate_series(1, length(text)),
+        |              i -> ascii(substr(text, i, 1))))::DOUBLE / length(text)
+        |  END AS fake_luma
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "media_phash_dedup" ->
       s"""WITH pcorpus AS (
          |  SELECT doc_id, text FROM documents WHERE n_chars >= $PhashMinLen

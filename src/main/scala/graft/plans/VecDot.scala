@@ -146,6 +146,27 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         CharBlockSums(children.head,
           intLit(children(1), "blocks"), intLit(children(2), "blockLen"))
       }))
+    def schemaNameLit(e: Expression, fn: String): String = {
+      import org.apache.spark.sql.catalyst.expressions.Literal
+      import org.apache.spark.sql.types.StringType
+      e match {
+        case Literal(s, StringType) if s != null => s.toString
+        case _ => throw new IllegalArgumentException(
+          s"$fn: schema name must be a string literal, got $e")
+      }
+    }
+    ext.injectFunction((
+      FunctionIdentifier("to_avro_graft"),
+      new ExpressionInfo(classOf[graft.sources.AvroCodec.AvroEncodeExpr].getName,
+        "to_avro_graft"),
+      (children: Seq[Expression]) => graft.sources.AvroCodec.AvroEncodeExpr(
+        children.head, schemaNameLit(children(1), "to_avro_graft"))))
+    ext.injectFunction((
+      FunctionIdentifier("from_avro_graft"),
+      new ExpressionInfo(classOf[graft.sources.AvroCodec.AvroDecodeExpr].getName,
+        "from_avro_graft"),
+      (children: Seq[Expression]) => graft.sources.AvroCodec.AvroDecodeExpr(
+        children.head, schemaNameLit(children(1), "from_avro_graft"))))
     ext.injectOptimizerRule(_ => VecDotCastElision)
     ext.injectOptimizerRule(_ => TopK.WindowTopKRewrite)
     ext.injectPlannerStrategy(_ => TopK.TopKStrategy)

@@ -1,0 +1,416 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** S3 transport without the jar: a minimal Avro BINARY codec for the
+  * reference's two direct-topic reader schemas — `request_log` and
+  * `system_metrics` (reference: src/streaming/schemas.py:188-189) — plus
+  * the Catalyst expressions `to_avro_graft`/`from_avro_graft` that run it
+  * in-plan.
+  *
+  * Why hand-rolled: the reference's hot path decodes every topic with
+  * `from_avro(..., mode=PERMISSIVE)` (reference: kafka_sources.py:66-86),
+  * but the `spark-avro` artifact cannot be resolved in this offline
+  * container (documented round-4 attempt). The two direct-topic schemas
+  * are flat records over exactly five Avro primitives — long, int, double,
+  * string, `["null", T]` unions, and the timestamp-millis logical type —
+  * so the wire format (Avro 1.11 spec, "Binary encoding": zigzag varints,
+  * little-endian IEEE doubles, length-prefixed UTF-8, union-index prefix)
+  * is implemented directly and validated byte-for-byte against
+  * hand-computed fixtures in AvroSpec. The CDC topics' Debezium envelopes
+  * add string-first unions and more fields but no new primitives; the
+  * registry-fetched writer schema path (KafkaStack.fetchLatestSchema)
+  * would drive the same decoder once generalized.
+  *
+  * PERMISSIVE contract: any malformed payload (truncation, bad union
+  * index, negative length) decodes to a NULL record — never an exception —
+  * mirroring spark-avro's PERMISSIVE mode that the reference filters on
+  * (`data IS NOT NULL`, kafka_sources.py:84-87). Trailing bytes after a
+  * complete record are ignored, as Avro readers do.
+  *
+  * The expressions are [[CodegenFallback]] — the same evaluation class as
+  * spark-avro's own `AvroDataToCatalyst` — so they compose with (without
+  * breaking) surrounding whole-stage codegen.
+  */
+object AvroCodec {
+
+  // ------------------------------------------------------------ schema ADT
+
+  sealed trait AvroType
+  case object ALong extends AvroType
+  case object AInt extends AvroType
+  case object ADouble extends AvroType
+  case object ABoolean extends AvroType
+  case object AString extends AvroType
+  /** Avro `{"type":"long","logicalType":"timestamp-millis"}` — surfaced as
+    * a Spark TimestampType (micros internally, scaled at the boundary). */
+  case object ATimestampMillis extends AvroType
+  case object ANull extends AvroType
+  /** Branch order matters on the wire: the union index is encoded before
+    * the value, and the reference documents whole-record NULL-outs from
+    * union-order mismatch (schemas.py:173-179). */
+  final case class AUnion(branches: Vector[AvroType]) extends AvroType
+
+  final case class AField(name: String, tpe: AvroType)
+  final case class ARecord(name: String, fields: Vector[AField])
+
+  /** `RequestLog` reader schema (reference: schemas.py:188). */
+  val RequestLog: ARecord = ARecord("RequestLog", Vector(
+    AField("id", ALong),
+    AField("endpoint", AUnion(Vector(ANull, AString))),
+    AField("method", AUnion(Vector(ANull, AString))),
+    AField("status_code", AInt),
+    AField("latency_ms", AInt),
+    AField("user_id", AUnion(Vector(ANull, ALong))),
+    AField("session_id", AUnion(Vector(ANull, AString))),
+    AField("region_name", AUnion(Vector(ANull, AString))),
+    AField("user_display_name", AUnion(Vector(ANull, AString))),
+    AField("platform", AUnion(Vector(ANull, AString))),
+    AField("created_at", ATimestampMillis)))
+
+  /** `SystemMetric` reader schema (reference: schemas.py:189). */
+  val SystemMetrics: ARecord = ARecord("SystemMetric", Vector(
+    AField("id", ALong),
+    AField("node_name", AString),
+    AField("metric_name", AString),
+    AField("metric_value", ADouble),
+    AField("recorded_at", ATimestampMillis)))
+
+  def schemaByName(name: String): ARecord = name match {
+    case "request_log" => RequestLog
+    case "system_metrics" => SystemMetrics
+    case other => throw new IllegalArgumentException(
+      s"unknown avro schema '$other' (known: request_log, system_metrics)")
+  }
+
+  private def sqlTypeOf(t: AvroType): DataType = t match {
+    case ALong => LongType
+    case AInt => IntegerType
+    case ADouble => DoubleType
+    case ABoolean => BooleanType
+    case AString => StringType
+    case ATimestampMillis => TimestampType
+    case AUnion(bs) => sqlTypeOf(bs.find(_ != ANull).get)
+    case ANull => NullType
+  }
+
+  def sqlType(r: ARecord): StructType = StructType(r.fields.map { f =>
+    StructField(f.name, sqlTypeOf(f.tpe), nullable = f.tpe match {
+      case AUnion(bs) => bs.contains(ANull)
+      case _ => false
+    })
+  })
+
+  // --------------------------------------------------- binary wire format
+
+  /** Growable little write buffer (records here are < 1 KiB). */
+  private final class Writer {
+    private var buf = new Array[Byte](128)
+    private var len = 0
+    private def ensure(n: Int): Unit =
+      if (len + n > buf.length) {
+        val grown = new Array[Byte](math.max(buf.length * 2, len + n))
+        System.arraycopy(buf, 0, grown, 0, len); buf = grown
+      }
+    def writeByte(b: Byte): Unit = { ensure(1); buf(len) = b; len += 1 }
+    /** Avro long: zigzag + base-128 varint, little-endian groups. */
+    def writeLong(v: Long): Unit = {
+      var n = (v << 1) ^ (v >> 63)
+      while ((n & ~0x7FL) != 0L) { writeByte(((n & 0x7F) | 0x80).toByte); n >>>= 7 }
+      writeByte(n.toByte)
+    }
+    def writeDouble(v: Double): Unit = {
+      val bits = java.lang.Double.doubleToLongBits(v)
+      ensure(8)
+      var i = 0
+      while (i < 8) { buf(len) = ((bits >>> (8 * i)) & 0xFF).toByte; len += 1; i += 1 }
+    }
+    def writeBytes(b: Array[Byte]): Unit = { ensure(b.length)
+      System.arraycopy(b, 0, buf, len, b.length); len += b.length }
+    def result(): Array[Byte] = java.util.Arrays.copyOf(buf, len)
+  }
+
+  private final class Reader(bytes: Array[Byte]) {
+    private var pos = 0
+    private def need(n: Int): Unit =
+      if (pos + n > bytes.length) throw new IllegalArgumentException("EOF")
+    def readLong(): Long = {
+      var n = 0L; var shift = 0; var b = 0
+      do {
+        need(1); b = bytes(pos) & 0xFF; pos += 1
+        n |= (b & 0x7FL) << shift; shift += 7
+        if (shift > 70) throw new IllegalArgumentException("varint too long")
+      } while ((b & 0x80) != 0)
+      (n >>> 1) ^ -(n & 1) // un-zigzag
+    }
+    def readDouble(): Double = {
+      need(8)
+      var bits = 0L; var i = 0
+      while (i < 8) { bits |= (bytes(pos + i) & 0xFFL) << (8 * i); i += 1 }
+      pos += 8
+      java.lang.Double.longBitsToDouble(bits)
+    }
+    def readString(): UTF8String = {
+      val n = readLong()
+      if (n < 0 || n > Int.MaxValue) throw new IllegalArgumentException("bad length")
+      need(n.toInt)
+      val s = UTF8String.fromBytes(bytes, pos, n.toInt)
+      pos += n.toInt
+      s
+    }
+    def readBoolean(): Boolean = { need(1); val b = bytes(pos); pos += 1
+      if (b != 0 && b != 1) throw new IllegalArgumentException("bad boolean"); b == 1 }
+  }
+
+  /** Encode one record from Spark-internal field values (UTF8String for
+    * strings, micros long for timestamps). Null in a non-union field is an
+    * encoding error — the writer schema has no branch for it. */
+  def encode(r: ARecord, get: Int => Any, isNull: Int => Boolean): Array[Byte] = {
+    val w = new Writer
+    var i = 0
+    while (i < r.fields.length) {
+      writeValue(w, r.fields(i).tpe, get(i), isNull(i), r.fields(i).name)
+      i += 1
+    }
+    w.result()
+  }
+
+  private def writeValue(w: Writer, t: AvroType, v: Any, isNull: Boolean,
+      field: String): Unit = t match {
+    case AUnion(bs) =>
+      if (isNull) {
+        val idx = bs.indexOf(ANull)
+        require(idx >= 0, s"null in non-nullable union field $field")
+        w.writeLong(idx.toLong)
+      } else {
+        val idx = bs.indexWhere(_ != ANull)
+        w.writeLong(idx.toLong)
+        writeValue(w, bs(idx), v, isNull = false, field)
+      }
+    case _ if isNull =>
+      throw new IllegalArgumentException(s"null in non-union field $field")
+    case ALong => w.writeLong(v.asInstanceOf[Long])
+    case AInt => w.writeLong(v.asInstanceOf[Int].toLong)
+    case ADouble => w.writeDouble(v.asInstanceOf[Double])
+    case ABoolean => w.writeByte(if (v.asInstanceOf[Boolean]) 1 else 0)
+    case AString => w.writeBytes(
+      { val b = v.asInstanceOf[UTF8String].getBytes; w.writeLong(b.length.toLong); b })
+    case ATimestampMillis => // micros (Spark internal) → millis (wire)
+      w.writeLong(Math.floorDiv(v.asInstanceOf[Long], 1000L))
+    case ANull => ()
+  }
+
+  /** Decode one record to Spark-internal values, or null if malformed
+    * (PERMISSIVE). */
+  def decode(r: ARecord, bytes: Array[Byte]): InternalRow =
+    try {
+      val in = new Reader(bytes)
+      val out = new Array[Any](r.fields.length)
+      var i = 0
+      while (i < r.fields.length) {
+        out(i) = readValue(in, r.fields(i).tpe)
+        i += 1
+      }
+      new GenericInternalRow(out)
+    } catch { case _: IllegalArgumentException | _: ArrayIndexOutOfBoundsException => null }
+
+  private def readValue(in: Reader, t: AvroType): Any = t match {
+    case AUnion(bs) =>
+      val idx = in.readLong()
+      if (idx < 0 || idx >= bs.length) throw new IllegalArgumentException("bad union index")
+      bs(idx.toInt) match {
+        case ANull => null
+        case b => readValue(in, b)
+      }
+    case ALong => in.readLong()
+    case AInt =>
+      val v = in.readLong()
+      if (v < Int.MinValue || v > Int.MaxValue) throw new IllegalArgumentException("int overflow")
+      v.toInt
+    case ADouble => in.readDouble()
+    case ABoolean => in.readBoolean()
+    case AString => in.readString()
+    case ATimestampMillis => // millis (wire) → micros (Spark internal)
+      Math.multiplyExact(in.readLong(), 1000L)
+    case ANull => null
+  }
+
+  // ------------------------------------------------- Catalyst expressions
+
+  /** `to_avro_graft(struct, 'schema_name')`: struct → Avro binary. */
+  case class AvroEncodeExpr(child: Expression, schemaName: String)
+      extends UnaryExpression with CodegenFallback {
+    @transient private lazy val record = schemaByName(schemaName)
+    @transient private lazy val expected = sqlType(record)
+
+    override def dataType: DataType = BinaryType
+    override def prettyName: String = "to_avro_graft"
+
+    override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+      case s: StructType if s.length == expected.length &&
+          s.fields.zip(expected.fields).forall { case (a, b) => a.dataType == b.dataType } =>
+        TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"to_avro_graft('$schemaName') expects ${expected.simpleString}, got ${other.simpleString}")
+    }
+
+    override protected def nullSafeEval(input: Any): Any = {
+      val row = input.asInstanceOf[InternalRow]
+      val types = expected.fields.map(_.dataType)
+      encode(record, i => row.get(i, types(i)), i => row.isNullAt(i))
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): AvroEncodeExpr =
+      copy(child = newChild)
+  }
+
+  /** `from_avro_graft(binary, 'schema_name')`: Avro binary → struct, NULL
+    * on malformed payload (PERMISSIVE). */
+  case class AvroDecodeExpr(child: Expression, schemaName: String)
+      extends UnaryExpression with CodegenFallback {
+    @transient private lazy val record = schemaByName(schemaName)
+
+    override def dataType: DataType = sqlType(record)
+    override def nullable: Boolean = true
+    override def prettyName: String = "from_avro_graft"
+
+    override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+      case BinaryType => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"from_avro_graft expects binary, got ${other.simpleString}")
+    }
+
+    override protected def nullSafeEval(input: Any): Any =
+      decode(record, input.asInstanceOf[Array[Byte]])
+
+    override protected def withNewChildInternal(newChild: Expression): AvroDecodeExpr =
+      copy(child = newChild)
+  }
+
+  // -------------------------------------------------------------- queries
+
+  /** S3 closed end-to-end in-plan: synthesize request_log records from the
+    * events fixture, serialize each through the Avro wire format, plant a
+    * deterministic truncation (1-in-13), decode PERMISSIVE, and surface the
+    * decoded fields. The DuckDB oracle computes the same columns directly
+    * from `events` — a hash match proves decode∘encode is the identity on
+    * every good row (all five primitives + both union branches exercised)
+    * and that corrupt payloads null out whole-record, exactly the
+    * reference's PERMISSIVE contract.
+    */
+  def avroRoundtrip(events: DataFrame): DataFrame = {
+    val m5 = pmod(col("user_id"), lit(5))
+    val rec = struct(
+      col("event_id").as("id"),
+      concat(lit("/api/"), col("event_type")).as("endpoint"),
+      when(pmod(col("user_id"), lit(2)) === 0, "GET").otherwise("POST").as("method"),
+      when(pmod(col("event_id"), lit(7)) === 0, 500).otherwise(200)
+        .cast("int").as("status_code"),
+      pmod(col("event_id"), lit(500)).cast("int").as("latency_ms"),
+      when(pmod(col("user_id"), lit(11)) === 0, lit(null).cast("long"))
+        .otherwise(col("user_id")).as("user_id"),
+      md5(col("event_id").cast("string")).as("session_id"),
+      when(m5 === 0, lit(null).cast("string"))
+        .otherwise(concat(lit("r"), m5.cast("string"))).as("region_name"),
+      concat(lit("User "), col("user_id").cast("string")).as("user_display_name"),
+      when(pmod(col("user_id"), lit(3)) === 0, "web")
+        .when(pmod(col("user_id"), lit(3)) === 1, "ios")
+        .otherwise("android").as("platform"),
+      col("ts").as("created_at"))
+    events
+      .select(col("event_id"), rec.as("rec"))
+      .select(col("event_id"), expr("to_avro_graft(rec, 'request_log')").as("bin"))
+      .select(col("event_id"),
+        when(pmod(col("event_id"), lit(13)) === 0, expr("substring(bin, 1, 3)"))
+          .otherwise(col("bin")).as("bin"))
+      .select(col("event_id"), expr("from_avro_graft(bin, 'request_log')").as("d"))
+      .select(col("event_id"),
+        col("d").isNull.as("is_corrupt"),
+        col("d.endpoint").as("endpoint"),
+        col("d.method").as("method"),
+        col("d.status_code").cast("long").as("status_code"),
+        col("d.latency_ms").cast("long").as("latency_ms"),
+        col("d.user_id").as("user_id"),
+        col("d.session_id").as("session_id"),
+        col("d.region_name").as("region_name"),
+        col("d.user_display_name").as("user_display_name"),
+        col("d.platform").as("platform"),
+        unix_millis(col("d.created_at")).as("created_ms"))
+      .orderBy(col("event_id"))
+  }
+
+  /** The second reader schema (system_metrics) through the same wire
+    * round-trip — doubles cross the wire as raw IEEE bits, so the oracle
+    * compare is bit-exact on `metric_value`. */
+  def avroMetricsRoundtrip(events: DataFrame): DataFrame = {
+    val rec = struct(
+      col("event_id").as("id"),
+      concat(lit("node-"), pmod(col("user_id"), lit(8)).cast("string")).as("node_name"),
+      col("event_type").as("metric_name"),
+      col("value").as("metric_value"),
+      col("ts").as("recorded_at"))
+    events
+      .select(col("event_id"), rec.as("rec"))
+      .select(col("event_id"), expr("to_avro_graft(rec, 'system_metrics')").as("bin"))
+      .select(col("event_id"), expr("from_avro_graft(bin, 'system_metrics')").as("d"))
+      .select(col("event_id"),
+        col("d.id").as("id"),
+        col("d.node_name").as("node_name"),
+        col("d.metric_name").as("metric_name"),
+        col("d.metric_value").as("metric_value"),
+        unix_millis(col("d.recorded_at")).as("recorded_ms"))
+      .orderBy(col("event_id"))
+  }
+
+  // ------------------------------------------------------------- registry
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "avro_decode" -> ((s, d) => avroRoundtrip(Tables.events(s, d))),
+    "avro_metrics_decode" -> ((s, d) => avroMetricsRoundtrip(Tables.events(s, d))),
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "avro_decode" ->
+      """SELECT event_id,
+        |  (event_id % 13 = 0) AS is_corrupt,
+        |  CASE WHEN event_id % 13 = 0 THEN NULL
+        |       ELSE '/api/' || event_type END AS endpoint,
+        |  CASE WHEN event_id % 13 = 0 THEN NULL
+        |       WHEN user_id % 2 = 0 THEN 'GET' ELSE 'POST' END AS method,
+        |  (CASE WHEN event_id % 13 = 0 THEN NULL
+        |        WHEN event_id % 7 = 0 THEN 500 ELSE 200 END)::BIGINT AS status_code,
+        |  (CASE WHEN event_id % 13 = 0 THEN NULL
+        |        ELSE event_id % 500 END)::BIGINT AS latency_ms,
+        |  CASE WHEN event_id % 13 = 0 OR user_id % 11 = 0 THEN NULL
+        |       ELSE user_id END AS user_id,
+        |  CASE WHEN event_id % 13 = 0 THEN NULL
+        |       ELSE md5(event_id::VARCHAR) END AS session_id,
+        |  CASE WHEN event_id % 13 = 0 OR user_id % 5 = 0 THEN NULL
+        |       ELSE 'r' || (user_id % 5)::VARCHAR END AS region_name,
+        |  CASE WHEN event_id % 13 = 0 THEN NULL
+        |       ELSE 'User ' || user_id::VARCHAR END AS user_display_name,
+        |  CASE WHEN event_id % 13 = 0 THEN NULL
+        |       WHEN user_id % 3 = 0 THEN 'web'
+        |       WHEN user_id % 3 = 1 THEN 'ios'
+        |       ELSE 'android' END AS platform,
+        |  CASE WHEN event_id % 13 = 0 THEN NULL
+        |       ELSE epoch_us(ts) // 1000 END AS created_ms
+        |FROM events ORDER BY event_id""".stripMargin,
+    "avro_metrics_decode" ->
+      """SELECT event_id,
+        |  event_id AS id,
+        |  'node-' || (user_id % 8)::VARCHAR AS node_name,
+        |  event_type AS metric_name,
+        |  value AS metric_value,
+        |  epoch_us(ts) // 1000 AS recorded_ms
+        |FROM events ORDER BY event_id""".stripMargin,
+  )
+}

@@ -1,0 +1,123 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.sources.{AvroCodec, Tables}
+import graft.sources.AvroCodec._
+
+/** The hand-rolled Avro binary codec (S3 transport without the spark-avro
+  * jar): golden bytes computed by hand from the Avro 1.11 spec, PERMISSIVE
+  * null-out on corruption, round-trip properties, and the in-plan
+  * expressions.
+  */
+class AvroSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("system_metrics encoding matches hand-computed Avro spec bytes") {
+    // Record: id=3, node_name="ab", metric_name="c", metric_value=1.5,
+    // recorded_at=1000ms (passed as 1_000_000 micros).
+    //   id:       zigzag(3)=6                  -> 06
+    //   node_name: len zigzag(2)=4, 'a' 'b'    -> 04 61 62
+    //   metric_name: len zigzag(1)=2, 'c'      -> 02 63
+    //   metric_value: 1.5 = 0x3FF8000000000000 little-endian
+    //                                          -> 00 00 00 00 00 00 F8 3F
+    //   recorded_at: zigzag(1000)=2000 varint  -> D0 0F
+    val vals: Array[Any] = Array(3L, UTF8String.fromString("ab"),
+      UTF8String.fromString("c"), 1.5, 1000000L)
+    val bytes = AvroCodec.encode(SystemMetrics, vals(_), _ => false)
+    val expected = Array(0x06, 0x04, 0x61, 0x62, 0x02, 0x63,
+      0x00, 0x00, 0x00, 0x00, 0x00, 0x00, 0xF8, 0x3F, 0xD0, 0x0F).map(_.toByte)
+    assert(bytes.toSeq == expected.toSeq,
+      bytes.map(b => f"${b & 0xFF}%02X").mkString(" "))
+    // and the decoder reads the golden bytes back to the same values
+    val row = AvroCodec.decode(SystemMetrics, expected)
+    assert(row.getLong(0) == 3L && row.getUTF8String(1).toString == "ab")
+    assert(row.getUTF8String(2).toString == "c" && row.getDouble(3) == 1.5)
+    assert(row.getLong(4) == 1000000L) // millis back to micros
+  }
+
+  test("null-first union branches encode index 0 / index 1 per the spec") {
+    // request_log with every union field null vs populated: union index is
+    // an Avro long — zigzag(0)=0x00 for null, zigzag(1)=0x02 for branch 1.
+    def enc(endpoint: Option[String]): Array[Byte] = {
+      val vals: Array[Any] = Array(1L, endpoint.map(UTF8String.fromString).orNull,
+        null, 200, 5, null, null, null, null, null, 0L)
+      AvroCodec.encode(RequestLog, vals(_), i => vals(i) == null)
+    }
+    val withNull = enc(None)
+    val withVal = enc(Some("x"))
+    // field 0: id zigzag(1) = 02; field 1 union index follows
+    assert(withNull(1) == 0x00.toByte, withNull.map(b => f"$b%02X").mkString(" "))
+    assert(withVal(1) == 0x02.toByte, withVal.map(b => f"$b%02X").mkString(" "))
+    // branch payload: len zigzag(1)=02 then 'x'
+    assert(withVal(2) == 0x02.toByte && withVal(3) == 'x'.toByte)
+    // both decode back
+    val r0 = AvroCodec.decode(RequestLog, withNull)
+    assert(r0.isNullAt(1) && r0.getInt(3) == 200)
+    val r1 = AvroCodec.decode(RequestLog, withVal)
+    assert(r1.getUTF8String(1).toString == "x")
+  }
+
+  test("PERMISSIVE: truncation, bad union index, and bad length null out the record") {
+    val vals: Array[Any] = Array(3L, UTF8String.fromString("ab"),
+      UTF8String.fromString("c"), 1.5, 1000000L)
+    val good = AvroCodec.encode(SystemMetrics, vals(_), _ => false)
+    assert(AvroCodec.decode(SystemMetrics, good) != null)
+    // every strict prefix of a valid record is malformed
+    for (n <- 0 until good.length) {
+      assert(AvroCodec.decode(SystemMetrics, good.take(n)) == null, s"prefix $n")
+    }
+    // bad union index (9 -> zigzag 18 = 0x12) on request_log field 1
+    val badUnion = Array[Byte](0x02, 0x12)
+    assert(AvroCodec.decode(RequestLog, badUnion) == null)
+    // negative string length
+    val badLen = Array[Byte](0x06, 0x01) // id=3, node_name len zigzag -> -1
+    assert(AvroCodec.decode(SystemMetrics, badLen) == null)
+  }
+
+  test("round-trip is the identity across randomized values and null branches") {
+    val rng = new scala.util.Random(13)
+    for (_ <- 1 to 200) {
+      def mbStr(): Any =
+        if (rng.nextBoolean()) null
+        else UTF8String.fromString(rng.alphanumeric.take(rng.nextInt(20)).mkString)
+      val vals: Array[Any] = Array(
+        rng.nextLong(), mbStr(), mbStr(), rng.nextInt(), rng.nextInt(),
+        if (rng.nextBoolean()) null else rng.nextLong(),
+        mbStr(), mbStr(), mbStr(), mbStr(),
+        // micros at exact-millis grain: the wire carries millis
+        Math.floorDiv(rng.nextLong(), 1000L) * 1000L)
+      val bytes = AvroCodec.encode(RequestLog, vals(_), i => vals(i) == null)
+      val row = AvroCodec.decode(RequestLog, bytes)
+      assert(row != null)
+      for (i <- vals.indices) {
+        if (vals(i) == null) assert(row.isNullAt(i), s"field $i")
+        else assert(row.get(i, sqlType(RequestLog).fields(i).dataType) == vals(i),
+          s"field $i: ${vals(i)}")
+      }
+    }
+  }
+
+  test("in-plan expressions round-trip and the corrupt channel filters like the reference") {
+    val out = AvroCodec.avroRoundtrip(Tables.events(spark, dir))
+    val rows = out.collect()
+    assert(rows.length > 0)
+    val (corrupt, good) = rows.partition(_.getAs[Boolean]("is_corrupt"))
+    assert(corrupt.nonEmpty && good.nonEmpty)
+    // corrupt rows: whole-record null-out (every decoded field null)
+    corrupt.foreach { r =>
+      assert(r.isNullAt(r.fieldIndex("endpoint")) && r.isNullAt(r.fieldIndex("created_ms")))
+    }
+    // good rows: spot-check the derivations the oracle recomputes
+    good.take(50).foreach { r =>
+      val id = r.getAs[Long]("event_id")
+      assert(r.getAs[String]("endpoint").startsWith("/api/"))
+      assert(r.getAs[Long]("status_code") == (if (id % 7 == 0) 500L else 200L))
+    }
+    // the reference's `data IS NOT NULL` filter drops exactly the corrupt rows
+    val kept = out.filter(not(col("is_corrupt"))).count()
+    assert(kept == good.length.toLong)
+  }
+}
