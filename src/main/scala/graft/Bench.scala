@@ -83,7 +83,19 @@ object Bench {
     val sh = shuffles.map { case (k, v) => s"${jstr(k)}:$v" }.mkString("{", ",", "}")
     val errs = errors.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }.mkString("{", ",", "}")
     val total = times.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"shuffle_bytes":$sh,"errors":$errs,"sf":${jstr(sfDir)}}""")
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"shuffle_bytes":$sh,"errors":$errs,"sf":${jstr(sfDir)}}"""
+    println(line)
+    // Persist the FULL line to a stable file as well: the driver's capture
+    // truncates stdout tails, which once left per-query numbers without
+    // their "unit" prefix. Full runs only — a filtered run (args non-empty)
+    // must not clobber the suite-wide baseline that BenchGateSpec and
+    // tools/bench_compare.py read.
+    if (args.isEmpty) {
+      val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_SELF_latest.json")
+      java.nio.file.Files.write(java.nio.file.Paths.get(out),
+        (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    }
     spark.stop()
   }
 }

@@ -133,6 +133,69 @@ object Curation {
       .orderBy(col("doc_id"))
   }
 
+  // ------------------------------------------------------ paragraph dedup
+
+  private val ParaTokens = 30
+  private val ParaPlantMod = 25
+  private val ParaPlantOffset = 20000
+
+  /** Corpus augmented with planted cross-document duplicate paragraphs:
+    * every [[ParaPlantMod]]th doc spawns a new doc whose first paragraph is
+    * the original's first [[ParaTokens]] tokens verbatim plus a unique tail
+    * token — so the plant's paragraph 0 hashes identically to the
+    * original's and must lose to it on (doc_id, pos) order.
+    */
+  private def paraCorpus(documents: DataFrame): DataFrame =
+    documents.select(col("doc_id"), col("text"))
+      .unionByName(documents
+        .filter(pmod(col("doc_id"), lit(ParaPlantMod)) === 0)
+        .select((col("doc_id") + ParaPlantOffset).as("doc_id"),
+          concat(
+            expr(s"array_join(slice(split(text, ' '), 1, $ParaTokens), ' ')"),
+            lit(" tail"), col("doc_id") + ParaPlantOffset).as("text")))
+
+  /** Global paragraph-level exact dedup, keep-first (the RefinedWeb /
+    * FineWeb curation step: Penedo et al., arXiv:2306.01116 §4.2 — each
+    * repeated paragraph survives only at its first occurrence, unlike
+    * [[lineDedup]] which removes high-document-frequency boilerplate
+    * everywhere). "First" is the least (doc_id, pos) over the whole corpus,
+    * so the result is deterministic under any partitioning.
+    *
+    * Scale shape: the keeper per hash is a map-side-combined
+    * `min(struct(doc_id, pos))` groupBy — a hot paragraph (millions of
+    * copies) reduces to one row per map partition BEFORE the shuffle, so
+    * key skew never materializes. The survivor selection is a semi-join on
+    * the full (para_h, doc_id, pos) tuple — both sides high-cardinality,
+    * nothing fans out — and reassembly shuffles each doc's kept paragraphs
+    * once on doc_id. Nothing here is ever quadratic in duplicates.
+    */
+  def paragraphDedup(documents: DataFrame): DataFrame = {
+    val paras = paraCorpus(documents)
+      .select(col("doc_id"), toks().as("tk"))
+      .select(col("doc_id"), posexplode(expr(
+        s"""transform(sequence(0, cast(ceil(size(tk) / ${ParaTokens}.0) as int) - 1),
+           |  i -> array_join(slice(tk, i * $ParaTokens + 1, $ParaTokens), ' '))"""
+          .stripMargin)))
+      .toDF("doc_id", "pos", "para")
+      .withColumn("para_h",
+        expr("cast(conv(substring(md5(para), 1, 15), 16, 10) as bigint)"))
+    val keepers = paras
+      .groupBy(col("para_h"))
+      .agg(min(struct(col("doc_id"), col("pos"))).as("k"))
+      .select(col("para_h"), col("k.doc_id").as("doc_id"), col("k.pos").as("pos"))
+    val kept = paras.join(keepers, Seq("para_h", "doc_id", "pos"), "left_semi")
+    val totals = paras.groupBy(col("doc_id")).agg(count(lit(1)).as("n_paras"))
+    val keptAgg = kept.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_kept"),
+        expr("array_join(transform(array_sort(collect_list(struct(pos, para))), s -> s.para), ' ')")
+          .as("kept_text"))
+    totals.join(keptAgg, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_paras"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("kept_text"), lit("")).as("kept_text"))
+      .orderBy(col("doc_id"))
+  }
+
   // -------------------------------------------------- benchmark contamination
 
   /** Eval-set membership: every 97th doc plays the held-out benchmark. */
@@ -146,8 +209,9 @@ object Curation {
     * eval side is distinct-reduced then broadcast: at 100 TB the corpus is
     * never shuffled at all, just one map-side hash-join pass per doc.
     */
-  def contaminationCheck(documents: DataFrame): DataFrame = {
-    val shingled = documents
+  /** (doc_id, sh) pairs: one 60-bit hashed [[ShingleTokens]]-gram per row. */
+  private def docShingles(documents: DataFrame): DataFrame =
+    documents
       .filter(size(toks()) >= ShingleTokens)
       .select(col("doc_id"), toks().as("tk"))
       .select(col("doc_id"), explode(expr(
@@ -155,6 +219,9 @@ object Curation {
            |  i -> cast(conv(substring(md5(
            |    array_join(slice(tk, i, $ShingleTokens), ' ')), 1, 15), 16, 10) as bigint))"""
           .stripMargin)).as("sh"))
+
+  def contaminationCheck(documents: DataFrame): DataFrame = {
+    val shingled = docShingles(documents)
     val eval_ = shingled.filter(pmod(col("doc_id"), lit(EvalMod)) === 0)
       .select(col("sh")).distinct()
     val train = shingled.filter(pmod(col("doc_id"), lit(EvalMod)) =!= 0)
@@ -164,6 +231,53 @@ object Curation {
       .agg(count(lit(1)).as("n_shingles"),
         sum(coalesce(col("hit"), lit(0))).cast("long").as("n_contaminated"))
       .withColumn("contaminated", col("n_contaminated") > 0)
+      .orderBy(col("doc_id"))
+  }
+
+  /** Bloom-prefiltered decontamination — the SAME answer as
+    * [[contaminationCheck]] (the oracle is literally the same SQL), built
+    * for the regime where the eval shingle set is too large to broadcast as
+    * an exact hash set but its Bloom sketch still fits: a 1B-shingle eval
+    * set is a ~40 GB broadcast as distinct longs yet a ~1.2 GB sketch at 1%
+    * fp. Three stages, none touching the full corpus twice:
+    *
+    *   1. the sketch is aggregated in-plan (`graft_bloom_agg`, capacity from
+    *      a cheap `approx_count_distinct` pre-pass over the EVAL side only)
+    *      and collected once — O(sketch bytes) driver traffic, the same
+    *      contract as the IVF centroid collect;
+    *   2. the probe (`graft_might_contain` on a foldable binary literal) is
+    *      a codegen'd map-side filter at scan throughput — the corpus scan
+    *      emits only true hits plus the fp fraction;
+    *   3. the exact verify semi-join re-checks ONLY those survivors against
+    *      the real eval set, so false positives are eliminated and the
+    *      shuffled volume drops from |train shingles| to |hits| + fp·|train|.
+    *
+    * Per-doc totals (`n_shingles`) come from a separate map-side-combined
+    * count that never joins anything.
+    */
+  def contaminationBloom(documents: DataFrame): DataFrame = {
+    val shingled = docShingles(documents)
+    val eval_ = shingled.filter(pmod(col("doc_id"), lit(EvalMod)) === 0)
+      .select(col("sh")).distinct()
+    val train = shingled.filter(pmod(col("doc_id"), lit(EvalMod)) =!= 0)
+    val capacity = math.max(1024L,
+      eval_.agg(approx_count_distinct(col("sh")).as("n")).head.getLong(0))
+    val sketch = eval_
+      .agg(call_function("graft_bloom_agg", col("sh"), lit(capacity)).as("bf"))
+      .head.getAs[Array[Byte]](0)
+    val candidates =
+      if (sketch == null) train.limit(0) // empty eval side -> nothing to flag
+      else train.filter(call_function("graft_might_contain", lit(sketch), col("sh")))
+    val verified = candidates
+      .join(eval_, Seq("sh"), "left_semi")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast("long").as("n_contaminated"))
+    train.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"))
+      .join(verified, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_shingles"),
+        coalesce(col("n_contaminated"), lit(0L)).as("n_contaminated"),
+        (coalesce(col("n_contaminated"), lit(0L)) > 0).as("contaminated"))
       .orderBy(col("doc_id"))
   }
 
@@ -329,10 +443,30 @@ object Curation {
     "pii_scrub" -> ((s, d) => piiScrub(Tables.documents(s, d))),
     "repetition_stats" -> ((s, d) => repetitionStats(Tables.documents(s, d))),
     "line_dedup" -> ((s, d) => lineDedup(Tables.documents(s, d))),
+    "paragraph_dedup" -> ((s, d) => paragraphDedup(Tables.documents(s, d))),
     "contamination_check" -> ((s, d) => contaminationCheck(Tables.documents(s, d))),
+    "contamination_bloom" -> ((s, d) => contaminationBloom(Tables.documents(s, d))),
     "length_histogram" -> ((s, d) => lengthHistogram(Tables.documents(s, d))),
     "incremental_dedup" -> ((s, d) => incrementalDedup(Tables.documents(s, d))),
   )
+
+  private val contaminationSql =
+    s"""WITH sh AS (
+       |  SELECT doc_id,
+       |    unnest(list_transform(
+       |      generate_series(1, len(string_split(text, ' ')) - $ShingleTokens + 1),
+       |      i -> ('0x' || substr(md5(
+       |        array_to_string(string_split(text, ' ')[i:(i + $ShingleTokens - 1)], ' ')), 1, 15))::BIGINT)) AS sh
+       |  FROM documents WHERE len(string_split(text, ' ')) >= $ShingleTokens
+       |), ev AS (
+       |  SELECT DISTINCT sh FROM sh WHERE doc_id % $EvalMod = 0
+       |)
+       |SELECT doc_id, count(*) AS n_shingles,
+       |  sum(CASE WHEN ev.sh IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_contaminated,
+       |  sum(CASE WHEN ev.sh IS NOT NULL THEN 1 ELSE 0 END) > 0 AS contaminated
+       |FROM sh LEFT JOIN ev ON sh.sh = ev.sh
+       |WHERE doc_id % $EvalMod <> 0
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "priority_sample" ->
@@ -470,23 +604,47 @@ object Curation {
          |FROM hashed
          |WHERE line_h NOT IN (SELECT line_h FROM boiler)
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
-    "contamination_check" ->
-      s"""WITH sh AS (
-         |  SELECT doc_id,
-         |    unnest(list_transform(
-         |      generate_series(1, len(string_split(text, ' ')) - $ShingleTokens + 1),
-         |      i -> ('0x' || substr(md5(
-         |        array_to_string(string_split(text, ' ')[i:(i + $ShingleTokens - 1)], ' ')), 1, 15))::BIGINT)) AS sh
-         |  FROM documents WHERE len(string_split(text, ' ')) >= $ShingleTokens
-         |), ev AS (
-         |  SELECT DISTINCT sh FROM sh WHERE doc_id % $EvalMod = 0
+    "contamination_check" -> contaminationSql,
+    // The Bloom prefilter is an exact-result optimization: its oracle is
+    // LITERALLY the exact check's SQL — any fp leaking past the verify
+    // semi-join would hash-mismatch here.
+    "contamination_bloom" -> contaminationSql,
+    "paragraph_dedup" ->
+      s"""WITH corpus AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + $ParaPlantOffset,
+         |    array_to_string(string_split(text, ' ')[1:$ParaTokens], ' ')
+         |      || ' tail' || (doc_id + $ParaPlantOffset)
+         |  FROM documents WHERE doc_id % $ParaPlantMod = 0
+         |), paras AS (
+         |  SELECT doc_id, unnest(list_transform(
+         |    generate_series(1, ceil(len(string_split(text, ' ')) / ${ParaTokens}.0)::INT),
+         |    i -> {'pos': i - 1, 'para': array_to_string(
+         |      string_split(text, ' ')[((i - 1) * $ParaTokens + 1):(i * $ParaTokens)], ' ')})) AS p
+         |  FROM corpus
+         |), hashed AS (
+         |  SELECT doc_id, p.pos AS pos, p.para AS para,
+         |    ('0x' || substr(md5(p.para), 1, 15))::BIGINT AS para_h
+         |  FROM paras
+         |), kept AS (
+         |  SELECT doc_id, pos, para FROM (
+         |    SELECT doc_id, pos, para,
+         |      row_number() OVER (PARTITION BY para_h ORDER BY doc_id, pos) AS rn
+         |    FROM hashed)
+         |  WHERE rn = 1
+         |), totals AS (
+         |  SELECT doc_id, count(*) AS n_paras FROM hashed GROUP BY doc_id
+         |), keptagg AS (
+         |  SELECT doc_id, count(*) AS n_kept,
+         |    string_agg(para, ' ' ORDER BY pos) AS kept_text
+         |  FROM kept GROUP BY doc_id
          |)
-         |SELECT doc_id, count(*) AS n_shingles,
-         |  sum(CASE WHEN ev.sh IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_contaminated,
-         |  sum(CASE WHEN ev.sh IS NOT NULL THEN 1 ELSE 0 END) > 0 AS contaminated
-         |FROM sh LEFT JOIN ev ON sh.sh = ev.sh
-         |WHERE doc_id % $EvalMod <> 0
-         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+         |SELECT t.doc_id, t.n_paras,
+         |  coalesce(k.n_kept, 0)::BIGINT AS n_kept,
+         |  coalesce(k.kept_text, '') AS kept_text
+         |FROM totals t LEFT JOIN keptagg k USING (doc_id)
+         |ORDER BY t.doc_id""".stripMargin,
     "length_histogram" ->
       s"""SELECT source,
          |  ((len(string_split(text, ' ')) // $BinWidth) * $BinWidth)::BIGINT AS bin_lo,

@@ -167,6 +167,36 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "from_avro_graft"),
       (children: Seq[Expression]) => graft.sources.AvroCodec.AvroDecodeExpr(
         children.head, schemaNameLit(children(1), "from_avro_graft"))))
+    // Spark's runtime-filter Bloom pair, surfaced as callable functions so
+    // operators can build an explicit semi-join prefilter (decontamination
+    // against an eval set too large to broadcast as a hash set): the agg
+    // serializes an org.apache.spark.util.sketch.BloomFilter over xxhash64ed
+    // long keys; the probe takes a FOLDABLE binary (the collected sketch)
+    // and is codegen'd with a deserialize-once reference — per-row cost is
+    // one mightContainLong.
+    ext.injectFunction((
+      FunctionIdentifier("graft_bloom_agg"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate].getName,
+        "graft_bloom_agg"),
+      (children: Seq[Expression]) => {
+        import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+        children match {
+          case Seq(c) => new BloomFilterAggregate(c)
+          case Seq(c, items) => new BloomFilterAggregate(c, items)
+          case Seq(c, items, bits) => new BloomFilterAggregate(c, items, bits)
+          case _ => throw new IllegalArgumentException(
+            s"graft_bloom_agg expects 1-3 arguments, got ${children.size}")
+        }
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_might_contain"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain].getName,
+        "graft_might_contain"),
+      (children: Seq[Expression]) =>
+        org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+          children.head, children(1))))
     ext.injectOptimizerRule(_ => VecDotCastElision)
     ext.injectOptimizerRule(_ => TopK.WindowTopKRewrite)
     ext.injectPlannerStrategy(_ => TopK.TopKStrategy)

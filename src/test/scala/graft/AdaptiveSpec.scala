@@ -1,5 +1,7 @@
 package graft
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
 import org.apache.spark.sql.functions._
 
@@ -59,6 +61,101 @@ class AdaptiveSpec extends SparkSpec {
     } finally keep.foreach {
       case (k, Some(v)) => spark.conf.set(k, v)
       case (k, None) => spark.conf.unset(k)
+    }
+  }
+
+  /** VERDICT r5 #9 — skew pin for the exact-Jaccard prefix join
+    * (`Dedup.jaccardPrefixJoin`). Finding: the bucket cap ALREADY prevents
+    * join-key skew structurally, so AQE never needs to split:
+    *
+    *   - the candidate join keys on PREFIX tokens, and a token only enters
+    *     prefixes when it is among a doc's rarest — a token hot enough to
+    *     skew a partition (shared by thousands of docs) has high df and is
+    *     ordered out of the prefix unless the docs have no rarer tokens;
+    *   - in that degenerate case (planted here: a 3 000-doc identical
+    *     clique, every token df = 3 000) the [[graft.ops.Dedup.MaxBucketSize]]
+    *     cap drops the bucket outright (the documented recall cap), so no
+    *     join key ever exceeds MaxBucketSize rows per side.
+    *
+    * The pin measures the EXECUTED workload, not the plan: per-task shuffle
+    * read bytes across the query's heaviest shuffle stage stay within the
+    * production skew ratio (max ≤ 5× median — the default
+    * `skewedPartitionFactor` AQE would use to call a partition skewed).
+    */
+  test("the prefix-join verify path stays under the AQE skew ratio on a planted hot clique") {
+    val keep = Seq("spark.sql.shuffle.partitions",
+      "spark.sql.adaptive.coalescePartitions.enabled")
+      .map(k => k -> spark.conf.getOption(k)).toMap
+    // Track per-task shuffle-read volume per stage; the skew ratio is
+    // evaluated within the heaviest shuffle stage (events are async — the
+    // settle loop below waits for the task count to stop moving).
+    val reads = new java.util.concurrent.ConcurrentHashMap[Int, java.util.List[Long]]()
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        val m = te.taskMetrics
+        if (m != null && m.shuffleReadMetrics.totalBytesRead > 0) {
+          reads.computeIfAbsent(te.stageId,
+              _ => java.util.Collections.synchronizedList(new java.util.ArrayList[Long]()))
+            .add(m.shuffleReadMetrics.totalBytesRead)
+        }
+      }
+    }
+    try {
+      // Enough partitions that the median is meaningful (2 would make any
+      // hot partition the median); coalescing disabled so fixture-scale
+      // shuffles don't collapse to one task and hide the distribution.
+      spark.conf.set("spark.sql.shuffle.partitions", "16")
+      spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      spark.sparkContext.addSparkListener(listener)
+
+      // 8k original docs, each a 19-token body (18 unique + shared filler)
+      // with a near-copy appending one token: inter 19 / union 20 = exactly
+      // the 19/20 threshold. Plus the degenerate 3k-identical clique whose
+      // every token has df = 3000.
+      import spark.implicits._
+      val nDocs = 8000L
+      val body = (0 until 18)
+        .map(j => concat(lit("w"), col("id"), lit(s"_$j")))
+        .reduce((a, b) => concat(a, lit(" "), b))
+      val originals = spark.range(nDocs)
+        .select(col("id").as("doc_id"), concat(body, lit(" the")).as("text"))
+      val copies = spark.range(nDocs)
+        .select((col("id") + nDocs).as("doc_id"),
+          concat(body, lit(" the x"), col("id")).as("text"))
+      val clique = spark.range(3000)
+        .select((col("id") + 10 * nDocs).as("doc_id"),
+          lit((0 until 20).map(i => s"c$i").mkString(" ")).as("text"))
+      val corpus = originals.unionByName(copies).unionByName(clique)
+
+      val pairs = graft.ops.Dedup.jaccardPrefixJoin(corpus).collect()
+      // Every original-copy pair found; the clique contributes nothing (its
+      // buckets are over the cap — the documented recall tradeoff).
+      assert(pairs.length == nDocs,
+        s"expected $nDocs planted pairs, got ${pairs.length}")
+      assert(pairs.forall(r => r.getLong(1) == r.getLong(0) + nDocs))
+
+      // Settle: task-end events arrive async after collect() returns.
+      var last = -1
+      var settle = 0
+      while (settle < 20 && reads.values.asScala.map(_.size).sum != last) {
+        last = reads.values.asScala.map(_.size).sum
+        Thread.sleep(200); settle += 1
+      }
+      val heaviest = reads.asScala.values.map(_.asScala.toVector)
+        .filter(_.size >= 4) // ratio is meaningless on 1-2 task stages
+        .maxBy(_.sum)
+      val sorted = heaviest.sorted
+      val median = math.max(1L, sorted(sorted.size / 2))
+      val ratio = sorted.last.toDouble / median
+      assert(ratio <= 5.0,
+        s"prefix-join shuffle skew ratio $ratio exceeds the AQE skew factor " +
+          s"(tasks: min ${sorted.head}, median $median, max ${sorted.last} bytes)")
+    } finally {
+      spark.sparkContext.removeSparkListener(listener)
+      keep.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None) => spark.conf.unset(k)
+      }
     }
   }
 

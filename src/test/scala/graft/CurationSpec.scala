@@ -73,6 +73,41 @@ class CurationSpec extends SparkSpec {
     assert(!byId(2L).getAs[Boolean]("contaminated"))
   }
 
+  test("bloom-prefiltered contamination equals the exact check row for row") {
+    // A corpus big enough that the sketch is non-trivially populated:
+    // every 97th doc is eval; every doc ending in 3 shares its eval
+    // neighbor's 5-gram tail.
+    val rows = (0L until 400L).map { i =>
+      val base = (0 until 8).map(j => s"w${i}_$j").mkString(" ")
+      val tail = if (i % 10 == 3) "shared eval tail gram five" else s"t${i}a b c d e"
+      i -> (base + " " + tail)
+    } :+ (97L -> "shared eval tail gram five plus context")
+    val corpus = docs(rows.toSeq: _*)
+    val exact = Curation.contaminationCheck(corpus).collect()
+    val bloom = Curation.contaminationBloom(corpus).collect()
+    assert(exact.nonEmpty && exact.exists(_.getAs[Boolean]("contaminated")))
+    assert(bloom.map(_.toString).toSeq == exact.map(_.toString).toSeq)
+  }
+
+  test("paragraph dedup keeps only the first occurrence of a repeated paragraph") {
+    // 30-token paragraphs; doc 25 triggers the plant (25 % 25 == 0): doc
+    // 20025's paragraph 0 duplicates doc 25's paragraph 0.
+    val para = (1 to 30).map(i => s"p$i").mkString(" ")
+    val other = (1 to 30).map(i => s"q$i").mkString(" ")
+    val out = Curation.paragraphDedup(docs(
+      25L -> (para + " " + other), // paras: [para, other]
+      26L -> (para + " unique tail here"))) // para 0 duplicates doc 25's
+      .collect().map(r => (r.getAs[Long]("doc_id"),
+        (r.getAs[Long]("n_paras"), r.getAs[Long]("n_kept"), r.getAs[String]("kept_text"))))
+      .toMap
+    assert(out(25L) == ((2L, 2L, para + " " + other))) // first occurrence keeps all
+    // Doc 26 loses its duplicated first paragraph, keeps the 3-token stub.
+    assert(out(26L) == ((2L, 1L, "unique tail here")))
+    // The plant: doc 20025 = doc 25's first 30 tokens + " tail20025".
+    assert(out(20025L) == ((2L, 1L, "tail20025")))
+    assert(out.keySet == Set(25L, 26L, 20025L))
+  }
+
   test("incremental dedup admits only content new vs the prior snapshot") {
     val out = Curation.incrementalDedup(docs(
       2L -> "already ingested content", // prior snapshot
