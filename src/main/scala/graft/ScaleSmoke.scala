@@ -49,6 +49,9 @@ object ScaleSmoke {
     time("doc_freq_score") { TextStats.docFreqScore(corpus) }
     time("line_dedup") { Curation.lineDedup(corpus) }
     time("contamination_check") { Curation.contaminationCheck(corpus) }
+    time("contamination_bloom") { Curation.contaminationBloom(corpus) }
+    time("paragraph_dedup") { Curation.paragraphDedup(corpus) }
+    time("fuzzy_title_pairs") { Dedup.fuzzyTitlePairs(corpus) }
     time("curation_funnel") { Curation.curationFunnel(corpus) }
     time("duplicate_spans") { Dedup.duplicateSpans(corpus) }
     time("rare_bigram_score") { TextStats.rareBigramScore(corpus) }

@@ -165,10 +165,54 @@ object Bitmaps {
       .orderBy(col("week_us"))
   }
 
+  /** Pairwise exact audience overlap across event types — the bitmap AND
+    * dual of [[bitmapDistinctRollup]]'s OR: per-type user bitmaps are built
+    * in ONE fact scan, then every type pair's intersection cardinality is
+    * read off the bitmaps — where the naive form self-joins the distinct
+    * (type, user) table, rescanning/reshuffling user-grain rows per pair.
+    * The DuckDB oracle IS that naive self-join, so the hash match proves
+    * bitmap-AND == exact set intersection.
+    *
+    * Scale shape: the bitmaps never travel whole — they are posexploded to
+    * (type, chunk, slot, word) rows (zero words dropped), and the pair
+    * intersection is an equi-join on (chunk, slot): per join key there are
+    * at most T rows per side (T = #types), so fan-out is bounded by T² per
+    * word regardless of user count; `bit_count(wa & wb)` then sums 64 users
+    * per codegen'd row. Driver sees only the T·(T−1)/2 result rows.
+    */
+  def bitmapOverlap(events: DataFrame): DataFrame = {
+    val perType = events.groupBy(col("event_type"))
+      .agg(bitmapAgg(col("user_id")).as("bm"))
+    val words = perType
+      .select(col("event_type"), col("bm.chunks").as("chunks"),
+        posexplode(col("bm.words")).as(Seq("wi", "w")))
+      .filter(col("w") =!= 0L)
+      .select(col("event_type"),
+        expr(s"element_at(chunks, cast((wi div $WordsPerChunk) + 1 as int))").as("chunk"),
+        (col("wi") % WordsPerChunk).as("slot"), col("w"))
+    val inter = words.as("a").join(words.as("b"),
+        col("a.chunk") === col("b.chunk") && col("a.slot") === col("b.slot") &&
+          col("a.event_type") < col("b.event_type"))
+      .groupBy(col("a.event_type").as("type_a"), col("b.event_type").as("type_b"))
+      .agg(sum(expr("bit_count(a.w & b.w)")).cast("long").as("n_common"))
+    val totals = perType.select(col("event_type"),
+      expr("aggregate(bm.words, 0L, (acc, w) -> acc + bit_count(w))").as("n"))
+    totals.as("ta").join(totals.as("tb"),
+        col("ta.event_type") < col("tb.event_type"))
+      .join(inter,
+        col("ta.event_type") === col("type_a") && col("tb.event_type") === col("type_b"),
+        "left")
+      .select(col("ta.event_type").as("type_a"), col("tb.event_type").as("type_b"),
+        col("ta.n").as("n_a"), col("tb.n").as("n_b"),
+        coalesce(col("n_common"), lit(0L)).as("n_both"))
+      .orderBy(col("type_a"), col("type_b"))
+  }
+
   // ---------------------------------------------------------------- registry
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "bitmap_distinct_rollup" -> ((s, d) => bitmapDistinctRollup(Tables.events(s, d))),
+    "bitmap_overlap" -> ((s, d) => bitmapOverlap(Tables.events(s, d))),
   )
 
   /** The oracle recomputes the distinct counts in ONE shot per week —
@@ -181,5 +225,20 @@ object Bitmaps {
         |FROM events
         |GROUP BY date_trunc('week', ts)
         |ORDER BY week_us""".stripMargin,
+    // The oracle is the naive pairwise self-join the bitmap plan avoids —
+    // equality proves bitmap-AND == exact intersection.
+    "bitmap_overlap" ->
+      """WITH tu AS (SELECT DISTINCT event_type, user_id FROM events),
+        |t AS (SELECT event_type, count(*) AS n FROM tu GROUP BY 1),
+        |ov AS (
+        |  SELECT a.event_type AS type_a, b.event_type AS type_b, count(*) AS n_both
+        |  FROM tu a JOIN tu b USING (user_id)
+        |  WHERE a.event_type < b.event_type GROUP BY 1, 2
+        |)
+        |SELECT ta.event_type AS type_a, tb.event_type AS type_b,
+        |  ta.n AS n_a, tb.n AS n_b, coalesce(ov.n_both, 0)::BIGINT AS n_both
+        |FROM t ta JOIN t tb ON ta.event_type < tb.event_type
+        |LEFT JOIN ov ON ov.type_a = ta.event_type AND ov.type_b = tb.event_type
+        |ORDER BY type_a, type_b""".stripMargin,
   )
 }

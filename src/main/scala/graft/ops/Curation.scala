@@ -170,6 +170,9 @@ object Curation {
     * once on doc_id. Nothing here is ever quadratic in duplicates.
     */
   def paragraphDedup(documents: DataFrame): DataFrame = {
+    // The paragraph table feeds three plan arms (keeper groupBy, survivor
+    // semi-join, per-doc totals) — persist it so the tokenize+explode+md5
+    // pass runs once, same contract as the prefix join's token table.
     val paras = paraCorpus(documents)
       .select(col("doc_id"), toks().as("tk"))
       .select(col("doc_id"), posexplode(expr(
@@ -179,6 +182,7 @@ object Curation {
       .toDF("doc_id", "pos", "para")
       .withColumn("para_h",
         expr("cast(conv(substring(md5(para), 1, 15), 16, 10) as bigint)"))
+      .persist()
     val keepers = paras
       .groupBy(col("para_h"))
       .agg(min(struct(col("doc_id"), col("pos"))).as("k"))
@@ -221,7 +225,9 @@ object Curation {
           .stripMargin)).as("sh"))
 
   def contaminationCheck(documents: DataFrame): DataFrame = {
-    val shingled = docShingles(documents)
+    // Shingles feed both the eval and train arms — persist so the
+    // tokenize+md5 explode runs once per corpus, not per arm.
+    val shingled = docShingles(documents).persist()
     val eval_ = shingled.filter(pmod(col("doc_id"), lit(EvalMod)) === 0)
       .select(col("sh")).distinct()
     val train = shingled.filter(pmod(col("doc_id"), lit(EvalMod)) =!= 0)
@@ -256,9 +262,13 @@ object Curation {
     * count that never joins anything.
     */
   def contaminationBloom(documents: DataFrame): DataFrame = {
-    val shingled = docShingles(documents)
+    // Persisted on both tiers: `shingled` feeds eval + train arms, and
+    // `eval_` is consumed by THREE actions (capacity pre-pass, sketch
+    // collect, exact verify join) — without the persists the corpus would
+    // be re-tokenized per action.
+    val shingled = docShingles(documents).persist()
     val eval_ = shingled.filter(pmod(col("doc_id"), lit(EvalMod)) === 0)
-      .select(col("sh")).distinct()
+      .select(col("sh")).distinct().persist()
     val train = shingled.filter(pmod(col("doc_id"), lit(EvalMod)) =!= 0)
     val capacity = math.max(1024L,
       eval_.agg(approx_count_distinct(col("sh")).as("n")).head.getLong(0))
@@ -358,17 +368,23 @@ object Curation {
     * dedup), downstream stages see the rewritten text — order matters and
     * the oracle mirrors it stage for stage.
     *
-    * The five counts are union branches of one plan; Spark recomputes the
-    * shared prefix per branch at this size — at 100 TB you persist each
-    * stage (they are the pipeline's checkpoint artifacts anyway) or hang
-    * `observe()` metrics on a single pass instead.
+    * The five counts are union branches of one plan; every frame consumed
+    * by more than one branch (the stage outputs AND the expensive
+    * intermediates: PII-scrubbed text, hashed lines, shingles) is
+    * persisted, so each tokenize/regex/md5 pass runs once — the production
+    * shape too, where stage outputs are the run's checkpoint artifacts (or
+    * `observe()` metrics hang on a single pass instead).
     */
   def curationFunnel(documents: DataFrame): DataFrame = {
+    // Scrub feeds two arms (the repetition gate's bigram explode and the
+    // survivor join) — persisted so the PII regex pass over full document
+    // bodies runs once, not per arm.
     val scrub = piiCorpus(documents)
       .join(documents.select(col("doc_id"), col("lang")), "doc_id")
       .select(col("doc_id"), col("lang"),
         regexp_replace(regexp_replace(col("text"), EmailRe, "<EMAIL>"),
           PhoneRe, "<PHONE>").as("text"))
+      .persist()
     val repKeep = scrub.filter(size(toks()) >= 2)
       .select(col("doc_id"), toks().as("tk"))
       .select(col("doc_id"), explode(expr("""transform(sequence(1, size(tk) - 1),
@@ -390,6 +406,7 @@ object Curation {
       .toDF("doc_id", "pos", "line")
       .withColumn("line_h",
         expr("cast(conv(substring(md5(line), 1, 15), 16, 10) as bigint)"))
+      .persist() // feeds the boilerplate count AND the anti-join
     val boiler = lines.groupBy(col("line_h"))
       .agg(countDistinct(col("doc_id")).as("nd")).filter(col("nd") > MaxLineDocs)
       .select(col("line_h"))
@@ -406,6 +423,7 @@ object Curation {
            |  i -> cast(conv(substring(md5(
            |    array_join(slice(tk, i, $ShingleTokens), ' ')), 1, 15), 16, 10) as bigint))"""
           .stripMargin)).as("sh"))
+      .persist() // eval arm + train arm
     val eval_ = shingled.filter(pmod(col("doc_id"), lit(EvalMod)) === 0)
       .select(col("sh")).distinct().withColumn("hit", lit(1))
     val cleanIds = shingled.filter(pmod(col("doc_id"), lit(EvalMod)) =!= 0)

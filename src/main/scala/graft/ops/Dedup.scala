@@ -547,6 +547,65 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  // ----------------------------------------------- fuzzy edit-distance dedup
+
+  private val TitleTokens = 6
+  private val TypoMod = 20
+  private val TypoOffset = 40000
+  private val BlockTokens = 2
+
+  /** Edit-distance budget for a fuzzy title match. */
+  val MaxEdit = 2
+
+  /** Corpus of document "titles" (first [[TitleTokens]] tokens) with planted
+    * retyped near-copies: every [[TypoMod]]th doc spawns doc_id +
+    * [[TypoOffset]] whose title's last character is swapped for 'x' — edit
+    * distance ≤ 1 from the original, invisible to every exact-hash path. */
+  private def typoCorpus(documents: DataFrame): DataFrame = {
+    val base = documents.select(col("doc_id"),
+      expr(s"array_join(slice(split(text, ' '), 1, $TitleTokens), ' ')").as("title"))
+    base.unionByName(base
+      .filter(pmod(col("doc_id"), lit(TypoMod)) === 0 && length(col("title")) >= 5)
+      .select((col("doc_id") + TypoOffset).as("doc_id"),
+        expr("concat(substring(title, 1, length(title) - 1), 'x')").as("title")))
+  }
+
+  /** Fuzzy short-string dedup via blocked edit distance — the entity-
+    * resolution modality (titles, names, URLs) none of the token-set paths
+    * cover: MinHash/Jaccard see a one-CHARACTER typo as a whole-token
+    * substitution (a 6-token title drops to J ≈ 5/7, far under any sane
+    * threshold), while `levenshtein` reads it as distance 1. Standard
+    * prefix-blocking bounds the candidate space (Christen, "A survey of
+    * indexing techniques for scalable record linkage", TKDE 2012): pairs
+    * are generated only within a [[BlockTokens]]-token prefix block, each
+    * block capped at [[MaxBucketSize]] rows (the same documented recall
+    * tradeoff as every LSH path — a typo inside the blocking prefix itself
+    * needs a second pass with a different key, e.g. a sorted-neighborhood
+    * or phonetic key).
+    *
+    * Scale shape: the self-join keys on the block prefix (high cardinality,
+    * cap-bounded fan-out), and `levenshtein` runs codegen'd on O(block²)
+    * SHORT strings per block — never on document bodies. Everything else is
+    * one explode-free projection per side.
+    */
+  def fuzzyTitlePairs(documents: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val blocked = typoCorpus(documents)
+      .withColumn("blk",
+        expr(s"array_join(slice(split(title, ' '), 1, $BlockTokens), ' ')"))
+    val capped = blocked
+      .withColumn("block_n", count(lit(1)).over(Window.partitionBy(col("blk"))))
+      .filter(col("block_n") <= MaxBucketSize)
+    capped.as("a").join(capped.as("b"),
+        col("a.blk") === col("b.blk") && col("a.doc_id") < col("b.doc_id"))
+      .withColumn("edit_dist",
+        levenshtein(col("a.title"), col("b.title")).cast("long"))
+      .filter(col("edit_dist") <= MaxEdit)
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("edit_dist"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
   // ---------------------------------------------------------------- registry
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -560,6 +619,7 @@ object Dedup {
     "duplicate_spans" -> ((s, d) => duplicateSpans(Tables.documents(s, d))),
     "dedup_apply" -> ((s, d) => dedupApply(nearCorpus(Tables.documents(s, d)))),
     "dedup_jaccard_prefix" -> ((s, d) => jaccardPrefixJoin(nearCorpus(Tables.documents(s, d)))),
+    "dedup_fuzzy_title" -> ((s, d) => fuzzyTitlePairs(Tables.documents(s, d))),
   )
 
   /** Oracle CTEs: same corpora, same md5-prefix hash family. The oracle may
@@ -617,6 +677,30 @@ object Dedup {
     baseOracleSql + ("dedup_clusters_star" -> baseOracleSql("dedup_clusters"))
 
   private def baseOracleSql: Map[String, String] = Map(
+    "dedup_fuzzy_title" ->
+      s"""WITH base AS (
+         |  SELECT doc_id,
+         |    array_to_string(string_split(text, ' ')[1:$TitleTokens], ' ') AS title
+         |  FROM documents
+         |), corpus AS (
+         |  SELECT doc_id, title FROM base
+         |  UNION ALL
+         |  SELECT doc_id + $TypoOffset, substr(title, 1, len(title) - 1) || 'x'
+         |  FROM base WHERE doc_id % $TypoMod = 0 AND len(title) >= 5
+         |), blocked AS (
+         |  SELECT doc_id, title,
+         |    array_to_string(string_split(title, ' ')[1:$BlockTokens], ' ') AS blk
+         |  FROM corpus
+         |), capped AS (
+         |  SELECT doc_id, title, blk FROM (
+         |    SELECT *, count(*) OVER (PARTITION BY blk) AS block_n FROM blocked)
+         |  WHERE block_n <= $MaxBucketSize
+         |)
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |  levenshtein(a.title, b.title)::BIGINT AS edit_dist
+         |FROM capped a JOIN capped b ON a.blk = b.blk AND a.doc_id < b.doc_id
+         |WHERE levenshtein(a.title, b.title) <= $MaxEdit
+         |ORDER BY doc_a, doc_b""".stripMargin,
     "dedup_jaccard_prefix" ->
       s"""WITH $nearCorpusSql, toks AS (
          |  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok

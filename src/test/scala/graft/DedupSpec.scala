@@ -253,4 +253,32 @@ class DedupSpec extends SparkSpec {
       .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("rnk"), r.getAs[Long]("vec_id"))).toSet
     assert(lshTop == bruteTop)
   }
+
+  test("fuzzy title pairs catch single-character typos that token-set paths miss") {
+    import spark.implicits._
+    val fixture = Seq(
+      // doc 20 triggers the plant (20 % 20 == 0): doc 40020's title is doc
+      // 20's with the last char swapped to 'x' — edit distance 1.
+      (20L, "alpha beta gamma delta epsilon zeta eta theta"),
+      // Same block ("alpha beta") but 3 whole tokens differ — past MaxEdit.
+      (21L, "alpha beta XXXX YYYY ZZZZ WWWW other tokens"),
+      // Identical first-6-token title as 22 → distance 0 pair (22, 23).
+      (22L, "same title here for both docs one"),
+      (23L, "same title here for both docs two"),
+      // Different block entirely: no pairs.
+      (24L, "unrelated opening words that block nothing")).toDF("doc_id", "text")
+    val pairs = Dedup.fuzzyTitlePairs(fixture)
+      .collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
+        r.getAs[Long]("edit_dist"))).toSet
+    assert(pairs == Set((20L, 40020L, 1L), (22L, 23L, 0L)))
+
+    // The same typo'd pair through the token-set lens: Jaccard 5/7 < 19/20,
+    // so the exact set-similarity join correctly (and uselessly, for this
+    // modality) rejects it — the blindspot fuzzyTitlePairs exists to cover.
+    val typod = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta epsilon zetx")).toDF("doc_id", "text")
+    assert(Dedup.jaccardPrefixJoin(typod).collect().isEmpty)
+  }
 }

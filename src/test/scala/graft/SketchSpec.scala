@@ -118,4 +118,36 @@ class SketchSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
     assert(onePart == exact)
   }
+
+  test("bitmap overlap equals the naive pairwise intersection, planted and fixture") {
+    import graft.functions.Bitmaps
+    // Planted: users 0-99 do A, 50-149 do B (overlap 50), 4090-4105 do both
+    // C and A straddling a 4096-chunk boundary; D shares nobody.
+    val planted = spark.range(100).selectExpr("'A' AS event_type", "id AS user_id")
+      .unionAll(spark.range(50, 150).selectExpr("'B' AS event_type", "id AS user_id"))
+      .unionAll(spark.range(4090, 4106).selectExpr("'C' AS event_type", "id AS user_id"))
+      .unionAll(spark.range(4090, 4106).selectExpr("'A' AS event_type", "id AS user_id"))
+      .unionAll(spark.range(1000000, 1000005).selectExpr("'D' AS event_type", "id AS user_id"))
+    val got = Bitmaps.bitmapOverlap(planted)
+      .collect().map(r => ((r.getString(0), r.getString(1)),
+        (r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got(("A", "B")) == ((116L, 100L, 50L)))
+    assert(got(("A", "C")) == ((116L, 16L, 16L))) // chunk-boundary straddle
+    assert(got(("A", "D")) == ((116L, 5L, 0L)))
+    assert(got(("B", "C")) == ((100L, 16L, 0L)))
+    assert(got.size == 6)
+
+    // Fixture: every pair matches the naive distinct-pair self-join.
+    val events = Tables.events(spark, dir)
+    val gotFix = Bitmaps.bitmapOverlap(events)
+      .collect().map(r => ((r.getString(0), r.getString(1)), r.getLong(4))).toMap
+    val tu = events.select(col("event_type"), col("user_id")).distinct()
+    val naive = tu.as("a").join(tu.as("b"),
+        col("a.user_id") === col("b.user_id") &&
+          col("a.event_type") < col("b.event_type"))
+      .groupBy(col("a.event_type"), col("b.event_type")).count()
+      .collect().map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap
+    naive.foreach { case (k, n) => assert(gotFix(k) == n, s"pair $k") }
+    assert(gotFix.values.count(_ > 0) == naive.size)
+  }
 }
