@@ -31,7 +31,7 @@ object SparkEntry {
       graft.ops.Curation.queries ++ graft.ops.Mixing.queries ++
       graft.ops.Quantize.queries ++ graft.functions.Sketches.queries ++
       graft.ops.Incremental.queries ++ graft.functions.Bitmaps.queries ++
-      graft.sources.AvroCodec.queries
+      graft.sources.AvroCodec.queries ++ graft.sources.Gavro.queries
 
   private def relational: Map[String, (SparkSession, String) => DataFrame] = Map(
     // S9 payload shape: the KPI frame serialized exactly as the Kafka sink
@@ -150,7 +150,8 @@ object SparkEntry {
     graft.ops.RegionLookup.oracleSql ++ graft.streaming.StreamJoins.oracleSql ++
     graft.ops.Curation.oracleSql ++ graft.ops.Mixing.oracleSql ++
     graft.functions.Sketches.oracleSql ++ graft.ops.Incremental.oracleSql ++
-    graft.functions.Bitmaps.oracleSql ++ graft.sources.AvroCodec.oracleSql
+    graft.functions.Bitmaps.oracleSql ++ graft.sources.AvroCodec.oracleSql ++
+    graft.sources.Gavro.oracleSql
 
   private def relationalOracle: Map[String, String] = Map(
     "pricing_summary" ->

@@ -168,6 +168,7 @@ object AvroCodec {
     }
     def readBoolean(): Boolean = { need(1); val b = bytes(pos); pos += 1
       if (b != 0 && b != 1) throw new IllegalArgumentException("bad boolean"); b == 1 }
+    def skip(n: Int): Unit = { need(n); pos += n }
   }
 
   /** Encode one record from Spark-internal field values (UTF8String for
@@ -221,6 +222,41 @@ object AvroCodec {
       }
       new GenericInternalRow(out)
     } catch { case _: IllegalArgumentException | _: ArrayIndexOutOfBoundsException => null }
+
+  /** Decode with column pruning pushed INTO the parse: `target(i)` is the
+    * output ordinal for record field i, or -1 to skip — skipped values are
+    * parsed past (Avro has no field offsets; the wire must be walked) but
+    * never materialized: no UTF8String allocation, no boxing. Null on
+    * malformed input (PERMISSIVE), like [[decode]]. */
+  def decodeProjected(r: ARecord, bytes: Array[Byte], target: Array[Int],
+      outWidth: Int): InternalRow =
+    try {
+      val in = new Reader(bytes)
+      val out = new Array[Any](outWidth)
+      var i = 0
+      while (i < r.fields.length) {
+        val tgt = target(i)
+        if (tgt >= 0) out(tgt) = readValue(in, r.fields(i).tpe)
+        else skipValue(in, r.fields(i).tpe)
+        i += 1
+      }
+      new GenericInternalRow(out)
+    } catch { case _: IllegalArgumentException | _: ArrayIndexOutOfBoundsException => null }
+
+  private def skipValue(in: Reader, t: AvroType): Unit = t match {
+    case AUnion(bs) =>
+      val idx = in.readLong()
+      if (idx < 0 || idx >= bs.length) throw new IllegalArgumentException("bad union index")
+      skipValue(in, bs(idx.toInt))
+    case ALong | AInt | ATimestampMillis => in.readLong(); ()
+    case ADouble => in.skip(8)
+    case ABoolean => in.readBoolean(); ()
+    case AString =>
+      val n = in.readLong()
+      if (n < 0 || n > Int.MaxValue) throw new IllegalArgumentException("bad length")
+      in.skip(n.toInt)
+    case ANull => ()
+  }
 
   private def readValue(in: Reader, t: AvroType): Any = t match {
     case AUnion(bs) =>
@@ -306,9 +342,11 @@ object AvroCodec {
     * and that corrupt payloads null out whole-record, exactly the
     * reference's PERMISSIVE contract.
     */
-  def avroRoundtrip(events: DataFrame): DataFrame = {
+  /** Deterministic request_log synthesis from the events fixture — shared
+    * by the in-plan round-trip query and the gavro file-source fixtures. */
+  def requestLogRec: org.apache.spark.sql.Column = {
     val m5 = pmod(col("user_id"), lit(5))
-    val rec = struct(
+    struct(
       col("event_id").as("id"),
       concat(lit("/api/"), col("event_type")).as("endpoint"),
       when(pmod(col("user_id"), lit(2)) === 0, "GET").otherwise("POST").as("method"),
@@ -325,8 +363,11 @@ object AvroCodec {
         .when(pmod(col("user_id"), lit(3)) === 1, "ios")
         .otherwise("android").as("platform"),
       col("ts").as("created_at"))
+  }
+
+  def avroRoundtrip(events: DataFrame): DataFrame = {
     events
-      .select(col("event_id"), rec.as("rec"))
+      .select(col("event_id"), requestLogRec.as("rec"))
       .select(col("event_id"), expr("to_avro_graft(rec, 'request_log')").as("bin"))
       .select(col("event_id"),
         when(pmod(col("event_id"), lit(13)) === 0, expr("substring(bin, 1, 3)"))

@@ -1,0 +1,108 @@
+package graft
+
+import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+import org.apache.spark.sql.functions._
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.sources.{AvroCodec, Gavro, Tables}
+
+/** The `gavro` DataSource V2 connector: write/read round-trip, per-file
+  * partition planning, column pruning pushed into the decoder, and the
+  * PERMISSIVE all-null contract for corrupt record bodies. */
+class GavroSourceSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def tmpDir(tag: String): String = {
+    val d = java.nio.file.Files.createTempDirectory(s"gavro_$tag").toFile
+    d.deleteOnExit()
+    d.getAbsolutePath
+  }
+
+  test("write then scan round-trips every field of every record") {
+    val events = Tables.events(spark, dir)
+    val out = tmpDir("roundtrip")
+    Gavro.write(events.select(AvroCodec.requestLogRec.as("rec"))
+      .select(expr("to_avro_graft(rec, 'request_log')").as("bin")), out)
+
+    val scanned = spark.read.format("gavro")
+      .option("schema", "request_log").load(out)
+    // Full-width read equals the in-plan synthesis — with created_at
+    // truncated to the wire's millis grain (the codec's documented
+    // timestamp-millis contract, not connector loss).
+    val expected = events.select(AvroCodec.requestLogRec.as("rec"))
+      .select(col("rec.*"))
+      .withColumn("created_at",
+        expr("timestamp_micros(unix_millis(created_at) * 1000)"))
+    val sCols = scanned.columns.sorted.toSeq
+    assert(sCols == expected.columns.sorted.toSeq)
+    val key = (r: org.apache.spark.sql.Row) => r.getAs[Long]("id")
+    val got = scanned.collect().map(r => key(r) -> r.toString).toMap
+    val want = expected.collect().map(r => key(r) -> r.toString).toMap
+    assert(got.size == want.size)
+    // Row content equality needs stable column order within the row:
+    // compare on the re-selected canonical order.
+    val gotC = scanned.select(expected.columns.map(col).toIndexedSeq: _*)
+      .collect().map(_.toString).sorted.toSeq
+    val wantC = expected.collect().map(_.toString).sorted.toSeq
+    assert(gotC == wantC)
+  }
+
+  test("one input partition per file; pruned ReadSchema reaches the scan") {
+    val events = Tables.events(spark, dir)
+    val out = tmpDir("prune")
+    Gavro.write(events.repartition(4)
+      .select(AvroCodec.requestLogRec.as("rec"))
+      .select(expr("to_avro_graft(rec, 'request_log')").as("bin")), out)
+    assert(new java.io.File(out).listFiles()
+      .count(_.getName.endsWith(".gavro")) == 4)
+
+    val pruned = spark.read.format("gavro")
+      .option("schema", "request_log").load(out)
+      .select(col("endpoint"), col("status_code"))
+    val scans = pruned.queryExecution.executedPlan.collect {
+      case b: BatchScanExec => b
+    }
+    assert(scans.nonEmpty, pruned.queryExecution.executedPlan.toString)
+    // Catalyst pruned 11 columns to 2, and the connector received it.
+    assert(scans.head.scan.readSchema().fieldNames.toSeq ==
+      Seq("endpoint", "status_code"))
+    assert(scans.head.inputRDD.getNumPartitions == 4)
+    // The pruned read still computes correct values.
+    val n500 = pruned.filter(col("status_code") === 500).count()
+    val expected500 = events.filter(pmod(col("event_id"), lit(7)) === 0).count()
+    assert(n500 == expected500)
+  }
+
+  test("corrupt record bodies surface as all-null rows, count preserved") {
+    val out = tmpDir("corrupt")
+    val vals: Array[Any] = Array(3L, UTF8String.fromString("ab"),
+      UTF8String.fromString("c"), 1.5, 1000000L)
+    val good = AvroCodec.encode(AvroCodec.SystemMetrics, vals(_), _ => false)
+    val corrupt = Array[Byte](0x06, 0x01) // id=3, then negative string length
+    val f = new java.io.File(out, "part-00000.gavro")
+    val os = new java.io.FileOutputStream(f)
+    try Seq(good, corrupt).foreach { b =>
+      os.write(Array[Byte]((b.length >>> 24).toByte, (b.length >>> 16).toByte,
+        (b.length >>> 8).toByte, b.length.toByte))
+      os.write(b)
+    } finally os.close()
+
+    val rows = spark.read.format("gavro")
+      .option("schema", "system_metrics").load(out)
+      .collect()
+    assert(rows.length == 2)
+    val (bad, ok) = rows.partition(_.isNullAt(0))
+    assert(ok.length == 1 && ok.head.getAs[String]("node_name") == "ab")
+    assert(bad.length == 1 && (0 until bad.head.length).forall(bad.head.isNullAt))
+  }
+
+  test("the registered aggregate query matches its oracle shape") {
+    val df = Gavro.gavroScan(spark, dir)
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    assert(df.columns.toSeq == Seq("endpoint", "n", "sum_status"))
+    val total = rows.map(_.getAs[Long]("n")).sum
+    assert(total == Tables.events(spark, dir).count())
+  }
+}
