@@ -583,17 +583,26 @@ object Dedup {
     * needs a second pass with a different key, e.g. a sorted-neighborhood
     * or phonetic key).
     *
-    * Scale shape: the self-join keys on the block prefix (high cardinality,
-    * cap-bounded fan-out), and `levenshtein` runs codegen'd on O(block²)
-    * SHORT strings per block — never on document bodies. Everything else is
-    * one explode-free projection per side.
+    * Exact-duplicate titles collapse to their min-doc_id representative
+    * BEFORE pairing — the production ordering (exact dedup runs upstream;
+    * distance-0 pairs are reconstructable from the groups), and the scale
+    * guard the 50× smoke demanded: a web corpus where every title repeats
+    * 50× otherwise spends its time emitting C(50,2) distance-0 pairs per
+    * group — 783 s at 250k docs; seconds once pairs are per DISTINCT
+    * title. Emitted distances are therefore always ≥ 1.
+    *
+    * Scale shape: the self-join keys on the block prefix over distinct
+    * titles (high cardinality, cap-bounded fan-out), and `levenshtein`
+    * runs codegen'd on O(block²) SHORT strings per block — never on
+    * document bodies.
     */
   def fuzzyTitlePairs(documents: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val blocked = typoCorpus(documents)
+    val reps = typoCorpus(documents)
+      .groupBy(col("title")).agg(min(col("doc_id")).as("doc_id"))
+    val capped = reps
       .withColumn("blk",
         expr(s"array_join(slice(split(title, ' '), 1, $BlockTokens), ' ')"))
-    val capped = blocked
       .withColumn("block_n", count(lit(1)).over(Window.partitionBy(col("blk"))))
       .filter(col("block_n") <= MaxBucketSize)
     capped.as("a").join(capped.as("b"),
@@ -687,10 +696,12 @@ object Dedup {
          |  UNION ALL
          |  SELECT doc_id + $TypoOffset, substr(title, 1, len(title) - 1) || 'x'
          |  FROM base WHERE doc_id % $TypoMod = 0 AND len(title) >= 5
+         |), reps AS (
+         |  SELECT title, min(doc_id) AS doc_id FROM corpus GROUP BY title
          |), blocked AS (
          |  SELECT doc_id, title,
          |    array_to_string(string_split(title, ' ')[1:$BlockTokens], ' ') AS blk
-         |  FROM corpus
+         |  FROM reps
          |), capped AS (
          |  SELECT doc_id, title, blk FROM (
          |    SELECT *, count(*) OVER (PARTITION BY blk) AS block_n FROM blocked)

@@ -262,16 +262,19 @@ class DedupSpec extends SparkSpec {
       (20L, "alpha beta gamma delta epsilon zeta eta theta"),
       // Same block ("alpha beta") but 3 whole tokens differ — past MaxEdit.
       (21L, "alpha beta XXXX YYYY ZZZZ WWWW other tokens"),
-      // Identical first-6-token title as 22 → distance 0 pair (22, 23).
+      // Identical first-6-token titles → ONE representative (22), no
+      // distance-0 pair: exact-dup titles collapse before pairing.
       (22L, "same title here for both docs one"),
       (23L, "same title here for both docs two"),
+      // ...but a typo'd variant of that shared title pairs with the REP.
+      (25L, "same title here for both docz five"),
       // Different block entirely: no pairs.
       (24L, "unrelated opening words that block nothing")).toDF("doc_id", "text")
     val pairs = Dedup.fuzzyTitlePairs(fixture)
       .collect()
       .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
         r.getAs[Long]("edit_dist"))).toSet
-    assert(pairs == Set((20L, 40020L, 1L), (22L, 23L, 0L)))
+    assert(pairs == Set((20L, 40020L, 1L), (22L, 25L, 1L)))
 
     // The same typo'd pair through the token-set lens: Jaccard 5/7 < 19/20,
     // so the exact set-similarity join correctly (and uselessly, for this

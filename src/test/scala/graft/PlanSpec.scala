@@ -139,6 +139,36 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("NestedLoop"), p.take(2000))
   }
 
+  test("bloom decontamination probes map-side: might_contain above the scan, semi-join verify") {
+    val p = plan("contamination_bloom")
+    // The collected sketch probes as a codegen'd filter (foldable binary
+    // literal → deserialize-once), and only survivors reach the exact
+    // verify semi-join. No nested loop anywhere.
+    assert(p.contains("might_contain") || p.contains("BloomFilterMightContain"),
+      p.take(3000))
+    assert(p.contains("LeftSemi"), p.take(3000))
+    assert(!p.contains("NestedLoop"), p.take(3000))
+  }
+
+  test("bitmap overlap joins word-aligned — no cartesian over users or types") {
+    val p = plan("bitmap_overlap")
+    // The T^2 pair space materializes only on the tiny totals side; the
+    // word table joins equi on (chunk, slot). User-grain rows never
+    // self-join.
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+    assert(p.contains("HashAggregate") || p.contains("ObjectHashAggregate"),
+      p.take(3000))
+  }
+
+  test("fuzzy title pairs: distinct-title reps before the blocked self-join") {
+    val p = plan("dedup_fuzzy_title")
+    // The exact-dup collapse (groupBy title → min doc_id) must sit below
+    // the pair join — the 50x-smoke lesson: without it a 50x-replicated
+    // corpus spends 13 minutes emitting distance-0 pairs.
+    assert(p.contains("levenshtein"), p.take(3000))
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"), p.take(3000))
+  }
+
   test("line dedup anti-joins against a broadcast boilerplate set") {
     val p = plan("line_dedup")
     assert(p.contains("LeftAnti") && p.contains("BroadcastExchange"), p.take(2000))
