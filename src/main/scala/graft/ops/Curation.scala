@@ -453,6 +453,67 @@ object Curation {
       .orderBy(col("stage"))
   }
 
+  // ------------------------------------------------- Gopher quality ruleset
+
+  /** Stopword list for the presence rule (Rae et al. 2021 use an 8-word
+    * English function-word list; same shape here). */
+  private val GopherStops = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** Plants for the two rules the raw fixture cannot discriminate (every
+    * token is alphabetic): every 13th doc gains 1-3 `#` tokens plus a
+    * `...`, every 5th two numeric tokens. Pure string arithmetic both
+    * engines compute identically — the paraCorpus/typoCorpus pattern.
+    */
+  private def gopherCorpus(documents: DataFrame): DataFrame =
+    documents.select(col("doc_id"),
+      concat(col("text"),
+        when(pmod(col("doc_id"), lit(13)) === 0,
+          concat(lit(" "),
+            array_join(array_repeat(lit("#"),
+              (pmod(col("doc_id"), lit(3)) + 1).cast("int")), " "),
+            lit(" ..."))).otherwise(lit("")),
+        when(pmod(col("doc_id"), lit(5)) === 0,
+          concat(lit(" "), (col("doc_id") * col("doc_id")).cast("string"),
+            lit(" 42"))).otherwise(lit(""))).as("text"))
+
+  /** The Gopher quality ruleset (Rae et al. 2021, arXiv:2112.11446 §A1.1)
+    * with thresholds scaled to the fixture corpus: word-count bounds,
+    * mean-word-length bounds, symbol-to-word ratio, alphabetic-word
+    * fraction, and stopword presence.
+    *
+    * Every rule is an integer cross-multiplied comparison (`4·n ≤ Σlen`
+    * instead of `Σlen/n ≥ 4.0`), so both engines decide each gate on
+    * exact integer arithmetic — no double division anywhere near the
+    * oracle hash. Map-side only: the whole ruleset is one codegen'd
+    * projection per document, zero shuffles except the presentation
+    * sort — at 100 TB this runs at scan throughput and composes with
+    * [[curationFunnel]] as another pushed-down gate.
+    */
+  def gopherQuality(documents: DataFrame): DataFrame =
+    gopherCorpus(documents)
+      .select(col("doc_id"), col("text"), toks().as("tk"))
+      .select(col("doc_id"),
+        size(col("tk")).cast("long").as("n_words"),
+        expr("aggregate(tk, 0L, (a, w) -> a + length(w))").as("sum_word_len"),
+        (expr("length(text) - length(replace(text, '#', ''))") +
+          expr("(length(text) - length(replace(text, '...', ''))) div 3"))
+          .cast("long").as("n_symbols"),
+        size(expr("filter(tk, w -> w rlike '[a-z]')")).cast("long").as("n_alpha"),
+        size(array_intersect(col("tk"),
+          array(GopherStops.map(lit): _*))).cast("long").as("n_stop"))
+      .select(col("doc_id"), col("n_words"), col("sum_word_len"),
+        col("n_symbols"), col("n_alpha"), col("n_stop"),
+        (col("n_words") >= 20 && col("n_words") <= 90).as("words_ok"),
+        (lit(4) * col("n_words") <= col("sum_word_len") &&
+          col("sum_word_len") <= lit(5) * col("n_words")).as("mean_len_ok"),
+        (lit(20) * col("n_symbols") <= col("n_words")).as("symbol_ok"),
+        (lit(10) * col("n_alpha") >= lit(9) * col("n_words")).as("alpha_ok"),
+        (col("n_stop") >= 1).as("stop_ok"))
+      .withColumn("keep",
+        col("words_ok") && col("mean_len_ok") && col("symbol_ok") &&
+          col("alpha_ok") && col("stop_ok"))
+      .orderBy(col("doc_id"))
+
   // ---------------------------------------------------------------- registry
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -466,6 +527,7 @@ object Curation {
     "contamination_bloom" -> ((s, d) => contaminationBloom(Tables.documents(s, d))),
     "length_histogram" -> ((s, d) => lengthHistogram(Tables.documents(s, d))),
     "incremental_dedup" -> ((s, d) => incrementalDedup(Tables.documents(s, d))),
+    "gopher_quality" -> ((s, d) => gopherQuality(Tables.documents(s, d))),
   )
 
   private val contaminationSql =
@@ -681,5 +743,40 @@ object Curation {
         |FROM arrivals
         |WHERE sha256(lower(trim(text))) NOT IN (SELECT text_hash FROM prior)
         |ORDER BY doc_id""".stripMargin,
+    "gopher_quality" ->
+      s"""WITH g AS (
+         |  SELECT doc_id,
+         |    text ||
+         |    CASE WHEN doc_id % 13 = 0
+         |      THEN ' ' || array_to_string(list_transform(
+         |        generate_series(1, (doc_id % 3 + 1)::INT), i -> '#'), ' ') || ' ...'
+         |      ELSE '' END ||
+         |    CASE WHEN doc_id % 5 = 0
+         |      THEN ' ' || (doc_id * doc_id)::VARCHAR || ' 42' ELSE '' END AS text
+         |  FROM documents
+         |), m AS (
+         |  SELECT doc_id,
+         |    len(string_split(text, ' '))::BIGINT AS n_words,
+         |    list_sum(list_transform(string_split(text, ' '), w -> len(w)))::BIGINT
+         |      AS sum_word_len,
+         |    (len(text) - len(replace(text, '#', ''))
+         |      + (len(text) - len(replace(text, '...', ''))) // 3)::BIGINT AS n_symbols,
+         |    len(list_filter(string_split(text, ' '),
+         |      w -> regexp_matches(w, '[a-z]')))::BIGINT AS n_alpha,
+         |    len(list_intersect(string_split(text, ' '),
+         |      ['the', 'be', 'to', 'of', 'and', 'that', 'have', 'with']))::BIGINT AS n_stop
+         |  FROM g
+         |)
+         |SELECT doc_id, n_words, sum_word_len, n_symbols, n_alpha, n_stop,
+         |  (n_words >= 20 AND n_words <= 90) AS words_ok,
+         |  (4 * n_words <= sum_word_len AND sum_word_len <= 5 * n_words) AS mean_len_ok,
+         |  (20 * n_symbols <= n_words) AS symbol_ok,
+         |  (10 * n_alpha >= 9 * n_words) AS alpha_ok,
+         |  (n_stop >= 1) AS stop_ok,
+         |  ((n_words >= 20 AND n_words <= 90)
+         |    AND (4 * n_words <= sum_word_len AND sum_word_len <= 5 * n_words)
+         |    AND (20 * n_symbols <= n_words) AND (10 * n_alpha >= 9 * n_words)
+         |    AND (n_stop >= 1)) AS keep
+         |FROM m ORDER BY doc_id""".stripMargin,
   )
 }

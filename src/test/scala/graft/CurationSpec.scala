@@ -118,6 +118,29 @@ class CurationSpec extends SparkSpec {
     assert(out.sameElements(Array(3L)))
   }
 
+  test("gopher quality gates each rule on exact integer arithmetic") {
+    // Base corpus: 19×"alpha" + "the" (n=20, Σlen=98 → mean in [4,5]).
+    val base = (Seq.fill(19)("alpha") :+ "the").mkString(" ")
+    val out = Curation.gopherQuality(docs(
+      1L -> base, // no plants: every gate passes
+      2L -> "beta gamma the", // too short: words_ok false
+      13L -> base, // symbol plant: 2×'#' + '...' appended
+      5L -> base)) // numeric plant: '25 42' appended, survives alpha 90%
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out(1L).getAs[Long]("n_words") == 20 &&
+      out(1L).getAs[Long]("sum_word_len") == 98 &&
+      out(1L).getAs[Boolean]("keep"))
+    assert(!out(2L).getAs[Boolean]("words_ok") && !out(2L).getAs[Boolean]("keep"))
+    // 13 % 3 = 1 → two '#' tokens plus one '...': 3 symbols over 23 words.
+    assert(out(13L).getAs[Long]("n_words") == 23 &&
+      out(13L).getAs[Long]("n_symbols") == 3 &&
+      !out(13L).getAs[Boolean]("symbol_ok") &&
+      !out(13L).getAs[Boolean]("alpha_ok") && !out(13L).getAs[Boolean]("keep"))
+    // Two numeric tokens over 22 words: 10·20 ≥ 9·22 keeps alpha_ok true.
+    assert(out(5L).getAs[Long]("n_alpha") == 20 &&
+      out(5L).getAs[Boolean]("alpha_ok") && out(5L).getAs[Boolean]("keep"))
+  }
+
   test("length histogram bins by 16-token widths per source") {
     import spark.implicits._
     val df = Seq(("web", (1 to 5).map(_ => "t").mkString(" ")),
