@@ -514,6 +514,90 @@ object Curation {
           col("alpha_ok") && col("stop_ok"))
       .orderBy(col("doc_id"))
 
+  // ------------------------------------------------------ HTML/markup strip
+
+  /** Markup plants: every 3rd doc is wrapped in HTML scaffolding (heading,
+    * paragraph tags, a nav block), every 9th gains escaped entities — the
+    * fixture is plain prose, so the markup the stripper must remove is
+    * planted with string arithmetic both engines replay identically.
+    */
+  private def htmlCorpus(documents: DataFrame): DataFrame =
+    documents
+      .select(col("doc_id"),
+        when(pmod(col("doc_id"), lit(3)) === 0,
+          concat(lit("<html><body><h1>Doc "), col("doc_id").cast("string"),
+            lit("</h1><p>"), col("text"),
+            lit("</p><div class=\"nav\">Home | About | Contact</div></body></html>")))
+          .otherwise(col("text")).as("raw"))
+      .select(col("doc_id"),
+        when(pmod(col("doc_id"), lit(9)) === 0,
+          concat(col("raw"), lit(" Terms &amp; Conditions &lt;tbd&gt;")))
+          .otherwise(col("raw")).as("raw"))
+
+  private val TagRe = "<[^>]+>"
+
+  /** HTML/boilerplate strip (the Dolma/CCNet extraction step): remove tags,
+    * unescape the common entities, collapse whitespace, and report the tag
+    * count so markup density is filterable downstream. Tags are stripped
+    * BEFORE entities are unescaped, so an escaped literal like `&lt;tbd&gt;`
+    * correctly survives as text rather than being eaten as a tag.
+    *
+    * Pure map-side regex/replace work over a narrow projection — at 100 TB
+    * this runs at scan throughput with zero shuffles (the presentation sort
+    * is the only exchange, and only for the oracle's determinism).
+    */
+  def htmlStrip(documents: DataFrame): DataFrame =
+    htmlCorpus(documents)
+      .select(col("doc_id"),
+        size(regexp_extract_all(col("raw"), lit(TagRe), lit(0))).cast("long")
+          .as("n_tags"),
+        // order matters: strip tags first, then unescape entities, so an
+        // escaped literal like &lt;tbd&gt; survives as text
+        trim(regexp_replace(
+          replace(replace(replace(
+            regexp_replace(col("raw"), TagRe, " "),
+            lit("&amp;"), lit("&")), lit("&lt;"), lit("<")), lit("&gt;"), lit(">")),
+          " {2,}", " ")).as("clean_text"))
+      .withColumn("is_markup", col("n_tags") >= 1)
+      .orderBy(col("doc_id"))
+
+  // ------------------------------------------------------- encoding quality
+
+  /** Encoding plants: every 17th doc gains 1-3 U+FFFD replacement chars
+    * (the mojibake signature of a mis-decoded byte stream), every 23rd two
+    * C0 control chars — both planted by arithmetic the oracle replays.
+    */
+  private def encCorpus(documents: DataFrame): DataFrame =
+    documents.select(col("doc_id"),
+      concat(col("text"),
+        when(pmod(col("doc_id"), lit(17)) === 0,
+          concat(lit(" "),
+            expr("repeat('�', cast(doc_id % 3 + 1 as int))")))
+          .otherwise(lit("")),
+        when(pmod(col("doc_id"), lit(23)) === 0,
+          concat(lit(" bell"), lit("\u0007"), lit("\u000e")))
+          .otherwise(lit(""))).as("text"))
+
+  /** Encoding QA (the UTF-8 sanity screen of Dolma/RefinedWeb): count
+    * U+FFFD replacement characters and C0 control characters per document
+    * and gate on exact integer counts. Replacement chars are counted by
+    * length-difference (no regex needed); control chars by a hex-escape
+    * character class passed as a literal column, so no SQL-string escaping
+    * ambiguity on either engine. Map-side only — scan throughput at 100 TB.
+    */
+  def encodingQa(documents: DataFrame): DataFrame =
+    encCorpus(documents)
+      .select(col("doc_id"),
+        (length(col("text")) -
+          length(replace(col("text"), lit("�"), lit("")))).cast("long")
+          .as("n_replacement"),
+        size(regexp_extract_all(col("text"),
+          lit("[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f]"), lit(0))).cast("long")
+          .as("n_ctrl"),
+        length(col("text")).cast("long").as("n_chars"))
+      .withColumn("utf_ok", col("n_replacement") === 0 && col("n_ctrl") === 0)
+      .orderBy(col("doc_id"))
+
   // ---------------------------------------------------------------- registry
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -528,6 +612,8 @@ object Curation {
     "length_histogram" -> ((s, d) => lengthHistogram(Tables.documents(s, d))),
     "incremental_dedup" -> ((s, d) => incrementalDedup(Tables.documents(s, d))),
     "gopher_quality" -> ((s, d) => gopherQuality(Tables.documents(s, d))),
+    "html_strip" -> ((s, d) => htmlStrip(Tables.documents(s, d))),
+    "encoding_qa" -> ((s, d) => encodingQa(Tables.documents(s, d))),
   )
 
   private val contaminationSql =
@@ -778,5 +864,40 @@ object Curation {
          |    AND (20 * n_symbols <= n_words) AND (10 * n_alpha >= 9 * n_words)
          |    AND (n_stop >= 1)) AS keep
          |FROM m ORDER BY doc_id""".stripMargin,
+    "html_strip" ->
+      """WITH raw AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 3 = 0 THEN
+        |      '<html><body><h1>Doc ' || doc_id::VARCHAR || '</h1><p>' || text ||
+        |      '</p><div class="nav">Home | About | Contact</div></body></html>'
+        |    ELSE text END ||
+        |    CASE WHEN doc_id % 9 = 0
+        |      THEN ' Terms &amp; Conditions &lt;tbd&gt;' ELSE '' END AS raw
+        |  FROM documents
+        |)
+        |SELECT doc_id,
+        |  len(regexp_extract_all(raw, '<[^>]+>'))::BIGINT AS n_tags,
+        |  trim(regexp_replace(
+        |    replace(replace(replace(regexp_replace(raw, '<[^>]+>', ' ', 'g'),
+        |      '&amp;', '&'), '&lt;', '<'), '&gt;', '>'),
+        |    ' {2,}', ' ', 'g')) AS clean_text,
+        |  len(regexp_extract_all(raw, '<[^>]+>')) >= 1 AS is_markup
+        |FROM raw ORDER BY doc_id""".stripMargin,
+    "encoding_qa" ->
+      """WITH t AS (
+        |  SELECT doc_id, text ||
+        |    CASE WHEN doc_id % 17 = 0
+        |      THEN ' ' || repeat(chr(65533), (doc_id % 3 + 1)::INT) ELSE '' END ||
+        |    CASE WHEN doc_id % 23 = 0
+        |      THEN ' bell' || chr(7) || chr(14) ELSE '' END AS text
+        |  FROM documents
+        |)
+        |SELECT doc_id,
+        |  (len(text) - len(replace(text, chr(65533), '')))::BIGINT AS n_replacement,
+        |  len(regexp_extract_all(text, '[\x00-\x08\x0b\x0c\x0e-\x1f]'))::BIGINT AS n_ctrl,
+        |  len(text)::BIGINT AS n_chars,
+        |  ((len(text) - len(replace(text, chr(65533), ''))) = 0 AND
+        |   len(regexp_extract_all(text, '[\x00-\x08\x0b\x0c\x0e-\x1f]')) = 0) AS utf_ok
+        |FROM t ORDER BY doc_id""".stripMargin,
   )
 }

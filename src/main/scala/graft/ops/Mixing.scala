@@ -145,13 +145,49 @@ object Mixing {
 
   // ---------------------------------------------------------------- registry
 
+  /** Weight denominator for [[weightedSample]]: keep probability is
+    * `min(n_tokens, cap) / 256`, so longer documents are proportionally
+    * more likely to be kept (token-mass-preserving subsampling). */
+  val WeightScale = 256L
+
+  /** Weighted Bernoulli sampling, probability proportional to document
+    * token count — the token-mass-preserving downsample used when a
+    * mixture calls for "α of this domain's tokens" rather than "α of its
+    * documents". Each doc draws a deterministic 32-bit uniform from
+    * md5(doc_id) and keeps iff `u32 / 2^32 < w / 256`, decided as the
+    * cross-multiplied integer comparison `u32 * 256 < w * 2^32` — exact
+    * BIGINT arithmetic on both engines (max value < 2^41), no RNG state,
+    * stable under reruns, re-partitioning, and speculative re-execution.
+    *
+    * Map-side only: one narrow projection + filter at scan throughput; the
+    * per-source audit of kept token mass is a separate rollup if needed.
+    */
+  def weightedSample(documents: DataFrame): DataFrame =
+    documents
+      .select(col("doc_id"), col("source"),
+        least(size(split(col("text"), " ")).cast("long"), lit(WeightScale - 64))
+          .as("w"),
+        expr("cast(conv(substring(md5(cast(doc_id as string)), 1, 8), 16, 10) as bigint)")
+          .as("u32"))
+      .filter(col("u32") * WeightScale < col("w") * lit(4294967296L))
+      .orderBy(col("doc_id"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "weighted_sample" -> ((s, d) => weightedSample(Tables.documents(s, d))),
     "domain_mix" -> ((s, d) => domainMix(Tables.documents(s, d))),
     "cms_heavy_hitters" -> ((s, d) => cmsHeavyHitters(Tables.documents(s, d))),
     "mix_plan" -> ((s, d) => mixPlan(Tables.documents(s, d))),
   )
 
   def oracleSql: Map[String, String] = Map(
+    "weighted_sample" ->
+      s"""SELECT doc_id, source, w, u32 FROM (
+         |  SELECT doc_id, source,
+         |    least(len(string_split(text, ' '))::BIGINT, ${WeightScale - 64}) AS w,
+         |    ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT AS u32
+         |  FROM documents)
+         |WHERE u32 * $WeightScale < w * 4294967296
+         |ORDER BY doc_id""".stripMargin,
     // The oracle rebuilds the IDENTICAL sketch (same md5 row hashes, same
     // depth×width, same cell-wise merge) and probes it — estimate equality
     // is exact, not a tolerance check.

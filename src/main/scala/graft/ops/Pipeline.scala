@@ -214,9 +214,44 @@ object Pipeline {
       .orderBy(col("doc_id"))
   }
 
+  /** Context-window chunk size/stride (tokens): 64-token chunks every 48
+    * tokens, i.e. 16 tokens of overlap between consecutive chunks. */
+  val ChunkTokens = 64
+  val ChunkStride = 48
+
+  /** Sliding-window document chunking — the context-length split that turns
+    * curated documents into fixed-size training sequences (overlap preserves
+    * cross-boundary n-grams). A doc of n tokens yields
+    * `1 + ceil(max(0, n - C) / S)` chunks; the last chunk is short rather
+    * than padded, and no chunk is ever fully contained in its predecessor.
+    *
+    * Shape at 100 TB: one generator-explode per document (output rows ≈
+    * n/S per doc) followed by map-side slicing/hashing — zero shuffles, no
+    * window functions, chunk rows inherit the scan's partitioning. Emits
+    * the chunk hash rather than the chunk text so the output stays narrow;
+    * the text itself is `slice(tk, start, C)` away when a writer needs it.
+    */
+  def docChunks(documents: DataFrame): DataFrame =
+    documents
+      .select(col("doc_id"), split(col("text"), " ").as("tk"))
+      .withColumn("n", size(col("tk")).cast("long"))
+      .withColumn("n_chunks", expr(
+        s"CASE WHEN n <= $ChunkTokens THEN 1L " +
+          s"ELSE 1L + (n - $ChunkTokens + $ChunkStride - 1) div $ChunkStride END"))
+      .select(col("doc_id"), col("tk"), col("n"),
+        explode(sequence(lit(0L), col("n_chunks") - 1)).as("chunk_idx"))
+      .withColumn("chunk",
+        slice(col("tk"), (col("chunk_idx") * ChunkStride + 1).cast("int"),
+          lit(ChunkTokens)))
+      .select(col("doc_id"), col("chunk_idx"),
+        size(col("chunk")).cast("long").as("n_tokens"),
+        md5(array_join(col("chunk"), " ")).as("chunk_hash"))
+      .orderBy(col("doc_id"), col("chunk_idx"))
+
   // ---------------------------------------------------------------- registry
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "doc_chunks" -> ((s, d) => docChunks(Tables.documents(s, d))),
     "quality_filter" -> ((s, d) => qualityFilter(Tables.documents(s, d))),
     "model_quality_score" -> ((s, d) => modelQualityScore(Tables.documents(s, d))),
     "stratified_sample" -> ((s, d) => stratifiedSample(Tables.documents(s, d))),
@@ -227,6 +262,28 @@ object Pipeline {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "doc_chunks" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, string_split(text, ' ') AS tk,
+         |    len(string_split(text, ' '))::BIGINT AS n
+         |  FROM documents
+         |), k AS (
+         |  SELECT doc_id, tk, n,
+         |    CASE WHEN n <= $ChunkTokens THEN 1
+         |    ELSE 1 + (n - $ChunkTokens + $ChunkStride - 1) // $ChunkStride
+         |    END AS n_chunks
+         |  FROM t
+         |), c AS (
+         |  SELECT doc_id, tk, n, unnest(generate_series(0, n_chunks - 1)) AS chunk_idx
+         |  FROM k
+         |)
+         |SELECT doc_id, chunk_idx::BIGINT AS chunk_idx,
+         |  len(tk[(chunk_idx * $ChunkStride + 1):least(chunk_idx * $ChunkStride + $ChunkTokens, n)])::BIGINT
+         |    AS n_tokens,
+         |  md5(array_to_string(
+         |    tk[(chunk_idx * $ChunkStride + 1):least(chunk_idx * $ChunkStride + $ChunkTokens, n)], ' '))
+         |    AS chunk_hash
+         |FROM c ORDER BY doc_id, chunk_idx""".stripMargin,
     "training_order" ->
       s"""SELECT doc_id, shard, pos FROM (
          |  SELECT doc_id, shard,

@@ -141,6 +141,37 @@ class CurationSpec extends SparkSpec {
       out(5L).getAs[Boolean]("alpha_ok") && out(5L).getAs[Boolean]("keep"))
   }
 
+  test("html strip removes planted tags and unescapes entities after stripping") {
+    val out = Curation.htmlStrip(docs(
+      1L -> "plain prose here",
+      3L -> "hello world",
+      9L -> "nine doc")) // wrapped (9 % 3 = 0) AND entity-suffixed
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out(1L).getAs[Long]("n_tags") == 0 &&
+      out(1L).getAs[String]("clean_text") == "plain prose here" &&
+      !out(1L).getAs[Boolean]("is_markup"))
+    assert(out(3L).getAs[Long]("n_tags") == 10 &&
+      out(3L).getAs[String]("clean_text") ==
+        "Doc 3 hello world Home | About | Contact")
+    // &lt;tbd&gt; unescapes to <tbd> AFTER tag-strip, so it survives as text
+    assert(out(9L).getAs[String]("clean_text") ==
+      "Doc 9 nine doc Home | About | Contact Terms & Conditions <tbd>")
+  }
+
+  test("encoding qa counts planted replacement and control chars exactly") {
+    val out = Curation.encodingQa(docs(
+      1L -> "clean text",
+      17L -> "mojibake doc", // 17 % 3 + 1 = 3 replacement chars
+      23L -> "bell doc", // 2 C0 control chars
+      0L -> "both doc")) // 1 replacement + 2 control
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out(1L).getAs[Long]("n_replacement") == 0 &&
+      out(1L).getAs[Long]("n_ctrl") == 0 && out(1L).getAs[Boolean]("utf_ok"))
+    assert(out(17L).getAs[Long]("n_replacement") == 3 && !out(17L).getAs[Boolean]("utf_ok"))
+    assert(out(23L).getAs[Long]("n_ctrl") == 2 && !out(23L).getAs[Boolean]("utf_ok"))
+    assert(out(0L).getAs[Long]("n_replacement") == 1 && out(0L).getAs[Long]("n_ctrl") == 2)
+  }
+
   test("length histogram bins by 16-token widths per source") {
     import spark.implicits._
     val df = Seq(("web", (1 to 5).map(_ => "t").mkString(" ")),

@@ -48,4 +48,21 @@ class MixingSpec extends SparkSpec {
     val common = rows.find(_.getAs[String]("tok") == "common").get
     assert(common.getAs[Long]("exact_n") == 1000L)
   }
+  test("weighted sample keeps exactly the docs whose u32 clears the weight threshold") {
+    import spark.implicits._
+    val docs = (1 to 100).map(i =>
+      (i.toLong, (1 to i).map(_ => "w").mkString(" "), "en", "s", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    def u32(id: Long): Long = java.lang.Long.parseLong(
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 8), 16)
+    val expect = (1 to 100).filter { i =>
+      u32(i) * 256L < math.min(i.toLong, 192L) * 4294967296L
+    }.map(_.toLong).toSet
+    val got = Mixing.weightedSample(docs).collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(got == expect && expect.nonEmpty && expect.size < 100)
+    // short docs are kept with probability ~ i/256: doc 1 almost surely out
+    assert(!got.contains(1L) || u32(1L) < 4294967296L / 256L)
+  }
 }

@@ -220,4 +220,25 @@ class PipelineSpec extends SparkSpec {
     assert(fromFiles == fromQuery)
     assert(fromQuery.nonEmpty)
   }
+  test("doc chunks slide a 64/48 window with a short final chunk") {
+    import spark.implicits._
+    // 70 tokens -> 2 chunks (64 then 22 starting at token 49);
+    // 64 -> exactly 1; 10 -> 1 short; 160 -> 3 (64, 64, 64 at starts 0/48/96).
+    val docs = Seq(70, 64, 10, 160).zipWithIndex.map { case (n, i) =>
+      ((i + 1).toLong, (1 to n).map(t => s"t$t").mkString(" "), "en", "s", 0L)
+    }.toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = Pipeline.docChunks(docs).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("chunk_idx")) ->
+        r.getAs[Long]("n_tokens")).toMap
+    assert(out == Map((1L, 0L) -> 64L, (1L, 1L) -> 22L, (2L, 0L) -> 64L,
+      (3L, 0L) -> 10L, (4L, 0L) -> 64L, (4L, 1L) -> 64L, (4L, 2L) -> 64L))
+    // overlap invariant: chunk 1 of doc 1 starts at token 49, inside chunk 0
+    val h = Pipeline.docChunks(docs).collect()
+      .find(r => r.getAs[Long]("doc_id") == 1L && r.getAs[Long]("chunk_idx") == 1L).get
+      .getAs[String]("chunk_hash")
+    val expect = java.security.MessageDigest.getInstance("MD5")
+      .digest((49 to 70).map(t => s"t$t").mkString(" ").getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    assert(h == expect)
+  }
 }
