@@ -31,7 +31,8 @@ object SparkEntry {
       graft.ops.Curation.queries ++ graft.ops.Mixing.queries ++
       graft.ops.Quantize.queries ++ graft.functions.Sketches.queries ++
       graft.ops.Incremental.queries ++ graft.functions.Bitmaps.queries ++
-      graft.sources.AvroCodec.queries ++ graft.sources.Gavro.queries
+      graft.sources.AvroCodec.queries ++ graft.sources.Gavro.queries ++
+      graft.ops.Graph.queries
 
   private def relational: Map[String, (SparkSession, String) => DataFrame] = Map(
     // S9 payload shape: the KPI frame serialized exactly as the Kafka sink
@@ -151,7 +152,7 @@ object SparkEntry {
     graft.ops.Curation.oracleSql ++ graft.ops.Mixing.oracleSql ++
     graft.functions.Sketches.oracleSql ++ graft.ops.Incremental.oracleSql ++
     graft.functions.Bitmaps.oracleSql ++ graft.sources.AvroCodec.oracleSql ++
-    graft.sources.Gavro.oracleSql
+    graft.sources.Gavro.oracleSql ++ graft.ops.Graph.oracleSql
 
   private def relationalOracle: Map[String, String] = Map(
     "pricing_summary" ->

@@ -391,6 +391,45 @@ object Similarity {
 
   // ---------------------------------------------------------------- registry
 
+  // ------------------------------------------------- JL random projection
+
+  /** Projected dimensionality for [[embeddingProject]]. */
+  private val ProjDims = 8
+  private val EmbDim = 64
+
+  /** Rademacher sign matrix s[j][i] in {+1,-1}, derived from md5 parity of
+    * the public string "j:i" — seedless, regenerable bit-for-bit by any
+    * engine (the oracle recomputes the same md5 in SQL). */
+  private[ops] def signRow(j: Int): IndexedSeq[Double] = (0 until EmbDim).map { i =>
+    val h = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$j:$i".getBytes("UTF-8"))
+    if (((h(0) >> 4) & 0xf) % 2 == 0) 1.0 else -1.0
+  }
+
+  /** Johnson-Lindenstrauss random projection 64 -> 8 dims with a Rademacher
+    * (+/-1) matrix: the standard cheap dimensionality reduction before
+    * clustering / coarse filtering, preserving pairwise distances within
+    * (1 +/- eps) whp. The matrix is a PLAN LITERAL (md5-derived, so the
+    * oracle regenerates it): at 100 TB it ships inside the serialized plan
+    * to every executor — no broadcast join, no shuffle, pure map-side
+    * whole-stage-codegen arithmetic at scan throughput.
+    *
+    * Each output coordinate is a left-fold sum of exact +/-v_i terms, so
+    * both engines produce bit-identical doubles; the emitted value is
+    * floor(1e4 * x) as BIGINT (floor of bit-identical doubles is exact on
+    * the oracle hash, where decimal rounding is not).
+    */
+  def embeddingProject(embeddings: DataFrame): DataFrame = {
+    val emb = embDouble(embeddings)
+    val projCols = (0 until ProjDims).map { j =>
+      val arr = signRow(j).map(s => if (s > 0) "1.0D" else "-1.0D").mkString(",")
+      expr(s"cast(floor(10000 * aggregate(zip_with(v, array($arr), " +
+        s"(x, s) -> x * s), cast(0 as double), (acc, x) -> acc + x)) as bigint)")
+        .as(s"p$j")
+    }
+    emb.select(col("vec_id") +: projCols: _*).orderBy(col("vec_id"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_cosine_topk" -> ((s, d) => cosineTopK(Tables.embeddings(s, d))),
     "ann_lsh_topk" -> ((s, d) => annLshTopK(Tables.embeddings(s, d))),
@@ -399,6 +438,7 @@ object Similarity {
     "embedding_near_dup" -> ((s, d) => embeddingNearDup(Tables.embeddings(s, d))),
     "semantic_dedup" -> ((s, d) => semanticDedup(Tables.embeddings(s, d))),
     "embedding_stats" -> ((s, d) => embeddingStats(Tables.embeddings(s, d))),
+    "embedding_project" -> ((s, d) => embeddingProject(Tables.embeddings(s, d))),
   )
 
   /** DuckDB oracle mirrors the same left-fold dot product (list_reduce with
@@ -411,6 +451,18 @@ object Similarity {
     s"${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)}))"
 
   def oracleSql: Map[String, String] = Map(
+    "embedding_project" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+        |SELECT vec_id,
+        |  floor(10000 * list_reduce([0.0::DOUBLE] || list_transform(range(1, 65), i -> v[i] * CASE WHEN ('0x' || substr(md5('0:' || (i-1)::VARCHAR), 1, 1))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END), (acc, x) -> acc + x))::BIGINT AS p0,
+        |  floor(10000 * list_reduce([0.0::DOUBLE] || list_transform(range(1, 65), i -> v[i] * CASE WHEN ('0x' || substr(md5('1:' || (i-1)::VARCHAR), 1, 1))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END), (acc, x) -> acc + x))::BIGINT AS p1,
+        |  floor(10000 * list_reduce([0.0::DOUBLE] || list_transform(range(1, 65), i -> v[i] * CASE WHEN ('0x' || substr(md5('2:' || (i-1)::VARCHAR), 1, 1))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END), (acc, x) -> acc + x))::BIGINT AS p2,
+        |  floor(10000 * list_reduce([0.0::DOUBLE] || list_transform(range(1, 65), i -> v[i] * CASE WHEN ('0x' || substr(md5('3:' || (i-1)::VARCHAR), 1, 1))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END), (acc, x) -> acc + x))::BIGINT AS p3,
+        |  floor(10000 * list_reduce([0.0::DOUBLE] || list_transform(range(1, 65), i -> v[i] * CASE WHEN ('0x' || substr(md5('4:' || (i-1)::VARCHAR), 1, 1))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END), (acc, x) -> acc + x))::BIGINT AS p4,
+        |  floor(10000 * list_reduce([0.0::DOUBLE] || list_transform(range(1, 65), i -> v[i] * CASE WHEN ('0x' || substr(md5('5:' || (i-1)::VARCHAR), 1, 1))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END), (acc, x) -> acc + x))::BIGINT AS p5,
+        |  floor(10000 * list_reduce([0.0::DOUBLE] || list_transform(range(1, 65), i -> v[i] * CASE WHEN ('0x' || substr(md5('6:' || (i-1)::VARCHAR), 1, 1))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END), (acc, x) -> acc + x))::BIGINT AS p6,
+        |  floor(10000 * list_reduce([0.0::DOUBLE] || list_transform(range(1, 65), i -> v[i] * CASE WHEN ('0x' || substr(md5('7:' || (i-1)::VARCHAR), 1, 1))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END), (acc, x) -> acc + x))::BIGINT AS p7
+        |FROM e ORDER BY vec_id""".stripMargin,
     "ann_cosine_topk" ->
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
          |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < $NumQueries),

@@ -1,0 +1,50 @@
+package graft
+
+import graft.ops.Graph
+
+/** Fixed-point PageRank pinned against an independent in-test reference. */
+class GraphSpec extends SparkSpec {
+
+  private def docs(n: Int) = {
+    import spark.implicits._
+    (0 until n).map(i => (i.toLong, s"doc $i", "en", "s", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+  }
+
+  /** Reference: same planted edges, same integer update, plain Scala. */
+  private def reference(n: Int): Map[Long, Long] = {
+    val edges = (0L until n.toLong).flatMap { src =>
+      Seq((src * 7 + 13) % n, (src * 31 + 5) % n).map { t =>
+        src -> (if (t == src) (t + 1) % n else t)
+      }
+    }
+    var ranks = (0L until n.toLong).map(_ -> Graph.RankScale).toMap
+    for (_ <- 1 to Graph.Rounds) {
+      val contribs = edges.groupBy(_._2).map { case (tgt, es) =>
+        tgt -> es.map { case (src, _) => 85L * ranks(src) / 200L }.sum
+      }
+      ranks = (0L until n.toLong)
+        .map(v => v -> (Graph.RankScale * 15 / 100 + contribs.getOrElse(v, 0L))).toMap
+    }
+    ranks
+  }
+
+  test("link rank on a 2-regular symmetric graph stays at the uniform fixed point") {
+    // n=3: every node has in-degree 2, so 150000 + 2*(85*1e6/200) = 1e6
+    // round after round — the uniform distribution is stationary.
+    val out = Graph.linkRank(docs(3)).collect()
+      .map(r => r.getAs[Long]("node") -> r.getAs[Long]("rank")).toMap
+    assert(out == Map(0L -> 1000000L, 1L -> 1000000L, 2L -> 1000000L))
+  }
+
+  test("link rank matches the independent integer reference on a skewed graph") {
+    // n=5 plants parallel edges and in-degree skew (node 3 has 3 in-edges,
+    // node 2 only 1); the distributed result must equal the single-threaded
+    // reference bit-for-bit because all arithmetic is integer.
+    val out = Graph.linkRank(docs(5)).collect()
+      .map(r => r.getAs[Long]("node") -> r.getAs[Long]("rank")).toMap
+    val ref = reference(5)
+    assert(out == ref)
+    assert(ref(3L) > ref(2L)) // the skew is real: more in-mass, higher rank
+  }
+}

@@ -78,4 +78,24 @@ class SimilaritySpec extends SparkSpec {
       .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("keeper_id"))).toMap
     assert(again == dropped)
   }
+  test("JL projection of a one-hot vector reproduces the md5 sign matrix") {
+    import spark.implicits._
+    // v = e_i  =>  p_j = floor(1e4 * s[j][i]) = +/-10000 exactly; the signs
+    // are recomputed here independently with MessageDigest.
+    val oneHots = (0 until 64).map { i =>
+      (i.toLong, Array.tabulate(64)(k => if (k == i) 1.0f else 0.0f), 0)
+    }.toDF("vec_id", "embedding", "label")
+    val out = Similarity.embeddingProject(oneHots).collect()
+    def sign(j: Int, i: Int): Long = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$j:$i".getBytes("UTF-8"))
+      if (((h(0) >> 4) & 0xf) % 2 == 0) 10000L else -10000L
+    }
+    out.foreach { r =>
+      val i = r.getAs[Long]("vec_id").toInt
+      (0 until 8).foreach { j =>
+        assert(r.getAs[Long](s"p$j") == sign(j, i), s"dim $j of e_$i")
+      }
+    }
+  }
 }
