@@ -48,6 +48,11 @@ object Graph {
       .select(col("src"),
         when(col("t") === col("src"), pmod(col("t") + 1, col("n")))
           .otherwise(col("t")).as("tgt"))
+      // materialize once: every round joins this table, and without the
+      // checkpoint each round re-plans the scan + edge generation (3 corpus
+      // scans for 3 rounds); eager localCheckpoint also truncates lineage,
+      // the same treatment Dedup's connected-components rounds use
+      .localCheckpoint(true)
     val nodes = documents.select(col("doc_id").as("node"))
     var ranks = nodes.select(col("node"), lit(RankScale).as("rank"))
     for (_ <- 1 to Rounds) {

@@ -430,6 +430,46 @@ object Similarity {
     emb.select(col("vec_id") +: projCols: _*).orderBy(col("vec_id"))
   }
 
+  // ----------------------------------------------------------- k-NN graph
+
+  /** Neighbors kept per vector in [[knnGraph]]. */
+  private val KnnK = 3
+
+  /** Approximate k-NN graph construction — every vector's top-k cosine
+    * neighbors among its sign-LSH band collisions. This is the candidate
+    * graph SemDeDup-style semantic clustering and graph-based diversity
+    * sampling consume; unlike [[cosineTopK]] (a handful of query vectors),
+    * EVERY corpus vector is a query here, so the all-pairs formulation is
+    * off the table at any scale.
+    *
+    * Scale shape: the pair space is the union of per-bucket self-joins,
+    * bounded by the [[MaxBucketSize]] cap (sum over buckets of
+    * min(|bucket|, cap)^2), never N^2; the per-vector rank filter plans
+    * through the bounded-heap TopK operator via `WindowTopKRewrite`. The
+    * oracle rebuilds the IDENTICAL bands, so equality is exact — the LSH
+    * recall tradeoff is part of the contract, not a fuzz factor.
+    */
+  def knnGraph(embeddings: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val emb = embFloat(embeddings).select("vec_id", "v").persist()
+    val bands = bandRows(emb)
+    val cands = bands
+      .join(bands.select(col("vec_id").as("nbr_id"),
+        col("band_idx"), col("band_key")), Seq("band_idx", "band_key"))
+      .filter(col("vec_id") =!= col("nbr_id"))
+      .select(col("vec_id"), col("nbr_id")).distinct()
+    cands
+      .join(emb.select(col("vec_id"), col("v").as("av")), "vec_id")
+      .join(emb.select(col("vec_id").as("nbr_id"), col("v").as("bv")), "nbr_id")
+      .select(col("vec_id"), col("nbr_id"), expr(cosExpr("av", "bv")).as("cos"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("vec_id"))
+          .orderBy(col("cos").desc, col("nbr_id").asc)).cast("long"))
+      .filter(col("rnk") <= KnnK)
+      .select(col("vec_id"), col("rnk"), col("nbr_id"))
+      .orderBy(col("vec_id"), col("rnk"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_cosine_topk" -> ((s, d) => cosineTopK(Tables.embeddings(s, d))),
     "ann_lsh_topk" -> ((s, d) => annLshTopK(Tables.embeddings(s, d))),
@@ -439,6 +479,7 @@ object Similarity {
     "semantic_dedup" -> ((s, d) => semanticDedup(Tables.embeddings(s, d))),
     "embedding_stats" -> ((s, d) => embeddingStats(Tables.embeddings(s, d))),
     "embedding_project" -> ((s, d) => embeddingProject(Tables.embeddings(s, d))),
+    "knn_graph" -> ((s, d) => knnGraph(Tables.embeddings(s, d))),
   )
 
   /** DuckDB oracle mirrors the same left-fold dot product (list_reduce with
@@ -451,6 +492,25 @@ object Similarity {
     s"${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)}))"
 
   def oracleSql: Map[String, String] = Map(
+    "knn_graph" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |${bandRowsSql("e")},
+         |cands AS (
+         |  SELECT DISTINCT a.vec_id, b.vec_id AS nbr_id
+         |  FROM bands a JOIN bands b
+         |    ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+         |  WHERE a.vec_id <> b.vec_id
+         |),
+         |scored AS (
+         |  SELECT c.vec_id, c.nbr_id,
+         |    row_number() OVER (PARTITION BY c.vec_id
+         |      ORDER BY ${cosSql("ae.v", "be.v")} DESC, c.nbr_id ASC) AS rnk
+         |  FROM cands c
+         |  JOIN e ae ON ae.vec_id = c.vec_id
+         |  JOIN e be ON be.vec_id = c.nbr_id
+         |)
+         |SELECT vec_id, rnk::BIGINT AS rnk, nbr_id
+         |FROM scored WHERE rnk <= 3 ORDER BY vec_id, rnk""".stripMargin,
     "embedding_project" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
         |SELECT vec_id,

@@ -226,4 +226,32 @@ class PlanSpec extends SparkSpec {
     val exchanges = p.linesIterator.filter(_.contains("Exchange")).toList
     assert(exchanges.forall(_.contains("rangepartitioning")), exchanges.mkString("\n"))
   }
+  test("doc chunking is generate+project only: no join, no window") {
+    val p = plan("doc_chunks")
+    assert(p.contains("Generate explode"), p.take(2000))
+    assert(!p.contains("Join") && !p.contains("Window"), p.take(2000))
+  }
+
+  test("JL projection is map-side only: no join, no window, no aggregation") {
+    val p = plan("embedding_project")
+    assert(!p.contains("Join") && !p.contains("Window") &&
+      !p.contains("HashAggregate"), p.take(2000))
+  }
+
+  test("link rank rounds are equi joins + aggregations, nested-loop only vs the 1-row count") {
+    val p = plan("link_rank")
+    // the single BroadcastNestedLoopJoin is the deliberate 1-row count-agg
+    // crossJoin; every rank round must plan as hash/sort-merge equi joins
+    assert(p.split("BroadcastNestedLoopJoin").length <= 2, p.take(3000))
+    assert(p.contains("HashAggregate"), p.take(2000))
+  }
+  test("knn graph bounds the rank below the shuffle: partial+final group limit") {
+    // the rank column is part of the output, so the Window must survive
+    // (graft's TopK rewrite correctly bails); what matters at scale is that
+    // only <= k rows per group cross the exchange — Spark's WindowGroupLimit
+    // partial/final pair is that bound, the same shape as the TopK operator
+    val p = plan("knn_graph")
+    assert(p.contains("WindowGroupLimit") && p.contains("Partial"), p.take(3000))
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"), p.take(3000))
+  }
 }

@@ -98,4 +98,29 @@ class SimilaritySpec extends SparkSpec {
       }
     }
   }
+  test("knn graph links planted clusters: every member's neighbors are its mates") {
+    import spark.implicits._
+    // 4 clusters x 5 members: v = e_c + 0.01*(m+1) * e_(40+m). All vectors
+    // share one sign pattern (every coord >= 0), so LSH recall is total and
+    // the graph is the exact kNN graph; in-cluster cosine ~0.999 dominates
+    // cross-cluster ~1e-4, and within a cluster smaller perturbation means
+    // higher cosine, so member m's top-3 are the 3 least-perturbed mates.
+    val vecs = (0 until 20).map { id =>
+      val c = id / 5; val m = id % 5
+      val v = Array.fill(64)(0.0f)
+      v(c) = 1.0f
+      v(40 + m) = 0.01f * (m + 1)
+      (id.toLong, v, 0)
+    }.toDF("vec_id", "embedding", "label")
+    val nbrs = Similarity.knnGraph(vecs).collect()
+      .groupBy(_.getAs[Long]("vec_id"))
+      .map { case (v, rs) => v -> rs.map(_.getAs[Long]("nbr_id")).toSet }
+    (0 until 20).foreach { id =>
+      val c = id / 5; val m = id % 5
+      val mates = (0 until 5).filter(_ != m).sortBy(identity).take(4)
+      val expect = mates.take(if (m <= 3) 3 else 3).filter(_ != m).take(3)
+        .map(mm => (c * 5 + mm).toLong).toSet
+      assert(nbrs(id.toLong) == expect, s"vec $id")
+    }
+  }
 }
