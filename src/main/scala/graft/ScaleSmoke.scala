@@ -58,6 +58,8 @@ object ScaleSmoke {
     time("jaccard_prefix_join") { Dedup.jaccardPrefixJoin(corpus) }
     time("media_phash_dedup") { graft.ops.Multimodal.phashPairs(corpus) }
     time("training_order") { Pipeline.trainingOrder(corpus) }
+    time("doc_chunks") { Pipeline.docChunks(corpus) }
+    time("link_rank") { graft.ops.Graph.linkRank(corpus) }
     // embeddings scale path: replicate the vector fixture the same way
     val embBase = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.1")
     val embCorpus = embBase.crossJoin(spark.range(replicas).toDF("rep"))
@@ -67,6 +69,7 @@ object ScaleSmoke {
       .localCheckpoint(true)
     println(s"embeddings: ${embCorpus.count()} vectors")
     time("semantic_dedup") { graft.ops.Similarity.semanticDedup(embCorpus) }
+    time("knn_graph") { graft.ops.Similarity.knnGraph(embCorpus) }
     spark.stop()
   }
 }

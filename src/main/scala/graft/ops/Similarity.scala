@@ -435,6 +435,12 @@ object Similarity {
   /** Neighbors kept per vector in [[knnGraph]]. */
   private val KnnK = 3
 
+  /** Candidate-pool cap per vector in [[knnGraph]]: at fixture scale band
+    * collisions stay under the cap (inactive); at corpus scale it bounds
+    * the cosine/rerank work to N x cap pairs (NN-descent's bounded pool).
+    * Deterministic md5 order, so the oracle replays the same pool. */
+  private val KnnCandCap = 64
+
   /** Approximate k-NN graph construction — every vector's top-k cosine
     * neighbors among its sign-LSH band collisions. This is the candidate
     * graph SemDeDup-style semantic clustering and graph-based diversity
@@ -458,6 +464,15 @@ object Similarity {
         col("band_idx"), col("band_key")), Seq("band_idx", "band_key"))
       .filter(col("vec_id") =!= col("nbr_id"))
       .select(col("vec_id"), col("nbr_id")).distinct()
+      // bound the pool BEFORE the vector-fetch joins: candidate rows are
+      // 16 bytes here, 512+ after the joins — capping first keeps the big
+      // shuffle at N x cap rows (WindowGroupLimit bounds the window state)
+      .withColumn("cand_rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("vec_id"))
+          .orderBy(md5(concat(col("vec_id").cast("string"), lit(":"),
+            col("nbr_id").cast("string"))), col("nbr_id"))))
+      .filter(col("cand_rn") <= KnnCandCap)
+      .drop("cand_rn")
     cands
       .join(emb.select(col("vec_id"), col("v").as("av")), "vec_id")
       .join(emb.select(col("vec_id").as("nbr_id"), col("v").as("bv")), "nbr_id")
@@ -495,11 +510,18 @@ object Similarity {
     "knn_graph" ->
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
          |${bandRowsSql("e")},
-         |cands AS (
+         |cands0 AS (
          |  SELECT DISTINCT a.vec_id, b.vec_id AS nbr_id
          |  FROM bands a JOIN bands b
          |    ON a.band_idx = b.band_idx AND a.band_key = b.band_key
          |  WHERE a.vec_id <> b.vec_id
+         |),
+         |cands AS (
+         |  SELECT vec_id, nbr_id FROM (
+         |    SELECT vec_id, nbr_id, row_number() OVER (PARTITION BY vec_id
+         |      ORDER BY md5(vec_id::VARCHAR || ':' || nbr_id::VARCHAR), nbr_id) AS cand_rn
+         |    FROM cands0)
+         |  WHERE cand_rn <= $KnnCandCap
          |),
          |scored AS (
          |  SELECT c.vec_id, c.nbr_id,

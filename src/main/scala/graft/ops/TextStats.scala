@@ -306,6 +306,33 @@ object TextStats {
 
   // ---------------------------------------------------------------- registry
 
+  // -------------------------------------------------------- inverted index
+
+  /** Posting-list cap for [[invertedIndex]]. */
+  private val PostingCap = 10
+
+  /** Inverted index build: token -> document frequency + the first
+    * [[PostingCap]] doc_ids (ascending) as a bounded posting sample — the
+    * retrieval-side complement of the TF-IDF scoring ops, and the shape a
+    * sparse BM25 index job produces before sharding.
+    *
+    * Scale: one explode + one shuffle on the token (high-cardinality key);
+    * `sort_array(collect_list(...))` state per token is bounded only by df,
+    * so the emitted postings are capped — a production index would shard
+    * full postings by (token, doc_block) instead of sampling, same plan
+    * shape one explode deeper. Postings travel as a joined string so the
+    * oracle compare stays cell-scalar.
+    */
+  def invertedIndex(documents: DataFrame): DataFrame =
+    documents
+      .select(col("doc_id"), explode(array_distinct(split(lower(col("text")), " "))).as("token"))
+      .filter(length(col("token")) > 0)
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("df"),
+        concat_ws(",", slice(sort_array(collect_list(col("doc_id"))), 1, PostingCap))
+          .as("postings"))
+      .orderBy(col("token"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "doc_top_term" -> ((s, d) => docTopTerm(Tables.documents(s, d))),
     "doc_top_term_topk" -> ((s, d) => docTopTermTopK(Tables.documents(s, d))),
@@ -317,11 +344,21 @@ object TextStats {
     "doc_freq_score" -> ((s, d) => docFreqScore(Tables.documents(s, d))),
     "bpe_merges" -> ((s, d) => bpeMerges(Tables.documents(s, d))),
     "rare_bigram_score" -> ((s, d) => rareBigramScore(Tables.documents(s, d))),
+    "inverted_index" -> ((s, d) => invertedIndex(Tables.documents(s, d))),
   )
 
   def oracleSql: Map[String, String] = {
     // The heap-operator re-plan returns identical rows — shared oracle.
-    baseOracleSql + ("doc_top_term_topk" -> baseOracleSql("doc_top_term"))
+    baseOracleSql +
+      ("doc_top_term_topk" -> baseOracleSql("doc_top_term")) +
+      ("inverted_index" ->
+        s"""SELECT token, count(*)::BIGINT AS df,
+           |  array_to_string(list_sort(list(doc_id))[1:$PostingCap], ',') AS postings
+           |FROM (
+           |  SELECT DISTINCT doc_id, unnest(string_split(lower(text), ' ')) AS token
+           |  FROM documents)
+           |WHERE len(token) > 0
+           |GROUP BY token ORDER BY token""".stripMargin)
   }
 
   private def baseOracleSql: Map[String, String] = {

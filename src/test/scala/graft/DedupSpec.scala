@@ -284,4 +284,19 @@ class DedupSpec extends SparkSpec {
       (2L, "alpha beta gamma delta epsilon zetx")).toDF("doc_id", "text")
     assert(Dedup.jaccardPrefixJoin(typod).collect().isEmpty)
   }
+  test("inverted index: df counts and capped ascending postings") {
+    import spark.implicits._
+    val docs = Seq(
+      (5L, "alpha beta alpha"), // alpha counted once per doc
+      (2L, "alpha gamma"),
+      (9L, "Alpha beta")) // lowercased before indexing
+      .map { case (id, t) => (id, t, "en", "s", 0L) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = TextStats.invertedIndex(docs).collect()
+      .map(r => r.getAs[String]("token") ->
+        (r.getAs[Long]("df"), r.getAs[String]("postings"))).toMap
+    assert(out("alpha") == (3L, "2,5,9"))
+    assert(out("beta") == (2L, "5,9"))
+    assert(out("gamma") == (1L, "2"))
+  }
 }
