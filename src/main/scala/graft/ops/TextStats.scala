@@ -333,6 +333,104 @@ object TextStats {
           .as("postings"))
       .orderBy(col("token"))
 
+  // ------------------------------------------------------------- BPE apply
+
+  /** Fixed public merge table for [[bpeApply]] — rank-ordered pair merges
+    * (a production run feeds [[bpeMerges]]' learned table in literally;
+    * a fixed list keeps the application oracle-checkable). */
+  private val BpeMergeTable: Seq[(String, String)] = Seq(
+    ("t", "h"), ("th", "e"), ("i", "n"), ("a", "n"),
+    ("an", "d"), ("e", "r"), ("o", "n"), ("r", "e"))
+
+  /** Single-pass pair-merge chain over a space-separated symbol string —
+    * each merge is one non-overlapping left-to-right `replace`, identical
+    * byte-for-byte on both engines. */
+  private def bpeChain(sym: String): String =
+    BpeMergeTable.foldLeft(sym) { case (acc, (a, b)) =>
+      s"replace($acc, ' $a $b ', ' $a$b ')"
+    }
+
+  /** Tokenizer application: segment every word by the rank-ordered merge
+    * table (chars -> subwords) and report per-document word/subword counts
+    * plus an md5 of the full subword stream — the "tokens under the learned
+    * vocab" accounting every packing/budget stage downstream consumes.
+    *
+    * Merges apply as single passes in rank order (batch form of BPE's
+    * leftmost-greedy loop; both engines scan-after-match identically, so
+    * the oracle equality is exact). Pure map-side higher-order expressions
+    * — no explode, no shuffle: at 100 TB this is scan-throughput work, and
+    * the per-word chain cost is merge-table-length bounded.
+    */
+  def bpeApply(documents: DataFrame): DataFrame = {
+    val chain = bpeChain("concat(' ', array_join(split(w, ''), ' '), ' ')")
+    documents
+      .withColumn("words", expr("filter(split(text, ' '), w -> length(w) > 0)"))
+      .select(col("doc_id"),
+        size(col("words")).cast("long").as("n_words"),
+        expr(s"aggregate(words, 0L, (acc, w) -> acc + size(split(trim($chain), ' ')))")
+          .as("n_subwords"),
+        md5(expr(s"array_join(transform(words, w -> trim($chain)), ' | ')"))
+          .as("stream_md5"))
+      .orderBy(col("doc_id"))
+  }
+
+  // ----------------------------------------------------------- BM25 top-k
+
+  /** BM25 constants scaled to integers: k1 = 1.2 -> 120, b = 0.75 -> 75/100,
+    * idf surrogate scale 1e6. Query = the corpus's top-3 df terms
+    * (deterministic, fixture-independent). */
+  private val Bm25TopDocs = 20
+
+  /** BM25-lite ranked retrieval over the corpus: take the three highest-df
+    * tokens as the standing query, score every matching document with the
+    * BM25 tf/length saturation, return the top-20. The scoring formula is
+    * algebraically rearranged into ONE integer division per (doc, term) —
+    * `idf * tf * (k1+1) / (tf + k1*(1-b+b*dl/avgdl))` becomes a single
+    * cross-multiplied BIGINT ratio — so both engines agree exactly (the
+    * idf is the linear surrogate `(N-df)*1e6 div N`: log-free on purpose,
+    * libm log differs across engines in the last ulp).
+    *
+    * Scale shape: tf/df/dl are one exploded groupBy each (high-cardinality
+    * keys); the query-term table is 3 rows broadcast; corpus-level scalars
+    * (N, avgdl) ride a broadcast 1-row agg. The final top-20 plans through
+    * the bounded TopK path, so only k rows per partition cross the last
+    * exchange.
+    */
+  def bm25TopK(documents: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = documents
+      .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("token"))
+      .filter(length(col("token")) > 0)
+    val tf = toks.groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
+    val dl = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+    val df = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    // integer div, NOT `/`: Spark long / long is DOUBLE division, and
+    // truncating the double can disagree with exact floor division when
+    // the quotient rounds up across an integer boundary
+    val scalars = dl.agg(count(lit(1)).as("n_docs"),
+      expr("(sum(dl) * 100) div count(1)").as("avgdl100"))
+    val qterms = df
+      .withColumn("qrnk", row_number().over(
+        Window.orderBy(col("df").desc, col("token").asc)))
+      .filter(col("qrnk") <= 3)
+      .drop("qrnk")
+    tf.join(broadcast(qterms), "token")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(scalars))
+      .select(col("doc_id"),
+        // one integer division per term: idf*tf*(k1+1) cross-multiplied by
+        // avgdl100 so the length norm never nests a second division
+        expr("""((((1000000 * (n_docs - df)) div n_docs) * tf * 220 * avgdl100) div
+          (tf * 100 * avgdl100 + 120 * (25 * avgdl100 + 75 * dl * 100)))""")
+          .cast("long").as("contrib"))
+      .groupBy(col("doc_id")).agg(sum(col("contrib")).as("score"))
+      .withColumn("rnk", row_number().over(
+        Window.orderBy(col("score").desc, col("doc_id").asc)).cast("long"))
+      .filter(col("rnk") <= Bm25TopDocs)
+      .select(col("rnk"), col("doc_id"), col("score"))
+      .orderBy(col("rnk"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "doc_top_term" -> ((s, d) => docTopTerm(Tables.documents(s, d))),
     "doc_top_term_topk" -> ((s, d) => docTopTermTopK(Tables.documents(s, d))),
@@ -345,6 +443,8 @@ object TextStats {
     "bpe_merges" -> ((s, d) => bpeMerges(Tables.documents(s, d))),
     "rare_bigram_score" -> ((s, d) => rareBigramScore(Tables.documents(s, d))),
     "inverted_index" -> ((s, d) => invertedIndex(Tables.documents(s, d))),
+    "bpe_apply" -> ((s, d) => bpeApply(Tables.documents(s, d))),
+    "bm25_topk" -> ((s, d) => bm25TopK(Tables.documents(s, d))),
   )
 
   def oracleSql: Map[String, String] = {
@@ -358,7 +458,50 @@ object TextStats {
            |  SELECT DISTINCT doc_id, unnest(string_split(lower(text), ' ')) AS token
            |  FROM documents)
            |WHERE len(token) > 0
-           |GROUP BY token ORDER BY token""".stripMargin)
+           |GROUP BY token ORDER BY token""".stripMargin) +
+      ("bpe_apply" ->
+        s"""WITH d AS (
+           |  SELECT doc_id,
+           |    list_filter(string_split(text, ' '), w -> len(w) > 0) AS words
+           |  FROM documents)
+           |SELECT doc_id, len(words)::BIGINT AS n_words,
+           |  list_sum(list_transform(words,
+           |    w -> len(string_split(trim(replace(replace(replace(replace(replace(replace(replace(replace((' ' || array_to_string(string_split(w, ''), ' ') || ' '), ' t h ', ' th '), ' th e ', ' the '), ' i n ', ' in '), ' a n ', ' an '), ' an d ', ' and '), ' e r ', ' er '), ' o n ', ' on '), ' r e ', ' re ')), ' '))))::BIGINT AS n_subwords,
+           |  md5(array_to_string(list_transform(words, w -> trim(replace(replace(replace(replace(replace(replace(replace(replace((' ' || array_to_string(string_split(w, ''), ' ') || ' '), ' t h ', ' th '), ' th e ', ' the '), ' i n ', ' in '), ' a n ', ' an '), ' an d ', ' and '), ' e r ', ' er '), ' o n ', ' on '), ' r e ', ' re '))), ' | '))
+           |    AS stream_md5
+           |FROM d ORDER BY doc_id""".stripMargin) +
+      ("bm25_topk" ->
+        s"""WITH toks AS (
+           |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token
+           |  FROM documents
+           |), toks2 AS (SELECT doc_id, token FROM toks WHERE len(token) > 0),
+           |tf AS (SELECT doc_id, token, count(*)::BIGINT AS tf FROM toks2 GROUP BY 1, 2),
+           |dl AS (SELECT doc_id, count(*)::BIGINT AS dl FROM toks2 GROUP BY 1),
+           |df AS (SELECT token, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+           |scalars AS (
+           |  SELECT count(*)::BIGINT AS n_docs,
+           |    (sum(dl) * 100 // count(*))::BIGINT AS avgdl100 FROM dl
+           |),
+           |qterms AS (
+           |  SELECT token, df FROM (
+           |    SELECT token, df, row_number() OVER (ORDER BY df DESC, token ASC) AS qrnk
+           |    FROM df) WHERE qrnk <= 3
+           |),
+           |scored AS (
+           |  SELECT tf.doc_id,
+           |    sum(((1000000 * (s.n_docs - q.df) // s.n_docs) *
+           |      tf.tf * 220 * s.avgdl100) //
+           |      (tf.tf * 100 * s.avgdl100 +
+           |        120 * (25 * s.avgdl100 + 75 * dl.dl * 100)))::BIGINT AS score
+           |  FROM tf JOIN qterms q ON tf.token = q.token
+           |  JOIN dl ON dl.doc_id = tf.doc_id, scalars s
+           |  GROUP BY tf.doc_id
+           |)
+           |SELECT rnk, doc_id, score FROM (
+           |  SELECT doc_id, score,
+           |    (row_number() OVER (ORDER BY score DESC, doc_id ASC))::BIGINT AS rnk
+           |  FROM scored)
+           |WHERE rnk <= $Bm25TopDocs ORDER BY rnk""".stripMargin)
   }
 
   private def baseOracleSql: Map[String, String] = {

@@ -299,4 +299,44 @@ class DedupSpec extends SparkSpec {
     assert(out("beta") == (2L, "5,9"))
     assert(out("gamma") == (1L, "2"))
   }
+  test("bpe apply segments by the rank-ordered merge chain") {
+    import spark.implicits._
+    // "the" -> t h e -> (t,h) th e -> (th,e) the : 1 subword.
+    // "then" -> t h e n -> th e n -> the n : 2 subwords ((th,e) outranks
+    // any later merge; no (the,n) merge exists).
+    // "and" -> a n d -> an d -> and : 1. "толк" unknown chars: 4 singles.
+    val out = TextStats.bpeApply(Seq(
+      (1L, "the then and xyzq", "en", "s", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")).collect().head
+    assert(out.getAs[Long]("n_words") == 4)
+    assert(out.getAs[Long]("n_subwords") == 1 + 2 + 1 + 4)
+    val expectStream = "the | the n | and | x y z q"
+    val md = java.security.MessageDigest.getInstance("MD5")
+      .digest(expectStream.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(out.getAs[String]("stream_md5") == md)
+  }
+  test("bm25 ranks tf saturation and length norm the right way") {
+    import spark.implicits._
+    // Query terms = top-3 df tokens: data (df 5), model/the (df 3 each).
+    // doc 2 repeats doc 1's hits but padded twice as long -> length norm
+    // ranks it lower; doc 3 doubles doc 6's tf at identical length -> the
+    // saturation keeps the score ratio well under 2x; doc 5 has no query
+    // terms and must be absent.
+    val out = TextStats.bm25TopK(Seq(
+      (1L, "data model the end"),
+      (2L, "data model the pad pad pad pad pad"),
+      (3L, "data data data data data data data data"),
+      (4L, "the data model x y z w q r s t u v"),
+      (5L, "zz yy xx qq ww ee rr tt"),
+      (6L, "data data data data f1 f2 f3 f4"))
+      .map { case (i, t) => (i, t, "en", "s", 0L) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")).collect()
+    val rank = out.map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("rnk")).toMap
+    val score = out.map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("score")).toMap
+    assert(!rank.contains(5L) && rank.size == 5)
+    assert(rank(1L) < rank(2L), s"shorter doc must outrank padded twin: $rank")
+    assert(score(3L) < 2 * score(6L),
+      s"doubling tf at equal length must not double the score: $score")
+    assert(score(3L) > score(6L) && out.forall(_.getAs[Long]("score") > 0))
+  }
 }
