@@ -62,6 +62,13 @@ object AvroCodec {
   final case class AField(name: String, tpe: AvroType)
   final case class ARecord(name: String, fields: Vector[AField])
 
+  /** The value type under an optional wrapper: `AUnion([null, T])` → `T`.
+    * Used by the gavro scan builder to decide filter-pushdown eligibility. */
+  def unwrapNull(t: AvroType): AvroType = t match {
+    case AUnion(bs) => bs.find(_ != ANull).getOrElse(ANull)
+    case other => other
+  }
+
   /** `RequestLog` reader schema (reference: schemas.py:188). */
   val RequestLog: ARecord = ARecord("RequestLog", Vector(
     AField("id", ALong),

@@ -97,6 +97,64 @@ class GavroSourceSpec extends SparkSpec {
     assert(bad.length == 1 && (0 until bad.head.length).forall(bad.head.isNullAt))
   }
 
+  test("pushed filters vanish from the plan and drop rows inside the reader") {
+    val events = Tables.events(spark, dir)
+    val out = tmpDir("pushdown")
+    Gavro.write(events.select(AvroCodec.requestLogRec.as("rec"))
+      .select(expr("to_avro_graft(rec, 'request_log')").as("bin")), out)
+
+    // Project only `endpoint`; filter on `status_code` (NOT projected) —
+    // pruning and pushdown must compose: the filter column rides the decode
+    // target but not the emitted row.
+    val filtered = spark.read.format("gavro")
+      .option("schema", "request_log").load(out)
+      .filter(col("status_code") === 500 && col("endpoint") >= "/api/p")
+      .select(col("endpoint"))
+    val plan = filtered.queryExecution.executedPlan
+    val scans = plan.collect { case b: BatchScanExec => b }
+    assert(scans.nonEmpty)
+    // Both conjuncts (plus Catalyst's derived IsNotNulls) were accepted…
+    val desc = scans.head.scan.description()
+    assert(desc.contains("status_code") && desc.contains("PushedFilters"), desc)
+    assert(scans.head.scan.readSchema().fieldNames.toSeq == Seq("endpoint"))
+    // …so NO FilterExec survives above the scan.
+    val residualFilters = plan.collect {
+      case f: org.apache.spark.sql.execution.FilterExec => f }
+    assert(residualFilters.isEmpty, plan.toString)
+    // And the reader's evaluation is exactly the WHERE it replaced.
+    val got = filtered.groupBy("endpoint").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val want = events
+      .filter(pmod(col("event_id"), lit(7)) === 0 &&
+        concat(lit("/api/"), col("event_type")) >= "/api/p")
+      .groupBy(concat(lit("/api/"), col("event_type")).as("endpoint")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == want && got.nonEmpty)
+  }
+
+  test("pushed null-tests honor the PERMISSIVE all-null corrupt channel") {
+    val out = tmpDir("pushnull")
+    val vals: Array[Any] = Array(3L, UTF8String.fromString("ab"),
+      UTF8String.fromString("c"), 1.5, 1000000L)
+    val good = AvroCodec.encode(AvroCodec.SystemMetrics, vals(_), _ => false)
+    val corrupt = Array[Byte](0x06, 0x01)
+    val f = new java.io.File(out, "part-00000.gavro")
+    val os = new java.io.FileOutputStream(f)
+    try Seq(good, corrupt).foreach { b =>
+      os.write(Array[Byte]((b.length >>> 24).toByte, (b.length >>> 16).toByte,
+        (b.length >>> 8).toByte, b.length.toByte))
+      os.write(b)
+    } finally os.close()
+
+    def scan() = spark.read.format("gavro")
+      .option("schema", "system_metrics").load(out)
+    // A comparison conjunct never matches NULL: the corrupt row is dropped
+    // by the reader, same as the FilterExec it replaced would have.
+    assert(scan().filter(col("id") > 0L).count() == 1)
+    // A pushed IS NULL keeps exactly the corrupt row.
+    assert(scan().filter(col("id").isNull).count() == 1)
+  }
+
   test("the registered aggregate query matches its oracle shape") {
     val df = Gavro.gavroScan(spark, dir)
     val rows = df.collect()
