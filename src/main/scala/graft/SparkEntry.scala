@@ -32,7 +32,7 @@ object SparkEntry {
       graft.ops.Quantize.queries ++ graft.functions.Sketches.queries ++
       graft.ops.Incremental.queries ++ graft.functions.Bitmaps.queries ++
       graft.sources.AvroCodec.queries ++ graft.sources.Gavro.queries ++
-      graft.ops.Graph.queries
+      graft.ops.Graph.queries ++ graft.ops.Profiling.queries
 
   private def relational: Map[String, (SparkSession, String) => DataFrame] = Map(
     // S9 payload shape: the KPI frame serialized exactly as the Kafka sink
@@ -49,6 +49,10 @@ object SparkEntry {
     "region_revenue" -> ((s, d) =>
       Tpch.regionRevenue(Tables.region(s, d), Tables.nation(s, d),
         Tables.customer(s, d), Tables.orders(s, d), Tables.lineitem(s, d))),
+    "market_share" -> ((s, d) =>
+      Tpch.marketShare(Tables.region(s, d), Tables.nation(s, d),
+        Tables.customer(s, d), Tables.orders(s, d), Tables.lineitem(s, d),
+        Tables.supplier(s, d))),
     "top_customers_per_segment" -> ((s, d) =>
       Tpch.topCustomersPerSegment(Tables.customer(s, d), Tables.orders(s, d))),
     "priority_return_counts" -> ((s, d) =>
@@ -152,7 +156,8 @@ object SparkEntry {
     graft.ops.Curation.oracleSql ++ graft.ops.Mixing.oracleSql ++
     graft.functions.Sketches.oracleSql ++ graft.ops.Incremental.oracleSql ++
     graft.functions.Bitmaps.oracleSql ++ graft.sources.AvroCodec.oracleSql ++
-    graft.sources.Gavro.oracleSql ++ graft.ops.Graph.oracleSql
+    graft.sources.Gavro.oracleSql ++ graft.ops.Graph.oracleSql ++
+    graft.ops.Profiling.oracleSql
 
   private def relationalOracle: Map[String, String] = Map(
     "pricing_summary" ->
@@ -181,6 +186,27 @@ object SparkEntry {
         |GROUP BY o_orderkey, o_orderdate
         |ORDER BY revenue DESC, o_epoch ASC, o_orderkey ASC
         |LIMIT 10""".stripMargin,
+    "market_share" ->
+      """WITH base AS (
+        |  SELECT year(o.o_orderdate)::BIGINT AS o_year,
+        |    floor(l.l_extendedprice * (1 - l.l_discount) * 100)::BIGINT AS cents,
+        |    n2.n_name AS supp_nation
+        |  FROM customer c
+        |  JOIN nation n1 ON c.c_nationkey = n1.n_nationkey
+        |  JOIN region r ON n1.n_regionkey = r.r_regionkey AND r.r_name = 'AMERICA'
+        |  JOIN orders o ON o.o_custkey = c.c_custkey
+        |  JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        |  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        |  JOIN nation n2 ON n2.n_nationkey = s.s_nationkey
+        |  WHERE o.o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+        |    AND o.o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+        |)
+        |SELECT o_year, sum(cents)::BIGINT AS total_cents,
+        |  sum(CASE WHEN supp_nation = 'NATION_3' THEN cents ELSE 0 END)::BIGINT
+        |    AS nation_cents,
+        |  (sum(CASE WHEN supp_nation = 'NATION_3' THEN cents ELSE 0 END)::BIGINT
+        |    * 1000000 // sum(cents)::BIGINT) AS share_ppm
+        |FROM base GROUP BY o_year ORDER BY o_year""".stripMargin,
     "region_revenue" ->
       """SELECT n_name,
         |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue

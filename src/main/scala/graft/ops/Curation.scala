@@ -598,6 +598,44 @@ object Curation {
       .withColumn("utf_ok", col("n_replacement") === 0 && col("n_ctrl") === 0)
       .orderBy(col("doc_id"))
 
+  /** Multi-script plant: non-Latin segments appended by doc_id residue so
+    * the oracle can replay the corpus (same pattern as [[encCorpus]]). */
+  private def scriptCorpus(documents: DataFrame): DataFrame =
+    documents.select(col("doc_id"),
+      concat(col("text"),
+        when(pmod(col("doc_id"), lit(7)) === 1, lit(" привет мир добро"))
+          .when(pmod(col("doc_id"), lit(7)) === 2, lit(" 你好世界数据"))
+          .when(pmod(col("doc_id"), lit(7)) === 3, lit(" γειά σου κόσμε"))
+          .when(pmod(col("doc_id"), lit(7)) === 4, lit(" мир 世界 data"))
+          .otherwise(lit(""))).as("text"))
+
+  /** Unicode-script profile (the script/language sanity screen next to the
+    * n-gram lang-ID): per document, exact codepoint counts in the Latin,
+    * Cyrillic, CJK-unified and Greek blocks plus digits, and a mixed-script
+    * flag — dominant script under 80% of script characters — the classic
+    * spam/encoding-mojibake tripwire that pure trigram lang-ID misses.
+    * Codepoint classing is integer range tests over `ascii()` per char
+    * (both engines return the first codepoint; all planted blocks are BMP,
+    * so char==codepoint) — no regex Unicode-class dialect to disagree on.
+    * Map-side only: scan throughput at 100 TB, nothing shuffles.
+    */
+  def scriptMix(documents: DataFrame): DataFrame =
+    scriptCorpus(documents)
+      .withColumn("cps", expr("transform(split(text, ''), c -> ascii(c))"))
+      .select(col("doc_id"),
+        expr("cast(size(filter(cps, x -> (x >= 65 and x <= 90) or (x >= 97 and x <= 122))) as long)").as("n_latin"),
+        expr("cast(size(filter(cps, x -> x >= 1024 and x <= 1279)) as long)").as("n_cyrillic"),
+        expr("cast(size(filter(cps, x -> x >= 19968 and x <= 40959)) as long)").as("n_cjk"),
+        expr("cast(size(filter(cps, x -> x >= 880 and x <= 1023)) as long)").as("n_greek"),
+        expr("cast(size(filter(cps, x -> x >= 48 and x <= 57)) as long)").as("n_digit"))
+      .withColumn("n_script",
+        col("n_latin") + col("n_cyrillic") + col("n_cjk") + col("n_greek"))
+      .withColumn("mixed_script",
+        col("n_script") > 0 &&
+          (col("n_script") - greatest(col("n_latin"), col("n_cyrillic"),
+            col("n_cjk"), col("n_greek"))) * 5 >= col("n_script"))
+      .orderBy(col("doc_id"))
+
   // ---------------------------------------------------------------- registry
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -614,6 +652,7 @@ object Curation {
     "gopher_quality" -> ((s, d) => gopherQuality(Tables.documents(s, d))),
     "html_strip" -> ((s, d) => htmlStrip(Tables.documents(s, d))),
     "encoding_qa" -> ((s, d) => encodingQa(Tables.documents(s, d))),
+    "script_mix" -> ((s, d) => scriptMix(Tables.documents(s, d))),
   )
 
   private val contaminationSql =
@@ -899,5 +938,33 @@ object Curation {
         |  ((len(text) - len(replace(text, chr(65533), ''))) = 0 AND
         |   len(regexp_extract_all(text, '[\x00-\x08\x0b\x0c\x0e-\x1f]')) = 0) AS utf_ok
         |FROM t ORDER BY doc_id""".stripMargin,
+    "script_mix" ->
+      """WITH t AS (
+        |  SELECT doc_id, text ||
+        |    CASE doc_id % 7 WHEN 1 THEN ' привет мир добро'
+        |      WHEN 2 THEN ' 你好世界数据'
+        |      WHEN 3 THEN ' γειά σου κόσμε'
+        |      WHEN 4 THEN ' мир 世界 data' ELSE '' END AS text
+        |  FROM documents
+        |), c AS (
+        |  SELECT doc_id,
+        |    list_transform(string_split(text, ''), ch -> unicode(ch)) AS cps
+        |  FROM t
+        |), k AS (
+        |  SELECT doc_id,
+        |    len(list_filter(cps, x -> (x BETWEEN 65 AND 90) OR (x BETWEEN 97 AND 122)))::BIGINT AS n_latin,
+        |    len(list_filter(cps, x -> x BETWEEN 1024 AND 1279))::BIGINT AS n_cyrillic,
+        |    len(list_filter(cps, x -> x BETWEEN 19968 AND 40959))::BIGINT AS n_cjk,
+        |    len(list_filter(cps, x -> x BETWEEN 880 AND 1023))::BIGINT AS n_greek,
+        |    len(list_filter(cps, x -> x BETWEEN 48 AND 57))::BIGINT AS n_digit
+        |  FROM c
+        |)
+        |SELECT doc_id, n_latin, n_cyrillic, n_cjk, n_greek, n_digit,
+        |  (n_latin + n_cyrillic + n_cjk + n_greek) AS n_script,
+        |  (n_latin + n_cyrillic + n_cjk + n_greek) > 0 AND
+        |  ((n_latin + n_cyrillic + n_cjk + n_greek)
+        |    - greatest(n_latin, n_cyrillic, n_cjk, n_greek)) * 5
+        |    >= (n_latin + n_cyrillic + n_cjk + n_greek) AS mixed_script
+        |FROM k ORDER BY doc_id""".stripMargin,
   )
 }

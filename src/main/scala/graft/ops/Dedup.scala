@@ -469,6 +469,33 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** Detect→apply with a QUALITY keeper policy: instead of min-id, each
+    * cluster keeps its LONGEST member (ties → lowest id) — the real-world
+    * web-dedup policy of keeping the fullest version of a page, since the
+    * near-dup plant truncates (the +10000 twins drop their first word).
+    * Same join discipline as [[dedupApply]]: the corpus joins clusters on
+    * `doc_id` unhinted (AQE picks broadcast only when the cluster table is
+    * actually small), and the keeper choice is a `first_value` over the
+    * cluster-partitioned window ordered (len DESC, doc_id ASC) — cluster
+    * ids are high-cardinality, so the window spreads.
+    */
+  def dedupApplyQuality(corpus: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val lens = corpus.select(col("doc_id"), length(col("text")).as("len"))
+    val clusters = dupClusters(corpus)
+      .join(lens, "doc_id")
+      .withColumn("keeper_id",
+        first(col("doc_id")).over(Window.partitionBy(col("cluster_id"))
+          .orderBy(col("len").desc, col("doc_id").asc)))
+      .select(col("doc_id"), col("cluster_id"), col("keeper_id"))
+    corpus.select(col("doc_id"))
+      .join(clusters, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("cluster_id"), col("keeper_id"),
+        (col("cluster_id").isNull || (col("doc_id") === col("keeper_id")))
+          .as("survives"))
+      .orderBy(col("doc_id"))
+  }
+
   // ------------------------------------------------ exact set-similarity join
 
   /** Jaccard threshold for the exact similarity join, as a fraction:
@@ -627,6 +654,7 @@ object Dedup {
     "dedup_simhash_pairs" -> ((s, d) => simhashPairs(nearCorpus(Tables.documents(s, d)))),
     "duplicate_spans" -> ((s, d) => duplicateSpans(Tables.documents(s, d))),
     "dedup_apply" -> ((s, d) => dedupApply(nearCorpus(Tables.documents(s, d)))),
+    "dedup_apply_quality" -> ((s, d) => dedupApplyQuality(nearCorpus(Tables.documents(s, d)))),
     "dedup_jaccard_prefix" -> ((s, d) => jaccardPrefixJoin(nearCorpus(Tables.documents(s, d)))),
     "dedup_fuzzy_title" -> ((s, d) => fuzzyTitlePairs(Tables.documents(s, d))),
   )
@@ -786,6 +814,31 @@ object Dedup {
          |  FROM clusters
          |)
          |SELECT c.doc_id, k.cluster_id,
+         |  (k.cluster_id IS NULL OR c.doc_id = k.keeper_id) AS survives
+         |FROM corpus c LEFT JOIN keepers k USING (doc_id)
+         |ORDER BY c.doc_id""".stripMargin,
+    "dedup_apply_quality" ->
+      s"""WITH RECURSIVE $nearCorpusSql, $sigSql, $candSql,
+         |edges AS (
+         |  SELECT doc_a AS a, doc_b AS b FROM cands
+         |  UNION ALL
+         |  SELECT doc_b, doc_a FROM cands
+         |),
+         |reach AS (
+         |  SELECT a AS node, a AS root FROM edges
+         |  UNION
+         |  SELECT e.b AS node, r.root FROM reach r JOIN edges e ON e.a = r.node
+         |),
+         |clusters AS (
+         |  SELECT node AS doc_id, min(root) AS cluster_id FROM reach GROUP BY node
+         |),
+         |keepers AS (
+         |  SELECT cl.doc_id, cl.cluster_id,
+         |    first_value(cl.doc_id) OVER (PARTITION BY cl.cluster_id
+         |      ORDER BY len(co.text) DESC, cl.doc_id ASC) AS keeper_id
+         |  FROM clusters cl JOIN corpus co USING (doc_id)
+         |)
+         |SELECT c.doc_id, k.cluster_id, k.keeper_id,
          |  (k.cluster_id IS NULL OR c.doc_id = k.keeper_id) AS survives
          |FROM corpus c LEFT JOIN keepers k USING (doc_id)
          |ORDER BY c.doc_id""".stripMargin,

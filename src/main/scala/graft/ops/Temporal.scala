@@ -177,6 +177,40 @@ object Temporal {
       .orderBy(col("event_id"))
   }
 
+  /** EWMA lookback: the newest event weighs 2^7, each older event half
+    * that, truncated at 8 events — so the smoothed value is a pure
+    * integer (cents × 128) and the oracle equality is exact. A
+    * multiplicative-decay EWMA over an unbounded tail needs either floats
+    * (engine-divergent) or a recursive scan (not in SQL); the 8-term
+    * truncation keeps >99% of the mass at λ=1/2 and makes the operator a
+    * plain bounded ROWS frame — the shape that scales (one user-keyed
+    * shuffle, sorted pass, O(8) state per row). */
+  val EwmaTerms = 8
+
+  /** Exponentially-weighted moving value per user: for each event, the
+    * decayed sum over the user's last [[EwmaTerms]] events (this one
+    * included), weight 2^(7-age) on integer cents. Frame order is pinned
+    * by (ts, event_id) so ties cannot reorder between engines. The
+    * weighted fold runs map-side over the frame's `collect_list` — with
+    * L oldest-first of size m, the sum is
+    * `(Σ_i L[i]·2^i) · 2^(8-m)` — two shifts, no per-position branch. */
+  def ewmaUserValue(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = Synth.eventTime(events)
+      .withColumn("us", unix_micros(col("ts")))
+      .withColumn("cents", floor(col("value") * 100).cast("long"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("us"), col("event_id"))
+      .rowsBetween(-(EwmaTerms - 1), 0)
+    e.select(col("event_id"), col("user_id"), col("us"),
+        collect_list(col("cents")).over(w).as("tail"))
+      .select(col("event_id"), col("user_id"), col("us"),
+        expr(s"""aggregate(transform(tail, (x, i) -> shiftleft(x, i)),
+          0L, (acc, x) -> acc + x) * shiftleft(1L, $EwmaTerms - size(tail))""")
+          .as("ewma128"))
+      .orderBy(col("event_id"))
+  }
+
   /** Max allowed delay between consecutive funnel stages (µs). */
   val FunnelHopUs: Long = 24L * 3600 * 1000000
 
@@ -257,9 +291,25 @@ object Temporal {
     "user_value_anomalies" -> ((s, d) => userValueAnomalies(Tables.events(s, d))),
     "conversion_funnel" -> ((s, d) => conversionFunnel(Tables.events(s, d))),
     "activity_calendar" -> ((s, d) => activityCalendar(Tables.events(s, d))),
+    "ewma_user_value" -> ((s, d) => ewmaUserValue(Tables.events(s, d))),
   )
 
   def oracleSql: Map[String, String] = Map(
+    "ewma_user_value" ->
+      s"""WITH e AS (
+         |  SELECT event_id, user_id, epoch_us(ts) AS us,
+         |    floor(value * 100)::BIGINT AS cents
+         |  FROM events
+         |), t AS (
+         |  SELECT event_id, user_id, us,
+         |    list(cents) OVER (PARTITION BY user_id ORDER BY us, event_id
+         |      ROWS BETWEEN ${EwmaTerms - 1} PRECEDING AND CURRENT ROW) AS tail
+         |  FROM e
+         |)
+         |SELECT event_id, user_id, us,
+         |  (list_sum(list_transform(tail, (x, i) -> x * (1::BIGINT << (i - 1))))
+         |    * (1::BIGINT << ($EwmaTerms - len(tail))))::BIGINT AS ewma128
+         |FROM t ORDER BY event_id""".stripMargin,
     "activity_calendar" ->
       """WITH bounds AS (
         |  SELECT min(date_trunc('day', ts)) AS d0, max(date_trunc('day', ts)) AS d1

@@ -85,6 +85,48 @@ object Tpch {
       .orderBy(col("n_name"))
   }
 
+  /** National market share (TPC-H Q8 shape): of all revenue from AMERICA
+    * customers' 1995–1996 orders, the yearly fraction delivered by
+    * suppliers of one nation. Exercises the two-sided dimension chain —
+    * customer-side region gate AND supplier-side nation attribution on the
+    * same fact row — that Q5's single chain doesn't. All four dims
+    * broadcast (region/nation/supplier are tiny; the conditional share is
+    * a when() inside one agg, not a second join pass). Revenue is
+    * per-row floor(extprice·(1−disc)·100) integer cents: the doubles
+    * multiply identically under IEEE on both engines and the floor pins
+    * them, so the yearly sums and the ppm share are exact — no
+    * round(sum(double)) half-boundary exposure.
+    */
+  def marketShare(region: DataFrame, nation: DataFrame, customer: DataFrame,
+      orders: DataFrame, lineitem: DataFrame, supplier: DataFrame): DataFrame = {
+    val america = broadcast(region.filter(col("r_name") === "AMERICA"))
+    val custNations = broadcast(
+      nation.join(america, col("n_regionkey") === col("r_regionkey")))
+      .select(col("n_nationkey").as("cust_nk"))
+    val suppNation = broadcast(nation
+      .select(col("n_nationkey").as("supp_nk"), col("n_name").as("supp_nation")))
+    customer.select(col("c_custkey"), col("c_nationkey"))
+      .join(custNations, col("c_nationkey") === col("cust_nk"))
+      .join(orders.filter(col("o_orderdate") >= lit("1995-01-01") &&
+          col("o_orderdate") < lit("1997-01-01")),
+        col("c_custkey") === col("o_custkey"))
+      .join(lineitem, col("o_orderkey") === col("l_orderkey"))
+      .join(broadcast(supplier.select(col("s_suppkey"), col("s_nationkey"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(suppNation, col("s_nationkey") === col("supp_nk"))
+      .select(year(col("o_orderdate")).cast("long").as("o_year"),
+        floor(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100)
+          .cast("long").as("cents"),
+        col("supp_nation"))
+      .groupBy(col("o_year"))
+      .agg(sum(col("cents")).as("total_cents"),
+        sum(when(col("supp_nation") === "NATION_3", col("cents"))
+          .otherwise(0L)).as("nation_cents"))
+      .select(col("o_year"), col("total_cents"), col("nation_cents"),
+        expr("(nation_cents * 1000000) div total_cents").as("share_ppm"))
+      .orderBy(col("o_year"))
+  }
+
   /** Top customers per market segment: aggregate then rank, two-phase.
     *
     * A single `row_number` over `partitionBy(c_mktsegment)` funnels every

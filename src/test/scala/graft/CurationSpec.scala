@@ -172,6 +172,32 @@ class CurationSpec extends SparkSpec {
     assert(out(0L).getAs[Long]("n_replacement") == 1 && out(0L).getAs[Long]("n_ctrl") == 2)
   }
 
+  test("script mix counts codepoint blocks and flags mixed-script docs") {
+    // doc 7: %7==0 → no plant, pure Latin+digit. doc 8: %7==1 → Cyrillic
+    // plant (14 Cyrillic letters). doc 9: %7==2 → 6 CJK chars. doc 11:
+    // %7==4 → mixed plant "мир 世界 data": 3 Cyrillic + 2 CJK + 4 Latin.
+    val out = Curation.scriptMix(docs(
+      7L -> "plain ascii 42",
+      8L -> "host doc",
+      9L -> "host doc",
+      11L -> "x"))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out(7L).getAs[Long]("n_latin") == 10 &&
+      out(7L).getAs[Long]("n_digit") == 2 &&
+      out(7L).getAs[Long]("n_cyrillic") == 0 &&
+      !out(7L).getAs[Boolean]("mixed_script"))
+    assert(out(8L).getAs[Long]("n_cyrillic") == 14)
+    // "host doc" = 7 Latin chars; 14 Cyrillic vs 7 Latin → mixed.
+    assert(out(8L).getAs[Boolean]("mixed_script"))
+    assert(out(9L).getAs[Long]("n_cjk") == 6)
+    // doc 11: 1 host Latin + 4 plant Latin, 3 Cyrillic, 2 CJK of 10
+    // script chars → dominant 5/10 → mixed.
+    assert(out(11L).getAs[Long]("n_latin") == 5 &&
+      out(11L).getAs[Long]("n_cyrillic") == 3 &&
+      out(11L).getAs[Long]("n_cjk") == 2 &&
+      out(11L).getAs[Boolean]("mixed_script"))
+  }
+
   test("length histogram bins by 16-token widths per source") {
     import spark.implicits._
     val df = Seq(("web", (1 to 5).map(_ => "t").mkString(" ")),

@@ -81,6 +81,27 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("quality keeper keeps the longest cluster member, min-id on ties") {
+    // Cluster {1,2,3}: doc 3 = base + " extra" is the longest → keeper 3
+    // (where min-id dedupApply keeps 1); disjoint docs 4/5 survive
+    // unclustered with a null keeper.
+    val out = Dedup.dedupApplyQuality(corpus).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (Option(r.getAs[java.lang.Long]("keeper_id")).map(_.toLong),
+          r.getAs[Boolean]("survives"))).toMap
+    assert(out(1L) == (Some(3L), false))
+    assert(out(2L) == (Some(3L), false))
+    assert(out(3L) == (Some(3L), true))
+    assert(out(4L) == (None, true) && out(5L) == (None, true))
+    // Ties (docs 1 and 2 are byte-identical) fall to min id: drop doc 3's
+    // length edge and the keeper must be 1.
+    import spark.implicits._
+    val tied = Seq((1L, base), (2L, base)).toDF("doc_id", "text")
+    val t = Dedup.dedupApplyQuality(tied).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Boolean]("survives")).toMap
+    assert(t == Map(1L -> true, 2L -> false))
+  }
+
   test("large-star/small-star clusters agree with label propagation") {
     // Same corpus, both engines: identical (doc_id, cluster_id, n_members).
     def dump(df: org.apache.spark.sql.DataFrame) = df.collect()

@@ -140,6 +140,30 @@ class PipelineSpec extends SparkSpec {
     assert(rows == Map("click" -> 2L, "view" -> 0L, "buy" -> 4L))
   }
 
+  test("ewma halves each older event's weight and truncates at 8 terms") {
+    import spark.implicits._
+    def ev(id: Long, secs: Long, user: Long, cents: Long) =
+      (id, new Timestamp(secs * 1000), user, "view", cents / 100.0, "{}")
+    // user 1: three events of 100 cents each; user 2: ten equal events
+    // (window truncates to the last 8); user 3: single event.
+    val events = (Seq(ev(1, 0, 1, 100), ev(2, 60, 1, 100), ev(3, 120, 1, 100),
+      ev(30, 0, 3, 700)) ++
+      (0 until 10).map(k => ev(10 + k, k * 10, 2, 100)))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val out = Temporal.ewmaUserValue(events).collect()
+      .map(r => r.getAs[Long]("event_id") -> r.getAs[Long]("ewma128")).toMap
+    // Single event: full weight 128.
+    assert(out(30L) == 700L * 128)
+    assert(out(1L) == 100L * 128)
+    // Two events: 128·100 + 64·100.
+    assert(out(2L) == 100L * (128 + 64))
+    assert(out(3L) == 100L * (128 + 64 + 32))
+    // Saturated window: geometric series 128+64+…+1 = 255; the 9th and
+    // 10th events see the same truncated sum as the 8th.
+    assert(out(17L) == 100L * 255)
+    assert(out(18L) == 100L * 255 && out(19L) == 100L * 255)
+  }
+
   test("sessionization splits on the 30-minute gap") {
     import spark.implicits._
     val events = Seq(

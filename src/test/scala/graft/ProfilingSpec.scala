@@ -1,0 +1,63 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Profiling, Tpch}
+
+/** Layout diagnostics and the Q8-shape market share over planted fixtures
+  * with hand-computable answers. */
+class ProfilingSpec extends SparkSpec {
+
+  test("skew profile buckets key counts by binary magnitude") {
+    import spark.implicits._
+    // 4 keys with 1 event (bucket 1), 2 keys with 3 (bucket 2 = [2,4)),
+    // 1 key with 12 (bucket 4 = [8,16)). Total rows = 4 + 6 + 12 = 22.
+    val events = (
+      (1 to 4).map(u => (u.toLong, u.toLong)) ++
+      (5 to 6).flatMap(u => Seq.fill(3)((u.toLong, u.toLong))) ++
+      Seq.fill(12)((7L, 7L))
+    ).zipWithIndex.map { case ((u, _), i) =>
+      (i.toLong, new Timestamp(i * 1000L), u, "view", 1.0, "{}")
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val out = Profiling.skewProfile(events).collect()
+      .map(r => r.getAs[Long]("bucket") ->
+        (r.getAs[Long]("n_keys"), r.getAs[Long]("n_rows"),
+          r.getAs[Long]("max_cnt"), r.getAs[Long]("rows_ppm"))).toMap
+    assert(out.keySet == Set(1L, 2L, 4L))
+    assert(out(1L) == (4L, 4L, 1L, 4L * 1000000 / 22))
+    assert(out(2L) == (2L, 6L, 3L, 6L * 1000000 / 22))
+    assert(out(4L) == (1L, 12L, 12L, 12L * 1000000 / 22))
+  }
+
+  test("market share attributes exact cent shares to the supplier nation") {
+    import spark.implicits._
+    val region = Seq((0L, "AMERICA"), (1L, "ASIA")).toDF("r_regionkey", "r_name")
+    val nation = Seq((0L, "NATION_3", 0L), (1L, "NATION_9", 0L), (2L, "FAR", 1L))
+      .toDF("n_nationkey", "n_name", "n_regionkey")
+    val customer = Seq((10L, 0L), (11L, 2L)) // cust 11 outside AMERICA
+      .toDF("c_custkey", "c_nationkey")
+    val orders = Seq(
+      (100L, 10L, Timestamp.valueOf("1995-06-01 00:00:00")),
+      (101L, 10L, Timestamp.valueOf("1996-06-01 00:00:00")),
+      (102L, 11L, Timestamp.valueOf("1995-06-01 00:00:00")), // wrong region
+      (103L, 10L, Timestamp.valueOf("1998-06-01 00:00:00"))) // out of range
+      .toDF("o_orderkey", "o_custkey", "o_orderdate")
+    val supplier = Seq((1000L, 0L), (1001L, 1L))
+      .toDF("s_suppkey", "s_nationkey")
+    // 1995: NATION_3 ships 10.00 of 30.00 → ⌊1e9/3e3⌋ ppm; 1996: all of it.
+    val lineitem = Seq(
+      (100L, 1000L, 10.0, 0.0), (100L, 1001L, 20.0, 0.0),
+      (101L, 1000L, 40.0, 0.5),
+      (102L, 1000L, 99.0, 0.0), (103L, 1000L, 99.0, 0.0))
+      .toDF("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+    val out = Tpch.marketShare(region, nation, customer, orders, lineitem, supplier)
+      .collect().map(r => r.getAs[Long]("o_year") ->
+        (r.getAs[Long]("total_cents"), r.getAs[Long]("nation_cents"),
+          r.getAs[Long]("share_ppm"))).toMap
+    assert(out.keySet == Set(1995L, 1996L))
+    assert(out(1995L) == (3000L, 1000L, 1000L * 1000000 / 3000))
+    assert(out(1996L) == (2000L, 2000L, 1000000L))
+  }
+}
