@@ -28,15 +28,20 @@ object Profiling {
     * is constant-size regardless of fact volume.
     */
   def skewProfile(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val perKey = events.groupBy(col("user_id")).agg(count(lit(1)).as("cnt"))
-    val total = perKey.agg(sum(col("cnt")).as("total_rows"))
+    // The rows total comes from the BUCKET rows (≤ 64 of them — counts are
+    // Longs), not a second aggregate branch over perKey: that would scan
+    // and shuffle the fact table twice. The unpartitioned window funnels
+    // only the 64-row histogram to one task, not data.
     perKey
       .withColumn("bucket", length(conv(col("cnt"), 10, 2)).cast("long"))
       .groupBy(col("bucket"))
       .agg(count(lit(1)).as("n_keys"),
         sum(col("cnt")).as("n_rows"),
         max(col("cnt")).as("max_cnt"))
-      .crossJoin(broadcast(total))
+      .withColumn("total_rows", sum(col("n_rows")).over(
+        Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
       .select(col("bucket"), col("n_keys"), col("n_rows"), col("max_cnt"),
         expr("(n_rows * 1000000) div total_rows").as("rows_ppm"))
       .orderBy(col("bucket"))
