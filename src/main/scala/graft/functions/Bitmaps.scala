@@ -208,11 +208,49 @@ object Bitmaps {
       .orderBy(col("type_a"), col("type_b"))
   }
 
+  /** Rolling 7-day exact distinct users per day — the metric COUNT
+    * DISTINCT OVER a sliding frame cannot express (distinct doesn't
+    * decompose over window frames; engines reject it). Bitmaps restore
+    * decomposability: ONE fact scan builds a bitmap per day, each day's
+    * bitmap is replicated to the ≤7 window ends it contributes to
+    * (day-grain rows, not fact rows), and the per-end OR-merge reads the
+    * exact cardinality. At 100 TB the fact table still shuffles once on
+    * day grain; everything after is O(days × 7) bitmap traffic. The
+    * DuckDB oracle recomputes each day's window from raw events — hash
+    * equality proves replicate-and-OR == per-window distinct.
+    */
+  def rollingDistinctUsers(events: DataFrame): DataFrame = {
+    // Two consumers (own-day count, window merge): persist the ~days-sized
+    // bitmap table so the fact scan/shuffle runs once.
+    val daily = events
+      .select(date_trunc("day", col("ts")).as("day"), col("user_id"))
+      .groupBy(col("day"))
+      .agg(bitmapAgg(col("user_id")).as("bm"))
+      .persist()
+    val present = daily.select(col("day").as("target_day"))
+    val rolled = daily
+      .withColumn("target_day",
+        explode(expr("sequence(day, day + interval 6 days, interval 1 day)")))
+      // Only report days the corpus actually has (drops the phantom tail
+      // past max(day) and any silent-gap days, matching the oracle spine).
+      .join(present, "target_day")
+      .groupBy(col("target_day"))
+      .agg(mergeBitmaps(col("bm.chunks"), col("bm.words")).as("bm7"))
+    daily
+      .select(col("day"),
+        expr("aggregate(bm.words, 0L, (a, w) -> a + bit_count(w))").as("n_users_1d"))
+      .join(rolled, col("day") === col("target_day"))
+      .select(unix_micros(col("day")).as("day_us"), col("n_users_1d"),
+        expr("aggregate(bm7.words, 0L, (a, w) -> a + bit_count(w))").as("n_users_7d"))
+      .orderBy(col("day_us"))
+  }
+
   // ---------------------------------------------------------------- registry
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "bitmap_distinct_rollup" -> ((s, d) => bitmapDistinctRollup(Tables.events(s, d))),
     "bitmap_overlap" -> ((s, d) => bitmapOverlap(Tables.events(s, d))),
+    "rolling_distinct_users" -> ((s, d) => rollingDistinctUsers(Tables.events(s, d))),
   )
 
   /** The oracle recomputes the distinct counts in ONE shot per week —
@@ -240,5 +278,16 @@ object Bitmaps {
         |FROM t ta JOIN t tb ON ta.event_type < tb.event_type
         |LEFT JOIN ov ON ov.type_a = ta.event_type AND ov.type_b = tb.event_type
         |ORDER BY type_a, type_b""".stripMargin,
+    // Each window recomputed from raw events — equality proves the
+    // replicate-and-OR plan is the exact sliding distinct.
+    "rolling_distinct_users" ->
+      """WITH days AS (SELECT DISTINCT date_trunc('day', ts) AS day FROM events)
+        |SELECT epoch_us(d.day) AS day_us,
+        |  (SELECT count(DISTINCT user_id) FROM events e
+        |   WHERE date_trunc('day', e.ts) = d.day) AS n_users_1d,
+        |  (SELECT count(DISTINCT user_id) FROM events e
+        |   WHERE date_trunc('day', e.ts) BETWEEN d.day - INTERVAL 6 DAY AND d.day)
+        |    AS n_users_7d
+        |FROM days d ORDER BY day_us""".stripMargin,
   )
 }

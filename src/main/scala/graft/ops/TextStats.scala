@@ -431,6 +431,57 @@ object TextStats {
       .orderBy(col("rnk"))
   }
 
+  // --------------------------------------------------------- collocations
+
+  private val TopCollocations = 30
+  /** Minimum pair count — PMI's classic low-frequency pathology (hapax
+    * pairs score highest) is gated before ranking, not after. */
+  private val MinPairCount = 5
+
+  /** Collocation mining: the corpus's top word pairs by pointwise mutual
+    * information, the vocabulary-induction signal BPE's count-based merges
+    * don't see (PMI finds "new york"-style units even when each word is
+    * common). Scored as the exact integer surrogate
+    * `c(ab)·N·1e6 div (c(a)·c(b))` — monotone in PMI for fixed N, so the
+    * ranking equals the log form's without ever calling libm. Headroom:
+    * c2·N·1e6 needs c2·N < 9.2e12; at trillion-token corpora drop the 1e6
+    * scale or go DECIMAL(38) — noted, not needed at fixture scale.
+    *
+    * Scale shape: unigram and bigram counts are one exploded groupBy each
+    * on token keys (high-cardinality); the pair table joins the (much
+    * smaller) vocab table twice on token; N rides a broadcast 1-row agg;
+    * the final top-30 rank-filter plans through the bounded TopK operator.
+    */
+  def collocations(documents: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val words = documents.select(split(lower(col("text")), " ").as("w"))
+    // Vocab feeds three arms (both pair-side joins and N): persist the
+    // vocab-sized table, not the corpus.
+    val uni = words.select(explode(col("w")).as("tok"))
+      .filter(length(col("tok")) > 0)
+      .groupBy(col("tok")).agg(count(lit(1)).as("c1"))
+      .persist()
+    val big = words
+      .filter(size(col("w")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(0, size(w) - 2), i -> struct(w[i] as a, w[i + 1] as b))")).as("p"))
+      .select(col("p.a"), col("p.b"))
+      .filter(length(col("a")) > 0 && length(col("b")) > 0)
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("c2"))
+      .filter(col("c2") >= MinPairCount)
+    val total = uni.agg(sum(col("c1")).as("n_tokens"))
+    big
+      .join(uni.select(col("tok").as("a"), col("c1").as("ca")), "a")
+      .join(uni.select(col("tok").as("b"), col("c1").as("cb")), "b")
+      .crossJoin(broadcast(total))
+      .select(col("a"), col("b"), col("c2"),
+        expr("(c2 * n_tokens * 1000000) div (ca * cb)").as("pmi_scaled"))
+      .withColumn("rnk", row_number().over(
+        Window.orderBy(col("pmi_scaled").desc, col("a").asc, col("b").asc)).cast("long"))
+      .filter(col("rnk") <= TopCollocations)
+      .orderBy(col("rnk"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "doc_top_term" -> ((s, d) => docTopTerm(Tables.documents(s, d))),
     "doc_top_term_topk" -> ((s, d) => docTopTermTopK(Tables.documents(s, d))),
@@ -445,6 +496,7 @@ object TextStats {
     "inverted_index" -> ((s, d) => invertedIndex(Tables.documents(s, d))),
     "bpe_apply" -> ((s, d) => bpeApply(Tables.documents(s, d))),
     "bm25_topk" -> ((s, d) => bm25TopK(Tables.documents(s, d))),
+    "collocations" -> ((s, d) => collocations(Tables.documents(s, d))),
   )
 
   def oracleSql: Map[String, String] = {
@@ -501,7 +553,32 @@ object TextStats {
            |  SELECT doc_id, score,
            |    (row_number() OVER (ORDER BY score DESC, doc_id ASC))::BIGINT AS rnk
            |  FROM scored)
-           |WHERE rnk <= $Bm25TopDocs ORDER BY rnk""".stripMargin)
+           |WHERE rnk <= $Bm25TopDocs ORDER BY rnk""".stripMargin) +
+      ("collocations" ->
+        s"""WITH w AS (SELECT string_split(lower(text), ' ') AS w FROM documents),
+           |uni AS (
+           |  SELECT tok, count(*)::BIGINT AS c1 FROM (
+           |    SELECT unnest(w) AS tok FROM w) WHERE len(tok) > 0 GROUP BY tok),
+           |big AS (
+           |  SELECT a, b, count(*)::BIGINT AS c2 FROM (
+           |    SELECT string_split(pr, chr(31))[1] AS a,
+           |      string_split(pr, chr(31))[2] AS b
+           |    FROM (SELECT unnest(list_transform(generate_series(1, len(w) - 1),
+           |      i -> w[i] || chr(31) || w[i + 1])) AS pr
+           |      FROM w WHERE len(w) >= 2))
+           |  WHERE len(a) > 0 AND len(b) > 0
+           |  GROUP BY a, b HAVING count(*) >= $MinPairCount),
+           |tot AS (SELECT sum(c1)::BIGINT AS n_tokens FROM uni),
+           |scored AS (
+           |  SELECT big.a, big.b, big.c2,
+           |    (big.c2 * t.n_tokens * 1000000 // (ua.c1 * ub.c1))::BIGINT AS pmi_scaled
+           |  FROM big JOIN uni ua ON big.a = ua.tok
+           |  JOIN uni ub ON big.b = ub.tok, tot t)
+           |SELECT rnk, a, b, c2, pmi_scaled FROM (
+           |  SELECT a, b, c2, pmi_scaled,
+           |    (row_number() OVER (ORDER BY pmi_scaled DESC, a ASC, b ASC))::BIGINT AS rnk
+           |  FROM scored)
+           |WHERE rnk <= $TopCollocations ORDER BY rnk""".stripMargin)
   }
 
   private def baseOracleSql: Map[String, String] = {

@@ -336,6 +336,25 @@ class DedupSpec extends SparkSpec {
       .digest(expectStream.getBytes("UTF-8")).map("%02x".format(_)).mkString
     assert(out.getAs[String]("stream_md5") == md)
   }
+  test("collocations rank glued pairs above chance pairs, gated at min count") {
+    import spark.implicits._
+    // "new york" always co-occurs (8×): PMI max. "the data" co-occurs 8×
+    // but both words are everywhere → low PMI. "rare pair" appears 4× —
+    // under the min-count gate, must be absent.
+    val rows = (1 to 8).map { i =>
+      (i.toLong, s"new york w$i the data the x$i data the data here rare")
+    } ++ Seq((9L, "rare pair rare pair rare pair rare pair filler"))
+    val out = TextStats.collocations(
+      rows.map { case (i, t) => (i, t, "en", "s", 0L) }
+        .toDF("doc_id", "text", "lang", "source", "n_chars")).collect()
+    val pairs = out.map(r => (r.getAs[String]("a"), r.getAs[String]("b"))).toSeq
+    val score = out.map(r =>
+      (r.getAs[String]("a"), r.getAs[String]("b")) -> r.getAs[Long]("pmi_scaled")).toMap
+    assert(pairs.head == (("new", "york")), s"top pair: ${pairs.head}")
+    assert(score(("new", "york")) > score(("the", "data")))
+    assert(!pairs.contains(("rare", "pair"))) // 4 < MinPairCount
+  }
+
   test("bm25 ranks tf saturation and length norm the right way") {
     import spark.implicits._
     // Query terms = top-3 df tokens: data (df 5), model/the (df 3 each).

@@ -150,4 +150,29 @@ class SketchSpec extends SparkSpec {
     naive.foreach { case (k, n) => assert(gotFix(k) == n, s"pair $k") }
     assert(gotFix.values.count(_ > 0) == naive.size)
   }
+
+  test("rolling 7-day distinct equals per-window recomputation from raw events") {
+    import graft.functions.Bitmaps
+    val events = Tables.events(spark, dir)
+    val got = Bitmaps.rollingDistinctUsers(events)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // Naive per-window recompute in-plan: day spine × range-filtered facts.
+    val days = events.select(date_trunc("day", col("ts")).as("day")).distinct()
+    val naive = days.as("d").join(
+        events.select(date_trunc("day", col("ts")).as("eday"), col("user_id")),
+        col("eday").between(expr("day - interval 6 days"), col("day")))
+      .groupBy(col("day"))
+      .agg(count_distinct(col("user_id")).as("u7"))
+      .select(unix_micros(col("day")), col("u7"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.view.mapValues(_._2).toMap == naive)
+    // The 1-day column is the plain per-day distinct.
+    val d1 = events.groupBy(date_trunc("day", col("ts")).as("day"))
+      .agg(count_distinct(col("user_id")).as("u1"))
+      .select(unix_micros(col("day")), col("u1"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.view.mapValues(_._1).toMap == d1)
+    // Windows widen then saturate: 7-day is never below 1-day.
+    got.values.foreach { case (u1, u7) => assert(u7 >= u1) }
+  }
 }
