@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownLimit, SupportsPushDownRequiredColumns}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, IsNotNull, IsNull, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types.StructType
@@ -81,13 +81,19 @@ class GavroTable(tableSchema: StructType, path: String, schemaName: String)
 
 class GavroScanBuilder(full: StructType, path: String, schemaName: String)
     extends ScanBuilder with SupportsPushDownRequiredColumns
-    with SupportsPushDownFilters {
+    with SupportsPushDownFilters with SupportsPushDownLimit {
   private val record = AvroCodec.schemaByName(schemaName)
   private var required: StructType = full
   private var pushed: Array[Filter] = Array.empty
+  private var limit: Int = -1
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
+
+  /** Limit lands AFTER the pushed filters in the reader loop, so each
+    * partition decodes at most `limit` MATCHING records and stops walking
+    * the wire — Spark's global limit over partitions still applies above. */
+  override def pushLimit(l: Int): Boolean = { limit = l; true }
 
   // Scalar fields only: timestamp literals arrive from Catalyst in several
   // JVM shapes (Timestamp/Instant/Long) — not worth the ambiguity at the
@@ -122,22 +128,25 @@ class GavroScanBuilder(full: StructType, path: String, schemaName: String)
     rest
   }
   override def pushedFilters(): Array[Filter] = pushed
-  override def build(): Scan = new GavroScan(path, schemaName, required, pushed)
+  override def build(): Scan =
+    new GavroScan(path, schemaName, required, pushed, limit)
 }
 
 class GavroScan(path: String, schemaName: String, required: StructType,
-    pushed: Array[Filter]) extends Scan with Batch {
+    pushed: Array[Filter], limit: Int) extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
     s"gavro $path, schema=$schemaName, ReadSchema: ${required.catalogString}, " +
-      s"PushedFilters: ${pushed.mkString("[", ", ", "]")}"
+      s"PushedFilters: ${pushed.mkString("[", ", ", "]")}" +
+      (if (limit >= 0) s", PushedLimit: $limit" else "")
   override def planInputPartitions(): Array[InputPartition] =
     Option(new java.io.File(path).listFiles()).getOrElse(Array.empty)
       .filter(_.getName.endsWith(".gavro")).sortBy(_.getName)
       .map(f => GavroInputPartition(f.getAbsolutePath): InputPartition)
   override def createReaderFactory(): PartitionReaderFactory =
-    GavroReaderFactory(schemaName, required.fieldNames, pushed.map(GavroPred.from))
+    GavroReaderFactory(schemaName, required.fieldNames,
+      pushed.map(GavroPred.from), limit)
 }
 
 /** Serializable reader-side form of one pushed conjunct. `value` is one of
@@ -163,15 +172,16 @@ case class GavroInputPartition(file: String) extends InputPartition
   * columns, and pushed conjuncts travel as names/values; the schema ADT is
   * rebuilt per reader. */
 case class GavroReaderFactory(schemaName: String, requiredNames: Array[String],
-    preds: Array[GavroPred]) extends PartitionReaderFactory {
+    preds: Array[GavroPred], limit: Int) extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     new GavroPartitionReader(partition.asInstanceOf[GavroInputPartition].file,
-      schemaName, requiredNames, preds)
+      schemaName, requiredNames, preds, limit)
 }
 
 class GavroPartitionReader(file: String, schemaName: String,
-    requiredNames: Array[String], preds: Array[GavroPred])
+    requiredNames: Array[String], preds: Array[GavroPred], limit: Int)
     extends PartitionReader[InternalRow] {
+  private var emitted = 0
   private val record = AvroCodec.schemaByName(schemaName)
   // Decode target = required columns, then any filter-only columns appended
   // after them — evaluated, never emitted.
@@ -242,6 +252,7 @@ class GavroPartitionReader(file: String, schemaName: String,
     }
 
   override def next(): Boolean = {
+    if (limit >= 0 && emitted >= limit) return false
     while (pos + 4 <= bytes.length) {
       val n = ((bytes(pos) & 0xFF) << 24) | ((bytes(pos + 1) & 0xFF) << 16) |
         ((bytes(pos + 2) & 0xFF) << 8) | (bytes(pos + 3) & 0xFF)
@@ -255,7 +266,7 @@ class GavroPartitionReader(file: String, schemaName: String,
       // (modulo pushed filters, which see the nulls like any WHERE would).
       val ext = if (decoded != null) decoded
         else new GenericInternalRow(extNames.length)
-      if (pass(ext)) { row = emit(ext); return true }
+      if (pass(ext)) { row = emit(ext); emitted += 1; return true }
     }
     false
   }

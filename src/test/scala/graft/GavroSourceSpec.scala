@@ -155,6 +155,28 @@ class GavroSourceSpec extends SparkSpec {
     assert(scan().filter(col("id").isNull).count() == 1)
   }
 
+  test("pushed limit stops the reader after n matching records per partition") {
+    val events = Tables.events(spark, dir)
+    val out = tmpDir("limit")
+    Gavro.write(events.repartition(4)
+      .select(AvroCodec.requestLogRec.as("rec"))
+      .select(expr("to_avro_graft(rec, 'request_log')").as("bin")), out)
+    val limited = spark.read.format("gavro")
+      .option("schema", "request_log").load(out)
+      .filter(col("status_code") === 200)
+      .limit(3)
+    val scans = limited.queryExecution.executedPlan.collect {
+      case b: BatchScanExec => b }
+    assert(scans.nonEmpty)
+    // Limit reached the scan (composed with the pushed filter)…
+    assert(scans.head.scan.description().contains("PushedLimit: 3"),
+      scans.head.scan.description())
+    // …and the result honors both: exactly 3 rows, every one matching.
+    val rows = limited.collect()
+    assert(rows.length == 3)
+    assert(rows.forall(_.getAs[Int]("status_code") == 200))
+  }
+
   test("the registered aggregate query matches its oracle shape") {
     val df = Gavro.gavroScan(spark, dir)
     val rows = df.collect()

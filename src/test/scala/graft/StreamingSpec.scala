@@ -373,6 +373,51 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("outer stream-stream join emits NULL rows only after watermark eviction") {
+    import spark.implicits._
+    import graft.streaming.StreamJoins
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Evt]
+    val query = StreamJoins.purchaseErrorOuterJoin(input.toDF())
+      .writeStream.format("memory").queryName("ss_outer_test")
+      .outputMode(OutputMode.Append())
+      .start()
+    try {
+      // Batch 1: two purchases. No outer rows may emit yet — a match for
+      // either could still arrive.
+      input.addData(
+        Evt(0L, ts("2024-01-01 00:00:00"), 1L, "purchase", 50.0, "{}"),
+        Evt(1L, ts("2024-01-01 00:00:00"), 2L, "purchase", 60.0, "{}"))
+      query.processAllAvailable()
+      assert(spark.table("ss_outer_test").isEmpty)
+      // Batch 2: user 1 matches in-window. The matched row emits; user 2's
+      // NULL row must NOT — its window is still open under the watermark.
+      input.addData(Evt(2L, ts("2024-01-01 00:05:00"), 1L, "error", 0.0, "{}"))
+      query.processAllAvailable()
+      val afterMatch = spark.table("ss_outer_test").collect()
+        .map(r => (r.getAs[Long]("user_id"), r.getAs[Boolean]("had_error")))
+      assert(afterMatch.toSeq == Seq((1L, true)))
+      // Batch 3: late traffic on BOTH sides at 00:40 — the global
+      // watermark is the MIN of the two sides', so an error alone cannot
+      // release user 2's row (the purchase side would still hold it).
+      // min(00:40−10m) = 00:30, past user 2's 00:00+10min window end →
+      // the unmatched purchase is evicted from state AND emitted as NULL
+      // in the following batch.
+      input.addData(
+        Evt(3L, ts("2024-01-01 00:40:00"), 99L, "purchase", 1.0, "{}"),
+        Evt(4L, ts("2024-01-01 00:40:00"), 99L, "error", 0.0, "{}"))
+      query.processAllAvailable()
+      input.addData(Evt(5L, ts("2024-01-01 00:41:00"), 98L, "error", 0.0, "{}"))
+      query.processAllAvailable()
+      val rows = spark.table("ss_outer_test").collect()
+        .map(r => (r.getAs[Long]("user_id"), r.getAs[Boolean]("had_error"),
+          Option(r.getAs[java.lang.Long]("error_ts_us")))).sortBy(_._1)
+      assert(rows.exists { case (u, h, e) => u == 2L && !h && e.isEmpty },
+        s"user 2's NULL outer row missing: ${rows.mkString(", ")}")
+      assert(rows.count(_._1 == 1L) == 1 && rows.head._2)
+    } finally query.stop()
+  }
+
   test("stream-static enrichment resolves regions without stream shuffle") {
     import spark.implicits._
     import graft.streaming.StreamJoins
