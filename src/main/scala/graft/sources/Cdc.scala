@@ -179,6 +179,44 @@ object Cdc {
       .orderBy(col("user_id"))
   }
 
+  /** Merkle-style snapshot reconciliation — the scale path
+    * [[snapshotDiff]]'s row-level full-outer join grows out of: both
+    * snapshots reduce to per-bucket fingerprints (row count + bit_xor of a
+    * row content hash over `user_id % 256` buckets), and only the buckets
+    * whose fingerprints disagree are reported. At 100 TB the row-level
+    * diff then reruns INSIDE the ~handful of dirty buckets (each a
+    * predicate-pushdown-able slice), never across the full keyspace —
+    * 2×256 fingerprint rows travel instead of two key-grain tables.
+    * bit_xor is order- and partition-insensitive, so the fingerprint is
+    * layout-independent; xor cancellation needs a PAIR of offsetting row
+    * edits inside one bucket to false-negative, which the count column
+    * already catches unless the pair also preserves cardinality — the
+    * classic, documented merkle-tradeoff.
+    */
+  def snapshotReconcile(envelope: DataFrame, splitId: Long = 500): DataFrame = {
+    def fingerprints(snap: DataFrame) = snap
+      // Row content hashed over INTEGERS (value as floored cents): a raw
+      // double in concat_ws would ride each engine's float-to-string
+      // renderer, which disagree on exponent form.
+      .select(pmod(col("user_id"), lit(256L)).as("bucket"),
+        expr("cast(conv(substring(md5(concat_ws('|', user_id, last_event_id, " +
+          "cast(floor(last_value * 100) as bigint))), 1, 15), 16, 10) as bigint)")
+          .as("row_h"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"), expr("bit_xor(row_h)").as("checksum"))
+    val old = fingerprints(snapshot(envelope.filter(col("event_id") < splitId)))
+      .select(col("bucket"), col("n").as("old_n"), col("checksum").as("old_sum"))
+    val cur = fingerprints(snapshot(envelope))
+      .select(col("bucket"), col("n").as("new_n"), col("checksum").as("new_sum"))
+    old.join(cur, Seq("bucket"), "full_outer")
+      .filter(col("old_sum").isNull || col("new_sum").isNull ||
+        col("old_n") =!= col("new_n") || col("old_sum") =!= col("new_sum"))
+      .select(col("bucket"),
+        coalesce(col("old_n"), lit(0L)).as("old_n"),
+        coalesce(col("new_n"), lit(0L)).as("new_n"))
+      .orderBy(col("bucket"))
+  }
+
   /** MapType handling: parse the JSON payload as `map<string,long>` (the
     * schema-less variant of the struct decode — right when producers add
     * keys without coordination), extend it with a derived entry, explode to
@@ -211,6 +249,8 @@ object Cdc {
     "cdc_scd2" -> ((s, d) => scd2History(envelope(Tables.events(s, d)))),
     // Compacted-state diff between two log positions.
     "cdc_snapshot_diff" -> ((s, d) => snapshotDiff(envelope(Tables.events(s, d)))),
+    // Bucket-checksum reconciliation between the same two positions.
+    "cdc_reconcile" -> ((s, d) => snapshotReconcile(envelope(Tables.events(s, d)))),
     // S3 semantics: PERMISSIVE decode error channel over planted corruption.
     "json_permissive" -> ((s, d) => permissiveDecode(Tables.events(s, d))),
     // P1 + envelope: op filter over the CDC stream shape.
@@ -325,6 +365,41 @@ object Cdc {
         |    old_event_id, new_event_id, old_value, new_value
         |  FROM snap_old FULL OUTER JOIN snap_new USING (user_id)
         |) WHERE change <> 'unchanged' ORDER BY user_id""".stripMargin,
+    "cdc_reconcile" ->
+      """WITH env AS (
+        |  SELECT event_id, user_id, value,
+        |    epoch_ms(ts) AS __source_ts_ms,
+        |    (event_id % 4 = 3) AS __deleted
+        |  FROM events
+        |), snap_old AS (
+        |  SELECT user_id, event_id AS last_event_id, value AS last_value FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY user_id
+        |      ORDER BY __source_ts_ms DESC, event_id DESC) AS rn
+        |    FROM env WHERE event_id < 500
+        |  ) WHERE rn = 1 AND NOT __deleted
+        |), snap_new AS (
+        |  SELECT user_id, event_id AS last_event_id, value AS last_value FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY user_id
+        |      ORDER BY __source_ts_ms DESC, event_id DESC) AS rn
+        |    FROM env
+        |  ) WHERE rn = 1 AND NOT __deleted
+        |), fp_old AS (
+        |  SELECT user_id % 256 AS bucket, count(*)::BIGINT AS old_n,
+        |    bit_xor(('0x' || substr(md5(user_id || '|' || last_event_id || '|' ||
+        |      floor(last_value * 100)::BIGINT), 1, 15))::BIGINT) AS old_sum
+        |  FROM snap_old GROUP BY 1
+        |), fp_new AS (
+        |  SELECT user_id % 256 AS bucket, count(*)::BIGINT AS new_n,
+        |    bit_xor(('0x' || substr(md5(user_id || '|' || last_event_id || '|' ||
+        |      floor(last_value * 100)::BIGINT), 1, 15))::BIGINT) AS new_sum
+        |  FROM snap_new GROUP BY 1
+        |)
+        |SELECT bucket, coalesce(old_n, 0)::BIGINT AS old_n,
+        |  coalesce(new_n, 0)::BIGINT AS new_n
+        |FROM fp_old FULL OUTER JOIN fp_new USING (bucket)
+        |WHERE old_sum IS NULL OR new_sum IS NULL
+        |   OR old_n <> new_n OR old_sum <> new_sum
+        |ORDER BY bucket""".stripMargin,
     "cdc_snapshot" ->
       """WITH env AS (
         |  SELECT event_id, user_id, value,

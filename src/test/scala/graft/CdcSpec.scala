@@ -70,4 +70,25 @@ class CdcSpec extends SparkSpec {
         (r.getAs[Long]("last_event_id"), r.getAs[Double]("last_value"))).toMap
     assert(snap == Map(1L -> (6L, 30.0), 3L -> (10L, 6.0))) // user 2 deleted
   }
+
+  test("reconciliation flags exactly the buckets whose keys changed") {
+    import spark.implicits._
+    // Keys 1 and 257 share bucket 1 (mod 256). Key 1 is unchanged across
+    // the split; key 257 changes value after it; key 300 (bucket 44) is
+    // added after the split; key 2 (bucket 2) is unchanged.
+    val ev = Seq(
+      (4L, Timestamp.valueOf("2024-01-01 00:00:00"), 1L, "click", 10.0, "{}"),
+      (8L, Timestamp.valueOf("2024-01-01 00:00:00"), 2L, "click", 7.0, "{}"),
+      (12L, Timestamp.valueOf("2024-01-01 00:00:00"), 257L, "click", 1.0, "{}"),
+      (500L, Timestamp.valueOf("2024-01-01 00:01:00"), 257L, "click", 2.0, "{}"),
+      (504L, Timestamp.valueOf("2024-01-01 00:01:00"), 300L, "click", 3.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val out = Cdc.snapshotReconcile(Cdc.envelope(ev)).collect()
+      .map(r => r.getAs[Long]("bucket") ->
+        (r.getAs[Long]("old_n"), r.getAs[Long]("new_n"))).toMap
+    // Bucket 1: same cardinality (2 keys both sides) but key 257's row
+    // hash changed → xor mismatch catches what the count alone cannot.
+    // Bucket 44: appears only in the new snapshot. Bucket 2 is clean.
+    assert(out == Map(1L -> (2L, 2L), 44L -> (0L, 1L)))
+  }
 }
