@@ -30,17 +30,23 @@ object Tables {
   def orders(s: SparkSession, d: String): DataFrame = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = table(s, d, "lineitem")
 
-  /** `events.parquet` stores TIMESTAMP(NANOS), which Spark's parquet reader
-    * rejects unless `spark.sql.legacy.parquet.nanosAsLong=true` (set in the
-    * Verify/Bench/test sessions). The long nanos are truncated to
-    * microseconds here — exactly what DuckDB's micro-resolution TIMESTAMP
-    * does on the oracle side — and exposed as a proper TimestampType.
+  /** `events.parquet` has shipped `ts` in different physical forms across
+    * driver regenerations: TIMESTAMP(NANOS) (loads as LongType under
+    * `spark.sql.legacy.parquet.nanosAsLong=true`, set in the Verify/Bench/
+    * test sessions) and naive TIMESTAMP(MICROS) (loads as TIMESTAMP_NTZ in
+    * Spark 4). Both are normalized here to session-tz (UTC) TimestampType —
+    * the NTZ wall clock reinterpreted in UTC is exactly the instant DuckDB's
+    * naive micro-resolution TIMESTAMP computes on the oracle side, so epoch
+    * math (`unix_micros`, window binning) agrees between the engines.
     */
   def events(s: SparkSession, d: String): DataFrame = {
     val raw = table(s, d, "events")
     raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
         raw.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts",
+          org.apache.spark.sql.functions.col("ts").cast(org.apache.spark.sql.types.TimestampType))
       case _ => raw
     }
   }
