@@ -143,6 +143,60 @@ object Mixing {
       .orderBy(col("lang"))
   }
 
+  /** DSIR feature space: hashed-unigram buckets. 512 buckets keeps the
+    * weight table broadcast-trivial while separating the fixture's ~40
+    * distinct tokens; production corpora use 10k-100k buckets — the table
+    * stays O(buckets) regardless of corpus size. */
+  val DsirBuckets = 512
+
+  /** DSIR-style importance weighting (Xie et al. 2023, "Data Selection
+    * for Language Models via Importance Resampling"): estimate hashed
+    * n-gram bag-of-words distributions for a TARGET domain (here the
+    * `lang = 'en'` slice) and the RAW corpus, weight each bucket by the
+    * smoothed likelihood ratio p_target/p_raw, and score every raw
+    * document by its tokens' ratios to select the most target-like docs.
+    *
+    * All arithmetic is exact BIGINT so the oracle hash-matches: the
+    * per-bucket ratio is kept in milli-units via one cross-multiplied
+    * integer division with add-one smoothing,
+    * `w = (1000·(cnt_t+1)·(N_r+B)) div ((cnt_r+1)·(N_t+B))`, and the doc
+    * score is the SUM of its token-bucket weights (an additive monotone
+    * proxy for the paper's product-of-ratios — exact where a float
+    * log-space product would diverge between engines at ulp level).
+    * Products stay < 2^63 up to ~1e8 corpus tokens in one exact-mode
+    * partition of the weight fit; past that, production fits the same
+    * table in log-space doubles (selection only needs ranks).
+    *
+    * Scale shape: one token scan fits BOTH distributions (target is a
+    * flagged sum inside the same groupBy — not a second pass), the
+    * weight table is O(buckets) and broadcast to the scorer, and the
+    * per-doc sum is one map-side-combinable shuffle keyed by doc_id.
+    * Nothing driver-side; the corpus is scanned twice (fit + score),
+    * exactly DSIR's two-pass structure.
+    */
+  def dsirWeights(documents: DataFrame, topN: Int = 100): DataFrame = {
+    val toks = documents.select(col("doc_id"), col("lang"),
+      explode(split(col("text"), " ")).as("tok"))
+    val bucket =
+      expr(s"cast(conv(substring(md5(tok), 1, 8), 16, 10) as bigint) % $DsirBuckets")
+    val fit = toks
+      .select(bucket.as("bucket"), (col("lang") === "en").cast("long").as("is_t"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("cnt_r"), sum(col("is_t")).as("cnt_t"))
+    val totals = fit.select(sum(col("cnt_r")).as("n_r"), sum(col("cnt_t")).as("n_t"))
+    val weights = fit.crossJoin(broadcast(totals))
+      .select(col("bucket"),
+        expr(s"(1000 * (cnt_t + 1) * (n_r + $DsirBuckets))" +
+          s" div ((cnt_r + 1) * (n_t + $DsirBuckets))").as("w_milli"))
+    toks.select(col("doc_id"), col("lang"), bucket.as("bucket"))
+      .join(broadcast(weights), "bucket")
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(count(lit(1)).as("n_toks"), sum(col("w_milli")).as("score_milli"))
+      .withColumn("spt_milli", expr("score_milli div n_toks"))
+      .orderBy(col("spt_milli").desc, col("doc_id").asc)
+      .limit(topN)
+  }
+
   // ---------------------------------------------------------------- registry
 
   /** Weight denominator for [[weightedSample]]: keep probability is
@@ -177,9 +231,36 @@ object Mixing {
     "domain_mix" -> ((s, d) => domainMix(Tables.documents(s, d))),
     "cms_heavy_hitters" -> ((s, d) => cmsHeavyHitters(Tables.documents(s, d))),
     "mix_plan" -> ((s, d) => mixPlan(Tables.documents(s, d))),
+    "dsir_weights" -> ((s, d) => dsirWeights(Tables.documents(s, d))),
   )
 
   def oracleSql: Map[String, String] = Map(
+    "dsir_weights" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, lang,
+         |    ('0x' || substr(md5(unnest(string_split(text, ' '))), 1, 8))::BIGINT
+         |      % $DsirBuckets AS bucket
+         |  FROM documents
+         |), fit AS (
+         |  SELECT bucket, count(*) AS cnt_r,
+         |    sum((lang = 'en')::BIGINT)::BIGINT AS cnt_t
+         |  FROM toks GROUP BY bucket
+         |), totals AS (
+         |  SELECT sum(cnt_r)::BIGINT AS n_r, sum(cnt_t)::BIGINT AS n_t FROM fit
+         |), weights AS (
+         |  SELECT bucket,
+         |    (1000 * (cnt_t + 1) * (n_r + $DsirBuckets))
+         |      // ((cnt_r + 1) * (n_t + $DsirBuckets)) AS w_milli
+         |  FROM fit, totals
+         |)
+         |SELECT doc_id, lang, n_toks, score_milli, score_milli // n_toks AS spt_milli
+         |FROM (
+         |  SELECT t.doc_id, t.lang, count(*) AS n_toks,
+         |    sum(w.w_milli)::BIGINT AS score_milli
+         |  FROM toks t JOIN weights w USING (bucket)
+         |  GROUP BY t.doc_id, t.lang
+         |)
+         |ORDER BY spt_milli DESC, doc_id ASC LIMIT 100""".stripMargin,
     "weighted_sample" ->
       s"""SELECT doc_id, source, w, u32 FROM (
          |  SELECT doc_id, source,

@@ -248,9 +248,55 @@ object Pipeline {
         md5(array_join(col("chunk"), " ")).as("chunk_hash"))
       .orderBy(col("doc_id"), col("chunk_idx"))
 
+  // ------------------------------------------------------ group-aware split
+
+  /** Split percentages out of 100: [0,80) train, [80,90) val, rest test. */
+  val SplitTrainPct = 80L
+  val SplitValPct = 90L
+
+  /** Leakage-free train/val/test split: the assignment unit is the GROUP
+    * (here `source` — the crawl domain / provenance unit whose documents
+    * share style and near-duplicate content), not the document. Splitting
+    * i.i.d. by doc leaks near-duplicates of training pages into eval
+    * (Lee et al. 2022 measure the resulting eval inflation); hashing the
+    * group key sends every document of a source to the same side by
+    * construction. The split is md5(source) mod 100 against fixed
+    * percentage fences — deterministic, assignment travels with the key
+    * (a new day's crawl of a known source lands in the same split with
+    * no lookup table), and rebalancing means changing two literals.
+    *
+    * Output is the audit table: per split, group/doc/token counts, plus
+    * `leaky_groups` — the count of groups observed in more than one
+    * split, COMPUTED from the assignment (a distinct-splits-per-group
+    * rollup, not an assertion), so a regression in the hash plumbing
+    * shows up as a nonzero cell rather than a silent eval leak.
+    *
+    * Scale shape: one narrow scan computes per-doc (group, split,
+    * n_tokens); both rollups are map-side-combinable aggs over ~groups
+    * rows; the leak audit joins one O(groups) frame — broadcast — back
+    * to the per-split rows. The corpus is never shuffled.
+    */
+  def groupSplit(documents: DataFrame): DataFrame = {
+    val assigned = documents.select(col("source"),
+      size(split(col("text"), " ")).cast("long").as("n_tokens"),
+      expr("cast(conv(substring(md5(source), 1, 8), 16, 10) as bigint) % 100")
+        .as("h"))
+      .withColumn("split",
+        when(col("h") < SplitTrainPct, "train")
+          .when(col("h") < SplitValPct, "val").otherwise("test"))
+    val perSplit = assigned.groupBy(col("split"))
+      .agg(countDistinct(col("source")).as("n_groups"),
+        count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"))
+    val leak = assigned.groupBy(col("source"))
+      .agg(countDistinct(col("split")).as("n_splits"))
+      .select(sum((col("n_splits") > 1).cast("long")).as("leaky_groups"))
+    perSplit.crossJoin(broadcast(leak)).orderBy(col("split"))
+  }
+
   // ---------------------------------------------------------------- registry
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "group_split" -> ((s, d) => groupSplit(Tables.documents(s, d))),
     "doc_chunks" -> ((s, d) => docChunks(Tables.documents(s, d))),
     "quality_filter" -> ((s, d) => qualityFilter(Tables.documents(s, d))),
     "model_quality_score" -> ((s, d) => modelQualityScore(Tables.documents(s, d))),
@@ -262,6 +308,27 @@ object Pipeline {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "group_split" ->
+      s"""WITH assigned AS (
+         |  SELECT source, len(string_split(text, ' '))::BIGINT AS n_tokens,
+         |    CASE
+         |      WHEN ('0x' || substr(md5(source), 1, 8))::BIGINT % 100 < $SplitTrainPct
+         |        THEN 'train'
+         |      WHEN ('0x' || substr(md5(source), 1, 8))::BIGINT % 100 < $SplitValPct
+         |        THEN 'val'
+         |      ELSE 'test' END AS split
+         |  FROM documents
+         |), per_split AS (
+         |  SELECT split, count(DISTINCT source)::BIGINT AS n_groups,
+         |    count(*)::BIGINT AS n_docs, sum(n_tokens)::BIGINT AS n_tokens
+         |  FROM assigned GROUP BY split
+         |), leak AS (
+         |  SELECT sum((n_splits > 1)::BIGINT)::BIGINT AS leaky_groups FROM (
+         |    SELECT source, count(DISTINCT split) AS n_splits
+         |    FROM assigned GROUP BY source)
+         |)
+         |SELECT split, n_groups, n_docs, n_tokens, leaky_groups
+         |FROM per_split, leak ORDER BY split""".stripMargin,
     "doc_chunks" ->
       s"""WITH t AS (
          |  SELECT doc_id, string_split(text, ' ') AS tk,

@@ -65,4 +65,29 @@ class MixingSpec extends SparkSpec {
     // short docs are kept with probability ~ i/256: doc 1 almost surely out
     assert(!got.contains(1L) || u32(1L) < 4294967296L / 256L)
   }
+
+  test("dsir weights rank target-vocabulary docs above off-target docs") {
+    import spark.implicits._
+    // Planted signal: target (en) docs speak pure "alpha..." vocabulary,
+    // off-target docs pure "omega..."; mixed docs sit in between. DSIR
+    // weights fit on the en slice must rank alpha-docs first, omega last.
+    val alpha = (1 to 20).map(i =>
+      (i.toLong, Seq.fill(30)(s"alpha${i % 5}").mkString(" "), "en"))
+    val omega = (21 to 40).map(i =>
+      (i.toLong, Seq.fill(30)(s"omega${i % 5}").mkString(" "), "de"))
+    val mixed = (41 to 50).map(i =>
+      (i.toLong, (Seq.fill(15)(s"alpha${i % 5}") ++
+        Seq.fill(15)(s"omega${i % 5}")).mkString(" "), "fr"))
+    val docs = (alpha ++ omega ++ mixed).toDF("doc_id", "text", "lang")
+    val rows = Mixing.dsirWeights(docs, topN = 50).collect()
+    val score = rows.map(r =>
+      r.getAs[Long]("doc_id") -> r.getAs[Long]("spt_milli")).toMap
+    val aMin = (1 to 20).map(i => score(i.toLong)).min
+    val mMax = (41 to 50).map(i => score(i.toLong)).max
+    val oMax = (21 to 40).map(i => score(i.toLong)).max
+    assert(aMin > mMax, s"alpha docs must outrank mixed: $aMin <= $mMax")
+    assert(mMax > oMax, s"mixed docs must outrank omega: $mMax <= $oMax")
+    // Deterministic ordering incl. the doc_id tiebreak.
+    assert(Mixing.dsirWeights(docs, topN = 50).collect().toSeq == rows.toSeq)
+  }
 }

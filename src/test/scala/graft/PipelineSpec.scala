@@ -265,4 +265,23 @@ class PipelineSpec extends SparkSpec {
       .map("%02x".format(_)).mkString
     assert(h == expect)
   }
+
+  test("group split is exhaustive, leakage-free, and group-atomic") {
+    import spark.implicits._
+    // 40 groups × 5 docs; hash-splitting must keep each group on one side.
+    val docs = (for { g <- 1 to 40; i <- 1 to 5 } yield
+      ((g * 100 + i).toLong, s"tok$i " * (i + 1) + "end", s"grp$g"))
+      .toDF("doc_id", "text", "source")
+    val rows = Pipeline.groupSplit(docs).collect()
+    assert(rows.forall(_.getAs[Long]("leaky_groups") == 0L))
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == 200L)
+    assert(rows.map(_.getAs[Long]("n_groups")).sum == 40L)
+    // The split of a group is a pure function of its key: recomputing on a
+    // reshuffled subset assigns the same sides (assignment travels with
+    // the key — no lookup table to drift).
+    val sub = Pipeline.groupSplit(docs.filter($"doc_id" % 2 === 0).repartition(7))
+      .collect().map(r => r.getAs[String]("split") -> r.getAs[Long]("n_groups")).toMap
+    val full = rows.map(r => r.getAs[String]("split") -> r.getAs[Long]("n_groups")).toMap
+    sub.keys.foreach(k => assert(sub(k) <= full(k)))
+  }
 }
