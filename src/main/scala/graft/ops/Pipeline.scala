@@ -293,10 +293,43 @@ object Pipeline {
     perSplit.crossJoin(broadcast(leak)).orderBy(col("split"))
   }
 
+  // ---------------------------------------------------------- per-domain cap
+
+  /** Max documents retained per source domain. */
+  val DomainCapK = 10
+
+  /** Per-domain document cap: keep at most [[DomainCapK]] documents per
+    * source, preferring the longest (a crawl-curation standard — a few
+    * mega-domains otherwise dominate the corpus; cf. the per-domain
+    * page caps in C4/RefinedWeb-style cleaning). Ranking is
+    * (n_chars desc, doc_id asc) — fully deterministic, no RNG.
+    *
+    * Deliberately expressed as a `row_number` window + rank filter with
+    * the rank column dropped from the output: that is exactly the shape
+    * the [[graft.plans.TopK]] rewrite re-plans as partial+final bounded
+    * heaps around the group exchange, so at scale each task ships at most
+    * K rows per domain instead of shuffling every page of every domain —
+    * the plan shape PlanSpec pins for the other 13 rewritten queries.
+    * (Keeping the rank in the output would soundly bail the rewrite: the
+    * heap operator selects survivors, it does not number them.)
+    */
+  def domainCap(documents: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    documents
+      .select(col("source"), col("doc_id"), col("n_chars"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("source"))
+          .orderBy(col("n_chars").desc, col("doc_id").asc)))
+      .filter(col("rnk") <= DomainCapK)
+      .select(col("source"), col("doc_id"), col("n_chars"))
+      .orderBy(col("source"), col("n_chars").desc, col("doc_id").asc)
+  }
+
   // ---------------------------------------------------------------- registry
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "group_split" -> ((s, d) => groupSplit(Tables.documents(s, d))),
+    "domain_cap" -> ((s, d) => domainCap(Tables.documents(s, d))),
     "doc_chunks" -> ((s, d) => docChunks(Tables.documents(s, d))),
     "quality_filter" -> ((s, d) => qualityFilter(Tables.documents(s, d))),
     "model_quality_score" -> ((s, d) => modelQualityScore(Tables.documents(s, d))),
@@ -308,6 +341,14 @@ object Pipeline {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "domain_cap" ->
+      s"""SELECT source, doc_id, n_chars FROM (
+         |  SELECT source, doc_id, n_chars,
+         |    row_number() OVER (PARTITION BY source
+         |       ORDER BY n_chars DESC, doc_id ASC) AS rnk
+         |  FROM documents)
+         |WHERE rnk <= $DomainCapK
+         |ORDER BY source, n_chars DESC, doc_id ASC""".stripMargin,
     "group_split" ->
       s"""WITH assigned AS (
          |  SELECT source, len(string_split(text, ' '))::BIGINT AS n_tokens,

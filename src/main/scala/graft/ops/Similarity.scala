@@ -217,6 +217,52 @@ object Similarity {
       .orderBy(col("q_id"), col("rnk"))
   }
 
+  /** Cluster-balanced resampling: assign every vector to its nearest
+    * coarse cell (the [[annIvfTopK]] fixture quantizer, so the oracle is
+    * exact), give every cell an equal share of the kept corpus, and
+    * downsample over-full cells by a deterministic md5 threshold. This is
+    * the "flatten the topic distribution" pass of embedding-clustered
+    * data curation (cf. SemDeDup's cluster framing and DoReMi-flavored
+    * mixture reweighting): web-scale corpora are grossly imbalanced
+    * across semantic clusters, and training on the raw mixture
+    * overweights the mega-clusters.
+    *
+    * Output is the per-cell audit: population, equal-share cap, keep
+    * threshold (ppm), and the post-sample kept count.
+    *
+    * Scale shape: assignment is one broadcast pass over the corpus (K
+    * centroid rows), the cell histogram is O(K), thresholds broadcast
+    * back, and the sample filter is map-side — the corpus shuffles only
+    * for the per-cell counts (map-side-combinable agg rows, not vectors).
+    */
+  def clusterBalance(embeddings: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val emb = embFloat(embeddings).select("vec_id", "v")
+    val centroids = emb.filter(col("vec_id") >= 100 && col("vec_id") < 108)
+      .select(col("vec_id").as("c_id"), col("v").as("cv"))
+    val assigned = emb.join(broadcast(centroids), lit(true))
+      .select(col("vec_id"), col("c_id"), expr(cosExpr("v", "cv")).as("c_cos"))
+      .withColumn("crnk", row_number().over(
+        Window.partitionBy(col("vec_id")).orderBy(col("c_cos").desc, col("c_id").asc)))
+      .filter(col("crnk") === 1)
+      .select(col("vec_id"), col("c_id"))
+    val counts = assigned.groupBy(col("c_id")).agg(count(lit(1)).as("n"))
+    val cap = counts.select(expr("sum(n) div count(1)").as("cap"))
+    val thr = counts.crossJoin(broadcast(cap))
+      .select(col("c_id"), col("n"), col("cap"),
+        least(lit(1000000L), expr("(1000000 * cap) div n")).as("keep_ppm"))
+    val kept = assigned
+      .join(broadcast(thr.select(col("c_id"), col("keep_ppm"))), "c_id")
+      .filter(expr(
+        "cast(conv(substring(md5(cast(vec_id as string)), 1, 15), 16, 10) as bigint) % 1000000")
+        < col("keep_ppm"))
+      .groupBy(col("c_id")).agg(count(lit(1)).as("kept_n"))
+    thr.join(kept, Seq("c_id"), "left")
+      .select(col("c_id"), col("n"), col("cap"), col("keep_ppm"),
+        coalesce(col("kept_n"), lit(0L)).cast("long").as("kept_n"))
+      .orderBy(col("c_id"))
+  }
+
   /** Deterministic spherical k-means (Lloyd's) coarse quantizer — the
     * trained counterpart of [[annIvfTopK]]'s fixture centroids. All heavy
     * work is DataFrame-native and broadcast-shaped:
@@ -495,6 +541,7 @@ object Similarity {
     "embedding_stats" -> ((s, d) => embeddingStats(Tables.embeddings(s, d))),
     "embedding_project" -> ((s, d) => embeddingProject(Tables.embeddings(s, d))),
     "knn_graph" -> ((s, d) => knnGraph(Tables.embeddings(s, d))),
+    "cluster_balance" -> ((s, d) => clusterBalance(Tables.embeddings(s, d))),
   )
 
   /** DuckDB oracle mirrors the same left-fold dot product (list_reduce with
@@ -507,6 +554,32 @@ object Similarity {
     s"${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)}))"
 
   def oracleSql: Map[String, String] = Map(
+    "cluster_balance" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |c AS (SELECT vec_id AS c_id, v AS cv FROM e WHERE vec_id >= 100 AND vec_id < 108),
+         |assigned AS (
+         |  SELECT vec_id, c_id FROM (
+         |    SELECT e.vec_id, c.c_id,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${cosSql("e.v", "c.cv")} DESC, c.c_id ASC) AS crnk
+         |    FROM e, c
+         |  ) WHERE crnk = 1
+         |), counts AS (
+         |  SELECT c_id, count(*) AS n FROM assigned GROUP BY c_id
+         |), cap AS (SELECT (sum(n) // count(*))::BIGINT AS cap FROM counts),
+         |thr AS (
+         |  SELECT c_id, n, cap,
+         |    least(1000000, (1000000 * cap) // n)::BIGINT AS keep_ppm
+         |  FROM counts, cap
+         |), kept AS (
+         |  SELECT a.c_id, count(*) AS kept_n
+         |  FROM assigned a JOIN thr USING (c_id)
+         |  WHERE ('0x' || substr(md5(vec_id::VARCHAR), 1, 15))::BIGINT % 1000000 < keep_ppm
+         |  GROUP BY a.c_id
+         |)
+         |SELECT c_id, n, cap, keep_ppm, coalesce(kept_n, 0)::BIGINT AS kept_n
+         |FROM thr LEFT JOIN kept USING (c_id)
+         |ORDER BY c_id""".stripMargin,
     "knn_graph" ->
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
          |${bandRowsSql("e")},

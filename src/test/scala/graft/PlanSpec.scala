@@ -54,6 +54,13 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("domain cap plans the TopK operator (at most K rows per domain shuffle)") {
+    val p = plan("domain_cap")
+    assert(p.contains("TopKPerGroupPartial") && p.contains("TopKPerGroupFinal"),
+      p.take(2000))
+    assert(!p.contains("WindowGroupLimit") && !p.contains("Window "), p.take(2000))
+  }
+
   test("prefix-filter jaccard join never plans a nested loop or cartesian") {
     val p = plan("dedup_jaccard_prefix")
     assert(!p.contains("NestedLoop") && !p.contains("Cartesian"), p.take(2000))

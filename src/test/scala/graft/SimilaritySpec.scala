@@ -123,4 +123,26 @@ class SimilaritySpec extends SparkSpec {
       assert(nbrs(id.toLong) == expect, s"vec $id")
     }
   }
+
+  test("cluster balance caps over-full cells and passes small cells whole") {
+    val rows = Similarity.clusterBalance(Tables.embeddings(spark, sf)).collect()
+    assert(rows.nonEmpty)
+    val total = rows.map(_.getAs[Long]("n")).sum
+    val cap = total / rows.length
+    rows.foreach { r =>
+      assert(r.getAs[Long]("cap") == cap)
+      val (n, ppm, kept) = (r.getAs[Long]("n"),
+        r.getAs[Long]("keep_ppm"), r.getAs[Long]("kept_n"))
+      assert(kept >= 0 && kept <= n)
+      // under-full cells keep everything; over-full cells are thresholded
+      if (n <= cap) assert(ppm == 1000000L && kept == n, s"cell ${r.get(0)}")
+      else assert(ppm < 1000000L, s"cell ${r.get(0)}")
+    }
+    // the sampling target is the equal share: expected kept ≈ min(n, cap);
+    // md5 thresholding is approximate, but can never exceed the population
+    // and the post-balance histogram must be flatter than the input one.
+    val spreadIn = rows.map(_.getAs[Long]("n")).max - rows.map(_.getAs[Long]("n")).min
+    val keptArr = rows.map(_.getAs[Long]("kept_n"))
+    assert(keptArr.max - keptArr.min <= spreadIn)
+  }
 }
