@@ -304,14 +304,13 @@ object Pipeline {
     * page caps in C4/RefinedWeb-style cleaning). Ranking is
     * (n_chars desc, doc_id asc) — fully deterministic, no RNG.
     *
-    * Deliberately expressed as a `row_number` window + rank filter with
-    * the rank column dropped from the output: that is exactly the shape
-    * the [[graft.plans.TopK]] rewrite re-plans as partial+final bounded
-    * heaps around the group exchange, so at scale each task ships at most
-    * K rows per domain instead of shuffling every page of every domain —
-    * the plan shape PlanSpec pins for the other 13 rewritten queries.
-    * (Keeping the rank in the output would soundly bail the rewrite: the
-    * heap operator selects survivors, it does not number them.)
+    * Deliberately expressed as a `row_number` window + rank filter THAT
+    * KEEPS THE RANK COLUMN: the [[graft.plans.TopK]] rewrite re-plans it
+    * as partial+final bounded heaps around the group exchange — at scale
+    * each task ships at most K rows per domain instead of shuffling every
+    * page of every domain — and the final stage numbers its in-order
+    * survivors to reproduce `rnk`, so this query's oracle hash doubles as
+    * the end-to-end check of the operator's rank emission.
     */
   def domainCap(documents: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -319,10 +318,46 @@ object Pipeline {
       .select(col("source"), col("doc_id"), col("n_chars"))
       .withColumn("rnk", row_number().over(
         Window.partitionBy(col("source"))
-          .orderBy(col("n_chars").desc, col("doc_id").asc)))
+          .orderBy(col("n_chars").desc, col("doc_id").asc)).cast("long"))
       .filter(col("rnk") <= DomainCapK)
-      .select(col("source"), col("doc_id"), col("n_chars"))
-      .orderBy(col("source"), col("n_chars").desc, col("doc_id").asc)
+      .orderBy(col("source"), col("rnk"))
+  }
+
+  // ------------------------------------------------- histogram-grain deciles
+
+  /** Per-source decile bucketing of documents by length — WITHOUT a
+    * corpus-grain sort or window. The naive form (`ntile(10) OVER
+    * (PARTITION BY source ORDER BY n_chars)`) funnels each source's full
+    * document set through one sorted partition — billions of rows per
+    * mega-domain at 100 TB. Instead the running count lives on the
+    * VALUE-GRAIN histogram: per (source, n_chars) counts (a
+    * map-side-combinable agg), a window over those O(distinct-values)
+    * rows for the exclusive prefix sum, and a broadcast-join back to tag
+    * each document. The corpus is scanned and joined but never sorted;
+    * ties share a bucket by construction (value-based quantiles, the
+    * same contract as SQL `cume_dist` flooring).
+    *
+    * decile = least(9, (10 · |docs strictly shorter|) div n_source).
+    */
+  def lengthDeciles(documents: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hist = documents.groupBy(col("source"), col("n_chars"))
+      .agg(count(lit(1)).as("cnt"))
+    val cum = hist
+      .withColumn("cum_before",
+        coalesce(sum(col("cnt")).over(
+          Window.partitionBy(col("source")).orderBy(col("n_chars").asc)
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("n_source",
+        sum(col("cnt")).over(Window.partitionBy(col("source"))))
+      .select(col("source"), col("n_chars"),
+        least(lit(9L), expr("(10 * cum_before) div n_source")).as("decile"))
+    documents.select(col("doc_id"), col("source"), col("n_chars"))
+      .join(broadcast(cum), Seq("source", "n_chars"))
+      .groupBy(col("source"), col("decile"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("n_chars")).as("min_chars"), max(col("n_chars")).as("max_chars"))
+      .orderBy(col("source"), col("decile"))
   }
 
   // ---------------------------------------------------------------- registry
@@ -330,6 +365,7 @@ object Pipeline {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "group_split" -> ((s, d) => groupSplit(Tables.documents(s, d))),
     "domain_cap" -> ((s, d) => domainCap(Tables.documents(s, d))),
+    "length_deciles" -> ((s, d) => lengthDeciles(Tables.documents(s, d))),
     "doc_chunks" -> ((s, d) => docChunks(Tables.documents(s, d))),
     "quality_filter" -> ((s, d) => qualityFilter(Tables.documents(s, d))),
     "model_quality_score" -> ((s, d) => modelQualityScore(Tables.documents(s, d))),
@@ -341,14 +377,30 @@ object Pipeline {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "length_deciles" ->
+      """WITH hist AS (
+        |  SELECT source, n_chars, count(*) AS cnt
+        |  FROM documents GROUP BY source, n_chars
+        |), cum AS (
+        |  SELECT source, n_chars,
+        |    least(9, (10 * coalesce(sum(cnt) OVER (PARTITION BY source
+        |      ORDER BY n_chars ASC ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0))
+        |      // sum(cnt) OVER (PARTITION BY source))::BIGINT AS decile
+        |  FROM hist
+        |)
+        |SELECT d.source, c.decile, count(*)::BIGINT AS n_docs,
+        |  min(d.n_chars)::BIGINT AS min_chars, max(d.n_chars)::BIGINT AS max_chars
+        |FROM documents d JOIN cum c USING (source, n_chars)
+        |GROUP BY d.source, c.decile
+        |ORDER BY d.source, c.decile""".stripMargin,
     "domain_cap" ->
-      s"""SELECT source, doc_id, n_chars FROM (
+      s"""SELECT source, doc_id, n_chars, rnk FROM (
          |  SELECT source, doc_id, n_chars,
-         |    row_number() OVER (PARTITION BY source
-         |       ORDER BY n_chars DESC, doc_id ASC) AS rnk
+         |    (row_number() OVER (PARTITION BY source
+         |       ORDER BY n_chars DESC, doc_id ASC))::BIGINT AS rnk
          |  FROM documents)
          |WHERE rnk <= $DomainCapK
-         |ORDER BY source, n_chars DESC, doc_id ASC""".stripMargin,
+         |ORDER BY source, rnk""".stripMargin,
     "group_split" ->
       s"""WITH assigned AS (
          |  SELECT source, len(string_split(text, ' '))::BIGINT AS n_tokens,

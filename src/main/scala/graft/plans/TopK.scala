@@ -79,11 +79,21 @@ object TopK {
 
   /** Logical node. `order` must be resolved attributes of `child`; the
     * public API [[topKPerGroup]] resolves by name so the node is born
-    * resolved and flows through the analyzer/optimizer untouched. */
+    * resolved and flows through the analyzer/optimizer untouched.
+    *
+    * `rankAttr`, when set, appends the within-group rank (per `mode`'s
+    * semantics, over `order`) as an extra output column — computed for
+    * free in the final stage, which already holds each group's survivors
+    * in order. This is what lets [[WindowTopKRewrite]] fire on queries
+    * that KEEP the rank column instead of projecting it away. */
   case class TopKPerGroup(groupExprs: Seq[Expression], order: Seq[SortOrder],
-      k: Int, mode: RankMode, child: LogicalPlan) extends UnaryNode {
+      k: Int, mode: RankMode, child: LogicalPlan,
+      rankAttr: Option[Attribute] = None) extends UnaryNode {
     require(k > 0, s"k must be positive, got $k")
-    override def output: Seq[Attribute] = child.output
+    override def output: Seq[Attribute] = child.output ++ rankAttr
+    // The rank column is born here, not read from the child.
+    override def producedAttributes: org.apache.spark.sql.catalyst.expressions.AttributeSet =
+      org.apache.spark.sql.catalyst.expressions.AttributeSet(rankAttr.toSeq)
     override def maxRows: Option[Long] = child.maxRows
     override protected def withNewChildInternal(newChild: LogicalPlan): TopKPerGroup =
       copy(child = newChild)
@@ -92,12 +102,14 @@ object TopK {
   /** Planner strategy: one logical node → partial exec below the (implicit)
     * exchange, final exec above it. EnsureRequirements inserts the hash
     * exchange on the group keys because the final node requires
-    * [[ClusteredDistribution]] while the partial's output is unspecified. */
+    * [[ClusteredDistribution]] while the partial's output is unspecified.
+    * Only the final exec carries `rankAttr`: ranks are undefined until the
+    * group's full candidate set has competed. */
   object TopKStrategy extends SparkStrategy {
     override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-      case TopKPerGroup(g, o, k, m, child) =>
+      case TopKPerGroup(g, o, k, m, child, r) =>
         TopKPerGroupExec(g, o, k, m, partial = false,
-          TopKPerGroupExec(g, o, k, m, partial = true, planLater(child))) :: Nil
+          TopKPerGroupExec(g, o, k, m, partial = true, planLater(child)), r) :: Nil
       case _ => Nil
     }
   }
@@ -107,6 +119,9 @@ object TopK {
   private sealed trait GroupBuf {
     def insert(u: UnsafeRow): Int
     def emit(sorted: Boolean): Iterator[UnsafeRow]
+    /** Survivors in order with their mode-semantics rank (final stage only —
+      * ranks are meaningless before the whole group has competed). */
+    def emitRanked(): Iterator[(UnsafeRow, Int)]
   }
 
   /** RowNum: max-heap of the k best-so-far (head = current worst); a row
@@ -119,6 +134,8 @@ object TopK {
       else 0
     def emit(sorted: Boolean): Iterator[UnsafeRow] =
       if (sorted) h.dequeueAll.reverseIterator else h.iterator
+    def emitRanked(): Iterator[(UnsafeRow, Int)] =
+      emit(sorted = true).zipWithIndex.map { case (u, i) => (u, i + 1) }
   }
 
   /** RankTies / DenseRankTies: order-keyed treemap of tie buckets.
@@ -160,12 +177,27 @@ object TopK {
       import scala.jdk.CollectionConverters._
       m.values().iterator().asScala.flatMap(_.iterator)
     }
+    def emitRanked(): Iterator[(UnsafeRow, Int)] = {
+      // rank(): every row of a bucket shares 1 + |strictly-better rows|;
+      // dense_rank(): bucket position. Both fall out of the in-order walk.
+      import scala.jdk.CollectionConverters._
+      var before = 0
+      m.values().iterator().asScala.zipWithIndex.flatMap { case (bucket, bi) =>
+        val r = if (dense) bi + 1 else before + 1
+        before += bucket.size
+        bucket.iterator.map(u => (u, r))
+      }
+    }
   }
 
   case class TopKPerGroupExec(groupExprs: Seq[Expression], order: Seq[SortOrder],
-      k: Int, mode: RankMode, partial: Boolean, child: SparkPlan) extends UnaryExecNode {
+      k: Int, mode: RankMode, partial: Boolean, child: SparkPlan,
+      rankAttr: Option[Attribute] = None) extends UnaryExecNode {
 
-    override def output: Seq[Attribute] = child.output
+    override def output: Seq[Attribute] = child.output ++ rankAttr
+
+    override def producedAttributes: org.apache.spark.sql.catalyst.expressions.AttributeSet =
+      org.apache.spark.sql.catalyst.expressions.AttributeSet(rankAttr.toSeq)
 
     override def requiredChildDistribution: Seq[Distribution] =
       if (partial) UnspecifiedDistribution :: Nil
@@ -176,11 +208,13 @@ object TopK {
 
     override protected def doExecute(): RDD[InternalRow] = {
       val schema = child.output
+      val outAttrs = output
       val g = groupExprs
       val o = order
       val limit = k
       val m = mode
       val isPartial = partial
+      val withRank = rankAttr.isDefined
       val numFields = schema.length
       val budget = math.max(1L,
         conf.getConfString(MaxRetainedRowsKey, DefaultMaxRetainedRows.toString).toLong)
@@ -196,8 +230,24 @@ object TopK {
           case DenseRankTies => () => new TieBuf(base, limit, dense = true)
         }
         if (isPartial) new FlushingIterator(iter, keyProj, newBuf, budget)
-        else finalPass(iter.map(_.asInstanceOf[UnsafeRow]), keyProj, newBuf,
-          budget, numFields)
+        else {
+          val emitter: GroupBuf => Iterator[InternalRow] =
+            if (!withRank) (_.emit(sorted = true))
+            else {
+              // Append the rank as one extra int column: reuse a single
+              // JoinedRow + unsafe projection per task, the standard
+              // emit-reused-row contract (the exchange/consumer copies).
+              val joined = new org.apache.spark.sql.catalyst.expressions.JoinedRow
+              val rankRow = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(1)
+              val proj = UnsafeProjection.create(outAttrs, outAttrs)
+              b => b.emitRanked().map { case (u, r) =>
+                rankRow.update(0, r)
+                proj(joined(u, rankRow))
+              }
+            }
+          finalPass(iter.map(_.asInstanceOf[UnsafeRow]), keyProj, newBuf,
+            budget, numFields, emitter)
+        }
       }
     }
 
@@ -253,7 +303,8 @@ object TopK {
     * spill with a fresh budget; every pass admits ≥ 1 group, so passes
     * strictly shrink the remainder and memory never exceeds the budget. */
   private def finalPass(input: Iterator[UnsafeRow], keyProj: UnsafeProjection,
-      newBuf: () => GroupBuf, budget: Long, numFields: Int): Iterator[UnsafeRow] = {
+      newBuf: () => GroupBuf, budget: Long, numFields: Int,
+      emitter: GroupBuf => Iterator[InternalRow]): Iterator[InternalRow] = {
     val groups = mutable.HashMap.empty[UnsafeRow, GroupBuf]
     var retained = 0L
     var frozen = false
@@ -285,7 +336,7 @@ object TopK {
           }
       }
     }
-    val res = groups.valuesIterator.flatMap(_.emit(sorted = true))
+    val res = groups.valuesIterator.flatMap(emitter)
     if (out == null) res
     else {
       out.writeInt(-1); out.close()
@@ -293,7 +344,7 @@ object TopK {
         // finalPass consumes its input eagerly, so by the time it returns
         // the spill file is fully read and can be deleted.
         val rest = finalPass(readSpill(spill, numFields), keyProj, newBuf,
-          budget, numFields)
+          budget, numFields, emitter)
         spill.delete()
         rest
       }
@@ -321,7 +372,9 @@ object TopK {
     *
     * {{{ Project(pl, Filter(rn <= k, Window(rank_fn() AS rn PARTITION BY g ORDER BY o))) }}}
     *
-    * as [[TopKPerGroup]] whenever the rank column itself is projected away.
+    * as [[TopKPerGroup]] — whether the rank column is projected away or
+    * kept (the final stage numbers its in-order survivors and emits the
+    * rank as an extra column under the original alias's exprId).
     * Users keep writing the idiomatic window query (DataFrame or SQL); the
     * engine substitutes the partial+final bounded-survivor operator, cutting
     * shuffle input from N rows to ≤ ~P·G·k and eliminating both sorts.
@@ -345,8 +398,9 @@ object TopK {
     *     a filter ABOVE the operator;
     *   - the partition spec is non-empty (global top-k already plans as
     *     TakeOrderedAndProject via the Limit path);
-    *   - the projection above references only the window child's columns,
-    *     so dropping the rank output is observationally safe.
+    *   - the projection above references only the window child's columns
+    *     and (optionally) the rank output — which the operator then emits
+    *     itself; any other window-derived reference bails the rewrite.
     */
   object WindowTopKRewrite extends Rule[LogicalPlan] with PredicateHelper {
 
@@ -404,15 +458,15 @@ object TopK {
       // can't do this — it doesn't know the node — so the rule does.
       // Composes with the rewrite below: residual conjuncts it re-plants
       // above the operator slide back under it here when group-key-only.
-      case f @ Filter(cond, t @ TopKPerGroup(g, _, _, _, child)) =>
+      case f @ Filter(cond, t: TopKPerGroup) =>
         val groupAttrs = org.apache.spark.sql.catalyst.expressions.AttributeSet(
-          g.collect { case a: Attribute => a })
+          t.groupExprs.collect { case a: Attribute => a })
         val (push, keep) = splitConjunctivePredicates(cond)
           .partition(c => c.deterministic && c.references.nonEmpty &&
             c.references.subsetOf(groupAttrs))
         if (push.isEmpty) f
         else {
-          val pushed = t.copy(child = Filter(push.reduce(And(_, _)), child))
+          val pushed = t.copy(child = Filter(push.reduce(And(_, _)), t.child))
           keep.reduceOption(And(_, _)).map(Filter(_, pushed)).getOrElse(pushed)
         }
 
@@ -421,40 +475,66 @@ object TopK {
         w.windowExpressions match {
           case Seq(al @ Alias(WindowExpression(fn, _), _))
               if rankModeOf(fn).isDefined &&
-                pl.forall(_.references.subsetOf(w.child.outputSet)) =>
-            // The filter may conjoin the rank bound with ordinary
-            // predicates (`rn = 1 AND NOT deleted` — the CDC compaction
-            // shape). Splitting is sound: the residual conjuncts reference
-            // only child columns, and in the original plan they run AFTER
-            // the window too, so `Filter(rest, TopK)` selects the same
-            // rows. Predicate pushdown cannot slide `rest` below the
-            // custom node (it is not a known pass-through), so the
-            // select-then-filter order is preserved in the final plan.
-            val conjuncts = splitConjunctivePredicates(cond)
-            val (rankConds, rest) = conjuncts.partition {
-              case RankLimit(a, _) => a.exprId == al.exprId
-              case _ => false
-            }
-            val kOpt = rankConds match {
-              case Seq(RankLimit(_, k)) if k > 0 => Some(k)
-              case _ => None
-            }
-            if (kOpt.isEmpty ||
-                !rest.forall(_.references.subsetOf(w.child.outputSet))) p
-            else {
-              // If Spark already slid a WindowGroupLimit under the window,
-              // plan from its child: the TopK operator subsumes the limit.
-              val base = w.child match {
-                case WindowGroupLimit(_, _, _, _, grandchild) => grandchild
-                case other => other
-              }
-              val topk = TopKPerGroup(w.partitionSpec, w.orderSpec, kOpt.get,
-                rankModeOf(fn).get, base)
-              Project(pl, rest.reduceOption(And(_, _))
-                .map(Filter(_, topk)).getOrElse(topk))
-            }
+                pl.forall(_.references.subsetOf(
+                  w.child.outputSet + al.toAttribute)) =>
+            // Emit the rank column only if the projection still reads it
+            // (keeping al's exprId so the references above resolve).
+            val rank = if (pl.exists(_.references.contains(al.toAttribute)))
+              Some(al.toAttribute) else None
+            rewriteRankFilter(cond, w, al, fn, rank)
+              .map(Project(pl, _)).getOrElse(p)
           case _ => p
         }
+
+      // The projection-free form (`withColumn(rnk).filter(rnk <= k)` with
+      // no trailing select): TopKPerGroup's output with the rank emitted is
+      // attribute-for-attribute the Window's own output, so the node swaps
+      // in directly with no Project on top.
+      case f @ Filter(cond, w: Window)
+          if w.partitionSpec.nonEmpty && w.orderSpec.nonEmpty =>
+        w.windowExpressions match {
+          case Seq(al @ Alias(WindowExpression(fn, _), _))
+              if rankModeOf(fn).isDefined =>
+            rewriteRankFilter(cond, w, al, fn, Some(al.toAttribute)).getOrElse(f)
+          case _ => f
+        }
+    }
+
+    /** Shared core: split the filter into the single rank bound (→ k) and
+      * residual conjuncts, and build the TopK node when sound.
+      *
+      * The filter may conjoin the rank bound with ordinary predicates
+      * (`rn = 1 AND NOT deleted` — the CDC compaction shape). Splitting is
+      * sound: the residual conjuncts reference only child columns, and in
+      * the original plan they run AFTER the window too, so
+      * `Filter(rest, TopK)` selects the same rows. Predicate pushdown
+      * cannot slide `rest` below the custom node (it is not a known
+      * pass-through), so the select-then-filter order is preserved.
+      */
+    private def rewriteRankFilter(cond: Expression, w: Window, al: Alias,
+        fn: Expression, rank: Option[Attribute]): Option[LogicalPlan] = {
+      val conjuncts = splitConjunctivePredicates(cond)
+      val (rankConds, rest) = conjuncts.partition {
+        case RankLimit(a, _) => a.exprId == al.exprId
+        case _ => false
+      }
+      val kOpt = rankConds match {
+        case Seq(RankLimit(_, k)) if k > 0 => Some(k)
+        case _ => None
+      }
+      if (kOpt.isEmpty || !rest.forall(_.references.subsetOf(w.child.outputSet)))
+        None
+      else {
+        // If Spark already slid a WindowGroupLimit under the window,
+        // plan from its child: the TopK operator subsumes the limit.
+        val base = w.child match {
+          case WindowGroupLimit(_, _, _, _, grandchild) => grandchild
+          case other => other
+        }
+        val topk = TopKPerGroup(w.partitionSpec, w.orderSpec, kOpt.get,
+          rankModeOf(fn).get, base, rank)
+        Some(rest.reduceOption(And(_, _)).map(Filter(_, topk)).getOrElse(topk))
+      }
     }
   }
 

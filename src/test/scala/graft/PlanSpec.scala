@@ -252,13 +252,17 @@ class PlanSpec extends SparkSpec {
     assert(p.split("BroadcastNestedLoopJoin").length <= 2, p.take(3000))
     assert(p.contains("HashAggregate"), p.take(2000))
   }
-  test("knn graph bounds the rank below the shuffle: partial+final group limit") {
-    // the rank column is part of the output, so the Window must survive
-    // (graft's TopK rewrite correctly bails); what matters at scale is that
-    // only <= k rows per group cross the exchange — Spark's WindowGroupLimit
-    // partial/final pair is that bound, the same shape as the TopK operator
+  test("knn graph plans the TopK operator even though the rank is kept") {
+    // the rank column is part of the output; since the final stage numbers
+    // its in-order survivors, the rewrite now fires here too — partial+final
+    // bounded heaps instead of Spark's sort-based WindowGroupLimit pair,
+    // and only <= k rows per group cross the exchange
+    // (the bucket-cap count window of the candidate stage legitimately
+    // remains — only the rank-filter window must be gone)
     val p = plan("knn_graph")
-    assert(p.contains("WindowGroupLimit") && p.contains("Partial"), p.take(3000))
+    assert(p.contains("TopKPerGroupPartial") && p.contains("TopKPerGroupFinal"),
+      p.take(3000))
+    assert(!p.contains("WindowGroupLimit"), p.take(3000))
     assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"), p.take(3000))
   }
 }

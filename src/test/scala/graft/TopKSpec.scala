@@ -196,12 +196,42 @@ class TopKSpec extends SparkSpec {
     }
   }
 
-  test("no rewrite when the rank column survives the projection") {
+  test("rank column surviving the projection rewrites WITH rank emission") {
     val w = Window.partitionBy(col("grp"))
       .orderBy(col("score").desc, col("id").asc)
     val q = df.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= 3)
-    assert(!hasTopKLogical(q), q.queryExecution.optimizedPlan.toString)
-    assert(q.collect().length == 12)
+    assert(hasTopKLogical(q), q.queryExecution.optimizedPlan.toString)
+    // the emitted ranks must equal the window's own numbering: re-rank the
+    // rank-free survivors (top-3 per group) with a fresh window
+    val viaWindow = windowed.withColumn("rnk", row_number().over(
+      Window.partitionBy(col("grp")).orderBy(col("score").desc, col("id").asc)))
+    val got = q.collect().map(r =>
+      (r.getAs[String]("grp"), r.getAs[Long]("id"), r.getAs[Int]("rnk"))).sorted
+    val exp = viaWindow.collect().map(r =>
+      (r.getAs[String]("grp"), r.getAs[Long]("id"), r.getAs[Int]("rnk"))).sorted
+    assert(got.toSeq == exp.toSeq)
+  }
+
+  test("ranked emission matches rank()/dense_rank() numbering on ties") {
+    import spark.implicits._
+    // scores with heavy ties: ranks must show gaps (rank) / no gaps (dense)
+    val t = (0 until 60).map(i => (s"g${i % 3}", (i % 4) / 2, i.toLong))
+      .toDF("grp", "score", "id").repartition(4)
+    for ((fnCol, fnName) <- Seq((rank(), "rank"), (dense_rank(), "dense_rank"))) {
+      val w = Window.partitionBy(col("grp")).orderBy(col("score").desc, col("id").asc)
+      val q = t.withColumn("rnk", fnCol.over(w)).filter(col("rnk") <= 3)
+      assert(hasTopKLogical(q), s"$fnName: ${q.queryExecution.optimizedPlan}")
+      // an OR-form bound is semantically identical (rnk2 is never null)
+      // but is a single non-conjunct predicate RankLimit can't match, so
+      // this runs through Spark's own window execution as the baseline
+      val noRewrite = t.withColumn("rnk2", fnCol.over(w))
+        .filter(col("rnk2") <= 3 || col("rnk2").isNull)
+      val got = q.collect().map(r =>
+        (r.getAs[String]("grp"), r.getAs[Long]("id"), r.getAs[Int]("rnk"))).sorted.toSeq
+      val exp = noRewrite.collect().map(r =>
+        (r.getAs[String]("grp"), r.getAs[Long]("id"), r.getAs[Int]("rnk2"))).sorted.toSeq
+      assert(got == exp, fnName)
+    }
   }
 
   test("no rewrite for an unpartitioned window") {
