@@ -323,6 +323,38 @@ object Pipeline {
       .orderBy(col("source"), col("rnk"))
   }
 
+  // ------------------------------------------------------ reservoir sampling
+
+  /** Reservoir size per group and the hash seed (fixed → reproducible). */
+  val ReservoirK = 5
+  val ReservoirSeed = "rsv1"
+
+  /** Per-group uniform K-sample WITHOUT replacement, deterministically:
+    * rank every doc by md5(seed:doc_id) — a uniform pseudo-random
+    * permutation — and keep each source's K smallest. Equivalent in
+    * distribution to reservoir sampling (Vitter's algorithm R) but
+    * stateless, reproducible under reruns/repartitioning, and
+    * parallelizable: the hash IS the reservoir's random order, so the
+    * sample needs no sequential pass. A different seed draws a fresh
+    * independent sample; a grown corpus re-draws consistently (docs keep
+    * their hash, only the K-boundary moves).
+    *
+    * Planned through the TopK heap operator (rank kept → rank emission):
+    * ≤K rows per group cross the shuffle, never the group's population.
+    */
+  def reservoirSample(documents: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    documents
+      .select(col("source"), col("doc_id"),
+        md5(concat(lit(s"$ReservoirSeed:"), col("doc_id").cast("string"))).as("rkey"))
+      .withColumn("draw", row_number().over(
+        Window.partitionBy(col("source")).orderBy(col("rkey").asc, col("doc_id").asc))
+        .cast("long"))
+      .filter(col("draw") <= ReservoirK)
+      .select(col("source"), col("draw"), col("doc_id"))
+      .orderBy(col("source"), col("draw"))
+  }
+
   // ------------------------------------------------- histogram-grain deciles
 
   /** Per-source decile bucketing of documents by length — WITHOUT a
@@ -366,6 +398,7 @@ object Pipeline {
     "group_split" -> ((s, d) => groupSplit(Tables.documents(s, d))),
     "domain_cap" -> ((s, d) => domainCap(Tables.documents(s, d))),
     "length_deciles" -> ((s, d) => lengthDeciles(Tables.documents(s, d))),
+    "reservoir_sample" -> ((s, d) => reservoirSample(Tables.documents(s, d))),
     "doc_chunks" -> ((s, d) => docChunks(Tables.documents(s, d))),
     "quality_filter" -> ((s, d) => qualityFilter(Tables.documents(s, d))),
     "model_quality_score" -> ((s, d) => modelQualityScore(Tables.documents(s, d))),
@@ -377,6 +410,15 @@ object Pipeline {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "reservoir_sample" ->
+      s"""SELECT source, draw, doc_id FROM (
+         |  SELECT source, doc_id,
+         |    (row_number() OVER (PARTITION BY source
+         |       ORDER BY md5('$ReservoirSeed:' || doc_id::VARCHAR) ASC, doc_id ASC))::BIGINT
+         |      AS draw
+         |  FROM documents)
+         |WHERE draw <= $ReservoirK
+         |ORDER BY source, draw""".stripMargin,
     "length_deciles" ->
       """WITH hist AS (
         |  SELECT source, n_chars, count(*) AS cnt

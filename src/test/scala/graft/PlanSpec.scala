@@ -54,11 +54,14 @@ class PlanSpec extends SparkSpec {
     }
   }
 
-  test("domain cap plans the TopK operator (at most K rows per domain shuffle)") {
-    val p = plan("domain_cap")
-    assert(p.contains("TopKPerGroupPartial") && p.contains("TopKPerGroupFinal"),
-      p.take(2000))
-    assert(!p.contains("WindowGroupLimit") && !p.contains("Window "), p.take(2000))
+  test("domain cap and reservoir sample plan the TopK operator, ranks emitted") {
+    for (q <- Seq("domain_cap", "reservoir_sample")) {
+      val p = plan(q)
+      assert(p.contains("TopKPerGroupPartial") && p.contains("TopKPerGroupFinal"),
+        s"$q:\n${p.take(2000)}")
+      assert(!p.contains("WindowGroupLimit") && !p.contains("Window "),
+        s"$q:\n${p.take(2000)}")
+    }
   }
 
   test("prefix-filter jaccard join never plans a nested loop or cartesian") {
