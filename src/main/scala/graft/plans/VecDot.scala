@@ -167,6 +167,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "from_avro_graft"),
       (children: Seq[Expression]) => graft.sources.AvroCodec.AvroDecodeExpr(
         children.head, schemaNameLit(children(1), "from_avro_graft"))))
+    ext.injectFunction((
+      FunctionIdentifier("from_avro_evolved"),
+      new ExpressionInfo(
+        classOf[graft.sources.AvroCodec.AvroDecodeEvolvedExpr].getName,
+        "from_avro_evolved"),
+      (children: Seq[Expression]) => graft.sources.AvroCodec.AvroDecodeEvolvedExpr(
+        children.head, schemaNameLit(children(1), "from_avro_evolved"),
+        schemaNameLit(children(2), "from_avro_evolved"))))
     // Spark's runtime-filter Bloom pair, surfaced as callable functions so
     // operators can build an explicit semi-join prefilter (decontamination
     // against an eval set too large to broadcast as a hash set): the agg

@@ -286,6 +286,122 @@ object AvroCodec {
     case ANull => null
   }
 
+  // ------------------------------------------- schema JSON + evolution
+
+  /** Parse an Avro schema JSON into the codec's ADT, using the REAL Avro
+    * parser from the classpath (`org.apache.avro` ships inside the Spark
+    * distribution even though `spark-avro` does not) — so any JSON this
+    * accepts is by construction a valid Avro schema, and the registry's
+    * writer-schema strings ([[graft.streaming.KafkaStack.fetchLatestSchema]])
+    * feed straight into [[decodeResolved]]. Only the subset the reference's
+    * topics use is mapped: flat records of long/int/double/boolean/string,
+    * nullable unions, and the timestamp-millis logical type.
+    */
+  def parseSchema(json: String): ARecord = {
+    import scala.jdk.CollectionConverters._
+    val s = new org.apache.avro.Schema.Parser().parse(json)
+    require(s.getType == org.apache.avro.Schema.Type.RECORD,
+      s"top-level avro schema must be a record, got ${s.getType}")
+    def conv(t: org.apache.avro.Schema): AvroType = t.getType match {
+      case org.apache.avro.Schema.Type.LONG =>
+        if (t.getLogicalType != null &&
+          t.getLogicalType.getName == "timestamp-millis") ATimestampMillis
+        else ALong
+      case org.apache.avro.Schema.Type.INT => AInt
+      case org.apache.avro.Schema.Type.DOUBLE => ADouble
+      case org.apache.avro.Schema.Type.BOOLEAN => ABoolean
+      case org.apache.avro.Schema.Type.STRING => AString
+      case org.apache.avro.Schema.Type.NULL => ANull
+      case org.apache.avro.Schema.Type.UNION =>
+        AUnion(t.getTypes.asScala.map(conv).toVector)
+      case other => throw new IllegalArgumentException(
+        s"unsupported avro type $other (flat primitive records only)")
+    }
+    ARecord(s.getName,
+      s.getFields.asScala.map(f => AField(f.name, conv(f.schema()))).toVector)
+  }
+
+  /** One writer-field action in a resolved decode plan: where its value
+    * lands in the reader row (-1 = reader dropped it → parse past), and
+    * the promotion to apply. */
+  final case class FieldPlan(writerTpe: AvroType, ordinal: Int,
+      readerBase: AvroType)
+
+  /** Avro schema-resolution (the spec's "Schema Resolution" section) for
+    * the supported subset: writer fields matched to reader fields BY NAME
+    * (wire order is the writer's), reader-only fields default to null
+    * (they must be nullable), writer-only fields are skipped, and the
+    * numeric promotions int→long, int→double, long→double apply. This is
+    * what lets a consumer keep its reader schema while producers roll out
+    * additive changes — the registry evolution flow `from_avro` users get
+    * from Confluent's wire format.
+    */
+  def resolvePlan(writer: ARecord, reader: ARecord): Array[FieldPlan] = {
+    def base(t: AvroType): AvroType = unwrapNull(t)
+    def compatible(w: AvroType, r: AvroType): Boolean = (base(w), base(r)) match {
+      case (a, b) if a == b => true
+      case (AInt, ALong) | (AInt, ADouble) | (ALong, ADouble) => true
+      case _ => false
+    }
+    val readerIdx = reader.fields.zipWithIndex.map { case (f, i) => f.name -> i }.toMap
+    reader.fields.foreach { rf =>
+      val inWriter = writer.fields.exists(_.name == rf.name)
+      require(inWriter || (rf.tpe match {
+        case AUnion(bs) => bs.contains(ANull)
+        case _ => false
+      }), s"reader field ${rf.name} absent from writer and not nullable")
+    }
+    writer.fields.map { wf =>
+      readerIdx.get(wf.name) match {
+        case Some(i) =>
+          val rf = reader.fields(i)
+          require(compatible(wf.tpe, rf.tpe),
+            s"field ${wf.name}: writer ${wf.tpe} not resolvable to reader ${rf.tpe}")
+          FieldPlan(wf.tpe, i, base(rf.tpe))
+        case None => FieldPlan(wf.tpe, -1, ANull)
+      }
+    }.toArray
+  }
+
+  private def promote(v: Any, readerBase: AvroType): Any = readerBase match {
+    case ALong => v match {
+      case i: Int => i.toLong
+      case other => other
+    }
+    case ADouble => v match {
+      case i: Int => i.toDouble
+      case l: Long => l.toDouble
+      case other => other
+    }
+    case _ => v
+  }
+
+  /** Decode writer-wire bytes into a READER-shaped row per a resolved
+    * plan; reader-only fields stay null. PERMISSIVE: malformed payloads —
+    * including a wire null where the reader type has no null branch —
+    * decode to a NULL record. */
+  def decodeResolved(plan: Array[FieldPlan], reader: ARecord,
+      bytes: Array[Byte]): InternalRow =
+    try {
+      val in = new Reader(bytes)
+      val out = new Array[Any](reader.fields.length)
+      var i = 0
+      while (i < plan.length) {
+        val p = plan(i)
+        if (p.ordinal < 0) skipValue(in, p.writerTpe)
+        else {
+          val v = readValue(in, p.writerTpe)
+          if (v == null && !(reader.fields(p.ordinal).tpe match {
+            case AUnion(bs) => bs.contains(ANull)
+            case _ => false
+          })) throw new IllegalArgumentException("null into non-nullable reader field")
+          out(p.ordinal) = if (v == null) null else promote(v, p.readerBase)
+        }
+        i += 1
+      }
+      new GenericInternalRow(out)
+    } catch { case _: IllegalArgumentException | _: ArrayIndexOutOfBoundsException => null }
+
   // ------------------------------------------------- Catalyst expressions
 
   /** `to_avro_graft(struct, 'schema_name')`: struct → Avro binary. */
@@ -337,6 +453,64 @@ object AvroCodec {
     override protected def withNewChildInternal(newChild: Expression): AvroDecodeExpr =
       copy(child = newChild)
   }
+
+  /** `from_avro_evolved(binary, 'writerJson', 'readerJson')`: decode bytes
+    * written under the WRITER schema into the READER's shape via Avro
+    * schema resolution — name matching, null defaults, numeric promotion.
+    * NULL record on malformed payload (PERMISSIVE), like the plain
+    * decoder. */
+  case class AvroDecodeEvolvedExpr(child: Expression, writerJson: String,
+      readerJson: String) extends UnaryExpression with CodegenFallback {
+    @transient private lazy val reader = parseSchema(readerJson)
+    @transient private lazy val plan = resolvePlan(parseSchema(writerJson), reader)
+
+    override def dataType: DataType = sqlType(reader)
+    override def nullable: Boolean = true
+    override def prettyName: String = "from_avro_evolved"
+
+    override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+      case BinaryType => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"from_avro_evolved expects binary, got ${other.simpleString}")
+    }
+
+    override protected def nullSafeEval(input: Any): Any =
+      decodeResolved(plan, reader, input.asInstanceOf[Array[Byte]])
+
+    override protected def withNewChildInternal(newChild: Expression): AvroDecodeEvolvedExpr =
+      copy(child = newChild)
+  }
+
+  /** The request_log writer schema as JSON — the registry-side document
+    * equivalent of [[RequestLog]] (validated equal in AvroSpec). */
+  val RequestLogJson: String =
+    """{"type":"record","name":"RequestLog","fields":[
+      |{"name":"id","type":"long"},
+      |{"name":"endpoint","type":["null","string"]},
+      |{"name":"method","type":["null","string"]},
+      |{"name":"status_code","type":"int"},
+      |{"name":"latency_ms","type":"int"},
+      |{"name":"user_id","type":["null","long"]},
+      |{"name":"session_id","type":["null","string"]},
+      |{"name":"region_name","type":["null","string"]},
+      |{"name":"user_display_name","type":["null","string"]},
+      |{"name":"platform","type":["null","string"]},
+      |{"name":"created_at","type":{"type":"long","logicalType":"timestamp-millis"}}
+      |]}""".stripMargin.replace("\n", "")
+
+  /** An EVOLVED consumer schema for request_log: `status_code` promoted
+    * int→long, `latency_ms` promoted int→double, `platform` dropped, new
+    * nullable `trace_id` (absent from the writer → null default). */
+  val RequestLogV2Json: String =
+    """{"type":"record","name":"RequestLog","fields":[
+      |{"name":"id","type":"long"},
+      |{"name":"endpoint","type":["null","string"]},
+      |{"name":"status_code","type":"long"},
+      |{"name":"latency_ms","type":"double"},
+      |{"name":"user_id","type":["null","long"]},
+      |{"name":"trace_id","type":["null","string"],"default":null},
+      |{"name":"created_at","type":{"type":"long","logicalType":"timestamp-millis"}}
+      |]}""".stripMargin.replace("\n", "")
 
   // -------------------------------------------------------------- queries
 
@@ -418,11 +592,40 @@ object AvroCodec {
       .orderBy(col("event_id"))
   }
 
+  /** Schema evolution end-to-end in-plan: records encoded under the V1
+    * writer schema (the byte-exact path `avro_decode` proves), then
+    * decoded by a V2 consumer — promotions applied, dropped field parsed
+    * past, new field defaulted — with the same 1-in-13 planted corruption
+    * exercising PERMISSIVE through the resolved path. The oracle computes
+    * the evolved view directly from `events`. */
+  def avroEvolution(events: DataFrame): DataFrame = {
+    events
+      .select(col("event_id"), requestLogRec.as("rec"))
+      .select(col("event_id"), expr("to_avro_graft(rec, 'request_log')").as("bin"))
+      .select(col("event_id"),
+        when(pmod(col("event_id"), lit(13)) === 0, expr("substring(bin, 1, 3)"))
+          .otherwise(col("bin")).as("bin"))
+      .select(col("event_id"),
+        expr(s"from_avro_evolved(bin, '$RequestLogJson', '$RequestLogV2Json')")
+          .as("d"))
+      .select(col("event_id"),
+        col("d").isNull.as("is_corrupt"),
+        col("d.id").as("id"),
+        col("d.endpoint").as("endpoint"),
+        col("d.status_code").as("status_code"),
+        col("d.latency_ms").as("latency_ms"),
+        col("d.user_id").as("user_id"),
+        col("d.trace_id").as("trace_id"),
+        unix_millis(col("d.created_at")).as("created_ms"))
+      .orderBy(col("event_id"))
+  }
+
   // ------------------------------------------------------------- registry
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "avro_decode" -> ((s, d) => avroRoundtrip(Tables.events(s, d))),
     "avro_metrics_decode" -> ((s, d) => avroMetricsRoundtrip(Tables.events(s, d))),
+    "avro_evolution" -> ((s, d) => avroEvolution(Tables.events(s, d))),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -459,6 +662,24 @@ object AvroCodec {
         |  event_type AS metric_name,
         |  value AS metric_value,
         |  epoch_us(ts) // 1000 AS recorded_ms
+        |FROM events ORDER BY event_id""".stripMargin,
+    // The evolved consumer's view: promotions are plain casts, the dropped
+    // writer field never appears, trace_id is always the null default.
+    "avro_evolution" ->
+      """SELECT event_id,
+        |  (event_id % 13 = 0) AS is_corrupt,
+        |  CASE WHEN event_id % 13 = 0 THEN NULL ELSE event_id END AS id,
+        |  CASE WHEN event_id % 13 = 0 THEN NULL
+        |       ELSE '/api/' || event_type END AS endpoint,
+        |  (CASE WHEN event_id % 13 = 0 THEN NULL
+        |        WHEN event_id % 7 = 0 THEN 500 ELSE 200 END)::BIGINT AS status_code,
+        |  (CASE WHEN event_id % 13 = 0 THEN NULL
+        |        ELSE event_id % 500 END)::DOUBLE AS latency_ms,
+        |  CASE WHEN event_id % 13 = 0 OR user_id % 11 = 0 THEN NULL
+        |       ELSE user_id END AS user_id,
+        |  NULL::VARCHAR AS trace_id,
+        |  CASE WHEN event_id % 13 = 0 THEN NULL
+        |       ELSE epoch_us(ts) // 1000 END AS created_ms
         |FROM events ORDER BY event_id""".stripMargin,
   )
 }
