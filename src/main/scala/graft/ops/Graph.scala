@@ -66,8 +66,68 @@ object Graph {
     ranks.orderBy(col("node"))
   }
 
+  /** Triangle counting on a co-purchase graph, in the degree-ordered
+    * node-iterator formulation (Schank's forward algorithm / the MapReduce
+    * shape of Suri & Vassilvitskii 2011) — the standard scalable
+    * construction:
+    *
+    *   1. edges = distinct part pairs co-occurring in an order (pair
+    *      generation happens INSIDE each order's collected item array —
+    *      orders are small, so no fact-table self-join);
+    *   2. every edge is oriented from its lower-(degree, id) endpoint to
+    *      the higher one — the step that makes the algorithm scale: the
+    *      oriented out-degree is bounded by O(√m) on any graph, so the
+    *      wedge join below is O(m^1.5) worst-case instead of Σdeg²
+    *      (a hub's wedges otherwise explode quadratically);
+    *   3. wedges = oriented edges self-joined on their source, ordered so
+    *      each wedge is generated once;
+    *   4. triangles = wedges semi-joined against the oriented edge set
+    *      (closure check in the one direction the orientation allows).
+    *
+    * Everything is joins + aggs on integer keys — no forced broadcasts
+    * (AQE picks broadcast when the degree table is small, splits skewed
+    * wedge partitions when it is not). The quantity filter keeps the
+    * fixture's wedge space proportionate; the plan is volume-independent.
+    */
+  def triangleCount(lineitem: DataFrame): DataFrame = {
+    val items = lineitem.filter(col("l_quantity") >= 30)
+      .select(col("l_orderkey").as("okey"), col("l_partkey").as("p"))
+    val perOrder = items.groupBy(col("okey"))
+      .agg(array_sort(collect_set(col("p"))).as("ps"))
+      .filter(size(col("ps")) >= 2)
+    val pairs = perOrder
+      .select(explode(expr(
+        """flatten(transform(ps,
+          |  (x, i) -> transform(slice(ps, i + 2, size(ps)),
+          |            y -> struct(x AS a, y AS b))))""".stripMargin)).as("e"))
+      .select(col("e.a").as("a"), col("e.b").as("b"))
+      .distinct()
+    val deg = pairs.select(explode(array(col("a"), col("b"))).as("v"))
+      .groupBy(col("v")).agg(count(lit(1)).as("d"))
+    val withDeg = pairs
+      .join(deg.select(col("v").as("a"), col("d").as("da")), "a")
+      .join(deg.select(col("v").as("b"), col("d").as("db")), "b")
+    val fwd = col("da") < col("db") || (col("da") === col("db") && col("a") < col("b"))
+    val oriented = withDeg.select(
+      when(fwd, col("a")).otherwise(col("b")).as("src"),
+      when(fwd, col("b")).otherwise(col("a")).as("tgt"),
+      when(fwd, col("db")).otherwise(col("da")).as("dt"))
+    val x = oriented.select(col("src"), col("tgt").as("wa"), col("dt").as("dwa"))
+    val y = oriented.select(col("src"), col("tgt").as("wb"), col("dt").as("dwb"))
+    val wedges = x.join(y, "src")
+      .filter(col("dwa") < col("dwb") ||
+        (col("dwa") === col("dwb") && col("wa") < col("wb")))
+      .select(col("wa"), col("wb"))
+    val triangles = wedges.join(oriented.select(col("src").as("wa"), col("tgt").as("wb")),
+      Seq("wa", "wb"), "left_semi")
+    pairs.agg(count(lit(1)).as("n_edges"))
+      .crossJoin(wedges.agg(count(lit(1)).as("n_wedges")))
+      .crossJoin(triangles.agg(count(lit(1)).as("n_triangles")))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "link_rank" -> ((s, d) => linkRank(Tables.documents(s, d))),
+    "triangle_count" -> ((s, d) => triangleCount(Tables.lineitem(s, d))),
   )
 
   /** Oracle: the same three rounds unrolled as chained CTEs — integer
@@ -100,6 +160,36 @@ object Graph {
            |${round("r1", "r2")},
            |${round("r2", "r3")}
            |SELECT node, rank FROM r3 ORDER BY node""".stripMargin,
+      // The oracle regenerates pairs with a per-order self-join (fine at
+      // oracle scale; the Spark side pairs inside the collected arrays).
+      "triangle_count" ->
+        """WITH li AS (
+          |  SELECT DISTINCT l_orderkey AS okey, l_partkey AS p
+          |  FROM lineitem WHERE l_quantity >= 30
+          |), pairs AS (
+          |  SELECT DISTINCT o1.p AS a, o2.p AS b
+          |  FROM li o1 JOIN li o2 ON o1.okey = o2.okey AND o1.p < o2.p
+          |), deg AS (
+          |  SELECT v, count(*) AS d FROM (
+          |    SELECT a AS v FROM pairs UNION ALL SELECT b FROM pairs
+          |  ) GROUP BY v
+          |), oriented AS (
+          |  SELECT
+          |    CASE WHEN da.d < db.d OR (da.d = db.d AND a < b) THEN a ELSE b END AS src,
+          |    CASE WHEN da.d < db.d OR (da.d = db.d AND a < b) THEN b ELSE a END AS tgt,
+          |    CASE WHEN da.d < db.d OR (da.d = db.d AND a < b) THEN db.d ELSE da.d END AS dt
+          |  FROM pairs JOIN deg da ON da.v = pairs.a JOIN deg db ON db.v = pairs.b
+          |), wedges AS (
+          |  SELECT x.tgt AS wa, y.tgt AS wb
+          |  FROM oriented x JOIN oriented y ON x.src = y.src
+          |  WHERE x.dt < y.dt OR (x.dt = y.dt AND x.tgt < y.tgt)
+          |), tri AS (
+          |  SELECT count(*) AS n_triangles FROM wedges w
+          |  WHERE EXISTS (SELECT 1 FROM oriented o WHERE o.src = w.wa AND o.tgt = w.wb)
+          |)
+          |SELECT (SELECT count(*) FROM pairs)::BIGINT AS n_edges,
+          |  (SELECT count(*) FROM wedges)::BIGINT AS n_wedges,
+          |  (SELECT n_triangles FROM tri)::BIGINT AS n_triangles""".stripMargin,
     )
   }
 }
