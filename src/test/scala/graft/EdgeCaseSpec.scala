@@ -55,4 +55,26 @@ class EdgeCaseSpec extends SparkSpec {
     val packed = Pipeline.tokenPacking(weird).collect()
     assert(packed.length == 5 && packed.forall(_.getAs[Long]("n_tokens") >= 1))
   }
+
+  test("empty/degenerate inputs: selection and graph operators return empty") {
+    import spark.implicits._
+    val emptyDocs = Seq.empty[(Long, String, String, String, Long)]
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    assert(graft.ops.Mixing.dsirWeights(emptyDocs).count() == 0)
+    assert(Pipeline.groupSplit(emptyDocs).count() == 0)
+    assert(Pipeline.domainCap(emptyDocs).count() == 0)
+    assert(Pipeline.lengthDeciles(emptyDocs).count() == 0)
+    assert(Pipeline.reservoirSample(emptyDocs).count() == 0)
+    val emptyLi = Seq.empty[(Long, Long, Double)]
+      .toDF("l_orderkey", "l_partkey", "l_quantity")
+    // a graph with no edges has one well-defined answer, not an error
+    val tri = graft.ops.Graph.triangleCount(emptyLi).collect()
+    assert(tri.length == 1 && tri.head.getAs[Long]("n_triangles") == 0L)
+    // dsir with an EMPTY TARGET slice (no 'en' docs) degrades to uniform
+    // smoothed weights — scores exist and are equal per token count
+    val noTarget = Seq((1L, "x x x", "de", "s", 5L), (2L, "y y y", "fr", "s", 5L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val w = graft.ops.Mixing.dsirWeights(noTarget).collect()
+    assert(w.length == 2 && w.map(_.getAs[Long]("spt_milli")).distinct.length == 1)
+  }
 }
