@@ -63,10 +63,49 @@ object Incremental {
       .orderBy(col("user_id"), col("day_us"))
   }
 
+  /** Incremental JOIN-view maintenance — the delta-join rule, the second
+    * IVM algebra next to [[aggDeltaMerge]]'s aggregate merge. The view is
+    * revenue per nation (orders ⋈ customer → group by nation). Under a
+    * fact-only insert batch ΔO, the standard IVM identity
+    *
+    *   V(O ∪ ΔO) = V(O) + (ΔO ⋈ customer)
+    *
+    * holds because join distributes over union and the aggregate is
+    * mergeable — so maintenance joins ONLY the delta against the
+    * dimension (O(|Δ|) join work + an O(|state|+|groups|) merge), while a
+    * recompute joins the full fact history. At 100 TB the delta join is a
+    * broadcast of nothing new: the dimension side is the same customer
+    * table every night, and the merge shuffles view-grain rows, not
+    * facts. The oracle is the FULL RECOMPUTE over orders ∪ delta —
+    * equality is the delta-join correctness theorem. Money in integer
+    * cents, same as the aggregate view.
+    */
+  val OrderCutoffDate = "1995-01-01"
+
+  def joinDeltaMerge(orders: DataFrame, customer: DataFrame): DataFrame = {
+    val dim = customer.select(col("c_custkey"), col("c_nationkey"))
+    def revenue(facts: DataFrame): DataFrame = facts
+      .select(col("o_custkey"),
+        floor(col("o_totalprice") * 100).cast("long").as("cents"))
+      .join(dim, col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("n_orders"), sum(col("cents")).cast("long").as("rev_cents"))
+    val cut = lit(OrderCutoffDate).cast("date")
+    val base = revenue(orders.filter(col("o_orderdate") < cut))
+    val delta = revenue(orders.filter(col("o_orderdate") >= cut))
+    base.unionByName(delta)
+      .groupBy(col("c_nationkey"))
+      .agg(sum(col("n_orders")).cast("long").as("n_orders"),
+        sum(col("rev_cents")).cast("long").as("rev_cents"))
+      .orderBy(col("c_nationkey"))
+  }
+
   // ---------------------------------------------------------------- registry
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "agg_delta_merge" -> ((s, d) => aggDeltaMerge(Tables.events(s, d))),
+    "join_delta_merge" -> ((s, d) =>
+      joinDeltaMerge(Tables.orders(s, d), Tables.customer(s, d))),
   )
 
   /** The oracle is the FULL RECOMPUTE — equality proves the incremental
@@ -81,5 +120,12 @@ object Incremental {
         |FROM events
         |GROUP BY user_id, date_trunc('day', ts)
         |ORDER BY user_id, day_us""".stripMargin,
+    "join_delta_merge" ->
+      """SELECT c_nationkey,
+        |  count(*)::BIGINT AS n_orders,
+        |  sum(floor(o_totalprice * 100)::BIGINT)::BIGINT AS rev_cents
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_nationkey
+        |ORDER BY c_nationkey""".stripMargin,
   )
 }
