@@ -217,6 +217,36 @@ object Similarity {
       .orderBy(col("q_id"), col("rnk"))
   }
 
+  /** Embedding sanity screen — the data-QA pass an embedding pipeline
+    * runs before any similarity work trusts the vectors: flag zero
+    * vectors (a failed encoder returning its initialization) and NaN
+    * components (overflow upstream), and quantize the squared norm of
+    * clean vectors (`floor(1e4·⟨v,v⟩)` — exact on bit-identical doubles)
+    * for range auditing. Anomalies are PLANTED in-plan by deterministic
+    * vec_id arithmetic (the fixture itself is clean), so the oracle
+    * replays them exactly.
+    *
+    * Map-side only: one projection per vector, no shuffle, no driver
+    * traffic — scan throughput at any corpus size. NaN-flagged vectors
+    * never reach the norm arithmetic (their norm column is null), so no
+    * NaN comparison semantics leak into the compared output.
+    */
+  def embeddingQa(embeddings: DataFrame): DataFrame = {
+    val emb = embDouble(embeddings).select(col("vec_id"), col("v"))
+    val planted = emb.withColumn("v",
+      when(pmod(col("vec_id"), lit(97)) === 0, expr("transform(v, x -> 0D)"))
+        .when(pmod(col("vec_id"), lit(89)) === 0,
+          expr("transform(v, (x, i) -> IF(i = 0, cast('NaN' as double), x))"))
+        .otherwise(col("v")))
+    planted
+      .withColumn("has_nan", expr("exists(v, x -> isnan(x))"))
+      .withColumn("is_zero", !col("has_nan") && expr("forall(v, x -> x = 0D)"))
+      .select(col("vec_id"), col("has_nan"), col("is_zero"),
+        when(!col("has_nan") && !col("is_zero"),
+          floor(expr(s"10000 * ${dot("v", "v")}")).cast("long")).as("norm_q"))
+      .orderBy(col("vec_id"))
+  }
+
   /** Cluster-balanced resampling: assign every vector to its nearest
     * coarse cell (the [[annIvfTopK]] fixture quantizer, so the oracle is
     * exact), give every cell an equal share of the kept corpus, and
@@ -542,6 +572,7 @@ object Similarity {
     "embedding_project" -> ((s, d) => embeddingProject(Tables.embeddings(s, d))),
     "knn_graph" -> ((s, d) => knnGraph(Tables.embeddings(s, d))),
     "cluster_balance" -> ((s, d) => clusterBalance(Tables.embeddings(s, d))),
+    "embedding_qa" -> ((s, d) => embeddingQa(Tables.embeddings(s, d))),
   )
 
   /** DuckDB oracle mirrors the same left-fold dot product (list_reduce with
@@ -554,6 +585,30 @@ object Similarity {
     s"${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)}))"
 
   def oracleSql: Map[String, String] = Map(
+    // DuckDB lambda indexes are 1-based where Spark's are 0-based; both
+    // plant NaN into the FIRST component.
+    "embedding_qa" ->
+      s"""WITH e0 AS (SELECT vec_id, embedding::DOUBLE[] AS v0 FROM embeddings),
+         |e AS (
+         |  SELECT vec_id,
+         |    CASE WHEN vec_id % 97 = 0 THEN list_transform(v0, x -> 0.0::DOUBLE)
+         |         WHEN vec_id % 89 = 0 THEN list_transform(v0,
+         |           (x, i) -> CASE WHEN i = 1 THEN 'NaN'::DOUBLE ELSE x END)
+         |         ELSE v0 END AS v
+         |  FROM e0
+         |), flagged AS (
+         |  SELECT vec_id, v,
+         |    len(list_filter(v, x -> isnan(x))) > 0 AS has_nan
+         |  FROM e
+         |), z AS (
+         |  SELECT vec_id, v, has_nan,
+         |    (NOT has_nan) AND len(list_filter(v, x -> x <> 0.0)) = 0 AS is_zero
+         |  FROM flagged
+         |)
+         |SELECT vec_id, has_nan, is_zero,
+         |  CASE WHEN NOT has_nan AND NOT is_zero
+         |    THEN floor(10000 * ${dotSql("v", "v")})::BIGINT END AS norm_q
+         |FROM z ORDER BY vec_id""".stripMargin,
     "cluster_balance" ->
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
          |c AS (SELECT vec_id AS c_id, v AS cv FROM e WHERE vec_id >= 100 AND vec_id < 108),

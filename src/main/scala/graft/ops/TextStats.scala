@@ -205,6 +205,39 @@ object TextStats {
       .orderBy(col("doc_id"))
   }
 
+  /** Tokenizer-vocabulary size for the OOV screen. */
+  val OovVocabSize = 30
+
+  /** Vocabulary-coverage QA (OOV rate): the pre-training check that a
+    * tokenizer's vocabulary actually covers the corpus it will train on —
+    * a domain whose tokens fall outside the vocab head explodes into
+    * byte-fallback sequences and inflates effective sequence length. The
+    * vocab here is the corpus's own top-[[OovVocabSize]] tokens by
+    * frequency (deterministic tie-break), standing in for the tokenizer's
+    * token list; each doc reports its token count, out-of-vocabulary
+    * occurrence count, and OOV rate in exact integer permille.
+    *
+    * Scale shape: the vocab is O(vocab) rows — broadcast; the per-doc
+    * rollup is the only shuffle, map-side combined. A LEFT join marks
+    * membership (an inner join would silently drop OOV occurrences — the
+    * quantity being measured).
+    */
+  def oovRate(documents: DataFrame): DataFrame = {
+    val toks = documents
+      .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("tok"))
+    val vocab = toks.groupBy(col("tok")).agg(count(lit(1)).as("tf"))
+      .orderBy(col("tf").desc, col("tok").asc)
+      .limit(OovVocabSize)
+      .select(col("tok"), lit(1).as("in_vocab"))
+    toks.join(broadcast(vocab), Seq("tok"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("in_vocab").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .select(col("doc_id"), col("n_tokens"), col("n_oov"),
+        expr("(1000 * n_oov) div n_tokens").as("oov_permille"))
+      .orderBy(col("doc_id"))
+  }
+
   /** TF-IDF top term per document — log-free: scoring by tf/df ranks
     * identically to tf·log(N/df) for fixed tf ordering purposes here and,
     * unlike the log form, stays in exact integer arithmetic until one final
@@ -497,6 +530,7 @@ object TextStats {
     "bpe_apply" -> ((s, d) => bpeApply(Tables.documents(s, d))),
     "bm25_topk" -> ((s, d) => bm25TopK(Tables.documents(s, d))),
     "collocations" -> ((s, d) => collocations(Tables.documents(s, d))),
+    "oov_rate" -> ((s, d) => oovRate(Tables.documents(s, d))),
   )
 
   def oracleSql: Map[String, String] = {
@@ -584,6 +618,22 @@ object TextStats {
   private def baseOracleSql: Map[String, String] = {
     val toks = "string_split(text, ' ')"
     Map(
+      "oov_rate" ->
+        s"""WITH toks AS (
+           |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
+           |  FROM documents
+           |), vocab AS (
+           |  SELECT tok, 1 AS in_vocab FROM (
+           |    SELECT tok, count(*) AS tf FROM toks GROUP BY tok
+           |    ORDER BY tf DESC, tok ASC LIMIT $OovVocabSize)
+           |)
+           |SELECT doc_id, n_tokens, n_oov, (1000 * n_oov) // n_tokens AS oov_permille
+           |FROM (
+           |  SELECT t.doc_id, count(*)::BIGINT AS n_tokens,
+           |    sum(CASE WHEN v.in_vocab IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_oov
+           |  FROM toks t LEFT JOIN vocab v USING (tok)
+           |  GROUP BY t.doc_id)
+           |ORDER BY doc_id""".stripMargin,
       "rare_bigram_score" ->
         s"""WITH bg AS (
            |  SELECT doc_id, unnest(list_transform(
