@@ -5,10 +5,12 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownLimit, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.expressions.NamedReference
+import org.apache.spark.sql.connector.expressions.aggregate.{AggregateFunc, Aggregation, Count, CountStar, Max, Min, Sum}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownLimit, SupportsPushDownRequiredColumns}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, IsNotNull, IsNull, LessThan, LessThanOrEqual}
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types.{DoubleType, LongType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -81,14 +83,67 @@ class GavroTable(tableSchema: StructType, path: String, schemaName: String)
 
 class GavroScanBuilder(full: StructType, path: String, schemaName: String)
     extends ScanBuilder with SupportsPushDownRequiredColumns
-    with SupportsPushDownFilters with SupportsPushDownLimit {
+    with SupportsPushDownFilters with SupportsPushDownLimit
+    with SupportsPushDownAggregates {
   private val record = AvroCodec.schemaByName(schemaName)
   private var required: StructType = full
   private var pushed: Array[Filter] = Array.empty
   private var limit: Int = -1
+  private var agg: GavroAgg = null
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
+
+  /** PARTIAL aggregate pushdown (`supportCompletePushDown` stays false —
+    * complete pushdown is only sound single-partition): each file-partition
+    * reader aggregates in place and emits ONE ROW PER GROUP instead of one
+    * per record, so what crosses the scan boundary is O(partitions×groups)
+    * — at the 100 TB landing zone that turns a billions-of-rows scan into
+    * thousands of partial rows under Spark's final merge aggregate. Spark
+    * maps the scan output POSITIONALLY (groups, then aggregates) and
+    * re-aggregates above: min→min, max→max, count/sum→sum; the reader-side
+    * null/permissive semantics match what the replaced partial
+    * HashAggregate would have seen (count(*) counts corrupt all-null rows,
+    * count(col)/min/max/sum skip nulls, all-null sum stays NULL). Pushed
+    * only when every filter was itself fully pushed (Spark's own gate), so
+    * filter+aggregate compose inside the reader loop. */
+  override def pushAggregation(aggregation: Aggregation): Boolean = {
+    def fieldOf(e: org.apache.spark.sql.connector.expressions.Expression): Option[String] = e match {
+      case r: NamedReference if r.fieldNames.length == 1 => Some(r.fieldNames()(0))
+      case _ => None
+    }
+    def sqlField(name: String): StructField = full(full.fieldIndex(name))
+    val groups = aggregation.groupByExpressions.map(fieldOf)
+    if (groups.exists(g => g.isEmpty || !scalarField(g.get))) return false
+    val gNames = groups.map(_.get)
+    val specs: Array[Option[GAggSpec]] = aggregation.aggregateExpressions.map {
+      case _: CountStar => Some(GAggSpec("count_star", null))
+      case c: Count if !c.isDistinct =>
+        fieldOf(c.column).filter(scalarField).map(GAggSpec("count", _))
+      case m: Min => fieldOf(m.column).filter(scalarField).map(GAggSpec("min", _))
+      case m: Max => fieldOf(m.column).filter(scalarField).map(GAggSpec("max", _))
+      case s: Sum if !s.isDistinct => fieldOf(s.column).filter(scalarField)
+        .filter(n => sqlField(n).dataType == LongType ||
+          sqlField(n).dataType == org.apache.spark.sql.types.IntegerType ||
+          sqlField(n).dataType == DoubleType).map(GAggSpec("sum", _))
+      case _ => None
+    }
+    if (specs.exists(_.isEmpty)) return false
+    val aggFields = specs.flatten.map { s =>
+      s.op match {
+        case "count_star" => StructField("count(*)", LongType, nullable = true)
+        case "count" => StructField(s"count(${s.field})", LongType, nullable = true)
+        case "sum" =>
+          val t = if (sqlField(s.field).dataType == DoubleType) DoubleType else LongType
+          StructField(s"sum(${s.field})", t, nullable = true)
+        case op => StructField(s"$op(${s.field})", sqlField(s.field).dataType,
+          nullable = true)
+      }
+    }
+    agg = GavroAgg(gNames, specs.flatten,
+      StructType(gNames.map(sqlField) ++ aggFields))
+    true
+  }
 
   /** Limit lands AFTER the pushed filters in the reader loop, so each
     * partition decodes at most `limit` MATCHING records and stops walking
@@ -129,24 +184,38 @@ class GavroScanBuilder(full: StructType, path: String, schemaName: String)
   }
   override def pushedFilters(): Array[Filter] = pushed
   override def build(): Scan =
-    new GavroScan(path, schemaName, required, pushed, limit)
+    new GavroScan(path, schemaName,
+      if (agg != null) agg.schema else required, pushed, limit,
+      Option(agg))
 }
 
+/** Serializable pushed-aggregation recipe: group field names + aggregate
+  * specs in Spark's positional order, plus the scan output schema. */
+case class GavroAgg(groups: Array[String], specs: Array[GAggSpec],
+    schema: StructType) extends Serializable
+
+case class GAggSpec(op: String, field: String) extends Serializable
+
 class GavroScan(path: String, schemaName: String, required: StructType,
-    pushed: Array[Filter], limit: Int) extends Scan with Batch {
+    pushed: Array[Filter], limit: Int,
+    agg: Option[GavroAgg] = None) extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
     s"gavro $path, schema=$schemaName, ReadSchema: ${required.catalogString}, " +
       s"PushedFilters: ${pushed.mkString("[", ", ", "]")}" +
-      (if (limit >= 0) s", PushedLimit: $limit" else "")
+      (if (limit >= 0) s", PushedLimit: $limit" else "") +
+      agg.map(a => s", PushedAggregates: ${a.specs.map(s =>
+        if (s.field == null) s.op.toUpperCase else s"${s.op.toUpperCase}(${s.field})")
+        .mkString("[", ", ", "]")}, GroupBy: ${a.groups.mkString("[", ", ", "]")}")
+        .getOrElse("")
   override def planInputPartitions(): Array[InputPartition] =
     Option(new java.io.File(path).listFiles()).getOrElse(Array.empty)
       .filter(_.getName.endsWith(".gavro")).sortBy(_.getName)
       .map(f => GavroInputPartition(f.getAbsolutePath): InputPartition)
   override def createReaderFactory(): PartitionReaderFactory =
     GavroReaderFactory(schemaName, required.fieldNames,
-      pushed.map(GavroPred.from), limit)
+      pushed.map(GavroPred.from), limit, agg)
 }
 
 /** Serializable reader-side form of one pushed conjunct. `value` is one of
@@ -172,10 +241,106 @@ case class GavroInputPartition(file: String) extends InputPartition
   * columns, and pushed conjuncts travel as names/values; the schema ADT is
   * rebuilt per reader. */
 case class GavroReaderFactory(schemaName: String, requiredNames: Array[String],
-    preds: Array[GavroPred], limit: Int) extends PartitionReaderFactory {
-  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
-    new GavroPartitionReader(partition.asInstanceOf[GavroInputPartition].file,
-      schemaName, requiredNames, preds, limit)
+    preds: Array[GavroPred], limit: Int,
+    agg: Option[GavroAgg] = None) extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val file = partition.asInstanceOf[GavroInputPartition].file
+    agg match {
+      case Some(a) => new GavroAggPartitionReader(file, schemaName, a, preds)
+      case None =>
+        new GavroPartitionReader(file, schemaName, requiredNames, preds, limit)
+    }
+  }
+}
+
+/** Aggregating reader for pushed partial aggregation: drains the row
+  * reader (decode + pushed filters) into an insertion-ordered group map,
+  * then emits one row per group. Per-partition state is O(groups), the
+  * whole point — a file of millions of records leaves the scan as its
+  * distinct group keys. Null semantics match the partial HashAggregate
+  * this replaces: count(*) counts every surviving row (including
+  * PERMISSIVE all-null corrupt rows), count(col)/min/max/sum skip nulls,
+  * and a group with no non-null input keeps a NULL sum/min/max. A global
+  * aggregate (no group-by) always emits its single row, so count(*) on an
+  * empty or fully-filtered file is 0, not absent. */
+class GavroAggPartitionReader(file: String, schemaName: String,
+    agg: GavroAgg, preds: Array[GavroPred])
+    extends PartitionReader[InternalRow] {
+  private val record = AvroCodec.schemaByName(schemaName)
+  private val inputNames: Array[String] =
+    agg.groups ++ agg.specs.flatMap(s => Option(s.field))
+      .distinct.filterNot(agg.groups.contains)
+  private val rows =
+    new GavroPartitionReader(file, schemaName, inputNames, preds, -1)
+  private val slotOf: Map[String, Int] = inputNames.zipWithIndex.toMap
+  private def doubleSum(name: String): Boolean =
+    record.fields.exists(f => f.name == name &&
+      AvroCodec.unwrapNull(f.tpe) == AvroCodec.ADouble)
+
+  private def cmp(a: Any, b: Any): Int = (a, b) match {
+    case (x: Int, y: Int) => java.lang.Integer.compare(x, y)
+    case (x: Long, y: Long) => java.lang.Long.compare(x, y)
+    case (x: Double, y: Double) => java.lang.Double.compare(x, y)
+    case (x: Boolean, y: Boolean) => java.lang.Boolean.compare(x, y)
+    case (x: UTF8String, y: UTF8String) => x.compareTo(y)
+    case _ => 0 // same decoded type by construction; unreachable
+  }
+
+  private lazy val out: Iterator[InternalRow] = {
+    val acc = new java.util.LinkedHashMap[List[Any], Array[Any]]()
+    def accFor(key: List[Any]): Array[Any] = {
+      var a = acc.get(key)
+      if (a == null) {
+        a = agg.specs.map(s =>
+          if (s.op == "count_star" || s.op == "count") 0L.asInstanceOf[Any]
+          else null)
+        acc.put(key, a)
+      }
+      a
+    }
+    if (agg.groups.isEmpty) accFor(Nil) // global agg: row exists even if empty
+    while (rows.next()) {
+      val r = rows.get()
+      val key = agg.groups.indices.map(i =>
+        if (r.isNullAt(i)) null else r.get(i, null)).toList
+      val a = accFor(key)
+      var i = 0
+      while (i < agg.specs.length) {
+        val s = agg.specs(i)
+        val v = if (s.field == null) null else {
+          val slot = slotOf(s.field)
+          if (r.isNullAt(slot)) null else r.get(slot, null)
+        }
+        s.op match {
+          case "count_star" => a(i) = a(i).asInstanceOf[Long] + 1L
+          case "count" => if (v != null) a(i) = a(i).asInstanceOf[Long] + 1L
+          case "min" => if (v != null && (a(i) == null || cmp(v, a(i)) < 0)) a(i) = v
+          case "max" => if (v != null && (a(i) == null || cmp(v, a(i)) > 0)) a(i) = v
+          case "sum" => if (v != null) {
+            if (doubleSum(s.field)) {
+              val add = v.asInstanceOf[Double]
+              a(i) = (if (a(i) == null) 0.0 else a(i).asInstanceOf[Double]) + add
+            } else {
+              val add = v match { case x: Int => x.toLong; case x: Long => x }
+              a(i) = (if (a(i) == null) 0L else a(i).asInstanceOf[Long]) + add
+            }
+          }
+        }
+        i += 1
+      }
+    }
+    rows.close()
+    import scala.jdk.CollectionConverters._
+    acc.entrySet().iterator().asScala.map { e =>
+      new GenericInternalRow((e.getKey ++ e.getValue).toArray)
+    }
+  }
+
+  private var row: InternalRow = _
+  override def next(): Boolean =
+    if (out.hasNext) { row = out.next(); true } else false
+  override def get(): InternalRow = row
+  override def close(): Unit = ()
 }
 
 class GavroPartitionReader(file: String, schemaName: String,
@@ -342,9 +507,32 @@ object Gavro {
       .orderBy(col("endpoint"))
   }
 
+  /** Filter AND aggregate both pushed into the reader: the scan emits one
+    * partial row per (file, endpoint) — O(partitions × groups) crossing
+    * the scan boundary instead of one row per record — and Spark's final
+    * merge aggregate (min of mins, sum of counts/sums) sits directly on
+    * top. GavroSourceSpec pins `PushedAggregates` in the scan description
+    * and the collapsed scan output schema; the oracle recomputes the same
+    * aggregate from the raw `events` synthesis, so a hash match proves the
+    * reader-side accumulation (incl. count(col) skipping the planted null
+    * user_ids) is exactly the aggregation it displaced. */
+  def gavroAggPushdown(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = archive(spark, sfDir)
+    spark.read.format("gavro").option("schema", "request_log").load(dir)
+      .filter(col("status_code") === 200)
+      .groupBy(col("endpoint"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("latency_ms")).as("sum_latency"),
+        min(col("latency_ms")).as("min_latency"),
+        max(col("latency_ms")).as("max_latency"),
+        count(col("user_id")).as("n_user_known"))
+      .orderBy(col("endpoint"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "gavro_scan" -> ((s, d) => gavroScan(s, d)),
     "gavro_scan_pushdown" -> ((s, d) => gavroScanPushdown(s, d)),
+    "gavro_agg_pushdown" -> ((s, d) => gavroAggPushdown(s, d)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -358,6 +546,15 @@ object Gavro {
         |  sum(event_id % 500)::BIGINT AS sum_latency
         |FROM events
         |WHERE event_id % 7 = 0 AND '/api/' || event_type >= '/api/p'
+        |GROUP BY 1 ORDER BY endpoint""".stripMargin,
+    "gavro_agg_pushdown" ->
+      """SELECT '/api/' || event_type AS endpoint,
+        |  count(*) AS n,
+        |  sum(event_id % 500)::BIGINT AS sum_latency,
+        |  min(event_id % 500)::INT AS min_latency,
+        |  max(event_id % 500)::INT AS max_latency,
+        |  count(CASE WHEN user_id % 11 = 0 THEN NULL ELSE user_id END) AS n_user_known
+        |FROM events WHERE event_id % 7 <> 0
         |GROUP BY 1 ORDER BY endpoint""".stripMargin,
   )
 }

@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
 import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
 import org.apache.spark.sql.functions._
 import org.apache.spark.unsafe.types.UTF8String
@@ -175,6 +176,103 @@ class GavroSourceSpec extends SparkSpec {
     val rows = limited.collect()
     assert(rows.length == 3)
     assert(rows.forall(_.getAs[Int]("status_code") == 200))
+  }
+
+  test("aggregates push into the scan: partial rows per group, exact result") {
+    val events = Tables.events(spark, dir)
+    val out = tmpDir("aggpush")
+    Gavro.write(events.repartition(4)
+      .select(AvroCodec.requestLogRec.as("rec"))
+      .select(expr("to_avro_graft(rec, 'request_log')").as("bin")), out)
+
+    val agg = spark.read.format("gavro")
+      .option("schema", "request_log").load(out)
+      .filter(col("status_code") === 200)
+      .groupBy(col("endpoint"))
+      .agg(count(lit(1)).as("n"), sum(col("latency_ms")).as("sum_latency"),
+        min(col("latency_ms")).as("min_latency"),
+        max(col("latency_ms")).as("max_latency"),
+        count(col("user_id")).as("n_user_known"))
+    // Aggregation introduces an exchange, so the plan is AQE-wrapped:
+    // unwrap before looking for the scan.
+    val scans = (agg.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }).collect { case b: BatchScanExec => b }
+    assert(scans.nonEmpty)
+    val desc = scans.head.scan.description()
+    // The aggregation (and the filter before it) reached the reader…
+    assert(desc.contains("PushedAggregates"), desc)
+    assert(desc.contains("GroupBy: [endpoint]"), desc)
+    // …and the scan's output collapsed to the partial-agg schema: the
+    // shuffle upstream of the final merge carries O(files × groups) rows.
+    assert(scans.head.scan.readSchema().fieldNames.length == 6, // 1 group + 5 aggs
+      scans.head.scan.readSchema().catalogString)
+    assert(scans.head.scan.readSchema().fieldNames.head == "endpoint")
+
+    // Exactness vs the same aggregate computed from the raw synthesis.
+    val got = agg.collect().map(r => r.getString(0) ->
+      (r.getLong(1), r.getLong(2), r.getInt(3), r.getInt(4), r.getLong(5))).toMap
+    val want = events.filter(pmod(col("event_id"), lit(7)) =!= 0)
+      .groupBy(concat(lit("/api/"), col("event_type")).as("endpoint"))
+      .agg(count(lit(1)).as("n"),
+        sum(pmod(col("event_id"), lit(500))).as("sum_latency"),
+        min(pmod(col("event_id"), lit(500)).cast("int")).as("min_latency"),
+        max(pmod(col("event_id"), lit(500)).cast("int")).as("max_latency"),
+        count(when(pmod(col("user_id"), lit(11)) =!= 0, col("user_id")))
+          .as("n_user_known"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getInt(3), r.getInt(4), r.getLong(5))).toMap
+    assert(got == want && got.nonEmpty)
+  }
+
+  test("global pushed aggregate emits a row even when every record is filtered") {
+    val events = Tables.events(spark, dir)
+    val out = tmpDir("aggglobal")
+    Gavro.write(events.select(AvroCodec.requestLogRec.as("rec"))
+      .select(expr("to_avro_graft(rec, 'request_log')").as("bin")), out)
+    def scan() = spark.read.format("gavro")
+      .option("schema", "request_log").load(out)
+    // No group-by: each partition contributes its single partial row.
+    val global = scan().agg(count(lit(1)).as("n"),
+      min(col("latency_ms")).as("mn"), max(col("latency_ms")).as("mx"))
+    val desc = (global.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }).collect { case b: BatchScanExec => b }.head.scan.description()
+    assert(desc.contains("PushedAggregates"), desc)
+    val r = global.collect().head
+    assert(r.getLong(0) == events.count())
+    assert(r.getInt(1) <= r.getInt(2))
+    // Fully-filtered input: count must still be 0 (not an empty result) —
+    // the global partial row exists even when nothing matches, and the
+    // min over zero non-null inputs stays NULL.
+    val empty = scan().filter(col("status_code") === 12345)
+      .agg(count(lit(1)).as("n"), min(col("latency_ms")).as("mn"))
+      .collect().head
+    assert(empty.getLong(0) == 0L && empty.isNullAt(1))
+  }
+
+  test("pushed count semantics on the PERMISSIVE corrupt channel") {
+    val out = tmpDir("aggnull")
+    val vals: Array[Any] = Array(3L, UTF8String.fromString("ab"),
+      UTF8String.fromString("c"), 1.5, 1000000L)
+    val good = AvroCodec.encode(AvroCodec.SystemMetrics, vals(_), _ => false)
+    val corrupt = Array[Byte](0x06, 0x01)
+    val f = new java.io.File(out, "part-00000.gavro")
+    val os = new java.io.FileOutputStream(f)
+    try Seq(good, corrupt).foreach { b =>
+      os.write(Array[Byte]((b.length >>> 24).toByte, (b.length >>> 16).toByte,
+        (b.length >>> 8).toByte, b.length.toByte))
+      os.write(b)
+    } finally os.close()
+    // count(*) counts the all-null corrupt row; count(col) skips it — the
+    // exact semantics of the partial HashAggregate the pushdown replaced.
+    val r = spark.read.format("gavro")
+      .option("schema", "system_metrics").load(out)
+      .agg(count(lit(1)).as("all"), count(col("id")).as("ids"),
+        sum(col("id")).as("s")).collect().head
+    assert(r.getLong(0) == 2L && r.getLong(1) == 1L && r.getLong(2) == 3L)
   }
 
   test("the registered aggregate query matches its oracle shape") {
