@@ -279,6 +279,74 @@ object Temporal {
       .orderBy(col("event_type"))
   }
 
+  /** Attribution lookback window: a purchase is credited to the latest
+    * click/view at most 30 minutes before it (else channel = "direct"). */
+  val AttrWindowUs: Long = 30L * 60 * 1000000
+
+  /** Last-touch attribution, join-free: the naive formulation is a range
+    * self-join (every purchase × every prior touch within the window —
+    * quadratic on active users); instead ONE user-partitioned running
+    * window carries the latest touch's timestamp and type via
+    * `last(..., ignoreNulls)` over rows strictly before the current one,
+    * and the 30-minute credit test is a residual projection. One shuffle
+    * on high-cardinality user_id, a sorted pass, no join — the same shape
+    * as [[asofLastPurchase]], specialized with the lookback-window credit
+    * rule marketing attribution actually uses. The two `last` calls share
+    * one window frame, so they resolve to the same touch row (their CASE
+    * inputs are null on exactly the same rows). Reference analog: the
+    * event→action classification feed (src/streaming/activity_feed.py) —
+    * this is the attribution view a step downstream of it.
+    */
+  def purchaseAttribution(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = Synth.eventTime(events)
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val isTouch = col("event_type").isin("click", "view")
+    val credited = col("lt_us").isNotNull &&
+      unix_micros(col("ts")) - col("lt_us") <= AttrWindowUs
+    e.withColumn("lt_us",
+        last(when(isTouch, unix_micros(col("ts"))), ignoreNulls = true).over(w))
+      .withColumn("lt_type",
+        last(when(isTouch, col("event_type")), ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("ts_us"),
+        when(credited, col("lt_type")).otherwise(lit("direct")).as("channel"),
+        when(credited, (unix_micros(col("ts")) - col("lt_us")) / lit(1000000L))
+          .cast("long").as("touch_age_s"))
+      .orderBy(col("event_id"))
+  }
+
+  /** Per-user value trend: exact integer least-squares slope of spend over
+    * time. x = day index (datediff from the corpus epoch), y = integer
+    * cents; the slope num/den pair (n·Σxy − Σx·Σy, n·Σx² − (Σx)²) is
+    * emitted unreduced so everything stays BIGINT-exact — no float
+    * regression, no per-user sort, one groupBy shuffle computing all five
+    * moments in a single pass. Day-grain x keeps Σx² far from overflow for
+    * any realistic per-user volume (x ≤ ~40k days; a corpus needing more
+    * headroom swaps the sums to DECIMAL(38,0), same plan). Users with <2
+    * events or a single active day have no defined slope and are excluded
+    * in both engines.
+    */
+  def userValueTrend(events: DataFrame): DataFrame = {
+    val e = Synth.eventTime(events).select(col("user_id"),
+      datediff(to_date(col("ts")), lit("2024-01-01").cast("date"))
+        .cast("long").as("x"),
+      floor(col("value") * 100).cast("long").as("y"))
+    e.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sxx"))
+      .withColumn("slope_num", col("n") * col("sxy") - col("sx") * col("sy"))
+      .withColumn("slope_den", col("n") * col("sxx") - col("sx") * col("sx"))
+      .filter(col("n") >= 2 && col("slope_den") > 0)
+      .select(col("user_id"), col("n"), col("slope_num"), col("slope_den"),
+        when(col("slope_num") > 0, 1).when(col("slope_num") < 0, -1)
+          .otherwise(0).as("direction"))
+      .orderBy(col("user_id"))
+  }
+
   // ---------------------------------------------------------------- registry
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -292,9 +360,48 @@ object Temporal {
     "conversion_funnel" -> ((s, d) => conversionFunnel(Tables.events(s, d))),
     "activity_calendar" -> ((s, d) => activityCalendar(Tables.events(s, d))),
     "ewma_user_value" -> ((s, d) => ewmaUserValue(Tables.events(s, d))),
+    "purchase_attribution" -> ((s, d) => purchaseAttribution(Tables.events(s, d))),
+    "user_value_trend" -> ((s, d) => userValueTrend(Tables.events(s, d))),
   )
 
   def oracleSql: Map[String, String] = Map(
+    "purchase_attribution" ->
+      s"""WITH e AS (
+         |  SELECT event_id, user_id, event_type, epoch_us(ts) AS us FROM events
+         |), t AS (
+         |  SELECT *,
+         |    last_value(CASE WHEN event_type IN ('click','view') THEN us END
+         |      IGNORE NULLS) OVER w AS lt_us,
+         |    last_value(CASE WHEN event_type IN ('click','view') THEN event_type END
+         |      IGNORE NULLS) OVER w AS lt_type
+         |  FROM e
+         |  WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+         |)
+         |SELECT event_id, user_id, us AS ts_us,
+         |  CASE WHEN lt_us IS NOT NULL AND us - lt_us <= $AttrWindowUs
+         |    THEN lt_type ELSE 'direct' END AS channel,
+         |  (CASE WHEN lt_us IS NOT NULL AND us - lt_us <= $AttrWindowUs
+         |    THEN (us - lt_us) // 1000000 END)::BIGINT AS touch_age_s
+         |FROM t WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin,
+    "user_value_trend" ->
+      """WITH e AS (
+        |  SELECT user_id,
+        |    date_diff('day', DATE '2024-01-01', ts::DATE)::BIGINT AS x,
+        |    floor(value * 100)::BIGINT AS y
+        |  FROM events
+        |), m AS (
+        |  SELECT user_id, count(*) AS n, sum(x)::BIGINT AS sx, sum(y)::BIGINT AS sy,
+        |    sum(x * y)::BIGINT AS sxy, sum(x * x)::BIGINT AS sxx
+        |  FROM e GROUP BY user_id
+        |)
+        |SELECT user_id, n,
+        |  n * sxy - sx * sy AS slope_num,
+        |  n * sxx - sx * sx AS slope_den,
+        |  (CASE WHEN n * sxy - sx * sy > 0 THEN 1
+        |        WHEN n * sxy - sx * sy < 0 THEN -1 ELSE 0 END)::INT AS direction
+        |FROM m WHERE n >= 2 AND n * sxx - sx * sx > 0
+        |ORDER BY user_id""".stripMargin,
     "ewma_user_value" ->
       s"""WITH e AS (
          |  SELECT event_id, user_id, epoch_us(ts) AS us,

@@ -124,6 +124,68 @@ class PipelineSpec extends SparkSpec {
     assert(rows("3_purchase") == (2L, ((120L - 60L) + (30L - 10L)) / 2))
   }
 
+  test("last-touch attribution credits the latest in-window touch, else direct") {
+    import spark.implicits._
+    def ev(id: Long, secs: Long, user: Long, typ: String) =
+      (id, new Timestamp(secs * 1000), user, typ, 1.0, "{}")
+    val events = Seq(
+      // user 1: view @0, click @100, purchase @200 → latest touch = click
+      ev(1, 0, 1, "view"), ev(2, 100, 1, "click"), ev(3, 200, 1, "purchase"),
+      // user 2: view 40 min before the purchase → outside the 30-min
+      // window → direct
+      ev(4, 0, 2, "view"), ev(5, 2400, 2, "purchase"),
+      // user 3: purchase with no prior event at all → direct
+      ev(6, 50, 3, "purchase"),
+      // user 4: an error event between touch and purchase must not break
+      // the carry; purchase @300 credits the view @250
+      ev(7, 250, 4, "view"), ev(8, 280, 4, "error"), ev(9, 300, 4, "purchase"),
+      // user 5: two purchases share the same touch — both credited
+      ev(10, 0, 5, "click"), ev(11, 60, 5, "purchase"), ev(12, 120, 5, "purchase"),
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val rows = Temporal.purchaseAttribution(events).collect()
+      .map(r => r.getAs[Long]("event_id") ->
+        (r.getAs[String]("channel"), Option(r.getAs[java.lang.Long]("touch_age_s"))
+          .map(_.longValue))).toMap
+    assert(rows(3L) == ("click", Some(100L)))
+    assert(rows(5L) == ("direct", None))
+    assert(rows(6L) == ("direct", None))
+    assert(rows(9L) == ("view", Some(50L)))
+    assert(rows(11L) == ("click", Some(60L)) && rows(12L) == ("click", Some(120L)))
+    assert(rows.size == 6) // exactly the six purchases, nothing else
+  }
+
+  test("trend slope num/den reproduce the exact least-squares line") {
+    import spark.implicits._
+    def ev(id: Long, day: Int, user: Long, cents: Long) =
+      (id, Timestamp.valueOf(f"2024-01-${day + 1}%02d 12:00:00"), user,
+        "purchase", cents / 100.0, "{}")
+    val events = Seq(
+      // user 1: y = 100·x + 50 exactly on days 0,1,2 → slope 100 cents/day
+      ev(1, 0, 1, 50), ev(2, 1, 1, 150), ev(3, 2, 1, 250),
+      // user 2: constant value → slope 0, direction 0
+      ev(4, 0, 2, 70), ev(5, 3, 2, 70),
+      // user 3: decreasing → negative direction
+      ev(6, 0, 3, 500), ev(7, 2, 3, 100),
+      // user 4: single event → excluded (n < 2)
+      ev(8, 1, 4, 30),
+      // user 5: two events on the SAME day → den = 0 → excluded
+      ev(9, 2, 5, 10), ev(10, 2, 5, 90),
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val rows = Temporal.userValueTrend(events).collect()
+      .map(r => r.getAs[Long]("user_id") ->
+        (r.getAs[Long]("slope_num"), r.getAs[Long]("slope_den"),
+          r.getAs[Int]("direction"))).toMap
+    assert(rows.keySet == Set(1L, 2L, 3L))
+    // user 1: slope = num/den must equal exactly 100.
+    val (n1, d1, dir1) = rows(1L)
+    assert(n1 == 100 * d1 && d1 > 0 && dir1 == 1)
+    assert(rows(2L)._1 == 0L && rows(2L)._3 == 0)
+    val (n3, d3, dir3) = rows(3L)
+    assert(n3 < 0 && d3 > 0 && dir3 == -1)
+    // user 3: slope = (100-500)/(2-0) = -200 cents/day exactly.
+    assert(n3 == -200 * d3)
+  }
+
   test("activity calendar counts the silent days per type over the full spine") {
     import spark.implicits._
     def ev(id: Long, day: Int, typ: String) =
