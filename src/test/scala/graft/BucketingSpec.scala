@@ -60,6 +60,68 @@ class BucketingSpec extends SparkSpec {
     assert(ids == ids.sorted)
   }
 
+  test("dynamic partition pruning: a dim-side filter prunes fact partitions at runtime") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // Fact laid out partitioned-by-lang; the query's lang set arrives only
+    // through a JOIN against a dim filtered on a NON-partition attribute,
+    // so static pruning can't see it — at 100 TB this is the difference
+    // between scanning every date/tenant directory and only the ones the
+    // dim filter selects. DPP injects the dim's keys as a runtime partition
+    // filter on the fact scan (reusing the broadcast the join builds
+    // anyway).
+    val dir = java.nio.file.Files.createTempDirectory("graft-dpp").toString
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    Bucketing.writePartitioned(docs, dir, Seq("lang"), Seq("doc_id"))
+    val langs = docs.select("lang").distinct().as[String].collect().sorted
+    assert(langs.length >= 2, langs.toSeq)
+    val picked = langs.head
+    // The dim must be a real (file) relation: a local Seq-backed dim gets
+    // its filter constant-folded into a LocalRelation during optimization,
+    // and DPP then sees no filtering predicate at all.
+    val dimDir = java.nio.file.Files.createTempDirectory("graft-dpp-dim").toString
+    langs.map(l => (l, if (l == picked) "keep" else "drop"))
+      .toSeq.toDF("lang", "tag").write.mode("overwrite").parquet(dimDir)
+    val dim = spark.read.parquet(dimDir)
+
+    // AQE wraps executed stages in leaf QueryStageExec nodes that `collect`
+    // can't descend into; DPP itself is orthogonal to AQE, so pin the plan
+    // with AQE off for an inspectable tree.
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val fact = spark.read.parquet(dir)
+      // An explicit comparison, not a bare boolean attribute: DPP only
+      // fires behind a LIKELY-SELECTIVE dim predicate (comparison/In/Like);
+      // a naked boolean column doesn't qualify (and `b === true` folds back
+      // to one), so the filter compares a string tag.
+      val joined = fact.join(dim.filter(col("tag") === "keep"), "lang")
+        .groupBy(col("lang")).agg(count(lit(1)).as("n"))
+      val rows = joined.collect()
+      assert(rows.map(_.getString(0)).toSeq == Seq(picked))
+      assert(rows.head.getLong(1) ==
+        docs.filter(col("lang") === picked).count())
+
+      val finalPlan = joined.queryExecution.executedPlan match {
+        case a: AdaptiveSparkPlanExec => a.executedPlan
+        case p => p
+      }
+      val factScan = finalPlan.collectWithSubqueries {
+        case s: FileSourceScanExec if s.relation.location.rootPaths
+          .exists(_.toString.contains("graft-dpp")) => s
+      }.head
+      // The runtime pruning filter is attached to the PARTITION filters…
+      assert(factScan.partitionFilters.exists(f => f.collectFirst {
+        case d: org.apache.spark.sql.catalyst.expressions.DynamicPruningExpression => d
+      }.isDefined), factScan.partitionFilters.mkString("; "))
+      // …and it actually pruned: only the selected lang's directory was read.
+      assert(factScan.metrics("numFiles").value == 1L,
+        s"numFiles=${factScan.metrics("numFiles").value}")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+  }
+
   test("z-order layout clusters BOTH dimensions per file; linear sort only one") {
     import org.apache.spark.sql.functions._
     val zdir = java.nio.file.Files.createTempDirectory("graft-zorder").toString
