@@ -10,7 +10,7 @@ import org.apache.spark.sql.{Column, DataFrame, GraftPlanBridge, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Alias, And, Ascending, Attribute, Cast, DenseRank, Descending, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual, Literal, PredicateHelper, Rank, RowNumber, RowOrdering, SortOrder, UnsafeProjection, UnsafeRow, WindowExpression}
 import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan, Project, UnaryNode, Window, WindowGroupLimit}
-import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, UnspecifiedDistribution}
+import org.apache.spark.sql.catalyst.plans.physical.{AllTuples, ClusteredDistribution, Distribution, UnspecifiedDistribution}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
 import org.apache.spark.sql.types.{IntegerType, LongType}
@@ -201,6 +201,10 @@ object TopK {
 
     override def requiredChildDistribution: Seq[Distribution] =
       if (partial) UnspecifiedDistribution :: Nil
+      // GLOBAL top-k (no grouping): the final stage must see every partial
+      // survivor, but only ~P×k rows exist by then, so a single-partition
+      // merge is the TakeOrdered shape, not a bottleneck.
+      else if (groupExprs.isEmpty) AllTuples :: Nil
       else ClusteredDistribution(groupExprs) :: Nil
 
     override def nodeName: String =
@@ -470,8 +474,12 @@ object TopK {
           keep.reduceOption(And(_, _)).map(Filter(_, pushed)).getOrElse(pushed)
         }
 
+      // Empty partitionSpec allowed: a GLOBAL rank filter would otherwise
+      // execute as a single-partition WindowExec over the ENTIRE input —
+      // the rewrite turns it into per-partition bounded heaps plus a
+      // P×k-row final merge.
       case p @ Project(pl, Filter(cond, w: Window))
-          if w.partitionSpec.nonEmpty && w.orderSpec.nonEmpty =>
+          if w.orderSpec.nonEmpty =>
         w.windowExpressions match {
           case Seq(al @ Alias(WindowExpression(fn, _), _))
               if rankModeOf(fn).isDefined &&
@@ -491,7 +499,7 @@ object TopK {
       // attribute-for-attribute the Window's own output, so the node swaps
       // in directly with no Project on top.
       case f @ Filter(cond, w: Window)
-          if w.partitionSpec.nonEmpty && w.orderSpec.nonEmpty =>
+          if w.orderSpec.nonEmpty =>
         w.windowExpressions match {
           case Seq(al @ Alias(WindowExpression(fn, _), _))
               if rankModeOf(fn).isDefined =>

@@ -234,12 +234,31 @@ class TopKSpec extends SparkSpec {
     }
   }
 
-  test("no rewrite for an unpartitioned window") {
+  test("GLOBAL rank filter rewrites too: partial heaps, single-partition merge") {
+    // An unpartitioned rank-filter window would execute as ONE WindowExec
+    // partition holding the entire input; the rewrite plans it as
+    // per-partition k-bounded heaps with a P×k-row final merge instead.
     val global = Window.orderBy(col("score").desc, col("id").asc)
     val globalQ = df.withColumn("rnk", row_number().over(global))
       .filter(col("rnk") <= 3).drop("rnk")
-    assert(!hasTopKLogical(globalQ), globalQ.queryExecution.optimizedPlan.toString)
-    assert(globalQ.collect().length == 3)
+    assert(hasTopKLogical(globalQ), globalQ.queryExecution.optimizedPlan.toString)
+    val physical = globalQ.queryExecution.executedPlan.toString
+    assert(!physical.contains("Window"), physical)
+    val got = globalQ.collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
+    // Expected: the 3 globally best (score desc, id asc) rows.
+    val want = (0 until 200).map(i => (s"g${i % 4}", i % 7, i.toLong))
+      .sortBy { case (_, s, id) => (-s, id) }.take(3).toArray
+    assert(got.sortBy(r => (-r._2, r._3)).toSeq == want.toSeq)
+    // Tie-aware global mode: ordered by score ALONE, every score-tie is a
+    // rank-tie, so rank() <= 3 keeps all rows with < 3 strictly better.
+    val tieOrder = Window.orderBy(col("score").desc)
+    val rankQ = df.withColumn("rnk", rank().over(tieOrder)).filter(col("rnk") <= 3)
+    assert(hasTopKLogical(rankQ))
+    val wantRank = {
+      val all = (0 until 200).map(i => (s"g${i % 4}", i % 7, i.toLong))
+      all.filter(t => all.count(u => u._2 > t._2) < 3)
+    }
+    assert(rankQ.drop("rnk").collect().length == wantRank.length)
   }
 
   // ---- tie-keeping modes: rank() and dense_rank() rewrite too -----------
