@@ -60,6 +60,47 @@ object Curation {
           PhoneRe, "<PHONE>").as("scrubbed"))
       .orderBy(col("doc_id"))
 
+  // ------------------------------------------------------------ secret scan
+
+  /** Deterministically planted credentials: every 13th doc gains an
+    * AWS-style access-key id (AKIA + 16 upper-hex from md5), every 17th a
+    * 40-hex token (md5 + 8 more hex chars). Plain string arithmetic,
+    * identical in DuckDB. */
+  private def secretCorpus(documents: DataFrame): DataFrame =
+    documents.select(col("doc_id"),
+      concat(col("text"),
+        when(pmod(col("doc_id"), lit(13)) === 0,
+          concat(lit(" key AKIA"),
+            upper(substring(md5(col("doc_id").cast("string")), 1, 16))))
+          .otherwise(lit("")),
+        when(pmod(col("doc_id"), lit(17)) === 0,
+          concat(lit(" tok "), md5(col("doc_id").cast("string")),
+            substring(md5((col("doc_id") + 1).cast("string")), 1, 8)))
+          .otherwise(lit(""))).as("text"))
+
+  private val AwsKeyRe = "AKIA[0-9A-Z]{16}"
+  private val HexTokenRe = "[0-9a-f]{40}"
+
+  /** Credential scrubbing — the code-corpus counterpart of [[piiScrub]]:
+    * leaked access keys and long hex secrets are counted and replaced with
+    * typed tags before anything reaches a training shard. Same contract as
+    * the PII pass: pure map-side regex work at scan throughput, zero
+    * shuffle, audit counts per doc so the leak rate is reportable without
+    * a second pass. Both regexes are RE2-safe (no backrefs/lookaround), so
+    * Spark's Java engine and any RE2-based scanner agree on every match;
+    * scrub order (keys before hex) cannot interact because the key tail is
+    * upper-case and the hex pattern lower-case. */
+  def secretScan(documents: DataFrame): DataFrame =
+    secretCorpus(documents)
+      .select(col("doc_id"),
+        size(expr(s"regexp_extract_all(text, '$AwsKeyRe', 0)")).cast("long")
+          .as("n_aws_keys"),
+        size(expr(s"regexp_extract_all(text, '$HexTokenRe', 0)")).cast("long")
+          .as("n_hex_tokens"),
+        regexp_replace(regexp_replace(col("text"), AwsKeyRe, "<AWSKEY>"),
+          HexTokenRe, "<HEXTOKEN>").as("scrubbed"))
+      .orderBy(col("doc_id"))
+
   // ---------------------------------------------- repetition quality signals
 
   /** Gopher-style repetition signals per document: duplicate-bigram
@@ -642,6 +683,7 @@ object Curation {
     "curation_funnel" -> ((s, d) => curationFunnel(Tables.documents(s, d))),
     "priority_sample" -> ((s, d) => prioritySample(Tables.documents(s, d))),
     "pii_scrub" -> ((s, d) => piiScrub(Tables.documents(s, d))),
+    "secret_scan" -> ((s, d) => secretScan(Tables.documents(s, d))),
     "repetition_stats" -> ((s, d) => repetitionStats(Tables.documents(s, d))),
     "line_dedup" -> ((s, d) => lineDedup(Tables.documents(s, d))),
     "paragraph_dedup" -> ((s, d) => paragraphDedup(Tables.documents(s, d))),
@@ -773,6 +815,22 @@ object Curation {
          |  regexp_replace(regexp_replace(text, '$EmailRe', '<EMAIL>', 'g'),
          |    '$PhoneRe', '<PHONE>', 'g') AS scrubbed
          |FROM pii ORDER BY doc_id""".stripMargin,
+    "secret_scan" ->
+      s"""WITH sec AS (
+         |  SELECT doc_id, text ||
+         |    CASE WHEN doc_id % 13 = 0
+         |      THEN ' key AKIA' || upper(substr(md5(doc_id::VARCHAR), 1, 16)) ELSE '' END ||
+         |    CASE WHEN doc_id % 17 = 0
+         |      THEN ' tok ' || md5(doc_id::VARCHAR) || substr(md5((doc_id + 1)::VARCHAR), 1, 8) ELSE '' END
+         |    AS text
+         |  FROM documents
+         |)
+         |SELECT doc_id,
+         |  len(regexp_extract_all(text, '$AwsKeyRe'))::BIGINT AS n_aws_keys,
+         |  len(regexp_extract_all(text, '$HexTokenRe'))::BIGINT AS n_hex_tokens,
+         |  regexp_replace(regexp_replace(text, '$AwsKeyRe', '<AWSKEY>', 'g'),
+         |    '$HexTokenRe', '<HEXTOKEN>', 'g') AS scrubbed
+         |FROM sec ORDER BY doc_id""".stripMargin,
     "repetition_stats" ->
       """WITH bg AS (
         |  SELECT doc_id, unnest(list_transform(

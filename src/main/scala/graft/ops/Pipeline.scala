@@ -392,9 +392,41 @@ object Pipeline {
       .orderBy(col("source"), col("decile"))
   }
 
+  // ------------------------------------------------ sequence-length buckets
+
+  /** Padding-waste audit for fixed-shape training batches: documents are
+    * assigned to power-of-two token-length buckets (the standard
+    * sequence-bucketing policy), and each (source, bucket) reports how
+    * many pad tokens a batcher padding to the bucket ceiling would burn —
+    * the number that decides whether bucketed batching is worth it before
+    * anyone launches a training run. next_pow2 comes from the binary
+    * digit-length of n−1 (the [[graft.ops.Profiling.skewProfile]] trick),
+    * so the whole assignment is codegen'd integer arithmetic: no libm
+    * log2, no float rounding at bucket boundaries. One map-side projection
+    * plus one tiny groupBy — scan throughput at 100 TB, output rows
+    * O(sources × log(max_len)).
+    */
+  def lengthBucketing(documents: DataFrame): DataFrame =
+    documents
+      .select(col("source"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .withColumn("bucket",
+        when(col("n_tokens") <= 1, lit(1L))
+          .otherwise(expr(
+            "shiftleft(1L, length(conv(n_tokens - 1, 10, 2)))")))
+      .groupBy(col("source"), col("bucket"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("sum_tokens"))
+      .withColumn("padded_tokens", col("n_docs") * col("bucket"))
+      .withColumn("waste_ppm", expr(
+        "((padded_tokens - sum_tokens) * 1000000) div padded_tokens"))
+      .select(col("source"), col("bucket"), col("n_docs"), col("sum_tokens"),
+        col("padded_tokens"), col("waste_ppm"))
+      .orderBy(col("source"), col("bucket"))
+
   // ---------------------------------------------------------------- registry
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "length_bucketing" -> ((s, d) => lengthBucketing(Tables.documents(s, d))),
     "group_split" -> ((s, d) => groupSplit(Tables.documents(s, d))),
     "domain_cap" -> ((s, d) => domainCap(Tables.documents(s, d))),
     "length_deciles" -> ((s, d) => lengthDeciles(Tables.documents(s, d))),
@@ -410,6 +442,23 @@ object Pipeline {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "length_bucketing" ->
+      """WITH t AS (
+        |  SELECT source, len(string_split(text, ' '))::BIGINT AS n FROM documents
+        |), b AS (
+        |  SELECT source, n,
+        |    CASE WHEN n <= 1 THEN 1
+        |      ELSE (1::BIGINT << len(printf('%b', n - 1))) END AS bucket
+        |  FROM t
+        |), g AS (
+        |  SELECT source, bucket, count(*)::BIGINT AS n_docs,
+        |    sum(n)::BIGINT AS sum_tokens
+        |  FROM b GROUP BY source, bucket
+        |)
+        |SELECT source, bucket, n_docs, sum_tokens,
+        |  (n_docs * bucket)::BIGINT AS padded_tokens,
+        |  (((n_docs * bucket) - sum_tokens) * 1000000 // (n_docs * bucket))::BIGINT AS waste_ppm
+        |FROM g ORDER BY source, bucket""".stripMargin,
     "reservoir_sample" ->
       s"""SELECT source, draw, doc_id FROM (
          |  SELECT source, doc_id,

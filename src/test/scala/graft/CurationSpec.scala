@@ -33,6 +33,32 @@ class CurationSpec extends SparkSpec {
     assert(byId(0L).getAs[String]("scrubbed") == "alpha beta contact <EMAIL> call <PHONE>")
   }
 
+  test("secret scan redacts planted keys and hex tokens, counts them per doc") {
+    // doc 0 gets both plants (0 % 13 = 0 % 17 = 0), doc 13 the AWS key,
+    // doc 17 the hex token, doc 1 neither.
+    val out = Curation.secretScan(docs(
+      0L -> "alpha beta", 1L -> "gamma delta",
+      13L -> "epsilon zeta", 17L -> "eta theta")).collect()
+    val byId = out.map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(byId(0L).getAs[Long]("n_aws_keys") == 1 &&
+      byId(0L).getAs[Long]("n_hex_tokens") == 1)
+    assert(byId(13L).getAs[Long]("n_aws_keys") == 1 &&
+      byId(13L).getAs[Long]("n_hex_tokens") == 0)
+    assert(byId(17L).getAs[Long]("n_aws_keys") == 0 &&
+      byId(17L).getAs[Long]("n_hex_tokens") == 1)
+    assert(byId(1L).getAs[Long]("n_aws_keys") == 0 &&
+      byId(1L).getAs[Long]("n_hex_tokens") == 0)
+    // No credential shape survives scrubbing; tags land where planted.
+    out.foreach { r =>
+      val t = r.getAs[String]("scrubbed")
+      assert(!t.matches(".*AKIA[0-9A-Z]{16}.*"), t)
+      assert(!t.matches(".*[0-9a-f]{40}.*"), t)
+    }
+    assert(byId(0L).getAs[String]("scrubbed") ==
+      "alpha beta key <AWSKEY> tok <HEXTOKEN>")
+    assert(byId(13L).getAs[String]("scrubbed") == "epsilon zeta key <AWSKEY>")
+  }
+
   test("repetition stats flag a degenerate doc and keep clean prose") {
     val clean = (1 to 40).map(i => s"w$i").mkString(" ")
     val loop = Seq.fill(20)("spam ham").mkString(" ")

@@ -124,6 +124,33 @@ class PipelineSpec extends SparkSpec {
     assert(rows("3_purchase") == (2L, ((120L - 60L) + (30L - 10L)) / 2))
   }
 
+  test("length bucketing assigns power-of-two ceilings and exact waste") {
+    import spark.implicits._
+    def doc(id: Long, src: String, nTokens: Int) =
+      (id, (1 to nTokens).map(i => s"w$i").mkString(" "), "en", src, 0L)
+    val docs = Seq(
+      doc(1, "a", 1),   // bucket 1, zero waste
+      doc(2, "a", 2),   // bucket 2, zero waste
+      doc(3, "a", 3),   // bucket 4, waste 1
+      doc(4, "a", 4),   // bucket 4, zero waste
+      doc(5, "a", 5),   // bucket 8, waste 3
+      doc(6, "b", 9),   // bucket 16, waste 7
+      doc(7, "b", 16),  // bucket 16, zero waste
+      doc(8, "b", 17),  // bucket 32, waste 15
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val rows = graft.ops.Pipeline.lengthBucketing(docs).collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Long]("bucket")) ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("sum_tokens"),
+          r.getAs[Long]("padded_tokens"), r.getAs[Long]("waste_ppm"))).toMap
+    assert(rows(("a", 1L)) == (1L, 1L, 1L, 0L))
+    assert(rows(("a", 2L)) == (1L, 2L, 2L, 0L))
+    assert(rows(("a", 4L)) == (2L, 7L, 8L, 125000L)) // 1/8 padding burnt
+    assert(rows(("a", 8L)) == (1L, 5L, 8L, 375000L))
+    assert(rows(("b", 16L)) == (2L, 25L, 32L, 218750L))
+    assert(rows(("b", 32L)) == (1L, 17L, 32L, 468750L))
+    assert(rows.size == 6)
+  }
+
   test("last-touch attribution credits the latest in-window touch, else direct") {
     import spark.implicits._
     def ev(id: Long, secs: Long, user: Long, typ: String) =
