@@ -262,9 +262,19 @@ case class GavroReaderFactory(schemaName: String, requiredNames: Array[String],
   * PERMISSIVE all-null corrupt rows), count(col)/min/max/sum skip nulls,
   * and a group with no non-null input keeps a NULL sum/min/max. A global
   * aggregate (no group-by) always emits its single row, so count(*) on an
-  * empty or fully-filtered file is 0, not absent. */
+  * empty or fully-filtered file is 0, not absent.
+  *
+  * Degenerate group-by guard: a near-unique group key would otherwise
+  * grow the map to the file's row count, so past [[GavroAggReader.MaxGroups]]
+  * live groups the map is FLUSHED downstream and restarted — emitting the
+  * same group in several partial rows is sound because Spark's final
+  * merge aggregate re-combines them (sum of counts/sums, min of mins),
+  * exactly as it combines partials from different files. Memory stays
+  * bounded at the cap; the flushed case degrades toward plain-scan
+  * volume, never above it. */
 class GavroAggPartitionReader(file: String, schemaName: String,
-    agg: GavroAgg, preds: Array[GavroPred])
+    agg: GavroAgg, preds: Array[GavroPred],
+    maxGroups: Int = GavroAggReader.MaxGroups)
     extends PartitionReader[InternalRow] {
   private val record = AvroCodec.schemaByName(schemaName)
   private val inputNames: Array[String] =
@@ -286,61 +296,82 @@ class GavroAggPartitionReader(file: String, schemaName: String,
     case _ => 0 // same decoded type by construction; unreachable
   }
 
-  private lazy val out: Iterator[InternalRow] = {
-    val acc = new java.util.LinkedHashMap[List[Any], Array[Any]]()
-    def accFor(key: List[Any]): Array[Any] = {
-      var a = acc.get(key)
-      if (a == null) {
-        a = agg.specs.map(s =>
-          if (s.op == "count_star" || s.op == "count") 0L.asInstanceOf[Any]
-          else null)
-        acc.put(key, a)
-      }
-      a
+  private val acc = new java.util.LinkedHashMap[List[Any], Array[Any]]()
+  private def accFor(key: List[Any]): Array[Any] = {
+    var a = acc.get(key)
+    if (a == null) {
+      a = agg.specs.map(s =>
+        if (s.op == "count_star" || s.op == "count") 0L.asInstanceOf[Any]
+        else null)
+      acc.put(key, a)
     }
-    if (agg.groups.isEmpty) accFor(Nil) // global agg: row exists even if empty
-    while (rows.next()) {
-      val r = rows.get()
-      val key = agg.groups.indices.map(i =>
-        if (r.isNullAt(i)) null else r.get(i, null)).toList
-      val a = accFor(key)
-      var i = 0
-      while (i < agg.specs.length) {
-        val s = agg.specs(i)
-        val v = if (s.field == null) null else {
-          val slot = slotOf(s.field)
-          if (r.isNullAt(slot)) null else r.get(slot, null)
-        }
-        s.op match {
-          case "count_star" => a(i) = a(i).asInstanceOf[Long] + 1L
-          case "count" => if (v != null) a(i) = a(i).asInstanceOf[Long] + 1L
-          case "min" => if (v != null && (a(i) == null || cmp(v, a(i)) < 0)) a(i) = v
-          case "max" => if (v != null && (a(i) == null || cmp(v, a(i)) > 0)) a(i) = v
-          case "sum" => if (v != null) {
-            if (doubleSum(s.field)) {
-              val add = v.asInstanceOf[Double]
-              a(i) = (if (a(i) == null) 0.0 else a(i).asInstanceOf[Double]) + add
-            } else {
-              val add = v match { case x: Int => x.toLong; case x: Long => x }
-              a(i) = (if (a(i) == null) 0L else a(i).asInstanceOf[Long]) + add
-            }
+    a
+  }
+
+  private def absorb(r: InternalRow): Unit = {
+    val key = agg.groups.indices.map(i =>
+      if (r.isNullAt(i)) null else r.get(i, null)).toList
+    val a = accFor(key)
+    var i = 0
+    while (i < agg.specs.length) {
+      val s = agg.specs(i)
+      val v = if (s.field == null) null else {
+        val slot = slotOf(s.field)
+        if (r.isNullAt(slot)) null else r.get(slot, null)
+      }
+      s.op match {
+        case "count_star" => a(i) = a(i).asInstanceOf[Long] + 1L
+        case "count" => if (v != null) a(i) = a(i).asInstanceOf[Long] + 1L
+        case "min" => if (v != null && (a(i) == null || cmp(v, a(i)) < 0)) a(i) = v
+        case "max" => if (v != null && (a(i) == null || cmp(v, a(i)) > 0)) a(i) = v
+        case "sum" => if (v != null) {
+          if (doubleSum(s.field)) {
+            val add = v.asInstanceOf[Double]
+            a(i) = (if (a(i) == null) 0.0 else a(i).asInstanceOf[Double]) + add
+          } else {
+            val add = v match { case x: Int => x.toLong; case x: Long => x }
+            a(i) = (if (a(i) == null) 0L else a(i).asInstanceOf[Long]) + add
           }
         }
-        i += 1
       }
-    }
-    rows.close()
-    import scala.jdk.CollectionConverters._
-    acc.entrySet().iterator().asScala.map { e =>
-      new GenericInternalRow((e.getKey ++ e.getValue).toArray)
+      i += 1
     }
   }
 
+  private def drain(): Iterator[InternalRow] = {
+    import scala.jdk.CollectionConverters._
+    val flushed = acc.entrySet().iterator().asScala.map(e =>
+      new GenericInternalRow((e.getKey ++ e.getValue).toArray): InternalRow).toArray
+    acc.clear()
+    flushed.iterator
+  }
+
+  if (agg.groups.isEmpty) accFor(Nil) // global agg: row exists even if empty
+
+  private var pending: Iterator[InternalRow] = Iterator.empty
+  private var exhausted = false
   private var row: InternalRow = _
-  override def next(): Boolean =
-    if (out.hasNext) { row = out.next(); true } else false
+
+  override def next(): Boolean = {
+    while (!pending.hasNext && !exhausted) {
+      if (rows.next()) {
+        absorb(rows.get())
+        if (acc.size > maxGroups) pending = drain()
+      } else {
+        exhausted = true
+        rows.close()
+        pending = drain()
+      }
+    }
+    if (pending.hasNext) { row = pending.next(); true } else false
+  }
   override def get(): InternalRow = row
   override def close(): Unit = ()
+}
+
+object GavroAggReader {
+  /** Live-group cap per aggregating reader before a partial flush. */
+  val MaxGroups: Int = 1 << 16
 }
 
 class GavroPartitionReader(file: String, schemaName: String,

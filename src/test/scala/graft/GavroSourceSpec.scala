@@ -275,6 +275,39 @@ class GavroSourceSpec extends SparkSpec {
     assert(r.getLong(0) == 2L && r.getLong(1) == 1L && r.getLong(2) == 3L)
   }
 
+  test("agg reader flushes past the group cap; re-merged partials stay exact") {
+    import graft.sources.{GAggSpec, GavroAgg, GavroAggPartitionReader}
+    val events = Tables.events(spark, dir)
+    val out = tmpDir("aggflush")
+    Gavro.write(events.select(AvroCodec.requestLogRec.as("rec"))
+      .select(expr("to_avro_graft(rec, 'request_log')").as("bin"))
+      .coalesce(1), out)
+    val file = new java.io.File(out).listFiles()
+      .filter(_.getName.endsWith(".gavro")).head.getAbsolutePath
+    // Cap of ONE live group: nearly every record lands on a "new" group
+    // and flushes the map, so the reader emits many duplicate-key partial
+    // rows — exactly what a final merge aggregate receives.
+    val reader = new GavroAggPartitionReader(file, "request_log",
+      GavroAgg(Array("endpoint"),
+        Array(GAggSpec("count_star", null), GAggSpec("sum", "latency_ms")),
+        new org.apache.spark.sql.types.StructType()),
+      Array.empty, maxGroups = 1)
+    val partials = Iterator.continually(reader)
+      .takeWhile(_.next()).map { r =>
+        (r.get().get(0, null).toString,
+          (r.get().getLong(1), r.get().getLong(2)))
+      }.toVector
+    val merged = partials.groupBy(_._1).view
+      .mapValues(v => (v.map(_._2._1).sum, v.map(_._2._2).sum)).toMap
+    val want = events
+      .groupBy(concat(lit("/api/"), col("event_type")).as("endpoint"))
+      .agg(count(lit(1)).as("n"), sum(pmod(col("event_id"), lit(500))).as("s"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(merged == want)
+    // Flushing genuinely happened: far more partial rows than groups.
+    assert(partials.length > want.size * 3, s"partials=${partials.length}")
+  }
+
   test("the registered aggregate query matches its oracle shape") {
     val df = Gavro.gavroScan(spark, dir)
     val rows = df.collect()
