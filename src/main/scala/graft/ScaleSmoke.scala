@@ -59,6 +59,11 @@ object ScaleSmoke {
     time("media_phash_dedup") { graft.ops.Multimodal.phashPairs(corpus) }
     time("training_order") { Pipeline.trainingOrder(corpus) }
     time("doc_chunks") { Pipeline.docChunks(corpus) }
+    // Global top-k via the extended rewrite: the final merge only ever
+    // sees ~P×k partial survivors, so this must stay flat as docs grow.
+    time("bm25_topk") { TextStats.bm25TopK(corpus) }
+    time("secret_scan") { Curation.secretScan(corpus) }
+    time("length_bucketing") { Pipeline.lengthBucketing(corpus) }
     time("link_rank") { graft.ops.Graph.linkRank(corpus) }
     // embeddings scale path: replicate the vector fixture the same way
     val embBase = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.1")
