@@ -347,6 +347,28 @@ object Temporal {
       .orderBy(col("user_id"))
   }
 
+  /** Day-of-week seasonality profile: per (event_type, weekday) volume and
+    * integer-cent value, with each cell's ppm share of its type's total —
+    * the weekly-rhythm view capacity planning and anomaly baselines read.
+    * Two tiny aggregations: the corpus collapses to ≤ types×7 rows in one
+    * map-side-combinable groupBy, and the share window runs over that
+    * 35-row grid (partitioned by type — never corpus-grain). Weekday is
+    * Monday=0 in both engines (Spark `weekday`, DuckDB `isodow − 1`).
+    */
+  def dowProfile(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    Synth.eventTime(events)
+      .select(col("event_type"), weekday(col("ts")).cast("long").as("dow"),
+        floor(col("value") * 100).cast("long").as("cents"))
+      .groupBy(col("event_type"), col("dow"))
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"))
+      .withColumn("type_total",
+        sum(col("n")).over(Window.partitionBy(col("event_type"))))
+      .select(col("event_type"), col("dow"), col("n"), col("cents"),
+        expr("(n * 1000000) div type_total").as("share_ppm"))
+      .orderBy(col("event_type"), col("dow"))
+  }
+
   // ---------------------------------------------------------------- registry
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -362,9 +384,23 @@ object Temporal {
     "ewma_user_value" -> ((s, d) => ewmaUserValue(Tables.events(s, d))),
     "purchase_attribution" -> ((s, d) => purchaseAttribution(Tables.events(s, d))),
     "user_value_trend" -> ((s, d) => userValueTrend(Tables.events(s, d))),
+    "dow_profile" -> ((s, d) => dowProfile(Tables.events(s, d))),
   )
 
   def oracleSql: Map[String, String] = Map(
+    "dow_profile" ->
+      """WITH e AS (
+        |  SELECT event_type, (isodow(ts) - 1)::BIGINT AS dow,
+        |    floor(value * 100)::BIGINT AS cents
+        |  FROM events
+        |), g AS (
+        |  SELECT event_type, dow, count(*)::BIGINT AS n,
+        |    sum(cents)::BIGINT AS cents
+        |  FROM e GROUP BY event_type, dow
+        |)
+        |SELECT event_type, dow, n, cents,
+        |  (n * 1000000 // sum(n) OVER (PARTITION BY event_type))::BIGINT AS share_ppm
+        |FROM g ORDER BY event_type, dow""".stripMargin,
     "purchase_attribution" ->
       s"""WITH e AS (
          |  SELECT event_id, user_id, event_type, epoch_us(ts) AS us FROM events

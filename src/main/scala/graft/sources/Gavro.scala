@@ -7,7 +7,7 @@ import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapabil
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.expressions.NamedReference
 import org.apache.spark.sql.connector.expressions.aggregate.{AggregateFunc, Aggregation, Count, CountStar, Max, Min, Sum}
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownLimit, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownLimit, SupportsPushDownRequiredColumns, SupportsReportStatistics}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, IsNotNull, IsNull, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types.{DoubleType, LongType, StructField, StructType}
@@ -198,9 +198,30 @@ case class GAggSpec(op: String, field: String) extends Serializable
 
 class GavroScan(path: String, schemaName: String, required: StructType,
     pushed: Array[Filter], limit: Int,
-    agg: Option[GavroAgg] = None) extends Scan with Batch {
+    agg: Option[GavroAgg] = None)
+    extends Scan with Batch with SupportsReportStatistics {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
+
+  /** Size from the file listing (cheap, exact for the on-wire bytes).
+    * Without this a DSv2 relation reports the session default
+    * (`spark.sql.defaultSizeInBytes` = Long.MaxValue), so a gavro-backed
+    * DIMENSION table could never plan on the broadcast side of a join no
+    * matter how small the files are — at scale that silently turns every
+    * dim join against the landing zone into a shuffle. Row count is left
+    * empty: records are length-prefixed, not fixed-width, and a listing
+    * shouldn't decode. Conservative under pushed filters/limit (both only
+    * shrink the real read). */
+  override def estimateStatistics(): Statistics = {
+    val bytes = Option(new java.io.File(path).listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.endsWith(".gavro")).map(_.length()).sum
+    new Statistics {
+      override def sizeInBytes(): java.util.OptionalLong =
+        java.util.OptionalLong.of(bytes)
+      override def numRows(): java.util.OptionalLong =
+        java.util.OptionalLong.empty()
+    }
+  }
   override def description(): String =
     s"gavro $path, schema=$schemaName, ReadSchema: ${required.catalogString}, " +
       s"PushedFilters: ${pushed.mkString("[", ", ", "]")}" +

@@ -308,6 +308,33 @@ class GavroSourceSpec extends SparkSpec {
     assert(partials.length > want.size * 3, s"partials=${partials.length}")
   }
 
+  test("reported file-size statistics let a small gavro dim broadcast") {
+    import spark.implicits._
+    val events = Tables.events(spark, dir)
+    val out = tmpDir("stats")
+    Gavro.write(events.limit(50)
+      .select(AvroCodec.requestLogRec.as("rec"))
+      .select(expr("to_avro_graft(rec, 'request_log')").as("bin")), out)
+    val dim = spark.read.format("gavro")
+      .option("schema", "request_log").load(out)
+      .select(col("id"), col("endpoint"))
+    // The scan must report its real on-disk size…
+    val scan = dim.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation => r
+    }.head
+    val stats = scan.computeStats()
+    assert(stats.sizeInBytes > 0 &&
+      stats.sizeInBytes < 10L * 1024 * 1024, stats.sizeInBytes)
+    // …so a join against a big fact side AUTO-plans the gavro dim as the
+    // broadcast build side (no hint anywhere). Without statistics, DSv2
+    // reports Long.MaxValue and this would be a sort-merge join.
+    val fact = (0L until 10000L).toDF("id")
+    val joined = fact.join(dim, "id")
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(joined.count() == 50)
+  }
+
   test("the registered aggregate query matches its oracle shape") {
     val df = Gavro.gavroScan(spark, dir)
     val rows = df.collect()
