@@ -194,7 +194,50 @@ object Multimodal {
 
   // ---------------------------------------------------------------- registry
 
+  /** Interleaved multimodal sequence packing — the batching step of a
+    * vision-language training pipeline: text items carry their word count,
+    * image attachments a FIXED vision-token budget (64 tokens per sampled
+    * frame, frames from payload size — the patch-embedding contract where
+    * media cost is resolution-determined, not content-determined), and the
+    * combined stream packs into ~2048-token context bins. Same sharded
+    * running-total shape as [[graft.ops.Pipeline.tokenPacking]]: the
+    * cumsum window is partitioned by an md5 shard, so no task ever sees
+    * the whole corpus and parallelism tracks shard count. Output is the
+    * per-(shard, bin) modality manifest a loader consumes: item and token
+    * counts per modality per bin.
+    */
+  def interleavedPacking(documents: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val texts = documents.select(col("doc_id"), lit("text").as("kind"),
+      size(split(col("text"), " ")).cast("long").as("n_tokens"))
+    // Every 3rd doc carries an image attachment in the fixture.
+    val images = mediaTable(documents)
+      .filter(pmod(col("doc_id"), lit(3)) === 0)
+      .select(col("doc_id"), lit("image").as("kind"),
+        expr("least(4L, 1L + (length(media) div 256)) * 64").as("n_tokens"))
+    texts.unionByName(images)
+      .withColumn("shard", expr(
+        s"""cast(conv(substring(md5(concat(cast(doc_id as string), kind)),
+           | 1, 15), 16, 10) as bigint) % ${Pipeline.PackingShards}""".stripMargin
+          .replace("\n", "")))
+      .withColumn("cum", sum(col("n_tokens")).over(
+        Window.partitionBy(col("shard")).orderBy(col("doc_id"), col("kind"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("bin", expr("(cum - n_tokens) div 2048"))
+      .groupBy(col("shard"), col("bin"))
+      .agg(
+        sum(when(col("kind") === "text", 1L).otherwise(0L)).as("n_text"),
+        sum(when(col("kind") === "image", 1L).otherwise(0L)).as("n_image"),
+        sum(when(col("kind") === "text", col("n_tokens")).otherwise(0L))
+          .as("text_tokens"),
+        sum(when(col("kind") === "image", col("n_tokens")).otherwise(0L))
+          .as("image_tokens"))
+      .orderBy(col("shard"), col("bin"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "interleaved_packing" -> ((s, d) =>
+      interleavedPacking(graft.sources.Tables.documents(s, d))),
     "media_meta" -> ((s, d) => mediaMeta(mediaTable(Tables.documents(s, d)))),
     "media_frame_sample" -> ((s, d) => frameSample(mediaTable(Tables.documents(s, d)))),
     "media_decode_stub" -> ((s, d) => decodeStub(mediaTable(Tables.documents(s, d)))),
@@ -203,6 +246,31 @@ object Multimodal {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "interleaved_packing" ->
+      s"""WITH items AS (
+         |  SELECT doc_id, 'text' AS kind,
+         |    len(string_split(text, ' '))::BIGINT AS n_tokens
+         |  FROM documents
+         |  UNION ALL
+         |  SELECT doc_id, 'image',
+         |    (least(4, 1 + (strlen(text) // 256)) * 64)::BIGINT
+         |  FROM documents WHERE doc_id % 3 = 0
+         |), s AS (
+         |  SELECT *, ('0x' || substr(md5(doc_id::VARCHAR || kind), 1, 15))::BIGINT
+         |    % ${Pipeline.PackingShards} AS shard
+         |  FROM items
+         |), c AS (
+         |  SELECT *, (sum(n_tokens) OVER (PARTITION BY shard
+         |    ORDER BY doc_id, kind
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT AS cum
+         |  FROM s
+         |)
+         |SELECT shard, ((cum - n_tokens) // 2048)::BIGINT AS bin,
+         |  sum(CASE WHEN kind = 'text' THEN 1 ELSE 0 END)::BIGINT AS n_text,
+         |  sum(CASE WHEN kind = 'image' THEN 1 ELSE 0 END)::BIGINT AS n_image,
+         |  sum(CASE WHEN kind = 'text' THEN n_tokens ELSE 0 END)::BIGINT AS text_tokens,
+         |  sum(CASE WHEN kind = 'image' THEN n_tokens ELSE 0 END)::BIGINT AS image_tokens
+         |FROM c GROUP BY shard, bin ORDER BY shard, bin""".stripMargin,
     // The corpus is ASCII, so byte offsets == char offsets and DuckDB's
     // string functions mirror Spark's binary ones exactly.
     "media_meta" ->
