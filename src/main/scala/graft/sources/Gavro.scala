@@ -76,7 +76,8 @@ class GavroTable(tableSchema: StructType, path: String, schemaName: String)
   override def name(): String = s"gavro(`$path`, $schemaName)"
   override def schema(): StructType = tableSchema
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ)
+    java.util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GavroScanBuilder(tableSchema, path, schemaName)
 }
@@ -237,6 +238,56 @@ class GavroScan(path: String, schemaName: String, required: StructType,
   override def createReaderFactory(): PartitionReaderFactory =
     GavroReaderFactory(schemaName, required.fieldNames,
       pushed.map(GavroPred.from), limit, agg)
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new GavroMicroBatchStream(path, schemaName, required.fieldNames,
+      pushed.map(GavroPred.from))
+}
+
+/** Streaming offset = how many files (in name order) have been consumed.
+  * The landing-zone contract is append-only with monotonically named files
+  * (`part-00000.gavro`, …): an archiver never rewrites a published file,
+  * so a count over the sorted listing is a durable, replayable position —
+  * the same discipline as Spark's own file source, without its per-file
+  * seen-map state. */
+case class GavroStreamOffset(files: Int)
+    extends org.apache.spark.sql.connector.read.streaming.Offset {
+  override def json(): String = s"""{"files":$files}"""
+}
+
+/** Micro-batch stream over a gavro landing zone: each trigger's batch is
+  * the files that appeared since the last committed offset, one input
+  * partition per new file — so streaming parallelism tracks the archive
+  * layout exactly like the batch scan's. Column pruning and pushed filters
+  * ride the SAME reader stack as the batch path (the scan builder runs
+  * before `toMicroBatchStream`), which is the point: backfill (batch) and
+  * tail (stream) execute identical decode/filter code against identical
+  * files. */
+class GavroMicroBatchStream(path: String, schemaName: String,
+    requiredNames: Array[String], preds: Array[GavroPred])
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
+  import org.apache.spark.sql.connector.read.streaming.Offset
+
+  private def listing(): Array[String] =
+    Option(new java.io.File(path).listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.endsWith(".gavro")).map(_.getAbsolutePath).sorted
+
+  override def initialOffset(): Offset = GavroStreamOffset(0)
+  override def latestOffset(): Offset = GavroStreamOffset(listing().length)
+  override def deserializeOffset(json: String): Offset =
+    GavroStreamOffset("\"files\":(\\d+)".r.findFirstMatchIn(json)
+      .map(_.group(1).toInt)
+      .getOrElse(throw new IllegalArgumentException(s"bad gavro offset: $json")))
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[GavroStreamOffset].files
+    val e = end.asInstanceOf[GavroStreamOffset].files
+    listing().slice(s, e).map(f => GavroInputPartition(f): InputPartition)
+  }
+  override def createReaderFactory(): PartitionReaderFactory =
+    GavroReaderFactory(schemaName, requiredNames, preds, -1, None)
 }
 
 /** Serializable reader-side form of one pushed conjunct. `value` is one of
