@@ -77,4 +77,27 @@ class EdgeCaseSpec extends SparkSpec {
     val w = graft.ops.Mixing.dsirWeights(noTarget).collect()
     assert(w.length == 2 && w.map(_.getAs[Long]("spt_milli")).distinct.length == 1)
   }
+
+  test("empty/degenerate inputs: round-6 session operators return empty") {
+    import java.sql.Timestamp
+    import spark.implicits._
+    val emptyDocs = Seq.empty[(Long, String, String, String, Long)]
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    assert(graft.ops.Curation.secretScan(emptyDocs).count() == 0)
+    assert(Pipeline.lengthBucketing(emptyDocs).count() == 0)
+    assert(graft.ops.Multimodal.interleavedPacking(emptyDocs).count() == 0)
+    val emptyEvents = Seq.empty[(Long, Timestamp, Long, String, Double, String)]
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    assert(graft.ops.Temporal.purchaseAttribution(emptyEvents).count() == 0)
+    assert(graft.ops.Temporal.userValueTrend(emptyEvents).count() == 0)
+    assert(graft.ops.Temporal.dowProfile(emptyEvents).count() == 0)
+    // A purchases-only stream (no touches at all) attributes every
+    // purchase to 'direct' rather than dropping or erroring.
+    val onlyPurchases = Seq(
+      (1L, new Timestamp(1000L), 1L, "purchase", 1.0, "{}"),
+      (2L, new Timestamp(2000L), 1L, "purchase", 2.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val attr = graft.ops.Temporal.purchaseAttribution(onlyPurchases).collect()
+    assert(attr.length == 2 && attr.forall(_.getAs[String]("channel") == "direct"))
+  }
 }
