@@ -306,10 +306,14 @@ object Temporal {
     val isTouch = col("event_type").isin("click", "view")
     val credited = col("lt_us").isNotNull &&
       unix_micros(col("ts")) - col("lt_us") <= AttrWindowUs
-    e.withColumn("lt_us",
-        last(when(isTouch, unix_micros(col("ts"))), ignoreNulls = true).over(w))
-      .withColumn("lt_type",
-        last(when(isTouch, col("event_type")), ignoreNulls = true).over(w))
+    // Both window columns in ONE select so CollapseWindow keeps a single
+    // Window node (two chained withColumns leave two stacked nodes — same
+    // shuffle+sort, but two evaluation passes).
+    e.select(col("*"),
+        last(when(isTouch, unix_micros(col("ts"))), ignoreNulls = true)
+          .over(w).as("lt_us"),
+        last(when(isTouch, col("event_type")), ignoreNulls = true)
+          .over(w).as("lt_type"))
       .filter(col("event_type") === "purchase")
       .select(col("event_id"), col("user_id"),
         unix_micros(col("ts")).as("ts_us"),
