@@ -45,6 +45,47 @@ object Bucketing {
       .parquet(path)
   }
 
+  /** Small-file compaction over a partitioned parquet layout — the
+    * maintenance pass every append-mode landing zone needs: incremental
+    * writes leave each partition directory with one file per micro-batch,
+    * and a 100 TB table read through thousands of tiny files pays
+    * open/footer overhead per file plus a task per split. Only partition
+    * directories holding MORE than `maxFilesPerPartition` files are
+    * rewritten: the affected partitions are re-read in one job,
+    * repartitioned to one file each, and swapped in via DYNAMIC partition
+    * overwrite — untouched partitions keep their files byte-identical, so
+    * the rewrite cost tracks the dirty set, not the table. Returns the
+    * per-partition (files_before, files_after) report the maintenance
+    * scheduler logs.
+    */
+  def compact(spark: org.apache.spark.sql.SparkSession, path: String,
+      partitionCol: String, maxFilesPerPartition: Int = 1): Seq[(String, Int, Int)] = {
+    def partFiles(): Map[String, Int] =
+      Option(new java.io.File(path).listFiles()).getOrElse(Array.empty)
+        .filter(d => d.isDirectory && d.getName.startsWith(s"$partitionCol="))
+        .map(d => d.getName.stripPrefix(s"$partitionCol=") ->
+          d.listFiles().count(_.getName.endsWith(".parquet"))).toMap
+    val before = partFiles()
+    val dirty = before.filter(_._2 > maxFilesPerPartition).keys.toSeq.sorted
+    if (dirty.nonEmpty) {
+      val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+      try {
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        spark.read.parquet(path)
+          .filter(col(partitionCol).isin(dirty: _*))
+          .repartition(col(partitionCol))
+          .write.partitionBy(partitionCol).mode("overwrite").parquet(path)
+      } finally prev match {
+        case Some(v) =>
+          spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+        case None =>
+          spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+      }
+    }
+    val after = partFiles()
+    before.keys.toSeq.sorted.map(p => (p, before(p), after.getOrElse(p, 0)))
+  }
+
   /** 32-bit Morton (Z-order) key: the low 16 bits of `x` and `y`
     * bit-interleaved (x in even positions, y in odd). Built from plain
     * shift/and/add column arithmetic, so the whole key stays inside

@@ -122,6 +122,39 @@ class BucketingSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
   }
 
+  test("compaction rewrites only the many-file partitions, data unchanged") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-compact").toString
+    // Five append batches → every partition dir accumulates ~5 small files.
+    (0 until 5).foreach { b =>
+      (0 until 20).map(i => (b * 20L + i, s"t$b-$i", if (i % 2 == 0) "en" else "de"))
+        .toDF("doc_id", "text", "lang")
+        .repartition(2)
+        .write.partitionBy("lang").mode("append").parquet(dir)
+    }
+    val beforeRows = spark.read.parquet(dir).collect().map(_.toString).sorted.toSeq
+    def files(lang: String): Int =
+      new java.io.File(dir, s"lang=$lang").listFiles()
+        .count(_.getName.endsWith(".parquet"))
+    assert(files("en") >= 5 && files("de") >= 5, (files("en"), files("de")))
+
+    val report = Bucketing.compact(spark, dir, "lang")
+    assert(files("en") == 1 && files("de") == 1)
+    // Report carries the before/after audit per partition.
+    assert(report.forall { case (_, b, a) => b >= 5 && a == 1 }, report)
+    // Compaction is a pure layout change: row set identical.
+    val afterRows = spark.read.parquet(dir).collect().map(_.toString).sorted.toSeq
+    assert(afterRows == beforeRows)
+    // Idempotence: a second pass finds nothing dirty and rewrites nothing.
+    val f = new java.io.File(dir, "lang=en").listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    val mtime = f.lastModified()
+    val report2 = Bucketing.compact(spark, dir, "lang")
+    assert(report2.forall { case (_, b, a) => b == 1 && a == 1 }, report2)
+    assert(f.lastModified() == mtime, "clean partition was rewritten")
+  }
+
   test("z-order layout clusters BOTH dimensions per file; linear sort only one") {
     import org.apache.spark.sql.functions._
     val zdir = java.nio.file.Files.createTempDirectory("graft-zorder").toString
