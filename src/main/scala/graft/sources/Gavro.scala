@@ -6,6 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.expressions.NamedReference
+import org.apache.spark.sql.connector.metric.{CustomMetric, CustomSumMetric, CustomTaskMetric}
 import org.apache.spark.sql.connector.expressions.aggregate.{AggregateFunc, Aggregation, Count, CountStar, Max, Min, Sum}
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownLimit, SupportsPushDownRequiredColumns, SupportsReportStatistics}
 import org.apache.spark.sql.functions._
@@ -190,6 +191,25 @@ class GavroScanBuilder(full: StructType, path: String, schemaName: String)
       Option(agg))
 }
 
+/** Scan-level observability (DSv2 custom metrics): decoded-record and
+  * corrupt-body counters surface on the `BatchScan` node in the SQL UI —
+  * the PERMISSIVE channel stops being silent. A corpus whose corrupt rate
+  * jumps between runs is a producer bug; the metric is where it shows. */
+object GavroMetrics {
+  final class Records extends CustomSumMetric {
+    override def name(): String = "gavroRecords"
+    override def description(): String = "gavro records decoded"
+  }
+  final class Corrupt extends CustomSumMetric {
+    override def name(): String = "gavroCorrupt"
+    override def description(): String = "gavro corrupt record bodies"
+  }
+  final case class Task(metricName: String, v: Long) extends CustomTaskMetric {
+    override def name(): String = metricName
+    override def value(): Long = v
+  }
+}
+
 /** Serializable pushed-aggregation recipe: group field names + aggregate
   * specs in Spark's positional order, plus the scan output schema. */
 case class GavroAgg(groups: Array[String], specs: Array[GAggSpec],
@@ -238,6 +258,8 @@ class GavroScan(path: String, schemaName: String, required: StructType,
   override def createReaderFactory(): PartitionReaderFactory =
     GavroReaderFactory(schemaName, required.fieldNames,
       pushed.map(GavroPred.from), limit, agg)
+  override def supportedCustomMetrics(): Array[CustomMetric] =
+    Array(new GavroMetrics.Records, new GavroMetrics.Corrupt)
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
     new GavroMicroBatchStream(path, schemaName, required.fieldNames,
@@ -439,6 +461,9 @@ class GavroAggPartitionReader(file: String, schemaName: String,
   }
   override def get(): InternalRow = row
   override def close(): Unit = ()
+  // Decode-side counters come from the wrapped row reader.
+  override def currentMetricsValues(): Array[CustomTaskMetric] =
+    rows.currentMetricsValues()
 }
 
 object GavroAggReader {
@@ -519,6 +544,9 @@ class GavroPartitionReader(file: String, schemaName: String,
       new GenericInternalRow(out)
     }
 
+  private var nRecords = 0L
+  private var nCorrupt = 0L
+
   override def next(): Boolean = {
     if (limit >= 0 && emitted >= limit) return false
     while (pos + 4 <= bytes.length) {
@@ -530,6 +558,8 @@ class GavroPartitionReader(file: String, schemaName: String,
       pos += n
       val decoded = AvroCodec.decodeProjected(record, body, target,
         extNames.length)
+      nRecords += 1
+      if (decoded == null) nCorrupt += 1
       // PERMISSIVE: undecodable body → all-null row, count preserved
       // (modulo pushed filters, which see the nulls like any WHERE would).
       val ext = if (decoded != null) decoded
@@ -540,6 +570,9 @@ class GavroPartitionReader(file: String, schemaName: String,
   }
   override def get(): InternalRow = row
   override def close(): Unit = ()
+  override def currentMetricsValues(): Array[CustomTaskMetric] = Array(
+    GavroMetrics.Task("gavroRecords", nRecords),
+    GavroMetrics.Task("gavroCorrupt", nCorrupt))
 }
 
 /** Write path + registered query for the `gavro` source. */

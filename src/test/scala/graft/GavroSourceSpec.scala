@@ -335,6 +335,33 @@ class GavroSourceSpec extends SparkSpec {
     assert(joined.count() == 50)
   }
 
+  test("decode and corrupt counters surface as scan metrics") {
+    val out = tmpDir("metrics")
+    val vals: Array[Any] = Array(3L, UTF8String.fromString("ab"),
+      UTF8String.fromString("c"), 1.5, 1000000L)
+    val good = AvroCodec.encode(AvroCodec.SystemMetrics, vals(_), _ => false)
+    val corrupt = Array[Byte](0x06, 0x01)
+    val f = new java.io.File(out, "part-00000.gavro")
+    val os = new java.io.FileOutputStream(f)
+    try Seq(good, corrupt, good).foreach { b =>
+      os.write(Array[Byte]((b.length >>> 24).toByte, (b.length >>> 16).toByte,
+        (b.length >>> 8).toByte, b.length.toByte))
+      os.write(b)
+    } finally os.close()
+    val df = spark.read.format("gavro")
+      .option("schema", "system_metrics").load(out)
+    // collect() executes THIS QueryExecution instance — the metrics below
+    // belong to it (a separate .count() would execute a different plan).
+    assert(df.collect().length == 3)
+    val scan = df.queryExecution.executedPlan.collectFirst {
+      case b: BatchScanExec => b }.get
+    // The PERMISSIVE channel is observable, not silent: the SQL-UI
+    // metrics on the scan node carry both counters.
+    assert(scan.metrics("gavroRecords").value == 3L,
+      scan.metrics.view.mapValues(_.value).toMap.toString)
+    assert(scan.metrics("gavroCorrupt").value == 1L)
+  }
+
   test("the registered aggregate query matches its oracle shape") {
     val df = Gavro.gavroScan(spark, dir)
     val rows = df.collect()
