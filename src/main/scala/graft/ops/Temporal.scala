@@ -373,6 +373,170 @@ object Temporal {
       .orderBy(col("event_type"), col("dow"))
   }
 
+  // ------------------------------------------------------- RFM segmentation
+
+  /** Micros per day, and the quartile cut count. */
+  private val DayUs = 86400000000L
+
+  /** RFM (recency / frequency / monetary) customer segmentation with
+    * value-grain quartile scoring — the classic marketing rollup, built
+    * WITHOUT `ntile() OVER (ORDER BY …)`: a global ntile funnels every
+    * customer through one sorted partition, the exact shape that dies at
+    * a billion users. Instead each metric's quartile comes from the
+    * [[graft.ops.Pipeline.lengthDeciles]] histogram construction: a
+    * map-side-combinable groupBy onto the metric's VALUE GRAIN, an
+    * exclusive prefix sum over that small table, and a broadcast join
+    * back. Ties share a score by construction (value-based quantiles).
+    * Grain cardinality is what bounds the window: recency is ≤ a few
+    * thousand distinct day counts and frequency a few hundred distinct
+    * counts; monetary is pre-bucketed to whole dollars so its grain stays
+    * O(price points), not O(users).
+    *
+    * Scores: recency 4 = most recent (fewest days since last purchase);
+    * frequency / monetary 4 = top quartile. The segment label is the
+    * standard coarse read of the (R, F) pair.
+    */
+  def rfmSegments(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val purchases = Synth.eventTime(events)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), unix_micros(col("ts")).as("us"),
+        floor(col("value") * 100).cast("long").as("cents"))
+    // Anchor = the corpus's newest purchase: a broadcast 1-row aggregate,
+    // so "days since" is reproducible (no wall clock in the plan).
+    val anchor = purchases.agg(max(col("us")).as("anchor_us"))
+    val per = purchases.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("freq"), sum(col("cents")).as("cents"),
+        max(col("us")).as("last_us"))
+      .crossJoin(broadcast(anchor))
+      .withColumn("rec_days", expr(s"(anchor_us - last_us) div $DayUs"))
+      .withColumn("mon_grain", expr("cents div 100"))
+    // Quartile index of each distinct metric value: (4 · |users with a
+    // strictly smaller value|) div n, clamped to 0..3.
+    def grainQuartile(metric: String): DataFrame = {
+      val hist = per.groupBy(col(metric)).agg(count(lit(1)).as("cnt"))
+      hist
+        .withColumn("cum_before",
+          coalesce(sum(col("cnt")).over(Window.orderBy(col(metric).asc)
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .withColumn("n_total", sum(col("cnt")).over(Window.partitionBy()))
+        .select(col(metric),
+          least(lit(3L), expr("(4 * cum_before) div n_total")).as(s"${metric}_q"))
+    }
+    per
+      .join(broadcast(grainQuartile("rec_days")), Seq("rec_days"))
+      .join(broadcast(grainQuartile("freq")), Seq("freq"))
+      .join(broadcast(grainQuartile("mon_grain")), Seq("mon_grain"))
+      // Recency inverts (small days-since = best); the others rank up.
+      .withColumn("r_score", lit(4L) - col("rec_days_q"))
+      .withColumn("f_score", lit(1L) + col("freq_q"))
+      .withColumn("m_score", lit(1L) + col("mon_grain_q"))
+      .withColumn("segment",
+        when(col("r_score") >= 3 && col("f_score") >= 3, lit("champion"))
+          .when(col("r_score") >= 3, lit("recent"))
+          .when(col("f_score") >= 3, lit("at_risk"))
+          .otherwise(lit("hibernating")))
+      .select(col("user_id"), col("rec_days"), col("freq"), col("cents"),
+        col("r_score"), col("f_score"), col("m_score"), col("segment"))
+      .orderBy(col("user_id"))
+  }
+
+  // --------------------------------------------------------- session paths
+
+  /** Path truncation and report size for [[sessionPaths]]. */
+  private val PathSteps = 8
+  private val TopPaths = 20
+
+  /** Top navigation paths: sessionize each user's timeline (30-minute
+    * inactivity islands), render each session as its first [[PathSteps]]
+    * event types joined with `>`, and report the [[TopPaths]] most common
+    * paths — the flow/Sankey rollup of "how do users actually move".
+    *
+    * Shape: the islands construction is one user-keyed window (high
+    * cardinality, one shuffle + sorted pass); the per-session path is a
+    * bounded `slice(…, 8)` over the session's sorted event structs, so a
+    * pathological million-event session contributes 8 steps, not a
+    * million-wide row; the path census is a map-side-combinable groupBy
+    * on the path string; and the final top-20 rank filter plans through
+    * the bounded [[graft.plans.TopK]] operator (global-rank form), so
+    * only ≤ k paths per partition cross the last exchange.
+    */
+  def sessionPaths(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+    val sessions = Synth.eventTime(events)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+      .withColumn("new_session",
+        when(col("us") - lag(col("us"), 1).over(w) > 1800000000L, 1L)
+          .when(lag(col("us"), 1).over(w).isNull, 1L).otherwise(0L))
+      .withColumn("session_id", sum(col("new_session")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val paths = sessions
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(count(lit(1)).as("n_events"),
+        expr(s"""array_join(slice(transform(
+                |  array_sort(collect_list(struct(us, event_id, event_type))),
+                |  s -> s.event_type), 1, $PathSteps), '>')""".stripMargin)
+          .as("path"))
+    paths.groupBy(col("path"))
+      .agg(count(lit(1)).as("n_sessions"), sum(col("n_events")).as("n_events"))
+      .withColumn("rnk", row_number().over(
+        Window.orderBy(col("n_sessions").desc, col("path").asc)).cast("long"))
+      .filter(col("rnk") <= TopPaths)
+      .select(col("rnk"), col("path"), col("n_sessions"), col("n_events"))
+      .orderBy(col("rnk"))
+  }
+
+  // --------------------------------------------------- MAD robust outliers
+
+  /** 3σ-equivalent MAD multiplier in 1e-4 units: 3 · 1.4826 = 4.4478. */
+  private val MadK1e4 = 44478L
+
+  /** Robust per-type outlier detection: |x − median| > 3 · 1.4826 · MAD,
+    * the median-absolute-deviation rule that (unlike
+    * [[userValueAnomalies]]'s moment form) a single extreme value cannot
+    * drag — mean/σ have breakdown point 0, median/MAD survive 50%
+    * contamination. Everything is exact integer arithmetic on cents: both
+    * medians are `percentile_disc(0.5)` (lower median — the smallest
+    * value whose running count reaches ⌈n/2⌉) computed on the VALUE-GRAIN
+    * histogram, and the flag is the cross-multiplied comparison
+    * `10000·dev > [[MadK1e4]]·mad` — no float quantile, no libm, so the
+    * flag is bit-deterministic across engines.
+    *
+    * Shape: two histogram aggregations (map-side combinable; windows run
+    * per event_type over O(distinct cents) rows, never corpus grain) and
+    * two broadcast joins back onto the event scan. At 100 TB the cents
+    * grain of a price-like column is bounded by the price book, not the
+    * row count — the same argument as [[rfmSegments]]'s monetary grain.
+    */
+  def madAnomalies(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = Synth.eventTime(events)
+      .select(col("event_id"), col("event_type"),
+        floor(col("value") * 100).cast("long").as("cents"))
+    // percentile_disc(0.5) of `v` per event_type, on the value grain.
+    def discMedian(df: DataFrame, v: String): DataFrame =
+      df.groupBy(col("event_type"), col(v)).agg(count(lit(1)).as("cnt"))
+        .withColumn("cum", sum(col("cnt")).over(
+          Window.partitionBy(col("event_type")).orderBy(col(v).asc)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("n", sum(col("cnt")).over(
+          Window.partitionBy(col("event_type"))))
+        .filter(col("cum") * 2 >= col("n"))
+        .groupBy(col("event_type")).agg(min(col(v)).as(s"med_$v"))
+    val med = discMedian(e, "cents")
+    val dev = e.join(broadcast(med), "event_type")
+      .withColumn("dev", abs(col("cents") - col("med_cents")))
+    val mad = discMedian(dev, "dev")
+      .withColumnRenamed("med_dev", "mad_cents")
+    dev.join(broadcast(mad), "event_type")
+      .filter(col("dev") * 10000L > lit(MadK1e4) * col("mad_cents"))
+      .select(col("event_id"), col("event_type"), col("cents"),
+        col("med_cents"), col("mad_cents"))
+      .orderBy(col("event_id"))
+  }
+
   // ---------------------------------------------------------------- registry
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -389,9 +553,106 @@ object Temporal {
     "purchase_attribution" -> ((s, d) => purchaseAttribution(Tables.events(s, d))),
     "user_value_trend" -> ((s, d) => userValueTrend(Tables.events(s, d))),
     "dow_profile" -> ((s, d) => dowProfile(Tables.events(s, d))),
+    "rfm_segments" -> ((s, d) => rfmSegments(Tables.events(s, d))),
+    "session_paths" -> ((s, d) => sessionPaths(Tables.events(s, d))),
+    "mad_anomalies" -> ((s, d) => madAnomalies(Tables.events(s, d))),
   )
 
   def oracleSql: Map[String, String] = Map(
+    "rfm_segments" ->
+      s"""WITH p AS (
+         |  SELECT user_id, epoch_us(ts) AS us, floor(value * 100)::BIGINT AS cents
+         |  FROM events WHERE event_type = 'purchase'
+         |), per AS (
+         |  SELECT user_id, count(*)::BIGINT AS freq, sum(cents)::BIGINT AS cents,
+         |    ((SELECT max(us) FROM p) - max(us)) // $DayUs AS rec_days,
+         |    sum(cents)::BIGINT // 100 AS mon_grain
+         |  FROM p GROUP BY user_id
+         |), qr AS (
+         |  SELECT rec_days, least(3, 4 * coalesce(sum(cnt) OVER (ORDER BY rec_days ASC
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |      // sum(cnt) OVER ()) AS q
+         |  FROM (SELECT rec_days, count(*) AS cnt FROM per GROUP BY rec_days)
+         |), qf AS (
+         |  SELECT freq, least(3, 4 * coalesce(sum(cnt) OVER (ORDER BY freq ASC
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |      // sum(cnt) OVER ()) AS q
+         |  FROM (SELECT freq, count(*) AS cnt FROM per GROUP BY freq)
+         |), qm AS (
+         |  SELECT mon_grain, least(3, 4 * coalesce(sum(cnt) OVER (ORDER BY mon_grain ASC
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |      // sum(cnt) OVER ()) AS q
+         |  FROM (SELECT mon_grain, count(*) AS cnt FROM per GROUP BY mon_grain)
+         |), scored AS (
+         |  SELECT per.user_id, per.rec_days, per.freq, per.cents,
+         |    (4 - qr.q)::BIGINT AS r_score, (1 + qf.q)::BIGINT AS f_score,
+         |    (1 + qm.q)::BIGINT AS m_score
+         |  FROM per JOIN qr USING (rec_days) JOIN qf USING (freq)
+         |    JOIN qm USING (mon_grain)
+         |)
+         |SELECT user_id, rec_days, freq, cents, r_score, f_score, m_score,
+         |  CASE WHEN r_score >= 3 AND f_score >= 3 THEN 'champion'
+         |       WHEN r_score >= 3 THEN 'recent'
+         |       WHEN f_score >= 3 THEN 'at_risk'
+         |       ELSE 'hibernating' END AS segment
+         |FROM scored ORDER BY user_id""".stripMargin,
+    "session_paths" ->
+      s"""WITH e AS (
+         |  SELECT user_id, event_id, event_type, epoch_us(ts) AS us FROM events
+         |), marked AS (
+         |  SELECT *, CASE WHEN lag(us) OVER w IS NULL
+         |      OR us - lag(us) OVER w > 1800000000 THEN 1 ELSE 0 END AS new_session
+         |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+         |), numbered AS (
+         |  SELECT *, sum(new_session) OVER (PARTITION BY user_id
+         |    ORDER BY us, event_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+         |  FROM marked
+         |), sess AS (
+         |  SELECT user_id, session_id, count(*)::BIGINT AS n_events,
+         |    array_to_string(list_slice(
+         |      list(event_type ORDER BY us, event_id), 1, $PathSteps), '>') AS path
+         |  FROM numbered GROUP BY user_id, session_id
+         |), census AS (
+         |  SELECT path, count(*)::BIGINT AS n_sessions,
+         |    sum(n_events)::BIGINT AS n_events
+         |  FROM sess GROUP BY path
+         |)
+         |SELECT * FROM (
+         |  SELECT (row_number() OVER (ORDER BY n_sessions DESC, path ASC))::BIGINT
+         |      AS rnk, path, n_sessions, n_events
+         |  FROM census)
+         |WHERE rnk <= $TopPaths ORDER BY rnk""".stripMargin,
+    "mad_anomalies" ->
+      s"""WITH e AS (
+         |  SELECT event_id, event_type, floor(value * 100)::BIGINT AS cents
+         |  FROM events
+         |), med AS (
+         |  SELECT event_type, min(cents) AS med_cents FROM (
+         |    SELECT event_type, cents,
+         |      sum(cnt) OVER (PARTITION BY event_type ORDER BY cents ASC
+         |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         |      sum(cnt) OVER (PARTITION BY event_type) AS n
+         |    FROM (SELECT event_type, cents, count(*) AS cnt
+         |          FROM e GROUP BY event_type, cents))
+         |  WHERE cum * 2 >= n GROUP BY event_type
+         |), dev AS (
+         |  SELECT e.*, med_cents, abs(cents - med_cents) AS dev
+         |  FROM e JOIN med USING (event_type)
+         |), mad AS (
+         |  SELECT event_type, min(dev) AS mad_cents FROM (
+         |    SELECT event_type, dev,
+         |      sum(cnt) OVER (PARTITION BY event_type ORDER BY dev ASC
+         |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         |      sum(cnt) OVER (PARTITION BY event_type) AS n
+         |    FROM (SELECT event_type, dev, count(*) AS cnt
+         |          FROM dev GROUP BY event_type, dev))
+         |  WHERE cum * 2 >= n GROUP BY event_type
+         |)
+         |SELECT event_id, dev.event_type, cents, med_cents, mad_cents
+         |FROM dev JOIN mad USING (event_type)
+         |WHERE dev * 10000 > $MadK1e4 * mad_cents
+         |ORDER BY event_id""".stripMargin,
     "dow_profile" ->
       """WITH e AS (
         |  SELECT event_type, (isodow(ts) - 1)::BIGINT AS dow,
