@@ -378,19 +378,34 @@ object Temporal {
   /** Micros per day, and the quartile cut count. */
   private val DayUs = 86400000000L
 
+  /** Range-bucket width for [[rfmSegments]]' two-level prefix sum. */
+  private val QuartileBucketW = 1024L
+
   /** RFM (recency / frequency / monetary) customer segmentation with
     * value-grain quartile scoring — the classic marketing rollup, built
     * WITHOUT `ntile() OVER (ORDER BY …)`: a global ntile funnels every
     * customer through one sorted partition, the exact shape that dies at
     * a billion users. Instead each metric's quartile comes from the
-    * [[graft.ops.Pipeline.lengthDeciles]] histogram construction: a
-    * map-side-combinable groupBy onto the metric's VALUE GRAIN, an
-    * exclusive prefix sum over that small table, and a broadcast join
-    * back. Ties share a score by construction (value-based quantiles).
-    * Grain cardinality is what bounds the window: recency is ≤ a few
-    * thousand distinct day counts and frequency a few hundred distinct
-    * counts; monetary is pre-bucketed to whole dollars so its grain stays
-    * O(price points), not O(users).
+    * value-grain histogram (a map-side-combinable groupBy onto the
+    * metric's distinct values) with a TWO-LEVEL exclusive prefix sum:
+    *
+    *   1. shard the histogram by a coarse order-preserving range bucket
+    *      (`value div `[[QuartileBucketW]]) and prefix-sum WITHIN each
+    *      bucket — a partitioned window, parallelism = bucket count;
+    *   2. roll the per-bucket totals into one sorted array and fold it
+    *      with the higher-order `aggregate` into per-bucket exclusive
+    *      offsets — a single-row reduce over O(range / 1024) entries,
+    *      broadcast back.
+    *
+    * cum_before(v) = bucket_offset(v div W) + within_bucket_before(v).
+    * No step sorts more than one bucket's slice of the histogram in one
+    * task. The bucket count is O(value_range / 1024): recency spans a few
+    * thousand day counts and frequency a few hundred counts (≤ 1 bucket
+    * each); monetary is a per-user lifetime dollar sum whose RANGE is
+    * bounded by the biggest spender (≈10^7 for a $10M whale → ~10^4
+    * buckets), even though its distinct-value COUNT grows with the user
+    * population — the fold row stays KBs at a billion users. Ties share a
+    * score by construction (value-based quantiles).
     *
     * Scores: recency 4 = most recent (fewest days since last purchase);
     * frequency / monetary 4 = top quartile. The segment label is the
@@ -405,21 +420,44 @@ object Temporal {
     // Anchor = the corpus's newest purchase: a broadcast 1-row aggregate,
     // so "days since" is reproducible (no wall clock in the plan).
     val anchor = purchases.agg(max(col("us")).as("anchor_us"))
+    // `per` feeds the output AND all three quartile histograms — persist
+    // so the purchase scan + user rollup runs once, not four times
+    // (Verify/Bench clearCache() between queries).
     val per = purchases.groupBy(col("user_id"))
       .agg(count(lit(1)).as("freq"), sum(col("cents")).as("cents"),
         max(col("us")).as("last_us"))
       .crossJoin(broadcast(anchor))
       .withColumn("rec_days", expr(s"(anchor_us - last_us) div $DayUs"))
       .withColumn("mon_grain", expr("cents div 100"))
+      .persist()
     // Quartile index of each distinct metric value: (4 · |users with a
     // strictly smaller value|) div n, clamped to 0..3.
     def grainQuartile(metric: String): DataFrame = {
       val hist = per.groupBy(col(metric)).agg(count(lit(1)).as("cnt"))
-      hist
-        .withColumn("cum_before",
-          coalesce(sum(col("cnt")).over(Window.orderBy(col(metric).asc)
-            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-        .withColumn("n_total", sum(col("cnt")).over(Window.partitionBy()))
+        .withColumn("bucket", expr(s"$metric div $QuartileBucketW"))
+      // Level 1: exclusive prefix sum inside each range bucket.
+      val local = hist.withColumn("loc_before",
+        coalesce(sum(col("cnt")).over(Window.partitionBy(col("bucket"))
+          .orderBy(col(metric).asc)
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      // Level 2: exclusive offsets of the buckets themselves — fold the
+      // sorted (bucket, total) array in one row; O(range/1024) entries.
+      val offsets = hist.groupBy(col("bucket")).agg(sum(col("cnt")).as("tot"))
+        .agg(sort_array(collect_list(struct(col("bucket"), col("tot")))).as("bt"))
+        .select(explode(expr(
+          """aggregate(bt,
+            |  struct(cast(0 as bigint) as run,
+            |         cast(array() as array<struct<bucket:bigint,off:bigint>>) as out),
+            |  (acc, x) -> named_struct(
+            |    'run', acc.run + x.tot,
+            |    'out', array_append(acc.out,
+            |             named_struct('bucket', x.bucket, 'off', acc.run))),
+            |  acc -> acc.out)""".stripMargin)).as("bo"))
+        .select(col("bo.bucket").as("bucket"), col("bo.off").as("bucket_off"))
+      val nTotal = per.agg(count(lit(1)).as("n_total"))
+      local.join(broadcast(offsets), Seq("bucket"))
+        .crossJoin(broadcast(nTotal))
+        .withColumn("cum_before", col("bucket_off") + col("loc_before"))
         .select(col(metric),
           least(lit(3L), expr("(4 * cum_before) div n_total")).as(s"${metric}_q"))
     }
@@ -453,13 +491,17 @@ object Temporal {
     * paths — the flow/Sankey rollup of "how do users actually move".
     *
     * Shape: the islands construction is one user-keyed window (high
-    * cardinality, one shuffle + sorted pass); the per-session path is a
-    * bounded `slice(…, 8)` over the session's sorted event structs, so a
-    * pathological million-event session contributes 8 steps, not a
-    * million-wide row; the path census is a map-side-combinable groupBy
-    * on the path string; and the final top-20 rank filter plans through
-    * the bounded [[graft.plans.TopK]] operator (global-rank form), so
-    * only ≤ k paths per partition cross the last exchange.
+    * cardinality, one shuffle + sorted pass); the per-session collect is
+    * BOUNDED IN AGG STATE, not just in output — a per-session
+    * `row_number()` (partitioned window, same exchange as the islands
+    * pass) guards the collect with `CASE WHEN rn <= 8`, and `collect_list`
+    * skips the NULLs, so a pathological million-event bot session holds
+    * at most [[PathSteps]] structs in its aggregation buffer while
+    * `count(*)` still reports the true length; the path census is a
+    * map-side-combinable groupBy on the path string; and the final top-20
+    * rank filter plans through the bounded [[graft.plans.TopK]] operator
+    * (global-rank form), so only ≤ k paths per partition cross the last
+    * exchange.
     */
   def sessionPaths(events: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -473,11 +515,15 @@ object Temporal {
       .withColumn("session_id", sum(col("new_session")).over(
         w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
     val paths = sessions
+      .withColumn("rn", row_number().over(Window
+        .partitionBy(col("user_id"), col("session_id"))
+        .orderBy(col("us"), col("event_id"))))
       .groupBy(col("user_id"), col("session_id"))
       .agg(count(lit(1)).as("n_events"),
-        expr(s"""array_join(slice(transform(
-                |  array_sort(collect_list(struct(us, event_id, event_type))),
-                |  s -> s.event_type), 1, $PathSteps), '>')""".stripMargin)
+        expr(s"""array_join(transform(
+                |  array_sort(collect_list(
+                |    CASE WHEN rn <= $PathSteps THEN struct(us, event_id, event_type) END)),
+                |  s -> s.event_type), '>')""".stripMargin)
           .as("path"))
     paths.groupBy(col("path"))
       .agg(count(lit(1)).as("n_sessions"), sum(col("n_events")).as("n_events"))
@@ -512,9 +558,16 @@ object Temporal {
     */
   def madAnomalies(events: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // value IS NOT NULL up front: Spark windows sort NULLS FIRST, DuckDB
+    // NULLS LAST — dropping nulls before the histograms keeps the two
+    // engines' cumulative counts (hence medians) aligned on nullable input.
+    // `e` feeds the med histogram, the dev join, and the output — persist
+    // so the event scan runs once (Verify/Bench clearCache() per query).
     val e = Synth.eventTime(events)
+      .filter(col("value").isNotNull)
       .select(col("event_id"), col("event_type"),
         floor(col("value") * 100).cast("long").as("cents"))
+      .persist()
     // percentile_disc(0.5) of `v` per event_type, on the value grain.
     def discMedian(df: DataFrame, v: String): DataFrame =
       df.groupBy(col("event_type"), col(v)).agg(count(lit(1)).as("cnt"))
@@ -526,8 +579,10 @@ object Temporal {
         .filter(col("cum") * 2 >= col("n"))
         .groupBy(col("event_type")).agg(min(col(v)).as(s"med_$v"))
     val med = discMedian(e, "cents")
+    // `dev` feeds the mad histogram and the output join — persist too.
     val dev = e.join(broadcast(med), "event_type")
       .withColumn("dev", abs(col("cents") - col("med_cents")))
+      .persist()
     val mad = discMedian(dev, "dev")
       .withColumnRenamed("med_dev", "mad_cents")
     dev.join(broadcast(mad), "event_type")
@@ -626,7 +681,7 @@ object Temporal {
     "mad_anomalies" ->
       s"""WITH e AS (
          |  SELECT event_id, event_type, floor(value * 100)::BIGINT AS cents
-         |  FROM events
+         |  FROM events WHERE value IS NOT NULL
          |), med AS (
          |  SELECT event_type, min(cents) AS med_cents FROM (
          |    SELECT event_type, cents,

@@ -350,19 +350,24 @@ object TextStats {
     * sparse BM25 index job produces before sharding.
     *
     * Scale: one explode + one shuffle on the token (high-cardinality key);
-    * `sort_array(collect_list(...))` state per token is bounded only by df,
-    * so the emitted postings are capped — a production index would shard
-    * full postings by (token, doc_block) instead of sampling, same plan
-    * shape one explode deeper. Postings travel as a joined string so the
-    * oracle compare stays cell-scalar.
+    * the posting collect is bounded IN AGG STATE, not just in output — a
+    * per-token `row_number()` (partitioned window on the same exchange)
+    * guards the collect with `CASE WHEN rn <= PostingCap`, so a stopword
+    * token appearing in every document holds at most [[PostingCap]]
+    * doc_ids in its buffer while `count(*)` still reports the true df.
+    * A production index would shard full postings by (token, doc_block)
+    * instead of sampling, same plan shape one explode deeper. Postings
+    * travel as a joined string so the oracle compare stays cell-scalar.
     */
   def invertedIndex(documents: DataFrame): DataFrame =
     documents
       .select(col("doc_id"), explode(array_distinct(split(lower(col("text")), " "))).as("token"))
       .filter(length(col("token")) > 0)
+      .withColumn("rn", expr("row_number() over (partition by token order by doc_id)"))
       .groupBy(col("token"))
       .agg(count(lit(1)).as("df"),
-        concat_ws(",", slice(sort_array(collect_list(col("doc_id"))), 1, PostingCap))
+        concat_ws(",", sort_array(collect_list(
+          expr(s"CASE WHEN rn <= $PostingCap THEN doc_id END"))))
           .as("postings"))
       .orderBy(col("token"))
 
