@@ -91,11 +91,26 @@ object AvroCodec {
     AField("metric_value", ADouble),
     AField("recorded_at", ATimestampMillis)))
 
+  /** The Debezium CDC envelope for the `orders` topic, parsed from the
+    * exact schema document the reference registers
+    * (src/streaming/schemas.py:182 `ORDERS_AVRO_SCHEMA`) — i.e. the same
+    * registry-JSON → [[parseSchema]] → codec path a live
+    * [[graft.streaming.KafkaStack.fetchLatestSchema]] fetch drives. The
+    * envelope's new shapes vs the direct topics: STRING-FIRST unions
+    * (`currency`, the ZonedTimestamp fields — null is branch index 1, the
+    * union-order trap schemas.py:173-179 documents), Debezium's
+    * `connect.*` annotations (timestamps travel as ISO-8601 STRINGS, not
+    * timestamp-millis longs), and the `__op`/`__table`/`__source_ts_ms`/
+    * `__deleted` metadata tail. No new primitives — the decoder is
+    * unchanged; this is schema coverage, not code. */
+  lazy val OrdersCdc: ARecord = parseSchema(OrdersCdcJson)
+
   def schemaByName(name: String): ARecord = name match {
     case "request_log" => RequestLog
     case "system_metrics" => SystemMetrics
+    case "orders_cdc" => OrdersCdc
     case other => throw new IllegalArgumentException(
-      s"unknown avro schema '$other' (known: request_log, system_metrics)")
+      s"unknown avro schema '$other' (known: request_log, system_metrics, orders_cdc)")
   }
 
   private def sqlTypeOf(t: AvroType): DataType = t match {
@@ -512,6 +527,28 @@ object AvroCodec {
       |{"name":"created_at","type":{"type":"long","logicalType":"timestamp-millis"}}
       |]}""".stripMargin.replace("\n", "")
 
+  /** The `orders` Debezium envelope writer schema, verbatim as the
+    * reference registers it (src/streaming/schemas.py:182): string-first
+    * unions with Connect annotations and defaults — the document a
+    * registry GET returns for the CDC topic's value subject. */
+  val OrdersCdcJson: String =
+    """{"type":"record","name":"OrdersCdc","fields":[
+      |{"name":"id","type":{"type":"long","connect.default":0},"default":0},
+      |{"name":"user_id","type":["null","long"],"default":null},
+      |{"name":"total_amount","type":"double"},
+      |{"name":"currency","type":[{"type":"string","connect.default":"USD"},"null"],"default":"USD"},
+      |{"name":"status","type":"string"},
+      |{"name":"region_name","type":["null","string"],"default":null},
+      |{"name":"user_display_name","type":["null","string"],"default":null},
+      |{"name":"platform","type":["null","string"],"default":null},
+      |{"name":"created_at","type":[{"type":"string","connect.version":1,"connect.default":"1970-01-01T00:00:00.000000Z","connect.name":"io.debezium.time.ZonedTimestamp"},"null"],"default":"1970-01-01T00:00:00.000000Z"},
+      |{"name":"updated_at","type":[{"type":"string","connect.version":1,"connect.default":"1970-01-01T00:00:00.000000Z","connect.name":"io.debezium.time.ZonedTimestamp"},"null"],"default":"1970-01-01T00:00:00.000000Z"},
+      |{"name":"__op","type":["null","string"],"default":null},
+      |{"name":"__table","type":["null","string"],"default":null},
+      |{"name":"__source_ts_ms","type":["null","long"],"default":null},
+      |{"name":"__deleted","type":["null","string"],"default":null}
+      |]}""".stripMargin.replace("\n", "")
+
   // -------------------------------------------------------------- queries
 
   /** S3 closed end-to-end in-plan: synthesize request_log records from the
@@ -620,12 +657,78 @@ object AvroCodec {
       .orderBy(col("event_id"))
   }
 
+  /** Deterministic OrdersCdc envelope synthesis from the orders fixture —
+    * every union branch exercised: null/long, string-first currency with
+    * its null branch, ZonedTimestamp ISO strings, the Debezium metadata
+    * tail. */
+  def ordersCdcRec: org.apache.spark.sql.Column = {
+    // parquet carries TIMESTAMP_NTZ; cast to instant under the UTC session
+    val od = col("o_orderdate").cast("timestamp")
+    val iso = date_format(od, "yyyy-MM-dd'T'HH:mm:ss.SSSSSS'Z'")
+    val op = when(pmod(col("o_orderkey"), lit(31)) === 0, "d")
+      .when(pmod(col("o_orderkey"), lit(3)) === 0, "u").otherwise("c")
+    val m3 = pmod(col("o_custkey"), lit(3))
+    struct(
+      col("o_orderkey").as("id"),
+      when(pmod(col("o_custkey"), lit(11)) === 0, lit(null).cast("long"))
+        .otherwise(col("o_custkey")).as("user_id"),
+      col("o_totalprice").as("total_amount"),
+      when(pmod(col("o_orderkey"), lit(19)) === 0, lit(null).cast("string"))
+        .when(pmod(col("o_orderkey"), lit(5)) === 0, "EUR")
+        .otherwise("USD").as("currency"),
+      col("o_orderstatus").as("status"),
+      when(pmod(col("o_custkey"), lit(7)) === 0, lit(null).cast("string"))
+        .otherwise(concat(lit("r"), pmod(col("o_custkey"), lit(5)).cast("string")))
+        .as("region_name"),
+      concat(lit("Cust "), col("o_custkey").cast("string")).as("user_display_name"),
+      when(m3 === 0, "web").when(m3 === 1, "ios").otherwise("android").as("platform"),
+      iso.as("created_at"),
+      iso.as("updated_at"),
+      op.as("__op"),
+      lit("orders").as("__table"),
+      unix_millis(od).as("__source_ts_ms"),
+      when(op === "d", "true").otherwise("false").as("__deleted"))
+  }
+
+  /** S5 transport parity for the CDC topics: the Debezium envelope through
+    * the full wire path — registry schema JSON → [[parseSchema]] →
+    * `to_avro_graft`/`from_avro_graft` — then the reference's own CDC
+    * post-processing (PERMISSIVE `data IS NOT NULL` drop,
+    * kafka_sources.py:84-87; `__deleted` filter, cdc_processors.py) on the
+    * decoded struct. The 1-in-97 planted truncation exercises the corrupt
+    * channel; the oracle recomputes every surviving column straight from
+    * `orders`, so a hash match proves the string-first-union wire
+    * handling, the ZonedTimestamp string round-trip, and the metadata
+    * tail all decode exactly. */
+  def cdcAvroDecode(orders: DataFrame): DataFrame = {
+    orders
+      .select(col("o_orderkey"), ordersCdcRec.as("rec"))
+      .select(col("o_orderkey"), expr("to_avro_graft(rec, 'orders_cdc')").as("bin"))
+      .select(
+        when(pmod(col("o_orderkey"), lit(97)) === 0, expr("substring(bin, 1, 4)"))
+          .otherwise(col("bin")).as("bin"))
+      .select(expr("from_avro_graft(bin, 'orders_cdc')").as("d"))
+      .filter(col("d").isNotNull)
+      .filter(col("d.__deleted") =!= "true")
+      .select(col("d.id").as("id"), col("d.__op").as("op"),
+        col("d.user_id").as("user_id"),
+        col("d.total_amount").as("total_amount"),
+        col("d.currency").as("currency"), col("d.status").as("status"),
+        col("d.region_name").as("region_name"),
+        col("d.user_display_name").as("user_display_name"),
+        col("d.platform").as("platform"),
+        substring(col("d.created_at"), 1, 10).as("created_day"),
+        col("d.__source_ts_ms").as("src_ms"))
+      .orderBy(col("id"))
+  }
+
   // ------------------------------------------------------------- registry
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "avro_decode" -> ((s, d) => avroRoundtrip(Tables.events(s, d))),
     "avro_metrics_decode" -> ((s, d) => avroMetricsRoundtrip(Tables.events(s, d))),
     "avro_evolution" -> ((s, d) => avroEvolution(Tables.events(s, d))),
+    "cdc_avro_decode" -> ((s, d) => cdcAvroDecode(Tables.orders(s, d))),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -681,5 +784,27 @@ object AvroCodec {
         |  CASE WHEN event_id % 13 = 0 THEN NULL
         |       ELSE epoch_us(ts) // 1000 END AS created_ms
         |FROM events ORDER BY event_id""".stripMargin,
+    "cdc_avro_decode" ->
+      """WITH src AS (
+        |  SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus, o_orderdate,
+        |    CASE WHEN o_orderkey % 31 = 0 THEN 'd'
+        |         WHEN o_orderkey % 3 = 0 THEN 'u' ELSE 'c' END AS op
+        |  FROM orders
+        |  WHERE o_orderkey % 97 <> 0
+        |)
+        |SELECT o_orderkey AS id, op,
+        |  CASE WHEN o_custkey % 11 = 0 THEN NULL ELSE o_custkey END AS user_id,
+        |  o_totalprice AS total_amount,
+        |  CASE WHEN o_orderkey % 19 = 0 THEN NULL
+        |       WHEN o_orderkey % 5 = 0 THEN 'EUR' ELSE 'USD' END AS currency,
+        |  o_orderstatus AS status,
+        |  CASE WHEN o_custkey % 7 = 0 THEN NULL
+        |       ELSE 'r' || (o_custkey % 5)::VARCHAR END AS region_name,
+        |  'Cust ' || o_custkey::VARCHAR AS user_display_name,
+        |  CASE WHEN o_custkey % 3 = 0 THEN 'web'
+        |       WHEN o_custkey % 3 = 1 THEN 'ios' ELSE 'android' END AS platform,
+        |  strftime(o_orderdate, '%Y-%m-%d') AS created_day,
+        |  (epoch_us(o_orderdate) // 1000)::BIGINT AS src_ms
+        |FROM src WHERE op <> 'd' ORDER BY id""".stripMargin,
   )
 }

@@ -230,4 +230,75 @@ class AvroSpec extends SparkSpec {
         .stripMargin.replace("\n", ""))
     intercept[IllegalArgumentException] { AvroCodec.resolvePlan(base, orphan) }
   }
+
+  test("orders Debezium envelope parses with string-first union order intact") {
+    val r = AvroCodec.OrdersCdc
+    assert(r.name == "OrdersCdc" && r.fields.length == 14)
+    // The union-order trap (reference schemas.py:173-179): currency and the
+    // ZonedTimestamp fields put the VALUE branch first, null second — a
+    // null-first assumption would mis-index every non-null value.
+    assert(r.fields(3) == AField("currency", AUnion(Vector(AString, ANull))))
+    assert(r.fields(8) == AField("created_at", AUnion(Vector(AString, ANull))))
+    assert(r.fields(9) == AField("updated_at", AUnion(Vector(AString, ANull))))
+    // Null-first metadata tail unchanged.
+    assert(r.fields(10) == AField("__op", AUnion(Vector(ANull, AString))))
+    assert(r.fields(12) == AField("__source_ts_ms", AUnion(Vector(ANull, ALong))))
+  }
+
+  test("orders envelope wire format agrees with org.apache.avro byte-for-byte") {
+    import org.apache.avro.generic.{GenericData, GenericDatumReader, GenericDatumWriter}
+    import org.apache.avro.io.{DecoderFactory, EncoderFactory}
+    val schema = new org.apache.avro.Schema.Parser().parse(AvroCodec.OrdersCdcJson)
+    val rec = AvroCodec.OrdersCdc
+    val rng = new scala.util.Random(13)
+    for (_ <- 1 to 50) {
+      def mbStr(): Any =
+        if (rng.nextBoolean()) null
+        else UTF8String.fromString(rng.alphanumeric.take(rng.nextInt(16)).mkString)
+      def str(): Any = UTF8String.fromString(
+        rng.alphanumeric.take(1 + rng.nextInt(12)).mkString)
+      val vals: Array[Any] = Array(
+        rng.nextLong(),                                  // id
+        if (rng.nextBoolean()) null else rng.nextLong(), // user_id
+        rng.nextDouble() * 1e4,                          // total_amount
+        mbStr(),                                         // currency (string-first)
+        str(),                                           // status
+        mbStr(), mbStr(), mbStr(),                       // region/display/platform
+        mbStr(), mbStr(),                                // created_at/updated_at
+        mbStr(), mbStr(),                                // __op/__table
+        if (rng.nextBoolean()) null else rng.nextLong(), // __source_ts_ms
+        mbStr())                                         // __deleted
+      val ours = AvroCodec.encode(rec, vals(_), i => vals(i) == null)
+      val reader = new GenericDatumReader[GenericData.Record](schema)
+      val got = reader.read(null, DecoderFactory.get().binaryDecoder(ours, null))
+      for (i <- vals.indices) vals(i) match {
+        case null => assert(got.get(i) == null, s"field $i")
+        case s: UTF8String => assert(got.get(i).toString == s.toString, s"field $i")
+        case v => assert(got.get(i) == v, s"field $i: ${got.get(i)} vs $v")
+      }
+      val writer = new GenericDatumWriter[GenericData.Record](schema)
+      val bos = new java.io.ByteArrayOutputStream()
+      val enc = EncoderFactory.get().binaryEncoder(bos, null)
+      writer.write(got, enc); enc.flush()
+      assert(java.util.Arrays.equals(bos.toByteArray, ours),
+        "re-encode through org.apache.avro must be byte-identical")
+    }
+  }
+
+  test("orders envelope PERMISSIVE: truncation and bad union index null out") {
+    val rec = AvroCodec.OrdersCdc
+    val vals: Array[Any] = Array(7L, 3L, 1.5, UTF8String.fromString("USD"),
+      UTF8String.fromString("O"), null, null, null,
+      UTF8String.fromString("2024-01-01T00:00:00.000000Z"), null,
+      UTF8String.fromString("c"), UTF8String.fromString("orders"), 123L,
+      UTF8String.fromString("false"))
+    val good = AvroCodec.encode(rec, vals(_), i => vals(i) == null)
+    assert(AvroCodec.decode(rec, good) != null)
+    assert(AvroCodec.decode(rec, good.take(4)) == null, "truncated body")
+    // id=7 encodes as one zigzag byte, so byte 1 is user_id's union index;
+    // 0x09 zigzag-decodes to -5 — out of range for a 2-branch union.
+    val bad = good.clone()
+    bad(1) = 0x09
+    assert(AvroCodec.decode(rec, bad) == null, "bad union index")
+  }
 }
