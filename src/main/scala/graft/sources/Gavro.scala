@@ -30,8 +30,13 @@ import org.apache.spark.unsafe.types.UTF8String
   * PERMISSIVE contract on corrupt payloads.
   *
   * DSv2 integration, the part Spark actually optimizes through:
-  *   - one [[InputPartition]] per file → parallelism tracks the layout, no
-  *     driver-side data movement;
+  *   - one [[InputPartition]] per footer-indexed BLOCK ([[GavroFooter]]):
+  *     parallelism tracks data volume, not file count — a single huge
+  *     landing file fans out across the cluster; footer-less files fall
+  *     back to one whole-file partition;
+  *   - per-file min/max footer stats drive parquet-style FILE SKIPPING
+  *     against the pushed predicates ([[GavroSkip]]): a file whose value
+  *     range excludes a conjunct is never opened;
   *   - [[SupportsPushDownRequiredColumns]]: Catalyst's pruned schema is
   *     pushed INTO [[AvroCodec.decodeProjected]] — Avro has no field
   *     offsets so skipped fields are still walked on the wire, but never
@@ -49,9 +54,9 @@ import org.apache.spark.unsafe.types.UTF8String
   *     before emit, so pruning and filtering compose.
   *
   * Local-FS listing/IO keeps the sandbox honest; at scale the listing and
-  * `readAllBytes` swap for the Hadoop FileSystem API with the same
-  * partition-per-file planning (or split-per-block once files carry sync
-  * markers), and everything above the byte source is unchanged.
+  * range reads swap for the Hadoop FileSystem API with the same
+  * block-grain planning, and everything above the byte source is
+  * unchanged.
   */
 class GavroSource extends TableProvider with DataSourceRegister {
   override def shortName(): String = "gavro"
@@ -235,7 +240,8 @@ class GavroScan(path: String, schemaName: String, required: StructType,
     * shrink the real read). */
   override def estimateStatistics(): Statistics = {
     val bytes = Option(new java.io.File(path).listFiles()).getOrElse(Array.empty)
-      .filter(_.getName.endsWith(".gavro")).map(_.length()).sum
+      .filter(_.getName.endsWith(".gavro"))
+      .map(f => GavroFooter.read(f).dataEnd).sum
     new Statistics {
       override def sizeInBytes(): java.util.OptionalLong =
         java.util.OptionalLong.of(bytes)
@@ -251,10 +257,17 @@ class GavroScan(path: String, schemaName: String, required: StructType,
         if (s.field == null) s.op.toUpperCase else s"${s.op.toUpperCase}(${s.field})")
         .mkString("[", ", ", "]")}, GroupBy: ${a.groups.mkString("[", ", ", "]")}")
         .getOrElse("")
-  override def planInputPartitions(): Array[InputPartition] =
+  /** One task per footer-indexed block (footer-less file = one block), with
+    * parquet-style per-file stats skipping: a file whose [min, max] range
+    * excludes a pushed comparison conjunct is never opened — the listing's
+    * footers (a 12-byte tail read + the index) are all the planner touches. */
+  override def planInputPartitions(): Array[InputPartition] = {
+    val preds = pushed.map(GavroPred.from).toSeq
     Option(new java.io.File(path).listFiles()).getOrElse(Array.empty)
       .filter(_.getName.endsWith(".gavro")).sortBy(_.getName)
-      .map(f => GavroInputPartition(f.getAbsolutePath): InputPartition)
+      .flatMap(f => GavroSkip.planFile(f, preds))
+      .map(p => p: InputPartition)
+  }
   override def createReaderFactory(): PartitionReaderFactory =
     GavroReaderFactory(schemaName, required.fieldNames,
       pushed.map(GavroPred.from), limit, agg)
@@ -306,7 +319,9 @@ class GavroMicroBatchStream(path: String, schemaName: String,
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val s = start.asInstanceOf[GavroStreamOffset].files
     val e = end.asInstanceOf[GavroStreamOffset].files
-    listing().slice(s, e).map(f => GavroInputPartition(f): InputPartition)
+    listing().slice(s, e)
+      .flatMap(f => GavroSkip.planFile(new java.io.File(f), preds.toSeq))
+      .map(p => p: InputPartition)
   }
   override def createReaderFactory(): PartitionReaderFactory =
     GavroReaderFactory(schemaName, requiredNames, preds, -1, None)
@@ -329,7 +344,167 @@ object GavroPred {
   }
 }
 
-case class GavroInputPartition(file: String) extends InputPartition
+/** One scan task: a record-aligned byte range of one file. `start`/`end`
+  * come from the footer's block index (or [0, fileLen) for footer-less
+  * legacy files), so a single large landing file fans out across the
+  * cluster instead of pinning one task. */
+case class GavroInputPartition(file: String, start: Long, end: Long)
+    extends InputPartition
+
+/** Per-column min/max for footer stats. `tpe`: 0=long 1=double 2=string
+  * 3=boolean 4=int (ints travel as longs). Strings are UTF-8; comparison
+  * on the ASCII field values this source carries matches UTF8String's
+  * binary order. */
+case class GavroColStat(tpe: Byte, min: Any, max: Any) extends Serializable
+
+/** Footer metadata of one `.gavro` file: record-aligned block start
+  * offsets, the end of the data section, and optional per-file column
+  * stats. */
+case class GavroFileMeta(blocks: Array[Long], dataEnd: Long,
+    stats: Map[String, GavroColStat])
+
+/** The `.gavro` footer: appended after the data so the record stream stays
+  * a plain append (an archiver can crash mid-write and the footer is
+  * simply absent → the reader falls back to one whole-file block — never a
+  * misread). Layout, all big-endian:
+  *
+  * {{{
+  * [blockCount: 4B][block start offsets: blockCount × 8B]
+  * [statCount: 4B] per stat: [nameLen 2B][name][tpe 1B][min][max]
+  * [footerLen: 4B  — bytes from footer start THROUGH the magic]
+  * [magic: 8B "GAVROIX1"]
+  * }}}
+  *
+  * This is the same design point as Avro's object-container sync markers /
+  * parquet's footer: block starts are record boundaries recorded at write
+  * time, so split planning never scans data bytes; and the min/max stats
+  * give the planner parquet-style file skipping for pushed predicates. */
+object GavroFooter {
+  val Magic: Array[Byte] = "GAVROIX1".getBytes("UTF-8")
+
+  private def writeTyped(o: java.io.DataOutputStream, tpe: Byte, v: Any): Unit =
+    tpe match {
+      case 0 | 4 => o.writeLong(v.asInstanceOf[Number].longValue)
+      case 1 => o.writeDouble(v.asInstanceOf[Double])
+      case 2 =>
+        val b = v.toString.getBytes("UTF-8")
+        o.writeShort(b.length); o.write(b)
+      case 3 => o.writeBoolean(v.asInstanceOf[Boolean])
+    }
+
+  private def readTyped(i: java.io.DataInputStream, tpe: Byte): Any = tpe match {
+    case 0 | 4 => i.readLong()
+    case 1 => i.readDouble()
+    case 2 =>
+      val b = new Array[Byte](i.readUnsignedShort()); i.readFully(b)
+      new String(b, "UTF-8")
+    case 3 => i.readBoolean()
+  }
+
+  def write(out: java.io.OutputStream, blocks: Seq[Long],
+      stats: Seq[(String, GavroColStat)]): Unit = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val d = new java.io.DataOutputStream(bos)
+    d.writeInt(blocks.length)
+    blocks.foreach(d.writeLong)
+    d.writeInt(stats.length)
+    stats.foreach { case (name, s) =>
+      val nb = name.getBytes("UTF-8")
+      d.writeShort(nb.length); d.write(nb)
+      d.writeByte(s.tpe)
+      writeTyped(d, s.tpe, s.min); writeTyped(d, s.tpe, s.max)
+    }
+    d.writeInt(bos.size() + 4 + Magic.length) // footerLen incl. self + magic
+    d.write(Magic)
+    d.flush()
+    out.write(bos.toByteArray)
+  }
+
+  /** Parse a file's footer; footer-less (legacy / torn-write) files get
+    * one whole-file block and no stats. */
+  def read(file: java.io.File): GavroFileMeta = {
+    val len = file.length()
+    val noFooter = GavroFileMeta(Array(0L), len, Map.empty)
+    if (len < Magic.length + 4) return noFooter
+    val raf = new java.io.RandomAccessFile(file, "r")
+    try {
+      val tail = new Array[Byte](12)
+      raf.seek(len - 12); raf.readFully(tail)
+      if (!java.util.Arrays.equals(
+        java.util.Arrays.copyOfRange(tail, 4, 12), Magic)) return noFooter
+      val footerLen = java.nio.ByteBuffer.wrap(tail, 0, 4).getInt
+      if (footerLen < 12 || footerLen > len) return noFooter
+      val start = len - footerLen
+      raf.seek(start)
+      val body = new Array[Byte](footerLen - 12)
+      raf.readFully(body)
+      val in = new java.io.DataInputStream(new java.io.ByteArrayInputStream(body))
+      val blocks = Array.fill(in.readInt())(in.readLong())
+      val stats = (0 until in.readInt()).map { _ =>
+        val nb = new Array[Byte](in.readUnsignedShort()); in.readFully(nb)
+        val tpe = in.readByte()
+        val mn = readTyped(in, tpe); val mx = readTyped(in, tpe)
+        new String(nb, "UTF-8") -> GavroColStat(tpe, mn, mx)
+      }.toMap
+      GavroFileMeta(if (blocks.isEmpty) Array(0L) else blocks, start, stats)
+    } finally raf.close()
+  }
+}
+
+/** Parquet-style file skipping: can the pushed conjuncts be proven FALSE
+  * for every record in a file from its [min, max] column stats? Only
+  * comparison predicates participate — null-tests never skip, because the
+  * PERMISSIVE corrupt channel can surface all-null rows the write-side
+  * stats never saw. Conservative by construction: unknown columns, type
+  * mismatches, or missing stats mean "cannot exclude". */
+object GavroSkip {
+  /** sign(bound − v): compares a stat bound against the predicate literal;
+    * None on type mismatch (→ never skip). */
+  private def cmp(stat: GavroColStat, bound: Any, v: Any): Option[Int] =
+    (v, bound) match {
+      case (a: Number, b: Number) if stat.tpe == 1 ||
+          a.isInstanceOf[Double] || b.isInstanceOf[Double] =>
+        Some(java.lang.Double.compare(b.doubleValue, a.doubleValue))
+      case (a: Number, b: Number) =>
+        Some(java.lang.Long.compare(b.longValue, a.longValue))
+      case (a: String, b: String) => Some(b.compareTo(a))
+      case (a: Boolean, b: Boolean) => Some(java.lang.Boolean.compare(b, a))
+      case _ => None
+    }
+
+  /** True iff `stats` prove no record in the file can satisfy ALL the
+    * pushed conjuncts (they are a conjunction: one impossible conjunct
+    * excludes the file). */
+  def exclude(stats: Map[String, GavroColStat], preds: Seq[GavroPred]): Boolean =
+    preds.exists { p =>
+      stats.get(p.name) match {
+        case Some(s) => p.op match {
+          case "=" =>
+            cmp(s, s.min, p.value).exists(_ > 0) || // min > v
+              cmp(s, s.max, p.value).exists(_ < 0)  // max < v
+          case ">" => cmp(s, s.max, p.value).exists(_ <= 0)  // max <= v
+          case ">=" => cmp(s, s.max, p.value).exists(_ < 0)  // max < v
+          case "<" => cmp(s, s.min, p.value).exists(_ >= 0)  // min >= v
+          case "<=" => cmp(s, s.min, p.value).exists(_ > 0)  // min > v
+          case _ => false // null-tests: never skip (corrupt channel)
+        }
+        case None => false
+      }
+    }
+
+  /** Shared planning: footer-driven block split + stats skip, used by the
+    * batch scan and the micro-batch stream alike. */
+  def planFile(file: java.io.File, preds: Seq[GavroPred]): Seq[GavroInputPartition] = {
+    val meta = GavroFooter.read(file)
+    if (meta.stats.nonEmpty && exclude(meta.stats, preds)) Seq.empty
+    else {
+      val bounds = meta.blocks :+ meta.dataEnd
+      (0 until meta.blocks.length).map(i =>
+        GavroInputPartition(file.getAbsolutePath, bounds(i), bounds(i + 1)))
+        .filter(p => p.end > p.start)
+    }
+  }
+}
 
 /** Serializable recipe shipped to executors: record shape, required
   * columns, and pushed conjuncts travel as names/values; the schema ADT is
@@ -338,11 +513,11 @@ case class GavroReaderFactory(schemaName: String, requiredNames: Array[String],
     preds: Array[GavroPred], limit: Int,
     agg: Option[GavroAgg] = None) extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
-    val file = partition.asInstanceOf[GavroInputPartition].file
+    val p = partition.asInstanceOf[GavroInputPartition]
     agg match {
-      case Some(a) => new GavroAggPartitionReader(file, schemaName, a, preds)
+      case Some(a) => new GavroAggPartitionReader(p, schemaName, a, preds)
       case None =>
-        new GavroPartitionReader(file, schemaName, requiredNames, preds, limit)
+        new GavroPartitionReader(p, schemaName, requiredNames, preds, limit)
     }
   }
 }
@@ -366,7 +541,7 @@ case class GavroReaderFactory(schemaName: String, requiredNames: Array[String],
   * exactly as it combines partials from different files. Memory stays
   * bounded at the cap; the flushed case degrades toward plain-scan
   * volume, never above it. */
-class GavroAggPartitionReader(file: String, schemaName: String,
+class GavroAggPartitionReader(part: GavroInputPartition, schemaName: String,
     agg: GavroAgg, preds: Array[GavroPred],
     maxGroups: Int = GavroAggReader.MaxGroups)
     extends PartitionReader[InternalRow] {
@@ -375,7 +550,7 @@ class GavroAggPartitionReader(file: String, schemaName: String,
     agg.groups ++ agg.specs.flatMap(s => Option(s.field))
       .distinct.filterNot(agg.groups.contains)
   private val rows =
-    new GavroPartitionReader(file, schemaName, inputNames, preds, -1)
+    new GavroPartitionReader(part, schemaName, inputNames, preds, -1)
   private val slotOf: Map[String, Int] = inputNames.zipWithIndex.toMap
   private def doubleSum(name: String): Boolean =
     record.fields.exists(f => f.name == name &&
@@ -471,7 +646,7 @@ object GavroAggReader {
   val MaxGroups: Int = 1 << 16
 }
 
-class GavroPartitionReader(file: String, schemaName: String,
+class GavroPartitionReader(part: GavroInputPartition, schemaName: String,
     requiredNames: Array[String], preds: Array[GavroPred], limit: Int)
     extends PartitionReader[InternalRow] {
   private var emitted = 0
@@ -492,8 +667,18 @@ class GavroPartitionReader(file: String, schemaName: String,
     }
     (extNames.indexOf(p.name), p.op, v)
   }
-  private val bytes =
-    java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(file))
+  // Only this task's block range is read — a range read against local FS
+  // here, a positioned Hadoop FS read at scale. Block bounds are
+  // record-aligned by the footer contract, so the slice starts at a length
+  // prefix and ends exactly at one.
+  private val bytes: Array[Byte] = {
+    val raf = new java.io.RandomAccessFile(part.file, "r")
+    try {
+      val end = math.min(part.end, raf.length())
+      val b = new Array[Byte]((end - part.start).toInt)
+      raf.seek(part.start); raf.readFully(b); b
+    } finally raf.close()
+  }
   private var pos = 0
   private var row: InternalRow = _
 
@@ -578,24 +763,79 @@ class GavroPartitionReader(file: String, schemaName: String,
 /** Write path + registered query for the `gavro` source. */
 object Gavro {
 
-  /** Write one `.gavro` file per partition of a single-binary-column frame
-    * into `dir` — the archiver side of the landing zone. Local FS here;
-    * the Hadoop FS API is a drop-in at scale (one stream per task, no
-    * driver involvement). */
-  def write(bins: DataFrame, dir: String): Unit = {
+  /** Default split-block size for the archiver: small enough that even a
+    * single landing file fans out, large enough that a task amortizes its
+    * open. */
+  val DefaultBlockBytes: Long = 1L << 20
+
+  /** Write one `.gavro` file per partition of a binary-column frame into
+    * `dir` — the archiver side of the landing zone. Column 0 is the record
+    * body; any `statCols` are the already-decoded field values riding
+    * alongside, folded into the footer's per-file min/max (the archiver
+    * KNOWS the values it just encoded — stats cost nothing extra). Every
+    * `blockBytes` of body, the current offset is recorded as a
+    * record-aligned block start, so the scan can split the file. Local FS
+    * here; the Hadoop FS API is a drop-in at scale (one stream per task,
+    * no driver involvement). */
+  def write(bins: DataFrame, dir: String,
+      blockBytes: Long = DefaultBlockBytes,
+      statCols: Seq[String] = Seq.empty): Unit = {
     val d = new java.io.File(dir)
     d.mkdirs()
     d.listFiles().filter(_.getName.endsWith(".gavro")).foreach(_.delete())
+    // Resolve stat column types at the driver; the byte codes ship to tasks.
+    val statTypes: Seq[(String, Byte)] = statCols.map { c =>
+      c -> (bins.schema(c).dataType match {
+        case org.apache.spark.sql.types.LongType => 0: Byte
+        case DoubleType => 1: Byte
+        case org.apache.spark.sql.types.StringType => 2: Byte
+        case org.apache.spark.sql.types.BooleanType => 3: Byte
+        case org.apache.spark.sql.types.IntegerType => 4: Byte
+        case other => throw new IllegalArgumentException(
+          s"gavro stat column $c: unsupported type $other")
+      })
+    }
     bins.foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
       if (it.hasNext) {
         val pid = org.apache.spark.TaskContext.getPartitionId()
         val f = new java.io.File(dir, f"part-$pid%05d.gavro")
         val out = new java.io.BufferedOutputStream(new java.io.FileOutputStream(f))
-        try it.foreach { r =>
-          val b = r.getAs[Array[Byte]](0)
-          out.write(Array[Byte]((b.length >>> 24).toByte, (b.length >>> 16).toByte,
-            (b.length >>> 8).toByte, b.length.toByte))
-          out.write(b)
+        val blocks = scala.collection.mutable.ArrayBuffer(0L)
+        var offset = 0L
+        var blockStart = 0L
+        val mins = new Array[Any](statTypes.length)
+        val maxs = new Array[Any](statTypes.length)
+        def lt(t: Byte, a: Any, b: Any): Boolean = t match {
+          case 0 => a.asInstanceOf[Long] < b.asInstanceOf[Long]
+          case 1 => a.asInstanceOf[Double] < b.asInstanceOf[Double]
+          case 2 => a.asInstanceOf[String] < b.asInstanceOf[String]
+          case 3 => !a.asInstanceOf[Boolean] && b.asInstanceOf[Boolean]
+          case 4 => a.asInstanceOf[Int] < b.asInstanceOf[Int]
+        }
+        try {
+          it.foreach { r =>
+            if (offset - blockStart >= blockBytes) {
+              blocks += offset; blockStart = offset
+            }
+            val b = r.getAs[Array[Byte]](0)
+            out.write(Array[Byte]((b.length >>> 24).toByte, (b.length >>> 16).toByte,
+              (b.length >>> 8).toByte, b.length.toByte))
+            out.write(b)
+            offset += 4L + b.length
+            var i = 0
+            while (i < statTypes.length) {
+              val v = r.getAs[Any](statTypes(i)._1)
+              if (v != null) {
+                if (mins(i) == null || lt(statTypes(i)._2, v, mins(i))) mins(i) = v
+                if (maxs(i) == null || lt(statTypes(i)._2, maxs(i), v)) maxs(i) = v
+              }
+              i += 1
+            }
+          }
+          val stats = statTypes.indices.filter(i => mins(i) != null).map { i =>
+            statTypes(i)._1 -> GavroColStat(statTypes(i)._2, mins(i), maxs(i))
+          }
+          GavroFooter.write(out, blocks.toSeq, stats)
         } finally out.close()
       }
     }
@@ -618,13 +858,17 @@ object Gavro {
   }
 
   /** Archive the request_log synthesis once per sf-dir (idempotent: the
-    * writer clears prior `.gavro` files first). */
+    * writer clears prior `.gavro` files first). The two pushdown-eligible
+    * fields the registered queries filter on ride along as footer stats. */
   private def archive(spark: SparkSession, sfDir: String): String = {
     val events = Tables.events(spark, sfDir)
     val dir = new java.io.File(System.getProperty("java.io.tmpdir"),
       "graft_gavro_" + Integer.toHexString(sfDir.hashCode)).getAbsolutePath
     write(events.select(AvroCodec.requestLogRec.as("rec"))
-      .select(expr("to_avro_graft(rec, 'request_log')").as("bin")), dir)
+      .select(expr("to_avro_graft(rec, 'request_log')").as("bin"),
+        col("rec.endpoint").as("endpoint"),
+        col("rec.status_code").as("status_code")), dir,
+      statCols = Seq("endpoint", "status_code"))
     dir
   }
 

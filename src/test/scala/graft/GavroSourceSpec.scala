@@ -287,7 +287,9 @@ class GavroSourceSpec extends SparkSpec {
     // Cap of ONE live group: nearly every record lands on a "new" group
     // and flushes the map, so the reader emits many duplicate-key partial
     // rows — exactly what a final merge aggregate receives.
-    val reader = new GavroAggPartitionReader(file, "request_log",
+    val reader = new GavroAggPartitionReader(
+      graft.sources.GavroSkip.planFile(new java.io.File(file), Seq.empty).head,
+      "request_log",
       GavroAgg(Array("endpoint"),
         Array(GAggSpec("count_star", null), GAggSpec("sum", "latency_ms")),
         new org.apache.spark.sql.types.StructType()),
@@ -369,5 +371,98 @@ class GavroSourceSpec extends SparkSpec {
     assert(df.columns.toSeq == Seq("endpoint", "n", "sum_status"))
     val total = rows.map(_.getAs[Long]("n")).sum
     assert(total == Tables.events(spark, dir).count())
+  }
+
+  test("a single multi-block file splits into multiple partitions, results unchanged") {
+    val events = Tables.events(spark, dir)
+    val out = tmpDir("blocks")
+    // ONE file (coalesce(1)) with 8 KiB blocks: the footer index must fan
+    // the scan out even though the listing has a single entry.
+    Gavro.write(events.coalesce(1)
+      .select(AvroCodec.requestLogRec.as("rec"))
+      .select(expr("to_avro_graft(rec, 'request_log')").as("bin")), out,
+      blockBytes = 8192L)
+    assert(new java.io.File(out).listFiles()
+      .count(_.getName.endsWith(".gavro")) == 1)
+    val scanned = spark.read.format("gavro")
+      .option("schema", "request_log").load(out)
+      .select(col("id"), col("status_code"))
+    val scans = scanned.queryExecution.executedPlan.collect {
+      case b: BatchScanExec => b
+    }
+    assert(scans.head.inputRDD.getNumPartitions > 1,
+      s"expected a block split, got ${scans.head.inputRDD.getNumPartitions}")
+    // Block bounds are record-aligned: nothing lost or duplicated at seams.
+    assert(scanned.count() == events.count())
+    assert(scanned.agg(sum(col("id"))).head.getLong(0) ==
+      events.agg(sum(col("event_id"))).head.getLong(0))
+  }
+
+  test("footer min/max stats skip files a pushed predicate excludes") {
+    val events = Tables.events(spark, dir)
+    val out = tmpDir("skip")
+    // Range-layout by endpoint so files carry disjoint value ranges —
+    // the layout a partitioned archiver produces naturally.
+    Gavro.write(events
+      .select(AvroCodec.requestLogRec.as("rec"))
+      .select(expr("to_avro_graft(rec, 'request_log')").as("bin"),
+        col("rec.endpoint").as("endpoint"),
+        col("rec.status_code").as("status_code"))
+      .repartitionByRange(4, col("endpoint")), out,
+      statCols = Seq("endpoint", "status_code"))
+    val files = new java.io.File(out).listFiles()
+      .count(_.getName.endsWith(".gavro"))
+    assert(files == 4)
+    val all = spark.read.format("gavro")
+      .option("schema", "request_log").load(out)
+    val filtered = all.filter(col("endpoint") >= "/api/p")
+      .select(col("id"), col("endpoint"))
+    val scans = filtered.queryExecution.executedPlan.collect {
+      case b: BatchScanExec => b
+    }
+    // Fewer tasks than files: the planner never opened the excluded ones.
+    val opened = scans.head.inputRDD.getNumPartitions
+    assert(opened < files, s"expected stats skipping, opened $opened of $files")
+    // Skipping is exact: same rows as recomputing from the synthesis.
+    val expected = events.select(AvroCodec.requestLogRec.as("rec"))
+      .filter(col("rec.endpoint") >= "/api/p").count()
+    assert(filtered.count() == expected)
+    // Null-tests never skip (the corrupt channel can add nulls post-stats).
+    val nulls = all.filter(col("endpoint").isNull)
+    val nullScan = nulls.queryExecution.executedPlan.collect {
+      case b: BatchScanExec => b
+    }
+    assert(nullScan.head.inputRDD.getNumPartitions == files)
+    // An IN-RANGE equality predicate must NOT skip: every file holds both
+    // status codes, so the count must equal the full recompute (this is
+    // the case an inverted bound comparison silently zeroes).
+    val eq = all.filter(col("status_code") === 500)
+    assert(eq.count() ==
+      events.filter(pmod(col("event_id"), lit(7)) === 0).count())
+  }
+
+  test("stats skip decisions are exact on every operator and boundary") {
+    import graft.sources.{GavroColStat, GavroPred, GavroSkip}
+    val stats = Map(
+      "l" -> GavroColStat(0, 10L, 20L),
+      "s" -> GavroColStat(2, "bbb", "ddd"))
+    def ex(name: String, op: String, v: Any): Boolean =
+      GavroSkip.exclude(stats, Seq(GavroPred(name, op, v)))
+    // equality: outside [min,max] skips, inside (incl. bounds) does not
+    assert(ex("l", "=", 9L) && ex("l", "=", 21L))
+    assert(!ex("l", "=", 10L) && !ex("l", "=", 15L) && !ex("l", "=", 20L))
+    // > / >= against max
+    assert(ex("l", ">", 20L) && !ex("l", ">", 19L))
+    assert(ex("l", ">=", 21L) && !ex("l", ">=", 20L))
+    // < / <= against min
+    assert(ex("l", "<", 10L) && !ex("l", "<", 11L))
+    assert(ex("l", "<=", 9L) && !ex("l", "<=", 10L))
+    // strings compare lexicographically
+    assert(ex("s", "=", "aaa") && ex("s", ">", "ddd") && !ex("s", ">=", "ccc"))
+    // unknown columns and null-tests never skip
+    assert(!ex("missing", "=", 5L))
+    assert(!ex("l", "isnull", null) && !ex("l", "notnull", null))
+    // int literals compare against long stats (widened family)
+    assert(ex("l", "=", 9) && !ex("l", "=", 15))
   }
 }
