@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
 /** Scale smoke harness: fabricates a corpus N× the sf0.1 fixture by
@@ -10,13 +11,33 @@ import org.apache.spark.sql.functions._
   * fixture scale (the failure modes they guard against — mega-buckets,
   * lineage blowup, window funnels — only show up with volume).
   *
-  * Usage: sbt "runMain graft.ScaleSmoke [replicas]"   (default 20 → 100k docs)
+  * Usage: sbt "runMain graft.ScaleSmoke [replicas] [section]"
+  *   replicas: default 20 → 100k docs
+  *   section:  docs | temporal | all (default all)
   */
 object ScaleSmoke {
   def main(args: Array[String]): Unit = {
     val replicas = args.headOption.map(_.toInt).getOrElse(20)
+    val section = args.lift(1).getOrElse("all")
     val spark = Session.local("graft-scale-smoke")
     spark.sparkContext.setLogLevel("WARN")
+    if (section == "docs" || section == "all") docsSection(spark, replicas)
+    if (section == "temporal" || section == "all") temporalSection(spark, replicas)
+    spark.stop()
+  }
+
+  private def time(spark: SparkSession, name: String)(
+      df: => org.apache.spark.sql.DataFrame): Unit = {
+    spark.catalog.clearCache()
+    val t0 = System.nanoTime()
+    df.write.format("noop").mode("overwrite").save()
+    val secs = (System.nanoTime() - t0) / 1e9
+    println(f"$name%-22s ${secs}%8.2f s")
+  }
+
+  private def docsSection(spark: SparkSession, replicas: Int): Unit = {
+    def t(name: String)(df: => org.apache.spark.sql.DataFrame): Unit =
+      time(spark, name)(df)
     val base = graft.sources.Tables.documents(spark, "/root/testdata/sf0.1")
     // Replicate with a per-replica token suffix so replicas are near-dups of
     // their original (every suffix shifts the shingle set slightly) and
@@ -29,42 +50,34 @@ object ScaleSmoke {
     val n = corpus.count()
     println(s"corpus: $n docs (${replicas}x sf0.1)")
 
-    def time(name: String)(df: => org.apache.spark.sql.DataFrame): Unit = {
-      spark.catalog.clearCache()
-      val t0 = System.nanoTime()
-      val rows = df.write.format("noop").mode("overwrite").save()
-      val secs = (System.nanoTime() - t0) / 1e9
-      println(f"$name%-22s ${secs}%8.2f s")
-    }
-
     import graft.ops.{Curation, Dedup, Pipeline, TextStats}
-    time("exact_dedup") { Dedup.exactDedup(corpus) }
-    time("minhash_candidates") { Dedup.minhashCandidates(corpus) }
-    time("simhash_pairs") { Dedup.simhashPairs(corpus) }
-    time("dup_clusters") { Dedup.dupClusters(corpus) }
-    time("dup_clusters_star") { Dedup.dupClustersStar(corpus) }
-    time("token_packing") { Pipeline.tokenPacking(corpus) }
-    time("quality_filter") { Pipeline.qualityFilter(corpus) }
-    time("doc_top_term") { TextStats.docTopTerm(corpus) }
-    time("doc_freq_score") { TextStats.docFreqScore(corpus) }
-    time("line_dedup") { Curation.lineDedup(corpus) }
-    time("contamination_check") { Curation.contaminationCheck(corpus) }
-    time("contamination_bloom") { Curation.contaminationBloom(corpus) }
-    time("paragraph_dedup") { Curation.paragraphDedup(corpus) }
-    time("fuzzy_title_pairs") { Dedup.fuzzyTitlePairs(corpus) }
-    time("curation_funnel") { Curation.curationFunnel(corpus) }
-    time("duplicate_spans") { Dedup.duplicateSpans(corpus) }
-    time("rare_bigram_score") { TextStats.rareBigramScore(corpus) }
-    time("jaccard_prefix_join") { Dedup.jaccardPrefixJoin(corpus) }
-    time("media_phash_dedup") { graft.ops.Multimodal.phashPairs(corpus) }
-    time("training_order") { Pipeline.trainingOrder(corpus) }
-    time("doc_chunks") { Pipeline.docChunks(corpus) }
+    t("exact_dedup") { Dedup.exactDedup(corpus) }
+    t("minhash_candidates") { Dedup.minhashCandidates(corpus) }
+    t("simhash_pairs") { Dedup.simhashPairs(corpus) }
+    t("dup_clusters") { Dedup.dupClusters(corpus) }
+    t("dup_clusters_star") { Dedup.dupClustersStar(corpus) }
+    t("token_packing") { Pipeline.tokenPacking(corpus) }
+    t("quality_filter") { Pipeline.qualityFilter(corpus) }
+    t("doc_top_term") { TextStats.docTopTerm(corpus) }
+    t("doc_freq_score") { TextStats.docFreqScore(corpus) }
+    t("line_dedup") { Curation.lineDedup(corpus) }
+    t("contamination_check") { Curation.contaminationCheck(corpus) }
+    t("contamination_bloom") { Curation.contaminationBloom(corpus) }
+    t("paragraph_dedup") { Curation.paragraphDedup(corpus) }
+    t("fuzzy_title_pairs") { Dedup.fuzzyTitlePairs(corpus) }
+    t("curation_funnel") { Curation.curationFunnel(corpus) }
+    t("duplicate_spans") { Dedup.duplicateSpans(corpus) }
+    t("rare_bigram_score") { TextStats.rareBigramScore(corpus) }
+    t("jaccard_prefix_join") { Dedup.jaccardPrefixJoin(corpus) }
+    t("media_phash_dedup") { graft.ops.Multimodal.phashPairs(corpus) }
+    t("training_order") { Pipeline.trainingOrder(corpus) }
+    t("doc_chunks") { Pipeline.docChunks(corpus) }
     // Global top-k via the extended rewrite: the final merge only ever
     // sees ~P×k partial survivors, so this must stay flat as docs grow.
-    time("bm25_topk") { TextStats.bm25TopK(corpus) }
-    time("secret_scan") { Curation.secretScan(corpus) }
-    time("length_bucketing") { Pipeline.lengthBucketing(corpus) }
-    time("link_rank") { graft.ops.Graph.linkRank(corpus) }
+    t("bm25_topk") { TextStats.bm25TopK(corpus) }
+    t("secret_scan") { Curation.secretScan(corpus) }
+    t("length_bucketing") { Pipeline.lengthBucketing(corpus) }
+    t("link_rank") { graft.ops.Graph.linkRank(corpus) }
     // embeddings scale path: replicate the vector fixture the same way
     val embBase = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.1")
     val embCorpus = embBase.crossJoin(spark.range(replicas).toDF("rep"))
@@ -73,8 +86,38 @@ object ScaleSmoke {
         col("label"))
       .localCheckpoint(true)
     println(s"embeddings: ${embCorpus.count()} vectors")
-    time("semantic_dedup") { graft.ops.Similarity.semanticDedup(embCorpus) }
-    time("knn_graph") { graft.ops.Similarity.knnGraph(embCorpus) }
-    spark.stop()
+    t("semantic_dedup") { graft.ops.Similarity.semanticDedup(embCorpus) }
+    t("knn_graph") { graft.ops.Similarity.knnGraph(embCorpus) }
+  }
+
+  /** Events + lineitem scale path: widens the USER population (ids
+    * remapped per replica) while per-user history depth stays fixed — the
+    * axis a production event stream actually grows on. Sublinear-ish wall
+    * time here certifies the temporal operators' claims: value-grain
+    * histograms (rfm/mad) are population-independent, session windows
+    * shard by user, attribution carries O(1) state per user. */
+  private def temporalSection(spark: SparkSession, replicas: Int): Unit = {
+    def t(name: String)(df: => org.apache.spark.sql.DataFrame): Unit =
+      time(spark, name)(df)
+    val evBase = graft.sources.Tables.events(spark, "/root/testdata/sf0.1")
+    val evCorpus = evBase.crossJoin(spark.range(replicas).toDF("rep"))
+      .withColumn("event_id", col("event_id") * replicas + col("rep"))
+      .withColumn("user_id", col("user_id") * replicas + col("rep"))
+      .drop("rep").localCheckpoint(true)
+    println(s"events: ${evCorpus.count()} rows (${replicas}x sf0.1)")
+    import graft.ops.Temporal
+    t("rfm_segments") { Temporal.rfmSegments(evCorpus) }
+    t("session_paths") { Temporal.sessionPaths(evCorpus) }
+    t("mad_anomalies") { Temporal.madAnomalies(evCorpus) }
+    t("purchase_attribution") { Temporal.purchaseAttribution(evCorpus) }
+    // lineitem scale path for the wedge join: replicated orders over the
+    // SAME part universe — edge set is unchanged, so this times the
+    // explode + distinct volume funnel feeding the O(m^1.5) join.
+    val liBase = graft.sources.Tables.lineitem(spark, "/root/testdata/sf0.1")
+    val liCorpus = liBase.crossJoin(spark.range(replicas).toDF("rep"))
+      .withColumn("l_orderkey", col("l_orderkey") * replicas + col("rep"))
+      .drop("rep").localCheckpoint(true)
+    println(s"lineitem: ${liCorpus.count()} rows")
+    t("triangle_count") { graft.ops.Graph.triangleCount(liCorpus) }
   }
 }
