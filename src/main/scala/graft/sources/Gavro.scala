@@ -358,10 +358,12 @@ case class GavroInputPartition(file: String, start: Long, end: Long)
 case class GavroColStat(tpe: Byte, min: Any, max: Any) extends Serializable
 
 /** Footer metadata of one `.gavro` file: record-aligned block start
-  * offsets, the end of the data section, and optional per-file column
-  * stats. */
+  * offsets, the end of the data section, optional per-file column stats,
+  * and (when the writer recorded them) per-BLOCK stats aligned with
+  * `blocks` — empty when absent. */
 case class GavroFileMeta(blocks: Array[Long], dataEnd: Long,
-    stats: Map[String, GavroColStat])
+    stats: Map[String, GavroColStat],
+    blockStats: Array[Map[String, GavroColStat]] = Array.empty)
 
 /** The `.gavro` footer: appended after the data so the record stream stays
   * a plain append (an archiver can crash mid-write and the footer is
@@ -371,14 +373,19 @@ case class GavroFileMeta(blocks: Array[Long], dataEnd: Long,
   * {{{
   * [blockCount: 4B][block start offsets: blockCount × 8B]
   * [statCount: 4B] per stat: [nameLen 2B][name][tpe 1B][min][max]
+  * [blockStatFlag: 1B] — if 1, blockCount repetitions of
+  *   [statCount: 4B][stats as above], aligned with the offsets
   * [footerLen: 4B  — bytes from footer start THROUGH the magic]
   * [magic: 8B "GAVROIX1"]
   * }}}
   *
   * This is the same design point as Avro's object-container sync markers /
-  * parquet's footer: block starts are record boundaries recorded at write
-  * time, so split planning never scans data bytes; and the min/max stats
-  * give the planner parquet-style file skipping for pushed predicates. */
+  * parquet's footer + row-group stats: block starts are record boundaries
+  * recorded at write time, so split planning never scans data bytes; the
+  * per-file min/max give parquet-style FILE skipping and the per-block
+  * min/max BLOCK skipping inside surviving files — on a time-clustered
+  * landing file a time-range predicate prunes to the few blocks that
+  * overlap it. */
 object GavroFooter {
   val Magic: Array[Byte] = "GAVROIX1".getBytes("UTF-8")
 
@@ -401,12 +408,8 @@ object GavroFooter {
     case 3 => i.readBoolean()
   }
 
-  def write(out: java.io.OutputStream, blocks: Seq[Long],
+  private def writeStats(d: java.io.DataOutputStream,
       stats: Seq[(String, GavroColStat)]): Unit = {
-    val bos = new java.io.ByteArrayOutputStream()
-    val d = new java.io.DataOutputStream(bos)
-    d.writeInt(blocks.length)
-    blocks.foreach(d.writeLong)
     d.writeInt(stats.length)
     stats.foreach { case (name, s) =>
       val nb = name.getBytes("UTF-8")
@@ -414,6 +417,28 @@ object GavroFooter {
       d.writeByte(s.tpe)
       writeTyped(d, s.tpe, s.min); writeTyped(d, s.tpe, s.max)
     }
+  }
+
+  private def readStats(in: java.io.DataInputStream): Map[String, GavroColStat] =
+    (0 until in.readInt()).map { _ =>
+      val nb = new Array[Byte](in.readUnsignedShort()); in.readFully(nb)
+      val tpe = in.readByte()
+      val mn = readTyped(in, tpe); val mx = readTyped(in, tpe)
+      new String(nb, "UTF-8") -> GavroColStat(tpe, mn, mx)
+    }.toMap
+
+  def write(out: java.io.OutputStream, blocks: Seq[Long],
+      stats: Seq[(String, GavroColStat)],
+      blockStats: Seq[Seq[(String, GavroColStat)]] = Seq.empty): Unit = {
+    require(blockStats.isEmpty || blockStats.length == blocks.length,
+      "blockStats must align with blocks")
+    val bos = new java.io.ByteArrayOutputStream()
+    val d = new java.io.DataOutputStream(bos)
+    d.writeInt(blocks.length)
+    blocks.foreach(d.writeLong)
+    writeStats(d, stats)
+    d.writeByte(if (blockStats.nonEmpty) 1 else 0)
+    blockStats.foreach(writeStats(d, _))
     d.writeInt(bos.size() + 4 + Magic.length) // footerLen incl. self + magic
     d.write(Magic)
     d.flush()
@@ -440,13 +465,13 @@ object GavroFooter {
       raf.readFully(body)
       val in = new java.io.DataInputStream(new java.io.ByteArrayInputStream(body))
       val blocks = Array.fill(in.readInt())(in.readLong())
-      val stats = (0 until in.readInt()).map { _ =>
-        val nb = new Array[Byte](in.readUnsignedShort()); in.readFully(nb)
-        val tpe = in.readByte()
-        val mn = readTyped(in, tpe); val mx = readTyped(in, tpe)
-        new String(nb, "UTF-8") -> GavroColStat(tpe, mn, mx)
-      }.toMap
-      GavroFileMeta(if (blocks.isEmpty) Array(0L) else blocks, start, stats)
+      val stats = readStats(in)
+      val blockStats =
+        if (in.available() > 0 && in.readByte() == 1)
+          Array.fill(blocks.length)(readStats(in))
+        else Array.empty[Map[String, GavroColStat]]
+      GavroFileMeta(if (blocks.isEmpty) Array(0L) else blocks, start, stats,
+        blockStats)
     } finally raf.close()
   }
 }
@@ -492,15 +517,19 @@ object GavroSkip {
       }
     }
 
-  /** Shared planning: footer-driven block split + stats skip, used by the
-    * batch scan and the micro-batch stream alike. */
+  /** Shared planning: footer-driven block split + two-level stats skip
+    * (whole file first, then surviving blocks individually when the footer
+    * carries per-block stats), used by the batch scan and the micro-batch
+    * stream alike. */
   def planFile(file: java.io.File, preds: Seq[GavroPred]): Seq[GavroInputPartition] = {
     val meta = GavroFooter.read(file)
     if (meta.stats.nonEmpty && exclude(meta.stats, preds)) Seq.empty
     else {
       val bounds = meta.blocks :+ meta.dataEnd
-      (0 until meta.blocks.length).map(i =>
-        GavroInputPartition(file.getAbsolutePath, bounds(i), bounds(i + 1)))
+      (0 until meta.blocks.length)
+        .filterNot(i => meta.blockStats.nonEmpty &&
+          exclude(meta.blockStats(i), preds))
+        .map(i => GavroInputPartition(file.getAbsolutePath, bounds(i), bounds(i + 1)))
         .filter(p => p.end > p.start)
     }
   }
@@ -801,44 +830,59 @@ object Gavro {
         val f = new java.io.File(dir, f"part-$pid%05d.gavro")
         val out = new java.io.BufferedOutputStream(new java.io.FileOutputStream(f))
         val blocks = scala.collection.mutable.ArrayBuffer(0L)
+        val blockStats =
+          scala.collection.mutable.ArrayBuffer.empty[Seq[(String, GavroColStat)]]
         var offset = 0L
         var blockStart = 0L
-        val mins = new Array[Any](statTypes.length)
-        val maxs = new Array[Any](statTypes.length)
-        def lt(t: Byte, a: Any, b: Any): Boolean = t match {
-          case 0 => a.asInstanceOf[Long] < b.asInstanceOf[Long]
-          case 1 => a.asInstanceOf[Double] < b.asInstanceOf[Double]
-          case 2 => a.asInstanceOf[String] < b.asInstanceOf[String]
-          case 3 => !a.asInstanceOf[Boolean] && b.asInstanceOf[Boolean]
-          case 4 => a.asInstanceOf[Int] < b.asInstanceOf[Int]
-        }
+        val fileAcc = new GavroStatAcc(statTypes)
+        var blockAcc = new GavroStatAcc(statTypes)
         try {
           it.foreach { r =>
             if (offset - blockStart >= blockBytes) {
               blocks += offset; blockStart = offset
+              blockStats += blockAcc.result(); blockAcc = new GavroStatAcc(statTypes)
             }
             val b = r.getAs[Array[Byte]](0)
             out.write(Array[Byte]((b.length >>> 24).toByte, (b.length >>> 16).toByte,
               (b.length >>> 8).toByte, b.length.toByte))
             out.write(b)
             offset += 4L + b.length
-            var i = 0
-            while (i < statTypes.length) {
-              val v = r.getAs[Any](statTypes(i)._1)
-              if (v != null) {
-                if (mins(i) == null || lt(statTypes(i)._2, v, mins(i))) mins(i) = v
-                if (maxs(i) == null || lt(statTypes(i)._2, maxs(i), v)) maxs(i) = v
-              }
-              i += 1
-            }
+            fileAcc.absorb(r); blockAcc.absorb(r)
           }
-          val stats = statTypes.indices.filter(i => mins(i) != null).map { i =>
-            statTypes(i)._1 -> GavroColStat(statTypes(i)._2, mins(i), maxs(i))
-          }
-          GavroFooter.write(out, blocks.toSeq, stats)
+          blockStats += blockAcc.result()
+          GavroFooter.write(out, blocks.toSeq, fileAcc.result(),
+            if (statTypes.nonEmpty) blockStats.toSeq else Seq.empty)
         } finally out.close()
       }
     }
+  }
+
+  /** Running min/max over the writer's stat columns (nulls skipped). */
+  private class GavroStatAcc(statTypes: Seq[(String, Byte)]) extends Serializable {
+    private val mins = new Array[Any](statTypes.length)
+    private val maxs = new Array[Any](statTypes.length)
+    private def lt(t: Byte, a: Any, b: Any): Boolean = t match {
+      case 0 => a.asInstanceOf[Long] < b.asInstanceOf[Long]
+      case 1 => a.asInstanceOf[Double] < b.asInstanceOf[Double]
+      case 2 => a.asInstanceOf[String] < b.asInstanceOf[String]
+      case 3 => !a.asInstanceOf[Boolean] && b.asInstanceOf[Boolean]
+      case 4 => a.asInstanceOf[Int] < b.asInstanceOf[Int]
+    }
+    def absorb(r: org.apache.spark.sql.Row): Unit = {
+      var i = 0
+      while (i < statTypes.length) {
+        val v = r.getAs[Any](statTypes(i)._1)
+        if (v != null) {
+          if (mins(i) == null || lt(statTypes(i)._2, v, mins(i))) mins(i) = v
+          if (maxs(i) == null || lt(statTypes(i)._2, maxs(i), v)) maxs(i) = v
+        }
+        i += 1
+      }
+    }
+    def result(): Seq[(String, GavroColStat)] =
+      statTypes.indices.filter(i => mins(i) != null).map { i =>
+        statTypes(i)._1 -> GavroColStat(statTypes(i)._2, mins(i), maxs(i))
+      }
   }
 
   /** Archive the request_log synthesis to `.gavro` files, then read them

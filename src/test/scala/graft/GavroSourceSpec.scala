@@ -441,6 +441,38 @@ class GavroSourceSpec extends SparkSpec {
       events.filter(pmod(col("event_id"), lit(7)) === 0).count())
   }
 
+  test("per-block stats prune blocks inside one clustered file") {
+    val events = Tables.events(spark, dir)
+    val out = tmpDir("blockskip")
+    // ONE file, sorted by endpoint, small blocks: each block covers a
+    // narrow endpoint range — the time-clustered-landing-file shape.
+    Gavro.write(events
+      .select(AvroCodec.requestLogRec.as("rec"))
+      .select(expr("to_avro_graft(rec, 'request_log')").as("bin"),
+        col("rec.endpoint").as("endpoint"))
+      .orderBy(col("endpoint")).coalesce(1), out,
+      blockBytes = 8192L, statCols = Seq("endpoint"))
+    val all = spark.read.format("gavro")
+      .option("schema", "request_log").load(out)
+      .select(col("id"), col("endpoint"))
+    val allScan = all.queryExecution.executedPlan.collect {
+      case b: BatchScanExec => b }.head
+    val totalBlocks = allScan.inputRDD.getNumPartitions
+    assert(totalBlocks > 2, s"need a multi-block file, got $totalBlocks")
+    val filtered = spark.read.format("gavro")
+      .option("schema", "request_log").load(out)
+      .filter(col("endpoint") >= "/api/p")
+      .select(col("id"), col("endpoint"))
+    val fScan = filtered.queryExecution.executedPlan.collect {
+      case b: BatchScanExec => b }.head
+    val opened = fScan.inputRDD.getNumPartitions
+    assert(opened < totalBlocks,
+      s"expected block pruning, opened $opened of $totalBlocks blocks")
+    val expected = events.select(AvroCodec.requestLogRec.as("rec"))
+      .filter(col("rec.endpoint") >= "/api/p").count()
+    assert(filtered.count() == expected)
+  }
+
   test("stats skip decisions are exact on every operator and boundary") {
     import graft.sources.{GavroColStat, GavroPred, GavroSkip}
     val stats = Map(
