@@ -105,12 +105,21 @@ object AvroCodec {
     * unchanged; this is schema coverage, not code. */
   lazy val OrdersCdc: ARecord = parseSchema(OrdersCdcJson)
 
+  /** The `sessions` CDC envelope (src/streaming/schemas.py:187): adds the
+    * remaining union shapes the topic family uses — BOOLEAN-FIRST
+    * `is_active` (the other documented union-order trap), a NON-NULLABLE
+    * ZonedTimestamp (`started_at` is a bare string, no union), and
+    * Debezium UUID strings. */
+  lazy val SessionsCdc: ARecord = parseSchema(SessionsCdcJson)
+
   def schemaByName(name: String): ARecord = name match {
     case "request_log" => RequestLog
     case "system_metrics" => SystemMetrics
     case "orders_cdc" => OrdersCdc
+    case "sessions_cdc" => SessionsCdc
     case other => throw new IllegalArgumentException(
-      s"unknown avro schema '$other' (known: request_log, system_metrics, orders_cdc)")
+      s"unknown avro schema '$other' " +
+        "(known: request_log, system_metrics, orders_cdc, sessions_cdc)")
   }
 
   private def sqlTypeOf(t: AvroType): DataType = t match {
@@ -549,6 +558,28 @@ object AvroCodec {
       |{"name":"__deleted","type":["null","string"],"default":null}
       |]}""".stripMargin.replace("\n", "")
 
+  /** The `sessions` CDC envelope writer schema, verbatim as the reference
+    * registers it (src/streaming/schemas.py:187): UUID primary key,
+    * boolean-first `is_active` union, non-nullable `started_at`
+    * ZonedTimestamp. */
+  val SessionsCdcJson: String =
+    """{"type":"record","name":"SessionsCdc","fields":[
+      |{"name":"id","type":{"type":"string","connect.version":1,"connect.default":"00000000-0000-0000-0000-000000000000","connect.name":"io.debezium.data.Uuid"},"default":"00000000-0000-0000-0000-000000000000"},
+      |{"name":"user_id","type":["null","long"],"default":null},
+      |{"name":"started_at","type":{"type":"string","connect.version":1,"connect.name":"io.debezium.time.ZonedTimestamp"}},
+      |{"name":"ended_at","type":["null",{"type":"string","connect.version":1,"connect.name":"io.debezium.time.ZonedTimestamp"}],"default":null},
+      |{"name":"platform","type":["null","string"],"default":null},
+      |{"name":"country_code","type":["null","string"],"default":null},
+      |{"name":"city","type":["null","string"],"default":null},
+      |{"name":"region_name","type":["null","string"],"default":null},
+      |{"name":"is_active","type":[{"type":"boolean","connect.default":true},"null"],"default":true},
+      |{"name":"created_at","type":[{"type":"string","connect.version":1,"connect.default":"1970-01-01T00:00:00.000000Z","connect.name":"io.debezium.time.ZonedTimestamp"},"null"],"default":"1970-01-01T00:00:00.000000Z"},
+      |{"name":"__op","type":["null","string"],"default":null},
+      |{"name":"__table","type":["null","string"],"default":null},
+      |{"name":"__source_ts_ms","type":["null","long"],"default":null},
+      |{"name":"__deleted","type":["null","string"],"default":null}
+      |]}""".stripMargin.replace("\n", "")
+
   // -------------------------------------------------------------- queries
 
   /** S3 closed end-to-end in-plan: synthesize request_log records from the
@@ -722,6 +753,72 @@ object AvroCodec {
       .orderBy(col("id"))
   }
 
+  /** Deterministic SessionsCdc envelope synthesis from the events fixture:
+    * Debezium-shaped UUID ids, boolean-first `is_active` with its null
+    * branch planted, non-nullable `started_at`, nullable `ended_at`. */
+  def sessionsCdcRec: org.apache.spark.sql.Column = {
+    val h = md5(col("event_id").cast("string"))
+    val uuid = concat_ws("-", substring(h, 1, 8), substring(h, 9, 4),
+      substring(h, 13, 4), substring(h, 17, 4), substring(h, 21, 12))
+    val isoPat = "yyyy-MM-dd'T'HH:mm:ss.SSSSSS'Z'"
+    val started = date_format(col("ts"), isoPat)
+    val m5 = pmod(col("user_id"), lit(5))
+    val op = when(pmod(col("event_id"), lit(29)) === 0, "d")
+      .when(pmod(col("event_id"), lit(2)) === 0, "u").otherwise("c")
+    struct(
+      uuid.as("id"),
+      when(pmod(col("user_id"), lit(11)) === 0, lit(null).cast("long"))
+        .otherwise(col("user_id")).as("user_id"),
+      started.as("started_at"),
+      when(pmod(col("event_id"), lit(3)) === 0, lit(null).cast("string"))
+        .otherwise(date_format(col("ts") + expr("INTERVAL 30 MINUTES"), isoPat))
+        .as("ended_at"),
+      when(pmod(col("user_id"), lit(3)) === 0, "web")
+        .when(pmod(col("user_id"), lit(3)) === 1, "ios")
+        .otherwise("android").as("platform"),
+      when(m5 === 0, lit(null).cast("string"))
+        .otherwise(concat(lit("C"), m5.cast("string"))).as("country_code"),
+      concat(lit("city-"), pmod(col("user_id"), lit(17)).cast("string")).as("city"),
+      when(m5 === 0, lit(null).cast("string"))
+        .otherwise(concat(lit("r"), m5.cast("string"))).as("region_name"),
+      when(pmod(col("event_id"), lit(23)) === 0, lit(null).cast("boolean"))
+        .otherwise(pmod(col("event_id"), lit(2)) === 0).as("is_active"),
+      started.as("created_at"),
+      op.as("__op"),
+      lit("sessions").as("__table"),
+      unix_millis(col("ts")).as("__source_ts_ms"),
+      when(op === "d", "true").otherwise("false").as("__deleted"))
+  }
+
+  /** The sessions CDC envelope end-to-end, completing the topic family's
+    * union-shape coverage: boolean-first `is_active` (null = branch 1),
+    * non-nullable ZonedTimestamp, UUID strings — wire-encoded, 1-in-89
+    * truncated for the PERMISSIVE channel, decoded, deleted-filtered, and
+    * every surviving column recomputed by the oracle from `events`. */
+  def cdcSessionsDecode(events: DataFrame): DataFrame = {
+    events
+      .select(col("event_id"), sessionsCdcRec.as("rec"))
+      .select(col("event_id"), expr("to_avro_graft(rec, 'sessions_cdc')").as("bin"))
+      .select(col("event_id"),
+        when(pmod(col("event_id"), lit(89)) === 0, expr("substring(bin, 1, 5)"))
+          .otherwise(col("bin")).as("bin"))
+      .select(col("event_id"), expr("from_avro_graft(bin, 'sessions_cdc')").as("d"))
+      .filter(col("d").isNotNull)
+      .filter(col("d.__deleted") =!= "true")
+      .select(col("event_id"), col("d.id").as("id"),
+        col("d.user_id").as("user_id"),
+        substring(col("d.started_at"), 1, 19).as("started_s"),
+        col("d.ended_at").as("ended_at"),
+        col("d.platform").as("platform"),
+        col("d.country_code").as("country_code"),
+        col("d.city").as("city"),
+        col("d.region_name").as("region_name"),
+        col("d.is_active").as("is_active"),
+        col("d.__op").as("op"),
+        col("d.__source_ts_ms").as("src_ms"))
+      .orderBy(col("event_id"))
+  }
+
   // ------------------------------------------------------------- registry
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -729,6 +826,7 @@ object AvroCodec {
     "avro_metrics_decode" -> ((s, d) => avroMetricsRoundtrip(Tables.events(s, d))),
     "avro_evolution" -> ((s, d) => avroEvolution(Tables.events(s, d))),
     "cdc_avro_decode" -> ((s, d) => cdcAvroDecode(Tables.orders(s, d))),
+    "cdc_sessions_decode" -> ((s, d) => cdcSessionsDecode(Tables.events(s, d))),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -806,5 +904,33 @@ object AvroCodec {
         |  strftime(o_orderdate, '%Y-%m-%d') AS created_day,
         |  (epoch_us(o_orderdate) // 1000)::BIGINT AS src_ms
         |FROM src WHERE op <> 'd' ORDER BY id""".stripMargin,
+    "cdc_sessions_decode" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, ts,
+        |    CASE WHEN event_id % 29 = 0 THEN 'd'
+        |         WHEN event_id % 2 = 0 THEN 'u' ELSE 'c' END AS op,
+        |    md5(event_id::VARCHAR) AS h
+        |  FROM events
+        |  WHERE event_id % 89 <> 0
+        |)
+        |SELECT event_id,
+        |  substr(h,1,8)||'-'||substr(h,9,4)||'-'||substr(h,13,4)||'-'||
+        |    substr(h,17,4)||'-'||substr(h,21,12) AS id,
+        |  CASE WHEN user_id % 11 = 0 THEN NULL ELSE user_id END AS user_id,
+        |  strftime(ts, '%Y-%m-%dT%H:%M:%S') AS started_s,
+        |  CASE WHEN event_id % 3 = 0 THEN NULL
+        |       ELSE strftime(ts + INTERVAL 30 MINUTE,
+        |                     '%Y-%m-%dT%H:%M:%S.%f') || 'Z' END AS ended_at,
+        |  CASE WHEN user_id % 3 = 0 THEN 'web'
+        |       WHEN user_id % 3 = 1 THEN 'ios' ELSE 'android' END AS platform,
+        |  CASE WHEN user_id % 5 = 0 THEN NULL
+        |       ELSE 'C' || (user_id % 5)::VARCHAR END AS country_code,
+        |  'city-' || (user_id % 17)::VARCHAR AS city,
+        |  CASE WHEN user_id % 5 = 0 THEN NULL
+        |       ELSE 'r' || (user_id % 5)::VARCHAR END AS region_name,
+        |  CASE WHEN event_id % 23 = 0 THEN NULL
+        |       ELSE event_id % 2 = 0 END AS is_active,
+        |  op, (epoch_us(ts) // 1000)::BIGINT AS src_ms
+        |FROM e WHERE op <> 'd' ORDER BY event_id""".stripMargin,
   )
 }

@@ -285,6 +285,56 @@ class AvroSpec extends SparkSpec {
     }
   }
 
+  test("sessions envelope: boolean-first union + non-nullable ZonedTimestamp") {
+    val r = AvroCodec.SessionsCdc
+    assert(r.name == "SessionsCdc" && r.fields.length == 14)
+    // The OTHER documented union-order trap: is_active puts boolean first.
+    assert(r.fields(8) == AField("is_active", AUnion(Vector(ABoolean, ANull))))
+    // started_at is a BARE string (UUID/ZonedTimestamp annotations melt to
+    // string) — no union, so a null there must fail encode, not wire-null.
+    assert(r.fields(2) == AField("started_at", AString))
+    assert(r.fields(0) == AField("id", AString))
+  }
+
+  test("sessions envelope wire format agrees with org.apache.avro byte-for-byte") {
+    import org.apache.avro.generic.{GenericData, GenericDatumReader, GenericDatumWriter}
+    import org.apache.avro.io.{DecoderFactory, EncoderFactory}
+    val schema = new org.apache.avro.Schema.Parser().parse(AvroCodec.SessionsCdcJson)
+    val rec = AvroCodec.SessionsCdc
+    val rng = new scala.util.Random(17)
+    for (_ <- 1 to 50) {
+      def mbStr(): Any =
+        if (rng.nextBoolean()) null
+        else UTF8String.fromString(rng.alphanumeric.take(rng.nextInt(16)).mkString)
+      def str(): Any = UTF8String.fromString(
+        rng.alphanumeric.take(1 + rng.nextInt(12)).mkString)
+      val vals: Array[Any] = Array(
+        str(),                                           // id (required)
+        if (rng.nextBoolean()) null else rng.nextLong(), // user_id
+        str(),                                           // started_at (required)
+        mbStr(),                                         // ended_at
+        mbStr(), mbStr(), mbStr(), mbStr(),              // platform..region
+        if (rng.nextBoolean()) null else rng.nextBoolean(), // is_active (bool-first)
+        mbStr(),                                         // created_at
+        mbStr(), mbStr(),                                // __op/__table
+        if (rng.nextBoolean()) null else rng.nextLong(), // __source_ts_ms
+        mbStr())                                         // __deleted
+      val ours = AvroCodec.encode(rec, vals(_), i => vals(i) == null)
+      val reader = new GenericDatumReader[GenericData.Record](schema)
+      val got = reader.read(null, DecoderFactory.get().binaryDecoder(ours, null))
+      for (i <- vals.indices) vals(i) match {
+        case null => assert(got.get(i) == null, s"field $i")
+        case s: UTF8String => assert(got.get(i).toString == s.toString, s"field $i")
+        case v => assert(got.get(i) == v, s"field $i: ${got.get(i)} vs $v")
+      }
+      val writer = new GenericDatumWriter[GenericData.Record](schema)
+      val bos = new java.io.ByteArrayOutputStream()
+      val enc = EncoderFactory.get().binaryEncoder(bos, null)
+      writer.write(got, enc); enc.flush()
+      assert(java.util.Arrays.equals(bos.toByteArray, ours))
+    }
+  }
+
   test("orders envelope PERMISSIVE: truncation and bad union index null out") {
     val rec = AvroCodec.OrdersCdc
     val vals: Array[Any] = Array(7L, 3L, 1.5, UTF8String.fromString("USD"),
