@@ -100,4 +100,30 @@ class EdgeCaseSpec extends SparkSpec {
     val attr = graft.ops.Temporal.purchaseAttribution(onlyPurchases).collect()
     assert(attr.length == 2 && attr.forall(_.getAs[String]("channel") == "direct"))
   }
+
+  test("a 10k-event bot session keeps the path agg buffer at 8 structs") {
+    import java.sql.Timestamp
+    import spark.implicits._
+    // One user, 10k events 1s apart (never a 30-min gap → ONE session),
+    // plus a 2-event control user. The rn<=8 guard means the monster
+    // session's collect buffer holds 8 structs, not 10k — functionally:
+    // the path is exactly the first 8 event types, n_events is the true
+    // 10k, and the run completes quickly.
+    val bot = (0 until 10000).map(i =>
+      (i.toLong, new Timestamp(1700000000000L + i * 1000L), 7L,
+        if (i % 3 == 0) "view" else "click", 1.0, "{}"))
+    val ctl = Seq(
+      (20000L, new Timestamp(1700000000000L), 8L, "purchase", 5.0, "{}"),
+      (20001L, new Timestamp(1700000001000L), 8L, "error", 0.0, "{}"))
+    val events = (bot ++ ctl)
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val paths = graft.ops.Temporal.sessionPaths(events).collect()
+    val botRow = paths.find(r =>
+      r.getAs[Long]("n_events") == 10000L).getOrElse(fail(s"no bot row: ${paths.mkString(";")}"))
+    // first 8 events: i=0..7 → view,click,click,view,click,click,view,click
+    assert(botRow.getAs[String]("path") ==
+      "view>click>click>view>click>click>view>click")
+    assert(paths.exists(r => r.getAs[Long]("n_events") == 2L &&
+      r.getAs[String]("path") == "purchase>error"))
+  }
 }
