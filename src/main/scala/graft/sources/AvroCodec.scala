@@ -254,26 +254,6 @@ object AvroCodec {
       new GenericInternalRow(out)
     } catch { case _: IllegalArgumentException | _: ArrayIndexOutOfBoundsException => null }
 
-  /** Decode with column pruning pushed INTO the parse: `target(i)` is the
-    * output ordinal for record field i, or -1 to skip — skipped values are
-    * parsed past (Avro has no field offsets; the wire must be walked) but
-    * never materialized: no UTF8String allocation, no boxing. Null on
-    * malformed input (PERMISSIVE), like [[decode]]. */
-  def decodeProjected(r: ARecord, bytes: Array[Byte], target: Array[Int],
-      outWidth: Int): InternalRow =
-    try {
-      val in = new Reader(bytes)
-      val out = new Array[Any](outWidth)
-      var i = 0
-      while (i < r.fields.length) {
-        val tgt = target(i)
-        if (tgt >= 0) out(tgt) = readValue(in, r.fields(i).tpe)
-        else skipValue(in, r.fields(i).tpe)
-        i += 1
-      }
-      new GenericInternalRow(out)
-    } catch { case _: IllegalArgumentException | _: ArrayIndexOutOfBoundsException => null }
-
   private def skipValue(in: Reader, t: AvroType): Unit = t match {
     case AUnion(bs) =>
       val idx = in.readLong()
@@ -425,6 +405,41 @@ object AvroCodec {
       }
       new GenericInternalRow(out)
     } catch { case _: IllegalArgumentException | _: ArrayIndexOutOfBoundsException => null }
+
+  /** [[decodeResolved]] with column pruning pushed into the parse, for the
+    * gavro scan's evolved-reader path: `target(r)` is the output ordinal
+    * for READER ordinal r (-1 = pruned). Writer-only fields and pruned
+    * reader fields are parsed past, never materialized; promotions apply
+    * on the kept values; `readerNullable(r)` enforces the
+    * null-into-non-nullable rejection (→ PERMISSIVE null record), same as
+    * the unprojected path. */
+  def decodeResolvedProjected(plan: Array[FieldPlan], bytes: Array[Byte],
+      target: Array[Int], outWidth: Int,
+      readerNullable: Array[Boolean]): InternalRow =
+    try {
+      val in = new Reader(bytes)
+      val out = new Array[Any](outWidth)
+      var i = 0
+      while (i < plan.length) {
+        val p = plan(i)
+        val tgt = if (p.ordinal < 0) -1 else target(p.ordinal)
+        if (tgt >= 0) {
+          val v = readValue(in, p.writerTpe)
+          if (v == null && !readerNullable(p.ordinal))
+            throw new IllegalArgumentException("null into non-nullable reader field")
+          out(tgt) = if (v == null) null else promote(v, p.readerBase)
+        } else skipValue(in, p.writerTpe)
+        i += 1
+      }
+      new GenericInternalRow(out)
+    } catch { case _: IllegalArgumentException | _: ArrayIndexOutOfBoundsException => null }
+
+  /** Per-reader-field wire nullability, for [[decodeResolvedProjected]]. */
+  def nullableFlags(reader: ARecord): Array[Boolean] =
+    reader.fields.map(f => f.tpe match {
+      case AUnion(bs) => bs.contains(ANull)
+      case _ => false
+    }).toArray
 
   // ------------------------------------------------- Catalyst expressions
 

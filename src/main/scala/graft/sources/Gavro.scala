@@ -38,10 +38,17 @@ import org.apache.spark.unsafe.types.UTF8String
   *     against the pushed predicates ([[GavroSkip]]): a file whose value
   *     range excludes a conjunct is never opened;
   *   - [[SupportsPushDownRequiredColumns]]: Catalyst's pruned schema is
-  *     pushed INTO [[AvroCodec.decodeProjected]] — Avro has no field
-  *     offsets so skipped fields are still walked on the wire, but never
-  *     materialized (no string allocation, no boxing). `.explain` shows
-  *     the pruned `ReadSchema` on the `BatchScan` node, same as parquet.
+  *     pushed INTO [[AvroCodec.decodeResolvedProjected]] — Avro has no
+  *     field offsets so skipped fields are still walked on the wire, but
+  *     never materialized (no string allocation, no boxing). `.explain`
+  *     shows the pruned `ReadSchema` on the `BatchScan` node, same as
+  *     parquet;
+  *   - an optional `readerSchema` option decodes the archive through Avro
+  *     SCHEMA RESOLUTION against the on-file writer schema (promotions,
+  *     dropped writer fields parsed past, reader-only fields
+  *     null-defaulted) — backfill with an evolved consumer schema, with
+  *     pruning, pushed filters, and pushed aggregates all operating on
+  *     the reader view;
   *   - [[SupportsPushDownFilters]]: eq/lt/gt/null-test conjuncts on scalar
   *     fields are accepted at the builder and evaluated INSIDE the reader
   *     loop right after decode — a non-matching record never becomes a row
@@ -65,18 +72,29 @@ class GavroSource extends TableProvider with DataSourceRegister {
   // corrupt channel emits all-null rows, so a non-nullable column here
   // would let downstream codegen elide null checks and NPE (spark-avro's
   // PERMISSIVE mode makes the same relaxation).
-  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    StructType(AvroCodec.sqlType(AvroCodec.schemaByName(options.get("schema")))
-      .fields.map(_.copy(nullable = true)))
+  //
+  // An optional `readerSchema` (Avro JSON) evolves the scan: the table's
+  // shape is the READER's, and each record is decoded through Avro schema
+  // resolution against the on-file writer schema (promotions, dropped
+  // writer fields parsed past, reader-only fields null-defaulted) — the
+  // "backfill the archive with this quarter's consumer schema" path.
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    val rec = Option(options.get("readerSchema"))
+      .map(AvroCodec.parseSchema)
+      .getOrElse(AvroCodec.schemaByName(options.get("schema")))
+    StructType(AvroCodec.sqlType(rec).fields.map(_.copy(nullable = true)))
+  }
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: java.util.Map[String, String]): Table = {
     val opts = new CaseInsensitiveStringMap(properties)
-    new GavroTable(schema, opts.get("path"), opts.get("schema"))
+    new GavroTable(schema, opts.get("path"), opts.get("schema"),
+      Option(opts.get("readerSchema")))
   }
 }
 
-class GavroTable(tableSchema: StructType, path: String, schemaName: String)
+class GavroTable(tableSchema: StructType, path: String, schemaName: String,
+    readerJson: Option[String])
     extends Table with SupportsRead {
   require(path != null, "gavro: 'path' option is required")
   override def name(): String = s"gavro(`$path`, $schemaName)"
@@ -85,14 +103,19 @@ class GavroTable(tableSchema: StructType, path: String, schemaName: String)
     java.util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new GavroScanBuilder(tableSchema, path, schemaName)
+    new GavroScanBuilder(tableSchema, path, schemaName, readerJson)
 }
 
-class GavroScanBuilder(full: StructType, path: String, schemaName: String)
+class GavroScanBuilder(full: StructType, path: String, schemaName: String,
+    readerJson: Option[String] = None)
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with SupportsPushDownFilters with SupportsPushDownLimit
     with SupportsPushDownAggregates {
-  private val record = AvroCodec.schemaByName(schemaName)
+  // Pushdown eligibility is judged against the READER view: predicates
+  // and aggregates reference reader columns, and the reader evaluates
+  // them on post-resolution (promoted) values.
+  private val record = readerJson.map(AvroCodec.parseSchema)
+    .getOrElse(AvroCodec.schemaByName(schemaName))
   private var required: StructType = full
   private var pushed: Array[Filter] = Array.empty
   private var limit: Int = -1
@@ -193,7 +216,7 @@ class GavroScanBuilder(full: StructType, path: String, schemaName: String)
   override def build(): Scan =
     new GavroScan(path, schemaName,
       if (agg != null) agg.schema else required, pushed, limit,
-      Option(agg))
+      Option(agg), readerJson)
 }
 
 /** Scan-level observability (DSv2 custom metrics): decoded-record and
@@ -224,7 +247,7 @@ case class GAggSpec(op: String, field: String) extends Serializable
 
 class GavroScan(path: String, schemaName: String, required: StructType,
     pushed: Array[Filter], limit: Int,
-    agg: Option[GavroAgg] = None)
+    agg: Option[GavroAgg] = None, readerJson: Option[String] = None)
     extends Scan with Batch with SupportsReportStatistics {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
@@ -270,13 +293,13 @@ class GavroScan(path: String, schemaName: String, required: StructType,
   }
   override def createReaderFactory(): PartitionReaderFactory =
     GavroReaderFactory(schemaName, required.fieldNames,
-      pushed.map(GavroPred.from), limit, agg)
+      pushed.map(GavroPred.from), limit, agg, readerJson)
   override def supportedCustomMetrics(): Array[CustomMetric] =
     Array(new GavroMetrics.Records, new GavroMetrics.Corrupt)
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
     new GavroMicroBatchStream(path, schemaName, required.fieldNames,
-      pushed.map(GavroPred.from))
+      pushed.map(GavroPred.from), readerJson)
 }
 
 /** Streaming offset = how many files (in name order) have been consumed.
@@ -299,7 +322,8 @@ case class GavroStreamOffset(files: Int)
   * tail (stream) execute identical decode/filter code against identical
   * files. */
 class GavroMicroBatchStream(path: String, schemaName: String,
-    requiredNames: Array[String], preds: Array[GavroPred])
+    requiredNames: Array[String], preds: Array[GavroPred],
+    readerJson: Option[String] = None)
     extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
   import org.apache.spark.sql.connector.read.streaming.Offset
 
@@ -324,7 +348,7 @@ class GavroMicroBatchStream(path: String, schemaName: String,
       .map(p => p: InputPartition)
   }
   override def createReaderFactory(): PartitionReaderFactory =
-    GavroReaderFactory(schemaName, requiredNames, preds, -1, None)
+    GavroReaderFactory(schemaName, requiredNames, preds, -1, None, readerJson)
 }
 
 /** Serializable reader-side form of one pushed conjunct. `value` is one of
@@ -540,13 +564,14 @@ object GavroSkip {
   * rebuilt per reader. */
 case class GavroReaderFactory(schemaName: String, requiredNames: Array[String],
     preds: Array[GavroPred], limit: Int,
-    agg: Option[GavroAgg] = None) extends PartitionReaderFactory {
+    agg: Option[GavroAgg] = None,
+    readerJson: Option[String] = None) extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[GavroInputPartition]
     agg match {
-      case Some(a) => new GavroAggPartitionReader(p, schemaName, a, preds)
+      case Some(a) => new GavroAggPartitionReader(p, schemaName, a, preds, readerJson = readerJson)
       case None =>
-        new GavroPartitionReader(p, schemaName, requiredNames, preds, limit)
+        new GavroPartitionReader(p, schemaName, requiredNames, preds, limit, readerJson)
     }
   }
 }
@@ -572,14 +597,17 @@ case class GavroReaderFactory(schemaName: String, requiredNames: Array[String],
   * volume, never above it. */
 class GavroAggPartitionReader(part: GavroInputPartition, schemaName: String,
     agg: GavroAgg, preds: Array[GavroPred],
-    maxGroups: Int = GavroAggReader.MaxGroups)
+    maxGroups: Int = GavroAggReader.MaxGroups,
+    readerJson: Option[String] = None)
     extends PartitionReader[InternalRow] {
-  private val record = AvroCodec.schemaByName(schemaName)
+  // Aggregation semantics follow the READER view (promoted types).
+  private val record = readerJson.map(AvroCodec.parseSchema)
+    .getOrElse(AvroCodec.schemaByName(schemaName))
   private val inputNames: Array[String] =
     agg.groups ++ agg.specs.flatMap(s => Option(s.field))
       .distinct.filterNot(agg.groups.contains)
   private val rows =
-    new GavroPartitionReader(part, schemaName, inputNames, preds, -1)
+    new GavroPartitionReader(part, schemaName, inputNames, preds, -1, readerJson)
   private val slotOf: Map[String, Int] = inputNames.zipWithIndex.toMap
   private def doubleSum(name: String): Boolean =
     record.fields.exists(f => f.name == name &&
@@ -676,16 +704,23 @@ object GavroAggReader {
 }
 
 class GavroPartitionReader(part: GavroInputPartition, schemaName: String,
-    requiredNames: Array[String], preds: Array[GavroPred], limit: Int)
+    requiredNames: Array[String], preds: Array[GavroPred], limit: Int,
+    readerJson: Option[String] = None)
     extends PartitionReader[InternalRow] {
   private var emitted = 0
-  private val record = AvroCodec.schemaByName(schemaName)
+  // Wire walking follows the WRITER schema; row shape and required
+  // columns follow the READER. Without a readerSchema option the two
+  // coincide and the resolve plan is the identity.
+  private val writer = AvroCodec.schemaByName(schemaName)
+  private val reader = readerJson.map(AvroCodec.parseSchema).getOrElse(writer)
+  private val plan = AvroCodec.resolvePlan(writer, reader)
+  private val readerNullable = AvroCodec.nullableFlags(reader)
   // Decode target = required columns, then any filter-only columns appended
   // after them — evaluated, never emitted.
   private val extNames: Array[String] =
     requiredNames ++ preds.map(_.name).distinct.filterNot(requiredNames.contains)
   private val target: Array[Int] =
-    record.fields.map(f => extNames.indexOf(f.name)).toArray
+    reader.fields.map(f => extNames.indexOf(f.name)).toArray
   // Pre-resolve each conjunct to (slot, op, comparison value); string
   // literals become UTF8String ONCE so the per-row compare is binary
   // UTF-8 order (Spark's string ordering) with zero allocation.
@@ -770,8 +805,8 @@ class GavroPartitionReader(part: GavroInputPartition, schemaName: String,
       if (n < 0 || pos + n > bytes.length) return false // truncated tail: stop
       val body = java.util.Arrays.copyOfRange(bytes, pos, pos + n)
       pos += n
-      val decoded = AvroCodec.decodeProjected(record, body, target,
-        extNames.length)
+      val decoded = AvroCodec.decodeResolvedProjected(plan, body, target,
+        extNames.length, readerNullable)
       nRecords += 1
       if (decoded == null) nCorrupt += 1
       // PERMISSIVE: undecodable body → all-null row, count preserved
@@ -953,10 +988,31 @@ object Gavro {
       .orderBy(col("endpoint"))
   }
 
+  /** The archive re-read through an EVOLVED consumer schema
+    * (`AvroCodec.RequestLogV2Json`: status_code int→long, latency_ms
+    * int→double, platform dropped, nullable trace_id added): schema
+    * resolution runs inside the scan's decode loop, composed with a
+    * pushed filter on a PROMOTED column and column pruning. The oracle
+    * recomputes the evolved view straight from `events`, so a hash match
+    * proves the resolution is exactly the reference consumer's. */
+  def gavroEvolvedScan(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = archive(spark, sfDir)
+    spark.read.format("gavro").option("schema", "request_log")
+      .option("readerSchema", AvroCodec.RequestLogV2Json).load(dir)
+      .filter(col("status_code") === 200L)
+      .groupBy(col("endpoint"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("latency_ms")).as("sum_latency"),
+        count(col("trace_id")).as("n_trace"),
+        count(col("user_id")).as("n_user_known"))
+      .orderBy(col("endpoint"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "gavro_scan" -> ((s, d) => gavroScan(s, d)),
     "gavro_scan_pushdown" -> ((s, d) => gavroScanPushdown(s, d)),
     "gavro_agg_pushdown" -> ((s, d) => gavroAggPushdown(s, d)),
+    "gavro_evolved_scan" -> ((s, d) => gavroEvolvedScan(s, d)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -977,6 +1033,14 @@ object Gavro {
         |  sum(event_id % 500)::BIGINT AS sum_latency,
         |  min(event_id % 500)::INT AS min_latency,
         |  max(event_id % 500)::INT AS max_latency,
+        |  count(CASE WHEN user_id % 11 = 0 THEN NULL ELSE user_id END) AS n_user_known
+        |FROM events WHERE event_id % 7 <> 0
+        |GROUP BY 1 ORDER BY endpoint""".stripMargin,
+    "gavro_evolved_scan" ->
+      """SELECT '/api/' || event_type AS endpoint,
+        |  count(*) AS n,
+        |  sum(event_id % 500)::DOUBLE AS sum_latency,
+        |  0::BIGINT AS n_trace,
         |  count(CASE WHEN user_id % 11 = 0 THEN NULL ELSE user_id END) AS n_user_known
         |FROM events WHERE event_id % 7 <> 0
         |GROUP BY 1 ORDER BY endpoint""".stripMargin,

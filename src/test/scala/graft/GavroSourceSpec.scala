@@ -473,6 +473,44 @@ class GavroSourceSpec extends SparkSpec {
     assert(filtered.count() == expected)
   }
 
+  test("an evolved reader schema resolves inside the scan") {
+    import org.apache.spark.sql.types.{DoubleType, LongType}
+    val events = Tables.events(spark, dir)
+    val out = tmpDir("evolve")
+    Gavro.write(events.select(AvroCodec.requestLogRec.as("rec"))
+      .select(expr("to_avro_graft(rec, 'request_log')").as("bin")), out)
+    val evolved = spark.read.format("gavro").option("schema", "request_log")
+      .option("readerSchema", AvroCodec.RequestLogV2Json).load(out)
+    // Shape is the READER's: promotions applied, platform dropped,
+    // trace_id present (and always null — absent from the writer).
+    assert(evolved.schema("status_code").dataType == LongType)
+    assert(evolved.schema("latency_ms").dataType == DoubleType)
+    assert(!evolved.columns.contains("platform"))
+    val got = evolved.select(col("id"), col("status_code"),
+      col("latency_ms"), col("trace_id")).collect()
+    assert(got.nonEmpty && got.forall(_.isNullAt(3)))
+    val want = events.select(col("event_id").as("id"),
+      when(pmod(col("event_id"), lit(7)) === 0, 500L).otherwise(200L)
+        .as("status_code"),
+      pmod(col("event_id"), lit(500)).cast("double").as("latency_ms"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    got.foreach { r =>
+      val (st, lat) = want(r.getLong(0))
+      assert(r.getLong(1) == st && r.getDouble(2) == lat, s"row ${r.getLong(0)}")
+    }
+    // A pushed filter on the PROMOTED column still vanishes from the plan
+    // and the evolved values still filter correctly.
+    val filtered = spark.read.format("gavro").option("schema", "request_log")
+      .option("readerSchema", AvroCodec.RequestLogV2Json).load(out)
+      .filter(col("status_code") === 500L).select(col("id"))
+    val fexec = filtered.queryExecution.executedPlan
+    assert(fexec.collect {
+      case f: org.apache.spark.sql.execution.FilterExec => f }.isEmpty,
+      fexec.toString)
+    assert(filtered.count() ==
+      events.filter(pmod(col("event_id"), lit(7)) === 0).count())
+  }
+
   test("stats skip decisions are exact on every operator and boundary") {
     import graft.sources.{GavroColStat, GavroPred, GavroSkip}
     val stats = Map(
