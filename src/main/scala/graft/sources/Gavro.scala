@@ -95,15 +95,23 @@ class GavroSource extends TableProvider with DataSourceRegister {
 
 class GavroTable(tableSchema: StructType, path: String, schemaName: String,
     readerJson: Option[String])
-    extends Table with SupportsRead {
+    extends Table with SupportsRead
+    with org.apache.spark.sql.connector.catalog.SupportsWrite {
   require(path != null, "gavro: 'path' option is required")
   override def name(): String = s"gavro(`$path`, $schemaName)"
   override def schema(): StructType = tableSchema
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ,
-      TableCapability.MICRO_BATCH_READ)
+      TableCapability.MICRO_BATCH_READ,
+      TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GavroScanBuilder(tableSchema, path, schemaName, readerJson)
+  override def newWriteBuilder(
+      info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder =
+    new GavroWriteBuilder(path, schemaName, info.schema(),
+      Option(info.options.get("blockBytes")).map(_.toLong)
+        .getOrElse(Gavro.DefaultBlockBytes))
 }
 
 class GavroScanBuilder(full: StructType, path: String, schemaName: String,
@@ -217,6 +225,179 @@ class GavroScanBuilder(full: StructType, path: String, schemaName: String,
     new GavroScan(path, schemaName,
       if (agg != null) agg.schema else required, pushed, limit,
       Option(agg), readerJson)
+}
+
+/** DSv2 WRITE path: `df.write.format("gavro").option("schema", …)
+  * .save(dir)` encodes each row to the Avro wire format INSIDE the sink
+  * and emits footer-indexed `.gavro` files — the archiver becomes a
+  * standard Spark write, and block offsets + min/max stats (every
+  * pushdown-eligible scalar field, automatically) come for free, so what
+  * this sink writes, the scan can split and skip.
+  *
+  * Commit protocol, the part that makes it safe on a real cluster: each
+  * task writes a hidden `.tmp` file and reports it in its commit message;
+  * the driver PUBLISHES by renaming temp files to the next sequential
+  * `part-NNNNN.gavro` names (continuing past the highest existing index,
+  * so appended batches sort AFTER prior files — the append-only listing
+  * order the streaming tail's offset depends on). A failed job leaves
+  * only invisible temp files (scan listing matches `.gavro` suffix with a
+  * `part-` prefix); abort deletes them. `mode("overwrite")` routes
+  * through `SupportsTruncate`: existing data files are deleted at commit
+  * time, after every task has succeeded — never before. */
+class GavroWriteBuilder(path: String, schemaName: String, in: StructType,
+    blockBytes: Long)
+    extends org.apache.spark.sql.connector.write.WriteBuilder
+    with org.apache.spark.sql.connector.write.SupportsTruncate {
+  private var overwrite = false
+  override def truncate(): org.apache.spark.sql.connector.write.WriteBuilder = {
+    overwrite = true; this
+  }
+  override def buildForBatch(): org.apache.spark.sql.connector.write.BatchWrite = {
+    val record = AvroCodec.schemaByName(schemaName)
+    val expected = AvroCodec.sqlType(record)
+    require(in.length == expected.length &&
+      in.fields.zip(expected.fields).forall { case (a, b) =>
+        a.name == b.name && a.dataType == b.dataType },
+      s"gavro write: frame schema ${in.simpleString} does not match " +
+        s"'$schemaName' ${expected.simpleString}")
+    new GavroBatchWrite(path, schemaName, overwrite, blockBytes)
+  }
+}
+
+case class GavroTempFile(tmp: String)
+    extends org.apache.spark.sql.connector.write.WriterCommitMessage
+
+class GavroBatchWrite(path: String, schemaName: String, overwrite: Boolean,
+    blockBytes: Long)
+    extends org.apache.spark.sql.connector.write.BatchWrite {
+  override def createBatchWriterFactory(
+      info: org.apache.spark.sql.connector.write.PhysicalWriteInfo)
+      : org.apache.spark.sql.connector.write.DataWriterFactory =
+    GavroWriterFactory(path, schemaName, blockBytes)
+
+  override def commit(
+      messages: Array[org.apache.spark.sql.connector.write.WriterCommitMessage]): Unit = {
+    val d = new java.io.File(path)
+    if (overwrite)
+      Option(d.listFiles()).getOrElse(Array.empty)
+        .filter(_.getName.endsWith(".gavro")).foreach(_.delete())
+    val existingMax = Option(d.listFiles()).getOrElse(Array.empty)
+      .map(_.getName).filter(n => n.startsWith("part-") && n.endsWith(".gavro"))
+      .flatMap(n => n.stripPrefix("part-").stripSuffix(".gavro").toIntOption)
+      .foldLeft(-1)(math.max)
+    messages.collect { case GavroTempFile(tmp) => tmp }.sorted.zipWithIndex
+      .foreach { case (tmp, i) =>
+        val dst = new java.io.File(d, f"part-${existingMax + 1 + i}%05d.gavro")
+        if (!new java.io.File(tmp).renameTo(dst))
+          throw new java.io.IOException(s"gavro commit: cannot publish $tmp")
+      }
+  }
+
+  override def abort(
+      messages: Array[org.apache.spark.sql.connector.write.WriterCommitMessage]): Unit =
+    messages.collect { case GavroTempFile(tmp) => new java.io.File(tmp).delete() }
+}
+
+case class GavroWriterFactory(path: String, schemaName: String,
+    blockBytes: Long)
+    extends org.apache.spark.sql.connector.write.DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long)
+      : org.apache.spark.sql.connector.write.DataWriter[InternalRow] =
+    new GavroDataWriter(path, schemaName, partitionId, taskId, blockBytes)
+}
+
+class GavroDataWriter(path: String, schemaName: String, partitionId: Int,
+    taskId: Long, blockBytes: Long = Gavro.DefaultBlockBytes)
+    extends org.apache.spark.sql.connector.write.DataWriter[InternalRow] {
+  private val record = AvroCodec.schemaByName(schemaName)
+  private val types = AvroCodec.sqlType(record).fields.map(_.dataType)
+  // Stats on every pushdown-eligible scalar field, by record ordinal.
+  private val statFields: Array[(Int, Byte)] = record.fields.zipWithIndex
+    .flatMap { case (f, i) =>
+      (AvroCodec.unwrapNull(f.tpe) match {
+        case AvroCodec.ALong => Some(0: Byte)
+        case AvroCodec.ADouble => Some(1: Byte)
+        case AvroCodec.AString => Some(2: Byte)
+        case AvroCodec.ABoolean => Some(3: Byte)
+        case AvroCodec.AInt => Some(4: Byte)
+        case _ => None
+      }).map(i -> _)
+    }.toArray
+  private val dir = { val d = new java.io.File(path); d.mkdirs(); d }
+  private val tmp = java.io.File.createTempFile(
+    f".write-$partitionId%05d-$taskId", ".gavro.tmp", dir)
+  private val out = new java.io.BufferedOutputStream(
+    new java.io.FileOutputStream(tmp))
+  private val blocks = scala.collection.mutable.ArrayBuffer(0L)
+  private val blockStats =
+    scala.collection.mutable.ArrayBuffer.empty[Seq[(String, GavroColStat)]]
+  private var offset = 0L
+  private var blockStart = 0L
+  private var fileAcc = new GavroWriteStatAcc(record, statFields)
+  private var blockAcc = new GavroWriteStatAcc(record, statFields)
+
+  override def write(row: InternalRow): Unit = {
+    if (offset - blockStart >= blockBytes) {
+      blocks += offset; blockStart = offset
+      blockStats += blockAcc.result()
+      blockAcc = new GavroWriteStatAcc(record, statFields)
+    }
+    val b = AvroCodec.encode(record, i => row.get(i, types(i)), row.isNullAt)
+    out.write(Array[Byte]((b.length >>> 24).toByte, (b.length >>> 16).toByte,
+      (b.length >>> 8).toByte, b.length.toByte))
+    out.write(b)
+    offset += 4L + b.length
+    fileAcc.absorb(row); blockAcc.absorb(row)
+  }
+
+  override def commit(): org.apache.spark.sql.connector.write.WriterCommitMessage = {
+    blockStats += blockAcc.result()
+    GavroFooter.write(out, blocks.toSeq, fileAcc.result(),
+      if (statFields.nonEmpty) blockStats.toSeq else Seq.empty)
+    out.close()
+    GavroTempFile(tmp.getAbsolutePath)
+  }
+
+  override def abort(): Unit = { out.close(); tmp.delete() }
+  override def close(): Unit = ()
+}
+
+/** Running min/max over InternalRow values (nulls skipped); string values
+  * are stored as JVM strings for the footer codec. */
+class GavroWriteStatAcc(record: AvroCodec.ARecord,
+    statFields: Array[(Int, Byte)]) {
+  private val mins = new Array[Any](statFields.length)
+  private val maxs = new Array[Any](statFields.length)
+  private def lt(t: Byte, a: Any, b: Any): Boolean = t match {
+    case 0 => a.asInstanceOf[Long] < b.asInstanceOf[Long]
+    case 1 => a.asInstanceOf[Double] < b.asInstanceOf[Double]
+    case 2 => a.asInstanceOf[String] < b.asInstanceOf[String]
+    case 3 => !a.asInstanceOf[Boolean] && b.asInstanceOf[Boolean]
+    case 4 => a.asInstanceOf[Int] < b.asInstanceOf[Int]
+  }
+  def absorb(row: InternalRow): Unit = {
+    var i = 0
+    while (i < statFields.length) {
+      val (ord, tpe) = statFields(i)
+      if (!row.isNullAt(ord)) {
+        val v0 = tpe match {
+          case 0 => row.getLong(ord)
+          case 1 => row.getDouble(ord)
+          case 2 => row.getUTF8String(ord).toString
+          case 3 => row.getBoolean(ord)
+          case 4 => row.getInt(ord)
+        }
+        if (mins(i) == null || lt(tpe, v0, mins(i))) mins(i) = v0
+        if (maxs(i) == null || lt(tpe, maxs(i), v0)) maxs(i) = v0
+      }
+      i += 1
+    }
+  }
+  def result(): Seq[(String, GavroColStat)] =
+    statFields.indices.filter(i => mins(i) != null).map { i =>
+      record.fields(statFields(i)._1).name ->
+        GavroColStat(statFields(i)._2, mins(i), maxs(i))
+    }
 }
 
 /** Scan-level observability (DSv2 custom metrics): decoded-record and

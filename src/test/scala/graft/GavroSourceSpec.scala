@@ -511,6 +511,69 @@ class GavroSourceSpec extends SparkSpec {
       events.filter(pmod(col("event_id"), lit(7)) === 0).count())
   }
 
+  test("DSv2 write: encode-in-sink round-trips, names sequence, overwrite truncates") {
+    val events = Tables.events(spark, dir)
+    val out = tmpDir("dsv2write")
+    val recs = events.select(AvroCodec.requestLogRec.as("rec")).select(col("rec.*"))
+    recs.repartition(3).write.format("gavro").option("schema", "request_log")
+      .mode("append").save(out)
+    val names = new java.io.File(out).listFiles()
+      .map(_.getName).filter(_.endsWith(".gavro")).sorted.toSeq
+    assert(names == Seq("part-00000.gavro", "part-00001.gavro", "part-00002.gavro"))
+    // No temp droppings left behind.
+    assert(!new java.io.File(out).listFiles().exists(_.getName.endsWith(".tmp")))
+    // Round-trip equality at the wire's millis grain.
+    val back = spark.read.format("gavro").option("schema", "request_log").load(out)
+    assert(back.count() == events.count())
+    assert(back.agg(sum(col("id"))).head.getLong(0) ==
+      events.agg(sum(col("event_id"))).head.getLong(0))
+    // Appended batch continues the sequence — sorts AFTER prior files,
+    // preserving the streaming tail's offset contract.
+    recs.limit(10).coalesce(1).write.format("gavro")
+      .option("schema", "request_log").mode("append").save(out)
+    val names2 = new java.io.File(out).listFiles()
+      .map(_.getName).filter(_.endsWith(".gavro")).sorted.toSeq
+    assert(names2.last == "part-00003.gavro" && names2.size == 4)
+    assert(spark.read.format("gavro").option("schema", "request_log")
+      .load(out).count() == events.count() + 10)
+    // Overwrite replaces everything.
+    recs.limit(5).coalesce(1).write.format("gavro")
+      .option("schema", "request_log").mode("overwrite").save(out)
+    assert(spark.read.format("gavro").option("schema", "request_log")
+      .load(out).count() == 5)
+    // A frame that is not the record shape is rejected up front.
+    intercept[Exception] {
+      events.select(col("event_id")).write.format("gavro")
+        .option("schema", "request_log").mode("append").save(out)
+    }
+  }
+
+  test("DSv2 write emits footer stats and blocks the scan can split and skip") {
+    val events = Tables.events(spark, dir)
+    val out = tmpDir("dsv2writestats")
+    // One sorted partition, small blocks: written footer must let the
+    // scan split the single file AND prune blocks under a predicate —
+    // proof the sink's metadata is the scan's metadata.
+    events.select(AvroCodec.requestLogRec.as("rec")).select(col("rec.*"))
+      .orderBy(col("endpoint")).coalesce(1)
+      .write.format("gavro").option("schema", "request_log")
+      .option("blockBytes", "8192").mode("overwrite").save(out)
+    assert(new java.io.File(out).listFiles()
+      .count(_.getName.endsWith(".gavro")) == 1)
+    val all = spark.read.format("gavro").option("schema", "request_log").load(out)
+      .select(col("id"), col("endpoint"))
+    val total = all.queryExecution.executedPlan.collect {
+      case b: BatchScanExec => b }.head.inputRDD.getNumPartitions
+    assert(total > 2, s"sink-written file must split, got $total")
+    val filtered = spark.read.format("gavro").option("schema", "request_log")
+      .load(out).filter(col("endpoint") >= "/api/p").select(col("id"))
+    val opened = filtered.queryExecution.executedPlan.collect {
+      case b: BatchScanExec => b }.head.inputRDD.getNumPartitions
+    assert(opened < total, s"expected block pruning, opened $opened of $total")
+    assert(filtered.count() == events.select(AvroCodec.requestLogRec.as("rec"))
+      .filter(col("rec.endpoint") >= "/api/p").count())
+  }
+
   test("stats skip decisions are exact on every operator and boundary") {
     import graft.sources.{GavroColStat, GavroPred, GavroSkip}
     val stats = Map(
