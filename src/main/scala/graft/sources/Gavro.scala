@@ -103,7 +103,8 @@ class GavroTable(tableSchema: StructType, path: String, schemaName: String,
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.MICRO_BATCH_READ,
-      TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
+      TableCapability.BATCH_WRITE, TableCapability.TRUNCATE,
+      TableCapability.STREAMING_WRITE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GavroScanBuilder(tableSchema, path, schemaName, readerJson)
   override def newWriteBuilder(
@@ -262,6 +263,65 @@ class GavroWriteBuilder(path: String, schemaName: String, in: StructType,
         s"'$schemaName' ${expected.simpleString}")
     new GavroBatchWrite(path, schemaName, overwrite, blockBytes)
   }
+
+  /** Streaming sink: the archiver itself as `writeStream.format("gavro")`.
+    * Files are published per epoch as `part-e<epoch>-<partition>.gavro` —
+    * epoch-monotonic names keep the append-only listing order the gavro
+    * streaming SOURCE tails, so stream → archive → tail composes; and the
+    * epoch-deterministic naming makes a replayed epoch IDEMPOTENT (the
+    * redo republishes the same names over the originals instead of
+    * duplicating data — exactly-once at the file level, the same
+    * discipline as Spark's own file sink without its manifest log). */
+  override def buildForStreaming()
+      : org.apache.spark.sql.connector.write.streaming.StreamingWrite = {
+    val record = AvroCodec.schemaByName(schemaName)
+    val expected = AvroCodec.sqlType(record)
+    require(in.length == expected.length &&
+      in.fields.zip(expected.fields).forall { case (a, b) =>
+        a.name == b.name && a.dataType == b.dataType },
+      s"gavro write: frame schema ${in.simpleString} does not match " +
+        s"'$schemaName' ${expected.simpleString}")
+    new GavroStreamingWrite(path, schemaName, blockBytes)
+  }
+}
+
+class GavroStreamingWrite(path: String, schemaName: String, blockBytes: Long)
+    extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
+  override def createStreamingWriterFactory(
+      info: org.apache.spark.sql.connector.write.PhysicalWriteInfo)
+      : org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory =
+    GavroStreamingWriterFactory(path, schemaName, blockBytes)
+
+  override def commit(epochId: Long,
+      messages: Array[org.apache.spark.sql.connector.write.WriterCommitMessage]): Unit = {
+    val d = new java.io.File(path)
+    messages.collect { case GavroEpochTempFile(tmp, pid) =>
+      val dst = new java.io.File(d, f"part-e$epochId%010d-$pid%05d.gavro")
+      if (dst.exists()) dst.delete() // epoch replay: republish, don't duplicate
+      if (!new java.io.File(tmp).renameTo(dst))
+        throw new java.io.IOException(s"gavro commit: cannot publish $tmp")
+    }
+  }
+
+  override def abort(epochId: Long,
+      messages: Array[org.apache.spark.sql.connector.write.WriterCommitMessage]): Unit =
+    messages.collect { case GavroEpochTempFile(tmp, _) =>
+      new java.io.File(tmp).delete() }
+}
+
+case class GavroEpochTempFile(tmp: String, partitionId: Int)
+    extends org.apache.spark.sql.connector.write.WriterCommitMessage
+
+case class GavroStreamingWriterFactory(path: String, schemaName: String,
+    blockBytes: Long)
+    extends org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long, epochId: Long)
+      : org.apache.spark.sql.connector.write.DataWriter[InternalRow] =
+    new GavroDataWriter(path, schemaName, partitionId, taskId, blockBytes) {
+      override def commitMessage(tmpPath: String)
+          : org.apache.spark.sql.connector.write.WriterCommitMessage =
+        GavroEpochTempFile(tmpPath, partitionId)
+    }
 }
 
 case class GavroTempFile(tmp: String)
@@ -350,12 +410,18 @@ class GavroDataWriter(path: String, schemaName: String, partitionId: Int,
     fileAcc.absorb(row); blockAcc.absorb(row)
   }
 
+  /** Hook: the streaming factory wraps the temp path in an epoch-aware
+    * message; the batch path uses the plain one. */
+  protected def commitMessage(tmpPath: String)
+      : org.apache.spark.sql.connector.write.WriterCommitMessage =
+    GavroTempFile(tmpPath)
+
   override def commit(): org.apache.spark.sql.connector.write.WriterCommitMessage = {
     blockStats += blockAcc.result()
     GavroFooter.write(out, blocks.toSeq, fileAcc.result(),
       if (statFields.nonEmpty) blockStats.toSeq else Seq.empty)
     out.close()
-    GavroTempFile(tmp.getAbsolutePath)
+    commitMessage(tmp.getAbsolutePath)
   }
 
   override def abort(): Unit = { out.close(); tmp.delete() }
