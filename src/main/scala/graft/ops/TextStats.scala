@@ -205,6 +205,57 @@ object TextStats {
       .orderBy(col("doc_id"))
   }
 
+  /** Verdict offsets for [[unigramSurprisal]], in milli-bits relative to
+    * the corpus mean: +0.05 bits/token flags gibberish, −0.02 boilerplate. */
+  val SurprisalHighOffset = 50L
+  val SurprisalLowOffset = 20L
+
+  /** LM-perplexity-style quality scoring WITHOUT a language model — the
+    * CCNet-family filter shape (score each document by how surprising its
+    * tokens are; unusually-high = gibberish/noise, unusually-low =
+    * boilerplate) built from the corpus's own unigram statistics, with
+    * the log kept EXACT: a token's surprisal is floor(log2(N / tf)),
+    * computed as `length(bin(N div tf)) - 1` — pure integer arithmetic,
+    * no transcendental whose low bits differ across engines, so the
+    * oracle hash-matches bit-for-bit (DuckDB mirrors it with
+    * `printf('%b', …)`). A doc's score is its mean token surprisal in
+    * exact milli-bits; verdicts hang off the CORPUS mean (a broadcast
+    * 1-row aggregate), so the thresholds are scale-free — no fixture
+    * tuning survives into the semantics.
+    *
+    * Scale shape: the vocab is a map-side-combinable groupBy; the
+    * token→tf join is AQE's choice (broadcast for a Zipf head at fixture
+    * scale, shuffle at 100 TB where the full vocab outgrows broadcast —
+    * the production variant broadcasts the top-V head and defaults the
+    * tail, same trick as [[docFreqScore]]'s note); the per-doc rollup is
+    * one map-side-combined shuffle.
+    */
+  def unigramSurprisal(documents: DataFrame): DataFrame = {
+    val toks = documents
+      .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("tok"))
+      .filter(length(col("tok")) > 0)
+    val vocab = toks.groupBy(col("tok")).agg(count(lit(1)).as("tf"))
+    val n = toks.agg(count(lit(1)).as("n_corpus"))
+    val scored = toks.join(vocab, "tok")
+      .crossJoin(broadcast(n))
+      .withColumn("bits", length(bin(expr("n_corpus div tf"))) - 1)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_toks"), sum(col("bits")).cast("long").as("sum_bits"))
+      .withColumn("bits_permille", expr("(1000 * sum_bits) div n_toks"))
+      // feeds both the corpus mean and the output — one tokenize+join pass
+      .persist()
+    val mean = scored.agg(
+      expr("(1000 * sum(sum_bits)) div sum(n_toks)").as("mean_pm"))
+    scored.crossJoin(broadcast(mean))
+      .withColumn("verdict",
+        when(col("bits_permille") > col("mean_pm") + SurprisalHighOffset, "gibberish")
+          .when(col("bits_permille") < col("mean_pm") - SurprisalLowOffset, "boilerplate")
+          .otherwise(lit("ok")))
+      .select(col("doc_id"), col("n_toks"), col("sum_bits"),
+        col("bits_permille"), col("verdict"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Tokenizer-vocabulary size for the OOV screen. */
   val OovVocabSize = 30
 
@@ -529,6 +580,7 @@ object TextStats {
     "doc_fingerprint" -> ((s, d) => fingerprints(Tables.documents(s, d))),
     "text_clean" -> ((s, d) => textClean(Tables.documents(s, d))),
     "doc_freq_score" -> ((s, d) => docFreqScore(Tables.documents(s, d))),
+    "unigram_surprisal" -> ((s, d) => unigramSurprisal(Tables.documents(s, d))),
     "bpe_merges" -> ((s, d) => bpeMerges(Tables.documents(s, d))),
     "rare_bigram_score" -> ((s, d) => rareBigramScore(Tables.documents(s, d))),
     "inverted_index" -> ((s, d) => invertedIndex(Tables.documents(s, d))),
@@ -736,6 +788,32 @@ object TextStats {
           |  round(sum(tf) / count(*)::DOUBLE, 4) AS avg_tok_freq
           |FROM toks JOIN vocab USING (tok)
           |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+      "unigram_surprisal" ->
+        s"""WITH t AS (
+           |  SELECT doc_id, tok FROM (
+           |    SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
+           |    FROM documents)
+           |  WHERE length(tok) > 0
+           |), vocab AS (
+           |  SELECT tok, count(*) AS tf FROM t GROUP BY tok
+           |), n AS (
+           |  SELECT count(*) AS n_corpus FROM t
+           |), scored AS (
+           |  SELECT doc_id, count(*)::BIGINT AS n_toks,
+           |    sum(length(printf('%b', n_corpus // tf)) - 1)::BIGINT AS sum_bits
+           |  FROM t JOIN vocab USING (tok) CROSS JOIN n
+           |  GROUP BY doc_id
+           |), m AS (
+           |  SELECT (1000 * sum(sum_bits)) // sum(n_toks) AS mean_pm FROM scored
+           |)
+           |SELECT doc_id, n_toks, sum_bits,
+           |  ((1000 * sum_bits) // n_toks)::BIGINT AS bits_permille,
+           |  CASE WHEN (1000 * sum_bits) // n_toks > mean_pm + $SurprisalHighOffset
+           |         THEN 'gibberish'
+           |       WHEN (1000 * sum_bits) // n_toks < mean_pm - $SurprisalLowOffset
+           |         THEN 'boilerplate'
+           |       ELSE 'ok' END AS verdict
+           |FROM scored CROSS JOIN m ORDER BY doc_id""".stripMargin,
       "doc_fingerprint" ->
         s"""SELECT doc_id,
            |  list_reduce(
