@@ -561,8 +561,56 @@ object Similarity {
       .orderBy(col("vec_id"), col("rnk"))
   }
 
+  /** Hard negatives kept per anchor vector. */
+  private val HardNegK = 5
+
+  /** Hard-negative mining for contrastive training: for each anchor, the
+    * [[HardNegK]] most-similar vectors with a DIFFERENT label — the pairs
+    * that teach an embedding model the most (easy negatives are already
+    * far; hard ones sit just across the decision boundary). Same banded
+    * LSH candidate generation and [[KnnCandCap]] pool bound as
+    * [[knnGraph]] (never all-pairs, candidates capped BEFORE the wide
+    * vector-fetch joins); the label filter runs after the fetch and the
+    * rank is computed AMONG NEGATIVES, so an anchor surrounded by its own
+    * class still surfaces its nearest cross-class points from the pool.
+    * Similarity is emitted as exact `floor(10000·cos)` so the oracle
+    * hash-matches bit-for-bit.
+    */
+  def hardNegatives(embeddings: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val emb = embFloat(embeddings).persist()
+    val bands = bandRows(emb)
+    val cands = bands
+      .join(bands.select(col("vec_id").as("nbr_id"),
+        col("band_idx"), col("band_key")), Seq("band_idx", "band_key"))
+      .filter(col("vec_id") =!= col("nbr_id"))
+      .select(col("vec_id"), col("nbr_id")).distinct()
+      .withColumn("cand_rn", row_number().over(
+        Window.partitionBy(col("vec_id"))
+          .orderBy(md5(concat(col("vec_id").cast("string"), lit(":"),
+            col("nbr_id").cast("string"))), col("nbr_id"))))
+      .filter(col("cand_rn") <= KnnCandCap)
+      .drop("cand_rn")
+    cands
+      .join(emb.select(col("vec_id"), col("v").as("av"),
+        col("label").as("label")), "vec_id")
+      .join(emb.select(col("vec_id").as("nbr_id"), col("v").as("bv"),
+        col("label").as("nbr_label")), "nbr_id")
+      .filter(col("label") =!= col("nbr_label"))
+      .select(col("vec_id"), col("nbr_id"), col("label"), col("nbr_label"),
+        floor(expr(cosExpr("av", "bv")) * 10000).cast("long").as("cos_1e4"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("vec_id"))
+          .orderBy(col("cos_1e4").desc, col("nbr_id").asc)).cast("long"))
+      .filter(col("rnk") <= HardNegK)
+      .select(col("vec_id"), col("rnk"), col("nbr_id"), col("label"),
+        col("nbr_label"), col("cos_1e4"))
+      .orderBy(col("vec_id"), col("rnk"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_cosine_topk" -> ((s, d) => cosineTopK(Tables.embeddings(s, d))),
+    "hard_negatives" -> ((s, d) => hardNegatives(Tables.embeddings(s, d))),
     "ann_lsh_topk" -> ((s, d) => annLshTopK(Tables.embeddings(s, d))),
     "ann_ivf_topk" -> ((s, d) => annIvfTopK(Tables.embeddings(s, d))),
     "ann_ivf_trained_topk" -> ((s, d) => annIvfTrainedTopK(Tables.embeddings(s, d))),
@@ -635,6 +683,37 @@ object Similarity {
          |SELECT c_id, n, cap, keep_ppm, coalesce(kept_n, 0)::BIGINT AS kept_n
          |FROM thr LEFT JOIN kept USING (c_id)
          |ORDER BY c_id""".stripMargin,
+    "hard_negatives" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings),
+         |${bandRowsSql("e")},
+         |cands0 AS (
+         |  SELECT DISTINCT a.vec_id, b.vec_id AS nbr_id
+         |  FROM bands a JOIN bands b
+         |    ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+         |  WHERE a.vec_id <> b.vec_id
+         |),
+         |cands AS (
+         |  SELECT vec_id, nbr_id FROM (
+         |    SELECT vec_id, nbr_id, row_number() OVER (PARTITION BY vec_id
+         |      ORDER BY md5(vec_id::VARCHAR || ':' || nbr_id::VARCHAR), nbr_id) AS cand_rn
+         |    FROM cands0)
+         |  WHERE cand_rn <= $KnnCandCap
+         |),
+         |scored AS (
+         |  SELECT c.vec_id, c.nbr_id, ae.label AS label, be.label AS nbr_label,
+         |    floor(10000 * ${cosSql("ae.v", "be.v")})::BIGINT AS cos_1e4
+         |  FROM cands c
+         |  JOIN e ae ON ae.vec_id = c.vec_id
+         |  JOIN e be ON be.vec_id = c.nbr_id
+         |  WHERE ae.label <> be.label
+         |),
+         |ranked AS (
+         |  SELECT *, row_number() OVER (PARTITION BY vec_id
+         |    ORDER BY cos_1e4 DESC, nbr_id ASC) AS rnk
+         |  FROM scored
+         |)
+         |SELECT vec_id, rnk::BIGINT AS rnk, nbr_id, label, nbr_label, cos_1e4
+         |FROM ranked WHERE rnk <= $HardNegK ORDER BY vec_id, rnk""".stripMargin,
     "knn_graph" ->
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
          |${bandRowsSql("e")},
