@@ -425,7 +425,50 @@ object Pipeline {
 
   // ---------------------------------------------------------------- registry
 
+  /** Token-length band counted as "typical" in [[sourceDatacard]]. */
+  private val CardLenLo = 5L
+  private val CardLenHi = 2000L
+
+  /** Per-source dataset card — the datasheet rollup a curated corpus
+    * ships with (what a reviewer reads before training on a source):
+    * volume (docs / whitespace tokens / chars), language spread, the
+    * exact-duplicate rate (docs whose md5(text) appears more than once —
+    * the same hash grain as the exact-dedup pass, so the card's dup rate
+    * IS the dedup operator's input), and the share of docs inside the
+    * typical length band. Everything is an exact integer; rates are
+    * integer permille.
+    *
+    * Scale shape: one hash-grain groupBy for duplicate counts (map-side
+    * combinable), a shuffle join back on the hash (AQE decides; never a
+    * driver collect), and a per-source rollup whose output is
+    * O(sources). Distinct languages per source is an exact
+    * count_distinct — bounded by the language inventory, not the corpus.
+    */
+  def sourceDatacard(documents: DataFrame): DataFrame = {
+    val d = documents
+      .withColumn("toks", size(split(col("text"), " ")).cast("long"))
+      .withColumn("h", md5(col("text")))
+    val dupH = d.groupBy(col("h")).agg(count(lit(1)).as("h_cnt"))
+    d.join(dupH, "h")
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("toks")).as("n_tokens"),
+        sum(col("n_chars")).as("n_chars"),
+        countDistinct(col("lang")).as("n_langs"),
+        sum(when(col("h_cnt") > 1, 1L).otherwise(0L)).as("n_dup_docs"),
+        sum(when(col("toks").between(CardLenLo, CardLenHi), 1L)
+          .otherwise(0L)).as("n_len_typical"))
+      .withColumn("dup_permille", expr("(1000 * n_dup_docs) div n_docs"))
+      .withColumn("len_typical_permille", expr("(1000 * n_len_typical) div n_docs"))
+      .select(col("source"), col("n_docs"), col("n_tokens"), col("n_chars"),
+        col("n_langs"), col("n_dup_docs"), col("dup_permille"),
+        col("len_typical_permille"))
+      .orderBy(col("source"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "source_datacard" -> ((s, d) => sourceDatacard(Tables.documents(s, d))),
     "length_bucketing" -> ((s, d) => lengthBucketing(Tables.documents(s, d))),
     "group_split" -> ((s, d) => groupSplit(Tables.documents(s, d))),
     "domain_cap" -> ((s, d) => domainCap(Tables.documents(s, d))),
@@ -442,6 +485,28 @@ object Pipeline {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "source_datacard" ->
+      s"""WITH d AS (
+         |  SELECT source, lang, n_chars,
+         |    len(string_split(text, ' '))::BIGINT AS toks,
+         |    md5(text) AS h
+         |  FROM documents
+         |), dup AS (
+         |  SELECT h, count(*) AS h_cnt FROM d GROUP BY h
+         |)
+         |SELECT source,
+         |  count(*)::BIGINT AS n_docs,
+         |  sum(toks)::BIGINT AS n_tokens,
+         |  sum(n_chars)::BIGINT AS n_chars,
+         |  count(DISTINCT lang)::BIGINT AS n_langs,
+         |  sum(CASE WHEN h_cnt > 1 THEN 1 ELSE 0 END)::BIGINT AS n_dup_docs,
+         |  ((1000 * sum(CASE WHEN h_cnt > 1 THEN 1 ELSE 0 END)) // count(*))::BIGINT
+         |    AS dup_permille,
+         |  ((1000 * sum(CASE WHEN toks BETWEEN $CardLenLo AND $CardLenHi
+         |                    THEN 1 ELSE 0 END)) // count(*))::BIGINT
+         |    AS len_typical_permille
+         |FROM d JOIN dup USING (h)
+         |GROUP BY source ORDER BY source""".stripMargin,
     "length_bucketing" ->
       """WITH t AS (
         |  SELECT source, len(string_split(text, ' '))::BIGINT AS n FROM documents
