@@ -351,6 +351,59 @@ object Temporal {
       .orderBy(col("user_id"))
   }
 
+  /** [[meanShiftDays]] windows (recent vs prior active-day counts) and the
+    * shift threshold: a changepoint is a recent mean at least
+    * [[ShiftNum]]/[[ShiftDen]] (25%) above or below the prior level. */
+  private val ShiftRecent = 3
+  private val ShiftPrior = 14
+  private val ShiftNum = 5L
+  private val ShiftDen = 4L
+
+  /** Rolling mean-shift changepoint detection on the daily value series:
+    * for each (event_type, day), compare the mean daily cents over the
+    * [[ShiftRecent]] most recent active days against the mean over the
+    * [[ShiftPrior]] active days before them, and flag days where the
+    * recent level moved at least 25% up or down — the window-expressible
+    * changepoint test (a CUSUM's recursive fold needs a sequential pass;
+    * the two-window mean shift is pure ROWS frames, so it stays inside
+    * WindowExec with map-side-combinable day pre-aggregation below it).
+    * The comparison is cross-multiplied exact integers: with r = recent
+    * sum and p = prior sum, "recent mean > 5/4 × prior mean" is
+    * `4 · prior_n · r > 5 · recent_n · p` — no division anywhere.
+    *
+    * Shape: the corpus collapses to (type, day) grain in one groupBy;
+    * the windows run per type over O(calendar) rows — bounded by days,
+    * not volume. Gaps: frames count ACTIVE days (a silent day is absent),
+    * which is the level the series actually has; only days with a full
+    * prior window are judged.
+    */
+  def meanShiftDays(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = Synth.eventTime(events)
+      .filter(col("value").isNotNull)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(sum(floor(col("value") * 100).cast("long")).as("cents"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+    val recent = w.rowsBetween(-(ShiftRecent - 1), 0)
+    val prior = w.rowsBetween(-(ShiftPrior + ShiftRecent - 1), -ShiftRecent)
+    daily
+      .withColumn("r_sum", sum(col("cents")).over(recent))
+      .withColumn("r_n", count(lit(1)).over(recent))
+      .withColumn("p_sum", sum(col("cents")).over(prior))
+      .withColumn("p_n", count(lit(1)).over(prior))
+      .filter(col("p_n") === ShiftPrior) // full history only
+      .withColumn("shift",
+        when(lit(ShiftDen) * col("p_n") * col("r_sum") >
+          lit(ShiftNum) * col("r_n") * col("p_sum"), "up")
+          .when(lit(ShiftNum) * col("p_n") * col("r_sum") <
+            lit(ShiftDen) * col("r_n") * col("p_sum"), "down"))
+      .filter(col("shift").isNotNull)
+      .select(col("event_type"), col("day").cast("string").as("day"),
+        col("cents"), col("r_sum"), col("r_n"), col("p_sum"), col("p_n"),
+        col("shift"))
+      .orderBy(col("event_type"), col("day"))
+  }
+
   /** Day-of-week seasonality profile: per (event_type, weekday) volume and
     * integer-cent value, with each cell's ppm share of its type's total —
     * the weekly-rhythm view capacity planning and anomaly baselines read.
@@ -611,6 +664,7 @@ object Temporal {
     "rfm_segments" -> ((s, d) => rfmSegments(Tables.events(s, d))),
     "session_paths" -> ((s, d) => sessionPaths(Tables.events(s, d))),
     "mad_anomalies" -> ((s, d) => madAnomalies(Tables.events(s, d))),
+    "mean_shift_days" -> ((s, d) => meanShiftDays(Tables.events(s, d))),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -708,6 +762,35 @@ object Temporal {
          |FROM dev JOIN mad USING (event_type)
          |WHERE dev * 10000 > $MadK1e4 * mad_cents
          |ORDER BY event_id""".stripMargin,
+    "mean_shift_days" ->
+      s"""WITH daily AS (
+         |  SELECT event_type, ts::DATE AS day,
+         |    sum(floor(value * 100)::BIGINT)::BIGINT AS cents
+         |  FROM events WHERE value IS NOT NULL
+         |  GROUP BY event_type, ts::DATE
+         |), win AS (
+         |  SELECT event_type, day, cents,
+         |    (sum(cents) OVER (PARTITION BY event_type ORDER BY day
+         |      ROWS BETWEEN ${ShiftRecent - 1} PRECEDING AND CURRENT ROW))::BIGINT AS r_sum,
+         |    count(*) OVER (PARTITION BY event_type ORDER BY day
+         |      ROWS BETWEEN ${ShiftRecent - 1} PRECEDING AND CURRENT ROW) AS r_n,
+         |    (sum(cents) OVER (PARTITION BY event_type ORDER BY day
+         |      ROWS BETWEEN ${ShiftPrior + ShiftRecent - 1} PRECEDING
+         |        AND $ShiftRecent PRECEDING))::BIGINT AS p_sum,
+         |    count(*) OVER (PARTITION BY event_type ORDER BY day
+         |      ROWS BETWEEN ${ShiftPrior + ShiftRecent - 1} PRECEDING
+         |        AND $ShiftRecent PRECEDING) AS p_n
+         |  FROM daily
+         |)
+         |SELECT event_type, day::VARCHAR AS day, cents, r_sum, r_n, p_sum, p_n,
+         |  CASE WHEN $ShiftDen * p_n * r_sum > $ShiftNum * r_n * p_sum THEN 'up'
+         |       WHEN $ShiftNum * p_n * r_sum < $ShiftDen * r_n * p_sum THEN 'down'
+         |  END AS shift
+         |FROM win
+         |WHERE p_n = $ShiftPrior
+         |  AND ($ShiftDen * p_n * r_sum > $ShiftNum * r_n * p_sum
+         |    OR $ShiftNum * p_n * r_sum < $ShiftDen * r_n * p_sum)
+         |ORDER BY event_type, day""".stripMargin,
     "dow_profile" ->
       """WITH e AS (
         |  SELECT event_type, (isodow(ts) - 1)::BIGINT AS dow,
