@@ -90,4 +90,44 @@ class StateSourceSpec extends SparkSpec {
         spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
     }
   }
+
+  test("statestore read surfaces the stream dedup's remembered signatures") {
+    import graft.streaming.StreamDedup
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val ckpt = java.nio.file.Files.createTempDirectory("graft-state-dedup").toString
+      val in = MemoryStream[(Long, String)]
+      val text = "the quick brown fox jumps over the lazy dog by the river"
+      val other = "completely different prose about catalyst rules and shuffles"
+      val q = StreamDedup.nearDupHits(in.toDF().toDF("doc_id", "text"))
+        .toDF().writeStream.format("noop").outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .start()
+      in.addData((1L, text), (2L, text), (3L, other))
+      q.processAllAvailable()
+      q.stop()
+      // The offline reader sees the per-bucket ListState exactly as the
+      // processor holds it: doc 1 and doc 3 each remembered in their 6
+      // band buckets; the duplicate doc 2 matched and was never stored.
+      val rows = spark.read.format("statestore")
+        .option("path", ckpt)
+        .option("stateVarName", "seen")
+        .load()
+        .select(col("list_element.doc_id").as("doc_id"),
+          col("list_element.sig").as("sig"))
+        .collect()
+      assert(rows.length == 2 * StreamDedup.Bands, rows.length.toString)
+      assert(rows.map(_.getLong(0)).toSet == Set(1L, 3L))
+      assert(rows.forall(_.getSeq[Long](1).length == StreamDedup.Signatures))
+    } finally prev match {
+      case Some(v) =>
+        spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+      case None =>
+        spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
 }
