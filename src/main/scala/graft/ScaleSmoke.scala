@@ -13,7 +13,7 @@ import org.apache.spark.sql.functions._
   *
   * Usage: sbt "runMain graft.ScaleSmoke [replicas] [section]"
   *   replicas: default 20 → 100k docs
-  *   section:  docs | temporal | all (default all)
+  *   section:  docs | temporal | round7 | all (default all)
   */
 object ScaleSmoke {
   def main(args: Array[String]): Unit = {
@@ -23,7 +23,35 @@ object ScaleSmoke {
     spark.sparkContext.setLogLevel("WARN")
     if (section == "docs" || section == "all") docsSection(spark, replicas)
     if (section == "temporal" || section == "all") temporalSection(spark, replicas)
+    if (section == "round7" || section == "all") round7Section(spark, replicas)
     spark.stop()
+  }
+
+  /** Round-7 additions whose scale posture deserves its own check: the
+    * guarded inverted index (bounded posting buffers under stopword
+    * fan-in), the surprisal filter (vocab join + per-doc rollup), and
+    * hard-negative mining (banded candidates + pre-fetch cap). */
+  private def round7Section(spark: SparkSession, replicas: Int): Unit = {
+    def t(name: String)(df: => org.apache.spark.sql.DataFrame): Unit =
+      time(spark, name)(df)
+    val base = graft.sources.Tables.documents(spark, "/root/testdata/sf0.1")
+    val corpus = base.crossJoin(spark.range(replicas).toDF("rep"))
+      .select((col("doc_id") * replicas + col("rep")).as("doc_id"),
+        concat(col("text"), lit(" rep"), col("rep")).as("text"),
+        col("lang"), col("source"), col("n_chars"))
+      .localCheckpoint(true)
+    println(s"corpus: ${corpus.count()} docs (${replicas}x sf0.1)")
+    t("inverted_index") { graft.ops.TextStats.invertedIndex(corpus) }
+    t("unigram_surprisal") { graft.ops.TextStats.unigramSurprisal(corpus) }
+    t("source_datacard") { graft.ops.Pipeline.sourceDatacard(corpus) }
+    val embBase = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.1")
+    val embCorpus = embBase.crossJoin(spark.range(replicas).toDF("rep"))
+      .select((col("vec_id") * replicas + col("rep")).as("vec_id"),
+        expr("transform(embedding, (x, i) -> x + cast(rep as float) / 1000)").as("embedding"),
+        col("label"))
+      .localCheckpoint(true)
+    println(s"embeddings: ${embCorpus.count()} vectors")
+    t("hard_negatives") { graft.ops.Similarity.hardNegatives(embCorpus) }
   }
 
   private def time(spark: SparkSession, name: String)(

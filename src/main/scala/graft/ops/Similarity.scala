@@ -531,24 +531,60 @@ object Similarity {
     * oracle rebuilds the IDENTICAL bands, so equality is exact — the LSH
     * recall tradeoff is part of the contract, not a fuzz factor.
     */
-  def knnGraph(embeddings: DataFrame): DataFrame = {
+  /** Forward-neighbor width for within-bucket sorted-neighborhood pairing:
+    * buckets of up to W+1 members are FULLY paired (below that size the
+    * lead window reaches every other member, so small-bucket results are
+    * exact kNN); bigger buckets degrade to 2·W sampled neighbors per
+    * member per band, with a DIFFERENT md5 order per band so the bands'
+    * samples union into a diverse pool. */
+  private val BucketNbrWindow = 20
+
+  /** Candidate pairs from banded LSH with pair generation BOUNDED BY
+    * CONSTRUCTION: each (band, key) bucket's members are ordered by
+    * md5(vec_id) (a deterministic shuffle of the bucket) and every member
+    * pairs with its next [[BucketNbrWindow]] neighbors through `lead`
+    * windows — NEVER a bucket self-join. A bucket of b members emits
+    * b × W pairs instead of b², so total candidate volume is
+    * O(N × bands × W) no matter how dense the embedding space gets; the
+    * round-7 scale smoke caught the self-join form heap-exploding at
+    * 100k clustered vectors (avg bucket ~400 → 1.6×10⁸ pre-distinct
+    * pairs), which is exactly the failure mode replica-dense real
+    * corpora hit. Both directions of each pair are emitted so a vector
+    * sees its backward neighbors too (≈ 2·W·bands candidates before the
+    * [[KnnCandCap]] trim). The [[MaxBucketSize]] drop stays as the
+    * degenerate-key guard above this. */
+  private def bucketCands(bands: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val emb = embFloat(embeddings).select("vec_id", "v").persist()
-    val bands = bandRows(emb)
-    val cands = bands
-      .join(bands.select(col("vec_id").as("nbr_id"),
-        col("band_idx"), col("band_key")), Seq("band_idx", "band_key"))
-      .filter(col("vec_id") =!= col("nbr_id"))
-      .select(col("vec_id"), col("nbr_id")).distinct()
-      // bound the pool BEFORE the vector-fetch joins: candidate rows are
-      // 16 bytes here, 512+ after the joins — capping first keeps the big
-      // shuffle at N x cap rows (WindowGroupLimit bounds the window state)
+    val w = Window.partitionBy(col("band_idx"), col("band_key"))
+      .orderBy(md5(concat(col("band_idx").cast("string"), lit(":"),
+        col("vec_id").cast("string"))), col("vec_id"))
+    val leads = (1 to BucketNbrWindow).map(k =>
+      lead(col("vec_id"), k).over(w).as(s"n$k"))
+    val fwd = bands.select((col("vec_id") +: leads): _*)
+      .select(col("vec_id"), explode(array(
+        (1 to BucketNbrWindow).map(k => col(s"n$k")): _*)).as("nbr_id"))
+      .filter(col("nbr_id").isNotNull)
+    fwd.union(fwd.select(col("nbr_id").as("vec_id"), col("vec_id").as("nbr_id")))
+      .distinct()
+  }
+
+  /** The shared pool bound: md5-selected [[KnnCandCap]] candidates per
+    * vector, applied BEFORE the wide vector-fetch joins (candidate rows
+    * are 16 bytes here, 512+ after; WindowGroupLimit bounds the window
+    * state). */
+  private def capCands(cands: DataFrame): DataFrame =
+    cands
       .withColumn("cand_rn", row_number().over(
         org.apache.spark.sql.expressions.Window.partitionBy(col("vec_id"))
           .orderBy(md5(concat(col("vec_id").cast("string"), lit(":"),
             col("nbr_id").cast("string"))), col("nbr_id"))))
       .filter(col("cand_rn") <= KnnCandCap)
       .drop("cand_rn")
+
+  def knnGraph(embeddings: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val emb = embFloat(embeddings).select("vec_id", "v").persist()
+    val cands = capCands(bucketCands(bandRows(emb)))
     cands
       .join(emb.select(col("vec_id"), col("v").as("av")), "vec_id")
       .join(emb.select(col("vec_id").as("nbr_id"), col("v").as("bv")), "nbr_id")
@@ -579,18 +615,7 @@ object Similarity {
   def hardNegatives(embeddings: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val emb = embFloat(embeddings).persist()
-    val bands = bandRows(emb)
-    val cands = bands
-      .join(bands.select(col("vec_id").as("nbr_id"),
-        col("band_idx"), col("band_key")), Seq("band_idx", "band_key"))
-      .filter(col("vec_id") =!= col("nbr_id"))
-      .select(col("vec_id"), col("nbr_id")).distinct()
-      .withColumn("cand_rn", row_number().over(
-        Window.partitionBy(col("vec_id"))
-          .orderBy(md5(concat(col("vec_id").cast("string"), lit(":"),
-            col("nbr_id").cast("string"))), col("nbr_id"))))
-      .filter(col("cand_rn") <= KnnCandCap)
-      .drop("cand_rn")
+    val cands = capCands(bucketCands(bandRows(emb)))
     cands
       .join(emb.select(col("vec_id"), col("v").as("av"),
         col("label").as("label")), "vec_id")
@@ -631,6 +656,30 @@ object Similarity {
 
   private def cosSql(a: String, b: String): String =
     s"${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)}))"
+
+  /** Shared oracle SQL for [[bucketCands]]: the within-bucket
+    * sorted-neighborhood lead pairing, both directions, deduped. Expects a
+    * `bands` CTE in scope; emits a `cands0` CTE. */
+  private def bucketCandsSql: String = {
+    val leadCols = (1 to BucketNbrWindow)
+      .map(k => s"lead(vec_id, $k) OVER w AS n$k").mkString(",\n       |    ")
+    val leadList = (1 to BucketNbrWindow).map(k => s"n$k").mkString(", ")
+    s"""fwd0 AS (
+       |  SELECT vec_id,
+       |    $leadCols
+       |  FROM bands WINDOW w AS (PARTITION BY band_idx, band_key
+       |    ORDER BY md5(band_idx::VARCHAR || ':' || vec_id::VARCHAR), vec_id)
+       |), fwd AS (
+       |  SELECT vec_id, nbr_id FROM (
+       |    SELECT vec_id, unnest([$leadList]) AS nbr_id FROM fwd0)
+       |  WHERE nbr_id IS NOT NULL
+       |), cands0 AS (
+       |  SELECT DISTINCT vec_id, nbr_id FROM (
+       |    SELECT vec_id, nbr_id FROM fwd
+       |    UNION ALL
+       |    SELECT nbr_id AS vec_id, vec_id AS nbr_id FROM fwd)
+       |)""".stripMargin
+  }
 
   def oracleSql: Map[String, String] = Map(
     // DuckDB lambda indexes are 1-based where Spark's are 0-based; both
@@ -686,12 +735,7 @@ object Similarity {
     "hard_negatives" ->
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings),
          |${bandRowsSql("e")},
-         |cands0 AS (
-         |  SELECT DISTINCT a.vec_id, b.vec_id AS nbr_id
-         |  FROM bands a JOIN bands b
-         |    ON a.band_idx = b.band_idx AND a.band_key = b.band_key
-         |  WHERE a.vec_id <> b.vec_id
-         |),
+         |$bucketCandsSql,
          |cands AS (
          |  SELECT vec_id, nbr_id FROM (
          |    SELECT vec_id, nbr_id, row_number() OVER (PARTITION BY vec_id
@@ -717,12 +761,7 @@ object Similarity {
     "knn_graph" ->
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
          |${bandRowsSql("e")},
-         |cands0 AS (
-         |  SELECT DISTINCT a.vec_id, b.vec_id AS nbr_id
-         |  FROM bands a JOIN bands b
-         |    ON a.band_idx = b.band_idx AND a.band_key = b.band_key
-         |  WHERE a.vec_id <> b.vec_id
-         |),
+         |$bucketCandsSql,
          |cands AS (
          |  SELECT vec_id, nbr_id FROM (
          |    SELECT vec_id, nbr_id, row_number() OVER (PARTITION BY vec_id
