@@ -32,7 +32,8 @@ object SparkEntry {
       graft.ops.Quantize.queries ++ graft.functions.Sketches.queries ++
       graft.ops.Incremental.queries ++ graft.functions.Bitmaps.queries ++
       graft.sources.AvroCodec.queries ++ graft.sources.Gavro.queries ++
-      graft.ops.Graph.queries ++ graft.ops.Profiling.queries
+      graft.ops.Graph.queries ++ graft.ops.Profiling.queries ++
+      graft.ops.Corpus.queries
 
   private def relational: Map[String, (SparkSession, String) => DataFrame] = Map(
     // S9 payload shape: the KPI frame serialized exactly as the Kafka sink
@@ -157,7 +158,7 @@ object SparkEntry {
     graft.functions.Sketches.oracleSql ++ graft.ops.Incremental.oracleSql ++
     graft.functions.Bitmaps.oracleSql ++ graft.sources.AvroCodec.oracleSql ++
     graft.sources.Gavro.oracleSql ++ graft.ops.Graph.oracleSql ++
-    graft.ops.Profiling.oracleSql
+    graft.ops.Profiling.oracleSql ++ graft.ops.Corpus.oracleSql
 
   private def relationalOracle: Map[String, String] = Map(
     "pricing_summary" ->

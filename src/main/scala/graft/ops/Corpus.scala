@@ -1,0 +1,360 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.sources.Tables
+
+/** Corpus-level analysis operators for an LLM training-data pipeline
+  * over the `documents` fixture: n-gram diversity, cross-source shingle
+  * overlap, quality-score calibration, Markov transition entropy, and
+  * asymmetric containment (quote/subset) detection.
+  *
+  * These extend the reference's capability set per the north-star brief
+  * (the reference itself has no corpus ops). Everything is integer-exact
+  * — permille ratios by integer division, entropy in floor-log2 bits via
+  * `length(bin(x)) - 1` (the [[TextStats.unigramSurprisal]] trick) — so
+  * every query here carries a DuckDB oracle that hash-matches
+  * bit-for-bit; no transcendental whose low ulps differ across engines
+  * appears anywhere.
+  */
+object Corpus {
+
+  /** N for the [[ngramDiversity]] shingles. */
+  val DiversityN = 3
+
+  /** Per-source n-gram diversity (type-token ratio at the trigram
+    * level) — the corpus-health metric that catches template/boilerplate
+    * farms: a source whose distinct-trigram share collapses is emitting
+    * near-identical documents even when exact dedup finds nothing.
+    * Permille by integer division, so the oracle is exact.
+    *
+    * Scale shape: trigram explode is map-side; the distinct count
+    * shuffles on (source, trigram-hash) with map-side partial
+    * aggregation — one shuffle whose key space is the trigram
+    * vocabulary, the same shape as word-count. Trigrams travel as md5
+    * hashes, not strings (hash-before-shuffle, the [[Dedup]]
+    * convention).
+    */
+  def ngramDiversity(documents: DataFrame): DataFrame =
+    documents
+      .select(col("source"),
+        expr("filter(split(lower(text), ' '), x -> length(x) > 0)").as("w"))
+      .filter(size(col("w")) >= DiversityN)
+      .select(col("source"), explode(expr(
+        s"""transform(sequence(0, size(w) - $DiversityN),
+           |  i -> md5(concat_ws(char(31), w[i], w[i + 1], w[i + 2])))"""
+          .stripMargin)).as("tri"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_trigrams"),
+        countDistinct(col("tri")).as("n_distinct"))
+      .withColumn("ttr_permille",
+        expr("(1000 * n_distinct) div n_trigrams"))
+      .orderBy(col("source"))
+
+  /** Shingle width for [[sourceOverlap]] and [[containmentPairs]]. */
+  val ShingleWords = 5
+
+  private def shingleSet(documents: DataFrame): DataFrame =
+    documents
+      .select(col("doc_id"), col("source"),
+        expr("filter(split(lower(text), ' '), x -> length(x) > 0)").as("w"))
+      .filter(size(col("w")) >= ShingleWords)
+      .select(col("doc_id"), col("source"), explode(expr(
+        s"""transform(sequence(0, size(w) - $ShingleWords),
+           |  i -> md5(concat_ws(char(31), w[i], w[i + 1], w[i + 2],
+           |    w[i + 3], w[i + 4])))""".stripMargin)).as("sh"))
+      .distinct()
+
+  /** Cross-source contamination matrix: for every source pair, the
+    * number of distinct [[ShingleWords]]-gram shingles they share and
+    * the Jaccard overlap in permille — the check that a "held-out"
+    * source is not quietly duplicated inside the training mix.
+    *
+    * Scale shape: the pair space is `sources²` (tiny — sources are a
+    * catalog dimension), NOT documents². The work is one distinct over
+    * (source, shingle-hash) and a self-equi-join on the shingle hash
+    * whose per-key fan-out is bounded by the source count, then a
+    * map-side-combinable pair count. No collect, no windows, no
+    * broadcast of anything data-sized.
+    */
+  def sourceOverlap(documents: DataFrame): DataFrame = {
+    val s = shingleSet(documents).select(col("source"), col("sh")).distinct()
+    val sizes = s.groupBy(col("source")).agg(count(lit(1)).as("n"))
+    val shared = s.as("a")
+      .join(s.as("b"), col("a.sh") === col("b.sh") &&
+        col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+      .agg(count(lit(1)).as("shared"))
+    shared
+      .join(sizes.withColumnRenamed("source", "src_a")
+        .withColumnRenamed("n", "n_a"), Seq("src_a"))
+      .join(sizes.withColumnRenamed("source", "src_b")
+        .withColumnRenamed("n", "n_b"), Seq("src_b"))
+      .withColumn("jaccard_permille",
+        expr("(1000 * shared) div (n_a + n_b - shared)"))
+      .select(col("src_a"), col("src_b"), col("n_a"), col("n_b"),
+        col("shared"), col("jaccard_permille"))
+      .orderBy(col("src_a"), col("src_b"))
+  }
+
+  /** Candidate-generation document-frequency band for
+    * [[containmentPairs]]: a shingle seeds candidates only when shared
+    * (df ≥ 2) and rare (df ≤ cap). */
+  val ContainDfCap = 64
+
+  /** Containment threshold (permille of the contained doc's shingles)
+    * and the minimum shingle-set size that makes containment
+    * meaningful. */
+  val ContainThresholdPermille = 800
+  val ContainMinShingles = 5
+
+  /** Asymmetric containment (quote/subset) detection — the near-dup
+    * case Jaccard misses: a short document wholly quoted inside a long
+    * one has tiny Jaccard but containment ≈ 1. Emits ordered pairs
+    * (a contained-in b) where ≥ [[ContainThresholdPermille]]‰ of a's
+    * distinct shingles also appear in b, among pairs sharing at least
+    * one RARE shingle (df in [2, [[ContainDfCap]]]). The rare-shingle
+    * gate is part of the operator's definition (mirrored exactly in the
+    * oracle), the standard PPJoin-family trade: a pair sharing only
+    * ubiquitous shingles is boilerplate overlap, not quotation.
+    *
+    * Scale shape: candidates come from a self-equi-join on rare-shingle
+    * hashes — per-key fan-out ≤ [[ContainDfCap]]², never documents².
+    * The true intersection is then computed ONLY for candidate pairs by
+    * replaying both sides' full shingle sets through an equi-join keyed
+    * on (doc pair, shingle) — the band-replay shape [[Dedup]] uses. All
+    * thresholds cross-multiplied integers; no floats.
+    */
+  def containmentPairs(documents: DataFrame): DataFrame = {
+    val sh = shingleSet(documents).select(col("doc_id"), col("sh"))
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+      .filter(col("n_sh") >= ContainMinShingles)
+    val rare = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 2 && col("df") <= ContainDfCap)
+    val rareSh = sh.join(rare.select("sh"), Seq("sh"))
+    val cands = rareSh.as("x")
+      .join(rareSh.as("y"), col("x.sh") === col("y.sh") &&
+        col("x.doc_id") =!= col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      .distinct()
+    val shared = cands
+      .join(sh.as("sa"), col("a") === col("sa.doc_id"))
+      .join(sh.as("sb"), col("b") === col("sb.doc_id") &&
+        col("sa.sh") === col("sb.sh"))
+      .groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).as("shared"))
+    shared
+      .join(sizes.withColumnRenamed("doc_id", "a")
+        .withColumnRenamed("n_sh", "n_a"), Seq("a"))
+      .filter(col("shared") * 1000 >= col("n_a") * ContainThresholdPermille)
+      .withColumn("containment_permille", expr("(1000 * shared) div n_a"))
+      .select(col("a"), col("b"), col("n_a"), col("shared"),
+        col("containment_permille"))
+      .orderBy(col("a"), col("b"))
+  }
+
+  /** Per-state Markov transition entropy over the event stream, in
+    * integer milli-bits: for each event type, how predictable the NEXT
+    * event is — the sessionization-adjacent metric that separates
+    * scripted bot flows (entropy ≈ 0) from organic browsing. A
+    * transition's surprisal is `floor(log2(n div c))` bits computed as
+    * `length(bin(n div c)) - 1` — pure integer arithmetic (the
+    * [[TextStats.unigramSurprisal]] convention), so the DuckDB oracle
+    * (`printf('%b', …)`) hash-matches exactly.
+    *
+    * Scale shape: one user-partitioned window (high-cardinality key)
+    * for the lag, one map-side-combinable pair count whose key space is
+    * event-type² (bounded by the catalog), then a per-type rollup over
+    * that tiny grain. The entropy fold happens on the type² grain —
+    * never on raw events.
+    */
+  def transitionEntropy(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val pairs = Synth.eventTime(events)
+      .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+      .filter(col("prev_type").isNotNull)
+      .groupBy(col("prev_type"), col("event_type").as("next_type"))
+      .agg(count(lit(1)).as("c"))
+    pairs
+      .withColumn("n", sum(col("c")).over(Window.partitionBy(col("prev_type"))))
+      .withColumn("bits", length(bin(expr("n div c"))) - 1)
+      .groupBy(col("prev_type"))
+      .agg(max(col("n")).as("n_transitions"),
+        count(lit(1)).as("n_next_types"),
+        expr("(1000 * sum(c * bits)) div max(n)").as("entropy_millibits"))
+      .orderBy(col("prev_type"))
+  }
+
+  /** Alpha-ratio quality score (permille of latin letters among all
+    * characters) and its per-source percentile calibration table — the
+    * step that turns a raw quality score into a mix-weight: thresholds
+    * set on PERCENTILES transfer across sources whose raw-score
+    * distributions differ, raw-score thresholds do not. Output is at
+    * the (source, score) histogram grain: for each observed score, how
+    * many docs hold it and what fraction of the source scores strictly
+    * below (permille, integer).
+    *
+    * Scale shape: the score is map-side; the histogram groupBy keys on
+    * (source, score) — score has at most 1001 distinct values, so the
+    * prefix-sum window is partitioned by source over a ≤1001-row grain,
+    * never over documents. This is the value-grain-histogram pattern
+    * ([[Temporal.rfmSegments]]) that replaces a corpus-wide ntile.
+    */
+  def qualityCalibration(documents: DataFrame): DataFrame = {
+    val scored = documents
+      .filter(length(col("text")) > 0)
+      .withColumn("score", expr(
+        """(1000 * (length(text) -
+          |  length(regexp_replace(lower(text), '[a-z]', '')))) div
+          |length(text)""".stripMargin).cast("long"))
+    val hist = scored.groupBy(col("source"), col("score"))
+      .agg(count(lit(1)).as("cnt"))
+    val bySrc = Window.partitionBy(col("source"))
+    val cum = Window.partitionBy(col("source")).orderBy(col("score"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    hist
+      .withColumn("total", sum(col("cnt")).over(bySrc))
+      .withColumn("below", sum(col("cnt")).over(cum) - col("cnt"))
+      .withColumn("pct_permille",
+        expr("(1000 * below) div greatest(total - 1, 1)"))
+      .select(col("source"), col("score"), col("cnt"), col("below"),
+        col("pct_permille"))
+      .orderBy(col("source"), col("score"))
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ngram_diversity" -> ((s, d) => ngramDiversity(Tables.documents(s, d))),
+    "source_overlap" -> ((s, d) => sourceOverlap(Tables.documents(s, d))),
+    "containment_pairs" -> ((s, d) => containmentPairs(Tables.documents(s, d))),
+    "transition_entropy" -> ((s, d) => transitionEntropy(Tables.events(s, d))),
+    "quality_calibration" -> ((s, d) => qualityCalibration(Tables.documents(s, d))))
+
+  /** DuckDB equivalents. Notes on dialect parity: Spark `div` ↔ DuckDB
+    * `//`; Spark `bin`/`char(31)` ↔ DuckDB `printf('%b', …)`/`chr(31)`;
+    * DuckDB `regexp_replace` needs the explicit `'g'` flag Spark
+    * implies. */
+  def oracleSql: Map[String, String] = Map(
+    "ngram_diversity" ->
+      s"""WITH d AS (
+         |  SELECT source,
+         |    list_filter(string_split(lower(text), ' '), x -> len(x) > 0) AS w
+         |  FROM documents
+         |), tri AS (
+         |  SELECT source, unnest(list_transform(
+         |    generate_series(1, len(w) - ${DiversityN - 1}),
+         |    i -> md5(w[i] || chr(31) || w[i + 1] || chr(31) || w[i + 2])))
+         |    AS tri
+         |  FROM d WHERE len(w) >= $DiversityN
+         |)
+         |SELECT source, count(*)::BIGINT AS n_trigrams,
+         |  count(DISTINCT tri)::BIGINT AS n_distinct,
+         |  (1000 * count(DISTINCT tri) // count(*))::BIGINT AS ttr_permille
+         |FROM tri GROUP BY source ORDER BY source""".stripMargin,
+    "source_overlap" -> {
+      val shingles =
+        s"""SELECT DISTINCT source, md5(w[i] || chr(31) || w[i + 1] ||
+           |    chr(31) || w[i + 2] || chr(31) || w[i + 3] || chr(31) ||
+           |    w[i + 4]) AS sh
+           |  FROM (SELECT source,
+           |      list_filter(string_split(lower(text), ' '),
+           |        x -> len(x) > 0) AS w
+           |    FROM documents),
+           |    unnest(generate_series(1, len(w) - ${ShingleWords - 1}))
+           |      AS t(i)
+           |  WHERE len(w) >= $ShingleWords""".stripMargin
+      s"""WITH s AS (
+         |$shingles
+         |), sizes AS (
+         |  SELECT source, count(*)::BIGINT AS n FROM s GROUP BY source
+         |), shared AS (
+         |  SELECT a.source AS src_a, b.source AS src_b,
+         |    count(*)::BIGINT AS shared
+         |  FROM s a JOIN s b ON a.sh = b.sh AND a.source < b.source
+         |  GROUP BY 1, 2
+         |)
+         |SELECT src_a, src_b, na.n AS n_a, nb.n AS n_b, shared,
+         |  (1000 * shared // (na.n + nb.n - shared))::BIGINT
+         |    AS jaccard_permille
+         |FROM shared
+         |JOIN sizes na ON na.source = src_a
+         |JOIN sizes nb ON nb.source = src_b
+         |ORDER BY src_a, src_b""".stripMargin
+    },
+    "containment_pairs" ->
+      s"""WITH sh AS (
+         |  SELECT DISTINCT doc_id, md5(w[i] || chr(31) || w[i + 1] ||
+         |    chr(31) || w[i + 2] || chr(31) || w[i + 3] || chr(31) ||
+         |    w[i + 4]) AS sh
+         |  FROM (SELECT doc_id,
+         |      list_filter(string_split(lower(text), ' '),
+         |        x -> len(x) > 0) AS w
+         |    FROM documents),
+         |    unnest(generate_series(1, len(w) - ${ShingleWords - 1}))
+         |      AS t(i)
+         |  WHERE len(w) >= $ShingleWords
+         |), sizes AS (
+         |  SELECT doc_id, count(*)::BIGINT AS n_sh FROM sh GROUP BY doc_id
+         |  HAVING count(*) >= $ContainMinShingles
+         |), rare AS (
+         |  SELECT sh FROM sh GROUP BY sh
+         |  HAVING count(*) BETWEEN 2 AND $ContainDfCap
+         |), rs AS (SELECT sh.doc_id, sh.sh FROM sh JOIN rare USING (sh)),
+         |cands AS (
+         |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+         |  FROM rs x JOIN rs y ON x.sh = y.sh AND x.doc_id <> y.doc_id
+         |), shared AS (
+         |  SELECT c.a, c.b, count(*)::BIGINT AS shared
+         |  FROM cands c
+         |  JOIN sh sa ON sa.doc_id = c.a
+         |  JOIN sh sb ON sb.doc_id = c.b AND sb.sh = sa.sh
+         |  GROUP BY c.a, c.b
+         |)
+         |SELECT a, b, n_a, shared,
+         |  (1000 * shared // n_a)::BIGINT AS containment_permille
+         |FROM (SELECT s.a, s.b, z.n_sh AS n_a, s.shared
+         |      FROM shared s JOIN sizes z ON z.doc_id = s.a)
+         |WHERE shared * 1000 >= n_a * $ContainThresholdPermille
+         |ORDER BY a, b""".stripMargin,
+    "transition_entropy" ->
+      """WITH paired AS (
+        |  SELECT user_id, event_type,
+        |    lag(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS prev_type
+        |  FROM events
+        |), pairs AS (
+        |  SELECT prev_type, event_type AS next_type, count(*)::BIGINT AS c
+        |  FROM paired WHERE prev_type IS NOT NULL
+        |  GROUP BY 1, 2
+        |), stated AS (
+        |  SELECT prev_type, next_type, c,
+        |    sum(c) OVER (PARTITION BY prev_type)::BIGINT AS n
+        |  FROM pairs
+        |)
+        |SELECT prev_type, max(n)::BIGINT AS n_transitions,
+        |  count(*)::BIGINT AS n_next_types,
+        |  (1000 * sum(c * (len(printf('%b', n // c)) - 1)) // max(n))::BIGINT
+        |    AS entropy_millibits
+        |FROM stated GROUP BY prev_type ORDER BY prev_type""".stripMargin,
+    "quality_calibration" ->
+      """WITH scored AS (
+        |  SELECT source,
+        |    (1000 * (len(text) -
+        |      len(regexp_replace(lower(text), '[a-z]', '', 'g')))) //
+        |      len(text) AS score
+        |  FROM documents WHERE len(text) > 0
+        |), hist AS (
+        |  SELECT source, score, count(*)::BIGINT AS cnt
+        |  FROM scored GROUP BY 1, 2
+        |)
+        |SELECT source, score::BIGINT AS score, cnt,
+        |  (sum(cnt) OVER (PARTITION BY source ORDER BY score
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |   - cnt)::BIGINT AS below,
+        |  (1000 * (sum(cnt) OVER (PARTITION BY source ORDER BY score
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - cnt) //
+        |   greatest(sum(cnt) OVER (PARTITION BY source) - 1, 1))::BIGINT
+        |    AS pct_permille
+        |FROM hist ORDER BY source, score""".stripMargin)
+}

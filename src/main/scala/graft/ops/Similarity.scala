@@ -633,7 +633,45 @@ object Similarity {
       .orderBy(col("vec_id"), col("rnk"))
   }
 
+  /** Nearest-centroid label confusion matrix — the embedding-quality
+    * eval that a labeled corpus buys for free: quantize every component
+    * to exact µ-units (`floor(1e4·x)`, exact on bit-identical floats),
+    * average per label in INTEGER arithmetic (`sum div n` — order-free,
+    * so the centroid is reproducible anywhere), assign each vector to
+    * its nearest centroid by integer squared-L2, and cross-tabulate true
+    * vs predicted label. A healthy embedding space is diagonal-heavy;
+    * off-diagonal mass names the confusable label pairs (the same
+    * signal [[clusterBalance]] uses for resampling, but supervised).
+    *
+    * Scale shape: the per-(label, dim) sums are one map-side-combinable
+    * shuffle over dim-exploded rows; the centroid table is labels×dims
+    * (tiny — broadcast by AQE), so the distance pass adds a per-vector
+    * labels×dims fold aggregated map-side down to N×L rows before the
+    * (vec, label) shuffle; the argmin is `min(struct(dist, label))` —
+    * an aggregate, never a corpus-wide window. All arithmetic fits
+    * comfortably in BIGINT: |q| ≤ 1e4·|x|, dist ≤ dims·(2·max_q)².
+    */
+  def centroidConfusion(embeddings: DataFrame): DataFrame = {
+    val q = embeddings
+      .select(col("vec_id"), col("label"),
+        posexplode(col("embedding")).as(Seq("d", "x")))
+      .withColumn("q", floor(lit(10000) * col("x").cast("double")).cast("long"))
+      .select(col("vec_id"), col("label"), col("d"), col("q"))
+    val cent = q.groupBy(col("label").as("c_label"), col("d"))
+      .agg(expr("sum(q) div count(1)").as("c"))
+    val pred = q.join(cent, Seq("d"))
+      .groupBy(col("vec_id"), col("label"), col("c_label"))
+      .agg(sum((col("q") - col("c")) * (col("q") - col("c"))).as("dist"))
+      .groupBy(col("vec_id"), col("label"))
+      .agg(min(struct(col("dist"), col("c_label"))).as("best"))
+      .select(col("label"), col("best.c_label").as("pred_label"))
+    pred.groupBy(col("label"), col("pred_label"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("label"), col("pred_label"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "centroid_confusion" -> ((s, d) => centroidConfusion(Tables.embeddings(s, d))),
     "ann_cosine_topk" -> ((s, d) => cosineTopK(Tables.embeddings(s, d))),
     "hard_negatives" -> ((s, d) => hardNegatives(Tables.embeddings(s, d))),
     "ann_lsh_topk" -> ((s, d) => annLshTopK(Tables.embeddings(s, d))),
@@ -682,6 +720,32 @@ object Similarity {
   }
 
   def oracleSql: Map[String, String] = Map(
+    // Spark's posexplode is 0-based, DuckDB's generate_series here is
+    // 1-based — d is only ever a JOIN key, so the offset is immaterial.
+    "centroid_confusion" ->
+      """WITH pos AS (
+        |  SELECT vec_id, label, embedding::DOUBLE[] AS v,
+        |    unnest(generate_series(1, 64)) AS d
+        |  FROM embeddings
+        |), q AS (
+        |  SELECT vec_id, label, d, floor(10000 * v[d])::BIGINT AS q
+        |  FROM pos
+        |), cent AS (
+        |  SELECT label AS c_label, d, (sum(q) // count(*))::BIGINT AS c
+        |  FROM q GROUP BY 1, 2
+        |), dist AS (
+        |  SELECT q.vec_id, q.label, cent.c_label,
+        |    sum((q.q - cent.c) * (q.q - cent.c))::BIGINT AS dist
+        |  FROM q JOIN cent USING (d) GROUP BY 1, 2, 3
+        |), pred AS (
+        |  SELECT vec_id, label, c_label,
+        |    row_number() OVER (PARTITION BY vec_id
+        |      ORDER BY dist, c_label) AS rn
+        |  FROM dist
+        |)
+        |SELECT label, c_label AS pred_label, count(*)::BIGINT AS n
+        |FROM pred WHERE rn = 1
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // DuckDB lambda indexes are 1-based where Spark's are 0-based; both
     // plant NaN into the FIRST component.
     "embedding_qa" ->
