@@ -52,6 +52,13 @@ object ScaleSmoke {
       .localCheckpoint(true)
     println(s"embeddings: ${embCorpus.count()} vectors")
     t("hard_negatives") { graft.ops.Similarity.hardNegatives(embCorpus) }
+    t("centroid_confusion") { graft.ops.Similarity.centroidConfusion(embCorpus) }
+    // Corpus-analysis batch: the replica corpus is the adversarial case
+    // for containment (every replica is a near-exact quote of its
+    // original, so candidate volume is maximal for the df band).
+    t("ngram_diversity") { graft.ops.Corpus.ngramDiversity(corpus) }
+    t("source_overlap") { graft.ops.Corpus.sourceOverlap(corpus) }
+    t("containment_pairs") { graft.ops.Corpus.containmentPairs(corpus) }
   }
 
   private def time(spark: SparkSession, name: String)(
