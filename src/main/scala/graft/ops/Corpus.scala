@@ -224,7 +224,87 @@ object Corpus {
       .orderBy(col("source"), col("score"))
   }
 
+  /** Burst flag: a user's busiest hour must hold at least
+    * [[BurstFactor]]× their average per-active-hour rate AND at least
+    * [[BurstFloor]] events (the floor keeps two-event users out). */
+  val BurstFactor = 2
+  val BurstFloor = 3
+
+  /** Per-user activity-burst detection — the scripted-client screen
+    * that complements [[transitionEntropy]]: humans spread activity
+    * across hours, replay scripts concentrate it. Compares each user's
+    * busiest hour against their own average per-active-hour rate
+    * (cross-multiplied integers — no division until the reported
+    * ratio), so the threshold is self-normalizing: no fixture-tuned
+    * absolute rate survives into the semantics.
+    *
+    * Scale shape: one map-side-combinable count per (user, hour), one
+    * per-user rollup — both shuffles key on the high-cardinality user
+    * id; no windows, no self-joins. The hour grain bounds state per
+    * user at hours-observed, not events.
+    */
+  def burstDetection(events: DataFrame): DataFrame =
+    Synth.eventTime(events)
+      .select(col("user_id"),
+        expr("unix_micros(ts) div 3600000000").as("hour"))
+      .groupBy(col("user_id"), col("hour"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("user_id"))
+      .agg(sum(col("c")).as("n_events"),
+        count(lit(1)).as("n_hours"),
+        max(col("c")).as("max_per_hour"))
+      .filter(col("max_per_hour") * col("n_hours") >=
+        col("n_events") * BurstFactor &&
+        col("max_per_hour") >= BurstFloor)
+      .withColumn("burst_ratio_permille",
+        expr("(1000 * max_per_hour * n_hours) div n_events"))
+      .select(col("user_id"), col("n_events"), col("n_hours"),
+        col("max_per_hour"), col("burst_ratio_permille"))
+      .orderBy(col("user_id"))
+
+  /** Position buckets for [[vocabGrowth]]. */
+  val GrowthBuckets = 10
+
+  /** Vocabulary-growth (Heaps-law) table: per source, how many NEW
+    * distinct tokens each tenth of the corpus contributes, plus the
+    * cumulative vocabulary — the curve whose flattening says "more of
+    * this source adds no new language" (diminishing-returns evidence
+    * for the mixing plan, the longitudinal twin of [[ngramDiversity]]).
+    * Corpus position is the doc_id's decile of the GLOBAL id range — a
+    * broadcast 1-row min/max, not a per-source row_number — so no
+    * corpus-wide ordering exists anywhere.
+    *
+    * Scale shape: token first-sightings reduce via min(bucket) per
+    * (source, token) — map-side combinable, the word-count shuffle
+    * shape; the cumulative sum runs on the (source, ≤10 buckets)
+    * grain. Tokens travel as md5 hashes.
+    */
+  def vocabGrowth(documents: DataFrame): DataFrame = {
+    val range = documents.agg(min(col("doc_id")).as("dmin"),
+      (max(col("doc_id")) - min(col("doc_id")) + 1).as("span"))
+    val firstSeen = documents
+      .crossJoin(broadcast(range))
+      .select(col("source"),
+        expr(s"((doc_id - dmin) * $GrowthBuckets) div span").as("bucket"),
+        explode(expr(
+          "filter(split(lower(text), ' '), x -> length(x) > 0)")).as("tok"))
+      .groupBy(col("source"), md5(col("tok")).as("h"))
+      .agg(min(col("bucket")).as("first_bucket"))
+    val perBucket = firstSeen
+      .groupBy(col("source"), col("first_bucket").as("bucket"))
+      .agg(count(lit(1)).as("new_tokens"))
+    perBucket
+      .withColumn("cum_vocab", sum(col("new_tokens")).over(
+        Window.partitionBy(col("source")).orderBy(col("bucket"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(col("source"), col("bucket"), col("new_tokens"),
+        col("cum_vocab"))
+      .orderBy(col("source"), col("bucket"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "burst_detection" -> ((s, d) => burstDetection(Tables.events(s, d))),
+    "vocab_growth" -> ((s, d) => vocabGrowth(Tables.documents(s, d))),
     "ngram_diversity" -> ((s, d) => ngramDiversity(Tables.documents(s, d))),
     "source_overlap" -> ((s, d) => sourceOverlap(Tables.documents(s, d))),
     "containment_pairs" -> ((s, d) => containmentPairs(Tables.documents(s, d))),
@@ -236,6 +316,46 @@ object Corpus {
     * DuckDB `regexp_replace` needs the explicit `'g'` flag Spark
     * implies. */
   def oracleSql: Map[String, String] = Map(
+    "burst_detection" ->
+      s"""WITH ph AS (
+         |  SELECT user_id, epoch_us(ts) // 3600000000 AS hour,
+         |    count(*)::BIGINT AS c
+         |  FROM events GROUP BY 1, 2
+         |), pu AS (
+         |  SELECT user_id, sum(c)::BIGINT AS n_events,
+         |    count(*)::BIGINT AS n_hours, max(c)::BIGINT AS max_per_hour
+         |  FROM ph GROUP BY user_id
+         |)
+         |SELECT user_id, n_events, n_hours, max_per_hour,
+         |  (1000 * max_per_hour * n_hours // n_events)::BIGINT
+         |    AS burst_ratio_permille
+         |FROM pu
+         |WHERE max_per_hour * n_hours >= n_events * $BurstFactor
+         |  AND max_per_hour >= $BurstFloor
+         |ORDER BY user_id""".stripMargin,
+    "vocab_growth" ->
+      s"""WITH rng AS (
+         |  SELECT min(doc_id) AS dmin,
+         |    max(doc_id) - min(doc_id) + 1 AS span
+         |  FROM documents
+         |), toks AS (
+         |  SELECT source,
+         |    ((doc_id - r.dmin) * $GrowthBuckets) // r.span AS bucket,
+         |    md5(unnest(list_filter(string_split(lower(text), ' '),
+         |      x -> len(x) > 0))) AS h
+         |  FROM documents, rng r
+         |), fs AS (
+         |  SELECT source, h, min(bucket)::BIGINT AS bucket
+         |  FROM toks GROUP BY 1, 2
+         |), pb AS (
+         |  SELECT source, bucket, count(*)::BIGINT AS new_tokens
+         |  FROM fs GROUP BY 1, 2
+         |)
+         |SELECT source, bucket, new_tokens,
+         |  sum(new_tokens) OVER (PARTITION BY source ORDER BY bucket
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT
+         |    AS cum_vocab
+         |FROM pb ORDER BY source, bucket""".stripMargin,
     "ngram_diversity" ->
       s"""WITH d AS (
          |  SELECT source,

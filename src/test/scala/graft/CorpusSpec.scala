@@ -89,6 +89,31 @@ class CorpusSpec extends SparkSpec {
     assert(!conf.contains((1, 0)))
   }
 
+  test("burst detection flags the replay script, not the steady user") {
+    // User 1: 20 events inside one hour plus 20 spread one-per-hour.
+    // User 2: one event per hour for 30 hours (max=1 < floor).
+    val H = 3600L * 1000000
+    val rows =
+      (0 until 20).map(i => (1L, 30L * 1000000 + i * 1000)) ++
+      (1 to 20).map(i => (1L, i * H + 5)) ++
+      (0 until 30).map(i => (2L, i * H + 7))
+    val events = rows.toDF("user_id", "us")
+      .select(col("user_id"), expr("timestamp_micros(us)").as("ts"))
+    val out = Corpus.burstDetection(events)
+      .select("user_id", "n_events", "n_hours", "max_per_hour",
+        "burst_ratio_permille")
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(out.toSeq == Seq((1L, 40L, 21L, 20L, 1000L * 20 * 21 / 40)))
+  }
+
+  test("vocab growth counts each token in its first bucket only") {
+    val d = docs((0L, "a b c", "web"), (9L, "b c d e", "web"))
+    val out = Corpus.vocabGrowth(d)
+      .select("bucket", "new_tokens", "cum_vocab")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(out == Seq((0L, 3L, 3L), (9L, 2L, 5L)))
+  }
+
   test("identical sources overlap completely; disjoint sources do not pair") {
     val shared = (1 to 30).map(i => s"s$i").mkString(" ")
     val other = (1 to 30).map(i => s"o$i").mkString(" ")
