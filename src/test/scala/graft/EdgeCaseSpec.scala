@@ -101,6 +101,42 @@ class EdgeCaseSpec extends SparkSpec {
     assert(attr.length == 2 && attr.forall(_.getAs[String]("channel") == "direct"))
   }
 
+  test("empty/degenerate inputs: corpus-analysis operators return empty") {
+    import java.sql.Timestamp
+    import spark.implicits._
+    import graft.ops.Corpus
+    val emptyDocs = Seq.empty[(Long, String, String)]
+      .toDF("doc_id", "text", "source")
+    assert(Corpus.ngramDiversity(emptyDocs).count() == 0)
+    assert(Corpus.sourceOverlap(emptyDocs).count() == 0)
+    assert(Corpus.containmentPairs(emptyDocs).count() == 0)
+    assert(Corpus.qualityCalibration(emptyDocs).count() == 0)
+    assert(Corpus.vocabGrowth(emptyDocs).count() == 0)
+    val emptyEvents = Seq.empty[(Long, Timestamp, Long, String)]
+      .toDF("event_id", "ts", "user_id", "event_type")
+    assert(Corpus.burstDetection(emptyEvents).count() == 0)
+    assert(Corpus.transitionEntropy(emptyEvents).count() == 0)
+    assert(graft.ops.Similarity.centroidConfusion(
+      Seq.empty[(Long, Seq[Float], Int)].toDF("vec_id", "embedding", "label"))
+      .count() == 0)
+    // Sub-shingle/short texts pass the size gates rather than erroring.
+    val shorts = Seq((1L, "", "a"), (2L, "one two", "a"), (3L, "  ", "b"))
+      .toDF("doc_id", "text", "source")
+    assert(Corpus.ngramDiversity(shorts).count() == 0)
+    assert(Corpus.containmentPairs(shorts).count() == 0)
+  }
+
+  test("a boilerplate corpus has no rare shingles: containment stays empty") {
+    import spark.implicits._
+    // 3000 identical docs: every shingle's df is 3000 >> ContainDfCap=64,
+    // so the rare-shingle candidate gate drops everything — the bound
+    // that keeps the pair space off documents² on mega-duplicate crawls.
+    val boiler = (1L to 3000L)
+      .map(i => (i, "the same boilerplate sentence repeated in every document here", "web"))
+      .toDF("doc_id", "text", "source")
+    assert(graft.ops.Corpus.containmentPairs(boiler).count() == 0)
+  }
+
   test("a 10k-event bot session keeps the path agg buffer at 8 structs") {
     import java.sql.Timestamp
     import spark.implicits._
