@@ -37,10 +37,15 @@ object Graph {
     * giving out-degree exactly 2. Per-round update:
     * `rank'(v) = 150000 + sum over in-edges u of (85 * rank(u)) div 200`.
     */
-  def linkRank(documents: DataFrame): DataFrame = {
+  /** The deterministic 2-regular planted edge table shared by
+    * [[linkRank]] and [[khopReach]], materialized once: every round
+    * joins this table, and without the checkpoint each round re-plans
+    * the scan + edge generation; eager localCheckpoint also truncates
+    * lineage, the same treatment Dedup's connected-components rounds
+    * use. */
+  private def plantedEdges(documents: DataFrame): DataFrame = {
     val n = documents.agg(count(lit(1)).as("n"))
-    val withN = documents.select(col("doc_id")).crossJoin(broadcast(n))
-    val edges = withN
+    documents.select(col("doc_id")).crossJoin(broadcast(n))
       .select(col("doc_id").as("src"),
         explode(array(pmod(col("doc_id") * 7 + 13, col("n")),
           pmod(col("doc_id") * 31 + 5, col("n")))).as("t"),
@@ -48,11 +53,11 @@ object Graph {
       .select(col("src"),
         when(col("t") === col("src"), pmod(col("t") + 1, col("n")))
           .otherwise(col("t")).as("tgt"))
-      // materialize once: every round joins this table, and without the
-      // checkpoint each round re-plans the scan + edge generation (3 corpus
-      // scans for 3 rounds); eager localCheckpoint also truncates lineage,
-      // the same treatment Dedup's connected-components rounds use
       .localCheckpoint(true)
+  }
+
+  def linkRank(documents: DataFrame): DataFrame = {
+    val edges = plantedEdges(documents)
     val nodes = documents.select(col("doc_id").as("node"))
     var ranks = nodes.select(col("node"), lit(RankScale).as("rank"))
     for (_ <- 1 to Rounds) {
@@ -125,9 +130,55 @@ object Graph {
       .crossJoin(triangles.agg(count(lit(1)).as("n_triangles")))
   }
 
+  /** Hop budget and seed count for [[khopReach]]. */
+  val ReachHops = 3
+  val ReachSeeds = 5
+
+  /** Bounded K-hop reachability (multi-source BFS) from the
+    * highest-in-degree hubs — the traversal primitive the graph section
+    * lacked next to propagation ([[linkRank]]), components
+    * ([[Dedup.clusterAssignments]]) and counting ([[triangleCount]]):
+    * "how much of the corpus sits within K clicks of the hubs" is the
+    * influence-radius question behind crawl frontier budgeting. Emits
+    * the per-seed min-hop profile: for each seed and hop ≤
+    * [[ReachHops]], how many nodes are FIRST reached at that hop.
+    *
+    * The loop is frontier-style BFS, not path enumeration: each round
+    * joins only the newest frontier against the edge table and
+    * anti-joins the visited set, so per-seed state is O(reached), never
+    * O(paths) — the same visited-set discipline as label propagation.
+    * Seeds come from a `TakeOrdered` top-[[ReachSeeds]] on (in-degree,
+    * id) — a bounded driver-side head, not a corpus sort. At production
+    * round counts the per-round `localCheckpoint` lineage truncation of
+    * [[plantedEdges]] extends to the frontier, as in
+    * [[Dedup.clusterAssignments]]; at 3 rounds lineage stays shallow.
+    */
+  def khopReach(documents: DataFrame): DataFrame = {
+    val edges = plantedEdges(documents)
+    val seeds = edges.groupBy(col("tgt").as("node"))
+      .agg(count(lit(1)).as("indeg"))
+      .orderBy(col("indeg").desc, col("node")).limit(ReachSeeds)
+      .select(col("node").as("seed"))
+    var visited = seeds
+      .select(col("seed"), col("seed").as("node"), lit(0L).as("hop"))
+    var frontier = visited
+    for (h <- 1 to ReachHops) {
+      val next = frontier.join(edges, frontier("node") === edges("src"))
+        .select(col("seed"), col("tgt").as("node"), lit(h.toLong).as("hop"))
+        .distinct()
+      frontier = next
+        .join(visited.select("seed", "node"), Seq("seed", "node"), "left_anti")
+      visited = visited.unionByName(frontier)
+    }
+    visited.groupBy(col("seed"), col("hop"))
+      .agg(count(lit(1)).as("n_nodes"))
+      .orderBy(col("seed"), col("hop"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "link_rank" -> ((s, d) => linkRank(Tables.documents(s, d))),
     "triangle_count" -> ((s, d) => triangleCount(Tables.lineitem(s, d))),
+    "khop_reach" -> ((s, d) => khopReach(Tables.documents(s, d))),
   )
 
   /** Oracle: the same three rounds unrolled as chained CTEs — integer
@@ -141,7 +192,38 @@ object Graph {
          |    FROM edges e JOIN $prev r ON r.node = e.src GROUP BY e.tgt
          |  ) s ON s.node = n.node
          |)""".stripMargin
+    // BFS round for khop_reach: newest frontier × edges, minus visited.
+    def bfsRound(h: Int): String =
+      s"""n$h AS (
+         |  SELECT DISTINCT f.seed, e.tgt AS node, ${h}::BIGINT AS hop
+         |  FROM f${h - 1} f JOIN edges e ON e.src = f.node
+         |), f$h AS (
+         |  SELECT * FROM n$h n WHERE NOT EXISTS (
+         |    SELECT 1 FROM v${h - 1} v WHERE v.seed = n.seed AND v.node = n.node)
+         |), v$h AS (SELECT * FROM v${h - 1} UNION ALL SELECT * FROM f$h)""".stripMargin
     Map(
+      "khop_reach" ->
+        s"""WITH params AS (SELECT count(*)::BIGINT AS n FROM documents),
+           |e0 AS (
+           |  SELECT doc_id AS src, (doc_id * 7 + 13) % n AS t FROM documents, params
+           |  UNION ALL
+           |  SELECT doc_id, (doc_id * 31 + 5) % n FROM documents, params
+           |),
+           |edges AS (
+           |  SELECT src, CASE WHEN t = src THEN (t + 1) % (SELECT n FROM params)
+           |    ELSE t END AS tgt
+           |  FROM e0
+           |),
+           |ind AS (SELECT tgt AS node, count(*) AS indeg FROM edges GROUP BY tgt),
+           |seeds AS (
+           |  SELECT node AS seed FROM ind ORDER BY indeg DESC, node
+           |  LIMIT $ReachSeeds
+           |),
+           |v0 AS (SELECT seed, seed AS node, 0::BIGINT AS hop FROM seeds),
+           |f0 AS (SELECT * FROM v0),
+           |${(1 to ReachHops).map(bfsRound).mkString(",\n")}
+           |SELECT seed, hop, count(*)::BIGINT AS n_nodes
+           |FROM v$ReachHops GROUP BY seed, hop ORDER BY seed, hop""".stripMargin,
       "link_rank" ->
         s"""WITH params AS (SELECT count(*)::BIGINT AS n FROM documents),
            |nodes AS (SELECT doc_id AS node FROM documents),

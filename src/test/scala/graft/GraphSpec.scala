@@ -48,6 +48,42 @@ class GraphSpec extends SparkSpec {
     assert(ref(3L) > ref(2L)) // the skew is real: more in-mass, higher rank
   }
 
+  /** Independent BFS reference over the same planted edges. */
+  private def bfsReference(n: Int): Map[(Long, Long), Long] = {
+    val edges = (0L until n.toLong).flatMap { src =>
+      Seq((src * 7 + 13) % n, (src * 31 + 5) % n).map { t =>
+        src -> (if (t == src) (t + 1) % n else t)
+      }
+    }
+    val adj = edges.groupBy(_._1).map { case (s, es) => s -> es.map(_._2).toSet }
+    val indeg = edges.groupBy(_._2).map { case (t, es) => t -> es.size.toLong }
+    val seeds = (0L until n.toLong)
+      .sortBy(v => (-indeg.getOrElse(v, 0L), v)).take(Graph.ReachSeeds)
+    seeds.flatMap { seed =>
+      var visited = Map(seed -> 0L)
+      var frontier = Set(seed)
+      for (h <- 1 to Graph.ReachHops) {
+        val next = frontier.flatMap(v => adj.getOrElse(v, Set.empty))
+          .diff(visited.keySet)
+        visited ++= next.map(_ -> h.toLong)
+        frontier = next
+      }
+      visited.groupBy(_._2).map { case (hop, m) =>
+        (seed, hop) -> m.size.toLong
+      }
+    }.toMap
+  }
+
+  test("k-hop reach matches the independent BFS reference") {
+    val out = Graph.khopReach(docs(20)).collect()
+      .map(r => (r.getAs[Long]("seed"), r.getAs[Long]("hop")) ->
+        r.getAs[Long]("n_nodes")).toMap
+    assert(out == bfsReference(20))
+    // Every seed reports its own hop-0 row.
+    assert(out.count { case ((_, hop), n) => hop == 0L && n == 1L } ==
+      Graph.ReachSeeds)
+  }
+
   test("triangle count finds exactly the planted triangles") {
     import spark.implicits._
     // order 1 = triangle {1,2,3}; order 2 = bridge 3-4; order 3 = K4 on
