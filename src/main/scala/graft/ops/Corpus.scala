@@ -302,7 +302,63 @@ object Corpus {
       .orderBy(col("source"), col("bucket"))
   }
 
+  /** Winsorization fences, in percent. */
+  val WinsorLoPct = 5
+  val WinsorHiPct = 95
+
+  /** Winsorized value statistics per event type — the outlier-robust
+    * mean a feature pipeline feeds a model instead of the raw mean one
+    * fat-fingered amount can drag anywhere: clip at the exact
+    * [[WinsorLoPct]]/[[WinsorHiPct]] percentiles and report the clipped
+    * mean plus how much mass the fences cut. The percentiles are
+    * `quantile_disc`-style EXACT cut-offs read off a cents-grain
+    * histogram (rank `ceil(p·n/100)`), and the clipped sum is derived
+    * FROM the histogram (`cnt · clamp(cents, lo, hi)`) — the raw table
+    * is scanned once, for the histogram, and never again.
+    *
+    * Scale shape: one map-side-combinable groupBy onto the
+    * (event_type, cents) value grain; the cumulative window runs on
+    * that grain partitioned by event_type — the value-grain-histogram
+    * pattern ([[qualityCalibration]], [[Temporal.rfmSegments]]), never
+    * a corpus-wide ntile or sort.
+    */
+  def winsorizedStats(events: DataFrame): DataFrame = {
+    val hist = events
+      .filter(col("value").isNotNull)
+      .withColumn("cents", floor(col("value") * 100).cast("long"))
+      .groupBy(col("event_type"), col("cents"))
+      .agg(count(lit(1)).as("cnt"))
+    val cum = Window.partitionBy(col("event_type")).orderBy(col("cents"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ranked = hist
+      .withColumn("total", sum(col("cnt")).over(
+        Window.partitionBy(col("event_type"))))
+      .withColumn("cum", sum(col("cnt")).over(cum))
+    val fences = ranked
+      .groupBy(col("event_type"), col("total"))
+      .agg(
+        min(when(col("cum") * 100 >= col("total") * WinsorLoPct,
+          col("cents"))).as("lo_cents"),
+        min(when(col("cum") * 100 >= col("total") * WinsorHiPct,
+          col("cents"))).as("hi_cents"))
+    hist.join(fences, Seq("event_type"))
+      .groupBy(col("event_type"), col("total"), col("lo_cents"),
+        col("hi_cents"))
+      .agg(
+        sum(col("cnt") * greatest(least(col("cents"), col("hi_cents")),
+          col("lo_cents"))).as("clipped_sum"),
+        sum(when(col("cents") < col("lo_cents") ||
+          col("cents") > col("hi_cents"), col("cnt")).otherwise(lit(0L)))
+          .as("n_clipped"))
+      .select(col("event_type"), col("total").as("n_values"),
+        col("lo_cents"), col("hi_cents"),
+        expr("clipped_sum div total").as("winsorized_mean_cents"),
+        col("n_clipped"))
+      .orderBy(col("event_type"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "winsorized_stats" -> ((s, d) => winsorizedStats(Tables.events(s, d))),
     "burst_detection" -> ((s, d) => burstDetection(Tables.events(s, d))),
     "vocab_growth" -> ((s, d) => vocabGrowth(Tables.documents(s, d))),
     "ngram_diversity" -> ((s, d) => ngramDiversity(Tables.documents(s, d))),
@@ -316,6 +372,33 @@ object Corpus {
     * DuckDB `regexp_replace` needs the explicit `'g'` flag Spark
     * implies. */
   def oracleSql: Map[String, String] = Map(
+    "winsorized_stats" ->
+      s"""WITH hist AS (
+         |  SELECT event_type, floor(value * 100)::BIGINT AS cents,
+         |    count(*)::BIGINT AS cnt
+         |  FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+         |), ranked AS (
+         |  SELECT event_type, cents, cnt,
+         |    sum(cnt) OVER (PARTITION BY event_type)::BIGINT AS total,
+         |    sum(cnt) OVER (PARTITION BY event_type ORDER BY cents
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT
+         |      AS cum
+         |  FROM hist
+         |), fences AS (
+         |  SELECT event_type, total,
+         |    min(CASE WHEN cum * 100 >= total * $WinsorLoPct
+         |      THEN cents END)::BIGINT AS lo_cents,
+         |    min(CASE WHEN cum * 100 >= total * $WinsorHiPct
+         |      THEN cents END)::BIGINT AS hi_cents
+         |  FROM ranked GROUP BY 1, 2
+         |)
+         |SELECT h.event_type, f.total AS n_values, f.lo_cents, f.hi_cents,
+         |  (sum(h.cnt * greatest(least(h.cents, f.hi_cents), f.lo_cents))
+         |    // f.total)::BIGINT AS winsorized_mean_cents,
+         |  sum(CASE WHEN h.cents < f.lo_cents OR h.cents > f.hi_cents
+         |    THEN h.cnt ELSE 0 END)::BIGINT AS n_clipped
+         |FROM hist h JOIN fences f USING (event_type)
+         |GROUP BY 1, 2, 3, 4 ORDER BY h.event_type""".stripMargin,
     "burst_detection" ->
       s"""WITH ph AS (
          |  SELECT user_id, epoch_us(ts) // 3600000000 AS hour,

@@ -106,6 +106,26 @@ class CorpusSpec extends SparkSpec {
     assert(out.toSeq == Seq((1L, 40L, 21L, 20L, 1000L * 20 * 21 / 40)))
   }
 
+  test("winsorized mean clips exactly the fence-crossing outliers") {
+    // 20 values: 1.00..18.00 plus two outliers -100.00 and 500.00.
+    // p05 rank = 1 → lo = -10000 (the outlier itself is the 5th-pct cut
+    // at n=20: cum(1)*100 = 100 >= 20*5); p95 rank: smallest cents with
+    // cum*100 >= 1900 → 18.00. Clipped: -100 -> -100? No: lo_cents is
+    // the 1st value (-10000), so nothing clips low; 500.00 clips to 18.
+    val vals = (1 to 18).map(_.toDouble) ++ Seq(-100.0, 500.0)
+    val events = vals.zipWithIndex
+      .map { case (v, i) => (i.toLong, "purchase", v) }
+      .toDF("event_id", "event_type", "value")
+    val out = Corpus.winsorizedStats(events).collect().head
+    assert(out.getAs[Long]("n_values") == 20L)
+    assert(out.getAs[Long]("lo_cents") == -10000L)
+    assert(out.getAs[Long]("hi_cents") == 1800L)
+    assert(out.getAs[Long]("n_clipped") == 1L)
+    // clipped sum = (-10000) + sum(100..1800 step 100) + 1800
+    val expect = (-10000L + (1 to 18).map(_ * 100L).sum + 1800L) / 20L
+    assert(out.getAs[Long]("winsorized_mean_cents") == expect)
+  }
+
   test("vocab growth counts each token in its first bucket only") {
     val d = docs((0L, "a b c", "web"), (9L, "b c d e", "web"))
     val out = Corpus.vocabGrowth(d)
