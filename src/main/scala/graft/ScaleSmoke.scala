@@ -58,6 +58,8 @@ object ScaleSmoke {
     // original, so candidate volume is maximal for the df band).
     t("ngram_diversity") { graft.ops.Corpus.ngramDiversity(corpus) }
     t("source_overlap") { graft.ops.Corpus.sourceOverlap(corpus) }
+    t("vocab_growth") { graft.ops.Corpus.vocabGrowth(corpus) }
+    t("khop_reach") { graft.ops.Graph.khopReach(corpus) }
     t("containment_pairs") { graft.ops.Corpus.containmentPairs(corpus) }
   }
 
