@@ -175,10 +175,70 @@ object Graph {
       .orderBy(col("seed"), col("hop"))
   }
 
+  /** Minimum co-occurrence and neighbors-per-item for
+    * [[copurchaseSimilar]]. */
+  val CoocMin = 2
+  val SimilarK = 5
+
+  /** Item-item co-purchase similarity with top-[[SimilarK]] neighbors
+    * per item — the collaborative-filtering primitive ("customers who
+    * bought X also bought Y") built from the same per-order pair
+    * generation as [[triangleCount]]: pairs come from inside each
+    * order's collected item array (orders are schema-bounded at a
+    * handful of lineitems — the allowlisted bounded-collect shape),
+    * never from a fact-table self-join. Similarity is squared cosine
+    * over order-membership vectors in exact parts-per-million:
+    * `1e6·cooc² div (deg_a·deg_b)` — cross-multiplied integers, no
+    * sqrt to diverge at the ulp.
+    *
+    * Scale shape: pair volume is Σ(order_size²) ≈ linear in orders;
+    * degrees join back broadcast-or-shuffle by AQE's choice; the final
+    * per-item top-k is a `row_number() ≤ k` rank filter, which
+    * `WindowTopKRewrite` re-plans onto the bounded-heap TopK physical
+    * operator — shuffle input ≤ partitions·items·k rows, no sort.
+    */
+  def copurchaseSimilar(lineitem: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val items = lineitem
+      .select(col("l_orderkey").as("okey"), col("l_partkey").as("p"))
+    val perOrder = items.groupBy(col("okey"))
+      .agg(array_sort(collect_set(col("p"))).as("ps"))
+      .filter(size(col("ps")) >= 2)
+    val pairs = perOrder
+      .select(explode(expr(
+        """flatten(transform(ps,
+          |  (x, i) -> transform(slice(ps, i + 2, size(ps)),
+          |            y -> struct(x AS a, y AS b))))""".stripMargin)).as("e"))
+      .groupBy(col("e.a").as("a"), col("e.b").as("b"))
+      .agg(count(lit(1)).as("cooc"))
+      .filter(col("cooc") >= CoocMin)
+    val deg = items.distinct()
+      .groupBy(col("p")).agg(count(lit(1)).as("d"))
+    val scored = pairs
+      .select(explode(array(
+        struct(col("a").as("part"), col("b").as("nbr")),
+        struct(col("b").as("part"), col("a").as("nbr")))).as("e"),
+        col("cooc"))
+      .select(col("e.part").as("part"), col("e.nbr").as("nbr"), col("cooc"))
+      .join(deg.select(col("p").as("part"), col("d").as("dp")), "part")
+      .join(deg.select(col("p").as("nbr"), col("d").as("dn")), "nbr")
+      .withColumn("cos2_ppm",
+        expr("(1000000 * cooc * cooc) div (dp * dn)"))
+    val w = Window.partitionBy(col("part"))
+      .orderBy(col("cos2_ppm").desc, col("cooc").desc, col("nbr"))
+    scored
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= SimilarK)
+      .select(col("part"), col("rnk").cast("long").as("rnk"), col("nbr"),
+        col("cooc"), col("cos2_ppm"))
+      .orderBy(col("part"), col("rnk"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "link_rank" -> ((s, d) => linkRank(Tables.documents(s, d))),
     "triangle_count" -> ((s, d) => triangleCount(Tables.lineitem(s, d))),
     "khop_reach" -> ((s, d) => khopReach(Tables.documents(s, d))),
+    "copurchase_similar" -> ((s, d) => copurchaseSimilar(Tables.lineitem(s, d))),
   )
 
   /** Oracle: the same three rounds unrolled as chained CTEs — integer
@@ -202,6 +262,32 @@ object Graph {
          |    SELECT 1 FROM v${h - 1} v WHERE v.seed = n.seed AND v.node = n.node)
          |), v$h AS (SELECT * FROM v${h - 1} UNION ALL SELECT * FROM f$h)""".stripMargin
     Map(
+      "copurchase_similar" ->
+        s"""WITH items AS (
+           |  SELECT DISTINCT l_orderkey AS okey, l_partkey AS p FROM lineitem
+           |), pairs AS (
+           |  SELECT x.p AS a, y.p AS b, count(*)::BIGINT AS cooc
+           |  FROM items x JOIN items y ON x.okey = y.okey AND x.p < y.p
+           |  GROUP BY 1, 2 HAVING count(*) >= $CoocMin
+           |), deg AS (
+           |  SELECT p, count(*)::BIGINT AS d FROM items GROUP BY p
+           |), both_dirs AS (
+           |  SELECT a AS part, b AS nbr, cooc FROM pairs
+           |  UNION ALL
+           |  SELECT b, a, cooc FROM pairs
+           |), scored AS (
+           |  SELECT s.part, s.nbr, s.cooc,
+           |    (1000000 * s.cooc * s.cooc // (da.d * dn.d))::BIGINT AS cos2_ppm
+           |  FROM both_dirs s
+           |  JOIN deg da ON da.p = s.part
+           |  JOIN deg dn ON dn.p = s.nbr
+           |)
+           |SELECT part, rnk::BIGINT AS rnk, nbr, cooc, cos2_ppm FROM (
+           |  SELECT part, nbr, cooc, cos2_ppm,
+           |    row_number() OVER (PARTITION BY part
+           |      ORDER BY cos2_ppm DESC, cooc DESC, nbr) AS rnk
+           |  FROM scored)
+           |WHERE rnk <= $SimilarK ORDER BY part, rnk""".stripMargin,
       "khop_reach" ->
         s"""WITH params AS (SELECT count(*)::BIGINT AS n FROM documents),
            |e0 AS (

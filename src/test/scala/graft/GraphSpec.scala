@@ -84,6 +84,24 @@ class GraphSpec extends SparkSpec {
       Graph.ReachSeeds)
   }
 
+  test("co-purchase similarity keeps only pairs above the co-occurrence floor") {
+    import spark.implicits._
+    // A,B co-occur in 3 orders (kept); every other pair co-occurs once
+    // (below CoocMin=2, dropped). deg(A)=deg(B)=3 → cos² = 9/9 = 1.
+    val li = Seq(
+      (1L, 10L), (1L, 20L), (1L, 30L),
+      (2L, 10L), (2L, 20L),
+      (3L, 10L), (3L, 20L),
+      (4L, 30L), (4L, 40L))
+      .toDF("l_orderkey", "l_partkey")
+    val out = Graph.copurchaseSimilar(li)
+      .select("part", "rnk", "nbr", "cooc", "cos2_ppm")
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    assert(out == Set(
+      (10L, 1L, 20L, 3L, 1000000L),
+      (20L, 1L, 10L, 3L, 1000000L)))
+  }
+
   test("triangle count finds exactly the planted triangles") {
     import spark.implicits._
     // order 1 = triangle {1,2,3}; order 2 = bridge 3-4; order 3 = K4 on

@@ -56,6 +56,8 @@ class PlanLintSpec extends SparkSpec {
       "per-doc paragraph reassembly: buffer = the document being rebuilt",
     "triangle_count" ->
       "per-order item set: wedge generation needs all pairs; order-bounded",
+    "copurchase_similar" ->
+      "per-order item set: pair generation needs all pairs; order-bounded",
     "rfm_segments" ->
       "level-2 fold over the O(range/1024) bucket-total histogram",
     "ann_pq_topk" ->
