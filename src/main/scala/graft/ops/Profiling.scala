@@ -47,11 +47,79 @@ object Profiling {
       .orderBy(col("bucket"))
   }
 
+  /** The `orders` columns the profiler reports on. String and integer
+    * columns only: their string rendering is byte-identical across
+    * engines, where doubles/timestamps would diverge on format. */
+  val ProfileColumns = Seq("o_custkey", "o_orderstatus", "o_orderpriority")
+
+  /** Generic column profiler — the ANALYZE-TABLE surface: one row per
+    * profiled column with row/null/distinct counts, value entropy in
+    * exact milli-bits (the floor-log2 `bin`-length trick — no libm),
+    * and the modal value with its count (ties broken by smallest
+    * value, so the row is deterministic). This is the catalog-stats
+    * producer whose numbers drive broadcast thresholds, bucket counts,
+    * and dictionary-encoding choices downstream.
+    *
+    * Scale shape, per column: one map-side-combinable groupBy onto the
+    * column's value grain, a broadcast 1-row total for the entropy
+    * term (the [[TextStats.unigramSurprisal]] shape), and a constant
+    * union of per-column single rows. Columns profile independently —
+    * on a real deployment they run as one multi-aggregate pass per
+    * physical scan; at three columns the three scans read a
+    * column-pruned parquet projection each, which is the same bytes.
+    */
+  def columnProfile(orders: DataFrame): DataFrame = {
+    val perCol = ProfileColumns.map { c =>
+      val base = orders.select(col(c).cast("string").as("v"))
+      val counts = base.agg(count(lit(1)).as("n_rows"),
+        sum(when(col("v").isNull, 1L).otherwise(0L)).as("n_nulls"))
+      val hist = base.filter(col("v").isNotNull)
+        .groupBy(col("v")).agg(count(lit(1)).as("cnt"))
+      val n = hist.agg(sum(col("cnt")).as("n"))
+      val agg = hist.crossJoin(broadcast(n))
+        .withColumn("bits", length(bin(expr("n div cnt"))) - 1)
+        .agg(count(lit(1)).as("n_distinct"),
+          expr("(1000 * sum(cnt * bits)) div max(n)").as("entropy_millibits"),
+          min(struct((-col("cnt")).as("nc"), col("v"))).as("top"))
+      counts.crossJoin(agg)
+        .select(lit(c).as("column_name"), col("n_rows"), col("n_nulls"),
+          col("n_distinct"), col("entropy_millibits"),
+          col("top.v").as("top_value"), (-col("top.nc")).as("top_cnt"))
+    }
+    perCol.reduce(_ unionByName _).orderBy(col("column_name"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "skew_profile" -> ((s, d) => skewProfile(Tables.events(s, d))),
+    "column_profile" -> ((s, d) => columnProfile(Tables.orders(s, d))),
   )
 
+  /** Per-column profile block for the DuckDB oracle. */
+  private def profileColSql(c: String): String =
+    s"""SELECT '$c' AS column_name,
+       |  (SELECT count(*) FROM orders)::BIGINT AS n_rows,
+       |  (SELECT count(*) FROM orders WHERE $c IS NULL)::BIGINT AS n_nulls,
+       |  (SELECT count(*) FROM h_$c)::BIGINT AS n_distinct,
+       |  (SELECT (1000 * sum(cnt * (len(printf('%b',
+       |      (SELECT sum(cnt)::BIGINT FROM h_$c) // cnt)) - 1))) //
+       |      (SELECT sum(cnt)::BIGINT FROM h_$c)
+       |   FROM h_$c)::BIGINT AS entropy_millibits,
+       |  (SELECT v FROM h_$c ORDER BY cnt DESC, v LIMIT 1) AS top_value,
+       |  (SELECT cnt FROM h_$c ORDER BY cnt DESC, v LIMIT 1)::BIGINT
+       |    AS top_cnt""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
+    "column_profile" -> {
+      val hists = ProfileColumns.map(c =>
+        s"""h_$c AS (
+           |  SELECT $c::VARCHAR AS v, count(*)::BIGINT AS cnt
+           |  FROM orders WHERE $c IS NOT NULL GROUP BY 1
+           |)""".stripMargin).mkString(",\n")
+      s"""WITH $hists
+         |SELECT * FROM (
+         |${ProfileColumns.map(profileColSql).mkString("\nUNION ALL\n")}
+         |) ORDER BY column_name""".stripMargin
+    },
     "skew_profile" ->
       """WITH k AS (
         |  SELECT user_id, count(*)::BIGINT AS cnt FROM events GROUP BY 1

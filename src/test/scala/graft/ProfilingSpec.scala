@@ -31,6 +31,31 @@ class ProfilingSpec extends SparkSpec {
     assert(out(4L) == (1L, 12L, 12L, 12L * 1000000 / 22))
   }
 
+  test("column profile reports nulls, distincts, mode, and exact entropy") {
+    import spark.implicits._
+    import graft.ops.Profiling
+    // o_orderstatus: A x4, B x2, C x2 (+1 null row). Entropy over {4,2,2}
+    // with n=8: 4*floor(log2(2)) + 2*floor(log2(4)) + 2*floor(log2(4))
+    // = 4 + 4 + 4 = 12 -> 1000*12/8 = 1500 millibits.
+    val statuses = Seq("A", "A", "A", "A", "B", "B", "C", "C", null)
+    val orders = statuses.zipWithIndex.map { case (s, i) =>
+      (i.toLong % 3, s, "1-URGENT")
+    }.toDF("o_custkey", "o_orderstatus", "o_orderpriority")
+    val rows = Profiling.columnProfile(orders).collect()
+      .map(r => r.getAs[String]("column_name") -> r).toMap
+    val st = rows("o_orderstatus")
+    assert(st.getAs[Long]("n_rows") == 9L)
+    assert(st.getAs[Long]("n_nulls") == 1L)
+    assert(st.getAs[Long]("n_distinct") == 3L)
+    assert(st.getAs[Long]("entropy_millibits") == 1500L)
+    assert(st.getAs[String]("top_value") == "A")
+    assert(st.getAs[Long]("top_cnt") == 4L)
+    // A constant column has zero entropy and itself as the mode.
+    val pr = rows("o_orderpriority")
+    assert(pr.getAs[Long]("entropy_millibits") == 0L)
+    assert(pr.getAs[String]("top_value") == "1-URGENT")
+  }
+
   test("market share attributes exact cent shares to the supplier nation") {
     import spark.implicits._
     val region = Seq((0L, "AMERICA"), (1L, "ASIA")).toDF("r_regionkey", "r_name")
