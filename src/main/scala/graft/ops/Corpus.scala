@@ -357,7 +357,43 @@ object Corpus {
       .orderBy(col("event_type"))
   }
 
+  /** Top paths reported by [[pathTrigrams]]. */
+  val TrigramTop = 20
+
+  /** Most-frequent 3-step event paths — sequential pattern mining one
+    * level above [[transitionEntropy]]'s bigram matrix: which exact
+    * three-step flows dominate the product (the input a funnel designer
+    * or a bot-rule author reads). Steps come from per-user
+    * time-ordering; the corpus-wide top-[[TrigramTop]] is a
+    * `row_number() ≤ k` GLOBAL rank filter, which `WindowTopKRewrite`
+    * re-plans onto the bounded-heap TopK operator — no single-task
+    * window ever materializes the full trigram histogram.
+    *
+    * Scale shape: one user-partitioned window for the two leads, one
+    * map-side-combinable count whose key space is event-type³ (catalog-
+    * bounded), then the TopK plan over that tiny grain.
+    */
+  def pathTrigrams(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val counts = Synth.eventTime(events)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type").as("t1"),
+        lead(col("event_type"), 1).over(w).as("t2"),
+        lead(col("event_type"), 2).over(w).as("t3"))
+      .filter(col("t2").isNotNull && col("t3").isNotNull)
+      .groupBy(col("t1"), col("t2"), col("t3"))
+      .agg(count(lit(1)).as("n"))
+    val rank = Window.orderBy(col("n").desc, col("t1"), col("t2"), col("t3"))
+    counts
+      .withColumn("rnk", row_number().over(rank))
+      .filter(col("rnk") <= TrigramTop)
+      .select(col("rnk").cast("long").as("rnk"), col("t1"), col("t2"),
+        col("t3"), col("n"))
+      .orderBy(col("rnk"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "path_trigrams" -> ((s, d) => pathTrigrams(Tables.events(s, d))),
     "winsorized_stats" -> ((s, d) => winsorizedStats(Tables.events(s, d))),
     "burst_detection" -> ((s, d) => burstDetection(Tables.events(s, d))),
     "vocab_growth" -> ((s, d) => vocabGrowth(Tables.documents(s, d))),
@@ -372,6 +408,23 @@ object Corpus {
     * DuckDB `regexp_replace` needs the explicit `'g'` flag Spark
     * implies. */
   def oracleSql: Map[String, String] = Map(
+    "path_trigrams" ->
+      s"""WITH steps AS (
+         |  SELECT event_type AS t1,
+         |    lead(event_type, 1) OVER w AS t2,
+         |    lead(event_type, 2) OVER w AS t3
+         |  FROM events
+         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+         |), counts AS (
+         |  SELECT t1, t2, t3, count(*)::BIGINT AS n
+         |  FROM steps WHERE t2 IS NOT NULL AND t3 IS NOT NULL
+         |  GROUP BY 1, 2, 3
+         |)
+         |SELECT rnk::BIGINT AS rnk, t1, t2, t3, n FROM (
+         |  SELECT t1, t2, t3, n,
+         |    row_number() OVER (ORDER BY n DESC, t1, t2, t3) AS rnk
+         |  FROM counts)
+         |WHERE rnk <= $TrigramTop ORDER BY rnk""".stripMargin,
     "winsorized_stats" ->
       s"""WITH hist AS (
          |  SELECT event_type, floor(value * 100)::BIGINT AS cents,

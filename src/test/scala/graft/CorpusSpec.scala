@@ -106,6 +106,24 @@ class CorpusSpec extends SparkSpec {
     assert(out.toSeq == Seq((1L, 40L, 21L, 20L, 1000L * 20 * 21 / 40)))
   }
 
+  test("path trigrams rank the dominant three-step flow first") {
+    val rows =
+      (0 until 3).flatMap(u => Seq("view", "cart", "purchase").zipWithIndex
+        .map { case (t, i) => (u.toLong, i.toLong * 1000000, t) }) ++
+      Seq("cart", "purchase", "refund").zipWithIndex
+        .map { case (t, i) => (9L, i.toLong * 1000000, t) }
+    val events = rows.toDF("user_id", "us", "event_type")
+      .select(col("user_id"), col("event_type"),
+        expr("timestamp_micros(us)").as("ts"),
+        monotonically_increasing_id().as("event_id"))
+    val out = Corpus.pathTrigrams(events)
+      .select("rnk", "t1", "t2", "t3", "n")
+      .as[(Long, String, String, String, Long)].collect().toSeq
+    assert(out == Seq(
+      (1L, "view", "cart", "purchase", 3L),
+      (2L, "cart", "purchase", "refund", 1L)))
+  }
+
   test("winsorized mean clips exactly the fence-crossing outliers") {
     // 20 values: 1.00..18.00 plus two outliers -100.00 and 500.00.
     // p05 rank = 1 → lo = -10000 (the outlier itself is the 5th-pct cut
