@@ -16,6 +16,9 @@ case class HV(h: Long, v: Double)
   */
 case class Sketch(hs: Seq[Long], vs: Seq[Double])
 
+/** KMV distinct sketch: the k minimum DISTINCT hash values, sorted. */
+case class KmvSk(hs: Seq[Long])
+
 /** Mergeable bottom-k sample sketch as a typed [[Aggregator]] — the UDAF
   * rung of the custom-function ladder (the repo's other rungs: native
   * codegen Expression `vec_dot`, optimizer rule, whole-operator planner
@@ -94,6 +97,100 @@ object Sketches {
   def bottomK(k: Int = K) = udaf(new BottomK(k), Encoders.product[HV])
   def mergeBottomK(k: Int = K) = udaf(new MergeBottomK(k), Encoders.product[Sketch])
 
+  // ------------------------------------------------- KMV distinct sketch
+
+  /** KMV sample size: relative error ≈ 1/√(k−2) ≈ 6% at k = 256. */
+  val KmvK = 256
+
+  /** Hash domain: 40-bit md5 prefix. Small enough that (k−1)·2^40 stays in
+    * BIGINT on both engines; large enough that same-week collisions are
+    * negligible (and in any case both engines drop the SAME collisions, so
+    * the oracle equality is unaffected).
+    */
+  val KmvBits = 40
+  val KmvDomain: Long = 1L << KmvBits
+
+  /** Distinct two-pointer merge of two sorted hash lists, truncated to k —
+    * the KMV merge law: bottom-k-distinct(A ∪ B) = merge of the per-part
+    * bottom-k's, exactly. Associative + commutative, duplicate hashes
+    * collapse (a user seen on two days must count once at week grain).
+    */
+  private[graft] def mergeKmv(a: Seq[Long], b: Seq[Long], k: Int): Seq[Long] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[Long]
+    var i = 0; var j = 0
+    while (out.length < k && (i < a.length || j < b.length)) {
+      val x =
+        if (i >= a.length) { val v = b(j); j += 1; v }
+        else if (j >= b.length) { val v = a(i); i += 1; v }
+        else if (a(i) < b(j)) { val v = a(i); i += 1; v }
+        else if (a(i) > b(j)) { val v = b(j); j += 1; v }
+        else { val v = a(i); i += 1; j += 1; v }
+      if (out.isEmpty || out.last != x) out += x
+    }
+    out.toIndexedSeq
+  }
+
+  /** The k minimum DISTINCT hash values — the classic KMV/bottom-k distinct
+    * sketch (Bar-Yossef et al. 2002). State is O(k) per group; map-side
+    * partial aggregation keeps shuffle traffic to one ≤k-entry list per
+    * grain regardless of fact volume.
+    */
+  class KmvBottomK(k: Int) extends Aggregator[Long, KmvSk, KmvSk] {
+    def zero: KmvSk = KmvSk(Vector.empty)
+    def reduce(b: KmvSk, h: Long): KmvSk =
+      if (b.hs.length >= k && h >= b.hs.last) b
+      else KmvSk(mergeKmv(b.hs, Vector(h), k))
+    def merge(x: KmvSk, y: KmvSk): KmvSk = KmvSk(mergeKmv(x.hs, y.hs, k))
+    def finish(r: KmvSk): KmvSk = r
+    def bufferEncoder = Encoders.product[KmvSk]
+    def outputEncoder = Encoders.product[KmvSk]
+  }
+
+  /** Union already-built KMV sketches (the rollup side). */
+  class KmvMerge(k: Int) extends Aggregator[KmvSk, KmvSk, KmvSk] {
+    def zero: KmvSk = KmvSk(Vector.empty)
+    def reduce(b: KmvSk, a: KmvSk): KmvSk =
+      if (a == null || a.hs == null) b else KmvSk(mergeKmv(b.hs, a.hs, k))
+    def merge(x: KmvSk, y: KmvSk): KmvSk = KmvSk(mergeKmv(x.hs, y.hs, k))
+    def finish(r: KmvSk): KmvSk = r
+    def bufferEncoder = Encoders.product[KmvSk]
+    def outputEncoder = Encoders.product[KmvSk]
+  }
+
+  def kmvBottomK(k: Int = KmvK) = udaf(new KmvBottomK(k), Encoders.scalaLong)
+  def kmvMerge(k: Int = KmvK) = udaf(new KmvMerge(k), Encoders.product[KmvSk])
+
+  /** Mergeable distinct-count rollup: per-day KMV sketches of the user-id
+    * hash, distinct-merged to weekly sketches, estimate read off the k-th
+    * smallest hash — `(k−1)·2^40 div h_k`, all exact integer arithmetic.
+    * Unlike an HLL estimate (whose register math no SQL oracle reproduces),
+    * every number here is a deterministic function of the distinct-hash
+    * SET, so the DuckDB oracle takes bottom-k over the week's distinct
+    * hashes directly and the hash-equality check verifies the day→week
+    * merge law itself — the same contract [[quantileSketchRollup]] pins
+    * for quantiles. The fact table is scanned once at day grain; week
+    * grain touches only ≤k-entry sketches.
+    */
+  def kmvDistinctRollup(events: DataFrame): DataFrame = {
+    import graft.ops.Synth
+    val base = Synth.eventTime(events).select(
+        date_trunc("week", col("ts")).as("week"),
+        date_trunc("day", col("ts")).as("day"),
+        expr(s"cast(conv(substring(md5(cast(user_id as string)), 1, ${KmvBits / 4}), 16, 10) as bigint)")
+          .as("h"))
+      .distinct()
+    val daily = base.groupBy(col("week"), col("day"))
+      .agg(kmvBottomK()(col("h")).as("sk"))
+    val weekly = daily.groupBy(col("week"))
+      .agg(kmvMerge()(col("sk.hs")).as("sk"), count(lit(1)).as("n_days"))
+    weekly.select(unix_micros(col("week")).as("week_us"), col("n_days"),
+        when(size(col("sk.hs")) < KmvK, size(col("sk.hs")).cast("long"))
+          .otherwise(expr(
+            s"(${KmvK - 1}L * ${KmvDomain}L) div greatest(element_at(sk.hs, $KmvK), 1L)"))
+          .as("est_weekly_users"))
+      .orderBy(col("week_us"))
+  }
+
   /** 60-bit priority hash from an md5 hex prefix — same family as Dedup. */
   private def md5i(c: String): String =
     s"cast(conv(substring(md5(cast($c as string)), 1, 15), 16, 10) as bigint)"
@@ -130,6 +227,7 @@ object Sketches {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "quantile_sketch_rollup" -> ((s, d) => quantileSketchRollup(Tables.orders(s, d))),
+    "kmv_distinct_rollup" -> ((s, d) => kmvDistinctRollup(Tables.events(s, d))),
   )
 
   /** The oracle takes bottom-k per WEEK in one shot — equal to the Spark
@@ -156,5 +254,30 @@ object Sketches {
         |  round(vs[greatest(ceil(0.5 * len(vs)), 1)::INT], 2) AS p50,
         |  round(vs[greatest(ceil(0.75 * len(vs)), 1)::INT], 2) AS p75
         |FROM samples ORDER BY week""".stripMargin,
+    // One-shot week-grain bottom-k over DISTINCT hashes — equal to the
+    // Spark day→week distinct-merge iff the KMV merge law holds exactly.
+    "kmv_distinct_rollup" ->
+      s"""WITH base AS (
+         |  SELECT DISTINCT date_trunc('week', ts) AS week,
+         |    ('0x' || substr(md5(user_id::VARCHAR), 1, ${KmvBits / 4}))::BIGINT AS h
+         |  FROM events
+         |), days AS (
+         |  SELECT date_trunc('week', ts) AS week,
+         |    count(DISTINCT date_trunc('day', ts))::BIGINT AS n_days
+         |  FROM events GROUP BY 1
+         |), ranked AS (
+         |  SELECT week, h, row_number() OVER (PARTITION BY week ORDER BY h) AS rn
+         |  FROM base
+         |), agg AS (
+         |  SELECT week, count(*)::BIGINT AS nh,
+         |    max(CASE WHEN rn = $KmvK THEN h END) AS hk
+         |  FROM ranked WHERE rn <= $KmvK GROUP BY week
+         |)
+         |SELECT epoch_us(a.week) AS week_us, d.n_days,
+         |  CASE WHEN nh < $KmvK THEN nh
+         |       ELSE (${KmvK - 1} * $KmvDomain) // greatest(hk, 1) END
+         |    AS est_weekly_users
+         |FROM agg a JOIN days d ON a.week = d.week
+         |ORDER BY week_us""".stripMargin,
   )
 }

@@ -316,7 +316,11 @@ object Frames {
     "health_frame" -> ((s, d) => healthFrame(Tables.events(s, d)).orderBy(col("updatedAt"))),
     "approx_distinct_users" -> ((s, d) =>
       approxDistinctFrame(Tables.events(s, d)).orderBy(col("updatedAt"))),
-    "hll_rollup" -> ((s, d) => hllRollup(Tables.events(s, d))),
+    // hllRollup (builtin DataSketches HLL day→week union) is spec-covered
+    // in FramesSpec; the REGISTERED mergeable distinct rollup is the KMV
+    // form (`kmv_distinct_rollup`, functions/Sketches.scala), whose
+    // estimate is exact integer arithmetic a DuckDB oracle can replay —
+    // hard hash-verified instead of rows-only.
     "geo_header" -> ((s, d) => geoFrame(Tables.events(s, d)).orderBy(col("updatedAt"))),
     "platform_breakdown" -> ((s, d) => platformFrame(Tables.events(s, d)).orderBy(col("name"))),
     "platform_pivot" -> ((s, d) => platformPivot(Tables.events(s, d))),

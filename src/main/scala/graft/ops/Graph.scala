@@ -43,7 +43,21 @@ object Graph {
     * the scan + edge generation; eager localCheckpoint also truncates
     * lineage, the same treatment Dedup's connected-components rounds
     * use. */
-  private def plantedEdges(documents: DataFrame): DataFrame = {
+  /** Memo of checkpointed edge tables keyed by (session, canonicalized
+    * input plan): [[linkRank]] and [[khopReach]] are both registered
+    * queries over the same `documents` scan, and a Verify/Bench/ScaleSmoke
+    * session runs both — without the memo the identical edge table
+    * materializes twice. Canonicalized plans are structurally hashable,
+    * so a freshly-built-but-identical `Tables.documents` read hits. */
+  private val edgeMemo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, org.apache.spark.sql.catalyst.plans.logical.LogicalPlan), DataFrame]()
+
+  private def plantedEdges(documents: DataFrame): DataFrame =
+    edgeMemo.computeIfAbsent(
+      (documents.sparkSession, documents.queryExecution.analyzed.canonicalized),
+      _ => plantedEdgesUncached(documents))
+
+  private def plantedEdgesUncached(documents: DataFrame): DataFrame = {
     val n = documents.agg(count(lit(1)).as("n"))
     documents.select(col("doc_id")).crossJoin(broadcast(n))
       .select(col("doc_id").as("src"),

@@ -72,7 +72,10 @@ object Profiling {
     val perCol = ProfileColumns.map { c =>
       val base = orders.select(col(c).cast("string").as("v"))
       val counts = base.agg(count(lit(1)).as("n_rows"),
-        sum(when(col("v").isNull, 1L).otherwise(0L)).as("n_nulls"))
+        // coalesce: sum over zero rows is NULL, but the oracle's
+        // count(*) WHERE v IS NULL is 0 — keep empty-input parity.
+        coalesce(sum(when(col("v").isNull, 1L).otherwise(0L)), lit(0L))
+          .as("n_nulls"))
       val hist = base.filter(col("v").isNotNull)
         .groupBy(col("v")).agg(count(lit(1)).as("cnt"))
       val n = hist.agg(sum(col("cnt")).as("n"))

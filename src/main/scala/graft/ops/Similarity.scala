@@ -293,45 +293,61 @@ object Similarity {
       .orderBy(col("c_id"))
   }
 
-  /** Deterministic spherical k-means (Lloyd's) coarse quantizer — the
-    * trained counterpart of [[annIvfTopK]]'s fixture centroids. All heavy
-    * work is DataFrame-native and broadcast-shaped:
+  /** Quantization scale for trained-quantizer arithmetic: components enter
+    * Lloyd's as `floor(1e4·x)` — exact on bit-identical doubles, and small
+    * enough that every distance term stays well inside exact-integer range
+    * (dist ≤ dims·(2·1e4·|x|)² ≈ 2.6e10 ≪ 2^53, so even the double-typed
+    * vec_dot path is exact). */
+  private val QScale = 10000
+
+  /** `v` (any numeric array) → quantized integral-double array for exact
+    * integer geometry through the codegen'd [[graft.plans.VecDot]]. */
+  private def quantCol(v: String): Column =
+    expr(s"cast(transform(cast($v as array<double>), x -> floor($QScale * x)) as array<double>)")
+
+  /** Exact integer squared-L2 distance between two quantized integral
+    * arrays, via the dot-product identity |q−c|² = q·q − 2·q·c + c·c —
+    * three codegen'd vec_dot calls, no interpreted lambda in the corpus
+    * path, and exact because every partial value is an integer < 2^53. */
+  private def qDist(q: String, c: String): Column =
+    (expr(dot(q, q)) - lit(2.0) * expr(dot(q, c)) + expr(dot(c, c))).cast("long")
+
+  /** Deterministic k-means (Lloyd's) coarse quantizer — the trained
+    * counterpart of [[annIvfTopK]]'s fixture centroids. All heavy work is
+    * DataFrame-native and broadcast-shaped:
     *
-    *   - seeds: the K vectors with the smallest md5(vec_id) — a hash-spread,
-    *     engine-reproducible pick (no RNG state);
-    *   - assignment: corpus × broadcast(K centroids), argmax cosine — the
-    *     same one-pass shape the 100 TB posting-list build uses;
-    *   - update: per-(centroid, component) mean computed as a LEFT FOLD OVER
-    *     SORTED member values, so the float sum has one canonical order and
-    *     repeated runs are bit-identical (a plain `avg` sums in partition
-    *     order and is run-to-run nondeterministic in the low bits);
+    *   - training sample: a deterministic md5-sample capped at ~maxTrain
+    *     vectors (the standard IVF recipe — train on a sample, assign
+    *     everything; at 100 TB the alternative is iters × full-corpus
+    *     shuffles for centroids that converge identically);
+    *   - seeds: the K sample vectors with the smallest md5(vec_id) — a
+    *     hash-spread, engine-reproducible pick (no RNG state);
+    *   - assignment: sample × broadcast(K centroids), argmin squared-L2 —
+    *     IN QUANTIZED INTEGER SPACE (`floor(1e4·x)`), so every distance
+    *     and every comparison is exact integer arithmetic;
+    *   - update: per-(centroid, component) INTEGER mean (`sum div n`) —
+    *     order-free, reproducible on any partitioning and any engine;
     *   - only the K×dim centroid matrix is ever collected to the driver
     *     (O(K·dim) per iteration, independent of corpus size).
     *
-    * Iterative float averaging cannot be mirrored bit-exactly in a one-shot
-    * DuckDB SQL oracle, so the trained query registers rows-only; recall and
-    * determinism are asserted in SimilaritySpec instead.
+    * Because every training step is exact integer arithmetic, the whole
+    * recursion unrolls into a DuckDB oracle (sample → seeds → 3×(argmin →
+    * integer mean)) — see [[kmeansSql]] — so the trained-quantizer queries
+    * are hash-verified end to end, not rows-only.
+    *
+    * Returns (c_id, cv) with cv an INTEGRAL array<double> at [[QScale]].
     */
   def kmeansCentroids(emb: DataFrame, k: Int = 8, iters: Int = 3,
       maxTrain: Int = 512): DataFrame = {
     val spark = emb.sparkSession
     import org.apache.spark.sql.expressions.Window
-    // Training works in double space (centroid means are doubles); the cast
-    // is exact, so training over a float corpus equals training over its
-    // double cast bit-for-bit. Callers keep the corpus float.
-    val embAll = emb.select(col("vec_id"), col("v").cast("array<double>").as("v"))
-    // Quantizer training never needs the full corpus: Lloyd-iterate over a
-    // deterministic md5-sample capped at ~maxTrain vectors (the standard IVF
-    // recipe — train on a sample, assign everything). At 100 TB the
-    // alternative is K iterations × full-corpus shuffles for centroids that
-    // converge identically. Corpora at or under the cap train in full, so
-    // small-fixture results (and the monotonicity spec) are unchanged.
+    val embAll = emb.select(col("vec_id"), quantCol("v").as("qv"))
     val n = embAll.count()
     val every = math.max(1L, (n + maxTrain - 1) / maxTrain)
     val embD =
       if (every == 1L) embAll
       else embAll.filter(
-        expr(s"conv(substring(md5(cast(vec_id as string)), 1, 15), 16, 10) % $every = 0")
+        expr(s"cast(conv(substring(md5(cast(vec_id as string)), 1, 15), 16, 10) as bigint) % $every = 0")
       ).persist()
     // Seed ids are assigned driver-side over the already-collected K rows —
     // a row_number window here would be unpartitioned (single-task WindowExec,
@@ -340,7 +356,7 @@ object Similarity {
       .withColumn("h", md5(col("vec_id").cast("string")))
       .orderBy(col("h"))
       .limit(k)
-      .select(col("h"), col("v").as("cv"))
+      .select(col("h"), col("qv").as("cv"))
     var cents = seeds.collect()
       .sortBy(_.getAs[String]("h"))
       .zipWithIndex
@@ -348,19 +364,18 @@ object Similarity {
     for (_ <- 0 until iters) {
       val cdf = spark.createDataFrame(cents.toSeq).toDF("c_id", "cv")
       val assigned = embD.join(broadcast(cdf), lit(true))
-        .select(col("vec_id"), col("v"), col("c_id"),
-          expr(cosExpr("v", "cv")).as("c_cos"))
+        .select(col("vec_id"), col("qv"), col("c_id"), qDist("qv", "cv").as("c_dist"))
         .withColumn("crnk", row_number().over(
-          Window.partitionBy(col("vec_id")).orderBy(col("c_cos").desc, col("c_id").asc)))
+          Window.partitionBy(col("vec_id")).orderBy(col("c_dist").asc, col("c_id").asc)))
         .filter(col("crnk") === 1)
       val updated = assigned
-        .select(col("c_id"), posexplode(col("v")))
+        .select(col("c_id"), posexplode(col("qv")))
         .toDF("c_id", "pos", "x")
         .groupBy(col("c_id"), col("pos"))
-        .agg(expr("aggregate(array_sort(collect_list(x)), 0D, (a, b) -> a + b) / count(x)")
-          .as("m"))
+        .agg(expr("sum(cast(x as bigint)) div count(1)").as("m"))
         .groupBy(col("c_id"))
-        .agg(expr("transform(array_sort(collect_list(struct(pos, m))), s -> s.m)").as("cv"))
+        .agg(expr("transform(array_sort(collect_list(struct(pos, m))), s -> cast(s.m as double))")
+          .as("cv"))
         .collect()
         .map(r => (r.getAs[Int]("c_id"), r.getSeq[Double](r.fieldIndex("cv")).toVector))
       // A centroid that lost all members keeps its previous position.
@@ -371,29 +386,39 @@ object Similarity {
     spark.createDataFrame(cents.toSeq).toDF("c_id", "cv")
   }
 
+  /** Nearest-trained-centroid assignment in quantized integer-L2 space:
+    * corpus × broadcast(K centroids), argmin (dist, c_id). One broadcast
+    * pass, exact integer comparisons — the 100 TB posting-list build. */
+  private def assignCells(corpus: DataFrame, centroids: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    corpus.withColumn("qq", quantCol("v"))
+      .join(broadcast(centroids), lit(true))
+      .select(col("vec_id"), col("v"), col("c_id"), qDist("qq", "cv").as("c_dist"))
+      .withColumn("crnk", row_number().over(
+        Window.partitionBy(col("vec_id")).orderBy(col("c_dist").asc, col("c_id").asc)))
+      .filter(col("crnk") === 1)
+      .select(col("vec_id"), col("v"), col("c_id"))
+  }
+
   /** IVF ANN over TRAINED centroids ([[kmeansCentroids]]) — same probe shape
     * as [[annIvfTopK]] (nprobe=2 of K=8) but the quantizer is fit to the
-    * corpus instead of picked from it. Rows-only registration (see
-    * [[kmeansCentroids]] for why); SimilaritySpec pins determinism and
-    * recall vs the exact baseline.
+    * corpus instead of picked from it. The integer-exact training unrolls
+    * into the oracle ([[kmeansSql]]), so this query is hash-verified;
+    * SimilaritySpec additionally pins determinism and recall vs the exact
+    * baseline.
     */
   def annIvfTrainedTopK(embeddings: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val emb = embFloat(embeddings).select("vec_id", "v").persist()
     val centroids = kmeansCentroids(emb)
-    val assigned = emb.join(broadcast(centroids), lit(true))
-      .select(col("vec_id"), col("v"), col("c_id"),
-        expr(cosExpr("v", "cv")).as("c_cos"))
-      .withColumn("crnk", row_number().over(
-        Window.partitionBy(col("vec_id")).orderBy(col("c_cos").desc, col("c_id").asc)))
-      .filter(col("crnk") === 1)
-      .select(col("vec_id"), col("v"), col("c_id"))
+    val assigned = assignCells(emb, centroids)
     val probes = emb.filter(col("vec_id") < NumQueries)
+      .withColumn("qq", quantCol("v"))
       .join(broadcast(centroids), lit(true))
       .select(col("vec_id").as("q_id"), col("v").as("qv"), col("c_id"),
-        expr(cosExpr("v", "cv")).as("c_cos"))
+        qDist("qq", "cv").as("c_dist"))
       .withColumn("crnk", row_number().over(
-        Window.partitionBy(col("q_id")).orderBy(col("c_cos").desc, col("c_id").asc)))
+        Window.partitionBy(col("q_id")).orderBy(col("c_dist").asc, col("c_id").asc)))
       .filter(col("crnk") <= 2)
       .select(col("q_id"), col("qv"), col("c_id"))
     assigned.join(broadcast(probes), Seq("c_id"))
@@ -422,22 +447,15 @@ object Similarity {
     * ≥threshold neighbors — the deterministic stand-in for the paper's
     * "keep the one farthest from the centroid").
     *
-    * Registered rows-only: the trained centroids are an iterative float
-    * computation no one-shot SQL oracle can mirror bit-exactly (see
-    * [[kmeansCentroids]]); SimilaritySpec pins that the planted duplicates
-    * are exactly the dropped set.
+    * Hash-verified: the integer-exact training unrolls into the oracle
+    * ([[kmeansSql]]); SimilaritySpec additionally pins that the planted
+    * duplicates are exactly the dropped set.
     */
   def semanticDedup(embeddings: DataFrame, threshold: Double = 0.99): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val corpus = plantedCorpus(embeddings).persist()
     val cents = kmeansCentroids(corpus)
-    val assigned = corpus.join(broadcast(cents), lit(true))
-      .select(col("vec_id"), col("v"), col("c_id"),
-        expr(cosExpr("v", "cv")).as("c_cos"))
-      .withColumn("crnk", row_number().over(
-        Window.partitionBy(col("vec_id")).orderBy(col("c_cos").desc, col("c_id").asc)))
-      .filter(col("crnk") === 1)
-      .select(col("vec_id"), col("v"), col("c_id"))
+    val assigned = assignCells(corpus, cents)
       .withColumn("cell_n", count(lit(1)).over(Window.partitionBy(col("c_id"))))
       .filter(col("cell_n") <= MaxBucketSize)
     assigned.as("x").join(assigned.as("y"),
@@ -719,13 +737,119 @@ object Similarity {
        |)""".stripMargin
   }
 
+  /** Integer squared-L2 between two quantized BIGINT lists (oracle side). */
+  private def qDistSql(q: String, c: String): String =
+    s"list_sum(list_transform(range(1, 65), i -> ($q[i] - $c[i]) * ($q[i] - $c[i])))"
+
+  /** Unrolled-CTE mirror of [[kmeansCentroids]] (k=8, iters=3,
+    * maxTrain=512): md5 sample → seed pick → 3×(integer-L2 argmin →
+    * integer mean, lost cells keep position). Expects a CTE named `src`
+    * with (vec_id, v DOUBLE[]); emits `qt` (quantized corpus) and `c3`
+    * (the trained centroid table). Every step is exact integer
+    * arithmetic, so equality with the Spark recursion is bit-exact.
+    */
+  private def kmeansSql(src: String): String = {
+    val rounds = (1 to 3).map { r =>
+      val prev = s"c${r - 1}"
+      s"""a$r AS (
+         |  SELECT vec_id, qv, c_id FROM (
+         |    SELECT s.vec_id, s.qv, c.c_id,
+         |      row_number() OVER (PARTITION BY s.vec_id
+         |        ORDER BY ${qDistSql("s.qv", "c.cv")} ASC, c.c_id ASC) AS crnk
+         |    FROM samp s, $prev c) WHERE crnk = 1
+         |), u$r AS (
+         |  SELECT c_id, d, sum(qv[d]) // count(*) AS m
+         |  FROM a$r, range(1, 65) r(d) GROUP BY c_id, d
+         |), n$r AS (
+         |  SELECT c_id, list(m ORDER BY d) AS cv FROM u$r GROUP BY c_id
+         |), c$r AS (
+         |  SELECT p.c_id, coalesce(nu.cv, p.cv) AS cv
+         |  FROM $prev p LEFT JOIN n$r nu ON nu.c_id = p.c_id
+         |)""".stripMargin
+    }.mkString(",\n")
+    s"""qt AS (
+       |  SELECT vec_id, list_transform(v, x -> floor($QScale * x)::BIGINT) AS qv
+       |  FROM $src
+       |), ev AS (
+       |  SELECT greatest(1, (count(*) + 511) // 512)::BIGINT AS every FROM qt
+       |), samp AS (
+       |  SELECT vec_id, qv FROM qt, ev
+       |  WHERE ('0x' || substr(md5(vec_id::VARCHAR), 1, 15))::BIGINT % every = 0
+       |), c0 AS (
+       |  SELECT c_id, cv FROM (
+       |    SELECT (row_number() OVER (ORDER BY md5(vec_id::VARCHAR)))::INT AS c_id,
+       |      qv AS cv
+       |    FROM samp) WHERE c_id <= 8
+       |),
+       |$rounds""".stripMargin
+  }
+
+  /** Oracle fragment: nearest-c3-centroid cell per `qt` vector. */
+  private def assignCellsSql: String =
+    s"""assigned AS (
+       |  SELECT vec_id, c_id FROM (
+       |    SELECT q.vec_id, c.c_id,
+       |      row_number() OVER (PARTITION BY q.vec_id
+       |        ORDER BY ${qDistSql("q.qv", "c.cv")} ASC, c.c_id ASC) AS crnk
+       |    FROM qt q, c3 c) WHERE crnk = 1
+       |)""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
+    "ann_ivf_trained_topk" ->
+      s"""WITH src AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |${kmeansSql("src")},
+         |$assignCellsSql,
+         |probes AS (
+         |  SELECT q_id, c_id FROM (
+         |    SELECT q.vec_id AS q_id, c.c_id,
+         |      row_number() OVER (PARTITION BY q.vec_id
+         |        ORDER BY ${qDistSql("q.qv", "c.cv")} ASC, c.c_id ASC) AS crnk
+         |    FROM qt q, c3 c WHERE q.vec_id < $NumQueries) WHERE crnk <= 2
+         |),
+         |scored AS (
+         |  SELECT p.q_id, a.vec_id,
+         |    row_number() OVER (PARTITION BY p.q_id
+         |      ORDER BY ${cosSql("qe.v", "ve.v")} DESC, a.vec_id ASC) AS rnk
+         |  FROM assigned a JOIN probes p USING (c_id)
+         |  JOIN src qe ON qe.vec_id = p.q_id
+         |  JOIN src ve ON ve.vec_id = a.vec_id
+         |  WHERE a.vec_id <> p.q_id
+         |)
+         |SELECT q_id, rnk::BIGINT AS rnk, vec_id
+         |FROM scored WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin,
+    "semantic_dedup" ->
+      s"""WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |planted AS (
+         |  SELECT vec_id + 100000 AS vec_id,
+         |    list_transform(range(1, 65), i -> v[i] + (((i - 1) % 5) - 2) / 500.0) AS v
+         |  FROM base WHERE vec_id % 50 = 0
+         |),
+         |src AS (SELECT * FROM base UNION ALL SELECT * FROM planted),
+         |${kmeansSql("src")},
+         |$assignCellsSql,
+         |cells AS (
+         |  SELECT vec_id, c_id FROM (
+         |    SELECT *, count(*) OVER (PARTITION BY c_id) AS cell_n
+         |    FROM assigned) WHERE cell_n <= $MaxBucketSize
+         |),
+         |scored AS (
+         |  SELECT y.vec_id AS vec_id, x.vec_id AS nbr, y.c_id AS c_id,
+         |    ${cosSql("xv.v", "yv.v")} AS cos
+         |  FROM cells x JOIN cells y ON x.c_id = y.c_id AND x.vec_id < y.vec_id
+         |  JOIN src xv ON xv.vec_id = x.vec_id
+         |  JOIN src yv ON yv.vec_id = y.vec_id
+         |)
+         |SELECT vec_id, min(nbr) AS keeper_id, min(c_id) AS c_id,
+         |  round(max(cos), 4) AS max_cos
+         |FROM scored WHERE cos >= 0.99 GROUP BY vec_id ORDER BY vec_id""".stripMargin,
     // Spark's posexplode is 0-based, DuckDB's generate_series here is
     // 1-based — d is only ever a JOIN key, so the offset is immaterial.
+    // The series bound derives from len(v) (not a hard-coded dim) so a
+    // fixture-dimension change fails loudly instead of silently NULLing.
     "centroid_confusion" ->
       """WITH pos AS (
         |  SELECT vec_id, label, embedding::DOUBLE[] AS v,
-        |    unnest(generate_series(1, 64)) AS d
+        |    unnest(generate_series(1, len(embedding::DOUBLE[]))) AS d
         |  FROM embeddings
         |), q AS (
         |  SELECT vec_id, label, d, floor(10000 * v[d])::BIGINT AS q

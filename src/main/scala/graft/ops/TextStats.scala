@@ -112,40 +112,44 @@ object TextStats {
     * Interpreted array lambdas are fine at vocab scale — this is the one
     * place the codebase's no-interpreted-HOF hot-path rule does not bind.
     *
-    * Registered rows-only (an N-round argmax recursion has no one-shot
-    * SQL mirror); TextStatsSpec pins the classic hand-computable corpus.
+    * Segmentation state is the space-delimited symbol string (`" l o w "`)
+    * and each merge is one non-overlapping left-to-right
+    * `replace(" a b " → " ab ")` — the [[bpeApply]] encoding, whose
+    * engine parity the bpe_apply oracle already hash-proves. That makes
+    * the N-round argmax recursion itself oracle-able: the DuckDB mirror
+    * unrolls the 8 rounds as chained CTEs (count pairs → argmax →
+    * replace), exactly like link_rank's unrolled PageRank rounds.
     */
   def bpeMerges(documents: DataFrame, nMerges: Int = 8): DataFrame = {
     val spark = documents.sparkSession
-    import org.apache.spark.sql.expressions.Window
     var vocab = documents
       .select(explode(split(col("text"), " ")).as("w"))
       .filter(length(col("w")) > 0)
       .groupBy(col("w")).agg(count(lit(1)).as("freq"))
-      .select(split(col("w"), "").as("syms"), col("freq"))
+      .select(concat(lit(" "), array_join(split(col("w"), ""), " "), lit(" ")).as("enc"),
+        col("freq"))
       .localCheckpoint(true)
-    val merges = Vector.newBuilder[(Int, String, String, Long)]
+    val merges = Vector.newBuilder[(Long, String, String, Long)]
     for (i <- 1 to nMerges) {
+      val s = split(trim(col("enc")), " ")
       val top = vocab
-        .select(col("freq"), expr(
-          """explode(transform(slice(syms, 1, size(syms) - 1),
-            |  (s, j) -> struct(s AS a, element_at(syms, j + 2) AS b)))""".stripMargin)
-          .as("p"))
+        .select(col("freq"),
+          explode(transform(slice(s, lit(1), size(s) - 1),
+            (x, j) => struct(x.as("a"), element_at(s, j + lit(2)).as("b")))).as("p"))
         .groupBy(col("p.a").as("a"), col("p.b").as("b"))
         .agg(sum(col("freq")).as("pf"))
         .orderBy(col("pf").desc, col("a"), col("b"))
         .limit(1).collect()
       if (top.nonEmpty) {
-        val (a, b, pf) = (top.head.getString(0), top.head.getString(1), top.head.getLong(2))
-        merges += ((i, a, b, pf))
-        // re-segment: left-to-right greedy replace of adjacent (a, b)
-        def q(s: String) = s.replace("'", "\\'")
-        vocab = vocab.withColumn("syms", expr(
-          s"""aggregate(syms, cast(array() as array<string>),
-             |  (acc, s) -> CASE WHEN size(acc) > 0
-             |      AND element_at(acc, -1) = '${q(a)}' AND s = '${q(b)}'
-             |    THEN concat(slice(acc, 1, size(acc) - 1), array('${q(a)}${q(b)}'))
-             |    ELSE concat(acc, array(s)) END)""".stripMargin))
+        val a = top.head.getString(0)
+        val b = top.head.getString(1)
+        val pf = top.head.getLong(2)
+        merges += ((i.toLong, a, b, pf))
+        // Column-API literal replace — symbol text never enters a SQL
+        // string literal, so quoting/escaping is a non-issue for any
+        // corpus charset.
+        vocab = vocab.withColumn("enc",
+            replace(col("enc"), lit(s" $a $b "), lit(s" $a$b ")))
           .localCheckpoint(true)
       }
     }
@@ -590,10 +594,52 @@ object TextStats {
     "oov_rate" -> ((s, d) => oovRate(Tables.documents(s, d))),
   )
 
+  /** Unrolled-CTE mirror of [[bpeMerges]]: one (count-pairs → argmax →
+    * replace) CTE triple per merge round, chained — the link_rank unrolled
+    * PageRank technique applied to BPE. Round state is the same
+    * space-delimited symbol string the Spark side folds over, so each
+    * round's `replace` is bit-identical.
+    */
+  private def bpeMergesOracle(n: Int): String = {
+    val rounds = (1 to n).map { r =>
+      val prev = s"v${r - 1}"
+      s"""p$r AS (
+         |  SELECT string_split(pr, chr(31))[1] AS a,
+         |    string_split(pr, chr(31))[2] AS b, sum(freq)::BIGINT AS pf
+         |  FROM (
+         |    SELECT unnest(list_transform(generate_series(1, len(s) - 1),
+         |      i -> s[i] || chr(31) || s[i + 1])) AS pr, freq
+         |    FROM (SELECT string_split(trim(enc), ' ') AS s, freq FROM $prev)
+         |    WHERE len(s) >= 2)
+         |  GROUP BY a, b
+         |), m$r AS (
+         |  SELECT $r::BIGINT AS merge_n, a, b, pf
+         |  FROM p$r ORDER BY pf DESC, a, b LIMIT 1
+         |), v$r AS (
+         |  SELECT replace(enc, ' ' || m.a || ' ' || m.b || ' ',
+         |    ' ' || m.a || m.b || ' ') AS enc, freq
+         |  FROM $prev, m$r m
+         |)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH v0 AS (
+       |  SELECT ' ' || array_to_string(string_split(w, ''), ' ') || ' ' AS enc,
+       |    freq
+       |  FROM (
+       |    SELECT w, count(*)::BIGINT AS freq
+       |    FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+       |    WHERE len(w) > 0 GROUP BY w)
+       |),
+       |$rounds
+       |SELECT merge_n, a AS "left", b AS "right", pf AS pair_freq
+       |FROM (${(1 to n).map(r => s"SELECT * FROM m$r").mkString(" UNION ALL ")})
+       |ORDER BY merge_n""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = {
     // The heap-operator re-plan returns identical rows — shared oracle.
     baseOracleSql +
       ("doc_top_term_topk" -> baseOracleSql("doc_top_term")) +
+      ("bpe_merges" -> bpeMergesOracle(8)) +
       ("inverted_index" ->
         s"""SELECT token, count(*)::BIGINT AS df,
            |  array_to_string(list_sort(list(doc_id))[1:$PostingCap], ',') AS postings

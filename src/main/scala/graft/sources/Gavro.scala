@@ -112,7 +112,8 @@ class GavroTable(tableSchema: StructType, path: String, schemaName: String,
       : org.apache.spark.sql.connector.write.WriteBuilder =
     new GavroWriteBuilder(path, schemaName, info.schema(),
       Option(info.options.get("blockBytes")).map(_.toLong)
-        .getOrElse(Gavro.DefaultBlockBytes))
+        .getOrElse(Gavro.DefaultBlockBytes),
+      Gavro.codecByte(Option(info.options.get("blockCodec")).getOrElse("none")))
 }
 
 class GavroScanBuilder(full: StructType, path: String, schemaName: String,
@@ -246,7 +247,7 @@ class GavroScanBuilder(full: StructType, path: String, schemaName: String,
   * through `SupportsTruncate`: existing data files are deleted at commit
   * time, after every task has succeeded — never before. */
 class GavroWriteBuilder(path: String, schemaName: String, in: StructType,
-    blockBytes: Long)
+    blockBytes: Long, codec: Byte = 0)
     extends org.apache.spark.sql.connector.write.WriteBuilder
     with org.apache.spark.sql.connector.write.SupportsTruncate {
   private var overwrite = false
@@ -261,7 +262,7 @@ class GavroWriteBuilder(path: String, schemaName: String, in: StructType,
         a.name == b.name && a.dataType == b.dataType },
       s"gavro write: frame schema ${in.simpleString} does not match " +
         s"'$schemaName' ${expected.simpleString}")
-    new GavroBatchWrite(path, schemaName, overwrite, blockBytes)
+    new GavroBatchWrite(path, schemaName, overwrite, blockBytes, codec)
   }
 
   /** Streaming sink: the archiver itself as `writeStream.format("gavro")`.
@@ -281,16 +282,17 @@ class GavroWriteBuilder(path: String, schemaName: String, in: StructType,
         a.name == b.name && a.dataType == b.dataType },
       s"gavro write: frame schema ${in.simpleString} does not match " +
         s"'$schemaName' ${expected.simpleString}")
-    new GavroStreamingWrite(path, schemaName, blockBytes)
+    new GavroStreamingWrite(path, schemaName, blockBytes, codec)
   }
 }
 
-class GavroStreamingWrite(path: String, schemaName: String, blockBytes: Long)
+class GavroStreamingWrite(path: String, schemaName: String, blockBytes: Long,
+    codec: Byte = 0)
     extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
   override def createStreamingWriterFactory(
       info: org.apache.spark.sql.connector.write.PhysicalWriteInfo)
       : org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory =
-    GavroStreamingWriterFactory(path, schemaName, blockBytes)
+    GavroStreamingWriterFactory(path, schemaName, blockBytes, codec)
 
   override def commit(epochId: Long,
       messages: Array[org.apache.spark.sql.connector.write.WriterCommitMessage]): Unit = {
@@ -313,11 +315,11 @@ case class GavroEpochTempFile(tmp: String, partitionId: Int)
     extends org.apache.spark.sql.connector.write.WriterCommitMessage
 
 case class GavroStreamingWriterFactory(path: String, schemaName: String,
-    blockBytes: Long)
+    blockBytes: Long, codec: Byte = 0)
     extends org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long, epochId: Long)
       : org.apache.spark.sql.connector.write.DataWriter[InternalRow] =
-    new GavroDataWriter(path, schemaName, partitionId, taskId, blockBytes) {
+    new GavroDataWriter(path, schemaName, partitionId, taskId, blockBytes, codec) {
       override def commitMessage(tmpPath: String)
           : org.apache.spark.sql.connector.write.WriterCommitMessage =
         GavroEpochTempFile(tmpPath, partitionId)
@@ -328,12 +330,12 @@ case class GavroTempFile(tmp: String)
     extends org.apache.spark.sql.connector.write.WriterCommitMessage
 
 class GavroBatchWrite(path: String, schemaName: String, overwrite: Boolean,
-    blockBytes: Long)
+    blockBytes: Long, codec: Byte = 0)
     extends org.apache.spark.sql.connector.write.BatchWrite {
   override def createBatchWriterFactory(
       info: org.apache.spark.sql.connector.write.PhysicalWriteInfo)
       : org.apache.spark.sql.connector.write.DataWriterFactory =
-    GavroWriterFactory(path, schemaName, blockBytes)
+    GavroWriterFactory(path, schemaName, blockBytes, codec)
 
   override def commit(
       messages: Array[org.apache.spark.sql.connector.write.WriterCommitMessage]): Unit = {
@@ -359,15 +361,16 @@ class GavroBatchWrite(path: String, schemaName: String, overwrite: Boolean,
 }
 
 case class GavroWriterFactory(path: String, schemaName: String,
-    blockBytes: Long)
+    blockBytes: Long, codec: Byte = 0)
     extends org.apache.spark.sql.connector.write.DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long)
       : org.apache.spark.sql.connector.write.DataWriter[InternalRow] =
-    new GavroDataWriter(path, schemaName, partitionId, taskId, blockBytes)
+    new GavroDataWriter(path, schemaName, partitionId, taskId, blockBytes, codec)
 }
 
 class GavroDataWriter(path: String, schemaName: String, partitionId: Int,
-    taskId: Long, blockBytes: Long = Gavro.DefaultBlockBytes)
+    taskId: Long, blockBytes: Long = Gavro.DefaultBlockBytes,
+    codec: Byte = 0)
     extends org.apache.spark.sql.connector.write.DataWriter[InternalRow] {
   private val record = AvroCodec.schemaByName(schemaName)
   private val types = AvroCodec.sqlType(record).fields.map(_.dataType)
@@ -391,22 +394,40 @@ class GavroDataWriter(path: String, schemaName: String, partitionId: Int,
   private val blocks = scala.collection.mutable.ArrayBuffer(0L)
   private val blockStats =
     scala.collection.mutable.ArrayBuffer.empty[Seq[(String, GavroColStat)]]
-  private var offset = 0L
-  private var blockStart = 0L
+  // Records accumulate in a per-block buffer; on block roll the buffer is
+  // flushed (through the codec when one is set) and the next block's FILE
+  // offset recorded. blockBytes measures the UNCOMPRESSED payload, so the
+  // per-task decode work a block represents is codec-independent; the
+  // footer offsets are file (compressed) positions, so split planning and
+  // range reads never care which codec wrote the file.
+  private var fileOffset = 0L
+  private var blockBuf = new java.io.ByteArrayOutputStream(
+    math.min(blockBytes, 4L << 20).toInt)
   private var fileAcc = new GavroWriteStatAcc(record, statFields)
   private var blockAcc = new GavroWriteStatAcc(record, statFields)
 
+  private def flushBlock(): Unit = if (blockBuf.size() > 0) {
+    // empty-buffer guard: deflate of zero bytes still emits a frame, which
+    // would leave a phantom non-empty trailing block in the index
+    val payload =
+      if (codec == 1) Gavro.deflate(blockBuf.toByteArray) else blockBuf.toByteArray
+    out.write(payload)
+    fileOffset += payload.length
+    blockBuf = new java.io.ByteArrayOutputStream(
+      math.min(blockBytes, 4L << 20).toInt)
+  }
+
   override def write(row: InternalRow): Unit = {
-    if (offset - blockStart >= blockBytes) {
-      blocks += offset; blockStart = offset
+    if (blockBuf.size() >= blockBytes) {
+      flushBlock()
+      blocks += fileOffset
       blockStats += blockAcc.result()
       blockAcc = new GavroWriteStatAcc(record, statFields)
     }
     val b = AvroCodec.encode(record, i => row.get(i, types(i)), row.isNullAt)
-    out.write(Array[Byte]((b.length >>> 24).toByte, (b.length >>> 16).toByte,
+    blockBuf.write(Array[Byte]((b.length >>> 24).toByte, (b.length >>> 16).toByte,
       (b.length >>> 8).toByte, b.length.toByte))
-    out.write(b)
-    offset += 4L + b.length
+    blockBuf.write(b)
     fileAcc.absorb(row); blockAcc.absorb(row)
   }
 
@@ -417,9 +438,10 @@ class GavroDataWriter(path: String, schemaName: String, partitionId: Int,
     GavroTempFile(tmpPath)
 
   override def commit(): org.apache.spark.sql.connector.write.WriterCommitMessage = {
+    flushBlock()
     blockStats += blockAcc.result()
     GavroFooter.write(out, blocks.toSeq, fileAcc.result(),
-      if (statFields.nonEmpty) blockStats.toSeq else Seq.empty)
+      if (statFields.nonEmpty) blockStats.toSeq else Seq.empty, codec)
     out.close()
     commitMessage(tmp.getAbsolutePath)
   }
@@ -619,7 +641,8 @@ object GavroPred {
   * come from the footer's block index (or [0, fileLen) for footer-less
   * legacy files), so a single large landing file fans out across the
   * cluster instead of pinning one task. */
-case class GavroInputPartition(file: String, start: Long, end: Long)
+case class GavroInputPartition(file: String, start: Long, end: Long,
+    codec: Byte = 0)
     extends InputPartition
 
 /** Per-column min/max for footer stats. `tpe`: 0=long 1=double 2=string
@@ -634,7 +657,8 @@ case class GavroColStat(tpe: Byte, min: Any, max: Any) extends Serializable
   * `blocks` — empty when absent. */
 case class GavroFileMeta(blocks: Array[Long], dataEnd: Long,
     stats: Map[String, GavroColStat],
-    blockStats: Array[Map[String, GavroColStat]] = Array.empty)
+    blockStats: Array[Map[String, GavroColStat]] = Array.empty,
+    codec: Byte = 0)
 
 /** The `.gavro` footer: appended after the data so the record stream stays
   * a plain append (an archiver can crash mid-write and the footer is
@@ -700,7 +724,8 @@ object GavroFooter {
 
   def write(out: java.io.OutputStream, blocks: Seq[Long],
       stats: Seq[(String, GavroColStat)],
-      blockStats: Seq[Seq[(String, GavroColStat)]] = Seq.empty): Unit = {
+      blockStats: Seq[Seq[(String, GavroColStat)]] = Seq.empty,
+      codec: Byte = 0): Unit = {
     require(blockStats.isEmpty || blockStats.length == blocks.length,
       "blockStats must align with blocks")
     val bos = new java.io.ByteArrayOutputStream()
@@ -710,6 +735,7 @@ object GavroFooter {
     writeStats(d, stats)
     d.writeByte(if (blockStats.nonEmpty) 1 else 0)
     blockStats.foreach(writeStats(d, _))
+    d.writeByte(codec) // block codec: 0 = none, 1 = deflate
     d.writeInt(bos.size() + 4 + Magic.length) // footerLen incl. self + magic
     d.write(Magic)
     d.flush()
@@ -741,8 +767,11 @@ object GavroFooter {
         if (in.available() > 0 && in.readByte() == 1)
           Array.fill(blocks.length)(readStats(in))
         else Array.empty[Map[String, GavroColStat]]
+      // Codec byte rides after the block stats; files written before the
+      // codec existed simply end here and read as uncompressed.
+      val codec: Byte = if (in.available() > 0) in.readByte() else 0
       GavroFileMeta(if (blocks.isEmpty) Array(0L) else blocks, start, stats,
-        blockStats)
+        blockStats, codec)
     } finally raf.close()
   }
 }
@@ -800,7 +829,8 @@ object GavroSkip {
       (0 until meta.blocks.length)
         .filterNot(i => meta.blockStats.nonEmpty &&
           exclude(meta.blockStats(i), preds))
-        .map(i => GavroInputPartition(file.getAbsolutePath, bounds(i), bounds(i + 1)))
+        .map(i => GavroInputPartition(file.getAbsolutePath, bounds(i), bounds(i + 1),
+          meta.codec))
         .filter(p => p.end > p.start)
     }
   }
@@ -981,14 +1011,17 @@ class GavroPartitionReader(part: GavroInputPartition, schemaName: String,
   // Only this task's block range is read — a range read against local FS
   // here, a positioned Hadoop FS read at scale. Block bounds are
   // record-aligned by the footer contract, so the slice starts at a length
-  // prefix and ends exactly at one.
+  // prefix and ends exactly at one; a compressed block inflates to exactly
+  // the record stream (per-block compression keeps the block the unit of
+  // both splitting AND decompression, the parquet row-group design point).
   private val bytes: Array[Byte] = {
     val raf = new java.io.RandomAccessFile(part.file, "r")
-    try {
+    val raw = try {
       val end = math.min(part.end, raf.length())
       val b = new Array[Byte]((end - part.start).toInt)
       raf.seek(part.start); raf.readFully(b); b
     } finally raf.close()
+    if (part.codec == 1) Gavro.inflate(raw) else raw
   }
   private var pos = 0
   private var row: InternalRow = _
@@ -1076,8 +1109,34 @@ object Gavro {
 
   /** Default split-block size for the archiver: small enough that even a
     * single landing file fans out, large enough that a task amortizes its
-    * open. */
+    * open. With a block codec this is the UNCOMPRESSED payload per block —
+    * the split/skip granularity contract is about decoded work per task,
+    * not disk bytes. */
   val DefaultBlockBytes: Long = 1L << 20
+
+  /** Block codec registry: deflate ships in the JDK (zero new
+    * dependencies); the footer byte leaves room for more. */
+  def codecByte(name: String): Byte = name.toLowerCase match {
+    case "none" | "" => 0
+    case "deflate" => 1
+    case other =>
+      throw new IllegalArgumentException(s"gavro: unknown blockCodec '$other'")
+  }
+
+  private[sources] def deflate(b: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(math.max(64, b.length / 4))
+    val d = new java.util.zip.Deflater(java.util.zip.Deflater.DEFAULT_COMPRESSION)
+    val s = new java.util.zip.DeflaterOutputStream(out, d, 64 * 1024)
+    try { s.write(b); s.finish() } finally { s.close(); d.end() }
+    out.toByteArray
+  }
+
+  private[sources] def inflate(b: Array[Byte]): Array[Byte] = {
+    val inf = new java.util.zip.Inflater()
+    val s = new java.util.zip.InflaterInputStream(
+      new java.io.ByteArrayInputStream(b), inf, 64 * 1024)
+    try s.readAllBytes() finally { s.close(); inf.end() }
+  }
 
   /** Write one `.gavro` file per partition of a binary-column frame into
     * `dir` — the archiver side of the landing zone. Column 0 is the record
@@ -1090,10 +1149,12 @@ object Gavro {
     * no driver involvement). */
   def write(bins: DataFrame, dir: String,
       blockBytes: Long = DefaultBlockBytes,
-      statCols: Seq[String] = Seq.empty): Unit = {
+      statCols: Seq[String] = Seq.empty,
+      blockCodec: String = "none"): Unit = {
     val d = new java.io.File(dir)
     d.mkdirs()
     d.listFiles().filter(_.getName.endsWith(".gavro")).foreach(_.delete())
+    val codec = codecByte(blockCodec)
     // Resolve stat column types at the driver; the byte codes ship to tasks.
     val statTypes: Seq[(String, Byte)] = statCols.map { c =>
       c -> (bins.schema(c).dataType match {
@@ -1114,26 +1175,36 @@ object Gavro {
         val blocks = scala.collection.mutable.ArrayBuffer(0L)
         val blockStats =
           scala.collection.mutable.ArrayBuffer.empty[Seq[(String, GavroColStat)]]
-        var offset = 0L
-        var blockStart = 0L
+        var fileOffset = 0L
+        var blockBuf = new java.io.ByteArrayOutputStream(
+          math.min(blockBytes, 4L << 20).toInt)
         val fileAcc = new GavroStatAcc(statTypes)
         var blockAcc = new GavroStatAcc(statTypes)
+        def flushBlock(): Unit = if (blockBuf.size() > 0) {
+          val payload =
+            if (codec == 1) deflate(blockBuf.toByteArray) else blockBuf.toByteArray
+          out.write(payload)
+          fileOffset += payload.length
+          blockBuf = new java.io.ByteArrayOutputStream(
+            math.min(blockBytes, 4L << 20).toInt)
+        }
         try {
           it.foreach { r =>
-            if (offset - blockStart >= blockBytes) {
-              blocks += offset; blockStart = offset
+            if (blockBuf.size() >= blockBytes) {
+              flushBlock()
+              blocks += fileOffset
               blockStats += blockAcc.result(); blockAcc = new GavroStatAcc(statTypes)
             }
             val b = r.getAs[Array[Byte]](0)
-            out.write(Array[Byte]((b.length >>> 24).toByte, (b.length >>> 16).toByte,
+            blockBuf.write(Array[Byte]((b.length >>> 24).toByte, (b.length >>> 16).toByte,
               (b.length >>> 8).toByte, b.length.toByte))
-            out.write(b)
-            offset += 4L + b.length
+            blockBuf.write(b)
             fileAcc.absorb(r); blockAcc.absorb(r)
           }
+          flushBlock()
           blockStats += blockAcc.result()
           GavroFooter.write(out, blocks.toSeq, fileAcc.result(),
-            if (statTypes.nonEmpty) blockStats.toSeq else Seq.empty)
+            if (statTypes.nonEmpty) blockStats.toSeq else Seq.empty, codec)
         } finally out.close()
       }
     }

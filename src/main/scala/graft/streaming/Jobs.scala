@@ -60,22 +60,19 @@ object Jobs {
     start(graft.ops.Frames.regionFrame(source()), "regions",
       WatermarkedModes("regions"), checkpointBase, KvSink.regionsWriter(kv), trigger))
 
-  /** Infrastructure job: traffic (complete) + health (complete). */
+  /** Infrastructure job: traffic (complete) + health (complete) + geo
+    * (complete) — the reference's three infra queries
+    * (jobs/infrastructure_analytics.py:11-22), each on its own source
+    * instance (W2). */
   def infrastructureJob(source: () => DataFrame, kv: KvStore,
       checkpointBase: String,
       trigger: Trigger = Trigger.ProcessingTime(TriggerInterval)): Seq[StreamingQuery] = Seq(
     start(graft.ops.Frames.trafficFrame(source()), "traffic",
       WatermarkedModes("traffic"), checkpointBase, KvSink.trafficWriter(kv), trigger),
     start(graft.ops.Frames.healthFrame(source(), exactDistinct = false), "health",
-      WatermarkedModes("health"), checkpointBase, (df, _) => {
-        df.orderBy(org.apache.spark.sql.functions.col("updatedAt").desc).limit(1)
-          .collect().foreach { r =>
-            kv.writeHash("nexus:health:current", Map(
-              "cpu_centi" -> r.getAs[Long]("cpu_centi").toString,
-              "memory_centi" -> r.getAs[Long]("memory_centi").toString,
-              "updatedAt" -> r.getAs[Long]("updatedAt").toString))
-          }
-      }, trigger))
+      WatermarkedModes("health"), checkpointBase, KvSink.healthWriter(kv), trigger),
+    start(graft.ops.Frames.geoFrame(source()), "geo",
+      WatermarkedModes("geo"), checkpointBase, KvSink.geoWriter(kv), trigger))
 
   /** Derived alerts job: consume a KPI snapshot stream (in production the
     * `aggregated.kpis` read-back via [[KafkaStack.jsonStream]] — the
@@ -173,11 +170,5 @@ object Jobs {
       checkpointBase: String,
       trigger: Trigger = Trigger.ProcessingTime(TriggerInterval)): Seq[StreamingQuery] = Seq(
     start(graft.ops.Frames.platformFrame(source()), "platform",
-      WatermarkedModes("platform"), checkpointBase, (df, _) => {
-        val rows = df.collect().sortBy(_.getAs[String]("name"))
-        if (rows.nonEmpty)
-          kv.writeJson("nexus:platform:breakdown",
-            rows.map(r => s"""{"name":"${r.getAs[String]("name")}","value":${r.getAs[Long]("value")}}""")
-              .mkString("[", ",", "]"))
-      }, trigger))
+      WatermarkedModes("platform"), checkpointBase, KvSink.platformWriter(kv), trigger))
 }

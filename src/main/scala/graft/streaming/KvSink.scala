@@ -61,20 +61,34 @@ final class InMemoryKvStore extends KvStore {
   def readHash(key: String): Map[String, String] = hashes.getOrElse(key, Map.empty)
 }
 
-/** Key/channel names (reference: src/streaming/config.py:46-66). */
+/** Key/channel names (reference: src/streaming/config.py:46-66) — the full
+  * 12-key / 9-channel acceptance contract (reference README.md:27-37). */
 object Keys {
   val KpiCurrent = "nexus:kpi:current"
   def kpiSnapshot(epochHour: Long) = s"nexus:kpi:snapshot:$epochHour"
   val TrafficTs = "nexus:traffic:timeseries"
   val ActivityFeed = "nexus:activity:feed"
   val RegionsCurrent = "nexus:regions:current"
+  val FlowsCurrent = "nexus:flows:current"
+  val PlatformBreakdown = "nexus:platform:breakdown"
   val AlertRules = "nexus:alert:rules"
   val AlertSummary = "nexus:alert:summary"
+  val HealthCurrent = "nexus:health:current"
+  val GeoHeader = "nexus:geo:header"
   val ChannelKpi = "nexus.kpi"
   val ChannelTraffic = "nexus.traffic"
   val ChannelActivity = "nexus.activity"
   val ChannelRegions = "nexus.regions"
+  val ChannelFlows = "nexus.flows"
   val ChannelAlerts = "nexus.alerts"
+  val ChannelPlatform = "nexus.platform"
+  val ChannelHealth = "nexus.health"
+  val ChannelGeo = "nexus.geo"
+
+  /** Every publish channel of the contract (config.py:58-66). */
+  val AllChannels: Set[String] = Set(ChannelKpi, ChannelTraffic,
+    ChannelActivity, ChannelRegions, ChannelFlows, ChannelAlerts,
+    ChannelPlatform, ChannelHealth, ChannelGeo)
 }
 
 object KvSink {
@@ -142,6 +156,36 @@ object KvSink {
     }
   }
 
+  /** Latest-row hash writer shared by health and geo: top-1 by updatedAt,
+    * every field stringified into the hash, published on `channel`
+    * (reference: health_aggregator.py:20-27, geo_header.py:20-27). */
+  def latestRowHashWriter(kv: KvStore, key: String,
+      channel: String): (DataFrame, Long) => Unit = (batch, _) => {
+    batch.orderBy(col("updatedAt").desc).limit(1).collect().foreach { row =>
+      kv.writeHash(key,
+        row.schema.fields.map(f =>
+          f.name -> Option(row.getAs[Any](f.name)).map(_.toString).getOrElse("")).toMap,
+        channel = Some(channel))
+    }
+  }
+
+  def healthWriter(kv: KvStore): (DataFrame, Long) => Unit =
+    latestRowHashWriter(kv, Keys.HealthCurrent, Keys.ChannelHealth)
+
+  def geoWriter(kv: KvStore): (DataFrame, Long) => Unit =
+    latestRowHashWriter(kv, Keys.GeoHeader, Keys.ChannelGeo)
+
+  /** T5 + publish: platform breakdown, name-sorted JSON array
+    * (reference: device_platform.py:24-44). */
+  def platformWriter(kv: KvStore): (DataFrame, Long) => Unit = (batch, _) => {
+    val rows = batch.collect().sortBy(_.getAs[String]("name"))
+    if (rows.nonEmpty)
+      kv.writeJson(Keys.PlatformBreakdown,
+        rows.map(r => s"""{"name":"${r.getAs[String]("name")}","value":${r.getAs[Long]("value")}}""")
+          .mkString("[", ",", "]"),
+        channel = Some(Keys.ChannelPlatform))
+  }
+
   /** A10: alert rules + summary writer (reference: alert_evaluator.py:21-38). */
   def alertWriter(kv: KvStore): (DataFrame, Long) => Unit = (batch, _) => {
     val rows = batch.collect()
@@ -198,7 +242,7 @@ object KvSink {
         .map(r => (r.getAs[String]("region_name"), r.getAs[Double]("intensity")))
         .sortBy(-_._2).toSeq
       flowsPayload(ranked).foreach(
-        kv.writeJson("nexus:flows:current", _, channel = Some("nexus.flows")))
+        kv.writeJson(Keys.FlowsCurrent, _, channel = Some(Keys.ChannelFlows)))
     }
   }
 
