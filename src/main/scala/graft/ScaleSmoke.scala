@@ -61,6 +61,30 @@ object ScaleSmoke {
     t("vocab_growth") { graft.ops.Corpus.vocabGrowth(corpus) }
     t("khop_reach") { graft.ops.Graph.khopReach(corpus) }
     t("containment_pairs") { graft.ops.Corpus.containmentPairs(corpus) }
+    // Round-7 landings that missed the last smoke refresh: the co-purchase
+    // wedge neighborhood (largest new shuffle — the Σ order_size² bound
+    // needs a measured point), session path trigrams (per-user windows),
+    // and the column profiler (value-grain histograms per column).
+    val liBase = graft.sources.Tables.lineitem(spark, "/root/testdata/sf0.1")
+    val liCorpus = liBase.crossJoin(spark.range(replicas).toDF("rep"))
+      .withColumn("l_orderkey", col("l_orderkey") * replicas + col("rep"))
+      .drop("rep").localCheckpoint(true)
+    println(s"lineitem: ${liCorpus.count()} rows")
+    t("copurchase_similar") { graft.ops.Graph.copurchaseSimilar(liCorpus) }
+    val evBase = graft.sources.Tables.events(spark, "/root/testdata/sf0.1")
+    val evCorpus = evBase.crossJoin(spark.range(replicas).toDF("rep"))
+      .withColumn("event_id", col("event_id") * replicas + col("rep"))
+      .withColumn("user_id", col("user_id") * replicas + col("rep"))
+      .drop("rep").localCheckpoint(true)
+    println(s"events: ${evCorpus.count()} rows")
+    t("path_trigrams") { graft.ops.Corpus.pathTrigrams(evCorpus) }
+    val orBase = graft.sources.Tables.orders(spark, "/root/testdata/sf0.1")
+    val orCorpus = orBase.crossJoin(spark.range(replicas).toDF("rep"))
+      .withColumn("o_orderkey", col("o_orderkey") * replicas + col("rep"))
+      .withColumn("o_custkey", col("o_custkey") * replicas + col("rep"))
+      .drop("rep").localCheckpoint(true)
+    println(s"orders: ${orCorpus.count()} rows")
+    t("column_profile") { graft.ops.Profiling.columnProfile(orCorpus) }
   }
 
   private def time(spark: SparkSession, name: String)(

@@ -68,8 +68,8 @@ object Profiling {
     * physical scan; at three columns the three scans read a
     * column-pruned parquet projection each, which is the same bytes.
     */
-  def columnProfile(orders: DataFrame): DataFrame = {
-    val perCol = ProfileColumns.map { c =>
+  def columnProfile(orders: DataFrame, cols: Seq[String] = ProfileColumns): DataFrame = {
+    val perCol = cols.map { c =>
       val base = orders.select(col(c).cast("string").as("v"))
       val counts = base.agg(count(lit(1)).as("n_rows"),
         // coalesce: sum over zero rows is NULL, but the oracle's
@@ -90,6 +90,61 @@ object Profiling {
           col("top.v").as("top_value"), (-col("top.nc")).as("top_cnt"))
     }
     perCol.reduce(_ unionByName _).orderBy(col("column_name"))
+  }
+
+  /** The ANALYZE-TABLE verb: run [[columnProfile]] over a catalog table
+    * and persist its numbers as the table's CBO statistics (row count,
+    * per-column NDV/null counts, numeric min/max), so the optimizer's
+    * cost model — filter selectivity, join-side size estimates, join
+    * reordering — runs off measured data instead of raw file sizes. This
+    * turns the profiler from a reporting operator into an engine
+    * capability: after `analyzeTable`, a selective filter on a profiled
+    * column shrinks the estimated build side and can flip a shuffle join
+    * to broadcast (pinned in ProfilingSpec).
+    *
+    * Scale shape: one profile pass per column (map-side-combinable
+    * value-grain aggregates — see [[columnProfile]]) plus one min/max
+    * aggregate for the numeric columns; the injected statistics are
+    * O(columns). Equivalent to `ANALYZE TABLE ... COMPUTE STATISTICS FOR
+    * COLUMNS`, but the numbers come from the oracle-verified profiler.
+    */
+  def analyzeTable(spark: SparkSession, table: String,
+      cols: Seq[String] = ProfileColumns): Unit = {
+    import org.apache.spark.sql.catalyst.TableIdentifier
+    import org.apache.spark.sql.catalyst.catalog.{CatalogColumnStat, CatalogStatistics}
+    val df = spark.table(table)
+    val prof = columnProfile(df, cols).collect()
+    val nRows = if (prof.isEmpty) 0L else prof.head.getAs[Long]("n_rows")
+    val numericCols = cols.filter(c =>
+      df.schema(c).dataType.isInstanceOf[org.apache.spark.sql.types.NumericType])
+    val mm: Map[String, (String, String)] =
+      if (numericCols.isEmpty) Map.empty
+      else {
+        val aggs = numericCols.flatMap(c =>
+          Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c")))
+        val r = df.agg(aggs.head, aggs.tail: _*).head()
+        numericCols.map(c => c ->
+          (String.valueOf(r.getAs[Any](s"min_$c")),
+            String.valueOf(r.getAs[Any](s"max_$c")))).toMap
+      }
+    val colStats = prof.map { r =>
+      val c = r.getAs[String]("column_name")
+      val strLen = Option(r.getAs[String]("top_value"))
+        .map(_.length.toLong).getOrElse(8L)
+      val isNum = mm.contains(c)
+      c -> CatalogColumnStat(
+        distinctCount = Some(BigInt(r.getAs[Long]("n_distinct"))),
+        min = mm.get(c).map(_._1),
+        max = mm.get(c).map(_._2),
+        nullCount = Some(BigInt(r.getAs[Long]("n_nulls"))),
+        avgLen = Some(if (isNum) 8L else strLen),
+        maxLen = Some(if (isNum) 8L else strLen))
+    }.toMap
+    // totalSize stays the relation's current (file-listing) size; the CBO
+    // needs it alongside numRows to cost scans.
+    val sizeInBytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    spark.sessionState.catalog.alterTableStats(TableIdentifier(table),
+      Some(CatalogStatistics(sizeInBytes, Some(BigInt(nRows)), colStats)))
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -2,9 +2,10 @@ package graft
 
 import org.apache.spark.sql.catalyst.expressions.{CaseWhen, Expression, If}
 import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, CollectList, CollectSet, Complete, Partial}
-import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.catalyst.optimizer.BuildLeft
+import org.apache.spark.sql.execution.{LocalTableScanExec, RDDScanExec, SparkPlan}
 import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
-import org.apache.spark.sql.execution.joins.CartesianProductExec
+import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
 import org.apache.spark.sql.execution.window.{WindowExec, WindowGroupLimitExec}
 
 /** Plan linter over EVERY registered query: builds each physical plan at
@@ -64,6 +65,51 @@ class PlanLintSpec extends SparkSpec {
       "codebook assembly: group grain = (subspace, centroid), dim-bounded",
   )
 
+  /** Queries allowed a broadcast cross join whose build side is neither a
+    * global (1-row) aggregate nor a driver-materialized local relation,
+    * each with the reason the build side is small by construction. */
+  private val crossJoinBuildAllowed: Map[String, String] = Map(
+    "ann_ivf_topk" ->
+      "build = 8-row fixture-centroid id-range filter (vec_id in [100,108))",
+    "ann_lsh_topk" ->
+      "build = NumQueries-row query filter (vec_id < 5)",
+    "ann_cosine_topk" ->
+      "build = NumQueries-row query filter (vec_id < 5)",
+    "ann_pq_topk" ->
+      "build = NumQueries-row query filter / dim-bounded codebooks",
+    "ann_ivf_trained_topk" ->
+      "build = NumQueries-row probe filter (vec_id < 5)",
+    "cluster_balance" ->
+      "build = 8-row fixture-centroid id-range filter",
+    "semantic_dedup" ->
+      "build = K-row trained-centroid table",
+    "activity_calendar" ->
+      "build = distinct event_type (closed enum, T rows) crossed with the day spine",
+    "bitmap_overlap" ->
+      "build = per-event_type totals (closed enum, T rows) in the T x T non-equi pair join",
+  )
+
+  /** Rule 4 — broadcast-scalar discipline: every cross join in a
+    * registered query must broadcast a side that is PROVABLY tiny — a
+    * global aggregate (exactly one row) or a driver-materialized local
+    * relation (collected centroids/codebooks, O(K) rows). Anything else
+    * broadcast-cross-joined against the corpus is a latent 100 TB
+    * replication bomb and must either be rewritten or justified in the
+    * allowlist. */
+  private def crossJoinViolations(plan: SparkPlan): Seq[String] =
+    plan.collect {
+      case j: BroadcastNestedLoopJoinExec =>
+        val build = if (j.buildSide == BuildLeft) j.left else j.right
+        val ok = build.exists {
+          case a: BaseAggregateExec => a.groupingExpressions.isEmpty
+          case _: LocalTableScanExec => true
+          case _: RDDScanExec => true // createDataFrame of collected rows
+          case _ => false
+        }
+        if (ok) None
+        else Some(s"cross-join build side is not a 1-row aggregate or local relation: ${build.nodeName}")
+    }.flatten
+
   /** Unguarded collect_list/collect_set aggregate calls in `plan`: the
     * collect's input expression carries no CASE WHEN / IF guard (the
     * NULL-skipping bound), examined in Partial/Complete mode where the
@@ -100,6 +146,9 @@ class PlanLintSpec extends SparkSpec {
         if (collects.nonEmpty && !unboundedCollectAllowed.contains(name))
           failures += s"$name: unguarded collect aggregate (unbounded buffer): " +
             collects.map(_.aggregateFunction.prettyName).distinct.mkString(",")
+        val crossBuilds = crossJoinViolations(plan)
+        if (crossBuilds.nonEmpty && !crossJoinBuildAllowed.contains(name))
+          failures ++= crossBuilds.map(v => s"$name: $v")
       } catch {
         case e: Throwable => failures += s"$name: plan build failed: ${e.getMessage}"
       } finally spark.catalog.clearCache()
@@ -120,5 +169,28 @@ class PlanLintSpec extends SparkSpec {
       .agg(collect_list(expr("CASE WHEN rn <= 8 THEN v END")).as("vs"))
     assert(unguardedCollects(guarded.queryExecution.sparkPlan).isEmpty,
       "lint must accept the CASE WHEN rn <= k guard")
+  }
+
+  test("the cross-join rule fires on an unbroadcast-worthy build side and accepts the scalar convention") {
+    import org.apache.spark.sql.functions._
+    val fact = spark.range(1000).select(col("id"), (col("id") % 7).as("k"))
+    // VIOLATION: broadcast cross join against a multi-row non-aggregated
+    // relation — the replication-bomb shape the rule exists to catch.
+    val bad = fact.crossJoin(broadcast(
+      spark.range(500).select(col("id").as("other"))))
+    assert(crossJoinViolations(bad.queryExecution.sparkPlan).nonEmpty,
+      "lint must flag a multi-row non-aggregate cross-join build side")
+    // CONVENTION: broadcast of a 1-row global aggregate — the scalar-anchor
+    // shape used throughout the registry.
+    val good = fact.crossJoin(broadcast(fact.agg(sum(col("id")).as("total"))))
+    assert(crossJoinViolations(good.queryExecution.sparkPlan).isEmpty,
+      "lint must accept crossJoin(broadcast(<1-row agg>))")
+    // CONVENTION: broadcast of a driver-materialized local relation
+    // (collected centroid tables).
+    import spark.implicits._
+    val local = Seq((1, 2.0), (2, 3.0)).toDF("c_id", "cv")
+    val alsoGood = fact.join(broadcast(local), expr("true"))
+    assert(crossJoinViolations(alsoGood.queryExecution.sparkPlan).isEmpty,
+      "lint must accept a broadcast local relation")
   }
 }

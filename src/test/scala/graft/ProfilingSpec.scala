@@ -56,6 +56,67 @@ class ProfilingSpec extends SparkSpec {
     assert(pr.getAs[String]("top_value") == "1-URGENT")
   }
 
+  test("column profile on an EMPTY table: zero counts, not nulls (oracle parity)") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, String, String)]
+      .toDF("o_custkey", "o_orderstatus", "o_orderpriority")
+    val rows = Profiling.columnProfile(empty).collect()
+    assert(rows.length == 3)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_rows") == 0L)
+      // sum(when(...)) over zero rows is NULL in raw Spark; the profiler
+      // coalesces so it matches DuckDB's count(*) WHERE ... = 0.
+      assert(r.getAs[Long]("n_nulls") == 0L)
+      assert(r.getAs[Long]("n_distinct") == 0L)
+    }
+  }
+
+  test("analyzeTable-injected profile stats flip a selective join to broadcast under CBO") {
+    val dir = "/root/testdata/sf0.001"
+    spark.sql("DROP TABLE IF EXISTS cbo_orders")
+    spark.sql(s"CREATE TABLE cbo_orders (o_orderkey BIGINT, o_custkey BIGINT, " +
+      s"o_orderstatus STRING, o_totalprice DOUBLE, o_orderdate TIMESTAMP, " +
+      s"o_orderpriority STRING) " +
+      s"USING parquet LOCATION '$dir/orders.parquet'")
+    val confs = Seq(
+      "spark.sql.cbo.enabled" -> "true",
+      "spark.sql.cbo.planStats.enabled" -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> "2000",
+      "spark.sql.adaptive.enabled" -> "false")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, SortMergeJoinExec}
+      def joinPlan = {
+        val li = graft.sources.Tables.lineitem(spark, dir)
+        val dim = spark.table("cbo_orders")
+          .filter(col("o_custkey") === 421)
+          .select(col("o_orderkey"), col("o_orderstatus"))
+        li.join(dim, col("l_orderkey") === col("o_orderkey"))
+          .queryExecution.executedPlan
+      }
+      // Without statistics the dim side is costed from file size scaled
+      // by column pruning (~10 KB > the 2 KB threshold): shuffle join.
+      val before = joinPlan
+      assert(before.collect { case b: BroadcastHashJoinExec => b }.isEmpty,
+        s"expected no broadcast before stats:\n$before")
+      assert(before.collect { case s: SortMergeJoinExec => s }.nonEmpty)
+      // Inject the profiler's numbers: o_custkey NDV makes the equality
+      // filter selective, shrinking the estimated build side under the
+      // threshold — the optimizer now broadcasts.
+      graft.ops.Profiling.analyzeTable(spark, "cbo_orders")
+      val after = joinPlan
+      assert(after.collect { case b: BroadcastHashJoinExec => b }.nonEmpty,
+        s"expected broadcast after stats:\n$after")
+    } finally {
+      saved.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None) => spark.conf.unset(k)
+      }
+      spark.sql("DROP TABLE IF EXISTS cbo_orders")
+    }
+  }
+
   test("market share attributes exact cent shares to the supplier nation") {
     import spark.implicits._
     val region = Seq((0L, "AMERICA"), (1L, "ASIA")).toDF("r_regionkey", "r_name")
