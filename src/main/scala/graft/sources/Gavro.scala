@@ -407,10 +407,9 @@ class GavroDataWriter(path: String, schemaName: String, partitionId: Int,
   private var blockAcc = new GavroWriteStatAcc(record, statFields)
 
   private def flushBlock(): Unit = if (blockBuf.size() > 0) {
-    // empty-buffer guard: deflate of zero bytes still emits a frame, which
-    // would leave a phantom non-empty trailing block in the index
-    val payload =
-      if (codec == 1) Gavro.deflate(blockBuf.toByteArray) else blockBuf.toByteArray
+    // empty-buffer guard: a codec applied to zero bytes still emits a
+    // frame, which would leave a phantom non-empty trailing block
+    val payload = Gavro.compress(codec, blockBuf.toByteArray)
     out.write(payload)
     fileOffset += payload.length
     blockBuf = new java.io.ByteArrayOutputStream(
@@ -1021,7 +1020,7 @@ class GavroPartitionReader(part: GavroInputPartition, schemaName: String,
       val b = new Array[Byte]((end - part.start).toInt)
       raf.seek(part.start); raf.readFully(b); b
     } finally raf.close()
-    if (part.codec == 1) Gavro.inflate(raw) else raw
+    Gavro.decompress(part.codec, raw)
   }
   private var pos = 0
   private var row: InternalRow = _
@@ -1114,14 +1113,31 @@ object Gavro {
     * not disk bytes. */
   val DefaultBlockBytes: Long = 1L << 20
 
-  /** Block codec registry: deflate ships in the JDK (zero new
-    * dependencies); the footer byte leaves room for more. */
+  /** Block codec registry: deflate ships in the JDK, snappy rides the
+    * snappy-java already on Spark's classpath (the landing-zone trade:
+    * deflate for cold archive ratio, snappy for hot-tail decode speed);
+    * the footer byte leaves room for more. */
   def codecByte(name: String): Byte = name.toLowerCase match {
     case "none" | "" => 0
     case "deflate" => 1
+    case "snappy" => 2
     case other =>
       throw new IllegalArgumentException(s"gavro: unknown blockCodec '$other'")
   }
+
+  private[sources] def compress(codec: Byte, b: Array[Byte]): Array[Byte] =
+    codec match {
+      case 0 => b
+      case 1 => deflate(b)
+      case 2 => org.xerial.snappy.Snappy.compress(b)
+    }
+
+  private[sources] def decompress(codec: Byte, b: Array[Byte]): Array[Byte] =
+    codec match {
+      case 0 => b
+      case 1 => inflate(b)
+      case 2 => org.xerial.snappy.Snappy.uncompress(b)
+    }
 
   private[sources] def deflate(b: Array[Byte]): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream(math.max(64, b.length / 4))
@@ -1181,8 +1197,7 @@ object Gavro {
         val fileAcc = new GavroStatAcc(statTypes)
         var blockAcc = new GavroStatAcc(statTypes)
         def flushBlock(): Unit = if (blockBuf.size() > 0) {
-          val payload =
-            if (codec == 1) deflate(blockBuf.toByteArray) else blockBuf.toByteArray
+          val payload = compress(codec, blockBuf.toByteArray)
           out.write(payload)
           fileOffset += payload.length
           blockBuf = new java.io.ByteArrayOutputStream(

@@ -30,6 +30,17 @@ trait KvStore extends Serializable {
 
   /** HGETALL (empty when absent) — used by trend computation (W9). */
   def readHash(key: String): Map[String, String]
+
+  /** GET (None when absent) — serving-layer snapshot read-back. */
+  def readJson(key: String): Option[String] = None
+
+  /** LRANGE 0..n-1 (empty when absent) — serving-layer list read-back. */
+  def readList(key: String, n: Int): List[String] = Nil
+
+  /** Pub/sub subscription for push fan-out (the SSE/WS side of the
+    * contract); the returned handle stops delivery. Default: no-op. */
+  def subscribe(channels: Seq[String])(
+      handler: (String, String) => Unit): java.io.Closeable = () => ()
 }
 
 /** Thread-safe in-memory KvStore for tests and local runs. */
@@ -38,9 +49,14 @@ final class InMemoryKvStore extends KvStore {
   val strings = TrieMap.empty[String, String]
   val lists = TrieMap.empty[String, List[String]]
   val published = TrieMap.empty[String, List[String]]
+  private val listeners =
+    new java.util.concurrent.CopyOnWriteArrayList[(Set[String], (String, String) => Unit)]()
 
   private def publish(channel: Option[String], payload: String): Unit =
-    channel.foreach(c => published.updateWith(c)(l => Some(payload :: l.getOrElse(Nil))))
+    channel.foreach { c =>
+      published.updateWith(c)(l => Some(payload :: l.getOrElse(Nil)))
+      listeners.forEach { case (chs, h) => if (chs.contains(c)) h(c, payload) }
+    }
 
   def writeHash(key: String, value: Map[String, String], ttlSeconds: Option[Int],
       channel: Option[String]): Unit = {
@@ -59,6 +75,18 @@ final class InMemoryKvStore extends KvStore {
   }
 
   def readHash(key: String): Map[String, String] = hashes.getOrElse(key, Map.empty)
+
+  override def readJson(key: String): Option[String] = strings.get(key)
+
+  override def readList(key: String, n: Int): List[String] =
+    lists.getOrElse(key, Nil).take(n)
+
+  override def subscribe(channels: Seq[String])(
+      handler: (String, String) => Unit): java.io.Closeable = {
+    val entry = (channels.toSet, handler)
+    listeners.add(entry)
+    () => { listeners.remove(entry); () }
+  }
 }
 
 /** Key/channel names (reference: src/streaming/config.py:46-66) — the full

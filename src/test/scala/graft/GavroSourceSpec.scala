@@ -599,7 +599,7 @@ class GavroSourceSpec extends SparkSpec {
     assert(ex("l", "=", 9) && !ex("l", "=", 15))
   }
 
-  test("deflate block codec: round-trip, split, skip, and smaller files") {
+  test("block codecs (deflate, snappy): round-trip, split, skip, smaller files") {
     val events = Tables.events(spark, dir)
     val frame = events
       .select(AvroCodec.requestLogRec.as("rec"))
@@ -607,41 +607,44 @@ class GavroSourceSpec extends SparkSpec {
         col("rec.endpoint").as("endpoint"))
       .orderBy(col("endpoint")).coalesce(1)
     val plain = tmpDir("codec_plain")
-    val packed = tmpDir("codec_deflate")
     Gavro.write(frame, plain, blockBytes = 8192L, statCols = Seq("endpoint"))
-    Gavro.write(frame, packed, blockBytes = 8192L, statCols = Seq("endpoint"),
-      blockCodec = "deflate")
     def sizeOf(d: String) = new java.io.File(d).listFiles()
       .filter(_.getName.endsWith(".gavro")).map(_.length()).sum
-    // the codec actually compresses (record bodies are ASCII-heavy)
-    assert(sizeOf(packed) < sizeOf(plain),
-      s"deflate ${sizeOf(packed)} !< plain ${sizeOf(plain)}")
-
     def scanOf(df: org.apache.spark.sql.DataFrame) =
       df.queryExecution.executedPlan.collect { case b: BatchScanExec => b }.head
-    val all = spark.read.format("gavro")
-      .option("schema", "request_log").load(packed)
-      .select(col("id"), col("endpoint"))
-    // block split survives compression: offsets index compressed positions
-    val totalBlocks = scanOf(all).inputRDD.getNumPartitions
-    assert(totalBlocks > 2, s"need a multi-block compressed file, got $totalBlocks")
-    // full round-trip equality vs the uncompressed layout
     val plainAll = spark.read.format("gavro")
       .option("schema", "request_log").load(plain)
       .select(col("id"), col("endpoint"))
-    assert(all.collect().map(_.toString).sorted.toSeq ==
-      plainAll.collect().map(_.toString).sorted.toSeq)
-    // per-block min/max skipping still prunes inside the compressed file
-    val filtered = spark.read.format("gavro")
-      .option("schema", "request_log").load(packed)
-      .filter(col("endpoint") >= "/api/p")
-      .select(col("id"), col("endpoint"))
-    val opened = scanOf(filtered).inputRDD.getNumPartitions
-    assert(opened < totalBlocks,
-      s"expected block pruning on compressed file, opened $opened of $totalBlocks")
-    assert(filtered.count() ==
-      events.select(AvroCodec.requestLogRec.as("rec"))
-        .filter(col("rec.endpoint") >= "/api/p").count())
+      .collect().map(_.toString).sorted.toSeq
+
+    for (codec <- Seq("deflate", "snappy")) {
+      val packed = tmpDir(s"codec_$codec")
+      Gavro.write(frame, packed, blockBytes = 8192L, statCols = Seq("endpoint"),
+        blockCodec = codec)
+      // the codec actually compresses (record bodies are ASCII-heavy)
+      assert(sizeOf(packed) < sizeOf(plain),
+        s"$codec ${sizeOf(packed)} !< plain ${sizeOf(plain)}")
+      val all = spark.read.format("gavro")
+        .option("schema", "request_log").load(packed)
+        .select(col("id"), col("endpoint"))
+      // block split survives compression: offsets index compressed positions
+      val totalBlocks = scanOf(all).inputRDD.getNumPartitions
+      assert(totalBlocks > 2,
+        s"$codec: need a multi-block compressed file, got $totalBlocks")
+      // full round-trip equality vs the uncompressed layout
+      assert(all.collect().map(_.toString).sorted.toSeq == plainAll, codec)
+      // per-block min/max skipping still prunes inside the compressed file
+      val filtered = spark.read.format("gavro")
+        .option("schema", "request_log").load(packed)
+        .filter(col("endpoint") >= "/api/p")
+        .select(col("id"), col("endpoint"))
+      val opened = scanOf(filtered).inputRDD.getNumPartitions
+      assert(opened < totalBlocks,
+        s"$codec: expected block pruning, opened $opened of $totalBlocks")
+      assert(filtered.count() ==
+        events.select(AvroCodec.requestLogRec.as("rec"))
+          .filter(col("rec.endpoint") >= "/api/p").count(), codec)
+    }
   }
 
   test("DSv2 write with blockCodec=deflate round-trips through the scan") {
