@@ -5,8 +5,12 @@ package graft.streaming
   * `awaitAnyTermination` (reference: jobs/transaction_analytics.py:41).
   *
   * Usage: sbt "runMain graft.streaming.StreamMain <inputDir> [checkpointBase]"
-  * Feed it by dropping parquet files with the events schema into inputDir;
-  * outputs land in an in-memory KV (swap a Redis-backed KvStore in deploy).
+  * Feed it by dropping parquet files with the events schema into inputDir.
+  * Outputs land in an in-memory KV, or a real Redis when
+  * `GRAFT_REDIS=host:port` is set ([[RespKvStore]], no client library
+  * needed); `GRAFT_API_PORT` additionally serves the REST/SSE shell
+  * ([[Api]]) over whichever store is active — the full reference stack
+  * (jobs → KV → HTTP) as one process.
   */
 object StreamMain {
   def main(args: Array[String]): Unit = {
@@ -14,7 +18,16 @@ object StreamMain {
     val ckpt = args.lift(1).getOrElse(
       java.nio.file.Files.createTempDirectory("graft-checkpoints").toString)
     val spark = graft.Session.local("graft-streaming")
-    val kv = new InMemoryKvStore
+    val kv: KvStore = sys.env.get("GRAFT_REDIS") match {
+      case Some(hp) =>
+        val Array(h, p) = hp.split(":", 2)
+        new RespKvStore(h, p.toInt)
+      case None => new InMemoryKvStore
+    }
+    sys.env.get("GRAFT_API_PORT").foreach { p =>
+      val srv = Api.start(kv, p.toInt)
+      System.err.println(s"[graft] API serving on :${srv.getAddress.getPort}")
+    }
     val source = () => Jobs.fileEventStream(spark, inputDir)
     // The alerts graph consumes the derived KPI stream (reference:
     // `aggregated.kpis` topic), rendered here as a relay drop-dir.

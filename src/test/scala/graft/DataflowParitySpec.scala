@@ -119,4 +119,54 @@ class DataflowParitySpec extends SparkSpec {
       assert(kv.published(c).nonEmpty && kv.published(c).head.nonEmpty, s"empty channel $c")
     }
   }
+
+  test("full stack over the wire: jobs -> RESP -> HTTP API serves every snapshot") {
+    import java.net.URI
+    import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+    val stub = new RespServerStub
+    val kv = new graft.streaming.RespKvStore("127.0.0.1", stub.port)
+    val server = graft.streaming.Api.start(kv)
+    val port = server.getAddress.getPort
+    val in = writeDropDir()
+    val ckpt = Files.createTempDirectory("graft-stack-ckpt").toString
+    val derivedDir = s"$ckpt/derived-kpis"
+    Files.createDirectories(java.nio.file.Paths.get(derivedDir))
+    val source = () => Jobs.fileEventStream(spark, in)
+    val trigger = Trigger.AvailableNow()
+    try {
+      val stage1 =
+        Jobs.transactionsJob(source, kv, ckpt, trigger) ++
+        Jobs.infrastructureJob(source, kv, ckpt, trigger) ++
+        Jobs.derivedJob(source, kv, ckpt, trigger) :+
+        Jobs.kpiRelayJob(source, derivedDir, ckpt, trigger)
+      try stage1.foreach(_.awaitTermination(120000))
+      finally stage1.foreach(q => if (q.isActive) q.stop())
+      val alerts = Jobs.alertsJob(
+        () => Jobs.fileKpiStream(spark, derivedDir), kv, ckpt, trigger)
+      try alerts.awaitTermination(120000)
+      finally if (alerts.isActive) alerts.stop()
+
+      // every REST route serves a populated, contract-shaped payload that
+      // crossed process boundaries twice (RESP write, RESP read-back)
+      val http = HttpClient.newHttpClient()
+      def get(path: String): String = http.send(
+        HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port$path")).GET().build(),
+        HttpResponse.BodyHandlers.ofString()).body()
+      val metrics = get("/api/metrics")
+      assert(metrics.contains("\"orders\":") && metrics.contains("\"revenueTrend\":"),
+        metrics)
+      assert(!metrics.contains("\"updatedAt\":0"), s"metrics not populated: $metrics")
+      assert(get("/api/traffic").startsWith("[{\"timestamp\""))
+      assert(get("/api/activities").contains("\"action\""))
+      assert(get("/api/regions").contains("\"intensity\""))
+      assert(get("/api/flows").contains("\"source\""))
+      assert(get("/api/platform").contains("\"name\""))
+      assert(get("/api/alerts").contains("\"rules\":[{\"id\":\"alert_"))
+      assert(get("/api/health").contains("\"cpu_centi\""))
+      assert(get("/api/geo").contains("\"globalLoad\""))
+      // and the channels were published over the wire
+      assert(graft.streaming.Keys.AllChannels.subsetOf(stub.published.keySet.toSet),
+        s"missing: ${graft.streaming.Keys.AllChannels -- stub.published.keySet}")
+    } finally { server.stop(0); kv.close(); stub.close() }
+  }
 }
