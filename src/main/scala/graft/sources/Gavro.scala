@@ -297,12 +297,16 @@ class GavroStreamingWrite(path: String, schemaName: String, blockBytes: Long,
   override def commit(epochId: Long,
       messages: Array[org.apache.spark.sql.connector.write.WriterCommitMessage]): Unit = {
     val d = new java.io.File(path)
-    messages.collect { case GavroEpochTempFile(tmp, pid) =>
+    val published = messages.collect { case GavroEpochTempFile(tmp, pid) =>
       val dst = new java.io.File(d, f"part-e$epochId%010d-$pid%05d.gavro")
       if (dst.exists()) dst.delete() // epoch replay: republish, don't duplicate
       if (!new java.io.File(tmp).renameTo(dst))
         throw new java.io.IOException(s"gavro commit: cannot publish $tmp")
+      dst.getName
     }
+    // epoch-deterministic record name: a replayed epoch re-lands the SAME
+    // commit record over itself — idempotent like the file republish
+    Gavro.writeCommit(path, f"e$epochId%010d", published.toSeq)
   }
 
   override def abort(epochId: Long,
@@ -340,19 +344,29 @@ class GavroBatchWrite(path: String, schemaName: String, overwrite: Boolean,
   override def commit(
       messages: Array[org.apache.spark.sql.connector.write.WriterCommitMessage]): Unit = {
     val d = new java.io.File(path)
-    if (overwrite)
+    if (overwrite) {
       Option(d.listFiles()).getOrElse(Array.empty)
         .filter(_.getName.endsWith(".gavro")).foreach(_.delete())
+      // a truncate invalidates every prior commit record too
+      Option(new java.io.File(d, Gavro.CommitsDir).listFiles())
+        .getOrElse(Array.empty).foreach(_.delete())
+    }
     val existingMax = Option(d.listFiles()).getOrElse(Array.empty)
       .map(_.getName).filter(n => n.startsWith("part-") && n.endsWith(".gavro"))
       .flatMap(n => n.stripPrefix("part-").stripSuffix(".gavro").toIntOption)
       .foldLeft(-1)(math.max)
-    messages.collect { case GavroTempFile(tmp) => tmp }.sorted.zipWithIndex
-      .foreach { case (tmp, i) =>
+    val published = messages.collect { case GavroTempFile(tmp) => tmp }
+      .sorted.zipWithIndex
+      .map { case (tmp, i) =>
         val dst = new java.io.File(d, f"part-${existingMax + 1 + i}%05d.gavro")
         if (!new java.io.File(tmp).renameTo(dst))
           throw new java.io.IOException(s"gavro commit: cannot publish $tmp")
+        dst.getName
       }
+    // visibility point: one commit record for the whole batch (readers
+    // with a commit log never see a torn multi-file publish)
+    Gavro.writeCommit(path, f"c${Gavro.nextCommitIndex(path)}%010d",
+      published.toSeq)
   }
 
   override def abort(
@@ -530,8 +544,7 @@ class GavroScan(path: String, schemaName: String, required: StructType,
     * shouldn't decode. Conservative under pushed filters/limit (both only
     * shrink the real read). */
   override def estimateStatistics(): Statistics = {
-    val bytes = Option(new java.io.File(path).listFiles()).getOrElse(Array.empty)
-      .filter(_.getName.endsWith(".gavro"))
+    val bytes = Gavro.listDataFiles(path)
       .map(f => GavroFooter.read(f).dataEnd).sum
     new Statistics {
       override def sizeInBytes(): java.util.OptionalLong =
@@ -554,8 +567,7 @@ class GavroScan(path: String, schemaName: String, required: StructType,
     * footers (a 12-byte tail read + the index) are all the planner touches. */
   override def planInputPartitions(): Array[InputPartition] = {
     val preds = pushed.map(GavroPred.from).toSeq
-    Option(new java.io.File(path).listFiles()).getOrElse(Array.empty)
-      .filter(_.getName.endsWith(".gavro")).sortBy(_.getName)
+    Gavro.listDataFiles(path)
       .flatMap(f => GavroSkip.planFile(f, preds))
       .map(p => p: InputPartition)
   }
@@ -596,8 +608,7 @@ class GavroMicroBatchStream(path: String, schemaName: String,
   import org.apache.spark.sql.connector.read.streaming.Offset
 
   private def listing(): Array[String] =
-    Option(new java.io.File(path).listFiles()).getOrElse(Array.empty)
-      .filter(_.getName.endsWith(".gavro")).map(_.getAbsolutePath).sorted
+    Gavro.listDataFiles(path).map(_.getAbsolutePath)
 
   override def initialOffset(): Offset = GavroStreamOffset(0)
   override def latestOffset(): Offset = GavroStreamOffset(listing().length)
@@ -1113,6 +1124,63 @@ object Gavro {
     * not disk bytes. */
   val DefaultBlockBytes: Long = 1L << 20
 
+  /** Commit-manifest directory name inside a gavro table path. */
+  val CommitsDir = "_graft_commits"
+
+  /** Snapshot-isolated data-file listing: when a `_graft_commits` log
+    * exists, a data file is visible ONLY once some commit record names it
+    * — so a reader never observes a torn multi-file publish (the batch
+    * committer renames N temp files, then lands ONE commit record; record
+    * creation is the atomic visibility point). Without the log (legacy
+    * dirs, hand-placed files) the directory listing is the truth, as
+    * before. This is the object-store reality at 100 TB: there is no
+    * atomic multi-file rename, so visibility must ride a single-object
+    * write — the same design point as Delta/Iceberg commit logs, scaled
+    * to the landing-zone need.
+    */
+  def listDataFiles(path: String): Array[java.io.File] = {
+    val d = new java.io.File(path)
+    val all = Option(d.listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.endsWith(".gavro"))
+    val commits = new java.io.File(d, CommitsDir)
+    val visible =
+      if (!commits.isDirectory) all
+      else {
+        val committed = Option(commits.listFiles()).getOrElse(Array.empty)
+          .filter(_.getName.endsWith(".commit"))
+          .flatMap(f => java.nio.file.Files.readAllLines(f.toPath)
+            .toArray(Array.empty[String]))
+          .toSet
+        all.filter(f => committed.contains(f.getName))
+      }
+    visible.sortBy(_.getName)
+  }
+
+  /** Land one commit record making `files` visible; `name` must be unique
+    * per commit (monotone for batch, epoch-deterministic for streaming so
+    * a replayed epoch republishes the SAME record idempotently). Public:
+    * an external archiver that places files by other means uses this as
+    * its visibility point. */
+  def writeCommit(path: String, name: String,
+      files: Seq[String]): Unit = {
+    val dir = new java.io.File(path, CommitsDir)
+    dir.mkdirs()
+    val tmp = java.io.File.createTempFile(s".$name", ".tmp", dir)
+    java.nio.file.Files.writeString(tmp.toPath, files.mkString("\n"))
+    val dst = new java.io.File(dir, s"$name.commit")
+    if (dst.exists()) dst.delete()
+    if (!tmp.renameTo(dst))
+      throw new java.io.IOException(s"gavro: cannot land commit $dst")
+  }
+
+  private[sources] def nextCommitIndex(path: String): Int = {
+    val dir = new java.io.File(path, CommitsDir)
+    Option(dir.listFiles()).getOrElse(Array.empty)
+      .map(_.getName).filter(n => n.startsWith("c") && n.endsWith(".commit"))
+      .flatMap(_.stripPrefix("c").stripSuffix(".commit").toIntOption)
+      .foldLeft(-1)(math.max) + 1
+  }
+
   /** Block codec registry: deflate ships in the JDK, snappy rides the
     * snappy-java already on Spark's classpath (the landing-zone trade:
     * deflate for cold archive ratio, snappy for hot-tail decode speed);
@@ -1170,6 +1238,8 @@ object Gavro {
     val d = new java.io.File(dir)
     d.mkdirs()
     d.listFiles().filter(_.getName.endsWith(".gavro")).foreach(_.delete())
+    Option(new java.io.File(d, CommitsDir).listFiles())
+      .getOrElse(Array.empty).foreach(_.delete())
     val codec = codecByte(blockCodec)
     // Resolve stat column types at the driver; the byte codes ship to tasks.
     val statTypes: Seq[(String, Byte)] = statCols.map { c =>
@@ -1223,6 +1293,11 @@ object Gavro {
         } finally out.close()
       }
     }
+    // Driver-side visibility point after every task finished: one commit
+    // record naming the archive's files (same contract as the DSv2 sink).
+    val written = Option(d.listFiles()).getOrElse(Array.empty)
+      .map(_.getName).filter(_.endsWith(".gavro")).sorted
+    writeCommit(dir, f"c${nextCommitIndex(dir)}%010d", written.toSeq)
   }
 
   /** Running min/max over the writer's stat columns (nulls skipped). */

@@ -647,6 +647,43 @@ class GavroSourceSpec extends SparkSpec {
     }
   }
 
+  test("commit manifest gives snapshot isolation: uncommitted files are invisible") {
+    val out = tmpDir("manifest")
+    val events = Tables.events(spark, dir)
+    // A committed write: data files + one commit record.
+    Gavro.write(events.repartition(2)
+      .select(AvroCodec.requestLogRec.as("rec"))
+      .select(expr("to_avro_graft(rec, 'request_log')").as("bin")), out)
+    val commits = new java.io.File(out, Gavro.CommitsDir)
+    assert(commits.isDirectory &&
+      commits.listFiles().count(_.getName.endsWith(".commit")) == 1)
+    val total = spark.read.format("gavro")
+      .option("schema", "request_log").load(out).count()
+    assert(total == events.count())
+    // Simulate a torn publish: a data file lands WITHOUT a commit record
+    // (the window between task renames and the driver's commit write —
+    // or a crashed job). The scan must not see it.
+    val committed = new java.io.File(out).listFiles()
+      .filter(_.getName.endsWith(".gavro")).minBy(_.getName)
+    val orphan = new java.io.File(out, "part-99999.gavro")
+    java.nio.file.Files.copy(committed.toPath, orphan.toPath)
+    assert(spark.read.format("gavro")
+      .option("schema", "request_log").load(out).count() == total,
+      "reader saw an uncommitted (torn) file")
+    // Landing a commit record naming it is the atomic visibility point.
+    Gavro.writeCommit(out, "c9999999999", Seq(orphan.getName))
+    assert(spark.read.format("gavro")
+      .option("schema", "request_log").load(out).count() > total)
+    // Legacy dirs (no commit log) still read by listing: the same orphan
+    // file in a manifest-less copy IS visible.
+    val legacy = tmpDir("manifest_legacy")
+    new java.io.File(out).listFiles().filter(_.getName.endsWith(".gavro"))
+      .foreach(f => java.nio.file.Files.copy(f.toPath,
+        new java.io.File(legacy, f.getName).toPath))
+    assert(spark.read.format("gavro")
+      .option("schema", "request_log").load(legacy).count() > total)
+  }
+
   test("DSv2 write with blockCodec=deflate round-trips through the scan") {
     val out = tmpDir("codec_dsv2")
     val events = Tables.events(spark, dir)
