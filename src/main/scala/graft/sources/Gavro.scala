@@ -89,12 +89,12 @@ class GavroSource extends TableProvider with DataSourceRegister {
       properties: java.util.Map[String, String]): Table = {
     val opts = new CaseInsensitiveStringMap(properties)
     new GavroTable(schema, opts.get("path"), opts.get("schema"),
-      Option(opts.get("readerSchema")))
+      Option(opts.get("readerSchema")), Option(opts.get("asOfCommit")))
   }
 }
 
 class GavroTable(tableSchema: StructType, path: String, schemaName: String,
-    readerJson: Option[String])
+    readerJson: Option[String], asOfCommit: Option[String] = None)
     extends Table with SupportsRead
     with org.apache.spark.sql.connector.catalog.SupportsWrite {
   require(path != null, "gavro: 'path' option is required")
@@ -106,7 +106,7 @@ class GavroTable(tableSchema: StructType, path: String, schemaName: String,
       TableCapability.BATCH_WRITE, TableCapability.TRUNCATE,
       TableCapability.STREAMING_WRITE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new GavroScanBuilder(tableSchema, path, schemaName, readerJson)
+    new GavroScanBuilder(tableSchema, path, schemaName, readerJson, asOfCommit)
   override def newWriteBuilder(
       info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
       : org.apache.spark.sql.connector.write.WriteBuilder =
@@ -117,7 +117,7 @@ class GavroTable(tableSchema: StructType, path: String, schemaName: String,
 }
 
 class GavroScanBuilder(full: StructType, path: String, schemaName: String,
-    readerJson: Option[String] = None)
+    readerJson: Option[String] = None, asOfCommit: Option[String] = None)
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with SupportsPushDownFilters with SupportsPushDownLimit
     with SupportsPushDownAggregates {
@@ -226,7 +226,7 @@ class GavroScanBuilder(full: StructType, path: String, schemaName: String,
   override def build(): Scan =
     new GavroScan(path, schemaName,
       if (agg != null) agg.schema else required, pushed, limit,
-      Option(agg), readerJson)
+      Option(agg), readerJson, asOfCommit)
 }
 
 /** DSv2 WRITE path: `df.write.format("gavro").option("schema", …)
@@ -529,7 +529,8 @@ case class GAggSpec(op: String, field: String) extends Serializable
 
 class GavroScan(path: String, schemaName: String, required: StructType,
     pushed: Array[Filter], limit: Int,
-    agg: Option[GavroAgg] = None, readerJson: Option[String] = None)
+    agg: Option[GavroAgg] = None, readerJson: Option[String] = None,
+    asOfCommit: Option[String] = None)
     extends Scan with Batch with SupportsReportStatistics {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
@@ -544,7 +545,7 @@ class GavroScan(path: String, schemaName: String, required: StructType,
     * shouldn't decode. Conservative under pushed filters/limit (both only
     * shrink the real read). */
   override def estimateStatistics(): Statistics = {
-    val bytes = Gavro.listDataFiles(path)
+    val bytes = Gavro.listDataFiles(path, asOfCommit)
       .map(f => GavroFooter.read(f).dataEnd).sum
     new Statistics {
       override def sizeInBytes(): java.util.OptionalLong =
@@ -555,6 +556,7 @@ class GavroScan(path: String, schemaName: String, required: StructType,
   }
   override def description(): String =
     s"gavro $path, schema=$schemaName, ReadSchema: ${required.catalogString}, " +
+      asOfCommit.map(c => s"AsOfCommit: $c, ").getOrElse("") +
       s"PushedFilters: ${pushed.mkString("[", ", ", "]")}" +
       (if (limit >= 0) s", PushedLimit: $limit" else "") +
       agg.map(a => s", PushedAggregates: ${a.specs.map(s =>
@@ -567,7 +569,7 @@ class GavroScan(path: String, schemaName: String, required: StructType,
     * footers (a 12-byte tail read + the index) are all the planner touches. */
   override def planInputPartitions(): Array[InputPartition] = {
     val preds = pushed.map(GavroPred.from).toSeq
-    Gavro.listDataFiles(path)
+    Gavro.listDataFiles(path, asOfCommit)
       .flatMap(f => GavroSkip.planFile(f, preds))
       .map(p => p: InputPartition)
   }
@@ -1138,16 +1140,24 @@ object Gavro {
     * write — the same design point as Delta/Iceberg commit logs, scaled
     * to the landing-zone need.
     */
-  def listDataFiles(path: String): Array[java.io.File] = {
+  def listDataFiles(path: String,
+      asOfCommit: Option[String] = None): Array[java.io.File] = {
     val d = new java.io.File(path)
     val all = Option(d.listFiles()).getOrElse(Array.empty)
       .filter(_.getName.endsWith(".gavro"))
     val commits = new java.io.File(d, CommitsDir)
     val visible =
-      if (!commits.isDirectory) all
-      else {
+      if (!commits.isDirectory) {
+        require(asOfCommit.isEmpty,
+          s"gavro: asOfCommit requires a $CommitsDir log at $path")
+        all
+      } else {
+        // Time travel: the snapshot as of a commit record = the union of
+        // records up to and including it (record names are monotone).
         val committed = Option(commits.listFiles()).getOrElse(Array.empty)
           .filter(_.getName.endsWith(".commit"))
+          .filter(f => asOfCommit.forall(
+            cut => f.getName.stripSuffix(".commit") <= cut))
           .flatMap(f => java.nio.file.Files.readAllLines(f.toPath)
             .toArray(Array.empty[String]))
           .toSet

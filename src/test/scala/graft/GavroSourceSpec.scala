@@ -684,6 +684,41 @@ class GavroSourceSpec extends SparkSpec {
       .option("schema", "request_log").load(legacy).count() > total)
   }
 
+  test("asOfCommit time-travels the scan to an earlier snapshot") {
+    val out = tmpDir("timetravel")
+    val events = Tables.events(spark, dir)
+    val frame = events.select(AvroCodec.requestLogRec.as("rec")).select(col("rec.*"))
+      .withColumn("created_at",
+        expr("timestamp_micros(unix_millis(created_at) * 1000)"))
+    val half = frame.count() / 2
+    frame.filter(col("id") < half).write.format("gavro")
+      .option("schema", "request_log").mode("overwrite").save(out)
+    frame.filter(col("id") >= half).write.format("gavro")
+      .option("schema", "request_log").mode("append").save(out)
+    val commits = new java.io.File(out, Gavro.CommitsDir).listFiles()
+      .map(_.getName.stripSuffix(".commit")).sorted
+    assert(commits.length == 2, commits.mkString(","))
+    // current snapshot = both batches; asOf first commit = first batch only
+    val current = spark.read.format("gavro")
+      .option("schema", "request_log").load(out)
+    assert(current.count() == frame.count())
+    val asOf = spark.read.format("gavro")
+      .option("schema", "request_log")
+      .option("asOfCommit", commits.head).load(out)
+    assert(asOf.count() == half, s"asOf saw ${asOf.count()} of expected $half")
+    assert(asOf.agg(max(col("id"))).head.getLong(0) == half - 1)
+    // time travel without a commit log is an explicit error, not a guess
+    val legacy = tmpDir("timetravel_legacy")
+    new java.io.File(out).listFiles().filter(_.getName.endsWith(".gavro"))
+      .foreach(f => java.nio.file.Files.copy(f.toPath,
+        new java.io.File(legacy, f.getName).toPath))
+    val err = intercept[Exception] {
+      spark.read.format("gavro").option("schema", "request_log")
+        .option("asOfCommit", commits.head).load(legacy).count()
+    }
+    assert(err.getMessage != null)
+  }
+
   test("DSv2 write with blockCodec=deflate round-trips through the scan") {
     val out = tmpDir("codec_dsv2")
     val events = Tables.events(spark, dir)
