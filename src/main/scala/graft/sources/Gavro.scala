@@ -1426,11 +1426,40 @@ object Gavro {
       .orderBy(col("endpoint"))
   }
 
+  /** Two-commit archive + time-traveled scan: the synthesis lands as two
+    * DSv2 batches (even ids, then odd ids appended), and the registered
+    * query reads `asOfCommit` = the FIRST record — so the oracle (the
+    * even-id half recomputed from `events`) hash-verifies that time
+    * travel reproduces exactly the first batch's snapshot, no more, no
+    * less. Overwrite-then-append makes the build idempotent and the first
+    * record's name deterministic. */
+  def gavroAsofScan(spark: SparkSession, sfDir: String): DataFrame = {
+    val events = Tables.events(spark, sfDir)
+    val frame = events.select(AvroCodec.requestLogRec.as("rec"))
+      .select(col("rec.*"))
+      .withColumn("created_at",
+        expr("timestamp_micros(unix_millis(created_at) * 1000)"))
+    val dir = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_gavro_asof_" + Integer.toHexString(sfDir.hashCode)).getAbsolutePath
+    frame.filter(pmod(col("id"), lit(2)) === 0).write.format("gavro")
+      .option("schema", "request_log").mode("overwrite").save(dir)
+    frame.filter(pmod(col("id"), lit(2)) === 1).write.format("gavro")
+      .option("schema", "request_log").mode("append").save(dir)
+    spark.read.format("gavro").option("schema", "request_log")
+      .option("asOfCommit", "c0000000000").load(dir)
+      .select(col("endpoint"), col("status_code"))
+      .groupBy(col("endpoint"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("status_code").cast("long")).as("sum_status"))
+      .orderBy(col("endpoint"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "gavro_scan" -> ((s, d) => gavroScan(s, d)),
     "gavro_scan_pushdown" -> ((s, d) => gavroScanPushdown(s, d)),
     "gavro_agg_pushdown" -> ((s, d) => gavroAggPushdown(s, d)),
     "gavro_evolved_scan" -> ((s, d) => gavroEvolvedScan(s, d)),
+    "gavro_asof_scan" -> ((s, d) => gavroAsofScan(s, d)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1461,6 +1490,13 @@ object Gavro {
         |  0::BIGINT AS n_trace,
         |  count(CASE WHEN user_id % 11 = 0 THEN NULL ELSE user_id END) AS n_user_known
         |FROM events WHERE event_id % 7 <> 0
+        |GROUP BY 1 ORDER BY endpoint""".stripMargin,
+    // Time travel to the first commit = the even-id batch, exactly.
+    "gavro_asof_scan" ->
+      """SELECT '/api/' || event_type AS endpoint,
+        |  count(*) AS n,
+        |  sum(CASE WHEN event_id % 7 = 0 THEN 500 ELSE 200 END)::BIGINT AS sum_status
+        |FROM events WHERE event_id % 2 = 0
         |GROUP BY 1 ORDER BY endpoint""".stripMargin,
   )
 }
