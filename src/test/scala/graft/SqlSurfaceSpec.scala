@@ -36,6 +36,16 @@ class SqlSurfaceSpec extends SparkSpec {
     }
   }
 
+  test("time-traveled gavro scan via spark.sql equals the connector read") {
+    Tables.events(spark, sf).createOrReplaceTempView("events")
+    try {
+      val viaSql = spark.sql(SparkEntry.oracleSql("gavro_asof_scan")
+          .replace("::BIGINT", "")).collect()
+      val viaConnector = SparkEntry.queries("gavro_asof_scan")(spark, sf).collect()
+      assert(viaSql.map(_.toSeq).toSeq == viaConnector.map(_.toSeq).toSeq)
+    } finally spark.catalog.dropTempView("events")
+  }
+
   test("conversion funnel via spark.sql equals the DataFrame builder") {
     Tables.events(spark, sf).createOrReplaceTempView("events")
     try {
