@@ -24,7 +24,18 @@ object ScaleSmoke {
     if (section == "docs" || section == "all") docsSection(spark, replicas)
     if (section == "temporal" || section == "all") temporalSection(spark, replicas)
     if (section == "round7" || section == "all") round7Section(spark, replicas)
+    if (section == "copurchase") copurchaseSection(spark, replicas)
     spark.stop()
+  }
+
+  /** Focused re-measure hook for the co-purchase shuffle rewrite. */
+  private def copurchaseSection(spark: SparkSession, replicas: Int): Unit = {
+    val liBase = graft.sources.Tables.lineitem(spark, "/root/testdata/sf0.1")
+    val liCorpus = liBase.crossJoin(spark.range(replicas).toDF("rep"))
+      .withColumn("l_orderkey", col("l_orderkey") * replicas + col("rep"))
+      .drop("rep").localCheckpoint(true)
+    println(s"lineitem: ${liCorpus.count()} rows")
+    time(spark, "copurchase_similar") { graft.ops.Graph.copurchaseSimilar(liCorpus) }
   }
 
   /** Round-7 additions whose scale posture deserves its own check: the

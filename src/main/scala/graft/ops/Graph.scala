@@ -215,10 +215,15 @@ object Graph {
     import org.apache.spark.sql.expressions.Window
     val items = lineitem
       .select(col("l_orderkey").as("okey"), col("l_partkey").as("p"))
+    // ONE fact-table shuffle total: the per-order deduped part sets feed
+    // both the pair generation AND the part degrees (deg = explode of the
+    // already-deduped sets, map-side combinable — identical values to a
+    // distinct(okey, p) count, without re-exchanging the fact table).
     val perOrder = items.groupBy(col("okey"))
       .agg(array_sort(collect_set(col("p"))).as("ps"))
-      .filter(size(col("ps")) >= 2)
+      .persist()
     val pairs = perOrder
+      .filter(size(col("ps")) >= 2)
       .select(explode(expr(
         """flatten(transform(ps,
           |  (x, i) -> transform(slice(ps, i + 2, size(ps)),
@@ -226,7 +231,7 @@ object Graph {
       .groupBy(col("e.a").as("a"), col("e.b").as("b"))
       .agg(count(lit(1)).as("cooc"))
       .filter(col("cooc") >= CoocMin)
-    val deg = items.distinct()
+    val deg = perOrder.select(explode(col("ps")).as("p"))
       .groupBy(col("p")).agg(count(lit(1)).as("d"))
     val scored = pairs
       .select(explode(array(
