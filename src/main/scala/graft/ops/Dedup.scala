@@ -143,6 +143,59 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** Matching signature positions (of 12) for a cross-split pair to count
+    * as leakage (≈ Jaccard ≥ 0.83 — the review band). */
+  val LeakMatchMin = 10
+
+  /** Cross-split near-dup leakage audit — the train/heldout contamination
+    * check an LLM data pipeline runs before trusting its eval numbers
+    * (near-duplicates of heldout documents inside the training split
+    * inflate every benchmark; cf. the C4/Pile dedup analyses): assign
+    * every document to train or heldout by a deterministic md5 threshold
+    * (~1/`heldoutMod` heldout), generate the SAME banded MinHash
+    * candidates as [[minhashCandidates]], and keep only pairs that CROSS
+    * the split with ≥ [[LeakMatchMin]]/12 matching signature positions.
+    * One row per leak: the heldout doc, the training doc that leaks it,
+    * and the match strength — exact integers, hash-verified.
+    *
+    * Scale shape: identical to [[minhashCandidates]] (banded candidates,
+    * bucket cap, never all-pairs); the split flag is a pure function of
+    * doc_id so it rides the signature table without a join.
+    */
+  def splitLeakage(corpus: DataFrame, heldoutMod: Int = 10): DataFrame = {
+    val sigs = minhashSignatures(corpus)
+      .withColumn("ho", expr(
+        s"cast(conv(substring(md5(cast(doc_id as string)), 1, 15), 16, 10) as bigint) % $heldoutMod = 0"))
+      .persist()
+    val b = bands(sigs)
+      .withColumn("bucket_n", count(lit(1))
+        .over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("band_idx"), col("band_key"))))
+      .filter(col("bucket_n") <= MaxBucketSize)
+      .drop("bucket_n")
+    val pairs = b.as("x").join(b.as("y"),
+        col("x.band_idx") === col("y.band_idx") &&
+          col("x.band_key") === col("y.band_key") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    pairs
+      .join(sigs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a"),
+        col("ho").as("ho_a")), "doc_a")
+      .join(sigs.select(col("doc_id").as("doc_b"), col("sig").as("sig_b"),
+        col("ho").as("ho_b")), "doc_b")
+      .filter(col("ho_a") =!= col("ho_b"))
+      .withColumn("matching", expr(
+        "size(filter(sequence(1, 12), i -> element_at(sig_a, i) = element_at(sig_b, i)))")
+        .cast("long"))
+      .filter(col("matching") >= LeakMatchMin)
+      .select(
+        when(col("ho_a"), col("doc_a")).otherwise(col("doc_b")).as("heldout_id"),
+        when(col("ho_a"), col("doc_b")).otherwise(col("doc_a")).as("train_id"),
+        col("matching"))
+      .orderBy(col("heldout_id"), col("train_id"))
+  }
+
   /** Incremental MinHash-LSH: near-dup candidates for a NEW batch against
     * an already-indexed corpus — the ingest-time form of
     * [[minhashCandidates]]. Band rows of the full corpus sit on one side
@@ -650,6 +703,7 @@ object Dedup {
     "dedup_clusters_star" -> ((s, d) => dupClustersStar(nearCorpus(Tables.documents(s, d)))),
     "dedup_minhash" -> ((s, d) => minhashCandidates(nearCorpus(Tables.documents(s, d)))),
     "dedup_minhash_incremental" -> ((s, d) => minhashIncremental(nearCorpus(Tables.documents(s, d)))),
+    "split_leakage" -> ((s, d) => splitLeakage(nearCorpus(Tables.documents(s, d)))),
     "dedup_ngram_jaccard" -> ((s, d) => ngramJaccard(nearCorpus(Tables.documents(s, d)))),
     "dedup_simhash_pairs" -> ((s, d) => simhashPairs(nearCorpus(Tables.documents(s, d)))),
     "duplicate_spans" -> ((s, d) => duplicateSpans(Tables.documents(s, d))),
@@ -868,6 +922,24 @@ object Dedup {
          |JOIN sigs b ON b.doc_id = doc_b
          |WHERE doc_b >= 10000
          |ORDER BY doc_a, doc_b""".stripMargin,
+    "split_leakage" ->
+      s"""WITH $nearCorpusSql, $sigSql, $candSql,
+         |split AS (
+         |  SELECT doc_id,
+         |    ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 10 = 0 AS ho
+         |  FROM (SELECT DISTINCT doc_id FROM corpus)
+         |)
+         |SELECT CASE WHEN sa.ho THEN doc_a ELSE doc_b END AS heldout_id,
+         |  CASE WHEN sa.ho THEN doc_b ELSE doc_a END AS train_id,
+         |  len(list_filter(range(1, 13), i -> a.sig[i] = b.sig[i]))::BIGINT AS matching
+         |FROM cands
+         |JOIN sigs a ON a.doc_id = doc_a
+         |JOIN sigs b ON b.doc_id = doc_b
+         |JOIN split sa ON sa.doc_id = doc_a
+         |JOIN split sb ON sb.doc_id = doc_b
+         |WHERE sa.ho <> sb.ho
+         |  AND len(list_filter(range(1, 13), i -> a.sig[i] = b.sig[i])) >= 10
+         |ORDER BY heldout_id, train_id""".stripMargin,
     // Jaccard over the HASHED shingle sets, mirroring the Spark side (which
     // hashes before the collect_set shuffle); identical values modulo 2^60
     // md5 collisions.

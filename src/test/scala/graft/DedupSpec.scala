@@ -379,4 +379,34 @@ class DedupSpec extends SparkSpec {
       s"doubling tf at equal length must not double the score: $score")
     assert(score(3L) > score(6L) && out.forall(_.getAs[Long]("score") > 0))
   }
+
+  test("split leakage equals the cross-split strong pairs of minhashCandidates") {
+    val corpus = Dedup.nearCorpus(
+      graft.sources.Tables.documents(spark, "/root/testdata/sf0.01"))
+    def heldout(id: Long): Boolean = {
+      val md5 = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+      val hex = md5.map("%02x".format(_)).mkString.take(15)
+      java.lang.Long.parseLong(hex, 16) % 10 == 0
+    }
+    // independent derivation: the generic candidate pairs, filtered to
+    // cross-split with >= 10/12 matching positions (est >= 0.8333)
+    val expected = Dedup.minhashCandidates(corpus).collect()
+      .filter(r => r.getAs[Double]("est_jaccard") >= (Dedup.LeakMatchMin - 0.5) / 12.0)
+      .map { r =>
+        val a = r.getAs[Long]("doc_a"); val b = r.getAs[Long]("doc_b")
+        (a, b, math.round(r.getAs[Double]("est_jaccard") * 12))
+      }
+      .filter { case (a, b, _) => heldout(a) != heldout(b) }
+      .map { case (a, b, m) => if (heldout(a)) (a, b, m) else (b, a, m) }
+      .toSet
+    val got = Dedup.splitLeakage(corpus).collect()
+      .map(r => (r.getAs[Long]("heldout_id"), r.getAs[Long]("train_id"),
+        r.getAs[Long]("matching"))).toSet
+    assert(got.nonEmpty, "fixture must contain planted cross-split leaks")
+    assert(got == expected, s"got ${got.size}, expected ${expected.size}")
+    got.foreach { case (h, t, m) =>
+      assert(heldout(h) && !heldout(t) && m >= Dedup.LeakMatchMin)
+    }
+  }
 }
