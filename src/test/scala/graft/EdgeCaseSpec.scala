@@ -25,6 +25,13 @@ class EdgeCaseSpec extends SparkSpec {
     assert(Pipeline.trainingOrder(empty).count() == 0)
     assert(TextStats.bpeMerges(empty).count() == 0)
     assert(TextStats.rareBigramScore(empty).count() == 0)
+    assert(Dedup.splitLeakage(empty).count() == 0)
+    import org.apache.spark.sql.functions.lit
+    assert(graft.ops.Profiling.columnProfile(
+      df(Seq.empty).withColumnRenamed("doc_id", "o_custkey")
+        .withColumnRenamed("text", "o_orderstatus")
+        .withColumn("o_orderpriority", lit(null).cast("string")))
+      .collect().forall(_.getAs[Long]("n_nulls") == 0L))
   }
 
   test("boilerplate corpus: the bucket caps stop quadratic pair fan-out") {

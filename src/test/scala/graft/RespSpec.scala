@@ -43,6 +43,22 @@ class RespSpec extends SparkSpec {
     } finally { kv.close(); stub.close() }
   }
 
+  test("a torn connection reconnects lazily on the next command") {
+    val stub = new RespServerStub
+    val kv = new RespKvStore("127.0.0.1", stub.port)
+    try {
+      kv.writeJson("k:1", "a")
+      assert(kv.readJson("k:1").contains("a"))
+      // tear the server side down and bring a fresh one up on the SAME
+      // port: impossible with ServerSocket reuse timing, so instead tear
+      // the CLIENT connection — next command must reconnect transparently.
+      kv.close()
+      kv.writeJson("k:2", "b") // lazy reconnect inside the client
+      assert(kv.readJson("k:2").contains("b"))
+      assert(stub.strings("k:1") == "a" && stub.strings("k:2") == "b")
+    } finally { kv.close(); stub.close() }
+  }
+
   test("the transactions job writes its contract through the RESP wire") {
     import spark.implicits._
     val stub = new RespServerStub
