@@ -1183,6 +1183,30 @@ object Gavro {
       throw new java.io.IOException(s"gavro: cannot land commit $dst")
   }
 
+  /** Garbage-collect the landing zone: delete data files no commit
+    * record references (a crashed job's published-but-never-committed
+    * leftovers) plus stale writer temp files. Readers only ever see
+    * committed files, so vacuum never changes a query result — it
+    * reclaims the space the snapshot-isolation design makes invisible.
+    * Returns the deleted names. Requires a commit log: on a listing-truth
+    * directory every file is live. */
+  def vacuum(path: String): Seq[String] = {
+    val d = new java.io.File(path)
+    val commits = new java.io.File(d, CommitsDir)
+    require(commits.isDirectory,
+      s"gavro: vacuum requires a $CommitsDir log at $path")
+    val committed = Option(commits.listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.endsWith(".commit"))
+      .flatMap(f => java.nio.file.Files.readAllLines(f.toPath)
+        .toArray(Array.empty[String]))
+      .toSet
+    val dead = Option(d.listFiles()).getOrElse(Array.empty)
+      .filter(f => (f.getName.endsWith(".gavro") && !committed(f.getName)) ||
+        f.getName.endsWith(".gavro.tmp"))
+    dead.foreach(_.delete())
+    dead.map(_.getName).sorted.toSeq
+  }
+
   private[sources] def nextCommitIndex(path: String): Int = {
     val dir = new java.io.File(path, CommitsDir)
     Option(dir.listFiles()).getOrElse(Array.empty)

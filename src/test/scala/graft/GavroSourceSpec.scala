@@ -684,6 +684,32 @@ class GavroSourceSpec extends SparkSpec {
       .option("schema", "request_log").load(legacy).count() > total)
   }
 
+  test("vacuum deletes only uncommitted orphans and temp leftovers") {
+    val out = tmpDir("vacuum")
+    val events = Tables.events(spark, dir)
+    Gavro.write(events.repartition(2)
+      .select(AvroCodec.requestLogRec.as("rec"))
+      .select(expr("to_avro_graft(rec, 'request_log')").as("bin")), out)
+    val live = spark.read.format("gavro")
+      .option("schema", "request_log").load(out).count()
+    // plant a crashed job's leftovers: an uncommitted data file + a temp
+    val committed = new java.io.File(out).listFiles()
+      .filter(_.getName.endsWith(".gavro")).minBy(_.getName)
+    java.nio.file.Files.copy(committed.toPath,
+      new java.io.File(out, "part-99999.gavro").toPath)
+    java.nio.file.Files.copy(committed.toPath,
+      new java.io.File(out, ".write-00007-1.gavro.tmp").toPath)
+    val removed = Gavro.vacuum(out)
+    assert(removed.toSet ==
+      Set("part-99999.gavro", ".write-00007-1.gavro.tmp"), removed)
+    // committed data untouched, results unchanged
+    assert(new java.io.File(out, committed.getName).exists())
+    assert(spark.read.format("gavro")
+      .option("schema", "request_log").load(out).count() == live)
+    // second vacuum is a no-op
+    assert(Gavro.vacuum(out).isEmpty)
+  }
+
   test("asOfCommit time-travels the scan to an earlier snapshot") {
     val out = tmpDir("timetravel")
     val events = Tables.events(spark, dir)

@@ -103,4 +103,71 @@ class IngestPipelineSpec extends SparkSpec {
       }
     }
   }
+
+  test("all three pipeline states survive a checkpointed restart") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-ingest-ckpt").toString
+    // the memory sink cannot recover from a checkpoint (and MemoryStream
+    // offsets do not survive a restart): file source + foreachBatch, the
+    // CheckpointSpec vehicle
+    val inDir = java.nio.file.Files.createTempDirectory("graft-ingest-in").toString
+    def writeBatch(rows: Seq[Doc]): Unit =
+      rows.toDF().coalesce(1).write.mode("append").parquet(inDir)
+    val sunk = new java.util.concurrent.ConcurrentLinkedQueue[Packed]()
+    def start() =
+      Ingest.pipeline(
+          spark.readStream
+            .schema("doc_id LONG, source STRING, text STRING")
+            .parquet(inDir).as[Doc],
+          k = 3, shardTokens = 20)
+        .writeStream
+        .foreachBatch { (df: org.apache.spark.sql.Dataset[Packed], _: Long) =>
+          df.collect().foreach(sunk.add)
+        }
+        .option("checkpointLocation", ckpt)
+        .outputMode(OutputMode.Append()).start()
+    try {
+      // run 1: seed every state — admission counts (2 of 3), a remembered
+      // signature (textA), a near-full shard (19 of 20 tokens)
+      writeBatch(Seq(
+        Doc(1, "s", textA),           // 14 tokens -> shard 0 @ 0
+        Doc(2, "s", words(5, "a"))))  // 5 tokens -> 14+5 <= 20 -> shard 0 @ 14
+      val q1 = start()
+      q1.processAllAvailable(); q1.stop()
+      import scala.jdk.CollectionConverters._
+      assert(sunk.asScala.map(_.doc_id).toSeq.sorted == Seq(1L, 2L))
+      sunk.clear()
+
+      // run 2, same checkpoint: shard fill, admission count, and
+      // signature memory must all resume (docs 3 and 4 land in separate
+      // micro-batches so their within-key order is deterministic)
+      writeBatch(Seq(
+        Doc(3, "s", words(3, "b")),   // 3rd admit; 19+3 > 20 -> SHARD 1 iff
+                                      // the fill state survived (fresh state
+                                      // would pack it at shard 0 offset 0)
+        Doc(6, "t", textA)))          // fresh source, dup of REMEMBERED doc 1
+                                      // -> suppressed iff signatures survived
+      val q2 = start()
+      q2.processAllAvailable()
+      writeBatch(Seq(
+        Doc(4, "s", words(2, "c"))))  // source 's' now at cap 3 -> capped out
+      q2.processAllAvailable(); q2.stop()
+      val r2 = sunk.asScala.toSeq
+      val d3 = r2.find(_.doc_id == 3L)
+      assert(d3.isDefined, s"doc 3 missing: ${r2.mkString(", ")}")
+      assert(d3.get.shard == 1L && d3.get.offset_tokens == 0L,
+        s"shard fill lost across restart: ${d3.get}")
+      assert(!r2.exists(_.doc_id == 4L), "admission count lost across restart")
+      assert(!r2.exists(_.doc_id == 6L), "signature memory lost across restart")
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
 }
