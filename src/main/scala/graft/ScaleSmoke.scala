@@ -25,7 +25,24 @@ object ScaleSmoke {
     if (section == "temporal" || section == "all") temporalSection(spark, replicas)
     if (section == "round7" || section == "all") round7Section(spark, replicas)
     if (section == "copurchase") copurchaseSection(spark, replicas)
+    if (section == "leakage") leakageSection(spark, replicas)
     spark.stop()
+  }
+
+  /** Cross-split leakage audit at replica volume: the replica corpus is
+    * the adversarial case (every doc has 19/49 near-dup siblings, many
+    * across the md5 split), so candidate volume tracks minhash_candidates'
+    * and the leak table is large — the shape check is that the split
+    * filter adds nothing beyond the already-smoked candidate path. */
+  private def leakageSection(spark: SparkSession, replicas: Int): Unit = {
+    val base = graft.sources.Tables.documents(spark, "/root/testdata/sf0.1")
+    val corpus = base.crossJoin(spark.range(replicas).toDF("rep"))
+      .select((col("doc_id") * replicas + col("rep")).as("doc_id"),
+        concat(col("text"), lit(" rep"), col("rep")).as("text"),
+        col("lang"), col("source"), col("n_chars"))
+      .localCheckpoint(true)
+    println(s"corpus: ${corpus.count()} docs (${replicas}x sf0.1)")
+    time(spark, "split_leakage") { graft.ops.Dedup.splitLeakage(corpus) }
   }
 
   /** Focused re-measure hook for the co-purchase shuffle rewrite. */
