@@ -28,6 +28,10 @@ object StreamMain {
       val srv = Api.start(kv, p.toInt)
       System.err.println(s"[graft] API serving on :${srv.getAddress.getPort}")
     }
+    sys.env.get("GRAFT_WS_PORT").foreach { p =>
+      val ws = WsPush.start(kv, p.toInt)
+      System.err.println(s"[graft] WebSocket push on :${ws.port}")
+    }
     val source = () => Jobs.fileEventStream(spark, inputDir)
     // The alerts graph consumes the derived KPI stream (reference:
     // `aggregated.kpis` topic), rendered here as a relay drop-dir.
