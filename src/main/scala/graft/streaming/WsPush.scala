@@ -91,17 +91,30 @@ object WsPush {
         s"Sec-WebSocket-Accept: ${acceptKey(key)}\r\n\r\n").getBytes(UTF_8))
       out.flush()
       // ---- initial snapshot: all nine events (reference
-      // _send_initial_snapshot), then fetch-on-notify broadcasts --------
-      def send(text: String): Unit = out.synchronized {
-        out.write(encodeTextFrame(text)); out.flush()
-      }
-      Api.ChannelToEvent.values.toSeq.sorted.foreach(e => send(eventFrame(kv, e)))
+      // _send_initial_snapshot), then fetch-on-notify broadcasts. Frames
+      // are QUEUED per connection and written by a dedicated writer
+      // thread, so a slow client never back-pressures the publisher (the
+      // driver's foreachBatch thread) — the reference's async-queue
+      // design, and the same decoupling Api's SSE route uses. -----------
+      val queue = new java.util.concurrent.LinkedBlockingQueue[String]()
+      Api.ChannelToEvent.values.toSeq.sorted.foreach(e => queue.put(eventFrame(kv, e)))
       sub = kv.subscribe(Api.ChannelToEvent.keys.toSeq) { (ch, _) =>
         Api.ChannelToEvent.get(ch).foreach { e =>
-          try send(eventFrame(kv, e))
-          catch { case _: Exception => try sock.close() catch { case _: Exception => () } }
+          try queue.put(eventFrame(kv, e)) catch { case _: Exception => () }
         }
       }
+      val writer = new Thread(() => {
+        try {
+          while (!sock.isClosed) {
+            val text = queue.take()
+            out.write(encodeTextFrame(text)); out.flush()
+          }
+        } catch { case _: Exception =>
+          try sock.close() catch { case _: Exception => () }
+        }
+      }, "graft-ws-writer")
+      writer.setDaemon(true)
+      writer.start()
       // ---- read loop: honor client CLOSE (opcode 8); drop the rest ----
       var open = true
       while (open) {
