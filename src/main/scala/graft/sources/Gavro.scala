@@ -304,9 +304,11 @@ class GavroStreamingWrite(path: String, schemaName: String, blockBytes: Long,
         throw new java.io.IOException(s"gavro commit: cannot publish $tmp")
       dst.getName
     }
-    // epoch-deterministic record name: a replayed epoch re-lands the SAME
-    // commit record over itself — idempotent like the file republish
-    Gavro.writeCommit(path, f"e$epochId%010d", published.toSeq)
+    // epoch-idempotent, sequence-monotone record: a replayed epoch
+    // re-lands the SAME commit record over itself (found by its e<epoch>
+    // tag); a fresh epoch takes the next sequence number shared with the
+    // batch writer so time travel has one total order
+    Gavro.writeEpochCommit(path, epochId, published.toSeq)
   }
 
   override def abort(epochId: Long,
@@ -365,7 +367,7 @@ class GavroBatchWrite(path: String, schemaName: String, overwrite: Boolean,
       }
     // visibility point: one commit record for the whole batch (readers
     // with a commit log never see a torn multi-file publish)
-    Gavro.writeCommit(path, f"c${Gavro.nextCommitIndex(path)}%010d",
+    Gavro.writeCommit(path, f"${Gavro.nextCommitSeq(path)}%010d-b",
       published.toSeq)
   }
 
@@ -1129,6 +1131,51 @@ object Gavro {
   /** Commit-manifest directory name inside a gavro table path. */
   val CommitsDir = "_graft_commits"
 
+  /** Auto-checkpoint cadence: after this many commit records accumulate
+    * past the latest checkpoint, the committer folds them into one
+    * checkpoint file so readers list O(1) checkpoints + a bounded tail
+    * instead of O(commits) records — the Delta-log compaction story at
+    * landing-zone scale (a streaming sink landing one record per 10 s
+    * epoch writes ~8.6k records/day; without compaction every reader
+    * lists and reads them all). */
+  val CheckpointInterval = 10
+
+  private def logEntries(commits: java.io.File, suffix: String): Array[java.io.File] =
+    Option(commits.listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.endsWith(suffix)).sortBy(_.getName)
+
+  private def readNames(f: java.io.File): Seq[String] =
+    java.nio.file.Files.readAllLines(f.toPath)
+      .toArray(Array.empty[String]).toSeq.filter(_.nonEmpty)
+
+  /** Resolve the committed file-name set as of commit `cut` (None =
+    * latest): base = newest checkpoint at-or-before the cut, plus the
+    * tail of commit records after it. Commit-record names are a single
+    * zero-padded monotone sequence shared by batch and streaming writers
+    * (`<seq>-b` / `<seq>-e<epoch>`), so lexicographic order IS commit
+    * order — the mixed `c*`/`e*` prefixes that broke cross-writer time
+    * travel are gone. Time travel below the compaction horizon (records
+    * folded into a checkpoint and then vacuumed by [[compactLog]]) is an
+    * explicit error, never a silently-wrong snapshot. */
+  private[sources] def committedNames(path: String,
+      asOfCommit: Option[String]): Set[String] = {
+    val commits = new java.io.File(path, CommitsDir)
+    val cps = logEntries(commits, ".checkpoint")
+    val base = cps.filter(f => asOfCommit.forall(
+      cut => f.getName.stripSuffix(".checkpoint") <= cut)).lastOption
+    val baseName = base.map(_.getName.stripSuffix(".checkpoint"))
+    val tail = logEntries(commits, ".commit")
+      .filter { f =>
+        val n = f.getName.stripSuffix(".commit")
+        baseName.forall(n > _) && asOfCommit.forall(n <= _)
+      }
+    if (asOfCommit.isDefined && base.isEmpty && cps.nonEmpty && tail.isEmpty)
+      throw new IllegalArgumentException(
+        s"gavro: asOfCommit ${asOfCommit.get} predates the compaction " +
+          s"horizon ${cps.head.getName.stripSuffix(".checkpoint")} at $path")
+    (base.toSeq ++ tail).flatMap(readNames).toSet
+  }
+
   /** Snapshot-isolated data-file listing: when a `_graft_commits` log
     * exists, a data file is visible ONLY once some commit record names it
     * — so a reader never observes a torn multi-file publish (the batch
@@ -1152,15 +1199,7 @@ object Gavro {
           s"gavro: asOfCommit requires a $CommitsDir log at $path")
         all
       } else {
-        // Time travel: the snapshot as of a commit record = the union of
-        // records up to and including it (record names are monotone).
-        val committed = Option(commits.listFiles()).getOrElse(Array.empty)
-          .filter(_.getName.endsWith(".commit"))
-          .filter(f => asOfCommit.forall(
-            cut => f.getName.stripSuffix(".commit") <= cut))
-          .flatMap(f => java.nio.file.Files.readAllLines(f.toPath)
-            .toArray(Array.empty[String]))
-          .toSet
+        val committed = committedNames(path, asOfCommit)
         all.filter(f => committed.contains(f.getName))
       }
     visible.sortBy(_.getName)
@@ -1170,17 +1209,98 @@ object Gavro {
     * per commit (monotone for batch, epoch-deterministic for streaming so
     * a replayed epoch republishes the SAME record idempotently). Public:
     * an external archiver that places files by other means uses this as
-    * its visibility point. */
+    * its visibility point.
+    *
+    * Upgrade safety: when this is the FIRST log entry in a directory that
+    * already holds data files (a legacy listing-truth dir being appended
+    * to), those pre-existing files are adopted into the record — the log
+    * becoming the source of truth must not shrink the visible set, and a
+    * later vacuum must not reap them as orphans. */
   def writeCommit(path: String, name: String,
       files: Seq[String]): Unit = {
     val dir = new java.io.File(path, CommitsDir)
     dir.mkdirs()
+    val firstEntry = logEntries(dir, ".commit").isEmpty &&
+      logEntries(dir, ".checkpoint").isEmpty
+    val adopted =
+      if (!firstEntry) Seq.empty
+      else {
+        val fresh = files.toSet
+        Option(new java.io.File(path).listFiles()).getOrElse(Array.empty)
+          .map(_.getName).filter(n => n.endsWith(".gavro") && !fresh(n))
+          .sorted.toSeq
+      }
     val tmp = java.io.File.createTempFile(s".$name", ".tmp", dir)
-    java.nio.file.Files.writeString(tmp.toPath, files.mkString("\n"))
+    java.nio.file.Files.writeString(tmp.toPath,
+      (adopted ++ files).mkString("\n"))
     val dst = new java.io.File(dir, s"$name.commit")
     if (dst.exists()) dst.delete()
     if (!tmp.renameTo(dst))
       throw new java.io.IOException(s"gavro: cannot land commit $dst")
+    maybeCheckpoint(path)
+  }
+
+  /** Streaming epoch commit: epoch-idempotent AND sequence-monotone. A
+    * fresh epoch allocates the next shared sequence number; a REPLAYED
+    * epoch finds its prior record by the `e<epoch>` tag and rewrites it
+    * in place (same name, same deterministic file names), so replay never
+    * forks the ordering that time travel depends on. */
+  def writeEpochCommit(path: String, epochId: Long,
+      files: Seq[String]): Unit = {
+    val tag = f"e$epochId%010d"
+    val dir = new java.io.File(path, CommitsDir)
+    val name = logEntries(dir, ".commit")
+      .map(_.getName.stripSuffix(".commit"))
+      .find(_.endsWith(s"-$tag"))
+      .getOrElse(f"${nextCommitSeq(path)}%010d-$tag")
+    writeCommit(path, name, files)
+  }
+
+  /** Fold every commit record at-or-before the latest one into a single
+    * checkpoint file once `CheckpointInterval` records accumulate past
+    * the previous checkpoint. Readers then resolve snapshots from the
+    * checkpoint + the record tail; superseded records stay on disk for
+    * time travel until [[compactLog]] reclaims them. */
+  private def maybeCheckpoint(path: String): Unit = {
+    val dir = new java.io.File(path, CommitsDir)
+    val lastCp = logEntries(dir, ".checkpoint").lastOption
+      .map(_.getName.stripSuffix(".checkpoint"))
+    val tail = logEntries(dir, ".commit")
+      .map(_.getName.stripSuffix(".commit"))
+      .filter(n => lastCp.forall(n > _))
+    if (tail.length >= CheckpointInterval) checkpoint(path)
+  }
+
+  /** Write a checkpoint summarizing the live set as of the newest commit
+    * record (no-op on an empty log). Returns the checkpoint name. */
+  def checkpoint(path: String): Option[String] = {
+    val dir = new java.io.File(path, CommitsDir)
+    logEntries(dir, ".commit").lastOption.map { last =>
+      val asOf = last.getName.stripSuffix(".commit")
+      val live = committedNames(path, Some(asOf)).toSeq.sorted
+      val tmp = java.io.File.createTempFile(s".$asOf", ".tmp", dir)
+      java.nio.file.Files.writeString(tmp.toPath, live.mkString("\n"))
+      val dst = new java.io.File(dir, s"$asOf.checkpoint")
+      if (dst.exists()) dst.delete()
+      if (!tmp.renameTo(dst))
+        throw new java.io.IOException(s"gavro: cannot land checkpoint $dst")
+      asOf
+    }
+  }
+
+  /** Delete commit records superseded by the latest checkpoint (they are
+    * fully folded into it). After this, time travel to those records
+    * errors explicitly at the compaction horizon. Returns deleted names. */
+  def compactLog(path: String): Seq[String] = {
+    val dir = new java.io.File(path, CommitsDir)
+    val lastCp = logEntries(dir, ".checkpoint").lastOption
+      .map(_.getName.stripSuffix(".checkpoint"))
+      .getOrElse(throw new IllegalArgumentException(
+        s"gavro: compactLog requires a checkpoint at $path (run checkpoint())"))
+    val dead = logEntries(dir, ".commit")
+      .filter(_.getName.stripSuffix(".commit") <= lastCp)
+    dead.foreach(_.delete())
+    dead.map(_.getName).sorted.toSeq
   }
 
   /** Garbage-collect the landing zone: delete data files no commit
@@ -1195,11 +1315,7 @@ object Gavro {
     val commits = new java.io.File(d, CommitsDir)
     require(commits.isDirectory,
       s"gavro: vacuum requires a $CommitsDir log at $path")
-    val committed = Option(commits.listFiles()).getOrElse(Array.empty)
-      .filter(_.getName.endsWith(".commit"))
-      .flatMap(f => java.nio.file.Files.readAllLines(f.toPath)
-        .toArray(Array.empty[String]))
-      .toSet
+    val committed = committedNames(path, None)
     val dead = Option(d.listFiles()).getOrElse(Array.empty)
       .filter(f => (f.getName.endsWith(".gavro") && !committed(f.getName)) ||
         f.getName.endsWith(".gavro.tmp"))
@@ -1207,11 +1323,17 @@ object Gavro {
     dead.map(_.getName).sorted.toSeq
   }
 
-  private[sources] def nextCommitIndex(path: String): Int = {
+  /** Next shared commit sequence number: one zero-padded counter across
+    * batch AND streaming records so lexicographic name order is commit
+    * order (checkpoint names participate too — a checkpoint summarizes
+    * the record it is named after). */
+  private[sources] def nextCommitSeq(path: String): Int = {
     val dir = new java.io.File(path, CommitsDir)
     Option(dir.listFiles()).getOrElse(Array.empty)
-      .map(_.getName).filter(n => n.startsWith("c") && n.endsWith(".commit"))
-      .flatMap(_.stripPrefix("c").stripSuffix(".commit").toIntOption)
+      .map(_.getName.stripSuffix(".commit").stripSuffix(".checkpoint"))
+      .map(_.takeWhile(_.isDigit))
+      .filter(d => d.nonEmpty && d.length == 10)
+      .flatMap(_.toIntOption)
       .foldLeft(-1)(math.max) + 1
   }
 
@@ -1331,7 +1453,7 @@ object Gavro {
     // record naming the archive's files (same contract as the DSv2 sink).
     val written = Option(d.listFiles()).getOrElse(Array.empty)
       .map(_.getName).filter(_.endsWith(".gavro")).sorted
-    writeCommit(dir, f"c${nextCommitIndex(dir)}%010d", written.toSeq)
+    writeCommit(dir, f"${nextCommitSeq(dir)}%010d-b", written.toSeq)
   }
 
   /** Running min/max over the writer's stat columns (nulls skipped). */
@@ -1469,8 +1591,10 @@ object Gavro {
       .option("schema", "request_log").mode("overwrite").save(dir)
     frame.filter(pmod(col("id"), lit(2)) === 1).write.format("gavro")
       .option("schema", "request_log").mode("append").save(dir)
+    val firstCommit = logEntries(new java.io.File(dir, CommitsDir), ".commit")
+      .head.getName.stripSuffix(".commit")
     spark.read.format("gavro").option("schema", "request_log")
-      .option("asOfCommit", "c0000000000").load(dir)
+      .option("asOfCommit", firstCommit).load(dir)
       .select(col("endpoint"), col("status_code"))
       .groupBy(col("endpoint"))
       .agg(count(lit(1)).as("n"),

@@ -56,19 +56,20 @@ object Api {
   def start(kv: KvStore, port: Int = 0): HttpServer = {
     val server = HttpServer.create(new java.net.InetSocketAddress(port), 0)
 
+    // No `return` inside the handler lambda: in Scala 2.13 that compiles to
+    // a NonLocalReturnControl targeting jsonRoute's already-popped frame — a
+    // ControlThrowable (not an Exception) that HttpServer's dispatch won't
+    // catch, killing the pooled thread on every 500. Branch on the Either
+    // instead and fall through to a single response path.
     def jsonRoute(path: String)(body: () => String): Unit =
       server.createContext(path, (ex: HttpExchange) => {
-        val bytes =
-          try body().getBytes(UTF_8)
+        val (status, bytes) =
+          try (200, body().getBytes(UTF_8))
           catch { case e: Exception =>
-            val err = Json.write(Map("error" -> e.getMessage)).getBytes(UTF_8)
-            ex.getResponseHeaders.set("Content-Type", "application/json")
-            ex.sendResponseHeaders(500, err.length)
-            ex.getResponseBody.write(err); ex.close()
-            return
+            (500, Json.write(Map("error" -> e.getMessage)).getBytes(UTF_8))
           }
         ex.getResponseHeaders.set("Content-Type", "application/json")
-        ex.sendResponseHeaders(200, bytes.length)
+        ex.sendResponseHeaders(status, bytes.length)
         ex.getResponseBody.write(bytes)
         ex.close()
       })

@@ -126,15 +126,28 @@ object WsPush {
           if (b1 < 0) open = false
           else {
             val masked = (b1 & 0x80) != 0
-            var len = (b1 & 0x7f).toLong
-            if (len == 126) len = (in.read() << 8) | in.read()
-            else if (len == 127) {
-              len = 0
-              (0 until 8).foreach(_ => len = (len << 8) | in.read())
+            // Every extended-length byte is EOF-checked: folding read()'s -1
+            // into the length (or treating a stalled skip as progress) would
+            // desynchronize the frame parser on a truncated client frame.
+            def readByte(): Int = {
+              val c = in.read()
+              if (c < 0) throw new java.io.EOFException("ws: truncated frame")
+              c
             }
-            val skip = len + (if (masked) 4 else 0)
-            var left = skip
-            while (left > 0) { val r = in.skip(left); left -= math.max(r, 1) }
+            try {
+              var len = (b1 & 0x7f).toLong
+              if (len == 126) len = (readByte() << 8) | readByte()
+              else if (len == 127) {
+                len = 0
+                (0 until 8).foreach(_ => len = (len << 8) | readByte())
+              }
+              var left = len + (if (masked) 4 else 0)
+              while (left > 0) {
+                val r = in.skip(left)
+                if (r > 0) left -= r
+                else if (readByte() >= 0) left -= 1 // skip stalled: read one byte
+              }
+            } catch { case _: java.io.EOFException => open = false }
             if (opcode == 8) open = false // close frame
           }
         }

@@ -766,4 +766,120 @@ class GavroSourceSpec extends SparkSpec {
     val n500 = scanned.filter(col("status_code") === 500).count()
     assert(n500 == events.filter(pmod(col("event_id"), lit(7)) === 0).count())
   }
+
+  test("appending to a legacy (log-less) dir adopts pre-existing files") {
+    // The upgrade path: a directory with data files but NO commit log
+    // gets its first DSv2 append. The first commit record must adopt the
+    // pre-existing files — otherwise they silently vanish from queries
+    // and a later vacuum deletes them as orphans (data loss).
+    val out = tmpDir("adopt")
+    val events = Tables.events(spark, dir)
+    val frame = events.select(AvroCodec.requestLogRec.as("rec")).select(col("rec.*"))
+      .withColumn("created_at",
+        expr("timestamp_micros(unix_millis(created_at) * 1000)"))
+    val half = frame.count() / 2
+    // legacy state: files present, no _graft_commits
+    frame.filter(col("id") < half).write.format("gavro")
+      .option("schema", "request_log").mode("overwrite").save(out)
+    val commitsDir = new java.io.File(out, Gavro.CommitsDir)
+    commitsDir.listFiles().foreach(_.delete()); commitsDir.delete()
+    assert(!commitsDir.exists())
+    // first logged append
+    frame.filter(col("id") >= half).write.format("gavro")
+      .option("schema", "request_log").mode("append").save(out)
+    val read = spark.read.format("gavro")
+      .option("schema", "request_log").load(out)
+    assert(read.count() == frame.count(),
+      s"adoption lost rows: ${read.count()} of ${frame.count()}")
+    // vacuum must not reap the adopted files
+    assert(Gavro.vacuum(out).isEmpty)
+    assert(read.count() == frame.count())
+  }
+
+  test("batch and streaming commits share one monotone order for time travel") {
+    val out = tmpDir("mixedlog")
+    val events = Tables.events(spark, dir)
+    val frame = events.select(AvroCodec.requestLogRec.as("rec")).select(col("rec.*"))
+      .withColumn("created_at",
+        expr("timestamp_micros(unix_millis(created_at) * 1000)"))
+    val n = frame.count()
+    // batch commit 0, then a streaming-style epoch commit, then batch 2
+    frame.filter(col("id") < n / 3).write.format("gavro")
+      .option("schema", "request_log").mode("overwrite").save(out)
+    val epochFile = new java.io.File(out).listFiles()
+      .filter(_.getName.endsWith(".gavro")).minBy(_.getName)
+    val planted = new java.io.File(out, "part-e0000000005-00000.gavro")
+    java.nio.file.Files.copy(epochFile.toPath, planted.toPath)
+    Gavro.writeEpochCommit(out, 5L, Seq(planted.getName))
+    frame.filter(col("id") >= 2 * n / 3).write.format("gavro")
+      .option("schema", "request_log").mode("append").save(out)
+    val names = new java.io.File(out, Gavro.CommitsDir).listFiles()
+      .map(_.getName).filter(_.endsWith(".commit")).sorted
+      .map(_.stripSuffix(".commit"))
+    assert(names.length == 3, names.mkString(","))
+    // lexicographic order IS commit order: seq prefixes 0,1,2
+    assert(names.map(_.takeWhile(_.isDigit).toInt).toSeq == Seq(0, 1, 2))
+    // asOf the EPOCH commit sees batch-0 + the epoch file, not batch-2
+    val asOfEpoch = Gavro.listDataFiles(out, Some(names(1))).map(_.getName)
+    assert(asOfEpoch.contains(planted.getName))
+    assert(asOfEpoch.contains(epochFile.getName))
+    val full = Gavro.listDataFiles(out, None).map(_.getName)
+    assert(asOfEpoch.length < full.length)
+    // epoch REPLAY rewrites the same record in place — no new sequence
+    Gavro.writeEpochCommit(out, 5L, Seq(planted.getName))
+    val after = new java.io.File(out, Gavro.CommitsDir).listFiles()
+      .map(_.getName).filter(_.endsWith(".commit")).sorted
+      .map(_.stripSuffix(".commit"))
+    assert(after.toSeq == names.toSeq, after.mkString(","))
+  }
+
+  test("commit-log checkpoint: O(1)+tail reads, compaction, explicit horizon") {
+    val out = tmpDir("cklog")
+    val events = Tables.events(spark, dir)
+    val frame = events.select(AvroCodec.requestLogRec.as("rec")).select(col("rec.*"))
+      .withColumn("created_at",
+        expr("timestamp_micros(unix_millis(created_at) * 1000)"))
+      .limit(240).cache()
+    val n = frame.count()
+    // 12 appends > CheckpointInterval=10 → auto-checkpoint fires
+    frame.filter(col("id") % 12 === 0).write.format("gavro")
+      .option("schema", "request_log").mode("overwrite").save(out)
+    (1 until 12).foreach(i =>
+      frame.filter(col("id") % 12 === i).write.format("gavro")
+        .option("schema", "request_log").mode("append").save(out))
+    val commitsDir = new java.io.File(out, Gavro.CommitsDir)
+    val cps = commitsDir.listFiles().map(_.getName)
+      .filter(_.endsWith(".checkpoint")).sorted
+    assert(cps.nonEmpty, "auto-checkpoint did not fire after 12 commits")
+    val before = spark.read.format("gavro")
+      .option("schema", "request_log").load(out)
+      .collect().map(_.toString).sorted.toSeq
+    assert(before.length == n)
+    // records below the checkpoint still exist → pre-checkpoint time
+    // travel works before compaction
+    val recs = commitsDir.listFiles().map(_.getName)
+      .filter(_.endsWith(".commit")).sorted.map(_.stripSuffix(".commit"))
+    val early = recs.head
+    val earlyCount = Gavro.listDataFiles(out, Some(early)).length
+    val fullCount = Gavro.listDataFiles(out, None).length
+    assert(earlyCount >= 1 && earlyCount < fullCount)
+    // compact: superseded records deleted, full read unchanged
+    val removed = Gavro.compactLog(out)
+    assert(removed.nonEmpty)
+    val after = spark.read.format("gavro")
+      .option("schema", "request_log").load(out)
+      .collect().map(_.toString).sorted.toSeq
+    assert(after == before, "read-after-compaction mismatch")
+    // vacuum still sees the full committed set through the checkpoint
+    assert(Gavro.vacuum(out).isEmpty)
+    // time travel below the horizon is an explicit error now
+    val err = intercept[IllegalArgumentException] {
+      Gavro.listDataFiles(out, Some(early))
+    }
+    assert(err.getMessage.contains("compaction horizon"), err.getMessage)
+    // time travel at/after the checkpoint still works
+    val cpName = cps.last.stripSuffix(".checkpoint")
+    assert(Gavro.listDataFiles(out, Some(cpName)).nonEmpty)
+    frame.unpersist()
+  }
 }
