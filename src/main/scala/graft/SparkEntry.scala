@@ -155,6 +155,7 @@ object SparkEntry {
     graft.ops.Pipeline.oracleSql ++ graft.ops.Temporal.oracleSql ++
     graft.ops.RegionLookup.oracleSql ++ graft.streaming.StreamJoins.oracleSql ++
     graft.ops.Curation.oracleSql ++ graft.ops.Mixing.oracleSql ++
+    graft.ops.Quantize.oracleSql ++
     graft.functions.Sketches.oracleSql ++ graft.ops.Incremental.oracleSql ++
     graft.functions.Bitmaps.oracleSql ++ graft.sources.AvroCodec.oracleSql ++
     graft.sources.Gavro.oracleSql ++ graft.ops.Graph.oracleSql ++
