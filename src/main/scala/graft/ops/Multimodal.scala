@@ -6,16 +6,16 @@ import org.apache.spark.sql.functions._
 import graft.sources.Tables
 
 /** Multimodal-column plumbing: media treated as opaque `binary` columns with
-  * typed metadata, plus frame-sampling and a clearly-stubbed decode stage.
+  * typed metadata, frame-sampling, and a REAL image-decode stage.
   *
-  * The container has no image/audio codecs, so `decodeStub` derives
-  * deterministic fake features (dimensions/brightness) from the bytes — the
-  * Spark-side contract that matters is real and tested: binary column in
-  * parquet, per-row metadata extraction, strided byte sampling (the
-  * frame-sample pattern), and batched per-partition processing. A real
-  * decoder drops into [[decodeStub]]'s slot as a `mapPartitions` batch
-  * (JNI/FFI) or an Arrow-batched Python worker without touching the
-  * surrounding plan.
+  * [[decodeBatched]] decodes actual PNG payloads through `javax.imageio`
+  * (in every JDK — no new dependency): one codec reader per PARTITION,
+  * iterator-to-iterator, real pixel features (width/height/luma) out. The
+  * PNGs are generated deterministically ([[pngCorpus]]) with closed-form
+  * integer pixel values, so the decoded features hash-check against a SQL
+  * recomputation — the oracle verifies the encode→decode round trip, not
+  * a fake. [[decodeStub]] remains as the pure-byte-function form whose
+  * oracle pins the opaque-binary plumbing independent of any codec.
   */
 object Multimodal {
 
@@ -61,19 +61,59 @@ object Multimodal {
         .as("fake_brightness"))
       .orderBy(col("doc_id"))
 
-  /** Output row of the batched decode stage. */
-  final case class DecodedMedia(doc_id: Long, n_bytes: Long, codec: String,
-      fake_luma: Double)
+  // ------------------------------------------------------------- real decode
 
-  /** STUB batched decode via `mapPartitions`: the pattern a real media
-    * decoder needs — one expensive codec handle per PARTITION (not per
-    * row), then an iterator-to-iterator pass over the binary payloads.
-    * This is the Scala analog of the reference-free `mapInPandas` batch
-    * UDF pattern: the decode body below is a deterministic fake (byte sum),
-    * clearly marked; a JNI/FFI image or audio codec drops into
-    * `FakeCodec.decode` without touching the plan. Because the fake is a
-    * pure byte function, the whole mapPartitions stage is oracle-checked
-    * (the oracle recomputes the byte-mean in SQL).
+  /** Planted PNG geometry/content: pure integer functions of doc_id, so
+    * the oracle recomputes the decoded features in closed form. Dimensions
+    * span 8..16 (non-square to catch width/height swaps); pixel values
+    * cover the full 8-bit gray range. */
+  def pngWidth(id: Long): Int = (8 + id % 9).toInt
+  def pngHeight(id: Long): Int = (8 + (id * 7) % 9).toInt
+  def pngPixel(id: Long, x: Int, y: Int): Int =
+    ((id * 31 + x * 7 + y * 13) % 256).toInt
+
+  /** One real 8-bit grayscale PNG per document, encoded with the JDK's
+    * ImageIO (lossless — decode must return exactly the planted pixels).
+    * Generated distributed, one encoder context per partition. */
+  def pngCorpus(documents: DataFrame): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    documents.select(col("doc_id")).as[Long]
+      .mapPartitions { ids =>
+        javax.imageio.ImageIO.setUseCache(false) // no temp-file spill per image
+        ids.map { id =>
+          val w = pngWidth(id); val h = pngHeight(id)
+          val img = new java.awt.image.BufferedImage(
+            w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+          val raster = img.getRaster
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) { raster.setSample(x, y, 0, pngPixel(id, x, y)); x += 1 }
+            y += 1
+          }
+          val bos = new java.io.ByteArrayOutputStream(w * h + 128)
+          javax.imageio.ImageIO.write(img, "png", bos)
+          (id, bos.toByteArray)
+        }
+      }
+      .toDF("doc_id", "media")
+  }
+
+  /** Output row of the batched decode stage: REAL pixel features. The
+    * mean is emitted in exact milli-units (`sum·1000 div n`), integer on
+    * both engines. */
+  final case class DecodedMedia(doc_id: Long, width: Long, height: Long,
+      luma_sum: Long, mean_luma_milli: Long)
+
+  /** Batched PNG decode via `mapPartitions`: ONE `ImageReader` per
+    * partition (codec handles are expensive; per-row construction is the
+    * anti-pattern), then an iterator-to-iterator pass decoding each binary
+    * payload to real width/height/luma. This is the Scala analog of an
+    * Arrow-batched `mapInPandas` decode worker, with the same batch shape
+    * and no driver involvement. Features are exact integers, so the stage
+    * is oracle-checked against the closed-form pixel definition — the
+    * hash match proves the ImageIO encode→decode round trip, not a stub.
     */
   def decodeBatched(media: DataFrame): DataFrame = {
     val spark = media.sparkSession
@@ -81,24 +121,30 @@ object Multimodal {
     media.select(col("doc_id"), col("media"))
       .as[(Long, Array[Byte])]
       .mapPartitions { rows =>
-        // One codec init per partition — the whole point of the batch shape.
-        val codec = new FakeCodec()
-        rows.map { case (id, bytes) =>
-          DecodedMedia(id, bytes.length.toLong, codec.name, codec.decode(bytes))
+        val reader = javax.imageio.ImageIO
+          .getImageReadersByFormatName("png").next()
+        val out = rows.map { case (id, bytes) =>
+          val iis = javax.imageio.ImageIO.createImageInputStream(
+            new java.io.ByteArrayInputStream(bytes))
+          reader.setInput(iis, true, true)
+          val img = reader.read(0)
+          iis.close()
+          val w = img.getWidth; val h = img.getHeight
+          val raster = img.getRaster
+          var s = 0L
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) { s += raster.getSample(x, y, 0); x += 1 }
+            y += 1
+          }
+          DecodedMedia(id, w.toLong, h.toLong, s, s * 1000L / (w.toLong * h))
         }
+        // dispose the per-partition reader after the last row
+        out ++ { reader.dispose(); Iterator.empty }
       }
       .toDF()
       .orderBy(col("doc_id"))
-  }
-
-  /** STUB stand-in for a native decoder handle (expensive to construct,
-    * reused across a partition). Deterministic: mean byte value as "luma".
-    */
-  private final class FakeCodec {
-    val name = "stub-codec-v0"
-    def decode(bytes: Array[Byte]): Double =
-      if (bytes.isEmpty) 0.0
-      else bytes.foldLeft(0L)((a, b) => a + (b & 0xff)).toDouble / bytes.length
   }
 
   // ------------------------------------------------------ perceptual-hash dedup
@@ -241,7 +287,7 @@ object Multimodal {
     "media_meta" -> ((s, d) => mediaMeta(mediaTable(Tables.documents(s, d)))),
     "media_frame_sample" -> ((s, d) => frameSample(mediaTable(Tables.documents(s, d)))),
     "media_decode_stub" -> ((s, d) => decodeStub(mediaTable(Tables.documents(s, d)))),
-    "media_decode_batched" -> ((s, d) => decodeBatched(mediaTable(Tables.documents(s, d)))),
+    "media_decode_batched" -> ((s, d) => decodeBatched(pngCorpus(Tables.documents(s, d)))),
     "media_phash_dedup" -> ((s, d) => phashPairs(Tables.documents(s, d))),
   )
 
@@ -295,14 +341,20 @@ object Multimodal {
         |  ('0x' || substr(md5(text), 9, 8))::BIGINT % 1080 AS fake_height,
         |  ('0x' || substr(md5(text), 17, 8))::BIGINT % 256 AS fake_brightness
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // The Spark side REALLY decodes PNG pixels (javax.imageio); the oracle
+    // recomputes the planted closed-form pixel function. A hash match
+    // therefore proves the encode→decode round trip end to end.
     "media_decode_batched" ->
       """SELECT doc_id,
-        |  octet_length(encode(text))::BIGINT AS n_bytes,
-        |  'stub-codec-v0' AS codec,
-        |  CASE WHEN length(text) = 0 THEN 0.0
-        |       ELSE list_sum(list_transform(generate_series(1, length(text)),
-        |              i -> ascii(substr(text, i, 1))))::DOUBLE / length(text)
-        |  END AS fake_luma
+        |  (8 + doc_id % 9)::BIGINT AS width,
+        |  (8 + (doc_id * 7) % 9)::BIGINT AS height,
+        |  list_sum(flatten(list_transform(range(0, 8 + (doc_id * 7) % 9), y ->
+        |    list_transform(range(0, 8 + doc_id % 9), x ->
+        |      (doc_id * 31 + x * 7 + y * 13) % 256))))::BIGINT AS luma_sum,
+        |  ((list_sum(flatten(list_transform(range(0, 8 + (doc_id * 7) % 9), y ->
+        |    list_transform(range(0, 8 + doc_id % 9), x ->
+        |      (doc_id * 31 + x * 7 + y * 13) % 256)))) * 1000)
+        |    // ((8 + doc_id % 9) * (8 + (doc_id * 7) % 9)))::BIGINT AS mean_luma_milli
         |FROM documents ORDER BY doc_id""".stripMargin,
     "media_phash_dedup" ->
       s"""WITH pcorpus AS (

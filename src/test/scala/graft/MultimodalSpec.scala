@@ -68,6 +68,34 @@ class MultimodalSpec extends SparkSpec {
     n.keySet.foreach(k => assert(n(k) == m(k), s"doc $k: ${n(k)} vs ${m(k)}"))
   }
 
+  test("decodeBatched decodes real PNG bytes back to the planted pixels") {
+    import spark.implicits._
+    val docs = Seq(doc(0, "a"), doc(7, "b"), doc(123, "c"), doc(10000, "d"))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val corpus = Multimodal.pngCorpus(docs).cache()
+    // the payloads are REAL PNGs: RFC 2083 magic, and ImageIO-readable
+    val blobs = corpus.collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Array[Byte]]("media")).toMap
+    val magic = Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+    blobs.values.foreach(b => assert(b.take(8).sameElements(magic)))
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(blobs(123L)))
+    assert(img.getWidth == Multimodal.pngWidth(123L) &&
+      img.getHeight == Multimodal.pngHeight(123L))
+    // decoded features equal the closed-form definition, per doc
+    val got = Multimodal.decodeBatched(corpus).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("width"), r.getAs[Long]("height"),
+          r.getAs[Long]("luma_sum"), r.getAs[Long]("mean_luma_milli"))).toMap
+    blobs.keys.foreach { id =>
+      val w = Multimodal.pngWidth(id); val h = Multimodal.pngHeight(id)
+      val s = (for (y <- 0 until h; x <- 0 until w)
+        yield Multimodal.pngPixel(id, x, y).toLong).sum
+      assert(got(id) == (w.toLong, h.toLong, s, s * 1000L / (w * h)),
+        s"doc $id: ${got(id)}")
+    }
+    corpus.unpersist()
+  }
+
   test("short media are excluded by the metadata gate") {
     import spark.implicits._
     val docs = Seq(doc(1, "tiny"), doc(2, "n" * 300))
