@@ -219,9 +219,14 @@ object Graph {
     // both the pair generation AND the part degrees (deg = explode of the
     // already-deduped sets, map-side combinable — identical values to a
     // distinct(okey, p) count, without re-exchanging the fact table).
+    // No persist: the two consumers share the aggregation EXCHANGE
+    // (ReusedExchange — identical canonicalized subtrees), so the fact
+    // table is scanned and shuffled once while the cheap post-shuffle
+    // collect_set re-runs per consumer. At sf0.1 this beats paying the
+    // cache-build serialization of every order's part array, and at 50×
+    // it keeps the one-shuffle property without pinning executor memory.
     val perOrder = items.groupBy(col("okey"))
       .agg(array_sort(collect_set(col("p"))).as("ps"))
-      .persist()
     val pairs = perOrder
       .filter(size(col("ps")) >= 2)
       .select(explode(expr(
