@@ -25,6 +25,7 @@ object ScaleSmoke {
     if (section == "temporal" || section == "all") temporalSection(spark, replicas)
     if (section == "round7" || section == "all") round7Section(spark, replicas)
     if (section == "copurchase") copurchaseSection(spark, replicas)
+    if (section == "containment") containmentSection(spark, replicas)
     if (section == "leakage") leakageSection(spark, replicas)
     spark.stop()
   }
@@ -43,6 +44,21 @@ object ScaleSmoke {
       .localCheckpoint(true)
     println(s"corpus: ${corpus.count()} docs (${replicas}x sf0.1)")
     time(spark, "split_leakage") { graft.ops.Dedup.splitLeakage(corpus) }
+  }
+
+  /** Focused containment check: the replica corpus is the adversarial
+    * duplication case (every doc quotes its 19/49 siblings), so the
+    * unbounded pair count grows quadratically in replicas while the
+    * top-N form's replay input is capped at N rows per doc. */
+  private def containmentSection(spark: SparkSession, replicas: Int): Unit = {
+    val base = graft.sources.Tables.documents(spark, "/root/testdata/sf0.1")
+    val corpus = base.crossJoin(spark.range(replicas).toDF("rep"))
+      .select((col("doc_id") * replicas + col("rep")).as("doc_id"),
+        concat(col("text"), lit(" rep"), col("rep")).as("text"),
+        col("lang"), col("source"), col("n_chars"))
+      .localCheckpoint(true)
+    println(s"corpus: ${corpus.count()} docs (${replicas}x sf0.1)")
+    time(spark, "containment_topn") { graft.ops.Corpus.containmentTopN(corpus) }
   }
 
   /** Focused re-measure hook for the co-purchase shuffle rewrite. */
@@ -89,6 +105,7 @@ object ScaleSmoke {
     t("vocab_growth") { graft.ops.Corpus.vocabGrowth(corpus) }
     t("khop_reach") { graft.ops.Graph.khopReach(corpus) }
     t("containment_pairs") { graft.ops.Corpus.containmentPairs(corpus) }
+    t("containment_topn") { graft.ops.Corpus.containmentTopN(corpus) }
     // Round-7 landings that missed the last smoke refresh: the co-purchase
     // wedge neighborhood (largest new shuffle — the Σ order_size² bound
     // needs a measured point), session path trigrams (per-user windows),

@@ -155,6 +155,56 @@ object Corpus {
       .orderBy(col("a"), col("b"))
   }
 
+  /** Candidate cap for [[containmentTopN]]: per contained doc, only the
+    * [[ContainTopN]] partners with the most shared RARE shingles go
+    * through the exact-intersection replay. */
+  val ContainTopN = 3
+
+  /** Bounded containment detection — [[containmentPairs]] with a
+    * per-contained-doc candidate cap for adversarial corpora. The true
+    * pair count grows quadratically in the duplication factor (the 50×
+    * smoke's 242 s is semantics-bound, not a plan defect), so a 100 TB
+    * run needs a knob: for each doc `a`, only the top-[[ContainTopN]]
+    * candidate partners by shared-rare-shingle evidence (ties → smaller
+    * b) proceed to the exact intersection replay. The cap sits BEFORE
+    * the replay join — the expensive stage's input is ≤ N rows per doc,
+    * so output AND wall time flatten — and it runs through the bounded-
+    * heap [[graft.plans.TopK]] physical operator, not a sort. The
+    * candidate scoring itself stays bounded by construction (per-shingle
+    * fan-out ≤ [[ContainDfCap]]²). Deterministic, so oracle-checked;
+    * the unbounded form remains the reference query.
+    */
+  def containmentTopN(documents: DataFrame,
+      topN: Int = ContainTopN): DataFrame = {
+    val sh = shingleSet(documents).select(col("doc_id"), col("sh"))
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+      .filter(col("n_sh") >= ContainMinShingles)
+    val rare = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 2 && col("df") <= ContainDfCap)
+    val rareSh = sh.join(rare.select("sh"), Seq("sh"))
+    val candScored = rareSh.as("x")
+      .join(rareSh.as("y"), col("x.sh") === col("y.sh") &&
+        col("x.doc_id") =!= col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      .agg(count(lit(1)).as("rare_shared"))
+    val capped = graft.plans.TopK.topKPerGroup(
+      candScored, Seq("a"), Seq("rare_shared" -> false, "b" -> true), topN)
+    val shared = capped
+      .join(sh.as("sa"), col("a") === col("sa.doc_id"))
+      .join(sh.as("sb"), col("b") === col("sb.doc_id") &&
+        col("sa.sh") === col("sb.sh"))
+      .groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).as("shared"))
+    shared
+      .join(sizes.withColumnRenamed("doc_id", "a")
+        .withColumnRenamed("n_sh", "n_a"), Seq("a"))
+      .filter(col("shared") * 1000 >= col("n_a") * ContainThresholdPermille)
+      .withColumn("containment_permille", expr("(1000 * shared) div n_a"))
+      .select(col("a"), col("b"), col("n_a"), col("shared"),
+        col("containment_permille"))
+      .orderBy(col("a"), col("b"))
+  }
+
   /** Per-state Markov transition entropy over the event stream, in
     * integer milli-bits: for each event type, how predictable the NEXT
     * event is — the sessionization-adjacent metric that separates
@@ -400,6 +450,7 @@ object Corpus {
     "ngram_diversity" -> ((s, d) => ngramDiversity(Tables.documents(s, d))),
     "source_overlap" -> ((s, d) => sourceOverlap(Tables.documents(s, d))),
     "containment_pairs" -> ((s, d) => containmentPairs(Tables.documents(s, d))),
+    "containment_topn" -> ((s, d) => containmentTopN(Tables.documents(s, d))),
     "transition_entropy" -> ((s, d) => transitionEntropy(Tables.events(s, d))),
     "quality_calibration" -> ((s, d) => qualityCalibration(Tables.documents(s, d))))
 
@@ -563,6 +614,47 @@ object Corpus {
          |), shared AS (
          |  SELECT c.a, c.b, count(*)::BIGINT AS shared
          |  FROM cands c
+         |  JOIN sh sa ON sa.doc_id = c.a
+         |  JOIN sh sb ON sb.doc_id = c.b AND sb.sh = sa.sh
+         |  GROUP BY c.a, c.b
+         |)
+         |SELECT a, b, n_a, shared,
+         |  (1000 * shared // n_a)::BIGINT AS containment_permille
+         |FROM (SELECT s.a, s.b, z.n_sh AS n_a, s.shared
+         |      FROM shared s JOIN sizes z ON z.doc_id = s.a)
+         |WHERE shared * 1000 >= n_a * $ContainThresholdPermille
+         |ORDER BY a, b""".stripMargin,
+    "containment_topn" ->
+      s"""WITH sh AS (
+         |  SELECT DISTINCT doc_id, md5(w[i] || chr(31) || w[i + 1] ||
+         |    chr(31) || w[i + 2] || chr(31) || w[i + 3] || chr(31) ||
+         |    w[i + 4]) AS sh
+         |  FROM (SELECT doc_id,
+         |      list_filter(string_split(lower(text), ' '),
+         |        x -> len(x) > 0) AS w
+         |    FROM documents),
+         |    unnest(generate_series(1, len(w) - ${ShingleWords - 1}))
+         |      AS t(i)
+         |  WHERE len(w) >= $ShingleWords
+         |), sizes AS (
+         |  SELECT doc_id, count(*)::BIGINT AS n_sh FROM sh GROUP BY doc_id
+         |  HAVING count(*) >= $ContainMinShingles
+         |), rare AS (
+         |  SELECT sh FROM sh GROUP BY sh
+         |  HAVING count(*) BETWEEN 2 AND $ContainDfCap
+         |), rs AS (SELECT sh.doc_id, sh.sh FROM sh JOIN rare USING (sh)),
+         |cand AS (
+         |  SELECT x.doc_id AS a, y.doc_id AS b, count(*)::BIGINT AS rare_shared
+         |  FROM rs x JOIN rs y ON x.sh = y.sh AND x.doc_id <> y.doc_id
+         |  GROUP BY x.doc_id, y.doc_id
+         |), capped AS (
+         |  SELECT a, b FROM (
+         |    SELECT a, b, row_number() OVER (PARTITION BY a
+         |      ORDER BY rare_shared DESC, b ASC) AS crnk
+         |    FROM cand) WHERE crnk <= $ContainTopN
+         |), shared AS (
+         |  SELECT c.a, c.b, count(*)::BIGINT AS shared
+         |  FROM capped c
          |  JOIN sh sa ON sa.doc_id = c.a
          |  JOIN sh sb ON sb.doc_id = c.b AND sb.sh = sa.sh
          |  GROUP BY c.a, c.b

@@ -29,6 +29,33 @@ class CorpusSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 2L && p._2 == 1L))
   }
 
+  test("containment top-N caps partners per contained doc, best evidence first") {
+    // Doc 1 is quoted verbatim inside FIVE hosts; the unbounded form
+    // reports all five, the capped form exactly ContainTopN of them.
+    // Hosts share all of doc 1's shingles (equal evidence), so the
+    // deterministic tiebreak keeps the smallest host ids.
+    val quoted = (1 to 20).map(i => s"q$i").mkString(" ")
+    val hosts = (1 to 5).map { h =>
+      (10L + h, s"host$h intro $quoted tail$h " +
+        (1 to 10).map(i => s"t${h}_$i").mkString(" "), "a")
+    }
+    val d = docs((Seq((1L, quoted, "a")) ++ hosts): _*)
+    val all = Corpus.containmentPairs(d)
+      .filter(col("a") === 1L).collect().map(_.getAs[Long]("b")).sorted
+    assert(all.length == 5, all.mkString(","))
+    val capped = Corpus.containmentTopN(d)
+      .filter(col("a") === 1L).collect().map(_.getAs[Long]("b")).sorted
+    assert(capped.length == Corpus.ContainTopN, capped.mkString(","))
+    assert(capped.toSeq == all.take(Corpus.ContainTopN).toSeq)
+    // and the capped rows agree with the unbounded rows where they overlap
+    val fullRows = Corpus.containmentPairs(d).collect()
+      .map(r => (r.getAs[Long]("a"), r.getAs[Long]("b")) -> r.toString).toMap
+    Corpus.containmentTopN(d).collect().foreach { r =>
+      val k = (r.getAs[Long]("a"), r.getAs[Long]("b"))
+      assert(fullRows(k) == r.toString, s"row mismatch at $k")
+    }
+  }
+
   test("a scripted flow has zero next-event entropy; a fair split has one bit") {
     val rows = (0 until 8).flatMap { i =>
       // 'start' always goes to 'a'; 'b' alternates between 'c' and 'd'.
