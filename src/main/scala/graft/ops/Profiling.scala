@@ -108,8 +108,44 @@ object Profiling {
     * O(columns). Equivalent to `ANALYZE TABLE ... COMPUTE STATISTICS FOR
     * COLUMNS`, but the numbers come from the oracle-verified profiler.
     */
+  /** Equi-height histogram for a numeric column — the distribution-aware
+    * statistic that numRows/NDV/min-max cannot encode (a uniform range
+    * estimate over skewed data is off by orders of magnitude; the CBO's
+    * FilterEstimation walks these bins instead when present). Built the
+    * way `ANALYZE TABLE ... FOR COLUMNS` does with
+    * `spark.sql.statistics.histogram.enabled`: bin ENDPOINTS from one
+    * percentile pass (so each bin holds ~n/numBins rows — equi-height),
+    * then per-bin NDV from one pass over the column's VALUE GRAIN (each
+    * distinct value binary-searches the 65-entry edge array — work is
+    * O(ndv·log bins), never O(n·bins)). Only the numBins-row summary
+    * reaches the driver.
+    */
+  def equiHeightHistogram(df: DataFrame, c: String, numBins: Int = 64)
+      : Option[org.apache.spark.sql.catalyst.plans.logical.Histogram] = {
+    import org.apache.spark.sql.catalyst.plans.logical.{Histogram, HistogramBin}
+    val vals = df.filter(col(c).isNotNull).select(col(c).cast("double").as("v"))
+    val probs = (1 to numBins).map(_.toDouble / numBins)
+    val head = vals.agg(count(lit(1)).as("n"), min(col("v")).as("lo"),
+      expr(s"percentile_approx(v, array(${probs.mkString(",")}), 100000)")
+        .as("edges")).head()
+    val n = head.getAs[Long]("n")
+    if (n == 0L) return None
+    val edges = head.getAs[Double]("lo") +: head.getSeq[Double](2)
+    val edgeArr = s"array(${edges.mkString("D,")}D)"
+    // value-grain bin assignment: bin i covers (edges(i-1), edges(i)]
+    val ndvPerBin = vals.groupBy(col("v")).agg(count(lit(1)).as("cnt"))
+      .select(expr(s"least($numBins, greatest(1, " +
+        s"size(filter($edgeArr, e -> e < v))))").as("bin"))
+      .groupBy(col("bin")).agg(count(lit(1)).as("ndv"))
+      .collect().map(r => r.getAs[Int]("bin") -> r.getAs[Long]("ndv")).toMap
+    val bins = (1 to numBins).map(i =>
+      HistogramBin(edges(i - 1), edges(i), ndvPerBin.getOrElse(i, 0L))).toArray
+    Some(Histogram(n.toDouble / numBins, bins))
+  }
+
   def analyzeTable(spark: SparkSession, table: String,
-      cols: Seq[String] = ProfileColumns): Unit = {
+      cols: Seq[String] = ProfileColumns,
+      withHistograms: Boolean = true): Unit = {
     import org.apache.spark.sql.catalyst.TableIdentifier
     import org.apache.spark.sql.catalyst.catalog.{CatalogColumnStat, CatalogStatistics}
     val df = spark.table(table)
@@ -138,7 +174,9 @@ object Profiling {
         max = mm.get(c).map(_._2),
         nullCount = Some(BigInt(r.getAs[Long]("n_nulls"))),
         avgLen = Some(if (isNum) 8L else strLen),
-        maxLen = Some(if (isNum) 8L else strLen))
+        maxLen = Some(if (isNum) 8L else strLen),
+        histogram =
+          if (isNum && withHistograms) equiHeightHistogram(df, c) else None)
     }.toMap
     // totalSize stays the relation's current (file-listing) size; the CBO
     // needs it alongside numRows to cost scans.

@@ -117,6 +117,80 @@ class ProfilingSpec extends SparkSpec {
     }
   }
 
+  test("equi-height histogram flips a skewed range filter that min/max cannot explain") {
+    // 100k rows, 99% of custkeys at the TOP of the domain (1_000_000),
+    // 1% spread over [1, 1000]. The predicate o_custkey <= 500_000 is
+    // ~1% true, but from (min, max) alone the CBO's uniform assumption
+    // estimates ~50% — numRows/NDV/min-max CANNOT see the skew, so the
+    // dim side stays above the broadcast threshold. The injected
+    // equi-height histogram concentrates nearly all bins at 1e6, the
+    // range overlaps only a sliver of the first bin, and the same join
+    // flips to broadcast.
+    val dir = java.nio.file.Files.createTempDirectory("cbo_skew").toFile
+    dir.deleteOnExit()
+    spark.range(0, 100000).select(
+        col("id").as("o_orderkey"),
+        when(col("id") % 100 === 0, pmod(col("id"), lit(1000)) + 1)
+          .otherwise(lit(1000000L)).as("o_custkey"))
+      .write.mode("overwrite").parquet(dir.getAbsolutePath)
+    spark.sql("DROP TABLE IF EXISTS cbo_skew")
+    spark.sql(s"CREATE TABLE cbo_skew (o_orderkey BIGINT, o_custkey BIGINT) " +
+      s"USING parquet LOCATION '${dir.getAbsolutePath}'")
+    val confs = Seq(
+      "spark.sql.cbo.enabled" -> "true",
+      "spark.sql.cbo.planStats.enabled" -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> "100000",
+      "spark.sql.adaptive.enabled" -> "false")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, SortMergeJoinExec}
+      def joinPlan = {
+        val li = graft.sources.Tables.lineitem(spark, "/root/testdata/sf0.001")
+        val dim = spark.table("cbo_skew")
+          .filter(col("o_custkey") <= 500000)
+          .select(col("o_orderkey"), col("o_custkey"))
+        li.join(dim, col("l_orderkey") === col("o_orderkey"))
+          .queryExecution.executedPlan
+      }
+      // numRows + NDV + min/max, NO histogram: uniform range selectivity
+      // keeps the estimate ~50% of 100k rows — shuffle join.
+      graft.ops.Profiling.analyzeTable(spark, "cbo_skew",
+        Seq("o_custkey"), withHistograms = false)
+      val without = joinPlan
+      assert(without.collect { case b: BroadcastHashJoinExec => b }.isEmpty,
+        s"expected no broadcast without histogram:\n$without")
+      assert(without.collect { case s: SortMergeJoinExec => s }.nonEmpty)
+      // Same stats + the equi-height histogram: the bins expose the skew.
+      graft.ops.Profiling.analyzeTable(spark, "cbo_skew",
+        Seq("o_custkey"), withHistograms = true)
+      val withH = joinPlan
+      assert(withH.collect { case b: BroadcastHashJoinExec => b }.nonEmpty,
+        s"expected broadcast with histogram:\n$withH")
+    } finally {
+      saved.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None) => spark.conf.unset(k)
+      }
+      spark.sql("DROP TABLE IF EXISTS cbo_skew")
+    }
+  }
+
+  test("histogram bins are equi-height with exact per-bin value counts") {
+    import spark.implicits._
+    // 64 distinct values, 16 rows each → with 64 bins every bin holds
+    // exactly one value; height = n/64 = 16.
+    val df = spark.range(0, 1024).select((col("id") % 64).as("k"))
+    val h = graft.ops.Profiling.equiHeightHistogram(df, "k").get
+    assert(h.height == 16.0)
+    assert(h.bins.length == 64)
+    assert(h.bins.map(_.ndv).sum == 64L)
+    assert(h.bins.head.lo == 0.0 && h.bins.last.hi == 63.0)
+    // empty input → no histogram, not a crash
+    val empty = Seq.empty[Long].toDF("k")
+    assert(graft.ops.Profiling.equiHeightHistogram(empty, "k").isEmpty)
+  }
+
   test("market share attributes exact cent shares to the supplier nation") {
     import spark.implicits._
     val region = Seq((0L, "AMERICA"), (1L, "ASIA")).toDF("r_regionkey", "r_name")
