@@ -1,4 +1,4 @@
-package graft
+package graft.streaming
 
 import java.io.{BufferedInputStream, BufferedOutputStream, EOFException}
 import java.net.{ServerSocket, Socket}
@@ -6,7 +6,7 @@ import java.nio.charset.StandardCharsets.UTF_8
 
 import scala.collection.concurrent.TrieMap
 
-/** In-JVM RESP2 server stub for [[graft.streaming.RespKvStore]] tests —
+/** In-JVM RESP2 server stub for [[RespKvStore]] tests (and the StreamBench freshness mode) —
   * the same role RegistrySpec's local HTTP server plays for the schema
   * registry: a protocol-accurate counterpart (real sockets, real RESP
   * framing) implementing exactly the command surface the engine's sink

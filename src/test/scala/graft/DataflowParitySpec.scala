@@ -123,7 +123,7 @@ class DataflowParitySpec extends SparkSpec {
   test("full stack over the wire: jobs -> RESP -> HTTP API serves every snapshot") {
     import java.net.URI
     import java.net.http.{HttpClient, HttpRequest, HttpResponse}
-    val stub = new RespServerStub
+    val stub = new graft.streaming.RespServerStub
     val kv = new graft.streaming.RespKvStore("127.0.0.1", stub.port)
     val server = graft.streaming.Api.start(kv)
     val port = server.getAddress.getPort

@@ -15,7 +15,7 @@ import graft.streaming.{Jobs, Keys, KvSink, RespKvStore}
 class RespSpec extends SparkSpec {
 
   test("RESP client round-trips hash/string/list/pubsub over a real socket") {
-    val stub = new RespServerStub
+    val stub = new graft.streaming.RespServerStub
     val kv = new RespKvStore("127.0.0.1", stub.port)
     try {
       assert(kv.ping())
@@ -44,7 +44,7 @@ class RespSpec extends SparkSpec {
   }
 
   test("a torn connection reconnects lazily on the next command") {
-    val stub = new RespServerStub
+    val stub = new graft.streaming.RespServerStub
     val kv = new RespKvStore("127.0.0.1", stub.port)
     try {
       kv.writeJson("k:1", "a")
@@ -61,7 +61,7 @@ class RespSpec extends SparkSpec {
 
   test("the transactions job writes its contract through the RESP wire") {
     import spark.implicits._
-    val stub = new RespServerStub
+    val stub = new graft.streaming.RespServerStub
     val kv = new RespKvStore("127.0.0.1", stub.port)
     val in = Files.createTempDirectory("graft-resp-in").toString
     val ckpt = Files.createTempDirectory("graft-resp-ckpt").toString
