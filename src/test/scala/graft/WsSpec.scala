@@ -72,4 +72,38 @@ class WsSpec extends SparkSpec {
         pushed)
     } finally { sock.close(); server.close() }
   }
+
+  test("a truncated client frame closes the connection instead of desyncing") {
+    val kv = new InMemoryKvStore
+    val server = WsPush.start(kv)
+    val sock = new Socket("127.0.0.1", server.port)
+    try {
+      val out = sock.getOutputStream
+      out.write(("GET /ws HTTP/1.1\r\nHost: x\r\nUpgrade: websocket\r\n" +
+        "Connection: Upgrade\r\nSec-WebSocket-Key: dGhlIHNhbXBsZSBub25jZQ==\r\n" +
+        "Sec-WebSocket-Version: 13\r\n\r\n").getBytes(UTF_8))
+      out.flush()
+      val in = new BufferedInputStream(sock.getInputStream)
+      var prev4 = 0
+      var c = in.read()
+      while (c >= 0 && prev4 != 0x0d0a0d0a) {
+        prev4 = ((prev4 << 8) | c) & 0xffffffff; c = in.read()
+      }
+      val stream = new java.io.SequenceInputStream(
+        new java.io.ByteArrayInputStream(Array(c.toByte)), in)
+      (1 to 9).foreach(_ => readFrame(stream)) // drain snapshots
+      // A malformed masked frame claiming a 16-bit extended length but
+      // truncated mid-header: the old parser folded read()'s -1 into the
+      // length / spun on a stalled skip; the fix treats EOF as close.
+      out.write(Array(0x81.toByte, 0xfe.toByte, 0x01.toByte)) // len high byte only
+      out.flush()
+      sock.shutdownOutput() // EOF mid-extended-length
+      // server must close its side promptly (read returns -1, no spin)
+      sock.setSoTimeout(5000)
+      val tail = new Array[Byte](4096)
+      var n = stream.read(tail) // possibly buffered frames, then EOF
+      while (n > 0) n = stream.read(tail)
+      assert(n == -1, "server did not close after truncated frame")
+    } finally { sock.close(); server.close() }
+  }
 }
