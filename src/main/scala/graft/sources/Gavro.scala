@@ -106,7 +106,9 @@ class GavroTable(tableSchema: StructType, path: String, schemaName: String,
       TableCapability.BATCH_WRITE, TableCapability.TRUNCATE,
       TableCapability.STREAMING_WRITE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new GavroScanBuilder(tableSchema, path, schemaName, readerJson, asOfCommit)
+    new GavroScanBuilder(tableSchema, path, schemaName, readerJson, asOfCommit,
+      maxFilesPerTrigger = Option(options.get("maxFilesPerTrigger")).map(_.toInt),
+      maxBytesPerTrigger = Option(options.get("maxBytesPerTrigger")).map(_.toLong))
   override def newWriteBuilder(
       info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
       : org.apache.spark.sql.connector.write.WriteBuilder =
@@ -117,7 +119,9 @@ class GavroTable(tableSchema: StructType, path: String, schemaName: String,
 }
 
 class GavroScanBuilder(full: StructType, path: String, schemaName: String,
-    readerJson: Option[String] = None, asOfCommit: Option[String] = None)
+    readerJson: Option[String] = None, asOfCommit: Option[String] = None,
+    maxFilesPerTrigger: Option[Int] = None,
+    maxBytesPerTrigger: Option[Long] = None)
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with SupportsPushDownFilters with SupportsPushDownLimit
     with SupportsPushDownAggregates {
@@ -226,7 +230,8 @@ class GavroScanBuilder(full: StructType, path: String, schemaName: String,
   override def build(): Scan =
     new GavroScan(path, schemaName,
       if (agg != null) agg.schema else required, pushed, limit,
-      Option(agg), readerJson, asOfCommit)
+      Option(agg), readerJson, asOfCommit,
+      maxFilesPerTrigger, maxBytesPerTrigger)
 }
 
 /** DSv2 WRITE path: `df.write.format("gavro").option("schema", …)
@@ -353,22 +358,34 @@ class GavroBatchWrite(path: String, schemaName: String, overwrite: Boolean,
       Option(new java.io.File(d, Gavro.CommitsDir).listFiles())
         .getOrElse(Array.empty).foreach(_.delete())
     }
-    val existingMax = Option(d.listFiles()).getOrElse(Array.empty)
+    def nextPartIdx(): Int = Option(d.listFiles()).getOrElse(Array.empty)
       .map(_.getName).filter(n => n.startsWith("part-") && n.endsWith(".gavro"))
       .flatMap(n => n.stripPrefix("part-").stripSuffix(".gavro").toIntOption)
-      .foldLeft(-1)(math.max)
+      .foldLeft(-1)(math.max) + 1
+    // Data files publish put-if-absent too (hard link from the finished
+    // temp, retry on the next index): two concurrent batch writers that
+    // both computed part-00005 must not clobber each other's bytes — the
+    // commit record only protects visibility, not the file contents.
     val published = messages.collect { case GavroTempFile(tmp) => tmp }
-      .sorted.zipWithIndex
-      .map { case (tmp, i) =>
-        val dst = new java.io.File(d, f"part-${existingMax + 1 + i}%05d.gavro")
-        if (!new java.io.File(tmp).renameTo(dst))
-          throw new java.io.IOException(s"gavro commit: cannot publish $tmp")
-        dst.getName
+      .sorted.map { tmp =>
+        var landed: Option[String] = None
+        while (landed.isEmpty) {
+          val dst = new java.io.File(d, f"part-${nextPartIdx()}%05d.gavro")
+          try {
+            java.nio.file.Files.createLink(dst.toPath,
+              java.nio.file.Paths.get(tmp))
+            new java.io.File(tmp).delete()
+            landed = Some(dst.getName)
+          } catch {
+            case _: java.nio.file.FileAlreadyExistsException => ()
+          }
+        }
+        landed.get
       }
     // visibility point: one commit record for the whole batch (readers
-    // with a commit log never see a torn multi-file publish)
-    Gavro.writeCommit(path, f"${Gavro.nextCommitSeq(path)}%010d-b",
-      published.toSeq)
+    // with a commit log never see a torn multi-file publish); sequence
+    // allocation retries on concurrent-writer collision
+    Gavro.commitBatch(path, published.toSeq)
   }
 
   override def abort(
@@ -532,7 +549,9 @@ case class GAggSpec(op: String, field: String) extends Serializable
 class GavroScan(path: String, schemaName: String, required: StructType,
     pushed: Array[Filter], limit: Int,
     agg: Option[GavroAgg] = None, readerJson: Option[String] = None,
-    asOfCommit: Option[String] = None)
+    asOfCommit: Option[String] = None,
+    maxFilesPerTrigger: Option[Int] = None,
+    maxBytesPerTrigger: Option[Long] = None)
     extends Scan with Batch with SupportsReportStatistics {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
@@ -583,7 +602,8 @@ class GavroScan(path: String, schemaName: String, required: StructType,
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
     new GavroMicroBatchStream(path, schemaName, required.fieldNames,
-      pushed.map(GavroPred.from), readerJson)
+      pushed.map(GavroPred.from), readerJson,
+      maxFilesPerTrigger, maxBytesPerTrigger)
 }
 
 /** Streaming offset = how many files (in name order) have been consumed.
@@ -607,15 +627,63 @@ case class GavroStreamOffset(files: Int)
   * files. */
 class GavroMicroBatchStream(path: String, schemaName: String,
     requiredNames: Array[String], preds: Array[GavroPred],
-    readerJson: Option[String] = None)
-    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
-  import org.apache.spark.sql.connector.read.streaming.Offset
+    readerJson: Option[String] = None,
+    maxFilesPerTrigger: Option[Int] = None,
+    maxBytesPerTrigger: Option[Long] = None)
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
+    with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl {
+  import org.apache.spark.sql.connector.read.streaming.{CompositeReadLimit,
+    Offset, ReadAllAvailable, ReadLimit, ReadMaxBytes, ReadMaxFiles}
 
   private def listing(): Array[String] =
     Gavro.listDataFiles(path).map(_.getAbsolutePath)
 
   override def initialOffset(): Offset = GavroStreamOffset(0)
   override def latestOffset(): Offset = GavroStreamOffset(listing().length)
+
+  /** Backpressure admission control (SURVEY §4's `maxOffsetsPerTrigger`
+    * story for the landing zone, cf. the reference's first-batch
+    * saturation FLOW.md:107,413): `maxFilesPerTrigger` /
+    * `maxBytesPerTrigger` bound what one micro-batch admits, so a deep
+    * backlog (a weekend of archived files) drains in bounded batches
+    * instead of one giant first batch that blows executor memory and
+    * holds the trigger SLA hostage. At least one file is always admitted
+    * when new data exists — a single oversized file must progress, not
+    * wedge the stream. */
+  override def getDefaultReadLimit: ReadLimit = {
+    val lims: Seq[ReadLimit] =
+      maxFilesPerTrigger.map(n => ReadLimit.maxFiles(n)).toSeq ++
+        maxBytesPerTrigger.map(b => ReadLimit.maxBytes(b)).toSeq
+    lims match {
+      case Seq() => ReadLimit.allAvailable()
+      case Seq(one) => one
+      case many => ReadLimit.compositeLimit(many.toArray)
+    }
+  }
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val s = start.asInstanceOf[GavroStreamOffset].files
+    val files = Gavro.listDataFiles(path)
+    val avail = math.max(0, files.length - s)
+    def admit(l: ReadLimit): Int = l match {
+      case _: ReadAllAvailable => avail
+      case f: ReadMaxFiles => math.min(avail, f.maxFiles)
+      case b: ReadMaxBytes =>
+        var n = 0; var bytes = 0L
+        while (n < avail &&
+            (n == 0 || bytes + files(s + n).length() <= b.maxBytes())) {
+          bytes += files(s + n).length(); n += 1
+        }
+        n
+      case c: CompositeReadLimit =>
+        c.getReadLimits.map(admit).foldLeft(avail)(math.min)
+      case _ => avail // rows-based limits don't apply to a file-grain source
+    }
+    GavroStreamOffset(s + admit(limit))
+  }
+
+  override def reportLatestOffset(): Offset =
+    GavroStreamOffset(listing().length)
   override def deserializeOffset(json: String): Offset =
     GavroStreamOffset("\"files\":(\\d+)".r.findFirstMatchIn(json)
       .map(_.group(1).toInt)
@@ -1173,6 +1241,25 @@ object Gavro {
       throw new IllegalArgumentException(
         s"gavro: asOfCommit ${asOfCommit.get} predates the compaction " +
           s"horizon ${cps.head.getName.stripSuffix(".checkpoint")} at $path")
+    // Coverage check BETWEEN checkpoints: compactLog deletes every record
+    // <= the latest checkpoint, so a cut strictly below it is trustworthy
+    // only when the log still holds an entry named exactly at the cut (a
+    // checkpoint base, or a surviving record — records below the latest
+    // checkpoint survive iff compaction hasn't run since). Otherwise the
+    // records in (base, cut] may have been folded away and the snapshot
+    // would silently collapse to the older checkpoint — the documented
+    // contract is an explicit error, never a silently-wrong snapshot.
+    asOfCommit.foreach { cut =>
+      val latestCp = cps.lastOption.map(_.getName.stripSuffix(".checkpoint"))
+      val exactEntry = baseName.contains(cut) ||
+        tail.exists(_.getName.stripSuffix(".commit") == cut)
+      if (latestCp.exists(cut < _) && !exactEntry)
+        throw new IllegalArgumentException(
+          s"gavro: asOfCommit $cut is below the latest checkpoint " +
+            s"${latestCp.get} at $path and no log entry is named exactly " +
+            "at the cut — the records covering it may have been compacted " +
+            "away (run time travel only to surviving commit names)")
+    }
     (base.toSeq ++ tail).flatMap(readNames).toSet
   }
 
@@ -1217,7 +1304,7 @@ object Gavro {
     * becoming the source of truth must not shrink the visible set, and a
     * later vacuum must not reap them as orphans. */
   def writeCommit(path: String, name: String,
-      files: Seq[String]): Unit = {
+      files: Seq[String], allowReplace: Boolean = false): Unit = {
     val dir = new java.io.File(path, CommitsDir)
     dir.mkdirs()
     val firstEntry = logEntries(dir, ".commit").isEmpty &&
@@ -1234,26 +1321,77 @@ object Gavro {
     java.nio.file.Files.writeString(tmp.toPath,
       (adopted ++ files).mkString("\n"))
     val dst = new java.io.File(dir, s"$name.commit")
-    if (dst.exists()) dst.delete()
-    if (!tmp.renameTo(dst))
-      throw new java.io.IOException(s"gavro: cannot land commit $dst")
+    // Optimistic concurrency: a commit record lands PUT-IF-ABSENT, so two
+    // writers that raced to the same sequence number cannot silently
+    // replace each other's record (the loser's files would become
+    // invisible and a later vacuum() would reap them). A hard link from
+    // the fully-written temp file is the atomic create-with-content
+    // primitive on POSIX; the loser sees FileAlreadyExistsException and
+    // the allocate-retry loops ([[commitBatch]]/[[writeEpochCommit]])
+    // re-read the log and take the next sequence. The ONLY sanctioned
+    // same-name rewrite is a streaming epoch REPLAY (allowReplace=true,
+    // caller matched its own `e<epoch>` tag), which must republish the
+    // same record idempotently — that path replaces atomically, never
+    // through a delete+rename window where the record is missing.
+    try {
+      if (allowReplace)
+        java.nio.file.Files.move(tmp.toPath, dst.toPath,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      else java.nio.file.Files.createLink(dst.toPath, tmp.toPath)
+    } finally tmp.delete()
     maybeCheckpoint(path)
   }
 
+  /** Allocate-and-land a batch commit record under optimistic concurrency:
+    * read the next shared sequence, attempt the put-if-absent record, and
+    * on collision (another writer landed that sequence first) re-read the
+    * log and retry with the next one. Returns the landed record name. */
+  def commitBatch(path: String, files: Seq[String]): String = {
+    var attempt = 0
+    while (true) {
+      val name = f"${nextCommitSeq(path)}%010d-b"
+      try { writeCommit(path, name, files); return name }
+      catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          attempt += 1
+          if (attempt > 1000) throw new java.io.IOException(
+            s"gavro: commit contention at $path — $attempt collisions")
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
   /** Streaming epoch commit: epoch-idempotent AND sequence-monotone. A
-    * fresh epoch allocates the next shared sequence number; a REPLAYED
-    * epoch finds its prior record by the `e<epoch>` tag and rewrites it
-    * in place (same name, same deterministic file names), so replay never
-    * forks the ordering that time travel depends on. */
+    * fresh epoch allocates the next shared sequence number (put-if-absent
+    * with retry, so concurrent writers on other epochs can't be silently
+    * overwritten); a REPLAYED epoch finds its prior record by the
+    * `e<epoch>` tag and rewrites it in place (same name, same
+    * deterministic file names), so replay never forks the ordering that
+    * time travel depends on. */
   def writeEpochCommit(path: String, epochId: Long,
       files: Seq[String]): Unit = {
     val tag = f"e$epochId%010d"
     val dir = new java.io.File(path, CommitsDir)
-    val name = logEntries(dir, ".commit")
+    def priorName: Option[String] = logEntries(dir, ".commit")
       .map(_.getName.stripSuffix(".commit"))
       .find(_.endsWith(s"-$tag"))
-      .getOrElse(f"${nextCommitSeq(path)}%010d-$tag")
-    writeCommit(path, name, files)
+    priorName match {
+      case Some(name) => writeCommit(path, name, files, allowReplace = true)
+      case None =>
+        var attempt = 0
+        var landed = false
+        while (!landed) {
+          val name = f"${nextCommitSeq(path)}%010d-$tag"
+          try { writeCommit(path, name, files); landed = true }
+          catch {
+            case _: java.nio.file.FileAlreadyExistsException =>
+              attempt += 1
+              if (attempt > 1000) throw new java.io.IOException(
+                s"gavro: commit contention at $path — $attempt collisions")
+          }
+        }
+    }
   }
 
   /** Fold every commit record at-or-before the latest one into a single
@@ -1281,9 +1419,12 @@ object Gavro {
       val tmp = java.io.File.createTempFile(s".$asOf", ".tmp", dir)
       java.nio.file.Files.writeString(tmp.toPath, live.mkString("\n"))
       val dst = new java.io.File(dir, s"$asOf.checkpoint")
-      if (dst.exists()) dst.delete()
-      if (!tmp.renameTo(dst))
-        throw new java.io.IOException(s"gavro: cannot land checkpoint $dst")
+      // Two writers checkpointing the same asOf write identical content,
+      // so atomic replace (no delete+rename missing-record window) is the
+      // safe idempotent landing.
+      java.nio.file.Files.move(tmp.toPath, dst.toPath,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
       asOf
     }
   }
@@ -1453,7 +1594,7 @@ object Gavro {
     // record naming the archive's files (same contract as the DSv2 sink).
     val written = Option(d.listFiles()).getOrElse(Array.empty)
       .map(_.getName).filter(_.endsWith(".gavro")).sorted
-    writeCommit(dir, f"${nextCommitSeq(dir)}%010d-b", written.toSeq)
+    commitBatch(dir, written.toSeq)
   }
 
   /** Running min/max over the writer's stat columns (nulls skipped). */

@@ -882,4 +882,99 @@ class GavroSourceSpec extends SparkSpec {
     assert(Gavro.listDataFiles(out, Some(cpName)).nonEmpty)
     frame.unpersist()
   }
+
+  test("commit records are put-if-absent; only an epoch replay may rewrite") {
+    val out = tmpDir("putifabsent")
+    new java.io.File(out, "a.gavro").createNewFile()
+    Gavro.writeCommit(out, "0000000000-b", Seq("a.gavro"))
+    // b.gavro lands AFTER the first record, so legacy-adoption (which
+    // folds pre-log files into the first entry) doesn't apply to it.
+    new java.io.File(out, "b.gavro").createNewFile()
+    // A second writer landing the SAME sequence must NOT silently replace
+    // the record (the old delete+rename made b.gavro the only visible file
+    // and a.gavro vacuum bait).
+    intercept[java.nio.file.FileAlreadyExistsException] {
+      Gavro.writeCommit(out, "0000000000-b", Seq("b.gavro"))
+    }
+    assert(Gavro.listDataFiles(out).map(_.getName).toSeq == Seq("a.gavro"))
+    // The sanctioned same-name rewrite: an epoch REPLAY (allowReplace).
+    Gavro.writeCommit(out, "0000000000-b", Seq("b.gavro"), allowReplace = true)
+    assert(Gavro.listDataFiles(out).map(_.getName).toSeq == Seq("b.gavro"))
+  }
+
+  test("two interleaved committers: every commit visible, total asOf order") {
+    val out = tmpDir("concurrent")
+    val perWriter = 20
+    // Each thread lands its own pre-placed data files through the
+    // allocate-retry commit path; the sequences they race for overlap on
+    // every commit.
+    val failures = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val threads = Seq("x", "y").map { tag =>
+      new Thread(() => {
+        try (0 until perWriter).foreach { i =>
+          val f = s"$tag-$i.gavro"
+          new java.io.File(out, f).createNewFile()
+          Gavro.commitBatch(out, Seq(f))
+        } catch { case t: Throwable => failures.add(t) }
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    assert(failures.isEmpty, failures.toString)
+    // BOTH writers' files are all visible — no commit record was silently
+    // replaced (the bug class: last-writer-wins would hide ~half of one
+    // writer's commits and a later vacuum would reap their files).
+    val visible = Gavro.listDataFiles(out).map(_.getName).toSet
+    val expected = (for (t <- Seq("x", "y"); i <- 0 until perWriter)
+      yield s"$t-$i.gavro").toSet
+    assert(visible == expected,
+      s"missing: ${(expected -- visible).toSeq.sorted.mkString(",")}")
+    assert(Gavro.vacuum(out).isEmpty, "vacuum saw committed files as orphans")
+    // Total order: all 40 commit records landed under DISTINCT sequence
+    // names (a checkpoint legitimately shares its record's name, so
+    // uniqueness is per suffix), gap-free 0..39.
+    val commitsDir = new java.io.File(out, Gavro.CommitsDir)
+    val recNames = commitsDir.listFiles().map(_.getName)
+      .filter(_.endsWith(".commit")).map(_.stripSuffix(".commit")).sorted
+    assert(recNames.length == 2 * perWriter &&
+      recNames.distinct.length == recNames.length, recNames.mkString(","))
+    assert(recNames.map(_.takeWhile(_.isDigit).toInt).toSeq ==
+      (0 until 2 * perWriter).toSeq)
+    // asOf each surviving record is a monotone prefix of the final set.
+    val recs = commitsDir.listFiles().map(_.getName)
+      .filter(_.endsWith(".commit")).sorted.map(_.stripSuffix(".commit"))
+    val sizes = recs.map(r => Gavro.listDataFiles(out, Some(r)).length)
+    assert(sizes.sameElements(sizes.sorted), sizes.mkString(","))
+  }
+
+  test("time travel BETWEEN checkpoints errors once compaction removed the records") {
+    val out = tmpDir("betweencp")
+    def land(i: Int): String = {
+      val f = s"f-$i.gavro"
+      new java.io.File(out, f).createNewFile()
+      Gavro.commitBatch(out, Seq(f))
+    }
+    val first = (0 until 5).map(land)
+    Gavro.checkpoint(out) // cp1 named after commit 4
+    val second = (5 until 9).map(land)
+    Gavro.checkpoint(out) // cp2 named after commit 8
+    val mid = second(1) // a commit strictly between cp1 and cp2
+    // Pre-compaction: the record survives, the cut is covered, snapshot
+    // is exact.
+    assert(Gavro.listDataFiles(out, Some(mid)).length == 7)
+    Gavro.compactLog(out) // deletes every record <= cp2
+    // Post-compaction the records in (cp1, mid] are gone: the old code
+    // silently returned cp1's 5-file snapshot; the contract is an
+    // explicit error.
+    val err = intercept[IllegalArgumentException] {
+      Gavro.listDataFiles(out, Some(mid))
+    }
+    assert(err.getMessage.contains("compacted"), err.getMessage)
+    // Travel to a checkpoint name itself still works on both.
+    assert(Gavro.listDataFiles(out, Some(first.last)).length == 5)
+    assert(Gavro.listDataFiles(out, Some(second.last)).length == 9)
+    // And below the FIRST checkpoint stays the original horizon error.
+    intercept[IllegalArgumentException] {
+      Gavro.listDataFiles(out, Some(first.head))
+    }
+  }
 }

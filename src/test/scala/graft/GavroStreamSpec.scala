@@ -135,4 +135,71 @@ class GavroStreamSpec extends SparkSpec {
     import scala.jdk.CollectionConverters._
     assert(seen.asScala.toSet == (1L to 10L).toSet, seen.toString)
   }
+
+  test("maxFilesPerTrigger drains a 50-file backlog in bounded batches; restart mid-drain loses nothing") {
+    import scala.jdk.CollectionConverters._
+    val dir = java.nio.file.Files.createTempDirectory("gavro-bp").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("gavro-bp-ck").toString
+    (0 until 50).foreach(i => writeFile(dir, f"part-$i%05d.gavro", Seq(i.toLong)))
+
+    val batches = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Seq[Long])]()
+    def start() = spark.readStream.format("gavro")
+      .option("schema", "system_metrics")
+      .option("maxFilesPerTrigger", "10")
+      .load(dir)
+      .writeStream.option("checkpointLocation", ckpt)
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, bid: Long) =>
+        batches.add(bid -> df.select(col("id")).collect().map(_.getLong(0)).toSeq)
+        ()
+      }
+      .start()
+
+    // First query: stop MID-DRAIN after at least two bounded batches.
+    val q = start()
+    val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
+    while (batches.size < 2 && System.nanoTime() < deadline) Thread.sleep(50)
+    q.stop()
+    assert(batches.size >= 2, s"only ${batches.size} batches before stop")
+
+    // Restart from the checkpoint and finish the drain.
+    val q2 = start()
+    q2.processAllAvailable()
+    q2.stop()
+
+    val all = batches.asScala.toSeq
+    // Bounded admission: no batch ever exceeded the 10-file cap (each
+    // planted file holds one record, so records == files per batch).
+    assert(all.forall(_._2.length <= 10),
+      s"oversized batch: ${all.map(_._2.length).mkString(",")}")
+    // A 50-file backlog with a 10-file cap needs at least 5 batches.
+    assert(all.map(_._1).distinct.length >= 5, all.map(_._1).toString)
+    // No records lost across the mid-drain restart (foreachBatch is
+    // at-least-once, so a replayed batch may duplicate — set semantics).
+    assert(all.flatMap(_._2).toSet == (0L until 50L).toSet)
+  }
+
+  test("maxBytesPerTrigger admits at least one file and bounds each batch") {
+    import scala.jdk.CollectionConverters._
+    val dir = java.nio.file.Files.createTempDirectory("gavro-bpb").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("gavro-bpb-ck").toString
+    (0 until 6).foreach(i => writeFile(dir, f"part-$i%05d.gavro", Seq(i.toLong)))
+    val batchSizes = new java.util.concurrent.ConcurrentLinkedQueue[Int]()
+    val q = spark.readStream.format("gavro")
+      .option("schema", "system_metrics")
+      // 1 byte: below any single file's size — the at-least-one-file
+      // progress guarantee is what keeps an oversized file from wedging
+      // the stream forever.
+      .option("maxBytesPerTrigger", "1")
+      .load(dir)
+      .writeStream.option("checkpointLocation", ckpt)
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        batchSizes.add(df.count().toInt); ()
+      }
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    val sizes = batchSizes.asScala.toSeq
+    assert(sizes.sum == 6, sizes.mkString(","))
+    assert(sizes.forall(_ == 1), s"byte cap admitted >1 file: $sizes")
+  }
 }
