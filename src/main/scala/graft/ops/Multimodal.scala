@@ -72,6 +72,23 @@ object Multimodal {
   def pngPixel(id: Long, x: Int, y: Int): Int =
     ((id * 31 + x * 7 + y * 13) % 256).toInt
 
+  /** Encode one planted PNG (8-bit grayscale, lossless) for `doc_id`. */
+  private[ops] def encodePng(id: Long): Array[Byte] = {
+    val w = pngWidth(id); val h = pngHeight(id)
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val raster = img.getRaster
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) { raster.setSample(x, y, 0, pngPixel(id, x, y)); x += 1 }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream(w * h + 128)
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
   /** One real 8-bit grayscale PNG per document, encoded with the JDK's
     * ImageIO (lossless — decode must return exactly the planted pixels).
     * Generated distributed, one encoder context per partition. */
@@ -81,30 +98,48 @@ object Multimodal {
     documents.select(col("doc_id")).as[Long]
       .mapPartitions { ids =>
         javax.imageio.ImageIO.setUseCache(false) // no temp-file spill per image
+        ids.map(id => (id, encodePng(id)))
+      }
+      .toDF("doc_id", "media")
+  }
+
+  /** Every Nth document's payload is deliberately corrupt in
+    * [[pngCorpusWithCorrupt]] — web-scraped media at 100 TB GUARANTEES
+    * truncated and mislabeled payloads, so the decode stage's corrupt
+    * channel must be a first-class tested path, same as the Avro
+    * PERMISSIVE contract. The flag is a pure function of doc_id so the
+    * oracle covers the corrupt rows in closed form. */
+  val CorruptEvery = 13
+
+  /** The planted corpus with BOTH corrupt shapes web crawls produce:
+    * a TRUNCATED PNG (valid signature, body cut mid-IHDR — decode fails
+    * after the codec has already accepted the input) on ids divisible by
+    * 2·[[CorruptEvery]], and non-image bytes (a mislabeled asset) on the
+    * other corrupt ids. */
+  def pngCorpusWithCorrupt(documents: DataFrame): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    documents.select(col("doc_id")).as[Long]
+      .mapPartitions { ids =>
+        javax.imageio.ImageIO.setUseCache(false)
         ids.map { id =>
-          val w = pngWidth(id); val h = pngHeight(id)
-          val img = new java.awt.image.BufferedImage(
-            w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
-          val raster = img.getRaster
-          var y = 0
-          while (y < h) {
-            var x = 0
-            while (x < w) { raster.setSample(x, y, 0, pngPixel(id, x, y)); x += 1 }
-            y += 1
-          }
-          val bos = new java.io.ByteArrayOutputStream(w * h + 128)
-          javax.imageio.ImageIO.write(img, "png", bos)
-          (id, bos.toByteArray)
+          val payload =
+            if (id % CorruptEvery != 0) encodePng(id)
+            else if (id % (2 * CorruptEvery) == 0) encodePng(id).take(24)
+            else s"!not-an-image-$id".getBytes(
+              java.nio.charset.StandardCharsets.US_ASCII)
+          (id, payload)
         }
       }
       .toDF("doc_id", "media")
   }
 
-  /** Output row of the batched decode stage: REAL pixel features. The
-    * mean is emitted in exact milli-units (`sum·1000 div n`), integer on
-    * both engines. */
-  final case class DecodedMedia(doc_id: Long, width: Long, height: Long,
-      luma_sum: Long, mean_luma_milli: Long)
+  /** Output row of the batched decode stage: REAL pixel features, nulled
+    * (with the flag set) on a corrupt payload. The mean is emitted in
+    * exact milli-units (`sum·1000 div n`), integer on both engines. */
+  final case class DecodedMedia(doc_id: Long, width: Option[Long],
+      height: Option[Long], luma_sum: Option[Long],
+      mean_luma_milli: Option[Long], is_corrupt: Boolean)
 
   /** Batched PNG decode via `mapPartitions`: ONE `ImageReader` per
     * partition (codec handles are expensive; per-row construction is the
@@ -114,34 +149,53 @@ object Multimodal {
     * and no driver involvement. Features are exact integers, so the stage
     * is oracle-checked against the closed-form pixel definition — the
     * hash match proves the ImageIO encode→decode round trip, not a stub.
+    *
+    * PERMISSIVE corrupt channel: a payload the codec rejects (truncated,
+    * not an image at all) yields a null-feature row with `is_corrupt`
+    * set and bumps the `media_decode_corrupt` accumulator — it NEVER
+    * fails the task. At web scale corrupt media is guaranteed input; one
+    * bad image must not kill a stage after four retries. Mirrors the
+    * Avro PERMISSIVE null-row + corrupt-count contract.
+    *
+    * The reader is disposed through a task-completion listener, not
+    * iterator exhaustion — a limit/take or a downstream failure abandons
+    * the iterator mid-partition, and the codec handle must not leak
+    * until GC.
     */
   def decodeBatched(media: DataFrame): DataFrame = {
     val spark = media.sparkSession
     import spark.implicits._
+    val corrupt = spark.sparkContext.longAccumulator("media_decode_corrupt")
     media.select(col("doc_id"), col("media"))
       .as[(Long, Array[Byte])]
       .mapPartitions { rows =>
         val reader = javax.imageio.ImageIO
           .getImageReadersByFormatName("png").next()
-        val out = rows.map { case (id, bytes) =>
+        Option(org.apache.spark.TaskContext.get())
+          .foreach(_.addTaskCompletionListener[Unit](_ => reader.dispose()))
+        rows.map { case (id, bytes) =>
           val iis = javax.imageio.ImageIO.createImageInputStream(
             new java.io.ByteArrayInputStream(bytes))
-          reader.setInput(iis, true, true)
-          val img = reader.read(0)
-          iis.close()
-          val w = img.getWidth; val h = img.getHeight
-          val raster = img.getRaster
-          var s = 0L
-          var y = 0
-          while (y < h) {
-            var x = 0
-            while (x < w) { s += raster.getSample(x, y, 0); x += 1 }
-            y += 1
-          }
-          DecodedMedia(id, w.toLong, h.toLong, s, s * 1000L / (w.toLong * h))
+          try {
+            reader.setInput(iis, true, true)
+            val img = reader.read(0)
+            val w = img.getWidth; val h = img.getHeight
+            val raster = img.getRaster
+            var s = 0L
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) { s += raster.getSample(x, y, 0); x += 1 }
+              y += 1
+            }
+            DecodedMedia(id, Some(w.toLong), Some(h.toLong), Some(s),
+              Some(s * 1000L / (w.toLong * h)), is_corrupt = false)
+          } catch {
+            case scala.util.control.NonFatal(_) =>
+              corrupt.add(1L)
+              DecodedMedia(id, None, None, None, None, is_corrupt = true)
+          } finally iis.close()
         }
-        // dispose the per-partition reader after the last row
-        out ++ { reader.dispose(); Iterator.empty }
       }
       .toDF()
       .orderBy(col("doc_id"))
@@ -288,6 +342,8 @@ object Multimodal {
     "media_frame_sample" -> ((s, d) => frameSample(mediaTable(Tables.documents(s, d)))),
     "media_decode_stub" -> ((s, d) => decodeStub(mediaTable(Tables.documents(s, d)))),
     "media_decode_batched" -> ((s, d) => decodeBatched(pngCorpus(Tables.documents(s, d)))),
+    "media_decode_permissive" -> ((s, d) =>
+      decodeBatched(pngCorpusWithCorrupt(Tables.documents(s, d)))),
     "media_phash_dedup" -> ((s, d) => phashPairs(Tables.documents(s, d))),
   )
 
@@ -354,8 +410,31 @@ object Multimodal {
         |  ((list_sum(flatten(list_transform(range(0, 8 + (doc_id * 7) % 9), y ->
         |    list_transform(range(0, 8 + doc_id % 9), x ->
         |      (doc_id * 31 + x * 7 + y * 13) % 256)))) * 1000)
-        |    // ((8 + doc_id % 9) * (8 + (doc_id * 7) % 9)))::BIGINT AS mean_luma_milli
+        |    // ((8 + doc_id % 9) * (8 + (doc_id * 7) % 9)))::BIGINT AS mean_luma_milli,
+        |  false AS is_corrupt
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // Same closed-form pixel recomputation, with every CorruptEvery-th
+    // payload planted corrupt (truncated PNG or non-image bytes) — those
+    // rows must come back null-featured with the flag set, proving the
+    // PERMISSIVE channel end to end: the Spark side REALLY fed the codec
+    // a bad payload and REALLY survived it.
+    "media_decode_permissive" ->
+      s"""SELECT doc_id,
+         |  CASE WHEN doc_id % $CorruptEvery = 0 THEN NULL
+         |    ELSE (8 + doc_id % 9)::BIGINT END AS width,
+         |  CASE WHEN doc_id % $CorruptEvery = 0 THEN NULL
+         |    ELSE (8 + (doc_id * 7) % 9)::BIGINT END AS height,
+         |  CASE WHEN doc_id % $CorruptEvery = 0 THEN NULL
+         |    ELSE list_sum(flatten(list_transform(range(0, 8 + (doc_id * 7) % 9), y ->
+         |      list_transform(range(0, 8 + doc_id % 9), x ->
+         |        (doc_id * 31 + x * 7 + y * 13) % 256))))::BIGINT END AS luma_sum,
+         |  CASE WHEN doc_id % $CorruptEvery = 0 THEN NULL
+         |    ELSE ((list_sum(flatten(list_transform(range(0, 8 + (doc_id * 7) % 9), y ->
+         |      list_transform(range(0, 8 + doc_id % 9), x ->
+         |        (doc_id * 31 + x * 7 + y * 13) % 256)))) * 1000)
+         |      // ((8 + doc_id % 9) * (8 + (doc_id * 7) % 9)))::BIGINT END AS mean_luma_milli,
+         |  (doc_id % $CorruptEvery = 0) AS is_corrupt
+         |FROM documents ORDER BY doc_id""".stripMargin,
     "media_phash_dedup" ->
       s"""WITH pcorpus AS (
          |  SELECT doc_id, text FROM documents WHERE n_chars >= $PhashMinLen

@@ -96,6 +96,58 @@ class MultimodalSpec extends SparkSpec {
     corpus.unpersist()
   }
 
+  test("corrupt payloads never fail the partition: null features, flag set, neighbors decode") {
+    import spark.implicits._
+    // One partition on purpose: the corrupt payloads and the good ones
+    // share a task AND a reader instance — the PERMISSIVE contract is
+    // that the bad record is flagged and the task (and the reader state
+    // for subsequent records) survives.
+    val docs = Seq(doc(13, "a"), doc(26, "b"), doc(14, "c"), doc(40, "d"))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val corpus = Multimodal.pngCorpusWithCorrupt(docs).coalesce(1).cache()
+    // the two planted corrupt shapes are REALLY corrupt in distinct ways:
+    // 26 is a TRUNCATED PNG (valid magic, cut mid-IHDR), 13 is not a PNG
+    val blobs = corpus.collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Array[Byte]]("media")).toMap
+    val magic = Array(0x89, 0x50, 0x4e, 0x47).map(_.toByte)
+    assert(blobs(26L).length == 24 && blobs(26L).take(4).sameElements(magic))
+    assert(!blobs(13L).take(4).sameElements(magic))
+    val got = Multimodal.decodeBatched(corpus).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(got.size == 4, "a corrupt payload dropped or failed rows")
+    Seq(13L, 26L).foreach { id =>
+      assert(got(id).getAs[Boolean]("is_corrupt"), s"doc $id not flagged")
+      Seq("width", "height", "luma_sum", "mean_luma_milli")
+        .foreach(c => assert(got(id).isNullAt(got(id).fieldIndex(c)),
+          s"doc $id: $c not null"))
+    }
+    Seq(14L, 40L).foreach { id =>
+      assert(!got(id).getAs[Boolean]("is_corrupt"))
+      assert(got(id).getAs[Long]("width") == Multimodal.pngWidth(id))
+      val w = Multimodal.pngWidth(id); val h = Multimodal.pngHeight(id)
+      val s = (for (y <- 0 until h; x <- 0 until w)
+        yield Multimodal.pngPixel(id, x, y).toLong).sum
+      assert(got(id).getAs[Long]("luma_sum") == s)
+    }
+    corpus.unpersist()
+  }
+
+  test("decode under limit/take disposes the reader via the task listener") {
+    import spark.implicits._
+    // A take(1) abandons the row iterator mid-partition: with dispose tied
+    // to iterator exhaustion this leaked the codec handle; the completion
+    // listener makes early abort safe. Functional pin: the limited read
+    // returns a decoded row and the session stays healthy for a second
+    // full pass over the same corpus.
+    val docs = Seq(doc(1, "a"), doc(2, "b"), doc(3, "c"))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val corpus = Multimodal.pngCorpus(docs).coalesce(1).cache()
+    val one = Multimodal.decodeBatched(corpus).limit(1).collect()
+    assert(one.length == 1 && !one.head.getAs[Boolean]("is_corrupt"))
+    assert(Multimodal.decodeBatched(corpus).collect().length == 3)
+    corpus.unpersist()
+  }
+
   test("short media are excluded by the metadata gate") {
     import spark.implicits._
     val docs = Seq(doc(1, "tiny"), doc(2, "n" * 300))
