@@ -123,7 +123,12 @@ object Profiling {
   def equiHeightHistogram(df: DataFrame, c: String, numBins: Int = 64)
       : Option[org.apache.spark.sql.catalyst.plans.logical.Histogram] = {
     import org.apache.spark.sql.catalyst.plans.logical.{Histogram, HistogramBin}
+    // Non-finite values (NaN, ±Infinity) poison percentile edges and can't
+    // be binned; the histogram covers the FINITE subset (they're counted in
+    // the column's other stats) — never a thrown ANALYZE.
     val vals = df.filter(col(c).isNotNull).select(col(c).cast("double").as("v"))
+      .filter(!isnan(col("v")) &&
+        col("v") =!= Double.PositiveInfinity && col("v") =!= Double.NegativeInfinity)
     val probs = (1 to numBins).map(_.toDouble / numBins)
     val head = vals.agg(count(lit(1)).as("n"), min(col("v")).as("lo"),
       expr(s"percentile_approx(v, array(${probs.mkString(",")}), 100000)")
@@ -131,11 +136,16 @@ object Profiling {
     val n = head.getAs[Long]("n")
     if (n == 0L) return None
     val edges = head.getAs[Double]("lo") +: head.getSeq[Double](2)
-    val edgeArr = s"array(${edges.mkString("D,")}D)"
+    // Belt-and-suspenders: a non-finite edge that survived the value
+    // filter degrades to no-histogram stats rather than failing the
+    // ANALYZE (and edges are a typed literal, never spliced into SQL
+    // text — "NaND"/"InfinityD" literals don't parse).
+    if (edges.exists(e => e.isNaN || e.isInfinite)) return None
+    val edgeArr = typedLit(edges)
     // value-grain bin assignment: bin i covers (edges(i-1), edges(i)]
     val ndvPerBin = vals.groupBy(col("v")).agg(count(lit(1)).as("cnt"))
-      .select(expr(s"least($numBins, greatest(1, " +
-        s"size(filter($edgeArr, e -> e < v))))").as("bin"))
+      .select(least(lit(numBins), greatest(lit(1),
+        size(filter(edgeArr, e => e < col("v"))))).as("bin"))
       .groupBy(col("bin")).agg(count(lit(1)).as("ndv"))
       .collect().map(r => r.getAs[Int]("bin") -> r.getAs[Long]("ndv")).toMap
     val bins = (1 to numBins).map(i =>

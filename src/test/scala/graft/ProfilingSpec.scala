@@ -189,6 +189,23 @@ class ProfilingSpec extends SparkSpec {
     // empty input → no histogram, not a crash
     val empty = Seq.empty[Long].toDF("k")
     assert(graft.ops.Profiling.equiHeightHistogram(empty, "k").isEmpty)
+    // non-finite values (NaN / ±Infinity) would poison the percentile
+    // edges (the old SQL-spliced edge array produced unparseable 'NaND'
+    // literals and threw the whole ANALYZE) — they're excluded and the
+    // histogram covers the finite subset
+    val nan = Seq(1.0, Double.NaN, 3.0).toDF("k")
+    val hn = graft.ops.Profiling.equiHeightHistogram(nan, "k").get
+    assert(hn.bins.head.lo == 1.0 && hn.bins.last.hi == 3.0)
+    assert(hn.bins.map(_.ndv).sum == 2L)
+    val inf = Seq(1.0, Double.PositiveInfinity, Double.NegativeInfinity).toDF("k")
+    val hi = graft.ops.Profiling.equiHeightHistogram(inf, "k").get
+    assert(hi.bins.head.lo == 1.0 && hi.bins.last.hi == 1.0)
+    // a column with NO finite values → None, not a crash
+    val allNan = Seq(Double.NaN, Double.PositiveInfinity).toDF("k")
+    assert(graft.ops.Profiling.equiHeightHistogram(allNan, "k").isEmpty)
+    // and finite doubles still build (the typedLit path, no SQL splice)
+    val fin = Seq(1.5, 2.5, 3.5).toDF("k")
+    assert(graft.ops.Profiling.equiHeightHistogram(fin, "k").isDefined)
   }
 
   test("market share attributes exact cent shares to the supplier nation") {
