@@ -79,12 +79,65 @@ object Bench {
         shuffles :+= name -> sb / 2 // two timed runs → per-run bytes
       }
     }
+    // Contention guard (the round-9 lesson: a shared host inflated the ANN
+    // family 5-10× with byte-identical shuffle volumes and the artifact
+    // shipped looking like a regression). Against the newest committed
+    // BENCH_SELF_r*.json snapshot (or SPARK_GRAFT_BENCH_PRIOR), any query
+    // whose wall time exceeds its prior ×2 while its deterministic shuffle
+    // bytes are unchanged (±2%) is re-run ONCE and the min kept — transient
+    // load self-heals instead of polluting the round record.
+    val priorPath = sys.env.get("SPARK_GRAFT_BENCH_PRIOR").orElse {
+      Option(new java.io.File(".").listFiles()).getOrElse(Array.empty)
+        .map(_.getName).filter(n => n.startsWith("BENCH_SELF_r") && n.endsWith(".json"))
+        .sorted.lastOption
+    }
+    def flatObj(text: String, key: String): Map[String, Double] = {
+      val start = text.indexOf(s""""$key":{""")
+      if (start < 0) Map.empty
+      else {
+        val body = text.substring(start + key.length + 4,
+          text.indexOf('}', start))
+        """"([A-Za-z0-9_]+)":([-0-9.Ee]+)""".r.findAllMatchIn(body)
+          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+      }
+    }
+    val rerun = scala.collection.mutable.ArrayBuffer.empty[String]
+    priorPath.map(p => new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(p)), java.nio.charset.StandardCharsets.UTF_8))
+      .foreach { prior =>
+        val pq = flatObj(prior, "queries")
+        val psb = flatObj(prior, "shuffle_bytes")
+        times = times.map { case (name, t) =>
+          val suspect = pq.get(name).exists(pt => t > 2.0 * pt && t > 1.0) &&
+            psb.get(name).zip(shuffles.find(_._1 == name).map(_._2.toDouble))
+              .exists { case (b, n) => math.abs(n - b) <= 0.02 * math.max(math.max(b, n), 1.0) }
+          if (!suspect) name -> t
+          else {
+            rerun += name
+            spark.catalog.clearCache()
+            val t0 = System.nanoTime()
+            val again = try {
+              SparkEntry.queries(name)(spark, sfDir)
+                .write.format("noop").mode("overwrite").save()
+              (System.nanoTime() - t0) / 1e9
+            } catch { case _: Throwable => t }
+            name -> math.min(t, again)
+          }
+        }
+      }
+    val loadavg = try {
+      new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get("/proc/loadavg"))).split(" ").take(3)
+        .map(_.toDouble).mkString("[", ",", "]")
+    } catch { case _: Throwable => "[]" }
+
     val qs = times.map { case (k, v) => s"${jstr(k)}:$v" }.mkString("{", ",", "}")
     val sh = shuffles.map { case (k, v) => s"${jstr(k)}:$v" }.mkString("{", ",", "}")
     val errs = errors.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }.mkString("{", ",", "}")
     val total = times.map(_._2).sum
+    val reruns = rerun.map(jstr).mkString("[", ",", "]")
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"shuffle_bytes":$sh,"errors":$errs,"sf":${jstr(sfDir)}}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"shuffle_bytes":$sh,"errors":$errs,"loadavg":$loadavg,"contention_reruns":$reruns,"sf":${jstr(sfDir)}}"""
     println(line)
     // Persist the FULL line to a stable file as well: the driver's capture
     // truncates stdout tails, which once left per-query numbers without

