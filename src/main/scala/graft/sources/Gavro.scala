@@ -1444,22 +1444,34 @@ object Gavro {
     dead.map(_.getName).sorted.toSeq
   }
 
+  /** Retention grace for [[vacuum]]: an IN-FLIGHT job's files look
+    * exactly like a crashed job's (task temps; published-but-not-yet-
+    * committed data files in the rename→commit-record window), so vacuum
+    * only reaps files older than this — the same reason Delta's VACUUM
+    * has a retention window. 15 min dwarfs any publish→commit gap. */
+  val VacuumGraceMs: Long = 15L * 60 * 1000
+
   /** Garbage-collect the landing zone: delete data files no commit
     * record references (a crashed job's published-but-never-committed
-    * leftovers) plus stale writer temp files. Readers only ever see
-    * committed files, so vacuum never changes a query result — it
-    * reclaims the space the snapshot-isolation design makes invisible.
-    * Returns the deleted names. Requires a commit log: on a listing-truth
-    * directory every file is live. */
-  def vacuum(path: String): Seq[String] = {
+    * leftovers) plus stale writer temp files — but ONLY those older than
+    * `graceMs` ([[VacuumGraceMs]]): a concurrent writer's temp files and
+    * its published-awaiting-commit data files are younger than any sane
+    * grace and must survive. Readers only ever see committed files, so
+    * vacuum never changes a query result — it reclaims the space the
+    * snapshot-isolation design makes invisible. Returns the deleted
+    * names. Requires a commit log: on a listing-truth directory every
+    * file is live. */
+  def vacuum(path: String, graceMs: Long = VacuumGraceMs): Seq[String] = {
     val d = new java.io.File(path)
     val commits = new java.io.File(d, CommitsDir)
     require(commits.isDirectory,
       s"gavro: vacuum requires a $CommitsDir log at $path")
     val committed = committedNames(path, None)
+    val horizon = System.currentTimeMillis() - graceMs
     val dead = Option(d.listFiles()).getOrElse(Array.empty)
-      .filter(f => (f.getName.endsWith(".gavro") && !committed(f.getName)) ||
-        f.getName.endsWith(".gavro.tmp"))
+      .filter(f => f.lastModified() <= horizon &&
+        ((f.getName.endsWith(".gavro") && !committed(f.getName)) ||
+          f.getName.endsWith(".gavro.tmp")))
     dead.foreach(_.delete())
     dead.map(_.getName).sorted.toSeq
   }

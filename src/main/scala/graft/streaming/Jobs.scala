@@ -32,8 +32,19 @@ object Jobs {
   /** File-based stream source for local/dev runs (S11 streaming form):
     * parquet drop-dir with the explicit schema. Kafka deployments use
     * [[KafkaStack.cdcStream]] instead. */
+  /** Backpressure rides Spark's own file-source admission control: a
+    * restart against a weekend's backlog must drain in bounded batches,
+    * not one giant first micro-batch that blows the trigger SLA (SURVEY
+    * §4's `maxOffsetsPerTrigger` story; the reference saturates on its
+    * first batch, FLOW.md:107,413). 64 files ≈ a few minutes of 10 s
+    * epochs — deep enough to amortize scheduling, bounded enough to keep
+    * first-batch memory flat. */
+  val MaxFilesPerTrigger = 64
+
   def fileEventStream(spark: SparkSession, dir: String): DataFrame =
-    spark.readStream.schema(eventsSchema).parquet(dir)
+    spark.readStream.schema(eventsSchema)
+      .option("maxFilesPerTrigger", MaxFilesPerTrigger)
+      .parquet(dir)
 
   private def start(frame: DataFrame, name: String, mode: String,
       checkpointBase: String, writer: (DataFrame, Long) => Unit,

@@ -699,7 +699,14 @@ class GavroSourceSpec extends SparkSpec {
       new java.io.File(out, "part-99999.gavro").toPath)
     java.nio.file.Files.copy(committed.toPath,
       new java.io.File(out, ".write-00007-1.gavro.tmp").toPath)
-    val removed = Gavro.vacuum(out)
+    // Retention grace: the freshly-planted leftovers look exactly like an
+    // IN-FLIGHT writer's files, so the default-grace vacuum must NOT
+    // touch them (the concurrent-writer protection)...
+    assert(Gavro.vacuum(out).isEmpty, "vacuum reaped files inside the grace window")
+    assert(new java.io.File(out, "part-99999.gavro").exists())
+    // ...and a zero-grace vacuum (or letting them age past the window)
+    // reaps exactly the orphans.
+    val removed = Gavro.vacuum(out, graceMs = 0L)
     assert(removed.toSet ==
       Set("part-99999.gavro", ".write-00007-1.gavro.tmp"), removed)
     // committed data untouched, results unchanged
@@ -707,7 +714,7 @@ class GavroSourceSpec extends SparkSpec {
     assert(spark.read.format("gavro")
       .option("schema", "request_log").load(out).count() == live)
     // second vacuum is a no-op
-    assert(Gavro.vacuum(out).isEmpty)
+    assert(Gavro.vacuum(out, graceMs = 0L).isEmpty)
   }
 
   test("asOfCommit time-travels the scan to an earlier snapshot") {
@@ -792,7 +799,7 @@ class GavroSourceSpec extends SparkSpec {
     assert(read.count() == frame.count(),
       s"adoption lost rows: ${read.count()} of ${frame.count()}")
     // vacuum must not reap the adopted files
-    assert(Gavro.vacuum(out).isEmpty)
+    assert(Gavro.vacuum(out, graceMs = 0L).isEmpty)
     assert(read.count() == frame.count())
   }
 
@@ -871,7 +878,7 @@ class GavroSourceSpec extends SparkSpec {
       .collect().map(_.toString).sorted.toSeq
     assert(after == before, "read-after-compaction mismatch")
     // vacuum still sees the full committed set through the checkpoint
-    assert(Gavro.vacuum(out).isEmpty)
+    assert(Gavro.vacuum(out, graceMs = 0L).isEmpty)
     // time travel below the horizon is an explicit error now
     val err = intercept[IllegalArgumentException] {
       Gavro.listDataFiles(out, Some(early))
@@ -928,7 +935,7 @@ class GavroSourceSpec extends SparkSpec {
       yield s"$t-$i.gavro").toSet
     assert(visible == expected,
       s"missing: ${(expected -- visible).toSeq.sorted.mkString(",")}")
-    assert(Gavro.vacuum(out).isEmpty, "vacuum saw committed files as orphans")
+    assert(Gavro.vacuum(out, graceMs = 0L).isEmpty, "vacuum saw committed files as orphans")
     // Total order: all 40 commit records landed under DISTINCT sequence
     // names (a checkpoint legitimately shares its record's name, so
     // uniqueness is per suffix), gap-free 0..39.
