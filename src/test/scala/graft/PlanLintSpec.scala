@@ -63,6 +63,8 @@ class PlanLintSpec extends SparkSpec {
       "level-2 fold over the O(range/1024) bucket-total histogram",
     "ann_pq_topk" ->
       "codebook assembly: group grain = (subspace, centroid), dim-bounded",
+    "ann_ivfpq_topk" ->
+      "PQ code assembly: collect_list per (vec_id) of exactly M=8 sub-codes",
   )
 
   /** Queries allowed a broadcast cross join whose build side is neither a
