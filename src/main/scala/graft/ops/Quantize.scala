@@ -225,6 +225,54 @@ object Quantize {
     */
   def annIvfPqTopK(embeddings: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    val (scored, _) = ivfPqScored(embeddings)
+    graft.plans.TopK.topKPerGroup(
+        scored, Seq("q_id"), Seq("adist" -> true, "vec_id" -> true), TopK)
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("q_id"))
+          .orderBy(col("adist").asc, col("vec_id").asc)).cast("long"))
+      .select(col("q_id"), col("rnk"), col("vec_id"))
+      .orderBy(col("q_id"), col("rnk"))
+  }
+
+  /** Candidate pool width for the exact re-rank stage. */
+  val RerankCand = 20
+
+  /** TWO-STAGE retrieval — the shape every production vector search
+    * ships: stage 1 generates [[RerankCand]] candidates per query from
+    * the compressed IVF-PQ index (cheap, approximate — ADC distances
+    * carry quantization error), stage 2 re-ranks ONLY those candidates
+    * against the full-precision vectors with the exact integer metric
+    * and keeps the top [[TopK]]. At 100 TB the refine stage touches
+    * queries×candidates rows — O(1) per query — while the compressed
+    * index absorbs the corpus-scale scan; the candidates→full-vector
+    * join is the classic "fetch the originals for the shortlist" point
+    * lookup. Integer-exact end to end, so the composed pipeline is
+    * hash-verified against the CTE unroll. */
+  def annIvfPqRerankTopK(embeddings: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val (scored, qemb) = ivfPqScored(embeddings)
+    val cand = graft.plans.TopK.topKPerGroup(
+      scored, Seq("q_id"), Seq("adist" -> true, "vec_id" -> true), RerankCand)
+    val queries = qemb.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("q_id"), col("qv").as("qq"))
+    cand.select(col("q_id"), col("vec_id"))
+      .join(qemb, "vec_id") // fetch the shortlist's full-precision vectors
+      .join(broadcast(queries), "q_id")
+      .select(col("q_id"), col("vec_id"), d2("qq", "qv").as("d"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("q_id"))
+          .orderBy(col("d").asc, col("vec_id").asc)).cast("long"))
+      .filter(col("rnk") <= TopK)
+      .select(col("q_id"), col("rnk"), col("vec_id"))
+      .orderBy(col("q_id"), col("rnk"))
+  }
+
+  /** The shared IVF-PQ pipeline through ADC scoring: returns (scored =
+    * (q_id, vec_id, adist) over probed-cell candidates, qemb = the
+    * quantized full-precision corpus for downstream exact stages). */
+  private def ivfPqScored(embeddings: DataFrame): (DataFrame, DataFrame) = {
+    import org.apache.spark.sql.expressions.Window
     val emb = embeddings.select(col("vec_id"), col("embedding").as("v")).persist()
     val qemb = emb.select(col("vec_id"), quantQv("v").as("qv"))
     // 1. coarse quantizer + cell assignment (argmin via struct-min: a
@@ -274,13 +322,7 @@ object Quantize {
       .filter(col("vec_id") =!= col("q_id"))
       .groupBy(col("q_id"), col("vec_id"))
       .agg(sum(col("pd")).as("adist"))
-    graft.plans.TopK.topKPerGroup(
-        scored, Seq("q_id"), Seq("adist" -> true, "vec_id" -> true), TopK)
-      .withColumn("rnk", row_number().over(
-        Window.partitionBy(col("q_id"))
-          .orderBy(col("adist").asc, col("vec_id").asc)).cast("long"))
-      .select(col("q_id"), col("rnk"), col("vec_id"))
-      .orderBy(col("q_id"), col("rnk"))
+    (scored, qemb)
   }
 
   // ------------------------------------------------------------------ oracle
@@ -377,7 +419,7 @@ object Quantize {
     * query residual LUTs, and the cell-pruned ADC follow. Everything is
     * integer arithmetic with deterministic tiebreaks, so the hash check
     * proves the whole index build + search, not a sample of it. */
-  private def ivfPqSql: String = {
+  private def ivfPqCoreSql: String = {
     val rounds = (1 to 3).map { r =>
       val prev = s"pc${r - 1}"
       s"""pa$r AS (
@@ -460,24 +502,49 @@ object Quantize {
        |    AND l.code = k.code
        |  WHERE k.vec_id <> l.q_id
        |  GROUP BY l.q_id, k.vec_id
-       |), ranked AS (
+       |)""".stripMargin
+  }
+
+  private def ivfPqSql: String =
+    s"""$ivfPqCoreSql,
+       |ranked AS (
        |  SELECT q_id, vec_id, (row_number() OVER (PARTITION BY q_id
        |    ORDER BY adist ASC, vec_id ASC))::BIGINT AS rnk
        |  FROM scored
        |)
        |SELECT q_id, rnk, vec_id FROM ranked WHERE rnk <= $TopK
        |ORDER BY q_id, rnk""".stripMargin
-  }
+
+  /** Two-stage oracle: the IVF-PQ candidate pool (top [[RerankCand]] by
+    * ADC) re-ranked by EXACT full-dimension integer L2 against `qt`. */
+  private def ivfPqRerankSql: String =
+    s"""$ivfPqCoreSql,
+       |cand AS (
+       |  SELECT q_id, vec_id FROM (
+       |    SELECT q_id, vec_id, row_number() OVER (PARTITION BY q_id
+       |      ORDER BY adist ASC, vec_id ASC) AS crnk
+       |    FROM scored) WHERE crnk <= $RerankCand
+       |), rr AS (
+       |  SELECT c.q_id, c.vec_id, (row_number() OVER (PARTITION BY c.q_id
+       |    ORDER BY ${d2FullSql("qq.qv", "vv.qv")} ASC, c.vec_id ASC))::BIGINT AS rnk
+       |  FROM cand c
+       |  JOIN qt qq ON qq.vec_id = c.q_id
+       |  JOIN qt vv ON vv.vec_id = c.vec_id
+       |)
+       |SELECT q_id, rnk, vec_id FROM rr WHERE rnk <= $TopK
+       |ORDER BY q_id, rnk""".stripMargin
 
   // ---------------------------------------------------------------- registry
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_pq_topk" -> ((s, d) => annPqTopK(Tables.embeddings(s, d))),
     "ann_ivfpq_topk" -> ((s, d) => annIvfPqTopK(Tables.embeddings(s, d))),
+    "ann_ivfpq_rerank" -> ((s, d) => annIvfPqRerankTopK(Tables.embeddings(s, d))),
   )
 
   def oracleSql: Map[String, String] = Map(
     "ann_pq_topk" -> pqSql,
     "ann_ivfpq_topk" -> ivfPqSql,
+    "ann_ivfpq_rerank" -> ivfPqRerankSql,
   )
 }

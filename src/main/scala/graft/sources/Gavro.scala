@@ -89,12 +89,14 @@ class GavroSource extends TableProvider with DataSourceRegister {
       properties: java.util.Map[String, String]): Table = {
     val opts = new CaseInsensitiveStringMap(properties)
     new GavroTable(schema, opts.get("path"), opts.get("schema"),
-      Option(opts.get("readerSchema")), Option(opts.get("asOfCommit")))
+      Option(opts.get("readerSchema")), Option(opts.get("asOfCommit")),
+      Option(opts.get("sinceCommit")))
   }
 }
 
 class GavroTable(tableSchema: StructType, path: String, schemaName: String,
-    readerJson: Option[String], asOfCommit: Option[String] = None)
+    readerJson: Option[String], asOfCommit: Option[String] = None,
+    sinceCommit: Option[String] = None)
     extends Table with SupportsRead
     with org.apache.spark.sql.connector.catalog.SupportsWrite {
   require(path != null, "gavro: 'path' option is required")
@@ -107,6 +109,7 @@ class GavroTable(tableSchema: StructType, path: String, schemaName: String,
       TableCapability.STREAMING_WRITE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GavroScanBuilder(tableSchema, path, schemaName, readerJson, asOfCommit,
+      sinceCommit,
       maxFilesPerTrigger = Option(options.get("maxFilesPerTrigger")).map(_.toInt),
       maxBytesPerTrigger = Option(options.get("maxBytesPerTrigger")).map(_.toLong))
   override def newWriteBuilder(
@@ -120,6 +123,7 @@ class GavroTable(tableSchema: StructType, path: String, schemaName: String,
 
 class GavroScanBuilder(full: StructType, path: String, schemaName: String,
     readerJson: Option[String] = None, asOfCommit: Option[String] = None,
+    sinceCommit: Option[String] = None,
     maxFilesPerTrigger: Option[Int] = None,
     maxBytesPerTrigger: Option[Long] = None)
     extends ScanBuilder with SupportsPushDownRequiredColumns
@@ -230,7 +234,7 @@ class GavroScanBuilder(full: StructType, path: String, schemaName: String,
   override def build(): Scan =
     new GavroScan(path, schemaName,
       if (agg != null) agg.schema else required, pushed, limit,
-      Option(agg), readerJson, asOfCommit,
+      Option(agg), readerJson, asOfCommit, sinceCommit,
       maxFilesPerTrigger, maxBytesPerTrigger)
 }
 
@@ -550,6 +554,7 @@ class GavroScan(path: String, schemaName: String, required: StructType,
     pushed: Array[Filter], limit: Int,
     agg: Option[GavroAgg] = None, readerJson: Option[String] = None,
     asOfCommit: Option[String] = None,
+    sinceCommit: Option[String] = None,
     maxFilesPerTrigger: Option[Int] = None,
     maxBytesPerTrigger: Option[Long] = None)
     extends Scan with Batch with SupportsReportStatistics {
@@ -566,7 +571,7 @@ class GavroScan(path: String, schemaName: String, required: StructType,
     * shouldn't decode. Conservative under pushed filters/limit (both only
     * shrink the real read). */
   override def estimateStatistics(): Statistics = {
-    val bytes = Gavro.listDataFiles(path, asOfCommit)
+    val bytes = Gavro.listDataFiles(path, asOfCommit, sinceCommit)
       .map(f => GavroFooter.read(f).dataEnd).sum
     new Statistics {
       override def sizeInBytes(): java.util.OptionalLong =
@@ -578,6 +583,7 @@ class GavroScan(path: String, schemaName: String, required: StructType,
   override def description(): String =
     s"gavro $path, schema=$schemaName, ReadSchema: ${required.catalogString}, " +
       asOfCommit.map(c => s"AsOfCommit: $c, ").getOrElse("") +
+      sinceCommit.map(c => s"SinceCommit: $c, ").getOrElse("") +
       s"PushedFilters: ${pushed.mkString("[", ", ", "]")}" +
       (if (limit >= 0) s", PushedLimit: $limit" else "") +
       agg.map(a => s", PushedAggregates: ${a.specs.map(s =>
@@ -590,7 +596,7 @@ class GavroScan(path: String, schemaName: String, required: StructType,
     * footers (a 12-byte tail read + the index) are all the planner touches. */
   override def planInputPartitions(): Array[InputPartition] = {
     val preds = pushed.map(GavroPred.from).toSeq
-    Gavro.listDataFiles(path, asOfCommit)
+    Gavro.listDataFiles(path, asOfCommit, sinceCommit)
       .flatMap(f => GavroSkip.planFile(f, preds))
       .map(p => p: InputPartition)
   }
@@ -1275,19 +1281,29 @@ object Gavro {
     * to the landing-zone need.
     */
   def listDataFiles(path: String,
-      asOfCommit: Option[String] = None): Array[java.io.File] = {
+      asOfCommit: Option[String] = None,
+      sinceCommit: Option[String] = None): Array[java.io.File] = {
     val d = new java.io.File(path)
     val all = Option(d.listFiles()).getOrElse(Array.empty)
       .filter(_.getName.endsWith(".gavro"))
     val commits = new java.io.File(d, CommitsDir)
     val visible =
       if (!commits.isDirectory) {
-        require(asOfCommit.isEmpty,
-          s"gavro: asOfCommit requires a $CommitsDir log at $path")
+        require(asOfCommit.isEmpty && sinceCommit.isEmpty,
+          s"gavro: asOfCommit/sinceCommit require a $CommitsDir log at $path")
         all
       } else {
+        // CHANGE FEED: `sinceCommit` excludes everything already visible
+        // at that commit, so (sinceCommit, asOfCommit] reads exactly the
+        // delta an incremental batch pipeline needs — "process only what
+        // landed since my last run" without a streaming checkpoint. The
+        // log is append-only (truncate clears it entirely), so the
+        // exclusion is a strict subset and both cuts ride the same
+        // compaction-horizon guards as time travel.
         val committed = committedNames(path, asOfCommit)
-        all.filter(f => committed.contains(f.getName))
+        val excluded = sinceCommit
+          .map(c => committedNames(path, Some(c))).getOrElse(Set.empty[String])
+        all.filter(f => committed.contains(f.getName) && !excluded(f.getName))
       }
     visible.sortBy(_.getName)
   }
@@ -1755,8 +1771,40 @@ object Gavro {
       .orderBy(col("endpoint"))
   }
 
+  /** The CHANGE FEED over the same two-commit archive as
+    * [[gavroAsofScan]]: `sinceCommit` = the first record, so the scan
+    * reads exactly the files the SECOND batch made visible (the odd-id
+    * half) — the incremental-pipeline primitive ("process only what
+    * landed since my last run") as a plain batch read, no streaming
+    * checkpoint. The oracle recomputes the odd-id half from `events`, so
+    * a hash match proves the delta is exactly batch 2: no re-reads of
+    * batch 1, no misses. */
+  def gavroChangeFeed(spark: SparkSession, sfDir: String): DataFrame = {
+    val events = Tables.events(spark, sfDir)
+    val frame = events.select(AvroCodec.requestLogRec.as("rec"))
+      .select(col("rec.*"))
+      .withColumn("created_at",
+        expr("timestamp_micros(unix_millis(created_at) * 1000)"))
+    val dir = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_gavro_asof_" + Integer.toHexString(sfDir.hashCode)).getAbsolutePath
+    frame.filter(pmod(col("id"), lit(2)) === 0).write.format("gavro")
+      .option("schema", "request_log").mode("overwrite").save(dir)
+    frame.filter(pmod(col("id"), lit(2)) === 1).write.format("gavro")
+      .option("schema", "request_log").mode("append").save(dir)
+    val firstCommit = logEntries(new java.io.File(dir, CommitsDir), ".commit")
+      .head.getName.stripSuffix(".commit")
+    spark.read.format("gavro").option("schema", "request_log")
+      .option("sinceCommit", firstCommit).load(dir)
+      .select(col("endpoint"), col("status_code"))
+      .groupBy(col("endpoint"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("status_code").cast("long")).as("sum_status"))
+      .orderBy(col("endpoint"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "gavro_scan" -> ((s, d) => gavroScan(s, d)),
+    "gavro_change_feed" -> ((s, d) => gavroChangeFeed(s, d)),
     "gavro_scan_pushdown" -> ((s, d) => gavroScanPushdown(s, d)),
     "gavro_agg_pushdown" -> ((s, d) => gavroAggPushdown(s, d)),
     "gavro_evolved_scan" -> ((s, d) => gavroEvolvedScan(s, d)),
@@ -1791,6 +1839,13 @@ object Gavro {
         |  0::BIGINT AS n_trace,
         |  count(CASE WHEN user_id % 11 = 0 THEN NULL ELSE user_id END) AS n_user_known
         |FROM events WHERE event_id % 7 <> 0
+        |GROUP BY 1 ORDER BY endpoint""".stripMargin,
+    // Change feed since the first commit = the odd-id batch, exactly.
+    "gavro_change_feed" ->
+      """SELECT '/api/' || event_type AS endpoint,
+        |  count(*) AS n,
+        |  sum(CASE WHEN event_id % 7 = 0 THEN 500 ELSE 200 END)::BIGINT AS sum_status
+        |FROM events WHERE event_id % 2 = 1
         |GROUP BY 1 ORDER BY endpoint""".stripMargin,
     // Time travel to the first commit = the even-id batch, exactly.
     "gavro_asof_scan" ->

@@ -890,6 +890,51 @@ class GavroSourceSpec extends SparkSpec {
     frame.unpersist()
   }
 
+  test("sinceCommit change feed reads exactly the delta and composes with asOfCommit") {
+    val out = tmpDir("changefeed")
+    def land(i: Int): String = {
+      val f = s"cf-$i.gavro"
+      new java.io.File(out, f).createNewFile()
+      Gavro.commitBatch(out, Seq(f))
+    }
+    val c = (0 until 4).map(land) // commits c(0)..c(3), one file each
+    def names(asOf: Option[String], since: Option[String]) =
+      Gavro.listDataFiles(out, asOf, since).map(_.getName).toSeq
+    // full delta since c1: files of c2 + c3
+    assert(names(None, Some(c(1))) == Seq("cf-2.gavro", "cf-3.gavro"))
+    // bounded window (c0, c2]: files of c1 + c2 — the "catch up from my
+    // last run to a pinned snapshot" read
+    assert(names(Some(c(2)), Some(c(0))) == Seq("cf-1.gavro", "cf-2.gavro"))
+    // empty delta when since == asOf
+    assert(names(Some(c(2)), Some(c(2))).isEmpty)
+    // a legacy (log-less) dir refuses the option instead of guessing
+    val legacy = tmpDir("changefeed_legacy")
+    new java.io.File(legacy, "x.gavro").createNewFile()
+    intercept[IllegalArgumentException] {
+      Gavro.listDataFiles(legacy, None, Some("0000000000-b"))
+    }
+    // and through the DSv2 read path: the two-batch archive's change feed
+    // since the first commit is exactly the second batch
+    val events = Tables.events(spark, dir)
+    val frame = events.select(AvroCodec.requestLogRec.as("rec"))
+      .select(col("rec.*"))
+      .withColumn("created_at",
+        expr("timestamp_micros(unix_millis(created_at) * 1000)"))
+    val arch = tmpDir("changefeed_arch")
+    frame.filter(pmod(col("id"), lit(2)) === 0).write.format("gavro")
+      .option("schema", "request_log").mode("overwrite").save(arch)
+    frame.filter(pmod(col("id"), lit(2)) === 1).write.format("gavro")
+      .option("schema", "request_log").mode("append").save(arch)
+    val first = new java.io.File(arch, Gavro.CommitsDir).listFiles()
+      .map(_.getName).filter(_.endsWith(".commit")).sorted
+      .head.stripSuffix(".commit")
+    val delta = spark.read.format("gavro").option("schema", "request_log")
+      .option("sinceCommit", first).load(arch)
+    val oddIds = frame.filter(pmod(col("id"), lit(2)) === 1)
+      .select(col("id")).collect().map(_.getLong(0)).toSet
+    assert(delta.select(col("id")).collect().map(_.getLong(0)).toSet == oddIds)
+  }
+
   test("commit records are put-if-absent; only an epoch replay may rewrite") {
     val out = tmpDir("putifabsent")
     new java.io.File(out, "a.gavro").createNewFile()

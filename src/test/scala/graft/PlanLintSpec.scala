@@ -65,6 +65,8 @@ class PlanLintSpec extends SparkSpec {
       "codebook assembly: group grain = (subspace, centroid), dim-bounded",
     "ann_ivfpq_topk" ->
       "PQ code assembly: collect_list per (vec_id) of exactly M=8 sub-codes",
+    "ann_ivfpq_rerank" ->
+      "same IVF-PQ core: collect_list per (vec_id) of exactly M=8 sub-codes",
   )
 
   /** Queries allowed a broadcast cross join whose build side is neither a

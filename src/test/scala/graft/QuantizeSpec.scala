@@ -84,6 +84,16 @@ class QuantizeSpec extends SparkSpec {
       val top = r1.find(t => t._1 == q && t._2 == 1L).get._3
       assert(top == q + 100000, s"query $q: planted twin not rank-1 (got $top)")
     }
+    // Two-stage refine: the exact re-rank keeps the twin at rank 1 (an
+    // exact metric can only sharpen the ADC ordering of the pool) and
+    // returns a full deterministic top-k per query.
+    val rr = Quantize.annIvfPqRerankTopK(corpus).collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("rnk"), r.getAs[Long]("vec_id")))
+    assert(rr.map(_._1).distinct.length == 5)
+    (0L until 5L).foreach { q =>
+      val top = rr.find(t => t._1 == q && t._2 == 1L).get._3
+      assert(top == q + 100000, s"rerank query $q: twin not rank-1 (got $top)")
+    }
     // Cell pruning really prunes: candidates scored per query are bounded
     // by the probed-cell population, strictly fewer than the full corpus
     // ADC scan (the structural claim that makes IVF-PQ sublinear; with
