@@ -290,12 +290,22 @@ object Quantize {
       .select(col("vec_id"), col("cell"),
         expr("zip_with(qv, cv, (a, b) -> a - b)").as("qv"))
       .persist()
-    // 3. PQ codebooks + codes over the residual space
+    // 3. PQ codebooks + codes over the residual space. The cell rides
+    //    the encode group key (functionally dependent on vec_id), so the
+    //    ADC stage needs no second corpus-wide join back to the cell map
+    //    — the plan audit showed that join as the only SortMergeJoin in
+    //    the pipeline.
     val books = pqCodebooksQ(resid.select(col("vec_id"), col("qv")))
-    val codes = pqEncodeQ(resid.select(col("vec_id"), col("qv")), books)
-      .select(col("vec_id"), posexplode(col("codes")))
-      .toDF("vec_id", "sub_idx", "code")
-      .join(cells.select(col("vec_id"), col("cell")), "vec_id")
+    val rsub = resid.select(col("vec_id"), col("cell"), posexplode(expr(
+        s"transform(sequence(0, ${M - 1}), m -> slice(qv, m * $SubDim + 1, $SubDim))")))
+      .toDF("vec_id", "cell", "sub_idx", "sv")
+    val codes = rsub.join(broadcast(books), "sub_idx")
+      .select(col("vec_id"), col("cell"), col("sub_idx"),
+        struct(d2("sv", "cv").as("d"), col("c_id")).as("sc"))
+      .groupBy(col("vec_id"), col("cell"), col("sub_idx"))
+      .agg(min(col("sc")).as("best"))
+      .select(col("vec_id"), col("cell"), col("sub_idx"),
+        col("best.c_id").as("code"))
     // 4. probes: the NProbe nearest cells per query, then the per-cell
     //    query residual and its broadcast ADC LUT (5·2·M·K rows)
     val probes = qemb.filter(col("vec_id") < NumQueries)
