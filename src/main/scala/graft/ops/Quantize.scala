@@ -225,7 +225,8 @@ object Quantize {
     */
   def annIvfPqTopK(embeddings: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val (scored, _) = ivfPqScored(embeddings)
+    val (scored, _) = ivfPqScored(
+      embeddings.select(col("vec_id"), col("embedding").as("v")))
     graft.plans.TopK.topKPerGroup(
         scored, Seq("q_id"), Seq("adist" -> true, "vec_id" -> true), TopK)
       .withColumn("rnk", row_number().over(
@@ -251,7 +252,8 @@ object Quantize {
     * hash-verified against the CTE unroll. */
   def annIvfPqRerankTopK(embeddings: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val (scored, qemb) = ivfPqScored(embeddings)
+    val (scored, qemb) = ivfPqScored(
+      embeddings.select(col("vec_id"), col("embedding").as("v")))
     val cand = graft.plans.TopK.topKPerGroup(
       scored, Seq("q_id"), Seq("adist" -> true, "vec_id" -> true), RerankCand)
     val queries = qemb.filter(col("vec_id") < NumQueries)
@@ -268,16 +270,51 @@ object Quantize {
       .orderBy(col("q_id"), col("rnk"))
   }
 
+  /** Delta ids live above this mark — "tonight's crawl batch". */
+  val DeltaBase = 200000L
+
+  /** INCREMENTAL index maintenance — the property that makes IVF-PQ
+    * operable at 100 TB: the quantizers are trained ONCE on the base
+    * corpus and FROZEN; a newly-arrived batch is folded in by pure
+    * per-row encoding (cell assignment + residual PQ codes against the
+    * frozen codebooks — one broadcast pass, no shuffle of the base, no
+    * retraining, no index rebuild). Here the delta is a planted
+    * perturbed twin of every 50th base vector (the re-crawled/updated
+    * document case); the search runs over the combined index and must
+    * surface the fresh twins. The training-set restriction is IN the
+    * oracle (`trainPred`), so the hash proves the delta never leaked
+    * into training — the exact invariant an incremental pipeline must
+    * hold to avoid daily recall drift. */
+  def annIvfPqIncrementalTopK(embeddings: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = embeddings.select(col("vec_id"),
+      expr("cast(embedding as array<double>)").as("v"))
+    val delta = embeddings.filter(pmod(col("vec_id"), lit(50)) === 0)
+      .select((col("vec_id") + DeltaBase).as("vec_id"),
+        expr("transform(cast(embedding as array<double>), (x, i) -> x + ((i % 7) - 3) / 1000d)")
+          .as("v"))
+    val (scored, _) = ivfPqScored(base.unionByName(delta),
+      trainPred = col("vec_id") < DeltaBase)
+    graft.plans.TopK.topKPerGroup(
+        scored, Seq("q_id"), Seq("adist" -> true, "vec_id" -> true), TopK)
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("q_id"))
+          .orderBy(col("adist").asc, col("vec_id").asc)).cast("long"))
+      .select(col("q_id"), col("rnk"), col("vec_id"))
+      .orderBy(col("q_id"), col("rnk"))
+  }
+
   /** The shared IVF-PQ pipeline through ADC scoring: returns (scored =
     * (q_id, vec_id, adist) over probed-cell candidates, qemb = the
     * quantized full-precision corpus for downstream exact stages). */
-  private def ivfPqScored(embeddings: DataFrame): (DataFrame, DataFrame) = {
+  private def ivfPqScored(emb0: DataFrame,
+      trainPred: Column = lit(true)): (DataFrame, DataFrame) = {
     import org.apache.spark.sql.expressions.Window
-    val emb = embeddings.select(col("vec_id"), col("embedding").as("v")).persist()
+    val emb = emb0.persist() // (vec_id, v)
     val qemb = emb.select(col("vec_id"), quantQv("v").as("qv"))
     // 1. coarse quantizer + cell assignment (argmin via struct-min: a
     //    map-side reduction, not an unpartitioned window)
-    val coarse = Similarity.kmeansCentroids(emb, k = CoarseK)
+    val coarse = Similarity.kmeansCentroids(emb.filter(trainPred), k = CoarseK)
     val cells = qemb.join(broadcast(coarse), lit(true))
       .select(col("vec_id"), col("qv"),
         struct(d2("qv", "cv").as("d"), col("c_id")).as("sc"))
@@ -295,7 +332,8 @@ object Quantize {
     //    ADC stage needs no second corpus-wide join back to the cell map
     //    — the plan audit showed that join as the only SortMergeJoin in
     //    the pipeline.
-    val books = pqCodebooksQ(resid.select(col("vec_id"), col("qv")))
+    val books = pqCodebooksQ(
+      resid.filter(trainPred).select(col("vec_id"), col("qv")))
     val rsub = resid.select(col("vec_id"), col("cell"), posexplode(expr(
         s"transform(sequence(0, ${M - 1}), m -> slice(qv, m * $SubDim + 1, $SubDim))")))
       .toDF("vec_id", "cell", "sub_idx", "sv")
@@ -429,7 +467,9 @@ object Quantize {
     * query residual LUTs, and the cell-pruned ADC follow. Everything is
     * integer arithmetic with deterministic tiebreaks, so the hash check
     * proves the whole index build + search, not a sample of it. */
-  private def ivfPqCoreSql: String = {
+  private def ivfPqCoreSql(
+      srcSql: String = "SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings",
+      trainPred: String = "TRUE"): String = {
     val rounds = (1 to 3).map { r =>
       val prev = s"pc${r - 1}"
       s"""pa$r AS (
@@ -450,18 +490,20 @@ object Quantize {
          |    ON nu.sub_idx = p.sub_idx AND nu.c_id = p.c_id
          |)""".stripMargin
     }.mkString(",\n")
-    s"""WITH src AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-       |${Similarity.kmeansSql("src")},
+    s"""WITH src AS ($srcSql),
+       |${Similarity.kmeansSql("src", trainPred)},
        |${Similarity.assignCellsSql},
        |res AS MATERIALIZED (
        |  SELECT a.vec_id, a.c_id AS cell,
        |    list_transform(range(1, ${Dim + 1}), i -> q.qv[i] - c.cv[i]) AS rv
        |  FROM assigned a JOIN qt q USING (vec_id) JOIN c3 c ON c.c_id = a.c_id
        |), rev AS (
-       |  SELECT greatest(1, (count(*) + 511) // 512)::BIGINT AS every FROM res
+       |  SELECT greatest(1, (count(*) + 511) // 512)::BIGINT AS every
+       |  FROM res WHERE $trainPred
        |), rsamp AS MATERIALIZED (
        |  SELECT vec_id, rv FROM res, rev
        |  WHERE ('0x' || substr(md5(vec_id::VARCHAR), 1, 15))::BIGINT % every = 0
+       |    AND ($trainPred)
        |), rsub AS (
        |  SELECT vec_id, m::INT AS sub_idx,
        |    list_slice(rv, m * $SubDim + 1, m * $SubDim + $SubDim) AS sv
@@ -516,7 +558,7 @@ object Quantize {
   }
 
   private def ivfPqSql: String =
-    s"""$ivfPqCoreSql,
+    s"""${ivfPqCoreSql()},
        |ranked AS (
        |  SELECT q_id, vec_id, (row_number() OVER (PARTITION BY q_id
        |    ORDER BY adist ASC, vec_id ASC))::BIGINT AS rnk
@@ -528,7 +570,7 @@ object Quantize {
   /** Two-stage oracle: the IVF-PQ candidate pool (top [[RerankCand]] by
     * ADC) re-ranked by EXACT full-dimension integer L2 against `qt`. */
   private def ivfPqRerankSql: String =
-    s"""$ivfPqCoreSql,
+    s"""${ivfPqCoreSql()},
        |cand AS (
        |  SELECT q_id, vec_id FROM (
        |    SELECT q_id, vec_id, row_number() OVER (PARTITION BY q_id
@@ -544,17 +586,41 @@ object Quantize {
        |SELECT q_id, rnk, vec_id FROM rr WHERE rnk <= $TopK
        |ORDER BY q_id, rnk""".stripMargin
 
+  /** Incremental oracle: the combined (base ∪ planted-delta) corpus with
+    * both quantizer trainings restricted to base ids — the CTE unroll of
+    * "frozen codebooks, delta encoded in". */
+  private def ivfPqIncrementalSql: String = {
+    val src =
+      s"""SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+         |  UNION ALL
+         |  SELECT vec_id + $DeltaBase,
+         |    list_transform(range(1, ${Dim + 1}),
+         |      i -> (embedding::DOUBLE[])[i] + (((i - 1) % 7) - 3) / 1000.0)
+         |  FROM embeddings WHERE vec_id % 50 = 0""".stripMargin
+    s"""${ivfPqCoreSql(src, s"vec_id < $DeltaBase")},
+       |ranked AS (
+       |  SELECT q_id, vec_id, (row_number() OVER (PARTITION BY q_id
+       |    ORDER BY adist ASC, vec_id ASC))::BIGINT AS rnk
+       |  FROM scored
+       |)
+       |SELECT q_id, rnk, vec_id FROM ranked WHERE rnk <= $TopK
+       |ORDER BY q_id, rnk""".stripMargin
+  }
+
   // ---------------------------------------------------------------- registry
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_pq_topk" -> ((s, d) => annPqTopK(Tables.embeddings(s, d))),
     "ann_ivfpq_topk" -> ((s, d) => annIvfPqTopK(Tables.embeddings(s, d))),
     "ann_ivfpq_rerank" -> ((s, d) => annIvfPqRerankTopK(Tables.embeddings(s, d))),
+    "ann_ivfpq_incremental" -> ((s, d) =>
+      annIvfPqIncrementalTopK(Tables.embeddings(s, d))),
   )
 
   def oracleSql: Map[String, String] = Map(
     "ann_pq_topk" -> pqSql,
     "ann_ivfpq_topk" -> ivfPqSql,
     "ann_ivfpq_rerank" -> ivfPqRerankSql,
+    "ann_ivfpq_incremental" -> ivfPqIncrementalSql,
   )
 }

@@ -748,7 +748,7 @@ object Similarity {
     * (the trained centroid table). Every step is exact integer
     * arithmetic, so equality with the Spark recursion is bit-exact.
     */
-  private[ops] def kmeansSql(src: String): String = {
+  private[ops] def kmeansSql(src: String, trainPred: String = "TRUE"): String = {
     val rounds = (1 to 3).map { r =>
       val prev = s"c${r - 1}"
       s"""a$r AS (
@@ -771,10 +771,12 @@ object Similarity {
        |  SELECT vec_id, list_transform(v, x -> floor($QScale * x)::BIGINT) AS qv
        |  FROM $src
        |), ev AS (
-       |  SELECT greatest(1, (count(*) + 511) // 512)::BIGINT AS every FROM qt
+       |  SELECT greatest(1, (count(*) + 511) // 512)::BIGINT AS every
+       |  FROM qt WHERE $trainPred
        |), samp AS MATERIALIZED (
        |  SELECT vec_id, qv FROM qt, ev
        |  WHERE ('0x' || substr(md5(vec_id::VARCHAR), 1, 15))::BIGINT % every = 0
+       |    AND ($trainPred)
        |), c0 AS (
        |  SELECT c_id, cv FROM (
        |    SELECT (row_number() OVER (ORDER BY md5(vec_id::VARCHAR)))::INT AS c_id,

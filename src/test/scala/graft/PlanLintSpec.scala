@@ -67,6 +67,8 @@ class PlanLintSpec extends SparkSpec {
       "PQ code assembly: collect_list per (vec_id) of exactly M=8 sub-codes",
     "ann_ivfpq_rerank" ->
       "same IVF-PQ core: collect_list per (vec_id) of exactly M=8 sub-codes",
+    "ann_ivfpq_incremental" ->
+      "same IVF-PQ core: collect_list per (vec_id) of exactly M=8 sub-codes",
   )
 
   /** Queries allowed a broadcast cross join whose build side is neither a

@@ -94,6 +94,18 @@ class QuantizeSpec extends SparkSpec {
       val top = rr.find(t => t._1 == q && t._2 == 1L).get._3
       assert(top == q + 100000, s"rerank query $q: twin not rank-1 (got $top)")
     }
+    // Incremental maintenance: the frozen-codebook delta encode surfaces
+    // the freshly-planted twin of query 0 (the only query id divisible
+    // by 50 — the only one with a delta twin) at rank 1, proving new
+    // vectors are findable without retraining; deterministic on re-run.
+    val inc1 = Quantize.annIvfPqIncrementalTopK(emb).collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("rnk"), r.getAs[Long]("vec_id")))
+    val inc2 = Quantize.annIvfPqIncrementalTopK(emb).collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("rnk"), r.getAs[Long]("vec_id")))
+    assert(inc1.sameElements(inc2))
+    assert(inc1.count(t => t._1 == 0L && t._2 == 1L &&
+      t._3 == Quantize.DeltaBase) == 1,
+      s"delta twin of query 0 not rank-1: ${inc1.filter(_._1 == 0L).toSeq}")
     // Cell pruning really prunes: candidates scored per query are bounded
     // by the probed-cell population, strictly fewer than the full corpus
     // ADC scan (the structural claim that makes IVF-PQ sublinear; with
