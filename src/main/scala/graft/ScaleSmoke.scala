@@ -62,6 +62,9 @@ object ScaleSmoke {
     println(s"embeddings: ${embCorpus.count()} vectors")
     t("ann_pq_topk") { graft.ops.Quantize.annPqTopK(embCorpus) }
     t("ann_ivfpq_topk") { graft.ops.Quantize.annIvfPqTopK(embCorpus) }
+    t("ann_ivfpq_rerank") { graft.ops.Quantize.annIvfPqRerankTopK(embCorpus) }
+    t("ann_ivfpq_incremental") {
+      graft.ops.Quantize.annIvfPqIncrementalTopK(embCorpus) }
 
     // ANALYZE cost: the histogram's two extra full-column passes
     // (percentile edges + value-grain per-bin NDV) measured against the
