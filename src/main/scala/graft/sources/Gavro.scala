@@ -1460,6 +1460,150 @@ object Gavro {
     dead.map(_.getName).sorted.toSeq
   }
 
+  /** Default OPTIMIZE bin target. 64 MB merges a landing zone's drizzle
+    * of per-epoch files into scan-efficient units while staying well
+    * under a single task's comfortable input. */
+  val OptimizeTargetBytes: Long = 64L << 20
+
+  private def statLt(tpe: Byte, a: Any, b: Any): Boolean = tpe match {
+    case 0 | 4 => a.asInstanceOf[Number].longValue < b.asInstanceOf[Number].longValue
+    case 1 => a.asInstanceOf[Double] < b.asInstanceOf[Double]
+    case 2 => a.toString < b.toString
+    case 3 => !a.asInstanceOf[Boolean] && b.asInstanceOf[Boolean]
+  }
+
+  /** OPTIMIZE — bin-pack small committed data files into larger ones (the
+    * landing-zone small-files problem: a streaming sink dripping one file
+    * per 10 s epoch writes ~8.6k files/day, and at 100 TB every reader
+    * pays the per-file open/footer cost). The merge is a RAW
+    * byte-section copy — records are never decoded; the merged footer's
+    * block index is the concatenation of the inputs' with shifted
+    * offsets, per-block stats carried over, and per-file min/max folded —
+    * so block splitting and two-level skipping work on the merged file
+    * exactly as before (same design as parquet row-group concatenation).
+    *
+    * Atomicity rides the commit log's checkpoint mechanism: the merged
+    * files publish invisibly, then ONE checkpoint lands (atomic move) at
+    * a fresh sequence whose content is the post-optimize live set —
+    * readers resolve either the old snapshot or the new one, never both
+    * (a commit RECORD could not express this: records are additive
+    * deltas, and naming the merged files in one would double-count until
+    * the old files vanished). `compactLog` then retires the superseded
+    * records, so time travel below the optimize point is the explicit
+    * compaction-horizon error — never a silently-wrong snapshot — and
+    * the absorbed files are deleted. A crash at any step leaves either
+    * the old snapshot intact (orphaned merged files for vacuum) or the
+    * new snapshot fully live.
+    *
+    * Only files WITH a valid footer participate: a footer-less file has
+    * no trusted record boundary, and concatenating a torn tail would
+    * desync the following frames. Files of different block codecs merge
+    * into separate bins (offsets are codec-specific file positions).
+    * Returns the merged file names (empty = nothing worth merging). */
+  def optimize(path: String,
+      targetBytes: Long = OptimizeTargetBytes): Seq[String] = {
+    val d = new java.io.File(path)
+    val commits = new java.io.File(d, CommitsDir)
+    require(commits.isDirectory,
+      s"gavro: optimize requires a $CommitsDir log at $path")
+    val live = listDataFiles(path)
+    val metas = live.map(f => f -> GavroFooter.read(f))
+    val candidates = metas.filter { case (f, m) =>
+      m.dataEnd < f.length() && f.length() < targetBytes }
+    val merged = scala.collection.mutable.ArrayBuffer.empty[String]
+    val absorbed = scala.collection.mutable.ArrayBuffer.empty[java.io.File]
+    candidates.groupBy(_._2.codec).toSeq.sortBy(_._1).foreach {
+      case (codec, group) =>
+        var bin = Vector.empty[(java.io.File, GavroFileMeta)]
+        var binBytes = 0L
+        def flush(): Unit = {
+          if (bin.length >= 2) {
+            merged += mergeBin(d, bin, codec)
+            absorbed ++= bin.map(_._1)
+          }
+          bin = Vector.empty; binBytes = 0L
+        }
+        group.sortBy(_._1.getName).foreach { case (f, m) =>
+          if (bin.nonEmpty && binBytes + m.dataEnd > targetBytes) flush()
+          bin :+= ((f, m)); binBytes += m.dataEnd
+        }
+        flush()
+    }
+    if (merged.isEmpty) return Seq.empty
+    val gone = absorbed.map(_.getName).toSet
+    val newLive = (live.map(_.getName).filterNot(gone) ++ merged).sorted
+    // the atomic swap: one checkpoint at a fresh sequence = the new live set
+    val cpName = f"${nextCommitSeq(path)}%010d-o"
+    val tmp = java.io.File.createTempFile(s".$cpName", ".tmp", commits)
+    java.nio.file.Files.writeString(tmp.toPath, newLive.mkString("\n"))
+    java.nio.file.Files.move(tmp.toPath,
+      new java.io.File(commits, s"$cpName.checkpoint").toPath,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    compactLog(path)
+    absorbed.foreach(_.delete())
+    merged.sorted.toSeq
+  }
+
+  /** Merge one bin: copy each input's data section raw, emit a footer
+    * with shifted block offsets, carried block stats, and folded file
+    * stats; publish put-if-absent on the next part index. */
+  private def mergeBin(d: java.io.File,
+      bin: Seq[(java.io.File, GavroFileMeta)], codec: Byte): String = {
+    val tmp = java.io.File.createTempFile(".optimize", ".gavro.tmp", d)
+    val out = new java.io.BufferedOutputStream(new java.io.FileOutputStream(tmp))
+    val blocks = scala.collection.mutable.ArrayBuffer.empty[Long]
+    var shift = 0L
+    try {
+      bin.foreach { case (f, m) =>
+        val in = new java.io.FileInputStream(f)
+        try {
+          var remaining = m.dataEnd
+          val buf = new Array[Byte](1 << 16)
+          while (remaining > 0) {
+            val n = in.read(buf, 0, math.min(buf.length.toLong, remaining).toInt)
+            require(n > 0, s"gavro optimize: truncated read of $f")
+            out.write(buf, 0, n); remaining -= n
+          }
+        } finally in.close()
+        blocks ++= m.blocks.map(_ + shift)
+        shift += m.dataEnd
+      }
+      // per-file stats: fold min/max over columns present in EVERY input
+      // (a column absent somewhere — e.g. all-null in that file — drops
+      // out; skipping just gets conservative for it)
+      val shared = bin.map(_._2.stats.keySet).reduce(_ intersect _)
+      val stats = shared.toSeq.sorted.map { c =>
+        val ss = bin.map(_._2.stats(c))
+        val tpe = ss.head.tpe
+        c -> GavroColStat(tpe,
+          ss.map(_.min).reduce((a, b) => if (statLt(tpe, a, b)) a else b),
+          ss.map(_.max).reduce((a, b) => if (statLt(tpe, a, b)) b else a))
+      }
+      val blockStats: Seq[Seq[(String, GavroColStat)]] =
+        if (bin.forall(b => b._2.blockStats.length == b._2.blocks.length))
+          bin.flatMap(_._2.blockStats.map(_.toSeq.sortBy(_._1)))
+        else Seq.empty
+      GavroFooter.write(out, blocks.toSeq, stats, blockStats, codec)
+    } finally out.close()
+    // publish: hard-link put-if-absent on the next sequential part index
+    var landed: Option[String] = None
+    while (landed.isEmpty) {
+      val idx = Option(d.listFiles()).getOrElse(Array.empty)
+        .map(_.getName).filter(n => n.startsWith("part-") && n.endsWith(".gavro"))
+        .flatMap(n => n.stripPrefix("part-").stripSuffix(".gavro").toIntOption)
+        .foldLeft(-1)(math.max) + 1
+      val dst = new java.io.File(d, f"part-$idx%05d.gavro")
+      try {
+        java.nio.file.Files.createLink(dst.toPath, tmp.toPath)
+        tmp.delete()
+        landed = Some(dst.getName)
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException => ()
+      }
+    }
+    landed.get
+  }
+
   /** Retention grace for [[vacuum]]: an IN-FLIGHT job's files look
     * exactly like a crashed job's (task temps; published-but-not-yet-
     * committed data files in the rename→commit-record window), so vacuum
@@ -1802,8 +1946,34 @@ object Gavro {
       .orderBy(col("endpoint"))
   }
 
+  /** The archive landed as EIGHT small files, bin-packed by [[optimize]]
+    * into one, then scanned: the oracle recomputes the same aggregate
+    * from `events`, so a hash match proves the raw byte-section merge +
+    * footer rebuild is lossless — every record survives exactly once
+    * through the rewrite, and the post-optimize snapshot is the whole
+    * dataset. */
+  def gavroOptimizeScan(spark: SparkSession, sfDir: String): DataFrame = {
+    val events = Tables.events(spark, sfDir)
+    val dir = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_gavro_opt_" + Integer.toHexString(sfDir.hashCode)).getAbsolutePath
+    write(events.repartition(8)
+      .select(AvroCodec.requestLogRec.as("rec"))
+      .select(expr("to_avro_graft(rec, 'request_log')").as("bin"),
+        col("rec.endpoint").as("endpoint"),
+        col("rec.status_code").as("status_code")), dir,
+      statCols = Seq("endpoint", "status_code"))
+    optimize(dir)
+    spark.read.format("gavro").option("schema", "request_log").load(dir)
+      .select(col("endpoint"), col("status_code"))
+      .groupBy(col("endpoint"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("status_code").cast("long")).as("sum_status"))
+      .orderBy(col("endpoint"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "gavro_scan" -> ((s, d) => gavroScan(s, d)),
+    "gavro_optimize_scan" -> ((s, d) => gavroOptimizeScan(s, d)),
     "gavro_change_feed" -> ((s, d) => gavroChangeFeed(s, d)),
     "gavro_scan_pushdown" -> ((s, d) => gavroScanPushdown(s, d)),
     "gavro_agg_pushdown" -> ((s, d) => gavroAggPushdown(s, d)),
@@ -1840,6 +2010,12 @@ object Gavro {
         |  count(CASE WHEN user_id % 11 = 0 THEN NULL ELSE user_id END) AS n_user_known
         |FROM events WHERE event_id % 7 <> 0
         |GROUP BY 1 ORDER BY endpoint""".stripMargin,
+    // Post-optimize snapshot = the whole dataset, exactly once.
+    "gavro_optimize_scan" ->
+      """SELECT '/api/' || event_type AS endpoint,
+        |  count(*) AS n,
+        |  sum(CASE WHEN event_id % 7 = 0 THEN 500 ELSE 200 END)::BIGINT AS sum_status
+        |FROM events GROUP BY 1 ORDER BY endpoint""".stripMargin,
     // Change feed since the first commit = the odd-id batch, exactly.
     "gavro_change_feed" ->
       """SELECT '/api/' || event_type AS endpoint,

@@ -890,6 +890,89 @@ class GavroSourceSpec extends SparkSpec {
     frame.unpersist()
   }
 
+  test("optimize bin-packs small files losslessly and swaps the snapshot atomically") {
+    val out = tmpDir("optimize")
+    val events = Tables.events(spark, dir)
+    Gavro.write(events.repartition(6)
+      .select(AvroCodec.requestLogRec.as("rec"))
+      .select(expr("to_avro_graft(rec, 'request_log')").as("bin"),
+        col("rec.endpoint").as("endpoint"),
+        col("rec.status_code").as("status_code")), out,
+      statCols = Seq("endpoint", "status_code"))
+    def files() = new java.io.File(out).listFiles()
+      .map(_.getName).filter(_.endsWith(".gavro")).sorted.toSeq
+    assert(files().length == 6)
+    val before = spark.read.format("gavro")
+      .option("schema", "request_log").load(out)
+      .collect().map(_.toString).sorted.toSeq
+    val preMetas = Gavro.listDataFiles(out).map(f =>
+      f.getName -> graft.sources.GavroFooter.read(f)).toMap
+    val firstCommit = new java.io.File(out, Gavro.CommitsDir).listFiles()
+      .map(_.getName).filter(_.endsWith(".commit")).sorted
+      .head.stripSuffix(".commit")
+
+    val merged = Gavro.optimize(out)
+    assert(merged.length == 1, merged)
+    // absorbed files gone; only the merged file remains on disk and live
+    assert(files() == merged)
+    assert(Gavro.listDataFiles(out).map(_.getName).toSeq == merged)
+    // lossless: identical row set through the raw byte merge
+    val after = spark.read.format("gavro")
+      .option("schema", "request_log").load(out)
+      .collect().map(_.toString).sorted.toSeq
+    assert(after == before, "optimize changed the data")
+    // the merged footer concatenates the inputs' block indexes (shifted)
+    // and folds their stats — splitting and skipping survive the rewrite
+    val m = graft.sources.GavroFooter.read(
+      new java.io.File(out, merged.head))
+    assert(m.blocks.length == preMetas.values.map(_.blocks.length).sum)
+    assert(m.dataEnd == preMetas.values.map(_.dataEnd).sum)
+    // folded per-file stats: min of mins / max of maxs, per column
+    assert(m.stats("endpoint").min ==
+      preMetas.values.map(_.stats("endpoint").min.toString).min)
+    assert(m.stats("endpoint").max ==
+      preMetas.values.map(_.stats("endpoint").max.toString).max)
+    assert(m.stats("status_code").min.asInstanceOf[Number].longValue ==
+      preMetas.values.map(_.stats("status_code").min.asInstanceOf[Number].longValue).min)
+    assert(m.stats("status_code").max.asInstanceOf[Number].longValue ==
+      preMetas.values.map(_.stats("status_code").max.asInstanceOf[Number].longValue).max)
+    // pre-optimize time travel is now an EXPLICIT horizon error, never a
+    // silently-partial snapshot (the absorbed files are gone)
+    val err = intercept[IllegalArgumentException] {
+      Gavro.listDataFiles(out, Some(firstCommit))
+    }
+    assert(err.getMessage.contains("compaction") ||
+      err.getMessage.contains("compacted"), err.getMessage)
+    // appends after optimize compose: the log continues past the swap
+    val extra = new java.io.File(out, "extra-00000.gavro")
+    java.nio.file.Files.copy(
+      new java.io.File(out, merged.head).toPath, extra.toPath)
+    Gavro.commitBatch(out, Seq(extra.getName))
+    assert(Gavro.listDataFiles(out).map(_.getName).toSeq ==
+      (merged :+ extra.getName).sorted)
+    // vacuum after the swap reaps nothing committed
+    assert(Gavro.vacuum(out, graceMs = 0L).isEmpty)
+  }
+
+  test("optimize leaves footer-less files and already-large files alone") {
+    val out = tmpDir("optimize_skip")
+    val events = Tables.events(spark, dir)
+    Gavro.write(events.repartition(3)
+      .select(AvroCodec.requestLogRec.as("rec"))
+      .select(expr("to_avro_graft(rec, 'request_log')").as("bin")), out)
+    // plant a footer-less (torn) file and commit it: no trusted record
+    // boundary, so optimize must not absorb it
+    val torn = new java.io.File(out, "torn-00000.gavro")
+    java.nio.file.Files.write(torn.toPath, Array[Byte](0, 0, 0, 2, 1))
+    Gavro.commitBatch(out, Seq(torn.getName))
+    val merged = Gavro.optimize(out)
+    assert(merged.length == 1)
+    val live = Gavro.listDataFiles(out).map(_.getName).toSeq
+    assert(live.contains(torn.getName) && live.length == 2, live)
+    // a second optimize finds a single small file + the torn one: no bins
+    assert(Gavro.optimize(out).isEmpty)
+  }
+
   test("sinceCommit change feed reads exactly the delta and composes with asOfCommit") {
     val out = tmpDir("changefeed")
     def land(i: Int): String = {
