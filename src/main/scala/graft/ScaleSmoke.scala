@@ -28,7 +28,45 @@ object ScaleSmoke {
     if (section == "containment") containmentSection(spark, replicas)
     if (section == "leakage") leakageSection(spark, replicas)
     if (section == "round10") round10Section(spark, replicas)
+    if (section == "optimize") optimizeSection(spark, replicas)
     spark.stop()
+  }
+
+  /** OPTIMIZE read-path claim at replica volume: the same archive as 64
+    * small files vs the bin-packed layout — scan wall time must not
+    * regress and the file count collapses; the rewrite itself is a raw
+    * byte copy and should be IO-bound, far cheaper than a decode-based
+    * rewrite. */
+  private def optimizeSection(spark: SparkSession, replicas: Int): Unit = {
+    val evBase = graft.sources.Tables.events(spark, "/root/testdata/sf0.1")
+    val evCorpus = evBase.crossJoin(spark.range(replicas).toDF("rep"))
+      .withColumn("event_id", col("event_id") * replicas + col("rep"))
+      .withColumn("user_id", col("user_id") * replicas + col("rep"))
+      .drop("rep").localCheckpoint(true)
+    println(s"events: ${evCorpus.count()} rows (${replicas}x sf0.1)")
+    val dir = java.nio.file.Files.createTempDirectory("smoke-optimize").toString
+    graft.sources.Gavro.write(evCorpus.repartition(64)
+      .select(graft.sources.AvroCodec.requestLogRec.as("rec"))
+      .select(expr("to_avro_graft(rec, 'request_log')").as("bin"),
+        col("rec.endpoint").as("endpoint"),
+        col("rec.status_code").as("status_code")), dir,
+      statCols = Seq("endpoint", "status_code"))
+    def scan() = spark.read.format("gavro")
+      .option("schema", "request_log").load(dir)
+      .groupBy(col("endpoint")).agg(count(lit(1)).as("n"))
+    def timed(name: String)(body: => Unit): Unit = {
+      val t0 = System.nanoTime()
+      body
+      println(f"$name%-26s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+    }
+    timed("gavro_scan_64_files") {
+      scan().write.format("noop").mode("overwrite").save() }
+    var merged: Seq[String] = Seq.empty
+    timed("gavro_optimize") { merged = graft.sources.Gavro.optimize(dir) }
+    println(s"merged into ${merged.length} file(s); live = " +
+      graft.sources.Gavro.listDataFiles(dir).length)
+    timed("gavro_scan_optimized") {
+      scan().write.format("noop").mode("overwrite").save() }
   }
 
   /** Round-10 additions: real PNG decode at replica volume (is the
