@@ -287,6 +287,14 @@ object Quantize {
     * hold to avoid daily recall drift. */
   def annIvfPqIncrementalTopK(embeddings: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // Fail fast instead of silently colliding: a base id at-or-above the
+    // delta mark would (a) be excluded from training by trainPred and
+    // (b) collide with a planted delta id, feeding duplicate vec_ids
+    // into the groupBy/first aggregation nondeterministically.
+    val maxId = embeddings.agg(max(col("vec_id"))).head.getLong(0)
+    require(maxId < DeltaBase,
+      s"annIvfPqIncrementalTopK: corpus vec_ids reach $maxId — raise " +
+        s"DeltaBase (currently $DeltaBase) above the id domain")
     val base = embeddings.select(col("vec_id"),
       expr("cast(embedding as array<double>)").as("v"))
     val delta = embeddings.filter(pmod(col("vec_id"), lit(50)) === 0)

@@ -606,10 +606,17 @@ class GavroScan(path: String, schemaName: String, required: StructType,
   override def supportedCustomMetrics(): Array[CustomMetric] =
     Array(new GavroMetrics.Records, new GavroMetrics.Corrupt)
   override def toMicroBatchStream(checkpointLocation: String)
-      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
+    // Batch-only options must not be silently dropped: a stream's
+    // position is its checkpoint, and a snapshot pin makes no sense for
+    // an unbounded tail.
+    require(sinceCommit.isEmpty && asOfCommit.isEmpty,
+      "gavro: sinceCommit/asOfCommit are batch read options — a stream's " +
+        "position is tracked by its checkpoint")
     new GavroMicroBatchStream(path, schemaName, required.fieldNames,
       pushed.map(GavroPred.from), readerJson,
       maxFilesPerTrigger, maxBytesPerTrigger)
+  }
 }
 
 /** Streaming offset = how many files (in name order) have been consumed.
@@ -1488,12 +1495,24 @@ object Gavro {
     * readers resolve either the old snapshot or the new one, never both
     * (a commit RECORD could not express this: records are additive
     * deltas, and naming the merged files in one would double-count until
-    * the old files vanished). `compactLog` then retires the superseded
-    * records, so time travel below the optimize point is the explicit
-    * compaction-horizon error — never a silently-wrong snapshot — and
-    * the absorbed files are deleted. A crash at any step leaves either
-    * the old snapshot intact (orphaned merged files for vacuum) or the
-    * new snapshot fully live.
+    * the old files vanished). CONCURRENT WRITERS are reconciled before
+    * anything is retired: any commit record at-or-below the checkpoint's
+    * sequence that landed while the merge was copying (the merge can take
+    * minutes on a big backlog) has its files folded into the checkpoint
+    * — atomic replace, looped to a fixed point — so no writer's commit is
+    * ever silently orphaned. Only then does `compactLog` retire the
+    * superseded records, and superseded CHECKPOINTS are removed with
+    * them: a pre-optimize cut (record OR checkpoint name) is the explicit
+    * compaction-horizon error, never a silently-partial snapshot (the
+    * absorbed files' bytes live only in the merged files now).
+    *
+    * The absorbed files are NOT deleted inline: a long-running reader may
+    * have planned its scan from the pre-optimize snapshot, and yanking
+    * its inputs mid-scan fails the query — the same in-flight reasoning
+    * as [[VacuumGraceMs]]. Post-swap they are uncommitted orphans, and
+    * the next [[vacuum]] reclaims them after the grace window. A crash at
+    * any step leaves either the old snapshot intact (orphaned merged
+    * files for vacuum) or the new snapshot fully live.
     *
     * Only files WITH a valid footer participate: a footer-less file has
     * no trusted record boundary, and concatenating a torn tail would
@@ -1531,16 +1550,55 @@ object Gavro {
     }
     if (merged.isEmpty) return Seq.empty
     val gone = absorbed.map(_.getName).toSet
-    val newLive = (live.map(_.getName).filterNot(gone) ++ merged).sorted
-    // the atomic swap: one checkpoint at a fresh sequence = the new live set
+    // The atomic swap: one checkpoint at a fresh sequence = the new live
+    // set. Content is computed from the CURRENT committed state (commits
+    // may have landed during the byte copy), minus the absorbed names,
+    // plus the merged files.
+    def swapContent(): Seq[String] =
+      ((committedNames(path, None) -- gone) ++ merged).toSeq.sorted
     val cpName = f"${nextCommitSeq(path)}%010d-o"
-    val tmp = java.io.File.createTempFile(s".$cpName", ".tmp", commits)
-    java.nio.file.Files.writeString(tmp.toPath, newLive.mkString("\n"))
-    java.nio.file.Files.move(tmp.toPath,
-      new java.io.File(commits, s"$cpName.checkpoint").toPath,
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-    compactLog(path)
-    absorbed.foreach(_.delete())
+    val dst = new java.io.File(commits, s"$cpName.checkpoint")
+    def landCp(content: Seq[String]): Unit = {
+      val tmp = java.io.File.createTempFile(s".$cpName", ".tmp", commits)
+      java.nio.file.Files.writeString(tmp.toPath, content.mkString("\n"))
+      java.nio.file.Files.move(tmp.toPath, dst.toPath,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
+    var content = swapContent()
+    landCp(content)
+    // Reconcile-then-retire loop. A writer that allocated a sequence
+    // at-or-below cpName before the checkpoint landed can still land its
+    // record afterwards; such a record would sit below the new base and
+    // be invisible. Each iteration (a) folds any not-yet-covered files
+    // from records <= cpName into the checkpoint (atomic replace), and
+    // (b) deletes ONLY the records it has verified folded — never a
+    // blind list-then-delete, so no concurrent commit is ever retired
+    // unfolded. Terminates: once the checkpoint exists, new sequence
+    // allocations are > cpName, so the set of writers able to land below
+    // it is the finite in-flight set at swap time.
+    var retired = false
+    while (!retired) {
+      val below = logEntries(commits, ".commit")
+        .filter(_.getName.stripSuffix(".commit") <= cpName)
+      val missing = below.flatMap(readNames).toSet -- gone -- content.toSet
+      if (missing.nonEmpty) {
+        content = (content.toSet ++ missing).toSeq.sorted
+        landCp(content)
+      } else {
+        below.foreach(_.delete())
+        retired = logEntries(commits, ".commit")
+          .forall(_.getName.stripSuffix(".commit") > cpName)
+      }
+    }
+    // Superseded checkpoints go with their records: their named files may
+    // now exist only inside the merged files, and a silently-partial
+    // time-travel snapshot is worse than the explicit horizon error.
+    logEntries(commits, ".checkpoint")
+      .filter(_.getName.stripSuffix(".checkpoint") < cpName)
+      .foreach(_.delete())
+    // absorbed files stay on disk for in-flight readers; they are
+    // uncommitted now and the next vacuum() reclaims them post-grace
     merged.sorted.toSeq
   }
 
@@ -1892,7 +1950,11 @@ object Gavro {
     * travel reproduces exactly the first batch's snapshot, no more, no
     * less. Overwrite-then-append makes the build idempotent and the first
     * record's name deterministic. */
-  def gavroAsofScan(spark: SparkSession, sfDir: String): DataFrame = {
+  /** Build (idempotently, per sf-dir) the two-commit archive both
+    * time-travel queries read: batch 1 = even ids (overwrite), batch 2 =
+    * odd ids (append). Returns (dir, firstCommitName). */
+  private def twoCommitArchive(spark: SparkSession,
+      sfDir: String): (String, String) = {
     val events = Tables.events(spark, sfDir)
     val frame = events.select(AvroCodec.requestLogRec.as("rec"))
       .select(col("rec.*"))
@@ -1906,6 +1968,11 @@ object Gavro {
       .option("schema", "request_log").mode("append").save(dir)
     val firstCommit = logEntries(new java.io.File(dir, CommitsDir), ".commit")
       .head.getName.stripSuffix(".commit")
+    (dir, firstCommit)
+  }
+
+  def gavroAsofScan(spark: SparkSession, sfDir: String): DataFrame = {
+    val (dir, firstCommit) = twoCommitArchive(spark, sfDir)
     spark.read.format("gavro").option("schema", "request_log")
       .option("asOfCommit", firstCommit).load(dir)
       .select(col("endpoint"), col("status_code"))
@@ -1924,19 +1991,7 @@ object Gavro {
     * a hash match proves the delta is exactly batch 2: no re-reads of
     * batch 1, no misses. */
   def gavroChangeFeed(spark: SparkSession, sfDir: String): DataFrame = {
-    val events = Tables.events(spark, sfDir)
-    val frame = events.select(AvroCodec.requestLogRec.as("rec"))
-      .select(col("rec.*"))
-      .withColumn("created_at",
-        expr("timestamp_micros(unix_millis(created_at) * 1000)"))
-    val dir = new java.io.File(System.getProperty("java.io.tmpdir"),
-      "graft_gavro_asof_" + Integer.toHexString(sfDir.hashCode)).getAbsolutePath
-    frame.filter(pmod(col("id"), lit(2)) === 0).write.format("gavro")
-      .option("schema", "request_log").mode("overwrite").save(dir)
-    frame.filter(pmod(col("id"), lit(2)) === 1).write.format("gavro")
-      .option("schema", "request_log").mode("append").save(dir)
-    val firstCommit = logEntries(new java.io.File(dir, CommitsDir), ".commit")
-      .head.getName.stripSuffix(".commit")
+    val (dir, firstCommit) = twoCommitArchive(spark, sfDir)
     spark.read.format("gavro").option("schema", "request_log")
       .option("sinceCommit", firstCommit).load(dir)
       .select(col("endpoint"), col("status_code"))

@@ -910,12 +910,19 @@ class GavroSourceSpec extends SparkSpec {
     val firstCommit = new java.io.File(out, Gavro.CommitsDir).listFiles()
       .map(_.getName).filter(_.endsWith(".commit")).sorted
       .head.stripSuffix(".commit")
+    // a pre-optimize checkpoint: optimize must retire it (its named
+    // files' bytes will live only inside the merged file)
+    val oldCp = Gavro.checkpoint(out).get
 
     val merged = Gavro.optimize(out)
     assert(merged.length == 1, merged)
-    // absorbed files gone; only the merged file remains on disk and live
-    assert(files() == merged)
+    // the LIVE set is only the merged file, but the absorbed files stay
+    // on disk for in-flight readers (uncommitted now — vacuum's job)...
     assert(Gavro.listDataFiles(out).map(_.getName).toSeq == merged)
+    assert(files().length == 7, files()) // 6 absorbed + 1 merged
+    // ...and a zero-grace vacuum reclaims exactly the absorbed six
+    assert(Gavro.vacuum(out, graceMs = 0L).length == 6)
+    assert(files() == merged)
     // lossless: identical row set through the raw byte merge
     val after = spark.read.format("gavro")
       .option("schema", "request_log").load(out)
@@ -937,12 +944,21 @@ class GavroSourceSpec extends SparkSpec {
     assert(m.stats("status_code").max.asInstanceOf[Number].longValue ==
       preMetas.values.map(_.stats("status_code").max.asInstanceOf[Number].longValue).max)
     // pre-optimize time travel is now an EXPLICIT horizon error, never a
-    // silently-partial snapshot (the absorbed files are gone)
+    // silently-partial snapshot — for a retired RECORD cut...
     val err = intercept[IllegalArgumentException] {
       Gavro.listDataFiles(out, Some(firstCommit))
     }
     assert(err.getMessage.contains("compaction") ||
       err.getMessage.contains("compacted"), err.getMessage)
+    // ...AND for a retired pre-optimize CHECKPOINT cut (the silently-
+    // partial case: its named files no longer exist standalone)
+    intercept[IllegalArgumentException] {
+      Gavro.listDataFiles(out, Some(oldCp))
+    }
+    // same guard through the change-feed exclusion path
+    intercept[IllegalArgumentException] {
+      Gavro.listDataFiles(out, None, Some(oldCp))
+    }
     // appends after optimize compose: the log continues past the swap
     val extra = new java.io.File(out, "extra-00000.gavro")
     java.nio.file.Files.copy(

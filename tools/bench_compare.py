@@ -60,14 +60,24 @@ def main():
 
     bsb, nsb = base.get("shuffle_bytes", {}), new.get("shuffle_bytes", {})
 
-    def shuffle_unchanged(name):
+    def contention_plausible(name):
         # Per-query shuffle bytes are deterministic for an unchanged plan;
         # a wall-time blowup WITHOUT a shuffle change is the signature of
         # machine contention, not a code regression (round-9 lesson).
+        # Guards against masking a genuine COMPUTE-bound regression:
+        #   - a zero-shuffle query (broadcast/map-only) carries no signal
+        #     in its shuffle bytes, so it gets no escape hatch;
+        #   - a recorded loadavg near-idle at run end contradicts the
+        #     contention claim.
         if name not in bsb or name not in nsb:
             return False
         b, n = bsb[name], nsb[name]
-        return abs(n - b) <= 0.02 * max(b, n, 1)
+        if max(b, n) == 0:
+            return False
+        la = new.get("loadavg")
+        if la and la[0] < 4.0:
+            return False
+        return abs(n - b) <= 0.02 * max(b, n)
 
     regressions, contention, improved, errors = [], [], [], []
     for name in sorted(set(bq) & set(nq)):
@@ -75,7 +85,7 @@ def main():
         if max(b, n) < NOISE_FLOOR_SEC:
             continue
         if n > b * REGRESSION_FACTOR:
-            (contention if shuffle_unchanged(name) else regressions).append(
+            (contention if contention_plausible(name) else regressions).append(
                 (name, b, n))
         elif b > n * REGRESSION_FACTOR:
             improved.append((name, b, n))
