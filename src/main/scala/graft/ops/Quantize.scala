@@ -291,10 +291,10 @@ object Quantize {
     // delta mark would (a) be excluded from training by trainPred and
     // (b) collide with a planted delta id, feeding duplicate vec_ids
     // into the groupBy/first aggregation nondeterministically.
-    val maxId = embeddings.agg(max(col("vec_id"))).head.getLong(0)
-    require(maxId < DeltaBase,
-      s"annIvfPqIncrementalTopK: corpus vec_ids reach $maxId — raise " +
-        s"DeltaBase (currently $DeltaBase) above the id domain")
+    val maxRow = embeddings.agg(max(col("vec_id"))).head
+    require(maxRow.isNullAt(0) || maxRow.getLong(0) < DeltaBase,
+      s"annIvfPqIncrementalTopK: corpus vec_ids reach ${maxRow.get(0)} — " +
+        s"raise DeltaBase (currently $DeltaBase) above the id domain")
     val base = embeddings.select(col("vec_id"),
       expr("cast(embedding as array<double>)").as("v"))
     val delta = embeddings.filter(pmod(col("vec_id"), lit(50)) === 0)

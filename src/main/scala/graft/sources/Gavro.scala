@@ -674,9 +674,24 @@ class GavroMicroBatchStream(path: String, schemaName: String,
     }
   }
 
+  /** The count-based offset contract assumes an append-only committed
+    * listing ("an archiver never rewrites a published file"). An
+    * [[Gavro.optimize]] run shrinks and renames the listing — under a
+    * LIVE stream that would silently skip committed records, so a
+    * shrunken listing fails LOUDLY instead: optimize cold archives, not
+    * dirs a stream is tailing (same operational rule as compacting under
+    * Spark's own file stream source). */
+  private def guardRewritten(consumed: Int, listed: Int): Unit =
+    if (listed < consumed) throw new IllegalStateException(
+      s"gavro stream: committed listing at $path shrank to $listed files " +
+        s"below the consumed offset $consumed — the archive was optimized/" +
+        "rewritten under a live stream; restart from a fresh checkpoint " +
+        "over the rewritten archive")
+
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val s = start.asInstanceOf[GavroStreamOffset].files
     val files = Gavro.listDataFiles(path)
+    guardRewritten(s, files.length)
     val avail = math.max(0, files.length - s)
     def admit(l: ReadLimit): Int = l match {
       case _: ReadAllAvailable => avail
@@ -707,6 +722,7 @@ class GavroMicroBatchStream(path: String, schemaName: String,
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val s = start.asInstanceOf[GavroStreamOffset].files
     val e = end.asInstanceOf[GavroStreamOffset].files
+    guardRewritten(e, listing().length)
     listing().slice(s, e)
       .flatMap(f => GavroSkip.planFile(new java.io.File(f), preds.toSeq))
       .map(p => p: InputPartition)
@@ -1363,6 +1379,21 @@ object Gavro {
           java.nio.file.StandardCopyOption.REPLACE_EXISTING)
       else java.nio.file.Files.createLink(dst.toPath, tmp.toPath)
     } finally tmp.delete()
+    // Post-land validation: if a checkpoint NEWER than this record's name
+    // landed while we were writing (an optimize swap, or another writer's
+    // fold that didn't see us), the record sits below the base and is
+    // invisible — retract it and signal the caller's allocate-retry loop
+    // to take a fresh sequence above the checkpoint. Without this, a
+    // writer that allocated its sequence just before a swap could land a
+    // successfully-written-but-forever-invisible commit. (A checkpoint
+    // named exactly at this record is fine: it summarizes it.)
+    if (!allowReplace &&
+        logEntries(dir, ".checkpoint")
+          .exists(_.getName.stripSuffix(".checkpoint") > name)) {
+      dst.delete()
+      throw new java.nio.file.FileAlreadyExistsException(dst.toString, null,
+        "a newer checkpoint landed during the write; retry above it")
+    }
     maybeCheckpoint(path)
   }
 
@@ -1499,20 +1530,28 @@ object Gavro {
     * anything is retired: any commit record at-or-below the checkpoint's
     * sequence that landed while the merge was copying (the merge can take
     * minutes on a big backlog) has its files folded into the checkpoint
-    * — atomic replace, looped to a fixed point — so no writer's commit is
-    * ever silently orphaned. Only then does `compactLog` retire the
-    * superseded records, and superseded CHECKPOINTS are removed with
-    * them: a pre-optimize cut (record OR checkpoint name) is the explicit
-    * compaction-horizon error, never a silently-partial snapshot (the
-    * absorbed files' bytes live only in the merged files now).
+    * — atomic replace, looped to a fixed point — and a writer that lands
+    * a record below an already-landed newer checkpoint retracts and
+    * retries above it ([[writeCommit]]'s post-land validation), so no
+    * writer's commit is ever silently orphaned. The retire step then
+    * deletes ONLY verified-folded records, and superseded CHECKPOINTS go
+    * with them: a pre-optimize cut (record OR checkpoint name) is the
+    * explicit compaction-horizon error, never a silently-partial
+    * snapshot (the absorbed files' bytes live only in the merged files
+    * now).
     *
     * The absorbed files are NOT deleted inline: a long-running reader may
     * have planned its scan from the pre-optimize snapshot, and yanking
     * its inputs mid-scan fails the query — the same in-flight reasoning
-    * as [[VacuumGraceMs]]. Post-swap they are uncommitted orphans, and
-    * the next [[vacuum]] reclaims them after the grace window. A crash at
-    * any step leaves either the old snapshot intact (orphaned merged
-    * files for vacuum) or the new snapshot fully live.
+    * as [[VacuumGraceMs]]. Post-swap they are uncommitted orphans whose
+    * mtime is touched to the swap instant, so the next [[vacuum]]
+    * reclaims them only after a FULL grace window from the swap (their
+    * write time may be hours old). Crash safety is write-ahead: a
+    * `.retire` sidecar listing the absorbed set lands before the
+    * checkpoint, and [[healLog]] (run by optimize and vacuum before
+    * anything destructive) resumes an incomplete retire — a crash at any
+    * step leaves the old snapshot intact, or the new snapshot fully
+    * live, or a resumable in-between that heals before any destruction.
     *
     * Only files WITH a valid footer participate: a footer-less file has
     * no trusted record boundary, and concatenating a torn tail would
@@ -1525,6 +1564,7 @@ object Gavro {
     val commits = new java.io.File(d, CommitsDir)
     require(commits.isDirectory,
       s"gavro: optimize requires a $CommitsDir log at $path")
+    healLog(path) // resume any crashed prior swap before reading state
     val live = listDataFiles(path)
     val metas = live.map(f => f -> GavroFooter.read(f))
     val candidates = metas.filter { case (f, m) =>
@@ -1551,55 +1591,113 @@ object Gavro {
     if (merged.isEmpty) return Seq.empty
     val gone = absorbed.map(_.getName).toSet
     // The atomic swap: one checkpoint at a fresh sequence = the new live
-    // set. Content is computed from the CURRENT committed state (commits
-    // may have landed during the byte copy), minus the absorbed names,
-    // plus the merged files.
-    def swapContent(): Seq[String] =
-      ((committedNames(path, None) -- gone) ++ merged).toSeq.sorted
-    val cpName = f"${nextCommitSeq(path)}%010d-o"
-    val dst = new java.io.File(commits, s"$cpName.checkpoint")
-    def landCp(content: Seq[String]): Unit = {
-      val tmp = java.io.File.createTempFile(s".$cpName", ".tmp", commits)
-      java.nio.file.Files.writeString(tmp.toPath, content.mkString("\n"))
-      java.nio.file.Files.move(tmp.toPath, dst.toPath,
-        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    // set, computed from the CURRENT committed state (commits may have
+    // landed during the byte copy), minus the absorbed names, plus the
+    // merged files. Before the swap, a WRITE-AHEAD `.retire` sidecar
+    // records the absorbed set so a crash at any later step is resumable
+    // by [[healLog]] (without it, a resumer cannot distinguish an
+    // absorbed file from a genuinely-concurrent commit's file).
+    var cpName = f"${nextCommitSeq(path)}%010d-o"
+    var landed = false
+    while (!landed) {
+      val sidecar = new java.io.File(commits, s"$cpName.retire")
+      val stmp = java.io.File.createTempFile(s".$cpName", ".rtmp", commits)
+      java.nio.file.Files.writeString(stmp.toPath,
+        gone.toSeq.sorted.mkString("\n"))
+      java.nio.file.Files.move(stmp.toPath, sidecar.toPath,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      val content =
+        ((committedNames(path, None) -- gone) ++ merged).toSeq.sorted
+      val ctmp = java.io.File.createTempFile(s".$cpName", ".tmp", commits)
+      java.nio.file.Files.writeString(ctmp.toPath, content.mkString("\n"))
+      // put-if-absent landing: a CONCURRENT optimize that raced to the
+      // same sequence must not be clobbered — the loser re-allocates
+      try {
+        java.nio.file.Files.createLink(
+          new java.io.File(commits, s"$cpName.checkpoint").toPath, ctmp.toPath)
+        landed = true
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          sidecar.delete()
+          cpName = f"${nextCommitSeq(path)}%010d-o"
+      } finally ctmp.delete()
     }
-    var content = swapContent()
-    landCp(content)
-    // Reconcile-then-retire loop. A writer that allocated a sequence
-    // at-or-below cpName before the checkpoint landed can still land its
-    // record afterwards; such a record would sit below the new base and
-    // be invisible. Each iteration (a) folds any not-yet-covered files
-    // from records <= cpName into the checkpoint (atomic replace), and
-    // (b) deletes ONLY the records it has verified folded — never a
-    // blind list-then-delete, so no concurrent commit is ever retired
-    // unfolded. Terminates: once the checkpoint exists, new sequence
-    // allocations are > cpName, so the set of writers able to land below
-    // it is the finite in-flight set at swap time.
+    retireBelow(path, cpName, gone)
+    // mark the absorbed files' retirement TIME: vacuum's grace window
+    // keys off lastModified, and an absorbed file's write time may be
+    // hours old — without the touch, the very next vacuum would reap it
+    // immediately, yanking inputs from an in-flight pre-swap reader
+    absorbed.foreach(_.setLastModified(System.currentTimeMillis()))
+    merged.sorted.toSeq
+  }
+
+  /** The retire half of an optimize swap, shared with [[healLog]]'s
+    * crash recovery. Folds any not-yet-covered files from records
+    * at-or-below `cpName` into the checkpoint (a writer that allocated a
+    * lower sequence before the swap can land its record after it), then
+    * deletes ONLY verified-folded records — never a blind
+    * list-then-delete — and retires the superseded checkpoints (their
+    * named files may exist only inside the merged output; a
+    * silently-partial time-travel snapshot is worse than the explicit
+    * horizon error). The `.retire` sidecar is removed last: its presence
+    * means "this retire may be incomplete, resume me". */
+  private def retireBelow(path: String, cpName: String,
+      gone: Set[String]): Unit = {
+    val commits = new java.io.File(path, CommitsDir)
+    val dst = new java.io.File(commits, s"$cpName.checkpoint")
+    var content = readNames(dst).toSet
     var retired = false
+    var attempts = 0
     while (!retired) {
+      attempts += 1
+      if (attempts > 1000) throw new java.io.IOException(
+        s"gavro: optimize retire cannot make progress at $path " +
+          "(undeletable commit records?)")
       val below = logEntries(commits, ".commit")
         .filter(_.getName.stripSuffix(".commit") <= cpName)
-      val missing = below.flatMap(readNames).toSet -- gone -- content.toSet
+      val missing = below.flatMap(readNames).toSet -- gone -- content
       if (missing.nonEmpty) {
-        content = (content.toSet ++ missing).toSeq.sorted
-        landCp(content)
+        content = content ++ missing
+        val tmp = java.io.File.createTempFile(s".$cpName", ".tmp", commits)
+        java.nio.file.Files.writeString(tmp.toPath,
+          content.toSeq.sorted.mkString("\n"))
+        java.nio.file.Files.move(tmp.toPath, dst.toPath,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
       } else {
-        below.foreach(_.delete())
+        below.foreach { f =>
+          if (!f.delete() && f.exists()) throw new java.io.IOException(
+            s"gavro: cannot retire commit record $f")
+        }
         retired = logEntries(commits, ".commit")
           .forall(_.getName.stripSuffix(".commit") > cpName)
       }
     }
-    // Superseded checkpoints go with their records: their named files may
-    // now exist only inside the merged files, and a silently-partial
-    // time-travel snapshot is worse than the explicit horizon error.
     logEntries(commits, ".checkpoint")
       .filter(_.getName.stripSuffix(".checkpoint") < cpName)
-      .foreach(_.delete())
-    // absorbed files stay on disk for in-flight readers; they are
-    // uncommitted now and the next vacuum() reclaims them post-grace
-    merged.sorted.toSeq
+      .foreach { f =>
+        if (!f.delete() && f.exists()) throw new java.io.IOException(
+          s"gavro: cannot retire superseded checkpoint $f")
+      }
+    new java.io.File(commits, s"$cpName.retire").delete()
+  }
+
+  /** Resume any crashed optimize swap: a `.retire` sidecar WITH its
+    * checkpoint means the swap became visible but its retire may be
+    * incomplete (a record landed below the base could still be unfolded
+    * — invisible, and one [[vacuum]] away from data loss); a sidecar
+    * WITHOUT its checkpoint means the swap never became visible and the
+    * merged files are plain orphans. Called by [[optimize]] and
+    * [[vacuum]] before anything destructive. */
+  private def healLog(path: String): Unit = {
+    val commits = new java.io.File(path, CommitsDir)
+    if (!commits.isDirectory) return
+    logEntries(commits, ".retire").foreach { sidecar =>
+      val name = sidecar.getName.stripSuffix(".retire")
+      if (new java.io.File(commits, s"$name.checkpoint").exists())
+        retireBelow(path, name, readNames(sidecar).toSet)
+      else sidecar.delete()
+    }
   }
 
   /** Merge one bin: copy each input's data section raw, emit a footer
@@ -1684,6 +1782,8 @@ object Gavro {
     val commits = new java.io.File(d, CommitsDir)
     require(commits.isDirectory,
       s"gavro: vacuum requires a $CommitsDir log at $path")
+    healLog(path) // a crashed optimize may have left an unfolded commit:
+                  // heal before anything destructive
     val committed = committedNames(path, None)
     val horizon = System.currentTimeMillis() - graceMs
     val dead = Option(d.listFiles()).getOrElse(Array.empty)
@@ -1953,7 +2053,7 @@ object Gavro {
   /** Build (idempotently, per sf-dir) the two-commit archive both
     * time-travel queries read: batch 1 = even ids (overwrite), batch 2 =
     * odd ids (append). Returns (dir, firstCommitName). */
-  private def twoCommitArchive(spark: SparkSession,
+  private[graft] def twoCommitArchive(spark: SparkSession,
       sfDir: String): (String, String) = {
     val events = Tables.events(spark, sfDir)
     val frame = events.select(AvroCodec.requestLogRec.as("rec"))

@@ -913,6 +913,12 @@ class GavroSourceSpec extends SparkSpec {
     // a pre-optimize checkpoint: optimize must retire it (its named
     // files' bytes will live only inside the merged file)
     val oldCp = Gavro.checkpoint(out).get
+    // age the small files PAST the vacuum grace before the swap: the
+    // grace window must restart at absorb time, else a routine vacuum
+    // right after optimize yanks inputs from an in-flight pre-swap reader
+    val stale = System.currentTimeMillis() - 2 * Gavro.VacuumGraceMs
+    new java.io.File(out).listFiles()
+      .filter(_.getName.endsWith(".gavro")).foreach(_.setLastModified(stale))
 
     val merged = Gavro.optimize(out)
     assert(merged.length == 1, merged)
@@ -920,6 +926,10 @@ class GavroSourceSpec extends SparkSpec {
     // on disk for in-flight readers (uncommitted now — vacuum's job)...
     assert(Gavro.listDataFiles(out).map(_.getName).toSeq == merged)
     assert(files().length == 7, files()) // 6 absorbed + 1 merged
+    // ...a DEFAULT-grace vacuum spares the freshly-absorbed files even
+    // though their write time is ancient (optimize re-touched them)...
+    assert(Gavro.vacuum(out).isEmpty,
+      "default-grace vacuum reaped freshly-absorbed files")
     // ...and a zero-grace vacuum reclaims exactly the absorbed six
     assert(Gavro.vacuum(out, graceMs = 0L).length == 6)
     assert(files() == merged)
@@ -982,6 +992,64 @@ class GavroSourceSpec extends SparkSpec {
     assert(planned.head.inputRDD.getNumPartitions == mergedBlocks + extraBlocks)
   }
 
+  test("a crashed optimize retire heals before vacuum destroys anything") {
+    val out = tmpDir("heal")
+    def land(f: String): String = {
+      new java.io.File(out, f).createNewFile()
+      Gavro.commitBatch(out, Seq(f))
+    }
+    land("a.gavro"); land("b.gavro")
+    // Simulate the crash window: the swap checkpoint landed (content =
+    // the merged file) with its write-ahead .retire sidecar (gone = a,b),
+    // but the retire never ran — and a concurrent writer's record landed
+    // BELOW the checkpoint after the swap (it had allocated its sequence
+    // pre-swap). That record's file is invisible and one vacuum away
+    // from loss.
+    new java.io.File(out, "merged.gavro").createNewFile()
+    new java.io.File(out, "c.gavro").createNewFile()
+    val commits = new java.io.File(out, Gavro.CommitsDir)
+    val cpName = "0000000002-o"
+    java.nio.file.Files.writeString(
+      new java.io.File(commits, s"$cpName.retire").toPath, "a.gavro\nb.gavro")
+    java.nio.file.Files.writeString(
+      new java.io.File(commits, s"$cpName.checkpoint").toPath, "merged.gavro")
+    java.nio.file.Files.writeString(
+      new java.io.File(commits, "0000000002-b.commit").toPath, "c.gavro")
+    // pre-heal: the concurrent commit is invisible — the hazard
+    assert(Gavro.listDataFiles(out).map(_.getName).toSeq == Seq("merged.gavro"))
+    // vacuum heals FIRST: the concurrent commit's file is folded into the
+    // checkpoint (visible again), the absorbed a/b are reaped as orphans,
+    // the below-records and sidecar are retired
+    val reaped = Gavro.vacuum(out, graceMs = 0L)
+    assert(reaped == Seq("a.gavro", "b.gavro"), reaped)
+    assert(Gavro.listDataFiles(out).map(_.getName).toSeq ==
+      Seq("c.gavro", "merged.gavro"))
+    assert(!commits.listFiles().exists(_.getName.endsWith(".retire")))
+    assert(commits.listFiles().filter(_.getName.endsWith(".commit"))
+      .forall(_.getName.stripSuffix(".commit") > cpName))
+  }
+
+  test("a writer landing below a fresh checkpoint retracts and retries above it") {
+    val out = tmpDir("retract")
+    new java.io.File(out, "x.gavro").createNewFile()
+    Gavro.commitBatch(out, Seq("x.gavro"))
+    // a checkpoint lands at a HIGHER sequence (as an optimize swap would)
+    val commits = new java.io.File(out, Gavro.CommitsDir)
+    java.nio.file.Files.writeString(
+      new java.io.File(commits, "0000000005-o.checkpoint").toPath, "x.gavro")
+    // a direct writeCommit below it must refuse (retract + conflict)...
+    new java.io.File(out, "y.gavro").createNewFile()
+    intercept[java.nio.file.FileAlreadyExistsException] {
+      Gavro.writeCommit(out, "0000000003-b", Seq("y.gavro"))
+    }
+    assert(!new java.io.File(commits, "0000000003-b.commit").exists())
+    // ...and the allocate-retry path lands ABOVE the checkpoint, visible
+    val landed = Gavro.commitBatch(out, Seq("y.gavro"))
+    assert(landed > "0000000005-o", landed)
+    assert(Gavro.listDataFiles(out).map(_.getName).toSet ==
+      Set("x.gavro", "y.gavro"))
+  }
+
   test("optimize edge cases: empty log dir and single-file dir are no-ops") {
     val out = tmpDir("optimize_empty")
     new java.io.File(out, Gavro.CommitsDir).mkdirs()
@@ -997,21 +1065,7 @@ class GavroSourceSpec extends SparkSpec {
   }
 
   test("sinceCommit plan description shows the cut; streaming rejects it") {
-    val (arch, first) = {
-      val events = Tables.events(spark, dir)
-      val frame = events.select(AvroCodec.requestLogRec.as("rec"))
-        .select(col("rec.*"))
-        .withColumn("created_at",
-          expr("timestamp_micros(unix_millis(created_at) * 1000)"))
-      val d = tmpDir("sinceplan")
-      frame.filter(pmod(col("id"), lit(2)) === 0).write.format("gavro")
-        .option("schema", "request_log").mode("overwrite").save(d)
-      frame.filter(pmod(col("id"), lit(2)) === 1).write.format("gavro")
-        .option("schema", "request_log").mode("append").save(d)
-      (d, new java.io.File(d, Gavro.CommitsDir).listFiles()
-        .map(_.getName).filter(_.endsWith(".commit")).sorted
-        .head.stripSuffix(".commit"))
-    }
+    val (arch, first) = Gavro.twoCommitArchive(spark, dir)
     val scan = spark.read.format("gavro").option("schema", "request_log")
       .option("sinceCommit", first).load(arch)
       .select(col("endpoint"))

@@ -178,6 +178,45 @@ class GavroStreamSpec extends SparkSpec {
     assert(all.flatMap(_._2).toSet == (0L until 50L).toSet)
   }
 
+  test("a live stream fails loudly if the archive is optimized under it") {
+    import org.apache.spark.sql.functions.{col, expr, pmod, lit}
+    val events = graft.sources.Tables.events(spark, "/root/testdata/sf0.001")
+    val frame = events.select(graft.sources.AvroCodec.requestLogRec.as("rec"))
+      .select(col("rec.*"))
+      .withColumn("created_at",
+        expr("timestamp_micros(unix_millis(created_at) * 1000)"))
+    val dir = java.nio.file.Files.createTempDirectory("gavro-opt-stream").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("gavro-opt-stream-ck").toString
+    frame.repartition(4).write.format("gavro")
+      .option("schema", "request_log").mode("overwrite").save(dir)
+    val seen = new java.util.concurrent.atomic.AtomicLong(0)
+    def start() = spark.readStream.format("gavro")
+      .option("schema", "request_log").load(dir)
+      .writeStream.option("checkpointLocation", ckpt)
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        seen.addAndGet(df.count()); ()
+      }
+      .start()
+    val q = start()
+    q.processAllAvailable()
+    q.stop()
+    assert(seen.get() == frame.count())
+    // the archive is optimized while the stream is DOWN: its count-based
+    // offset (4 consumed files) now exceeds the 1-file listing — the
+    // restart must fail with the explicit rewrite error, never silently
+    // skip committed records
+    assert(graft.sources.Gavro.optimize(dir).length == 1)
+    val err = intercept[Exception] {
+      val q2 = start()
+      try q2.processAllAvailable() finally q2.stop()
+    }
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Seq.empty else t +: causes(t.getCause)
+    assert(causes(err).exists(c =>
+      Option(c.getMessage).exists(_.contains("optimized/rewritten"))),
+      causes(err).map(_.getMessage).mkString(" | "))
+  }
+
   test("maxBytesPerTrigger admits at least one file and bounds each batch") {
     import scala.jdk.CollectionConverters._
     val dir = java.nio.file.Files.createTempDirectory("gavro-bpb").toString

@@ -11,6 +11,7 @@ Exit 1 if any overlapping query regressed more than REGRESSION_FACTOR
 (ignoring sub-second noise), or if a previously-passing query now errors.
 """
 import json
+import os
 import sys
 
 REGRESSION_FACTOR = 2.0
@@ -75,7 +76,11 @@ def main():
         if max(b, n) == 0:
             return False
         la = new.get("loadavg")
-        if la and la[0] < 4.0:
+        # threshold scales with the box: light ambient load on a many-core
+        # runner is still effectively idle, but a loadavg below an eighth
+        # of the cores cannot explain a 2x wall blowup
+        min_busy = max(4.0, 0.125 * (os.cpu_count() or 32))
+        if la and la[0] < min_busy:
             return False
         return abs(n - b) <= 0.02 * max(b, n)
 
