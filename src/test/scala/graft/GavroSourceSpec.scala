@@ -1091,6 +1091,10 @@ class GavroSourceSpec extends SparkSpec {
     assert(causes(err).exists(_.getMessage != null) &&
       causes(err).exists(c => Option(c.getMessage).exists(_.contains("batch read options"))),
       causes(err).map(_.getMessage).mkString(" | "))
+    // the failed query must not leak into later suites' shared-session
+    // awaitAnyTermination calls (Spark retains terminated queries'
+    // exceptions until resetTerminated)
+    spark.streams.resetTerminated()
   }
 
   test("optimize leaves footer-less files and already-large files alone") {

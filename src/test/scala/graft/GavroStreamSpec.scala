@@ -215,6 +215,10 @@ class GavroStreamSpec extends SparkSpec {
     assert(causes(err).exists(c =>
       Option(c.getMessage).exists(_.contains("optimized/rewritten"))),
       causes(err).map(_.getMessage).mkString(" | "))
+    // the failed query must not leak into later suites' shared-session
+    // awaitAnyTermination calls (Spark retains terminated queries'
+    // exceptions until resetTerminated)
+    spark.streams.resetTerminated()
   }
 
   test("maxBytesPerTrigger admits at least one file and bounds each batch") {
