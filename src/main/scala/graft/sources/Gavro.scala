@@ -619,15 +619,19 @@ class GavroScan(path: String, schemaName: String, required: StructType,
   }
 }
 
-/** Streaming offset = how many files (in name order) have been consumed.
-  * The landing-zone contract is append-only with monotonically named files
-  * (`part-00000.gavro`, …): an archiver never rewrites a published file,
-  * so a count over the sorted listing is a durable, replayable position —
-  * the same discipline as Spark's own file source, without its per-file
-  * seen-map state. */
-case class GavroStreamOffset(files: Int)
+/** Streaming offset = the NAME of the last consumed file (empty = none):
+  * a high-watermark over the monotonically named append-only listing
+  * (`part-00000.gavro`, …). Name-based (not count-based) so the position
+  * is robust to the listing CHANGING underneath — an [[Gavro.optimize]]
+  * that absorbs already-consumed files re-delivers their records via the
+  * merged file (its fresh part index sorts above the watermark):
+  * AT-LEAST-ONCE under rewrite, exactly-once on the append-only path,
+  * and never a silent skip (a count offset skips or stalls when the
+  * listing shrinks). Bounded state — one name — where Spark's own file
+  * source keeps a per-file seen-map. */
+case class GavroStreamOffset(last: String)
     extends org.apache.spark.sql.connector.read.streaming.Offset {
-  override def json(): String = s"""{"files":$files}"""
+  override def json(): String = s"""{"last":"$last"}"""
 }
 
 /** Micro-batch stream over a gavro landing zone: each trigger's batch is
@@ -648,11 +652,11 @@ class GavroMicroBatchStream(path: String, schemaName: String,
   import org.apache.spark.sql.connector.read.streaming.{CompositeReadLimit,
     Offset, ReadAllAvailable, ReadLimit, ReadMaxBytes, ReadMaxFiles}
 
-  private def listing(): Array[String] =
-    Gavro.listDataFiles(path).map(_.getAbsolutePath)
+  private def listing(): Array[java.io.File] = Gavro.listDataFiles(path)
 
-  override def initialOffset(): Offset = GavroStreamOffset(0)
-  override def latestOffset(): Offset = GavroStreamOffset(listing().length)
+  override def initialOffset(): Offset = GavroStreamOffset("")
+  override def latestOffset(): Offset =
+    GavroStreamOffset(listing().lastOption.map(_.getName).getOrElse(""))
 
   /** Backpressure admission control (SURVEY §4's `maxOffsetsPerTrigger`
     * story for the landing zone, cf. the reference's first-batch
@@ -674,57 +678,55 @@ class GavroMicroBatchStream(path: String, schemaName: String,
     }
   }
 
-  /** The count-based offset contract assumes an append-only committed
-    * listing ("an archiver never rewrites a published file"). An
-    * [[Gavro.optimize]] run shrinks and renames the listing — under a
-    * LIVE stream that would silently skip committed records, so a
-    * shrunken listing fails LOUDLY instead: optimize cold archives, not
-    * dirs a stream is tailing (same operational rule as compacting under
-    * Spark's own file stream source). */
-  private def guardRewritten(consumed: Int, listed: Int): Unit =
-    if (listed < consumed) throw new IllegalStateException(
-      s"gavro stream: committed listing at $path shrank to $listed files " +
-        s"below the consumed offset $consumed — the archive was optimized/" +
-        "rewritten under a live stream; restart from a fresh checkpoint " +
-        "over the rewritten archive")
-
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
-    val s = start.asInstanceOf[GavroStreamOffset].files
-    val files = Gavro.listDataFiles(path)
-    guardRewritten(s, files.length)
-    val avail = math.max(0, files.length - s)
+    val s = start.asInstanceOf[GavroStreamOffset].last
+    // single listing capture: the same snapshot drives the admission
+    // decision and the watermark (no list-twice TOCTOU)
+    val fresh = listing().filter(_.getName > s)
     def admit(l: ReadLimit): Int = l match {
-      case _: ReadAllAvailable => avail
-      case f: ReadMaxFiles => math.min(avail, f.maxFiles)
+      case _: ReadAllAvailable => fresh.length
+      case f: ReadMaxFiles => math.min(fresh.length, f.maxFiles)
       case b: ReadMaxBytes =>
         var n = 0; var bytes = 0L
-        while (n < avail &&
-            (n == 0 || bytes + files(s + n).length() <= b.maxBytes())) {
-          bytes += files(s + n).length(); n += 1
+        while (n < fresh.length &&
+            (n == 0 || bytes + fresh(n).length() <= b.maxBytes())) {
+          bytes += fresh(n).length(); n += 1
         }
         n
       case c: CompositeReadLimit =>
-        c.getReadLimits.map(admit).foldLeft(avail)(math.min)
-      case _ => avail // rows-based limits don't apply to a file-grain source
+        c.getReadLimits.map(admit).foldLeft(fresh.length)(math.min)
+      case _ => fresh.length // rows-based limits don't apply at file grain
     }
-    GavroStreamOffset(s + admit(limit))
+    val n = admit(limit)
+    GavroStreamOffset(if (n == 0) s else fresh(n - 1).getName)
   }
 
   override def reportLatestOffset(): Offset =
-    GavroStreamOffset(listing().length)
+    GavroStreamOffset(listing().lastOption.map(_.getName).getOrElse(""))
   override def deserializeOffset(json: String): Offset =
-    GavroStreamOffset("\"files\":(\\d+)".r.findFirstMatchIn(json)
-      .map(_.group(1).toInt)
-      .getOrElse(throw new IllegalArgumentException(s"bad gavro offset: $json")))
+    "\"last\":\"([^\"]*)\"".r.findFirstMatchIn(json)
+      .map(m => GavroStreamOffset(m.group(1)))
+      .orElse {
+        // legacy count-based offsets ({"files":N}, pre name-watermark):
+        // best-effort translation against the current sorted listing —
+        // exact while the listing prefix is unchanged, which is the
+        // append-only contract those checkpoints were written under
+        "\"files\":(\\d+)".r.findFirstMatchIn(json).map { m =>
+          val n = m.group(1).toInt
+          val files = listing()
+          GavroStreamOffset(
+            if (n == 0) "" else files(math.min(n, files.length) - 1).getName)
+        }
+      }
+      .getOrElse(throw new IllegalArgumentException(s"bad gavro offset: $json"))
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
-    val s = start.asInstanceOf[GavroStreamOffset].files
-    val e = end.asInstanceOf[GavroStreamOffset].files
-    guardRewritten(e, listing().length)
-    listing().slice(s, e)
-      .flatMap(f => GavroSkip.planFile(new java.io.File(f), preds.toSeq))
+    val s = start.asInstanceOf[GavroStreamOffset].last
+    val e = end.asInstanceOf[GavroStreamOffset].last
+    listing().filter(f => f.getName > s && f.getName <= e)
+      .flatMap(f => GavroSkip.planFile(f, preds.toSeq))
       .map(p => p: InputPartition)
   }
   override def createReaderFactory(): PartitionReaderFactory =
@@ -1479,23 +1481,111 @@ object Gavro {
       java.nio.file.Files.move(tmp.toPath, dst.toPath,
         java.nio.file.StandardCopyOption.ATOMIC_MOVE,
         java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      // Fold-verify: a record that landed between the content snapshot
+      // and the move sits at-or-below the new base — fold it in so it
+      // can never be hidden (the base-advancing twin of writeCommit's
+      // post-land retract; the two together close the window from both
+      // sides regardless of interleaving).
+      foldBelow(path, asOf)
       asOf
     }
   }
 
+  /** Fold any record at-or-below `upTo` whose names (minus `exclude`)
+    * are missing from the LATEST checkpoint into it, looping to a fixed
+    * point. The precondition for every step that hides or deletes
+    * records: nothing is retired or shadowed unfolded. Folds into the
+    * latest checkpoint — not a caller-remembered one — because readers
+    * resolve from the latest base; folding anywhere else is invisible. */
+  private def foldBelow(path: String, upTo: String,
+      exclude0: Set[String] = Set.empty): Unit = {
+    val dir = new java.io.File(path, CommitsDir)
+    // Names absorbed by any in-flight/crashed optimize (its `.retire`
+    // sidecar) must NEVER be folded back — their bytes live in the
+    // merged output, and resurrecting them double-counts every record.
+    val exclude = exclude0 ++
+      logEntries(dir, ".retire").flatMap(readNames)
+    var attempts = 0
+    var stable = false
+    while (!stable) {
+      attempts += 1
+      if (attempts > 1000) throw new java.io.IOException(
+        s"gavro: checkpoint fold cannot reach a fixed point at $path")
+      val latest = logEntries(dir, ".checkpoint").lastOption.getOrElse(
+        throw new IllegalStateException(
+          s"gavro: fold requires a checkpoint at $path"))
+      val content = readNames(latest).toSet
+      val missing = logEntries(dir, ".commit")
+        .filter(_.getName.stripSuffix(".commit") <= upTo)
+        .flatMap(readNames).toSet -- exclude -- content
+      if (missing.isEmpty) stable = true
+      else {
+        val tmp = java.io.File.createTempFile(".fold", ".tmp", dir)
+        java.nio.file.Files.writeString(tmp.toPath,
+          (content ++ missing).toSeq.sorted.mkString("\n"))
+        java.nio.file.Files.move(tmp.toPath, latest.toPath,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      }
+    }
+  }
+
+  /** Retire (fold-then-delete, verified) every record at-or-below
+    * `upTo`: each pass folds uncovered names into the latest checkpoint,
+    * re-reads it, and deletes only records whose content it verified
+    * covered — never a blind list-then-delete, so a record landing at
+    * any point is either folded first or survives to the next pass.
+    * Returns the deleted record file names. */
+  private def retireRecords(path: String, upTo: String,
+      exclude: Set[String] = Set.empty): Seq[String] = {
+    val dir = new java.io.File(path, CommitsDir)
+    val deleted = scala.collection.mutable.ArrayBuffer.empty[String]
+    var attempts = 0
+    var done = false
+    while (!done) {
+      attempts += 1
+      if (attempts > 1000) throw new java.io.IOException(
+        s"gavro: retire cannot make progress at $path " +
+          "(undeletable commit records?)")
+      foldBelow(path, upTo, exclude)
+      val content = readNames(logEntries(dir, ".checkpoint").last).toSet
+      val below = logEntries(dir, ".commit")
+        .filter(_.getName.stripSuffix(".commit") <= upTo)
+      val covered = below.filter(f =>
+        (readNames(f).toSet -- exclude).subsetOf(content))
+      covered.foreach { f =>
+        if (!f.delete() && f.exists()) throw new java.io.IOException(
+          s"gavro: cannot retire commit record $f")
+        deleted += f.getName
+      }
+      done = logEntries(dir, ".commit")
+        .forall(_.getName.stripSuffix(".commit") > upTo)
+    }
+    deleted.sorted.toSeq
+  }
+
   /** Delete commit records superseded by the latest checkpoint (they are
-    * fully folded into it). After this, time travel to those records
-    * errors explicitly at the compaction horizon. Returns deleted names. */
+    * folded into it first — verified, never blind, so a record that
+    * landed concurrently is folded rather than destroyed). After this,
+    * time travel to those records errors explicitly at the compaction
+    * horizon. Returns deleted names. */
   def compactLog(path: String): Seq[String] = {
     val dir = new java.io.File(path, CommitsDir)
+    // never race a live optimize's retire (two concurrent fold loops can
+    // drop each other's folds via replace)
+    val lock = optimizeLock(path)
+    require(!lock.exists() ||
+      System.currentTimeMillis() - lock.lastModified() >= OptimizeLockStaleMs,
+      s"gavro: an optimize is in flight at $path — compactLog deferred")
+    // a crashed optimize leaves records whose absorbed names must NOT be
+    // folded back (double-count) — heal with the sidecar's exclusions
+    // before the exclusion-free retire
+    healLog(path)
     val lastCp = logEntries(dir, ".checkpoint").lastOption
       .map(_.getName.stripSuffix(".checkpoint"))
       .getOrElse(throw new IllegalArgumentException(
         s"gavro: compactLog requires a checkpoint at $path (run checkpoint())"))
-    val dead = logEntries(dir, ".commit")
-      .filter(_.getName.stripSuffix(".commit") <= lastCp)
-    dead.foreach(_.delete())
-    dead.map(_.getName).sorted.toSeq
+    retireRecords(path, lastCp)
   }
 
   /** Default OPTIMIZE bin target. 64 MB merges a landing zone's drizzle
@@ -1558,12 +1648,43 @@ object Gavro {
     * desync the following frames. Files of different block codecs merge
     * into separate bins (offsets are codec-specific file positions).
     * Returns the merged file names (empty = nothing worth merging). */
+  /** A held lock younger than this is a LIVE optimize (a retire takes
+    * seconds); older means the holder crashed and the next admin op may
+    * heal and take over. */
+  val OptimizeLockStaleMs: Long = 15L * 60 * 1000
+
+  private def optimizeLock(path: String) =
+    new java.io.File(new java.io.File(path, CommitsDir), "_optimize.lock")
+
   def optimize(path: String,
       targetBytes: Long = OptimizeTargetBytes): Seq[String] = {
     val d = new java.io.File(path)
     val commits = new java.io.File(d, CommitsDir)
     require(commits.isDirectory,
       s"gavro: optimize requires a $CommitsDir log at $path")
+    // ONE optimize at a time per table: concurrent optimizes would merge
+    // the same inputs into different outputs and race each other's swap
+    // (double-counted rows). Put-if-absent lock; a stale lock (crashed
+    // holder) is healed and taken over.
+    val lock = optimizeLock(path)
+    try java.nio.file.Files.createFile(lock.toPath)
+    catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        if (System.currentTimeMillis() - lock.lastModified() <
+            OptimizeLockStaleMs)
+          throw new IllegalStateException(
+            s"gavro: another optimize is in flight at $path")
+        healLog(path)
+        lock.delete()
+        java.nio.file.Files.createFile(lock.toPath) // racing takers: rare
+    }
+    try optimizeLocked(path, targetBytes)
+    finally lock.delete()
+  }
+
+  private def optimizeLocked(path: String, targetBytes: Long): Seq[String] = {
+    val d = new java.io.File(path)
+    val commits = new java.io.File(d, CommitsDir)
     healLog(path) // resume any crashed prior swap before reading state
     val live = listDataFiles(path)
     val metas = live.map(f => f -> GavroFooter.read(f))
@@ -1590,6 +1711,12 @@ object Gavro {
     }
     if (merged.isEmpty) return Seq.empty
     val gone = absorbed.map(_.getName).toSet
+    // Mark the absorbed files' retirement TIME before anything becomes
+    // visible: vacuum's grace window keys off lastModified, and an
+    // absorbed file's write time may be hours old — without the touch, a
+    // vacuum racing the swap would reap them immediately, yanking inputs
+    // from an in-flight pre-swap reader.
+    absorbed.foreach(_.setLastModified(System.currentTimeMillis()))
     // The atomic swap: one checkpoint at a fresh sequence = the new live
     // set, computed from the CURRENT committed state (commits may have
     // landed during the byte copy), minus the absorbed names, plus the
@@ -1597,82 +1724,43 @@ object Gavro {
     // records the absorbed set so a crash at any later step is resumable
     // by [[healLog]] (without it, a resumer cannot distinguish an
     // absorbed file from a genuinely-concurrent commit's file).
-    var cpName = f"${nextCommitSeq(path)}%010d-o"
-    var landed = false
-    while (!landed) {
-      val sidecar = new java.io.File(commits, s"$cpName.retire")
-      val stmp = java.io.File.createTempFile(s".$cpName", ".rtmp", commits)
-      java.nio.file.Files.writeString(stmp.toPath,
-        gone.toSeq.sorted.mkString("\n"))
-      java.nio.file.Files.move(stmp.toPath, sidecar.toPath,
-        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-      val content =
-        ((committedNames(path, None) -- gone) ++ merged).toSeq.sorted
-      val ctmp = java.io.File.createTempFile(s".$cpName", ".tmp", commits)
-      java.nio.file.Files.writeString(ctmp.toPath, content.mkString("\n"))
-      // put-if-absent landing: a CONCURRENT optimize that raced to the
-      // same sequence must not be clobbered — the loser re-allocates
-      try {
-        java.nio.file.Files.createLink(
-          new java.io.File(commits, s"$cpName.checkpoint").toPath, ctmp.toPath)
-        landed = true
-      } catch {
-        case _: java.nio.file.FileAlreadyExistsException =>
-          sidecar.delete()
-          cpName = f"${nextCommitSeq(path)}%010d-o"
-      } finally ctmp.delete()
-    }
+    val cpName = f"${nextCommitSeq(path)}%010d-o"
+    val sidecar = new java.io.File(commits, s"$cpName.retire")
+    val stmp = java.io.File.createTempFile(s".$cpName", ".rtmp", commits)
+    java.nio.file.Files.writeString(stmp.toPath,
+      gone.toSeq.sorted.mkString("\n"))
+    java.nio.file.Files.move(stmp.toPath, sidecar.toPath,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    val content =
+      ((committedNames(path, None) -- gone) ++ merged).toSeq.sorted
+    val ctmp = java.io.File.createTempFile(s".$cpName", ".tmp", commits)
+    java.nio.file.Files.writeString(ctmp.toPath, content.mkString("\n"))
+    // put-if-absent landing (the lock makes a collision near-impossible;
+    // this keeps it impossible)
+    try java.nio.file.Files.createLink(
+      new java.io.File(commits, s"$cpName.checkpoint").toPath, ctmp.toPath)
+    finally ctmp.delete()
     retireBelow(path, cpName, gone)
-    // mark the absorbed files' retirement TIME: vacuum's grace window
-    // keys off lastModified, and an absorbed file's write time may be
-    // hours old — without the touch, the very next vacuum would reap it
-    // immediately, yanking inputs from an in-flight pre-swap reader
-    absorbed.foreach(_.setLastModified(System.currentTimeMillis()))
     merged.sorted.toSeq
   }
 
   /** The retire half of an optimize swap, shared with [[healLog]]'s
-    * crash recovery. Folds any not-yet-covered files from records
-    * at-or-below `cpName` into the checkpoint (a writer that allocated a
-    * lower sequence before the swap can land its record after it), then
-    * deletes ONLY verified-folded records — never a blind
-    * list-then-delete — and retires the superseded checkpoints (their
-    * named files may exist only inside the merged output; a
-    * silently-partial time-travel snapshot is worse than the explicit
-    * horizon error). The `.retire` sidecar is removed last: its presence
-    * means "this retire may be incomplete, resume me". */
+    * crash recovery: re-touch the absorbed files (a resumed heal must
+    * restart their vacuum grace too), retire every record at-or-below
+    * the swap checkpoint through the verified fold-then-delete loop
+    * (folding into the LATEST checkpoint — later regular checkpoints may
+    * have landed after a crash, and readers resolve from the latest
+    * base), retire the superseded checkpoints (their named files may
+    * exist only inside the merged output; a silently-partial time-travel
+    * snapshot is worse than the explicit horizon error), and remove the
+    * sidecar LAST: its presence means "this retire may be incomplete,
+    * resume me". */
   private def retireBelow(path: String, cpName: String,
       gone: Set[String]): Unit = {
     val commits = new java.io.File(path, CommitsDir)
-    val dst = new java.io.File(commits, s"$cpName.checkpoint")
-    var content = readNames(dst).toSet
-    var retired = false
-    var attempts = 0
-    while (!retired) {
-      attempts += 1
-      if (attempts > 1000) throw new java.io.IOException(
-        s"gavro: optimize retire cannot make progress at $path " +
-          "(undeletable commit records?)")
-      val below = logEntries(commits, ".commit")
-        .filter(_.getName.stripSuffix(".commit") <= cpName)
-      val missing = below.flatMap(readNames).toSet -- gone -- content
-      if (missing.nonEmpty) {
-        content = content ++ missing
-        val tmp = java.io.File.createTempFile(s".$cpName", ".tmp", commits)
-        java.nio.file.Files.writeString(tmp.toPath,
-          content.toSeq.sorted.mkString("\n"))
-        java.nio.file.Files.move(tmp.toPath, dst.toPath,
-          java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-      } else {
-        below.foreach { f =>
-          if (!f.delete() && f.exists()) throw new java.io.IOException(
-            s"gavro: cannot retire commit record $f")
-        }
-        retired = logEntries(commits, ".commit")
-          .forall(_.getName.stripSuffix(".commit") > cpName)
-      }
-    }
+    val now = System.currentTimeMillis()
+    gone.foreach(n => new java.io.File(path, n).setLastModified(now))
+    retireRecords(path, cpName, gone)
     logEntries(commits, ".checkpoint")
       .filter(_.getName.stripSuffix(".checkpoint") < cpName)
       .foreach { f =>
@@ -1687,8 +1775,8 @@ object Gavro {
     * incomplete (a record landed below the base could still be unfolded
     * — invisible, and one [[vacuum]] away from data loss); a sidecar
     * WITHOUT its checkpoint means the swap never became visible and the
-    * merged files are plain orphans. Called by [[optimize]] and
-    * [[vacuum]] before anything destructive. */
+    * merged files are plain orphans. Callers gate on the optimize lock:
+    * a FRESH lock means a live optimize owns its own retire. */
   private def healLog(path: String): Unit = {
     val commits = new java.io.File(path, CommitsDir)
     if (!commits.isDirectory) return
@@ -1782,8 +1870,14 @@ object Gavro {
     val commits = new java.io.File(d, CommitsDir)
     require(commits.isDirectory,
       s"gavro: vacuum requires a $CommitsDir log at $path")
-    healLog(path) // a crashed optimize may have left an unfolded commit:
-                  // heal before anything destructive
+    // A crashed optimize may have left an unfolded commit: heal before
+    // anything destructive. A FRESH optimize lock means a live run owns
+    // its own retire — don't race it (its absorbed files were touched
+    // pre-swap, so the grace window protects them from this pass).
+    val lock = optimizeLock(path)
+    if (!lock.exists() ||
+        System.currentTimeMillis() - lock.lastModified() >= OptimizeLockStaleMs)
+      healLog(path)
     val committed = committedNames(path, None)
     val horizon = System.currentTimeMillis() - graceMs
     val dead = Option(d.listFiles()).getOrElse(Array.empty)

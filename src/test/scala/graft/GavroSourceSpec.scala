@@ -1029,6 +1029,41 @@ class GavroSourceSpec extends SparkSpec {
       .forall(_.getName.stripSuffix(".commit") > cpName))
   }
 
+  test("heal folds into the LATEST checkpoint when one landed after the crash") {
+    val out = tmpDir("heal2")
+    def land(f: String): String = {
+      new java.io.File(out, f).createNewFile()
+      Gavro.commitBatch(out, Seq(f))
+    }
+    land("a.gavro") // record 0000000000-b
+    // crashed swap at seq 1: checkpoint + sidecar landed, retire never
+    // ran, and a concurrent record (allocated pre-swap) sits below it
+    new java.io.File(out, "merged.gavro").createNewFile()
+    new java.io.File(out, "c.gavro").createNewFile()
+    val commits = new java.io.File(out, Gavro.CommitsDir)
+    java.nio.file.Files.writeString(
+      new java.io.File(commits, "0000000001-o.retire").toPath, "a.gavro")
+    java.nio.file.Files.writeString(
+      new java.io.File(commits, "0000000001-o.checkpoint").toPath, "merged.gavro")
+    java.nio.file.Files.writeString(
+      new java.io.File(commits, "0000000001-b.commit").toPath, "c.gavro")
+    // normal writers continue AFTER the crash and a regular checkpoint
+    // lands — its fold must pick up the below-base record but must NOT
+    // resurrect the absorbed name (the sidecar's exclusion applies)
+    land("d.gavro")
+    Gavro.checkpoint(out)
+    val latest = Gavro.listDataFiles(out).map(_.getName).toSet
+    assert(latest == Set("c.gavro", "d.gavro", "merged.gavro"), latest)
+    assert(!latest.contains("a.gavro"), "absorbed name resurrected")
+    // heal-then-reap: folding must target the LATEST checkpoint (readers
+    // resolve from it — folding into the crashed one would be invisible)
+    val reaped = Gavro.vacuum(out, graceMs = 0L)
+    assert(reaped == Seq("a.gavro"), reaped)
+    assert(Gavro.listDataFiles(out).map(_.getName).toSet ==
+      Set("c.gavro", "d.gavro", "merged.gavro"))
+    assert(!commits.listFiles().exists(_.getName.endsWith(".retire")))
+  }
+
   test("a writer landing below a fresh checkpoint retracts and retries above it") {
     val out = tmpDir("retract")
     new java.io.File(out, "x.gavro").createNewFile()

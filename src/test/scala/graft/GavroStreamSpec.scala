@@ -7,7 +7,7 @@ import graft.sources.AvroCodec
 
 /** The `gavro` connector's MICRO_BATCH_READ path: an append-only landing
   * zone tailed as a stream — new files become the next micro-batch, the
-  * offset is the consumed-file count, and a checkpointed restart resumes
+  * offset is a last-consumed-NAME watermark, and a checkpointed restart resumes
   * without re-reading. Backfill (batch scan) and tail (this stream) run
   * the identical decode/filter reader stack over identical files. */
 class GavroStreamSpec extends SparkSpec {
@@ -178,7 +178,7 @@ class GavroStreamSpec extends SparkSpec {
     assert(all.flatMap(_._2).toSet == (0L until 50L).toSet)
   }
 
-  test("a live stream fails loudly if the archive is optimized under it") {
+  test("optimize under a stream re-delivers absorbed records, never loses") {
     import org.apache.spark.sql.functions.{col, expr, pmod, lit}
     val events = graft.sources.Tables.events(spark, "/root/testdata/sf0.001")
     val frame = events.select(graft.sources.AvroCodec.requestLogRec.as("rec"))
@@ -200,25 +200,26 @@ class GavroStreamSpec extends SparkSpec {
     val q = start()
     q.processAllAvailable()
     q.stop()
-    assert(seen.get() == frame.count())
-    // the archive is optimized while the stream is DOWN: its count-based
-    // offset (4 consumed files) now exceeds the 1-file listing — the
-    // restart must fail with the explicit rewrite error, never silently
-    // skip committed records
+    val n = frame.count()
+    assert(seen.get() == n)
+    // the archive is optimized while the stream is DOWN: the consumed
+    // files are absorbed into a merged file whose fresh part index sorts
+    // ABOVE the name watermark — the restart RE-DELIVERS their records
+    // (at-least-once under rewrite) and loses nothing; a count-based
+    // offset would have silently skipped or stalled
     assert(graft.sources.Gavro.optimize(dir).length == 1)
-    val err = intercept[Exception] {
-      val q2 = start()
-      try q2.processAllAvailable() finally q2.stop()
-    }
-    def causes(t: Throwable): Seq[Throwable] =
-      if (t == null) Seq.empty else t +: causes(t.getCause)
-    assert(causes(err).exists(c =>
-      Option(c.getMessage).exists(_.contains("optimized/rewritten"))),
-      causes(err).map(_.getMessage).mkString(" | "))
-    // the failed query must not leak into later suites' shared-session
-    // awaitAnyTermination calls (Spark retains terminated queries'
-    // exceptions until resetTerminated)
-    spark.streams.resetTerminated()
+    val q2 = start()
+    q2.processAllAvailable()
+    q2.stop()
+    assert(seen.get() == 2 * n, s"expected re-delivery of all $n records")
+    // and the stream continues exactly-once on the append-only path: a
+    // NEW batch commit after the optimize is delivered exactly once
+    frame.limit(10).write.format("gavro")
+      .option("schema", "request_log").mode("append").save(dir)
+    val q3 = start()
+    q3.processAllAvailable()
+    q3.stop()
+    assert(seen.get() == 2 * n + 10, seen.get().toString)
   }
 
   test("maxBytesPerTrigger admits at least one file and bounds each batch") {
