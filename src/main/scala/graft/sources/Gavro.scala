@@ -621,13 +621,12 @@ class GavroScan(path: String, schemaName: String, required: StructType,
 
 /** Streaming offset = the NAME of the last consumed file (empty = none):
   * a high-watermark over the monotonically named append-only listing
-  * (`part-00000.gavro`, …). Name-based (not count-based) so the position
-  * is robust to the listing CHANGING underneath — an [[Gavro.optimize]]
-  * that absorbs already-consumed files re-delivers their records via the
-  * merged file (its fresh part index sorts above the watermark):
-  * AT-LEAST-ONCE under rewrite, exactly-once on the append-only path,
-  * and never a silent skip (a count offset skips or stalls when the
-  * listing shrinks). Bounded state — one name — where Spark's own file
+  * (`part-00000.gavro`, …). Name-based (not count-based) so a rewrite
+  * of the listing underneath the stream is DETECTED — the watermark
+  * file vanishing from the committed listing is unambiguous evidence
+  * and fails loudly, where a count offset silently skips or stalls
+  * (shrink masked by concurrent growth included). Exactly-once on the
+  * append-only path; bounded state — one name — where Spark's own file
   * source keeps a per-file seen-map. */
 case class GavroStreamOffset(last: String)
     extends org.apache.spark.sql.connector.read.streaming.Offset {
@@ -678,11 +677,31 @@ class GavroMicroBatchStream(path: String, schemaName: String,
     }
   }
 
+  /** The watermark FILE must still be listed: committed files are never
+    * deleted on the append-only path, so a vanished watermark means the
+    * archive was optimized/rewritten under the stream. Failing loudly
+    * beats every silent alternative — with epoch-named files
+    * (`part-e…` > the merged output's numeric `part-NNNNN`) a silent
+    * continuation would SKIP the absorbed records; with numeric names it
+    * would re-deliver them. Optimize cold archives, not tailed dirs
+    * (the same operational rule as compacting under Spark's own file
+    * stream source). */
+  private def guardRewritten(watermark: String,
+      files: Array[java.io.File]): Unit =
+    if (watermark.nonEmpty && !files.exists(_.getName == watermark))
+      throw new IllegalStateException(
+        s"gavro stream: consumed watermark $watermark is no longer in the " +
+          s"committed listing at $path — the archive was optimized/" +
+          "rewritten under a live stream; restart from a fresh checkpoint " +
+          "over the rewritten archive")
+
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val s = start.asInstanceOf[GavroStreamOffset].last
-    // single listing capture: the same snapshot drives the admission
-    // decision and the watermark (no list-twice TOCTOU)
-    val fresh = listing().filter(_.getName > s)
+    // single listing capture: the same snapshot drives the guard, the
+    // admission decision, and the watermark (no list-twice TOCTOU)
+    val all = listing()
+    guardRewritten(s, all)
+    val fresh = all.filter(_.getName > s)
     def admit(l: ReadLimit): Int = l match {
       case _: ReadAllAvailable => fresh.length
       case f: ReadMaxFiles => math.min(fresh.length, f.maxFiles)
@@ -708,14 +727,20 @@ class GavroMicroBatchStream(path: String, schemaName: String,
       .map(m => GavroStreamOffset(m.group(1)))
       .orElse {
         // legacy count-based offsets ({"files":N}, pre name-watermark):
-        // best-effort translation against the current sorted listing —
-        // exact while the listing prefix is unchanged, which is the
-        // append-only contract those checkpoints were written under
+        // translation against the current sorted listing is exact while
+        // the listing prefix is unchanged — the append-only contract
+        // those checkpoints were written under. A listing SHORTER than
+        // the consumed count means the archive was rewritten while the
+        // stream was down: fail loudly, never clamp (clamping would mark
+        // never-consumed records consumed).
         "\"files\":(\\d+)".r.findFirstMatchIn(json).map { m =>
           val n = m.group(1).toInt
           val files = listing()
-          GavroStreamOffset(
-            if (n == 0) "" else files(math.min(n, files.length) - 1).getName)
+          if (n > files.length) throw new IllegalStateException(
+            s"gavro stream: legacy offset consumed $n files but only " +
+              s"${files.length} are listed at $path — the archive was " +
+              "rewritten; restart from a fresh checkpoint")
+          GavroStreamOffset(if (n == 0) "" else files(n - 1).getName)
         }
       }
       .getOrElse(throw new IllegalArgumentException(s"bad gavro offset: $json"))
@@ -725,7 +750,9 @@ class GavroMicroBatchStream(path: String, schemaName: String,
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val s = start.asInstanceOf[GavroStreamOffset].last
     val e = end.asInstanceOf[GavroStreamOffset].last
-    listing().filter(f => f.getName > s && f.getName <= e)
+    val all = listing()
+    guardRewritten(e, all)
+    all.filter(f => f.getName > s && f.getName <= e)
       .flatMap(f => GavroSkip.planFile(f, preds.toSeq))
       .map(p => p: InputPartition)
   }
@@ -1469,6 +1496,12 @@ object Gavro {
     * record (no-op on an empty log). Returns the checkpoint name. */
   def checkpoint(path: String): Option[String] = {
     val dir = new java.io.File(path, CommitsDir)
+    // Never advance the base while a LIVE maintenance run is retiring:
+    // its fold loop and this one would race each other's read-replace.
+    // Records simply accumulate; the next checkpoint catches up.
+    val lock = optimizeLock(path)
+    if (lock.exists() && System.currentTimeMillis() - lock.lastModified() <
+        OptimizeLockStaleMs) return None
     logEntries(dir, ".commit").lastOption.map { last =>
       val asOf = last.getName.stripSuffix(".commit")
       val live = committedNames(path, Some(asOf)).toSeq.sorted
@@ -1500,14 +1533,15 @@ object Gavro {
   private def foldBelow(path: String, upTo: String,
       exclude0: Set[String] = Set.empty): Unit = {
     val dir = new java.io.File(path, CommitsDir)
-    // Names absorbed by any in-flight/crashed optimize (its `.retire`
-    // sidecar) must NEVER be folded back — their bytes live in the
-    // merged output, and resurrecting them double-counts every record.
-    val exclude = exclude0 ++
-      logEntries(dir, ".retire").flatMap(readNames)
     var attempts = 0
     var stable = false
     while (!stable) {
+      // Names absorbed by any in-flight/crashed optimize (its `.retire`
+      // sidecar) must NEVER be folded back — their bytes live in the
+      // merged output, and resurrecting them double-counts every record.
+      // Re-read EVERY iteration: a sidecar can land mid-loop.
+      val exclude = exclude0 ++
+        logEntries(dir, ".retire").flatMap(readNames)
       attempts += 1
       if (attempts > 1000) throw new java.io.IOException(
         s"gavro: checkpoint fold cannot reach a fixed point at $path")
@@ -1571,21 +1605,21 @@ object Gavro {
     * horizon. Returns deleted names. */
   def compactLog(path: String): Seq[String] = {
     val dir = new java.io.File(path, CommitsDir)
-    // never race a live optimize's retire (two concurrent fold loops can
-    // drop each other's folds via replace)
-    val lock = optimizeLock(path)
-    require(!lock.exists() ||
-      System.currentTimeMillis() - lock.lastModified() >= OptimizeLockStaleMs,
-      s"gavro: an optimize is in flight at $path — compactLog deferred")
-    // a crashed optimize leaves records whose absorbed names must NOT be
-    // folded back (double-count) — heal with the sidecar's exclusions
-    // before the exclusion-free retire
-    healLog(path)
-    val lastCp = logEntries(dir, ".checkpoint").lastOption
-      .map(_.getName.stripSuffix(".checkpoint"))
-      .getOrElse(throw new IllegalArgumentException(
-        s"gavro: compactLog requires a checkpoint at $path (run checkpoint())"))
-    retireRecords(path, lastCp)
+    // ACQUIRE the maintenance lock (not merely observe it): a concurrent
+    // optimize starting an instant after an observation would race the
+    // retire's fold loop (two concurrent fold-replace loops can drop
+    // each other's folds).
+    withMaintenanceLock(path) {
+      // a crashed optimize leaves records whose absorbed names must NOT
+      // be folded back (double-count) — heal with the sidecar's
+      // exclusions before the exclusion-free retire
+      healLog(path)
+      val lastCp = logEntries(dir, ".checkpoint").lastOption
+        .map(_.getName.stripSuffix(".checkpoint"))
+        .getOrElse(throw new IllegalArgumentException(
+          s"gavro: compactLog requires a checkpoint at $path (run checkpoint())"))
+      retireRecords(path, lastCp)
+    }
   }
 
   /** Default OPTIMIZE bin target. 64 MB merges a landing zone's drizzle
@@ -1647,38 +1681,61 @@ object Gavro {
     * no trusted record boundary, and concatenating a torn tail would
     * desync the following frames. Files of different block codecs merge
     * into separate bins (offsets are codec-specific file positions).
-    * Returns the merged file names (empty = nothing worth merging). */
-  /** A held lock younger than this is a LIVE optimize (a retire takes
-    * seconds); older means the holder crashed and the next admin op may
-    * heal and take over. */
-  val OptimizeLockStaleMs: Long = 15L * 60 * 1000
-
-  private def optimizeLock(path: String) =
-    new java.io.File(new java.io.File(path, CommitsDir), "_optimize.lock")
-
+    * Returns the merged file names (empty = nothing worth merging).
+    *
+    * OPERATIONAL SCOPE: maintenance operations (optimize, compactLog,
+    * the heals they run) are serialized by the `_optimize.lock` and
+    * written for the standard single-maintenance-actor deployment (one
+    * scheduled OPTIMIZE job per table — the same assumption real table
+    * formats enforce with transactional catalogs a bare filesystem
+    * cannot provide). Regular WRITERS are fully concurrent-safe against
+    * a live maintenance run (put-if-absent records, post-land retract,
+    * lock-gated checkpointing); two maintenance actors fighting over a
+    * STALE lock is detected and the loser errors loudly. */
   def optimize(path: String,
       targetBytes: Long = OptimizeTargetBytes): Seq[String] = {
     val d = new java.io.File(path)
     val commits = new java.io.File(d, CommitsDir)
     require(commits.isDirectory,
       s"gavro: optimize requires a $CommitsDir log at $path")
-    // ONE optimize at a time per table: concurrent optimizes would merge
-    // the same inputs into different outputs and race each other's swap
-    // (double-counted rows). Put-if-absent lock; a stale lock (crashed
-    // holder) is healed and taken over.
+    withMaintenanceLock(path)(optimizeLocked(path, targetBytes))
+  }
+
+  /** A held lock younger than this is a LIVE maintenance run (the holder
+    * touches it as it works); older means the holder crashed and the
+    * next maintenance op may heal and take over. */
+  val OptimizeLockStaleMs: Long = 15L * 60 * 1000
+
+  private def optimizeLock(path: String) =
+    new java.io.File(new java.io.File(path, CommitsDir), "_optimize.lock")
+
+  /** ONE maintenance op at a time per table: concurrent optimizes would
+    * merge the same inputs into different outputs and race each other's
+    * swap; a concurrent compactLog would race the retire's fold loop.
+    * Put-if-absent lock; a stale lock (crashed holder) is healed and
+    * taken over put-if-absent too — a racing taker loses LOUDLY, never
+    * silently runs concurrently. */
+  private def withMaintenanceLock[A](path: String)(body: => A): A = {
     val lock = optimizeLock(path)
-    try java.nio.file.Files.createFile(lock.toPath)
-    catch {
-      case _: java.nio.file.FileAlreadyExistsException =>
-        if (System.currentTimeMillis() - lock.lastModified() <
-            OptimizeLockStaleMs)
-          throw new IllegalStateException(
-            s"gavro: another optimize is in flight at $path")
-        healLog(path)
-        lock.delete()
-        java.nio.file.Files.createFile(lock.toPath) // racing takers: rare
-    }
-    try optimizeLocked(path, targetBytes)
+    def acquire(): Unit =
+      try java.nio.file.Files.createFile(lock.toPath)
+      catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          if (System.currentTimeMillis() - lock.lastModified() <
+              OptimizeLockStaleMs)
+            throw new IllegalStateException(
+              s"gavro: another maintenance op is in flight at $path")
+          healLog(path)
+          lock.delete()
+          try java.nio.file.Files.createFile(lock.toPath)
+          catch {
+            case _: java.nio.file.FileAlreadyExistsException =>
+              throw new IllegalStateException(
+                s"gavro: another maintenance op took over the stale lock at $path")
+          }
+      }
+    acquire()
+    try body
     finally lock.delete()
   }
 
@@ -1706,6 +1763,9 @@ object Gavro {
         group.sortBy(_._1.getName).foreach { case (f, m) =>
           if (bin.nonEmpty && binBytes + m.dataEnd > targetBytes) flush()
           bin :+= ((f, m)); binBytes += m.dataEnd
+          // keep-alive: a big backlog's byte copy can outlast the lock's
+          // staleness bound; touching per bin keeps the holder visibly live
+          optimizeLock(path).setLastModified(System.currentTimeMillis())
         }
         flush()
     }
@@ -1729,8 +1789,11 @@ object Gavro {
     val stmp = java.io.File.createTempFile(s".$cpName", ".rtmp", commits)
     java.nio.file.Files.writeString(stmp.toPath,
       gone.toSeq.sorted.mkString("\n"))
-    java.nio.file.Files.move(stmp.toPath, sidecar.toPath,
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    // put-if-absent: a sidecar clobber would hand a resumer the WRONG
+    // absorbed set — the loser of any (theoretically impossible under
+    // the lock) race errors loudly instead
+    try java.nio.file.Files.createLink(sidecar.toPath, stmp.toPath)
+    finally stmp.delete()
     val content =
       ((committedNames(path, None) -- gone) ++ merged).toSeq.sorted
     val ctmp = java.io.File.createTempFile(s".$cpName", ".tmp", commits)

@@ -178,7 +178,7 @@ class GavroStreamSpec extends SparkSpec {
     assert(all.flatMap(_._2).toSet == (0L until 50L).toSet)
   }
 
-  test("optimize under a stream re-delivers absorbed records, never loses") {
+  test("optimize under a stream is detected loudly via the vanished watermark") {
     import org.apache.spark.sql.functions.{col, expr, pmod, lit}
     val events = graft.sources.Tables.events(spark, "/root/testdata/sf0.001")
     val frame = events.select(graft.sources.AvroCodec.requestLogRec.as("rec"))
@@ -202,24 +202,32 @@ class GavroStreamSpec extends SparkSpec {
     q.stop()
     val n = frame.count()
     assert(seen.get() == n)
-    // the archive is optimized while the stream is DOWN: the consumed
-    // files are absorbed into a merged file whose fresh part index sorts
-    // ABOVE the name watermark — the restart RE-DELIVERS their records
-    // (at-least-once under rewrite) and loses nothing; a count-based
-    // offset would have silently skipped or stalled
-    assert(graft.sources.Gavro.optimize(dir).length == 1)
-    val q2 = start()
-    q2.processAllAvailable()
-    q2.stop()
-    assert(seen.get() == 2 * n, s"expected re-delivery of all $n records")
-    // and the stream continues exactly-once on the append-only path: a
-    // NEW batch commit after the optimize is delivered exactly once
-    frame.limit(10).write.format("gavro")
+    // more files land and are partially consumed — the watermark now
+    // points INTO the listing, not at its end
+    frame.limit(20).write.format("gavro")
       .option("schema", "request_log").mode("append").save(dir)
-    val q3 = start()
-    q3.processAllAvailable()
-    q3.stop()
-    assert(seen.get() == 2 * n + 10, seen.get().toString)
+    val qm = start()
+    qm.processAllAvailable()
+    qm.stop()
+    assert(seen.get() == n + 20)
+    // the archive is optimized while the stream is DOWN: the consumed
+    // watermark file is absorbed and vanishes from the committed listing
+    // — unambiguous evidence of a rewrite, and the restart fails LOUDLY
+    // instead of silently skipping (epoch-named survivors would sort
+    // above a merged numeric name) or re-delivering
+    assert(graft.sources.Gavro.optimize(dir).nonEmpty)
+    val err = intercept[Exception] {
+      val q2 = start()
+      try q2.processAllAvailable() finally q2.stop()
+    }
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Seq.empty else t +: causes(t.getCause)
+    assert(causes(err).exists(c =>
+      Option(c.getMessage).exists(_.contains("optimized/rewritten"))),
+      causes(err).map(_.getMessage).mkString(" | "))
+    // don't leak the intentional failure into later suites' shared-
+    // session awaitAnyTermination
+    spark.streams.resetTerminated()
   }
 
   test("maxBytesPerTrigger admits at least one file and bounds each batch") {
