@@ -176,8 +176,9 @@ object Frames {
         epochMs(col("window.end")).as("updatedAt"))
 
   /** A6: the streaming-shaped HLL variant (`approx_count_distinct`), kept as
-    * its own query: approximate results can't hash-match an exact oracle, so
-    * the driver records a rows-only check for it (no oracleSql entry).
+    * its own query builder: the raw estimate can't hash-match an exact
+    * oracle, so this form is spec-bounded (FramesSpec) and used by the
+    * streaming jobs.
     */
   def approxDistinctFrame(events: DataFrame): DataFrame =
     Synth.eventTime(events)
@@ -187,6 +188,31 @@ object Frames {
         count(lit(1)).as("n_events"))
       .select(epochMs(col("window.end")).as("updatedAt"),
         col("approx_users"), col("n_events"))
+
+  /** A6, oracle-checkable form: computes the builtin HLL estimate AND the
+    * exact distinct count in the same plan, and emits the exact count plus a
+    * deterministic bounded-error check (`approx_within_rse`). The raw
+    * estimate itself is not a column (it can't hash-match any exact SQL
+    * oracle) but it still binds the hash: if `approx_count_distinct`
+    * regressed past 3 absolute / 15% relative error — 3× the default 5% rsd,
+    * far beyond any plausible HLL++ drift, yet tight enough that a broken
+    * sketch flips it — the boolean column flips and the driver's hash check
+    * fails. The DuckDB oracle replays the exact count and a literal TRUE.
+    * See TOLERANCE.md.
+    */
+  def approxDistinctChecked(events: DataFrame): DataFrame =
+    Synth.eventTime(events)
+      .groupBy(window(col("ts"), "1 day"))
+      .agg(
+        approx_count_distinct("user_id").as("approx_users"),
+        countDistinct(col("user_id")).as("exact_users"),
+        count(lit(1)).as("n_events"))
+      .select(
+        epochMs(col("window.end")).as("updatedAt"),
+        col("exact_users"), col("n_events"),
+        (abs(col("approx_users") - col("exact_users")) <=
+          greatest(lit(3L), ceil(col("exact_users") * 0.15).cast("long")))
+          .as("approx_within_rse"))
 
   /** Mergeable-sketch rollup — the warehouse distinct-count pattern exact
     * counts can't do: per-day HLL sketches (Apache DataSketches binary
@@ -315,7 +341,7 @@ object Frames {
       trafficFrame(Tables.events(s, d)).orderBy(col("timestamp"))),
     "health_frame" -> ((s, d) => healthFrame(Tables.events(s, d)).orderBy(col("updatedAt"))),
     "approx_distinct_users" -> ((s, d) =>
-      approxDistinctFrame(Tables.events(s, d)).orderBy(col("updatedAt"))),
+      approxDistinctChecked(Tables.events(s, d)).orderBy(col("updatedAt"))),
     // hllRollup (builtin DataSketches HLL day→week union) is spec-covered
     // in FramesSpec; the REGISTERED mergeable distinct rollup is the KMV
     // form (`kmv_distinct_rollup`, functions/Sketches.scala), whose
@@ -467,7 +493,17 @@ object Frames {
            |  FROM events
            |) WHERE platform IS NOT NULL
            |GROUP BY platform ORDER BY platform""".stripMargin,
-      // approx_distinct_users: intentionally no oracle (HLL estimate).
+      // approx_distinct_users: the exact count and event count are
+      // replayed; the HLL estimate binds the hash through the
+      // deterministic bounded-error boolean (see approxDistinctChecked).
+      "approx_distinct_users" ->
+        """SELECT (wstart + 86400) * 1000 AS "updatedAt",
+          |  count(DISTINCT user_id) AS exact_users,
+          |  count(*) AS n_events,
+          |  TRUE AS approx_within_rse
+          |FROM (SELECT (((epoch_us(ts) // 1000000) // 86400) * 86400) AS wstart, user_id
+          |      FROM events)
+          |GROUP BY wstart ORDER BY 1""".stripMargin
     )
   }
 }
