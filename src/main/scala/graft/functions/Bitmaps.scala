@@ -220,27 +220,31 @@ object Bitmaps {
     * equality proves replicate-and-OR == per-window distinct.
     */
   def rollingDistinctUsers(events: DataFrame): DataFrame = {
-    // Two consumers (own-day count, window merge): persist the ~days-sized
-    // bitmap table so the fact scan/shuffle runs once.
-    val daily = events
+    // Single-consumer plan: each day's bitmap is exploded to the ≤7 window
+    // ends it contributes to with an `is_own` flag, and ONE day-grain
+    // aggregation computes both the own-day cardinality (max over the
+    // single flagged contribution) and the 7-day OR-merge. Days the corpus
+    // lacks produce no flagged row, so the isNotNull filter drops the
+    // phantom tail past max(day) and silent-gap days — the former
+    // present-spine join. One fact shuffle + one day-grain shuffle, no
+    // persist: the earlier cached two-consumer form recorded
+    // nondeterministic shuffle bytes (consumers raced the lazy cache
+    // materialization), which silently disabled the bench contention
+    // guard's unchanged-shuffle escape for this query.
+    events
       .select(date_trunc("day", col("ts")).as("day"), col("user_id"))
       .groupBy(col("day"))
       .agg(bitmapAgg(col("user_id")).as("bm"))
-      .persist()
-    val present = daily.select(col("day").as("target_day"))
-    val rolled = daily
       .withColumn("target_day",
         explode(expr("sequence(day, day + interval 6 days, interval 1 day)")))
-      // Only report days the corpus actually has (drops the phantom tail
-      // past max(day) and any silent-gap days, matching the oracle spine).
-      .join(present, "target_day")
       .groupBy(col("target_day"))
-      .agg(mergeBitmaps(col("bm.chunks"), col("bm.words")).as("bm7"))
-    daily
-      .select(col("day"),
-        expr("aggregate(bm.words, 0L, (a, w) -> a + bit_count(w))").as("n_users_1d"))
-      .join(rolled, col("day") === col("target_day"))
-      .select(unix_micros(col("day")).as("day_us"), col("n_users_1d"),
+      .agg(
+        max(when(col("target_day") === col("day"),
+          expr("aggregate(bm.words, 0L, (a, w) -> a + bit_count(w))")))
+          .as("n_users_1d"),
+        mergeBitmaps(col("bm.chunks"), col("bm.words")).as("bm7"))
+      .where(col("n_users_1d").isNotNull)
+      .select(unix_micros(col("target_day")).as("day_us"), col("n_users_1d"),
         expr("aggregate(bm7.words, 0L, (a, w) -> a + bit_count(w))").as("n_users_7d"))
       .orderBy(col("day_us"))
   }

@@ -76,10 +76,11 @@ def main():
         if max(b, n) == 0:
             return False
         la = new.get("loadavg")
-        # threshold scales with the box: light ambient load on a many-core
-        # runner is still effectively idle, but a loadavg below an eighth
-        # of the cores cannot explain a 2x wall blowup
-        min_busy = max(4.0, 0.125 * (os.cpu_count() or 32))
+        # threshold scales with the box THE RUN HAPPENED ON: prefer the
+        # cpus recorded in the artifact (Bench emits "cpus" since r11);
+        # os.cpu_count() of the comparing machine is only the legacy
+        # fallback for older artifacts.
+        min_busy = max(4.0, 0.125 * (new.get("cpus") or os.cpu_count() or 32))
         if la and la[0] < min_busy:
             return False
         return abs(n - b) <= 0.02 * max(b, n)
