@@ -29,7 +29,8 @@ object SparkEntry {
       graft.ops.Pipeline.queries ++ graft.ops.Temporal.queries ++
       graft.ops.RegionLookup.queries ++ graft.streaming.StreamJoins.queries ++
       graft.ops.Curation.queries ++ graft.ops.Mixing.queries ++
-      graft.ops.Quantize.queries ++ graft.functions.Sketches.queries ++
+      graft.ops.Quantize.queries ++ graft.ops.IvfPqIndex.queries ++
+      graft.functions.Sketches.queries ++
       graft.ops.Incremental.queries ++ graft.functions.Bitmaps.queries ++
       graft.sources.AvroCodec.queries ++ graft.sources.Gavro.queries ++
       graft.ops.Graph.queries ++ graft.ops.Profiling.queries ++
@@ -155,7 +156,7 @@ object SparkEntry {
     graft.ops.Pipeline.oracleSql ++ graft.ops.Temporal.oracleSql ++
     graft.ops.RegionLookup.oracleSql ++ graft.streaming.StreamJoins.oracleSql ++
     graft.ops.Curation.oracleSql ++ graft.ops.Mixing.oracleSql ++
-    graft.ops.Quantize.oracleSql ++
+    graft.ops.Quantize.oracleSql ++ graft.ops.IvfPqIndex.oracleSql ++
     graft.functions.Sketches.oracleSql ++ graft.ops.Incremental.oracleSql ++
     graft.functions.Bitmaps.oracleSql ++ graft.sources.AvroCodec.oracleSql ++
     graft.sources.Gavro.oracleSql ++ graft.ops.Graph.oracleSql ++

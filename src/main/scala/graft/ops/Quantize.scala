@@ -43,8 +43,8 @@ object Quantize {
   val K = 16 // codebook entries per subspace
   val Dim = 64
   private val SubDim = Dim / M
-  private val NumQueries = 5
-  private val TopK = 5
+  private[graft] val NumQueries = 5
+  private[ops] val TopK = 5
 
   /** Quantization scale shared with [[Similarity]]'s trained quantizers:
     * `floor(1e4·x)` is exact on bit-identical doubles and keeps every
@@ -53,13 +53,13 @@ object Quantize {
 
   /** Exact integer squared-L2 via the dot identity — three codegen'd
     * vec_dot calls over integral-double arrays, no interpreted lambda. */
-  private def d2(a: String, b: String): Column =
+  private[ops] def d2(a: String, b: String): Column =
     (expr(s"vec_dot($a, $a)") - lit(2.0) * expr(s"vec_dot($a, $b)") +
       expr(s"vec_dot($b, $b)")).cast("long")
 
   /** The corpus quantizer: `floor(1e4·x)` per component as integral
     * doubles (exact on the bit-identical float→double cast). */
-  private def quantQv(v: String): Column = expr(
+  private[ops] def quantQv(v: String): Column = expr(
     s"cast(transform(cast($v as array<double>), x -> floor($QScale * x)) " +
       "as array<double>)")
 
@@ -312,12 +312,14 @@ object Quantize {
       .orderBy(col("q_id"), col("rnk"))
   }
 
-  /** The shared IVF-PQ pipeline through ADC scoring: returns (scored =
-    * (q_id, vec_id, adist) over probed-cell candidates, qemb = the
-    * quantized full-precision corpus for downstream exact stages). */
-  private def ivfPqScored(emb0: DataFrame,
-      trainPred: Column = lit(true)): (DataFrame, DataFrame) = {
-    import org.apache.spark.sql.expressions.Window
+  /** The BUILD half of the IVF-PQ pipeline — everything a persisted index
+    * holds: (coarse centroids, residual PQ codebooks, codes = (vec_id,
+    * cell, sub_idx, code), qemb = the quantized full-precision corpus for
+    * downstream exact stages). [[graft.ops.IvfPqIndex]] materializes the
+    * first three to gavro tables; the in-query family recomputes them. */
+  private[graft] def ivfPqTrainEncode(emb0: DataFrame,
+      trainPred: Column = lit(true))
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
     val emb = emb0.persist() // (vec_id, v)
     val qemb = emb.select(col("vec_id"), quantQv("v").as("qv"))
     // 1. coarse quantizer + cell assignment (argmin via struct-min: a
@@ -352,16 +354,48 @@ object Quantize {
       .agg(min(col("sc")).as("best"))
       .select(col("vec_id"), col("cell"), col("sub_idx"),
         col("best.c_id").as("code"))
-    // 4. probes: the NProbe nearest cells per query, then the per-cell
-    //    query residual and its broadcast ADC LUT (5·2·M·K rows)
-    val probes = qemb.filter(col("vec_id") < NumQueries)
+    (coarse, books, codes, qemb)
+  }
+
+  /** The SEARCH half: probe selection, per-probed-cell query residual
+    * LUTs, and cell-pruned ADC over `codes` — exactly steps 4-5 of the
+    * composed pipeline, taking the index tables as inputs so a PREBUILT
+    * index (gavro-loaded) and a just-trained one run the identical plan.
+    * `queries` is (q_id, qv) quantized full-precision query vectors. */
+  private[ops] def ivfPqAdcScore(queries: DataFrame, coarse: DataFrame,
+      books: DataFrame, codes: DataFrame): DataFrame =
+    ivfPqAdc(codes, ivfPqLut(ivfPqProbes(queries, coarse), coarse, books))
+
+  /** Step 4a — probe selection: the [[NProbe]] nearest coarse cells per
+    * query, by exact integer distance with c_id tiebreak. Returns (q_id,
+    * qv, cell). The prebuilt-index path collects the distinct cells off
+    * this frame (≤ queries·nprobe values) to push an IN filter into the
+    * codes scan. */
+  private[ops] def ivfPqProbes(queries: DataFrame, coarse: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    queries
       .join(broadcast(coarse), lit(true))
-      .select(col("vec_id").as("q_id"), col("qv"), col("c_id"),
+      .select(col("q_id"), col("qv"), col("c_id"),
         d2("qv", "cv").as("cd"))
       .withColumn("crnk", row_number().over(
         Window.partitionBy(col("q_id")).orderBy(col("cd").asc, col("c_id").asc)))
       .filter(col("crnk") <= NProbe)
       .select(col("q_id"), col("qv"), col("c_id").as("cell"))
+  }
+
+  /** Step 5 — ADC restricted to probed cells: the join on (cell, sub_idx,
+    * code) IS the partition pruning — unprobed cells never survive it. */
+  private[ops] def ivfPqAdc(codes: DataFrame, lut: DataFrame): DataFrame =
+    codes.join(broadcast(lut), Seq("cell", "sub_idx", "code"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .groupBy(col("q_id"), col("vec_id"))
+      .agg(sum(col("pd")).as("adist"))
+
+  /** Per-(query, probed-cell) ADC lookup table from `probes` = (q_id, qv,
+    * cell): the query residual against THAT cell's centroid, one exact
+    * integer distance per (sub_idx, code). */
+  private[ops] def ivfPqLut(probes: DataFrame, coarse: DataFrame,
+      books: DataFrame): DataFrame = {
     val qres = probes
       .join(broadcast(coarse.withColumnRenamed("c_id", "cell")), "cell")
       .select(col("q_id"), col("cell"),
@@ -369,16 +403,20 @@ object Quantize {
     val qsub = qres.select(col("q_id"), col("cell"), posexplode(expr(
         s"transform(sequence(0, ${M - 1}), m -> slice(qv, m * $SubDim + 1, $SubDim))")))
       .toDF("q_id", "cell", "sub_idx", "sv")
-    val lut = qsub.join(broadcast(books), "sub_idx")
+    qsub.join(broadcast(books), "sub_idx")
       .select(col("q_id"), col("cell"), col("sub_idx"),
         col("c_id").as("code"), d2("sv", "cv").as("pd"))
-    // 5. ADC restricted to probed cells: the join on (cell, sub_idx, code)
-    //    IS the partition pruning — unprobed cells never leave the scan
-    val scored = codes.join(broadcast(lut), Seq("cell", "sub_idx", "code"))
-      .filter(col("vec_id") =!= col("q_id"))
-      .groupBy(col("q_id"), col("vec_id"))
-      .agg(sum(col("pd")).as("adist"))
-    (scored, qemb)
+  }
+
+  /** The shared IVF-PQ pipeline through ADC scoring: returns (scored =
+    * (q_id, vec_id, adist) over probed-cell candidates, qemb = the
+    * quantized full-precision corpus for downstream exact stages). */
+  private def ivfPqScored(emb0: DataFrame,
+      trainPred: Column = lit(true)): (DataFrame, DataFrame) = {
+    val (coarse, books, codes, qemb) = ivfPqTrainEncode(emb0, trainPred)
+    val queries = qemb.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("q_id"), col("qv"))
+    (ivfPqAdcScore(queries, coarse, books, codes), qemb)
   }
 
   // ------------------------------------------------------------------ oracle
@@ -475,9 +513,10 @@ object Quantize {
     * query residual LUTs, and the cell-pruned ADC follow. Everything is
     * integer arithmetic with deterministic tiebreaks, so the hash check
     * proves the whole index build + search, not a sample of it. */
-  private def ivfPqCoreSql(
+  private[ops] def ivfPqCoreSql(
       srcSql: String = "SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings",
-      trainPred: String = "TRUE"): String = {
+      trainPred: String = "TRUE",
+      numQueries: Int = NumQueries): String = {
     val rounds = (1 to 3).map { r =>
       val prev = s"pc${r - 1}"
       s"""pa$r AS (
@@ -541,7 +580,7 @@ object Quantize {
        |    SELECT q.vec_id AS q_id, c.c_id,
        |      row_number() OVER (PARTITION BY q.vec_id
        |        ORDER BY ${d2FullSql("q.qv", "c.cv")} ASC, c.c_id ASC) AS crnk
-       |    FROM qt q, c3 c WHERE q.vec_id < $NumQueries) WHERE crnk <= $NProbe
+       |    FROM qt q, c3 c WHERE q.vec_id < $numQueries) WHERE crnk <= $NProbe
        |), qres AS (
        |  SELECT p.q_id, p.cell,
        |    list_transform(range(1, ${Dim + 1}), i -> q.qv[i] - c.cv[i]) AS rv
@@ -576,9 +615,11 @@ object Quantize {
        |ORDER BY q_id, rnk""".stripMargin
 
   /** Two-stage oracle: the IVF-PQ candidate pool (top [[RerankCand]] by
-    * ADC) re-ranked by EXACT full-dimension integer L2 against `qt`. */
-  private def ivfPqRerankSql: String =
-    s"""${ivfPqCoreSql()},
+    * ADC) re-ranked by EXACT full-dimension integer L2 against `qt`.
+    * Parameterized on the query count so the prebuilt-index query
+    * ([[IvfPqIndex]], search-many) shares the unroll. */
+  private[ops] def ivfPqRerankSql(numQueries: Int = NumQueries): String =
+    s"""${ivfPqCoreSql(numQueries = numQueries)},
        |cand AS (
        |  SELECT q_id, vec_id FROM (
        |    SELECT q_id, vec_id, row_number() OVER (PARTITION BY q_id
@@ -628,7 +669,7 @@ object Quantize {
   def oracleSql: Map[String, String] = Map(
     "ann_pq_topk" -> pqSql,
     "ann_ivfpq_topk" -> ivfPqSql,
-    "ann_ivfpq_rerank" -> ivfPqRerankSql,
+    "ann_ivfpq_rerank" -> ivfPqRerankSql(),
     "ann_ivfpq_incremental" -> ivfPqIncrementalSql,
   )
 }

@@ -112,14 +112,28 @@ object AvroCodec {
     * Debezium UUID strings. */
   lazy val SessionsCdc: ARecord = parseSchema(SessionsCdcJson)
 
+  /** The persisted IVF-PQ index tables ([[graft.ops.IvfPqIndex]]): vector
+    * payloads travel EXPLODED to scalar rows (the codec is deliberately
+    * scalar-only — arrays would forfeit the footer-stats/pushdown machinery
+    * that makes the codes table cell-prunable). Components are exact longs
+    * at the quantizer's 1e4 scale; codes are one row per (vec_id, sub_idx),
+    * already the shape the ADC join consumes. */
+  lazy val IvfCells: ARecord = parseSchema(IvfCellsJson)
+  lazy val IvfBooks: ARecord = parseSchema(IvfBooksJson)
+  lazy val IvfCodes: ARecord = parseSchema(IvfCodesJson)
+
   def schemaByName(name: String): ARecord = name match {
     case "request_log" => RequestLog
     case "system_metrics" => SystemMetrics
     case "orders_cdc" => OrdersCdc
     case "sessions_cdc" => SessionsCdc
+    case "ivf_cells" => IvfCells
+    case "ivf_books" => IvfBooks
+    case "ivf_codes" => IvfCodes
     case other => throw new IllegalArgumentException(
       s"unknown avro schema '$other' " +
-        "(known: request_log, system_metrics, orders_cdc, sessions_cdc)")
+        "(known: request_log, system_metrics, orders_cdc, sessions_cdc, " +
+        "ivf_cells, ivf_books, ivf_codes)")
   }
 
   private def sqlTypeOf(t: AvroType): DataType = t match {
@@ -549,6 +563,36 @@ object AvroCodec {
       |{"name":"user_id","type":["null","long"]},
       |{"name":"trace_id","type":["null","string"],"default":null},
       |{"name":"created_at","type":{"type":"long","logicalType":"timestamp-millis"}}
+      |]}""".stripMargin.replace("\n", "")
+
+  /** Coarse-centroid components of a persisted IVF-PQ index: one row per
+    * (c_id, pos), x = the integral component at the 1e4 quantizer scale. */
+  val IvfCellsJson: String =
+    """{"type":"record","name":"IvfCells","fields":[
+      |{"name":"c_id","type":"int"},
+      |{"name":"pos","type":"int"},
+      |{"name":"x","type":"long"}
+      |]}""".stripMargin.replace("\n", "")
+
+  /** Residual PQ codebook components: one row per (sub_idx, c_id, pos). */
+  val IvfBooksJson: String =
+    """{"type":"record","name":"IvfBooks","fields":[
+      |{"name":"sub_idx","type":"int"},
+      |{"name":"c_id","type":"int"},
+      |{"name":"pos","type":"int"},
+      |{"name":"x","type":"long"}
+      |]}""".stripMargin.replace("\n", "")
+
+  /** PQ codes: one row per (vec_id, sub_idx) with the vector's coarse
+    * cell riding along — the exact (cell, sub_idx, code) join shape the
+    * ADC stage consumes, and `cell` is the footer-stats column the
+    * probe-list IN pushdown prunes files by. */
+  val IvfCodesJson: String =
+    """{"type":"record","name":"IvfCodes","fields":[
+      |{"name":"vec_id","type":"long"},
+      |{"name":"cell","type":"int"},
+      |{"name":"sub_idx","type":"int"},
+      |{"name":"code","type":"int"}
       |]}""".stripMargin.replace("\n", "")
 
   /** The `orders` Debezium envelope writer schema, verbatim as the

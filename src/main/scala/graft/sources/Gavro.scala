@@ -10,7 +10,7 @@ import org.apache.spark.sql.connector.metric.{CustomMetric, CustomSumMetric, Cus
 import org.apache.spark.sql.connector.expressions.aggregate.{AggregateFunc, Aggregation, Count, CountStar, Max, Min, Sum}
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownLimit, SupportsPushDownRequiredColumns, SupportsReportStatistics}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, IsNotNull, IsNull, LessThan, LessThanOrEqual}
+import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, IsNotNull, IsNull, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types.{DoubleType, LongType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -55,8 +55,10 @@ import org.apache.spark.unsafe.types.UTF8String
   *     the engine has to carry. Accepted conjuncts are removed from the
   *     post-scan `Filter` (the reader's evaluation is exact, including the
   *     SQL null-comparison contract), so a fully-pushed predicate leaves
-  *     no `FilterExec` above the scan at all; anything unsupported
-  *     (timestamps, In, Or-trees) is handed back to Spark untouched.
+  *     no `FilterExec` above the scan at all; IN-lists on scalar fields
+  *     (≤64 values — the IVF probe-list shape) are pushed the same way;
+  *     anything unsupported (timestamps, Or-trees) is handed back to
+  *     Spark untouched.
   *     Filter-only columns are added to the decode target and dropped
   *     before emit, so pruning and filtering compose.
   *
@@ -219,6 +221,11 @@ class GavroScanBuilder(full: StructType, path: String, schemaName: String,
     case LessThanOrEqual(a, v) => scalarField(a) && litOk(v)
     case IsNotNull(a) => scalarField(a)
     case IsNull(a) => scalarField(a)
+    // IN on a scalar field — the probe-list shape (`cell IN (probed…)`)
+    // an IVF index read pushes; capped so the per-record loop stays a
+    // short linear scan and the serialized pred stays small.
+    case In(a, vs) =>
+      scalarField(a) && vs.nonEmpty && vs.length <= 64 && vs.forall(litOk)
     case _ => false
   }
 
@@ -773,6 +780,7 @@ object GavroPred {
     case LessThanOrEqual(a, v) => GavroPred(a, "<=", v)
     case IsNotNull(a) => GavroPred(a, "notnull", null)
     case IsNull(a) => GavroPred(a, "isnull", null)
+    case In(a, vs) => GavroPred(a, "in", vs.toSeq)
     case other => throw new IllegalArgumentException(s"unpushable: $other")
   }
 }
@@ -951,6 +959,9 @@ object GavroSkip {
           case ">=" => cmp(s, s.max, p.value).exists(_ < 0)  // max < v
           case "<" => cmp(s, s.min, p.value).exists(_ >= 0)  // min >= v
           case "<=" => cmp(s, s.min, p.value).exists(_ > 0)  // min > v
+          case "in" => // every listed value provably outside [min, max]
+            p.value.asInstanceOf[Seq[Any]].forall(v =>
+              cmp(s, s.min, v).exists(_ > 0) || cmp(s, s.max, v).exists(_ < 0))
           case _ => false // null-tests: never skip (corrupt channel)
         }
         case None => false
@@ -1142,9 +1153,13 @@ class GavroPartitionReader(part: GavroInputPartition, schemaName: String,
   // literals become UTF8String ONCE so the per-row compare is binary
   // UTF-8 order (Spark's string ordering) with zero allocation.
   private val compiled: Array[(Int, String, Any)] = preds.map { p =>
-    val v = p.value match {
+    def conv(x: Any): Any = x match {
       case s: String => UTF8String.fromString(s)
       case other => other
+    }
+    val v = p.value match {
+      case vs: Seq[_] => vs.map(conv) // IN list
+      case other => conv(other)
     }
     (extNames.indexOf(p.name), p.op, v)
   }
@@ -1180,6 +1195,17 @@ class GavroPartitionReader(part: GavroInputPartition, schemaName: String,
         case "isnull" => v == null
         case "notnull" => v != null
         case _ if v == null => false
+        case "in" => // any listed value equal under the same compare rules
+          w.asInstanceOf[Seq[Any]].exists { el =>
+            (v, el) match {
+              case (a: Int, b: Number) => a.toLong == b.longValue
+              case (a: Long, b: Number) => a == b.longValue
+              case (a: Double, b: Number) => a == b.doubleValue
+              case (a: Boolean, b: Boolean) => a == b
+              case (a: UTF8String, b: UTF8String) => a == b
+              case _ => false
+            }
+          }
         case _ =>
           val c = (v, w) match {
             case (a: Int, b: Number) => java.lang.Long.compare(a.toLong, b.longValue)

@@ -1,0 +1,120 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.{IvfPqIndex, Quantize}
+import graft.sources.{Gavro, Tables}
+
+/** The materialized IVF-PQ index: gavro persistence roundtrip, prebuilt
+  * search ≡ the in-query pipeline per query, build-once idempotence, and
+  * the probe-list IN pushdown (including footer-stats file skipping on
+  * the cell-clustered codes table). */
+class IvfPqIndexSpec extends SparkSpec {
+
+  private val sfDir = "/root/testdata/sf0.001"
+  private lazy val emb = Tables.embeddings(spark, sfDir)
+
+  private def freshDir(tag: String): java.io.File = {
+    val d = java.nio.file.Files.createTempDirectory(s"ivfpq_spec_$tag").toFile
+    d.deleteOnExit(); d
+  }
+
+  test("persisted index roundtrips exactly: cells, books, codes") {
+    val (coarse, books, codes, _) = Quantize.ivfPqTrainEncode(
+      emb.select(col("vec_id"), col("embedding").as("v")))
+    val dir = freshDir("rt").getAbsolutePath
+    IvfPqIndex.buildAndWrite(emb, dir)
+    def cellsOf(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getAs[Int]("c_id") ->
+        r.getSeq[Double](r.fieldIndex("cv")).toVector).toMap
+    assert(cellsOf(IvfPqIndex.loadCells(spark, dir)) == cellsOf(coarse))
+    def booksOf(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Int]("sub_idx"), r.getAs[Int]("c_id")) ->
+        r.getSeq[Double](r.fieldIndex("cv")).toVector).toMap
+    assert(booksOf(IvfPqIndex.loadBooks(spark, dir)) == booksOf(books))
+    val onDisk = spark.read.format("gavro").option("schema", "ivf_codes")
+      .load(s"$dir/codes").collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Int]("cell"),
+        r.getAs[Int]("sub_idx"), r.getAs[Int]("code"))).toSet
+    val inMem = codes.collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Int]("cell"),
+        r.getAs[Int]("sub_idx"), r.getAs[Int]("code"))).toSet
+    assert(onDisk == inMem)
+    assert(onDisk.size == emb.count() * Quantize.M)
+  }
+
+  test("prebuilt search matches the in-query rerank pipeline per query") {
+    // Per-query independence: the first five queries of the search-many
+    // prebuilt read must answer exactly what the self-contained
+    // ann_ivfpq_rerank query answers — same index content, same metric,
+    // different execution path (gavro load + IN pushdown vs retrain).
+    val prebuilt = IvfPqIndex.searchPrebuilt(spark, sfDir)
+      .filter(col("q_id") < Quantize.NumQueries).collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("rnk"), r.getAs[Long]("vec_id")))
+    val inQuery = Quantize.annIvfPqRerankTopK(emb).collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("rnk"), r.getAs[Long]("vec_id")))
+    assert(prebuilt.nonEmpty)
+    assert(prebuilt.sorted.sameElements(inQuery.sorted))
+    // And the full search-many surface answers every registered query.
+    val all = IvfPqIndex.searchPrebuilt(spark, sfDir).collect()
+    assert(all.map(_.getAs[Long]("q_id")).distinct.length ==
+      IvfPqIndex.SearchQueries)
+  }
+
+  test("ensure builds once and reuses the published index") {
+    val dir = IvfPqIndex.ensure(spark, sfDir)
+    val marker = new java.io.File(dir, "cells")
+      .listFiles().filter(_.getName.endsWith(".gavro")).head
+    val mtime = marker.lastModified()
+    val again = IvfPqIndex.ensure(spark, sfDir)
+    assert(again == dir)
+    assert(marker.lastModified() == mtime) // no rebuild on the warm path
+  }
+
+  test("probe-list IN filter is fully pushed and skips unprobed cells' files") {
+    val dir = IvfPqIndex.ensure(spark, sfDir)
+    val codes = spark.read.format("gavro").option("schema", "ivf_codes")
+      .load(s"$dir/codes")
+    val cellsPresent = codes.select(col("cell")).distinct()
+      .collect().map(_.getInt(0)).sorted
+    assert(cellsPresent.length > 1, "fixture degenerated to one cell")
+    val probe = cellsPresent.take(2).toSeq
+    val filtered = codes.filter(col("cell").isin(probe.map(Int.box): _*))
+    // Fully enforced by the reader: no FilterExec survives above the scan.
+    val plan = filtered.queryExecution.executedPlan
+    assert(plan.collect {
+      case f: org.apache.spark.sql.execution.FilterExec => f }.isEmpty,
+      plan.toString)
+    val viaScan = filtered.collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Int]("sub_idx"),
+        r.getAs[Int]("code"))).toSet
+    val viaSpark = codes.collect()
+      .filter(r => probe.contains(r.getAs[Int]("cell")))
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Int]("sub_idx"),
+        r.getAs[Int]("code"))).toSet
+    assert(viaScan == viaSpark)
+    // Footer-stats skipping: a file whose [min,max] cell range excludes
+    // every probed value is never planned. The codes table is written
+    // range-partitioned by cell, so at least one such file must exist.
+    val files = new java.io.File(dir, "codes").listFiles()
+      .filter(_.getName.endsWith(".gavro")).sortBy(_.getName)
+    val preds = Seq(graft.sources.GavroPred("cell", "in", probe))
+    val planned = files.flatMap(f => graft.sources.GavroSkip.planFile(f, preds))
+    val all = files.flatMap(f => graft.sources.GavroSkip.planFile(f, Seq.empty))
+    assert(planned.length < all.length,
+      s"IN skip planned ${planned.length}/${all.length} partitions")
+    // Never skips a file it shouldn't: scan-through equals the full set.
+    assert(planned.nonEmpty)
+  }
+
+  test("registered build summary is layout-independent and deterministic") {
+    val s1 = IvfPqIndex.buildIndexSummary(spark, sfDir).collect()
+      .map(r => (r.getAs[Int]("cell"), r.getAs[Int]("sub_idx"),
+        r.getAs[Long]("n"), r.getAs[Long]("n_codes"), r.getAs[Long]("sum_code")))
+    val s2 = IvfPqIndex.buildIndexSummary(spark, sfDir).collect()
+      .map(r => (r.getAs[Int]("cell"), r.getAs[Int]("sub_idx"),
+        r.getAs[Long]("n"), r.getAs[Long]("n_codes"), r.getAs[Long]("sum_code")))
+    assert(s1.sameElements(s2))
+    assert(s1.map(_._3).sum == emb.count() * Quantize.M) // every code counted once
+  }
+}

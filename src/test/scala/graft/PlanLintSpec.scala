@@ -69,6 +69,9 @@ class PlanLintSpec extends SparkSpec {
       "same IVF-PQ core: collect_list per (vec_id) of exactly M=8 sub-codes",
     "ann_ivfpq_incremental" ->
       "same IVF-PQ core: collect_list per (vec_id) of exactly M=8 sub-codes",
+    "ann_ivfpq_search_prebuilt" ->
+      ("index reassembly: collect_list per centroid of exactly dim=64 " +
+        "(cells) / subdim=8 (books) components — K·dim rows total"),
   )
 
   /** Queries allowed a broadcast cross join whose build side is neither a
