@@ -630,11 +630,15 @@ class GavroScan(path: String, schemaName: String, required: StructType,
   * a high-watermark over the monotonically named append-only listing
   * (`part-00000.gavro`, …). Name-based (not count-based) so a rewrite
   * of the listing underneath the stream is DETECTED — the watermark
-  * file vanishing from the committed listing is unambiguous evidence
-  * and fails loudly, where a count offset silently skips or stalls
-  * (shrink masked by concurrent growth included). Exactly-once on the
-  * append-only path; bounded state — one name — where Spark's own file
-  * source keeps a per-file seen-map. */
+  * file vanishing from the committed listing is unambiguous evidence,
+  * where a count offset silently skips or stalls (shrink masked by
+  * concurrent growth included). A vanished watermark that an OPTIMIZE
+  * absorbed is TRANSLATED through the durable `.absorbed` manifests
+  * (see [[GavroMicroBatchStream.deliverables]]) so 24/7 tailing
+  * survives compaction; a watermark nothing covers (truncate, manual
+  * deletion) fails loudly. Exactly-once on the append-only path;
+  * bounded state — one name — where Spark's own file source keeps a
+  * per-file seen-map. */
 case class GavroStreamOffset(last: String)
     extends org.apache.spark.sql.connector.read.streaming.Offset {
   override def json(): String = s"""{"last":"$last"}"""
@@ -684,47 +688,130 @@ class GavroMicroBatchStream(path: String, schemaName: String,
     }
   }
 
-  /** The watermark FILE must still be listed: committed files are never
-    * deleted on the append-only path, so a vanished watermark means the
-    * archive was optimized/rewritten under the stream. Failing loudly
-    * beats every silent alternative — with epoch-named files
-    * (`part-e…` > the merged output's numeric `part-NNNNN`) a silent
-    * continuation would SKIP the absorbed records; with numeric names it
-    * would re-deliver them. Optimize cold archives, not tailed dirs
-    * (the same operational rule as compacting under Spark's own file
-    * stream source). */
-  private def guardRewritten(watermark: String,
+  /** The end-of-batch watermark must still be listed: committed files are
+    * never deleted on the append-only path, and a just-produced end name
+    * vanishing between offset selection and planning means a rewrite
+    * raced the trigger itself — maintenance is serialized, so this is
+    * corruption-grade and fails loudly. */
+  private def guardListed(watermark: String,
       files: Array[java.io.File]): Unit =
     if (watermark.nonEmpty && !files.exists(_.getName == watermark))
       throw new IllegalStateException(
         s"gavro stream: consumed watermark $watermark is no longer in the " +
-          s"committed listing at $path — the archive was optimized/" +
-          "rewritten under a live stream; restart from a fresh checkpoint " +
-          "over the rewritten archive")
+          s"committed listing at $path and no optimize manifest covers it " +
+          "— the archive was truncated or rewritten outside OPTIMIZE; " +
+          "restart from a fresh checkpoint over the rewritten archive")
+
+  /** The files not yet fully consumed under start watermark `s`, in name
+    * order, each with the byte offset to resume from (0 = whole file).
+    *
+    * Fast path — `s` empty or still listed: the plain name compare, as
+    * before. Translation path — `s` VANISHED from the listing: the
+    * archive was optimized under the stream, and the durable `.absorbed`
+    * manifests ([[Gavro.rewriteHistory]]) say exactly which merge
+    * absorbed each name and where its bytes now live. A listed file is
+    * skipped when every original constituent is provably consumed,
+    * delivered whole when none are, and resumed mid-file at the first
+    * unconsumed constituent's offset when the merge straddles the
+    * watermark (constituent boundaries are block boundaries, so the
+    * suffix is exactly addressable — zero loss, zero duplicates).
+    *
+    * "Provably consumed" is deliberately conservative: leaf `l` counts
+    * as consumed iff every node of its containment chain whose lifetime
+    * overlaps the window in which the watermark can have been recorded
+    * (between `s`'s creation and its absorption, in commit-sequence
+    * order) has name ≤ `s` — whichever file contained `l` when the
+    * offset was recorded, it was ≤ the watermark and therefore consumed.
+    * Under chained merges that reordered names the proof can fail for
+    * content that WAS consumed; such leaves are re-delivered (bounded by
+    * the one merged file) — at-least-once on a pathological path, never
+    * silent loss. A watermark no manifest covers (truncate, manual
+    * deletion) stays the loud error. */
+  private def deliverables(s: String,
+      all: Array[java.io.File]): Seq[(java.io.File, Long)] = {
+    if (s.isEmpty) return all.toSeq.map(f => (f, 0L))
+    if (all.exists(_.getName == s))
+      return all.filter(_.getName > s).toSeq.map(f => (f, 0L))
+    val h = Gavro.rewriteHistory(path)
+    if (!h.absorbedAt.contains(s))
+      throw new IllegalStateException(
+        s"gavro stream: consumed watermark $s is no longer in the " +
+          s"committed listing at $path and no optimize manifest covers it " +
+          "— the archive was truncated or rewritten outside OPTIMIZE; " +
+          "restart from a fresh checkpoint over the rewritten archive")
+    val sAbsorbed = h.absorbedAt(s)
+    val sCreated = h.createdAt.get(s) // None: an original, live since append
+    def consumedLeaf(l: String): Boolean =
+      h.chain(l).filter { n =>
+        val created = h.createdAt.get(n)
+        val absorbed = h.absorbedAt.get(n)
+        created.forall(_ < sAbsorbed) &&
+          sCreated.forall(lo => absorbed.forall(_ > lo))
+      }.forall(_ <= s)
+    all.toSeq.flatMap { f =>
+      val name = f.getName
+      if (!h.children.contains(name)) {
+        if (name <= s) None else Some((f, 0L))
+      } else {
+        val ls = h.leaves(name)
+        val unconsumed = ls.filterNot(t => consumedLeaf(t._1))
+        if (unconsumed.isEmpty) None
+        else if (unconsumed.size == ls.size) Some((f, 0L))
+        else Some((f, unconsumed.map(_._2).min))
+      }
+    }
+  }
 
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val s = start.asInstanceOf[GavroStreamOffset].last
-    // single listing capture: the same snapshot drives the guard, the
-    // admission decision, and the watermark (no list-twice TOCTOU)
+    // single listing capture: the same snapshot drives the translation,
+    // the admission decision, and the watermark (no list-twice TOCTOU)
     val all = listing()
-    guardRewritten(s, all)
-    val fresh = all.filter(_.getName > s)
+    val del = deliverables(s, all)
     def admit(l: ReadLimit): Int = l match {
-      case _: ReadAllAvailable => fresh.length
-      case f: ReadMaxFiles => math.min(fresh.length, f.maxFiles)
+      case _: ReadAllAvailable => del.length
+      case f: ReadMaxFiles => math.min(del.length, f.maxFiles)
       case b: ReadMaxBytes =>
         var n = 0; var bytes = 0L
-        while (n < fresh.length &&
-            (n == 0 || bytes + fresh(n).length() <= b.maxBytes())) {
-          bytes += fresh(n).length(); n += 1
+        while (n < del.length &&
+            (n == 0 || bytes + math.max(0L, del(n)._1.length() - del(n)._2) <=
+              b.maxBytes())) {
+          bytes += math.max(0L, del(n)._1.length() - del(n)._2); n += 1
         }
         n
       case c: CompositeReadLimit =>
-        c.getReadLimits.map(admit).foldLeft(fresh.length)(math.min)
-      case _ => fresh.length // rows-based limits don't apply at file grain
+        c.getReadLimits.map(admit).foldLeft(del.length)(math.min)
+      case _ => del.length // rows-based limits don't apply at file grain
     }
-    val n = admit(limit)
-    GavroStreamOffset(if (n == 0) s else fresh(n - 1).getName)
+    var n = admit(limit)
+    // A mid-file resume (straddled merge) must complete within the
+    // translation batch: once the end watermark is a plain listed name,
+    // a later trigger would re-deliver the merged file WHOLE. One-time,
+    // bounded overshoot of the admission limit — same precedent as the
+    // at-least-one-file progress guarantee.
+    val lastPartial = del.lastIndexWhere(_._2 > 0L)
+    if (lastPartial >= n) n = lastPartial + 1
+    if (del.isEmpty && !all.exists(_.getName == s)) {
+      // everything the vanished watermark covered is fully merged away:
+      // advance to the newest listed name so the stream re-enters the
+      // plain append-only fast path
+      return GavroStreamOffset(
+        all.lastOption.map(_.getName).getOrElse(s))
+    }
+    if (n == 0) return GavroStreamOffset(s)
+    // Extend the end watermark across fully-consumed files that sort
+    // between/after the admitted deliverables — {listed ≤ end} must be
+    // exactly the consumed set, or the next trigger re-delivers them.
+    val admitted = del.take(n).map(_._1.getName).toSet
+    val deliverableNames = del.map(_._1.getName).toSet
+    var end = ""
+    var i = 0
+    while (i < all.length &&
+        (admitted.contains(all(i).getName) ||
+          !deliverableNames.contains(all(i).getName))) {
+      end = all(i).getName; i += 1
+    }
+    GavroStreamOffset(end)
   }
 
   override def reportLatestOffset(): Offset =
@@ -757,11 +844,18 @@ class GavroMicroBatchStream(path: String, schemaName: String,
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val s = start.asInstanceOf[GavroStreamOffset].last
     val e = end.asInstanceOf[GavroStreamOffset].last
+    if (e.isEmpty) return Array.empty
     val all = listing()
-    guardRewritten(e, all)
-    all.filter(f => f.getName > s && f.getName <= e)
-      .flatMap(f => GavroSkip.planFile(f, preds.toSeq))
-      .map(p => p: InputPartition)
+    guardListed(e, all)
+    // Same translation as offset selection (the manifests are durable, so
+    // both calls derive the identical deliverable set); a mid-file resume
+    // plans only the blocks at-or-after the constituent's offset.
+    deliverables(s, all)
+      .filter(_._1.getName <= e)
+      .flatMap { case (f, resume) =>
+        GavroSkip.planFile(f, preds.toSeq).filter(_.start >= resume)
+      }
+      .map(p => p: InputPartition).toArray
   }
   override def createReaderFactory(): PartitionReaderFactory =
     GavroReaderFactory(schemaName, requiredNames, preds, -1, None, readerJson)
@@ -1774,6 +1868,11 @@ object Gavro {
     val candidates = metas.filter { case (f, m) =>
       m.dataEnd < f.length() && f.length() < targetBytes }
     val merged = scala.collection.mutable.ArrayBuffer.empty[String]
+    // Per merged output: its constituents with their byte ranges inside it
+    // — the durable `.absorbed` manifest a live stream translates its
+    // name watermark through after the swap.
+    val mergedRanges =
+      scala.collection.mutable.ArrayBuffer.empty[(String, Seq[(String, Long, Long)])]
     val absorbed = scala.collection.mutable.ArrayBuffer.empty[java.io.File]
     candidates.groupBy(_._2.codec).toSeq.sortBy(_._1).foreach {
       case (codec, group) =>
@@ -1781,7 +1880,9 @@ object Gavro {
         var binBytes = 0L
         def flush(): Unit = {
           if (bin.length >= 2) {
-            merged += mergeBin(d, bin, codec)
+            val (name, ranges) = mergeBin(d, bin, codec)
+            merged += name
+            mergedRanges += ((name, ranges))
             absorbed ++= bin.map(_._1)
           }
           bin = Vector.empty; binBytes = 0L
@@ -1820,6 +1921,23 @@ object Gavro {
     // the lock) race errors loudly instead
     try java.nio.file.Files.createLink(sidecar.toPath, stmp.toPath)
     finally stmp.delete()
+    // DURABLE rewrite manifest (`.absorbed`, kept after the retire
+    // completes where the `.retire` sidecar is transient): one line per
+    // (merged, constituent, start, end) so a stream whose name watermark
+    // was absorbed can translate it — fully-covered merges skip, a
+    // straddled merge resumes at the first unconsumed constituent's
+    // offset (constituent boundaries are block boundaries by
+    // construction, so the resume range is exactly addressable). Written
+    // before the checkpoint; [[healLog]] deletes it with the `.retire`
+    // if the swap never became visible.
+    val manifest = new java.io.File(commits, s"$cpName.absorbed")
+    val mtmp = java.io.File.createTempFile(s".$cpName", ".atmp", commits)
+    java.nio.file.Files.writeString(mtmp.toPath,
+      mergedRanges.sortBy(_._1).map { case (m, ranges) =>
+        ranges.map { case (c, s, e) => s"$m\t$c\t$s\t$e" }.mkString("\n")
+      }.mkString("\n"))
+    try java.nio.file.Files.createLink(manifest.toPath, mtmp.toPath)
+    finally mtmp.delete()
     val content =
       ((committedNames(path, None) -- gone) ++ merged).toSeq.sorted
     val ctmp = java.io.File.createTempFile(s".$cpName", ".tmp", commits)
@@ -1873,18 +1991,33 @@ object Gavro {
       val name = sidecar.getName.stripSuffix(".retire")
       if (new java.io.File(commits, s"$name.checkpoint").exists())
         retireBelow(path, name, readNames(sidecar).toSet)
-      else sidecar.delete()
+      else {
+        // Swap never became visible: the merged files are plain orphans
+        // and the `.absorbed` manifest (written between `.retire` and the
+        // checkpoint) must go with the sidecar — a stale manifest could
+        // mis-translate a future stream watermark if the orphan's part
+        // index were ever reused after vacuum. An `.absorbed` WITHOUT a
+        // `.retire` is completed history (its checkpoint may have been
+        // superseded by a later optimize) and is kept: streams translate
+        // through it indefinitely.
+        sidecar.delete()
+        new java.io.File(commits, s"$name.absorbed").delete()
+      }
     }
   }
 
   /** Merge one bin: copy each input's data section raw, emit a footer
     * with shifted block offsets, carried block stats, and folded file
-    * stats; publish put-if-absent on the next part index. */
+    * stats; publish put-if-absent on the next part index. Returns the
+    * merged name plus each constituent's byte range inside it (inputs
+    * are concatenated in name order, so ranges are name-ordered too). */
   private def mergeBin(d: java.io.File,
-      bin: Seq[(java.io.File, GavroFileMeta)], codec: Byte): String = {
+      bin: Seq[(java.io.File, GavroFileMeta)], codec: Byte)
+      : (String, Seq[(String, Long, Long)]) = {
     val tmp = java.io.File.createTempFile(".optimize", ".gavro.tmp", d)
     val out = new java.io.BufferedOutputStream(new java.io.FileOutputStream(tmp))
     val blocks = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val ranges = scala.collection.mutable.ArrayBuffer.empty[(String, Long, Long)]
     var shift = 0L
     try {
       bin.foreach { case (f, m) =>
@@ -1899,6 +2032,7 @@ object Gavro {
           }
         } finally in.close()
         blocks ++= m.blocks.map(_ + shift)
+        ranges += ((f.getName, shift, shift + m.dataEnd))
         shift += m.dataEnd
       }
       // per-file stats: fold min/max over columns present in EVERY input
@@ -1934,7 +2068,58 @@ object Gavro {
         case _: java.nio.file.FileAlreadyExistsException => ()
       }
     }
-    landed.get
+    (landed.get, ranges.toSeq)
+  }
+
+  /** The durable optimize history parsed from the `.absorbed` manifests:
+    * for every merged output, its constituents with byte ranges; for
+    * every constituent, its absorbing merge and the checkpoint (= commit
+    * sequence position) the swap landed at. This is what lets a live
+    * stream survive OPTIMIZE: [[GavroMicroBatchStream]] translates a
+    * name watermark that vanished from the listing through this history
+    * instead of failing. */
+  private[sources] case class RewriteHistory(
+      children: Map[String, Seq[(String, Long, Long)]],
+      createdAt: Map[String, String],
+      parentOf: Map[String, String],
+      absorbedAt: Map[String, String]) {
+    def isEmpty: Boolean = children.isEmpty
+    /** Original (leaf) constituents of a listed file with their byte
+      * ranges inside it, via recursive expansion through chained merges.
+      * A non-merged name expands to itself. */
+    def leaves(name: String): Seq[(String, Long, Long)] =
+      children.get(name) match {
+        case None => Seq((name, 0L, Long.MaxValue))
+        case Some(cs) => cs.flatMap { case (c, s, e) =>
+          children.get(c) match {
+            case None => Seq((c, s, e))
+            case Some(_) => leaves(c).map { case (l, ls, le) =>
+              (l, s + ls, s + le) }
+          }
+        }
+      }
+    /** The containment chain of a leaf: itself, then each merged output
+      * that absorbed it, upward. */
+    def chain(name: String): Seq[String] =
+      name +: parentOf.get(name).map(chain).getOrElse(Seq.empty)
+  }
+
+  private[sources] def rewriteHistory(path: String): RewriteHistory = {
+    val commits = new java.io.File(path, CommitsDir)
+    val rows = logEntries(commits, ".absorbed").flatMap { f =>
+      val cp = f.getName.stripSuffix(".absorbed")
+      java.nio.file.Files.readAllLines(f.toPath)
+        .toArray(Array.empty[String]).toSeq.filter(_.nonEmpty).map { line =>
+          val Array(m, c, s, e) = line.split('\t')
+          (cp, m, c, s.toLong, e.toLong)
+        }
+    }
+    RewriteHistory(
+      children = rows.groupBy(_._2).map { case (m, rs) =>
+        m -> rs.sortBy(_._4).map(r => (r._3, r._4, r._5)).toSeq },
+      createdAt = rows.map(r => r._2 -> r._1).toMap,
+      parentOf = rows.map(r => r._3 -> r._2).toMap,
+      absorbedAt = rows.map(r => r._3 -> r._1).toMap)
   }
 
   /** Retention grace for [[vacuum]]: an IN-FLIGHT job's files look

@@ -12,16 +12,22 @@ import graft.sources.AvroCodec
   * the identical decode/filter reader stack over identical files. */
 class GavroStreamSpec extends SparkSpec {
 
-  private def writeFile(dir: String, name: String, ids: Seq[Long]): Unit = {
+  private def writeFile(dir: String, name: String, ids: Seq[Long],
+      footer: Boolean = false): Unit = {
     val f = new java.io.File(dir, name)
     val os = new java.io.FileOutputStream(f)
-    try ids.foreach { id =>
-      val vals: Array[Any] = Array(id, UTF8String.fromString(s"ep$id"),
-        UTF8String.fromString("GET"), id.toDouble, 1000000L * id)
-      val b = AvroCodec.encode(AvroCodec.SystemMetrics, vals(_), _ => false)
-      os.write(Array[Byte]((b.length >>> 24).toByte, (b.length >>> 16).toByte,
-        (b.length >>> 8).toByte, b.length.toByte))
-      os.write(b)
+    try {
+      ids.foreach { id =>
+        val vals: Array[Any] = Array(id, UTF8String.fromString(s"ep$id"),
+          UTF8String.fromString("GET"), id.toDouble, 1000000L * id)
+        val b = AvroCodec.encode(AvroCodec.SystemMetrics, vals(_), _ => false)
+        os.write(Array[Byte]((b.length >>> 24).toByte, (b.length >>> 16).toByte,
+          (b.length >>> 8).toByte, b.length.toByte))
+        os.write(b)
+      }
+      // a footer makes the file optimize-eligible (merge trusts only
+      // footer-declared record boundaries)
+      if (footer) graft.sources.GavroFooter.write(os, Seq(0L), Seq.empty)
     } finally os.close()
   }
 
@@ -178,8 +184,9 @@ class GavroStreamSpec extends SparkSpec {
     assert(all.flatMap(_._2).toSet == (0L until 50L).toSet)
   }
 
-  test("optimize under a stream is detected loudly via the vanished watermark") {
-    import org.apache.spark.sql.functions.{col, expr, pmod, lit}
+  test("a stream survives OPTIMIZE exactly-once when the watermark covered the absorbed set") {
+    import org.apache.spark.sql.functions.{col, expr}
+    import scala.jdk.CollectionConverters._
     val events = graft.sources.Tables.events(spark, "/root/testdata/sf0.001")
     val frame = events.select(graft.sources.AvroCodec.requestLogRec.as("rec"))
       .select(col("rec.*"))
@@ -189,9 +196,100 @@ class GavroStreamSpec extends SparkSpec {
     val ckpt = java.nio.file.Files.createTempDirectory("gavro-opt-stream-ck").toString
     frame.repartition(4).write.format("gavro")
       .option("schema", "request_log").mode("overwrite").save(dir)
-    val seen = new java.util.concurrent.atomic.AtomicLong(0)
+    val seen = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
     def start() = spark.readStream.format("gavro")
       .option("schema", "request_log").load(dir)
+      .writeStream.option("checkpointLocation", ckpt)
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        df.select(col("id")).collect().foreach(r => seen.add(r.getLong(0))); ()
+      }
+      .start()
+    val q = start()
+    q.processAllAvailable()
+    q.stop()
+    val n = frame.count()
+    assert(seen.size == n)
+    // more files land and are consumed — the watermark sits at the end of
+    // an archive that is now entirely small files
+    frame.limit(20).write.format("gavro")
+      .option("schema", "request_log").mode("append").save(dir)
+    val qm = start()
+    qm.processAllAvailable()
+    qm.stop()
+    assert(seen.size == n + 20)
+    // the archive is optimized while the stream is DOWN: the consumed
+    // watermark file is absorbed — the durable .absorbed manifest
+    // translates it, so the restart consumes NOTHING old (the whole
+    // absorbed set was covered) and ONLY what lands after
+    assert(graft.sources.Gavro.optimize(dir).nonEmpty)
+    val before = seen.size
+    val q2 = start()
+    q2.processAllAvailable()
+    q2.stop()
+    assert(seen.size == before, // exactly-once: no re-delivery, no loss
+      s"translation re-delivered ${seen.size - before} records")
+    // and the stream keeps tailing the optimized archive
+    frame.limit(7).write.format("gavro")
+      .option("schema", "request_log").mode("append").save(dir)
+    val q3 = start()
+    q3.processAllAvailable()
+    q3.stop()
+    assert(seen.size == before + 7, s"post-optimize tail broken: ${seen.size}")
+  }
+
+  test("a straddled OPTIMIZE resumes mid-merged-file: unconsumed suffix exactly once") {
+    import scala.jdk.CollectionConverters._
+    val dir = java.nio.file.Files.createTempDirectory("gavro-opt-mid").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("gavro-opt-mid-ck").toString
+    (0 until 4).foreach(i =>
+      writeFile(dir, f"part-$i%05d.gavro", Seq(i.toLong), footer = true))
+    // adopt the hand-placed files into a commit log (optimize requires one)
+    graft.sources.Gavro.commitBatch(dir,
+      (0 until 4).map(i => f"part-$i%05d.gavro"))
+    val seen = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    def start() = spark.readStream.format("gavro")
+      .option("schema", "system_metrics").load(dir)
+      .writeStream.option("checkpointLocation", ckpt)
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        df.select(col("id")).collect().foreach(r => seen.add(r.getLong(0))); ()
+      }
+      .start()
+    val q = start()
+    q.processAllAvailable()
+    q.stop()
+    assert(seen.asScala.toSeq.sorted == (0L to 3L), seen.toString)
+    // six more files land UNCONSUMED, then the whole archive (consumed
+    // prefix + unconsumed tail) is merged into one file: the watermark
+    // now points INSIDE the merged file
+    (4 until 10).foreach(i =>
+      writeFile(dir, f"part-$i%05d.gavro", Seq(i.toLong), footer = true))
+    graft.sources.Gavro.commitBatch(dir,
+      (4 until 10).map(i => f"part-$i%05d.gavro"))
+    val merged = graft.sources.Gavro.optimize(dir)
+    assert(merged.length == 1, merged.toString)
+    // restart: the translation resumes at the first unconsumed
+    // constituent's byte offset — records 4..9 exactly once, 0..3 never
+    val q2 = start()
+    q2.processAllAvailable()
+    q2.stop()
+    assert(seen.asScala.toSeq.sorted == (0L to 9L),
+      s"mid-file resume broke exactly-once: ${seen.asScala.toSeq.sorted}")
+    // steady state: the offset is a plain listed name again
+    writeFile(dir, "part-00099.gavro", Seq(99L), footer = true)
+    graft.sources.Gavro.commitBatch(dir, Seq("part-00099.gavro"))
+    val q3 = start()
+    q3.processAllAvailable()
+    q3.stop()
+    assert(seen.asScala.toSeq.sorted == ((0L to 9L) :+ 99L), seen.toString)
+  }
+
+  test("a watermark no optimize manifest covers still fails loudly (truncate)") {
+    val dir = java.nio.file.Files.createTempDirectory("gavro-trunc").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("gavro-trunc-ck").toString
+    (0 until 3).foreach(i => writeFile(dir, f"part-$i%05d.gavro", Seq(i.toLong)))
+    val seen = new java.util.concurrent.atomic.AtomicLong(0)
+    def start() = spark.readStream.format("gavro")
+      .option("schema", "system_metrics").load(dir)
       .writeStream.option("checkpointLocation", ckpt)
       .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
         seen.addAndGet(df.count()); ()
@@ -200,22 +298,10 @@ class GavroStreamSpec extends SparkSpec {
     val q = start()
     q.processAllAvailable()
     q.stop()
-    val n = frame.count()
-    assert(seen.get() == n)
-    // more files land and are partially consumed — the watermark now
-    // points INTO the listing, not at its end
-    frame.limit(20).write.format("gavro")
-      .option("schema", "request_log").mode("append").save(dir)
-    val qm = start()
-    qm.processAllAvailable()
-    qm.stop()
-    assert(seen.get() == n + 20)
-    // the archive is optimized while the stream is DOWN: the consumed
-    // watermark file is absorbed and vanishes from the committed listing
-    // — unambiguous evidence of a rewrite, and the restart fails LOUDLY
-    // instead of silently skipping (epoch-named survivors would sort
-    // above a merged numeric name) or re-delivering
-    assert(graft.sources.Gavro.optimize(dir).nonEmpty)
+    assert(seen.get() == 3)
+    // the watermark file is deleted OUTSIDE any optimize — no manifest
+    // covers it, so silent continuation (skip or re-deliver) is ruled out
+    assert(new java.io.File(dir, "part-00002.gavro").delete())
     val err = intercept[Exception] {
       val q2 = start()
       try q2.processAllAvailable() finally q2.stop()
@@ -223,7 +309,7 @@ class GavroStreamSpec extends SparkSpec {
     def causes(t: Throwable): Seq[Throwable] =
       if (t == null) Seq.empty else t +: causes(t.getCause)
     assert(causes(err).exists(c =>
-      Option(c.getMessage).exists(_.contains("optimized/rewritten"))),
+      Option(c.getMessage).exists(_.contains("truncated or rewritten"))),
       causes(err).map(_.getMessage).mkString(" | "))
     // don't leak the intentional failure into later suites' shared-
     // session awaitAnyTermination
