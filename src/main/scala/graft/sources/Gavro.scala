@@ -1377,6 +1377,13 @@ object Gavro {
   /** Commit-manifest directory name inside a gavro table path. */
   val CommitsDir = "_graft_commits"
 
+  /** The coordination-plane storage primitives (put-if-absent, atomic
+    * replace, staleness/grace clock, listing) behind the [[GavroStore]]
+    * contract — every maintenance path below routes through this, so an
+    * object-store port is a new implementation passing the contract
+    * spec, not a protocol rewrite. */
+  val store: GavroStore = LocalFsStore
+
   /** Auto-checkpoint cadence: after this many commit records accumulate
     * past the latest checkpoint, the committer folds them into one
     * checkpoint file so readers list O(1) checkpoints + a bounded tail
@@ -1387,12 +1394,10 @@ object Gavro {
   val CheckpointInterval = 10
 
   private def logEntries(commits: java.io.File, suffix: String): Array[java.io.File] =
-    Option(commits.listFiles()).getOrElse(Array.empty)
-      .filter(_.getName.endsWith(suffix)).sortBy(_.getName)
+    store.list(commits)
+      .filter(_.getName.endsWith(suffix)).sortBy(_.getName).toArray
 
-  private def readNames(f: java.io.File): Seq[String] =
-    java.nio.file.Files.readAllLines(f.toPath)
-      .toArray(Array.empty[String]).toSeq.filter(_.nonEmpty)
+  private def readNames(f: java.io.File): Seq[String] = store.read(f)
 
   /** Resolve the committed file-name set as of commit `cut` (None =
     * latest): base = newest checkpoint at-or-before the cut, plus the
@@ -1501,33 +1506,27 @@ object Gavro {
       if (!firstEntry) Seq.empty
       else {
         val fresh = files.toSet
-        Option(new java.io.File(path).listFiles()).getOrElse(Array.empty)
+        store.list(new java.io.File(path))
           .map(_.getName).filter(n => n.endsWith(".gavro") && !fresh(n))
-          .sorted.toSeq
+          .sorted
       }
-    val tmp = java.io.File.createTempFile(s".$name", ".tmp", dir)
-    java.nio.file.Files.writeString(tmp.toPath,
-      (adopted ++ files).mkString("\n"))
     val dst = new java.io.File(dir, s"$name.commit")
     // Optimistic concurrency: a commit record lands PUT-IF-ABSENT, so two
     // writers that raced to the same sequence number cannot silently
     // replace each other's record (the loser's files would become
-    // invisible and a later vacuum() would reap them). A hard link from
-    // the fully-written temp file is the atomic create-with-content
-    // primitive on POSIX; the loser sees FileAlreadyExistsException and
-    // the allocate-retry loops ([[commitBatch]]/[[writeEpochCommit]])
-    // re-read the log and take the next sequence. The ONLY sanctioned
-    // same-name rewrite is a streaming epoch REPLAY (allowReplace=true,
-    // caller matched its own `e<epoch>` tag), which must republish the
-    // same record idempotently — that path replaces atomically, never
-    // through a delete+rename window where the record is missing.
-    try {
-      if (allowReplace)
-        java.nio.file.Files.move(tmp.toPath, dst.toPath,
-          java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-      else java.nio.file.Files.createLink(dst.toPath, tmp.toPath)
-    } finally tmp.delete()
+    // invisible and a later vacuum() would reap them). The loser sees
+    // FileAlreadyExistsException and the allocate-retry loops
+    // ([[commitBatch]]/[[writeEpochCommit]]) re-read the log and take the
+    // next sequence. The ONLY sanctioned same-name rewrite is a streaming
+    // epoch REPLAY (allowReplace=true, caller matched its own `e<epoch>`
+    // tag), which must republish the same record idempotently — that path
+    // replaces atomically, never through a delete+rename window where the
+    // record is missing. (How these primitives are realized — POSIX hard
+    // link / ATOMIC_MOVE here, conditional PUT on an object store — is
+    // the [[GavroStore]] contract's business, not this protocol's.)
+    val body = (adopted ++ files).mkString("\n")
+    if (allowReplace) store.atomicReplace(dst, body)
+    else store.putIfAbsent(dst, body)
     // Post-land validation: if a checkpoint NEWER than this record's name
     // landed while we were writing (an optimize swap, or another writer's
     // fold that didn't see us), the record sits below the base and is
@@ -1539,7 +1538,7 @@ object Gavro {
     if (!allowReplace &&
         logEntries(dir, ".checkpoint")
           .exists(_.getName.stripSuffix(".checkpoint") > name)) {
-      dst.delete()
+      store.delete(dst)
       throw new java.nio.file.FileAlreadyExistsException(dst.toString, null,
         "a newer checkpoint landed during the write; retry above it")
     }
@@ -1620,20 +1619,17 @@ object Gavro {
     // its fold loop and this one would race each other's read-replace.
     // Records simply accumulate; the next checkpoint catches up.
     val lock = optimizeLock(path)
-    if (lock.exists() && System.currentTimeMillis() - lock.lastModified() <
+    if (store.exists(lock) &&
+        System.currentTimeMillis() - store.mtime(lock) <
         OptimizeLockStaleMs) return None
     logEntries(dir, ".commit").lastOption.map { last =>
       val asOf = last.getName.stripSuffix(".commit")
       val live = committedNames(path, Some(asOf)).toSeq.sorted
-      val tmp = java.io.File.createTempFile(s".$asOf", ".tmp", dir)
-      java.nio.file.Files.writeString(tmp.toPath, live.mkString("\n"))
       val dst = new java.io.File(dir, s"$asOf.checkpoint")
       // Two writers checkpointing the same asOf write identical content,
       // so atomic replace (no delete+rename missing-record window) is the
       // safe idempotent landing.
-      java.nio.file.Files.move(tmp.toPath, dst.toPath,
-        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      store.atomicReplace(dst, live.mkString("\n"))
       // Fold-verify: a record that landed between the content snapshot
       // and the move sits at-or-below the new base — fold it in so it
       // can never be hidden (the base-advancing twin of writeCommit's
@@ -1673,14 +1669,8 @@ object Gavro {
         .filter(_.getName.stripSuffix(".commit") <= upTo)
         .flatMap(readNames).toSet -- exclude -- content
       if (missing.isEmpty) stable = true
-      else {
-        val tmp = java.io.File.createTempFile(".fold", ".tmp", dir)
-        java.nio.file.Files.writeString(tmp.toPath,
-          (content ++ missing).toSeq.sorted.mkString("\n"))
-        java.nio.file.Files.move(tmp.toPath, latest.toPath,
-          java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-      }
+      else store.atomicReplace(latest,
+        (content ++ missing).toSeq.sorted.mkString("\n"))
     }
   }
 
@@ -1708,7 +1698,7 @@ object Gavro {
       val covered = below.filter(f =>
         (readNames(f).toSet -- exclude).subsetOf(content))
       covered.foreach { f =>
-        if (!f.delete() && f.exists()) throw new java.io.IOException(
+        if (!store.delete(f) && store.exists(f)) throw new java.io.IOException(
           s"gavro: cannot retire commit record $f")
         deleted += f.getName
       }
@@ -1838,16 +1828,16 @@ object Gavro {
   private def withMaintenanceLock[A](path: String)(body: => A): A = {
     val lock = optimizeLock(path)
     def acquire(): Unit =
-      try java.nio.file.Files.createFile(lock.toPath)
+      try store.createMarkerIfAbsent(lock)
       catch {
         case _: java.nio.file.FileAlreadyExistsException =>
-          if (System.currentTimeMillis() - lock.lastModified() <
+          if (System.currentTimeMillis() - store.mtime(lock) <
               OptimizeLockStaleMs)
             throw new IllegalStateException(
               s"gavro: another maintenance op is in flight at $path")
           healLog(path)
-          lock.delete()
-          try java.nio.file.Files.createFile(lock.toPath)
+          store.delete(lock)
+          try store.createMarkerIfAbsent(lock)
           catch {
             case _: java.nio.file.FileAlreadyExistsException =>
               throw new IllegalStateException(
@@ -1856,7 +1846,7 @@ object Gavro {
       }
     acquire()
     try body
-    finally lock.delete()
+    finally store.delete(lock)
   }
 
   private def optimizeLocked(path: String, targetBytes: Long): Seq[String] = {
@@ -1892,7 +1882,7 @@ object Gavro {
           bin :+= ((f, m)); binBytes += m.dataEnd
           // keep-alive: a big backlog's byte copy can outlast the lock's
           // staleness bound; touching per bin keeps the holder visibly live
-          optimizeLock(path).setLastModified(System.currentTimeMillis())
+          store.touch(optimizeLock(path))
         }
         flush()
     }
@@ -1903,7 +1893,7 @@ object Gavro {
     // absorbed file's write time may be hours old — without the touch, a
     // vacuum racing the swap would reap them immediately, yanking inputs
     // from an in-flight pre-swap reader.
-    absorbed.foreach(_.setLastModified(System.currentTimeMillis()))
+    absorbed.foreach(store.touch)
     // The atomic swap: one checkpoint at a fresh sequence = the new live
     // set, computed from the CURRENT committed state (commits may have
     // landed during the byte copy), minus the absorbed names, plus the
@@ -1913,14 +1903,10 @@ object Gavro {
     // absorbed file from a genuinely-concurrent commit's file).
     val cpName = f"${nextCommitSeq(path)}%010d-o"
     val sidecar = new java.io.File(commits, s"$cpName.retire")
-    val stmp = java.io.File.createTempFile(s".$cpName", ".rtmp", commits)
-    java.nio.file.Files.writeString(stmp.toPath,
-      gone.toSeq.sorted.mkString("\n"))
     // put-if-absent: a sidecar clobber would hand a resumer the WRONG
     // absorbed set — the loser of any (theoretically impossible under
     // the lock) race errors loudly instead
-    try java.nio.file.Files.createLink(sidecar.toPath, stmp.toPath)
-    finally stmp.delete()
+    store.putIfAbsent(sidecar, gone.toSeq.sorted.mkString("\n"))
     // DURABLE rewrite manifest (`.absorbed`, kept after the retire
     // completes where the `.retire` sidecar is transient): one line per
     // (merged, constituent, start, end) so a stream whose name watermark
@@ -1931,22 +1917,16 @@ object Gavro {
     // before the checkpoint; [[healLog]] deletes it with the `.retire`
     // if the swap never became visible.
     val manifest = new java.io.File(commits, s"$cpName.absorbed")
-    val mtmp = java.io.File.createTempFile(s".$cpName", ".atmp", commits)
-    java.nio.file.Files.writeString(mtmp.toPath,
+    store.putIfAbsent(manifest,
       mergedRanges.sortBy(_._1).map { case (m, ranges) =>
         ranges.map { case (c, s, e) => s"$m\t$c\t$s\t$e" }.mkString("\n")
       }.mkString("\n"))
-    try java.nio.file.Files.createLink(manifest.toPath, mtmp.toPath)
-    finally mtmp.delete()
     val content =
       ((committedNames(path, None) -- gone) ++ merged).toSeq.sorted
-    val ctmp = java.io.File.createTempFile(s".$cpName", ".tmp", commits)
-    java.nio.file.Files.writeString(ctmp.toPath, content.mkString("\n"))
     // put-if-absent landing (the lock makes a collision near-impossible;
     // this keeps it impossible)
-    try java.nio.file.Files.createLink(
-      new java.io.File(commits, s"$cpName.checkpoint").toPath, ctmp.toPath)
-    finally ctmp.delete()
+    store.putIfAbsent(new java.io.File(commits, s"$cpName.checkpoint"),
+      content.mkString("\n"))
     retireBelow(path, cpName, gone)
     merged.sorted.toSeq
   }
@@ -1965,16 +1945,15 @@ object Gavro {
   private def retireBelow(path: String, cpName: String,
       gone: Set[String]): Unit = {
     val commits = new java.io.File(path, CommitsDir)
-    val now = System.currentTimeMillis()
-    gone.foreach(n => new java.io.File(path, n).setLastModified(now))
+    gone.foreach(n => store.touch(new java.io.File(path, n)))
     retireRecords(path, cpName, gone)
     logEntries(commits, ".checkpoint")
       .filter(_.getName.stripSuffix(".checkpoint") < cpName)
       .foreach { f =>
-        if (!f.delete() && f.exists()) throw new java.io.IOException(
+        if (!store.delete(f) && store.exists(f)) throw new java.io.IOException(
           s"gavro: cannot retire superseded checkpoint $f")
       }
-    new java.io.File(commits, s"$cpName.retire").delete()
+    store.delete(new java.io.File(commits, s"$cpName.retire"))
   }
 
   /** Resume any crashed optimize swap: a `.retire` sidecar WITH its
@@ -2000,8 +1979,8 @@ object Gavro {
         // `.retire` is completed history (its checkpoint may have been
         // superseded by a later optimize) and is kept: streams translate
         // through it indefinitely.
-        sidecar.delete()
-        new java.io.File(commits, s"$name.absorbed").delete()
+        store.delete(sidecar)
+        store.delete(new java.io.File(commits, s"$name.absorbed"))
       }
     }
   }
@@ -2052,20 +2031,17 @@ object Gavro {
         else Seq.empty
       GavroFooter.write(out, blocks.toSeq, stats, blockStats, codec)
     } finally out.close()
-    // publish: hard-link put-if-absent on the next sequential part index
+    // publish: put-if-absent on the next sequential part index
     var landed: Option[String] = None
     while (landed.isEmpty) {
-      val idx = Option(d.listFiles()).getOrElse(Array.empty)
+      val idx = store.list(d)
         .map(_.getName).filter(n => n.startsWith("part-") && n.endsWith(".gavro"))
         .flatMap(n => n.stripPrefix("part-").stripSuffix(".gavro").toIntOption)
         .foldLeft(-1)(math.max) + 1
       val dst = new java.io.File(d, f"part-$idx%05d.gavro")
-      try {
-        java.nio.file.Files.createLink(dst.toPath, tmp.toPath)
-        tmp.delete()
+      if (store.publishIfAbsent(tmp, dst)) {
+        store.delete(tmp)
         landed = Some(dst.getName)
-      } catch {
-        case _: java.nio.file.FileAlreadyExistsException => ()
       }
     }
     (landed.get, ranges.toSeq)
@@ -2108,11 +2084,10 @@ object Gavro {
     val commits = new java.io.File(path, CommitsDir)
     val rows = logEntries(commits, ".absorbed").flatMap { f =>
       val cp = f.getName.stripSuffix(".absorbed")
-      java.nio.file.Files.readAllLines(f.toPath)
-        .toArray(Array.empty[String]).toSeq.filter(_.nonEmpty).map { line =>
-          val Array(m, c, s, e) = line.split('\t')
-          (cp, m, c, s.toLong, e.toLong)
-        }
+      store.read(f).map { line =>
+        val Array(m, c, s, e) = line.split('\t')
+        (cp, m, c, s.toLong, e.toLong)
+      }
     }
     RewriteHistory(
       children = rows.groupBy(_._2).map { case (m, rs) =>
@@ -2149,16 +2124,16 @@ object Gavro {
     // its own retire — don't race it (its absorbed files were touched
     // pre-swap, so the grace window protects them from this pass).
     val lock = optimizeLock(path)
-    if (!lock.exists() ||
-        System.currentTimeMillis() - lock.lastModified() >= OptimizeLockStaleMs)
+    if (!store.exists(lock) ||
+        System.currentTimeMillis() - store.mtime(lock) >= OptimizeLockStaleMs)
       healLog(path)
     val committed = committedNames(path, None)
     val horizon = System.currentTimeMillis() - graceMs
-    val dead = Option(d.listFiles()).getOrElse(Array.empty)
-      .filter(f => f.lastModified() <= horizon &&
+    val dead = store.list(d)
+      .filter(f => store.mtime(f) <= horizon &&
         ((f.getName.endsWith(".gavro") && !committed(f.getName)) ||
           f.getName.endsWith(".gavro.tmp")))
-    dead.foreach(_.delete())
+    dead.foreach(store.delete)
     dead.map(_.getName).sorted.toSeq
   }
 
@@ -2168,7 +2143,7 @@ object Gavro {
     * the record it is named after). */
   private[sources] def nextCommitSeq(path: String): Int = {
     val dir = new java.io.File(path, CommitsDir)
-    Option(dir.listFiles()).getOrElse(Array.empty)
+    store.list(dir)
       .map(_.getName.stripSuffix(".commit").stripSuffix(".checkpoint"))
       .map(_.takeWhile(_.isDigit))
       .filter(d => d.nonEmpty && d.length == 10)

@@ -1,0 +1,143 @@
+package graft.sources
+
+/** The storage contract gavro's COORDINATION model rides on — every
+  * primitive the commit log, maintenance lock, optimize swap, and vacuum
+  * grace depend on, named and scoped in one place instead of spread as
+  * raw `java.nio.file` calls across the maintenance paths.
+  *
+  * Why a seam: the local-FS implementation realizes put-if-absent as a
+  * hard link from a staged temp file, atomic replace as `ATOMIC_MOVE`,
+  * and staleness/grace as `lastModified` — none of which exist in this
+  * form on the object stores a 100 TB deployment actually uses (S3/GCS
+  * have conditional PUT / `x-goog-if-generation-match`, no mtime-touch,
+  * no hard links). Porting gavro there is meant to be a NEW [[GavroStore]]
+  * implementation passing the same contract spec
+  * (GavroStoreContractSpec), not a rewrite of 2,400 lines of protocol.
+  *
+  * The contract each implementation must honor (the properties the
+  * protocol's safety arguments cite, pinned by the spec):
+  *
+  *   - '''putIfAbsent''' publishes `content` under `dst` atomically and
+  *     FAILS with [[java.nio.file.FileAlreadyExistsException]] when `dst`
+  *     exists — the loser of a commit-record or sidecar race errs loudly,
+  *     never silently replaces. A reader never observes a partially
+  *     written object (create-with-content is one atomic visibility
+  *     event).
+  *   - '''atomicReplace''' swaps `dst` to `content` with no window in
+  *     which `dst` is missing or partial — checkpoint folds rely on
+  *     readers seeing either the old content or the new, never absence.
+  *   - '''publishIfAbsent''' is putIfAbsent for a LARGE already-staged
+  *     blob (the optimize merge output): returns false instead of
+  *     throwing when `dst` exists, because the caller's allocate-retry
+  *     loop treats a taken name as "pick the next index", not an error.
+  *   - '''createMarkerIfAbsent''' is putIfAbsent of an empty object (the
+  *     maintenance lock).
+  *   - '''touch'''/'''mtime''' give maintenance-lock staleness and the
+  *     vacuum retention grace a clock: touch moves `f`'s timestamp to
+  *     now; mtime reads it. (An object-store impl keeps these in object
+  *     metadata or a manifest — the contract is monotone-after-touch,
+  *     not POSIX mtime.)
+  *   - '''list''' returns the CURRENT children of a directory/prefix;
+  *     after putIfAbsent/atomicReplace return, the object is visible to
+  *     list and read (read-after-write, which S3 provides since 2020).
+  *   - '''delete''' is idempotent-ish: deleting a missing object is not
+  *     an error (returns false); [[Gavro.retireRecords]] double-checks
+  *     `exists` after a failed delete before declaring corruption.
+  *   - '''read''' returns the exact lines putIfAbsent/atomicReplace
+  *     published (no torn reads).
+  *
+  * Scope: this seam covers the METADATA/COORDINATION plane (the
+  * `_graft_commits` log, locks, sidecars, grace-window touches, vacuum
+  * deletes, merged-output publish). Data-plane byte I/O — task-side
+  * `.gavro` writes and block-range scan reads — stays on direct file
+  * streams by design; at scale that half swaps for the Hadoop FileSystem
+  * API independently of this contract (see [[Gavro.write]]'s scaladoc).
+  * Keys are expressed as [[java.io.File]] paths; an object-store impl
+  * treats them as opaque keys.
+  */
+trait GavroStore {
+  /** Atomically publish `content` under `dst`; throw
+    * [[java.nio.file.FileAlreadyExistsException]] if `dst` exists. */
+  def putIfAbsent(dst: java.io.File, content: String): Unit
+
+  /** Atomically replace (or create) `dst` with `content` — readers see
+    * old or new, never absence or a torn object. */
+  def atomicReplace(dst: java.io.File, content: String): Unit
+
+  /** Publish the staged blob `staged` under `dst` iff absent; true on
+    * success, false when `dst` already exists. `staged` is left in
+    * place either way (the caller owns its cleanup). */
+  def publishIfAbsent(staged: java.io.File, dst: java.io.File): Boolean
+
+  /** Create an empty marker object iff absent (the maintenance lock);
+    * throws [[java.nio.file.FileAlreadyExistsException]] when taken. */
+  def createMarkerIfAbsent(dst: java.io.File): Unit
+
+  /** Move `f`'s timestamp to now (lock keep-alive, vacuum-grace reset). */
+  def touch(f: java.io.File): Unit
+
+  /** `f`'s last-modified timestamp, epoch millis. */
+  def mtime(f: java.io.File): Long
+
+  /** Current children of `dir` (empty when absent). */
+  def list(dir: java.io.File): Seq[java.io.File]
+
+  /** Delete `f`; false when it did not exist or could not be removed
+    * (callers that must distinguish re-check [[exists]]). */
+  def delete(f: java.io.File): Boolean
+
+  def exists(f: java.io.File): Boolean
+
+  /** The non-empty lines of a small published object. */
+  def read(f: java.io.File): Seq[String]
+}
+
+/** The bare-filesystem realization (this sandbox, NFS-free local disks):
+  * put-if-absent = hard link from a fully-written temp (atomic
+  * create-with-content on POSIX), atomic replace = `ATOMIC_MOVE` +
+  * `REPLACE_EXISTING`, timestamps = `lastModified`. */
+object LocalFsStore extends GavroStore {
+  private def staged(dst: java.io.File, content: String): java.io.File = {
+    val tmp = java.io.File.createTempFile(s".${dst.getName}", ".tmp",
+      dst.getParentFile)
+    java.nio.file.Files.writeString(tmp.toPath, content)
+    tmp
+  }
+
+  override def putIfAbsent(dst: java.io.File, content: String): Unit = {
+    val tmp = staged(dst, content)
+    try java.nio.file.Files.createLink(dst.toPath, tmp.toPath)
+    finally tmp.delete()
+  }
+
+  override def atomicReplace(dst: java.io.File, content: String): Unit = {
+    val tmp = staged(dst, content)
+    java.nio.file.Files.move(tmp.toPath, dst.toPath,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  override def publishIfAbsent(staged: java.io.File,
+      dst: java.io.File): Boolean =
+    try { java.nio.file.Files.createLink(dst.toPath, staged.toPath); true }
+    catch { case _: java.nio.file.FileAlreadyExistsException => false }
+
+  override def createMarkerIfAbsent(dst: java.io.File): Unit =
+    java.nio.file.Files.createFile(dst.toPath)
+
+  override def touch(f: java.io.File): Unit =
+    f.setLastModified(System.currentTimeMillis())
+
+  override def mtime(f: java.io.File): Long = f.lastModified()
+
+  override def list(dir: java.io.File): Seq[java.io.File] =
+    Option(dir.listFiles()).map(_.toSeq).getOrElse(Seq.empty)
+
+  override def delete(f: java.io.File): Boolean = f.delete()
+
+  override def exists(f: java.io.File): Boolean = f.exists()
+
+  override def read(f: java.io.File): Seq[String] =
+    java.nio.file.Files.readAllLines(f.toPath)
+      .toArray(Array.empty[String]).toSeq.filter(_.nonEmpty)
+}

@@ -1,0 +1,135 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.{GavroStore, LocalFsStore}
+
+/** The [[GavroStore]] CONTRACT, as a reusable base: every property here
+  * is one the gavro coordination protocol's safety arguments cite
+  * (put-if-absent losers err loudly, atomic replace has no missing
+  * window, touch moves the staleness/grace clock, read-after-write).
+  * An object-store port is a new `GavroStore` implementation plus a
+  * subclass of this base pointing at it — if the contract passes, the
+  * protocol above it needs no re-verification. */
+abstract class GavroStoreContract extends AnyFunSuite {
+
+  def store: GavroStore
+  def freshDir(): java.io.File
+
+  private def f(dir: java.io.File, name: String) = new java.io.File(dir, name)
+
+  test("putIfAbsent publishes atomically and is read-after-write visible") {
+    val d = freshDir()
+    val obj = f(d, "a.commit")
+    store.putIfAbsent(obj, "one\ntwo")
+    assert(store.exists(obj))
+    assert(store.read(obj) == Seq("one", "two"))
+    assert(store.list(d).map(_.getName).contains("a.commit"))
+  }
+
+  test("putIfAbsent loser errs loudly and never clobbers the winner") {
+    val d = freshDir()
+    val obj = f(d, "b.commit")
+    store.putIfAbsent(obj, "winner")
+    intercept[java.nio.file.FileAlreadyExistsException] {
+      store.putIfAbsent(obj, "loser")
+    }
+    assert(store.read(obj) == Seq("winner"))
+  }
+
+  test("concurrent putIfAbsent: exactly one winner, content intact") {
+    val d = freshDir()
+    val obj = f(d, "race.commit")
+    val winners = new java.util.concurrent.atomic.AtomicInteger(0)
+    val threads = (0 until 8).map { i =>
+      new Thread(() =>
+        try { store.putIfAbsent(obj, s"writer-$i"); winners.incrementAndGet() }
+        catch { case _: java.nio.file.FileAlreadyExistsException => () })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    assert(winners.get() == 1)
+    val content = store.read(obj)
+    assert(content.length == 1 && content.head.startsWith("writer-"))
+  }
+
+  test("atomicReplace: readers see old or new content, never absence or a torn object") {
+    val d = freshDir()
+    val obj = f(d, "cp.checkpoint")
+    store.atomicReplace(obj, "v-0\nv-0") // create-when-absent works too
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val bad = new java.util.concurrent.atomic.AtomicReference[String](null)
+    val reader = new Thread(() =>
+      while (!stop.get()) {
+        if (!store.exists(obj)) bad.compareAndSet(null, "object vanished")
+        else {
+          val lines = store.read(obj)
+          if (lines.distinct.length != 1)
+            bad.compareAndSet(null, s"torn read: $lines")
+        }
+      })
+    reader.start()
+    (1 to 200).foreach(i => store.atomicReplace(obj, s"v-$i\nv-$i"))
+    stop.set(true); reader.join()
+    assert(bad.get() == null, String.valueOf(bad.get()))
+    assert(store.read(obj) == Seq("v-200", "v-200"))
+  }
+
+  test("publishIfAbsent lands a staged blob once; a taken name returns false untouched") {
+    val d = freshDir()
+    val staged = f(d, ".staged.tmp")
+    java.nio.file.Files.writeString(staged.toPath, "blob-bytes")
+    val dst = f(d, "part-00000.gavro")
+    assert(store.publishIfAbsent(staged, dst))
+    assert(store.read(dst) == Seq("blob-bytes"))
+    val staged2 = f(d, ".staged2.tmp")
+    java.nio.file.Files.writeString(staged2.toPath, "other-bytes")
+    assert(!store.publishIfAbsent(staged2, dst)) // name taken: no clobber
+    assert(store.read(dst) == Seq("blob-bytes"))
+    assert(store.exists(staged2)) // caller owns the staged blob's cleanup
+  }
+
+  test("createMarkerIfAbsent is an exclusive lock primitive") {
+    val d = freshDir()
+    val lock = f(d, "_optimize.lock")
+    store.createMarkerIfAbsent(lock)
+    intercept[java.nio.file.FileAlreadyExistsException] {
+      store.createMarkerIfAbsent(lock)
+    }
+    assert(store.delete(lock))
+    store.createMarkerIfAbsent(lock) // released → takeable again
+  }
+
+  test("touch moves the staleness/grace clock forward") {
+    val d = freshDir()
+    val obj = f(d, "part-00001.gavro")
+    store.putIfAbsent(obj, "x")
+    val past = System.currentTimeMillis() - 60 * 60 * 1000
+    assert(obj.setLastModified(past)) // simulate an hour-old object
+    assert(store.mtime(obj) <= past + 1000)
+    val before = System.currentTimeMillis()
+    store.touch(obj)
+    assert(store.mtime(obj) >= before - 1000,
+      s"touch did not advance mtime: ${store.mtime(obj)} < $before")
+  }
+
+  test("delete is tolerant of absence; list tracks puts and deletes") {
+    val d = freshDir()
+    val obj = f(d, "c.commit")
+    store.putIfAbsent(obj, "x")
+    assert(store.delete(obj))
+    assert(!store.exists(obj))
+    assert(!store.delete(obj)) // idempotent-ish: absence is not an error
+    assert(!store.list(d).map(_.getName).contains("c.commit"))
+    assert(store.list(f(d, "missing-subdir")).isEmpty)
+  }
+}
+
+/** The bare-filesystem implementation against the contract — the
+  * realization the sandbox (and any single-node deployment) runs on. */
+class LocalFsStoreContractSpec extends GavroStoreContract {
+  override def store: GavroStore = LocalFsStore
+  override def freshDir(): java.io.File = {
+    val d = java.nio.file.Files.createTempDirectory("gavro-store").toFile
+    d.deleteOnExit(); d
+  }
+}
