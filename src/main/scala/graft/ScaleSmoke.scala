@@ -29,7 +29,106 @@ object ScaleSmoke {
     if (section == "leakage") leakageSection(spark, replicas)
     if (section == "round10") round10Section(spark, replicas)
     if (section == "optimize") optimizeSection(spark, replicas)
+    if (section == "round11") round11Section(spark, replicas)
     spark.stop()
+  }
+
+  /** Round-11 additions. (a) The materialized IVF-PQ index's operating
+    * claim at replica volume: build once (train + encode + gavro write),
+    * then search many — per-search cost must sit far below the build and
+    * stay flat as searches repeat. (b) OPTIMIZE under concurrent writer
+    * traffic: a writer commits continuously while the swap runs; measure
+    * the overhead vs the idle swap on an identical archive and verify no
+    * writer commit is lost (the reconcile-then-retire fold's job). */
+  private def round11Section(spark: SparkSession, replicas: Int): Unit = {
+    import org.apache.spark.unsafe.types.UTF8String
+    // ---- (a) prebuilt index: build once, search many
+    val embBase = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.1")
+    val embCorpus = embBase.crossJoin(spark.range(replicas).toDF("rep"))
+      .select((col("vec_id") * replicas + col("rep")).as("vec_id"),
+        expr("transform(embedding, (x, i) -> x + cast(rep as float) / 1000)").as("embedding"),
+        col("label"))
+      .localCheckpoint(true)
+    println(s"embeddings: ${embCorpus.count()} vectors (${replicas}x sf0.1)")
+    def timed(name: String)(body: => Unit): Unit = {
+      val t0 = System.nanoTime()
+      body
+      println(f"$name%-28s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+    }
+    val idxDir = java.nio.file.Files.createTempDirectory("smoke-ivfpq-idx").toString
+    timed("ivfpq_build_index") {
+      graft.ops.IvfPqIndex.buildAndWrite(embCorpus, idxDir) }
+    timed("ivfpq_search_prebuilt") {
+      assert(graft.ops.IvfPqIndex.searchIndex(spark, idxDir, embCorpus)
+        .count() == graft.ops.IvfPqIndex.SearchQueries * 5L) }
+    timed("ivfpq_search_again") {
+      assert(graft.ops.IvfPqIndex.searchIndex(spark, idxDir, embCorpus)
+        .count() == graft.ops.IvfPqIndex.SearchQueries * 5L) }
+
+    // ---- (b) optimize under concurrent writer traffic
+    val evBase = graft.sources.Tables.events(spark, "/root/testdata/sf0.1")
+    val evCorpus = evBase.crossJoin(spark.range(replicas).toDF("rep"))
+      .withColumn("event_id", col("event_id") * replicas + col("rep"))
+      .withColumn("user_id", col("user_id") * replicas + col("rep"))
+      .drop("rep").localCheckpoint(true)
+    val total = evCorpus.count()
+    println(s"events: $total rows (${replicas}x sf0.1), archived as 64 files twice")
+    def archive(): String = {
+      val dir = java.nio.file.Files.createTempDirectory("smoke-opt-w").toString
+      graft.sources.Gavro.write(evCorpus.repartition(64)
+        .select(graft.sources.AvroCodec.requestLogRec.as("rec"))
+        .select(expr("to_avro_graft(rec, 'request_log')").as("bin")), dir)
+      dir
+    }
+    // one tiny, VALID request_log file per writer commit (the post-swap
+    // scan proves the whole dataset incl. the traffic survived)
+    def landTinyFile(dir: String, i: Int): String = {
+      val name = f"traffic-$i%05d.gavro"
+      val rec = graft.sources.AvroCodec.RequestLog
+      val vals: Array[Any] = Array(1000000000L + i,
+        UTF8String.fromString("/api/traffic"), UTF8String.fromString("GET"),
+        200, 1, 1L, UTF8String.fromString("s"), UTF8String.fromString("r"),
+        UTF8String.fromString("u"), UTF8String.fromString("web"),
+        1000000L * i)
+      val b = graft.sources.AvroCodec.encode(rec, vals(_), _ => false)
+      val os = new java.io.FileOutputStream(new java.io.File(dir, name))
+      try {
+        os.write(Array[Byte]((b.length >>> 24).toByte, (b.length >>> 16).toByte,
+          (b.length >>> 8).toByte, b.length.toByte))
+        os.write(b)
+        graft.sources.GavroFooter.write(os, Seq(0L), Seq.empty)
+      } finally os.close()
+      graft.sources.Gavro.commitBatch(dir, Seq(name))
+      name
+    }
+    val idleDir = archive()
+    timed("optimize_idle") {
+      assert(graft.sources.Gavro.optimize(idleDir).nonEmpty) }
+    val busyDir = archive()
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val landed = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val writer = new Thread(() => {
+      var i = 0
+      while (!stop.get()) {
+        landed.add(landTinyFile(busyDir, i)); i += 1
+        Thread.sleep(5)
+      }
+    })
+    writer.start()
+    try timed("optimize_under_writers") {
+      assert(graft.sources.Gavro.optimize(busyDir).nonEmpty) }
+    finally { stop.set(true); writer.join() }
+    println(s"writer landed ${landed.size} commits during the swap")
+    // zero loss, record-exact: the post-swap snapshot holds every base
+    // row and every traffic row exactly once (a traffic file that landed
+    // before the merge's listing may legitimately be ABSORBED — its
+    // records live in the merged output — so the accounting is at record
+    // grain, not file names)
+    val scanned = spark.read.format("gavro")
+      .option("schema", "request_log").load(busyDir).count()
+    assert(scanned == total + landed.size,
+      s"post-swap scan $scanned != ${total + landed.size}")
+    println(s"post-swap scan: $scanned rows = $total base + ${landed.size} traffic (exact)")
   }
 
   /** OPTIMIZE read-path claim at replica volume: the same archive as 64

@@ -158,12 +158,18 @@ object IvfPqIndex {
     * (file-skipped via footer stats), ADC-score, then re-rank the
     * [[Quantize.RerankCand]] shortlist against full precision. No
     * training anywhere in the plan. */
-  def searchPrebuilt(spark: SparkSession, sfDir: String): DataFrame = {
+  def searchPrebuilt(spark: SparkSession, sfDir: String): DataFrame =
+    searchIndex(spark, ensure(spark, sfDir), Tables.embeddings(spark, sfDir))
+
+  /** The search plan against an explicit index directory and corpus
+    * frame — what [[searchPrebuilt]] runs after `ensure`, and what the
+    * ScaleSmoke harness times at replica volume (build once with
+    * [[buildAndWrite]], then search repeatedly here). */
+  def searchIndex(spark: SparkSession, dir: String,
+      emb: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val dir = ensure(spark, sfDir)
     val coarse = loadCells(spark, dir)
     val books = loadBooks(spark, dir)
-    val emb = Tables.embeddings(spark, sfDir)
     val qemb = emb.select(col("vec_id"),
       Quantize.quantQv("embedding").as("qv"))
     val queries = qemb.filter(col("vec_id") < SearchQueries)
