@@ -107,17 +107,22 @@ object ScaleSmoke {
     val busyDir = archive()
     val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
     val landed = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val writerErr =
+      new java.util.concurrent.atomic.AtomicReference[Throwable](null)
     val writer = new Thread(() => {
       var i = 0
-      while (!stop.get()) {
+      try while (!stop.get()) {
         landed.add(landTinyFile(busyDir, i)); i += 1
         Thread.sleep(5)
-      }
+      } catch { case t: Throwable => writerErr.set(t) }
     })
     writer.start()
     try timed("optimize_under_writers") {
       assert(graft.sources.Gavro.optimize(busyDir).nonEmpty) }
     finally { stop.set(true); writer.join() }
+    // a silently-dead writer would make the zero-loss check vacuous
+    assert(writerErr.get() == null, s"writer thread died: ${writerErr.get()}")
+    assert(landed.size > 10, s"writer landed only ${landed.size} commits")
     println(s"writer landed ${landed.size} commits during the swap")
     // zero loss, record-exact: the post-swap snapshot holds every base
     // row and every traffic row exactly once (a traffic file that landed

@@ -51,9 +51,34 @@ object IvfPqIndex {
     * of a prebuilt index being that more queries cost no more training. */
   val SearchQueries = 20
 
-  private def cacheDir(sfDir: String): java.io.File =
+  /** Cache key = (code version, sf dir, SOURCE-DATA fingerprint): the
+    * embeddings parquet's file names, lengths, and mtimes are hashed in
+    * so regenerated fixture data under the same path can never silently
+    * reuse a stale index across JVM runs — pure filesystem metadata, no
+    * Spark job on the warm path. */
+  private def cacheDir(sfDir: String): java.io.File = {
+    val src = new java.io.File(sfDir, "embeddings.parquet")
+    val parts: Seq[java.io.File] =
+      if (src.isDirectory)
+        Option(src.listFiles()).getOrElse(Array.empty[java.io.File]).toSeq
+      else Seq(src)
+    val fingerprint = parts.sortBy(_.getName)
+      .map(f => s"${f.getName}:${f.length()}:${f.lastModified()}")
+      .mkString("|")
+    // collision-proof key: 32-bit hashCode could alias two fingerprints.
+    // name = <stable per-sfDir segment> _ <data digest>: the first scopes
+    // pruning to THIS source dir (indexes for other sf dirs are live
+    // peers, not staleness), the second invalidates on data change
     new java.io.File(System.getProperty("java.io.tmpdir"),
-      s"graft_ivfpq_v${Version}_" + Integer.toHexString(sfDir.hashCode))
+      sfPrefix(sfDir) + sha256Hex(sfDir + "#" + fingerprint, 12))
+  }
+
+  private def sha256Hex(s: String, bytes: Int): String =
+    java.security.MessageDigest.getInstance("SHA-256")
+      .digest(s.getBytes("UTF-8")).take(bytes).map(b => f"$b%02x").mkString
+
+  private def sfPrefix(sfDir: String): String =
+    s"graft_ivfpq_v${Version}_" + sha256Hex(sfDir, 6) + "_"
 
   /** Train on `emb` = (vec_id, embedding) and persist the index under
     * `dir` (cells/ books/ codes/). Pure function of the input: the build
@@ -93,6 +118,7 @@ object IvfPqIndex {
   def ensure(spark: SparkSession, sfDir: String): String = {
     val root = cacheDir(sfDir)
     if (!root.exists()) {
+      pruneStale(root, sfPrefix(sfDir))
       val tmp = new java.io.File(root.getParentFile,
         root.getName + ".build-" + java.util.UUID.randomUUID().toString.take(8))
       buildAndWrite(Tables.embeddings(spark, sfDir), tmp.getAbsolutePath)
@@ -104,6 +130,23 @@ object IvfPqIndex {
     }
     root.getAbsolutePath
   }
+
+  /** The fingerprint-keyed cache would otherwise orphan one full index
+    * copy per fixture regeneration: before building a fresh index, drop
+    * siblings of THE SAME source dir (same `sfPrefix`) with a different
+    * data digest — their source data changed, so no correct reader can
+    * still want them. Indexes for OTHER sf dirs are live peers and are
+    * never touched. */
+  private def pruneStale(current: java.io.File, prefix: String): Unit =
+    Option(current.getParentFile.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.getName.startsWith(prefix) &&
+        f.getName != current.getName &&
+        // grace hour for EVERYTHING: never race a live builder's
+        // ".build-" temp, and give any process still scanning a
+        // just-superseded published index time to finish before its
+        // files vanish under it
+        System.currentTimeMillis() - f.lastModified() > 60L * 60 * 1000)
+      .foreach(deleteRec)
 
   private def deleteRec(f: java.io.File): Unit = {
     Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteRec)
@@ -132,6 +175,7 @@ object IvfPqIndex {
     * yet, so a later search query starts warm. */
   def buildIndexSummary(spark: SparkSession, sfDir: String): DataFrame = {
     val root = cacheDir(sfDir)
+    if (!root.exists()) pruneStale(root, sfPrefix(sfDir))
     val tmp = new java.io.File(root.getParentFile,
       root.getName + ".build-" + java.util.UUID.randomUUID().toString.take(8))
     buildAndWrite(Tables.embeddings(spark, sfDir), tmp.getAbsolutePath)
@@ -174,7 +218,11 @@ object IvfPqIndex {
       Quantize.quantQv("embedding").as("qv"))
     val queries = qemb.filter(col("vec_id") < SearchQueries)
       .select(col("vec_id").as("q_id"), col("qv"))
-    val probes = Quantize.ivfPqProbes(queries, coarse).persist()
+    // NOT persisted: the probe frame is queries×CoarseK rows and is used
+    // twice (driver collect below + LUT build) — recomputing it is
+    // trivial, while a persist here would leak one cached frame per
+    // search on the path designed to be called many times.
+    val probes = Quantize.ivfPqProbes(queries, coarse)
     // The router step every distributed ANN serve does: the probe list
     // (≤ SearchQueries·NProbe values, bounded by CoarseK distinct) comes
     // to the driver and becomes a pushed IN filter — the codes scan opens

@@ -501,7 +501,8 @@ class GavroWriteStatAcc(record: AvroCodec.ARecord,
   private val maxs = new Array[Any](statFields.length)
   private def lt(t: Byte, a: Any, b: Any): Boolean = t match {
     case 0 => a.asInstanceOf[Long] < b.asInstanceOf[Long]
-    case 1 => a.asInstanceOf[Double] < b.asInstanceOf[Double]
+    case 1 => // NaN greatest, ±0.0 equal — one rule for every double site
+      Gavro.sparkDoubleLt(a.asInstanceOf[Double], b.asInstanceOf[Double])
     case 2 => a.asInstanceOf[String] < b.asInstanceOf[String]
     case 3 => !a.asInstanceOf[Boolean] && b.asInstanceOf[Boolean]
     case 4 => a.asInstanceOf[Int] < b.asInstanceOf[Int]
@@ -626,22 +627,26 @@ class GavroScan(path: String, schemaName: String, required: StructType,
   }
 }
 
-/** Streaming offset = the NAME of the last consumed file (empty = none):
-  * a high-watermark over the monotonically named append-only listing
-  * (`part-00000.gavro`, …). Name-based (not count-based) so a rewrite
-  * of the listing underneath the stream is DETECTED — the watermark
-  * file vanishing from the committed listing is unambiguous evidence,
-  * where a count offset silently skips or stalls (shrink masked by
-  * concurrent growth included). A vanished watermark that an OPTIMIZE
-  * absorbed is TRANSLATED through the durable `.absorbed` manifests
-  * (see [[GavroMicroBatchStream.deliverables]]) so 24/7 tailing
-  * survives compaction; a watermark nothing covers (truncate, manual
-  * deletion) fails loudly. Exactly-once on the append-only path;
-  * bounded state — one name — where Spark's own file source keeps a
+/** Streaming offset = the NAME of the last consumed file (`last`, empty
+  * = none) plus the highest OPTIMIZE checkpoint whose merged outputs
+  * are fully consumed (`thru`, empty = none): a high-watermark over the
+  * monotonically named append-only listing, extended so compaction can
+  * run under the tail. Name-based (not count-based) so a rewrite of the
+  * listing underneath the stream is DETECTED — the watermark file
+  * vanishing from the committed listing is unambiguous evidence, where
+  * a count offset silently skips or stalls. A vanished watermark that
+  * an OPTIMIZE absorbed is TRANSLATED through the durable `.absorbed`
+  * manifests (see [[GavroMicroBatchStream.deliverables]]); `thru`
+  * records that a merge's content has been delivered even when no
+  * single listed NAME can prove it (a merged output taking a numeric
+  * index below a live epoch watermark), which is what keeps the
+  * translation exactly-once instead of looping on re-delivery. A
+  * watermark nothing covers (truncate, manual deletion) fails loudly.
+  * Bounded state — two names — where Spark's own file source keeps a
   * per-file seen-map. */
-case class GavroStreamOffset(last: String)
+case class GavroStreamOffset(last: String, thru: String = "")
     extends org.apache.spark.sql.connector.read.streaming.Offset {
-  override def json(): String = s"""{"last":"$last"}"""
+  override def json(): String = s"""{"last":"$last","thru":"$thru"}"""
 }
 
 /** Micro-batch stream over a gavro landing zone: each trigger's batch is
@@ -663,6 +668,20 @@ class GavroMicroBatchStream(path: String, schemaName: String,
     Offset, ReadAllAvailable, ReadLimit, ReadMaxBytes, ReadMaxFiles}
 
   private def listing(): Array[java.io.File] = Gavro.listDataFiles(path)
+
+  // Manifests are immutable once published (put-if-absent) and only ever
+  // added, so a names+sizes fingerprint keys a cached parse — the history
+  // is re-read once per OPTIMIZE, not twice per trigger.
+  @volatile private var histCache: (String, Gavro.RewriteHistory) = null
+  private def history(): Gavro.RewriteHistory = {
+    val commits = new java.io.File(path, Gavro.CommitsDir)
+    val fp = Option(commits.listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.endsWith(".absorbed")).sortBy(_.getName)
+      .map(f => s"${f.getName}:${f.length()}").mkString("|")
+    val c = histCache
+    if (c != null && c._1 == fp) c._2
+    else { val h = Gavro.rewriteHistory(path); histCache = (fp, h); h }
+  }
 
   override def initialOffset(): Offset = GavroStreamOffset("")
   override def latestOffset(): Offset =
@@ -688,70 +707,81 @@ class GavroMicroBatchStream(path: String, schemaName: String,
     }
   }
 
-  /** The end-of-batch watermark must still be listed: committed files are
-    * never deleted on the append-only path, and a just-produced end name
-    * vanishing between offset selection and planning means a rewrite
-    * raced the trigger itself — maintenance is serialized, so this is
-    * corruption-grade and fails loudly. */
-  private def guardListed(watermark: String,
-      files: Array[java.io.File]): Unit =
-    if (watermark.nonEmpty && !files.exists(_.getName == watermark))
-      throw new IllegalStateException(
-        s"gavro stream: consumed watermark $watermark is no longer in the " +
-          s"committed listing at $path and no optimize manifest covers it " +
-          "— the archive was truncated or rewritten outside OPTIMIZE; " +
-          "restart from a fresh checkpoint over the rewritten archive")
-
   /** The files not yet fully consumed under start watermark `s`, in name
     * order, each with the byte offset to resume from (0 = whole file).
     *
-    * Fast path — `s` empty or still listed: the plain name compare, as
-    * before. Translation path — `s` VANISHED from the listing: the
-    * archive was optimized under the stream, and the durable `.absorbed`
-    * manifests ([[Gavro.rewriteHistory]]) say exactly which merge
-    * absorbed each name and where its bytes now live. A listed file is
-    * skipped when every original constituent is provably consumed,
-    * delivered whole when none are, and resumed mid-file at the first
-    * unconsumed constituent's offset when the merge straddles the
-    * watermark (constituent boundaries are block boundaries, so the
-    * suffix is exactly addressable — zero loss, zero duplicates).
+    * With no optimize history this is the plain name compare (deliver
+    * `> s` whole), as the append-only contract always was. Once the
+    * archive HAS been optimized, the durable `.absorbed` manifests
+    * ([[Gavro.rewriteHistory]]) say which merge absorbed each name and
+    * where its bytes now live, and every path — live watermark, vanished
+    * watermark, WAL replay — evaluates merged files at LEAF grain: a
+    * listed merged file is skipped when every original constituent is
+    * provably consumed, delivered whole when none are, and resumed
+    * mid-file at the first unconsumed constituent's offset when the
+    * merge straddles the watermark (constituent boundaries are block
+    * boundaries, so the resume range is exactly addressable). Evaluating
+    * merged files by leaves even when `s` itself is still listed is what
+    * keeps an optimize that absorbed files AROUND a surviving watermark
+    * from silently skipping (numeric merge below an epoch watermark) or
+    * blindly re-delivering (merge above it) their content.
     *
     * "Provably consumed" is deliberately conservative: leaf `l` counts
     * as consumed iff every node of its containment chain whose lifetime
     * overlaps the window in which the watermark can have been recorded
-    * (between `s`'s creation and its absorption, in commit-sequence
-    * order) has name ≤ `s` — whichever file contained `l` when the
-    * offset was recorded, it was ≤ the watermark and therefore consumed.
-    * Under chained merges that reordered names the proof can fail for
-    * content that WAS consumed; such leaves are re-delivered (bounded by
-    * the one merged file) — at-least-once on a pathological path, never
-    * silent loss. A watermark no manifest covers (truncate, manual
-    * deletion) stays the loud error. */
-  private def deliverables(s: String,
-      all: Array[java.io.File]): Seq[(java.io.File, Long)] = {
-    if (s.isEmpty) return all.toSeq.map(f => (f, 0L))
-    if (all.exists(_.getName == s))
+    * (between `s`'s creation and its absorption — unbounded above while
+    * `s` is still live) has name ≤ `s` — whichever file contained `l`
+    * when the offset was recorded, it was ≤ the watermark and therefore
+    * consumed. When the history genuinely cannot distinguish
+    * consumed-then-merged from merged-then-never-consumed, the ambiguity
+    * resolves to re-delivery — at-least-once, never silent loss. The
+    * irreducible case (provably: a fresh stream that admitted past a
+    * pre-existing merge and a continuous stream that consumed the
+    * constituents pre-merge reach IDENTICAL (offset, listing, history)
+    * states needing opposite answers): optimizing already-consumed files
+    * while the watermark file itself SURVIVES the merge re-delivers the
+    * merged outputs once — after which `thru` covers the swap and the
+    * stream is exact again. Compacting a tailed dir therefore prefers
+    * absorbing the watermark file with its neighbors (the vanished-
+    * watermark translation is exact); the burst is the cost of leaving
+    * it behind. A watermark no manifest covers (truncate, manual
+    * deletion) is the loud error. */
+  private def deliverables(off: GavroStreamOffset,
+      all: Array[java.io.File],
+      h: Gavro.RewriteHistory): Seq[(java.io.File, Long)] = {
+    val s = off.last
+    val thru = off.thru
+    if (s.isEmpty && thru.isEmpty) return all.toSeq.map(f => (f, 0L))
+    val listed = s.isEmpty || all.exists(_.getName == s)
+    if (h.isEmpty && listed)
       return all.filter(_.getName > s).toSeq.map(f => (f, 0L))
-    val h = Gavro.rewriteHistory(path)
-    if (!h.absorbedAt.contains(s))
+    if (!listed && !h.absorbedAt.contains(s))
       throw new IllegalStateException(
         s"gavro stream: consumed watermark $s is no longer in the " +
           s"committed listing at $path and no optimize manifest covers it " +
           "— the archive was truncated or rewritten outside OPTIMIZE; " +
           "restart from a fresh checkpoint over the rewritten archive")
-    val sAbsorbed = h.absorbedAt(s)
-    val sCreated = h.createdAt.get(s) // None: an original, live since append
+    // the window in which the name watermark can have been recorded:
+    // from s's creation (unknown = since ever for an original) to its
+    // absorption (unbounded while s is still listed)
+    val sAbsorbed = h.absorbedAt.get(s)
+    val sCreated = h.createdAt.get(s)
     def consumedLeaf(l: String): Boolean =
-      h.chain(l).filter { n =>
-        val created = h.createdAt.get(n)
-        val absorbed = h.absorbedAt.get(n)
-        created.forall(_ < sAbsorbed) &&
-          sCreated.forall(lo => absorbed.forall(_ > lo))
-      }.forall(_ <= s)
+      // accounted when the merge that absorbed it is covered by `thru`,
+      // or provably ≤ the name watermark through its containment chain
+      h.absorbedAt.get(l).exists(_ <= thru) ||
+        h.chain(l).filter { n =>
+          val created = h.createdAt.get(n)
+          val absorbed = h.absorbedAt.get(n)
+          sAbsorbed.forall(hi => created.forall(_ < hi)) &&
+            sCreated.forall(lo => absorbed.forall(_ > lo))
+        }.forall(_ <= s)
     all.toSeq.flatMap { f =>
       val name = f.getName
       if (!h.children.contains(name)) {
         if (name <= s) None else Some((f, 0L))
+      } else if (h.createdAt.get(name).exists(_ <= thru)) {
+        None // the swap that created it is fully consumed per `thru`
       } else {
         val ls = h.leaves(name)
         val unconsumed = ls.filterNot(t => consumedLeaf(t._1))
@@ -763,11 +793,14 @@ class GavroMicroBatchStream(path: String, schemaName: String,
   }
 
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
-    val s = start.asInstanceOf[GavroStreamOffset].last
-    // single listing capture: the same snapshot drives the translation,
-    // the admission decision, and the watermark (no list-twice TOCTOU)
+    val s = start.asInstanceOf[GavroStreamOffset]
+    // single listing + history capture: the same snapshot drives the
+    // translation, the admission decision, the watermark, and the thru
+    // advance (no list-twice TOCTOU; the history parse is fingerprint-
+    // cached, so manifests are re-parsed once per optimize, not per call)
     val all = listing()
-    val del = deliverables(s, all)
+    val h = history()
+    val del = deliverables(s, all, h)
     def admit(l: ReadLimit): Int = l match {
       case _: ReadAllAvailable => del.length
       case f: ReadMaxFiles => math.min(del.length, f.maxFiles)
@@ -784,6 +817,7 @@ class GavroMicroBatchStream(path: String, schemaName: String,
       case _ => del.length // rows-based limits don't apply at file grain
     }
     var n = admit(limit)
+    val deliverableNames = del.map(_._1.getName).toSet
     // A mid-file resume (straddled merge) must complete within the
     // translation batch: once the end watermark is a plain listed name,
     // a later trigger would re-deliver the merged file WHOLE. One-time,
@@ -791,19 +825,65 @@ class GavroMicroBatchStream(path: String, schemaName: String,
     // at-least-one-file progress guarantee.
     val lastPartial = del.lastIndexWhere(_._2 > 0L)
     if (lastPartial >= n) n = lastPartial + 1
-    if (del.isEmpty && !all.exists(_.getName == s)) {
+    // Likewise, the end watermark cannot pass a SKIPPED (fully-consumed)
+    // file until every deliverable below it is admitted — stopping short
+    // would strand the skipped file above the watermark, and letting the
+    // watermark REGRESS below it instead would forget it was consumed.
+    // Force admission through the highest skipped name; in the steady
+    // append-only state everything skipped sorts at-or-below the
+    // watermark, so this never loosens the admission bound there. The
+    // one case it does: the first trigger after an OPTIMIZE that merged
+    // a backlog to BELOW a live watermark admits that whole merged
+    // backlog at once (bounded by the optimize outputs; per-task memory
+    // stays file-grain-bounded — the cost is one long trigger). The
+    // operational rule stands: compact a tailed dir when its consumers
+    // are near-current, not under a deep unconsumed backlog.
+    val consumedMax = all.map(_.getName).filterNot(deliverableNames)
+      .sorted.lastOption
+    consumedMax.foreach { m =>
+      val k = del.lastIndexWhere(_._1.getName < m) + 1
+      if (k > n) n = k
+    }
+    val admitted = del.take(n).map(_._1.getName).toSet
+    // Advance `thru` over every optimize swap whose merged outputs are
+    // fully consumed after this batch (directly, or via a later swap
+    // that absorbed them and itself qualifies) — the piece of state that
+    // makes "this merge's content is all delivered" expressible when no
+    // single listed name can prove it.
+    val thruNew: String = if (h.isEmpty) s.thru else {
+      val byCp = h.createdAt.toSeq.groupBy(_._2) // cp -> its merged outputs
+      val listedNames = all.map(_.getName).toSet
+      val covered = scala.collection.mutable.Set.empty[String]
+      def outputDone(o: String): Boolean =
+        admitted.contains(o) ||
+          (listedNames.contains(o) && !deliverableNames.contains(o)) ||
+          h.absorbedAt.get(o).exists(covered.contains)
+      var changed = true
+      while (changed) {
+        changed = false
+        byCp.foreach { case (cp, outs) =>
+          if (!covered(cp) && outs.forall(t => outputDone(t._1))) {
+            covered += cp; changed = true
+          }
+        }
+      }
+      // thru is a high-watermark: the longest covered PREFIX of swaps
+      val cps = byCp.keys.toSeq.sorted
+      val prefix = cps.takeWhile(covered.contains)
+      val candidate = prefix.lastOption.getOrElse("")
+      if (candidate > s.thru) candidate else s.thru
+    }
+    if (del.isEmpty && s.last.nonEmpty && !all.exists(_.getName == s.last)) {
       // everything the vanished watermark covered is fully merged away:
       // advance to the newest listed name so the stream re-enters the
       // plain append-only fast path
       return GavroStreamOffset(
-        all.lastOption.map(_.getName).getOrElse(s))
+        all.lastOption.map(_.getName).getOrElse(s.last), thruNew)
     }
-    if (n == 0) return GavroStreamOffset(s)
+    if (n == 0) return GavroStreamOffset(s.last, thruNew)
     // Extend the end watermark across fully-consumed files that sort
     // between/after the admitted deliverables — {listed ≤ end} must be
     // exactly the consumed set, or the next trigger re-delivers them.
-    val admitted = del.take(n).map(_._1.getName).toSet
-    val deliverableNames = del.map(_._1.getName).toSet
     var end = ""
     var i = 0
     while (i < all.length &&
@@ -811,14 +891,18 @@ class GavroMicroBatchStream(path: String, schemaName: String,
           !deliverableNames.contains(all(i).getName))) {
       end = all(i).getName; i += 1
     }
-    GavroStreamOffset(end)
+    GavroStreamOffset(end, thruNew)
   }
 
   override def reportLatestOffset(): Offset =
     GavroStreamOffset(listing().lastOption.map(_.getName).getOrElse(""))
   override def deserializeOffset(json: String): Offset =
     "\"last\":\"([^\"]*)\"".r.findFirstMatchIn(json)
-      .map(m => GavroStreamOffset(m.group(1)))
+      .map { m =>
+        val thru = "\"thru\":\"([^\"]*)\"".r.findFirstMatchIn(json)
+          .map(_.group(1)).getOrElse("") // pre-thru checkpoints: none covered
+        GavroStreamOffset(m.group(1), thru)
+      }
       .orElse {
         // legacy count-based offsets ({"files":N}, pre name-watermark):
         // translation against the current sorted listing is exact while
@@ -842,19 +926,31 @@ class GavroMicroBatchStream(path: String, schemaName: String,
   override def stop(): Unit = ()
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
-    val s = start.asInstanceOf[GavroStreamOffset].last
-    val e = end.asInstanceOf[GavroStreamOffset].last
-    if (e.isEmpty) return Array.empty
+    val s = start.asInstanceOf[GavroStreamOffset]
+    val e = end.asInstanceOf[GavroStreamOffset]
+    if (e.last.isEmpty && e.thru.isEmpty) return Array.empty
     val all = listing()
-    guardListed(e, all)
-    // Same translation as offset selection (the manifests are durable, so
-    // both calls derive the identical deliverable set); a mid-file resume
-    // plans only the blocks at-or-after the constituent's offset.
-    deliverables(s, all)
-      .filter(_._1.getName <= e)
-      .flatMap { case (f, resume) =>
-        GavroSkip.planFile(f, preds.toSeq).filter(_.start >= resume)
-      }
+    // The batch is (consumed under e) minus (consumed under s), derived
+    // from the SAME durable manifests on both sides — so a WAL-replayed
+    // end offset that an optimize absorbed while the stream was down
+    // replays exactly the records the original batch covered (translated
+    // into the merged files), instead of erroring or over-reading. An
+    // end offset nothing covers throws deliverables' loud error.
+    val h = history()
+    val delS = deliverables(s, all, h)
+    val capOf: Map[String, Long] =
+      deliverables(e, all, h).map(t => t._1.getName -> t._2).toMap
+    delS.flatMap { case (f, resume) =>
+      // cap = where consumption under `e` stops in this file: absent →
+      // fully consumed under e (no cap); 0 → entirely beyond e (skip
+      // WITHOUT the footer read — a deep backlog drains in O(files),
+      // not O(files²/batch)); mid-file → the straddling constituent
+      // boundary.
+      val cap = capOf.getOrElse(f.getName, Long.MaxValue)
+      if (cap == 0L) Seq.empty
+      else GavroSkip.planFile(f, preds.toSeq)
+        .filter(p => p.start >= resume && p.start < cap)
+    }
       .map(p => p: InputPartition).toArray
   }
   override def createReaderFactory(): PartitionReaderFactory =
@@ -1031,7 +1127,9 @@ object GavroSkip {
     (v, bound) match {
       case (a: Number, b: Number) if stat.tpe == 1 ||
           a.isInstanceOf[Double] || b.isInstanceOf[Double] =>
-        Some(java.lang.Double.compare(b.doubleValue, a.doubleValue))
+        // mirror the reader's Spark-equality (−0.0 = 0.0, NaN = NaN): a
+        // bound of −0.0 must not exclude a file for a 0.0 predicate
+        Some(Gavro.compareSparkDoubles(b.doubleValue, a.doubleValue))
       case (a: Number, b: Number) =>
         Some(java.lang.Long.compare(b.longValue, a.longValue))
       case (a: String, b: String) => Some(b.compareTo(a))
@@ -1138,7 +1236,7 @@ class GavroAggPartitionReader(part: GavroInputPartition, schemaName: String,
   private def cmp(a: Any, b: Any): Int = (a, b) match {
     case (x: Int, y: Int) => java.lang.Integer.compare(x, y)
     case (x: Long, y: Long) => java.lang.Long.compare(x, y)
-    case (x: Double, y: Double) => java.lang.Double.compare(x, y)
+    case (x: Double, y: Double) => Gavro.compareSparkDoubles(x, y)
     case (x: Boolean, y: Boolean) => java.lang.Boolean.compare(x, y)
     case (x: UTF8String, y: UTF8String) => x.compareTo(y)
     case _ => 0 // same decoded type by construction; unreachable
@@ -1294,7 +1392,8 @@ class GavroPartitionReader(part: GavroInputPartition, schemaName: String,
             (v, el) match {
               case (a: Int, b: Number) => a.toLong == b.longValue
               case (a: Long, b: Number) => a == b.longValue
-              case (a: Double, b: Number) => a == b.doubleValue
+              case (a: Double, b: Number) =>
+                Gavro.compareSparkDoubles(a, b.doubleValue) == 0
               case (a: Boolean, b: Boolean) => a == b
               case (a: UTF8String, b: UTF8String) => a == b
               case _ => false
@@ -1304,7 +1403,8 @@ class GavroPartitionReader(part: GavroInputPartition, schemaName: String,
           val c = (v, w) match {
             case (a: Int, b: Number) => java.lang.Long.compare(a.toLong, b.longValue)
             case (a: Long, b: Number) => java.lang.Long.compare(a, b.longValue)
-            case (a: Double, b: Number) => java.lang.Double.compare(a, b.doubleValue)
+            case (a: Double, b: Number) =>
+              Gavro.compareSparkDoubles(a, b.doubleValue)
             case (a: Boolean, b: Boolean) => java.lang.Boolean.compare(a, b)
             case (a: UTF8String, b: UTF8String) => a.compareTo(b)
             case _ => return false // type drift: drop rather than mis-match
@@ -1376,6 +1476,19 @@ object Gavro {
 
   /** Commit-manifest directory name inside a gavro table path. */
   val CommitsDir = "_graft_commits"
+
+  /** Spark SQL's double ordering (SQLOrderingUtil.compareDoubles):
+    * primitive == first so -0.0 = 0.0, then Double.compare so NaN = NaN
+    * and NaN sorts GREATEST. Every comparison this source makes on
+    * double values — reader filters, footer-stat folds, file skipping,
+    * pushed min/max — must route through here so pushed and unpushed
+    * plans can never diverge on ±0.0 or NaN. */
+  def compareSparkDoubles(a: Double, b: Double): Int =
+    if (a == b) 0 else java.lang.Double.compare(a, b)
+
+  /** Strict less-than under [[compareSparkDoubles]]. */
+  def sparkDoubleLt(a: Double, b: Double): Boolean =
+    compareSparkDoubles(a, b) < 0
 
   /** The coordination-plane storage primitives (put-if-absent, atomic
     * replace, staleness/grace clock, listing) behind the [[GavroStore]]
@@ -1510,6 +1623,13 @@ object Gavro {
           .map(_.getName).filter(n => n.endsWith(".gavro") && !fresh(n))
           .sorted
       }
+    // File names land verbatim in commit records, `.absorbed` manifests
+    // (tab-separated), and the stream's offset JSON — a quote, backslash,
+    // tab, or newline would corrupt one of those encodings. Reject at the
+    // visibility point (adopted legacy names included) rather than escape
+    // in three formats.
+    (adopted ++ files).foreach(f => require(f.matches("[A-Za-z0-9._-]+"),
+      s"gavro: illegal data-file name '$f' (allowed: [A-Za-z0-9._-])"))
     val dst = new java.io.File(dir, s"$name.commit")
     // Optimistic concurrency: a commit record lands PUT-IF-ABSENT, so two
     // writers that raced to the same sequence number cannot silently
@@ -1739,7 +1859,7 @@ object Gavro {
 
   private def statLt(tpe: Byte, a: Any, b: Any): Boolean = tpe match {
     case 0 | 4 => a.asInstanceOf[Number].longValue < b.asInstanceOf[Number].longValue
-    case 1 => a.asInstanceOf[Double] < b.asInstanceOf[Double]
+    case 1 => sparkDoubleLt(a.asInstanceOf[Double], b.asInstanceOf[Double])
     case 2 => a.toString < b.toString
     case 3 => !a.asInstanceOf[Boolean] && b.asInstanceOf[Boolean]
   }
@@ -2053,7 +2173,16 @@ object Gavro {
     * sequence position) the swap landed at. This is what lets a live
     * stream survive OPTIMIZE: [[GavroMicroBatchStream]] translates a
     * name watermark that vanished from the listing through this history
-    * instead of failing. */
+    * instead of failing.
+    *
+    * Retention: manifests are a few lines per optimize and are parsed
+    * once per stream trigger, so growth is slow but unbounded; a
+    * retention policy may delete any manifest whose checkpoint is ≤
+    * every consumer's committed `thru` (all its content is provably
+    * consumed, so no watermark can still need the translation). Not
+    * automated here — the table has no registry of its consumers, the
+    * same reason Delta's log retention is a configured duration rather
+    * than consumer-tracked. */
   private[sources] case class RewriteHistory(
       children: Map[String, Seq[(String, Long, Long)]],
       createdAt: Map[String, String],
@@ -2276,7 +2405,8 @@ object Gavro {
     private val maxs = new Array[Any](statTypes.length)
     private def lt(t: Byte, a: Any, b: Any): Boolean = t match {
       case 0 => a.asInstanceOf[Long] < b.asInstanceOf[Long]
-      case 1 => a.asInstanceOf[Double] < b.asInstanceOf[Double]
+      case 1 => Gavro.sparkDoubleLt(
+        a.asInstanceOf[Double], b.asInstanceOf[Double])
       case 2 => a.asInstanceOf[String] < b.asInstanceOf[String]
       case 3 => !a.asInstanceOf[Boolean] && b.asInstanceOf[Boolean]
       case 4 => a.asInstanceOf[Int] < b.asInstanceOf[Int]

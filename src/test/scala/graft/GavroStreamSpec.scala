@@ -283,6 +283,96 @@ class GavroStreamSpec extends SparkSpec {
     assert(seen.asScala.toSeq.sorted == ((0L to 9L) :+ 99L), seen.toString)
   }
 
+  test("a merge landing BELOW the live watermark delivers its unconsumed leaves exactly once") {
+    import scala.jdk.CollectionConverters._
+    // The nasty corner: the watermark file survives the optimize (too
+    // big to be a candidate) while UNCONSUMED files above it merge into
+    // a numeric output that sorts BELOW it. No single listed name can
+    // express "that merge is consumed", so the offset's `thru` field
+    // must carry it — delivery exactly once, no loss, no loop.
+    val dir = java.nio.file.Files.createTempDirectory("gavro-below").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("gavro-below-ck").toString
+    // the watermark file: 40 records → well over the tiny merge target
+    writeFile(dir, "part-e0000000001-00000.gavro", 100L to 139L, footer = true)
+    graft.sources.Gavro.commitBatch(dir, Seq("part-e0000000001-00000.gavro"))
+    val seen = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    def start() = spark.readStream.format("gavro")
+      .option("schema", "system_metrics").load(dir)
+      .writeStream.option("checkpointLocation", ckpt)
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        df.select(col("id")).collect().foreach(r => seen.add(r.getLong(0))); ()
+      }
+      .start()
+    val q = start()
+    q.processAllAvailable()
+    q.stop()
+    assert(seen.asScala.toSeq.sorted == (100L to 139L), seen.toString)
+    // two small UNCONSUMED epoch files land, then merge into part-00000,
+    // which sorts below the epoch watermark
+    writeFile(dir, "part-e0000000002-00000.gavro", Seq(7L), footer = true)
+    writeFile(dir, "part-e0000000003-00000.gavro", Seq(8L), footer = true)
+    graft.sources.Gavro.commitBatch(dir,
+      Seq("part-e0000000002-00000.gavro", "part-e0000000003-00000.gavro"))
+    val merged = graft.sources.Gavro.optimize(dir, targetBytes = 400L)
+    assert(merged == Seq("part-00000.gavro"), merged.toString)
+    assert(graft.sources.Gavro.listDataFiles(dir).map(_.getName).toSeq ==
+      Seq("part-00000.gavro", "part-e0000000001-00000.gavro"))
+    // restart: the merged file's leaves are delivered despite sorting
+    // below the watermark...
+    val q2 = start()
+    q2.processAllAvailable()
+    q2.stop()
+    assert(seen.asScala.toSeq.sorted == (Seq(7L, 8L) ++ (100L to 139L)),
+      s"merge below watermark lost/duplicated: ${seen.asScala.toSeq.sorted}")
+    // ...and only once: further triggers deliver nothing, later appends flow
+    val q3 = start()
+    q3.processAllAvailable()
+    q3.stop()
+    assert(seen.size == 42, s"re-delivery loop: ${seen.size}")
+    writeFile(dir, "part-e0000000009-00000.gavro", Seq(9L), footer = true)
+    graft.sources.Gavro.commitBatch(dir, Seq("part-e0000000009-00000.gavro"))
+    val q4 = start()
+    q4.processAllAvailable()
+    q4.stop()
+    assert(seen.asScala.toSeq.sorted == (Seq(7L, 8L, 9L) ++ (100L to 139L)),
+      seen.toString)
+  }
+
+  test("a WAL-replayed end offset absorbed by OPTIMIZE replays exactly the original batch") {
+    // Simulates the crash window Spark's v2 offset log creates: the end
+    // offset was durably written, the batch never committed, and an
+    // optimize absorbed the end-offset file while the stream was down.
+    // planInputPartitions(start, end) must replay exactly the records of
+    // (start, end] out of the merged file — no error, no over-read.
+    val dir = java.nio.file.Files.createTempDirectory("gavro-replay").toString
+    (0 until 4).foreach(i =>
+      writeFile(dir, f"part-$i%05d.gavro", Seq(i.toLong), footer = true))
+    graft.sources.Gavro.commitBatch(dir,
+      (0 until 4).map(i => f"part-$i%05d.gavro"))
+    val merged = graft.sources.Gavro.optimize(dir)
+    assert(merged.length == 1)
+    val stream = new graft.sources.GavroMicroBatchStream(
+      dir, "system_metrics", Array("id"), Array.empty)
+    val parts = stream.planInputPartitions(
+      graft.sources.GavroStreamOffset("part-00001.gavro"),
+      graft.sources.GavroStreamOffset("part-00002.gavro"))
+    val factory = stream.createReaderFactory()
+    val ids = parts.flatMap { p =>
+      val r = factory.createReader(p)
+      val buf = scala.collection.mutable.ArrayBuffer.empty[Long]
+      while (r.next()) buf += r.get().getLong(0)
+      r.close(); buf
+    }.sorted.toSeq
+    assert(ids == Seq(2L), s"replay of (part-00001, part-00002] got $ids")
+    // and a replay whose END nothing covers still fails loudly
+    val err = intercept[IllegalStateException] {
+      stream.planInputPartitions(
+        graft.sources.GavroStreamOffset("part-00001.gavro"),
+        graft.sources.GavroStreamOffset("part-99999.gavro"))
+    }
+    assert(err.getMessage.contains("truncated or rewritten"), err.getMessage)
+  }
+
   test("a watermark no optimize manifest covers still fails loudly (truncate)") {
     val dir = java.nio.file.Files.createTempDirectory("gavro-trunc").toString
     val ckpt = java.nio.file.Files.createTempDirectory("gavro-trunc-ck").toString

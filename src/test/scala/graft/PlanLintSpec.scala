@@ -96,6 +96,9 @@ class PlanLintSpec extends SparkSpec {
       "build = distinct event_type (closed enum, T rows) crossed with the day spine",
     "bitmap_overlap" ->
       "build = per-event_type totals (closed enum, T rows) in the T x T non-equi pair join",
+    "ann_ivfpq_search_prebuilt" ->
+      ("build = CoarseK-row (8) centroid reassembly loaded from the " +
+        "index table, crossed only with the SearchQueries-row query set"),
   )
 
   /** Rule 4 — broadcast-scalar discipline: every cross join in a
