@@ -18,6 +18,24 @@ object Bench {
     val spark = Session.builder("graft-bench", cpus.toInt).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // Canonicality gate, computed from the run's OWN starting conditions:
+    // round-over-round totals are only comparable when the host was idle
+    // when the clock started (the r10/r11 lesson: +30 s of uniform wall
+    // inflation with byte-identical shuffles, pure ambient load). The
+    // record run discipline — 1-min AND 5-min loadavg below ~2 — becomes
+    // a flag the artifact carries, so bench_compare can refuse REGRESSED
+    // verdicts from a run that was never comparable to begin with.
+    def readLoadavg(): Array[Double] = try {
+      new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get("/proc/loadavg"))).split(" ").take(3)
+        .map(_.toDouble)
+    } catch { case _: Throwable => Array.empty[Double] }
+    val loadavgStart = readLoadavg()
+    val canonicalLoadMax =
+      sys.env.getOrElse("SPARK_GRAFT_CANONICAL_LOAD", "2.0").toDouble
+    val canonical = loadavgStart.length >= 2 &&
+      loadavgStart(0) < canonicalLoadMax && loadavgStart(1) < canonicalLoadMax
+
     // Shuffle telemetry: bytes written to shuffle per query (stage metrics
     // accumulate asynchronously; the snapshot after each query is taken
     // post-settle and labeled approximate). The number the 100 TB lens
@@ -125,11 +143,8 @@ object Bench {
           }
         }
       }
-    val loadavg = try {
-      new String(java.nio.file.Files.readAllBytes(
-        java.nio.file.Paths.get("/proc/loadavg"))).split(" ").take(3)
-        .map(_.toDouble).mkString("[", ",", "]")
-    } catch { case _: Throwable => "[]" }
+    val loadavg = readLoadavg().mkString("[", ",", "]")
+    val loadStart = loadavgStart.mkString("[", ",", "]")
 
     val qs = times.map { case (k, v) => s"${jstr(k)}:$v" }.mkString("{", ",", "}")
     val sh = shuffles.map { case (k, v) => s"${jstr(k)}:$v" }.mkString("{", ",", "}")
@@ -137,7 +152,7 @@ object Bench {
     val total = times.map(_._2).sum
     val reruns = rerun.map(jstr).mkString("[", ",", "]")
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"shuffle_bytes":$sh,"errors":$errs,"loadavg":$loadavg,"cpus":$cpus,"contention_reruns":$reruns,"sf":${jstr(sfDir)}}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"shuffle_bytes":$sh,"errors":$errs,"loadavg":$loadavg,"loadavg_start":$loadStart,"canonical":$canonical,"cpus":$cpus,"contention_reruns":$reruns,"sf":${jstr(sfDir)}}"""
     println(line)
     // Persist the FULL line to a stable file as well: the driver's capture
     // truncates stdout tails, which once left per-query numbers without

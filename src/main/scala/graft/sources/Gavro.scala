@@ -2266,6 +2266,79 @@ object Gavro {
     dead.map(_.getName).sorted.toSeq
   }
 
+  /** The `.absorbed` retention policy [[RewriteHistory]]'s scaladoc
+    * documents, implemented: delete rewrite manifests no consumer can
+    * still need, bounded by a CALLER-supplied floor — the minimum
+    * committed `thru` across the table's consumers (the table has no
+    * registry of its consumers, so the floor is configured by the
+    * deployment exactly like Delta's log retention duration; pass the
+    * smallest `thru` any live checkpoint carries, or a checkpoint name
+    * old enough that every consumer is provably past it). Manifests
+    * whose checkpoint is ≤ the floor have had ALL their merged outputs
+    * consumed by every consumer, so no watermark should still need their
+    * translation.
+    *
+    * Two protections keep the deletion from widening the at-least-once
+    * corner:
+    *
+    *   - '''chain pinning''': a manifest ≤ the floor is KEPT while any
+    *     kept manifest lists one of its merged outputs as a constituent —
+    *     deleting the lower link of a chained merge would make
+    *     [[RewriteHistory.leaves]] stop at the intermediate name and turn
+    *     an exact mid-chain translation into a re-delivery;
+    *   - '''in-flight exclusion''': a manifest whose `.retire` sidecar is
+    *     still present belongs to [[healLog]]'s crash recovery, not to
+    *     history, and is never touched.
+    *
+    * After retention, a stream whose watermark is a listed name (every
+    * live, reasonably-current consumer) continues untouched; a stream
+    * restarted from a checkpoint whose watermark needed a deleted
+    * manifest hits [[GavroMicroBatchStream.deliverables]]'s loud
+    * truncated-archive error — never a silent skip. Operational rule
+    * (same family as OPTIMIZE's): run retention when consumers are
+    * near-current, because a consumer whose offset still names a
+    * VANISHED file normalizes it to a listed name on its next trigger.
+    * Runs under the maintenance lock — it mutates the commit log and
+    * must not race an optimize writing new manifests. Returns the
+    * deleted manifest file names. */
+  def vacuumManifests(path: String, thruFloor: String): Seq[String] = {
+    val commits = new java.io.File(path, CommitsDir)
+    require(commits.isDirectory,
+      s"gavro: vacuumManifests requires a $CommitsDir log at $path")
+    require(thruFloor.nonEmpty,
+      "gavro: vacuumManifests needs an explicit consumer floor — the " +
+        "minimum committed `thru` across the table's consumers")
+    withMaintenanceLock(path) {
+      val manifests = logEntries(commits, ".absorbed").toSeq.map { f =>
+        val cp = f.getName.stripSuffix(".absorbed")
+        val rows = store.read(f).map { line =>
+          val parts = line.split('\t')
+          (parts(0), parts(1)) // (merged output, constituent)
+        }
+        (cp, f, rows)
+      }
+      val inFlight = manifests.map(_._1).filter(cp =>
+        store.exists(new java.io.File(commits, s"$cp.retire"))).toSet
+      var kept = manifests.filter(m => m._1 > thruFloor || inFlight(m._1))
+      var deletable = manifests.filterNot(m =>
+        m._1 > thruFloor || inFlight(m._1))
+      var changed = true
+      while (changed) {
+        changed = false
+        val keptConstituents = kept.flatMap(_._3.map(_._2)).toSet
+        val (pinned, rest) = deletable.partition(
+          m => m._3.exists(r => keptConstituents(r._1)))
+        if (pinned.nonEmpty) { kept ++= pinned; deletable = rest; changed = true }
+      }
+      deletable.foreach { case (_, f, _) =>
+        if (!store.delete(f) && store.exists(f))
+          throw new java.io.IOException(
+            s"gavro: cannot delete retired manifest $f")
+      }
+      deletable.map(_._2.getName).sorted
+    }
+  }
+
   /** Next shared commit sequence number: one zero-padded counter across
     * batch AND streaming records so lexicographic name order is commit
     * order (checkpoint names participate too — a checkpoint summarizes

@@ -450,6 +450,75 @@ class GavroStreamSpec extends SparkSpec {
     spark.streams.resetTerminated()
   }
 
+  test("vacuumManifests: chain pinning, floor honoring, covered continue, uncovered loud error") {
+    import scala.jdk.CollectionConverters._
+    val dir = java.nio.file.Files.createTempDirectory("gavro-ret").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("gavro-ret-ck").toString
+    val commits = new java.io.File(dir, "_graft_commits")
+    def manifests(): Seq[String] = Option(commits.listFiles())
+      .getOrElse(Array.empty).map(_.getName)
+      .filter(_.endsWith(".absorbed")).sorted.toSeq
+    (0 until 4).foreach(i =>
+      writeFile(dir, f"part-$i%05d.gavro", Seq(i.toLong), footer = true))
+    graft.sources.Gavro.commitBatch(dir,
+      (0 until 4).map(i => f"part-$i%05d.gavro"))
+    val seen = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    def start() = spark.readStream.format("gavro")
+      .option("schema", "system_metrics").load(dir)
+      .writeStream.option("checkpointLocation", ckpt)
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        df.select(col("id")).collect().foreach(r => seen.add(r.getLong(0))); ()
+      }
+      .start()
+    def drain(): Unit = { val q = start(); q.processAllAvailable(); q.stop() }
+    drain()
+    assert(seen.asScala.toSeq.sorted == (0L to 3L))
+    // first optimize: manifest A absorbs the four originals
+    assert(graft.sources.Gavro.optimize(dir).nonEmpty)
+    drain() // offset normalizes onto the merged (listed) name
+    // two more files land and a second optimize CHAINS: merged1 + the new
+    // files are absorbed by manifest B
+    (4 until 6).foreach(i =>
+      writeFile(dir, f"part-1$i%04d.gavro", Seq(i.toLong), footer = true))
+    graft.sources.Gavro.commitBatch(dir,
+      (4 until 6).map(i => f"part-1$i%04d.gavro"))
+    drain()
+    assert(graft.sources.Gavro.optimize(dir).nonEmpty)
+    drain()
+    assert(seen.asScala.toSeq.sorted == (0L to 5L), seen.toString)
+    val Seq(ma, mb) = manifests()
+    val cpA = ma.stripSuffix(".absorbed")
+    val cpB = mb.stripSuffix(".absorbed")
+    // floor at A: A is deletable by the floor but PINNED — B lists A's
+    // merged output as a constituent; deleting A would break B's leaf
+    // expansion. Nothing is deleted.
+    assert(graft.sources.Gavro.vacuumManifests(dir, cpA) == Seq.empty)
+    assert(manifests() == Seq(ma, mb))
+    // floor at B: the whole chain is below the floor — both go.
+    assert(graft.sources.Gavro.vacuumManifests(dir, cpB).sorted ==
+      Seq(ma, mb).sorted)
+    assert(manifests().isEmpty)
+    // covered watermark (a listed name) continues exactly-once with zero
+    // history, and the tail still flows
+    val before = seen.size
+    drain()
+    assert(seen.size == before, s"retention re-delivered: ${seen.size - before}")
+    writeFile(dir, "part-19999.gavro", Seq(9L), footer = true)
+    graft.sources.Gavro.commitBatch(dir, Seq("part-19999.gavro"))
+    drain()
+    assert(seen.asScala.toSeq.sorted == (0L to 5L) :+ 9L, seen.toString)
+    // a checkpoint whose watermark NEEDED a deleted manifest errs loudly
+    val stream = new graft.sources.GavroMicroBatchStream(
+      dir, "system_metrics", Array("id"), Array.empty)
+    val newest = graft.sources.Gavro.listDataFiles(dir).last.getName
+    val err = intercept[IllegalStateException] {
+      stream.planInputPartitions(
+        graft.sources.GavroStreamOffset("part-00001.gavro"),
+        graft.sources.GavroStreamOffset(newest))
+    }
+    assert(err.getMessage.contains("truncated or rewritten"), err.getMessage)
+  }
+
   test("maxBytesPerTrigger admits at least one file and bounds each batch") {
     import scala.jdk.CollectionConverters._
     val dir = java.nio.file.Files.createTempDirectory("gavro-bpb").toString
