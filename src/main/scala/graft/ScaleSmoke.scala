@@ -30,7 +30,48 @@ object ScaleSmoke {
     if (section == "round10") round10Section(spark, replicas)
     if (section == "optimize") optimizeSection(spark, replicas)
     if (section == "round11") round11Section(spark, replicas)
+    if (section == "round12") round12Section(spark, replicas)
     spark.stop()
+  }
+
+  /** Round-12 addition: incremental append to the MATERIALIZED index at
+    * replica volume. Build once over the corpus, search (baseline), fold
+    * in a 2%-of-corpus batch with frozen codebooks via
+    * [[graft.ops.IvfPqIndex.appendToIndex]], search again. The claims
+    * under test: append cost tracks |delta| (not corpus), and per-search
+    * cost is unchanged by the append (the delta's files join the same
+    * cell-pruned scan). */
+  private def round12Section(spark: SparkSession, replicas: Int): Unit = {
+    val embBase = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.1")
+    val embCorpus = embBase.crossJoin(spark.range(replicas).toDF("rep"))
+      .select((col("vec_id") * replicas + col("rep")).as("vec_id"),
+        expr("transform(embedding, (x, i) -> x + cast(rep as float) / 1000)").as("embedding"),
+        col("label"))
+      .localCheckpoint(true)
+    val n = embCorpus.count()
+    println(s"embeddings: $n vectors (${replicas}x sf0.1)")
+    def timed(name: String)(body: => Unit): Unit = {
+      val t0 = System.nanoTime()
+      body
+      println(f"$name%-28s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+    }
+    val idxDir = java.nio.file.Files.createTempDirectory("smoke-ivfpq-app").toString
+    timed("ivfpq_build_index") {
+      graft.ops.IvfPqIndex.buildAndWrite(embCorpus, idxDir) }
+    def search(tag: String): Unit = timed(tag) {
+      assert(graft.ops.IvfPqIndex.searchIndex(spark, idxDir, embCorpus)
+        .count() == graft.ops.IvfPqIndex.SearchQueries * 5L) }
+    search("search_before_append")
+    // tonight's crawl: a perturbed twin of every 50th corpus vector, ids
+    // shifted above the live domain (2% of corpus — the daily-batch shape)
+    val delta = embCorpus.filter(pmod(col("vec_id"), lit(50)) === 0)
+      .select((col("vec_id") + n).as("vec_id"),
+        expr("transform(cast(embedding as array<double>), (x, i) -> x + ((i % 7) - 3) / 1000d)")
+          .as("v"))
+    println(s"delta: ${delta.count()} vectors")
+    timed("ivfpq_append_frozen") {
+      graft.ops.IvfPqIndex.appendToIndex(spark, idxDir, delta) }
+    search("search_after_append")
   }
 
   /** Round-11 additions. (a) The materialized IVF-PQ index's operating

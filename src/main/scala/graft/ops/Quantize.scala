@@ -273,6 +273,29 @@ object Quantize {
   /** Delta ids live above this mark — "tonight's crawl batch". */
   val DeltaBase = 200000L
 
+  /** The planted "tonight's crawl" delta the incremental family shares:
+    * a perturbed twin of every 50th base vector, ids shifted above
+    * [[DeltaBase]] (the re-crawled/updated document case). Deterministic,
+    * so the in-query incremental search and the persisted-index append
+    * query ([[IvfPqIndex]]) fold in the SAME batch and can share one
+    * oracle unroll. Returns (vec_id, v). */
+  private[ops] def plantedDelta(embeddings: DataFrame): DataFrame =
+    embeddings.filter(pmod(col("vec_id"), lit(50)) === 0)
+      .select((col("vec_id") + DeltaBase).as("vec_id"),
+        expr("transform(cast(embedding as array<double>), (x, i) -> x + ((i % 7) - 3) / 1000d)")
+          .as("v"))
+
+  /** Fail fast instead of silently colliding: a base id at-or-above the
+    * delta mark would (a) be excluded from training by trainPred and
+    * (b) collide with a planted delta id, feeding duplicate vec_ids
+    * into the groupBy/first aggregation nondeterministically. */
+  private[ops] def requireBelowDeltaBase(embeddings: DataFrame): Unit = {
+    val maxRow = embeddings.agg(max(col("vec_id"))).head
+    require(maxRow.isNullAt(0) || maxRow.getLong(0) < DeltaBase,
+      s"incremental IVF-PQ: corpus vec_ids reach ${maxRow.get(0)} — " +
+        s"raise DeltaBase (currently $DeltaBase) above the id domain")
+  }
+
   /** INCREMENTAL index maintenance — the property that makes IVF-PQ
     * operable at 100 TB: the quantizers are trained ONCE on the base
     * corpus and FROZEN; a newly-arrived batch is folded in by pure
@@ -286,23 +309,18 @@ object Quantize {
     * into training — the exact invariant an incremental pipeline must
     * hold to avoid daily recall drift. */
   def annIvfPqIncrementalTopK(embeddings: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    // Fail fast instead of silently colliding: a base id at-or-above the
-    // delta mark would (a) be excluded from training by trainPred and
-    // (b) collide with a planted delta id, feeding duplicate vec_ids
-    // into the groupBy/first aggregation nondeterministically.
-    val maxRow = embeddings.agg(max(col("vec_id"))).head
-    require(maxRow.isNullAt(0) || maxRow.getLong(0) < DeltaBase,
-      s"annIvfPqIncrementalTopK: corpus vec_ids reach ${maxRow.get(0)} — " +
-        s"raise DeltaBase (currently $DeltaBase) above the id domain")
+    requireBelowDeltaBase(embeddings)
     val base = embeddings.select(col("vec_id"),
       expr("cast(embedding as array<double>)").as("v"))
-    val delta = embeddings.filter(pmod(col("vec_id"), lit(50)) === 0)
-      .select((col("vec_id") + DeltaBase).as("vec_id"),
-        expr("transform(cast(embedding as array<double>), (x, i) -> x + ((i % 7) - 3) / 1000d)")
-          .as("v"))
-    val (scored, _) = ivfPqScored(base.unionByName(delta),
+    val (scored, _) = ivfPqScored(base.unionByName(plantedDelta(embeddings)),
       trainPred = col("vec_id") < DeltaBase)
+    rankAdcTopK(scored)
+  }
+
+  /** ADC scores → the incremental family's output shape: top [[TopK]]
+    * per query by (adist, vec_id), emitted as (q_id, rnk, vec_id). */
+  private[ops] def rankAdcTopK(scored: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     graft.plans.TopK.topKPerGroup(
         scored, Seq("q_id"), Seq("adist" -> true, "vec_id" -> true), TopK)
       .withColumn("rnk", row_number().over(
@@ -322,40 +340,62 @@ object Quantize {
       : (DataFrame, DataFrame, DataFrame, DataFrame) = {
     val emb = emb0.persist() // (vec_id, v)
     val qemb = emb.select(col("vec_id"), quantQv("v").as("qv"))
-    // 1. coarse quantizer + cell assignment (argmin via struct-min: a
-    //    map-side reduction, not an unpartitioned window)
+    // 1. coarse quantizer (the only training step that sees raw vectors)
     val coarse = Similarity.kmeansCentroids(emb.filter(trainPred), k = CoarseK)
-    val cells = qemb.join(broadcast(coarse), lit(true))
+    // 2. cell assignment + residuals
+    val resid = cellResiduals(qemb, coarse).persist()
+    // 3. PQ codebooks + codes over the residual space
+    val books = pqCodebooksQ(
+      resid.filter(trainPred).select(col("vec_id"), col("qv")))
+    (coarse, books, codesFromResiduals(resid, books), qemb)
+  }
+
+  /** Cell assignment + residuals against a (frozen or just-trained)
+    * coarse quantizer: argmin via struct-min — a map-side reduction, not
+    * an unpartitioned window — then the integral residual per vector.
+    * Returns (vec_id, cell, qv = residual). */
+  private def cellResiduals(qemb: DataFrame, coarse: DataFrame): DataFrame =
+    qemb.join(broadcast(coarse), lit(true))
       .select(col("vec_id"), col("qv"),
         struct(d2("qv", "cv").as("d"), col("c_id")).as("sc"))
       .groupBy(col("vec_id"))
       .agg(min(col("sc")).as("best"), first(col("qv")).as("qv"))
       .select(col("vec_id"), col("qv"), col("best.c_id").as("cell"))
-    // 2. residuals (integral: difference of integral arrays)
-    val resid = cells
       .join(broadcast(coarse.withColumnRenamed("c_id", "cell")), "cell")
       .select(col("vec_id"), col("cell"),
         expr("zip_with(qv, cv, (a, b) -> a - b)").as("qv"))
-      .persist()
-    // 3. PQ codebooks + codes over the residual space. The cell rides
-    //    the encode group key (functionally dependent on vec_id), so the
-    //    ADC stage needs no second corpus-wide join back to the cell map
-    //    — the plan audit showed that join as the only SortMergeJoin in
-    //    the pipeline.
-    val books = pqCodebooksQ(
-      resid.filter(trainPred).select(col("vec_id"), col("qv")))
+
+  /** PQ code assignment against (frozen or just-trained) codebooks. The
+    * cell rides the encode group key (functionally dependent on vec_id),
+    * so the ADC stage needs no second corpus-wide join back to the cell
+    * map — the plan audit showed that join as the only SortMergeJoin in
+    * the pipeline. Returns (vec_id, cell, sub_idx, code). */
+  private def codesFromResiduals(resid: DataFrame,
+      books: DataFrame): DataFrame = {
     val rsub = resid.select(col("vec_id"), col("cell"), posexplode(expr(
         s"transform(sequence(0, ${M - 1}), m -> slice(qv, m * $SubDim + 1, $SubDim))")))
       .toDF("vec_id", "cell", "sub_idx", "sv")
-    val codes = rsub.join(broadcast(books), "sub_idx")
+    rsub.join(broadcast(books), "sub_idx")
       .select(col("vec_id"), col("cell"), col("sub_idx"),
         struct(d2("sv", "cv").as("d"), col("c_id")).as("sc"))
       .groupBy(col("vec_id"), col("cell"), col("sub_idx"))
       .agg(min(col("sc")).as("best"))
       .select(col("vec_id"), col("cell"), col("sub_idx"),
         col("best.c_id").as("code"))
-    (coarse, books, codes, qemb)
   }
+
+  /** ENCODE-ONLY fold-in against FROZEN quantizers: cell assignment +
+    * residual PQ codes for `emb` = (vec_id, v), with `coarse`/`books`
+    * taken as given — no training anywhere. One broadcast pass over the
+    * new rows; cost is O(|delta|), independent of the base corpus. This
+    * is the per-row half [[ivfPqTrainEncode]] runs after training, shared
+    * so the persisted-index append path ([[IvfPqIndex]]) provably encodes
+    * exactly as the build did. Returns (vec_id, cell, sub_idx, code). */
+  private[ops] def ivfPqEncodeFrozen(emb: DataFrame, coarse: DataFrame,
+      books: DataFrame): DataFrame =
+    codesFromResiduals(
+      cellResiduals(emb.select(col("vec_id"), quantQv("v").as("qv")), coarse),
+      books)
 
   /** The SEARCH half: probe selection, per-probed-cell query residual
     * LUTs, and cell-pruned ADC over `codes` — exactly steps 4-5 of the
@@ -638,14 +678,19 @@ object Quantize {
   /** Incremental oracle: the combined (base ∪ planted-delta) corpus with
     * both quantizer trainings restricted to base ids — the CTE unroll of
     * "frozen codebooks, delta encoded in". */
-  private def ivfPqIncrementalSql: String = {
-    val src =
-      s"""SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
-         |  UNION ALL
-         |  SELECT vec_id + $DeltaBase,
-         |    list_transform(range(1, ${Dim + 1}),
-         |      i -> (embedding::DOUBLE[])[i] + (((i - 1) % 7) - 3) / 1000.0)
-         |  FROM embeddings WHERE vec_id % 50 = 0""".stripMargin
+  /** The combined (base ∪ planted-delta) corpus as oracle source SQL —
+    * the unroll of [[plantedDelta]], shared with the persisted-index
+    * append oracles ([[IvfPqIndex]]). */
+  private[ops] def ivfPqIncrementalSrcSql: String =
+    s"""SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+       |  UNION ALL
+       |  SELECT vec_id + $DeltaBase,
+       |    list_transform(range(1, ${Dim + 1}),
+       |      i -> (embedding::DOUBLE[])[i] + (((i - 1) % 7) - 3) / 1000.0)
+       |  FROM embeddings WHERE vec_id % 50 = 0""".stripMargin
+
+  private[ops] def ivfPqIncrementalSql: String = {
+    val src = ivfPqIncrementalSrcSql
     s"""${ivfPqCoreSql(src, s"vec_id < $DeltaBase")},
        |ranked AS (
        |  SELECT q_id, vec_id, (row_number() OVER (PARTITION BY q_id

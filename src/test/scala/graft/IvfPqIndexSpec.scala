@@ -107,6 +107,35 @@ class IvfPqIndexSpec extends SparkSpec {
     assert(planned.nonEmpty)
   }
 
+  test("appended index: two commits, frozen-codebook delta, idempotent ensure") {
+    val dir = IvfPqIndex.ensureAppended(spark, sfDir)
+    def commitNames() = new java.io.File(s"$dir/codes", Gavro.CommitsDir)
+      .listFiles().map(_.getName).filter(_.endsWith(".commit")).sorted.toSeq
+    // exactly two commits: base build, then the delta append
+    assert(commitNames().length == 2, commitNames().toString)
+    // ensure is idempotent: same live build, no third commit
+    assert(IvfPqIndex.ensureAppended(spark, sfDir) == dir)
+    assert(commitNames().length == 2)
+    // the change feed is exactly the delta: every row a delta id, count =
+    // |delta| * M, and base rows never re-read
+    val feed = IvfPqIndex.deltaFeedSummary(spark, sfDir).collect()
+    assert(feed.nonEmpty)
+    assert(feed.forall(_.getAs[Long]("min_vec") >= Quantize.DeltaBase))
+    val deltaCount = emb.filter(pmod(col("vec_id"), lit(50)) === 0).count()
+    assert(feed.map(_.getAs[Long]("n")).sum == deltaCount * Quantize.M)
+  }
+
+  test("append-to-persisted-index search equals the in-query incremental rebuild") {
+    val appended = IvfPqIndex.searchAppended(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("rnk"), r.getAs[Long]("vec_id")))
+    val rebuilt = Quantize.annIvfPqIncrementalTopK(emb).collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("rnk"), r.getAs[Long]("vec_id")))
+    assert(appended.nonEmpty)
+    assert(appended.sorted.sameElements(rebuilt.sorted))
+    // the fresh twins actually surface: some delta id in the top-k
+    assert(appended.exists(_._3 >= Quantize.DeltaBase))
+  }
+
   test("registered build summary is layout-independent and deterministic") {
     val s1 = IvfPqIndex.buildIndexSummary(spark, sfDir).collect()
       .map(r => (r.getAs[Int]("cell"), r.getAs[Int]("sub_idx"),
