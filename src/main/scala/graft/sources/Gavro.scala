@@ -363,32 +363,30 @@ class GavroBatchWrite(path: String, schemaName: String, overwrite: Boolean,
       messages: Array[org.apache.spark.sql.connector.write.WriterCommitMessage]): Unit = {
     val d = new java.io.File(path)
     if (overwrite) {
-      Option(d.listFiles()).getOrElse(Array.empty)
-        .filter(_.getName.endsWith(".gavro")).foreach(_.delete())
+      Gavro.dataStore.list(d)
+        .filter(_.getName.endsWith(".gavro"))
+        .foreach(Gavro.dataStore.delete)
       // a truncate invalidates every prior commit record too
-      Option(new java.io.File(d, Gavro.CommitsDir).listFiles())
-        .getOrElse(Array.empty).foreach(_.delete())
+      Gavro.store.list(new java.io.File(d, Gavro.CommitsDir))
+        .foreach(Gavro.store.delete)
     }
-    def nextPartIdx(): Int = Option(d.listFiles()).getOrElse(Array.empty)
+    def nextPartIdx(): Int = Gavro.dataStore.list(d)
       .map(_.getName).filter(n => n.startsWith("part-") && n.endsWith(".gavro"))
       .flatMap(n => n.stripPrefix("part-").stripSuffix(".gavro").toIntOption)
       .foldLeft(-1)(math.max) + 1
-    // Data files publish put-if-absent too (hard link from the finished
-    // temp, retry on the next index): two concurrent batch writers that
-    // both computed part-00005 must not clobber each other's bytes — the
-    // commit record only protects visibility, not the file contents.
+    // Data files publish put-if-absent too (the coordination seam's
+    // staged-blob publish, retry on the next index): two concurrent batch
+    // writers that both computed part-00005 must not clobber each other's
+    // bytes — the commit record only protects visibility, not the file
+    // contents.
     val published = messages.collect { case GavroTempFile(tmp) => tmp }
       .sorted.map { tmp =>
         var landed: Option[String] = None
         while (landed.isEmpty) {
           val dst = new java.io.File(d, f"part-${nextPartIdx()}%05d.gavro")
-          try {
-            java.nio.file.Files.createLink(dst.toPath,
-              java.nio.file.Paths.get(tmp))
-            new java.io.File(tmp).delete()
+          if (Gavro.store.publishIfAbsent(new java.io.File(tmp), dst)) {
+            Gavro.dataStore.delete(new java.io.File(tmp))
             landed = Some(dst.getName)
-          } catch {
-            case _: java.nio.file.FileAlreadyExistsException => ()
           }
         }
         landed.get
@@ -401,7 +399,8 @@ class GavroBatchWrite(path: String, schemaName: String, overwrite: Boolean,
 
   override def abort(
       messages: Array[org.apache.spark.sql.connector.write.WriterCommitMessage]): Unit =
-    messages.collect { case GavroTempFile(tmp) => new java.io.File(tmp).delete() }
+    messages.collect { case GavroTempFile(tmp) =>
+      Gavro.dataStore.delete(new java.io.File(tmp)) }
 }
 
 case class GavroWriterFactory(path: String, schemaName: String,
@@ -431,10 +430,13 @@ class GavroDataWriter(path: String, schemaName: String, partitionId: Int,
       }).map(i -> _)
     }.toArray
   private val dir = { val d = new java.io.File(path); d.mkdirs(); d }
-  private val tmp = java.io.File.createTempFile(
-    f".write-$partitionId%05d-$taskId", ".gavro.tmp", dir)
-  private val out = new java.io.BufferedOutputStream(
-    new java.io.FileOutputStream(tmp))
+  // Staged under a dot-name (hidden from data listings) with a unique
+  // suffix; written through the data-plane seam, published by the
+  // driver's commit via the coordination seam's put-if-absent.
+  private val tmp = new java.io.File(dir,
+    f".write-$partitionId%05d-$taskId-" +
+      java.util.UUID.randomUUID().toString.take(8) + ".gavro.tmp")
+  private val out = Gavro.dataStore.create(tmp)
   private val blocks = scala.collection.mutable.ArrayBuffer(0L)
   private val blockStats =
     scala.collection.mutable.ArrayBuffer.empty[Seq[(String, GavroColStat)]]
@@ -489,7 +491,7 @@ class GavroDataWriter(path: String, schemaName: String, partitionId: Int,
     commitMessage(tmp.getAbsolutePath)
   }
 
-  override def abort(): Unit = { out.close(); tmp.delete() }
+  override def abort(): Unit = { out.close(); Gavro.dataStore.delete(tmp); () }
   override def close(): Unit = ()
 }
 
@@ -663,9 +665,34 @@ class GavroMicroBatchStream(path: String, schemaName: String,
     maxFilesPerTrigger: Option[Int] = None,
     maxBytesPerTrigger: Option[Long] = None)
     extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
-    with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl {
+    with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl
+    with org.apache.spark.sql.connector.read.streaming.ReportsSourceMetrics {
   import org.apache.spark.sql.connector.read.streaming.{CompositeReadLimit,
     Offset, ReadAllAvailable, ReadLimit, ReadMaxBytes, ReadMaxFiles}
+
+  private val log = org.slf4j.LoggerFactory.getLogger(classOf[GavroMicroBatchStream])
+
+  // Stream-level observability (surfaced into
+  // StreamingQueryProgress.sources[i].metrics via ReportsSourceMetrics):
+  // the two documented places where a trigger can silently do more than
+  // its contract suggests — forced admissions that bypass
+  // maxFiles/maxBytesPerTrigger after an OPTIMIZE, and the one
+  // at-least-once translation corner re-delivering merged content. Both
+  // also log WARN at the moment they happen, so operators can attribute
+  // a long trigger or a duplicate burst instead of discovering it in
+  // sink data.
+  private val forcedAdmissionTriggers = new java.util.concurrent.atomic.AtomicLong
+  private val forcedAdmissionFiles = new java.util.concurrent.atomic.AtomicLong
+  private val ambiguousRedeliveredFiles = new java.util.concurrent.atomic.AtomicLong
+
+  override def metrics(latestConsumedOffset: java.util.Optional[Offset])
+      : java.util.Map[String, String] = {
+    val m = new java.util.HashMap[String, String]()
+    m.put("forcedAdmissionTriggers", forcedAdmissionTriggers.get().toString)
+    m.put("forcedAdmissionFiles", forcedAdmissionFiles.get().toString)
+    m.put("ambiguousRedeliveredFiles", ambiguousRedeliveredFiles.get().toString)
+    m
+  }
 
   private def listing(): Array[java.io.File] = Gavro.listDataFiles(path)
 
@@ -675,9 +702,8 @@ class GavroMicroBatchStream(path: String, schemaName: String,
   @volatile private var histCache: (String, Gavro.RewriteHistory) = null
   private def history(): Gavro.RewriteHistory = {
     val commits = new java.io.File(path, Gavro.CommitsDir)
-    val fp = Option(commits.listFiles()).getOrElse(Array.empty)
-      .filter(_.getName.endsWith(".absorbed")).sortBy(_.getName)
-      .map(f => s"${f.getName}:${f.length()}").mkString("|")
+    val fp = Gavro.store.list(commits).map(_.getName)
+      .filter(_.endsWith(".absorbed")).sorted.mkString("|")
     val c = histCache
     if (c != null && c._1 == fp) c._2
     else { val h = Gavro.rewriteHistory(path); histCache = (fp, h); h }
@@ -806,10 +832,11 @@ class GavroMicroBatchStream(path: String, schemaName: String,
       case f: ReadMaxFiles => math.min(del.length, f.maxFiles)
       case b: ReadMaxBytes =>
         var n = 0; var bytes = 0L
+        def sz(i: Int): Long =
+          math.max(0L, Gavro.dataStore.length(del(i)._1) - del(i)._2)
         while (n < del.length &&
-            (n == 0 || bytes + math.max(0L, del(n)._1.length() - del(n)._2) <=
-              b.maxBytes())) {
-          bytes += math.max(0L, del(n)._1.length() - del(n)._2); n += 1
+            (n == 0 || bytes + sz(n) <= b.maxBytes())) {
+          bytes += sz(n); n += 1
         }
         n
       case c: CompositeReadLimit =>
@@ -817,6 +844,7 @@ class GavroMicroBatchStream(path: String, schemaName: String,
       case _ => del.length // rows-based limits don't apply at file grain
     }
     var n = admit(limit)
+    val nAdmit = n
     val deliverableNames = del.map(_._1.getName).toSet
     // A mid-file resume (straddled merge) must complete within the
     // translation batch: once the end watermark is a plain listed name,
@@ -825,6 +853,7 @@ class GavroMicroBatchStream(path: String, schemaName: String,
     // at-least-one-file progress guarantee.
     val lastPartial = del.lastIndexWhere(_._2 > 0L)
     if (lastPartial >= n) n = lastPartial + 1
+    val nAfterPartial = n
     // Likewise, the end watermark cannot pass a SKIPPED (fully-consumed)
     // file until every deliverable below it is admitted — stopping short
     // would strand the skipped file above the watermark, and letting the
@@ -843,6 +872,41 @@ class GavroMicroBatchStream(path: String, schemaName: String,
     consumedMax.foreach { m =>
       val k = del.lastIndexWhere(_._1.getName < m) + 1
       if (k > n) n = k
+    }
+    if (n > nAdmit) {
+      // Both forced admissions bypass the configured trigger limit by
+      // design (the admission contract cannot hold across a compaction
+      // boundary); make the one long micro-batch attributable.
+      forcedAdmissionTriggers.incrementAndGet()
+      forcedAdmissionFiles.addAndGet(n - nAdmit)
+      val reasons = Seq(
+        if (nAfterPartial > nAdmit) Some("mid-merged-file resume completion")
+        else None,
+        if (n > nAfterPartial) Some("consumed-watermark catch-up after OPTIMIZE")
+        else None).flatten
+    log.warn(s"gavro stream at $path: forced admission of ${n - nAdmit} " +
+        s"file(s) beyond the configured trigger limit " +
+        s"(${reasons.mkString(" + ")}) — expect one long micro-batch " +
+        "attributable to compaction")
+    }
+    // The one documented at-least-once corner: an admitted merged output
+    // whose constituents ALL sort at-or-below the consumed name watermark
+    // is content the consumer has (very likely) already seen, delivered
+    // again because the surviving-watermark translation cannot prove it.
+    if (s.last.nonEmpty) {
+      val ambiguous = del.take(n).count { case (f, o) =>
+        o == 0L && h.children.contains(f.getName) &&
+          h.leaves(f.getName).forall(_._1 <= s.last)
+      }
+      if (ambiguous > 0) {
+        ambiguousRedeliveredFiles.addAndGet(ambiguous)
+        log.warn(s"gavro stream at $path: re-delivering $ambiguous merged " +
+          s"file(s) whose constituents sort at-or-below the consumed " +
+          s"watermark ${s.last} — OPTIMIZE translation ambiguity; " +
+          "non-idempotent sinks may see duplicates once (thru will cover " +
+          "them after this batch); avoid by passing protectPrefix to " +
+          "optimize()")
+      }
     }
     val admitted = del.take(n).map(_._1.getName).toSet
     // Advance `thru` over every optimize swap whose merged outputs are
@@ -1083,34 +1147,32 @@ object GavroFooter {
   /** Parse a file's footer; footer-less (legacy / torn-write) files get
     * one whole-file block and no stats. */
   def read(file: java.io.File): GavroFileMeta = {
-    val len = file.length()
+    val len = Gavro.dataStore.length(file)
     val noFooter = GavroFileMeta(Array(0L), len, Map.empty)
-    if (len < Magic.length + 4) return noFooter
-    val raf = new java.io.RandomAccessFile(file, "r")
-    try {
-      val tail = new Array[Byte](12)
-      raf.seek(len - 12); raf.readFully(tail)
-      if (!java.util.Arrays.equals(
-        java.util.Arrays.copyOfRange(tail, 4, 12), Magic)) return noFooter
+    if (len < Magic.length + 4) noFooter
+    else {
+      val tail = Gavro.dataStore.readRange(file, len - 12, 12)
       val footerLen = java.nio.ByteBuffer.wrap(tail, 0, 4).getInt
-      if (footerLen < 12 || footerLen > len) return noFooter
-      val start = len - footerLen
-      raf.seek(start)
-      val body = new Array[Byte](footerLen - 12)
-      raf.readFully(body)
-      val in = new java.io.DataInputStream(new java.io.ByteArrayInputStream(body))
-      val blocks = Array.fill(in.readInt())(in.readLong())
-      val stats = readStats(in)
-      val blockStats =
-        if (in.available() > 0 && in.readByte() == 1)
-          Array.fill(blocks.length)(readStats(in))
-        else Array.empty[Map[String, GavroColStat]]
-      // Codec byte rides after the block stats; files written before the
-      // codec existed simply end here and read as uncompressed.
-      val codec: Byte = if (in.available() > 0) in.readByte() else 0
-      GavroFileMeta(if (blocks.isEmpty) Array(0L) else blocks, start, stats,
-        blockStats, codec)
-    } finally raf.close()
+      if (!java.util.Arrays.equals(
+            java.util.Arrays.copyOfRange(tail, 4, 12), Magic) ||
+          footerLen < 12 || footerLen > len) noFooter
+      else {
+        val start = len - footerLen
+        val body = Gavro.dataStore.readRange(file, start, footerLen - 12)
+        val in = new java.io.DataInputStream(new java.io.ByteArrayInputStream(body))
+        val blocks = Array.fill(in.readInt())(in.readLong())
+        val stats = readStats(in)
+        val blockStats =
+          if (in.available() > 0 && in.readByte() == 1)
+            Array.fill(blocks.length)(readStats(in))
+          else Array.empty[Map[String, GavroColStat]]
+        // Codec byte rides after the block stats; files written before the
+        // codec existed simply end here and read as uncompressed.
+        val codec: Byte = if (in.available() > 0) in.readByte() else 0
+        GavroFileMeta(if (blocks.isEmpty) Array(0L) else blocks, start, stats,
+          blockStats, codec)
+      }
+    }
   }
 }
 
@@ -1362,12 +1424,10 @@ class GavroPartitionReader(part: GavroInputPartition, schemaName: String,
   // the record stream (per-block compression keeps the block the unit of
   // both splitting AND decompression, the parquet row-group design point).
   private val bytes: Array[Byte] = {
-    val raf = new java.io.RandomAccessFile(part.file, "r")
-    val raw = try {
-      val end = math.min(part.end, raf.length())
-      val b = new Array[Byte]((end - part.start).toInt)
-      raf.seek(part.start); raf.readFully(b); b
-    } finally raf.close()
+    val f = new java.io.File(part.file)
+    val end = math.min(part.end, Gavro.dataStore.length(f))
+    val raw = Gavro.dataStore.readRange(f, part.start,
+      (end - part.start).toInt)
     Gavro.decompress(part.codec, raw)
   }
   private var pos = 0
@@ -1495,7 +1555,32 @@ object Gavro {
     * contract — every maintenance path below routes through this, so an
     * object-store port is a new implementation passing the contract
     * spec, not a protocol rewrite. */
-  val store: GavroStore = LocalFsStore
+  def store: GavroStore = _store
+
+  /** The DATA plane — task-side part-file writes, footer parses,
+    * block-range scan reads, the optimize section copy — behind the
+    * companion [[GavroDataStore]] contract. Together the two seams cover
+    * the WHOLE format: a deployment swaps coordination (conditional-PUT
+    * client) and data (Hadoop FileSystem / ranged GETs) independently. */
+  def dataStore: GavroDataStore = _dataStore
+
+  // Resolved through defs (never captured in task closures), so the
+  // JVM-local current implementation is looked up at call time — in
+  // local mode a test's swap is visible task-side; on a cluster each
+  // executor resolves its own configured implementation.
+  @volatile private var _store: GavroStore = LocalFsStore
+  @volatile private var _dataStore: GavroDataStore = LocalFsDataStore
+
+  /** Swap BOTH storage planes for the duration of `body` (test seam —
+    * the InMemory round-trip proving the whole format is portable runs
+    * under this). Not thread-safe against concurrent swaps; test suites
+    * in this repo run sequentially in the forked JVM. */
+  private[graft] def withStores[A](coord: GavroStore,
+      data: GavroDataStore)(body: => A): A = {
+    val (s0, d0) = (_store, _dataStore)
+    _store = coord; _dataStore = data
+    try body finally { _store = s0; _dataStore = d0 }
+  }
 
   /** Auto-checkpoint cadence: after this many commit records accumulate
     * past the latest checkpoint, the committer folds them into one
@@ -1574,8 +1659,8 @@ object Gavro {
       asOfCommit: Option[String] = None,
       sinceCommit: Option[String] = None): Array[java.io.File] = {
     val d = new java.io.File(path)
-    val all = Option(d.listFiles()).getOrElse(Array.empty)
-      .filter(_.getName.endsWith(".gavro"))
+    val all = dataStore.list(d)
+      .filter(_.getName.endsWith(".gavro")).toArray
     val commits = new java.io.File(d, CommitsDir)
     val visible =
       if (!commits.isDirectory) {
@@ -1627,9 +1712,19 @@ object Gavro {
     // (tab-separated), and the stream's offset JSON — a quote, backslash,
     // tab, or newline would corrupt one of those encodings. Reject at the
     // visibility point (adopted legacy names included) rather than escape
-    // in three formats.
-    (adopted ++ files).foreach(f => require(f.matches("[A-Za-z0-9._-]+"),
+    // in three formats. A nonconforming ADOPTED name is an upgrade
+    // problem, not a writer bug, so it gets its own migration message:
+    // the pre-log archive worked under listing-truth and hard-fails only
+    // on its first commit — tell the operator what to rename rather than
+    // implying their new writer is broken.
+    files.foreach(f => require(f.matches("[A-Za-z0-9._-]+"),
       s"gavro: illegal data-file name '$f' (allowed: [A-Za-z0-9._-])"))
+    adopted.foreach(f => require(f.matches("[A-Za-z0-9._-]+"),
+      s"gavro: pre-existing data file '$f' cannot be adopted into the " +
+        "commit log — its name falls outside [A-Za-z0-9._-], which the " +
+        "log's record/manifest/offset encodings require. Rename the " +
+        "legacy file (content is untouched by renaming; it predates the " +
+        "log) before the first logged commit to this directory."))
     val dst = new java.io.File(dir, s"$name.commit")
     // Optimistic concurrency: a commit record lands PUT-IF-ABSENT, so two
     // writers that raced to the same sequence number cannot silently
@@ -1923,12 +2018,13 @@ object Gavro {
     * lock-gated checkpointing); two maintenance actors fighting over a
     * STALE lock is detected and the loser errors loudly. */
   def optimize(path: String,
-      targetBytes: Long = OptimizeTargetBytes): Seq[String] = {
+      targetBytes: Long = OptimizeTargetBytes,
+      protectPrefix: Option[String] = None): Seq[String] = {
     val d = new java.io.File(path)
     val commits = new java.io.File(d, CommitsDir)
     require(commits.isDirectory,
       s"gavro: optimize requires a $CommitsDir log at $path")
-    withMaintenanceLock(path)(optimizeLocked(path, targetBytes))
+    withMaintenanceLock(path)(optimizeLocked(path, targetBytes, protectPrefix))
   }
 
   /** A held lock younger than this is a LIVE maintenance run (the holder
@@ -1969,14 +2065,53 @@ object Gavro {
     finally store.delete(lock)
   }
 
-  private def optimizeLocked(path: String, targetBytes: Long): Seq[String] = {
+  private def optimizeLocked(path: String, targetBytes: Long,
+      protectPrefix: Option[String] = None): Seq[String] = {
     val d = new java.io.File(path)
     val commits = new java.io.File(d, CommitsDir)
     healLog(path) // resume any crashed prior swap before reading state
     val live = listDataFiles(path)
     val metas = live.map(f => f -> GavroFooter.read(f))
     val candidates = metas.filter { case (f, m) =>
-      m.dataEnd < f.length() && f.length() < targetBytes }
+      m.dataEnd < dataStore.length(f) && dataStore.length(f) < targetBytes }
+    // Pack first, merge after: bins are independent merge units, and the
+    // watermark-protection rule below needs the WHOLE pass's absorbed set
+    // before any byte is copied.
+    var bins = Vector.empty[(Byte, Vector[(java.io.File, GavroFileMeta)])]
+    candidates.groupBy(_._2.codec).toSeq.sortBy(_._1).foreach {
+      case (codec, group) =>
+        var bin = Vector.empty[(java.io.File, GavroFileMeta)]
+        var binBytes = 0L
+        def flush(): Unit = {
+          if (bin.length >= 2) bins :+= ((codec, bin))
+          bin = Vector.empty; binBytes = 0L
+        }
+        group.sortBy(_._1.getName).foreach { case (f, m) =>
+          if (bin.nonEmpty && binBytes + m.dataEnd > targetBytes) flush()
+          bin :+= ((f, m)); binBytes += m.dataEnd
+        }
+        flush()
+    }
+    // Watermark-aware packing (opt-in): `protectPrefix` names the
+    // minimum offset watermark across the table's live consumers. The
+    // one at-least-once corner of the stream's OPTIMIZE translation is a
+    // pass that absorbs consumed files while the watermark FILE itself
+    // survives the pass (the consumed prefix is split: its interior
+    // vanishes into merged outputs but its boundary name stays listed,
+    // and [[GavroMicroBatchStream.deliverables]] must re-deliver the
+    // merged outputs once to stay safe). So: if this pass does NOT
+    // absorb the watermark file itself, drop every bin that would
+    // absorb a file at-or-below it — either the watermark vanishes with
+    // its prefix (exact vanished-watermark translation) or the consumed
+    // prefix is left intact (nothing to translate). A cooperating
+    // deployment that passes its consumers' floor makes the corner
+    // unreachable by construction; callers that pass None keep today's
+    // behavior exactly.
+    protectPrefix.foreach { w =>
+      val wouldAbsorb = bins.exists(_._2.exists(_._1.getName == w))
+      if (!wouldAbsorb)
+        bins = bins.filter(_._2.forall(_._1.getName > w))
+    }
     val merged = scala.collection.mutable.ArrayBuffer.empty[String]
     // Per merged output: its constituents with their byte ranges inside it
     // — the durable `.absorbed` manifest a live stream translates its
@@ -1984,27 +2119,14 @@ object Gavro {
     val mergedRanges =
       scala.collection.mutable.ArrayBuffer.empty[(String, Seq[(String, Long, Long)])]
     val absorbed = scala.collection.mutable.ArrayBuffer.empty[java.io.File]
-    candidates.groupBy(_._2.codec).toSeq.sortBy(_._1).foreach {
-      case (codec, group) =>
-        var bin = Vector.empty[(java.io.File, GavroFileMeta)]
-        var binBytes = 0L
-        def flush(): Unit = {
-          if (bin.length >= 2) {
-            val (name, ranges) = mergeBin(d, bin, codec)
-            merged += name
-            mergedRanges += ((name, ranges))
-            absorbed ++= bin.map(_._1)
-          }
-          bin = Vector.empty; binBytes = 0L
-        }
-        group.sortBy(_._1.getName).foreach { case (f, m) =>
-          if (bin.nonEmpty && binBytes + m.dataEnd > targetBytes) flush()
-          bin :+= ((f, m)); binBytes += m.dataEnd
-          // keep-alive: a big backlog's byte copy can outlast the lock's
-          // staleness bound; touching per bin keeps the holder visibly live
-          store.touch(optimizeLock(path))
-        }
-        flush()
+    bins.foreach { case (codec, bin) =>
+      val (name, ranges) = mergeBin(d, bin, codec)
+      merged += name
+      mergedRanges += ((name, ranges))
+      absorbed ++= bin.map(_._1)
+      // keep-alive: a big backlog's byte copy can outlast the lock's
+      // staleness bound; touching per bin keeps the holder visibly live
+      store.touch(optimizeLock(path))
     }
     if (merged.isEmpty) return Seq.empty
     val gone = absorbed.map(_.getName).toSet
@@ -2113,14 +2235,15 @@ object Gavro {
   private def mergeBin(d: java.io.File,
       bin: Seq[(java.io.File, GavroFileMeta)], codec: Byte)
       : (String, Seq[(String, Long, Long)]) = {
-    val tmp = java.io.File.createTempFile(".optimize", ".gavro.tmp", d)
-    val out = new java.io.BufferedOutputStream(new java.io.FileOutputStream(tmp))
+    val tmp = new java.io.File(d, ".optimize-" +
+      java.util.UUID.randomUUID().toString.take(12) + ".gavro.tmp")
+    val out = dataStore.create(tmp)
     val blocks = scala.collection.mutable.ArrayBuffer.empty[Long]
     val ranges = scala.collection.mutable.ArrayBuffer.empty[(String, Long, Long)]
     var shift = 0L
     try {
       bin.foreach { case (f, m) =>
-        val in = new java.io.FileInputStream(f)
+        val in = dataStore.openAt(f, 0L)
         try {
           var remaining = m.dataEnd
           val buf = new Array[Byte](1 << 16)
@@ -2151,16 +2274,17 @@ object Gavro {
         else Seq.empty
       GavroFooter.write(out, blocks.toSeq, stats, blockStats, codec)
     } finally out.close()
-    // publish: put-if-absent on the next sequential part index
+    // publish: put-if-absent on the next sequential part index (staged
+    // bytes live on the data plane; the publish itself is coordination)
     var landed: Option[String] = None
     while (landed.isEmpty) {
-      val idx = store.list(d)
+      val idx = dataStore.list(d)
         .map(_.getName).filter(n => n.startsWith("part-") && n.endsWith(".gavro"))
         .flatMap(n => n.stripPrefix("part-").stripSuffix(".gavro").toIntOption)
         .foldLeft(-1)(math.max) + 1
       val dst = new java.io.File(d, f"part-$idx%05d.gavro")
       if (store.publishIfAbsent(tmp, dst)) {
-        store.delete(tmp)
+        dataStore.delete(tmp)
         landed = Some(dst.getName)
       }
     }
@@ -2409,9 +2533,9 @@ object Gavro {
       blockCodec: String = "none"): Unit = {
     val d = new java.io.File(dir)
     d.mkdirs()
-    d.listFiles().filter(_.getName.endsWith(".gavro")).foreach(_.delete())
-    Option(new java.io.File(d, CommitsDir).listFiles())
-      .getOrElse(Array.empty).foreach(_.delete())
+    dataStore.list(d).filter(_.getName.endsWith(".gavro"))
+      .foreach(dataStore.delete)
+    store.list(new java.io.File(d, CommitsDir)).foreach(store.delete)
     val codec = codecByte(blockCodec)
     // Resolve stat column types at the driver; the byte codes ship to tasks.
     val statTypes: Seq[(String, Byte)] = statCols.map { c =>
@@ -2429,7 +2553,7 @@ object Gavro {
       if (it.hasNext) {
         val pid = org.apache.spark.TaskContext.getPartitionId()
         val f = new java.io.File(dir, f"part-$pid%05d.gavro")
-        val out = new java.io.BufferedOutputStream(new java.io.FileOutputStream(f))
+        val out = Gavro.dataStore.create(f)
         val blocks = scala.collection.mutable.ArrayBuffer(0L)
         val blockStats =
           scala.collection.mutable.ArrayBuffer.empty[Seq[(String, GavroColStat)]]
@@ -2467,7 +2591,7 @@ object Gavro {
     }
     // Driver-side visibility point after every task finished: one commit
     // record naming the archive's files (same contract as the DSv2 sink).
-    val written = Option(d.listFiles()).getOrElse(Array.empty)
+    val written = dataStore.list(d)
       .map(_.getName).filter(_.endsWith(".gavro")).sorted
     commitBatch(dir, written.toSeq)
   }

@@ -49,11 +49,9 @@ package graft.sources
   * Scope: this seam covers the METADATA/COORDINATION plane (the
   * `_graft_commits` log, locks, sidecars, grace-window touches, vacuum
   * deletes, merged-output publish). Data-plane byte I/O — task-side
-  * `.gavro` writes and block-range scan reads — stays on direct file
-  * streams by design; at scale that half swaps for the Hadoop FileSystem
-  * API independently of this contract (see [[Gavro.write]]'s scaladoc).
-  * Keys are expressed as [[java.io.File]] paths; an object-store impl
-  * treats them as opaque keys.
+  * `.gavro` writes and block-range scan reads — rides the companion
+  * [[GavroDataStore]] seam. Keys are expressed as [[java.io.File]]
+  * paths; an object-store impl treats them as opaque keys.
   */
 trait GavroStore {
   /** Atomically publish `content` under `dst`; throw
@@ -90,6 +88,71 @@ trait GavroStore {
 
   /** The non-empty lines of a small published object. */
   def read(f: java.io.File): Seq[String]
+}
+
+/** The DATA-plane storage contract — the byte-stream half the
+  * coordination seam ([[GavroStore]]) deliberately leaves out: task-side
+  * `.gavro` part-file writes, footer parses, block-range scan reads, and
+  * the optimize merge's raw section copy. Scoped to exactly what those
+  * paths need (create / positioned open / length / delete / list), so a
+  * 100 TB port swaps in the Hadoop FileSystem API (or a raw object-store
+  * client) here without touching the commit protocol riding the other
+  * seam.
+  *
+  * The contract each implementation must honor (pinned by
+  * GavroDataStoreContract):
+  *
+  *   - '''create''' opens a NEW data object for writing; the stream's
+  *     `close()` is the durability point — after close, `length`,
+  *     `openAt`, and `list` observe the complete object. BEFORE close,
+  *     readers may observe a byte prefix (local FS) or nothing at all
+  *     (object-store multipart upload); gavro's footer contract absorbs
+  *     both (a footer-less or short file reads as one unsplittable
+  *     block, and commit-log visibility hides in-flight files from
+  *     readers anyway).
+  *   - '''openAt''' reads from `offset` to EOF; the bytes returned are
+  *     exactly the bytes `create` wrote (no torn mid-object reads after
+  *     close). Reading a missing object throws.
+  *   - '''length'''/'''list'''/'''delete''' as on the coordination seam:
+  *     current-state listing, idempotent-ish delete.
+  *
+  * Performance note: implementations are called from executor tasks —
+  * one `create` per writer task, one `openAt` per planned partition, a
+  * bounded number of `openAt`s per footer parse. No implementation may
+  * require driver-side coordination on these paths. */
+trait GavroDataStore {
+  /** Open a new data object; close() is the visibility/durability point. */
+  def create(f: java.io.File): java.io.OutputStream
+
+  /** Positioned read from `offset` to end-of-object; throws on a missing
+    * object. */
+  def openAt(f: java.io.File, offset: Long): java.io.InputStream
+
+  /** Object size in bytes (0 when absent — callers that must distinguish
+    * check [[list]] or attempt [[openAt]]). */
+  def length(f: java.io.File): Long
+
+  /** Delete `f`; false when it did not exist or could not be removed. */
+  def delete(f: java.io.File): Boolean
+
+  /** Current children of `dir`/prefix (empty when absent). */
+  def list(dir: java.io.File): Seq[java.io.File]
+
+  /** Exactly `len` bytes starting at `start` — the footer-parse
+    * convenience; loud on truncation. */
+  final def readRange(f: java.io.File, start: Long, len: Int): Array[Byte] = {
+    val in = openAt(f, start)
+    try {
+      val b = new Array[Byte](len)
+      var off = 0
+      while (off < len) {
+        val n = in.read(b, off, len - off)
+        require(n > 0, s"gavro: truncated read of $f at byte ${start + off}")
+        off += n
+      }
+      b
+    } finally in.close()
+  }
 }
 
 /** The bare-filesystem realization (this sandbox, NFS-free local disks):
@@ -140,4 +203,26 @@ object LocalFsStore extends GavroStore {
   override def read(f: java.io.File): Seq[String] =
     java.nio.file.Files.readAllLines(f.toPath)
       .toArray(Array.empty[String]).toSeq.filter(_.nonEmpty)
+}
+
+/** Data plane on the bare filesystem: buffered streams and positioned
+  * channel reads — the exact I/O gavro ran before the seam existed, now
+  * named. */
+object LocalFsDataStore extends GavroDataStore {
+  override def create(f: java.io.File): java.io.OutputStream =
+    new java.io.BufferedOutputStream(new java.io.FileOutputStream(f))
+
+  override def openAt(f: java.io.File,
+      offset: Long): java.io.InputStream = {
+    val in = new java.io.FileInputStream(f)
+    try { if (offset > 0) in.getChannel.position(offset); in }
+    catch { case e: Throwable => in.close(); throw e }
+  }
+
+  override def length(f: java.io.File): Long = f.length()
+
+  override def delete(f: java.io.File): Boolean = f.delete()
+
+  override def list(dir: java.io.File): Seq[java.io.File] =
+    Option(dir.listFiles()).map(_.toSeq).getOrElse(Seq.empty)
 }

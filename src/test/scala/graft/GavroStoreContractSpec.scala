@@ -141,6 +141,89 @@ class LocalFsStoreContractSpec extends GavroStoreContract {
     assert(f.setLastModified(t))
 }
 
+/** The [[graft.sources.GavroDataStore]] CONTRACT — the byte-stream
+  * properties the scan/writer/optimize paths cite: close is the
+  * visibility point, positioned reads return the exact bytes written,
+  * truncated range reads fail loudly (the footer parser's torn-write
+  * defense), and a missing object throws rather than reading empty. */
+abstract class GavroDataStoreContract extends AnyFunSuite {
+
+  def data: graft.sources.GavroDataStore
+  def freshDir(): java.io.File
+
+  // binary-unfriendly payload: negative bytes, zeros, a fake length prefix
+  private val payload: Array[Byte] =
+    Array[Byte](0, 0, 0, 5) ++ Array.tabulate(4096)(i => (i * 31 - 128).toByte)
+
+  private def f(dir: java.io.File, name: String) = new java.io.File(dir, name)
+
+  test("create: close is the visibility point; bytes round-trip exactly") {
+    val d = freshDir()
+    val obj = f(d, "part-00000.gavro")
+    val out = data.create(obj)
+    out.write(payload)
+    out.close()
+    assert(data.length(obj) == payload.length.toLong)
+    assert(java.util.Arrays.equals(
+      data.readRange(obj, 0, payload.length), payload))
+    assert(data.list(d).map(_.getName).contains("part-00000.gavro"))
+  }
+
+  test("openAt returns the exact positioned suffix") {
+    val d = freshDir()
+    val obj = f(d, "pos.gavro")
+    val out = data.create(obj); out.write(payload); out.close()
+    val suffix = data.readRange(obj, 1000, payload.length - 1000)
+    assert(java.util.Arrays.equals(suffix,
+      java.util.Arrays.copyOfRange(payload, 1000, payload.length)))
+    // stream form reads to EOF
+    val in = data.openAt(obj, payload.length.toLong - 12)
+    val tail = try in.readAllBytes() finally in.close()
+    assert(tail.length == 12)
+  }
+
+  test("readRange past EOF is loud, never silently short") {
+    val d = freshDir()
+    val obj = f(d, "short.gavro")
+    val out = data.create(obj); out.write(payload, 0, 100); out.close()
+    intercept[Exception] { data.readRange(obj, 50, 100) }
+  }
+
+  test("opening a missing object throws; length of absence is 0") {
+    val d = freshDir()
+    intercept[Exception] { data.openAt(f(d, "missing.gavro"), 0).read() }
+    assert(data.length(f(d, "missing.gavro")) == 0L)
+  }
+
+  test("delete removes from list; absence tolerated") {
+    val d = freshDir()
+    val obj = f(d, "del.gavro")
+    val out = data.create(obj); out.write(payload, 0, 10); out.close()
+    assert(data.delete(obj))
+    assert(!data.list(d).map(_.getName).contains("del.gavro"))
+    assert(!data.delete(obj))
+    assert(data.list(f(d, "no-such-dir")).isEmpty)
+  }
+}
+
+class LocalFsDataStoreContractSpec extends GavroDataStoreContract {
+  override def data: graft.sources.GavroDataStore =
+    graft.sources.LocalFsDataStore
+  override def freshDir(): java.io.File = {
+    val d = java.nio.file.Files.createTempDirectory("gavro-datastore").toFile
+    d.deleteOnExit(); d
+  }
+}
+
+class InMemoryDataStoreContractSpec extends GavroDataStoreContract {
+  private val mem = new InMemoryStore
+  override def data: graft.sources.GavroDataStore = mem
+  override def freshDir(): java.io.File = {
+    val d = java.nio.file.Files.createTempDirectory("gavro-memdata").toFile
+    d.deleteOnExit(); d
+  }
+}
+
 /** PROOF the seam is real: a second, filesystem-free implementation —
   * an in-memory object map with conditional-PUT semantics, the shape an
   * S3/GCS port takes (put-if-absent = `putIfAbsent` on the map ≙
@@ -163,9 +246,38 @@ class InMemoryStoreContractSpec extends GavroStoreContract {
 
 /** Keys are the File paths as opaque strings; objects are (bytes,
   * mtime) pairs in one concurrent map. `staged` blobs for
-  * publishIfAbsent are read from the local temp the caller wrote —
-  * exactly how an object-store impl uploads a staged merge output. */
-class InMemoryStore extends graft.sources.GavroStore {
+  * publishIfAbsent are read from the local temp the caller wrote — or
+  * from the map itself when the data plane staged them there — exactly
+  * how an object-store impl uploads a staged merge output.
+  *
+  * Implements BOTH seams over the one map: coordination
+  * ([[graft.sources.GavroStore]]) and data
+  * ([[graft.sources.GavroDataStore]]) — `create` buffers and registers
+  * the whole object at close (multipart-upload semantics: nothing
+  * visible before close, never a byte prefix), `openAt` is a ranged GET.
+  * One instance serving both planes is what lets the full-format
+  * round-trip (GavroInMemoryRoundTripSpec) run with zero filesystem
+  * objects. */
+class InMemoryStore extends graft.sources.GavroStore
+    with graft.sources.GavroDataStore {
+
+  override def create(f: java.io.File): java.io.OutputStream =
+    new java.io.ByteArrayOutputStream() {
+      override def close(): Unit =
+        objects.put(key(f), Obj(toByteArray, System.currentTimeMillis()))
+    }
+
+  override def openAt(f: java.io.File,
+      offset: Long): java.io.InputStream = {
+    val o = objects.get(key(f))
+    if (o == null) throw new java.io.FileNotFoundException(f.getPath)
+    new java.io.ByteArrayInputStream(o.bytes, offset.toInt,
+      math.max(0, o.bytes.length - offset.toInt))
+  }
+
+  override def length(f: java.io.File): Long =
+    Option(objects.get(key(f))).map(_.bytes.length.toLong).getOrElse(0L)
+
   private case class Obj(bytes: Array[Byte], var mtime: Long)
   private val objects =
     new java.util.concurrent.ConcurrentHashMap[String, Obj]()

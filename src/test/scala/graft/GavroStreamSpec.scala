@@ -519,6 +519,149 @@ class GavroStreamSpec extends SparkSpec {
     assert(err.getMessage.contains("truncated or rewritten"), err.getMessage)
   }
 
+  test("protectPrefix: the surviving-watermark burst exists unprotected and is unreachable protected") {
+    import scala.jdk.CollectionConverters._
+    // Layout that reaches the ONE documented at-least-once corner: four
+    // small consumed files plus a BIG consumed file that is not a merge
+    // candidate (>= targetBytes), so an optimize absorbs the small
+    // neighbors while the offset's watermark file itself survives.
+    def build(): (String, java.util.concurrent.ConcurrentLinkedQueue[Long],
+        () => Unit) = {
+      val dir = java.nio.file.Files.createTempDirectory("gavro-prot").toString
+      val ckpt = java.nio.file.Files.createTempDirectory("gavro-prot-ck").toString
+      (0 until 4).foreach(i =>
+        writeFile(dir, f"part-$i%05d.gavro", Seq(i.toLong), footer = true))
+      writeFile(dir, "part-00004.gavro", 100L until 600L, footer = true)
+      graft.sources.Gavro.commitBatch(dir,
+        (0 to 4).map(i => f"part-$i%05d.gavro"))
+      val seen = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+      def drain(): Unit = {
+        val q = spark.readStream.format("gavro")
+          .option("schema", "system_metrics").load(dir)
+          .writeStream.option("checkpointLocation", ckpt)
+          .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+            df.select(col("id")).collect().foreach(r => seen.add(r.getLong(0))); ()
+          }
+          .start()
+        q.processAllAvailable(); q.stop()
+      }
+      drain()
+      assert(seen.asScala.toSeq.sorted ==
+        ((0L until 4L) ++ (100L until 600L)), "baseline consume broke")
+      (dir, seen, () => drain())
+    }
+    val target = 4096L // smalls qualify; the 500-record file does not
+    def listed(dir: String): Seq[String] =
+      graft.sources.Gavro.listDataFiles(dir).map(_.getName).toSeq
+
+    // UNPROTECTED: the corner is real — the merged output is re-delivered
+    // once (at-least-once by design, never loss), documenting exactly the
+    // burst protectPrefix exists to kill.
+    val (d1, s1, drain1) = build()
+    assert(graft.sources.Gavro.optimize(d1, target).nonEmpty)
+    assert(listed(d1).contains("part-00004.gavro"), "watermark was absorbed")
+    val before1 = s1.size
+    drain1()
+    assert(s1.size == before1 + 4,
+      s"expected the one-shot burst of the 4 merged records, got +${s1.size - before1}")
+
+    // PROTECTED, watermark would survive: the pass refuses to split the
+    // consumed prefix — nothing merges, nothing re-delivers, the tail
+    // still flows.
+    val (d2, s2, drain2) = build()
+    assert(graft.sources.Gavro.optimize(d2, target,
+      protectPrefix = Some("part-00004.gavro")).isEmpty)
+    val before2 = s2.size
+    drain2()
+    assert(s2.size == before2, s"protected optimize re-delivered")
+    writeFile(d2, "part-00005.gavro", Seq(7L), footer = true)
+    graft.sources.Gavro.commitBatch(d2, Seq("part-00005.gavro"))
+    drain2()
+    assert(s2.asScala.toSeq.sorted ==
+      ((0L until 4L) ++ Seq(7L) ++ (100L until 600L)))
+
+    // PROTECTED, watermark absorbed: with a target big enough to take the
+    // whole prefix INCLUDING the watermark file, protection lets the pass
+    // proceed and the vanished-watermark translation stays exactly-once.
+    val (d3, s3, drain3) = build()
+    assert(graft.sources.Gavro.optimize(d3, 1L << 20,
+      protectPrefix = Some("part-00004.gavro")).nonEmpty)
+    assert(!listed(d3).contains("part-00004.gavro"))
+    val before3 = s3.size
+    drain3()
+    assert(s3.size == before3, s"vanished-watermark pass re-delivered")
+  }
+
+  test("forced admission and ambiguous re-delivery surface as source metrics") {
+    import scala.jdk.CollectionConverters._
+    def metric(q: org.apache.spark.sql.streaming.StreamingQuery,
+        name: String): Long =
+      q.recentProgress.flatMap(p => p.sources.headOption)
+        .flatMap(s => Option(s.metrics).map(_.asScala.getOrElse(name, "0")))
+        .map(_.toLong).foldLeft(0L)(math.max)
+
+    // ---- forced admission: two merged outputs land below a live epoch
+    // watermark; the first trigger after the OPTIMIZE must admit BOTH
+    // despite maxBytesPerTrigger=1 — and says so in the source metrics.
+    val d1 = java.nio.file.Files.createTempDirectory("gavro-metr1").toString
+    val c1 = java.nio.file.Files.createTempDirectory("gavro-metr1-ck").toString
+    writeFile(d1, "part-e0000000001-00000.gavro", 100L to 139L, footer = true)
+    graft.sources.Gavro.commitBatch(d1, Seq("part-e0000000001-00000.gavro"))
+    val seen1 = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    def start1() = spark.readStream.format("gavro")
+      .option("schema", "system_metrics")
+      .option("maxBytesPerTrigger", "1").load(d1)
+      .writeStream.option("checkpointLocation", c1)
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        df.select(col("id")).collect().foreach(r => seen1.add(r.getLong(0))); ()
+      }
+      .start()
+    val q1 = start1(); q1.processAllAvailable(); q1.stop()
+    assert(seen1.asScala.toSeq.sorted == (100L to 139L))
+    (2 to 5).foreach(i =>
+      writeFile(d1, f"part-e000000000$i%d-00000.gavro", Seq(i.toLong),
+        footer = true))
+    graft.sources.Gavro.commitBatch(d1,
+      (2 to 5).map(i => f"part-e000000000$i%d-00000.gavro"))
+    // target sized off the actual DATA section (binBytes counts dataEnd,
+    // not file length) so the 4 equal small files pack as exactly two
+    // 2-file bins — but still small enough to exclude the big watermark
+    // file from candidacy
+    val small = graft.sources.GavroFooter.read(
+      new java.io.File(d1, "part-e0000000002-00000.gavro")).dataEnd
+    val merged = graft.sources.Gavro.optimize(d1, targetBytes = small * 5 / 2)
+    assert(merged.size >= 2, s"need >=2 merged bins, got $merged")
+    val q2 = start1(); q2.processAllAvailable(); q2.stop()
+    assert(seen1.asScala.toSeq.sorted == ((2L to 5L) ++ (100L to 139L)))
+    assert(metric(q2, "forcedAdmissionFiles") >= 1,
+      q2.recentProgress.map(_.sources.head.metrics).mkString(";"))
+    assert(metric(q2, "forcedAdmissionTriggers") >= 1)
+    assert(metric(q2, "ambiguousRedeliveredFiles") == 0) // this path is exact
+
+    // ---- ambiguity: the surviving-watermark burst increments the
+    // re-delivery counter (the WARN's machine-readable twin).
+    val d2 = java.nio.file.Files.createTempDirectory("gavro-metr2").toString
+    val c2 = java.nio.file.Files.createTempDirectory("gavro-metr2-ck").toString
+    (0 until 4).foreach(i =>
+      writeFile(d2, f"part-$i%05d.gavro", Seq(i.toLong), footer = true))
+    writeFile(d2, "part-00004.gavro", 100L until 600L, footer = true)
+    graft.sources.Gavro.commitBatch(d2,
+      (0 to 4).map(i => f"part-$i%05d.gavro"))
+    val seen2 = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    def start2() = spark.readStream.format("gavro")
+      .option("schema", "system_metrics").load(d2)
+      .writeStream.option("checkpointLocation", c2)
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        df.select(col("id")).collect().foreach(r => seen2.add(r.getLong(0))); ()
+      }
+      .start()
+    val p1 = start2(); p1.processAllAvailable(); p1.stop()
+    assert(graft.sources.Gavro.optimize(d2, 4096L).nonEmpty)
+    val p2 = start2(); p2.processAllAvailable(); p2.stop()
+    assert(metric(p2, "ambiguousRedeliveredFiles") >= 1,
+      p2.recentProgress.map(_.sources.head.metrics).mkString(";"))
+  }
+
   test("maxBytesPerTrigger admits at least one file and bounds each batch") {
     import scala.jdk.CollectionConverters._
     val dir = java.nio.file.Files.createTempDirectory("gavro-bpb").toString

@@ -136,6 +136,47 @@ class IvfPqIndexSpec extends SparkSpec {
     assert(appended.exists(_._3 >= Quantize.DeltaBase))
   }
 
+  test("prebuilt index serves a query stream: per-trigger answers, index untouched") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import scala.jdk.CollectionConverters._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val dir = IvfPqIndex.ensure(spark, sfDir)
+    val cellsFile = new java.io.File(s"$dir/cells")
+      .listFiles().filter(_.getName.endsWith(".gavro")).head
+    val mtime = cellsFile.lastModified()
+    // batch-form truth for the first 10 ids, from the registered query
+    val want = IvfPqIndex.searchPrebuilt(spark, sfDir)
+      .filter(col("q_id") < 10).collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("rnk"),
+        r.getAs[Long]("vec_id"))).toSet
+    val input = MemoryStream[Long]
+    val got = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long, Long)]()
+    val q = input.toDF().toDF("q_id")
+      .writeStream.outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val emb = graft.sources.Tables.embeddings(spark, sfDir)
+        val queries = IvfPqIndex.quantizeQueries(
+          batch.join(emb, batch("q_id") === emb("vec_id"))
+            .select(col("q_id"), col("embedding")))
+        IvfPqIndex.searchQueries(spark, dir, queries, emb).collect()
+          .foreach(r => got.add((r.getAs[Long]("q_id"), r.getAs[Long]("rnk"),
+            r.getAs[Long]("vec_id"))))
+        ()
+      }
+      .start()
+    input.addData(0L, 1L, 2L, 3L, 4L)
+    q.processAllAvailable()
+    assert(got.size == 25, s"first trigger answered ${got.size} rows")
+    input.addData(5L, 6L, 7L, 8L, 9L)
+    q.processAllAvailable()
+    q.stop()
+    assert(got.asScala.toSet == want,
+      "streamed answers diverge from the batch-form oracle-verified query")
+    // the index itself was never rebuilt or touched between triggers
+    assert(cellsFile.lastModified() == mtime)
+  }
+
   test("registered build summary is layout-independent and deterministic") {
     val s1 = IvfPqIndex.buildIndexSummary(spark, sfDir).collect()
       .map(r => (r.getAs[Int]("cell"), r.getAs[Int]("sub_idx"),

@@ -72,6 +72,9 @@ class PlanLintSpec extends SparkSpec {
     "ann_ivfpq_search_prebuilt" ->
       ("index reassembly: collect_list per centroid of exactly dim=64 " +
         "(cells) / subdim=8 (books) components — K·dim rows total"),
+    "ann_ivfpq_index_append" ->
+      ("same index reassembly as search_prebuilt (frozen cells/books " +
+        "loaded from the persisted tables, dim-bounded groups)"),
   )
 
   /** Queries allowed a broadcast cross join whose build side is neither a
@@ -99,6 +102,9 @@ class PlanLintSpec extends SparkSpec {
     "ann_ivfpq_search_prebuilt" ->
       ("build = CoarseK-row (8) centroid reassembly loaded from the " +
         "index table, crossed only with the SearchQueries-row query set"),
+    "ann_ivfpq_index_append" ->
+      ("build = CoarseK-row (8) centroid reassembly loaded from the " +
+        "persisted index, crossed only with the NumQueries-row query set"),
   )
 
   /** Rule 4 — broadcast-scalar discipline: every cross join in a
