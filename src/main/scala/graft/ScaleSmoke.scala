@@ -72,6 +72,37 @@ object ScaleSmoke {
     timed("ivfpq_append_frozen") {
       graft.ops.IvfPqIndex.appendToIndex(spark, idxDir, delta) }
     search("search_after_append")
+
+    // ---- (b) persisted LSH dedup index: sketch once, probe per batch.
+    // The claim: probing a 4%-of-corpus arriving batch against the
+    // PERSISTED sketch costs a fraction of re-sketching the corpus (the
+    // in-query incremental), and the answers are identical.
+    val docsBase = graft.sources.Tables.documents(spark, "/root/testdata/sf0.1")
+      .select(col("doc_id"), col("text"))
+    val docsCorpus = docsBase.crossJoin(spark.range(replicas).toDF("rep"))
+      .select((col("doc_id") * replicas + col("rep")).as("doc_id"),
+        concat(col("text"), lit(" r"), col("rep")).as("text"))
+      .localCheckpoint(true)
+    val nDocs = docsCorpus.count()
+    println(s"documents: $nDocs docs (${replicas}x sf0.1)")
+    val lshDir = java.nio.file.Files.createTempDirectory("smoke-lsh-idx").toString
+    timed("lsh_build_index") {
+      graft.ops.LshIndex.buildAndWrite(docsCorpus, lshDir) }
+    val docsDelta = docsCorpus.filter(pmod(col("doc_id"), lit(25)) === 0)
+      .select((col("doc_id") + nDocs).as("doc_id"),
+        expr("substring(text, instr(text, ' ') + 1)").as("text"))
+      .localCheckpoint(true)
+    println(s"delta: ${docsDelta.count()} docs")
+    var probed = 0L
+    timed("lsh_probe_batch") {
+      probed = graft.ops.LshIndex.probeBatch(spark, lshDir, docsDelta, nDocs)
+        .count() }
+    var recomputed = 0L
+    timed("lsh_incremental_recompute") {
+      recomputed = graft.ops.Dedup.minhashIncremental(
+        docsCorpus.unionByName(docsDelta), newFrom = nDocs).count() }
+    assert(probed == recomputed && probed > 0,
+      s"probe $probed != recompute $recomputed")
   }
 
   /** Round-11 additions. (a) The materialized IVF-PQ index's operating

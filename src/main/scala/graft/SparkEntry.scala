@@ -30,6 +30,7 @@ object SparkEntry {
       graft.ops.RegionLookup.queries ++ graft.streaming.StreamJoins.queries ++
       graft.ops.Curation.queries ++ graft.ops.Mixing.queries ++
       graft.ops.Quantize.queries ++ graft.ops.IvfPqIndex.queries ++
+      graft.ops.LshIndex.queries ++
       graft.functions.Sketches.queries ++
       graft.ops.Incremental.queries ++ graft.functions.Bitmaps.queries ++
       graft.sources.AvroCodec.queries ++ graft.sources.Gavro.queries ++
@@ -157,6 +158,7 @@ object SparkEntry {
     graft.ops.RegionLookup.oracleSql ++ graft.streaming.StreamJoins.oracleSql ++
     graft.ops.Curation.oracleSql ++ graft.ops.Mixing.oracleSql ++
     graft.ops.Quantize.oracleSql ++ graft.ops.IvfPqIndex.oracleSql ++
+    graft.ops.LshIndex.oracleSql ++
     graft.functions.Sketches.oracleSql ++ graft.ops.Incremental.oracleSql ++
     graft.functions.Bitmaps.oracleSql ++ graft.sources.AvroCodec.oracleSql ++
     graft.sources.Gavro.oracleSql ++ graft.ops.Graph.oracleSql ++

@@ -24,7 +24,7 @@ import graft.sources.Tables
 object Dedup {
 
   /** 60-bit integer from an md5 hex prefix — the shared hash family. */
-  private val md5i = "cast(conv(substring(md5(%s), 1, 15), 16, 10) as bigint)"
+  private[ops] val md5i = "cast(conv(substring(md5(%s), 1, 15), 16, 10) as bigint)"
 
   /** Exact-dup corpus: planted exact duplicates (case-folded) 1-in-20. */
   def exactCorpus(documents: DataFrame): DataFrame =
@@ -716,7 +716,7 @@ object Dedup {
   /** Oracle CTEs: same corpora, same md5-prefix hash family. The oracle may
     * do the quadratic join (it's 500 rows); the Spark side must not.
     */
-  private val nearCorpusSql =
+  private[ops] val nearCorpusSql =
     """corpus AS (
       |  SELECT doc_id, text FROM documents
       |  UNION ALL
@@ -724,7 +724,7 @@ object Dedup {
       |  FROM documents WHERE doc_id % 25 = 0
       |)""".stripMargin
 
-  private val sigSql =
+  private[ops] val sigSql =
     """sigs AS (
       |  SELECT doc_id,
       |    list_transform(range(0, 12),
@@ -745,7 +745,7 @@ object Dedup {
       |  )
       |)""".stripMargin
 
-  private val candSql =
+  private[ops] val candSql =
     """all_bands AS (
       |  SELECT doc_id, b AS band_idx,
       |    md5(sig[2 * b + 1]::VARCHAR || ',' || sig[2 * b + 2]::VARCHAR) AS band_key

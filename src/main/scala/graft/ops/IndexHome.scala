@@ -1,0 +1,176 @@
+package graft.ops
+
+import org.apache.spark.sql.SparkSession
+
+import graft.sources.{Gavro, GavroStore}
+
+/** The shared publication machinery every MATERIALIZED index rides
+  * ([[IvfPqIndex]], [[LshIndex]]): an explicit configurable root, a
+  * content-derived cache key with zero timestamps, and a build→publish
+  * protocol expressed in [[GavroStore]] coordination primitives so it
+  * survives object-store semantics.
+  *
+  *   - Root: `spark.graft.ann.indexRoot` / env `SPARK_GRAFT_ANN_ROOT`,
+  *     default a per-user tmpdir subdirectory (a cluster deployment sets
+  *     an explicit shared path so driver and executors read one copy).
+  *   - Key: `<prefix><source fingerprint>` — the prefix pins code
+  *     version + index kind + source dir; the fingerprint is derived
+  *     from CONTENT (a gavro source's commit log, or a parquet source's
+  *     per-part name+length+head/tail digests — the parquet footer lives
+  *     in the tail, so regenerated data always re-keys). No mtimes:
+  *     object stores have no trustworthy ones.
+  *   - Publish: a build lands in its own `builds/<id>/` staging tree and
+  *     becomes canonical via a put-if-absent `_LIVE` pointer naming the
+  *     winner — no directory rename anywhere. Builds are deterministic,
+  *     so the loser of the pointer race deletes its bit-identical tree
+  *     and reads the winner's.
+  *   - Prune: superseded keys (same prefix, different digest) are
+  *     reclaimed after a configurable grace
+  *     (`spark.graft.ann.pruneGraceMs`, default 1 h) — cache hygiene,
+  *     never correctness (a pruned live index just rebuilds).
+  */
+private[ops] object IndexHome {
+
+  private def store: GavroStore = Gavro.store
+
+  def indexRoot(spark: SparkSession): java.io.File = {
+    val configured = spark.conf.getOption("spark.graft.ann.indexRoot")
+      .orElse(sys.env.get("SPARK_GRAFT_ANN_ROOT"))
+    val root = configured.map(new java.io.File(_)).getOrElse(
+      new java.io.File(System.getProperty("java.io.tmpdir"),
+        "graft-ann-" + System.getProperty("user.name", "anon")))
+    root.mkdirs()
+    root
+  }
+
+  private def pruneGraceMs(spark: SparkSession): Long =
+    spark.conf.getOption("spark.graft.ann.pruneGraceMs")
+      .map(_.toLong).getOrElse(60L * 60 * 1000)
+
+  def sha256Hex(s: String, bytes: Int): String =
+    java.security.MessageDigest.getInstance("SHA-256")
+      .digest(s.getBytes("UTF-8")).take(bytes).map(b => f"$b%02x").mkString
+
+  /** Content-derived fingerprint of an index source — NO timestamps.
+    * Gavro source: the commit log's entry names and bodies (commit ids
+    * are the table's durable identity). Parquet source: per part, name +
+    * length + sha-256 of the first and last 64 KiB. Cost: two bounded
+    * reads per part file on the cold path only — memoized per JVM. */
+  def sourceFingerprint(src: java.io.File): String = {
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    def update(s: String): Unit = md.update(s.getBytes("UTF-8"))
+    val commits = new java.io.File(src, Gavro.CommitsDir)
+    if (commits.isDirectory) {
+      store.list(commits).sortBy(_.getName).foreach { f =>
+        update(f.getName + " ")
+        store.read(f).foreach(l => update(l + "\n"))
+      }
+    } else {
+      val parts: Seq[java.io.File] =
+        if (src.isDirectory) store.list(src).sortBy(_.getName)
+        else Seq(src)
+      val buf = new Array[Byte](64 * 1024)
+      parts.filterNot(_.getName.startsWith(".")).foreach { f =>
+        update(s"${f.getName}:${f.length()}:")
+        val raf = new java.io.RandomAccessFile(f, "r")
+        try {
+          var n = raf.read(buf)
+          if (n > 0) md.update(buf, 0, n)
+          val tailStart = math.max(f.length() - buf.length, 0L)
+          raf.seek(tailStart)
+          n = raf.read(buf)
+          if (n > 0) md.update(buf, 0, n)
+        } finally raf.close()
+      }
+    }
+    md.digest().take(12).map(b => f"$b%02x").mkString
+  }
+
+  private val fingerprintMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** The key directory for `src` under `prefix` (version + kind + source
+    * scope — [[pruneStale]] reclaims only same-prefix siblings). */
+  def keyDir(spark: SparkSession, src: java.io.File,
+      prefix: String): java.io.File = {
+    val fp = fingerprintMemo.computeIfAbsent(
+      src.getAbsolutePath, _ => sourceFingerprint(src))
+    new java.io.File(indexRoot(spark), prefix + fp)
+  }
+
+  private def liveMarker(key: java.io.File) = new java.io.File(key, "_LIVE")
+
+  /** The published build under `key`, if any: `_LIVE` names the winning
+    * build id; the pointed-to tree is complete by protocol (the pointer
+    * lands only after every table committed). */
+  def resolveLive(key: java.io.File): Option[java.io.File] =
+    if (store.exists(liveMarker(key)))
+      store.read(liveMarker(key)).headOption
+        .map(id => new java.io.File(new java.io.File(key, "builds"), id))
+    else None
+
+  /** Publish `buildId` as `key`'s canonical build via put-if-absent on
+    * the `_LIVE` pointer. Returns the canonical build dir — the caller's
+    * own on a win; on a lost race the caller's staging tree is deleted
+    * (its content is bit-identical by build determinism) and the
+    * winner's tree returned. */
+  def publish(key: java.io.File, buildId: String): java.io.File = {
+    val mine = new java.io.File(new java.io.File(key, "builds"), buildId)
+    try { store.putIfAbsent(liveMarker(key), buildId); mine }
+    catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        val winner = resolveLive(key).get
+        if (winner.getAbsolutePath != mine.getAbsolutePath) deleteRec(mine)
+        winner
+    }
+  }
+
+  def newBuildDir(key: java.io.File): (String, java.io.File) = {
+    val id = "b" + java.util.UUID.randomUUID().toString.take(12)
+    val d = new java.io.File(new java.io.File(key, "builds"), id)
+    d.mkdirs()
+    (id, d)
+  }
+
+  /** The fingerprint-keyed cache would otherwise orphan one full index
+    * copy per source regeneration: before building fresh, drop sibling
+    * KEY dirs of the same prefix with a different digest. The grace
+    * window protects a query still scanning a just-superseded index and
+    * any straggling builder of one. */
+  def pruneStale(spark: SparkSession, current: java.io.File,
+      prefix: String): Unit = {
+    val grace = pruneGraceMs(spark)
+    store.list(current.getParentFile)
+      .filter(f => f.getName.startsWith(prefix) &&
+        f.getName != current.getName &&
+        System.currentTimeMillis() - newestMtime(f) > grace)
+      .foreach(deleteRec)
+  }
+
+  /** Newest mtime in a key tree — local-FS staleness only. Pruning is
+    * cache HYGIENE (never correctness), so this one mtime use stays; an
+    * object-store deployment replaces it with its own lifecycle policy
+    * on the explicit root. */
+  private def newestMtime(f: java.io.File): Long =
+    (store.mtime(f) +: store.list(f).map(newestMtime)).max
+
+  private def deleteRec(f: java.io.File): Unit = {
+    store.list(f).foreach(deleteRec)
+    store.delete(f)
+    ()
+  }
+
+  /** The standard cold-path composition: return the live build for
+    * (`src`, `prefix`), or prune stale siblings, run `build` into a
+    * fresh staging dir, and publish it. */
+  def ensureBuilt(spark: SparkSession, src: java.io.File, prefix: String)(
+      build: String => Unit): String = {
+    val key = keyDir(spark, src, prefix)
+    resolveLive(key).getOrElse {
+      pruneStale(spark, key, prefix)
+      val (id, dir) = newBuildDir(key)
+      build(dir.getAbsolutePath)
+      publish(key, id)
+    }.getAbsolutePath
+  }
+}

@@ -121,6 +121,8 @@ object AvroCodec {
   lazy val IvfCells: ARecord = parseSchema(IvfCellsJson)
   lazy val IvfBooks: ARecord = parseSchema(IvfBooksJson)
   lazy val IvfCodes: ARecord = parseSchema(IvfCodesJson)
+  lazy val LshSigs: ARecord = parseSchema(LshSigsJson)
+  lazy val LshBands: ARecord = parseSchema(LshBandsJson)
 
   def schemaByName(name: String): ARecord = name match {
     case "request_log" => RequestLog
@@ -130,10 +132,12 @@ object AvroCodec {
     case "ivf_cells" => IvfCells
     case "ivf_books" => IvfBooks
     case "ivf_codes" => IvfCodes
+    case "lsh_sigs" => LshSigs
+    case "lsh_bands" => LshBands
     case other => throw new IllegalArgumentException(
       s"unknown avro schema '$other' " +
         "(known: request_log, system_metrics, orders_cdc, sessions_cdc, " +
-        "ivf_cells, ivf_books, ivf_codes)")
+        "ivf_cells, ivf_books, ivf_codes, lsh_sigs, lsh_bands)")
   }
 
   private def sqlTypeOf(t: AvroType): DataType = t match {
@@ -593,6 +597,27 @@ object AvroCodec {
       |{"name":"cell","type":"int"},
       |{"name":"sub_idx","type":"int"},
       |{"name":"code","type":"int"}
+      |]}""".stripMargin.replace("\n", "")
+
+  /** MinHash signature components of the persisted LSH dedup index
+    * ([[graft.ops.LshIndex]]): one row per (doc_id, pos) — the 12-element
+    * signature scalar-exploded, same layout decision as the IVF tables
+    * (scalars keep the footer-stats machinery). */
+  val LshSigsJson: String =
+    """{"type":"record","name":"LshSigs","fields":[
+      |{"name":"doc_id","type":"long"},
+      |{"name":"pos","type":"int"},
+      |{"name":"m","type":"long"}
+      |]}""".stripMargin.replace("\n", "")
+
+  /** LSH band bucket membership: one row per (doc_id, band_idx) with the
+    * md5 bucket key — the probe target of the incremental dedup join,
+    * band_idx in the footer stats for band-sliced maintenance scans. */
+  val LshBandsJson: String =
+    """{"type":"record","name":"LshBands","fields":[
+      |{"name":"doc_id","type":"long"},
+      |{"name":"band_idx","type":"int"},
+      |{"name":"band_key","type":"string"}
       |]}""".stripMargin.replace("\n", "")
 
   /** The `orders` Debezium envelope writer schema, verbatim as the

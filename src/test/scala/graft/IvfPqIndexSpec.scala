@@ -136,6 +136,47 @@ class IvfPqIndexSpec extends SparkSpec {
     assert(appended.exists(_._3 >= Quantize.DeltaBase))
   }
 
+  test("appends then OPTIMIZE compact the codes table losslessly, stats-pruning intact") {
+    // The full maintenance cycle a long-lived index lives through:
+    // nightly build, two daily frozen fold-ins (small appended files),
+    // then the ordinary gavro OPTIMIZE bin-packs the code files — the
+    // search is a pure function of the table content, so content
+    // equality through the rewrite IS search equality.
+    val dir = freshDir("cycle").getAbsolutePath
+    IvfPqIndex.buildAndWrite(emb, dir)
+    val n = emb.count()
+    def batch(shift: Long) = emb.filter(pmod(col("vec_id"), lit(50)) === 0)
+      .select((col("vec_id") + shift).as("vec_id"),
+        expr("cast(embedding as array<double>)").as("v"))
+    IvfPqIndex.appendToIndex(spark, dir, batch(n))
+    IvfPqIndex.appendToIndex(spark, dir, batch(2 * n))
+    def codes() = spark.read.format("gavro").option("schema", "ivf_codes")
+      .load(s"$dir/codes").collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Int]("cell"),
+        r.getAs[Int]("sub_idx"), r.getAs[Int]("code"))).toSet
+    // the COMMITTED view (absorbed files stay on disk for vacuum's grace)
+    def files() = graft.sources.Gavro.listDataFiles(s"$dir/codes")
+    val before = codes()
+    val nFiles = files().length
+    // target ~ half the table: compacts the small append files but keeps
+    // >=2 outputs, so the stats-pruning assertion below stays meaningful
+    // (name-order packing keeps the cell-clustered ranges contiguous)
+    val target = files().map(_.length()).sum / 2
+    assert(graft.sources.Gavro.optimize(s"$dir/codes", target).nonEmpty)
+    assert(files().length < nFiles,
+      s"optimize did not shrink the file count ($nFiles)")
+    assert(codes() == before, "codes content changed through the rewrite")
+    // footer stats survive the merge fold: a probe-list IN predicate can
+    // still exclude at least one file (the merged outputs carry folded
+    // cell ranges; the clustered layout keeps ranges disjoint enough)
+    val cells = before.map(_._2).toSeq.distinct.sorted
+    val preds = Seq(graft.sources.GavroPred("cell", "in", cells.take(1)))
+    val planned = files().flatMap(f => graft.sources.GavroSkip.planFile(f, preds))
+    val all = files().flatMap(f => graft.sources.GavroSkip.planFile(f, Seq.empty))
+    assert(planned.length < all.length,
+      s"post-optimize IN skip planned ${planned.length}/${all.length}")
+  }
+
   test("prebuilt index serves a query stream: per-trigger answers, index untouched") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import scala.jdk.CollectionConverters._

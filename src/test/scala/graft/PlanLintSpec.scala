@@ -75,6 +75,9 @@ class PlanLintSpec extends SparkSpec {
     "ann_ivfpq_index_append" ->
       ("same index reassembly as search_prebuilt (frozen cells/books " +
         "loaded from the persisted tables, dim-bounded groups)"),
+    "lsh_index_probe" ->
+      ("signature reassembly from the persisted sigs table: collect_list " +
+        "per doc_id of exactly 12 MinHash components"),
   )
 
   /** Queries allowed a broadcast cross join whose build side is neither a
