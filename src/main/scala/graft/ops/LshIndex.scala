@@ -164,11 +164,82 @@ object LshIndex {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  // ------------------------------------------------------- incremental append
+
+  /** Fold an accepted batch (doc_id, text) into an EXISTING index at
+    * `dir`: sketch the batch (O(|delta|)) and gavro-APPEND its sig and
+    * band rows to the persisted tables — one new commit per table, so
+    * the next batch's probe sees tonight's documents as standing corpus.
+    * This is the dedup-on-ingest loop's write half: probe, filter,
+    * append the survivors. */
+  def appendBatch(spark: SparkSession, dir: String,
+      delta: DataFrame): Unit = {
+    val deltaSigs = Dedup.minhashSignatures(delta)
+      .select(col("doc_id"), col("sig")).persist()
+    deltaSigs
+      .select(col("doc_id"), posexplode(col("sig"))).toDF("doc_id", "pos", "m")
+      .coalesce(1)
+      .write.format("gavro").option("schema", "lsh_sigs")
+      .mode("append").save(s"$dir/sigs")
+    Dedup.bands(deltaSigs)
+      .repartitionByRange(2, col("band_idx")) // delta ≪ base
+      .select(col("doc_id"), col("band_idx"), col("band_key"))
+      .write.format("gavro").option("schema", "lsh_bands")
+      .mode("append").save(s"$dir/bands")
+    deltaSigs.unpersist()
+    ()
+  }
+
+  /** The append-maintained instance: base corpus as commit 1 of each
+    * table, the planted batch folded in as commit 2 via [[appendBatch]].
+    * Separate cache scope so the mutation never touches the probe
+    * query's instance. */
+  def ensureAppended(spark: SparkSession, sfDir: String): String =
+    IndexHome.ensureBuilt(spark, srcFile(sfDir),
+        s"graft_lsh_v${Version}a_" + IndexHome.sha256Hex(sfDir, 6) + "_") { dir =>
+      val documents = Tables.documents(spark, sfDir)
+      buildAndWrite(documents.select(col("doc_id"), col("text")), dir)
+      appendBatch(spark, dir,
+        Dedup.nearCorpus(documents).filter(col("doc_id") >= NewFrom))
+    }
+
+  /** Probe over the FULLY-materialized index (base + appended batch both
+    * read from disk — zero in-query sketching anywhere in the plan): the
+    * same candidate semantics as [[probeNewBatch]], so the result is
+    * hash-equal to it AND to the in-query incremental rebuild — three
+    * execution paths, one answer, proving the appended artifact encodes
+    * the batch exactly as a from-scratch sketch would. */
+  def probeAppended(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = ensureAppended(spark, sfDir)
+    val sigs = loadSigs(spark, dir)
+    val b = loadBands(spark, dir)
+      .withColumn("bucket_n", count(lit(1))
+        .over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("band_idx"), col("band_key"))))
+      .filter(col("bucket_n") <= Dedup.MaxBucketSize)
+      .drop("bucket_n")
+    val newBands = b.filter(col("doc_id") >= NewFrom)
+    val pairs = b.as("x").join(newBands.as("y"),
+        col("x.band_idx") === col("y.band_idx") &&
+          col("x.band_key") === col("y.band_key") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    pairs
+      .join(sigs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")), "doc_a")
+      .join(sigs.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        round(expr("size(filter(sequence(1, 12), i -> element_at(sig_a, i) = element_at(sig_b, i)))") / lit(12.0), 4)
+          .as("est_jaccard"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
   // ---------------------------------------------------------------- registry
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "lsh_index_build" -> ((s, d) => buildIndexSummary(s, d)),
     "lsh_index_probe" -> ((s, d) => probeNewBatch(s, d)),
+    "lsh_index_append" -> ((s, d) => probeAppended(s, d)),
   )
 
   /** The build oracle unrolls the sketch over the PLAIN documents table
@@ -191,6 +262,17 @@ object LshIndex {
          |    AS sum_key
          |FROM all_bands GROUP BY band_idx ORDER BY band_idx""".stripMargin,
     "lsh_index_probe" ->
+      s"""WITH ${Dedup.nearCorpusSql}, ${Dedup.sigSql}, ${Dedup.candSql}
+         |SELECT doc_a, doc_b,
+         |  round(len(list_filter(range(1, 13), i -> a.sig[i] = b.sig[i])) / 12.0, 4) AS est_jaccard
+         |FROM cands
+         |JOIN sigs a ON a.doc_id = doc_a
+         |JOIN sigs b ON b.doc_id = doc_b
+         |WHERE doc_b >= $NewFrom
+         |ORDER BY doc_a, doc_b""".stripMargin,
+    // Same unroll as the probe: the appended artifact must answer
+    // exactly what the in-query rebuild answers.
+    "lsh_index_append" ->
       s"""WITH ${Dedup.nearCorpusSql}, ${Dedup.sigSql}, ${Dedup.candSql}
          |SELECT doc_a, doc_b,
          |  round(len(list_filter(range(1, 13), i -> a.sig[i] = b.sig[i])) / 12.0, 4) AS est_jaccard

@@ -56,6 +56,77 @@ class LshIndexSpec extends SparkSpec {
     assert(probed.forall(_._2 >= LshIndex.NewFrom))
   }
 
+  test("appended index: two commits per table, fully-materialized probe equals the union probe") {
+    val dir = LshIndex.ensureAppended(spark, sfDir)
+    def commits(table: String) = new java.io.File(s"$dir/$table",
+        graft.sources.Gavro.CommitsDir)
+      .listFiles().map(_.getName).count(_.endsWith(".commit"))
+    assert(commits("sigs") == 2 && commits("bands") == 2)
+    assert(LshIndex.ensureAppended(spark, sfDir) == dir) // idempotent
+    assert(commits("sigs") == 2 && commits("bands") == 2)
+    val appended = LshIndex.probeAppended(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
+        r.getAs[Double]("est_jaccard")))
+    val unioned = LshIndex.probeNewBatch(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
+        r.getAs[Double]("est_jaccard")))
+    assert(appended.nonEmpty)
+    assert(appended.sorted.sameElements(unioned.sorted))
+  }
+
+  test("dedup-on-ingest loop: probe each micro-batch, append survivors, next batch sees them") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import scala.jdk.CollectionConverters._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    // a private index copy (the loop mutates it)
+    val dir = java.nio.file.Files.createTempDirectory("lsh_ingest").toString
+    LshIndex.buildAndWrite(docs, dir)
+    val base = docs.collect().map(r =>
+      r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
+    val someId = base.keys.min
+    val floor = 50000L
+    val rejected = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val accepted = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val input = MemoryStream[(Long, String)]
+    val q = input.toDF().toDF("doc_id", "text")
+      .writeStream.outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val b = batch.persist()
+        // probe: any batch doc colliding with the standing corpus at
+        // est_jaccard >= 0.5 is a dup and is dropped
+        val dups = LshIndex.probeBatch(spark, dir, b, floor)
+          .filter(col("est_jaccard") >= 0.5)
+          .select(col("doc_b")).distinct()
+          .collect().map(_.getLong(0)).toSet
+        dups.foreach(rejected.add)
+        val fresh = b.filter(!col("doc_id").isin(dups.toSeq.map(Long.box): _*))
+        fresh.select(col("doc_id")).collect()
+          .foreach(r => accepted.add(r.getLong(0)))
+        // append survivors: the index grows, later batches probe them too
+        if (!fresh.isEmpty) LshIndex.appendBatch(spark, dir, fresh)
+        b.unpersist(); ()
+      }
+      .start()
+    // batch 1: one near-dup of a corpus doc (first token dropped) + one
+    // genuinely novel doc
+    val nearDup = base(someId).substring(base(someId).indexOf(' ') + 1)
+    val novel = "zzqx glorp wibble frotz yoik snarf blib quux nargle veep"
+    input.addData((floor + 1, nearDup), (floor + 2, novel))
+    q.processAllAvailable()
+    assert(rejected.asScala.toSet == Set(floor + 1), rejected.toString)
+    assert(accepted.asScala.toSet == Set(floor + 2))
+    // batch 2: a near-dup OF THE BATCH-1 SURVIVOR — only catchable
+    // because the survivor was appended to the persisted index
+    val novelDup = novel.substring(novel.indexOf(' ') + 1)
+    input.addData((floor + 3, novelDup))
+    q.processAllAvailable()
+    q.stop()
+    assert(rejected.asScala.toSet == Set(floor + 1, floor + 3),
+      s"cross-batch dup not caught: $rejected")
+    assert(accepted.asScala.toSet == Set(floor + 2))
+  }
+
   test("band_idx footer stats slice the bands table by band") {
     val dir = LshIndex.ensure(spark, sfDir)
     val files = new java.io.File(dir, "bands").listFiles()

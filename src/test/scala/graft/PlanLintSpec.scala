@@ -78,6 +78,9 @@ class PlanLintSpec extends SparkSpec {
     "lsh_index_probe" ->
       ("signature reassembly from the persisted sigs table: collect_list " +
         "per doc_id of exactly 12 MinHash components"),
+    "lsh_index_append" ->
+      ("same signature reassembly (base + appended batch read from the " +
+        "persisted sigs table), 12-bounded groups"),
   )
 
   /** Queries allowed a broadcast cross join whose build side is neither a
