@@ -71,7 +71,23 @@ object ScaleSmoke {
     println(s"delta: ${delta.count()} vectors")
     timed("ivfpq_append_frozen") {
       graft.ops.IvfPqIndex.appendToIndex(spark, idxDir, delta) }
-    search("search_after_append")
+    // post-append search must pass the FULL corpus (base ∪ delta): the
+    // re-rank stage fetches full-precision vectors by inner join, so a
+    // corpus frame missing the appended ids would silently drop the true
+    // nearest neighbors (the review-caught failure this guards).
+    val embAll = embCorpus.unionByName(
+      delta.select(col("vec_id"),
+        expr("cast(v as array<float>)").as("embedding"), lit(-1L).as("label")))
+      .localCheckpoint(true)
+    timed("search_after_append") {
+      val rows = graft.ops.IvfPqIndex.searchIndex(spark, idxDir, embAll)
+        .collect()
+      assert(rows.length == graft.ops.IvfPqIndex.SearchQueries * 5)
+      // every query's perturbed twin was appended at id+n and must now
+      // top at least SOME results — the appended vectors are findable
+      assert(rows.exists(_.getAs[Long]("vec_id") >= n),
+        "no appended vector surfaced in any top-k")
+    }
 
     // ---- (b) persisted LSH dedup index: sketch once, probe per batch.
     // The claim: probing a 4%-of-corpus arriving batch against the

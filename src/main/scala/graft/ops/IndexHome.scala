@@ -55,7 +55,10 @@ private[ops] object IndexHome {
     * Gavro source: the commit log's entry names and bodies (commit ids
     * are the table's durable identity). Parquet source: per part, name +
     * length + sha-256 of the first and last 64 KiB. Cost: two bounded
-    * reads per part file on the cold path only — memoized per JVM. */
+    * reads per part file per key resolution — deliberately NOT memoized:
+    * a long-running JVM whose source is regenerated under the same path
+    * (the continuously-maintained operating mode) must re-key, and a
+    * cached digest would serve the stale index forever. */
   def sourceFingerprint(src: java.io.File): String = {
     val md = java.security.MessageDigest.getInstance("SHA-256")
     def update(s: String): Unit = md.update(s.getBytes("UTF-8"))
@@ -73,30 +76,36 @@ private[ops] object IndexHome {
       parts.filterNot(_.getName.startsWith(".")).foreach { f =>
         update(s"${f.getName}:${f.length()}:")
         val raf = new java.io.RandomAccessFile(f, "r")
+        // full-read loops: a single read() may legally return short
+        // (network FS), and a short read would silently change the
+        // digest — a spurious re-key and a duplicate index build.
+        def digestFully(limit: Long): Unit = {
+          var remaining = limit
+          while (remaining > 0) {
+            val n = raf.read(buf, 0, math.min(buf.length.toLong, remaining).toInt)
+            if (n <= 0) return
+            md.update(buf, 0, n); remaining -= n
+          }
+        }
         try {
-          var n = raf.read(buf)
-          if (n > 0) md.update(buf, 0, n)
+          digestFully(math.min(f.length(), buf.length.toLong))
           val tailStart = math.max(f.length() - buf.length, 0L)
           raf.seek(tailStart)
-          n = raf.read(buf)
-          if (n > 0) md.update(buf, 0, n)
+          digestFully(f.length() - tailStart)
         } finally raf.close()
       }
     }
     md.digest().take(12).map(b => f"$b%02x").mkString
   }
 
-  private val fingerprintMemo =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
-
   /** The key directory for `src` under `prefix` (version + kind + source
-    * scope — [[pruneStale]] reclaims only same-prefix siblings). */
+    * scope — [[pruneStale]] reclaims only same-prefix siblings). The
+    * fingerprint is recomputed on every resolution (see
+    * [[sourceFingerprint]]'s cost note) so in-JVM source regeneration
+    * re-keys instead of silently reusing a stale index. */
   def keyDir(spark: SparkSession, src: java.io.File,
-      prefix: String): java.io.File = {
-    val fp = fingerprintMemo.computeIfAbsent(
-      src.getAbsolutePath, _ => sourceFingerprint(src))
-    new java.io.File(indexRoot(spark), prefix + fp)
-  }
+      prefix: String): java.io.File =
+    new java.io.File(indexRoot(spark), prefix + sourceFingerprint(src))
 
   private def liveMarker(key: java.io.File) = new java.io.File(key, "_LIVE")
 

@@ -187,19 +187,27 @@ object IvfPqIndex {
     searchQueries(spark, dir, queries, emb)
   }
 
-  /** The SERVING entry: answer an EXPLICIT batch of query vectors
-    * against the prebuilt index — what a query micro-batch (or an RPC
-    * batch at cluster scale) calls per trigger, leaving the index
-    * untouched between calls. `queries` = (q_id, qv) with qv already at
-    * [[Quantize.quantQv]]'s integer scale; `emb` = the corpus, read only
-    * for the shortlist's full-precision re-rank vectors. Identical plan
-    * to [[searchIndex]] — that is the point: batch and serve are one
-    * code path, so the batch oracle verifies the serve result shape. */
   /** Quantize raw serve-side query vectors to [[searchQueries]]'s input
     * shape: (q_id, embedding) → (q_id, qv) at the index's integer scale. */
   def quantizeQueries(queries: DataFrame): DataFrame =
     queries.select(col("q_id"), Quantize.quantQv("embedding").as("qv"))
 
+  /** The SERVING entry: answer an EXPLICIT batch of query vectors
+    * against the prebuilt index — what a query micro-batch (or an RPC
+    * batch at cluster scale) calls per trigger, leaving the index
+    * untouched between calls. `queries` = (q_id, qv) with qv ALREADY at
+    * [[Quantize.quantQv]]'s integer scale (use [[quantizeQueries]] on
+    * raw embeddings — no type distinguishes the two shapes, and raw
+    * vectors here mean silently wrong distances). `emb` must cover the
+    * WHOLE indexed corpus (including any batches folded in via
+    * [[appendToIndex]]): it supplies the shortlist's full-precision
+    * re-rank vectors through an inner join, so an id present in the
+    * index but absent from `emb` is dropped from the shortlist — on an
+    * appended index, pass base ∪ delta or the true nearest appended
+    * neighbors vanish from the top-k (the ADC-only [[searchAppended]]
+    * path has no such dependency). Identical plan to [[searchIndex]] —
+    * that is the point: batch and serve are one code path, so the batch
+    * oracle verifies the serve result shape. */
   def searchQueries(spark: SparkSession, dir: String, queries: DataFrame,
       emb: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window

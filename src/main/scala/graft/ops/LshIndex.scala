@@ -138,10 +138,26 @@ object LshIndex {
     * the corpus sketch is never recomputed. */
   def probeBatch(spark: SparkSession, dir: String, delta: DataFrame,
       newFrom: Long): DataFrame = {
+    // NOT persisted: this path runs once per streaming micro-batch and
+    // the returned lazy frame escapes, so a persist here would leak one
+    // cached delta sketch per trigger. The sketch appears twice in the
+    // plan (sigs ∪, bands ∪) — recomputing O(|delta|) hashing is the
+    // price of a leak-free serve path.
     val deltaSigs = Dedup.minhashSignatures(delta)
-      .select(col("doc_id"), col("sig")).persist()
-    val sigs = loadSigs(spark, dir).unionByName(deltaSigs)
-    val allBands = loadBands(spark, dir).unionByName(Dedup.bands(deltaSigs))
+      .select(col("doc_id"), col("sig"))
+    probeCore(
+      loadSigs(spark, dir).unionByName(deltaSigs),
+      loadBands(spark, dir).unionByName(Dedup.bands(deltaSigs)),
+      newFrom)
+  }
+
+  /** The shared probe tail — bucket cap, banded pair join restricted to
+    * the batch, signature-agreement Jaccard — over whatever (sigs,
+    * bands) view the caller assembled. ONE copy of the oracle-pinned
+    * semantics (MaxBucketSize, 12-way agreement, 4-place rounding), so
+    * the three-paths-one-answer hash equality cannot drift apart. */
+  private def probeCore(sigs: DataFrame, allBands: DataFrame,
+      newFrom: Long): DataFrame = {
     val b = allBands
       .withColumn("bucket_n", count(lit(1))
         .over(org.apache.spark.sql.expressions.Window
@@ -211,27 +227,7 @@ object LshIndex {
     * the batch exactly as a from-scratch sketch would. */
   def probeAppended(spark: SparkSession, sfDir: String): DataFrame = {
     val dir = ensureAppended(spark, sfDir)
-    val sigs = loadSigs(spark, dir)
-    val b = loadBands(spark, dir)
-      .withColumn("bucket_n", count(lit(1))
-        .over(org.apache.spark.sql.expressions.Window
-          .partitionBy(col("band_idx"), col("band_key"))))
-      .filter(col("bucket_n") <= Dedup.MaxBucketSize)
-      .drop("bucket_n")
-    val newBands = b.filter(col("doc_id") >= NewFrom)
-    val pairs = b.as("x").join(newBands.as("y"),
-        col("x.band_idx") === col("y.band_idx") &&
-          col("x.band_key") === col("y.band_key") &&
-          col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-      .distinct()
-    pairs
-      .join(sigs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")), "doc_a")
-      .join(sigs.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")), "doc_b")
-      .select(col("doc_a"), col("doc_b"),
-        round(expr("size(filter(sequence(1, 12), i -> element_at(sig_a, i) = element_at(sig_b, i)))") / lit(12.0), 4)
-          .as("est_jaccard"))
-      .orderBy(col("doc_a"), col("doc_b"))
+    probeCore(loadSigs(spark, dir), loadBands(spark, dir), NewFrom)
   }
 
   // ---------------------------------------------------------------- registry

@@ -27,9 +27,17 @@ package graft.sources
   *     which `dst` is missing or partial — checkpoint folds rely on
   *     readers seeing either the old content or the new, never absence.
   *   - '''publishIfAbsent''' is putIfAbsent for a LARGE already-staged
-  *     blob (the optimize merge output): returns false instead of
-  *     throwing when `dst` exists, because the caller's allocate-retry
-  *     loop treats a taken name as "pick the next index", not an error.
+  *     blob (the optimize merge output, a writer task's finished part
+  *     file): returns false instead of throwing when `dst` exists,
+  *     because the caller's allocate-retry loop treats a taken name as
+  *     "pick the next index", not an error. NOTE — the one deliberate
+  *     coupling point between the planes: the staged blob was written
+  *     through the paired [[GavroDataStore]], so this method must be
+  *     able to READ objects that data store staged (trivially true when
+  *     one backend serves both planes, as on local FS, in the InMemory
+  *     test pair, and on any object store where staging IS an upload;
+  *     a deployment mixing two unrelated backends must bridge staging
+  *     or it fails loudly here at the first publish).
   *   - '''createMarkerIfAbsent''' is putIfAbsent of an empty object (the
   *     maintenance lock).
   *   - '''touch'''/'''mtime''' give maintenance-lock staleness and the

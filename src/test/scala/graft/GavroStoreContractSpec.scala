@@ -296,7 +296,13 @@ class InMemoryStore extends graft.sources.GavroStore
       dst: java.io.File): Boolean = {
     val bytes =
       if (staged.exists()) java.nio.file.Files.readAllBytes(staged.toPath)
-      else objects.get(key(staged)).bytes
+      else {
+        val o = objects.get(key(staged))
+        if (o == null) // loud, like every other missing-object path
+          throw new java.io.FileNotFoundException(
+            s"staged blob ${staged.getPath} exists in neither plane")
+        o.bytes
+      }
     objects.putIfAbsent(key(dst), Obj(bytes, System.currentTimeMillis())) == null
   }
 

@@ -92,6 +92,8 @@ def main():
     # gate; the fix is a re-run on an idle box, not a code hunt. Older
     # artifacts without the flag keep the legacy (trusting) behavior.
     new_canonical = new.get("canonical", True)
+    base_canonical = base.get("canonical", True)
+    comparable = new_canonical and base_canonical
 
     regressions, contention, noncanonical, improved, errors = [], [], [], [], []
     for name in sorted(set(bq) & set(nq)):
@@ -100,7 +102,7 @@ def main():
             continue
         if n > b * REGRESSION_FACTOR:
             bucket = (contention if contention_plausible(name)
-                      else regressions if new_canonical else noncanonical)
+                      else regressions if comparable else noncanonical)
             bucket.append((name, b, n))
         elif b > n * REGRESSION_FACTOR:
             improved.append((name, b, n))
@@ -121,11 +123,14 @@ def main():
         print(f"CONTENTION {name}: {b:.2f}s -> {n:.2f}s but shuffle bytes "
               f"unchanged — ambient load, not code; re-run on an idle box: "
               f'sbt -batch "runMain graft.Bench {name}"')
-    if not new_canonical:
-        print(f"NONCANONICAL record: loadavg_start "
-              f"{new.get('loadavg_start')} exceeded the record-run "
-              f"threshold — REGRESSED verdicts refused; re-run when "
-              f"1-min and 5-min loadavg settle")
+    if not comparable:
+        side = ("record" if not new_canonical else "BASELINE")
+        info = (new if not new_canonical else base).get('loadavg_start')
+        print(f"NONCANONICAL {side}: loadavg_start {info} exceeded the "
+              f"record-run threshold — REGRESSED verdicts refused (an "
+              f"inflated baseline also masks real regressions and "
+              f"fabricates IMPROVED lines); re-run when 1-min and 5-min "
+              f"loadavg settle")
     for name, b, n in noncanonical:
         print(f"NONCANONICAL-SUSPECT {name}: {b:.2f}s -> {n:.2f}s "
               f"(not a verdict: record run was not canonical)")
