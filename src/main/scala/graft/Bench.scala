@@ -33,8 +33,12 @@ object Bench {
     val loadavgStart = readLoadavg()
     val canonicalLoadMax =
       sys.env.getOrElse("SPARK_GRAFT_CANONICAL_LOAD", "2.0").toDouble
-    val canonical = loadavgStart.length >= 2 &&
-      loadavgStart(0) < canonicalLoadMax && loadavgStart(1) < canonicalLoadMax
+    // Unmeasurable load (no /proc/loadavg) falls back to the legacy
+    // TRUSTING behavior — inability to measure is not evidence of
+    // contention, and stamping false would permanently disable the
+    // regression gate on such hosts.
+    val canonical = loadavgStart.length < 2 ||
+      (loadavgStart(0) < canonicalLoadMax && loadavgStart(1) < canonicalLoadMax)
 
     // Shuffle telemetry: bytes written to shuffle per query (stage metrics
     // accumulate asynchronously; the snapshot after each query is taken

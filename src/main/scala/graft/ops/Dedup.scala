@@ -211,7 +211,19 @@ object Dedup {
     */
   def minhashIncremental(corpus: DataFrame, newFrom: Long = 10000L): DataFrame = {
     val sigs = minhashSignatures(corpus).select("doc_id", "sig").persist()
-    val allBands = bands(sigs)
+    bandProbe(sigs, bands(sigs), newFrom)
+  }
+
+  /** THE one copy of the batch-probe tail every incremental near-dup
+    * path shares — [[minhashIncremental]] (in-query), the persisted
+    * index's union probe and fully-materialized probe
+    * ([[LshIndex.probeBatch]]/[[LshIndex.probeAppended]]): probe-time
+    * mega-bucket cap, banded pair join restricted to docs at-or-above
+    * `newFrom`, 12-way signature-agreement Jaccard rounded to 4 places.
+    * The oracle-pinned semantics live HERE so the
+    * three-execution-paths-one-answer hash equality cannot drift. */
+  private[ops] def bandProbe(sigs: DataFrame, allBands: DataFrame,
+      newFrom: Long): DataFrame = {
     val b = allBands
       .withColumn("bucket_n", count(lit(1))
         .over(org.apache.spark.sql.expressions.Window

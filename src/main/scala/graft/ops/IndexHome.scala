@@ -64,10 +64,20 @@ private[ops] object IndexHome {
     def update(s: String): Unit = md.update(s.getBytes("UTF-8"))
     val commits = new java.io.File(src, Gavro.CommitsDir)
     if (commits.isDirectory) {
-      store.list(commits).sortBy(_.getName).foreach { f =>
-        update(f.getName + " ")
-        store.read(f).foreach(l => update(l + "\n"))
-      }
+      // ONLY the durable log entries (.commit/.checkpoint) participate:
+      // transient maintenance objects (_optimize.lock, .retire sidecars)
+      // and deletable .absorbed manifests would make the key FLAP while
+      // maintenance runs on the source table — a spurious re-key and a
+      // duplicate full build for unchanged content. (An optimize still
+      // re-keys: it rewrites the checkpoint set. Conservative — content
+      // is unchanged but the snapshot's durable identity is not.)
+      store.list(commits)
+        .filter(f => f.getName.endsWith(".commit") ||
+          f.getName.endsWith(".checkpoint"))
+        .sortBy(_.getName).foreach { f =>
+          update(f.getName + " ")
+          store.read(f).foreach(l => update(l + "\n"))
+        }
     } else {
       val parts: Seq[java.io.File] =
         if (src.isDirectory) store.list(src).sortBy(_.getName)
@@ -177,9 +187,27 @@ private[ops] object IndexHome {
     val key = keyDir(spark, src, prefix)
     resolveLive(key).getOrElse {
       pruneStale(spark, key, prefix)
+      pruneOrphanBuilds(spark, key)
       val (id, dir) = newBuildDir(key)
-      build(dir.getAbsolutePath)
+      // A build that throws must not strand its partial staging tree —
+      // nothing else under the LIVE key is ever reclaimed.
+      try build(dir.getAbsolutePath)
+      catch { case e: Throwable => deleteRec(dir); throw e }
       publish(key, id)
     }.getAbsolutePath
+  }
+
+  /** Reclaim builds under `key` that are not (or never became) the live
+    * one once they age past the grace window — the kill-9/crash case the
+    * exception path above cannot cover, and summary-query losers whose
+    * delete itself crashed. Live build untouched; grace protects an
+    * in-flight builder. */
+  def pruneOrphanBuilds(spark: SparkSession, key: java.io.File): Unit = {
+    val grace = pruneGraceMs(spark)
+    val live = resolveLive(key).map(_.getName).toSet
+    store.list(new java.io.File(key, "builds"))
+      .filter(b => !live(b.getName) &&
+        System.currentTimeMillis() - newestMtime(b) > grace)
+      .foreach(deleteRec)
   }
 }

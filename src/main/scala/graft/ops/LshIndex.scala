@@ -145,39 +145,10 @@ object LshIndex {
     // price of a leak-free serve path.
     val deltaSigs = Dedup.minhashSignatures(delta)
       .select(col("doc_id"), col("sig"))
-    probeCore(
+    Dedup.bandProbe(
       loadSigs(spark, dir).unionByName(deltaSigs),
       loadBands(spark, dir).unionByName(Dedup.bands(deltaSigs)),
       newFrom)
-  }
-
-  /** The shared probe tail — bucket cap, banded pair join restricted to
-    * the batch, signature-agreement Jaccard — over whatever (sigs,
-    * bands) view the caller assembled. ONE copy of the oracle-pinned
-    * semantics (MaxBucketSize, 12-way agreement, 4-place rounding), so
-    * the three-paths-one-answer hash equality cannot drift apart. */
-  private def probeCore(sigs: DataFrame, allBands: DataFrame,
-      newFrom: Long): DataFrame = {
-    val b = allBands
-      .withColumn("bucket_n", count(lit(1))
-        .over(org.apache.spark.sql.expressions.Window
-          .partitionBy(col("band_idx"), col("band_key"))))
-      .filter(col("bucket_n") <= Dedup.MaxBucketSize)
-      .drop("bucket_n")
-    val newBands = b.filter(col("doc_id") >= newFrom)
-    val pairs = b.as("x").join(newBands.as("y"),
-        col("x.band_idx") === col("y.band_idx") &&
-          col("x.band_key") === col("y.band_key") &&
-          col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-      .distinct()
-    pairs
-      .join(sigs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")), "doc_a")
-      .join(sigs.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")), "doc_b")
-      .select(col("doc_a"), col("doc_b"),
-        round(expr("size(filter(sequence(1, 12), i -> element_at(sig_a, i) = element_at(sig_b, i)))") / lit(12.0), 4)
-          .as("est_jaccard"))
-      .orderBy(col("doc_a"), col("doc_b"))
   }
 
   // ------------------------------------------------------- incremental append
@@ -227,7 +198,7 @@ object LshIndex {
     * the batch exactly as a from-scratch sketch would. */
   def probeAppended(spark: SparkSession, sfDir: String): DataFrame = {
     val dir = ensureAppended(spark, sfDir)
-    probeCore(loadSigs(spark, dir), loadBands(spark, dir), NewFrom)
+    Dedup.bandProbe(loadSigs(spark, dir), loadBands(spark, dir), NewFrom)
   }
 
   // ---------------------------------------------------------------- registry
@@ -257,25 +228,20 @@ object LshIndex {
          |  sum(('0x' || substr(md5(band_key), 1, 15))::BIGINT % 999999937)::BIGINT
          |    AS sum_key
          |FROM all_bands GROUP BY band_idx ORDER BY band_idx""".stripMargin,
-    "lsh_index_probe" ->
-      s"""WITH ${Dedup.nearCorpusSql}, ${Dedup.sigSql}, ${Dedup.candSql}
-         |SELECT doc_a, doc_b,
-         |  round(len(list_filter(range(1, 13), i -> a.sig[i] = b.sig[i])) / 12.0, 4) AS est_jaccard
-         |FROM cands
-         |JOIN sigs a ON a.doc_id = doc_a
-         |JOIN sigs b ON b.doc_id = doc_b
-         |WHERE doc_b >= $NewFrom
-         |ORDER BY doc_a, doc_b""".stripMargin,
-    // Same unroll as the probe: the appended artifact must answer
-    // exactly what the in-query rebuild answers.
-    "lsh_index_append" ->
-      s"""WITH ${Dedup.nearCorpusSql}, ${Dedup.sigSql}, ${Dedup.candSql}
-         |SELECT doc_a, doc_b,
-         |  round(len(list_filter(range(1, 13), i -> a.sig[i] = b.sig[i])) / 12.0, 4) AS est_jaccard
-         |FROM cands
-         |JOIN sigs a ON a.doc_id = doc_a
-         |JOIN sigs b ON b.doc_id = doc_b
-         |WHERE doc_b >= $NewFrom
-         |ORDER BY doc_a, doc_b""".stripMargin,
+    "lsh_index_probe" -> probeOracleSql,
+    // The SAME unroll object: the appended artifact must answer exactly
+    // what the union probe and the in-query rebuild answer — sharing the
+    // literal removes the drift surface between the two entries.
+    "lsh_index_append" -> probeOracleSql,
   )
+
+  private lazy val probeOracleSql: String =
+    s"""WITH ${Dedup.nearCorpusSql}, ${Dedup.sigSql}, ${Dedup.candSql}
+       |SELECT doc_a, doc_b,
+       |  round(len(list_filter(range(1, 13), i -> a.sig[i] = b.sig[i])) / 12.0, 4) AS est_jaccard
+       |FROM cands
+       |JOIN sigs a ON a.doc_id = doc_a
+       |JOIN sigs b ON b.doc_id = doc_b
+       |WHERE doc_b >= $NewFrom
+       |ORDER BY doc_a, doc_b""".stripMargin
 }

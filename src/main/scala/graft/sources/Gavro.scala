@@ -2019,7 +2019,7 @@ object Gavro {
     * STALE lock is detected and the loser errors loudly. */
   def optimize(path: String,
       targetBytes: Long = OptimizeTargetBytes,
-      protectPrefix: Option[String] = None): Seq[String] = {
+      protectPrefix: Seq[String] = Nil): Seq[String] = {
     val d = new java.io.File(path)
     val commits = new java.io.File(d, CommitsDir)
     require(commits.isDirectory,
@@ -2066,7 +2066,7 @@ object Gavro {
   }
 
   private def optimizeLocked(path: String, targetBytes: Long,
-      protectPrefix: Option[String] = None): Seq[String] = {
+      protectPrefix: Seq[String] = Nil): Seq[String] = {
     val d = new java.io.File(path)
     val commits = new java.io.File(d, CommitsDir)
     healLog(path) // resume any crashed prior swap before reading state
@@ -2092,25 +2092,34 @@ object Gavro {
         }
         flush()
     }
-    // Watermark-aware packing (opt-in): `protectPrefix` names the
-    // minimum offset watermark across the table's live consumers. The
-    // one at-least-once corner of the stream's OPTIMIZE translation is a
-    // pass that absorbs consumed files while the watermark FILE itself
-    // survives the pass (the consumed prefix is split: its interior
-    // vanishes into merged outputs but its boundary name stays listed,
-    // and [[GavroMicroBatchStream.deliverables]] must re-deliver the
-    // merged outputs once to stay safe). So: if this pass does NOT
-    // absorb the watermark file itself, drop every bin that would
-    // absorb a file at-or-below it — either the watermark vanishes with
-    // its prefix (exact vanished-watermark translation) or the consumed
-    // prefix is left intact (nothing to translate). A cooperating
-    // deployment that passes its consumers' floor makes the corner
-    // unreachable by construction; callers that pass None keep today's
-    // behavior exactly.
-    protectPrefix.foreach { w =>
-      val wouldAbsorb = bins.exists(_._2.exists(_._1.getName == w))
-      if (!wouldAbsorb)
-        bins = bins.filter(_._2.forall(_._1.getName > w))
+    // Watermark-aware packing (opt-in): `protectPrefix` names EVERY live
+    // consumer's offset watermark (one name per consumer — a single
+    // consumer passes one). The one at-least-once corner of the stream's
+    // OPTIMIZE translation is a pass that absorbs a consumer's consumed
+    // files while that consumer's watermark FILE itself survives (the
+    // consumed prefix is split: its interior vanishes into merged
+    // outputs but its boundary name stays listed, and
+    // [[GavroMicroBatchStream.deliverables]] must re-deliver the merged
+    // outputs once to stay safe). So, PER WATERMARK: if this pass does
+    // not absorb that watermark's file, drop every bin absorbing a file
+    // at-or-below it — either the watermark vanishes with its prefix
+    // (exact vanished-watermark translation) or that consumer's
+    // consumed prefix is left intact. Dropping a bin can newly leave a
+    // LOWER watermark's file unabsorbed, so the rule runs to fixpoint
+    // (bins only shrink — terminates). Passing only the minimum
+    // watermark protects only that consumer; pass the full set to make
+    // the corner unreachable for every cooperating consumer. Callers
+    // that pass Nil keep the unprotected behavior exactly.
+    if (protectPrefix.nonEmpty) {
+      var changed = true
+      while (changed) {
+        val absorbedNow = bins.flatMap(_._2.map(_._1.getName)).toSet
+        val surviving = protectPrefix.filterNot(absorbedNow)
+        val kept = bins.filter(_._2.forall(
+          f => !surviving.exists(w => f._1.getName <= w)))
+        changed = kept.size != bins.size
+        bins = kept
+      }
     }
     val merged = scala.collection.mutable.ArrayBuffer.empty[String]
     // Per merged output: its constituents with their byte ranges inside it

@@ -570,7 +570,7 @@ class GavroStreamSpec extends SparkSpec {
     // still flows.
     val (d2, s2, drain2) = build()
     assert(graft.sources.Gavro.optimize(d2, target,
-      protectPrefix = Some("part-00004.gavro")).isEmpty)
+      protectPrefix = Seq("part-00004.gavro")).isEmpty)
     val before2 = s2.size
     drain2()
     assert(s2.size == before2, s"protected optimize re-delivered")
@@ -585,11 +585,25 @@ class GavroStreamSpec extends SparkSpec {
     // proceed and the vanished-watermark translation stays exactly-once.
     val (d3, s3, drain3) = build()
     assert(graft.sources.Gavro.optimize(d3, 1L << 20,
-      protectPrefix = Some("part-00004.gavro")).nonEmpty)
+      protectPrefix = Seq("part-00004.gavro")).nonEmpty)
     assert(!listed(d3).contains("part-00004.gavro"))
     val before3 = s3.size
     drain3()
     assert(s3.size == before3, s"vanished-watermark pass re-delivered")
+
+    // MULTI-CONSUMER: a second consumer's floor sits at part-00002 while
+    // this one's watermark is part-00004. Protecting only the FLOOR is
+    // not enough — the floor file is absorbable, so the pass would
+    // proceed and still split THIS consumer's prefix. Passing every
+    // consumer's watermark runs the rule to fixpoint: part-00004
+    // survives, so every bin at-or-below it is dropped and nothing
+    // re-delivers for anyone.
+    val (d4, s4, drain4) = build()
+    assert(graft.sources.Gavro.optimize(d4, target,
+      protectPrefix = Seq("part-00002.gavro", "part-00004.gavro")).isEmpty)
+    val before4 = s4.size
+    drain4()
+    assert(s4.size == before4, s"multi-consumer protection re-delivered")
   }
 
   test("forced admission and ambiguous re-delivery surface as source metrics") {

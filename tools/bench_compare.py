@@ -105,7 +105,9 @@ def main():
                       else regressions if comparable else noncanonical)
             bucket.append((name, b, n))
         elif b > n * REGRESSION_FACTOR:
-            improved.append((name, b, n))
+            # an inflated baseline fabricates wins exactly as it masks
+            # regressions — demote both when the pair is not comparable
+            (improved if comparable else noncanonical).append((name, b, n))
     for name in sorted(set(bq) - set(nq)):
         if name in new.get("errors", {}):
             errors.append((name, new["errors"][name]))
