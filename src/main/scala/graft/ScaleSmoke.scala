@@ -64,10 +64,7 @@ object ScaleSmoke {
     search("search_before_append")
     // tonight's crawl: a perturbed twin of every 50th corpus vector, ids
     // shifted above the live domain (2% of corpus — the daily-batch shape)
-    val delta = embCorpus.filter(pmod(col("vec_id"), lit(50)) === 0)
-      .select((col("vec_id") + n).as("vec_id"),
-        expr("transform(cast(embedding as array<double>), (x, i) -> x + ((i % 7) - 3) / 1000d)")
-          .as("v"))
+    val delta = graft.ops.Quantize.plantedDelta(embCorpus, idShift = n)
     println(s"delta: ${delta.count()} vectors")
     timed("ivfpq_append_frozen") {
       graft.ops.IvfPqIndex.appendToIndex(spark, idxDir, delta) }

@@ -79,12 +79,19 @@ private[ops] object IndexHome {
           store.read(f).foreach(l => update(l + "\n"))
         }
     } else {
-      val parts: Seq[java.io.File] =
-        if (src.isDirectory) store.list(src).sortBy(_.getName)
-        else Seq(src)
+      // Recurse: a partitioned layout (label=0/part-*.parquet) lists
+      // DIRECTORY children, which must contribute their files — not be
+      // opened as files (RandomAccessFile on a dir throws).
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory)
+          store.list(f).sortBy(_.getName)
+            .filterNot(_.getName.startsWith(".")).flatMap(walk)
+        else Seq(f)
+      val parts: Seq[java.io.File] = walk(src)
+      val prefix = src.getAbsolutePath
       val buf = new Array[Byte](64 * 1024)
-      parts.filterNot(_.getName.startsWith(".")).foreach { f =>
-        update(s"${f.getName}:${f.length()}:")
+      parts.foreach { f =>
+        update(s"${f.getAbsolutePath.stripPrefix(prefix)}:${f.length()}:")
         val raf = new java.io.RandomAccessFile(f, "r")
         // full-read loops: a single read() may legally return short
         // (network FS), and a short read would silently change the

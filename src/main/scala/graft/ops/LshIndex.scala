@@ -47,8 +47,10 @@ object LshIndex {
     * ids, matching [[Dedup.minhashIncremental]]'s default. */
   val NewFrom = 10000L
 
-  private def sfPrefix(sfDir: String): String =
-    s"graft_lsh_v${Version}_" + IndexHome.sha256Hex(sfDir, 6) + "_"
+  /** `scope` separates the canonical probe instance ("") from the
+    * append-maintained one ("a") — one key format, two namespaces. */
+  private def sfPrefix(sfDir: String, scope: String = ""): String =
+    s"graft_lsh_v${Version}${scope}_" + IndexHome.sha256Hex(sfDir, 6) + "_"
 
   private def srcFile(sfDir: String) =
     new java.io.File(sfDir, "documents.parquet")
@@ -182,8 +184,7 @@ object LshIndex {
     * Separate cache scope so the mutation never touches the probe
     * query's instance. */
   def ensureAppended(spark: SparkSession, sfDir: String): String =
-    IndexHome.ensureBuilt(spark, srcFile(sfDir),
-        s"graft_lsh_v${Version}a_" + IndexHome.sha256Hex(sfDir, 6) + "_") { dir =>
+    IndexHome.ensureBuilt(spark, srcFile(sfDir), sfPrefix(sfDir, "a")) { dir =>
       val documents = Tables.documents(spark, sfDir)
       buildAndWrite(documents.select(col("doc_id"), col("text")), dir)
       appendBatch(spark, dir,

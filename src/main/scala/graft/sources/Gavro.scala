@@ -696,14 +696,20 @@ class GavroMicroBatchStream(path: String, schemaName: String,
 
   private def listing(): Array[java.io.File] = Gavro.listDataFiles(path)
 
-  // Manifests are immutable once published (put-if-absent) and only ever
-  // added, so a names+sizes fingerprint keys a cached parse — the history
-  // is re-read once per OPTIMIZE, not twice per trigger.
+  // Manifests are published put-if-absent and only ever added or
+  // retired, so a names+MTIMES fingerprint keys a cached parse — the
+  // history is re-read once per OPTIMIZE, not twice per trigger. The
+  // mtime must participate: a crashed optimize's torn manifest is healed
+  // away and the next pass can REUSE its checkpoint name for a different
+  // merge, so an identical name set does not imply identical content
+  // (names-only once served a stale parsed history across that swap).
   @volatile private var histCache: (String, Gavro.RewriteHistory) = null
   private def history(): Gavro.RewriteHistory = {
     val commits = new java.io.File(path, Gavro.CommitsDir)
-    val fp = Gavro.store.list(commits).map(_.getName)
-      .filter(_.endsWith(".absorbed")).sorted.mkString("|")
+    val fp = Gavro.store.list(commits)
+      .filter(_.getName.endsWith(".absorbed"))
+      .map(f => s"${f.getName}:${Gavro.store.mtime(f)}")
+      .sorted.mkString("|")
     val c = histCache
     if (c != null && c._1 == fp) c._2
     else { val h = Gavro.rewriteHistory(path); histCache = (fp, h); h }

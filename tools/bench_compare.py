@@ -101,8 +101,12 @@ def main():
         if max(b, n) < NOISE_FLOOR_SEC:
             continue
         if n > b * REGRESSION_FACTOR:
+            # A slowdown is a FAILURE unless the NEW run itself was
+            # taken under load: exceeding 2x even an inflated baseline is
+            # stronger evidence of regression, not weaker — only the
+            # new-run-noncanonical direction justifies refusal.
             bucket = (contention if contention_plausible(name)
-                      else regressions if comparable else noncanonical)
+                      else regressions if new_canonical else noncanonical)
             bucket.append((name, b, n))
         elif b > n * REGRESSION_FACTOR:
             # an inflated baseline fabricates wins exactly as it masks
@@ -128,11 +132,12 @@ def main():
     if not comparable:
         side = ("record" if not new_canonical else "BASELINE")
         info = (new if not new_canonical else base).get('loadavg_start')
+        effect = ("REGRESSED verdicts refused" if not new_canonical
+                  else "IMPROVED lines demoted (an inflated baseline "
+                       "fabricates wins; slowdowns vs it still FAIL)")
         print(f"NONCANONICAL {side}: loadavg_start {info} exceeded the "
-              f"record-run threshold — REGRESSED verdicts refused (an "
-              f"inflated baseline also masks real regressions and "
-              f"fabricates IMPROVED lines); re-run when 1-min and 5-min "
-              f"loadavg settle")
+              f"record-run threshold — {effect}; re-run when 1-min and "
+              f"5-min loadavg settle")
     for name, b, n in noncanonical:
         print(f"NONCANONICAL-SUSPECT {name}: {b:.2f}s -> {n:.2f}s "
               f"(not a verdict: record run was not canonical)")
