@@ -204,6 +204,23 @@ private[ops] object IndexHome {
     }.getAbsolutePath
   }
 
+  /** The forced-rebuild variant of [[ensureBuilt]] (the `*_build_index`
+    * oracle queries): ALWAYS build fresh — the oracle must verify a
+    * from-scratch artifact — then publish if no canonical build exists;
+    * a lost race reads the canonical copy (bit-identical content by
+    * build determinism). Same crash cleanup and orphan pruning as the
+    * ensure path, in ONE place. Returns the live build dir. */
+  def rebuildAndPublish(spark: SparkSession, src: java.io.File,
+      prefix: String)(build: String => Unit): java.io.File = {
+    val key = keyDir(spark, src, prefix)
+    if (resolveLive(key).isEmpty) pruneStale(spark, key, prefix)
+    pruneOrphanBuilds(spark, key)
+    val (id, dir) = newBuildDir(key)
+    try build(dir.getAbsolutePath)
+    catch { case e: Throwable => deleteRec(dir); throw e }
+    publish(key, id)
+  }
+
   /** Reclaim builds under `key` that are not (or never became) the live
     * one once they age past the grace window — the kill-9/crash case the
     * exception path above cannot cover, and summary-query losers whose

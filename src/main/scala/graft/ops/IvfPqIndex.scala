@@ -148,15 +148,10 @@ object IvfPqIndex {
     * intermediate. Publishes the fresh build if no canonical index exists
     * yet, so a later search query starts warm. */
   def buildIndexSummary(spark: SparkSession, sfDir: String): DataFrame = {
-    val key = IndexHome.keyDir(spark, srcFile(sfDir), sfPrefix(sfDir, ""))
-    if (IndexHome.resolveLive(key).isEmpty)
-      IndexHome.pruneStale(spark, key, sfPrefix(sfDir, ""))
-    val (id, dir) = IndexHome.newBuildDir(key)
-    buildAndWrite(Tables.embeddings(spark, sfDir), dir.getAbsolutePath)
-    // Publish if first; a lost race reads the canonical copy — the fresh
-    // build's CONTENT is identical (deterministic training; only the file
-    // layout can differ) and the summary below is layout-independent.
-    val live = IndexHome.publish(key, id)
+    val live = IndexHome.rebuildAndPublish(spark, srcFile(sfDir),
+        sfPrefix(sfDir, "")) { dir =>
+      buildAndWrite(Tables.embeddings(spark, sfDir), dir)
+    }
     spark.read.format("gavro").option("schema", "ivf_codes")
       .load(s"${live.getAbsolutePath}/codes")
       .groupBy(col("cell"), col("sub_idx"))

@@ -103,14 +103,11 @@ object LshIndex {
     * bucket-key checksum) — the oracle hash verifies the persisted
     * artifact itself, the same contract as `ann_ivfpq_build_index`. */
   def buildIndexSummary(spark: SparkSession, sfDir: String): DataFrame = {
-    val key = IndexHome.keyDir(spark, srcFile(sfDir), sfPrefix(sfDir))
-    if (IndexHome.resolveLive(key).isEmpty)
-      IndexHome.pruneStale(spark, key, sfPrefix(sfDir))
-    val (id, dir) = IndexHome.newBuildDir(key)
-    buildAndWrite(
-      Tables.documents(spark, sfDir).select(col("doc_id"), col("text")),
-      dir.getAbsolutePath)
-    val live = IndexHome.publish(key, id)
+    val live = IndexHome.rebuildAndPublish(spark, srcFile(sfDir),
+        sfPrefix(sfDir)) { dir =>
+      buildAndWrite(
+        Tables.documents(spark, sfDir).select(col("doc_id"), col("text")), dir)
+    }
     loadBands(spark, live.getAbsolutePath)
       .groupBy(col("band_idx"))
       .agg(count(lit(1)).as("n"),

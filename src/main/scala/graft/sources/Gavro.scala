@@ -708,7 +708,7 @@ class GavroMicroBatchStream(path: String, schemaName: String,
     val commits = new java.io.File(path, Gavro.CommitsDir)
     val fp = Gavro.store.list(commits)
       .filter(_.getName.endsWith(".absorbed"))
-      .map(f => s"${f.getName}:${Gavro.store.mtime(f)}")
+      .map(f => s"${f.getName}:${Gavro.store.mtime(f)}:${f.length()}")
       .sorted.mkString("|")
     val c = histCache
     if (c != null && c._1 == fp) c._2
@@ -2079,7 +2079,8 @@ object Gavro {
     val live = listDataFiles(path)
     val metas = live.map(f => f -> GavroFooter.read(f))
     val candidates = metas.filter { case (f, m) =>
-      m.dataEnd < dataStore.length(f) && dataStore.length(f) < targetBytes }
+      val len = dataStore.length(f)
+      m.dataEnd < len && len < targetBytes }
     // Pack first, merge after: bins are independent merge units, and the
     // watermark-protection rule below needs the WHOLE pass's absorbed set
     // before any byte is copied.
@@ -2150,7 +2151,7 @@ object Gavro {
     // absorbed file's write time may be hours old — without the touch, a
     // vacuum racing the swap would reap them immediately, yanking inputs
     // from an in-flight pre-swap reader.
-    absorbed.foreach(store.touch)
+    absorbed.foreach(dataStore.touch)
     // The atomic swap: one checkpoint at a fresh sequence = the new live
     // set, computed from the CURRENT committed state (commits may have
     // landed during the byte copy), minus the absorbed names, plus the
@@ -2202,7 +2203,7 @@ object Gavro {
   private def retireBelow(path: String, cpName: String,
       gone: Set[String]): Unit = {
     val commits = new java.io.File(path, CommitsDir)
-    gone.foreach(n => store.touch(new java.io.File(path, n)))
+    gone.foreach(n => dataStore.touch(new java.io.File(path, n)))
     retireRecords(path, cpName, gone)
     logEntries(commits, ".checkpoint")
       .filter(_.getName.stripSuffix(".checkpoint") < cpName)
@@ -2397,11 +2398,14 @@ object Gavro {
       healLog(path)
     val committed = committedNames(path, None)
     val horizon = System.currentTimeMillis() - graceMs
-    val dead = store.list(d)
-      .filter(f => store.mtime(f) <= horizon &&
+    // Orphan reclamation is a DATA-plane sweep: the objects being listed,
+    // aged, and deleted are .gavro bytes, so it rides the data seam (the
+    // coordination store above supplies only the lock's clock).
+    val dead = dataStore.list(d)
+      .filter(f => dataStore.mtime(f) <= horizon &&
         ((f.getName.endsWith(".gavro") && !committed(f.getName)) ||
           f.getName.endsWith(".gavro.tmp")))
-    dead.foreach(store.delete)
+    dead.foreach(dataStore.delete)
     dead.map(_.getName).sorted.toSeq
   }
 

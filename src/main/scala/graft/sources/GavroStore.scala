@@ -146,6 +146,16 @@ trait GavroDataStore {
   /** Current children of `dir`/prefix (empty when absent). */
   def list(dir: java.io.File): Seq[java.io.File]
 
+  /** The data plane's staleness/grace clock, mirroring the coordination
+    * seam's: [[graft.sources.Gavro.vacuum]]'s retention grace and the
+    * optimize retire's re-touch operate on DATA objects, so their clock
+    * must live on THIS plane (an object-store impl keeps it in object
+    * metadata; the contract is monotone-after-touch, not POSIX mtime). */
+  def mtime(f: java.io.File): Long
+
+  /** Move `f`'s clock to now (vacuum-grace reset on retired files). */
+  def touch(f: java.io.File): Unit
+
   /** Exactly `len` bytes starting at `start` — the footer-parse
     * convenience; loud on truncation. */
   final def readRange(f: java.io.File, start: Long, len: Int): Array[Byte] = {
@@ -233,4 +243,9 @@ object LocalFsDataStore extends GavroDataStore {
 
   override def list(dir: java.io.File): Seq[java.io.File] =
     Option(dir.listFiles()).map(_.toSeq).getOrElse(Seq.empty)
+
+  override def mtime(f: java.io.File): Long = f.lastModified()
+
+  override def touch(f: java.io.File): Unit =
+    f.setLastModified(System.currentTimeMillis())
 }

@@ -204,6 +204,16 @@ abstract class GavroDataStoreContract extends AnyFunSuite {
     assert(!data.delete(obj))
     assert(data.list(f(d, "no-such-dir")).isEmpty)
   }
+
+  test("touch advances the data plane's grace clock") {
+    val d = freshDir()
+    val obj = f(d, "clock.gavro")
+    val out = data.create(obj); out.write(payload, 0, 10); out.close()
+    val before = System.currentTimeMillis()
+    data.touch(obj)
+    assert(data.mtime(obj) >= before - 1000,
+      s"touch did not advance: ${data.mtime(obj)} < $before")
+  }
 }
 
 class LocalFsDataStoreContractSpec extends GavroDataStoreContract {

@@ -140,7 +140,8 @@ def main():
               f"5-min loadavg settle")
     for name, b, n in noncanonical:
         print(f"NONCANONICAL-SUSPECT {name}: {b:.2f}s -> {n:.2f}s "
-              f"(not a verdict: record run was not canonical)")
+              f"(not a verdict: the artifacts are not comparable — see "
+              f"the NONCANONICAL line for which side to re-record)")
     for name, msg in errors:
         print(f"ERROR     {name}: was {bq[name]:.2f}s, now fails: {msg[:120]}")
     if not regressions and not errors:
