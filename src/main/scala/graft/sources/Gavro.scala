@@ -2482,6 +2482,74 @@ object Gavro {
     }
   }
 
+  /** A gavro stream's last fully-committed position, read from its Spark
+    * Structured Streaming checkpoint: the offset of the highest batch id
+    * present in `commits/` (a batch whose offset landed but never
+    * committed may not have delivered — its content is NOT consumed).
+    * None when no batch has committed yet (a fresh consumer reads the
+    * current snapshot, so it needs no watermark protection). Parses the
+    * single gavro source's `{"last":…,"thru":…}` line; file names are
+    * `[A-Za-z0-9._-]` by the commit contract, so the fields are
+    * regex-clean. */
+  def checkpointPosition(checkpointDir: String): Option[GavroStreamOffset] = {
+    val committed = store.list(new java.io.File(checkpointDir, "commits"))
+      .flatMap(_.getName.toLongOption).sorted.lastOption
+    committed.flatMap { n =>
+      val f = new java.io.File(new java.io.File(checkpointDir, "offsets"),
+        n.toString)
+      val pat = """\{"last":"([A-Za-z0-9._-]*)","thru":"([A-Za-z0-9._-]*)"\}""".r
+      store.read(f).reverseIterator.collectFirst {
+        case pat(last, thru) => GavroStreamOffset(last, thru)
+      }
+    }
+  }
+
+  /** What [[maintain]] did, for the operator's log: merged outputs, the
+    * watermark set that protected the pass, the retention floor applied
+    * (None = some consumer has not yet crossed any optimize swap, so no
+    * manifest is provably disposable), manifests deleted, orphaned data
+    * files reclaimed. */
+  case class MaintenanceReport(merged: Seq[String],
+      protectedWatermarks: Seq[String], thruFloor: Option[String],
+      manifestsDeleted: Seq[String], orphansDeleted: Seq[String])
+
+  /** The NIGHTLY MAINTENANCE JOB, one call: read every live consumer's
+    * position from its streaming checkpoint and run the full cooperative
+    * cycle —
+    *
+    *   1. OPTIMIZE with `protectPrefix` = the consumers' watermark set,
+    *      so no pass ever splits a consumed prefix (the at-least-once
+    *      corner is unreachable, per consumer, by construction);
+    *   2. `.absorbed` manifest RETENTION with the floor = the minimum
+    *      `thru` across consumers (skipped while any consumer has not
+    *      yet crossed a swap — nothing is provably disposable);
+    *   3. VACUUM of retired data files past the grace window.
+    *
+    * This closes the loop the piecewise APIs left to the operator: the
+    * caller no longer needs to know what a watermark or a `thru` is —
+    * only where its consumers' checkpoints live. Consumers keep running
+    * during the call (the same guarantees their specs pin); a consumer
+    * whose checkpoint directory holds no committed batch yet is a fresh
+    * reader of the current snapshot and imposes no constraint. */
+  def maintain(path: String, checkpointDirs: Seq[String],
+      targetBytes: Long = OptimizeTargetBytes,
+      graceMs: Long = VacuumGraceMs): MaintenanceReport = {
+    val positions = checkpointDirs.flatMap(checkpointPosition)
+    val watermarks = positions.map(_.last).filter(_.nonEmpty).distinct.sorted
+    val merged = optimize(path, targetBytes, protectPrefix = watermarks)
+    // min-thru floor: only meaningful when EVERY live consumer carries
+    // one (positions with an empty thru have not crossed a swap; the
+    // manifests they may still need are exactly the ones a floor would
+    // delete). Consumers that never committed impose nothing.
+    val floor =
+      if (positions.nonEmpty && positions.forall(_.thru.nonEmpty))
+        Some(positions.map(_.thru).min)
+      else None
+    val retained = floor.map(vacuumManifests(path, _)).getOrElse(Seq.empty)
+    val orphans = vacuum(path, graceMs)
+    MaintenanceReport(merged, watermarks, floor, retained, orphans)
+  }
+
   /** Next shared commit sequence number: one zero-padded counter across
     * batch AND streaming records so lexicographic name order is commit
     * order (checkpoint names participate too — a checkpoint summarizes

@@ -676,6 +676,91 @@ class GavroStreamSpec extends SparkSpec {
       p2.recentProgress.map(_.sources.head.metrics).mkString(";"))
   }
 
+  test("maintain: the one-call nightly job reads consumer checkpoints and runs the safe cycle") {
+    import scala.jdk.CollectionConverters._
+    val dir = java.nio.file.Files.createTempDirectory("gavro-maint").toString
+    val ckA = java.nio.file.Files.createTempDirectory("gavro-maint-a").toString
+    val ckB = java.nio.file.Files.createTempDirectory("gavro-maint-b").toString
+    (0 until 4).foreach(i =>
+      writeFile(dir, f"part-$i%05d.gavro", Seq(i.toLong), footer = true))
+    writeFile(dir, "part-00004.gavro", 100L until 600L, footer = true)
+    graft.sources.Gavro.commitBatch(dir,
+      (0 to 4).map(i => f"part-$i%05d.gavro"))
+    def consumer(ckpt: String, seen: java.util.concurrent.ConcurrentLinkedQueue[Long],
+        maxFiles: Option[Int] = None) = {
+      val r = spark.readStream.format("gavro").option("schema", "system_metrics")
+      maxFiles.foreach(m => r.option("maxFilesPerTrigger", m.toString))
+      r.load(dir)
+        .writeStream.option("checkpointLocation", ckpt)
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          df.select(col("id")).collect().foreach(r => seen.add(r.getLong(0))); ()
+        }
+        .start()
+    }
+    val seenA = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val seenB = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    def drainA(): Unit = { val q = consumer(ckA, seenA); q.processAllAvailable(); q.stop() }
+    drainA()
+    assert(seenA.asScala.toSeq.sorted == ((0L until 4L) ++ (100L until 600L)))
+    // B stops after ONE bounded batch: its watermark sits mid-prefix
+    val qb = consumer(ckB, seenB, maxFiles = Some(2))
+    val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
+    while (seenB.size < 2 && System.nanoTime() < deadline) Thread.sleep(50)
+    qb.stop()
+    assert(graft.sources.Gavro.checkpointPosition(ckB).exists(_.last.nonEmpty))
+
+    // ---- maintain #1: B's mid-prefix watermark + A's surviving big file
+    // => nothing may merge; no retention floor yet (thru empty everywhere)
+    val r1 = graft.sources.Gavro.maintain(dir, Seq(ckA, ckB),
+      targetBytes = 4096L)
+    assert(r1.merged.isEmpty, r1.toString)
+    assert(r1.protectedWatermarks.size == 2, r1.toString)
+    assert(r1.thruFloor.isEmpty && r1.manifestsDeleted.isEmpty)
+    // both consumers continue exactly-once
+    val beforeA = seenA.size
+    drainA()
+    assert(seenA.size == beforeA)
+    val qb2 = consumer(ckB, seenB); qb2.processAllAvailable(); qb2.stop()
+    assert(seenB.asScala.toSeq.sorted == ((0L until 4L) ++ (100L until 600L)),
+      s"B lost/duplicated: ${seenB.size}")
+
+    // ---- phase 2: more files, both consume, then a REAL merge under
+    // protection (every watermark file absorbed => pass proceeds)
+    (5 to 7).foreach(i =>
+      writeFile(dir, f"part-$i%05d.gavro", Seq(i.toLong), footer = true))
+    graft.sources.Gavro.commitBatch(dir,
+      (5 to 7).map(i => f"part-$i%05d.gavro"))
+    drainA()
+    val qb3 = consumer(ckB, seenB); qb3.processAllAvailable(); qb3.stop()
+    val r2 = graft.sources.Gavro.maintain(dir, Seq(ckA, ckB),
+      targetBytes = 1L << 20)
+    assert(r2.merged.nonEmpty, r2.toString)
+    // a post-merge batch makes both consumers' thru cross the swap
+    writeFile(dir, "part-10008.gavro", Seq(8L), footer = true)
+    graft.sources.Gavro.commitBatch(dir, Seq("part-10008.gavro"))
+    drainA()
+    val qb4 = consumer(ckB, seenB); qb4.processAllAvailable(); qb4.stop()
+    assert(seenA.asScala.toSeq.sorted ==
+      ((0L until 4L) ++ (5L to 8L) ++ (100L until 600L)), "A diverged")
+    assert(seenB.asScala.toSeq.sorted == seenA.asScala.toSeq.sorted, "B diverged")
+
+    // ---- maintain #3: both thru floors present => manifest retention
+    // fires; vacuum (grace 0) reclaims the absorbed originals' bytes
+    val r3 = graft.sources.Gavro.maintain(dir, Seq(ckA, ckB),
+      targetBytes = 4096L, graceMs = 0L)
+    assert(r3.thruFloor.nonEmpty, r3.toString)
+    assert(r3.manifestsDeleted.nonEmpty, r3.toString)
+    assert(r3.orphansDeleted.nonEmpty, r3.toString)
+    // and the world still works: one more file, both consumers, once each
+    writeFile(dir, "part-10009.gavro", Seq(9L), footer = true)
+    graft.sources.Gavro.commitBatch(dir, Seq("part-10009.gavro"))
+    val a0 = seenA.size
+    drainA()
+    assert(seenA.size == a0 + 1)
+    val qb5 = consumer(ckB, seenB); qb5.processAllAvailable(); qb5.stop()
+    assert(seenB.asScala.toSeq.sorted == seenA.asScala.toSeq.sorted)
+  }
+
   test("maxBytesPerTrigger admits at least one file and bounds each batch") {
     import scala.jdk.CollectionConverters._
     val dir = java.nio.file.Files.createTempDirectory("gavro-bpb").toString
