@@ -218,6 +218,65 @@ class IvfPqIndexSpec extends SparkSpec {
     assert(cellsFile.lastModified() == mtime)
   }
 
+  test("vector ingest loop: append per micro-batch, the serve path sees each batch") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    // a private index copy (the loop mutates it)
+    val dir = java.nio.file.Files.createTempDirectory("ivfpq_ingest").toString
+    IvfPqIndex.buildAndWrite(emb, dir)
+    val n = emb.count()
+    // full-precision corpus view for the serve path's re-rank — grows
+    // with each appended batch (the documented searchQueries contract)
+    val appendedRows =
+      new java.util.concurrent.ConcurrentLinkedQueue[(Long, Seq[Float])]()
+    def corpusAll() = {
+      import scala.jdk.CollectionConverters._
+      val extra = appendedRows.asScala.toSeq
+      if (extra.isEmpty) emb
+      else emb.unionByName(extra.toDF("vec_id", "embedding")
+        .select(col("vec_id"), col("embedding"), lit(-1L).as("label")))
+    }
+    val input = MemoryStream[(Long, Seq[Float])]
+    val q = input.toDF().toDF("vec_id", "v")
+      .writeStream.outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val rows = batch.collect().map(r => (r.getLong(0),
+          r.getSeq[Float](1)))
+        rows.foreach(appendedRows.add)
+        IvfPqIndex.appendToIndex(spark, dir,
+          batch.select(col("vec_id"),
+            expr("cast(v as array<double>)").as("v")))
+        ()
+      }
+      .start()
+    def twinOf(id: Long): Seq[Float] = emb.filter(col("vec_id") === id)
+      .head.getSeq[Float](1).zipWithIndex
+      .map { case (x, i) => x + ((i % 7) - 3) / 1000f }
+    def topFor(qId: Long): Seq[Long] = {
+      val queries = IvfPqIndex.quantizeQueries(
+        corpusAll().filter(col("vec_id") === qId)
+          .select(col("vec_id").as("q_id"), col("embedding")))
+      IvfPqIndex.searchQueries(spark, dir, queries, corpusAll())
+        .collect().map(_.getAs[Long]("vec_id")).toSeq
+    }
+    // batch 1: a near-twin of vector 3 arrives; the serve path must
+    // surface it at rank 1 for query 3 — only possible because the
+    // batch's codes were appended to the persisted table
+    input.addData((n + 1, twinOf(3)))
+    q.processAllAvailable()
+    assert(topFor(3).headOption.contains(n + 1), topFor(3).toString)
+    // batch 2: a twin of vector 7 — found too, batch 1's entry intact
+    input.addData((n + 2, twinOf(7)))
+    q.processAllAvailable()
+    q.stop()
+    assert(topFor(7).headOption.contains(n + 2), topFor(7).toString)
+    assert(topFor(3).headOption.contains(n + 1))
+    // three commits on the codes table: build + one per batch
+    assert(new java.io.File(s"$dir/codes", Gavro.CommitsDir)
+      .listFiles().count(_.getName.endsWith(".commit")) == 3)
+  }
+
   test("registered build summary is layout-independent and deterministic") {
     val s1 = IvfPqIndex.buildIndexSummary(spark, sfDir).collect()
       .map(r => (r.getAs[Int]("cell"), r.getAs[Int]("sub_idx"),
