@@ -2482,26 +2482,88 @@ object Gavro {
     }
   }
 
-  /** A gavro stream's last fully-committed position, read from its Spark
-    * Structured Streaming checkpoint: the offset of the highest batch id
-    * present in `commits/` (a batch whose offset landed but never
-    * committed may not have delivered — its content is NOT consumed).
-    * None when no batch has committed yet (a fresh consumer reads the
-    * current snapshot, so it needs no watermark protection). Parses the
-    * single gavro source's `{"last":…,"thru":…}` line; file names are
-    * `[A-Za-z0-9._-]` by the commit contract, so the fields are
-    * regex-clean. */
-  def checkpointPosition(checkpointDir: String): Option[GavroStreamOffset] = {
-    val committed = store.list(new java.io.File(checkpointDir, "commits"))
-      .flatMap(_.getName.toLongOption).sorted.lastOption
-    committed.flatMap { n =>
-      val f = new java.io.File(new java.io.File(checkpointDir, "offsets"),
-        n.toString)
-      val pat = """\{"last":"([A-Za-z0-9._-]*)","thru":"([A-Za-z0-9._-]*)"\}""".r
-      store.read(f).reverseIterator.collectFirst {
-        case pat(last, thru) => GavroStreamOffset(last, thru)
+  /** Parse one line of a Spark checkpoint offset file as a gavro stream
+    * offset: the name-watermark form, or the legacy count-based
+    * `{"files":N}` form translated against the table's current sorted
+    * listing (same contract and same loud rewrite error as the stream's
+    * own [[GavroMicroBatchStream.deserializeOffset]]). None for lines
+    * that are not gavro offsets (the v1 header, the metadata json). */
+  private def parseOffsetLine(line: String,
+      tablePath: String): Option[GavroStreamOffset] = {
+    val named = """"last":"([A-Za-z0-9._-]*)"""".r
+    named.findFirstMatchIn(line).map { m =>
+      val thru = """"thru":"([A-Za-z0-9._-]*)"""".r
+        .findFirstMatchIn(line).map(_.group(1)).getOrElse("")
+      GavroStreamOffset(m.group(1), thru)
+    }.orElse {
+      """\{"files":(\d+)\}""".r.findFirstMatchIn(line.trim).map { m =>
+        val n = m.group(1).toInt
+        val files = listDataFiles(tablePath)
+        if (n > files.length) throw new IllegalStateException(
+          s"gavro maintain: legacy checkpoint offset consumed $n files " +
+            s"but only ${files.length} are listed at $tablePath — the " +
+            "archive was rewritten; restart that consumer from a fresh " +
+            "checkpoint")
+        GavroStreamOffset(if (n == 0) "" else files(n - 1).getName)
       }
     }
+  }
+
+  /** The gavro offset recorded in `offsets/<batchId>`, if the file
+    * exists and carries one. Plain file I/O on purpose: the STREAMING
+    * CHECKPOINT is Spark's artifact on the driver/cluster filesystem,
+    * not a gavro store object — reading it through the swappable
+    * coordination seam would make every consumer invisible the moment a
+    * non-filesystem [[GavroStore]] is configured. */
+  private def readCheckpointOffset(offsetsDir: java.io.File, batchId: Long,
+      tablePath: String): Option[GavroStreamOffset] = {
+    val f = new java.io.File(offsetsDir, batchId.toString)
+    if (!f.isFile) None
+    else {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.readAllLines(f.toPath).asScala.reverseIterator
+        .flatMap(l => parseOffsetLine(l, tablePath)).nextOption()
+    }
+  }
+
+  private def batchIds(dir: java.io.File): Seq[Long] =
+    Option(dir.listFiles()).getOrElse(Array.empty)
+      .flatMap(_.getName.toLongOption).sorted.toSeq
+
+  /** A gavro stream's last fully-COMMITTED position, read from its Spark
+    * Structured Streaming checkpoint: the offset of the highest batch id
+    * present in `commits/`. None when no batch has committed yet. LOUD
+    * on a directory that is not a streaming checkpoint at all (no
+    * `offsets/`): a mistyped path must never silently drop a consumer
+    * from [[maintain]]'s protection. `tablePath` resolves legacy
+    * count-based offsets against the table's listing. */
+  def checkpointPosition(checkpointDir: String,
+      tablePath: String): Option[GavroStreamOffset] = {
+    val offsetsDir = new java.io.File(checkpointDir, "offsets")
+    require(offsetsDir.isDirectory,
+      s"gavro maintain: $checkpointDir is not a streaming checkpoint " +
+        "(no offsets/ directory) — a missing or mistyped path would " +
+        "silently strip its consumer of watermark protection")
+    batchIds(new java.io.File(checkpointDir, "commits")).lastOption
+      .flatMap(readCheckpointOffset(offsetsDir, _, tablePath))
+  }
+
+  /** One consumer's constraints on maintenance: the watermark NAMES to
+    * protect (committed position AND the latest planned-but-uncommitted
+    * offset — a crashed batch replays against its planned end, so files
+    * it names must not be split away under it) and its contribution to
+    * the retention floor (only the COMMITTED `thru` counts; a consumer
+    * with nothing committed yet contributes "" and thereby blocks
+    * manifest retention — its batch-0 replay may need any of them). */
+  private def consumerConstraint(path: String,
+      ckpt: String): (Seq[String], String) = {
+    val committed = checkpointPosition(ckpt, path)
+    val offsetsDir = new java.io.File(ckpt, "offsets")
+    val planned = batchIds(offsetsDir).lastOption
+      .flatMap(readCheckpointOffset(offsetsDir, _, path))
+    val names = (committed.toSeq ++ planned.toSeq)
+      .map(_.last).filter(_.nonEmpty).distinct
+    (names, committed.map(_.thru).getOrElse(""))
   }
 
   /** What [[maintain]] did, for the operator's log: merged outputs, the
@@ -2517,37 +2579,38 @@ object Gavro {
     * position from its streaming checkpoint and run the full cooperative
     * cycle —
     *
-    *   1. OPTIMIZE with `protectPrefix` = the consumers' watermark set,
-    *      so no pass ever splits a consumed prefix (the at-least-once
-    *      corner is unreachable, per consumer, by construction);
+    *   1. OPTIMIZE with `protectPrefix` = the consumers' watermark set
+    *      (committed and planned), so the pass never splits a prefix a
+    *      consumer at a snapshotted position has consumed;
     *   2. `.absorbed` manifest RETENTION with the floor = the minimum
-    *      `thru` across consumers (skipped while any consumer has not
-    *      yet crossed a swap — nothing is provably disposable);
+    *      committed `thru` across consumers (skipped while any consumer
+    *      has not yet crossed a swap — nothing is provably disposable);
     *   3. VACUUM of retired data files past the grace window.
     *
     * This closes the loop the piecewise APIs left to the operator: the
     * caller no longer needs to know what a watermark or a `thru` is —
-    * only where its consumers' checkpoints live. Consumers keep running
-    * during the call (the same guarantees their specs pin); a consumer
-    * whose checkpoint directory holds no committed batch yet is a fresh
-    * reader of the current snapshot and imposes no constraint. */
+    * only where its consumers' checkpoints live. Positions are a
+    * SNAPSHOT taken at call time: consumers may keep running, and one
+    * that advances DURING the pass re-enters the documented
+    * at-least-once fallback for content it consumed mid-pass (safe,
+    * observable via `ambiguousRedeliveredFiles`, never lost) — so run
+    * maintenance when consumers are near-current, the same operational
+    * rule OPTIMIZE always had. A checkpoint directory that is not a
+    * streaming checkpoint fails loudly rather than silently dropping
+    * its consumer's protection. */
   def maintain(path: String, checkpointDirs: Seq[String],
       targetBytes: Long = OptimizeTargetBytes,
       graceMs: Long = VacuumGraceMs): MaintenanceReport = {
-    val positions = checkpointDirs.flatMap(checkpointPosition)
-    val watermarks = positions.map(_.last).filter(_.nonEmpty).distinct.sorted
+    val constraints = checkpointDirs.map(consumerConstraint(path, _))
+    val watermarks = constraints.flatMap(_._1).distinct.sorted
     val merged = optimize(path, targetBytes, protectPrefix = watermarks)
-    // min-thru floor: only meaningful when EVERY live consumer carries
-    // one (positions with an empty thru have not crossed a swap; the
-    // manifests they may still need are exactly the ones a floor would
-    // delete). Consumers that never committed impose nothing.
+    val floors = constraints.map(_._2)
     val floor =
-      if (positions.nonEmpty && positions.forall(_.thru.nonEmpty))
-        Some(positions.map(_.thru).min)
+      if (floors.nonEmpty && floors.forall(_.nonEmpty)) Some(floors.min)
       else None
-    val retained = floor.map(vacuumManifests(path, _)).getOrElse(Seq.empty)
+    val deleted = floor.map(vacuumManifests(path, _)).getOrElse(Seq.empty)
     val orphans = vacuum(path, graceMs)
-    MaintenanceReport(merged, watermarks, floor, retained, orphans)
+    MaintenanceReport(merged, watermarks, floor, deleted, orphans)
   }
 
   /** Next shared commit sequence number: one zero-padded counter across

@@ -681,33 +681,37 @@ class GavroStreamSpec extends SparkSpec {
     val dir = java.nio.file.Files.createTempDirectory("gavro-maint").toString
     val ckA = java.nio.file.Files.createTempDirectory("gavro-maint-a").toString
     val ckB = java.nio.file.Files.createTempDirectory("gavro-maint-b").toString
-    (0 until 4).foreach(i =>
+    // Stage the commits so B's mid-prefix position is DETERMINISTIC:
+    // B drains while only files 0-1 exist-and-are-committed, the rest
+    // are WRITTEN after the log exists (the first commit would otherwise
+    // ADOPT any pre-existing data files) and committed later.
+    (0 to 1).foreach(i =>
+      writeFile(dir, f"part-$i%05d.gavro", Seq(i.toLong), footer = true))
+    graft.sources.Gavro.commitBatch(dir,
+      (0 to 1).map(i => f"part-$i%05d.gavro"))
+    (2 until 4).foreach(i =>
       writeFile(dir, f"part-$i%05d.gavro", Seq(i.toLong), footer = true))
     writeFile(dir, "part-00004.gavro", 100L until 600L, footer = true)
-    graft.sources.Gavro.commitBatch(dir,
-      (0 to 4).map(i => f"part-$i%05d.gavro"))
-    def consumer(ckpt: String, seen: java.util.concurrent.ConcurrentLinkedQueue[Long],
-        maxFiles: Option[Int] = None) = {
-      val r = spark.readStream.format("gavro").option("schema", "system_metrics")
-      maxFiles.foreach(m => r.option("maxFilesPerTrigger", m.toString))
-      r.load(dir)
+    def consumer(ckpt: String,
+        seen: java.util.concurrent.ConcurrentLinkedQueue[Long]) =
+      spark.readStream.format("gavro").option("schema", "system_metrics")
+        .load(dir)
         .writeStream.option("checkpointLocation", ckpt)
         .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
           df.select(col("id")).collect().foreach(r => seen.add(r.getLong(0))); ()
         }
         .start()
-    }
     val seenA = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
     val seenB = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
     def drainA(): Unit = { val q = consumer(ckA, seenA); q.processAllAvailable(); q.stop() }
+    val qb1 = consumer(ckB, seenB); qb1.processAllAvailable(); qb1.stop()
+    assert(seenB.asScala.toSeq.sorted == Seq(0L, 1L), seenB.toString)
+    assert(graft.sources.Gavro.checkpointPosition(ckB, dir)
+      .exists(_.last == "part-00001.gavro"))
+    graft.sources.Gavro.commitBatch(dir,
+      (2 to 4).map(i => f"part-$i%05d.gavro"))
     drainA()
     assert(seenA.asScala.toSeq.sorted == ((0L until 4L) ++ (100L until 600L)))
-    // B stops after ONE bounded batch: its watermark sits mid-prefix
-    val qb = consumer(ckB, seenB, maxFiles = Some(2))
-    val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
-    while (seenB.size < 2 && System.nanoTime() < deadline) Thread.sleep(50)
-    qb.stop()
-    assert(graft.sources.Gavro.checkpointPosition(ckB).exists(_.last.nonEmpty))
 
     // ---- maintain #1: B's mid-prefix watermark + A's surviving big file
     // => nothing may merge; no retention floor yet (thru empty everywhere)
@@ -759,6 +763,24 @@ class GavroStreamSpec extends SparkSpec {
     assert(seenA.size == a0 + 1)
     val qb5 = consumer(ckB, seenB); qb5.processAllAvailable(); qb5.stop()
     assert(seenB.asScala.toSeq.sorted == seenA.asScala.toSeq.sorted)
+
+    // a mistyped checkpoint path fails LOUDLY — silently dropping a
+    // consumer from the protect set would be the worst possible default
+    intercept[IllegalArgumentException] {
+      graft.sources.Gavro.maintain(dir, Seq("/no/such/checkpoint"))
+    }
+    // legacy count-based checkpoint offsets resolve through the table
+    // listing, so pre-name-watermark consumers stay protected too
+    val legacy = java.nio.file.Files.createTempDirectory("gavro-maint-leg").toFile
+    new java.io.File(legacy, "offsets").mkdirs()
+    new java.io.File(legacy, "commits").mkdirs()
+    java.nio.file.Files.writeString(
+      new java.io.File(legacy, "offsets/0").toPath, "v1\n{}\n{\"files\":2}")
+    java.nio.file.Files.writeString(
+      new java.io.File(legacy, "commits/0").toPath, "{}")
+    val listed2 = graft.sources.Gavro.listDataFiles(dir)
+    assert(graft.sources.Gavro.checkpointPosition(legacy.toString, dir)
+      .exists(_.last == listed2(1).getName))
   }
 
   test("maxBytesPerTrigger admits at least one file and bounds each batch") {
