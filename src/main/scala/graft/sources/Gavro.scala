@@ -967,30 +967,7 @@ class GavroMicroBatchStream(path: String, schemaName: String,
   override def reportLatestOffset(): Offset =
     GavroStreamOffset(listing().lastOption.map(_.getName).getOrElse(""))
   override def deserializeOffset(json: String): Offset =
-    "\"last\":\"([^\"]*)\"".r.findFirstMatchIn(json)
-      .map { m =>
-        val thru = "\"thru\":\"([^\"]*)\"".r.findFirstMatchIn(json)
-          .map(_.group(1)).getOrElse("") // pre-thru checkpoints: none covered
-        GavroStreamOffset(m.group(1), thru)
-      }
-      .orElse {
-        // legacy count-based offsets ({"files":N}, pre name-watermark):
-        // translation against the current sorted listing is exact while
-        // the listing prefix is unchanged — the append-only contract
-        // those checkpoints were written under. A listing SHORTER than
-        // the consumed count means the archive was rewritten while the
-        // stream was down: fail loudly, never clamp (clamping would mark
-        // never-consumed records consumed).
-        "\"files\":(\\d+)".r.findFirstMatchIn(json).map { m =>
-          val n = m.group(1).toInt
-          val files = listing()
-          if (n > files.length) throw new IllegalStateException(
-            s"gavro stream: legacy offset consumed $n files but only " +
-              s"${files.length} are listed at $path — the archive was " +
-              "rewritten; restart from a fresh checkpoint")
-          GavroStreamOffset(if (n == 0) "" else files(n - 1).getName)
-        }
-      }
+    Gavro.parseStreamOffsetLine(json, () => listing(), path)
       .getOrElse(throw new IllegalArgumentException(s"bad gavro offset: $json"))
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
@@ -2482,48 +2459,60 @@ object Gavro {
     }
   }
 
-  /** Parse one line of a Spark checkpoint offset file as a gavro stream
-    * offset: the name-watermark form, or the legacy count-based
-    * `{"files":N}` form translated against the table's current sorted
-    * listing (same contract and same loud rewrite error as the stream's
-    * own [[GavroMicroBatchStream.deserializeOffset]]). None for lines
-    * that are not gavro offsets (the v1 header, the metadata json). */
-  private def parseOffsetLine(line: String,
-      tablePath: String): Option[GavroStreamOffset] = {
-    val named = """"last":"([A-Za-z0-9._-]*)"""".r
-    named.findFirstMatchIn(line).map { m =>
-      val thru = """"thru":"([A-Za-z0-9._-]*)"""".r
-        .findFirstMatchIn(line).map(_.group(1)).getOrElse("")
+  /** THE gavro stream-offset parser, shared by the stream's own
+    * [[GavroMicroBatchStream.deserializeOffset]] and [[maintain]]'s
+    * checkpoint reads — one lenient grammar, so maintenance can never
+    * silently ignore an offset the stream itself honors. Handles the
+    * name-watermark form and the legacy count-based `{"files":N}` form
+    * (translated against the table's current sorted listing; a listing
+    * SHORTER than the consumed count means the archive was rewritten
+    * while the stream was down: fail loudly, never clamp — clamping
+    * would mark never-consumed records consumed). None for lines that
+    * are not gavro offsets (the v1 header, the batch-metadata json). */
+  private[sources] def parseStreamOffsetLine(line: String,
+      listing: () => Array[java.io.File],
+      tablePath: String): Option[GavroStreamOffset] =
+    """"last":"([^"]*)"""".r.findFirstMatchIn(line).map { m =>
+      val thru = """"thru":"([^"]*)"""".r.findFirstMatchIn(line)
+        .map(_.group(1)).getOrElse("") // pre-thru checkpoints: none covered
       GavroStreamOffset(m.group(1), thru)
     }.orElse {
-      """\{"files":(\d+)\}""".r.findFirstMatchIn(line.trim).map { m =>
+      """"files":(\d+)""".r.findFirstMatchIn(line).map { m =>
         val n = m.group(1).toInt
-        val files = listDataFiles(tablePath)
+        val files = listing()
         if (n > files.length) throw new IllegalStateException(
-          s"gavro maintain: legacy checkpoint offset consumed $n files " +
-            s"but only ${files.length} are listed at $tablePath — the " +
-            "archive was rewritten; restart that consumer from a fresh " +
-            "checkpoint")
+          s"gavro stream: legacy offset consumed $n files but only " +
+            s"${files.length} are listed at $tablePath — the archive was " +
+            "rewritten; restart from a fresh checkpoint")
         GavroStreamOffset(if (n == 0) "" else files(n - 1).getName)
       }
     }
-  }
 
-  /** The gavro offset recorded in `offsets/<batchId>`, if the file
-    * exists and carries one. Plain file I/O on purpose: the STREAMING
-    * CHECKPOINT is Spark's artifact on the driver/cluster filesystem,
-    * not a gavro store object — reading it through the swappable
-    * coordination seam would make every consumer invisible the moment a
-    * non-filesystem [[GavroStore]] is configured. */
+  /** The gavro offset of batch `batchId`, LOUD on absence or
+    * unparseability: a batch id that appears in the checkpoint must have
+    * a readable gavro offset — a missing file is a torn/partially
+    * restored checkpoint, and a file with no gavro offset line is some
+    * OTHER query's checkpoint; silently guessing either way would strip
+    * the consumer of maintenance protection. Plain file I/O on purpose:
+    * the STREAMING CHECKPOINT is Spark's artifact on the driver/cluster
+    * filesystem, not a gavro store object — reading it through the
+    * swappable coordination seam would make every consumer invisible
+    * the moment a non-filesystem [[GavroStore]] is configured. */
   private def readCheckpointOffset(offsetsDir: java.io.File, batchId: Long,
-      tablePath: String): Option[GavroStreamOffset] = {
+      listing: () => Array[java.io.File],
+      tablePath: String): GavroStreamOffset = {
     val f = new java.io.File(offsetsDir, batchId.toString)
-    if (!f.isFile) None
-    else {
-      import scala.jdk.CollectionConverters._
-      java.nio.file.Files.readAllLines(f.toPath).asScala.reverseIterator
-        .flatMap(l => parseOffsetLine(l, tablePath)).nextOption()
-    }
+    if (!f.isFile) throw new IllegalStateException(
+      s"gavro maintain: offsets/${batchId} is missing from " +
+        s"${offsetsDir.getParent} — torn or partially restored " +
+        "checkpoint; refusing to guess the consumer's position")
+    import scala.jdk.CollectionConverters._
+    java.nio.file.Files.readAllLines(f.toPath).asScala.reverseIterator
+      .flatMap(l => parseStreamOffsetLine(l, listing, tablePath))
+      .nextOption()
+      .getOrElse(throw new IllegalStateException(
+        s"gavro maintain: no gavro offset found in $f — is this the " +
+          "checkpoint of a gavro-source query?"))
   }
 
   private def batchIds(dir: java.io.File): Seq[Long] =
@@ -2532,20 +2521,24 @@ object Gavro {
 
   /** A gavro stream's last fully-COMMITTED position, read from its Spark
     * Structured Streaming checkpoint: the offset of the highest batch id
-    * present in `commits/`. None when no batch has committed yet. LOUD
-    * on a directory that is not a streaming checkpoint at all (no
-    * `offsets/`): a mistyped path must never silently drop a consumer
-    * from [[maintain]]'s protection. `tablePath` resolves legacy
-    * count-based offsets against the table's listing. */
+    * present in `commits/`. None when no batch has committed yet (a
+    * fresh consumer) — including a checkpoint directory Spark has not
+    * populated at all, which is how a configured-but-not-yet-started
+    * consumer looks (it must not abort the nightly job). LOUD on a
+    * MISSING directory (a mistyped path must never silently drop a
+    * consumer from [[maintain]]'s protection) and on a committed batch
+    * whose offset is unreadable. `tablePath` resolves legacy count-based
+    * offsets against the table's listing. */
   def checkpointPosition(checkpointDir: String,
       tablePath: String): Option[GavroStreamOffset] = {
+    require(new java.io.File(checkpointDir).isDirectory,
+      s"gavro maintain: checkpoint directory $checkpointDir does not " +
+        "exist — a mistyped path would silently strip its consumer of " +
+        "watermark protection")
     val offsetsDir = new java.io.File(checkpointDir, "offsets")
-    require(offsetsDir.isDirectory,
-      s"gavro maintain: $checkpointDir is not a streaming checkpoint " +
-        "(no offsets/ directory) — a missing or mistyped path would " +
-        "silently strip its consumer of watermark protection")
+    val listing = () => listDataFiles(tablePath)
     batchIds(new java.io.File(checkpointDir, "commits")).lastOption
-      .flatMap(readCheckpointOffset(offsetsDir, _, tablePath))
+      .map(readCheckpointOffset(offsetsDir, _, listing, tablePath))
   }
 
   /** One consumer's constraints on maintenance: the watermark NAMES to
@@ -2557,10 +2550,20 @@ object Gavro {
     * manifest retention — its batch-0 replay may need any of them). */
   private def consumerConstraint(path: String,
       ckpt: String): (Seq[String], String) = {
-    val committed = checkpointPosition(ckpt, path)
+    val committedId =
+      { require(new java.io.File(ckpt).isDirectory,
+          s"gavro maintain: checkpoint directory $ckpt does not exist")
+        batchIds(new java.io.File(ckpt, "commits")).lastOption }
     val offsetsDir = new java.io.File(ckpt, "offsets")
-    val planned = batchIds(offsetsDir).lastOption
-      .flatMap(readCheckpointOffset(offsetsDir, _, path))
+    // one table listing per consumer, shared by both legacy translations
+    lazy val files = listDataFiles(path)
+    val listing = () => files
+    val committed = committedId
+      .map(readCheckpointOffset(offsetsDir, _, listing, path))
+    val plannedId = batchIds(offsetsDir).lastOption
+    // steady state (idle consumer): planned == committed — one read
+    val planned = plannedId.filterNot(committedId.contains)
+      .map(readCheckpointOffset(offsetsDir, _, listing, path))
     val names = (committed.toSeq ++ planned.toSeq)
       .map(_.last).filter(_.nonEmpty).distinct
     (names, committed.map(_.thru).getOrElse(""))

@@ -764,11 +764,6 @@ class GavroStreamSpec extends SparkSpec {
     val qb5 = consumer(ckB, seenB); qb5.processAllAvailable(); qb5.stop()
     assert(seenB.asScala.toSeq.sorted == seenA.asScala.toSeq.sorted)
 
-    // a mistyped checkpoint path fails LOUDLY — silently dropping a
-    // consumer from the protect set would be the worst possible default
-    intercept[IllegalArgumentException] {
-      graft.sources.Gavro.maintain(dir, Seq("/no/such/checkpoint"))
-    }
     // legacy count-based checkpoint offsets resolve through the table
     // listing, so pre-name-watermark consumers stay protected too
     val legacy = java.nio.file.Files.createTempDirectory("gavro-maint-leg").toFile
@@ -781,6 +776,20 @@ class GavroStreamSpec extends SparkSpec {
     val listed2 = graft.sources.Gavro.listDataFiles(dir)
     assert(graft.sources.Gavro.checkpointPosition(legacy.toString, dir)
       .exists(_.last == listed2(1).getName))
+
+    // a mistyped checkpoint path fails LOUDLY — silently dropping a
+    // consumer from the protect set would be the worst possible default
+    intercept[IllegalArgumentException] {
+      graft.sources.Gavro.maintain(dir, Seq("/no/such/checkpoint"))
+    }
+    // ...but a configured-yet-unstarted consumer (dir exists, Spark has
+    // written nothing) must NOT abort the nightly job for everyone; it
+    // conservatively blocks manifest retention until it commits
+    val unstarted = java.nio.file.Files
+      .createTempDirectory("gavro-maint-new").toString
+    val r4 = graft.sources.Gavro.maintain(dir, Seq(ckA, ckB, unstarted))
+    assert(r4.thruFloor.isEmpty, r4.toString)
+
   }
 
   test("maxBytesPerTrigger admits at least one file and bounds each batch") {
