@@ -2493,11 +2493,17 @@ object Gavro {
     * a readable gavro offset — a missing file is a torn/partially
     * restored checkpoint, and a file with no gavro offset line is some
     * OTHER query's checkpoint; silently guessing either way would strip
-    * the consumer of maintenance protection. Plain file I/O on purpose:
-    * the STREAMING CHECKPOINT is Spark's artifact on the driver/cluster
-    * filesystem, not a gavro store object — reading it through the
-    * swappable coordination seam would make every consumer invisible
-    * the moment a non-filesystem [[GavroStore]] is configured. */
+    * the consumer of maintenance protection. Also validates that the
+    * parsed watermark is a legal gavro data-file name: a lenient-grammar
+    * match from some other source's offset JSON must not masquerade as
+    * this table's position (single-gavro-source checkpoints are the
+    * supported contract). Parser errors are re-wrapped with the offsets
+    * file path so a multi-consumer maintain names WHICH checkpoint is
+    * stale. Plain file I/O on purpose: the STREAMING CHECKPOINT is
+    * Spark's artifact on the driver/cluster filesystem, not a gavro
+    * store object — reading it through the swappable coordination seam
+    * would make every consumer invisible the moment a non-filesystem
+    * [[GavroStore]] is configured. */
   private def readCheckpointOffset(offsetsDir: java.io.File, batchId: Long,
       listing: () => Array[java.io.File],
       tablePath: String): GavroStreamOffset = {
@@ -2507,39 +2513,74 @@ object Gavro {
         s"${offsetsDir.getParent} — torn or partially restored " +
         "checkpoint; refusing to guess the consumer's position")
     import scala.jdk.CollectionConverters._
-    java.nio.file.Files.readAllLines(f.toPath).asScala.reverseIterator
-      .flatMap(l => parseStreamOffsetLine(l, listing, tablePath))
-      .nextOption()
-      .getOrElse(throw new IllegalStateException(
-        s"gavro maintain: no gavro offset found in $f — is this the " +
-          "checkpoint of a gavro-source query?"))
+    val off =
+      try java.nio.file.Files.readAllLines(f.toPath).asScala.reverseIterator
+        .flatMap(l => parseStreamOffsetLine(l, listing, tablePath))
+        .nextOption()
+        .getOrElse(throw new IllegalStateException(
+          s"gavro maintain: no gavro offset found in $f — is this the " +
+            "checkpoint of a gavro-source query?"))
+      catch {
+        case e: IllegalStateException if !e.getMessage.contains("maintain") =>
+          throw new IllegalStateException(
+            s"gavro maintain: while reading $f: ${e.getMessage}", e)
+      }
+    require(off.last.matches("[A-Za-z0-9._-]*"),
+      s"gavro maintain: offset in $f names '${off.last}', which is not " +
+        "a gavro data-file name — multi-source checkpoints are not " +
+        "supported; pass the checkpoint of a single-gavro-source query")
+    off
   }
 
   private def batchIds(dir: java.io.File): Seq[Long] =
     Option(dir.listFiles()).getOrElse(Array.empty)
       .flatMap(_.getName.toLongOption).sorted.toSeq
 
+  /** The loud/lenient boundary for a checkpoint directory, in one place:
+    * a MISSING directory throws (mistyped path — silently stripping a
+    * consumer of protection is the worst default); an EMPTY directory is
+    * a configured-but-unstarted consumer (fresh, true); a non-empty
+    * directory WITHOUT `offsets/` throws (it exists but is not a
+    * streaming checkpoint — e.g. the parent of the real one). */
+  private def checkpointDirKind(ckpt: String): Boolean = {
+    val d = new java.io.File(ckpt)
+    require(d.isDirectory,
+      s"gavro maintain: checkpoint directory $ckpt does not exist — a " +
+        "mistyped path would silently strip its consumer of watermark " +
+        "protection")
+    val children = Option(d.listFiles()).getOrElse(Array.empty)
+    if (children.isEmpty) true
+    else {
+      require(new java.io.File(d, "offsets").isDirectory,
+        s"gavro maintain: $ckpt exists but has no offsets/ directory — " +
+          "it is not a streaming checkpoint (did you pass the parent of " +
+          "the real checkpoint?)")
+      false
+    }
+  }
+
+  private def committedOffset(ckpt: String,
+      listing: () => Array[java.io.File],
+      tablePath: String): Option[GavroStreamOffset] =
+    batchIds(new java.io.File(ckpt, "commits")).lastOption
+      .map(readCheckpointOffset(new java.io.File(ckpt, "offsets"), _,
+        listing, tablePath))
+
   /** A gavro stream's last fully-COMMITTED position, read from its Spark
     * Structured Streaming checkpoint: the offset of the highest batch id
-    * present in `commits/`. None when no batch has committed yet (a
-    * fresh consumer) — including a checkpoint directory Spark has not
-    * populated at all, which is how a configured-but-not-yet-started
-    * consumer looks (it must not abort the nightly job). LOUD on a
-    * MISSING directory (a mistyped path must never silently drop a
-    * consumer from [[maintain]]'s protection) and on a committed batch
-    * whose offset is unreadable. `tablePath` resolves legacy count-based
-    * offsets against the table's listing. */
+    * present in `commits/`. None when no batch has committed yet —
+    * including an EMPTY checkpoint directory, which is how a
+    * configured-but-not-yet-started consumer looks (it must not abort
+    * the nightly job). LOUD on a missing directory, on an existing
+    * directory that is not a streaming checkpoint, and on a committed
+    * batch whose offset is unreadable (see [[readCheckpointOffset]]).
+    * `tablePath` resolves legacy count-based offsets against the
+    * table's listing. */
   def checkpointPosition(checkpointDir: String,
-      tablePath: String): Option[GavroStreamOffset] = {
-    require(new java.io.File(checkpointDir).isDirectory,
-      s"gavro maintain: checkpoint directory $checkpointDir does not " +
-        "exist — a mistyped path would silently strip its consumer of " +
-        "watermark protection")
-    val offsetsDir = new java.io.File(checkpointDir, "offsets")
-    val listing = () => listDataFiles(tablePath)
-    batchIds(new java.io.File(checkpointDir, "commits")).lastOption
-      .map(readCheckpointOffset(offsetsDir, _, listing, tablePath))
-  }
+      tablePath: String): Option[GavroStreamOffset] =
+    if (checkpointDirKind(checkpointDir)) None
+    else committedOffset(checkpointDir, () => listDataFiles(tablePath),
+      tablePath)
 
   /** One consumer's constraints on maintenance: the watermark NAMES to
     * protect (committed position AND the latest planned-but-uncommitted
@@ -2550,16 +2591,13 @@ object Gavro {
     * manifest retention — its batch-0 replay may need any of them). */
   private def consumerConstraint(path: String,
       ckpt: String): (Seq[String], String) = {
-    val committedId =
-      { require(new java.io.File(ckpt).isDirectory,
-          s"gavro maintain: checkpoint directory $ckpt does not exist")
-        batchIds(new java.io.File(ckpt, "commits")).lastOption }
-    val offsetsDir = new java.io.File(ckpt, "offsets")
+    if (checkpointDirKind(ckpt)) return (Seq.empty, "")
     // one table listing per consumer, shared by both legacy translations
     lazy val files = listDataFiles(path)
     val listing = () => files
-    val committed = committedId
-      .map(readCheckpointOffset(offsetsDir, _, listing, path))
+    val committed = committedOffset(ckpt, listing, path)
+    val committedId = batchIds(new java.io.File(ckpt, "commits")).lastOption
+    val offsetsDir = new java.io.File(ckpt, "offsets")
     val plannedId = batchIds(offsetsDir).lastOption
     // steady state (idle consumer): planned == committed — one read
     val planned = plannedId.filterNot(committedId.contains)

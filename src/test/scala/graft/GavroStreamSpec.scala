@@ -782,6 +782,15 @@ class GavroStreamSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       graft.sources.Gavro.maintain(dir, Seq("/no/such/checkpoint"))
     }
+    // an EXISTING directory that is not a streaming checkpoint (e.g.
+    // the parent of the real one) is equally loud — only a truly empty
+    // dir counts as a configured-but-unstarted consumer
+    val notCkpt = java.nio.file.Files
+      .createTempDirectory("gavro-maint-notck").toFile
+    new java.io.File(notCkpt, "queryA").mkdirs()
+    intercept[IllegalArgumentException] {
+      graft.sources.Gavro.maintain(dir, Seq(notCkpt.getAbsolutePath))
+    }
     // ...but a configured-yet-unstarted consumer (dir exists, Spark has
     // written nothing) must NOT abort the nightly job for everyone; it
     // conservatively blocks manifest retention until it commits
