@@ -31,7 +31,79 @@ object ScaleSmoke {
     if (section == "optimize") optimizeSection(spark, replicas)
     if (section == "round11") round11Section(spark, replicas)
     if (section == "round12") round12Section(spark, replicas)
+    if (section == "round13") round13Section(spark, replicas)
     spark.stop()
+  }
+
+  /** Round-13 addition: the LSH probe's O(Δ) contract measured in SHUFFLE
+    * BYTES, not wall time. A FIXED arriving batch (1900 collision-free
+    * novel docs + 100 near-dups of standing docs) is probed against two
+    * standing corpora — `replicas`× and `2.5·replicas`× sf0.1 — and the
+    * probe's total shuffle-write bytes must stay ~flat while the corpus
+    * (and its persisted index) grows 2.5×. This is the claim the r12
+    * verdict found violated by the probe-time bucket-cap window; the
+    * occupancy-table probe exchanges only O(Δ) rows. */
+  private def round13Section(spark: SparkSession, replicas: Int): Unit = {
+    val docsBase = graft.sources.Tables.documents(spark, "/root/testdata/sf0.1")
+      .select(col("doc_id"), col("text"))
+    val floor = 1000000000L
+    val novel = spark.range(1900)
+      .select((col("id") + floor + 100000).as("doc_id"),
+        expr("concat_ws(' ', transform(sequence(0, 39), " +
+          "i -> substring(md5(concat(cast(id as string), '-', cast(i as string))), 1, 8)))")
+          .as("text"))
+    val nearDups = docsBase.filter(pmod(col("doc_id"), lit(50)) === 0)
+      .limit(100)
+      .select((col("doc_id") + floor).as("doc_id"),
+        expr("substring(text, instr(text, ' ') + 1)").as("text"))
+    val delta = novel.unionByName(nearDups).localCheckpoint(true)
+    println(s"fixed delta: ${delta.count()} docs")
+    def shuffled(body: => Unit): Long = {
+      val acc = new java.util.concurrent.atomic.AtomicLong(0)
+      val listener = new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(
+            te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+          val m = te.taskMetrics
+          if (m != null) { acc.addAndGet(m.shuffleWriteMetrics.bytesWritten); () }
+        }
+      }
+      spark.sparkContext.addSparkListener(listener)
+      try {
+        body
+        var last = -1L; var stable = 0; var polls = 0
+        while (stable < 3 && polls < 100) {
+          if (acc.get == last) stable += 1 else { stable = 0; last = acc.get }
+          Thread.sleep(100); polls += 1
+        }
+      } finally spark.sparkContext.removeSparkListener(listener)
+      acc.get
+    }
+    def measure(r: Int): Long = {
+      val corpus = docsBase.crossJoin(spark.range(r).toDF("rep"))
+        .select((col("doc_id") * r + col("rep")).as("doc_id"),
+          concat(col("text"), lit(" r"), col("rep")).as("text"))
+        .localCheckpoint(true)
+      println(s"corpus: ${corpus.count()} docs (${r}x sf0.1)")
+      val dir = java.nio.file.Files.createTempDirectory(s"smoke-lsh-od-$r").toString
+      val t0 = System.nanoTime()
+      graft.ops.LshIndex.buildAndWrite(corpus, dir)
+      println(f"  build ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      var pairs = 0L
+      val t1 = System.nanoTime()
+      val bytes = shuffled {
+        pairs = graft.ops.LshIndex.probeBatch(spark, dir, delta, floor).count()
+      }
+      println(f"  lsh_probe replicas=$r%d shuffle_bytes=$bytes%d " +
+        f"pairs=$pairs%d wall=${(System.nanoTime() - t1) / 1e9}%.2f s")
+      corpus.unpersist()
+      bytes
+    }
+    val small = measure(replicas)
+    val big = measure(replicas * 5 / 2)
+    println(f"probe shuffle bytes ${replicas}x -> ${replicas * 5 / 2}x: " +
+      f"$small%d -> $big%d (${big.toDouble / small}%.2fx)")
+    assert(big < small * 3 / 2,
+      s"probe shuffle bytes tracked corpus growth: $small -> $big")
   }
 
   /** Round-12 addition: incremental append to the MATERIALIZED index at

@@ -214,14 +214,17 @@ object Dedup {
     bandProbe(sigs, bands(sigs), newFrom)
   }
 
-  /** THE one copy of the batch-probe tail every incremental near-dup
-    * path shares — [[minhashIncremental]] (in-query), the persisted
-    * index's union probe and fully-materialized probe
-    * ([[LshIndex.probeBatch]]/[[LshIndex.probeAppended]]): probe-time
-    * mega-bucket cap, banded pair join restricted to docs at-or-above
-    * `newFrom`, 12-way signature-agreement Jaccard rounded to 4 places.
-    * The oracle-pinned semantics live HERE so the
-    * three-execution-paths-one-answer hash equality cannot drift. */
+  /** The REFERENCE batch-probe tail (in-query form): probe-time
+    * mega-bucket cap over the combined band rows, banded pair join
+    * restricted to docs at-or-above `newFrom`, 12-way signature-agreement
+    * Jaccard rounded to 4 places. [[minhashIncremental]] runs it
+    * directly; the persisted index's probes ([[LshIndex.probeBatch]] /
+    * [[LshIndex.probeAppended]]) re-plan the SAME semantics against the
+    * materialized bucket-occupancy table so their exchanges carry O(Δ)
+    * instead of the corpus — the shared oracle SQL and
+    * [[LshIndexSpec]]'s cross-path equality checks pin the three
+    * execution paths to one answer. Semantics changes here must land in
+    * `LshIndex.probeIndexed` too. */
   private[ops] def bandProbe(sigs: DataFrame, allBands: DataFrame,
       newFrom: Long): DataFrame = {
     val b = allBands

@@ -29,9 +29,29 @@ import graft.sources.{Gavro, GavroStore}
   *     (`spark.graft.ann.pruneGraceMs`, default 1 h) — cache hygiene,
   *     never correctness (a pruned live index just rebuilds).
   */
-private[ops] object IndexHome {
+private[graft] object IndexHome {
 
   private def store: GavroStore = Gavro.store
+
+  /** Parquet-source digest memo: absolute source path → (cheap listing
+    * signature, full digest). The cheap signature is the recursive
+    * (relative path, byte length) listing — NO byte reads — so the
+    * steady-state cost of key resolution (every probe/search call on a
+    * long-lived serve JVM) is one directory walk; the head+tail byte
+    * digest runs only when the listing changes, which is the regenerated-
+    * source case the unmemoized r12 design paid every call to catch.
+    * Documented weakening: an in-place rewrite that preserves every
+    * part's name AND byte length evades the cheap check within one JVM —
+    * parquet regeneration virtually never does (the footer's row-group
+    * offsets/stats shift lengths), and a fresh JVM always digests. */
+  private val parquetMemo = new java.util.concurrent.ConcurrentHashMap[
+    String, (Vector[(String, Long)], String)]()
+
+  /** Part files fully byte-digested since JVM start — observability for
+    * the amortization contract (O(parts) once, O(0 byte reads) after). */
+  private[graft] val digestedParts = new java.util.concurrent.atomic.AtomicLong(0)
+
+  private[graft] def resetFingerprintMemo(): Unit = parquetMemo.clear()
 
   def indexRoot(spark: SparkSession): java.io.File = {
     val configured = spark.conf.getOption("spark.graft.ann.indexRoot")
@@ -53,12 +73,13 @@ private[ops] object IndexHome {
 
   /** Content-derived fingerprint of an index source — NO timestamps.
     * Gavro source: the commit log's entry names and bodies (commit ids
-    * are the table's durable identity). Parquet source: per part, name +
-    * length + sha-256 of the first and last 64 KiB. Cost: two bounded
-    * reads per part file per key resolution — deliberately NOT memoized:
-    * a long-running JVM whose source is regenerated under the same path
-    * (the continuously-maintained operating mode) must re-key, and a
-    * cached digest would serve the stale index forever. */
+    * are the table's durable identity; the log is write-once so this
+    * read is cheap and stays unmemoized). Parquet source: per part,
+    * name + length + sha-256 of the first and last 64 KiB — byte reads
+    * amortized behind [[parquetMemo]]'s name+length revalidation, so a
+    * long-lived serve JVM pays the digest once per source GENERATION:
+    * a regenerated source changes the listing signature, misses the
+    * memo, and re-keys exactly as the always-digest design did. */
   def sourceFingerprint(src: java.io.File): String = {
     val md = java.security.MessageDigest.getInstance("SHA-256")
     def update(s: String): Unit = md.update(s.getBytes("UTF-8"))
@@ -89,8 +110,19 @@ private[ops] object IndexHome {
         else Seq(f)
       val parts: Seq[java.io.File] = walk(src)
       val prefix = src.getAbsolutePath
+      // Cheap revalidation first: (relative name, length) per part, no
+      // byte reads. A hit returns the memoized digest — the listing walk
+      // is the whole steady-state cost of key resolution.
+      val cheap: Vector[(String, Long)] = parts.iterator
+        .map(f => (f.getAbsolutePath.stripPrefix(prefix), f.length())).toVector
+      val memoKey = src.getAbsolutePath
+      Option(parquetMemo.get(memoKey)).filter(_._1 == cheap) match {
+        case Some((_, digest)) => return digest
+        case None => ()
+      }
       val buf = new Array[Byte](64 * 1024)
       parts.foreach { f =>
+        digestedParts.incrementAndGet()
         update(s"${f.getAbsolutePath.stripPrefix(prefix)}:${f.length()}:")
         val raf = new java.io.RandomAccessFile(f, "r")
         // full-read loops: a single read() may legally return short
@@ -111,6 +143,9 @@ private[ops] object IndexHome {
           digestFully(f.length() - tailStart)
         } finally raf.close()
       }
+      val digest = md.digest().take(12).map(b => f"$b%02x").mkString
+      parquetMemo.put(memoKey, (cheap, digest))
+      return digest
     }
     md.digest().take(12).map(b => f"$b%02x").mkString
   }

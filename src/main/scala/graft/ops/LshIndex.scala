@@ -23,15 +23,20 @@ import graft.sources.{Gavro, Tables}
   *     footer-stats machinery);
   *   - `bands/` — (doc_id, band_idx, band_key) bucket membership, the
   *     probe join's build side, range-partitioned by band_idx with
-  *     band_idx in the footer stats.
+  *     band_idx in the footer stats;
+  *   - `buckets/` — per-(bucket, commit) occupancy (n, max_doc), the
+  *     table that lets the probe evaluate the mega-bucket cap and find
+  *     persisted probe-side rows WITHOUT shuffling the corpus.
   *
-  * The nightly-batch probe then costs O(Δdocs): sketch ONLY the arriving
-  * batch, union its band rows with the PERSISTED corpus bands, apply the
-  * same mega-bucket cap, and join within buckets restricted to pairs
-  * that touch the new batch — new×old and new×new, never old×old. At
-  * cluster scale the persisted bands table is bucketed by band_key so
-  * the probe join co-locates; the sandbox expresses the same plan as a
-  * shuffle join on (band_idx, band_key).
+  * The nightly-batch probe then costs O(Δdocs) in BOTH sketch work and
+  * shuffle bytes: sketch ONLY the arriving batch, resolve the touched
+  * buckets' persisted occupancy through broadcast joins, fetch just the
+  * surviving buckets' membership and just the candidate pairs'
+  * signatures from the persisted tables (again behind broadcasts), and
+  * join within buckets restricted to pairs that touch the new batch —
+  * new×old and new×new, never old×old. The persisted tables are scanned,
+  * never exchanged; at cluster scale they'd additionally be bucketed by
+  * band_key so the scans themselves prune.
   *
   * Everything is deterministic (md5-derived hash family, exact integer
   * arithmetic), so the probe result is hash-equal to the in-query
@@ -40,8 +45,10 @@ import graft.sources.{Gavro, Tables}
   */
 object LshIndex {
 
-  /** Bump when the sketch pipeline or layout changes — keys the cache. */
-  val Version = 1
+  /** Bump when the sketch pipeline or layout changes — keys the cache.
+    * (v2: added the `buckets/` occupancy table that makes the probe's
+    * shuffle O(Δ); a v1 artifact has no counts to probe against.) */
+  val Version = 2
 
   /** First doc_id of "tonight's batch" — the fixture's planted near-dup
     * ids, matching [[Dedup.minhashIncremental]]'s default. */
@@ -66,17 +73,41 @@ object LshIndex {
         .as("bin"))
     Gavro.write(sigRows.coalesce(1), s"$dir/sigs")
     // Uncapped: the index stores EVERY band row; the mega-bucket skew cap
-    // is probe-time policy (it must see probe-side rows to count buckets
-    // the way the oracle does).
-    val bandRows = Dedup.bands(sigs)
+    // is probe-time policy (it must count probe-side rows too, the way
+    // the oracle does — the `buckets/` table below supplies the persisted
+    // half of that count without a probe-time corpus shuffle).
+    val bands = Dedup.bands(sigs).persist()
+    val bandRows = bands
       .select(expr(
         "to_avro_graft(struct(doc_id, band_idx, band_key), 'lsh_bands')")
         .as("bin"), col("band_idx"))
       .repartitionByRange(6, col("band_idx"))
     Gavro.write(bandRows, s"$dir/bands", statCols = Seq("band_idx"))
+    writeBuckets(bands, s"$dir/buckets")
+    bands.unpersist()
     sigs.unpersist()
     ()
   }
+
+  /** Fold one batch's band rows into per-bucket occupancy rows and write
+    * them (build) — [[appendBatch]] appends the same aggregate per delta,
+    * so a bucket's TOTAL size is `sum(n)` over its commit rows and its
+    * probe-side membership is visible as `max_doc`. `max_doc` rides the
+    * footer stats: a probe's `max_doc >= floor` scan skips every file
+    * whose batch lies entirely below the floor (the whole base build,
+    * usually). */
+  private def writeBuckets(bands: DataFrame, dir: String): Unit = {
+    val rows = bucketRows(bands)
+      .select(expr(
+        "to_avro_graft(struct(band_idx, band_key, n, max_doc), 'lsh_buckets')")
+        .as("bin"), col("band_idx"), col("max_doc"))
+      .coalesce(1)
+    Gavro.write(rows, dir, statCols = Seq("band_idx", "max_doc"))
+  }
+
+  private def bucketRows(bands: DataFrame): DataFrame =
+    bands.groupBy(col("band_idx"), col("band_key"))
+      .agg(count(lit(1)).as("n"), max(col("doc_id")).as("max_doc"))
 
   /** The canonical per-sf-dir index over the PLAIN documents table (the
     * standing corpus a nightly batch probes against). */
@@ -97,6 +128,24 @@ object LshIndex {
   def loadBands(spark: SparkSession, dir: String): DataFrame =
     spark.read.format("gavro").option("schema", "lsh_bands").load(s"$dir/bands")
       .select(col("doc_id"), col("band_idx"), col("band_key"))
+
+  /** Bucket occupancy read back, one row per (bucket, commit):
+    * (band_idx, band_key, n, max_doc). */
+  def loadBuckets(spark: SparkSession, dir: String): DataFrame =
+    spark.read.format("gavro").option("schema", "lsh_buckets")
+      .load(s"$dir/buckets")
+      .select(col("band_idx"), col("band_key"), col("n"), col("max_doc"))
+
+  /** Signatures for exactly the `ids` frame (one `doc_id` column),
+    * reassembled by filtering the scalar sig rows BEFORE the rebuild
+    * groupBy — the shuffle carries only the candidates' rows, never the
+    * corpus sketch. */
+  def loadSigsFor(spark: SparkSession, dir: String, ids: DataFrame): DataFrame =
+    spark.read.format("gavro").option("schema", "lsh_sigs").load(s"$dir/sigs")
+      .join(broadcast(ids), "doc_id")
+      .groupBy(col("doc_id"))
+      .agg(expr("transform(array_sort(collect_list(struct(pos, m))), s -> s.m)")
+        .as("sig"))
 
   /** REBUILD the index and fingerprint the bands table READ BACK from
     * the written gavro files (per band: row count, distinct buckets, a
@@ -134,20 +183,109 @@ object LshIndex {
   /** The serving form: probe an EXPLICIT arriving batch (doc_id, text)
     * against an index at `dir`. `newFrom` is the id floor of the batch —
     * pairs are restricted to those touching it. Sketch cost O(|delta|);
-    * the corpus sketch is never recomputed. */
+    * the corpus sketch is never recomputed, and (since the `buckets/`
+    * occupancy table landed) the probe's SHUFFLES all carry O(|delta|)
+    * too — the persisted tables are only scanned behind broadcast joins. */
   def probeBatch(spark: SparkSession, dir: String, delta: DataFrame,
       newFrom: Long): DataFrame = {
     // NOT persisted: this path runs once per streaming micro-batch and
     // the returned lazy frame escapes, so a persist here would leak one
-    // cached delta sketch per trigger. The sketch appears twice in the
-    // plan (sigs ∪, bands ∪) — recomputing O(|delta|) hashing is the
-    // price of a leak-free serve path.
+    // cached delta sketch per trigger. The sketch appears a few times in
+    // the plan (band rows, counts, sig fetch) — recomputing O(|delta|)
+    // hashing is the price of a leak-free serve path.
     val deltaSigs = Dedup.minhashSignatures(delta)
       .select(col("doc_id"), col("sig"))
-    Dedup.bandProbe(
-      loadSigs(spark, dir).unionByName(deltaSigs),
-      loadBands(spark, dir).unionByName(Dedup.bands(deltaSigs)),
-      newFrom)
+    probeIndexed(spark, dir, Some(deltaSigs), newFrom)
+  }
+
+  /** [[Dedup.bandProbe]]'s exact semantics re-planned against the
+    * materialized artifact so NO exchange carries the corpus. The oracle
+    * (`lsh_index_probe`/`lsh_index_append` share the in-query rebuild's
+    * SQL unroll) and [[LshIndexSpec]]'s three-paths-one-answer checks pin
+    * the equivalence. Shuffle accounting, the point of the rewrite:
+    *
+    *   - probe-side buckets come from the delta's own band rows plus the
+    *     occupancy table filtered `max_doc >= newFrom` (footer-stat
+    *     pushdown skips all-below-floor files — the base build, usually);
+    *   - the mega-bucket cap sums PERSISTED per-commit counts for those
+    *     buckets only (occupancy scan behind a broadcast join — the old
+    *     plan's window count re-shuffled the full bands table per probe)
+    *     and adds the delta's in-query counts;
+    *   - band membership of surviving buckets is fetched from the bands
+    *     table behind a broadcast of the bucket keys; the pair join
+    *     broadcasts the probe side;
+    *   - candidate signatures are fetched by broadcast-filtering the sig
+    *     ROWS before their rebuild groupBy (the old plan joined the full
+    *     corpus sig table twice, unpushed).
+    *
+    * Buckets the cap drops and buckets without a probe-side row produce
+    * no pairs in [[Dedup.bandProbe]] either, so restricting every stage
+    * to probe-relevant buckets is result-identical. */
+  private def probeIndexed(spark: SparkSession, dir: String,
+      deltaSigsRaw: Option[DataFrame], newFrom: Long): DataFrame = {
+    // The delta sketch and the candidate-pair set each feed several
+    // downstream subtrees; without materialization every reference
+    // re-executes the sketch/pair shuffles (~5× the bytes — measured).
+    // localCheckpoint, not persist: an eager checkpoint's blocks are
+    // released by the ContextCleaner once the returned frame becomes
+    // unreachable, so the once-per-micro-batch serve path cannot
+    // accumulate cached plans the way a persist-per-trigger would.
+    val deltaSigs = deltaSigsRaw.map(_.localCheckpoint(true))
+    val counts = loadBuckets(spark, dir)
+    val deltaBands = deltaSigs.map(ds => Dedup.bands(ds))
+    val hotPersisted = counts.filter(col("max_doc") >= newFrom)
+      .select(col("band_idx"), col("band_key"))
+    val hotKeys = deltaBands
+      .map(db => hotPersisted.unionByName(db.filter(col("doc_id") >= newFrom)
+        .select(col("band_idx"), col("band_key"))))
+      .getOrElse(hotPersisted)
+      .distinct()
+    val bucketCols = Seq("band_idx", "band_key")
+    val pn = counts.join(broadcast(hotKeys), bucketCols)
+      .groupBy(col("band_idx"), col("band_key")).agg(sum(col("n")).as("pn"))
+    val totals = deltaBands.map(_.groupBy(col("band_idx"), col("band_key"))
+        .agg(count(lit(1)).as("dn"))) match {
+      case Some(dn) => pn.join(dn, bucketCols, "full_outer")
+        .select(col("band_idx"), col("band_key"),
+          (coalesce(col("pn"), lit(0L)) + coalesce(col("dn"), lit(0L)))
+            .as("tot"))
+      case None => pn.select(col("band_idx"), col("band_key"),
+        col("pn").as("tot"))
+    }
+    val okKeys = hotKeys.join(totals, bucketCols)
+      .filter(col("tot") <= Dedup.MaxBucketSize)
+      .select(col("band_idx"), col("band_key"))
+    val memberCols = Seq(col("doc_id"), col("band_idx"), col("band_key"))
+    val persistedMembers = loadBands(spark, dir)
+      .join(broadcast(okKeys), bucketCols).select(memberCols: _*)
+    val xRows = deltaBands
+      .map(db => persistedMembers.unionByName(
+        db.join(broadcast(okKeys), bucketCols).select(memberCols: _*)))
+      .getOrElse(persistedMembers)
+    val yRows = xRows.filter(col("doc_id") >= newFrom)
+    val pairs = xRows.as("x").join(broadcast(yRows).as("y"),
+        col("x.band_idx") === col("y.band_idx") &&
+          col("x.band_key") === col("y.band_key") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+      .localCheckpoint(true) // referenced 3× below (ids ×2, final join)
+    val candIds = pairs.select(col("doc_a").as("doc_id"))
+      .unionByName(pairs.select(col("doc_b").as("doc_id"))).distinct()
+    val persistedCandSigs = loadSigsFor(spark, dir, candIds)
+    val candSigs = deltaSigs
+      .map(ds => persistedCandSigs.unionByName(
+        ds.join(broadcast(candIds), "doc_id").select(col("doc_id"), col("sig"))))
+      .getOrElse(persistedCandSigs)
+    pairs
+      .join(broadcast(candSigs.select(col("doc_id").as("doc_a"),
+        col("sig").as("sig_a"))), "doc_a")
+      .join(broadcast(candSigs.select(col("doc_id").as("doc_b"),
+        col("sig").as("sig_b"))), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        round(expr("size(filter(sequence(1, 12), i -> element_at(sig_a, i) = element_at(sig_b, i)))") / lit(12.0), 4)
+          .as("est_jaccard"))
+      .orderBy(col("doc_a"), col("doc_b"))
   }
 
   // ------------------------------------------------------- incremental append
@@ -167,11 +305,19 @@ object LshIndex {
       .coalesce(1)
       .write.format("gavro").option("schema", "lsh_sigs")
       .mode("append").save(s"$dir/sigs")
-    Dedup.bands(deltaSigs)
+    val deltaBands = Dedup.bands(deltaSigs).persist()
+    deltaBands
       .repartitionByRange(2, col("band_idx")) // delta ≪ base
       .select(col("doc_id"), col("band_idx"), col("band_key"))
       .write.format("gavro").option("schema", "lsh_bands")
       .mode("append").save(s"$dir/bands")
+    // Occupancy rides along: one aggregate row per touched bucket, so the
+    // next probe's cap still sums to exactly the bands table's counts.
+    bucketRows(deltaBands)
+      .coalesce(1)
+      .write.format("gavro").option("schema", "lsh_buckets")
+      .mode("append").save(s"$dir/buckets")
+    deltaBands.unpersist()
     deltaSigs.unpersist()
     ()
   }
@@ -194,10 +340,8 @@ object LshIndex {
     * hash-equal to it AND to the in-query incremental rebuild — three
     * execution paths, one answer, proving the appended artifact encodes
     * the batch exactly as a from-scratch sketch would. */
-  def probeAppended(spark: SparkSession, sfDir: String): DataFrame = {
-    val dir = ensureAppended(spark, sfDir)
-    Dedup.bandProbe(loadSigs(spark, dir), loadBands(spark, dir), NewFrom)
-  }
+  def probeAppended(spark: SparkSession, sfDir: String): DataFrame =
+    probeIndexed(spark, ensureAppended(spark, sfDir), None, NewFrom)
 
   // ---------------------------------------------------------------- registry
 

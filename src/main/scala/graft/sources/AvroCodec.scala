@@ -123,6 +123,7 @@ object AvroCodec {
   lazy val IvfCodes: ARecord = parseSchema(IvfCodesJson)
   lazy val LshSigs: ARecord = parseSchema(LshSigsJson)
   lazy val LshBands: ARecord = parseSchema(LshBandsJson)
+  lazy val LshBuckets: ARecord = parseSchema(LshBucketsJson)
 
   def schemaByName(name: String): ARecord = name match {
     case "request_log" => RequestLog
@@ -134,10 +135,11 @@ object AvroCodec {
     case "ivf_codes" => IvfCodes
     case "lsh_sigs" => LshSigs
     case "lsh_bands" => LshBands
+    case "lsh_buckets" => LshBuckets
     case other => throw new IllegalArgumentException(
       s"unknown avro schema '$other' " +
         "(known: request_log, system_metrics, orders_cdc, sessions_cdc, " +
-        "ivf_cells, ivf_books, ivf_codes, lsh_sigs, lsh_bands)")
+        "ivf_cells, ivf_books, ivf_codes, lsh_sigs, lsh_bands, lsh_buckets)")
   }
 
   private def sqlTypeOf(t: AvroType): DataType = t match {
@@ -618,6 +620,21 @@ object AvroCodec {
       |{"name":"doc_id","type":"long"},
       |{"name":"band_idx","type":"int"},
       |{"name":"band_key","type":"string"}
+      |]}""".stripMargin.replace("\n", "")
+
+  /** LSH bucket occupancy, maintained in the index artifact at build and
+    * append time: one row per (band_idx, band_key) PER COMMIT with that
+    * batch's row count and max doc_id. Readers sum `n` for the mega-bucket
+    * cap and filter `max_doc` for probe-side rows — both through broadcast
+    * joins, so the probe never shuffles the corpus-scale bands table
+    * (`max_doc` in the footer stats lets an all-below-floor base file skip
+    * wholesale). */
+  val LshBucketsJson: String =
+    """{"type":"record","name":"LshBuckets","fields":[
+      |{"name":"band_idx","type":"int"},
+      |{"name":"band_key","type":"string"},
+      |{"name":"n","type":"long"},
+      |{"name":"max_doc","type":"long"}
       |]}""".stripMargin.replace("\n", "")
 
   /** The `orders` Debezium envelope writer schema, verbatim as the

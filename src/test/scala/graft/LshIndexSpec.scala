@@ -127,6 +127,74 @@ class LshIndexSpec extends SparkSpec {
     assert(accepted.asScala.toSet == Set(floor + 2))
   }
 
+  test("probe shuffle bytes are O(delta): flat across corpus growth, far below recompute") {
+    // Two standing corpora that differ ONLY in collision-free filler (40
+    // unique md5 tokens per doc — no shared buckets with anything), so
+    // the probe's ANSWER is identical while the persisted tables grow 4×.
+    // The claim under test, in bytes not wall time: every exchange in the
+    // probe plan carries O(delta), so total shuffle-write bytes must not
+    // track corpus size — while the in-query recompute's must.
+    def filler(n: Int) = spark.range(n)
+      .select((col("id") + 100000).as("doc_id"),
+        expr("concat_ws(' ', transform(sequence(0, 39), " +
+          "i -> substring(md5(concat(cast(id as string), '-', cast(i as string))), 1, 8)))")
+          .as("text"))
+    val floor = 10000000L
+    val delta = docs
+      .select((col("doc_id") + floor).as("doc_id"),
+        expr("substring(text, instr(text, ' ') + 1)").as("text"))
+      .localCheckpoint(true)
+    def shuffled(body: => Unit): Long = {
+      val acc = new java.util.concurrent.atomic.AtomicLong(0)
+      val listener = new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(
+            te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+          val m = te.taskMetrics
+          if (m != null) { acc.addAndGet(m.shuffleWriteMetrics.bytesWritten); () }
+        }
+      }
+      spark.sparkContext.addSparkListener(listener)
+      try {
+        body
+        // task-end events are async; settle until the counter stops moving
+        var last = -1L
+        var stable = 0
+        var polls = 0
+        while (stable < 3 && polls < 50) {
+          if (acc.get == last) stable += 1 else { stable = 0; last = acc.get }
+          Thread.sleep(100); polls += 1
+        }
+      } finally spark.sparkContext.removeSparkListener(listener)
+      acc.get
+    }
+    def probeBytes(fillerDocs: Int): (Long, Set[(Long, Long)]) = {
+      val corpus = docs.unionByName(filler(fillerDocs)).localCheckpoint(true)
+      val dir = java.nio.file.Files.createTempDirectory(s"lsh_od_$fillerDocs")
+        .toString
+      LshIndex.buildAndWrite(corpus, dir)
+      var pairs: Set[(Long, Long)] = Set.empty
+      val bytes = shuffled {
+        pairs = LshIndex.probeBatch(spark, dir, delta, floor).collect()
+          .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+      }
+      (bytes, pairs)
+    }
+    val (smallBytes, smallPairs) = probeBytes(2000)
+    val (bigBytes, bigPairs) = probeBytes(8000)
+    assert(smallPairs.nonEmpty && smallPairs == bigPairs,
+      "filler must not change the probe answer")
+    assert(bigBytes < math.max(smallBytes * 3 / 2, smallBytes + 64 * 1024),
+      s"probe shuffle grew with the corpus: $smallBytes -> $bigBytes bytes")
+    // the recompute baseline DOES track corpus size — and dwarfs the probe
+    val bigCorpus = docs.unionByName(filler(8000)).localCheckpoint(true)
+    val recomputeBytes = shuffled {
+      Dedup.minhashIncremental(bigCorpus.unionByName(delta), newFrom = floor)
+        .write.format("noop").mode("overwrite").save()
+    }
+    assert(recomputeBytes > bigBytes * 2,
+      s"expected recompute ($recomputeBytes B) >> probe ($bigBytes B)")
+  }
+
   test("band_idx footer stats slice the bands table by band") {
     val dir = LshIndex.ensure(spark, sfDir)
     val files = new java.io.File(dir, "bands").listFiles()
