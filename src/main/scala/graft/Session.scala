@@ -30,6 +30,11 @@ object Session {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+      // Lets a DSv2 scan's reported KeyGroupedPartitioning reach the
+      // planner (gavro tables written repartitionByRange report it via
+      // the `partitionKey` reader option) — clustered aggs/joins over
+      // index tables then skip their Exchange entirely.
+      .config("spark.sql.sources.v2.bucketing.enabled", "true")
       .config("spark.ui.enabled", "false")
 
   def local(appName: String): SparkSession = {

@@ -71,8 +71,10 @@ object IvfPqIndex {
   /** Bump when the build pipeline or publication protocol changes — the
     * version keys the index directory, so a stale index from older code
     * is never reused. (v2: `_LIVE` pointer publication + content
-    * fingerprints replaced atomic-rename dirs keyed by mtimes.) */
-  val Version = 2
+    * fingerprints replaced atomic-rename dirs keyed by mtimes. v3: codes
+    * laid out one-cell-per-file so the scan reports
+    * KeyGroupedPartitioning.) */
+  val Version = 3
 
   /** The search-many query count: 4× the in-query family's 5, the point
     * of a prebuilt index being that more queries cost no more training. */
@@ -108,15 +110,27 @@ object IvfPqIndex {
         "to_avro_graft(struct(sub_idx, c_id, pos, cast(xd as long)), 'ivf_books')")
         .as("bin"))
     Gavro.write(bookRows.coalesce(1), s"$dir/books")
-    // The corpus-scale table: clustered by cell so each file covers a
-    // disjoint cell range and the footer's min/max make the probe-list IN
-    // pushdown skip whole files (at cluster scale: partition by cell).
+    // The corpus-scale table: ONE CELL PER FILE (exact partitioning, not
+    // range sampling — see [[Gavro.exactPartition]]), so the footer's
+    // min == max per file makes the probe-list IN pushdown skip whole
+    // files AND lets the scan report KeyGroupedPartitioning on `cell` —
+    // clustered aggs/joins over the codes table plan with no Exchange.
     val codeRows = codes
-      .repartitionByRange(Quantize.CoarseK, col("cell"))
       .select(expr(
         "to_avro_graft(struct(vec_id, cell, sub_idx, code), 'ivf_codes')")
         .as("bin"), col("cell"))
-    Gavro.write(codeRows, s"$dir/codes", statCols = Seq("cell"))
+    Gavro.write(Gavro.exactPartition(codeRows, "cell", Quantize.CoarseK),
+      s"$dir/codes", statCols = Seq("cell"))
+  }
+
+  /** The codes table read with its storage partitioning REPORTED — use
+    * for plans that cluster on `cell` (summaries, feeds); the ADC serve
+    * scan stays unkeyed to keep block-level task fan-out. */
+  private def loadCodesKeyed(spark: SparkSession, dir: String,
+      sinceCommit: Option[String] = None): DataFrame = {
+    val r = spark.read.format("gavro").option("schema", "ivf_codes")
+      .option("partitionKey", "cell")
+    sinceCommit.fold(r)(c => r.option("sinceCommit", c)).load(s"$dir/codes")
   }
 
   /** The canonical per-sf-dir index, built on first use and published
@@ -152,8 +166,7 @@ object IvfPqIndex {
         sfPrefix(sfDir, "")) { dir =>
       buildAndWrite(Tables.embeddings(spark, sfDir), dir)
     }
-    spark.read.format("gavro").option("schema", "ivf_codes")
-      .load(s"${live.getAbsolutePath}/codes")
+    loadCodesKeyed(spark, live.getAbsolutePath)
       .groupBy(col("cell"), col("sub_idx"))
       .agg(count(lit(1)).as("n"),
         countDistinct(col("code")).as("n_codes"),
@@ -283,12 +296,12 @@ object IvfPqIndex {
     * continuously-maintained operating mode at 100 TB — nightly train,
     * per-batch fold-in. Stats land on every scalar field, so the
     * probe-list cell pushdown skips delta files like base files. */
-  def appendToIndex(spark: SparkSession, dir: String, delta: DataFrame,
-      partitions: Int = 4): Unit =
-    Quantize.ivfPqEncodeFrozen(delta,
-        loadCells(spark, dir), loadBooks(spark, dir))
-      .repartitionByRange(partitions, col("cell")) // delta ≪ base
-      .select(col("vec_id"), col("cell"), col("sub_idx"), col("code"))
+  def appendToIndex(spark: SparkSession, dir: String, delta: DataFrame): Unit =
+    Gavro.exactPartition( // delta files stay one-cell like base files
+        Quantize.ivfPqEncodeFrozen(delta,
+            loadCells(spark, dir), loadBooks(spark, dir))
+          .select(col("vec_id"), col("cell"), col("sub_idx"), col("code")),
+        "cell", Quantize.CoarseK)
       .write.format("gavro").option("schema", "ivf_codes")
       .mode("append").save(s"$dir/codes")
 
@@ -323,9 +336,7 @@ object IvfPqIndex {
     * full retrain-free rebuild would have. */
   def deltaFeedSummary(spark: SparkSession, sfDir: String): DataFrame = {
     val dir = ensureAppended(spark, sfDir)
-    spark.read.format("gavro").option("schema", "ivf_codes")
-      .option("sinceCommit", baseCommit(s"$dir/codes"))
-      .load(s"$dir/codes")
+    loadCodesKeyed(spark, dir, Some(baseCommit(s"$dir/codes")))
       .groupBy(col("cell"), col("sub_idx"))
       .agg(count(lit(1)).as("n"),
         countDistinct(col("code")).as("n_codes"),

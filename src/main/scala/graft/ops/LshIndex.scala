@@ -77,12 +77,15 @@ object LshIndex {
     // the oracle does — the `buckets/` table below supplies the persisted
     // half of that count without a probe-time corpus shuffle).
     val bands = Dedup.bands(sigs).persist()
+    // One band per file (exact partitioning): footer min == max on
+    // band_idx lets the scan report KeyGroupedPartitioning AND gives the
+    // band-sliced maintenance scans exact file pruning.
     val bandRows = bands
       .select(expr(
         "to_avro_graft(struct(doc_id, band_idx, band_key), 'lsh_bands')")
         .as("bin"), col("band_idx"))
-      .repartitionByRange(6, col("band_idx"))
-    Gavro.write(bandRows, s"$dir/bands", statCols = Seq("band_idx"))
+    Gavro.write(Gavro.exactPartition(bandRows, "band_idx", 6),
+      s"$dir/bands", statCols = Seq("band_idx"))
     writeBuckets(bands, s"$dir/buckets")
     bands.unpersist()
     sigs.unpersist()
@@ -124,10 +127,18 @@ object LshIndex {
       .agg(expr("transform(array_sort(collect_list(struct(pos, m))), s -> s.m)")
         .as("sig"))
 
-  /** Band bucket membership read back: (doc_id, band_idx, band_key). */
-  def loadBands(spark: SparkSession, dir: String): DataFrame =
-    spark.read.format("gavro").option("schema", "lsh_bands").load(s"$dir/bands")
+  /** Band bucket membership read back: (doc_id, band_idx, band_key).
+    * `keyed` reports the one-band-per-file storage partitioning to the
+    * planner — use when the downstream plan clusters on band_idx (the
+    * build summary's groupBy); the probe's broadcast joins gain nothing
+    * from it, so the default keeps block-level task fan-out. */
+  def loadBands(spark: SparkSession, dir: String,
+      keyed: Boolean = false): DataFrame = {
+    val r = spark.read.format("gavro").option("schema", "lsh_bands")
+    (if (keyed) r.option("partitionKey", "band_idx") else r)
+      .load(s"$dir/bands")
       .select(col("doc_id"), col("band_idx"), col("band_key"))
+  }
 
   /** Bucket occupancy read back, one row per (bucket, commit):
     * (band_idx, band_key, n, max_doc). */
@@ -157,7 +168,7 @@ object LshIndex {
       buildAndWrite(
         Tables.documents(spark, sfDir).select(col("doc_id"), col("text")), dir)
     }
-    loadBands(spark, live.getAbsolutePath)
+    loadBands(spark, live.getAbsolutePath, keyed = true)
       .groupBy(col("band_idx"))
       .agg(count(lit(1)).as("n"),
         countDistinct(col("band_key")).as("n_buckets"),
@@ -306,9 +317,9 @@ object LshIndex {
       .write.format("gavro").option("schema", "lsh_sigs")
       .mode("append").save(s"$dir/sigs")
     val deltaBands = Dedup.bands(deltaSigs).persist()
-    deltaBands
-      .repartitionByRange(2, col("band_idx")) // delta ≪ base
-      .select(col("doc_id"), col("band_idx"), col("band_key"))
+    Gavro.exactPartition( // delta files stay one-band like base files
+        deltaBands.select(col("doc_id"), col("band_idx"), col("band_key")),
+        "band_idx", 6)
       .write.format("gavro").option("schema", "lsh_bands")
       .mode("append").save(s"$dir/bands")
     // Occupancy rides along: one aggregate row per touched bucket, so the

@@ -113,7 +113,8 @@ class GavroTable(tableSchema: StructType, path: String, schemaName: String,
     new GavroScanBuilder(tableSchema, path, schemaName, readerJson, asOfCommit,
       sinceCommit,
       maxFilesPerTrigger = Option(options.get("maxFilesPerTrigger")).map(_.toInt),
-      maxBytesPerTrigger = Option(options.get("maxBytesPerTrigger")).map(_.toLong))
+      maxBytesPerTrigger = Option(options.get("maxBytesPerTrigger")).map(_.toLong),
+      partitionKey = Option(options.get("partitionKey")))
   override def newWriteBuilder(
       info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
       : org.apache.spark.sql.connector.write.WriteBuilder =
@@ -127,7 +128,8 @@ class GavroScanBuilder(full: StructType, path: String, schemaName: String,
     readerJson: Option[String] = None, asOfCommit: Option[String] = None,
     sinceCommit: Option[String] = None,
     maxFilesPerTrigger: Option[Int] = None,
-    maxBytesPerTrigger: Option[Long] = None)
+    maxBytesPerTrigger: Option[Long] = None,
+    partitionKey: Option[String] = None)
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with SupportsPushDownFilters with SupportsPushDownLimit
     with SupportsPushDownAggregates {
@@ -166,6 +168,11 @@ class GavroScanBuilder(full: StructType, path: String, schemaName: String,
     val groups = aggregation.groupByExpressions.map(fieldOf)
     if (groups.exists(g => g.isEmpty || !scalarField(g.get))) return false
     val gNames = groups.map(_.get)
+    // A `partitionKey` read whose grouping contains the key declines the
+    // aggregate push: the reported KeyGroupedPartitioning then plans ONE
+    // complete per-partition aggregate with NO exchange at all, which
+    // beats shuffling O(files × groups) pushed partial rows.
+    if (partitionKey.exists(gNames.contains)) return false
     val specs: Array[Option[GAggSpec]] = aggregation.aggregateExpressions.map {
       case _: CountStar => Some(GAggSpec("count_star", null))
       case c: Count if !c.isDistinct =>
@@ -242,7 +249,7 @@ class GavroScanBuilder(full: StructType, path: String, schemaName: String,
     new GavroScan(path, schemaName,
       if (agg != null) agg.schema else required, pushed, limit,
       Option(agg), readerJson, asOfCommit, sinceCommit,
-      maxFilesPerTrigger, maxBytesPerTrigger)
+      maxFilesPerTrigger, maxBytesPerTrigger, partitionKey)
 }
 
 /** DSv2 WRITE path: `df.write.format("gavro").option("schema", …)
@@ -566,10 +573,66 @@ class GavroScan(path: String, schemaName: String, required: StructType,
     asOfCommit: Option[String] = None,
     sinceCommit: Option[String] = None,
     maxFilesPerTrigger: Option[Int] = None,
-    maxBytesPerTrigger: Option[Long] = None)
-    extends Scan with Batch with SupportsReportStatistics {
+    maxBytesPerTrigger: Option[Long] = None,
+    partitionKey: Option[String] = None)
+    extends Scan with Batch with SupportsReportStatistics
+    with org.apache.spark.sql.connector.read.SupportsReportPartitioning {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
+
+  /** The key column a `partitionKey` reader option nominates, accepted
+    * only when it survives column pruning (Spark must be able to resolve
+    * the reported clustering against the scan output) and no aggregate
+    * was pushed (a pushed agg replaces the output shape). */
+  private val keyField: Option[StructField] =
+    partitionKey.filter(_ => agg.isEmpty)
+      .flatMap(k => required.fields.find(_.name == k))
+
+  /** Partitions planned once (both the logical rule's
+    * `outputPartitioning` and execution's `planInputPartitions` need
+    * them). In keyed mode every file that SURVIVES stats skipping must
+    * prove single-valuedness on the key (footer min == max — what the
+    * writer's `repartitionByRange` layout produces); one unprovable live
+    * file falls the whole scan back to UnknownPartitioning, never to a
+    * wrong grouping. Key values convert to the Catalyst representation
+    * of the column's SQL type so Spark's partition grouping compares
+    * them correctly. */
+  private lazy val planned: (Array[InputPartition], Int) = {
+    val preds = pushed.map(GavroPred.from).toSeq
+    val files = Gavro.listDataFiles(path, asOfCommit, sinceCommit)
+    keyField match {
+      case None =>
+        (files.flatMap(f => GavroSkip.planFile(f, preds))
+          .map(p => p: InputPartition), 0)
+      case Some(field) =>
+        val perFile = files.map { f =>
+          val meta = GavroFooter.read(f)
+          val single = meta.stats.get(field.name)
+            .filter(s => s.min == s.max)
+            .map(s => GavroScan.toCatalystKey(s.min, field.dataType))
+          (GavroSkip.planFile(f, preds, meta), single)
+        }.filter(_._1.nonEmpty)
+        if (perFile.nonEmpty && perFile.forall(_._2.isDefined)) {
+          val keys = perFile.flatMap(_._2).distinct.length
+          (perFile.flatMap { case (parts, single) =>
+            parts.map(p => GavroKeyedPartition(p, single.get): InputPartition)
+          }, keys)
+        } else (perFile.flatMap(_._1).map(p => p: InputPartition), 0)
+    }
+  }
+
+  override def outputPartitioning()
+      : org.apache.spark.sql.connector.read.partitioning.Partitioning = {
+    import org.apache.spark.sql.connector.expressions.Expressions
+    import org.apache.spark.sql.connector.read.partitioning.{
+      KeyGroupedPartitioning, UnknownPartitioning}
+    keyField match {
+      case Some(field) if planned._2 > 0 =>
+        new KeyGroupedPartitioning(
+          Array(Expressions.identity(field.name)), planned._2)
+      case _ => new UnknownPartitioning(planned._1.length)
+    }
+  }
 
   /** Size from the file listing (cheap, exact for the on-wire bytes).
     * Without this a DSv2 relation reports the session default
@@ -604,12 +667,7 @@ class GavroScan(path: String, schemaName: String, required: StructType,
     * parquet-style per-file stats skipping: a file whose [min, max] range
     * excludes a pushed comparison conjunct is never opened — the listing's
     * footers (a 12-byte tail read + the index) are all the planner touches. */
-  override def planInputPartitions(): Array[InputPartition] = {
-    val preds = pushed.map(GavroPred.from).toSeq
-    Gavro.listDataFiles(path, asOfCommit, sinceCommit)
-      .flatMap(f => GavroSkip.planFile(f, preds))
-      .map(p => p: InputPartition)
-  }
+  override def planInputPartitions(): Array[InputPartition] = planned._1
   override def createReaderFactory(): PartitionReaderFactory =
     GavroReaderFactory(schemaName, required.fieldNames,
       pushed.map(GavroPred.from), limit, agg, readerJson)
@@ -1022,6 +1080,19 @@ object GavroPred {
   }
 }
 
+object GavroScan {
+  /** Footer stat value → the Catalyst value Spark's key-grouped partition
+    * comparison expects for the column's SQL type (footer longs carry both
+    * int and long stats; strings become UTF8String). */
+  private[sources] def toCatalystKey(statValue: Any,
+      dt: org.apache.spark.sql.types.DataType): Any = (statValue, dt) match {
+    case (v: Long, org.apache.spark.sql.types.IntegerType) => v.toInt
+    case (v: Long, _) => v
+    case (v: String, _) => org.apache.spark.unsafe.types.UTF8String.fromString(v)
+    case (v, _) => v
+  }
+}
+
 /** One scan task: a record-aligned byte range of one file. `start`/`end`
   * come from the footer's block index (or [0, fileLen) for footer-less
   * legacy files), so a single large landing file fans out across the
@@ -1029,6 +1100,19 @@ object GavroPred {
 case class GavroInputPartition(file: String, start: Long, end: Long,
     codec: Byte = 0)
     extends InputPartition
+
+/** A scan task whose file is PROVEN single-valued on the reported
+  * partition key (footer min == max): `HasPartitionKey` lets Spark group
+  * same-key tasks and plan clustered aggregations/joins without an
+  * Exchange (storage-partitioned execution over the writer's
+  * `repartitionByRange` layout). */
+case class GavroKeyedPartition(part: GavroInputPartition, keyValue: Any)
+    extends InputPartition
+    with org.apache.spark.sql.connector.read.HasPartitionKey {
+  override def partitionKey(): org.apache.spark.sql.catalyst.InternalRow =
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array(keyValue))
+}
 
 /** Per-column min/max for footer stats. `tpe`: 0=long 1=double 2=string
   * 3=boolean 4=int (ints travel as longs). Strings are UTF-8; comparison
@@ -1209,8 +1293,14 @@ object GavroSkip {
     * (whole file first, then surviving blocks individually when the footer
     * carries per-block stats), used by the batch scan and the micro-batch
     * stream alike. */
-  def planFile(file: java.io.File, preds: Seq[GavroPred]): Seq[GavroInputPartition] = {
-    val meta = GavroFooter.read(file)
+  def planFile(file: java.io.File, preds: Seq[GavroPred]): Seq[GavroInputPartition] =
+    planFile(file, preds, GavroFooter.read(file))
+
+  /** The footer-supplied variant for callers that already read the footer
+    * (the keyed scan needs the stats for the partition key too — one tail
+    * read per file, not two). */
+  def planFile(file: java.io.File, preds: Seq[GavroPred],
+      meta: GavroFileMeta): Seq[GavroInputPartition] = {
     if (meta.stats.nonEmpty && exclude(meta.stats, preds)) Seq.empty
     else {
       val bounds = meta.blocks :+ meta.dataEnd
@@ -1232,7 +1322,10 @@ case class GavroReaderFactory(schemaName: String, requiredNames: Array[String],
     agg: Option[GavroAgg] = None,
     readerJson: Option[String] = None) extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
-    val p = partition.asInstanceOf[GavroInputPartition]
+    val p = partition match {
+      case k: GavroKeyedPartition => k.part
+      case other => other.asInstanceOf[GavroInputPartition]
+    }
     agg match {
       case Some(a) => new GavroAggPartitionReader(p, schemaName, a, preds, readerJson = readerJson)
       case None =>
@@ -2718,6 +2811,29 @@ object Gavro {
     * record-aligned block start, so the scan can split the file. Local FS
     * here; the Hadoop FS API is a drop-in at scale (one stream per task,
     * no driver involvement). */
+  /** Route `df` so partition i holds EXACTLY the rows with
+    * `floorMod(key, k) == i` — for dense integer keys (0..k-1) that is
+    * one key value per partition, which the writer turns into provably
+    * single-valued files (footer min == max), the layout
+    * [[GavroScan]]'s reported KeyGroupedPartitioning needs.
+    * `repartitionByRange` CANNOT promise this: its sampled boundaries
+    * legally merge adjacent key values into one partition (observed: a
+    * 4-value column landing as 3 files, one spanning two values), which
+    * silently falls the keyed scan back to UnknownPartitioning. The one
+    * RDD hop is a deterministic router — Spark's DataFrame API exposes
+    * no exact partitioner — and the result is immediately consumed by a
+    * write. Key must be a non-null integral column. */
+  def exactPartition(df: DataFrame, key: String, k: Int): DataFrame = {
+    val idx = df.schema.fieldIndex(key)
+    val rdd = df.rdd
+      .keyBy(r => java.lang.Math.floorMod(r.get(idx).asInstanceOf[Number].longValue, k.toLong).toInt)
+      .partitionBy(new org.apache.spark.Partitioner {
+        override def numPartitions: Int = k
+        override def getPartition(key: Any): Int = key.asInstanceOf[Int]
+      }).values
+    df.sparkSession.createDataFrame(rdd, df.schema)
+  }
+
   def write(bins: DataFrame, dir: String,
       blockBytes: Long = DefaultBlockBytes,
       statCols: Seq[String] = Seq.empty,

@@ -1290,4 +1290,84 @@ class GavroSourceSpec extends SparkSpec {
       Gavro.listDataFiles(out, Some(first.head))
     }
   }
+
+  // ---- SupportsReportPartitioning: storage-partitioned execution ----
+
+  private def shuffleCount(df: org.apache.spark.sql.DataFrame): Int = {
+    df.collect()
+    var n = 0
+    def walk(p: org.apache.spark.sql.execution.SparkPlan): Unit = {
+      p match {
+        case _: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike =>
+          n += 1
+        case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          walk(q.plan)
+        case _ => ()
+      }
+      p.children.foreach(walk)
+    }
+    walk(df.queryExecution.executedPlan)
+    n
+  }
+
+  private def writeCells(out: String, perFileSingleCell: Boolean): Unit = {
+    val rows = spark.range(4000).select(
+      col("id").as("vec_id"), (col("id") % 4).cast("int").as("cell"),
+      // decorrelated from cell (id%8 would pin sub_idx%4 == cell)
+      ((col("id") / 4) % 8).cast("int").as("sub_idx"),
+      (col("id") % 256).cast("int").as("code"))
+    val bins = rows.select(expr(
+        "to_avro_graft(struct(vec_id, cell, sub_idx, code), 'ivf_codes')")
+        .as("bin"), col("cell"))
+    val laidOut =
+      if (perFileSingleCell) Gavro.exactPartition(bins, "cell", 4)
+      else bins.repartition(4) // every file spans all cells: min != max
+    Gavro.write(laidOut, out, statCols = Seq("cell"))
+  }
+
+  private def readCodes(out: String, keyed: Boolean) = {
+    val r = spark.read.format("gavro").option("schema", "ivf_codes")
+    (if (keyed) r.option("partitionKey", "cell") else r).load(out)
+  }
+
+  test("partitionKey: clustered aggregation plans with zero Exchange") {
+    val out = tmpDir("keyed")
+    writeCells(out, perFileSingleCell = true)
+    def agg(keyed: Boolean) = readCodes(out, keyed)
+      .groupBy(col("cell"), col("sub_idx"))
+      .agg(count(lit(1)).as("n"), sum(col("code").cast("long")).as("s"))
+    val keyedRes = agg(keyed = true)
+    val plainRes = agg(keyed = false)
+    assert(shuffleCount(keyedRes) == 0,
+      "key-grouped scan must satisfy the clustered distribution in place")
+    // identical answer either way (the unkeyed read keeps its pushed-agg
+    // partials + final-merge exchange)
+    assert(keyedRes.collect().map(_.toString).sorted.toSeq ==
+      plainRes.collect().map(_.toString).sorted.toSeq)
+    assert(keyedRes.count() == 4 * 8)
+  }
+
+  test("partitionKey falls back to unknown partitioning when a live file is multi-valued") {
+    val out = tmpDir("keyed_fb")
+    writeCells(out, perFileSingleCell = false)
+    val res = readCodes(out, keyed = true)
+      .groupBy(col("cell")).agg(count(lit(1)).as("n"))
+    // correctness first: the grouping must NOT be trusted — an exchange
+    // stays in the plan and the answer is exact
+    assert(shuffleCount(res) >= 1)
+    assert(res.collect().map(r => (r.getInt(0), r.getLong(1))).toMap ==
+      (0 until 4).map(c => c -> 1000L).toMap)
+  }
+
+  test("partitionKey composes with stats skipping: pruned files need no key proof") {
+    val out = tmpDir("keyed_skip")
+    writeCells(out, perFileSingleCell = true)
+    // pushed cell filter prunes 3 of 4 files; the survivor is single-cell
+    val res = readCodes(out, keyed = true).filter(col("cell") === 2)
+      .groupBy(col("cell")).agg(count(lit(1)).as("n"))
+    assert(shuffleCount(res) == 0)
+    assert(res.collect().toSeq.map(r => (r.getInt(0), r.getLong(1))) ==
+      Seq((2, 1000L)))
+  }
 }
