@@ -739,6 +739,14 @@ class GavroMicroBatchStream(path: String, schemaName: String,
   // also log WARN at the moment they happen, so operators can attribute
   // a long trigger or a duplicate burst instead of discovering it in
   // sink data.
+  //
+  // APPROXIMATIONS, per instance, counted at PLANNING time (inside
+  // latestOffset): a trigger that plans but fails before commit counts
+  // once and its WAL replay is NOT recounted; a restart resets all
+  // three to zero. Do not reconcile them 1:1 against sink-side
+  // duplicates — they answer "did this corner fire and roughly how
+  // often", not "exactly how many rows were redelivered" (which only
+  // the sink's own idempotence accounting can say).
   private val forcedAdmissionTriggers = new java.util.concurrent.atomic.AtomicLong
   private val forcedAdmissionFiles = new java.util.concurrent.atomic.AtomicLong
   private val ambiguousRedeliveredFiles = new java.util.concurrent.atomic.AtomicLong
@@ -766,7 +774,11 @@ class GavroMicroBatchStream(path: String, schemaName: String,
     val commits = new java.io.File(path, Gavro.CommitsDir)
     val fp = Gavro.store.list(commits)
       .filter(_.getName.endsWith(".absorbed"))
-      .map(f => s"${f.getName}:${Gavro.store.mtime(f)}:${f.length()}")
+      // length through the STORE: a local File#length here would read 0
+      // on an object-store backend, quietly weakening the fingerprint to
+      // names+mtimes (coarse-mtime FS + reused checkpoint name + equal
+      // length could then serve a stale parsed history)
+      .map(f => s"${f.getName}:${Gavro.store.mtime(f)}:${Gavro.store.length(f)}")
       .sorted.mkString("|")
     val c = histCache
     if (c != null && c._1 == fp) c._2
@@ -1646,6 +1658,21 @@ object Gavro {
   // executor resolves its own configured implementation.
   @volatile private var _store: GavroStore = LocalFsStore
   @volatile private var _dataStore: GavroDataStore = LocalFsDataStore
+  @volatile private var _checkpointReader: CheckpointReader =
+    LocalCheckpointReader
+
+  /** [[maintain]]'s view of Spark streaming checkpoints — the third seam
+    * (see [[CheckpointReader]]): consumer positions live on the CLUSTER's
+    * checkpoint filesystem, not in a gavro table, so they get their own
+    * swappable reader instead of riding either table store. */
+  def checkpointReader: CheckpointReader = _checkpointReader
+
+  private[graft] def withCheckpointReader[A](r: CheckpointReader)(
+      body: => A): A = {
+    val r0 = _checkpointReader
+    _checkpointReader = r
+    try body finally _checkpointReader = r0
+  }
 
   /** Swap BOTH storage planes for the duration of `body` (test seam —
     * the InMemory round-trip proving the whole format is portable runs
@@ -2592,29 +2619,31 @@ object Gavro {
     * this table's position (single-gavro-source checkpoints are the
     * supported contract). Parser errors are re-wrapped with the offsets
     * file path so a multi-consumer maintain names WHICH checkpoint is
-    * stale. Plain file I/O on purpose: the STREAMING CHECKPOINT is
-    * Spark's artifact on the driver/cluster filesystem, not a gavro
-    * store object — reading it through the swappable coordination seam
-    * would make every consumer invisible the moment a non-filesystem
-    * [[GavroStore]] is configured. */
-  private def readCheckpointOffset(offsetsDir: java.io.File, batchId: Long,
+    * stale — distinguished by TYPE ([[MaintainCheckpointException]]),
+    * never by message matching. All reads go through the
+    * [[checkpointReader]] seam: the STREAMING CHECKPOINT is Spark's
+    * artifact on the driver/cluster filesystem, not a gavro store
+    * object, and on a real cluster it lives on HDFS/object store where
+    * plain java.io cannot reach. */
+  private def readCheckpointOffset(offsetsDir: String, batchId: Long,
       listing: () => Array[java.io.File],
       tablePath: String): GavroStreamOffset = {
-    val f = new java.io.File(offsetsDir, batchId.toString)
-    if (!f.isFile) throw new IllegalStateException(
-      s"gavro maintain: offsets/${batchId} is missing from " +
-        s"${offsetsDir.getParent} — torn or partially restored " +
-        "checkpoint; refusing to guess the consumer's position")
-    import scala.jdk.CollectionConverters._
+    val f = s"$offsetsDir/$batchId"
+    val lines = checkpointReader.readLines(f).getOrElse(
+      throw new MaintainCheckpointException(
+        s"gavro maintain: offsets/${batchId} is missing from " +
+          s"$offsetsDir — torn or partially restored " +
+          "checkpoint; refusing to guess the consumer's position"))
     val off =
-      try java.nio.file.Files.readAllLines(f.toPath).asScala.reverseIterator
+      try lines.reverseIterator
         .flatMap(l => parseStreamOffsetLine(l, listing, tablePath))
         .nextOption()
-        .getOrElse(throw new IllegalStateException(
+        .getOrElse(throw new MaintainCheckpointException(
           s"gavro maintain: no gavro offset found in $f — is this the " +
             "checkpoint of a gavro-source query?"))
       catch {
-        case e: IllegalStateException if !e.getMessage.contains("maintain") =>
+        case e: MaintainCheckpointException => throw e
+        case e: IllegalStateException =>
           throw new IllegalStateException(
             s"gavro maintain: while reading $f: ${e.getMessage}", e)
       }
@@ -2625,9 +2654,16 @@ object Gavro {
     off
   }
 
-  private def batchIds(dir: java.io.File): Seq[Long] =
-    Option(dir.listFiles()).getOrElse(Array.empty)
-      .flatMap(_.getName.toLongOption).sorted.toSeq
+  /** [[readCheckpointOffset]]'s OWN diagnostics, typed so the catch that
+    * wraps parser errors with the file path can pass them through without
+    * string-matching messages (a null-message exception would NPE the
+    * old `getMessage.contains` guard and mask the real diagnostic). */
+  private final class MaintainCheckpointException(msg: String)
+      extends IllegalStateException(msg)
+
+  private def batchIds(dir: String): Seq[Long] =
+    checkpointReader.list(dir).getOrElse(Seq.empty)
+      .flatMap(_.toLongOption).sorted
 
   /** The loud/lenient boundary for a checkpoint directory, in one place:
     * a MISSING directory throws (mistyped path — silently stripping a
@@ -2636,15 +2672,14 @@ object Gavro {
     * directory WITHOUT `offsets/` throws (it exists but is not a
     * streaming checkpoint — e.g. the parent of the real one). */
   private def checkpointDirKind(ckpt: String): Boolean = {
-    val d = new java.io.File(ckpt)
-    require(d.isDirectory,
-      s"gavro maintain: checkpoint directory $ckpt does not exist — a " +
-        "mistyped path would silently strip its consumer of watermark " +
-        "protection")
-    val children = Option(d.listFiles()).getOrElse(Array.empty)
+    val children = checkpointReader.list(ckpt).getOrElse(
+      throw new IllegalArgumentException(
+        s"requirement failed: gavro maintain: checkpoint directory $ckpt " +
+          "does not exist — a mistyped path would silently strip its " +
+          "consumer of watermark protection"))
     if (children.isEmpty) true
     else {
-      require(new java.io.File(d, "offsets").isDirectory,
+      require(checkpointReader.list(s"$ckpt/offsets").isDefined,
         s"gavro maintain: $ckpt exists but has no offsets/ directory — " +
           "it is not a streaming checkpoint (did you pass the parent of " +
           "the real checkpoint?)")
@@ -2655,9 +2690,8 @@ object Gavro {
   private def committedOffset(ckpt: String,
       listing: () => Array[java.io.File],
       tablePath: String): Option[GavroStreamOffset] =
-    batchIds(new java.io.File(ckpt, "commits")).lastOption
-      .map(readCheckpointOffset(new java.io.File(ckpt, "offsets"), _,
-        listing, tablePath))
+    batchIds(s"$ckpt/commits").lastOption
+      .map(readCheckpointOffset(s"$ckpt/offsets", _, listing, tablePath))
 
   /** A gavro stream's last fully-COMMITTED position, read from its Spark
     * Structured Streaming checkpoint: the offset of the highest batch id
@@ -2689,8 +2723,8 @@ object Gavro {
     lazy val files = listDataFiles(path)
     val listing = () => files
     val committed = committedOffset(ckpt, listing, path)
-    val committedId = batchIds(new java.io.File(ckpt, "commits")).lastOption
-    val offsetsDir = new java.io.File(ckpt, "offsets")
+    val committedId = batchIds(s"$ckpt/commits").lastOption
+    val offsetsDir = s"$ckpt/offsets"
     val plannedId = batchIds(offsetsDir).lastOption
     // steady state (idle consumer): planned == committed — one read
     val planned = plannedId.filterNot(committedId.contains)

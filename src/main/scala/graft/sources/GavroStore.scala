@@ -94,6 +94,12 @@ trait GavroStore {
 
   def exists(f: java.io.File): Boolean
 
+  /** Object size in bytes (0 when absent) — lets content-sensitive
+    * fingerprints (the stream's rewrite-history cache key) stay
+    * content-derived on every backend instead of falling back to a
+    * local-filesystem length that an object-store impl cannot answer. */
+  def length(f: java.io.File): Long
+
   /** The non-empty lines of a small published object. */
   def read(f: java.io.File): Seq[String]
 }
@@ -173,6 +179,44 @@ trait GavroDataStore {
   }
 }
 
+/** Read-only view of a Spark Structured Streaming CHECKPOINT — the THIRD
+  * seam, deliberately separate from [[GavroStore]]/[[GavroDataStore]]:
+  * the checkpoint is SPARK's artifact on whatever filesystem the
+  * streaming query was configured with (driver-local in this sandbox,
+  * HDFS/object store on a real cluster), never a gavro table object, so
+  * routing its reads through the table stores would make every consumer
+  * invisible the moment a non-filesystem store is configured.
+  * [[graft.sources.Gavro.maintain]] resolves consumer positions through
+  * this trait; a cluster deployment implements these two methods over
+  * its checkpoint filesystem and the one-call nightly job reaches HDFS
+  * checkpoints unchanged. */
+trait CheckpointReader {
+  /** Child NAMES of `dir` (no paths, no order guarantee), or None when
+    * `dir` does not exist or is not a directory — callers distinguish
+    * "missing" (loud: mistyped path) from "empty" (lenient: configured
+    * but unstarted consumer). */
+  def list(dir: String): Option[Seq[String]]
+
+  /** The text lines of `file`, or None when it is not a readable file. */
+  def readLines(file: String): Option[Seq[String]]
+}
+
+/** Local-filesystem checkpoint reads (the sandbox default). */
+object LocalCheckpointReader extends CheckpointReader {
+  override def list(dir: String): Option[Seq[String]] = {
+    val d = new java.io.File(dir)
+    if (d.isDirectory) Some(d.listFiles().map(_.getName).toSeq) else None
+  }
+
+  override def readLines(file: String): Option[Seq[String]] = {
+    val f = new java.io.File(file)
+    if (f.isFile) {
+      import scala.jdk.CollectionConverters._
+      Some(java.nio.file.Files.readAllLines(f.toPath).asScala.toSeq)
+    } else None
+  }
+}
+
 /** The bare-filesystem realization (this sandbox, NFS-free local disks):
   * put-if-absent = hard link from a fully-written temp (atomic
   * create-with-content on POSIX), atomic replace = `ATOMIC_MOVE` +
@@ -217,6 +261,8 @@ object LocalFsStore extends GavroStore {
   override def delete(f: java.io.File): Boolean = f.delete()
 
   override def exists(f: java.io.File): Boolean = f.exists()
+
+  override def length(f: java.io.File): Long = f.length()
 
   override def read(f: java.io.File): Seq[String] =
     java.nio.file.Files.readAllLines(f.toPath)

@@ -281,6 +281,9 @@ class InMemoryStore extends graft.sources.GavroStore
       offset: Long): java.io.InputStream = {
     val o = objects.get(key(f))
     if (o == null) throw new java.io.FileNotFoundException(f.getPath)
+    // the Int cast below would silently misposition a >2 GiB read
+    require(offset <= Int.MaxValue && offset <= o.bytes.length,
+      s"openAt(${f.getPath}, $offset): object has ${o.bytes.length} bytes")
     new java.io.ByteArrayInputStream(o.bytes, offset.toInt,
       math.max(0, o.bytes.length - offset.toInt))
   }
