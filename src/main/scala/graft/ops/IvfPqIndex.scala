@@ -328,6 +328,28 @@ object IvfPqIndex {
       loadCells(spark, dir), loadBooks(spark, dir)))
   }
 
+  /** One SERVE TRIGGER with HOT SWAP: re-resolve the live index for
+    * `sfDir` before answering, so a query stream running across a
+    * nightly republish — the source regenerated under the same path, a
+    * fresh build published under its new content key — picks up the new
+    * index BETWEEN micro-batches with zero restarts and zero failed
+    * triggers. The swap is atomic from the trigger's view: resolution
+    * returns either the old build or the new one, never a partial tree
+    * (`_LIVE` lands only after every table committed), and a
+    * just-superseded build stays readable under the prune grace for any
+    * in-flight trigger. Steady-state cost per trigger is one listing
+    * walk + one pointer read (the fingerprint memo makes the re-key
+    * check byte-read-free until the source actually changes); a changed
+    * source re-keys, builds once, and subsequent triggers resolve the
+    * new key warm. `queries` = (q_id, qv) pre-quantized
+    * ([[quantizeQueries]]); the re-rank corpus is read fresh from the
+    * CURRENT source, honoring [[searchQueries]]'s coverage contract
+    * across the swap. */
+  def serveTrigger(spark: SparkSession, sfDir: String,
+      queries: DataFrame): DataFrame =
+    searchQueries(spark, ensure(spark, sfDir), queries,
+      Tables.embeddings(spark, sfDir))
+
   /** The delta batch read back through the CHANGE FEED (`sinceCommit` =
     * the base build's commit), summarized per (cell, subspace) with the
     * minimum vec_id — which the oracle pins ≥ [[Quantize.DeltaBase]], so

@@ -218,6 +218,67 @@ class IvfPqIndexSpec extends SparkSpec {
     assert(cellsFile.lastModified() == mtime)
   }
 
+  test("serve stream hot-swaps across a mid-stream republish: zero failed triggers") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import scala.jdk.CollectionConverters._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    // a MUTABLE source dir: generation A is the fixture corpus; the
+    // nightly rebuild regenerates it in place with every vec_id shifted
+    // +100000 — so which generation answered is visible in the ids
+    val sf = java.nio.file.Files.createTempDirectory("ivfpq_swap").toString
+    val base = Tables.embeddings(spark, sfDir)
+    def regenerate(shift: Long): Unit =
+      base.select((col("vec_id") + shift).as("vec_id"), col("embedding"),
+          col("label"))
+        .write.mode("overwrite").parquet(s"$sf/embeddings.parquet")
+    regenerate(0L)
+    // fixed query batch, pre-quantized from generation-A vectors and
+    // materialized once (localCheckpoint) so every trigger reuses it
+    val qdf = IvfPqIndex.quantizeQueries(
+      base.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("embedding")))
+      .localCheckpoint(true)
+    val answers =
+      new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long, Long)]()
+    val input = MemoryStream[Long]
+    val q = input.toDF().toDF("trigger_id")
+      .writeStream.outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, bid: Long) =>
+        if (!batch.isEmpty) {
+          IvfPqIndex.serveTrigger(spark, sf, qdf).collect()
+            .foreach(r => answers.add((bid, r.getAs[Long]("q_id"),
+              r.getAs[Long]("vec_id"))))
+        }
+        ()
+      }
+      .start()
+    input.addData(1L); q.processAllAvailable()
+    val genA = answers.asScala.filter(_._1 == 0).map(_._3).toSeq
+    assert(genA.nonEmpty && genA.forall(_ < 100000L),
+      s"trigger 1 must answer from generation A: $genA")
+    val dirA = IvfPqIndex.ensure(spark, sf)
+    // steady state: a second trigger re-resolves the SAME live build
+    input.addData(2L); q.processAllAvailable()
+    assert(IvfPqIndex.ensure(spark, sf) == dirA)
+    // NIGHTLY REPUBLISH while the stream runs: regenerate the source;
+    // the next trigger must re-key, build B, and answer from it
+    regenerate(100000L)
+    input.addData(3L); q.processAllAvailable()
+    q.stop()
+    assert(q.exception.isEmpty, s"failed trigger: ${q.exception}")
+    val genB = answers.asScala.filter(_._1 == 2).map(_._3).toSeq
+    assert(genB.nonEmpty && genB.forall(_ >= 100000L),
+      s"post-republish trigger must answer from generation B: $genB")
+    // full answer shape from B: 5 ranks for each of the 5 queries (the
+    // exact neighbor SET legitimately differs — retraining samples and
+    // tie-breaks follow the new ids)
+    assert(genB.size == 25, s"expected 25 rows from B, got ${genB.size}")
+    assert(IvfPqIndex.ensure(spark, sf) != dirA, "republish must re-key")
+    // build A survives the prune grace for in-flight readers
+    assert(new java.io.File(dirA).isDirectory)
+  }
+
   test("vector ingest loop: append per micro-batch, the serve path sees each batch") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
