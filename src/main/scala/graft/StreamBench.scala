@@ -37,13 +37,38 @@ import org.apache.spark.sql.streaming.Trigger
   *        (defaults 100000 eps for 30 s ≈ 25× the reference target)
   */
 object StreamBench {
+
+  /** The same canonicality stamp [[Bench]] writes: loadavg at harness
+    * start, gated on SPARK_GRAFT_CANONICAL_LOAD (default 2.0). Streaming
+    * latency tails are even more contention-sensitive than batch wall
+    * time, so a record without this flag cannot be compared
+    * like-for-like across rounds. Unmeasurable load (no /proc/loadavg)
+    * stays TRUSTING — inability to measure is not evidence of
+    * contention. */
+  private def readLoadavg(): Array[Double] =
+    try new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get("/proc/loadavg"))).split(" ").take(3)
+      .map(_.toDouble)
+    catch { case _: Throwable => Array.empty[Double] }
+
+  private def canonicalStamp(start: Array[Double]): String = {
+    val max = sys.env.getOrElse("SPARK_GRAFT_CANONICAL_LOAD", "2.0").toDouble
+    val canonical = start.length < 2 || (start(0) < max && start(1) < max)
+    s""""loadavg_start":[${start.mkString(",")}],""" +
+      s""""loadavg_end":[${readLoadavg().mkString(",")}],""" +
+      s""""canonical":$canonical"""
+  }
+
   def main(args: Array[String]): Unit = {
     val eps = args.headOption.map(_.toInt).getOrElse(100000)
     val runSecs = args.lift(1).map(_.toInt).getOrElse(30)
     val mode = args.lift(2).getOrElse("kpi")
+    val loadavgStart = readLoadavg()
     val spark = Session.local("graft-stream-bench")
     spark.sparkContext.setLogLevel("WARN")
-    if (mode == "freshness") { freshness(spark, eps, runSecs); spark.stop(); return }
+    if (mode == "freshness") {
+      freshness(spark, eps, runSecs, loadavgStart); spark.stop(); return
+    }
 
     val rate = spark.readStream.format("rate")
       .option("rowsPerSecond", eps.toString)
@@ -121,7 +146,7 @@ object StreamBench {
       s""""avg_input_rps":${inRps.round},"avg_processed_rps":${procRps.round},""" +
       s""""batch_ms_p50":${pct(0.5).round},"batch_ms_p95":${pct(0.95).round},""" +
       s""""batch_ms_max":${durs.last.round},""" +
-      s""""keeping_up":$keepingUp}""")
+      s""""keeping_up":$keepingUp,${canonicalStamp(loadavgStart)}}""")
   }
 
   /** End-to-end freshness: events → kpiFrame → KvSink → RESP wire → WS
@@ -136,7 +161,7 @@ object StreamBench {
     * additionally waits up to one trigger interval for its cut, so the
     * PRD-comparable worst case is `trigger + pipeline_p99`. */
   private def freshness(spark: org.apache.spark.sql.SparkSession,
-      eps: Int, runSecs: Int): Unit = {
+      eps: Int, runSecs: Int, loadavgStart: Array[Double]): Unit = {
     val stub = new graft.streaming.RespServerStub
     val kv = new graft.streaming.RespKvStore("127.0.0.1", stub.port)
     val ws = graft.streaming.WsPush.start(kv)
@@ -236,6 +261,6 @@ object StreamBench {
     val r1 = phase("1 second", 1000L, runSecs)
     sock.close(); ws.close(); kv.close(); stub.close()
     println(s"""{"metric":"stream_freshness","target_eps":$eps,""" +
-      s""""prd_target_ms":60000,$r10,$r1}""")
+      s""""prd_target_ms":60000,$r10,$r1,${canonicalStamp(loadavgStart)}}""")
   }
 }

@@ -354,12 +354,28 @@ object LshIndex {
   def probeAppended(spark: SparkSession, sfDir: String): DataFrame =
     probeIndexed(spark, ensureAppended(spark, sfDir), None, NewFrom)
 
+  /** Per-band rollup of the PERSISTED occupancy table — the artifact the
+    * O(Δ) probe trusts for its cap accounting, verified directly against
+    * a from-scratch recount in DuckDB: bucket count, total band rows
+    * (must equal the bands table exactly), and the largest bucket. Reads
+    * per-commit rows and re-aggregates per bucket first, so the summary
+    * is layout- and commit-count-independent. */
+  def bucketStats(spark: SparkSession, sfDir: String): DataFrame =
+    loadBuckets(spark, ensure(spark, sfDir))
+      .groupBy(col("band_idx"), col("band_key"))
+      .agg(sum(col("n")).as("n"))
+      .groupBy(col("band_idx"))
+      .agg(count(lit(1)).as("n_buckets"), sum(col("n")).as("n_rows"),
+        max(col("n")).as("max_bucket"))
+      .orderBy(col("band_idx"))
+
   // ---------------------------------------------------------------- registry
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "lsh_index_build" -> ((s, d) => buildIndexSummary(s, d)),
     "lsh_index_probe" -> ((s, d) => probeNewBatch(s, d)),
     "lsh_index_append" -> ((s, d) => probeAppended(s, d)),
+    "lsh_bucket_stats" -> ((s, d) => bucketStats(s, d)),
   )
 
   /** The build oracle unrolls the sketch over the PLAIN documents table
@@ -386,6 +402,21 @@ object LshIndex {
     // what the union probe and the in-query rebuild answer — sharing the
     // literal removes the drift surface between the two entries.
     "lsh_index_append" -> probeOracleSql,
+    "lsh_bucket_stats" ->
+      s"""WITH corpus AS (SELECT doc_id, text FROM documents),
+         |${Dedup.sigSql},
+         |all_bands AS (
+         |  SELECT doc_id, b AS band_idx,
+         |    md5(sig[2 * b + 1]::VARCHAR || ',' || sig[2 * b + 2]::VARCHAR) AS band_key
+         |  FROM sigs, range(0, 6) r(b)
+         |),
+         |buckets AS (
+         |  SELECT band_idx, band_key, count(*) AS n
+         |  FROM all_bands GROUP BY band_idx, band_key
+         |)
+         |SELECT band_idx, count(*) AS n_buckets, sum(n)::BIGINT AS n_rows,
+         |  max(n)::BIGINT AS max_bucket
+         |FROM buckets GROUP BY band_idx ORDER BY band_idx""".stripMargin,
   )
 
   private lazy val probeOracleSql: String =

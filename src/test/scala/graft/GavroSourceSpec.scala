@@ -1348,6 +1348,37 @@ class GavroSourceSpec extends SparkSpec {
     assert(keyedRes.count() == 4 * 8)
   }
 
+  test("partitionKey: storage-partitioned join plans with zero Exchange") {
+    val out = tmpDir("keyed_spj")
+    writeCells(out, perFileSingleCell = true)
+    val keep = spark.conf.getOption("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      // disable broadcast so the join must prove co-location, not hide
+      // behind a BroadcastExchange
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val a = readCodes(out, keyed = true)
+        .groupBy(col("cell")).agg(count(lit(1)).as("na"))
+      val b = readCodes(out, keyed = true)
+        .groupBy(col("cell")).agg(sum(col("code").cast("long")).as("sb"))
+      val joined = a.join(b, "cell")
+      assert(shuffleCount(joined) == 0,
+        "both sides are key-grouped on cell — the join must co-locate")
+      val plain = {
+        val pa = readCodes(out, keyed = false)
+          .groupBy(col("cell")).agg(count(lit(1)).as("na"))
+        val pb = readCodes(out, keyed = false)
+          .groupBy(col("cell")).agg(sum(col("code").cast("long")).as("sb"))
+        pa.join(pb, "cell")
+      }
+      assert(joined.collect().map(_.toString).sorted.toSeq ==
+        plain.collect().map(_.toString).sorted.toSeq)
+      assert(joined.count() == 4)
+    } finally keep match {
+      case Some(v) => spark.conf.set("spark.sql.autoBroadcastJoinThreshold", v)
+      case None => spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
+  }
+
   test("partitionKey falls back to unknown partitioning when a live file is multi-valued") {
     val out = tmpDir("keyed_fb")
     writeCells(out, perFileSingleCell = false)
