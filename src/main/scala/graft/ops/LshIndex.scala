@@ -263,9 +263,16 @@ object LshIndex {
       case None => pn.select(col("band_idx"), col("band_key"),
         col("pn").as("tot"))
     }
+    // Checkpointed (all O(Δ)-sized): each feeds 2-3 broadcast subtrees,
+    // and an unmaterialized reference re-executes its whole upstream —
+    // including another sequential SCAN of the corpus-scale occupancy /
+    // bands tables, the probe's dominant I/O at 100 TB. With these, one
+    // probe scans buckets twice (hot filter + cap sum), bands once, and
+    // sigs once.
     val okKeys = hotKeys.join(totals, bucketCols)
       .filter(col("tot") <= Dedup.MaxBucketSize)
       .select(col("band_idx"), col("band_key"))
+      .localCheckpoint(true)
     val memberCols = Seq(col("doc_id"), col("band_idx"), col("band_key"))
     val persistedMembers = loadBands(spark, dir)
       .join(broadcast(okKeys), bucketCols).select(memberCols: _*)
@@ -273,6 +280,7 @@ object LshIndex {
       .map(db => persistedMembers.unionByName(
         db.join(broadcast(okKeys), bucketCols).select(memberCols: _*)))
       .getOrElse(persistedMembers)
+      .localCheckpoint(true)
     val yRows = xRows.filter(col("doc_id") >= newFrom)
     val pairs = xRows.as("x").join(broadcast(yRows).as("y"),
         col("x.band_idx") === col("y.band_idx") &&
@@ -288,6 +296,7 @@ object LshIndex {
       .map(ds => persistedCandSigs.unionByName(
         ds.join(broadcast(candIds), "doc_id").select(col("doc_id"), col("sig"))))
       .getOrElse(persistedCandSigs)
+      .localCheckpoint(true) // referenced 2× below → one sigs scan, not two
     pairs
       .join(broadcast(candSigs.select(col("doc_id").as("doc_a"),
         col("sig").as("sig_a"))), "doc_a")
