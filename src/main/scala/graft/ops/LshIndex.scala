@@ -263,16 +263,19 @@ object LshIndex {
       case None => pn.select(col("band_idx"), col("band_key"),
         col("pn").as("tot"))
     }
-    // Checkpointed (all O(Δ)-sized): each feeds 2-3 broadcast subtrees,
-    // and an unmaterialized reference re-executes its whole upstream —
-    // including another sequential SCAN of the corpus-scale occupancy /
-    // bands tables, the probe's dominant I/O at 100 TB. With these, one
-    // probe scans buckets twice (hot filter + cap sum), bands once, and
-    // sigs once.
     val okKeys = hotKeys.join(totals, bucketCols)
       .filter(col("tot") <= Dedup.MaxBucketSize)
       .select(col("band_idx"), col("band_key"))
-      .localCheckpoint(true)
+    // xRows checkpointed (O(Δ·cap)-sized): it feeds the candidate-sig
+    // fetch and the pair join's both sides; an unmaterialized reference
+    // would re-execute its upstream — another sequential SCAN of the
+    // corpus-scale bands table, the probe's dominant I/O at 100 TB.
+    // okKeys stays lazy: its broadcast references are plan-identical, so
+    // the exchange is built once and reused. Net scans per probe:
+    // buckets ×2 (hot filter + cap sum), bands ×1, sigs ×1 — and TWO
+    // eager checkpoint waves total (deltaSigs, xRows); every wave is
+    // fixed per-trigger latency on the serve path, so the whole tail
+    // below runs as one lazy DAG.
     val memberCols = Seq(col("doc_id"), col("band_idx"), col("band_key"))
     val persistedMembers = loadBands(spark, dir)
       .join(broadcast(okKeys), bucketCols).select(memberCols: _*)
@@ -281,30 +284,31 @@ object LshIndex {
         db.join(broadcast(okKeys), bucketCols).select(memberCols: _*)))
       .getOrElse(persistedMembers)
       .localCheckpoint(true)
-    val yRows = xRows.filter(col("doc_id") >= newFrom)
-    val pairs = xRows.as("x").join(broadcast(yRows).as("y"),
+    // Signatures attached to the bucket members BEFORE pairing (fetch
+    // still candidate-bounded: only xRows' doc_ids, filtered ahead of
+    // the sig-rebuild groupBy), so est_jaccard computes at pair time and
+    // the distinct runs once over the finished rows — no re-join of the
+    // pair set, two fewer materialization waves. Same answer: per-pair
+    // sig values are unique, so distinct over (doc_a, doc_b, est) is
+    // distinct over the pair.
+    val xIds = xRows.select(col("doc_id")).distinct()
+    val persistedCandSigs = loadSigsFor(spark, dir, xIds)
+    val candSigs = deltaSigs
+      .map(ds => persistedCandSigs.unionByName(
+        ds.join(broadcast(xIds), "doc_id").select(col("doc_id"), col("sig"))))
+      .getOrElse(persistedCandSigs)
+    val xS = xRows.join(broadcast(candSigs), "doc_id")
+    val yS = xS.filter(col("doc_id") >= newFrom)
+      .select(col("doc_id"), col("band_idx"), col("band_key"),
+        col("sig").as("sig_b"))
+    xS.as("x").join(broadcast(yS).as("y"),
         col("x.band_idx") === col("y.band_idx") &&
           col("x.band_key") === col("y.band_key") &&
           col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-      .distinct()
-      .localCheckpoint(true) // referenced 3× below (ids ×2, final join)
-    val candIds = pairs.select(col("doc_a").as("doc_id"))
-      .unionByName(pairs.select(col("doc_b").as("doc_id"))).distinct()
-    val persistedCandSigs = loadSigsFor(spark, dir, candIds)
-    val candSigs = deltaSigs
-      .map(ds => persistedCandSigs.unionByName(
-        ds.join(broadcast(candIds), "doc_id").select(col("doc_id"), col("sig"))))
-      .getOrElse(persistedCandSigs)
-      .localCheckpoint(true) // referenced 2× below → one sigs scan, not two
-    pairs
-      .join(broadcast(candSigs.select(col("doc_id").as("doc_a"),
-        col("sig").as("sig_a"))), "doc_a")
-      .join(broadcast(candSigs.select(col("doc_id").as("doc_b"),
-        col("sig").as("sig_b"))), "doc_b")
-      .select(col("doc_a"), col("doc_b"),
-        round(expr("size(filter(sequence(1, 12), i -> element_at(sig_a, i) = element_at(sig_b, i)))") / lit(12.0), 4)
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        round(expr("size(filter(sequence(1, 12), i -> element_at(x.sig, i) = element_at(sig_b, i)))") / lit(12.0), 4)
           .as("est_jaccard"))
+      .distinct()
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
