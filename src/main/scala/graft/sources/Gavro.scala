@@ -582,21 +582,32 @@ class GavroScan(path: String, schemaName: String, required: StructType,
 
   /** The key column a `partitionKey` reader option nominates, accepted
     * only when it survives column pruning (Spark must be able to resolve
-    * the reported clustering against the scan output) and no aggregate
-    * was pushed (a pushed agg replaces the output shape). */
+    * the reported clustering against the scan output), no aggregate was
+    * pushed (a pushed agg replaces the output shape), and the type is
+    * DISCRETE — int/long/string/boolean. Doubles are excluded: the
+    * single-value proof compares boxed stat bounds, where NaN != NaN and
+    * -0.0 == 0.0 diverge from Spark's own grouping equality, and a
+    * floating-point partition key is a modeling error anyway. */
   private val keyField: Option[StructField] =
     partitionKey.filter(_ => agg.isEmpty)
       .flatMap(k => required.fields.find(_.name == k))
+      .filter(f => f.dataType match {
+        case org.apache.spark.sql.types.IntegerType |
+             org.apache.spark.sql.types.LongType |
+             org.apache.spark.sql.types.StringType |
+             org.apache.spark.sql.types.BooleanType => true
+        case _ => false
+      })
 
   /** Partitions planned once (both the logical rule's
     * `outputPartitioning` and execution's `planInputPartitions` need
     * them). In keyed mode every file that SURVIVES stats skipping must
-    * prove single-valuedness on the key (footer min == max — what the
-    * writer's `repartitionByRange` layout produces); one unprovable live
-    * file falls the whole scan back to UnknownPartitioning, never to a
-    * wrong grouping. Key values convert to the Catalyst representation
-    * of the column's SQL type so Spark's partition grouping compares
-    * them correctly. */
+    * prove single-valuedness on the key (footer min == max — what
+    * [[Gavro.exactPartition]]'s one-key-per-file layout produces); one
+    * unprovable live file falls the whole scan back to
+    * UnknownPartitioning, never to a wrong grouping. Key values convert
+    * to the Catalyst representation of the column's SQL type so Spark's
+    * partition grouping compares them correctly. */
   private lazy val planned: (Array[InputPartition], Int) = {
     val preds = pushed.map(GavroPred.from).toSeq
     val files = Gavro.listDataFiles(path, asOfCommit, sinceCommit)
@@ -1116,8 +1127,8 @@ case class GavroInputPartition(file: String, start: Long, end: Long,
 /** A scan task whose file is PROVEN single-valued on the reported
   * partition key (footer min == max): `HasPartitionKey` lets Spark group
   * same-key tasks and plan clustered aggregations/joins without an
-  * Exchange (storage-partitioned execution over the writer's
-  * `repartitionByRange` layout). */
+  * Exchange (storage-partitioned execution over
+  * [[Gavro.exactPartition]]'s one-key-per-file layout). */
 case class GavroKeyedPartition(part: GavroInputPartition, keyValue: Any)
     extends InputPartition
     with org.apache.spark.sql.connector.read.HasPartitionKey {
