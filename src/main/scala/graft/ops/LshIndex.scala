@@ -47,8 +47,10 @@ object LshIndex {
 
   /** Bump when the sketch pipeline or layout changes — keys the cache.
     * (v2: added the `buckets/` occupancy table that makes the probe's
-    * shuffle O(Δ); a v1 artifact has no counts to probe against.) */
-  val Version = 2
+    * shuffle O(Δ). v3: bands laid out one-band-per-file via
+    * [[Gavro.exactPartition]] so the scan reports KeyGroupedPartitioning
+    * — a v2 artifact's range-sampled layout cannot prove the key.) */
+  val Version = 3
 
   /** First doc_id of "tonight's batch" — the fixture's planted near-dup
     * ids, matching [[Dedup.minhashIncremental]]'s default. */

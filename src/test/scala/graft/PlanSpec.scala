@@ -268,4 +268,19 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("WindowGroupLimit"), p.take(3000))
     assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"), p.take(3000))
   }
+
+  test("index summaries run storage-partitioned: no hash exchange anywhere") {
+    // The one-key-per-file layouts + reported KeyGroupedPartitioning mean
+    // the clustered aggregations (including the two-phase countDistinct)
+    // complete inside their grouped partitions; the only exchange left is
+    // the final orderBy's range partitioning. A refactor that loses the
+    // keyed read or breaks the layout proof re-introduces
+    // "Exchange hashpartitioning" and fails here.
+    for (q <- Seq("lsh_index_build", "ann_ivfpq_build_index",
+        "ann_ivfpq_index_delta_feed")) {
+      val p = plan(q)
+      assert(!p.contains("Exchange hashpartitioning"),
+        s"$q lost storage-partitioned execution:\n${p.take(3000)}")
+    }
+  }
 }
