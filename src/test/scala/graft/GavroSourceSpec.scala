@@ -1331,6 +1331,26 @@ class GavroSourceSpec extends SparkSpec {
     (if (keyed) r.option("partitionKey", "cell") else r).load(out)
   }
 
+  test("exactPartition routes every row to floorMod(key, k) and loses nothing") {
+    import graft.sources.Gavro
+    val rows = spark.range(1000).select(col("id"),
+      (col("id") % 7).cast("int").as("k"), md5(col("id").cast("string")).as("v"))
+    val routed = Gavro.exactPartition(rows, "k", 7)
+    assert(routed.rdd.getNumPartitions == 7)
+    // partition i holds exactly the rows with k == i (dense keys)
+    val perPart = routed.rdd.mapPartitionsWithIndex { (pid, it) =>
+      it.map(r => (pid, r.getInt(1)))
+    }.collect()
+    assert(perPart.forall { case (pid, k) => k == pid })
+    // nothing lost, content byte-identical
+    assert(routed.collect().map(_.toString).sorted.toSeq ==
+      rows.collect().map(_.toString).sorted.toSeq)
+    // sparse keys: values sharing a residue co-locate, none lost
+    val sparse = spark.range(100).select(col("id"),
+      (col("id") % 20).cast("int").as("k"), lit("x").as("v"))
+    assert(Gavro.exactPartition(sparse, "k", 8).count() == 100)
+  }
+
   test("partitionKey: clustered aggregation plans with zero Exchange") {
     val out = tmpDir("keyed")
     writeCells(out, perFileSingleCell = true)

@@ -195,6 +195,18 @@ class LshIndexSpec extends SparkSpec {
       s"expected recompute ($recomputeBytes B) >> probe ($bigBytes B)")
   }
 
+  test("probe edge cases: empty delta, all-short-docs delta") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("lsh_edge").toString
+    LshIndex.buildAndWrite(docs, dir)
+    // a serve trigger can legitimately receive an empty micro-batch
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(LshIndex.probeBatch(spark, dir, empty, 50000L).collect().isEmpty)
+    // docs under 3 tokens sketch to nothing — same as empty, no crash
+    val short = Seq((50001L, "too short")).toDF("doc_id", "text")
+    assert(LshIndex.probeBatch(spark, dir, short, 50000L).collect().isEmpty)
+  }
+
   test("band_idx footer stats slice the bands table by band") {
     val dir = LshIndex.ensure(spark, sfDir)
     val files = new java.io.File(dir, "bands").listFiles()
