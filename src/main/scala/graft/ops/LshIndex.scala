@@ -201,11 +201,13 @@ object LshIndex {
     * too — the persisted tables are only scanned behind broadcast joins. */
   def probeBatch(spark: SparkSession, dir: String, delta: DataFrame,
       newFrom: Long): DataFrame = {
-    // NOT persisted: this path runs once per streaming micro-batch and
-    // the returned lazy frame escapes, so a persist here would leak one
-    // cached delta sketch per trigger. The sketch appears a few times in
-    // the plan (band rows, counts, sig fetch) — recomputing O(|delta|)
-    // hashing is the price of a leak-free serve path.
+    // SIZE CONTRACT: the probe broadcasts O(|delta|·cap)-bounded frames
+    // (touched-bucket keys, their membership, candidate signatures) —
+    // right for the nightly/per-trigger batch it serves (delta ≪ corpus,
+    // the whole point of the standing index). A corpus-scale "delta"
+    // would push those broadcasts toward the 8 GB driver limit; that job
+    // is [[Dedup.minhashCandidates]]/[[Dedup.minhashIncremental]]'s
+    // shuffle-based shape, not this one.
     val deltaSigs = Dedup.minhashSignatures(delta)
       .select(col("doc_id"), col("sig"))
     probeIndexed(spark, dir, Some(deltaSigs), newFrom)
@@ -273,11 +275,10 @@ object LshIndex {
     // would re-execute its upstream — another sequential SCAN of the
     // corpus-scale bands table, the probe's dominant I/O at 100 TB.
     // okKeys stays lazy: its broadcast references are plan-identical, so
-    // the exchange is built once and reused. Net scans per probe:
-    // buckets ×2 (hot filter + cap sum), bands ×1, sigs ×1 — and TWO
-    // eager checkpoint waves total (deltaSigs, xRows); every wave is
-    // fixed per-trigger latency on the serve path, so the whole tail
-    // below runs as one lazy DAG.
+    // the exchange is built once and reused (buckets scanned twice
+    // inside that one build: the footer-skipped hot filter + the cap
+    // sum). Three eager waves total (deltaSigs, xRows, xS below); every
+    // wave is fixed per-trigger latency on the serve path.
     val memberCols = Seq(col("doc_id"), col("band_idx"), col("band_key"))
     val persistedMembers = loadBands(spark, dir)
       .join(broadcast(okKeys), bucketCols).select(memberCols: _*)
@@ -290,16 +291,19 @@ object LshIndex {
     // still candidate-bounded: only xRows' doc_ids, filtered ahead of
     // the sig-rebuild groupBy), so est_jaccard computes at pair time and
     // the distinct runs once over the finished rows — no re-join of the
-    // pair set, two fewer materialization waves. Same answer: per-pair
-    // sig values are unique, so distinct over (doc_a, doc_b, est) is
-    // distinct over the pair.
+    // pair set. Same answer: per-pair sig values are unique, so distinct
+    // over (doc_a, doc_b, est) is distinct over the pair. xS is the
+    // third checkpoint: both pair-join sides read it, so the sigs table
+    // is scanned ONCE per probe (unmaterialized, the y-side broadcast
+    // duplicated the whole candidate-sig subtree — observed in the
+    // plan).
     val xIds = xRows.select(col("doc_id")).distinct()
     val persistedCandSigs = loadSigsFor(spark, dir, xIds)
     val candSigs = deltaSigs
       .map(ds => persistedCandSigs.unionByName(
         ds.join(broadcast(xIds), "doc_id").select(col("doc_id"), col("sig"))))
       .getOrElse(persistedCandSigs)
-    val xS = xRows.join(broadcast(candSigs), "doc_id")
+    val xS = xRows.join(broadcast(candSigs), "doc_id").localCheckpoint(true)
     val yS = xS.filter(col("doc_id") >= newFrom)
       .select(col("doc_id"), col("band_idx"), col("band_key"),
         col("sig").as("sig_b"))
