@@ -22,8 +22,8 @@ import graft.sources.{Gavro, Tables}
   *     scalar-exploded as (doc_id, pos, m) rows (scalars keep the gavro
   *     footer-stats machinery);
   *   - `bands/` — (doc_id, band_idx, band_key) bucket membership, the
-  *     probe join's build side, range-partitioned by band_idx with
-  *     band_idx in the footer stats;
+  *     probe join's build side, ONE BAND PER FILE
+  *     ([[Gavro.exactPartition]]) with band_idx in the footer stats;
   *   - `buckets/` — per-(bucket, commit) occupancy (n, max_doc), the
   *     table that lets the probe evaluate the mega-bucket cap and find
   *     persisted probe-side rows WITHOUT shuffling the corpus.
@@ -64,8 +64,9 @@ object LshIndex {
   private def srcFile(sfDir: String) =
     new java.io.File(sfDir, "documents.parquet")
 
-  /** Sketch `corpus` = (doc_id, text) and persist sigs/ + bands/ under
-    * `dir`. Pure function of the input (md5-derived hash family). */
+  /** Sketch `corpus` = (doc_id, text) and persist sigs/ + bands/ +
+    * buckets/ under `dir`. Pure function of the input (md5-derived hash
+    * family). */
   def buildAndWrite(corpus: DataFrame, dir: String): Unit = {
     val sigs = Dedup.minhashSignatures(corpus)
       .select(col("doc_id"), col("sig")).persist()
