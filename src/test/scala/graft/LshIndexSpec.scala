@@ -195,6 +195,37 @@ class LshIndexSpec extends SparkSpec {
       s"expected recompute ($recomputeBytes B) >> probe ($bigBytes B)")
   }
 
+  test("probe cap accounting matches the in-query rule at the exact boundary") {
+    import spark.implicits._
+    // One text shared by N standing docs and 1 arriving doc puts all six
+    // of its buckets at exactly N+1 members: the mega-bucket cap must
+    // evaluate over persisted occupancy + delta count TOGETHER, just as
+    // the in-query window count does over the union. N+1 == MaxBucketSize
+    // keeps the bucket; one more standing copy drops it — on BOTH paths.
+    val t = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val floor = 50000L
+    def standing(n: Long) = spark.range(n)
+      .select(col("id").as("doc_id"), lit(t).as("text"))
+    val delta = Seq((floor + 1L, t)).toDF("doc_id", "text")
+    def probeOf(n: Long): Seq[(Long, Long)] = {
+      val dir = java.nio.file.Files.createTempDirectory(s"lsh_cap_$n").toString
+      LshIndex.buildAndWrite(standing(n), dir)
+      LshIndex.probeBatch(spark, dir, delta, floor).collect()
+        .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSeq
+    }
+    def rebuiltOf(n: Long): Seq[(Long, Long)] =
+      Dedup.minhashIncremental(standing(n).unionByName(delta), floor)
+        .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")))
+        .toSeq
+    val atCap = probeOf(Dedup.MaxBucketSize - 1L)
+    assert(atCap.length == Dedup.MaxBucketSize - 1,
+      s"bucket at exactly the cap must pair: ${atCap.length}")
+    assert(atCap.toSet == rebuiltOf(Dedup.MaxBucketSize - 1L).toSet)
+    val overCap = probeOf(Dedup.MaxBucketSize.toLong)
+    assert(overCap.isEmpty, s"bucket over the cap must drop: $overCap")
+    assert(rebuiltOf(Dedup.MaxBucketSize.toLong).isEmpty)
+  }
+
   test("probe edge cases: empty delta, all-short-docs delta") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("lsh_edge").toString
