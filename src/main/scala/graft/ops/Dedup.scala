@@ -87,6 +87,11 @@ object Dedup {
     * which Catalyst interprets row-by-row (~10× slower on this shape).
     */
   def minhashSignatures(corpus: DataFrame): DataFrame = {
+    // Observability: the ingest loop's "sketch exactly once per batch"
+    // contract is pinned by counting constructions of this plan (each
+    // caller materializes it eagerly, so construction count == executed
+    // sketch passes there). Driver-side only; costs one increment.
+    sketchPlans.incrementAndGet()
     val hashed = shingleRows(corpus)
       .select(col("doc_id"), expr(s"${md5i.format("sh")} % 999999937").as("h"))
     val minCols = (0 until 12).map(i =>
@@ -95,6 +100,11 @@ object Dedup {
       .agg(minCols.head, minCols.tail: _*)
       .select(col("doc_id"), array((0 until 12).map(i => col(s"m$i")): _*).as("sig"))
   }
+
+  /** Counts [[minhashSignatures]] plan constructions (see the note
+    * inside it) — read-and-diff by specs that pin sketch-pass budgets. */
+  private[graft] val sketchPlans =
+    new java.util.concurrent.atomic.AtomicLong(0)
 
   /** Banded LSH: 6 bands × 2 rows; (band_idx, band_key) explode. */
   def bands(sigs: DataFrame): DataFrame =

@@ -73,8 +73,18 @@ object IvfPqIndex {
     * is never reused. (v2: `_LIVE` pointer publication + content
     * fingerprints replaced atomic-rename dirs keyed by mtimes. v3: codes
     * laid out one-cell-per-file so the scan reports
-    * KeyGroupedPartitioning.) */
-  val Version = 3
+    * KeyGroupedPartitioning. v4: the cell layout is SALTED —
+    * CoarseK·[[SaltM]] writer tasks, every file still single-valued on
+    * `cell`, so the build's write parallelism is no longer capped at
+    * CoarseK while the probe-list IN pushdown and KGP reporting are
+    * unchanged.) */
+  val Version = 4
+
+  /** Salt slots per coarse cell ([[Gavro.exactPartitionSalted]] on
+    * vec_id): the knob that decouples codes-write parallelism from
+    * CoarseK. At 100 TB this is sized so one (cell, salt) file ≈ one
+    * block-sized unit. */
+  val SaltM = 4
 
   /** The search-many query count: 4× the in-query family's 5, the point
     * of a prebuilt index being that more queries cost no more training. */
@@ -110,16 +120,20 @@ object IvfPqIndex {
         "to_avro_graft(struct(sub_idx, c_id, pos, cast(xd as long)), 'ivf_books')")
         .as("bin"))
     Gavro.write(bookRows.coalesce(1), s"$dir/books")
-    // The corpus-scale table: ONE CELL PER FILE (exact partitioning, not
-    // range sampling — see [[Gavro.exactPartition]]), so the footer's
-    // min == max per file makes the probe-list IN pushdown skip whole
-    // files AND lets the scan report KeyGroupedPartitioning on `cell` —
-    // clustered aggs/joins over the codes table plan with no Exchange.
+    // The corpus-scale table: ONE CELL PER FILE, SALTED (exact
+    // partitioning, not range sampling — see
+    // [[Gavro.exactPartitionSalted]]): CoarseK·SaltM writer tasks, and
+    // every file's footer still proves min == max on `cell`, so the
+    // probe-list IN pushdown skips whole files AND the scan reports
+    // KeyGroupedPartitioning on `cell` — clustered aggs/joins over the
+    // codes table plan with no Exchange.
     val codeRows = codes
       .select(expr(
         "to_avro_graft(struct(vec_id, cell, sub_idx, code), 'ivf_codes')")
-        .as("bin"), col("cell"))
-    Gavro.write(Gavro.exactPartition(codeRows, "cell", Quantize.CoarseK),
+        .as("bin"), col("cell"), col("vec_id"))
+    Gavro.write(
+      Gavro.exactPartitionSalted(codeRows, "cell", Quantize.CoarseK,
+        "vec_id", SaltM),
       s"$dir/codes", statCols = Seq("cell"))
   }
 
@@ -297,11 +311,11 @@ object IvfPqIndex {
     * per-batch fold-in. Stats land on every scalar field, so the
     * probe-list cell pushdown skips delta files like base files. */
   def appendToIndex(spark: SparkSession, dir: String, delta: DataFrame): Unit =
-    Gavro.exactPartition( // delta files stay one-cell like base files
+    Gavro.exactPartitionSalted( // delta files stay one-cell like base files
         Quantize.ivfPqEncodeFrozen(delta,
             loadCells(spark, dir), loadBooks(spark, dir))
           .select(col("vec_id"), col("cell"), col("sub_idx"), col("code")),
-        "cell", Quantize.CoarseK)
+        "cell", Quantize.CoarseK, "vec_id", SaltM)
       .write.format("gavro").option("schema", "ivf_codes")
       .mode("append").save(s"$dir/codes")
 

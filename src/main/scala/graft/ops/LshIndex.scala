@@ -49,8 +49,31 @@ object LshIndex {
     * (v2: added the `buckets/` occupancy table that makes the probe's
     * shuffle O(Δ). v3: bands laid out one-band-per-file via
     * [[Gavro.exactPartition]] so the scan reports KeyGroupedPartitioning
-    * — a v2 artifact's range-sampled layout cannot prove the key.) */
-  val Version = 3
+    * — a v2 artifact's range-sampled layout cannot prove the key. v4:
+    * bands and buckets carry a `slot` hash-bucket column and are laid out
+    * one-slot-per-file (6·[[SaltM]] writer tasks instead of 6, probe
+    * scans prune files by `slot IN (touched…)`); the sigs write drops its
+    * single-task coalesce.) */
+  val Version = 4
+
+  /** Salt slots per band: the band's rows spread over this many files
+    * (hash of the bucket key), so the build writes with 6·SaltM-task
+    * parallelism and a probe touching few buckets opens few files. Sized
+    * for the sandbox fixture; at 100 TB this is the knob that keeps one
+    * file ≈ one HDFS-block-sized unit (the probe's IN pushdown caps at 64
+    * values, so 6·SaltM ≤ 64 keeps whole-probe slot lists pushable —
+    * larger deployments push per-band lists or range predicates). */
+  val SaltM = 8
+
+  private val NumBands = 6
+
+  /** The layout hash bucket of a band row — MUST match what the writers
+    * store in the `slot` field: files are exact-partitioned on this, so a
+    * probe recomputing the same expression over its touched bucket keys
+    * gets exactly the file slices that can hold them. */
+  private def slotExpr: org.apache.spark.sql.Column =
+    (col("band_idx") * SaltM + pmod(xxhash64(col("band_key")), lit(SaltM)))
+      .cast("int")
 
   /** First doc_id of "tonight's batch" — the fixture's planted near-dup
     * ids, matching [[Dedup.minhashIncremental]]'s default. */
@@ -74,21 +97,26 @@ object LshIndex {
       .select(col("doc_id"), posexplode(col("sig"))).toDF("doc_id", "pos", "m")
       .select(expr("to_avro_graft(struct(doc_id, pos, m), 'lsh_sigs')")
         .as("bin"))
-    Gavro.write(sigRows.coalesce(1), s"$dir/sigs")
+    // Full write parallelism: nothing needs one file — the sig fetch is a
+    // broadcast-filtered scan, per-file task fan-out only helps it. (The
+    // pre-v4 coalesce(1) serialized the CORPUS-scale table through one
+    // task: the build-wall cap the round-13 verdict flagged.)
+    Gavro.write(sigRows, s"$dir/sigs")
     // Uncapped: the index stores EVERY band row; the mega-bucket skew cap
     // is probe-time policy (it must count probe-side rows too, the way
     // the oracle does — the `buckets/` table below supplies the persisted
     // half of that count without a probe-time corpus shuffle).
-    val bands = Dedup.bands(sigs).persist()
-    // One band per file (exact partitioning): footer min == max on
-    // band_idx lets the scan report KeyGroupedPartitioning AND gives the
-    // band-sliced maintenance scans exact file pruning.
+    val bands = Dedup.bands(sigs).withColumn("slot", slotExpr).persist()
+    // One SLOT per file (exact partitioning, 6·SaltM writer tasks):
+    // footer min == max on band_idx AND slot, so the scan still reports
+    // KeyGroupedPartitioning on band_idx while a probe's `slot IN` prunes
+    // to the touched buckets' hash slices.
     val bandRows = bands
       .select(expr(
-        "to_avro_graft(struct(doc_id, band_idx, band_key), 'lsh_bands')")
-        .as("bin"), col("band_idx"))
-    Gavro.write(Gavro.exactPartition(bandRows, "band_idx", 6),
-      s"$dir/bands", statCols = Seq("band_idx"))
+        "to_avro_graft(struct(doc_id, band_idx, band_key, slot), 'lsh_bands')")
+        .as("bin"), col("band_idx"), col("slot"))
+    Gavro.write(Gavro.exactPartition(bandRows, "slot", NumBands * SaltM),
+      s"$dir/bands", statCols = Seq("band_idx", "slot"))
     writeBuckets(bands, s"$dir/buckets")
     bands.unpersist()
     sigs.unpersist()
@@ -103,12 +131,12 @@ object LshIndex {
     * whose batch lies entirely below the floor (the whole base build,
     * usually). */
   private def writeBuckets(bands: DataFrame, dir: String): Unit = {
-    val rows = bucketRows(bands)
+    val rows = bucketRows(bands).withColumn("slot", slotExpr)
       .select(expr(
-        "to_avro_graft(struct(band_idx, band_key, n, max_doc), 'lsh_buckets')")
-        .as("bin"), col("band_idx"), col("max_doc"))
-      .coalesce(1)
-    Gavro.write(rows, dir, statCols = Seq("band_idx", "max_doc"))
+        "to_avro_graft(struct(band_idx, band_key, n, max_doc, slot), 'lsh_buckets')")
+        .as("bin"), col("band_idx"), col("max_doc"), col("slot"))
+    Gavro.write(Gavro.exactPartition(rows, "slot", NumBands * SaltM), dir,
+      statCols = Seq("band_idx", "max_doc", "slot"))
   }
 
   private def bucketRows(bands: DataFrame): DataFrame =
@@ -134,21 +162,32 @@ object LshIndex {
     * `keyed` reports the one-band-per-file storage partitioning to the
     * planner — use when the downstream plan clusters on band_idx (the
     * build summary's groupBy); the probe's broadcast joins gain nothing
-    * from it, so the default keeps block-level task fan-out. */
+    * from it, so the default keeps block-level task fan-out. `slots`
+    * restricts the scan to the named layout slots: the filter pushes into
+    * the reader, and since files are one-slot (footer min == max) the
+    * scan OPENS only the touched hash slices — the file-level pruning
+    * that keeps a small probe's I/O flat as the corpus grows. */
   def loadBands(spark: SparkSession, dir: String,
-      keyed: Boolean = false): DataFrame = {
+      keyed: Boolean = false, slots: Option[Seq[Int]] = None): DataFrame = {
     val r = spark.read.format("gavro").option("schema", "lsh_bands")
-    (if (keyed) r.option("partitionKey", "band_idx") else r)
+    val loaded = (if (keyed) r.option("partitionKey", "band_idx") else r)
       .load(s"$dir/bands")
+    slots.fold(loaded)(ss =>
+        loaded.filter(col("slot").isin(ss.map(Int.box): _*)))
       .select(col("doc_id"), col("band_idx"), col("band_key"))
   }
 
   /** Bucket occupancy read back, one row per (bucket, commit):
-    * (band_idx, band_key, n, max_doc). */
-  def loadBuckets(spark: SparkSession, dir: String): DataFrame =
-    spark.read.format("gavro").option("schema", "lsh_buckets")
+    * (band_idx, band_key, n, max_doc). `slots` prunes like
+    * [[loadBands]]'s. */
+  def loadBuckets(spark: SparkSession, dir: String,
+      slots: Option[Seq[Int]] = None): DataFrame = {
+    val loaded = spark.read.format("gavro").option("schema", "lsh_buckets")
       .load(s"$dir/buckets")
+    slots.fold(loaded)(ss =>
+        loaded.filter(col("slot").isin(ss.map(Int.box): _*)))
       .select(col("band_idx"), col("band_key"), col("n"), col("max_doc"))
+  }
 
   /** Signatures for exactly the `ids` frame (one `doc_id` column),
     * reassembled by filtering the scalar sig rows BEFORE the rebuild
@@ -201,7 +240,18 @@ object LshIndex {
     * occupancy table landed) the probe's SHUFFLES all carry O(|delta|)
     * too — the persisted tables are only scanned behind broadcast joins. */
   def probeBatch(spark: SparkSession, dir: String, delta: DataFrame,
-      newFrom: Long): DataFrame = {
+      newFrom: Long): DataFrame =
+    probeBatchKeepSigs(spark, dir, delta, newFrom)._1
+
+  /** [[probeBatch]] that ALSO returns the delta's materialized signatures
+    * — the dedup-on-ingest loop's shape: probe, filter survivors, then
+    * [[appendSigs]] the already-computed signatures, so each micro-batch
+    * is sketched EXACTLY ONCE (the pre-v4 loop paid the sketch twice:
+    * once in the probe, once in the append's re-sketch). The returned
+    * frame is eagerly checkpointed; filtering it to survivors and
+    * appending costs no recompute. */
+  def probeBatchKeepSigs(spark: SparkSession, dir: String, delta: DataFrame,
+      newFrom: Long): (DataFrame, DataFrame) = {
     // SIZE CONTRACT: the probe broadcasts O(|delta|·cap)-bounded frames
     // (touched-bucket keys, their membership, candidate signatures) —
     // right for the nightly/per-trigger batch it serves (delta ≪ corpus,
@@ -209,9 +259,16 @@ object LshIndex {
     // would push those broadcasts toward the 8 GB driver limit; that job
     // is [[Dedup.minhashCandidates]]/[[Dedup.minhashIncremental]]'s
     // shuffle-based shape, not this one.
+    //
+    // The delta sketch feeds several downstream subtrees (and the loop's
+    // append); without eager materialization every reference re-executes
+    // the sketch shuffles (~5× the bytes — measured). localCheckpoint,
+    // not persist: an eager checkpoint's blocks are released by the
+    // ContextCleaner once the frame becomes unreachable, so the
+    // once-per-micro-batch serve path cannot accumulate cached plans.
     val deltaSigs = Dedup.minhashSignatures(delta)
-      .select(col("doc_id"), col("sig"))
-    probeIndexed(spark, dir, Some(deltaSigs), newFrom)
+      .select(col("doc_id"), col("sig")).localCheckpoint(true)
+    (probeIndexed(spark, dir, Some(deltaSigs), newFrom), deltaSigs)
   }
 
   /** [[Dedup.bandProbe]]'s exact semantics re-planned against the
@@ -238,26 +295,51 @@ object LshIndex {
     * no pairs in [[Dedup.bandProbe]] either, so restricting every stage
     * to probe-relevant buckets is result-identical. */
   private def probeIndexed(spark: SparkSession, dir: String,
-      deltaSigsRaw: Option[DataFrame], newFrom: Long): DataFrame = {
-    // The delta sketch and the candidate-pair set each feed several
-    // downstream subtrees; without materialization every reference
-    // re-executes the sketch/pair shuffles (~5× the bytes — measured).
-    // localCheckpoint, not persist: an eager checkpoint's blocks are
-    // released by the ContextCleaner once the returned frame becomes
-    // unreachable, so the once-per-micro-batch serve path cannot
-    // accumulate cached plans the way a persist-per-trigger would.
-    val deltaSigs = deltaSigsRaw.map(_.localCheckpoint(true))
-    val counts = loadBuckets(spark, dir)
+      deltaSigs: Option[DataFrame], newFrom: Long): DataFrame = {
+    // TORN-APPEND TRIPWIRE. [[appendSigs]] commits sigs/, bands/, and
+    // buckets/ as three separate gavro commits (no cross-table atomicity
+    // on a bare store), and the probe TRUSTS buckets/ for hot-bucket
+    // discovery and cap totals — a crash that landed bands but not
+    // buckets would silently miss new-vs-old pairs instead of failing.
+    // Each append adds exactly one record to each log in sigs → bands →
+    // buckets order, and [[maintain]] collapses them in the same order,
+    // so at every observable instant records-since-checkpoint must be
+    // monotone non-increasing along that order; a table AHEAD of a later
+    // one is exactly a torn append. Two tiny log listings per probe.
+    val tails = Seq("sigs", "bands", "buckets")
+      .map(t => t -> Gavro.commitRecordsSinceCheckpoint(s"$dir/$t"))
+    require(tails(0)._2 <= tails(2)._2 && tails(1)._2 <= tails(2)._2,
+      s"lsh index at $dir is torn mid-append (records since checkpoint: " +
+        tails.map { case (t, n) => s"$t=$n" }.mkString(", ") +
+        ") — re-run the append or rebuild the index")
+    // deltaSigs arrives eagerly checkpointed ([[probeBatchKeepSigs]]) —
+    // the first of the probe's eager waves; each wave is fixed
+    // per-trigger latency on the serve path.
     val deltaBands = deltaSigs.map(ds => Dedup.bands(ds))
-    val hotPersisted = counts.filter(col("max_doc") >= newFrom)
+    val hotPersisted = loadBuckets(spark, dir)
+      .filter(col("max_doc") >= newFrom)
       .select(col("band_idx"), col("band_key"))
+    // hotKeys checkpointed (wave 2, O(Δ·bands)-bounded): it feeds the
+    // slot collect below plus two broadcast joins — lazy, the occupancy
+    // hot-scan and the delta banding would re-execute per reference.
     val hotKeys = deltaBands
       .map(db => hotPersisted.unionByName(db.filter(col("doc_id") >= newFrom)
         .select(col("band_idx"), col("band_key"))))
       .getOrElse(hotPersisted)
       .distinct()
+      .localCheckpoint(true)
+    // FILE-LEVEL PRUNING: the touched buckets' layout slots, collected to
+    // the driver (≤ 6·SaltM values by construction) and pushed into every
+    // later scan of the slot-partitioned bands/buckets tables — the scans
+    // OPEN only the touched hash slices, so a small probe's I/O stays
+    // flat as the corpus (and its append history) grows. A probe touching
+    // every slot pushes nothing (the filter would be vacuous).
+    val hotSlots = hotKeys.select(slotExpr.as("slot")).distinct()
+      .collect().map(_.getInt(0)).toSeq.sorted
+    val slots = if (hotSlots.length >= NumBands * SaltM) None
+      else Some(hotSlots)
     val bucketCols = Seq("band_idx", "band_key")
-    val pn = counts.join(broadcast(hotKeys), bucketCols)
+    val pn = loadBuckets(spark, dir, slots).join(broadcast(hotKeys), bucketCols)
       .groupBy(col("band_idx"), col("band_key")).agg(sum(col("n")).as("pn"))
     val totals = deltaBands.map(_.groupBy(col("band_idx"), col("band_key"))
         .agg(count(lit(1)).as("dn"))) match {
@@ -276,12 +358,13 @@ object LshIndex {
     // would re-execute its upstream — another sequential SCAN of the
     // corpus-scale bands table, the probe's dominant I/O at 100 TB.
     // okKeys stays lazy: its broadcast references are plan-identical, so
-    // the exchange is built once and reused (buckets scanned twice
-    // inside that one build: the footer-skipped hot filter + the cap
-    // sum). Three eager waves total (deltaSigs, xRows, xS below); every
-    // wave is fixed per-trigger latency on the serve path.
+    // the exchange is built once and reused (its cap sum reads the
+    // slot-pruned occupancy scan; the hot filter was already folded into
+    // the checkpointed hotKeys). Four eager waves total (deltaSigs,
+    // hotKeys, xRows, xS below); every wave is fixed per-trigger latency
+    // on the serve path.
     val memberCols = Seq(col("doc_id"), col("band_idx"), col("band_key"))
-    val persistedMembers = loadBands(spark, dir)
+    val persistedMembers = loadBands(spark, dir, slots = slots)
       .join(broadcast(okKeys), bucketCols).select(memberCols: _*)
     val xRows = deltaBands
       .map(db => persistedMembers.unionByName(
@@ -328,28 +411,40 @@ object LshIndex {
     * This is the dedup-on-ingest loop's write half: probe, filter,
     * append the survivors. */
   def appendBatch(spark: SparkSession, dir: String,
-      delta: DataFrame): Unit = {
-    val deltaSigs = Dedup.minhashSignatures(delta)
-      .select(col("doc_id"), col("sig")).persist()
+      delta: DataFrame): Unit =
+    appendSigs(spark, dir, Dedup.minhashSignatures(delta)
+      .select(col("doc_id"), col("sig")).localCheckpoint(true))
+
+  /** The sketch-free append half: fold ALREADY-COMPUTED signatures
+    * (doc_id, sig — e.g. [[probeBatchKeepSigs]]'s frame filtered to the
+    * batch's survivors) into the index. The ingest loop's per-batch cost
+    * is then exactly ONE sketch pass: probe sketches the delta, the
+    * append derives band/bucket rows from those signatures (cheap
+    * per-row arithmetic, no shingle hashing). Callers pass a
+    * materialized frame (the probe's is checkpointed). */
+  def appendSigs(spark: SparkSession, dir: String,
+      deltaSigs: DataFrame): Unit = {
     deltaSigs
       .select(col("doc_id"), posexplode(col("sig"))).toDF("doc_id", "pos", "m")
-      .coalesce(1)
+      .coalesce(1) // per-trigger deltas are small; one sig file per append
       .write.format("gavro").option("schema", "lsh_sigs")
       .mode("append").save(s"$dir/sigs")
-    val deltaBands = Dedup.bands(deltaSigs).persist()
-    Gavro.exactPartition( // delta files stay one-band like base files
-        deltaBands.select(col("doc_id"), col("band_idx"), col("band_key")),
-        "band_idx", 6)
+    val deltaBands = Dedup.bands(deltaSigs).withColumn("slot", slotExpr)
+      .persist()
+    Gavro.exactPartition( // delta files stay one-slot like base files
+        deltaBands.select(col("doc_id"), col("band_idx"), col("band_key"),
+          col("slot")),
+        "slot", NumBands * SaltM)
       .write.format("gavro").option("schema", "lsh_bands")
       .mode("append").save(s"$dir/bands")
     // Occupancy rides along: one aggregate row per touched bucket, so the
     // next probe's cap still sums to exactly the bands table's counts.
-    bucketRows(deltaBands)
-      .coalesce(1)
+    Gavro.exactPartition(
+        bucketRows(deltaBands).withColumn("slot", slotExpr),
+        "slot", NumBands * SaltM)
       .write.format("gavro").option("schema", "lsh_buckets")
       .mode("append").save(s"$dir/buckets")
     deltaBands.unpersist()
-    deltaSigs.unpersist()
     ()
   }
 

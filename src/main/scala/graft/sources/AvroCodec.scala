@@ -614,12 +614,18 @@ object AvroCodec {
 
   /** LSH band bucket membership: one row per (doc_id, band_idx) with the
     * md5 bucket key — the probe target of the incremental dedup join,
-    * band_idx in the footer stats for band-sliced maintenance scans. */
+    * band_idx in the footer stats for band-sliced maintenance scans.
+    * `slot` is the layout hash bucket (`band_idx * SaltM +
+    * pmod(xxhash64(band_key), SaltM)`, [[graft.ops.LshIndex]]): files are
+    * exact-partitioned on it, so a probe's `slot IN (touched…)` pushdown
+    * skips every band file whose hash slice holds none of the touched
+    * buckets — the string band_key itself cannot carry that proof. */
   val LshBandsJson: String =
     """{"type":"record","name":"LshBands","fields":[
       |{"name":"doc_id","type":"long"},
       |{"name":"band_idx","type":"int"},
-      |{"name":"band_key","type":"string"}
+      |{"name":"band_key","type":"string"},
+      |{"name":"slot","type":"int"}
       |]}""".stripMargin.replace("\n", "")
 
   /** LSH bucket occupancy, maintained in the index artifact at build and
@@ -634,7 +640,8 @@ object AvroCodec {
       |{"name":"band_idx","type":"int"},
       |{"name":"band_key","type":"string"},
       |{"name":"n","type":"long"},
-      |{"name":"max_doc","type":"long"}
+      |{"name":"max_doc","type":"long"},
+      |{"name":"slot","type":"int"}
       |]}""".stripMargin.replace("\n", "")
 
   /** The `orders` Debezium envelope writer schema, verbatim as the

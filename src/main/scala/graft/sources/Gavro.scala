@@ -1524,6 +1524,7 @@ class GavroPartitionReader(part: GavroInputPartition, schemaName: String,
   // both splitting AND decompression, the parquet row-group design point).
   private val bytes: Array[Byte] = {
     val f = new java.io.File(part.file)
+    Gavro.noteFileOpen(part.file)
     val end = math.min(part.end, Gavro.dataStore.length(f))
     val raw = Gavro.dataStore.readRange(f, part.start,
       (end - part.start).toInt)
@@ -1685,6 +1686,31 @@ object Gavro {
     try body finally _checkpointReader = r0
   }
 
+  /** LOCAL-MODE test seam: while installed by [[trackFileOpens]], every
+    * data-file open by a [[GavroPartitionReader]] records its path here.
+    * Readers run task-side, so this observes opens only when tasks share
+    * the driver JVM (local[n]) — exactly the spec harness that asserts
+    * file-level pruning ("a probe opens ≪ the table's files"); on a real
+    * cluster the same information is the scan's task count in the UI. */
+  private val openTap =
+    new java.util.concurrent.atomic.AtomicReference[java.util.Set[String]](null)
+
+  private[sources] def noteFileOpen(path: String): Unit = {
+    val s = openTap.get()
+    if (s != null) { s.add(path); () }
+  }
+
+  /** Run `body` and return it with the set of distinct data-file paths
+    * opened by gavro readers during it. Not reentrant; test-only. */
+  private[graft] def trackFileOpens[A](body: => A): (A, Set[String]) = {
+    val s = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+    openTap.set(s)
+    try {
+      val a = body
+      (a, scala.jdk.CollectionConverters.SetHasAsScala(s).asScala.toSet)
+    } finally openTap.set(null)
+  }
+
   /** Swap BOTH storage planes for the duration of `body` (test seam —
     * the InMemory round-trip proving the whole format is portable runs
     * under this). Not thread-safe against concurrent swaps; test suites
@@ -1756,6 +1782,22 @@ object Gavro {
             "away (run time travel only to surviving commit names)")
     }
     (base.toSeq ++ tail).flatMap(readNames).toSet
+  }
+
+  /** Commit records not yet folded into a checkpoint — the cheap
+    * "how many appends since the last compaction" observable (two file
+    * listings, no data reads). 0 for a directory without a log. Multi-
+    * table artifacts whose writers append to each table in a fixed order
+    * (the LSH index) use this as a torn-append tripwire: a table AHEAD of
+    * a later one in the order means a crash landed between the two
+    * commits. */
+  def commitRecordsSinceCheckpoint(path: String): Int = {
+    val commits = new java.io.File(path, CommitsDir)
+    if (!store.exists(commits)) return 0
+    val lastCp = logEntries(commits, ".checkpoint").lastOption
+      .map(_.getName.stripSuffix(".checkpoint"))
+    logEntries(commits, ".commit")
+      .count(f => lastCp.forall(f.getName.stripSuffix(".commit") > _))
   }
 
   /** Snapshot-isolated data-file listing: when a `_graft_commits` log
@@ -2870,10 +2912,62 @@ object Gavro {
     * write. Key must be a non-null integral column. */
   def exactPartition(df: DataFrame, key: String, k: Int): DataFrame = {
     val idx = df.schema.fieldIndex(key)
+    routeExact(df, k,
+      r => java.lang.Math.floorMod(
+        r.get(idx).asInstanceOf[Number].longValue, k.toLong).toInt)
+  }
+
+  /** [[exactPartition]] with a SALT axis that breaks the writer-task cap:
+    * partition `floorMod(key, k) * m + floorMod(salt, m)` — k·m writer
+    * tasks instead of k, and every output partition is STILL provably
+    * single-valued on `key` (the salt only splits within a key), so the
+    * footer min==max proof, the key-IN file skipping, and the reported
+    * KeyGroupedPartitioning all survive unchanged. Spark's partition
+    * grouping merges the m salt files per key back into one task group
+    * when a plan clusters on the key. Use when one key's volume exceeds
+    * what a single writer task should serialize (the index-build shape:
+    * 6 bands or K coarse cells of a 100 TB corpus). Both columns must be
+    * non-null integral. */
+  def exactPartitionSalted(df: DataFrame, key: String, k: Int,
+      salt: String, m: Int): DataFrame = {
+    val ki = df.schema.fieldIndex(key)
+    val si = df.schema.fieldIndex(salt)
+    routeExact(df, k * m, { r =>
+      val kv = java.lang.Math.floorMod(
+        r.get(ki).asInstanceOf[Number].longValue, k.toLong).toInt
+      val sv = java.lang.Math.floorMod(
+        r.get(si).asInstanceOf[Number].longValue, m.toLong).toInt
+      kv * m + sv
+    })
+  }
+
+  /** The STRING-key (or any non-integral-key) router: derives an integral
+    * slot column `slotCol = pmod(xxhash64(key), m)` and exact-partitions
+    * on it — every output partition is provably single-valued on the SLOT
+    * (not the key), so writing `slotCol` into the record and its footer
+    * stats gives hash-bucket file pruning (`slot IN (…)` skips whole
+    * files) and KeyGroupedPartitioning over the slot, the layout a
+    * string-keyed table (LSH band keys) needs. The slot expression is
+    * Spark's own `xxhash64` — recompute it with the same expression at
+    * probe time and the values agree by construction. Returns the frame
+    * WITH the slot column; callers persist it (schema + stats) or drop it
+    * after routing. */
+  def exactPartitionHash(df: DataFrame, key: String, m: Int,
+      slotCol: String): DataFrame =
+    exactPartition(
+      df.withColumn(slotCol, pmod(xxhash64(col(key)), lit(m)).cast("int")),
+      slotCol, m)
+
+  /** The one RDD hop shared by the exact routers: a deterministic
+    * partitioner over a precomputed partition index — Spark's DataFrame
+    * API exposes no exact partitioner, and the result is immediately
+    * consumed by a write. */
+  private def routeExact(df: DataFrame,
+      parts: Int, partOf: org.apache.spark.sql.Row => Int): DataFrame = {
     val rdd = df.rdd
-      .keyBy(r => java.lang.Math.floorMod(r.get(idx).asInstanceOf[Number].longValue, k.toLong).toInt)
+      .keyBy(partOf)
       .partitionBy(new org.apache.spark.Partitioner {
-        override def numPartitions: Int = k
+        override def numPartitions: Int = parts
         override def getPartition(key: Any): Int = key.asInstanceOf[Int]
       }).values
     df.sparkSession.createDataFrame(rdd, df.schema)

@@ -205,7 +205,11 @@ trait CheckpointReader {
 object LocalCheckpointReader extends CheckpointReader {
   override def list(dir: String): Option[Seq[String]] = {
     val d = new java.io.File(dir)
-    if (d.isDirectory) Some(d.listFiles().map(_.getName).toSeq) else None
+    // listFiles can return null even after a true isDirectory (the
+    // directory vanished between the two calls, or an I/O error) — that
+    // is the "missing" case, not an NPE deep inside maintain.
+    if (d.isDirectory) Option(d.listFiles()).map(_.map(_.getName).toSeq)
+    else None
   }
 
   override def readLines(file: String): Option[Seq[String]] = {

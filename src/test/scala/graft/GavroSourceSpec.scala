@@ -1421,4 +1421,109 @@ class GavroSourceSpec extends SparkSpec {
     assert(res.collect().toSeq.map(r => (r.getInt(0), r.getLong(1))) ==
       Seq((2, 1000L)))
   }
+
+  test("exactPartitionSalted: k·m writers, every partition single-valued on the key, nothing lost") {
+    import graft.sources.Gavro
+    val rows = spark.range(1200).select(col("id").as("vec_id"),
+      (col("id") % 4).cast("int").as("cell"),
+      md5(col("id").cast("string")).as("v"))
+    val routed = Gavro.exactPartitionSalted(rows, "cell", 4, "vec_id", 3)
+    assert(routed.rdd.getNumPartitions == 12)
+    val perPart = routed.rdd.mapPartitionsWithIndex { (pid, it) =>
+      it.map(r => (pid, r.getInt(1), r.getLong(0)))
+    }.collect()
+    // partition = cell * m + floorMod(vec_id, m): single-valued on cell
+    assert(perPart.forall { case (pid, cell, vid) =>
+      pid == cell * 3 + java.lang.Math.floorMod(vid, 3L).toInt })
+    assert(routed.collect().map(_.toString).sorted.toSeq ==
+      rows.collect().map(_.toString).sorted.toSeq)
+  }
+
+  test("salted layout still reports KGP: clustered agg over multi-file keys plans zero Exchange") {
+    import graft.sources.Gavro
+    val out = tmpDir("keyed_salted")
+    val rows = spark.range(4000).select(
+      col("id").as("vec_id"), (col("id") % 4).cast("int").as("cell"),
+      ((col("id") / 4) % 8).cast("int").as("sub_idx"),
+      (col("id") % 256).cast("int").as("code"))
+    val bins = rows.select(expr(
+        "to_avro_graft(struct(vec_id, cell, sub_idx, code), 'ivf_codes')")
+        .as("bin"), col("cell"), col("vec_id"))
+    Gavro.write(Gavro.exactPartitionSalted(bins, "cell", 4, "vec_id", 3),
+      out, statCols = Seq("cell"))
+    // the salt fans the 4 cells over 12 files…
+    assert(new java.io.File(out).listFiles()
+      .count(_.getName.endsWith(".gavro")) == 12)
+    // …and Spark's partition grouping folds them back per key: the keyed
+    // read still satisfies the clustered distribution with no exchange
+    val keyedRes = readCodes(out, keyed = true)
+      .groupBy(col("cell"), col("sub_idx"))
+      .agg(count(lit(1)).as("n"), sum(col("code").cast("long")).as("s"))
+    assert(shuffleCount(keyedRes) == 0,
+      "salted multi-file-per-key layout must still prove the grouping")
+    val plainRes = readCodes(out, keyed = false)
+      .groupBy(col("cell"), col("sub_idx"))
+      .agg(count(lit(1)).as("n"), sum(col("code").cast("long")).as("s"))
+    assert(keyedRes.collect().map(_.toString).sorted.toSeq ==
+      plainRes.collect().map(_.toString).sorted.toSeq)
+    // pushed key filter prunes the other cells' salt files wholesale
+    val (got, opened) = Gavro.trackFileOpens {
+      readCodes(out, keyed = false).filter(col("cell") === 2).count()
+    }
+    assert(got == 1000L)
+    assert(opened.size == 3, s"cell filter should open 3 files: $opened")
+  }
+
+  test("exactPartitionHash: string keys route by hash slot; KGP over the slot; multi-valued fallback") {
+    import graft.sources.Gavro
+    val base = spark.range(3000).select(col("id").as("doc_id"),
+      (col("id") % 6).cast("int").as("band_idx"),
+      md5((col("id") % 37).cast("string")).as("band_key"))
+    val routed = Gavro.exactPartitionHash(base, "band_key", 8, "slot")
+    assert(routed.rdd.getNumPartitions == 8)
+    // every partition single-valued on the DERIVED slot; the slot is
+    // Spark's own xxhash64, so a reader recomputing pmod(xxhash64(k), m)
+    // lands on the same value
+    val slots = routed.rdd.mapPartitionsWithIndex { (pid, it) =>
+      it.map(r => (pid, r.getInt(r.fieldIndex("slot"))))
+    }.collect()
+    assert(slots.forall { case (pid, s) => s == pid })
+    assert(routed.count() == 3000)
+    val out = tmpDir("keyed_hash")
+    Gavro.write(routed.select(expr(
+        "to_avro_graft(struct(doc_id, band_idx, band_key, slot), 'lsh_bands')")
+        .as("bin"), col("slot")),
+      out, statCols = Seq("slot"))
+    def readBands(keyed: Boolean) = {
+      val r = spark.read.format("gavro").option("schema", "lsh_bands")
+      (if (keyed) r.option("partitionKey", "slot") else r).load(out)
+    }
+    // clustered agg containing the slot: zero exchange (a groupBy over
+    // the string key rides the slot's co-location — the string-keyed KGP
+    // story the hash router exists for)
+    val keyedRes = readBands(keyed = true)
+      .groupBy(col("slot"), col("band_key")).agg(count(lit(1)).as("n"))
+    assert(shuffleCount(keyedRes) == 0)
+    val plainRes = readBands(keyed = false)
+      .groupBy(col("slot"), col("band_key")).agg(count(lit(1)).as("n"))
+    assert(keyedRes.collect().map(_.toString).sorted.toSeq ==
+      plainRes.collect().map(_.toString).sorted.toSeq)
+    // multi-valued fallback: the same rows written WITHOUT the exact
+    // router leave files spanning slots — the keyed read must fall back
+    // to an exchange, never a wrong grouping
+    val out2 = tmpDir("keyed_hash_fb")
+    Gavro.write(base
+        .withColumn("slot", pmod(xxhash64(col("band_key")), lit(8)).cast("int"))
+        .repartition(4)
+        .select(expr(
+          "to_avro_graft(struct(doc_id, band_idx, band_key, slot), 'lsh_bands')")
+          .as("bin"), col("slot")),
+      out2, statCols = Seq("slot"))
+    val fb = spark.read.format("gavro").option("schema", "lsh_bands")
+      .option("partitionKey", "slot").load(out2)
+      .groupBy(col("slot"), col("band_key")).agg(count(lit(1)).as("n"))
+    assert(shuffleCount(fb) >= 1)
+    assert(fb.collect().map(_.toString).sorted.toSeq ==
+      plainRes.collect().map(_.toString).sorted.toSeq)
+  }
 }

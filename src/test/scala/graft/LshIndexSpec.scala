@@ -74,7 +74,7 @@ class LshIndexSpec extends SparkSpec {
     assert(appended.sorted.sameElements(unioned.sorted))
   }
 
-  test("dedup-on-ingest loop: probe each micro-batch, append survivors, next batch sees them") {
+  test("dedup-on-ingest loop: one sketch per batch, anti-join filter, append survivors, next batch sees them") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import scala.jdk.CollectionConverters._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
@@ -88,23 +88,35 @@ class LshIndexSpec extends SparkSpec {
     val floor = 50000L
     val rejected = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
     val accepted = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val sketchBudgetBroken =
+      new java.util.concurrent.atomic.AtomicReference[String](null)
     val input = MemoryStream[(Long, String)]
     val q = input.toDF().toDF("doc_id", "text")
       .writeStream.outputMode("append")
       .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
         val b = batch.persist()
-        // probe: any batch doc colliding with the standing corpus at
-        // est_jaccard >= 0.5 is a dup and is dropped
-        val dups = LshIndex.probeBatch(spark, dir, b, floor)
-          .filter(col("est_jaccard") >= 0.5)
-          .select(col("doc_b")).distinct()
-          .collect().map(_.getLong(0)).toSet
-        dups.foreach(rejected.add)
-        val fresh = b.filter(!col("doc_id").isin(dups.toSeq.map(Long.box): _*))
+        val sketchesBefore = graft.ops.Dedup.sketchPlans.get
+        // probe AND keep the batch's signatures: the append below reuses
+        // them, so the whole loop iteration sketches the batch once
+        val (pairs, sigs) = LshIndex.probeBatchKeepSigs(spark, dir, b, floor)
+        // any batch doc colliding with the standing corpus at
+        // est_jaccard >= 0.5 is a dup and is dropped — as a FRAME, so the
+        // filter below is an anti-join, not a driver-side isin (the dup
+        // set is unbounded at scale)
+        val dupIds = pairs.filter(col("est_jaccard") >= 0.5)
+          .select(col("doc_b").as("doc_id")).distinct()
+          .localCheckpoint(true)
+        dupIds.collect().foreach(r => rejected.add(r.getLong(0)))
+        val fresh = b.join(dupIds, Seq("doc_id"), "left_anti")
         fresh.select(col("doc_id")).collect()
           .foreach(r => accepted.add(r.getLong(0)))
-        // append survivors: the index grows, later batches probe them too
-        if (!fresh.isEmpty) LshIndex.appendBatch(spark, dir, fresh)
+        // append survivors WITHOUT re-sketching: filter the probe's
+        // checkpointed signatures to the survivors and fold those in
+        val freshSigs = sigs.join(dupIds, Seq("doc_id"), "left_anti")
+        if (!freshSigs.isEmpty) LshIndex.appendSigs(spark, dir, freshSigs)
+        val sketched = graft.ops.Dedup.sketchPlans.get - sketchesBefore
+        if (sketched != 1 && sketchBudgetBroken.get == null)
+          sketchBudgetBroken.set(s"batch ran $sketched sketch passes, want 1")
         b.unpersist(); ()
       }
       .start()
@@ -125,6 +137,52 @@ class LshIndexSpec extends SparkSpec {
     assert(rejected.asScala.toSet == Set(floor + 1, floor + 3),
       s"cross-batch dup not caught: $rejected")
     assert(accepted.asScala.toSet == Set(floor + 2))
+    assert(sketchBudgetBroken.get == null, s"${sketchBudgetBroken.get}")
+  }
+
+  test("slot pruning: a small probe opens few band files, flat as the corpus grows") {
+    import spark.implicits._
+    // Same collision-free filler as the shuffle-bytes test: the probe's
+    // ANSWER is identical across corpora while the persisted index grows.
+    def filler(n: Int) = spark.range(n)
+      .select((col("id") + 100000).as("doc_id"),
+        expr("concat_ws(' ', transform(sequence(0, 39), " +
+          "i -> substring(md5(concat(cast(id as string), '-', cast(i as string))), 1, 8)))")
+          .as("text"))
+    val floor = 10000000L
+    val someText = docs.orderBy(col("doc_id")).limit(1).collect()(0)
+      .getAs[String]("text")
+    // a 2-doc delta — the serve-trigger shape file pruning exists for:
+    // its band rows touch ≤ 12 of the 6·SaltM layout slots
+    val delta = Seq(
+      (floor + 1, someText.substring(someText.indexOf(' ') + 1)),
+      (floor + 2, "zzqx glorp wibble frotz yoik snarf blib quux nargle veep"))
+      .toDF("doc_id", "text").localCheckpoint(true)
+    def probeOpens(fillerDocs: Int): (Int, Int, Set[(Long, Long)]) = {
+      val corpus = docs.unionByName(filler(fillerDocs)).localCheckpoint(true)
+      val dir = java.nio.file.Files
+        .createTempDirectory(s"lsh_prune_$fillerDocs").toString
+      LshIndex.buildAndWrite(corpus, dir)
+      val total = new java.io.File(dir, "bands").listFiles()
+        .count(_.getName.endsWith(".gavro"))
+      val (pairs, opened) = graft.sources.Gavro.trackFileOpens {
+        LshIndex.probeBatch(spark, dir, delta, floor).collect()
+          .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+      }
+      (opened.count(_.contains("/bands/")), total, pairs)
+    }
+    val (openedSmall, totalSmall, pairsSmall) = probeOpens(2000)
+    val (openedBig, totalBig, pairsBig) = probeOpens(8000)
+    assert(pairsSmall.nonEmpty && pairsSmall == pairsBig,
+      "filler must not change the probe answer")
+    // the salted build lays out one slot per file
+    assert(totalSmall == 48 && totalBig == 48, s"$totalSmall/$totalBig files")
+    // a 2-doc probe touches ≤ 12 slots — well under half the table
+    assert(openedSmall > 0 && openedSmall <= 12,
+      s"probe opened $openedSmall/$totalSmall band files")
+    // and growing the corpus 4× must not widen the probe's file set
+    assert(openedBig <= openedSmall,
+      s"probe file opens grew with the corpus: $openedSmall -> $openedBig")
   }
 
   test("probe shuffle bytes are O(delta): flat across corpus growth, far below recompute") {
