@@ -48,6 +48,7 @@ object ScaleSmoke {
     if (section == "round11") round11Section(spark, replicas)
     if (section == "round12") round12Section(spark, replicas)
     if (section == "round13") round13Section(spark, replicas)
+    if (section == "round14") round14Section(spark, replicas)
     val loadavgEnd = readLoadavg()
     println(s"""{"harness":"scale_smoke","section":"$section",""" +
       s""""replicas":$replicas,""" +
@@ -56,6 +57,114 @@ object ScaleSmoke {
       s""""canonical":$canonical,""" +
       s""""cpus":${Runtime.getRuntime.availableProcessors}}""")
     spark.stop()
+  }
+
+  /** Round-14 additions, the three claims the v4 index layout makes at
+    * replica volume. (a) BUILD PARALLELISM: the salted one-slot-per-file
+    * build vs the pre-v4 serialized shape (sigs through one task, bands
+    * through 6) on the same corpus — wall must drop, writer-file counts
+    * show the task fan-out. (b) PROBE FILE PRUNING: a 2-doc serve-trigger
+    * probe opens only its touched hash slices of the bands table.
+    * (c) MAINTAIN: per-trigger appends compacted — occupancy rows merge,
+    * logs collapse, probe answers unchanged, timed at volume. */
+  private def round14Section(spark: SparkSession, replicas: Int): Unit = {
+    import graft.ops.{Dedup, LshIndex}
+    import graft.sources.Gavro
+    val docsBase = graft.sources.Tables.documents(spark, "/root/testdata/sf0.1")
+      .select(col("doc_id"), col("text"))
+    val corpus = docsBase.crossJoin(spark.range(replicas).toDF("rep"))
+      .select((col("doc_id") * replicas + col("rep")).as("doc_id"),
+        concat(col("text"), lit(" r"), col("rep")).as("text"))
+      .localCheckpoint(true)
+    println(s"corpus: ${corpus.count()} docs (${replicas}x sf0.1)")
+    def timed(name: String)(body: => Unit): Double = {
+      val t0 = System.nanoTime()
+      body
+      val secs = (System.nanoTime() - t0) / 1e9
+      println(f"$name%-28s $secs%8.2f s")
+      secs
+    }
+    def gavroFiles(dir: String): Int =
+      Option(new java.io.File(dir).listFiles())
+        .map(_.count(_.getName.endsWith(".gavro"))).getOrElse(0)
+
+    // ---- (a) salted build vs the pre-v4 serialized shape
+    val dirNew = java.nio.file.Files.createTempDirectory("smoke-lsh-v4").toString
+    val saltedWall = timed("lsh_build_salted") {
+      LshIndex.buildAndWrite(corpus, dirNew) }
+    val dirOld = java.nio.file.Files.createTempDirectory("smoke-lsh-v3").toString
+    val slotExpr = (col("band_idx") * LshIndex.SaltM +
+      pmod(xxhash64(col("band_key")), lit(LshIndex.SaltM))).cast("int")
+    val serializedWall = timed("lsh_build_serialized") {
+      // the pre-v4 write shape: whole sigs table through ONE task, bands
+      // through 6, occupancy through one (same sketch, same content)
+      val sigs = Dedup.minhashSignatures(corpus)
+        .select(col("doc_id"), col("sig")).persist()
+      val sigRows = sigs
+        .select(col("doc_id"), posexplode(col("sig"))).toDF("doc_id", "pos", "m")
+        .select(expr("to_avro_graft(struct(doc_id, pos, m), 'lsh_sigs')").as("bin"))
+      Gavro.write(sigRows.coalesce(1), s"$dirOld/sigs")
+      val bands = Dedup.bands(sigs).withColumn("slot", slotExpr).persist()
+      val bandRows = bands.select(expr(
+          "to_avro_graft(struct(doc_id, band_idx, band_key, slot), 'lsh_bands')")
+          .as("bin"), col("band_idx"), col("slot"))
+      Gavro.write(Gavro.exactPartition(bandRows, "band_idx", 6),
+        s"$dirOld/bands", statCols = Seq("band_idx", "slot"))
+      val occ = bands.groupBy(col("band_idx"), col("band_key"))
+        .agg(count(lit(1)).as("n"), max(col("doc_id")).as("max_doc"))
+        .withColumn("slot", slotExpr)
+        .select(expr(
+          "to_avro_graft(struct(band_idx, band_key, n, max_doc, slot), 'lsh_buckets')")
+          .as("bin"), col("band_idx"), col("max_doc"), col("slot"))
+      Gavro.write(occ.coalesce(1), s"$dirOld/buckets",
+        statCols = Seq("band_idx", "max_doc", "slot"))
+      bands.unpersist(); sigs.unpersist(); ()
+    }
+    println(s"writer files salted: sigs=${gavroFiles(s"$dirNew/sigs")} " +
+      s"bands=${gavroFiles(s"$dirNew/bands")} vs serialized: " +
+      s"sigs=${gavroFiles(s"$dirOld/sigs")} bands=${gavroFiles(s"$dirOld/bands")}")
+    println(f"build wall salted/serialized: $saltedWall%.2f / " +
+      f"$serializedWall%.2f s (${serializedWall / saltedWall}%.2fx faster)")
+
+    // ---- (b) probe file pruning: the 2-doc serve-trigger shape
+    val someText = docsBase.orderBy(col("doc_id")).limit(1).collect()(0)
+      .getAs[String]("text")
+    val floor = 1000000000L
+    import spark.implicits._
+    val tinyDelta = Seq(
+      (floor + 1, someText.substring(someText.indexOf(' ') + 1)),
+      (floor + 2, "zzqx glorp wibble frotz yoik snarf blib quux nargle veep"))
+      .toDF("doc_id", "text").localCheckpoint(true)
+    var pairs = 0L
+    val (_, opened) = Gavro.trackFileOpens {
+      timed("lsh_probe_2doc") {
+        pairs = LshIndex.probeBatch(spark, dirNew, tinyDelta, floor).count() }
+    }
+    val bandOpens = opened.count(_.contains("/bands/"))
+    println(s"probe opened $bandOpens/${gavroFiles(s"$dirNew/bands")} band " +
+      s"files, pairs=$pairs")
+
+    // ---- (c) maintain after per-trigger appends
+    val delta = corpus.filter(pmod(col("doc_id"), lit(50)) === 0)
+      .select((col("doc_id") + floor).as("doc_id"), col("text"))
+      .localCheckpoint(true)
+    println(s"append delta: ${delta.count()} docs x 3 batches")
+    (0 until 3).foreach { r =>
+      LshIndex.appendBatch(spark, dirNew,
+        delta.filter(pmod(col("doc_id"), lit(3)) === r))
+    }
+    val occBefore = LshIndex.loadBuckets(spark, dirNew).count()
+    val probeBefore = LshIndex
+      .probeMaterialized(spark, dirNew, floor).count()
+    timed("lsh_maintain") { LshIndex.maintain(spark, dirNew) }
+    val occAfter = LshIndex.loadBuckets(spark, dirNew).count()
+    val probeAfter = LshIndex.probeMaterialized(spark, dirNew, floor).count()
+    println(s"occupancy rows $occBefore -> $occAfter; " +
+      s"probe pairs $probeBefore -> $probeAfter")
+    assert(probeBefore == probeAfter && probeBefore > 0,
+      s"maintain changed the probe answer: $probeBefore -> $probeAfter")
+    assert(occAfter < occBefore,
+      s"maintain did not merge occupancy: $occBefore -> $occAfter")
   }
 
   /** Round-13 addition: the LSH probe's O(Δ) contract measured in SHUFFLE

@@ -467,7 +467,81 @@ object LshIndex {
     * execution paths, one answer, proving the appended artifact encodes
     * the batch exactly as a from-scratch sketch would. */
   def probeAppended(spark: SparkSession, sfDir: String): DataFrame =
-    probeIndexed(spark, ensureAppended(spark, sfDir), None, NewFrom)
+    probeMaterialized(spark, ensureAppended(spark, sfDir), NewFrom)
+
+  /** Probe an EXPLICIT index directory with no in-flight delta: pairs
+    * touching docs ≥ `newFrom`, everything read from the persisted
+    * tables. The serving form for "what does the standing index say about
+    * the batches already folded in" — and the maintenance spec's probe
+    * (same dir before and after [[maintain]], answers must match). */
+  def probeMaterialized(spark: SparkSession, dir: String,
+      newFrom: Long): DataFrame =
+    probeIndexed(spark, dir, None, newFrom)
+
+  // ----------------------------------------------------------- maintenance
+
+  /** Nightly MAINTENANCE over a living index: after thousands of
+    * per-trigger appends, each table's log holds one commit per trigger,
+    * the occupancy table holds one row per touched bucket PER APPEND (the
+    * probe's cap sum reads them all), and the band files scatter each
+    * slot across commits. Collapse all three, under the same
+    * maintenance-lock/vacuum-grace protection the serve stream already
+    * tolerates (snapshot swaps, no in-flight read loses its files):
+    *
+    *   - `sigs/`: content is append-only rows — byte-merge small files
+    *     ([[Gavro.optimize]]) and fold the log;
+    *   - `bands/`: SEMANTIC rewrite ([[Gavro.rewriteTable]]) re-routing
+    *     every row through the exact slot partitioner, restoring the
+    *     one-slot-per-file layout appends eroded;
+    *   - `buckets/`: semantic rewrite merging occupancy per bucket —
+    *     sum(n), max(max_doc) — back to ONE row per bucket.
+    *
+    * Order is sigs → bands → buckets, the same order [[appendSigs]]
+    * writes, so the probe's torn-append tripwire (records-since-
+    * checkpoint monotone along that order) holds at every instant even
+    * with appends interleaving. Probe answers are unchanged by
+    * construction: the probe re-aggregates occupancy per bucket and
+    * never depends on file layout — `lsh_bucket_stats_compacted`'s
+    * oracle pins that. */
+  def maintain(spark: SparkSession, dir: String): Unit = {
+    Gavro.optimize(s"$dir/sigs")
+    Gavro.checkpoint(s"$dir/sigs")
+    Gavro.compactLog(s"$dir/sigs")
+    Gavro.rewriteTable(s"$dir/bands", pin => {
+      val rows = spark.read.format("gavro").option("schema", "lsh_bands")
+        .option("asOfCommit", pin).load(s"$dir/bands")
+        .select(expr(
+          "to_avro_graft(struct(doc_id, band_idx, band_key, slot), 'lsh_bands')")
+          .as("bin"), col("band_idx"), col("slot"))
+      Gavro.exactPartition(rows, "slot", NumBands * SaltM)
+    }, statCols = Seq("band_idx", "slot"))
+    Gavro.rewriteTable(s"$dir/buckets", pin => {
+      val merged = spark.read.format("gavro").option("schema", "lsh_buckets")
+        .option("asOfCommit", pin).load(s"$dir/buckets")
+        .groupBy(col("band_idx"), col("band_key"))
+        .agg(sum(col("n")).as("n"), max(col("max_doc")).as("max_doc"))
+        .withColumn("slot", slotExpr)
+        .select(expr(
+          "to_avro_graft(struct(band_idx, band_key, n, max_doc, slot), 'lsh_buckets')")
+          .as("bin"), col("band_idx"), col("max_doc"), col("slot"))
+      Gavro.exactPartition(merged, "slot", NumBands * SaltM)
+    }, statCols = Seq("band_idx", "max_doc", "slot"))
+    ()
+  }
+
+  /** The maintenance-proven instance: base build, the planted batch
+    * appended, then [[maintain]] compacted the whole artifact — the
+    * state a per-trigger-appended index lives in after its nightly
+    * maintenance. Own cache scope; never touches the probe or append
+    * instances. */
+  def ensureCompacted(spark: SparkSession, sfDir: String): String =
+    IndexHome.ensureBuilt(spark, srcFile(sfDir), sfPrefix(sfDir, "c")) { dir =>
+      val documents = Tables.documents(spark, sfDir)
+      buildAndWrite(documents.select(col("doc_id"), col("text")), dir)
+      appendBatch(spark, dir,
+        Dedup.nearCorpus(documents).filter(col("doc_id") >= NewFrom))
+      maintain(spark, dir)
+    }
 
   /** Per-band rollup of the PERSISTED occupancy table — the artifact the
     * O(Δ) probe trusts for its cap accounting, verified directly against
@@ -476,7 +550,10 @@ object LshIndex {
     * per-commit rows and re-aggregates per bucket first, so the summary
     * is layout- and commit-count-independent. */
   def bucketStats(spark: SparkSession, sfDir: String): DataFrame =
-    loadBuckets(spark, ensure(spark, sfDir))
+    bucketStatsAt(spark, ensure(spark, sfDir))
+
+  private def bucketStatsAt(spark: SparkSession, dir: String): DataFrame =
+    loadBuckets(spark, dir)
       .groupBy(col("band_idx"), col("band_key"))
       .agg(sum(col("n")).as("n"))
       .groupBy(col("band_idx"))
@@ -484,13 +561,29 @@ object LshIndex {
         max(col("n")).as("max_bucket"))
       .orderBy(col("band_idx"))
 
+  /** [[bucketStats]] over the COMPACTED instance (base + appended batch +
+    * [[maintain]]): the oracle recounts buckets from the raw combined
+    * corpus, so a hash match proves the occupancy merge lost and invented
+    * nothing — compaction is content-neutral. */
+  def bucketStatsCompacted(spark: SparkSession, sfDir: String): DataFrame =
+    bucketStatsAt(spark, ensureCompacted(spark, sfDir))
+
+  /** The probe run ENTIRELY against the compacted artifact — hash-equal
+    * to [[probeNewBatch]]/[[probeAppended]] and the in-query rebuild
+    * (four execution paths, one answer): optimize + semantic rewrite +
+    * log compaction changed nothing the probe can observe. */
+  def probeCompacted(spark: SparkSession, sfDir: String): DataFrame =
+    probeMaterialized(spark, ensureCompacted(spark, sfDir), NewFrom)
+
   // ---------------------------------------------------------------- registry
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "lsh_index_build" -> ((s, d) => buildIndexSummary(s, d)),
     "lsh_index_probe" -> ((s, d) => probeNewBatch(s, d)),
     "lsh_index_append" -> ((s, d) => probeAppended(s, d)),
+    "lsh_index_compact_probe" -> ((s, d) => probeCompacted(s, d)),
     "lsh_bucket_stats" -> ((s, d) => bucketStats(s, d)),
+    "lsh_bucket_stats_compacted" -> ((s, d) => bucketStatsCompacted(s, d)),
   )
 
   /** The build oracle unrolls the sketch over the PLAIN documents table
@@ -515,8 +608,29 @@ object LshIndex {
     "lsh_index_probe" -> probeOracleSql,
     // The SAME unroll object: the appended artifact must answer exactly
     // what the union probe and the in-query rebuild answer — sharing the
-    // literal removes the drift surface between the two entries.
+    // literal removes the drift surface between the entries. The
+    // compacted entry shares it too: optimize + semantic rewrite + log
+    // compaction must be invisible to the probe.
     "lsh_index_append" -> probeOracleSql,
+    "lsh_index_compact_probe" -> probeOracleSql,
+    // Occupancy after compaction, recounted from the raw COMBINED corpus
+    // (base + the planted appended batch): the merge kept every bucket's
+    // exact row count and nothing else.
+    "lsh_bucket_stats_compacted" ->
+      s"""WITH ${Dedup.nearCorpusSql},
+         |${Dedup.sigSql},
+         |all_bands AS (
+         |  SELECT doc_id, b AS band_idx,
+         |    md5(sig[2 * b + 1]::VARCHAR || ',' || sig[2 * b + 2]::VARCHAR) AS band_key
+         |  FROM sigs, range(0, 6) r(b)
+         |),
+         |buckets AS (
+         |  SELECT band_idx, band_key, count(*) AS n
+         |  FROM all_bands GROUP BY band_idx, band_key
+         |)
+         |SELECT band_idx, count(*) AS n_buckets, sum(n)::BIGINT AS n_rows,
+         |  max(n)::BIGINT AS max_bucket
+         |FROM buckets GROUP BY band_idx ORDER BY band_idx""".stripMargin,
     "lsh_bucket_stats" ->
       s"""WITH corpus AS (SELECT doc_id, text FROM documents),
          |${Dedup.sigSql},

@@ -2103,6 +2103,96 @@ object Gavro {
     }
   }
 
+  /** ATOMIC CONTENT REWRITE: replace a table's rows with `bins`' output in
+    * one snapshot swap — the maintenance primitive for tables whose
+    * compaction is SEMANTIC, not byte concatenation (an occupancy table
+    * merging per-append rows into one row per key; a keyed layout being
+    * re-exact-partitioned after appends scattered it). [[optimize]] cannot
+    * do this: it copies sections raw.
+    *
+    * Protocol (the same crash-safe swap as optimize, under the same
+    * maintenance lock): pin the current snapshot, hand its commit name to
+    * `bins` (the caller MUST read the table `asOfCommit` that pin — the
+    * rewrite replaces exactly what it read), stage the new rows as
+    * uncommitted part files (invisible: the log is the visibility truth),
+    * then land a write-ahead `.retire` sidecar naming the replaced files
+    * and a checkpoint whose content is (current committed set − replaced)
+    * ∪ staged — commits that LANDED DURING the rewrite survive untouched,
+    * counted once (their rows were not in the pinned read, and the
+    * fold-then-retire loop folds their records into the new base). Readers
+    * see the old snapshot until the checkpoint lands, the new one after;
+    * replaced files are retired through the vacuum grace window, never
+    * yanked from an in-flight scan. A crash at any step heals via
+    * [[healLog]] exactly like a crashed optimize.
+    *
+    * NOT for stream-consumed tables: outputs are re-encoded, so there is
+    * no byte-range `.absorbed` manifest and a streaming consumer's name
+    * watermark cannot translate through the swap (it would fail loudly at
+    * its next trigger). Batch/probe-read tables only — the index
+    * maintenance shape this exists for. Returns the staged file names. */
+  def rewriteTable(path: String,
+      bins: String => DataFrame,
+      blockBytes: Long = DefaultBlockBytes,
+      statCols: Seq[String] = Seq.empty,
+      blockCodec: String = "none"): Seq[String] = {
+    val d = new java.io.File(path)
+    val commits = new java.io.File(d, CommitsDir)
+    // Bootstrap a legacy listing-truth dir: the adopting first record
+    // makes the log the source of truth before the swap relies on it.
+    if (!commits.isDirectory) commitBatch(path, Seq.empty)
+    withMaintenanceLock(path) {
+      healLog(path)
+      val entries =
+        logEntries(commits, ".checkpoint")
+          .map(_.getName.stripSuffix(".checkpoint")) ++
+        logEntries(commits, ".commit")
+          .map(_.getName.stripSuffix(".commit"))
+      require(entries.nonEmpty,
+        s"gavro: rewriteTable needs at least one log entry at $path")
+      val pin = entries.max
+      val gone = committedNames(path, Some(pin))
+      val staged = stageFiles(bins(pin), path, blockBytes, statCols,
+        blockCodec)
+      // a corpus-scale re-encode can outlast the lock's staleness bound;
+      // show the holder is still live before the swap
+      store.touch(optimizeLock(path))
+      val cpName = f"${nextCommitSeq(path)}%010d-r"
+      store.putIfAbsent(new java.io.File(commits, s"$cpName.retire"),
+        gone.toSeq.sorted.mkString("\n"))
+      // restart the replaced files' vacuum grace BEFORE they become
+      // orphans — their write time may be hours old (same reasoning as
+      // optimize's pre-swap touch)
+      gone.foreach(n => dataStore.touch(new java.io.File(path, n)))
+      val content =
+        ((committedNames(path, None) -- gone) ++ staged).toSeq.sorted
+      store.putIfAbsent(new java.io.File(commits, s"$cpName.checkpoint"),
+        content.mkString("\n"))
+      retireBelow(path, cpName, gone)
+      staged.sorted
+    }
+  }
+
+  /** [[rewriteTable]]'s staging pass: write `bins`' partitions as hidden
+    * temp files task-side, then publish each under the next sequential
+    * part index — named like ordinary data files but UNCOMMITTED, so they
+    * stay invisible until the caller's swap names them. */
+  private def stageFiles(bins: DataFrame, dir: String, blockBytes: Long,
+      statCols: Seq[String], blockCodec: String): Seq[String] = {
+    val codec = codecByte(blockCodec)
+    val statTypes = statTypesOf(bins, statCols)
+    val d = new java.io.File(dir)
+    val tmps = bins.rdd.mapPartitions { it =>
+      if (it.hasNext) {
+        val name = ".rewrite-" +
+          java.util.UUID.randomUUID().toString.take(12) + ".gavro.tmp"
+        Gavro.writeRowsFile(it, new java.io.File(dir, name), blockBytes,
+          statTypes, codec)
+        Iterator.single(name)
+      } else Iterator.empty
+    }.collect().toSeq
+    tmps.sorted.map(t => landNextPart(d, new java.io.File(d, t)))
+  }
+
   /** Default OPTIMIZE bin target. 64 MB merges a landing zone's drizzle
     * of per-epoch files into scan-efficient units while staying well
     * under a single task's comfortable input. */
@@ -2440,8 +2530,15 @@ object Gavro {
         else Seq.empty
       GavroFooter.write(out, blocks.toSeq, stats, blockStats, codec)
     } finally out.close()
-    // publish: put-if-absent on the next sequential part index (staged
-    // bytes live on the data plane; the publish itself is coordination)
+    (landNextPart(d, tmp), ranges.toSeq)
+  }
+
+  /** Publish a fully-written temp file under the next sequential part
+    * index: put-if-absent on the name, retrying past concurrent landings
+    * (staged bytes live on the data plane; the publish itself is
+    * coordination). Shared by [[mergeBin]] and [[rewriteTable]]'s staging
+    * pass. Returns the landed name. */
+  private def landNextPart(d: java.io.File, tmp: java.io.File): String = {
     var landed: Option[String] = None
     while (landed.isEmpty) {
       val idx = dataStore.list(d)
@@ -2454,7 +2551,7 @@ object Gavro {
         landed = Some(dst.getName)
       }
     }
-    (landed.get, ranges.toSeq)
+    landed.get
   }
 
   /** The durable optimize history parsed from the `.absorbed` manifests:
@@ -2983,56 +3080,12 @@ object Gavro {
       .foreach(dataStore.delete)
     store.list(new java.io.File(d, CommitsDir)).foreach(store.delete)
     val codec = codecByte(blockCodec)
-    // Resolve stat column types at the driver; the byte codes ship to tasks.
-    val statTypes: Seq[(String, Byte)] = statCols.map { c =>
-      c -> (bins.schema(c).dataType match {
-        case org.apache.spark.sql.types.LongType => 0: Byte
-        case DoubleType => 1: Byte
-        case org.apache.spark.sql.types.StringType => 2: Byte
-        case org.apache.spark.sql.types.BooleanType => 3: Byte
-        case org.apache.spark.sql.types.IntegerType => 4: Byte
-        case other => throw new IllegalArgumentException(
-          s"gavro stat column $c: unsupported type $other")
-      })
-    }
+    val statTypes = statTypesOf(bins, statCols)
     bins.foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
       if (it.hasNext) {
         val pid = org.apache.spark.TaskContext.getPartitionId()
-        val f = new java.io.File(dir, f"part-$pid%05d.gavro")
-        val out = Gavro.dataStore.create(f)
-        val blocks = scala.collection.mutable.ArrayBuffer(0L)
-        val blockStats =
-          scala.collection.mutable.ArrayBuffer.empty[Seq[(String, GavroColStat)]]
-        var fileOffset = 0L
-        var blockBuf = new java.io.ByteArrayOutputStream(
-          math.min(blockBytes, 4L << 20).toInt)
-        val fileAcc = new GavroStatAcc(statTypes)
-        var blockAcc = new GavroStatAcc(statTypes)
-        def flushBlock(): Unit = if (blockBuf.size() > 0) {
-          val payload = compress(codec, blockBuf.toByteArray)
-          out.write(payload)
-          fileOffset += payload.length
-          blockBuf = new java.io.ByteArrayOutputStream(
-            math.min(blockBytes, 4L << 20).toInt)
-        }
-        try {
-          it.foreach { r =>
-            if (blockBuf.size() >= blockBytes) {
-              flushBlock()
-              blocks += fileOffset
-              blockStats += blockAcc.result(); blockAcc = new GavroStatAcc(statTypes)
-            }
-            val b = r.getAs[Array[Byte]](0)
-            blockBuf.write(Array[Byte]((b.length >>> 24).toByte, (b.length >>> 16).toByte,
-              (b.length >>> 8).toByte, b.length.toByte))
-            blockBuf.write(b)
-            fileAcc.absorb(r); blockAcc.absorb(r)
-          }
-          flushBlock()
-          blockStats += blockAcc.result()
-          GavroFooter.write(out, blocks.toSeq, fileAcc.result(),
-            if (statTypes.nonEmpty) blockStats.toSeq else Seq.empty, codec)
-        } finally out.close()
+        writeRowsFile(it, new java.io.File(dir, f"part-$pid%05d.gavro"),
+          blockBytes, statTypes, codec)
       }
     }
     // Driver-side visibility point after every task finished: one commit
@@ -3040,6 +3093,64 @@ object Gavro {
     val written = dataStore.list(d)
       .map(_.getName).filter(_.endsWith(".gavro")).sorted
     commitBatch(dir, written.toSeq)
+  }
+
+  /** Resolve stat column types at the driver; the byte codes ship to
+    * tasks. */
+  private def statTypesOf(bins: DataFrame,
+      statCols: Seq[String]): Seq[(String, Byte)] = statCols.map { c =>
+    c -> (bins.schema(c).dataType match {
+      case org.apache.spark.sql.types.LongType => 0: Byte
+      case DoubleType => 1: Byte
+      case org.apache.spark.sql.types.StringType => 2: Byte
+      case org.apache.spark.sql.types.BooleanType => 3: Byte
+      case org.apache.spark.sql.types.IntegerType => 4: Byte
+      case other => throw new IllegalArgumentException(
+        s"gavro stat column $c: unsupported type $other")
+    })
+  }
+
+  /** The task-side body shared by [[write]] and [[rewriteTable]]'s
+    * staging pass: drain one partition's binary rows into one
+    * footer-indexed `.gavro` file (blocks, per-block + per-file stats,
+    * codec). */
+  private[sources] def writeRowsFile(it: Iterator[org.apache.spark.sql.Row],
+      f: java.io.File, blockBytes: Long,
+      statTypes: Seq[(String, Byte)], codec: Byte): Unit = {
+    val out = Gavro.dataStore.create(f)
+    val blocks = scala.collection.mutable.ArrayBuffer(0L)
+    val blockStats =
+      scala.collection.mutable.ArrayBuffer.empty[Seq[(String, GavroColStat)]]
+    var fileOffset = 0L
+    var blockBuf = new java.io.ByteArrayOutputStream(
+      math.min(blockBytes, 4L << 20).toInt)
+    val fileAcc = new GavroStatAcc(statTypes)
+    var blockAcc = new GavroStatAcc(statTypes)
+    def flushBlock(): Unit = if (blockBuf.size() > 0) {
+      val payload = compress(codec, blockBuf.toByteArray)
+      out.write(payload)
+      fileOffset += payload.length
+      blockBuf = new java.io.ByteArrayOutputStream(
+        math.min(blockBytes, 4L << 20).toInt)
+    }
+    try {
+      it.foreach { r =>
+        if (blockBuf.size() >= blockBytes) {
+          flushBlock()
+          blocks += fileOffset
+          blockStats += blockAcc.result(); blockAcc = new GavroStatAcc(statTypes)
+        }
+        val b = r.getAs[Array[Byte]](0)
+        blockBuf.write(Array[Byte]((b.length >>> 24).toByte, (b.length >>> 16).toByte,
+          (b.length >>> 8).toByte, b.length.toByte))
+        blockBuf.write(b)
+        fileAcc.absorb(r); blockAcc.absorb(r)
+      }
+      flushBlock()
+      blockStats += blockAcc.result()
+      GavroFooter.write(out, blocks.toSeq, fileAcc.result(),
+        if (statTypes.nonEmpty) blockStats.toSeq else Seq.empty, codec)
+    } finally out.close()
   }
 
   /** Running min/max over the writer's stat columns (nulls skipped). */

@@ -1422,6 +1422,57 @@ class GavroSourceSpec extends SparkSpec {
       Seq((2, 1000L)))
   }
 
+  test("rewriteTable: semantic rewrite swaps atomically; concurrent commits survive; horizon enforced") {
+    import graft.sources.Gavro
+    val out = tmpDir("rewrite")
+    def rows(lo: Long, n: Long) = spark.range(lo, lo + n).select(
+      col("id").as("vec_id"), (col("id") % 4).cast("int").as("cell"),
+      lit(0).cast("int").as("sub_idx"), (col("id") % 256).cast("int").as("code"))
+    def append(lo: Long, n: Long): Unit =
+      rows(lo, n).write.format("gavro").option("schema", "ivf_codes")
+        .mode("append").save(out)
+    append(0, 1000)
+    append(1000, 1000)
+    val firstCommit = new java.io.File(out, Gavro.CommitsDir).listFiles()
+      .map(_.getName).filter(_.endsWith(".commit")).sorted.head
+      .stripSuffix(".commit")
+    val staged = Gavro.rewriteTable(out, { pin =>
+      // a WRITER races the rewrite: this commit lands after the pin and
+      // before the swap — it must survive, counted exactly once
+      append(2000, 50)
+      val pinned = spark.read.format("gavro").option("schema", "ivf_codes")
+        .option("asOfCommit", pin).load(out)
+      Gavro.exactPartition(pinned.select(expr(
+          "to_avro_graft(struct(vec_id, cell, sub_idx, code), 'ivf_codes')")
+          .as("bin"), col("cell")), "cell", 4)
+    }, statCols = Seq("cell"))
+    assert(staged.nonEmpty)
+    val all = spark.read.format("gavro").option("schema", "ivf_codes").load(out)
+    assert(all.count() == 2050)
+    assert(all.select(countDistinct(col("vec_id"))).first().getLong(0) == 2050)
+    // the whole log collapsed to the swap checkpoint (the racing commit
+    // was folded, not lost)
+    assert(Gavro.commitRecordsSinceCheckpoint(out) == 0)
+    // the rewritten files' footers prove the exact partitioning (the
+    // RACING append's files are legitimately multi-cell, so whole-table
+    // KGP correctly falls back until the next rewrite re-routes them)
+    staged.foreach { name =>
+      val s = graft.sources.GavroFooter
+        .read(new java.io.File(out, name)).stats("cell")
+      assert(s.min == s.max, s"$name spans cells")
+    }
+    // time travel below the swap is the explicit horizon error
+    intercept[IllegalArgumentException] {
+      spark.read.format("gavro").option("schema", "ivf_codes")
+        .option("asOfCommit", firstCommit).load(out).count()
+    }
+    // replaced files are retired via vacuum grace, not deleted: they are
+    // still on disk (uncommitted) until a grace-aged vacuum reaps them
+    val onDisk = new java.io.File(out).listFiles()
+      .count(_.getName.endsWith(".gavro"))
+    assert(onDisk > Gavro.listDataFiles(out).length)
+  }
+
   test("exactPartitionSalted: k·m writers, every partition single-valued on the key, nothing lost") {
     import graft.sources.Gavro
     val rows = spark.range(1200).select(col("id").as("vec_id"),

@@ -128,16 +128,67 @@ class LshIndexSpec extends SparkSpec {
     q.processAllAvailable()
     assert(rejected.asScala.toSet == Set(floor + 1), rejected.toString)
     assert(accepted.asScala.toSet == Set(floor + 2))
+    // nightly maintenance runs MID-STREAM between triggers: compaction
+    // must be invisible to the loop (no failed trigger, same answers)
+    LshIndex.maintain(spark, dir)
     // batch 2: a near-dup OF THE BATCH-1 SURVIVOR — only catchable
-    // because the survivor was appended to the persisted index
+    // because the survivor was appended to the persisted index (and
+    // survived the compaction above)
     val novelDup = novel.substring(novel.indexOf(' ') + 1)
     input.addData((floor + 3, novelDup))
     q.processAllAvailable()
+    assert(q.exception.isEmpty, s"trigger failed: ${q.exception}")
     q.stop()
     assert(rejected.asScala.toSet == Set(floor + 1, floor + 3),
       s"cross-batch dup not caught: $rejected")
     assert(accepted.asScala.toSet == Set(floor + 2))
     assert(sketchBudgetBroken.get == null, s"${sketchBudgetBroken.get}")
+  }
+
+  test("maintain compacts a living index: logs collapse, occupancy merges, probe unchanged") {
+    import graft.sources.{Gavro, GavroFooter}
+    val dir = java.nio.file.Files.createTempDirectory("lsh_maint").toString
+    val documents = Tables.documents(spark, sfDir)
+    LshIndex.buildAndWrite(docs, dir)
+    // the planted batch folded in as THREE separate appends — three
+    // commits per table, three occupancy rows per repeatedly-touched
+    // bucket, band slots scattered over three file generations
+    val planted = graft.ops.Dedup.nearCorpus(documents)
+      .filter(col("doc_id") >= LshIndex.NewFrom)
+    (0 until 3).foreach(r => LshIndex.appendBatch(spark, dir,
+      planted.filter(pmod(col("doc_id"), lit(3)) === r)))
+    def probe() = LshIndex.probeMaterialized(spark, dir, LshIndex.NewFrom)
+      .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
+        r.getAs[Double]("est_jaccard"))).toSeq
+    def occRows() = LshIndex.loadBuckets(spark, dir).count()
+    val before = probe()
+    val occBefore = occRows()
+    assert(before.nonEmpty)
+    assert(Gavro.commitRecordsSinceCheckpoint(s"$dir/buckets") == 4) // build + 3
+    LshIndex.maintain(spark, dir)
+    // same answer from the compacted artifact
+    assert(probe() == before)
+    // every log collapsed to its checkpoint
+    Seq("sigs", "bands", "buckets").foreach(t =>
+      assert(Gavro.commitRecordsSinceCheckpoint(s"$dir/$t") == 0, t))
+    // occupancy merged back to ONE row per bucket
+    val occAfter = occRows()
+    assert(occAfter < occBefore, s"$occBefore -> $occAfter")
+    assert(LshIndex.loadBuckets(spark, dir)
+      .groupBy(col("band_idx"), col("band_key")).count()
+      .agg(max(col("count"))).first().getLong(0) == 1)
+    // the bands layout is one-slot-per-file again (footer min == max)
+    val bandFiles = Gavro.listDataFiles(s"$dir/bands")
+    assert(bandFiles.nonEmpty)
+    assert(bandFiles.forall { f =>
+      val s = GavroFooter.read(f).stats("slot")
+      s.min == s.max
+    })
+    // a further append then probes correctly against the compacted base
+    LshIndex.appendBatch(spark, dir, planted
+      .select((col("doc_id") + 1000).as("doc_id"), col("text")))
+    assert(LshIndex.probeMaterialized(spark, dir, LshIndex.NewFrom)
+      .count() > before.length)
   }
 
   test("slot pruning: a small probe opens few band files, flat as the corpus grows") {
