@@ -106,42 +106,92 @@ object LshIndex {
     // is probe-time policy (it must count probe-side rows too, the way
     // the oracle does — the `buckets/` table below supplies the persisted
     // half of that count without a probe-time corpus shuffle).
-    val bands = Dedup.bands(sigs).withColumn("slot", slotExpr).persist()
-    // One SLOT per file (exact partitioning, 6·SaltM writer tasks):
-    // footer min == max on band_idx AND slot, so the scan still reports
-    // KeyGroupedPartitioning on band_idx while a probe's `slot IN` prunes
-    // to the touched buckets' hash slices.
-    val bandRows = bands
+    //
+    // ONE router shuffle feeds BOTH tables: raw band rows route by slot
+    // (one slot per output partition, 6·SaltM writer tasks — footer
+    // min == max on band_idx AND slot, so the scan still reports
+    // KeyGroupedPartitioning on band_idx while a probe's `slot IN`
+    // prunes to the touched buckets' hash slices), the bands encode is a
+    // narrow projection AFTER the route, and occupancy aggregates
+    // PARTITION-LOCALLY on the routed rows (a slot's buckets are
+    // complete within their partition by construction) — zero additional
+    // exchange, and Spark reuses the router's shuffle files across the
+    // two write actions.
+    val routed = Gavro.exactPartition(
+      Dedup.bands(sigs).withColumn("slot", slotExpr),
+      "slot", NumBands * SaltM).persist()
+    val bandRows = routed
       .select(expr(
         "to_avro_graft(struct(doc_id, band_idx, band_key, slot), 'lsh_bands')")
         .as("bin"), col("band_idx"), col("slot"))
-    Gavro.write(Gavro.exactPartition(bandRows, "slot", NumBands * SaltM),
-      s"$dir/bands", statCols = Seq("band_idx", "slot"))
-    writeBuckets(bands, s"$dir/buckets")
-    bands.unpersist()
+    Gavro.write(bandRows, s"$dir/bands", statCols = Seq("band_idx", "slot"))
+    Gavro.write(occupancyBins(routed), s"$dir/buckets",
+      statCols = Seq("band_idx", "max_doc", "slot"))
+    routed.unpersist()
     sigs.unpersist()
     ()
   }
 
-  /** Fold one batch's band rows into per-bucket occupancy rows and write
-    * them (build) — [[appendBatch]] appends the same aggregate per delta,
-    * so a bucket's TOTAL size is `sum(n)` over its commit rows and its
-    * probe-side membership is visible as `max_doc`. `max_doc` rides the
-    * footer stats: a probe's `max_doc >= floor` scan skips every file
-    * whose batch lies entirely below the floor (the whole base build,
-    * usually). */
-  private def writeBuckets(bands: DataFrame, dir: String): Unit = {
-    val rows = bucketRows(bands).withColumn("slot", slotExpr)
+  /** Per-bucket occupancy rows derived from SLOT-ROUTED band rows
+    * (doc_id, band_idx, band_key, slot — every partition holds exactly
+    * one slot, so every bucket's rows are partition-complete): aggregate
+    * inside each partition with a bounded map, no exchange. Emitting a
+    * bucket in several rows when the map cap flushes is sound — readers
+    * sum `n` and max `max_doc` over a bucket's rows by contract (the
+    * per-commit append rows already require it). A bucket's TOTAL size is
+    * `sum(n)` over its rows; its probe-side membership is `max_doc`,
+    * which rides the footer stats so a probe's `max_doc >= floor` scan
+    * skips every file whose batch lies entirely below the floor (the
+    * whole base build, usually). */
+  private def occupancyBins(routedBands: DataFrame): DataFrame =
+    occupancyRows(routedBands)
       .select(expr(
         "to_avro_graft(struct(band_idx, band_key, n, max_doc, slot), 'lsh_buckets')")
         .as("bin"), col("band_idx"), col("max_doc"), col("slot"))
-    Gavro.write(Gavro.exactPartition(rows, "slot", NumBands * SaltM), dir,
-      statCols = Seq("band_idx", "max_doc", "slot"))
-  }
 
-  private def bucketRows(bands: DataFrame): DataFrame =
-    bands.groupBy(col("band_idx"), col("band_key"))
-      .agg(count(lit(1)).as("n"), max(col("doc_id")).as("max_doc"))
+  /** The raw occupancy frame (band_idx, band_key, n, max_doc, slot) —
+    * see [[occupancyBins]]'s scaladoc for the partition-local contract. */
+  private def occupancyRows(routedBands: DataFrame): DataFrame = {
+    val spark = routedBands.sparkSession
+    val maxGroups = 1 << 20
+    val occRdd = routedBands.rdd.mapPartitions { it =>
+      val out = scala.collection.mutable.ArrayBuffer
+        .empty[org.apache.spark.sql.Row]
+      val m = new java.util.HashMap[(Int, String), Array[Long]]()
+      def flush(): Unit = {
+        m.forEach { (k, v) =>
+          out += org.apache.spark.sql.Row(k._1, k._2, v(0), v(1), v(2).toInt)
+        }
+        m.clear()
+      }
+      it.foreach { r =>
+        val key = (r.getAs[Int]("band_idx"), r.getAs[String]("band_key"))
+        val acc = m.get(key)
+        val doc = r.getAs[Long]("doc_id")
+        if (acc == null) {
+          if (m.size >= maxGroups) flush()
+          m.put(key, Array(1L, doc, r.getAs[Int]("slot").toLong))
+        } else {
+          acc(0) += 1L
+          if (doc > acc(1)) acc(1) = doc
+        }
+        ()
+      }
+      flush()
+      out.iterator
+    }
+    spark.createDataFrame(occRdd, org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("band_idx",
+          org.apache.spark.sql.types.IntegerType, nullable = false),
+        org.apache.spark.sql.types.StructField("band_key",
+          org.apache.spark.sql.types.StringType, nullable = false),
+        org.apache.spark.sql.types.StructField("n",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("max_doc",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("slot",
+          org.apache.spark.sql.types.IntegerType, nullable = false))))
+  }
 
   /** The canonical per-sf-dir index over the PLAIN documents table (the
     * standing corpus a nightly batch probes against). */
@@ -429,22 +479,21 @@ object LshIndex {
       .coalesce(1) // per-trigger deltas are small; one sig file per append
       .write.format("gavro").option("schema", "lsh_sigs")
       .mode("append").save(s"$dir/sigs")
-    val deltaBands = Dedup.bands(deltaSigs).withColumn("slot", slotExpr)
-      .persist()
-    Gavro.exactPartition( // delta files stay one-slot like base files
-        deltaBands.select(col("doc_id"), col("band_idx"), col("band_key"),
-          col("slot")),
-        "slot", NumBands * SaltM)
+    // One router shuffle for both tables, same as the build: delta files
+    // stay one-slot like base files, and the occupancy aggregate (one row
+    // per touched bucket — the next probe's cap still sums to exactly the
+    // bands table's counts) is partition-local on the routed rows.
+    val routed = Gavro.exactPartition(
+        Dedup.bands(deltaSigs).withColumn("slot", slotExpr),
+        "slot", NumBands * SaltM).persist()
+    routed.select(col("doc_id"), col("band_idx"), col("band_key"),
+        col("slot"))
       .write.format("gavro").option("schema", "lsh_bands")
       .mode("append").save(s"$dir/bands")
-    // Occupancy rides along: one aggregate row per touched bucket, so the
-    // next probe's cap still sums to exactly the bands table's counts.
-    Gavro.exactPartition(
-        bucketRows(deltaBands).withColumn("slot", slotExpr),
-        "slot", NumBands * SaltM)
+    occupancyRows(routed)
       .write.format("gavro").option("schema", "lsh_buckets")
       .mode("append").save(s"$dir/buckets")
-    deltaBands.unpersist()
+    routed.unpersist()
     ()
   }
 
