@@ -369,25 +369,31 @@ object LshIndex {
     val hotPersisted = loadBuckets(spark, dir)
       .filter(col("max_doc") >= newFrom)
       .select(col("band_idx"), col("band_key"))
-    // hotKeys checkpointed (wave 2, O(Δ·bands)-bounded): it feeds the
-    // slot collect below plus two broadcast joins — lazy, the occupancy
-    // hot-scan and the delta banding would re-execute per reference.
-    val hotKeys = deltaBands
+    // The touched-bucket set comes to the DRIVER in one job: it is
+    // O(Δ·bands)-bounded (the same bound under which it was already being
+    // broadcast), and holding it driver-side buys two things at once —
+    // the layout slots for FILE-LEVEL PRUNING (pushed into every later
+    // scan of the slot-partitioned bands/buckets tables, so the scans
+    // OPEN only the touched hash slices and a small probe's I/O stays
+    // flat as the corpus and its append history grow), and a
+    // LocalRelation hotKeys whose broadcast costs no re-execution of the
+    // occupancy hot-scan (the pre-r14 plan either re-ran that subtree per
+    // broadcast reference or paid an extra checkpoint wave for it).
+    import spark.implicits._
+    val hotCollected = deltaBands
       .map(db => hotPersisted.unionByName(db.filter(col("doc_id") >= newFrom)
         .select(col("band_idx"), col("band_key"))))
       .getOrElse(hotPersisted)
       .distinct()
-      .localCheckpoint(true)
-    // FILE-LEVEL PRUNING: the touched buckets' layout slots, collected to
-    // the driver (≤ 6·SaltM values by construction) and pushed into every
-    // later scan of the slot-partitioned bands/buckets tables — the scans
-    // OPEN only the touched hash slices, so a small probe's I/O stays
-    // flat as the corpus (and its append history) grows. A probe touching
-    // every slot pushes nothing (the filter would be vacuous).
-    val hotSlots = hotKeys.select(slotExpr.as("slot")).distinct()
-      .collect().map(_.getInt(0)).toSeq.sorted
+      .withColumn("slot", slotExpr)
+      .collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getInt(2)))
+    val hotSlots = hotCollected.map(_._3).distinct.sorted.toSeq
+    // A probe touching every slot pushes nothing (the filter is vacuous).
     val slots = if (hotSlots.length >= NumBands * SaltM) None
       else Some(hotSlots)
+    val hotKeys = hotCollected.map(t => (t._1, t._2)).toSeq
+      .toDF("band_idx", "band_key")
     val bucketCols = Seq("band_idx", "band_key")
     val pn = loadBuckets(spark, dir, slots).join(broadcast(hotKeys), bucketCols)
       .groupBy(col("band_idx"), col("band_key")).agg(sum(col("n")).as("pn"))
@@ -409,10 +415,10 @@ object LshIndex {
     // corpus-scale bands table, the probe's dominant I/O at 100 TB.
     // okKeys stays lazy: its broadcast references are plan-identical, so
     // the exchange is built once and reused (its cap sum reads the
-    // slot-pruned occupancy scan; the hot filter was already folded into
-    // the checkpointed hotKeys). Four eager waves total (deltaSigs,
-    // hotKeys, xRows, xS below); every wave is fixed per-trigger latency
-    // on the serve path.
+    // slot-pruned occupancy scan behind the LocalRelation hotKeys).
+    // Three eager waves total (deltaSigs, xRows, xS below) plus the one
+    // hot-set driver collect; every wave is fixed per-trigger latency on
+    // the serve path.
     val memberCols = Seq(col("doc_id"), col("band_idx"), col("band_key"))
     val persistedMembers = loadBands(spark, dir, slots = slots)
       .join(broadcast(okKeys), bucketCols).select(memberCols: _*)
