@@ -331,9 +331,15 @@ object IvfPqIndex {
     * by raw ADC exactly as the in-query incremental pipeline — so the
     * result is hash-equal to `ann_ivfpq_incremental`'s full-rebuild
     * oracle, proving append-to-persisted-index ≡ rebuild-from-scratch. */
-  def searchAppended(spark: SparkSession, sfDir: String): DataFrame = {
-    val dir = ensureAppended(spark, sfDir)
-    val embeddings = Tables.embeddings(spark, sfDir)
+  def searchAppended(spark: SparkSession, sfDir: String): DataFrame =
+    adcSearch(spark, ensureAppended(spark, sfDir),
+      Tables.embeddings(spark, sfDir))
+
+  /** The ADC-ranked search against an explicit index dir (the
+    * incremental family's ranking — no re-rank join, so the result is
+    * a pure function of the persisted codes + codebooks). */
+  private def adcSearch(spark: SparkSession, dir: String,
+      embeddings: DataFrame): DataFrame = {
     val queries = embeddings
       .filter(col("vec_id") < Quantize.NumQueries)
       .select(col("vec_id").as("q_id"),
@@ -341,6 +347,55 @@ object IvfPqIndex {
     Quantize.rankAdcTopK(adcOverIndex(spark, dir, queries,
       loadCells(spark, dir), loadBooks(spark, dir)))
   }
+
+  // ------------------------------------------------------------ maintenance
+
+  /** Nightly MAINTENANCE over a continuously-appended codes table: each
+    * per-batch [[appendToIndex]] lands one commit and one set of
+    * cell-clustered files, so after thousands of triggers the table
+    * holds thousands of small files per cell and a thousands-deep log.
+    * Re-route every pinned row through the salted exact partitioner in
+    * ONE crash-safe snapshot swap ([[Gavro.rewriteTable]]): files
+    * collapse back to ≤ CoarseK·[[SaltM]], every file again provably
+    * single-valued on `cell` (probe-list IN skipping + KGP reporting
+    * restored for append-eroded layouts), and the log folds to the swap
+    * checkpoint. cells/ and books/ are frozen single-commit tables —
+    * nothing to compact. NOTE: run on an index whose change feed has
+    * been consumed — the swap retires the commit cuts `sinceCommit`
+    * reads against (time travel below it errors at the horizon, never a
+    * silently-partial feed). */
+  def maintain(spark: SparkSession, dir: String): Unit = {
+    Gavro.rewriteTable(s"$dir/codes", pin => {
+      val pinned = spark.read.format("gavro").option("schema", "ivf_codes")
+        .option("asOfCommit", pin).load(s"$dir/codes")
+      Gavro.exactPartitionSalted(
+        pinned.select(expr(
+            "to_avro_graft(struct(vec_id, cell, sub_idx, code), 'ivf_codes')")
+            .as("bin"), col("cell"), col("vec_id")),
+        "cell", Quantize.CoarseK, "vec_id", SaltM)
+    }, statCols = Seq("cell"))
+    ()
+  }
+
+  /** The maintenance-proven instance: base build, the planted batch
+    * appended, then [[maintain]] compacted the codes table — own cache
+    * scope, never touches the append instance (whose two-commit log the
+    * delta feed depends on). */
+  def ensureMaintained(spark: SparkSession, sfDir: String): String =
+    IndexHome.ensureBuilt(spark, srcFile(sfDir), sfPrefix(sfDir, "m")) { dir =>
+      val embeddings = Tables.embeddings(spark, sfDir)
+      Quantize.requireBelowDeltaBase(embeddings)
+      buildAndWrite(embeddings, dir)
+      appendToIndex(spark, dir, Quantize.plantedDelta(embeddings))
+      maintain(spark, dir)
+    }
+
+  /** [[searchAppended]] over the COMPACTED instance — hash-equal to it
+    * and to the in-query incremental rebuild (three execution paths, one
+    * answer): the rewrite changed nothing the search can observe. */
+  def searchMaintained(spark: SparkSession, sfDir: String): DataFrame =
+    adcSearch(spark, ensureMaintained(spark, sfDir),
+      Tables.embeddings(spark, sfDir))
 
   /** One SERVE TRIGGER with HOT SWAP: re-resolve the live index for
     * `sfDir` before answering, so a query stream running across a
@@ -387,6 +442,7 @@ object IvfPqIndex {
     "ann_ivfpq_build_index" -> ((s, d) => buildIndexSummary(s, d)),
     "ann_ivfpq_search_prebuilt" -> ((s, d) => searchPrebuilt(s, d)),
     "ann_ivfpq_index_append" -> ((s, d) => searchAppended(s, d)),
+    "ann_ivfpq_index_maintain" -> ((s, d) => searchMaintained(s, d)),
     "ann_ivfpq_index_delta_feed" -> ((s, d) => deltaFeedSummary(s, d)),
   )
 
@@ -413,6 +469,10 @@ object IvfPqIndex {
          |ORDER BY cell, sub_idx""".stripMargin,
     "ann_ivfpq_search_prebuilt" -> Quantize.ivfPqRerankSql(SearchQueries),
     "ann_ivfpq_index_append" -> Quantize.ivfPqIncrementalSql,
+    // The SAME unroll: search over the maintenance-compacted codes table
+    // must answer exactly what the appended artifact and the from-scratch
+    // frozen-training rebuild answer — compaction is content-neutral.
+    "ann_ivfpq_index_maintain" -> Quantize.ivfPqIncrementalSql,
     "ann_ivfpq_index_delta_feed" ->
       s"""${Quantize.ivfPqCoreSql(Quantize.ivfPqIncrementalSrcSql,
              s"vec_id < ${Quantize.DeltaBase}")},

@@ -177,6 +177,53 @@ class IvfPqIndexSpec extends SparkSpec {
       s"post-optimize IN skip planned ${planned.length}/${all.length}")
   }
 
+  test("maintain re-routes the codes table: one-cell files restored, log folds, search unchanged") {
+    // OPTIMIZE (above) byte-merges, which folds cell RANGES — correct
+    // but it erodes the one-cell-per-file proof KGP and exact IN
+    // skipping need. maintain is the semantic rewrite that restores it.
+    val dir = freshDir("maint").getAbsolutePath
+    IvfPqIndex.buildAndWrite(emb, dir)
+    val n = emb.count()
+    def batch(shift: Long) = emb.filter(pmod(col("vec_id"), lit(50)) === 0)
+      .select((col("vec_id") + shift).as("vec_id"),
+        expr("cast(embedding as array<double>)").as("v"))
+    IvfPqIndex.appendToIndex(spark, dir, batch(n))
+    IvfPqIndex.appendToIndex(spark, dir, batch(2 * n))
+    // the search corpus must cover the appended ids (re-rank coverage
+    // contract) — pre/post maintain answers compare over the SAME corpus
+    val embAll = emb.unionByName(
+      batch(n).unionByName(batch(2 * n))
+        .select(col("vec_id"), expr("cast(v as array<float>)").as("embedding"),
+          lit(-1L).as("label")))
+      .localCheckpoint(true)
+    def search() = IvfPqIndex.searchIndex(spark, dir, embAll).collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("rnk"),
+        r.getAs[Long]("vec_id"))).toSeq
+    def files() = Gavro.listDataFiles(s"$dir/codes")
+    val before = search()
+    val filesBefore = files().length
+    IvfPqIndex.maintain(spark, dir)
+    assert(search() == before, "maintain changed the search answer")
+    assert(files().length <= Quantize.CoarseK * IvfPqIndex.SaltM)
+    assert(files().length < filesBefore, s"$filesBefore -> ${files().length}")
+    assert(Gavro.commitRecordsSinceCheckpoint(s"$dir/codes") == 0)
+    // every live file is single-valued on cell again — the keyed read's
+    // clustered aggregate plans with zero Exchange
+    files().foreach { f =>
+      val s = graft.sources.GavroFooter.read(f).stats("cell")
+      assert(s.min == s.max, s"${f.getName} spans cells after maintain")
+    }
+    // a further append composes: exactly the new batch's rows land on
+    // top of the compacted base
+    val preAppend = spark.read.format("gavro").option("schema", "ivf_codes")
+      .load(s"$dir/codes").count()
+    IvfPqIndex.appendToIndex(spark, dir, batch(3 * n))
+    val total = spark.read.format("gavro").option("schema", "ivf_codes")
+      .load(s"$dir/codes").count()
+    assert(total == preAppend + batch(3 * n).count() * Quantize.M,
+      s"post-maintain append row accounting: $preAppend -> $total")
+  }
+
   test("prebuilt index serves a query stream: per-trigger answers, index untouched") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import scala.jdk.CollectionConverters._
