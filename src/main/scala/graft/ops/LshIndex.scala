@@ -584,6 +584,76 @@ object LshIndex {
     ()
   }
 
+  /** SLOT-LOCAL incremental maintenance — the between-nightlies form of
+    * [[maintain]]: rewrite ONLY the slots whose live file count reached
+    * `minFilesPerSlot` (appends add files solely in the slots they
+    * touch, so a steady trickle concentrates growth in hot slots), via
+    * [[Gavro.rewritePartial]] — untouched slots' files keep their names
+    * and bytes, which at 100 TB is the difference between re-encoding
+    * the whole corpus nightly and re-encoding the day's churn. Slots are
+    * proven from footer stats (every v4 file is single-valued on
+    * `slot`); a foreign multi-slot file anywhere falls the table back to
+    * the FULL rewrite — correct layout restored, never a partial one.
+    * Same sigs → bands → buckets order as [[maintain]], so the probe's
+    * torn-append tripwire holds throughout. */
+  def maintainIncremental(spark: SparkSession, dir: String,
+      minFilesPerSlot: Int = 2): Unit = {
+    Gavro.optimize(s"$dir/sigs")
+    Gavro.checkpoint(s"$dir/sigs")
+    Gavro.compactLog(s"$dir/sigs")
+    def slotPlan(table: String, pin: String, committed: Set[String])
+        : Option[(Set[String], Seq[Int])] = {
+      val files = Gavro.listDataFiles(s"$dir/$table", Some(pin))
+      val slotted = files.map { f =>
+        // stat TYPE varies by writer (the direct writer stamps int stats,
+        // the DSv2 sink promotes to long) — compare and read numerically
+        f.getName -> graft.sources.GavroFooter.read(f).stats.get("slot")
+          .filter(s => s.min.asInstanceOf[Number].longValue ==
+            s.max.asInstanceOf[Number].longValue)
+          .map(_.min.asInstanceOf[Number].intValue)
+      }
+      if (slotted.exists(_._2.isEmpty)) None // foreign layout → full rewrite
+      else {
+        val hot = slotted.groupBy(_._2.get).filter(_._2.length >= minFilesPerSlot)
+        Some((hot.values.flatten.map(_._1).toSet, hot.keys.toSeq.sorted))
+      }
+    }
+    def slotFiltered(table: String, schema: String, pin: String,
+        slots: Seq[Int]): DataFrame =
+      spark.read.format("gavro").option("schema", schema)
+        .option("asOfCommit", pin).load(s"$dir/$table")
+        .filter(col("slot").isin(slots.map(Int.box): _*))
+    Gavro.rewritePartial(s"$dir/bands", (pin, committed) => {
+      val (gone, src) = slotPlan("bands", pin, committed) match {
+        case Some((g, slots)) => (g, slotFiltered("bands", "lsh_bands", pin, slots))
+        case None => (committed,
+          spark.read.format("gavro").option("schema", "lsh_bands")
+            .option("asOfCommit", pin).load(s"$dir/bands"))
+      }
+      (gone, Gavro.exactPartition(src.select(expr(
+          "to_avro_graft(struct(doc_id, band_idx, band_key, slot), 'lsh_bands')")
+          .as("bin"), col("band_idx"), col("slot")),
+        "slot", NumBands * SaltM))
+    }, statCols = Seq("band_idx", "slot"))
+    Gavro.rewritePartial(s"$dir/buckets", (pin, committed) => {
+      val (gone, src) = slotPlan("buckets", pin, committed) match {
+        case Some((g, slots)) =>
+          (g, slotFiltered("buckets", "lsh_buckets", pin, slots))
+        case None => (committed,
+          spark.read.format("gavro").option("schema", "lsh_buckets")
+            .option("asOfCommit", pin).load(s"$dir/buckets"))
+      }
+      val merged = src.groupBy(col("band_idx"), col("band_key"))
+        .agg(sum(col("n")).as("n"), max(col("max_doc")).as("max_doc"))
+        .withColumn("slot", slotExpr)
+        .select(expr(
+          "to_avro_graft(struct(band_idx, band_key, n, max_doc, slot), 'lsh_buckets')")
+          .as("bin"), col("band_idx"), col("max_doc"), col("slot"))
+      (gone, Gavro.exactPartition(merged, "slot", NumBands * SaltM))
+    }, statCols = Seq("band_idx", "max_doc", "slot"))
+    ()
+  }
+
   /** The maintenance-proven instance: base build, the planted batch
     * appended, then [[maintain]] compacted the whole artifact — the
     * state a per-trigger-appended index lives in after its nightly

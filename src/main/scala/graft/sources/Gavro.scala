@@ -355,6 +355,10 @@ case class GavroStreamingWriterFactory(path: String, schemaName: String,
     }
 }
 
+/** A writer that saw zero rows — both commit paths skip it. */
+case object GavroNoFile
+    extends org.apache.spark.sql.connector.write.WriterCommitMessage
+
 case class GavroTempFile(tmp: String)
     extends org.apache.spark.sql.connector.write.WriterCommitMessage
 
@@ -469,6 +473,8 @@ class GavroDataWriter(path: String, schemaName: String, partitionId: Int,
       math.min(blockBytes, 4L << 20).toInt)
   }
 
+  private var wroteAny = false
+
   override def write(row: InternalRow): Unit = {
     if (blockBuf.size() >= blockBytes) {
       flushBlock()
@@ -480,6 +486,7 @@ class GavroDataWriter(path: String, schemaName: String, partitionId: Int,
     blockBuf.write(Array[Byte]((b.length >>> 24).toByte, (b.length >>> 16).toByte,
       (b.length >>> 8).toByte, b.length.toByte))
     blockBuf.write(b)
+    wroteAny = true
     fileAcc.absorb(row); blockAcc.absorb(row)
   }
 
@@ -490,6 +497,17 @@ class GavroDataWriter(path: String, schemaName: String, partitionId: Int,
     GavroTempFile(tmpPath)
 
   override def commit(): org.apache.spark.sql.connector.write.WriterCommitMessage = {
+    // An EMPTY partition publishes nothing: a zero-record file carries no
+    // stats, so it can neither prove a partition key nor be skipped by a
+    // predicate — and an exact-routed append (one partition per layout
+    // slot, most slots untouched by a small delta) would otherwise land
+    // dozens of empty files per trigger. Both commit paths ignore the
+    // no-file message.
+    if (!wroteAny) {
+      out.close()
+      Gavro.dataStore.delete(tmp)
+      return GavroNoFile
+    }
     flushBlock()
     blockStats += blockAcc.result()
     GavroFooter.write(out, blocks.toSeq, fileAcc.result(),
@@ -2134,6 +2152,27 @@ object Gavro {
       bins: String => DataFrame,
       blockBytes: Long = DefaultBlockBytes,
       statCols: Seq[String] = Seq.empty,
+      blockCodec: String = "none"): Seq[String] =
+    rewritePartial(path,
+      (pin, committedAtPin) => (committedAtPin, bins(pin)),
+      blockBytes, statCols, blockCodec)
+
+  /** [[rewriteTable]]'s INCREMENTAL form: `plan` receives the pinned
+    * commit name and the file set committed at that pin, and returns the
+    * SUBSET to replace plus the re-encoded rows that replace it — the
+    * caller must read exactly the replaced subset's rows (asOfCommit the
+    * pin, filtered to the subset's content, e.g. by the layout-slot
+    * column whose files are being compacted). Files outside the subset
+    * keep their names and bytes untouched; commits landing during the
+    * rewrite survive as in the full form. An empty subset is a no-op
+    * (nothing staged, nothing landed). This is the slot-local
+    * compaction shape at 100 TB: rewrite only the slots whose file
+    * count grew past threshold since the last maintenance, not the
+    * whole table. */
+  def rewritePartial(path: String,
+      plan: (String, Set[String]) => (Set[String], DataFrame),
+      blockBytes: Long = DefaultBlockBytes,
+      statCols: Seq[String] = Seq.empty,
       blockCodec: String = "none"): Seq[String] = {
     val d = new java.io.File(path)
     val commits = new java.io.File(d, CommitsDir)
@@ -2150,8 +2189,12 @@ object Gavro {
       require(entries.nonEmpty,
         s"gavro: rewriteTable needs at least one log entry at $path")
       val pin = entries.max
-      val gone = committedNames(path, Some(pin))
-      val staged = stageFiles(bins(pin), path, blockBytes, statCols,
+      val committedAtPin = committedNames(path, Some(pin))
+      val (gone, binsDf) = plan(pin, committedAtPin)
+      require(gone.subsetOf(committedAtPin),
+        s"gavro: rewrite plan names files outside the pinned snapshot at $path")
+      if (gone.isEmpty) return Seq.empty
+      val staged = stageFiles(binsDf, path, blockBytes, statCols,
         blockCodec)
       // a corpus-scale re-encode can outlast the lock's staleness bound;
       // show the holder is still live before the swap

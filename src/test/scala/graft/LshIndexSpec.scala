@@ -191,6 +191,60 @@ class LshIndexSpec extends SparkSpec {
       .count() > before.length)
   }
 
+  test("incremental maintain compacts only the grown slots; untouched files keep their names") {
+    import spark.implicits._
+    import graft.sources.{Gavro, GavroFooter}
+    val dir = java.nio.file.Files.createTempDirectory("lsh_incr").toString
+    LshIndex.buildAndWrite(docs, dir) // one file per slot
+    val floor = 50000L
+    val someText = docs.orderBy(col("doc_id")).limit(1).collect()(0)
+      .getAs[String]("text")
+    // a 2-doc append touches ≤12 of 48 slots — growth concentrates there
+    val delta = Seq(
+      (floor + 1, someText.substring(someText.indexOf(' ') + 1)),
+      (floor + 2, "zzqx glorp wibble frotz yoik snarf blib quux nargle veep"))
+      .toDF("doc_id", "text")
+    LshIndex.appendBatch(spark, dir, delta)
+    def bandFiles(): Map[String, Int] =
+      Gavro.listDataFiles(s"$dir/bands").map { f =>
+        val s = GavroFooter.read(f).stats("slot")
+        val (lo, hi) = (s.min.asInstanceOf[Number].longValue,
+          s.max.asInstanceOf[Number].longValue)
+        assert(lo == hi, s"${f.getName} spans slots")
+        f.getName -> lo.toInt
+      }.toMap
+    val before = bandFiles()
+    val hotSlots = before.groupBy(_._2).filter(_._2.size >= 2).keySet
+    assert(hotSlots.nonEmpty && hotSlots.size <= 12, s"$hotSlots")
+    val coldFiles = before.filterNot(f => hotSlots(f._2)).keySet
+    assert(coldFiles.nonEmpty, "append touched every slot — test needs a smaller delta")
+    def probe() = LshIndex.probeMaterialized(spark, dir, floor).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSeq
+    val pairsBefore = probe()
+    assert(pairsBefore.nonEmpty)
+    LshIndex.maintainIncremental(spark, dir)
+    val after = bandFiles()
+    // untouched slots' files survive byte-identically under their names
+    assert(coldFiles.subsetOf(after.keySet),
+      s"cold files rewritten: ${coldFiles -- after.keySet}")
+    // grown slots collapsed to one file each
+    hotSlots.foreach { s =>
+      assert(after.count(_._2 == s) == 1, s"slot $s not compacted") }
+    // total work was slot-local: files written == hot slots
+    assert(after.size == before.size - hotSlots.size)
+    // logs folded, tripwire intact, answers unchanged
+    Seq("sigs", "bands", "buckets").foreach(t =>
+      assert(Gavro.commitRecordsSinceCheckpoint(s"$dir/$t") == 0, t))
+    assert(probe() == pairsBefore)
+    // occupancy merged only where it grew; still ≤ one row per bucket
+    assert(LshIndex.loadBuckets(spark, dir)
+      .groupBy(col("band_idx"), col("band_key")).count()
+      .agg(max(col("count"))).first().getLong(0) == 1)
+    // a second incremental pass with nothing grown is a no-op: names stable
+    LshIndex.maintainIncremental(spark, dir)
+    assert(bandFiles() == after)
+  }
+
   test("slot pruning: a small probe opens few band files, flat as the corpus grows") {
     import spark.implicits._
     // Same collision-free filler as the shuffle-bytes test: the probe's

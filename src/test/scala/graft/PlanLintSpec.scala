@@ -75,6 +75,9 @@ class PlanLintSpec extends SparkSpec {
     "ann_ivfpq_index_append" ->
       ("same index reassembly as search_prebuilt (frozen cells/books " +
         "loaded from the persisted tables, dim-bounded groups)"),
+    "ann_ivfpq_index_maintain" ->
+      ("same index reassembly over the maintenance-compacted codes " +
+        "table (frozen cells/books, dim-bounded groups)"),
     "lsh_index_probe" ->
       ("signature reassembly from the persisted sigs table: collect_list " +
         "per doc_id of exactly 12 MinHash components"),
@@ -111,6 +114,9 @@ class PlanLintSpec extends SparkSpec {
     "ann_ivfpq_index_append" ->
       ("build = CoarseK-row (8) centroid reassembly loaded from the " +
         "persisted index, crossed only with the NumQueries-row query set"),
+    "ann_ivfpq_index_maintain" ->
+      ("build = CoarseK-row (8) centroid reassembly loaded from the " +
+        "compacted index, crossed only with the NumQueries-row query set"),
   )
 
   /** Rule 4 — broadcast-scalar discipline: every cross join in a
