@@ -377,6 +377,44 @@ object IvfPqIndex {
     ()
   }
 
+  /** CELL-LOCAL incremental maintenance — the between-nightlies form of
+    * [[maintain]]: re-route ONLY the cells whose live file count grew
+    * past `maxFilesPerCell` (the salted steady state is ≤ [[SaltM]]
+    * files per cell; each append adds one more in the cells it touched),
+    * via [[Gavro.rewritePartial]] — cold cells' files keep their names
+    * and bytes. Cells are proven from footer stats (every file is
+    * single-valued on `cell`); a foreign multi-cell file anywhere falls
+    * the table back to the FULL rewrite. At 100 TB this re-encodes the
+    * day's churn, not the corpus. */
+  def maintainIncremental(spark: SparkSession, dir: String,
+      maxFilesPerCell: Int = SaltM + 1): Unit = {
+    Gavro.rewritePartial(s"$dir/codes", (pin, committed) => {
+      val slotted = Gavro.listDataFiles(s"$dir/codes", Some(pin)).map { f =>
+        f.getName -> graft.sources.GavroFooter.read(f).stats.get("cell")
+          .filter(s => s.min.asInstanceOf[Number].longValue ==
+            s.max.asInstanceOf[Number].longValue)
+          .map(_.min.asInstanceOf[Number].intValue)
+      }
+      val (gone, src) =
+        if (slotted.exists(_._2.isEmpty)) // foreign layout → full rewrite
+          (committed, spark.read.format("gavro").option("schema", "ivf_codes")
+            .option("asOfCommit", pin).load(s"$dir/codes"))
+        else {
+          val hot = slotted.groupBy(_._2.get)
+            .filter(_._2.length > maxFilesPerCell)
+          (hot.values.flatten.map(_._1).toSet,
+            spark.read.format("gavro").option("schema", "ivf_codes")
+              .option("asOfCommit", pin).load(s"$dir/codes")
+              .filter(col("cell").isin(hot.keys.toSeq.sorted.map(Int.box): _*)))
+        }
+      (gone, Gavro.exactPartitionSalted(src.select(expr(
+          "to_avro_graft(struct(vec_id, cell, sub_idx, code), 'ivf_codes')")
+          .as("bin"), col("cell"), col("vec_id")),
+        "cell", Quantize.CoarseK, "vec_id", SaltM))
+    }, statCols = Seq("cell"))
+    ()
+  }
+
   /** The maintenance-proven instance: base build, the planted batch
     * appended, then [[maintain]] compacted the codes table — own cache
     * scope, never touches the append instance (whose two-commit log the

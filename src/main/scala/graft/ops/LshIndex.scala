@@ -117,14 +117,20 @@ object LshIndex {
     // complete within their partition by construction) — zero additional
     // exchange, and Spark reuses the router's shuffle files across the
     // two write actions.
+    // Rows SORTED by band_key within each slot file: per-BLOCK footer
+    // stats then carry tight band_key ranges, so a probe's pushed
+    // `band_key IN (…)` skips whole blocks inside a surviving slot file —
+    // the sub-file pruning axis slot files alone can't give.
     val routed = Gavro.exactPartition(
-      Dedup.bands(sigs).withColumn("slot", slotExpr),
-      "slot", NumBands * SaltM).persist()
+        Dedup.bands(sigs).withColumn("slot", slotExpr),
+        "slot", NumBands * SaltM)
+      .sortWithinPartitions(col("band_key")).persist()
     val bandRows = routed
       .select(expr(
         "to_avro_graft(struct(doc_id, band_idx, band_key, slot), 'lsh_bands')")
-        .as("bin"), col("band_idx"), col("slot"))
-    Gavro.write(bandRows, s"$dir/bands", statCols = Seq("band_idx", "slot"))
+        .as("bin"), col("band_idx"), col("slot"), col("band_key"))
+    Gavro.write(bandRows, s"$dir/bands",
+      statCols = Seq("band_idx", "slot", "band_key"))
     Gavro.write(occupancyBins(routed), s"$dir/buckets",
       statCols = Seq("band_idx", "max_doc", "slot"))
     routed.unpersist()
@@ -218,24 +224,31 @@ object LshIndex {
     * scan OPENS only the touched hash slices — the file-level pruning
     * that keeps a small probe's I/O flat as the corpus grows. */
   def loadBands(spark: SparkSession, dir: String,
-      keyed: Boolean = false, slots: Option[Seq[Int]] = None): DataFrame = {
+      keyed: Boolean = false, slots: Option[Seq[Int]] = None,
+      keys: Option[Seq[String]] = None): DataFrame = {
     val r = spark.read.format("gavro").option("schema", "lsh_bands")
     val loaded = (if (keyed) r.option("partitionKey", "band_idx") else r)
       .load(s"$dir/bands")
-    slots.fold(loaded)(ss =>
-        loaded.filter(col("slot").isin(ss.map(Int.box): _*)))
+    val bySlot = slots.fold(loaded)(ss =>
+      loaded.filter(col("slot").isin(ss.map(Int.box): _*)))
+    // `keys` (≤64 — the IN-pushdown cap) reaches the reader too: within a
+    // surviving slot file, non-candidate records drop at decode and the
+    // band_key-sorted blocks skip wholesale on their footer ranges.
+    keys.fold(bySlot)(ks => bySlot.filter(col("band_key").isin(ks: _*)))
       .select(col("doc_id"), col("band_idx"), col("band_key"))
   }
 
   /** Bucket occupancy read back, one row per (bucket, commit):
-    * (band_idx, band_key, n, max_doc). `slots` prunes like
+    * (band_idx, band_key, n, max_doc). `slots`/`keys` prune like
     * [[loadBands]]'s. */
   def loadBuckets(spark: SparkSession, dir: String,
-      slots: Option[Seq[Int]] = None): DataFrame = {
+      slots: Option[Seq[Int]] = None,
+      keys: Option[Seq[String]] = None): DataFrame = {
     val loaded = spark.read.format("gavro").option("schema", "lsh_buckets")
       .load(s"$dir/buckets")
-    slots.fold(loaded)(ss =>
-        loaded.filter(col("slot").isin(ss.map(Int.box): _*)))
+    val bySlot = slots.fold(loaded)(ss =>
+      loaded.filter(col("slot").isin(ss.map(Int.box): _*)))
+    keys.fold(bySlot)(ks => bySlot.filter(col("band_key").isin(ks: _*)))
       .select(col("band_idx"), col("band_key"), col("n"), col("max_doc"))
   }
 
@@ -392,10 +405,18 @@ object LshIndex {
     // A probe touching every slot pushes nothing (the filter is vacuous).
     val slots = if (hotSlots.length >= NumBands * SaltM) None
       else Some(hotSlots)
+    // Small-probe bonus: when the touched BUCKET set itself fits the
+    // reader's IN cap, push the band keys too — non-candidate records in
+    // a surviving slot file drop at decode, and the band_key-sorted block
+    // layout skips whole blocks on footer ranges.
+    val hotBandKeys = hotCollected.map(_._2).distinct.sorted.toSeq
+    val keys = if (hotBandKeys.nonEmpty && hotBandKeys.length <= 64)
+      Some(hotBandKeys) else None
     val hotKeys = hotCollected.map(t => (t._1, t._2)).toSeq
       .toDF("band_idx", "band_key")
     val bucketCols = Seq("band_idx", "band_key")
-    val pn = loadBuckets(spark, dir, slots).join(broadcast(hotKeys), bucketCols)
+    val pn = loadBuckets(spark, dir, slots, keys)
+      .join(broadcast(hotKeys), bucketCols)
       .groupBy(col("band_idx"), col("band_key")).agg(sum(col("n")).as("pn"))
     val totals = deltaBands.map(_.groupBy(col("band_idx"), col("band_key"))
         .agg(count(lit(1)).as("dn"))) match {
@@ -420,7 +441,7 @@ object LshIndex {
     // hot-set driver collect; every wave is fixed per-trigger latency on
     // the serve path.
     val memberCols = Seq(col("doc_id"), col("band_idx"), col("band_key"))
-    val persistedMembers = loadBands(spark, dir, slots = slots)
+    val persistedMembers = loadBands(spark, dir, slots = slots, keys = keys)
       .join(broadcast(okKeys), bucketCols).select(memberCols: _*)
     val xRows = deltaBands
       .map(db => persistedMembers.unionByName(
@@ -491,7 +512,8 @@ object LshIndex {
     // bands table's counts) is partition-local on the routed rows.
     val routed = Gavro.exactPartition(
         Dedup.bands(deltaSigs).withColumn("slot", slotExpr),
-        "slot", NumBands * SaltM).persist()
+        "slot", NumBands * SaltM)
+      .sortWithinPartitions(col("band_key")).persist()
     routed.select(col("doc_id"), col("band_idx"), col("band_key"),
         col("slot"))
       .write.format("gavro").option("schema", "lsh_bands")

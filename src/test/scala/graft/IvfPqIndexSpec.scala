@@ -224,6 +224,48 @@ class IvfPqIndexSpec extends SparkSpec {
       s"post-maintain append row accounting: $preAppend -> $total")
   }
 
+  test("incremental maintain compacts only the grown cells; cold files keep their names") {
+    val dir = freshDir("incr").getAbsolutePath
+    IvfPqIndex.buildAndWrite(emb, dir)
+    val n = emb.count()
+    // a TINY append: few vectors land in few cells, so growth concentrates
+    val delta = emb.filter(col("vec_id") < 5)
+      .select((col("vec_id") + n).as("vec_id"),
+        expr("cast(embedding as array<double>)").as("v"))
+      .localCheckpoint(true)
+    IvfPqIndex.appendToIndex(spark, dir, delta)
+    IvfPqIndex.appendToIndex(spark, dir,
+      delta.select((col("vec_id") + n).as("vec_id"), col("v")))
+    def cellFiles(): Map[String, Int] =
+      Gavro.listDataFiles(s"$dir/codes").map { f =>
+        val s = graft.sources.GavroFooter.read(f).stats("cell")
+        f.getName -> s.min.asInstanceOf[Number].intValue
+      }.toMap
+    val before = cellFiles()
+    val perCell = before.groupBy(_._2).view.mapValues(_.size).toMap
+    val hotCells = perCell.filter(_._2 > IvfPqIndex.SaltM + 1).keySet
+    assert(hotCells.nonEmpty && hotCells.size < Quantize.CoarseK,
+      s"per-cell files: $perCell")
+    val coldFiles = before.filterNot(f => hotCells(f._2)).keySet
+    def codes() = spark.read.format("gavro").option("schema", "ivf_codes")
+      .load(s"$dir/codes").collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Int]("cell"),
+        r.getAs[Int]("sub_idx"), r.getAs[Int]("code"))).toSet
+    val contentBefore = codes()
+    IvfPqIndex.maintainIncremental(spark, dir)
+    val after = cellFiles()
+    assert(coldFiles.subsetOf(after.keySet),
+      s"cold files rewritten: ${coldFiles -- after.keySet}")
+    hotCells.foreach { c =>
+      assert(after.count(_._2 == c) <= IvfPqIndex.SaltM,
+        s"cell $c not compacted: ${after.count(_._2 == c)} files") }
+    assert(codes() == contentBefore, "content changed through the rewrite")
+    assert(Gavro.commitRecordsSinceCheckpoint(s"$dir/codes") == 0)
+    // nothing grown → name-stable no-op
+    IvfPqIndex.maintainIncremental(spark, dir)
+    assert(cellFiles() == after)
+  }
+
   test("prebuilt index serves a query stream: per-trigger answers, index untouched") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import scala.jdk.CollectionConverters._
