@@ -25,20 +25,9 @@ object Bench {
     // record run discipline — 1-min AND 5-min loadavg below ~2 — becomes
     // a flag the artifact carries, so bench_compare can refuse REGRESSED
     // verdicts from a run that was never comparable to begin with.
-    def readLoadavg(): Array[Double] = try {
-      new String(java.nio.file.Files.readAllBytes(
-        java.nio.file.Paths.get("/proc/loadavg"))).split(" ").take(3)
-        .map(_.toDouble)
-    } catch { case _: Throwable => Array.empty[Double] }
-    val loadavgStart = readLoadavg()
-    val canonicalLoadMax =
-      sys.env.getOrElse("SPARK_GRAFT_CANONICAL_LOAD", "2.0").toDouble
-    // Unmeasurable load (no /proc/loadavg) falls back to the legacy
-    // TRUSTING behavior — inability to measure is not evidence of
-    // contention, and stamping false would permanently disable the
-    // regression gate on such hosts.
-    val canonical = loadavgStart.length < 2 ||
-      (loadavgStart(0) < canonicalLoadMax && loadavgStart(1) < canonicalLoadMax)
+    // [[Canonical]] — the gate shared with StreamBench and ScaleSmoke.
+    val loadavgStart = Canonical.readLoadavg()
+    val canonical = Canonical.isCanonical(loadavgStart)
 
     // Shuffle telemetry: bytes written to shuffle per query (stage metrics
     // accumulate asynchronously; the snapshot after each query is taken
@@ -147,7 +136,7 @@ object Bench {
           }
         }
       }
-    val loadavg = readLoadavg().mkString("[", ",", "]")
+    val loadavg = Canonical.readLoadavg().mkString("[", ",", "]")
     val loadStart = loadavgStart.mkString("[", ",", "]")
 
     val qs = times.map { case (k, v) => s"${jstr(k)}:$v" }.mkString("{", ",", "}")

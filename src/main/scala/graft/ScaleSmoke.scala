@@ -16,25 +16,14 @@ import org.apache.spark.sql.functions._
   *   section:  docs | temporal | round7 | all (default all)
   */
 object ScaleSmoke {
-  /** Same canonicality rule as [[Bench]]/StreamBench: a run is citable
-    * round-over-round only when the host was idle when its clock started
-    * (1-min AND 5-min loadavg below the gate). The stamp rides the output
-    * as one JSON line so PROGRESS can cite exactly one authoritative run
-    * per section instead of reconciling unlabeled reruns. */
-  private def readLoadavg(): Array[Double] = try {
-    new String(java.nio.file.Files.readAllBytes(
-      java.nio.file.Paths.get("/proc/loadavg"))).split(" ").take(3)
-      .map(_.toDouble)
-  } catch { case _: Throwable => Array.empty[Double] }
-
   def main(args: Array[String]): Unit = {
     val replicas = args.headOption.map(_.toInt).getOrElse(20)
     val section = args.lift(1).getOrElse("all")
-    val loadavgStart = readLoadavg()
-    val canonicalLoadMax =
-      sys.env.getOrElse("SPARK_GRAFT_CANONICAL_LOAD", "2.0").toDouble
-    val canonical = loadavgStart.length < 2 ||
-      (loadavgStart(0) < canonicalLoadMax && loadavgStart(1) < canonicalLoadMax)
+    // One JSON stamp line per run ([[Canonical]] — the shared gate), so
+    // PROGRESS can cite exactly one authoritative run per section
+    // instead of reconciling unlabeled reruns.
+    val loadavgStart = Canonical.readLoadavg()
+    val canonical = Canonical.isCanonical(loadavgStart)
     val spark = Session.local("graft-scale-smoke")
     spark.sparkContext.setLogLevel("WARN")
     if (section == "docs" || section == "all") docsSection(spark, replicas)
@@ -49,7 +38,7 @@ object ScaleSmoke {
     if (section == "round12") round12Section(spark, replicas)
     if (section == "round13") round13Section(spark, replicas)
     if (section == "round14") round14Section(spark, replicas)
-    val loadavgEnd = readLoadavg()
+    val loadavgEnd = Canonical.readLoadavg()
     println(s"""{"harness":"scale_smoke","section":"$section",""" +
       s""""replicas":$replicas,""" +
       s""""loadavg_start":${loadavgStart.mkString("[", ",", "]")},""" +
@@ -97,8 +86,7 @@ object ScaleSmoke {
     // dominates at this scale and JIT-favors whichever build runs
     // second; measured: the full-build deltas flip sign run to run).
     // The SALTED shape runs FIRST, eating any residual cold-path cost.
-    val slotExpr = (col("band_idx") * LshIndex.SaltM +
-      pmod(xxhash64(col("band_key")), lit(LshIndex.SaltM))).cast("int")
+    val slotExpr = LshIndex.slotExpr // the production routing, not a copy
     val sigs0 = Dedup.minhashSignatures(corpus)
       .select(col("doc_id"), col("sig")).localCheckpoint(true)
     val sigRowsRaw = sigs0

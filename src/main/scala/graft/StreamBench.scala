@@ -38,32 +38,20 @@ import org.apache.spark.sql.streaming.Trigger
   */
 object StreamBench {
 
-  /** The same canonicality stamp [[Bench]] writes: loadavg at harness
-    * start, gated on SPARK_GRAFT_CANONICAL_LOAD (default 2.0). Streaming
+  /** The canonicality stamp ([[Canonical]] — the shared gate): streaming
     * latency tails are even more contention-sensitive than batch wall
     * time, so a record without this flag cannot be compared
-    * like-for-like across rounds. Unmeasurable load (no /proc/loadavg)
-    * stays TRUSTING — inability to measure is not evidence of
-    * contention. */
-  private def readLoadavg(): Array[Double] =
-    try new String(java.nio.file.Files.readAllBytes(
-        java.nio.file.Paths.get("/proc/loadavg"))).split(" ").take(3)
-      .map(_.toDouble)
-    catch { case _: Throwable => Array.empty[Double] }
-
-  private def canonicalStamp(start: Array[Double]): String = {
-    val max = sys.env.getOrElse("SPARK_GRAFT_CANONICAL_LOAD", "2.0").toDouble
-    val canonical = start.length < 2 || (start(0) < max && start(1) < max)
+    * like-for-like across rounds. */
+  private def canonicalStamp(start: Array[Double]): String =
     s""""loadavg_start":[${start.mkString(",")}],""" +
-      s""""loadavg_end":[${readLoadavg().mkString(",")}],""" +
-      s""""canonical":$canonical"""
-  }
+      s""""loadavg_end":[${Canonical.readLoadavg().mkString(",")}],""" +
+      s""""canonical":${Canonical.isCanonical(start)}"""
 
   def main(args: Array[String]): Unit = {
     val eps = args.headOption.map(_.toInt).getOrElse(100000)
     val runSecs = args.lift(1).map(_.toInt).getOrElse(30)
     val mode = args.lift(2).getOrElse("kpi")
-    val loadavgStart = readLoadavg()
+    val loadavgStart = Canonical.readLoadavg()
     val spark = Session.local("graft-stream-bench")
     spark.sparkContext.setLogLevel("WARN")
     if (mode == "freshness") {

@@ -71,7 +71,7 @@ object LshIndex {
     * store in the `slot` field: files are exact-partitioned on this, so a
     * probe recomputing the same expression over its touched bucket keys
     * gets exactly the file slices that can hold them. */
-  private def slotExpr: org.apache.spark.sql.Column =
+  private[graft] def slotExpr: org.apache.spark.sql.Column =
     (col("band_idx") * SaltM + pmod(xxhash64(col("band_key")), lit(SaltM)))
       .cast("int")
 
@@ -86,6 +86,23 @@ object LshIndex {
 
   private def srcFile(sfDir: String) =
     new java.io.File(sfDir, "documents.parquet")
+
+  /** The append WAL marker: [[appendSigs]] lands it BEFORE the first
+    * table commit and removes it after the last, so a crash anywhere in
+    * the three-table append leaves durable evidence. The probe trusts
+    * buckets/ for hot-bucket discovery and cap totals; without the
+    * marker a torn append (bands landed, buckets missing) would make it
+    * silently miss new-vs-old pairs. Commit-count comparison cannot
+    * carry this tripwire: each table's log auto-checkpoints on its own
+    * cadence ([[Gavro.CheckpointInterval]]), resetting the counters
+    * asynchronously mid-append. */
+  private def appendMarker(dir: String) =
+    new java.io.File(dir, "_graft_append_inflight")
+
+  /** A marker older than this is a CRASHED append (the writer is gone);
+    * younger means an append is legitimately in flight on another
+    * actor. */
+  val AppendStallMs: Long = 15L * 60 * 1000
 
   /** Sketch `corpus` = (doc_id, text) and persist sigs/ + bands/ +
     * buckets/ under `dir`. Pure function of the input (md5-derived hash
@@ -123,20 +140,27 @@ object LshIndex {
     // the sub-file pruning axis slot files alone can't give.
     val routed = Gavro.exactPartition(
         Dedup.bands(sigs).withColumn("slot", slotExpr),
-        "slot", NumBands * SaltM)
-      .sortWithinPartitions(col("band_key")).persist()
-    val bandRows = routed
-      .select(expr(
-        "to_avro_graft(struct(doc_id, band_idx, band_key, slot), 'lsh_bands')")
-        .as("bin"), col("band_idx"), col("slot"), col("band_key"))
-    Gavro.write(bandRows, s"$dir/bands",
-      statCols = Seq("band_idx", "slot", "band_key"))
+        "slot", NumBands * SaltM).persist()
+    Gavro.write(bandBins(routed), s"$dir/bands", statCols = BandStatCols)
     Gavro.write(occupancyBins(routed), s"$dir/buckets",
       statCols = Seq("band_idx", "max_doc", "slot"))
     routed.unpersist()
     sigs.unpersist()
     ()
   }
+
+  /** The one write shape for the bands table — build, append, and both
+    * maintenance rewrites all encode through here, so the band_key sort
+    * (per-block footer ranges a probe's pushed `band_key IN` skips on)
+    * and the stat columns can never drift apart between the paths.
+    * Narrow ops only: the slot routing of `routedRaw` is preserved. */
+  private def bandBins(routedRaw: DataFrame): DataFrame =
+    routedRaw.sortWithinPartitions(col("band_key"))
+      .select(expr(
+        "to_avro_graft(struct(doc_id, band_idx, band_key, slot), 'lsh_bands')")
+        .as("bin"), col("band_idx"), col("slot"), col("band_key"))
+
+  private val BandStatCols = Seq("band_idx", "slot", "band_key")
 
   /** Per-bucket occupancy rows derived from SLOT-ROUTED band rows
     * (doc_id, band_idx, band_key, slot — every partition holds exactly
@@ -359,22 +383,22 @@ object LshIndex {
     * to probe-relevant buckets is result-identical. */
   private def probeIndexed(spark: SparkSession, dir: String,
       deltaSigs: Option[DataFrame], newFrom: Long): DataFrame = {
-    // TORN-APPEND TRIPWIRE. [[appendSigs]] commits sigs/, bands/, and
-    // buckets/ as three separate gavro commits (no cross-table atomicity
-    // on a bare store), and the probe TRUSTS buckets/ for hot-bucket
-    // discovery and cap totals — a crash that landed bands but not
-    // buckets would silently miss new-vs-old pairs instead of failing.
-    // Each append adds exactly one record to each log in sigs → bands →
-    // buckets order, and [[maintain]] collapses them in the same order,
-    // so at every observable instant records-since-checkpoint must be
-    // monotone non-increasing along that order; a table AHEAD of a later
-    // one is exactly a torn append. Two tiny log listings per probe.
-    val tails = Seq("sigs", "bands", "buckets")
-      .map(t => t -> Gavro.commitRecordsSinceCheckpoint(s"$dir/$t"))
-    require(tails(0)._2 <= tails(2)._2 && tails(1)._2 <= tails(2)._2,
-      s"lsh index at $dir is torn mid-append (records since checkpoint: " +
-        tails.map { case (t, n) => s"$t=$n" }.mkString(", ") +
-        ") — re-run the append or rebuild the index")
+    // TORN-APPEND TRIPWIRE ([[appendMarker]]'s scaladoc has the why): a
+    // stale in-flight marker means an append crashed between its three
+    // table commits — fail LOUDLY instead of silently missing the
+    // new-vs-old pairs the absent occupancy rows would hide. A YOUNG
+    // marker is an append legitimately in flight elsewhere; snapshot
+    // isolation keeps this probe's reads consistent per table, and the
+    // next probe sees the completed append. One existence check per
+    // probe.
+    val marker = appendMarker(dir)
+    if (Gavro.store.exists(marker)) {
+      val age = System.currentTimeMillis() - Gavro.store.mtime(marker)
+      require(age < AppendStallMs,
+        s"lsh index at $dir is torn: an append's in-flight marker is " +
+          s"$age ms old (> $AppendStallMs) — the appender crashed between " +
+          "table commits; re-run the append or rebuild the index")
+    }
     // deltaSigs arrives eagerly checkpointed ([[probeBatchKeepSigs]]) —
     // the first of the probe's eager waves; each wave is fixed
     // per-trigger latency on the serve path.
@@ -501,6 +525,10 @@ object LshIndex {
     * materialized frame (the probe's is checkpointed). */
   def appendSigs(spark: SparkSession, dir: String,
       deltaSigs: DataFrame): Unit = {
+    // WAL marker brackets the three table commits — see [[appendMarker]].
+    // Left in place on a crash (deliberately: it IS the evidence).
+    val marker = appendMarker(dir)
+    Gavro.store.atomicReplace(marker, System.currentTimeMillis().toString)
     deltaSigs
       .select(col("doc_id"), posexplode(col("sig"))).toDF("doc_id", "pos", "m")
       .coalesce(1) // per-trigger deltas are small; one sig file per append
@@ -512,16 +540,16 @@ object LshIndex {
     // bands table's counts) is partition-local on the routed rows.
     val routed = Gavro.exactPartition(
         Dedup.bands(deltaSigs).withColumn("slot", slotExpr),
-        "slot", NumBands * SaltM)
-      .sortWithinPartitions(col("band_key")).persist()
-    routed.select(col("doc_id"), col("band_idx"), col("band_key"),
-        col("slot"))
+        "slot", NumBands * SaltM).persist()
+    routed.sortWithinPartitions(col("band_key"))
+      .select(col("doc_id"), col("band_idx"), col("band_key"), col("slot"))
       .write.format("gavro").option("schema", "lsh_bands")
       .mode("append").save(s"$dir/bands")
     occupancyRows(routed)
       .write.format("gavro").option("schema", "lsh_buckets")
       .mode("append").save(s"$dir/buckets")
     routed.unpersist()
+    Gavro.store.delete(marker)
     ()
   }
 
@@ -573,10 +601,9 @@ object LshIndex {
     *   - `buckets/`: semantic rewrite merging occupancy per bucket —
     *     sum(n), max(max_doc) — back to ONE row per bucket.
     *
-    * Order is sigs → bands → buckets, the same order [[appendSigs]]
-    * writes, so the probe's torn-append tripwire (records-since-
-    * checkpoint monotone along that order) holds at every instant even
-    * with appends interleaving. Probe answers are unchanged by
+    * The probe's torn-append tripwire rides the [[appendMarker]] WAL,
+    * not log shapes, so maintenance (which collapses logs on its own
+    * cadence) cannot perturb it. Probe answers are unchanged by
     * construction: the probe re-aggregates occupancy per bucket and
     * never depends on file layout — `lsh_bucket_stats_compacted`'s
     * oracle pins that. */
@@ -585,13 +612,16 @@ object LshIndex {
     Gavro.checkpoint(s"$dir/sigs")
     Gavro.compactLog(s"$dir/sigs")
     Gavro.rewriteTable(s"$dir/bands", pin => {
-      val rows = spark.read.format("gavro").option("schema", "lsh_bands")
+      // route RAW fields, sort, THEN encode — the rewrite must restore
+      // the same band_key-sorted, band_key-stat layout the build writes,
+      // or the first nightly maintenance would silently drop the
+      // sub-file block-skip pruning
+      val src = spark.read.format("gavro").option("schema", "lsh_bands")
         .option("asOfCommit", pin).load(s"$dir/bands")
-        .select(expr(
-          "to_avro_graft(struct(doc_id, band_idx, band_key, slot), 'lsh_bands')")
-          .as("bin"), col("band_idx"), col("slot"))
-      Gavro.exactPartition(rows, "slot", NumBands * SaltM)
-    }, statCols = Seq("band_idx", "slot"))
+      bandBins(Gavro.exactPartition(src.select(col("doc_id"),
+          col("band_idx"), col("band_key"), col("slot")),
+        "slot", NumBands * SaltM))
+    }, statCols = BandStatCols)
     Gavro.rewriteTable(s"$dir/buckets", pin => {
       val merged = spark.read.format("gavro").option("schema", "lsh_buckets")
         .option("asOfCommit", pin).load(s"$dir/buckets")
@@ -615,9 +645,7 @@ object LshIndex {
     * the whole corpus nightly and re-encoding the day's churn. Slots are
     * proven from footer stats (every v4 file is single-valued on
     * `slot`); a foreign multi-slot file anywhere falls the table back to
-    * the FULL rewrite — correct layout restored, never a partial one.
-    * Same sigs → bands → buckets order as [[maintain]], so the probe's
-    * torn-append tripwire holds throughout. */
+    * the FULL rewrite — correct layout restored, never a partial one. */
   def maintainIncremental(spark: SparkSession, dir: String,
       minFilesPerSlot: Int = 2): Unit = {
     Gavro.optimize(s"$dir/sigs")
@@ -652,11 +680,10 @@ object LshIndex {
           spark.read.format("gavro").option("schema", "lsh_bands")
             .option("asOfCommit", pin).load(s"$dir/bands"))
       }
-      (gone, Gavro.exactPartition(src.select(expr(
-          "to_avro_graft(struct(doc_id, band_idx, band_key, slot), 'lsh_bands')")
-          .as("bin"), col("band_idx"), col("slot")),
-        "slot", NumBands * SaltM))
-    }, statCols = Seq("band_idx", "slot"))
+      (gone, bandBins(Gavro.exactPartition(src.select(col("doc_id"),
+          col("band_idx"), col("band_key"), col("slot")),
+        "slot", NumBands * SaltM)))
+    }, statCols = BandStatCols)
     Gavro.rewritePartial(s"$dir/buckets", (pin, committed) => {
       val (gone, src) = slotPlan("buckets", pin, committed) match {
         case Some((g, slots)) =>

@@ -2194,10 +2194,26 @@ object Gavro {
       require(gone.subsetOf(committedAtPin),
         s"gavro: rewrite plan names files outside the pinned snapshot at $path")
       if (gone.isEmpty) return Seq.empty
-      val staged = stageFiles(binsDf, path, blockBytes, statCols,
-        blockCodec)
-      // a corpus-scale re-encode can outlast the lock's staleness bound;
-      // show the holder is still live before the swap
+      // KEEP-ALIVE through the staging job: a corpus-scale re-encode can
+      // far outlast OptimizeLockStaleMs, and a lock that goes stale
+      // mid-stage invites another maintenance actor to steal it — two
+      // concurrent fold/retire loops can drop each other's folds. The
+      // toucher makes the holder continuously visibly live (the same
+      // guarantee optimize gets from its per-bin touch).
+      val stopTouch = new java.util.concurrent.atomic.AtomicBoolean(false)
+      val toucher = new Thread(() => {
+        while (!stopTouch.get()) {
+          store.touch(optimizeLock(path))
+          val deadline = System.currentTimeMillis() + 60 * 1000
+          while (!stopTouch.get() && System.currentTimeMillis() < deadline)
+            Thread.sleep(200)
+        }
+      }, s"gavro-rewrite-lock-keepalive")
+      toucher.setDaemon(true)
+      toucher.start()
+      val staged =
+        try stageFiles(binsDf, path, blockBytes, statCols, blockCodec)
+        finally { stopTouch.set(true); toucher.join() }
       store.touch(optimizeLock(path))
       val cpName = f"${nextCommitSeq(path)}%010d-r"
       store.putIfAbsent(new java.io.File(commits, s"$cpName.retire"),

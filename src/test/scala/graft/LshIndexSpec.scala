@@ -191,6 +191,36 @@ class LshIndexSpec extends SparkSpec {
       .count() > before.length)
   }
 
+  test("append WAL marker: a crashed append fails probes loudly; a live one does not") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("lsh_wal").toString
+    LshIndex.buildAndWrite(docs, dir)
+    val floor = 50000L
+    val delta = Seq((floor + 1L,
+      "zzqx glorp wibble frotz yoik snarf blib quux nargle veep"))
+      .toDF("doc_id", "text")
+    val marker = new java.io.File(dir, "_graft_append_inflight")
+    // a completed append leaves no marker behind
+    LshIndex.appendBatch(spark, dir, delta)
+    assert(!marker.exists, "completed append left its WAL marker")
+    assert(LshIndex.probeBatch(spark, dir, delta
+      .select((col("doc_id") + 1).as("doc_id"), col("text")), floor)
+      .collect() != null)
+    // a CRASHED append = a stale marker: the probe must fail loudly
+    // (the occupancy rows it trusts may be missing the torn batch)
+    graft.sources.Gavro.store.atomicReplace(marker, "0")
+    assert(marker.setLastModified(
+      System.currentTimeMillis() - LshIndex.AppendStallMs - 60000))
+    val e = intercept[IllegalArgumentException] {
+      LshIndex.probeBatch(spark, dir, delta, floor)
+    }
+    assert(e.getMessage.contains("torn"), e.getMessage)
+    // a YOUNG marker is an append legitimately in flight — probes proceed
+    graft.sources.Gavro.store.atomicReplace(marker, "1")
+    LshIndex.probeBatch(spark, dir, delta, floor).collect()
+    assert(marker.delete())
+  }
+
   test("incremental maintain compacts only the grown slots; untouched files keep their names") {
     import spark.implicits._
     import graft.sources.{Gavro, GavroFooter}
