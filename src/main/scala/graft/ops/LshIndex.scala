@@ -99,9 +99,12 @@ object LshIndex {
   private def appendMarker(dir: String) =
     new java.io.File(dir, "_graft_append_inflight")
 
-  /** A marker older than this is a CRASHED append (the writer is gone);
-    * younger means an append is legitimately in flight on another
-    * actor. */
+  /** A marker older than this is a CRASHED append (a live appender
+    * keep-alive-touches its marker through the writes); younger means an
+    * append is in flight — probes proceed (snapshot isolation), a second
+    * APPEND refuses (one appender at a time; the marker is claimed
+    * put-if-absent and never replaced, so crash evidence survives until
+    * the operator rebuilds). */
   val AppendStallMs: Long = 15L * 60 * 1000
 
   /** Sketch `corpus` = (doc_id, text) and persist sigs/ + bands/ +
@@ -391,13 +394,17 @@ object LshIndex {
     // isolation keeps this probe's reads consistent per table, and the
     // next probe sees the completed append. One existence check per
     // probe.
-    val marker = appendMarker(dir)
-    if (Gavro.store.exists(marker)) {
-      val age = System.currentTimeMillis() - Gavro.store.mtime(marker)
+    // One mtime read, not exists-then-mtime: the appender can delete the
+    // marker between the two calls, and lastModified on a missing file is
+    // 0 — which would read as an ancient marker and a spurious torn error.
+    val markerMtime = Gavro.store.mtime(appendMarker(dir))
+    if (markerMtime > 0L) {
+      val age = System.currentTimeMillis() - markerMtime
       require(age < AppendStallMs,
         s"lsh index at $dir is torn: an append's in-flight marker is " +
           s"$age ms old (> $AppendStallMs) — the appender crashed between " +
-          "table commits; re-run the append or rebuild the index")
+          "table commits; rebuild the index (or restore it from the " +
+          "pre-append snapshot) before probing or appending")
     }
     // deltaSigs arrives eagerly checkpointed ([[probeBatchKeepSigs]]) —
     // the first of the probe's eager waves; each wave is fixed
@@ -526,9 +533,28 @@ object LshIndex {
   def appendSigs(spark: SparkSession, dir: String,
       deltaSigs: DataFrame): Unit = {
     // WAL marker brackets the three table commits — see [[appendMarker]].
-    // Left in place on a crash (deliberately: it IS the evidence).
+    // CLAIMED put-if-absent, never replaced: a crashed append's marker is
+    // torn-index EVIDENCE, and a later append silently overwriting it
+    // (then deleting it on completion) would bury the tear forever. One
+    // appender at a time per index — the ingest loop's structure, now
+    // enforced. The marker is touched through the writes, so a long
+    // append never reads as crashed; a crashed one stops refreshing and
+    // goes stale.
     val marker = appendMarker(dir)
-    Gavro.store.atomicReplace(marker, System.currentTimeMillis().toString)
+    try Gavro.store.putIfAbsent(marker, System.currentTimeMillis().toString)
+    catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        val age = System.currentTimeMillis() - Gavro.store.mtime(marker)
+        throw new IllegalStateException(
+          if (age >= AppendStallMs)
+            s"lsh index at $dir is torn: a prior append crashed between " +
+              s"table commits (marker $age ms old) — rebuild the index " +
+              "before appending"
+          else
+            s"another append is in flight at $dir (marker $age ms old) — " +
+              "one appender at a time per index")
+    }
+    Gavro.withKeepAlive(marker) {
     deltaSigs
       .select(col("doc_id"), posexplode(col("sig"))).toDF("doc_id", "pos", "m")
       .coalesce(1) // per-trigger deltas are small; one sig file per append
@@ -549,6 +575,7 @@ object LshIndex {
       .write.format("gavro").option("schema", "lsh_buckets")
       .mode("append").save(s"$dir/buckets")
     routed.unpersist()
+    }
     Gavro.store.delete(marker)
     ()
   }

@@ -2200,20 +2200,9 @@ object Gavro {
       // concurrent fold/retire loops can drop each other's folds. The
       // toucher makes the holder continuously visibly live (the same
       // guarantee optimize gets from its per-bin touch).
-      val stopTouch = new java.util.concurrent.atomic.AtomicBoolean(false)
-      val toucher = new Thread(() => {
-        while (!stopTouch.get()) {
-          store.touch(optimizeLock(path))
-          val deadline = System.currentTimeMillis() + 60 * 1000
-          while (!stopTouch.get() && System.currentTimeMillis() < deadline)
-            Thread.sleep(200)
-        }
-      }, s"gavro-rewrite-lock-keepalive")
-      toucher.setDaemon(true)
-      toucher.start()
-      val staged =
-        try stageFiles(binsDf, path, blockBytes, statCols, blockCodec)
-        finally { stopTouch.set(true); toucher.join() }
+      val staged = withKeepAlive(optimizeLock(path)) {
+        stageFiles(binsDf, path, blockBytes, statCols, blockCodec)
+      }
       store.touch(optimizeLock(path))
       val cpName = f"${nextCommitSeq(path)}%010d-r"
       store.putIfAbsent(new java.io.File(commits, s"$cpName.retire"),
@@ -2229,6 +2218,28 @@ object Gavro {
       retireBelow(path, cpName, gone)
       staged.sorted
     }
+  }
+
+  /** Touch `f` every `periodMs` for the duration of `body` — the
+    * liveness heartbeat long-running lock/marker holders need against
+    * staleness-based takeover or torn-state diagnosis. A failing touch
+    * (transient IO on a remote store) is swallowed and retried next
+    * period: a silently-dead toucher would reinstate exactly the stale
+    * window it exists to close. */
+  private[graft] def withKeepAlive[A](f: java.io.File,
+      periodMs: Long = 60 * 1000)(body: => A): A = {
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val toucher = new Thread(() => {
+      while (!stop.get()) {
+        try store.touch(f) catch { case _: Exception => () }
+        val deadline = System.currentTimeMillis() + periodMs
+        while (!stop.get() && System.currentTimeMillis() < deadline)
+          Thread.sleep(200)
+      }
+    }, s"gavro-keepalive-${f.getName}")
+    toucher.setDaemon(true)
+    toucher.start()
+    try body finally { stop.set(true); toucher.join() }
   }
 
   /** [[rewriteTable]]'s staging pass: write `bins`' partitions as hidden

@@ -215,10 +215,25 @@ class LshIndexSpec extends SparkSpec {
       LshIndex.probeBatch(spark, dir, delta, floor)
     }
     assert(e.getMessage.contains("torn"), e.getMessage)
-    // a YOUNG marker is an append legitimately in flight — probes proceed
+    // …and an APPEND refuses over the crash evidence rather than burying
+    // it (a replace-then-delete would hide the tear forever)
+    val e2 = intercept[IllegalStateException] {
+      LshIndex.appendBatch(spark, dir, delta)
+    }
+    assert(e2.getMessage.contains("torn"), e2.getMessage)
+    // a YOUNG marker is an append legitimately in flight — probes
+    // proceed, a SECOND append refuses (one appender at a time)
     graft.sources.Gavro.store.atomicReplace(marker, "1")
     LshIndex.probeBatch(spark, dir, delta, floor).collect()
+    val e3 = intercept[IllegalStateException] {
+      LshIndex.appendBatch(spark, dir, delta)
+    }
+    assert(e3.getMessage.contains("in flight"), e3.getMessage)
     assert(marker.delete())
+    // with the marker gone, appends run again
+    LshIndex.appendBatch(spark, dir, delta
+      .select((col("doc_id") + 10).as("doc_id"), col("text")))
+    assert(!marker.exists)
   }
 
   test("incremental maintain compacts only the grown slots; untouched files keep their names") {
