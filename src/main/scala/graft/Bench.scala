@@ -145,7 +145,7 @@ object Bench {
     val total = times.map(_._2).sum
     val reruns = rerun.map(jstr).mkString("[", ",", "]")
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"shuffle_bytes":$sh,"errors":$errs,"loadavg":$loadavg,"loadavg_start":$loadStart,"canonical":$canonical,"cpus":$cpus,"contention_reruns":$reruns,"sf":${jstr(sfDir)}}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"shuffle_bytes":$sh,"errors":$errs,"loadavg":$loadavg,"loadavg_start":$loadStart,"canonical":$canonical,"git_sha":${jstr(Canonical.gitSha())},"cpus":$cpus,"contention_reruns":$reruns,"sf":${jstr(sfDir)}}"""
     println(line)
     // Persist the FULL line to a stable file as well: the driver's capture
     // truncates stdout tails, which once left per-query numbers without

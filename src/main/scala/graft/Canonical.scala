@@ -27,4 +27,31 @@ object Canonical {
   def isCanonical(loadavgStart: Array[Double]): Boolean =
     loadavgStart.length < 2 ||
       (loadavgStart(0) < loadMax && loadavgStart(1) < loadMax)
+
+  /** The git commit the measured artifact claims to describe, with a
+    * `-dirty` suffix when the source tree has uncommitted changes. The
+    * round-14 drift lesson: a "canonical" bench was measured two commits
+    * before the shipped code and nothing in the artifact could say so —
+    * stamping the SHA (and dirtiness) at measurement time makes that
+    * class of silent drift impossible. Subprocess git, falling back to
+    * "unknown" rather than failing the run (a bench on a tarball export
+    * still produces numbers; it just can't make provenance claims).
+    */
+  def gitSha(): String =
+    try {
+      def run(cmd: String*): String = {
+        val p = new ProcessBuilder(cmd: _*).redirectErrorStream(true).start()
+        val out = new String(p.getInputStream.readAllBytes(),
+          java.nio.charset.StandardCharsets.UTF_8).trim
+        if (p.waitFor() == 0) out else ""
+      }
+      val sha = run("git", "rev-parse", "--short=12", "HEAD")
+      if (sha.isEmpty) "unknown"
+      // Dirtiness judged on tracked SOURCE only: artifacts (BENCH_*.json)
+      // are expected to be in flux while measuring; src/ changes are the
+      // drift the stamp exists to expose.
+      else if (run("git", "status", "--porcelain", "--", "src", "build.sbt").nonEmpty)
+        sha + "-dirty"
+      else sha
+    } catch { case _: Throwable => "unknown" }
 }

@@ -44,6 +44,7 @@ object ScaleSmoke {
       s""""loadavg_start":${loadavgStart.mkString("[", ",", "]")},""" +
       s""""loadavg":${loadavgEnd.mkString("[", ",", "]")},""" +
       s""""canonical":$canonical,""" +
+      s""""git_sha":"${Canonical.gitSha()}",""" +
       s""""cpus":${Runtime.getRuntime.availableProcessors}}""")
     spark.stop()
   }

@@ -45,7 +45,8 @@ object StreamBench {
   private def canonicalStamp(start: Array[Double]): String =
     s""""loadavg_start":[${start.mkString(",")}],""" +
       s""""loadavg_end":[${Canonical.readLoadavg().mkString(",")}],""" +
-      s""""canonical":${Canonical.isCanonical(start)}"""
+      s""""canonical":${Canonical.isCanonical(start)},""" +
+      s""""git_sha":"${Canonical.gitSha()}""""
 
   def main(args: Array[String]): Unit = {
     val eps = args.headOption.map(_.toInt).getOrElse(100000)
