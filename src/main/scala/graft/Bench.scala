@@ -28,6 +28,10 @@ object Bench {
     // [[Canonical]] — the gate shared with StreamBench and ScaleSmoke.
     val loadavgStart = Canonical.readLoadavg()
     val canonical = Canonical.isCanonical(loadavgStart)
+    // SHA captured BEFORE the run: the measured classes were compiled from
+    // the tree as it stands at launch — an edit landing mid-run must not
+    // relabel (or dirty-flag) numbers it had no part in.
+    val gitSha = Canonical.gitSha()
 
     // Shuffle telemetry: bytes written to shuffle per query (stage metrics
     // accumulate asynchronously; the snapshot after each query is taken
@@ -145,7 +149,7 @@ object Bench {
     val total = times.map(_._2).sum
     val reruns = rerun.map(jstr).mkString("[", ",", "]")
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"shuffle_bytes":$sh,"errors":$errs,"loadavg":$loadavg,"loadavg_start":$loadStart,"canonical":$canonical,"git_sha":${jstr(Canonical.gitSha())},"cpus":$cpus,"contention_reruns":$reruns,"sf":${jstr(sfDir)}}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"shuffle_bytes":$sh,"errors":$errs,"loadavg":$loadavg,"loadavg_start":$loadStart,"canonical":$canonical,"git_sha":${jstr(gitSha)},"cpus":$cpus,"contention_reruns":$reruns,"sf":${jstr(sfDir)}}"""
     println(line)
     // Persist the FULL line to a stable file as well: the driver's capture
     // truncates stdout tails, which once left per-query numbers without

@@ -24,6 +24,8 @@ object ScaleSmoke {
     // instead of reconciling unlabeled reruns.
     val loadavgStart = Canonical.readLoadavg()
     val canonical = Canonical.isCanonical(loadavgStart)
+    val gitSha = Canonical.gitSha() // captured at launch, like loadavg
+
     val spark = Session.local("graft-scale-smoke")
     spark.sparkContext.setLogLevel("WARN")
     if (section == "docs" || section == "all") docsSection(spark, replicas)
@@ -44,7 +46,7 @@ object ScaleSmoke {
       s""""loadavg_start":${loadavgStart.mkString("[", ",", "]")},""" +
       s""""loadavg":${loadavgEnd.mkString("[", ",", "]")},""" +
       s""""canonical":$canonical,""" +
-      s""""git_sha":"${Canonical.gitSha()}",""" +
+      s""""git_sha":"$gitSha",""" +
       s""""cpus":${Runtime.getRuntime.availableProcessors}}""")
     spark.stop()
   }

@@ -42,11 +42,15 @@ object StreamBench {
     * latency tails are even more contention-sensitive than batch wall
     * time, so a record without this flag cannot be compared
     * like-for-like across rounds. */
+  // SHA captured at class-init (= launch), not at stamp time: an edit
+  // landing mid-run must not relabel the measured code.
+  private val launchSha = Canonical.gitSha()
+
   private def canonicalStamp(start: Array[Double]): String =
     s""""loadavg_start":[${start.mkString(",")}],""" +
       s""""loadavg_end":[${Canonical.readLoadavg().mkString(",")}],""" +
       s""""canonical":${Canonical.isCanonical(start)},""" +
-      s""""git_sha":"${Canonical.gitSha()}""""
+      s""""git_sha":"$launchSha""""
 
   def main(args: Array[String]): Unit = {
     val eps = args.headOption.map(_.toInt).getOrElse(100000)

@@ -378,22 +378,30 @@ object IvfPqIndex {
   }
 
   /** CELL-LOCAL incremental maintenance — the between-nightlies form of
-    * [[maintain]]: re-route ONLY the cells whose live file count grew
-    * past `maxFilesPerCell` (the salted steady state is ≤ [[SaltM]]
-    * files per cell; each append adds one more in the cells it touched),
-    * via [[Gavro.rewritePartial]] — cold cells' files keep their names
-    * and bytes. Cells are proven from footer stats (every file is
-    * single-valued on `cell`); a foreign multi-cell file anywhere falls
-    * the table back to the FULL rewrite. At 100 TB this re-encodes the
-    * day's churn, not the corpus. */
+    * [[maintain]]: re-route ONLY the cells whose SMALL-file count
+    * (< `smallFileBytes`, the optimize bin target) grew past
+    * `maxFilesPerCell` (the salted steady state is ≤ [[SaltM]] files per
+    * cell; each append adds one more in the cells it touched), via
+    * [[Gavro.rewritePartial]] — cold cells' files keep their names and
+    * bytes. The byte qualifier keeps UNEVEN cells honest: a cell whose
+    * files are all near the block target is already packed and never
+    * rewrites however many it holds, while a cell collecting tiny
+    * per-trigger deltas compacts as soon as the count trips. Cells are
+    * proven from footer stats (every file is single-valued on `cell`); a
+    * foreign multi-cell file anywhere falls the table back to the FULL
+    * rewrite. At 100 TB this re-encodes the day's churn, not the
+    * corpus. */
   def maintainIncremental(spark: SparkSession, dir: String,
-      maxFilesPerCell: Int = SaltM + 1): Unit = {
+      maxFilesPerCell: Int = SaltM + 1,
+      smallFileBytes: Long = Gavro.OptimizeTargetBytes): Unit = {
     Gavro.rewritePartial(s"$dir/codes", (pin, committed) => {
       val slotted = Gavro.listDataFiles(s"$dir/codes", Some(pin)).map { f =>
-        f.getName -> graft.sources.GavroFooter.read(f).stats.get("cell")
-          .filter(s => s.min.asInstanceOf[Number].longValue ==
-            s.max.asInstanceOf[Number].longValue)
-          .map(_.min.asInstanceOf[Number].intValue)
+        (f.getName,
+          graft.sources.GavroFooter.read(f).stats.get("cell")
+            .filter(s => s.min.asInstanceOf[Number].longValue ==
+              s.max.asInstanceOf[Number].longValue)
+            .map(_.min.asInstanceOf[Number].intValue),
+          Gavro.dataStore.length(f))
       }
       val (gone, src) =
         if (slotted.exists(_._2.isEmpty)) // foreign layout → full rewrite
@@ -401,7 +409,7 @@ object IvfPqIndex {
             .option("asOfCommit", pin).load(s"$dir/codes"))
         else {
           val hot = slotted.groupBy(_._2.get)
-            .filter(_._2.length > maxFilesPerCell)
+            .filter(_._2.count(_._3 < smallFileBytes) > maxFilesPerCell)
           (hot.values.flatten.map(_._1).toSet,
             spark.read.format("gavro").option("schema", "ivf_codes")
               .option("asOfCommit", pin).load(s"$dir/codes")

@@ -60,9 +60,11 @@ object LshIndex {
     * (hash of the bucket key), so the build writes with 6·SaltM-task
     * parallelism and a probe touching few buckets opens few files. Sized
     * for the sandbox fixture; at 100 TB this is the knob that keeps one
-    * file ≈ one HDFS-block-sized unit (the probe's IN pushdown caps at 64
-    * values, so 6·SaltM ≤ 64 keeps whole-probe slot lists pushable —
-    * larger deployments push per-band lists or range predicates). */
+    * file ≈ one HDFS-block-sized unit (the probe's IN pushdown caps at
+    * [[Gavro.InPushMax]] values, so 6·SaltM stays comfortably pushable —
+    * and so does the touched-BUCKET key list for probes up to hundreds of
+    * delta docs, which is what keeps block-level skipping engaged on
+    * large nightly batches). */
   val SaltM = 8
 
   private val NumBands = 6
@@ -87,25 +89,31 @@ object LshIndex {
   private def srcFile(sfDir: String) =
     new java.io.File(sfDir, "documents.parquet")
 
-  /** The append WAL marker: [[appendSigs]] lands it BEFORE the first
-    * table commit and removes it after the last, so a crash anywhere in
-    * the three-table append leaves durable evidence. The probe trusts
-    * buckets/ for hot-bucket discovery and cap totals; without the
-    * marker a torn append (bands landed, buckets missing) would make it
-    * silently miss new-vs-old pairs. Commit-count comparison cannot
-    * carry this tripwire: each table's log auto-checkpoints on its own
-    * cadence ([[Gavro.CheckpointInterval]]), resetting the counters
+  /** The append WAL discipline ([[Gavro.withAppendMarker]] /
+    * [[Gavro.requireNotTorn]], lifted there in r15 so the next
+    * multi-table writer can't skip it): [[appendSigs]] brackets its three
+    * table commits with the marker, so a crash between them leaves
+    * durable evidence. The probe trusts buckets/ for hot-bucket discovery
+    * and cap totals; without the marker a torn append (bands landed,
+    * buckets missing) would make it silently miss new-vs-old pairs.
+    * Commit-count comparison cannot carry this tripwire: each table's log
+    * auto-checkpoints on its own cadence, resetting the counters
     * asynchronously mid-append. */
-  private def appendMarker(dir: String) =
-    new java.io.File(dir, "_graft_append_inflight")
+  val AppendStallMs: Long = Gavro.AppendStallMs
 
-  /** A marker older than this is a CRASHED append (a live appender
-    * keep-alive-touches its marker through the writes); younger means an
-    * append is in flight — probes proceed (snapshot isolation), a second
-    * APPEND refuses (one appender at a time; the marker is claimed
-    * put-if-absent and never replaced, so crash evidence survives until
-    * the operator rebuilds). */
-  val AppendStallMs: Long = 15L * 60 * 1000
+  /** Below this many live bands-table bytes the probe SKIPS the
+    * touched-set collect and the slot/key scan pruning: at small index
+    * scale every band file is a handful of blocks, so the pruning
+    * machinery's fixed per-trigger cost (one extra driver job for the
+    * hot-set collect, IN-list planning on every scan) exceeds the I/O it
+    * saves — the latency-sensitive serve loop gets the r13-shaped plan
+    * back. Past the threshold the pruning pays for itself and grows the
+    * gap as the corpus grows (file opens and probe shuffle both stay
+    * corpus-flat — spec-measured). Overridable for specs and for
+    * deployments whose latency/throughput trade sits elsewhere. */
+  def probePruneMinBytes: Long =
+    sys.props.get("graft.lsh.probe.prune.min.bytes").map(_.toLong)
+      .getOrElse(16L << 20)
 
   /** Sketch `corpus` = (doc_id, text) and persist sigs/ + bands/ +
     * buckets/ under `dir`. Pure function of the input (md5-derived hash
@@ -178,6 +186,14 @@ object LshIndex {
     * whole base build, usually). */
   private def occupancyBins(routedBands: DataFrame): DataFrame =
     occupancyRows(routedBands)
+      // FLOOR-AWARE block layout: rows sorted by max_doc within each slot
+      // file, so per-block footer ranges are tight on max_doc and the
+      // probe's pushed `max_doc >= floor` skips the cold majority of
+      // blocks — the axis that matters right after a full [[maintain]],
+      // when every merged slot file spans all history and file-level
+      // stats alone can't skip anything. Readers re-aggregate per bucket,
+      // so row order is unobservable.
+      .sortWithinPartitions(col("max_doc"))
       .select(expr(
         "to_avro_graft(struct(band_idx, band_key, n, max_doc, slot), 'lsh_buckets')")
         .as("bin"), col("band_idx"), col("max_doc"), col("slot"))
@@ -258,9 +274,10 @@ object LshIndex {
       .load(s"$dir/bands")
     val bySlot = slots.fold(loaded)(ss =>
       loaded.filter(col("slot").isin(ss.map(Int.box): _*)))
-    // `keys` (≤64 — the IN-pushdown cap) reaches the reader too: within a
-    // surviving slot file, non-candidate records drop at decode and the
-    // band_key-sorted blocks skip wholesale on their footer ranges.
+    // `keys` (≤ [[Gavro.InPushMax]] — the IN-pushdown cap) reaches the
+    // reader too: within a surviving slot file, non-candidate records
+    // drop at decode and the band_key-sorted blocks skip wholesale on
+    // their footer ranges (binary-search proof per block).
     keys.fold(bySlot)(ks => bySlot.filter(col("band_key").isin(ks: _*)))
       .select(col("doc_id"), col("band_idx"), col("band_key"))
   }
@@ -386,26 +403,12 @@ object LshIndex {
     * to probe-relevant buckets is result-identical. */
   private def probeIndexed(spark: SparkSession, dir: String,
       deltaSigs: Option[DataFrame], newFrom: Long): DataFrame = {
-    // TORN-APPEND TRIPWIRE ([[appendMarker]]'s scaladoc has the why): a
-    // stale in-flight marker means an append crashed between its three
-    // table commits — fail LOUDLY instead of silently missing the
-    // new-vs-old pairs the absent occupancy rows would hide. A YOUNG
-    // marker is an append legitimately in flight elsewhere; snapshot
-    // isolation keeps this probe's reads consistent per table, and the
-    // next probe sees the completed append. One existence check per
-    // probe.
-    // One mtime read, not exists-then-mtime: the appender can delete the
-    // marker between the two calls, and lastModified on a missing file is
-    // 0 — which would read as an ancient marker and a spurious torn error.
-    val markerMtime = Gavro.store.mtime(appendMarker(dir))
-    if (markerMtime > 0L) {
-      val age = System.currentTimeMillis() - markerMtime
-      require(age < AppendStallMs,
-        s"lsh index at $dir is torn: an append's in-flight marker is " +
-          s"$age ms old (> $AppendStallMs) — the appender crashed between " +
-          "table commits; rebuild the index (or restore it from the " +
-          "pre-append snapshot) before probing or appending")
-    }
+    // TORN-APPEND TRIPWIRE ([[Gavro.requireNotTorn]]'s scaladoc has the
+    // why): a stale in-flight marker means an append crashed between its
+    // three table commits — fail LOUDLY instead of silently missing the
+    // new-vs-old pairs the absent occupancy rows would hide. One mtime
+    // read per probe.
+    Gavro.requireNotTorn(dir)
     // deltaSigs arrives eagerly checkpointed ([[probeBatchKeepSigs]]) —
     // the first of the probe's eager waves; each wave is fixed
     // per-trigger latency on the serve path.
@@ -413,38 +416,52 @@ object LshIndex {
     val hotPersisted = loadBuckets(spark, dir)
       .filter(col("max_doc") >= newFrom)
       .select(col("band_idx"), col("band_key"))
-    // The touched-bucket set comes to the DRIVER in one job: it is
-    // O(Δ·bands)-bounded (the same bound under which it was already being
-    // broadcast), and holding it driver-side buys two things at once —
-    // the layout slots for FILE-LEVEL PRUNING (pushed into every later
-    // scan of the slot-partitioned bands/buckets tables, so the scans
-    // OPEN only the touched hash slices and a small probe's I/O stays
-    // flat as the corpus and its append history grow), and a
-    // LocalRelation hotKeys whose broadcast costs no re-execution of the
-    // occupancy hot-scan (the pre-r14 plan either re-ran that subtree per
-    // broadcast reference or paid an extra checkpoint wave for it).
     import spark.implicits._
-    val hotCollected = deltaBands
+    val hotFrame = deltaBands
       .map(db => hotPersisted.unionByName(db.filter(col("doc_id") >= newFrom)
         .select(col("band_idx"), col("band_key"))))
       .getOrElse(hotPersisted)
       .distinct()
-      .withColumn("slot", slotExpr)
-      .collect()
-      .map(r => (r.getInt(0), r.getString(1), r.getInt(2)))
-    val hotSlots = hotCollected.map(_._3).distinct.sorted.toSeq
-    // A probe touching every slot pushes nothing (the filter is vacuous).
-    val slots = if (hotSlots.length >= NumBands * SaltM) None
-      else Some(hotSlots)
-    // Small-probe bonus: when the touched BUCKET set itself fits the
-    // reader's IN cap, push the band keys too — non-candidate records in
-    // a surviving slot file drop at decode, and the band_key-sorted block
-    // layout skips whole blocks on footer ranges.
-    val hotBandKeys = hotCollected.map(_._2).distinct.sorted.toSeq
-    val keys = if (hotBandKeys.nonEmpty && hotBandKeys.length <= 64)
-      Some(hotBandKeys) else None
-    val hotKeys = hotCollected.map(t => (t._1, t._2)).toSeq
-      .toDF("band_idx", "band_key")
+    // SMALL-INDEX FAST PATH ([[probePruneMinBytes]]): below the byte
+    // threshold, skip the hot-set collect and all scan pruning — hotKeys
+    // stays a lazy frame whose broadcast re-executes a scan that is, by
+    // the threshold's definition, a few blocks. (File COUNT can't carry
+    // this decision: the slot layout fixes the file count at 6·SaltM
+    // regardless of corpus size — bytes are what grow.)
+    val smallIndex =
+      Gavro.tableDataBytes(s"$dir/bands") < probePruneMinBytes
+    val (hotKeys, slots, keys) = if (smallIndex) (hotFrame, None, None) else {
+      // The touched-bucket set comes to the DRIVER in one job: it is
+      // O(Δ·bands)-bounded (the same bound under which it was already
+      // being broadcast), and holding it driver-side buys two things at
+      // once — the layout slots for FILE-LEVEL PRUNING (pushed into every
+      // later scan of the slot-partitioned bands/buckets tables, so the
+      // scans OPEN only the touched hash slices and a small probe's I/O
+      // stays flat as the corpus and its append history grow), and a
+      // LocalRelation hotKeys whose broadcast costs no re-execution of
+      // the occupancy hot-scan (the pre-r14 plan either re-ran that
+      // subtree per broadcast reference or paid an extra checkpoint wave
+      // for it).
+      val hotCollected = hotFrame
+        .withColumn("slot", slotExpr)
+        .collect()
+        .map(r => (r.getInt(0), r.getString(1), r.getInt(2)))
+      val hotSlots = hotCollected.map(_._3).distinct.sorted.toSeq
+      // A probe touching every slot pushes nothing (the filter is vacuous).
+      val slotsOpt = if (hotSlots.length >= NumBands * SaltM) None
+        else Some(hotSlots)
+      // When the touched BUCKET set fits the reader's IN cap
+      // ([[Gavro.InPushMax]] — binary-search skip proofs and hashed row
+      // eval keep the big list cheap), push the band keys too:
+      // non-candidate records in a surviving slot file drop at decode,
+      // and the band_key-sorted block layout skips whole blocks on footer
+      // ranges.
+      val hotBandKeys = hotCollected.map(_._2).distinct.sorted.toSeq
+      val keysOpt = if (hotBandKeys.nonEmpty &&
+          hotBandKeys.length <= Gavro.InPushMax) Some(hotBandKeys) else None
+      (hotCollected.map(t => (t._1, t._2)).toSeq.toDF("band_idx", "band_key"),
+        slotsOpt, keysOpt)
+    }
     val bucketCols = Seq("band_idx", "band_key")
     val pn = loadBuckets(spark, dir, slots, keys)
       .join(broadcast(hotKeys), bucketCols)
@@ -532,51 +549,34 @@ object LshIndex {
     * materialized frame (the probe's is checkpointed). */
   def appendSigs(spark: SparkSession, dir: String,
       deltaSigs: DataFrame): Unit = {
-    // WAL marker brackets the three table commits — see [[appendMarker]].
-    // CLAIMED put-if-absent, never replaced: a crashed append's marker is
-    // torn-index EVIDENCE, and a later append silently overwriting it
-    // (then deleting it on completion) would bury the tear forever. One
-    // appender at a time per index — the ingest loop's structure, now
-    // enforced. The marker is touched through the writes, so a long
-    // append never reads as crashed; a crashed one stops refreshing and
-    // goes stale.
-    val marker = appendMarker(dir)
-    try Gavro.store.putIfAbsent(marker, System.currentTimeMillis().toString)
-    catch {
-      case _: java.nio.file.FileAlreadyExistsException =>
-        val age = System.currentTimeMillis() - Gavro.store.mtime(marker)
-        throw new IllegalStateException(
-          if (age >= AppendStallMs)
-            s"lsh index at $dir is torn: a prior append crashed between " +
-              s"table commits (marker $age ms old) — rebuild the index " +
-              "before appending"
-          else
-            s"another append is in flight at $dir (marker $age ms old) — " +
-              "one appender at a time per index")
+    // WAL marker brackets the three table commits —
+    // [[Gavro.withAppendMarker]] owns the protocol (claimed put-if-absent
+    // so crash evidence is never buried, keep-alive-touched through the
+    // writes so a long append never reads as crashed, one appender at a
+    // time per index).
+    Gavro.withAppendMarker(dir) {
+      deltaSigs
+        .select(col("doc_id"), posexplode(col("sig"))).toDF("doc_id", "pos", "m")
+        .coalesce(1) // per-trigger deltas are small; one sig file per append
+        .write.format("gavro").option("schema", "lsh_sigs")
+        .mode("append").save(s"$dir/sigs")
+      // One router shuffle for both tables, same as the build: delta files
+      // stay one-slot like base files, and the occupancy aggregate (one row
+      // per touched bucket — the next probe's cap still sums to exactly the
+      // bands table's counts) is partition-local on the routed rows.
+      val routed = Gavro.exactPartition(
+          Dedup.bands(deltaSigs).withColumn("slot", slotExpr),
+          "slot", NumBands * SaltM).persist()
+      routed.sortWithinPartitions(col("band_key"))
+        .select(col("doc_id"), col("band_idx"), col("band_key"), col("slot"))
+        .write.format("gavro").option("schema", "lsh_bands")
+        .mode("append").save(s"$dir/bands")
+      occupancyRows(routed)
+        .sortWithinPartitions(col("max_doc")) // floor-aware block layout
+        .write.format("gavro").option("schema", "lsh_buckets")
+        .mode("append").save(s"$dir/buckets")
+      routed.unpersist()
     }
-    Gavro.withKeepAlive(marker) {
-    deltaSigs
-      .select(col("doc_id"), posexplode(col("sig"))).toDF("doc_id", "pos", "m")
-      .coalesce(1) // per-trigger deltas are small; one sig file per append
-      .write.format("gavro").option("schema", "lsh_sigs")
-      .mode("append").save(s"$dir/sigs")
-    // One router shuffle for both tables, same as the build: delta files
-    // stay one-slot like base files, and the occupancy aggregate (one row
-    // per touched bucket — the next probe's cap still sums to exactly the
-    // bands table's counts) is partition-local on the routed rows.
-    val routed = Gavro.exactPartition(
-        Dedup.bands(deltaSigs).withColumn("slot", slotExpr),
-        "slot", NumBands * SaltM).persist()
-    routed.sortWithinPartitions(col("band_key"))
-      .select(col("doc_id"), col("band_idx"), col("band_key"), col("slot"))
-      .write.format("gavro").option("schema", "lsh_bands")
-      .mode("append").save(s"$dir/bands")
-    occupancyRows(routed)
-      .write.format("gavro").option("schema", "lsh_buckets")
-      .mode("append").save(s"$dir/buckets")
-    routed.unpersist()
-    }
-    Gavro.store.delete(marker)
     ()
   }
 
@@ -634,7 +634,8 @@ object LshIndex {
     * construction: the probe re-aggregates occupancy per bucket and
     * never depends on file layout — `lsh_bucket_stats_compacted`'s
     * oracle pins that. */
-  def maintain(spark: SparkSession, dir: String): Unit = {
+  def maintain(spark: SparkSession, dir: String,
+      blockBytes: Long = Gavro.DefaultBlockBytes): Unit = {
     Gavro.optimize(s"$dir/sigs")
     Gavro.checkpoint(s"$dir/sigs")
     Gavro.compactLog(s"$dir/sigs")
@@ -648,7 +649,7 @@ object LshIndex {
       bandBins(Gavro.exactPartition(src.select(col("doc_id"),
           col("band_idx"), col("band_key"), col("slot")),
         "slot", NumBands * SaltM))
-    }, statCols = BandStatCols)
+    }, blockBytes = blockBytes, statCols = BandStatCols)
     Gavro.rewriteTable(s"$dir/buckets", pin => {
       val merged = spark.read.format("gavro").option("schema", "lsh_buckets")
         .option("asOfCommit", pin).load(s"$dir/buckets")
@@ -658,23 +659,34 @@ object LshIndex {
         .select(expr(
           "to_avro_graft(struct(band_idx, band_key, n, max_doc, slot), 'lsh_buckets')")
           .as("bin"), col("band_idx"), col("max_doc"), col("slot"))
+      // max_doc sort restores the floor-aware block layout the build and
+      // appends write ([[occupancyBins]]) — THE post-maintain payoff: the
+      // merged slot files span all history, so only tight per-block
+      // max_doc ranges let a recent-floor probe skip the cold majority.
       Gavro.exactPartition(merged, "slot", NumBands * SaltM)
-    }, statCols = Seq("band_idx", "max_doc", "slot"))
+        .sortWithinPartitions(col("max_doc"))
+    }, blockBytes = blockBytes, statCols = Seq("band_idx", "max_doc", "slot"))
     ()
   }
 
   /** SLOT-LOCAL incremental maintenance — the between-nightlies form of
-    * [[maintain]]: rewrite ONLY the slots whose live file count reached
-    * `minFilesPerSlot` (appends add files solely in the slots they
-    * touch, so a steady trickle concentrates growth in hot slots), via
+    * [[maintain]]: rewrite ONLY the slots holding at least
+    * `minFilesPerSlot` SMALL files (< `smallFileBytes`, the optimize bin
+    * target — appends add files solely in the slots they touch, so a
+    * steady trickle concentrates small-file debt in hot slots), via
     * [[Gavro.rewritePartial]] — untouched slots' files keep their names
     * and bytes, which at 100 TB is the difference between re-encoding
-    * the whole corpus nightly and re-encoding the day's churn. Slots are
-    * proven from footer stats (every v4 file is single-valued on
-    * `slot`); a foreign multi-slot file anywhere falls the table back to
-    * the FULL rewrite — correct layout restored, never a partial one. */
+    * the whole corpus nightly and re-encoding the day's churn. The byte
+    * qualifier is what keeps UNEVEN slots honest: a slot of few
+    * near-target files is already packed and never rewrites; a slot
+    * collecting tiny per-trigger deltas compacts as soon as the count
+    * trips, regardless of how big its cold files are. Slots are proven
+    * from footer stats (every v4 file is single-valued on `slot`); a
+    * foreign multi-slot file anywhere falls the table back to the FULL
+    * rewrite — correct layout restored, never a partial one. */
   def maintainIncremental(spark: SparkSession, dir: String,
-      minFilesPerSlot: Int = 2): Unit = {
+      minFilesPerSlot: Int = 2,
+      smallFileBytes: Long = Gavro.OptimizeTargetBytes): Unit = {
     Gavro.optimize(s"$dir/sigs")
     Gavro.checkpoint(s"$dir/sigs")
     Gavro.compactLog(s"$dir/sigs")
@@ -684,14 +696,26 @@ object LshIndex {
       val slotted = files.map { f =>
         // stat TYPE varies by writer (the direct writer stamps int stats,
         // the DSv2 sink promotes to long) — compare and read numerically
-        f.getName -> graft.sources.GavroFooter.read(f).stats.get("slot")
-          .filter(s => s.min.asInstanceOf[Number].longValue ==
-            s.max.asInstanceOf[Number].longValue)
-          .map(_.min.asInstanceOf[Number].intValue)
+        (f.getName,
+          graft.sources.GavroFooter.read(f).stats.get("slot")
+            .filter(s => s.min.asInstanceOf[Number].longValue ==
+              s.max.asInstanceOf[Number].longValue)
+            .map(_.min.asInstanceOf[Number].intValue),
+          Gavro.dataStore.length(f))
       }
       if (slotted.exists(_._2.isEmpty)) None // foreign layout → full rewrite
       else {
-        val hot = slotted.groupBy(_._2.get).filter(_._2.length >= minFilesPerSlot)
+        // BYTE-AWARE trigger: only files under the block target count as
+        // compaction debt — a slot holding a few near-target files is
+        // already well packed, and rewriting it would pay corpus-scale
+        // I/O to save nothing (the file-COUNT trigger this replaces
+        // compacted exactly those slots "too early" while being no
+        // earlier on a drizzle of tiny delta files). A hot slot still
+        // rewrites WHOLE (its big files too): the pinned read filters by
+        // slot value, so the replaced set must be every file holding the
+        // slot's rows.
+        val hot = slotted.groupBy(_._2.get)
+          .filter(_._2.count(_._3 < smallFileBytes) >= minFilesPerSlot)
         Some((hot.values.flatten.map(_._1).toSet, hot.keys.toSeq.sorted))
       }
     }
@@ -725,7 +749,8 @@ object LshIndex {
         .select(expr(
           "to_avro_graft(struct(band_idx, band_key, n, max_doc, slot), 'lsh_buckets')")
           .as("bin"), col("band_idx"), col("max_doc"), col("slot"))
-      (gone, Gavro.exactPartition(merged, "slot", NumBands * SaltM))
+      (gone, Gavro.exactPartition(merged, "slot", NumBands * SaltM)
+        .sortWithinPartitions(col("max_doc"))) // floor-aware block layout
     }, statCols = Seq("band_idx", "max_doc", "slot"))
     ()
   }

@@ -228,11 +228,14 @@ class GavroScanBuilder(full: StructType, path: String, schemaName: String,
     case LessThanOrEqual(a, v) => scalarField(a) && litOk(v)
     case IsNotNull(a) => scalarField(a)
     case IsNull(a) => scalarField(a)
-    // IN on a scalar field — the probe-list shape (`cell IN (probed…)`)
-    // an IVF index read pushes; capped so the per-record loop stays a
-    // short linear scan and the serialized pred stays small.
+    // IN on a scalar field — the probe-list shape (`cell IN (probed…)`,
+    // `band_key IN (touched…)`) the index reads push; capped at
+    // [[Gavro.InPushMax]] to bound the serialized pred (the skip proof is
+    // a binary search and the row eval a hash lookup, so neither needs
+    // the old 64-value guard).
     case In(a, vs) =>
-      scalarField(a) && vs.nonEmpty && vs.length <= 64 && vs.forall(litOk)
+      scalarField(a) && vs.nonEmpty && vs.length <= Gavro.InPushMax &&
+        vs.forall(litOk)
     case _ => false
   }
 
@@ -1104,8 +1107,42 @@ class GavroMicroBatchStream(path: String, schemaName: String,
 }
 
 /** Serializable reader-side form of one pushed conjunct. `value` is one of
-  * Int/Long/Double/Boolean/String (the builder admitted nothing else). */
+  * Int/Long/Double/Boolean/String (the builder admitted nothing else), or
+  * [[GavroSortedVals]] for an IN list. */
 case class GavroPred(name: String, op: String, value: Any) extends Serializable
+
+/** A pushed IN list SORTED ascending in the skip-proof's comparison order
+  * (homogeneous by construction — [[GavroSortedVals.build]] refuses mixed
+  * lists). Sortedness is what lets [[GavroSkip]] prove "no listed value in
+  * [min, max]" with one binary search instead of an O(values) scan per
+  * file/block — the proof cost that capped the pushable list at 64 values;
+  * with the log-time proof the cap rises to [[Gavro.InPushMax]] (a probe
+  * touching hundreds of buckets keeps block-level skipping). The reader's
+  * per-row eval hashes the values once ([[GavroPartitionReader]]). */
+case class GavroSortedVals(vals: Vector[Any]) extends Serializable
+
+object GavroSortedVals {
+  /** Sort + wrap when the list is homogeneous and sortable; otherwise
+    * return the plain Seq (linear proof and eval, as before). */
+  def build(vs: Seq[Any]): Any =
+    if (vs.isEmpty) vs
+    else vs.head match {
+      case _: String if vs.forall(_.isInstanceOf[String]) =>
+        GavroSortedVals(vs.asInstanceOf[Seq[String]].sorted.toVector)
+      case (_: Int | _: Long)
+          if vs.forall(v => v.isInstanceOf[Int] || v.isInstanceOf[Long]) =>
+        GavroSortedVals(
+          vs.sortBy(_.asInstanceOf[Number].longValue).toVector)
+      case _: Double if vs.forall(_.isInstanceOf[Double]) =>
+        GavroSortedVals(vs.asInstanceOf[Seq[Double]]
+          .sortWith(Gavro.compareSparkDoubles(_, _) < 0).map(d => d: Any)
+          .toVector)
+      case _: Boolean if vs.forall(_.isInstanceOf[Boolean]) =>
+        GavroSortedVals(vs.asInstanceOf[Seq[Boolean]].sorted
+          .map(b => b: Any).toVector)
+      case _ => vs
+    }
+}
 
 object GavroPred {
   def from(f: Filter): GavroPred = f match {
@@ -1116,7 +1153,7 @@ object GavroPred {
     case LessThanOrEqual(a, v) => GavroPred(a, "<=", v)
     case IsNotNull(a) => GavroPred(a, "notnull", null)
     case IsNull(a) => GavroPred(a, "isnull", null)
-    case In(a, vs) => GavroPred(a, "in", vs.toSeq)
+    case In(a, vs) => GavroPred(a, "in", GavroSortedVals.build(vs.toSeq))
     case other => throw new IllegalArgumentException(s"unpushable: $other")
   }
 }
@@ -1321,9 +1358,30 @@ object GavroSkip {
           case ">=" => cmp(s, s.max, p.value).exists(_ < 0)  // max < v
           case "<" => cmp(s, s.min, p.value).exists(_ >= 0)  // min >= v
           case "<=" => cmp(s, s.min, p.value).exists(_ > 0)  // min > v
-          case "in" => // every listed value provably outside [min, max]
-            p.value.asInstanceOf[Seq[Any]].forall(v =>
+          case "in" => p.value match {
+            // Sorted list ([[GavroSortedVals]]): exclude iff NO value lands
+            // in [min, max] — binary-search the first value ≥ min and check
+            // it against max. O(log values) per file/block instead of
+            // O(values), the proof cost that gates [[Gavro.InPushMax]].
+            case GavroSortedVals(vs) =>
+              if (vs.isEmpty) true
+              else cmp(s, s.min, vs(0)) match {
+                case None => false // type mismatch: cannot exclude
+                case Some(_) =>
+                  var lo = 0
+                  var hi = vs.length // first index with value ≥ min
+                  while (lo < hi) {
+                    val mid = (lo + hi) >>> 1
+                    if (cmp(s, s.min, vs(mid)).exists(_ <= 0)) hi = mid
+                    else lo = mid + 1
+                  }
+                  lo == vs.length || cmp(s, s.max, vs(lo)).exists(_ < 0)
+              }
+            // Plain list: every listed value provably outside [min, max].
+            case raw: Seq[_] => raw.forall(v =>
               cmp(s, s.min, v).exists(_ > 0) || cmp(s, s.max, v).exists(_ < 0))
+            case _ => false
+          }
           case _ => false // null-tests: never skip (corrupt channel)
         }
         case None => false
@@ -1502,6 +1560,17 @@ object GavroAggReader {
   val MaxGroups: Int = 1 << 16
 }
 
+object GavroPartitionReader {
+  /** Compiled per-row IN evaluators: values hashed once at reader
+    * construction so the decode loop pays O(1) per row regardless of the
+    * pushed list's length (see [[Gavro.InPushMax]]). `linear` keeps the
+    * exact mixed-type compare semantics for values the hash can't cover
+    * (e.g. a double column against an integral list). */
+  final case class InHashStr(set: java.util.HashSet[UTF8String])
+  final case class InHashLong(set: java.util.HashSet[java.lang.Long],
+      linear: Seq[Any])
+}
+
 class GavroPartitionReader(part: GavroInputPartition, schemaName: String,
     requiredNames: Array[String], preds: Array[GavroPred], limit: Int,
     readerJson: Option[String] = None)
@@ -1522,14 +1591,30 @@ class GavroPartitionReader(part: GavroInputPartition, schemaName: String,
     reader.fields.map(f => extNames.indexOf(f.name)).toArray
   // Pre-resolve each conjunct to (slot, op, comparison value); string
   // literals become UTF8String ONCE so the per-row compare is binary
-  // UTF-8 order (Spark's string ordering) with zero allocation.
+  // UTF-8 order (Spark's string ordering) with zero allocation. IN lists
+  // of strings / integral types hash into a set ONCE — with the pushdown
+  // cap at [[Gavro.InPushMax]] a linear per-row scan would multiply the
+  // decode loop by the list length.
   private val compiled: Array[(Int, String, Any)] = preds.map { p =>
     def conv(x: Any): Any = x match {
       case s: String => UTF8String.fromString(s)
       case other => other
     }
+    def prep(vs: Seq[Any]): Any = vs.headOption match {
+      case Some(_: String) if vs.forall(_.isInstanceOf[String]) =>
+        val set = new java.util.HashSet[UTF8String](vs.length * 2)
+        vs.foreach(s => set.add(UTF8String.fromString(s.asInstanceOf[String])))
+        GavroPartitionReader.InHashStr(set)
+      case Some(_: Int | _: Long)
+          if vs.forall(v => v.isInstanceOf[Int] || v.isInstanceOf[Long]) =>
+        val set = new java.util.HashSet[java.lang.Long](vs.length * 2)
+        vs.foreach(v => set.add(v.asInstanceOf[Number].longValue))
+        GavroPartitionReader.InHashLong(set, vs.map(conv))
+      case _ => vs.map(conv) // doubles/booleans/mixed: linear, exact semantics
+    }
     val v = p.value match {
-      case vs: Seq[_] => vs.map(conv) // IN list
+      case GavroSortedVals(vs) => prep(vs)
+      case vs: Seq[_] => prep(vs.asInstanceOf[Seq[Any]])
       case other => conv(other)
     }
     (extNames.indexOf(p.name), p.op, v)
@@ -1551,6 +1636,20 @@ class GavroPartitionReader(part: GavroInputPartition, schemaName: String,
   private var pos = 0
   private var row: InternalRow = _
 
+  // Linear IN fallback: any listed value equal under the same compare
+  // rules the comparison ops use (exact double semantics preserved).
+  private def inLinear(v: Any, els: Seq[Any]): Boolean = els.exists { el =>
+    (v, el) match {
+      case (a: Int, b: Number) => a.toLong == b.longValue
+      case (a: Long, b: Number) => a == b.longValue
+      case (a: Double, b: Number) =>
+        Gavro.compareSparkDoubles(a, b.doubleValue) == 0
+      case (a: Boolean, b: Boolean) => a == b
+      case (a: UTF8String, b: UTF8String) => a == b
+      case _ => false
+    }
+  }
+
   // SQL comparison semantics: NULL compared to anything is not-true, so a
   // comparison conjunct drops the row (this is exactly what the FilterExec
   // this pushdown replaced would have done — PERMISSIVE all-null rows
@@ -1565,18 +1664,19 @@ class GavroPartitionReader(part: GavroInputPartition, schemaName: String,
         case "isnull" => v == null
         case "notnull" => v != null
         case _ if v == null => false
-        case "in" => // any listed value equal under the same compare rules
-          w.asInstanceOf[Seq[Any]].exists { el =>
-            (v, el) match {
-              case (a: Int, b: Number) => a.toLong == b.longValue
-              case (a: Long, b: Number) => a == b.longValue
-              case (a: Double, b: Number) =>
-                Gavro.compareSparkDoubles(a, b.doubleValue) == 0
-              case (a: Boolean, b: Boolean) => a == b
-              case (a: UTF8String, b: UTF8String) => a == b
-              case _ => false
-            }
+        case "in" => w match {
+          case GavroPartitionReader.InHashStr(set) => v match {
+            case a: UTF8String => set.contains(a)
+            case _ => false // non-string value vs string list: no match
           }
+          case GavroPartitionReader.InHashLong(set, linear) => v match {
+            case a: Int => set.contains(a.toLong)
+            case a: Long => set.contains(a)
+            case _ => inLinear(v, linear) // e.g. double column, int list
+          }
+          case linear: Seq[_] => inLinear(v, linear.asInstanceOf[Seq[Any]])
+          case _ => false
+        }
         case _ =>
           val c = (v, w) match {
             case (a: Int, b: Number) => java.lang.Long.compare(a.toLong, b.longValue)
@@ -1651,6 +1751,16 @@ object Gavro {
     * the split/skip granularity contract is about decoded work per task,
     * not disk bytes. */
   val DefaultBlockBytes: Long = 1L << 20
+
+  /** Pushable IN-list cap. The historical 64 guarded two linear costs:
+    * the per-file/per-block skip proof and the per-row eval. Both are now
+    * sublinear for homogeneous lists — [[GavroSortedVals]] makes the proof
+    * a binary search, the reader hashes the values once — so the cap only
+    * bounds the serialized predicate riding to every task (~32 KB of
+    * md5-key strings at 1024). A probe whose key list exceeds this falls
+    * back to whatever coarser pushdown the caller keeps (slot lists, range
+    * floors); it never errors. */
+  val InPushMax: Int = 1024
 
   /** Commit-manifest directory name inside a gavro table path. */
   val CommitsDir = "_graft_commits"
@@ -1856,6 +1966,15 @@ object Gavro {
       }
     visible.sortBy(_.getName)
   }
+
+  /** Total live data bytes of a table — the snapshot-visible files'
+    * lengths summed. The size-tier signal for policies that trade fixed
+    * planning cost against scan I/O (e.g. the LSH probe's small-index
+    * fast path): file COUNT is the wrong proxy under exact-partitioned
+    * layouts, whose file count is fixed by the slot fan-out while bytes
+    * grow with the corpus. */
+  def tableDataBytes(path: String): Long =
+    listDataFiles(path).map(dataStore.length).sum
 
   /** Land one commit record making `files` visible; `name` must be unique
     * per commit (monotone for batch, epoch-deterministic for streaming so
@@ -2240,6 +2359,68 @@ object Gavro {
     toucher.setDaemon(true)
     toucher.start()
     try body finally { stop.set(true); toucher.join() }
+  }
+
+  /** The append WAL marker's file name — landed by [[withAppendMarker]]
+    * before a multi-table append's first commit and removed after its
+    * last, so a crash anywhere between the commits leaves durable
+    * evidence a reader can trip on instead of silently serving the torn
+    * state. */
+  val AppendMarkerName = "_graft_append_inflight"
+
+  /** A marker older than this is a CRASHED append (a live appender
+    * keep-alive-touches its marker through the writes); younger means an
+    * append is in flight — readers proceed (snapshot isolation keeps each
+    * table's scan consistent), a second APPEND refuses. */
+  val AppendStallMs: Long = 15L * 60 * 1000
+
+  /** Bracket a MULTI-TABLE append with the WAL marker: claimed
+    * put-if-absent (a crashed append's marker is torn-state EVIDENCE — a
+    * later appender must refuse over it, never bury it),
+    * keep-alive-touched through `body` (a long append never reads as
+    * crashed), deleted only after the last commit. One appender at a time
+    * per `dir` — the marker doubles as the mutual exclusion the
+    * commit-per-table protocol needs anyway. Single-table appends don't
+    * need this: one commit record is already atomic. */
+  def withAppendMarker[A](dir: String, stallMs: Long = AppendStallMs)
+      (body: => A): A = {
+    val marker = new java.io.File(dir, AppendMarkerName)
+    try store.putIfAbsent(marker, System.currentTimeMillis().toString)
+    catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        val age = System.currentTimeMillis() - store.mtime(marker)
+        throw new IllegalStateException(
+          if (age >= stallMs)
+            s"index at $dir is torn: a prior append crashed between " +
+              s"table commits (marker $age ms old) — rebuild the index " +
+              "before appending"
+          else
+            s"another append is in flight at $dir (marker $age ms old) — " +
+              "one appender at a time per index")
+    }
+    val out = withKeepAlive(marker)(body)
+    store.delete(marker)
+    out
+  }
+
+  /** Reader-side torn-append tripwire: fail LOUDLY when `dir` carries a
+    * STALE in-flight marker (the appender crashed between table commits —
+    * the tables are mutually inconsistent in ways per-table snapshot
+    * isolation cannot see). A young marker passes: that's an append
+    * legitimately in flight elsewhere. One mtime read, not
+    * exists-then-mtime — the appender can delete the marker between the
+    * two calls, and `lastModified` on a missing file is 0, which would
+    * read as an ancient marker and a spurious torn error. */
+  def requireNotTorn(dir: String, stallMs: Long = AppendStallMs): Unit = {
+    val markerMtime = store.mtime(new java.io.File(dir, AppendMarkerName))
+    if (markerMtime > 0L) {
+      val age = System.currentTimeMillis() - markerMtime
+      require(age < stallMs,
+        s"index at $dir is torn: an append's in-flight marker is " +
+          s"$age ms old (> $stallMs) — the appender crashed between " +
+          "table commits; rebuild the index (or restore it from the " +
+          "pre-append snapshot) before reading or appending")
+    }
   }
 
   /** [[rewriteTable]]'s staging pass: write `bins`' partitions as hidden

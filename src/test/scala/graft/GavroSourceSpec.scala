@@ -473,6 +473,104 @@ class GavroSourceSpec extends SparkSpec {
     assert(filtered.count() == expected)
   }
 
+  test("IN lists past 64 values push: blocks skip, no residual filter, rows exact") {
+    val events = Tables.events(spark, dir)
+    val out = tmpDir("bigin")
+    // One id-sorted file with small blocks: a clustered 200-value IN list
+    // must skip the blocks outside its id band. Pre-r15 the 64-value cap
+    // kept this list out of the reader entirely (full scan + FilterExec).
+    Gavro.write(events
+      .select(AvroCodec.requestLogRec.as("rec"))
+      .select(expr("to_avro_graft(rec, 'request_log')").as("bin"),
+        col("rec.id").as("id"))
+      .orderBy(col("id")).coalesce(1), out,
+      blockBytes = 8192L, statCols = Seq("id"))
+    val ids = events.select(col("event_id")).orderBy(col("event_id"))
+      .limit(200).collect().map(_.getLong(0)).toSeq
+    assert(ids.length > 64)
+    def scanOf(d: org.apache.spark.sql.DataFrame) =
+      d.queryExecution.executedPlan.collect {
+        case b: BatchScanExec => b }.head
+    val all = spark.read.format("gavro")
+      .option("schema", "request_log").load(out).select(col("id"))
+    val totalBlocks = scanOf(all).inputRDD.getNumPartitions
+    assert(totalBlocks > 4, s"need a multi-block file, got $totalBlocks")
+    val filtered = spark.read.format("gavro")
+      .option("schema", "request_log").load(out)
+      .filter(col("id").isin(ids.map(Long.box): _*)).select(col("id"))
+    // fully pushed: nothing left for Spark to re-filter
+    assert(filtered.queryExecution.executedPlan.collect {
+      case f: org.apache.spark.sql.execution.FilterExec => f }.isEmpty)
+    val opened = scanOf(filtered).inputRDD.getNumPartitions
+    assert(opened < totalBlocks,
+      s"expected block pruning for the 200-value IN, opened $opened of $totalBlocks")
+    assert(filtered.collect().map(_.getLong(0)).toSet == ids.toSet)
+    // and a STRING list past 64 pushes too (the LSH band_key shape:
+    // session_id is an md5 hex key)
+    val sOut = tmpDir("bigin_str")
+    Gavro.write(events
+      .select(AvroCodec.requestLogRec.as("rec"))
+      .select(expr("to_avro_graft(rec, 'request_log')").as("bin"),
+        col("rec.session_id").as("session_id"))
+      .orderBy(col("session_id")).coalesce(1), sOut,
+      blockBytes = 8192L, statCols = Seq("session_id"))
+    val keys = events
+      .select(md5(col("event_id").cast("string")).as("k")).distinct()
+      .orderBy(col("k")).limit(100).collect().map(_.getString(0)).toSeq
+    assert(keys.length > 64)
+    val sFiltered = spark.read.format("gavro")
+      .option("schema", "request_log").load(sOut)
+      .filter(col("session_id").isin(keys: _*))
+      .select(col("session_id"))
+    assert(sFiltered.queryExecution.executedPlan.collect {
+      case f: org.apache.spark.sql.execution.FilterExec => f }.isEmpty)
+    assert(sFiltered.collect().map(_.getString(0)).toSet == keys.toSet)
+  }
+
+  test("sorted IN skip proof: binary search agrees with the linear proof at every edge") {
+    import graft.sources.{GavroColStat, GavroPred, GavroSkip, GavroSortedVals}
+    def both(stat: GavroColStat, vs: Seq[Any]): (Boolean, Boolean) = {
+      val stats = Map("k" -> stat)
+      val sorted = GavroPred("k", "in", GavroSortedVals.build(vs))
+      sorted.value match {
+        case _: GavroSortedVals => ()
+        case other => fail(s"expected sorted wrapper, got $other")
+      }
+      (GavroSkip.exclude(stats, Seq(sorted)),
+        GavroSkip.exclude(stats, Seq(GavroPred("k", "in", vs))))
+    }
+    val sStat = GavroColStat(2, "f", "m")
+    val stringCases = Seq(
+      Seq("a", "b"), Seq("x", "z"), Seq("a", "z"), Seq("g"),
+      Seq("f"), Seq("m"), Seq("e"), Seq("n"),
+      Seq("a", "e", "n", "z"), Seq("a", "b", "c", "d", "e"),
+      Seq("n", "o", "p"), Seq("f", "m"), Seq("fa"), Seq("mz"))
+    stringCases.foreach { vs =>
+      val (bin, lin) = both(sStat, vs)
+      assert(bin == lin, s"disagree on $vs: binary=$bin linear=$lin")
+    }
+    val lStat = GavroColStat(0, 100L, 200L)
+    val longCases = Seq(
+      Seq(1L, 2L), Seq(300L, 400L), Seq(1L, 500L), Seq(150L),
+      Seq(100L), Seq(200L), Seq(99L), Seq(201L), Seq(99L, 201L),
+      (0L until 90L).toSeq, (201L until 400L).toSeq,
+      Seq(50L, 99L, 150L, 250L))
+    longCases.foreach { vs =>
+      val (bin, lin) = both(lStat, vs.map(v => v: Any))
+      assert(bin == lin, s"disagree on longs $vs: binary=$bin linear=$lin")
+    }
+    // unsorted direct construction (test-style preds) keeps working:
+    // 150 ∈ [100, 200] → cannot exclude, even listed out of order
+    assert(GavroSkip.exclude(Map("k" -> lStat),
+      Seq(GavroPred("k", "in", Seq(300L, 150L, 1L)))) == false)
+    // …and all-outside excludes, also out of order
+    assert(GavroSkip.exclude(Map("k" -> lStat),
+      Seq(GavroPred("k", "in", Seq(300L, 1L)))) == true)
+    // type-mismatched sorted list can never exclude
+    assert(GavroSkip.exclude(Map("k" -> lStat),
+      Seq(GavroPred("k", "in", GavroSortedVals.build(Seq("a", "b"))))) == false)
+  }
+
   test("an evolved reader schema resolves inside the scan") {
     import org.apache.spark.sql.types.{DoubleType, LongType}
     val events = Tables.events(spark, dir)

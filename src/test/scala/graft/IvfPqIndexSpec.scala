@@ -266,6 +266,43 @@ class IvfPqIndexSpec extends SparkSpec {
     assert(cellFiles() == after)
   }
 
+  test("byte-aware cell trigger: no small-file debt means no rewrite, however many files") {
+    val dir = freshDir("bytes").getAbsolutePath
+    IvfPqIndex.buildAndWrite(emb, dir)
+    val n = emb.count()
+    val delta = emb.filter(col("vec_id") < 5)
+      .select((col("vec_id") + n).as("vec_id"),
+        expr("cast(embedding as array<double>)").as("v"))
+      .localCheckpoint(true)
+    IvfPqIndex.appendToIndex(spark, dir, delta)
+    IvfPqIndex.appendToIndex(spark, dir,
+      delta.select((col("vec_id") + n).as("vec_id"), col("v")))
+    def cellFiles(): Map[String, Int] =
+      Gavro.listDataFiles(s"$dir/codes").map { f =>
+        val s = graft.sources.GavroFooter.read(f).stats("cell")
+        f.getName -> s.min.asInstanceOf[Number].intValue
+      }.toMap
+    val before = cellFiles()
+    val hotCells = before.groupBy(_._2).view.mapValues(_.size).toMap
+      .filter(_._2 > IvfPqIndex.SaltM + 1).keySet
+    assert(hotCells.nonEmpty)
+    // a small-file threshold below every live file: zero debt anywhere —
+    // the pass must be a byte-identical no-op even though the hot cells
+    // exceed the COUNT threshold (the pre-r15 rule would rewrite them)
+    IvfPqIndex.maintainIncremental(spark, dir, smallFileBytes = 1L)
+    assert(cellFiles() == before, "no-debt pass must not rewrite anything")
+    // at the production threshold every fixture file is small → exactly
+    // the over-count cells compact, cold names stable
+    val coldFiles = before.filterNot(f => hotCells(f._2)).keySet
+    IvfPqIndex.maintainIncremental(spark, dir)
+    val after = cellFiles()
+    assert(coldFiles.subsetOf(after.keySet),
+      s"cold files rewritten: ${coldFiles -- after.keySet}")
+    hotCells.foreach { c =>
+      assert(after.count(_._2 == c) <= IvfPqIndex.SaltM,
+        s"cell $c not compacted") }
+  }
+
   test("prebuilt index serves a query stream: per-trigger answers, index untouched") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import scala.jdk.CollectionConverters._

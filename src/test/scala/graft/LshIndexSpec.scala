@@ -290,6 +290,52 @@ class LshIndexSpec extends SparkSpec {
     assert(bandFiles() == after)
   }
 
+  /** Run `body` with the probe's small-index fast path pinned OFF (prune
+    * always) or ON (prune never) — the spec corpora sit under the
+    * production byte threshold, so the pruning behaviors under test need
+    * the knob. */
+  private def withPruneMinBytes[A](v: Long)(body: => A): A = {
+    val key = "graft.lsh.probe.prune.min.bytes"
+    val old = sys.props.get(key)
+    sys.props(key) = v.toString
+    try body
+    finally old match {
+      case Some(s) => sys.props(key) = s
+      case None => sys.props -= key; ()
+    }
+  }
+
+  test("small-index fast path: answers hash-equal to the pruned plan, fewer fixed waves") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("lsh_fast").toString
+    LshIndex.buildAndWrite(docs, dir)
+    val floor = 50000L
+    val someText = docs.orderBy(col("doc_id")).limit(1).collect()(0)
+      .getAs[String]("text")
+    val delta = Seq(
+      (floor + 1, someText.substring(someText.indexOf(' ') + 1)),
+      (floor + 2, "zzqx glorp wibble frotz yoik snarf blib quux nargle veep"))
+      .toDF("doc_id", "text").localCheckpoint(true)
+    def run(): (Set[(Long, Long, Double)], Int) = {
+      val (pairs, opened) = graft.sources.Gavro.trackFileOpens {
+        LshIndex.probeBatch(spark, dir, delta, floor).collect()
+          .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
+            r.getAs[Double]("est_jaccard"))).toSet
+      }
+      (pairs, opened.count(_.contains("/bands/")))
+    }
+    // fixture index is far below the default threshold → fast path
+    val (fastPairs, fastOpens) = run()
+    // force pruning → the r14-shaped plan
+    val (prunedPairs, prunedOpens) = withPruneMinBytes(0L)(run())
+    assert(fastPairs.nonEmpty && fastPairs == prunedPairs,
+      "fast path and pruned path must answer identically")
+    // and the knob really switches plans: the pruned probe opens a strict
+    // subset of the band files the unpruned one scans
+    assert(prunedOpens < fastOpens,
+      s"expected pruned opens ($prunedOpens) < fast-path opens ($fastOpens)")
+  }
+
   test("slot pruning: a small probe opens few band files, flat as the corpus grows") {
     import spark.implicits._
     // Same collision-free filler as the shuffle-bytes test: the probe's
@@ -321,8 +367,11 @@ class LshIndexSpec extends SparkSpec {
       }
       (opened.count(_.contains("/bands/")), total, pairs)
     }
-    val (openedSmall, totalSmall, pairsSmall) = probeOpens(2000)
-    val (openedBig, totalBig, pairsBig) = probeOpens(8000)
+    // corpora here sit under the production byte threshold — pin the
+    // pruned path on (the fast-path-vs-pruned equivalence has its own
+    // spec above)
+    val ((openedSmall, totalSmall, pairsSmall), (openedBig, totalBig, pairsBig)) =
+      withPruneMinBytes(0L)((probeOpens(2000), probeOpens(8000)))
     assert(pairsSmall.nonEmpty && pairsSmall == pairsBig,
       "filler must not change the probe answer")
     // the salted build lays out one slot per file
@@ -387,8 +436,10 @@ class LshIndexSpec extends SparkSpec {
       }
       (bytes, pairs)
     }
-    val (smallBytes, smallPairs) = probeBytes(2000)
-    val (bigBytes, bigPairs) = probeBytes(8000)
+    // pin the pruned path (same reasoning as the file-opens spec): the
+    // O(Δ)-shuffle claim is the PRUNED plan's 100 TB contract
+    val ((smallBytes, smallPairs), (bigBytes, bigPairs)) =
+      withPruneMinBytes(0L)((probeBytes(2000), probeBytes(8000)))
     assert(smallPairs.nonEmpty && smallPairs == bigPairs,
       "filler must not change the probe answer")
     assert(bigBytes < math.max(smallBytes * 3 / 2, smallBytes + 64 * 1024),
@@ -444,6 +495,144 @@ class LshIndexSpec extends SparkSpec {
     // docs under 3 tokens sketch to nothing — same as empty, no crash
     val short = Seq((50001L, "too short")).toDF("doc_id", "text")
     assert(LshIndex.probeBatch(spark, dir, short, 50000L).collect().isEmpty)
+  }
+
+  test("a probe touching >64 buckets answers exactly (key pushdown past the old IN cap)") {
+    import spark.implicits._
+    // A 20-doc delta touches ~120 buckets — past the pre-r15 64-value IN
+    // cap (which silently dropped ALL record/block-level skipping for
+    // such probes), within [[Gavro.InPushMax]]. The contract is the same
+    // equality every probe path carries: pushed-keys plan ≡ the in-query
+    // incremental rebuild.
+    val floor = 50000L
+    val sources = docs.orderBy(col("doc_id")).limit(10).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text"))
+    val nearDups = sources.zipWithIndex.map { case ((_, t), i) =>
+      (floor + i, t.substring(t.indexOf(' ') + 1)) }
+    val novel = (0 until 10).map(i => (floor + 100 + i,
+      (0 until 12).map(j => s"nv${i}x$j").mkString(" ")))
+    val delta = (nearDups ++ novel).toSeq.toDF("doc_id", "text")
+      .localCheckpoint(true)
+    val touched = Dedup.bands(Dedup.minhashSignatures(delta))
+      .select(col("band_idx"), col("band_key")).distinct().count()
+    assert(touched > 64, s"delta only touches $touched buckets — grow it")
+    val dir = java.nio.file.Files.createTempDirectory("lsh_bigin").toString
+    LshIndex.buildAndWrite(docs, dir)
+    val probed = withPruneMinBytes(0L) {
+      LshIndex.probeBatch(spark, dir, delta, floor).collect()
+        .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
+          r.getAs[Double]("est_jaccard"))).toSet
+    }
+    val rebuilt = Dedup.minhashIncremental(docs.unionByName(delta), floor)
+      .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
+        r.getAs[Double]("est_jaccard"))).toSet
+    assert(probed.nonEmpty && probed == rebuilt)
+  }
+
+  test("floor-aware occupancy: maintained buckets files sort by max_doc; a recent-floor scan skips blocks") {
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    import graft.sources.Gavro
+    val dir = java.nio.file.Files.createTempDirectory("lsh_floor").toString
+    val documents = Tables.documents(spark, sfDir)
+    LshIndex.buildAndWrite(docs, dir)
+    val planted = graft.ops.Dedup.nearCorpus(documents)
+      .filter(col("doc_id") >= LshIndex.NewFrom)
+    (0 until 3).foreach(r => LshIndex.appendBatch(spark, dir,
+      planted.filter(pmod(col("doc_id"), lit(3)) === r)))
+    def probe() = LshIndex.probeMaterialized(spark, dir, LshIndex.NewFrom)
+      .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
+        r.getAs[Double]("est_jaccard"))).toSeq
+    val before = probe()
+    assert(before.nonEmpty)
+    // tiny blocks so the merged slot files carry MANY per-block stats —
+    // at production block size the fixture table is single-block per file
+    LshIndex.maintain(spark, dir, blockBytes = 512L)
+    assert(probe() == before)
+    // layout: every buckets file non-decreasing in max_doc (block footer
+    // ranges are tight exactly when this holds)
+    Gavro.listDataFiles(s"$dir/buckets").foreach { f =>
+      val meta = graft.sources.GavroFooter.read(f)
+      val ms = meta.blockStats.map(_("max_doc"))
+      assert(ms.nonEmpty, s"${f.getName}: no per-block max_doc stats")
+      ms.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a.max.asInstanceOf[Number].longValue <=
+            b.min.asInstanceOf[Number].longValue ||
+            a.max.asInstanceOf[Number].longValue <=
+              b.max.asInstanceOf[Number].longValue,
+            s"${f.getName}: blocks not max_doc-ordered")
+        case _ => ()
+      }
+    }
+    // the probe's hot-bucket discovery shape: max_doc >= recent floor.
+    // Post-maintain every slot file spans all history, so FILE stats
+    // can't skip — the sorted blocks must.
+    def partitions(d: org.apache.spark.sql.DataFrame): Int =
+      d.queryExecution.executedPlan.collect {
+        case b: BatchScanExec => b }.head.inputRDD.getNumPartitions
+    val all = spark.read.format("gavro").option("schema", "lsh_buckets")
+      .load(s"$dir/buckets").select(col("band_idx"), col("band_key"))
+    val hot = spark.read.format("gavro").option("schema", "lsh_buckets")
+      .load(s"$dir/buckets").filter(col("max_doc") >= LshIndex.NewFrom)
+      .select(col("band_idx"), col("band_key"))
+    val (totalBlocks, hotBlocks) = (partitions(all), partitions(hot))
+    assert(totalBlocks > 48, s"need multi-block files, got $totalBlocks")
+    assert(hotBlocks < totalBlocks / 2,
+      s"recent-floor scan read $hotBlocks of $totalBlocks blocks")
+    // and the skipped blocks hid nothing: row-exact vs an unpruned count
+    assert(hot.count() == all.count() - spark.read.format("gavro")
+      .option("schema", "lsh_buckets").load(s"$dir/buckets")
+      .filter(col("max_doc") < LshIndex.NewFrom).count())
+  }
+
+  test("byte-aware incremental trigger: only slots with enough SMALL-file debt compact") {
+    import spark.implicits._
+    import graft.sources.{Gavro, GavroFooter}
+    val dir = java.nio.file.Files.createTempDirectory("lsh_bytes").toString
+    LshIndex.buildAndWrite(docs, dir) // base slot files: a few KB each
+    def files(): Map[String, (Int, Long)] =
+      Gavro.listDataFiles(s"$dir/bands").map { f =>
+        f.getName -> (GavroFooter.read(f).stats("slot")
+          .min.asInstanceOf[Number].intValue, Gavro.dataStore.length(f))
+      }.toMap
+    // the size frontier between the base slot files (thousands of rows
+    // each) and the tiny per-trigger delta files appended below
+    val baseMin = files().values.map(_._2).min
+    val floor = 50000L
+    val someText = docs.orderBy(col("doc_id")).limit(1).collect()(0)
+      .getAs[String]("text")
+    val delta = Seq(
+      (floor + 1, someText.substring(someText.indexOf(' ') + 1)),
+      (floor + 2, "zzqx glorp wibble frotz yoik snarf blib quux nargle veep"))
+      .toDF("doc_id", "text")
+    LshIndex.appendBatch(spark, dir, delta)
+    val afterOne = files()
+    assert(afterOne.values.exists(_._2 < baseMin),
+      "delta files must undercut the base files for this test's frontier")
+    // a small-file threshold BELOW every file size: nothing is debt, the
+    // pass must be a byte-identical no-op even though the old COUNT rule
+    // sees 2-file slots everywhere it appended
+    LshIndex.maintainIncremental(spark, dir, smallFileBytes = 1L)
+    assert(files() == afterOne, "no-debt pass must not rewrite anything")
+    LshIndex.appendBatch(spark, dir, delta
+      .select((col("doc_id") + 10).as("doc_id"), col("text")))
+    val afterTwo = files()
+    // with the frontier as the threshold, debt = the delta files only: a
+    // slot compacts iff it collected TWO of them (the big base file alone
+    // never counts, however many bytes it holds)
+    val small = afterTwo.filter(_._2._2 < baseMin)
+    val hotSlots = small.groupBy(_._2._1).filter(_._2.size >= 2).keySet
+    assert(hotSlots.nonEmpty, "test needs slots with two small delta files")
+    val coldFiles = afterTwo.filterNot(f => hotSlots(f._2._1)).keySet
+    LshIndex.maintainIncremental(spark, dir, smallFileBytes = baseMin)
+    val afterMaint = files()
+    // exactly the over-budget slots compacted; every other file survives
+    assert(coldFiles.subsetOf(afterMaint.keySet),
+      s"cold files rewritten: ${coldFiles -- afterMaint.keySet}")
+    hotSlots.foreach { s =>
+      assert(afterMaint.count(_._2._1 == s) == 1, s"slot $s not compacted") }
+    // answers unchanged through it all
+    assert(LshIndex.probeMaterialized(spark, dir, floor).collect().nonEmpty)
   }
 
   test("band_idx footer stats slice the bands table by band") {
