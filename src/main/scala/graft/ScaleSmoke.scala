@@ -16,9 +16,31 @@ import org.apache.spark.sql.functions._
   *   section:  docs | temporal | round7 | all (default all)
   */
 object ScaleSmoke {
+
+  /** Key measures as JSON lines, printed AND (when
+    * `SPARK_GRAFT_SCALESMOKE_OUT` names a file) appended to a committed
+    * artifact — so round-over-round probe-shuffle and file-open numbers
+    * are diffable without log archaeology. Human-narrative printlns stay
+    * console-only. */
+  private val outPath = sys.env.get("SPARK_GRAFT_SCALESMOKE_OUT")
+  private def emit(json: String): Unit = {
+    println(json)
+    outPath.foreach { p =>
+      java.nio.file.Files.write(java.nio.file.Paths.get(p),
+        (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8),
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.APPEND)
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val replicas = args.headOption.map(_.toInt).getOrElse(20)
     val section = args.lift(1).getOrElse("all")
+    // ScaleSmoke measures the PRUNED probe plan — the 100 TB contract
+    // (shuffle and file opens corpus-flat). The small-index fast path is
+    // a fixture-scale latency feature with its own spec; left on, a
+    // small-replica run would silently measure the wrong plan.
+    sys.props.getOrElseUpdate("graft.lsh.probe.prune.min.bytes", "0")
     // One JSON stamp line per run ([[Canonical]] — the shared gate), so
     // PROGRESS can cite exactly one authoritative run per section
     // instead of reconciling unlabeled reruns.
@@ -40,8 +62,9 @@ object ScaleSmoke {
     if (section == "round12") round12Section(spark, replicas)
     if (section == "round13") round13Section(spark, replicas)
     if (section == "round14") round14Section(spark, replicas)
+    if (section == "round15") round15Section(spark, replicas)
     val loadavgEnd = Canonical.readLoadavg()
-    println(s"""{"harness":"scale_smoke","section":"$section",""" +
+    emit(s"""{"harness":"scale_smoke","section":"$section",""" +
       s""""replicas":$replicas,""" +
       s""""loadavg_start":${loadavgStart.mkString("[", ",", "]")},""" +
       s""""loadavg":${loadavgEnd.mkString("[", ",", "]")},""" +
@@ -116,9 +139,13 @@ object ScaleSmoke {
     val serialBandsWall = timed("write_bands_serialized") {
       Gavro.write(Gavro.exactPartition(bandBins, "band_idx", 6), db2,
         statCols = Seq("band_idx", "slot")) }
-    println(s"writer files salted: sigs=${gavroFiles(ds1)} " +
-      s"bands=${gavroFiles(db1)} vs serialized: sigs=${gavroFiles(ds2)} " +
-      s"bands=${gavroFiles(db2)}")
+    emit(s"""{"harness":"scale_smoke","metric":"lsh_write_parallelism",""" +
+      s""""replicas":$replicas,"salted_sigs_s":$saltedSigsWall,""" +
+      s""""serial_sigs_s":$serialSigsWall,""" +
+      s""""salted_bands_s":$saltedBandsWall,""" +
+      s""""serial_bands_s":$serialBandsWall,""" +
+      s""""files_salted":{"sigs":${gavroFiles(ds1)},"bands":${gavroFiles(db1)}},""" +
+      s""""files_serial":{"sigs":${gavroFiles(ds2)},"bands":${gavroFiles(db2)}}}""")
     val (salted, serial) =
       (saltedSigsWall + saltedBandsWall, serialSigsWall + serialBandsWall)
     println(f"index write wall salted/serialized: $salted%.2f / " +
@@ -147,13 +174,16 @@ object ScaleSmoke {
       (floor + 2, "zzqx glorp wibble frotz yoik snarf blib quux nargle veep"))
       .toDF("doc_id", "text").localCheckpoint(true)
     var pairs = 0L
+    var probeWall = 0.0
     val (_, opened) = Gavro.trackFileOpens {
-      timed("lsh_probe_2doc") {
+      probeWall = timed("lsh_probe_2doc") {
         pairs = LshIndex.probeBatch(spark, dirNew, tinyDelta, floor).count() }
     }
     val bandOpens = opened.count(_.contains("/bands/"))
-    println(s"probe opened $bandOpens/${gavroFiles(s"$dirNew/bands")} band " +
-      s"files, pairs=$pairs")
+    emit(s"""{"harness":"scale_smoke","metric":"lsh_probe_file_pruning",""" +
+      s""""replicas":$replicas,"band_files_opened":$bandOpens,""" +
+      s""""band_files_total":${gavroFiles(s"$dirNew/bands")},""" +
+      s""""pairs":$pairs,"wall_s":$probeWall}""")
 
     // ---- (c) maintain after per-trigger appends
     val delta = corpus.filter(pmod(col("doc_id"), lit(50)) === 0)
@@ -167,15 +197,71 @@ object ScaleSmoke {
     val occBefore = LshIndex.loadBuckets(spark, dirNew).count()
     val probeBefore = LshIndex
       .probeMaterialized(spark, dirNew, floor).count()
-    timed("lsh_maintain") { LshIndex.maintain(spark, dirNew) }
+    val maintainWall = timed("lsh_maintain") { LshIndex.maintain(spark, dirNew) }
     val occAfter = LshIndex.loadBuckets(spark, dirNew).count()
     val probeAfter = LshIndex.probeMaterialized(spark, dirNew, floor).count()
-    println(s"occupancy rows $occBefore -> $occAfter; " +
-      s"probe pairs $probeBefore -> $probeAfter")
+    emit(s"""{"harness":"scale_smoke","metric":"lsh_maintain",""" +
+      s""""replicas":$replicas,"wall_s":$maintainWall,""" +
+      s""""occupancy_rows_before":$occBefore,""" +
+      s""""occupancy_rows_after":$occAfter,""" +
+      s""""probe_pairs_before":$probeBefore,"probe_pairs_after":$probeAfter}""")
     assert(probeBefore == probeAfter && probeBefore > 0,
       s"maintain changed the probe answer: $probeBefore -> $probeAfter")
     assert(occAfter < occBefore,
       s"maintain did not merge occupancy: $occBefore -> $occAfter")
+  }
+
+  /** Round-15 addition: the MID-SIZE probe shape the raised IN cap
+    * ([[graft.sources.Gavro.InPushMax]]) unlocks — a 100-doc delta
+    * touches ~600 buckets, past the old 64-value cap (which silently
+    * dropped ALL record/block skipping there) and comfortably within the
+    * new one, so its band_key list pushes into every bands/buckets scan.
+    * Measured against the 2-doc shape on the same index: file opens stay
+    * bounded by the touched slots, shuffle stays O(Δ), answers pinned by
+    * the pair count. */
+  private def round15Section(spark: SparkSession, replicas: Int): Unit = {
+    import graft.ops.LshIndex
+    import graft.sources.Gavro
+    val docsBase = graft.sources.Tables.documents(spark, "/root/testdata/sf0.1")
+      .select(col("doc_id"), col("text"))
+    val corpus = docsBase.crossJoin(spark.range(replicas).toDF("rep"))
+      .select((col("doc_id") * replicas + col("rep")).as("doc_id"),
+        concat(col("text"), lit(" r"), col("rep")).as("text"))
+      .localCheckpoint(true)
+    println(s"corpus: ${corpus.count()} docs (${replicas}x sf0.1)")
+    val dir = java.nio.file.Files.createTempDirectory("smoke-lsh-r15").toString
+    val t0 = System.nanoTime()
+    LshIndex.buildAndWrite(corpus, dir)
+    println(f"build ${(System.nanoTime() - t0) / 1e9}%.2f s")
+    val floor = 1000000000L
+    // 90 collision-free novel docs + 10 near-dups: ~600 touched buckets
+    val novel = spark.range(90)
+      .select((col("id") + floor + 100000).as("doc_id"),
+        expr("concat_ws(' ', transform(sequence(0, 39), " +
+          "i -> substring(md5(concat(cast(id as string), '-', cast(i as string))), 1, 8)))")
+          .as("text"))
+    val nearDups = docsBase.filter(pmod(col("doc_id"), lit(50)) === 0)
+      .limit(10)
+      .select((col("doc_id") + floor).as("doc_id"),
+        expr("substring(text, instr(text, ' ') + 1)").as("text"))
+    val delta = novel.unionByName(nearDups).localCheckpoint(true)
+    val touched = graft.ops.Dedup
+      .bands(graft.ops.Dedup.minhashSignatures(delta))
+      .select(col("band_idx"), col("band_key")).distinct().count()
+    var pairs = 0L
+    val t1 = System.nanoTime()
+    val (_, opened) = Gavro.trackFileOpens {
+      pairs = LshIndex.probeBatch(spark, dir, delta, floor).count()
+    }
+    emit(s"""{"harness":"scale_smoke","metric":"lsh_probe_midsize",""" +
+      s""""replicas":$replicas,"delta_docs":100,""" +
+      s""""touched_buckets":$touched,""" +
+      s""""band_files_opened":${opened.count(_.contains("/bands/"))},""" +
+      s""""band_files_total":48,"pairs":$pairs,""" +
+      s""""wall_s":${(System.nanoTime() - t1) / 1e9}}""")
+    assert(touched > 64 && touched <= Gavro.InPushMax,
+      s"mid-size delta touched $touched buckets — outside the shape under test")
+    assert(pairs >= 10, s"near-dups must pair: $pairs")
   }
 
   /** Round-13 addition: the LSH probe's O(Δ) contract measured in SHUFFLE
@@ -236,15 +322,18 @@ object ScaleSmoke {
       val bytes = shuffled {
         pairs = graft.ops.LshIndex.probeBatch(spark, dir, delta, floor).count()
       }
-      println(f"  lsh_probe replicas=$r%d shuffle_bytes=$bytes%d " +
-        f"pairs=$pairs%d wall=${(System.nanoTime() - t1) / 1e9}%.2f s")
+      emit(s"""{"harness":"scale_smoke","metric":"lsh_probe_shuffle",""" +
+        s""""replicas":$r,"shuffle_bytes":$bytes,"pairs":$pairs,""" +
+        s""""wall_s":${(System.nanoTime() - t1) / 1e9}}""")
       corpus.unpersist()
       bytes
     }
     val small = measure(replicas)
     val big = measure(replicas * 5 / 2)
-    println(f"probe shuffle bytes ${replicas}x -> ${replicas * 5 / 2}x: " +
-      f"$small%d -> $big%d (${big.toDouble / small}%.2fx)")
+    emit(s"""{"harness":"scale_smoke","metric":"lsh_probe_shuffle_ratio",""" +
+      s""""replicas_small":$replicas,"replicas_big":${replicas * 5 / 2},""" +
+      s""""bytes_small":$small,"bytes_big":$big,""" +
+      s""""ratio":${big.toDouble / small}}""")
     // Same guard as the unit test: the ratio bound plus an absolute-bytes
     // floor, so a run with a small absolute baseline cannot fail on fixed
     // per-job overhead noise rather than real O(corpus) growth.

@@ -340,6 +340,21 @@ object LshIndex {
         .filter(col("doc_id") >= NewFrom),
       NewFrom)
 
+  /** [[probeNewBatch]] with the scan pruning FORCED on, fast path off —
+    * registered so the DuckDB oracle pins the PRUNED plan (slot lists,
+    * pushed band_key IN — past 64 values at sf ≥ 0.01) at every scale
+    * factor, not just the fixture-scale fast path the default threshold
+    * selects there. Same oracle SQL as the default probe: two plans, one
+    * answer, both gate-checked every round. */
+  def probeNewBatchPruned(spark: SparkSession, sfDir: String): DataFrame = {
+    val deltaSigs = Dedup.minhashSignatures(
+        Dedup.nearCorpus(Tables.documents(spark, sfDir))
+          .filter(col("doc_id") >= NewFrom))
+      .select(col("doc_id"), col("sig")).localCheckpoint(true)
+    probeIndexed(spark, ensure(spark, sfDir), Some(deltaSigs), NewFrom,
+      forcePrune = true)
+  }
+
   /** The serving form: probe an EXPLICIT arriving batch (doc_id, text)
     * against an index at `dir`. `newFrom` is the id floor of the batch —
     * pairs are restricted to those touching it. Sketch cost O(|delta|);
@@ -402,7 +417,8 @@ object LshIndex {
     * no pairs in [[Dedup.bandProbe]] either, so restricting every stage
     * to probe-relevant buckets is result-identical. */
   private def probeIndexed(spark: SparkSession, dir: String,
-      deltaSigs: Option[DataFrame], newFrom: Long): DataFrame = {
+      deltaSigs: Option[DataFrame], newFrom: Long,
+      forcePrune: Boolean = false): DataFrame = {
     // TORN-APPEND TRIPWIRE ([[Gavro.requireNotTorn]]'s scaladoc has the
     // why): a stale in-flight marker means an append crashed between its
     // three table commits — fail LOUDLY instead of silently missing the
@@ -428,7 +444,7 @@ object LshIndex {
     // the threshold's definition, a few blocks. (File COUNT can't carry
     // this decision: the slot layout fixes the file count at 6·SaltM
     // regardless of corpus size — bytes are what grow.)
-    val smallIndex =
+    val smallIndex = !forcePrune &&
       Gavro.tableDataBytes(s"$dir/bands") < probePruneMinBytes
     val (hotKeys, slots, keys) = if (smallIndex) (hotFrame, None, None) else {
       // The touched-bucket set comes to the DRIVER in one job: it is
@@ -806,6 +822,7 @@ object LshIndex {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "lsh_index_build" -> ((s, d) => buildIndexSummary(s, d)),
     "lsh_index_probe" -> ((s, d) => probeNewBatch(s, d)),
+    "lsh_index_probe_pruned" -> ((s, d) => probeNewBatchPruned(s, d)),
     "lsh_index_append" -> ((s, d) => probeAppended(s, d)),
     "lsh_index_compact_probe" -> ((s, d) => probeCompacted(s, d)),
     "lsh_bucket_stats" -> ((s, d) => bucketStats(s, d)),
@@ -836,7 +853,10 @@ object LshIndex {
     // what the union probe and the in-query rebuild answer — sharing the
     // literal removes the drift surface between the entries. The
     // compacted entry shares it too: optimize + semantic rewrite + log
-    // compaction must be invisible to the probe.
+    // compaction must be invisible to the probe. The pruned entry pins
+    // the slot/key-pushed plan (past the old 64-value IN cap at
+    // sf ≥ 0.01) to the same answer.
+    "lsh_index_probe_pruned" -> probeOracleSql,
     "lsh_index_append" -> probeOracleSql,
     "lsh_index_compact_probe" -> probeOracleSql,
     // Occupancy after compaction, recounted from the raw COMBINED corpus
