@@ -53,8 +53,11 @@ object LshIndex {
     * bands and buckets carry a `slot` hash-bucket column and are laid out
     * one-slot-per-file (6·[[SaltM]] writer tasks instead of 6, probe
     * scans prune files by `slot IN (touched…)`); the sigs write drops its
-    * single-task coalesce.) */
-  val Version = 4
+    * single-task coalesce. v5: occupancy rows sorted by max_doc within
+    * slot files (floor-aware block skipping for hot-bucket discovery) — a
+    * v4 artifact answers identically but cannot honor the block-skip
+    * claim, so the layout contract keys a fresh build.) */
+  val Version = 5
 
   /** Salt slots per band: the band's rows spread over this many files
     * (hash of the bucket key), so the build writes with 6·SaltM-task
