@@ -36,11 +36,6 @@ object ScaleSmoke {
   def main(args: Array[String]): Unit = {
     val replicas = args.headOption.map(_.toInt).getOrElse(20)
     val section = args.lift(1).getOrElse("all")
-    // ScaleSmoke measures the PRUNED probe plan — the 100 TB contract
-    // (shuffle and file opens corpus-flat). The small-index fast path is
-    // a fixture-scale latency feature with its own spec; left on, a
-    // small-replica run would silently measure the wrong plan.
-    sys.props.getOrElseUpdate("graft.lsh.probe.prune.min.bytes", "0")
     // One JSON stamp line per run ([[Canonical]] — the shared gate), so
     // PROGRESS can cite exactly one authoritative run per section
     // instead of reconciling unlabeled reruns.

@@ -104,19 +104,19 @@ object LshIndex {
     * asynchronously mid-append. */
   val AppendStallMs: Long = Gavro.AppendStallMs
 
-  /** Below this many live bands-table bytes the probe SKIPS the
-    * touched-set collect and the slot/key scan pruning: at small index
-    * scale every band file is a handful of blocks, so the pruning
-    * machinery's fixed per-trigger cost (one extra driver job for the
-    * hot-set collect, IN-list planning on every scan) exceeds the I/O it
-    * saves — the latency-sensitive serve loop gets the r13-shaped plan
-    * back. Past the threshold the pruning pays for itself and grows the
-    * gap as the corpus grows (file opens and probe shuffle both stay
-    * corpus-flat — spec-measured). Overridable for specs and for
-    * deployments whose latency/throughput trade sits elsewhere. */
-  def probePruneMinBytes: Long =
-    sys.props.get("graft.lsh.probe.prune.min.bytes").map(_.toLong)
-      .getOrElse(16L << 20)
+  // DESIGN RECORD (r15): a "small-index fast path" — skip the hot-set
+  // collect and all slot/key pruning below a bands-bytes threshold, on
+  // the theory that the pruning machinery's fixed per-trigger cost
+  // dominates at fixture scale — was BUILT, MEASURED, AND REMOVED this
+  // round. Same-run canonical comparisons (sf0.1, two independent runs)
+  // put the pruned plan AHEAD at small scale too (1.84 vs 2.05 s,
+  // 1.95 vs 2.75 s) and the fast path ADDED ~25% probe shuffle: the
+  // collected hot set becomes a LocalRelation whose broadcasts re-execute
+  // nothing, while the lazy-frame alternative re-runs the occupancy
+  // scan + distinct per broadcast reference. The collect is the cheap
+  // shape at every scale; the probe's residual fixture-scale wall
+  // (~1.3-2 s) is fixed per-job scheduling across its eager waves, not
+  // pruning overhead.
 
   /** Sketch `corpus` = (doc_id, text) and persist sigs/ + bands/ +
     * buckets/ under `dir`. Pure function of the input (md5-derived hash
@@ -343,21 +343,6 @@ object LshIndex {
         .filter(col("doc_id") >= NewFrom),
       NewFrom)
 
-  /** [[probeNewBatch]] with the scan pruning FORCED on, fast path off —
-    * registered so the DuckDB oracle pins the PRUNED plan (slot lists,
-    * pushed band_key IN — past 64 values at sf ≥ 0.01) at every scale
-    * factor, not just the fixture-scale fast path the default threshold
-    * selects there. Same oracle SQL as the default probe: two plans, one
-    * answer, both gate-checked every round. */
-  def probeNewBatchPruned(spark: SparkSession, sfDir: String): DataFrame = {
-    val deltaSigs = Dedup.minhashSignatures(
-        Dedup.nearCorpus(Tables.documents(spark, sfDir))
-          .filter(col("doc_id") >= NewFrom))
-      .select(col("doc_id"), col("sig")).localCheckpoint(true)
-    probeIndexed(spark, ensure(spark, sfDir), Some(deltaSigs), NewFrom,
-      forcePrune = true)
-  }
-
   /** The serving form: probe an EXPLICIT arriving batch (doc_id, text)
     * against an index at `dir`. `newFrom` is the id floor of the batch —
     * pairs are restricted to those touching it. Sketch cost O(|delta|);
@@ -420,8 +405,7 @@ object LshIndex {
     * no pairs in [[Dedup.bandProbe]] either, so restricting every stage
     * to probe-relevant buckets is result-identical. */
   private def probeIndexed(spark: SparkSession, dir: String,
-      deltaSigs: Option[DataFrame], newFrom: Long,
-      forcePrune: Boolean = false): DataFrame = {
+      deltaSigs: Option[DataFrame], newFrom: Long): DataFrame = {
     // TORN-APPEND TRIPWIRE ([[Gavro.requireNotTorn]]'s scaladoc has the
     // why): a stale in-flight marker means an append crashed between its
     // three table commits — fail LOUDLY instead of silently missing the
@@ -435,52 +419,43 @@ object LshIndex {
     val hotPersisted = loadBuckets(spark, dir)
       .filter(col("max_doc") >= newFrom)
       .select(col("band_idx"), col("band_key"))
+    // The touched-bucket set comes to the DRIVER in one job: it is
+    // O(Δ·bands)-bounded (the same bound under which it was already
+    // being broadcast), and holding it driver-side buys two things at
+    // once — the layout slots for FILE-LEVEL PRUNING (pushed into every
+    // later scan of the slot-partitioned bands/buckets tables, so the
+    // scans OPEN only the touched hash slices and a small probe's I/O
+    // stays flat as the corpus and its append history grow), and a
+    // LocalRelation hotKeys whose broadcast costs no re-execution of
+    // the occupancy hot-scan (the pre-r14 plan either re-ran that
+    // subtree per broadcast reference or paid an extra checkpoint wave
+    // for it — the r15 fast-path experiment re-measured exactly that
+    // trade and confirmed the collect wins at every scale; see the
+    // design record above).
     import spark.implicits._
-    val hotFrame = deltaBands
+    val hotCollected = deltaBands
       .map(db => hotPersisted.unionByName(db.filter(col("doc_id") >= newFrom)
         .select(col("band_idx"), col("band_key"))))
       .getOrElse(hotPersisted)
       .distinct()
-    // SMALL-INDEX FAST PATH ([[probePruneMinBytes]]): below the byte
-    // threshold, skip the hot-set collect and all scan pruning — hotKeys
-    // stays a lazy frame whose broadcast re-executes a scan that is, by
-    // the threshold's definition, a few blocks. (File COUNT can't carry
-    // this decision: the slot layout fixes the file count at 6·SaltM
-    // regardless of corpus size — bytes are what grow.)
-    val smallIndex = !forcePrune &&
-      Gavro.tableDataBytes(s"$dir/bands") < probePruneMinBytes
-    val (hotKeys, slots, keys) = if (smallIndex) (hotFrame, None, None) else {
-      // The touched-bucket set comes to the DRIVER in one job: it is
-      // O(Δ·bands)-bounded (the same bound under which it was already
-      // being broadcast), and holding it driver-side buys two things at
-      // once — the layout slots for FILE-LEVEL PRUNING (pushed into every
-      // later scan of the slot-partitioned bands/buckets tables, so the
-      // scans OPEN only the touched hash slices and a small probe's I/O
-      // stays flat as the corpus and its append history grow), and a
-      // LocalRelation hotKeys whose broadcast costs no re-execution of
-      // the occupancy hot-scan (the pre-r14 plan either re-ran that
-      // subtree per broadcast reference or paid an extra checkpoint wave
-      // for it).
-      val hotCollected = hotFrame
-        .withColumn("slot", slotExpr)
-        .collect()
-        .map(r => (r.getInt(0), r.getString(1), r.getInt(2)))
-      val hotSlots = hotCollected.map(_._3).distinct.sorted.toSeq
-      // A probe touching every slot pushes nothing (the filter is vacuous).
-      val slotsOpt = if (hotSlots.length >= NumBands * SaltM) None
-        else Some(hotSlots)
-      // When the touched BUCKET set fits the reader's IN cap
-      // ([[Gavro.InPushMax]] — binary-search skip proofs and hashed row
-      // eval keep the big list cheap), push the band keys too:
-      // non-candidate records in a surviving slot file drop at decode,
-      // and the band_key-sorted block layout skips whole blocks on footer
-      // ranges.
-      val hotBandKeys = hotCollected.map(_._2).distinct.sorted.toSeq
-      val keysOpt = if (hotBandKeys.nonEmpty &&
-          hotBandKeys.length <= Gavro.InPushMax) Some(hotBandKeys) else None
-      (hotCollected.map(t => (t._1, t._2)).toSeq.toDF("band_idx", "band_key"),
-        slotsOpt, keysOpt)
-    }
+      .withColumn("slot", slotExpr)
+      .collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getInt(2)))
+    val hotSlots = hotCollected.map(_._3).distinct.sorted.toSeq
+    // A probe touching every slot pushes nothing (the filter is vacuous).
+    val slots = if (hotSlots.length >= NumBands * SaltM) None
+      else Some(hotSlots)
+    // When the touched BUCKET set fits the reader's IN cap
+    // ([[Gavro.InPushMax]] — binary-search skip proofs and hashed row
+    // eval keep the big list cheap; pre-r15 the cap was 64 and every
+    // mid-size probe lost this), push the band keys too: non-candidate
+    // records in a surviving slot file drop at decode, and the
+    // band_key-sorted block layout skips whole blocks on footer ranges.
+    val hotBandKeys = hotCollected.map(_._2).distinct.sorted.toSeq
+    val keys = if (hotBandKeys.nonEmpty &&
+        hotBandKeys.length <= Gavro.InPushMax) Some(hotBandKeys) else None
+    val hotKeys = hotCollected.map(t => (t._1, t._2)).toSeq
+      .toDF("band_idx", "band_key")
     val bucketCols = Seq("band_idx", "band_key")
     val pn = loadBuckets(spark, dir, slots, keys)
       .join(broadcast(hotKeys), bucketCols)
@@ -825,7 +800,6 @@ object LshIndex {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "lsh_index_build" -> ((s, d) => buildIndexSummary(s, d)),
     "lsh_index_probe" -> ((s, d) => probeNewBatch(s, d)),
-    "lsh_index_probe_pruned" -> ((s, d) => probeNewBatchPruned(s, d)),
     "lsh_index_append" -> ((s, d) => probeAppended(s, d)),
     "lsh_index_compact_probe" -> ((s, d) => probeCompacted(s, d)),
     "lsh_bucket_stats" -> ((s, d) => bucketStats(s, d)),
@@ -856,10 +830,9 @@ object LshIndex {
     // what the union probe and the in-query rebuild answer — sharing the
     // literal removes the drift surface between the entries. The
     // compacted entry shares it too: optimize + semantic rewrite + log
-    // compaction must be invisible to the probe. The pruned entry pins
-    // the slot/key-pushed plan (past the old 64-value IN cap at
-    // sf ≥ 0.01) to the same answer.
-    "lsh_index_probe_pruned" -> probeOracleSql,
+    // compaction must be invisible to the probe. At sf0.01+ the planted
+    // delta touches >64 buckets, so these entries also pin the raised
+    // IN-cap key pushdown ([[Gavro.InPushMax]]) against DuckDB.
     "lsh_index_append" -> probeOracleSql,
     "lsh_index_compact_probe" -> probeOracleSql,
     // Occupancy after compaction, recounted from the raw COMBINED corpus

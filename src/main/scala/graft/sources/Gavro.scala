@@ -1967,15 +1967,6 @@ object Gavro {
     visible.sortBy(_.getName)
   }
 
-  /** Total live data bytes of a table — the snapshot-visible files'
-    * lengths summed. The size-tier signal for policies that trade fixed
-    * planning cost against scan I/O (e.g. the LSH probe's small-index
-    * fast path): file COUNT is the wrong proxy under exact-partitioned
-    * layouts, whose file count is fixed by the slot fan-out while bytes
-    * grow with the corpus. */
-  def tableDataBytes(path: String): Long =
-    listDataFiles(path).map(dataStore.length).sum
-
   /** Land one commit record making `files` visible; `name` must be unique
     * per commit (monotone for batch, epoch-deterministic for streaming so
     * a replayed epoch republishes the SAME record idempotently). Public:

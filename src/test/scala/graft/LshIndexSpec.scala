@@ -290,52 +290,6 @@ class LshIndexSpec extends SparkSpec {
     assert(bandFiles() == after)
   }
 
-  /** Run `body` with the probe's small-index fast path pinned OFF (prune
-    * always) or ON (prune never) — the spec corpora sit under the
-    * production byte threshold, so the pruning behaviors under test need
-    * the knob. */
-  private def withPruneMinBytes[A](v: Long)(body: => A): A = {
-    val key = "graft.lsh.probe.prune.min.bytes"
-    val old = sys.props.get(key)
-    sys.props(key) = v.toString
-    try body
-    finally old match {
-      case Some(s) => sys.props(key) = s
-      case None => sys.props -= key; ()
-    }
-  }
-
-  test("small-index fast path: answers hash-equal to the pruned plan, fewer fixed waves") {
-    import spark.implicits._
-    val dir = java.nio.file.Files.createTempDirectory("lsh_fast").toString
-    LshIndex.buildAndWrite(docs, dir)
-    val floor = 50000L
-    val someText = docs.orderBy(col("doc_id")).limit(1).collect()(0)
-      .getAs[String]("text")
-    val delta = Seq(
-      (floor + 1, someText.substring(someText.indexOf(' ') + 1)),
-      (floor + 2, "zzqx glorp wibble frotz yoik snarf blib quux nargle veep"))
-      .toDF("doc_id", "text").localCheckpoint(true)
-    def run(): (Set[(Long, Long, Double)], Int) = {
-      val (pairs, opened) = graft.sources.Gavro.trackFileOpens {
-        LshIndex.probeBatch(spark, dir, delta, floor).collect()
-          .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
-            r.getAs[Double]("est_jaccard"))).toSet
-      }
-      (pairs, opened.count(_.contains("/bands/")))
-    }
-    // fixture index is far below the default threshold → fast path
-    val (fastPairs, fastOpens) = run()
-    // force pruning → the r14-shaped plan
-    val (prunedPairs, prunedOpens) = withPruneMinBytes(0L)(run())
-    assert(fastPairs.nonEmpty && fastPairs == prunedPairs,
-      "fast path and pruned path must answer identically")
-    // and the knob really switches plans: the pruned probe opens a strict
-    // subset of the band files the unpruned one scans
-    assert(prunedOpens < fastOpens,
-      s"expected pruned opens ($prunedOpens) < fast-path opens ($fastOpens)")
-  }
-
   test("slot pruning: a small probe opens few band files, flat as the corpus grows") {
     import spark.implicits._
     // Same collision-free filler as the shuffle-bytes test: the probe's
@@ -367,11 +321,8 @@ class LshIndexSpec extends SparkSpec {
       }
       (opened.count(_.contains("/bands/")), total, pairs)
     }
-    // corpora here sit under the production byte threshold — pin the
-    // pruned path on (the fast-path-vs-pruned equivalence has its own
-    // spec above)
-    val ((openedSmall, totalSmall, pairsSmall), (openedBig, totalBig, pairsBig)) =
-      withPruneMinBytes(0L)((probeOpens(2000), probeOpens(8000)))
+    val (openedSmall, totalSmall, pairsSmall) = probeOpens(2000)
+    val (openedBig, totalBig, pairsBig) = probeOpens(8000)
     assert(pairsSmall.nonEmpty && pairsSmall == pairsBig,
       "filler must not change the probe answer")
     // the salted build lays out one slot per file
@@ -436,10 +387,8 @@ class LshIndexSpec extends SparkSpec {
       }
       (bytes, pairs)
     }
-    // pin the pruned path (same reasoning as the file-opens spec): the
-    // O(Δ)-shuffle claim is the PRUNED plan's 100 TB contract
-    val ((smallBytes, smallPairs), (bigBytes, bigPairs)) =
-      withPruneMinBytes(0L)((probeBytes(2000), probeBytes(8000)))
+    val (smallBytes, smallPairs) = probeBytes(2000)
+    val (bigBytes, bigPairs) = probeBytes(8000)
     assert(smallPairs.nonEmpty && smallPairs == bigPairs,
       "filler must not change the probe answer")
     assert(bigBytes < math.max(smallBytes * 3 / 2, smallBytes + 64 * 1024),
@@ -518,11 +467,10 @@ class LshIndexSpec extends SparkSpec {
     assert(touched > 64, s"delta only touches $touched buckets — grow it")
     val dir = java.nio.file.Files.createTempDirectory("lsh_bigin").toString
     LshIndex.buildAndWrite(docs, dir)
-    val probed = withPruneMinBytes(0L) {
+    val probed =
       LshIndex.probeBatch(spark, dir, delta, floor).collect()
         .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
           r.getAs[Double]("est_jaccard"))).toSet
-    }
     val rebuilt = Dedup.minhashIncremental(docs.unionByName(delta), floor)
       .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
         r.getAs[Double]("est_jaccard"))).toSet
