@@ -10,7 +10,7 @@ import org.apache.spark.sql.connector.metric.{CustomMetric, CustomSumMetric, Cus
 import org.apache.spark.sql.connector.expressions.aggregate.{AggregateFunc, Aggregation, Count, CountStar, Max, Min, Sum}
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownLimit, SupportsPushDownRequiredColumns, SupportsReportStatistics}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, IsNotNull, IsNull, LessThan, LessThanOrEqual}
+import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, IsNotNull, IsNull, LessThan, LessThanOrEqual, StringContains, StringEndsWith, StringStartsWith}
 import org.apache.spark.sql.types.{DoubleType, LongType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -236,8 +236,21 @@ class GavroScanBuilder(full: StructType, path: String, schemaName: String,
     case In(a, vs) =>
       scalarField(a) && vs.nonEmpty && vs.length <= Gavro.InPushMax &&
         vs.forall(litOk)
+    // String predicates evaluate in the reader (decode-time drop, no
+    // FilterExec, and they no longer block aggregate pushdown);
+    // startsWith additionally skips files/blocks via the prefix range
+    // [p, incrementLast(p)) against the footer min/max — the
+    // URL-prefix / path-scan shape. endsWith/contains carry no
+    // min/max proof and only prune rows.
+    case StringStartsWith(a, v) => stringField(a) && v != null
+    case StringEndsWith(a, v) => stringField(a) && v != null
+    case StringContains(a, v) => stringField(a) && v != null
     case _ => false
   }
+
+  private def stringField(name: String): Boolean =
+    record.fields.exists(f => f.name == name &&
+      AvroCodec.unwrapNull(f.tpe) == AvroCodec.AString)
 
   /** Contract: the RETURNED filters are the ones Spark must still apply
     * post-scan; everything accepted here is fully enforced by the reader
@@ -1154,7 +1167,21 @@ object GavroPred {
     case IsNotNull(a) => GavroPred(a, "notnull", null)
     case IsNull(a) => GavroPred(a, "isnull", null)
     case In(a, vs) => GavroPred(a, "in", GavroSortedVals.build(vs.toSeq))
+    case StringStartsWith(a, v) => GavroPred(a, "starts", v)
+    case StringEndsWith(a, v) => GavroPred(a, "ends", v)
+    case StringContains(a, v) => GavroPred(a, "contains", v)
     case other => throw new IllegalArgumentException(s"unpushable: $other")
+  }
+
+  /** The smallest string strictly greater than every string with prefix
+    * `p`, in code-unit order (the order the footer stats compare in):
+    * increment p's last code unit, dropping trailing U+FFFF units first.
+    * None when p is all U+FFFF — no finite upper bound exists. */
+  private[sources] def prefixUpperBound(p: String): Option[String] = {
+    var i = p.length - 1
+    while (i >= 0 && p.charAt(i) == '\uffff') i -= 1
+    if (i < 0) None
+    else Some(p.substring(0, i) + (p.charAt(i) + 1).toChar)
   }
 }
 
@@ -1382,7 +1409,18 @@ object GavroSkip {
               cmp(s, s.min, v).exists(_ > 0) || cmp(s, s.max, v).exists(_ < 0))
             case _ => false
           }
-          case _ => false // null-tests: never skip (corrupt channel)
+          // Prefix scan: records with prefix p lie in [p, upper(p));
+          // exclude iff the stats range misses it entirely — max < p, or
+          // min ≥ upper(p). Sound in code-unit order (the order cmp
+          // compares strings in): p is a prefix of s ⟹ p ≤ s < upper(p).
+          case "starts" => (s.min, s.max, p.value) match {
+            case (mn: String, mx: String, pre: String) =>
+              mx.compareTo(pre) < 0 ||
+                GavroPred.prefixUpperBound(pre).exists(up =>
+                  mn.compareTo(up) >= 0)
+            case _ => false
+          }
+          case _ => false // null-tests, ends/contains: never skip
         }
         case None => false
       }
@@ -1675,6 +1713,20 @@ class GavroPartitionReader(part: GavroInputPartition, schemaName: String,
             case _ => inLinear(v, linear) // e.g. double column, int list
           }
           case linear: Seq[_] => inLinear(v, linear.asInstanceOf[Seq[Any]])
+          case _ => false
+        }
+        // String predicates: UTF8String's binary ops match Spark's exact
+        // semantics (a UTF-8 byte prefix IS a string prefix).
+        case "starts" => (v, w) match {
+          case (a: UTF8String, b: UTF8String) => a.startsWith(b)
+          case _ => false
+        }
+        case "ends" => (v, w) match {
+          case (a: UTF8String, b: UTF8String) => a.endsWith(b)
+          case _ => false
+        }
+        case "contains" => (v, w) match {
+          case (a: UTF8String, b: UTF8String) => a.contains(b)
           case _ => false
         }
         case _ =>

@@ -527,6 +527,68 @@ class GavroSourceSpec extends SparkSpec {
     assert(sFiltered.collect().map(_.getString(0)).toSet == keys.toSet)
   }
 
+  test("startsWith pushes with prefix-range block skip; ends/contains evaluate in-reader") {
+    val events = Tables.events(spark, dir)
+    val out = tmpDir("strpush")
+    Gavro.write(events
+      .select(AvroCodec.requestLogRec.as("rec"))
+      .select(expr("to_avro_graft(rec, 'request_log')").as("bin"),
+        col("rec.endpoint").as("endpoint"))
+      .orderBy(col("endpoint")).coalesce(1), out,
+      blockBytes = 8192L, statCols = Seq("endpoint"))
+    def scanOf(d: org.apache.spark.sql.DataFrame) =
+      d.queryExecution.executedPlan.collect { case b: BatchScanExec => b }.head
+    def noFilterExec(d: org.apache.spark.sql.DataFrame): Boolean =
+      d.queryExecution.executedPlan.collect {
+        case f: org.apache.spark.sql.execution.FilterExec => f }.isEmpty
+    val all = spark.read.format("gavro")
+      .option("schema", "request_log").load(out).select(col("endpoint"))
+    val totalBlocks = scanOf(all).inputRDD.getNumPartitions
+    assert(totalBlocks > 2)
+    // prefix scan: fully pushed, blocks outside [p, upper(p)) skipped
+    val pre = spark.read.format("gavro")
+      .option("schema", "request_log").load(out)
+      .filter(col("endpoint").startsWith("/api/p")).select(col("endpoint"))
+    assert(noFilterExec(pre), "startsWith must vanish from the plan")
+    assert(scanOf(pre).inputRDD.getNumPartitions < totalBlocks,
+      s"expected prefix block pruning")
+    val wantPre = events.select(AvroCodec.requestLogRec.as("rec"))
+      .filter(col("rec.endpoint").startsWith("/api/p")).count()
+    assert(pre.count() == wantPre && wantPre > 0)
+    // endsWith / contains: no min/max proof (never skip), but in-reader
+    val ends = spark.read.format("gavro")
+      .option("schema", "request_log").load(out)
+      .filter(col("endpoint").endsWith("ogin")).select(col("endpoint"))
+    assert(noFilterExec(ends))
+    assert(ends.count() == events.select(AvroCodec.requestLogRec.as("rec"))
+      .filter(col("rec.endpoint").endsWith("ogin")).count())
+    val contains = spark.read.format("gavro")
+      .option("schema", "request_log").load(out)
+      .filter(col("endpoint").contains("pur")).select(col("endpoint"))
+    assert(noFilterExec(contains))
+    assert(contains.count() == events
+      .select(AvroCodec.requestLogRec.as("rec"))
+      .filter(col("rec.endpoint").contains("pur")).count())
+    // proof edges, unit-level
+    import graft.sources.{GavroColStat, GavroPred, GavroSkip}
+    val st = Map("k" -> GavroColStat(2, "/api/login", "/api/order"))
+    def ex(pre: String) =
+      GavroSkip.exclude(st, Seq(GavroPred("k", "starts", pre)))
+    assert(ex("/api/z"))            // whole range below the prefix
+    assert(ex("/aaa"))              // whole range above upper("/aaa")
+    assert(!ex("/api/l"))           // overlaps min
+    assert(!ex("/api/o"))           // overlaps max
+    assert(!ex("/api"))             // prefix of everything
+    assert(!ex(""))                 // empty prefix matches all
+    // all-U+FFFF prefix has no finite upper bound: only max < p can skip
+    assert(ex("￿￿"))
+    assert(!GavroSkip.exclude(Map("k" -> GavroColStat(2, "￿", "￿")),
+      Seq(GavroPred("k", "starts", "￿"))))
+    // ends/contains never skip, whatever the stats say
+    assert(!GavroSkip.exclude(st, Seq(GavroPred("k", "ends", "zzz"))))
+    assert(!GavroSkip.exclude(st, Seq(GavroPred("k", "contains", "zzz"))))
+  }
+
   test("sorted IN skip proof: binary search agrees with the linear proof at every edge") {
     import graft.sources.{GavroColStat, GavroPred, GavroSkip, GavroSortedVals}
     def both(stat: GavroColStat, vs: Seq[Any]): (Boolean, Boolean) = {
