@@ -589,6 +589,38 @@ class GavroSourceSpec extends SparkSpec {
     assert(!GavroSkip.exclude(st, Seq(GavroPred("k", "contains", "zzz"))))
   }
 
+  test("IN proof fuzz: sorted binary search ≡ linear over seeded random windows") {
+    import graft.sources.{GavroColStat, GavroPred, GavroSkip, GavroSortedVals}
+    val rnd = new scala.util.Random(42) // seeded: deterministic failures
+    def agree(stat: GavroColStat, vs: Seq[Any], tag: String): Unit = {
+      val viaSorted = GavroPred("k", "in", GavroSortedVals.build(vs))
+      val viaLinear = GavroPred("k", "in", vs)
+      val (bin, lin) = (GavroSkip.exclude(Map("k" -> stat), Seq(viaSorted)),
+        GavroSkip.exclude(Map("k" -> stat), Seq(viaLinear)))
+      assert(bin == lin, s"$tag disagree: binary=$bin linear=$lin " +
+        s"stat=[${stat.min},${stat.max}] vs=${vs.take(12)}…(${vs.length})")
+    }
+    (0 until 300).foreach { i =>
+      // longs: tight and wide windows against clustered and spread lists
+      val lo = rnd.nextInt(2000) - 1000
+      val hi = lo + rnd.nextInt(500)
+      val n = 1 + rnd.nextInt(200)
+      val spread = if (rnd.nextBoolean()) 4000 else 50 // straddle vs cluster
+      val vs = Seq.fill(n)((rnd.nextInt(spread) - spread / 2 + lo).toLong: Any)
+      agree(GavroColStat(0, lo.toLong, hi.toLong), vs, s"long#$i")
+    }
+    (0 until 300).foreach { i =>
+      // strings: md5-ish hex keys against hex windows (the band_key shape)
+      def hex(len: Int) = Seq.fill(len)("0123456789abcdef"(rnd.nextInt(16)))
+        .mkString
+      val a = hex(4); val b = hex(4)
+      val (lo, hi) = if (a <= b) (a, b) else (b, a)
+      val n = 1 + rnd.nextInt(150)
+      val vs = Seq.fill(n)(hex(2 + rnd.nextInt(3)): Any)
+      agree(GavroColStat(2, lo, hi), vs, s"str#$i")
+    }
+  }
+
   test("sorted IN skip proof: binary search agrees with the linear proof at every edge") {
     import graft.sources.{GavroColStat, GavroPred, GavroSkip, GavroSortedVals}
     def both(stat: GavroColStat, vs: Seq[Any]): (Boolean, Boolean) = {
