@@ -37,21 +37,47 @@ object Canonical {
     * "unknown" rather than failing the run (a bench on a tarball export
     * still produces numbers; it just can't make provenance claims).
     */
-  def gitSha(): String =
+  /** The repo that COMPILED the running classes, found by walking up from
+    * the classloader's code source (`target/scala-2.13/classes`) to the
+    * first ancestor holding both `build.sbt` and `.git` (a plain file in
+    * a worktree — test existence, not directory-ness). Anchoring here
+    * instead of the JVM's inherited cwd means a bench launched from
+    * OUTSIDE the repo still stamps the SHA of the code it actually ran —
+    * and a JVM whose classes came from no repo at all stamps "unknown"
+    * rather than whatever repository the shell happened to sit in. */
+  private def repoRoot(): Option[java.io.File] =
     try {
-      def run(cmd: String*): String = {
-        val p = new ProcessBuilder(cmd: _*).redirectErrorStream(true).start()
-        val out = new String(p.getInputStream.readAllBytes(),
-          java.nio.charset.StandardCharsets.UTF_8).trim
-        if (p.waitFor() == 0) out else ""
-      }
-      val sha = run("git", "rev-parse", "--short=12", "HEAD")
-      if (sha.isEmpty) "unknown"
-      // Dirtiness judged on tracked SOURCE only: artifacts (BENCH_*.json)
-      // are expected to be in flux while measuring; src/ changes are the
-      // drift the stamp exists to expose.
-      else if (run("git", "status", "--porcelain", "--", "src", "build.sbt").nonEmpty)
-        sha + "-dirty"
-      else sha
-    } catch { case _: Throwable => "unknown" }
+      val src = getClass.getProtectionDomain.getCodeSource
+      var d = Option(src).map(s => new java.io.File(s.getLocation.toURI))
+        .filter(_.exists).map(f => if (f.isFile) f.getParentFile else f)
+        .orNull
+      while (d != null &&
+          !(new java.io.File(d, "build.sbt").exists &&
+            new java.io.File(d, ".git").exists))
+        d = d.getParentFile
+      Option(d)
+    } catch { case _: Throwable => None }
+
+  def gitSha(): String =
+    repoRoot() match {
+      case None => "unknown"
+      case Some(root) => try {
+        def run(cmd: String*): String = {
+          val p = new ProcessBuilder(cmd: _*).redirectErrorStream(true)
+            .directory(root).start()
+          val out = new String(p.getInputStream.readAllBytes(),
+            java.nio.charset.StandardCharsets.UTF_8).trim
+          if (p.waitFor() == 0) out else ""
+        }
+        val sha = run("git", "rev-parse", "--short=12", "HEAD")
+        if (sha.isEmpty) "unknown"
+        // Dirtiness judged on tracked SOURCE only: artifacts
+        // (BENCH_*.json) are expected to be in flux while measuring;
+        // src/ changes are the drift the stamp exists to expose.
+        else if (run("git", "status", "--porcelain", "--",
+            "src", "build.sbt").nonEmpty)
+          sha + "-dirty"
+        else sha
+      } catch { case _: Throwable => "unknown" }
+    }
 }

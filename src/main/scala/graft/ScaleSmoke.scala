@@ -226,7 +226,11 @@ object ScaleSmoke {
     println(s"corpus: ${corpus.count()} docs (${replicas}x sf0.1)")
     val dir = java.nio.file.Files.createTempDirectory("smoke-lsh-r15").toString
     val t0 = System.nanoTime()
-    LshIndex.buildAndWrite(corpus, dir)
+    // 64 KiB blocks put the fixture in the PRODUCTION pruning regime
+    // (blocks-per-file >> probe-keys-per-file — at 100 TB that holds at
+    // any block size; at fixture scale the 1 MiB default inverts it and
+    // every block contains a probed key by pigeonhole).
+    LshIndex.buildAndWrite(corpus, dir, blockBytes = 64L << 10)
     println(f"build ${(System.nanoTime() - t0) / 1e9}%.2f s")
     val floor = 1000000000L
     // 90 collision-free novel docs + 10 near-dups: ~600 touched buckets
@@ -245,18 +249,35 @@ object ScaleSmoke {
       .select(col("band_idx"), col("band_key")).distinct().count()
     var pairs = 0L
     val t1 = System.nanoTime()
-    val (_, opened) = Gavro.trackFileOpens {
-      pairs = LshIndex.probeBatch(spark, dir, delta, floor).count()
+    val ((_, opened), blockReads) = Gavro.trackBlockReads {
+      Gavro.trackFileOpens {
+        pairs = LshIndex.probeBatch(spark, dir, delta, floor).count()
+      }
     }
+    // Block-level pruning, the raised IN cap's actual at-scale I/O value
+    // (file opens are 48/48 here by design — 600 random keys hit every
+    // hash slice): the probe scans the bands table ONCE (the xRows
+    // wave), so band blocks-read / blocks-total is a direct ratio.
+    val bandBlocksRead = blockReads
+      .collect { case (k, v) if k.contains("/bands/") => v }.sum
+    val bandBlocksTotal = Gavro.totalBlocks(s"$dir/bands")
     emit(s"""{"harness":"scale_smoke","metric":"lsh_probe_midsize",""" +
       s""""replicas":$replicas,"delta_docs":100,""" +
       s""""touched_buckets":$touched,""" +
       s""""band_files_opened":${opened.count(_.contains("/bands/"))},""" +
-      s""""band_files_total":48,"pairs":$pairs,""" +
+      s""""band_files_total":${Option(new java.io.File(s"$dir/bands")
+          .listFiles()).map(_.count(_.getName.endsWith(".gavro")))
+          .getOrElse(0)},""" +
+      s""""band_blocks_read":$bandBlocksRead,""" +
+      s""""band_blocks_total":$bandBlocksTotal,""" +
+      s""""block_bytes":${64L << 10},"pairs":$pairs,""" +
       s""""wall_s":${(System.nanoTime() - t1) / 1e9}}""")
     assert(touched > 64 && touched <= Gavro.InPushMax,
       s"mid-size delta touched $touched buckets — outside the shape under test")
     assert(pairs >= 10, s"near-dups must pair: $pairs")
+    assert(bandBlocksRead * 2 < bandBlocksTotal,
+      s"mid-size probe must read a MINORITY of band blocks: " +
+        s"$bandBlocksRead of $bandBlocksTotal")
   }
 
   /** Round-13 addition: the LSH probe's O(Δ) contract measured in SHUFFLE

@@ -10,7 +10,7 @@ import org.apache.spark.sql.connector.metric.{CustomMetric, CustomSumMetric, Cus
 import org.apache.spark.sql.connector.expressions.aggregate.{AggregateFunc, Aggregation, Count, CountStar, Max, Min, Sum}
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownLimit, SupportsPushDownRequiredColumns, SupportsReportStatistics}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, IsNotNull, IsNull, LessThan, LessThanOrEqual, StringContains, StringEndsWith, StringStartsWith}
+import org.apache.spark.sql.sources.{And, DataSourceRegister, EqualNullSafe, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, IsNotNull, IsNull, LessThan, LessThanOrEqual, Not, Or, StringContains, StringEndsWith, StringStartsWith}
 import org.apache.spark.sql.types.{DoubleType, LongType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -220,8 +220,21 @@ class GavroScanBuilder(full: StructType, path: String, schemaName: String,
     case _: Int | _: Long | _: Double | _: Boolean | _: String => true
     case _ => false
   }
+  /** Tree connectives push too (the disjunctive-filter shape): an `Or`
+    * whose branches are each pushable is pushable — the skip proof is
+    * "both branches impossible", the row eval is SQL three-valued OR —
+    * and with it `And`-under-`Or` and `Not`. Leaf count is capped at
+    * [[Gavro.TreeLeafMax]] so a pathological thousand-branch OR keeps its
+    * FilterExec instead of serializing into every task. */
   private def supported(f: Filter): Boolean = f match {
+    case Or(l, r) => supported(l) && supported(r)
+    case And(l, r) => supported(l) && supported(r)
+    case Not(c) => supported(c)
+    case leaf => supportedLeaf(leaf)
+  }
+  private def supportedLeaf(f: Filter): Boolean = f match {
     case EqualTo(a, v) => scalarField(a) && litOk(v)
+    case EqualNullSafe(a, v) => scalarField(a) && litOk(v)
     case GreaterThan(a, v) => scalarField(a) && litOk(v)
     case GreaterThanOrEqual(a, v) => scalarField(a) && litOk(v)
     case LessThan(a, v) => scalarField(a) && litOk(v)
@@ -256,7 +269,8 @@ class GavroScanBuilder(full: StructType, path: String, schemaName: String,
     * post-scan; everything accepted here is fully enforced by the reader
     * and vanishes from the plan above the scan. */
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
-    val (ok, rest) = filters.partition(supported)
+    val (ok, rest) = filters.partition(f =>
+      supported(f) && GavroPred.leafCount(f) <= Gavro.TreeLeafMax)
     pushed = ok
     rest
   }
@@ -588,6 +602,14 @@ object GavroMetrics {
     override def name(): String = "gavroCorrupt"
     override def description(): String = "gavro corrupt record bodies"
   }
+  final class BlocksRead extends CustomSumMetric {
+    override def name(): String = "gavroBlocksRead"
+    override def description(): String = "gavro blocks read (post stats skip)"
+  }
+  final class BlocksTotal extends CustomSumMetric {
+    override def name(): String = "gavroBlocksTotal"
+    override def description(): String = "gavro blocks in listed files"
+  }
   final case class Task(metricName: String, v: Long) extends CustomTaskMetric {
     override def name(): String = metricName
     override def value(): Long = v
@@ -642,16 +664,22 @@ class GavroScan(path: String, schemaName: String, required: StructType,
     * UnknownPartitioning, never to a wrong grouping. Key values convert
     * to the Catalyst representation of the column's SQL type so Spark's
     * partition grouping compares them correctly. */
+  @volatile private var blocksTotalPlanned = 0L
   private lazy val planned: (Array[InputPartition], Int) = {
     val preds = pushed.map(GavroPred.from).toSeq
     val files = Gavro.listDataFiles(path, asOfCommit, sinceCommit)
-    keyField match {
+    var blocksTotal = 0L
+    val res: (Array[InputPartition], Int) = keyField match {
       case None =>
-        (files.flatMap(f => GavroSkip.planFile(f, preds))
-          .map(p => p: InputPartition), 0)
+        (files.flatMap { f =>
+          val meta = GavroFooter.read(f)
+          blocksTotal += math.max(1, meta.blocks.length)
+          GavroSkip.planFile(f, preds, meta)
+        }.map(p => p: InputPartition).toArray, 0)
       case Some(field) =>
         val perFile = files.map { f =>
           val meta = GavroFooter.read(f)
+          blocksTotal += math.max(1, meta.blocks.length)
           val single = meta.stats.get(field.name)
             .filter(s => s.min == s.max)
             .map(s => GavroScan.toCatalystKey(s.min, field.dataType))
@@ -664,6 +692,8 @@ class GavroScan(path: String, schemaName: String, required: StructType,
           }, keys)
         } else (perFile.flatMap(_._1).map(p => p: InputPartition), 0)
     }
+    blocksTotalPlanned = blocksTotal
+    res
   }
 
   override def outputPartitioning()
@@ -717,7 +747,17 @@ class GavroScan(path: String, schemaName: String, required: StructType,
     GavroReaderFactory(schemaName, required.fieldNames,
       pushed.map(GavroPred.from), limit, agg, readerJson)
   override def supportedCustomMetrics(): Array[CustomMetric] =
-    Array(new GavroMetrics.Records, new GavroMetrics.Corrupt)
+    Array(new GavroMetrics.Records, new GavroMetrics.Corrupt,
+      new GavroMetrics.BlocksRead, new GavroMetrics.BlocksTotal)
+
+  /** Planning-side pruning observability (SQL-UI scan node): how many
+    * footer blocks the listing HELD vs how many survived the two-level
+    * stats skip and became tasks. File-level opens alone under-report
+    * pruning — a pushed key list can open every file yet read a minority
+    * of each file's blocks, and this ratio is where that shows. */
+  override def reportDriverMetrics(): Array[CustomTaskMetric] = Array(
+    GavroMetrics.Task("gavroBlocksRead", planned._1.length.toLong),
+    GavroMetrics.Task("gavroBlocksTotal", blocksTotalPlanned))
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
     // Batch-only options must not be silently dropped: a stream's
@@ -1119,9 +1159,13 @@ class GavroMicroBatchStream(path: String, schemaName: String,
     GavroReaderFactory(schemaName, requiredNames, preds, -1, None, readerJson)
 }
 
-/** Serializable reader-side form of one pushed conjunct. `value` is one of
-  * Int/Long/Double/Boolean/String (the builder admitted nothing else), or
-  * [[GavroSortedVals]] for an IN list. */
+/** Serializable reader-side form of one pushed conjunct. For a LEAF,
+  * `value` is one of Int/Long/Double/Boolean/String (the builder admitted
+  * nothing else) or [[GavroSortedVals]] for an IN list. For a TREE node
+  * (`op` = "or" | "and" | "not"), `name` is empty and `value` is the
+  * children: a `Vector[GavroPred]` for or/and (flattened — `a OR b OR c`
+  * is ONE or-node with three children, so proof and eval loop instead of
+  * recurse along a chain), a single [[GavroPred]] for not. */
 case class GavroPred(name: String, op: String, value: Any) extends Serializable
 
 /** A pushed IN list SORTED ascending in the skip-proof's comparison order
@@ -1158,7 +1202,23 @@ object GavroSortedVals {
 }
 
 object GavroPred {
+  /** Flatten same-op chains while translating: Catalyst hands `a OR b OR
+    * c` as a left-leaning binary tree; one n-ary node keeps the reader's
+    * recursion depth at the EXPRESSION nesting depth, not the branch
+    * count. */
+  private def kids(op: String, l: Filter, r: Filter): Vector[GavroPred] = {
+    def side(f: Filter): Vector[GavroPred] = from(f) match {
+      case GavroPred(_, `op`, vs: Vector[GavroPred] @unchecked) => vs
+      case p => Vector(p)
+    }
+    side(l) ++ side(r)
+  }
+
   def from(f: Filter): GavroPred = f match {
+    case Or(l, r) => GavroPred("", "or", kids("or", l, r))
+    case And(l, r) => GavroPred("", "and", kids("and", l, r))
+    case Not(c) => GavroPred("", "not", from(c))
+    case EqualNullSafe(a, v) => GavroPred(a, "<=>", v)
     case EqualTo(a, v) => GavroPred(a, "=", v)
     case GreaterThan(a, v) => GavroPred(a, ">", v)
     case GreaterThanOrEqual(a, v) => GavroPred(a, ">=", v)
@@ -1171,6 +1231,25 @@ object GavroPred {
     case StringEndsWith(a, v) => GavroPred(a, "ends", v)
     case StringContains(a, v) => GavroPred(a, "contains", v)
     case other => throw new IllegalArgumentException(s"unpushable: $other")
+  }
+
+  /** Leaves under a pushable tree — the size the builder caps at
+    * [[Gavro.TreeLeafMax]] (each leaf costs one stats lookup per
+    * file/block proof and one slot eval per row). */
+  def leafCount(f: Filter): Int = f match {
+    case Or(l, r) => leafCount(l) + leafCount(r)
+    case And(l, r) => leafCount(l) + leafCount(r)
+    case Not(c) => leafCount(c)
+    case _ => 1
+  }
+
+  /** Every column a pred tree reads — the reader appends these to its
+    * decode target (evaluated, never emitted). */
+  def columns(p: GavroPred): Seq[String] = p.op match {
+    case "or" | "and" =>
+      p.value.asInstanceOf[Vector[GavroPred]].flatMap(columns)
+    case "not" => columns(p.value.asInstanceOf[GavroPred])
+    case _ => Seq(p.name)
   }
 
   /** The smallest string strictly greater than every string with prefix
@@ -1375,10 +1454,33 @@ object GavroSkip {
     * pushed conjuncts (they are a conjunction: one impossible conjunct
     * excludes the file). */
   def exclude(stats: Map[String, GavroColStat], preds: Seq[GavroPred]): Boolean =
-    preds.exists { p =>
+    preds.exists(cannotMatch(stats, _))
+
+  /** Recursive proof that no record under `stats` can make `p` TRUE. A
+    * tree is impossible iff: OR — every branch is (a row satisfying the
+    * OR satisfies some branch); AND — any conjunct is; NOT — never proved
+    * (min/max can't show a predicate holds for EVERY record, and null
+    * rows make NOT(p) unknowable from value stats). Sound with nulls
+    * throughout: null operands make every leaf not-TRUE, so value-range
+    * impossibility over the non-null population is impossibility,
+    * period. */
+  private def cannotMatch(stats: Map[String, GavroColStat],
+      p: GavroPred): Boolean = p.op match {
+    case "or" =>
+      p.value.asInstanceOf[Vector[GavroPred]].forall(cannotMatch(stats, _))
+    case "and" =>
+      p.value.asInstanceOf[Vector[GavroPred]].exists(cannotMatch(stats, _))
+    case "not" => false
+    case _ => cannotMatchLeaf(stats, p)
+  }
+
+  private def cannotMatchLeaf(stats: Map[String, GavroColStat],
+      p: GavroPred): Boolean =
       stats.get(p.name) match {
         case Some(s) => p.op match {
-          case "=" =>
+          // <=> with a non-null literal (the builder admits nothing else)
+          // matches only non-null values — the "=" range proof applies.
+          case "=" | "<=>" =>
             cmp(s, s.min, p.value).exists(_ > 0) || // min > v
               cmp(s, s.max, p.value).exists(_ < 0)  // max < v
           case ">" => cmp(s, s.max, p.value).exists(_ <= 0)  // max <= v
@@ -1424,7 +1526,6 @@ object GavroSkip {
         }
         case None => false
       }
-    }
 
   /** Shared planning: footer-driven block split + two-level stats skip
     * (whole file first, then surviving blocks individually when the footer
@@ -1607,6 +1708,17 @@ object GavroPartitionReader {
   final case class InHashStr(set: java.util.HashSet[UTF8String])
   final case class InHashLong(set: java.util.HashSet[java.lang.Long],
       linear: Seq[Any])
+
+  /** Compiled predicate: leaves carry a resolved decode slot + prepared
+    * comparison value; `CTree` is "or" | "and" | "not" over compiled
+    * children. Evaluation is SQL THREE-VALUED ([[GavroPartitionReader
+    * .pass]]): TRUE/FALSE/UNKNOWN as 1/0/-1 — the distinction a plain
+    * boolean collapse gets wrong under OR and NOT (`a = 5 OR b = 3` with
+    * a NULL must still be TRUE when b = 3; `NOT(a = 5)` with a NULL must
+    * NOT become TRUE). */
+  sealed trait CPred
+  final case class CLeaf(slot: Int, op: String, w: Any) extends CPred
+  final case class CTree(op: String, kids: Array[CPred]) extends CPred
 }
 
 class GavroPartitionReader(part: GavroInputPartition, schemaName: String,
@@ -1624,39 +1736,47 @@ class GavroPartitionReader(part: GavroInputPartition, schemaName: String,
   // Decode target = required columns, then any filter-only columns appended
   // after them — evaluated, never emitted.
   private val extNames: Array[String] =
-    requiredNames ++ preds.map(_.name).distinct.filterNot(requiredNames.contains)
+    requiredNames ++ preds.flatMap(GavroPred.columns)
+      .distinct.filterNot(requiredNames.contains)
   private val target: Array[Int] =
     reader.fields.map(f => extNames.indexOf(f.name)).toArray
-  // Pre-resolve each conjunct to (slot, op, comparison value); string
+  // Pre-resolve each leaf to (slot, op, comparison value); string
   // literals become UTF8String ONCE so the per-row compare is binary
   // UTF-8 order (Spark's string ordering) with zero allocation. IN lists
   // of strings / integral types hash into a set ONCE — with the pushdown
   // cap at [[Gavro.InPushMax]] a linear per-row scan would multiply the
-  // decode loop by the list length.
-  private val compiled: Array[(Int, String, Any)] = preds.map { p =>
-    def conv(x: Any): Any = x match {
-      case s: String => UTF8String.fromString(s)
-      case other => other
-    }
-    def prep(vs: Seq[Any]): Any = vs.headOption match {
-      case Some(_: String) if vs.forall(_.isInstanceOf[String]) =>
-        val set = new java.util.HashSet[UTF8String](vs.length * 2)
-        vs.foreach(s => set.add(UTF8String.fromString(s.asInstanceOf[String])))
-        GavroPartitionReader.InHashStr(set)
-      case Some(_: Int | _: Long)
-          if vs.forall(v => v.isInstanceOf[Int] || v.isInstanceOf[Long]) =>
-        val set = new java.util.HashSet[java.lang.Long](vs.length * 2)
-        vs.foreach(v => set.add(v.asInstanceOf[Number].longValue))
-        GavroPartitionReader.InHashLong(set, vs.map(conv))
-      case _ => vs.map(conv) // doubles/booleans/mixed: linear, exact semantics
-    }
-    val v = p.value match {
-      case GavroSortedVals(vs) => prep(vs)
-      case vs: Seq[_] => prep(vs.asInstanceOf[Seq[Any]])
-      case other => conv(other)
-    }
-    (extNames.indexOf(p.name), p.op, v)
+  // decode loop by the list length. Tree nodes keep their children as
+  // arrays so the per-row eval loops (no per-row allocation).
+  private def conv(x: Any): Any = x match {
+    case s: String => UTF8String.fromString(s)
+    case other => other
   }
+  private def prep(vs: Seq[Any]): Any = vs.headOption match {
+    case Some(_: String) if vs.forall(_.isInstanceOf[String]) =>
+      val set = new java.util.HashSet[UTF8String](vs.length * 2)
+      vs.foreach(s => set.add(UTF8String.fromString(s.asInstanceOf[String])))
+      GavroPartitionReader.InHashStr(set)
+    case Some(_: Int | _: Long)
+        if vs.forall(v => v.isInstanceOf[Int] || v.isInstanceOf[Long]) =>
+      val set = new java.util.HashSet[java.lang.Long](vs.length * 2)
+      vs.foreach(v => set.add(v.asInstanceOf[Number].longValue))
+      GavroPartitionReader.InHashLong(set, vs.map(conv))
+    case _ => vs.map(conv) // doubles/booleans/mixed: linear, exact semantics
+  }
+  private def compile(p: GavroPred): GavroPartitionReader.CPred = p.op match {
+    case "or" | "and" => GavroPartitionReader.CTree(p.op,
+      p.value.asInstanceOf[Vector[GavroPred]].map(compile).toArray)
+    case "not" => GavroPartitionReader.CTree("not",
+      Array(compile(p.value.asInstanceOf[GavroPred])))
+    case _ =>
+      val v = p.value match {
+        case GavroSortedVals(vs) => prep(vs)
+        case vs: Seq[_] => prep(vs.asInstanceOf[Seq[Any]])
+        case other => conv(other)
+      }
+      GavroPartitionReader.CLeaf(extNames.indexOf(p.name), p.op, v)
+  }
+  private val compiled: Array[GavroPartitionReader.CPred] = preds.map(compile)
   // Only this task's block range is read — a range read against local FS
   // here, a positioned Hadoop FS read at scale. Block bounds are
   // record-aligned by the footer contract, so the slice starts at a length
@@ -1688,66 +1808,120 @@ class GavroPartitionReader(part: GavroInputPartition, schemaName: String,
     }
   }
 
-  // SQL comparison semantics: NULL compared to anything is not-true, so a
-  // comparison conjunct drops the row (this is exactly what the FilterExec
-  // this pushdown replaced would have done — PERMISSIVE all-null rows
-  // survive only null-tests, same as with spark-avro + a WHERE clause).
+  // SQL THREE-VALUED evaluation: 1 = TRUE, 0 = FALSE, -1 = UNKNOWN. At
+  // the TOP level (a conjunction) FALSE and UNKNOWN both drop the row —
+  // exactly what the FilterExec this pushdown replaced would have done;
+  // PERMISSIVE all-null rows survive only null-tests, same as with
+  // spark-avro + a WHERE clause. INSIDE a tree the distinction is
+  // load-bearing: OR treats UNKNOWN as "maybe" (TRUE wins over it), NOT
+  // maps UNKNOWN to UNKNOWN (never to TRUE).
+  private def b(x: Boolean): Byte = if (x) 1 else 0
+  private def evalLeaf(slot: Int, op: String, w: Any, r: InternalRow): Byte = {
+    val v = if (r.isNullAt(slot)) null
+      else r.get(slot, null) // GenericInternalRow ignores the type arg
+    op match {
+      case "isnull" => b(v == null)
+      case "notnull" => b(v != null)
+      // <=> is SQL's one null-definite comparison: NULL operand = FALSE,
+      // never UNKNOWN (the literal is non-null by the builder's gate).
+      case "<=>" =>
+        if (v == null) 0
+        else cmpVals(v, w) match {
+          case CmpDrift => 0 // a differently-typed value is not the value
+          case c => b(c == 0)
+        }
+      case _ if v == null => -1
+      case "in" => w match {
+        case GavroPartitionReader.InHashStr(set) => v match {
+          case a: UTF8String => b(set.contains(a))
+          case _ => 0 // non-string value vs string list: no match
+        }
+        case GavroPartitionReader.InHashLong(set, linear) => v match {
+          case a: Int => b(set.contains(a.toLong))
+          case a: Long => b(set.contains(a))
+          case _ => b(inLinear(v, linear)) // e.g. double column, int list
+        }
+        case linear: Seq[_] => b(inLinear(v, linear.asInstanceOf[Seq[Any]]))
+        case _ => 0
+      }
+      // String predicates: UTF8String's binary ops match Spark's exact
+      // semantics (a UTF-8 byte prefix IS a string prefix).
+      case "starts" => (v, w) match {
+        case (a: UTF8String, p: UTF8String) => b(a.startsWith(p))
+        case _ => -1
+      }
+      case "ends" => (v, w) match {
+        case (a: UTF8String, p: UTF8String) => b(a.endsWith(p))
+        case _ => -1
+      }
+      case "contains" => (v, w) match {
+        case (a: UTF8String, p: UTF8String) => b(a.contains(p))
+        case _ => -1
+      }
+      case _ =>
+        cmpVals(v, w) match {
+          // Type drift (impossible for a well-typed plan): UNKNOWN — the
+          // most conservative verdict at top level AND under NOT.
+          case CmpDrift => -1
+          case c => op match {
+            case "=" => b(c == 0)
+            case ">" => b(c > 0)
+            case ">=" => b(c >= 0)
+            case "<" => b(c < 0)
+            case "<=" => b(c <= 0)
+          }
+        }
+    }
+  }
+  private final val CmpDrift = Int.MinValue
+  private def cmpVals(v: Any, w: Any): Int = (v, w) match {
+    case (a: Int, b: Number) => java.lang.Long.compare(a.toLong, b.longValue)
+    case (a: Long, b: Number) => java.lang.Long.compare(a, b.longValue)
+    case (a: Double, b: Number) =>
+      Gavro.compareSparkDoubles(a, b.doubleValue)
+    case (a: Boolean, b: Boolean) => java.lang.Boolean.compare(a, b)
+    case (a: UTF8String, b: UTF8String) =>
+      Integer.signum(a.compareTo(b)) // signum: keep CmpDrift unreachable
+    case _ => CmpDrift
+  }
+  private def evalPred(c: GavroPartitionReader.CPred, r: InternalRow): Byte =
+    c match {
+      case GavroPartitionReader.CLeaf(slot, op, w) => evalLeaf(slot, op, w, r)
+      case GavroPartitionReader.CTree("or", kids) =>
+        var unknown = false
+        var i = 0
+        while (i < kids.length) {
+          evalPred(kids(i), r) match {
+            case 1 => return 1
+            case -1 => unknown = true
+            case _ => ()
+          }
+          i += 1
+        }
+        if (unknown) -1 else 0
+      case GavroPartitionReader.CTree("and", kids) =>
+        var unknown = false
+        var i = 0
+        while (i < kids.length) {
+          evalPred(kids(i), r) match {
+            case 0 => return 0
+            case -1 => unknown = true
+            case _ => ()
+          }
+          i += 1
+        }
+        if (unknown) -1 else 1
+      case GavroPartitionReader.CTree(_, kids) => // "not"
+        evalPred(kids(0), r) match {
+          case 1 => 0
+          case 0 => 1
+          case _ => -1
+        }
+    }
   private def pass(r: InternalRow): Boolean = {
     var i = 0
     while (i < compiled.length) {
-      val (slot, op, w) = compiled(i)
-      val v = if (r.isNullAt(slot)) null
-        else r.get(slot, null) // GenericInternalRow ignores the type arg
-      val ok = op match {
-        case "isnull" => v == null
-        case "notnull" => v != null
-        case _ if v == null => false
-        case "in" => w match {
-          case GavroPartitionReader.InHashStr(set) => v match {
-            case a: UTF8String => set.contains(a)
-            case _ => false // non-string value vs string list: no match
-          }
-          case GavroPartitionReader.InHashLong(set, linear) => v match {
-            case a: Int => set.contains(a.toLong)
-            case a: Long => set.contains(a)
-            case _ => inLinear(v, linear) // e.g. double column, int list
-          }
-          case linear: Seq[_] => inLinear(v, linear.asInstanceOf[Seq[Any]])
-          case _ => false
-        }
-        // String predicates: UTF8String's binary ops match Spark's exact
-        // semantics (a UTF-8 byte prefix IS a string prefix).
-        case "starts" => (v, w) match {
-          case (a: UTF8String, b: UTF8String) => a.startsWith(b)
-          case _ => false
-        }
-        case "ends" => (v, w) match {
-          case (a: UTF8String, b: UTF8String) => a.endsWith(b)
-          case _ => false
-        }
-        case "contains" => (v, w) match {
-          case (a: UTF8String, b: UTF8String) => a.contains(b)
-          case _ => false
-        }
-        case _ =>
-          val c = (v, w) match {
-            case (a: Int, b: Number) => java.lang.Long.compare(a.toLong, b.longValue)
-            case (a: Long, b: Number) => java.lang.Long.compare(a, b.longValue)
-            case (a: Double, b: Number) =>
-              Gavro.compareSparkDoubles(a, b.doubleValue)
-            case (a: Boolean, b: Boolean) => java.lang.Boolean.compare(a, b)
-            case (a: UTF8String, b: UTF8String) => a.compareTo(b)
-            case _ => return false // type drift: drop rather than mis-match
-          }
-          op match {
-            case "=" => c == 0
-            case ">" => c > 0
-            case ">=" => c >= 0
-            case "<" => c < 0
-            case "<=" => c <= 0
-          }
-      }
-      if (!ok) return false
+      if (evalPred(compiled(i), r) != 1) return false
       i += 1
     }
     true
@@ -1814,6 +1988,15 @@ object Gavro {
     * floors); it never errors. */
   val InPushMax: Int = 1024
 
+  /** Max LEAVES in one pushed predicate TREE (Or/And/Not). Each leaf is
+    * one stats lookup per file/block proof and one slot eval per row —
+    * linear, cheap — but an IN inside a tree multiplies by its own list,
+    * so the caps compose multiplicatively in the worst case; 64 covers
+    * every hand-written disjunction while keeping the serialized pred and
+    * the per-row worst case bounded. Past the cap the filter simply stays
+    * with Spark as a FilterExec (correct, just unpushed). */
+  val TreeLeafMax: Int = 64
+
   /** Commit-manifest directory name inside a gavro table path. */
   val CommitsDir = "_graft_commits"
 
@@ -1878,7 +2061,39 @@ object Gavro {
   private[sources] def noteFileOpen(path: String): Unit = {
     val s = openTap.get()
     if (s != null) { s.add(path); () }
+    val b = blockTap.get()
+    if (b != null) {
+      b.computeIfAbsent(path, _ => new java.util.concurrent.atomic.LongAdder)
+        .increment()
+    }
   }
+
+  private val blockTap = new java.util.concurrent.atomic.AtomicReference[
+    java.util.concurrent.ConcurrentHashMap[
+      String, java.util.concurrent.atomic.LongAdder]](null)
+
+  /** Like [[trackFileOpens]] but counting BLOCK reads per file (each
+    * planned partition = one footer block = one reader instantiation):
+    * the in-file pruning the file-level set is blind to — a scan that
+    * opens every file can still be skipping most of each file's blocks,
+    * and at 100 TB that block ratio IS the I/O story. Not reentrant;
+    * test/smoke-only. */
+  private[graft] def trackBlockReads[A](body: => A): (A, Map[String, Long]) = {
+    val m = new java.util.concurrent.ConcurrentHashMap[
+      String, java.util.concurrent.atomic.LongAdder]()
+    blockTap.set(m)
+    try {
+      val a = body
+      (a, scala.jdk.CollectionConverters.MapHasAsScala(m).asScala
+        .map { case (k, v) => k -> v.sum() }.toMap)
+    } finally blockTap.set(null)
+  }
+
+  /** Total footer-indexed blocks across a table's current data files —
+    * the denominator for [[trackBlockReads]] ratios. */
+  private[graft] def totalBlocks(dir: String): Long =
+    listDataFiles(dir).map(f =>
+      math.max(1, GavroFooter.read(f).blocks.length).toLong).sum
 
   /** Run `body` and return it with the set of distinct data-file paths
     * opened by gavro readers during it. Not reentrant; test-only. */
@@ -3647,8 +3862,45 @@ object Gavro {
       .orderBy(col("endpoint"))
   }
 
+  /** A DISJUNCTIVE filter (Or with an And branch) composed with the
+    * pushed aggregate: before tree pushdown any OR in the WHERE survived
+    * as a FilterExec above the scan and silently blocked aggregate
+    * pushdown (Spark's gate requires every filter fully pushed). The
+    * oracle recomputes the same disjunction from the raw synthesis, so a
+    * hash match proves the reader's tree proof + three-valued row eval
+    * is exactly the WHERE it displaced. */
+  def gavroOrPushdown(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = archive(spark, sfDir)
+    spark.read.format("gavro").option("schema", "request_log").load(dir)
+      .filter(col("status_code") === 500 ||
+        (col("endpoint") >= "/api/p" && col("latency_ms") < 250))
+      .groupBy(col("endpoint"))
+      .agg(count(lit(1)).as("n"), sum(col("latency_ms")).as("sum_latency"))
+      .orderBy(col("endpoint"))
+  }
+
+  /** SQL three-valued semantics through the reader: `NOT(user_id <=> 4)`
+    * KEEPS the planted null user_ids (<=> is null-definite, so its
+    * negation is TRUE there), while `NOT(user_id = 4) OR status = 500`
+    * drops null-user rows unless the OR's other branch rescues them
+    * (UNKNOWN OR TRUE = TRUE). A boolean-collapsed eval gets both wrong;
+    * the DuckDB oracle computes the same predicates independently. */
+  def gavroNotSemantics(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = archive(spark, sfDir)
+    spark.read.format("gavro").option("schema", "request_log").load(dir)
+      .filter(!(col("user_id") <=> 4L) &&
+        (!(col("user_id") === 4L) || col("status_code") === 500))
+      .groupBy(col("endpoint"))
+      .agg(count(lit(1)).as("n"),
+        count(col("user_id")).as("n_user_known"),
+        sum(col("latency_ms")).as("sum_latency"))
+      .orderBy(col("endpoint"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "gavro_scan" -> ((s, d) => gavroScan(s, d)),
+    "gavro_or_pushdown" -> ((s, d) => gavroOrPushdown(s, d)),
+    "gavro_not_semantics" -> ((s, d) => gavroNotSemantics(s, d)),
     "gavro_optimize_scan" -> ((s, d) => gavroOptimizeScan(s, d)),
     "gavro_change_feed" -> ((s, d) => gavroChangeFeed(s, d)),
     "gavro_scan_pushdown" -> ((s, d) => gavroScanPushdown(s, d)),
@@ -3663,6 +3915,24 @@ object Gavro {
         |  count(*) AS n,
         |  sum(CASE WHEN event_id % 7 = 0 THEN 500 ELSE 200 END)::BIGINT AS sum_status
         |FROM events GROUP BY 1 ORDER BY endpoint""".stripMargin,
+    "gavro_or_pushdown" ->
+      """SELECT '/api/' || event_type AS endpoint, count(*) AS n,
+        |  sum(event_id % 500)::BIGINT AS sum_latency
+        |FROM events
+        |WHERE event_id % 7 = 0
+        |   OR ('/api/' || event_type >= '/api/p' AND event_id % 500 < 250)
+        |GROUP BY 1 ORDER BY endpoint""".stripMargin,
+    "gavro_not_semantics" ->
+      """SELECT '/api/' || event_type AS endpoint, count(*) AS n,
+        |  count(CASE WHEN user_id % 11 = 0 THEN NULL ELSE user_id END)
+        |    AS n_user_known,
+        |  sum(event_id % 500)::BIGINT AS sum_latency
+        |FROM events
+        |WHERE (CASE WHEN user_id % 11 = 0 THEN NULL ELSE user_id END)
+        |        IS DISTINCT FROM 4
+        |  AND (NOT ((CASE WHEN user_id % 11 = 0 THEN NULL ELSE user_id END) = 4)
+        |       OR (CASE WHEN event_id % 7 = 0 THEN 500 ELSE 200 END) = 500)
+        |GROUP BY 1 ORDER BY endpoint""".stripMargin,
     "gavro_scan_pushdown" ->
       """SELECT '/api/' || event_type AS endpoint, count(*) AS n,
         |  sum(event_id % 500)::BIGINT AS sum_latency

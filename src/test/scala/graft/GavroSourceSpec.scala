@@ -1769,4 +1769,261 @@ class GavroSourceSpec extends SparkSpec {
     assert(fb.collect().map(_.toString).sorted.toSeq ==
       plainRes.collect().map(_.toString).sorted.toSeq)
   }
+
+  test("OR trees push: no FilterExec, both-branch block skip, rows exact") {
+    val events = Tables.events(spark, dir)
+    val out = tmpDir("ortree")
+    // One id-sorted file with small blocks: a two-band disjunction must
+    // skip the blocks that BOTH branches exclude (the middle of the id
+    // range) — the r15 string/IN pushdown cliff, closed for OR.
+    Gavro.write(events
+      .select(AvroCodec.requestLogRec.as("rec"))
+      .select(expr("to_avro_graft(rec, 'request_log')").as("bin"),
+        col("rec.id").as("id"))
+      .orderBy(col("id")).coalesce(1), out,
+      blockBytes = 8192L, statCols = Seq("id"))
+    def scanOf(d: org.apache.spark.sql.DataFrame) =
+      d.queryExecution.executedPlan.collect {
+        case b: BatchScanExec => b }.head
+    def noFilterExec(d: org.apache.spark.sql.DataFrame): Boolean =
+      d.queryExecution.executedPlan.collect {
+        case f: org.apache.spark.sql.execution.FilterExec => f }.isEmpty
+    val all = spark.read.format("gavro")
+      .option("schema", "request_log").load(out).select(col("id"))
+    val totalBlocks = scanOf(all).inputRDD.getNumPartitions
+    assert(totalBlocks > 4, s"need a multi-block file, got $totalBlocks")
+    val ids = events.select(col("event_id")).orderBy(col("event_id"))
+      .collect().map(_.getLong(0))
+    val lo = ids(ids.length / 10)        // low band: first ~tenth
+    val hi = ids(ids.length * 9 / 10)    // high band: last ~tenth
+    val band = col("id") < lo || col("id") >= hi
+    val filtered = spark.read.format("gavro")
+      .option("schema", "request_log").load(out)
+      .filter(band).select(col("id"))
+    assert(noFilterExec(filtered), "OR must vanish from the plan")
+    val opened = scanOf(filtered).inputRDD.getNumPartitions
+    assert(opened < totalBlocks,
+      s"expected both-branch block pruning, opened $opened of $totalBlocks")
+    assert(filtered.collect().map(_.getLong(0)).sorted.toSeq ==
+      ids.filter(v => v < lo || v >= hi).sorted.toSeq)
+    // A disjunction that covers the whole range must not skip anything.
+    val mid = ids(ids.length / 2)
+    val covering = spark.read.format("gavro")
+      .option("schema", "request_log").load(out)
+      .filter(col("id") < mid || col("id") >= mid).select(col("id"))
+    assert(noFilterExec(covering))
+    assert(covering.count() == ids.length.toLong)
+  }
+
+  test("OR filters compose with aggregate pushdown") {
+    val events = Tables.events(spark, dir)
+    val out = tmpDir("oragg")
+    Gavro.write(events
+      .select(AvroCodec.requestLogRec.as("rec"))
+      .select(expr("to_avro_graft(rec, 'request_log')").as("bin"),
+        col("rec.endpoint").as("endpoint"),
+        col("rec.status_code").as("status_code")), out,
+      statCols = Seq("endpoint", "status_code"))
+    // Spark pushes an aggregate only when EVERY filter was fully pushed —
+    // before tree pushdown any OR in the WHERE silently blocked this.
+    val agg = spark.read.format("gavro")
+      .option("schema", "request_log").load(out)
+      .filter(col("status_code") === 500 || col("endpoint") < "/api/c")
+      .groupBy(col("endpoint"))
+      .agg(count(lit(1)).as("n"), sum(col("latency_ms")).as("sum_latency"))
+    val desc = (agg.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }).collect { case b: BatchScanExec => b }.head.scan.description()
+    assert(desc.contains("PushedAggregates"), desc)
+    val want = events.select(AvroCodec.requestLogRec.as("rec"))
+      .select(col("rec.*"))
+      .filter(col("status_code") === 500 || col("endpoint") < "/api/c")
+      .groupBy(col("endpoint"))
+      .agg(count(lit(1)).as("n"), sum(col("latency_ms")).as("sum_latency"))
+    assert(agg.collect().map(_.toString).sorted.toSeq ==
+      want.collect().map(_.toString).sorted.toSeq)
+  }
+
+  test("NOT, <=>, and OR-over-null follow SQL three-valued semantics") {
+    val events = Tables.events(spark, dir)
+    val out = tmpDir("threeval")
+    Gavro.write(events
+      .select(AvroCodec.requestLogRec.as("rec"))
+      .select(expr("to_avro_graft(rec, 'request_log')").as("bin")), out)
+    val g = spark.read.format("gavro")
+      .option("schema", "request_log").load(out)
+    // The reference frame: Spark's OWN FilterExec over the same rows —
+    // equality proves the reader's three-valued eval is exactly the
+    // semantics it displaced. user_id is the planted-null column
+    // (user_id % 11 = 0 → NULL).
+    val ref = events.select(AvroCodec.requestLogRec.as("rec"))
+      .select(col("rec.*"))
+    val someUser = ref.filter(col("user_id").isNotNull)
+      .select(col("user_id")).head.getLong(0)
+    def check(f: org.apache.spark.sql.Column, pushed: Boolean = true): Unit = {
+      val got = g.filter(f)
+      if (pushed) assert(got.queryExecution.executedPlan.collect {
+        case fe: org.apache.spark.sql.execution.FilterExec => fe }.isEmpty,
+        s"expected full pushdown for $f")
+      val gr = got.agg(count(lit(1)), sum(col("id"))).head
+      val wr = ref.filter(f).agg(count(lit(1)), sum(col("id"))).head
+      assert(gr.getLong(0) == wr.getLong(0) && gr.get(1) == wr.get(1),
+        s"mismatch for $f: got $gr want $wr")
+      assert(gr.getLong(0) > 0, s"vacuous check for $f")
+    }
+    // NOT(=) must DROP null user_ids (UNKNOWN, not TRUE)
+    check(!(col("user_id") === someUser))
+    // <=> equals = on non-null…
+    check(col("user_id") <=> someUser)
+    // …but NOT(<=>) KEEPS null rows (FALSE negates to TRUE — the case a
+    // boolean-collapsed eval gets wrong)
+    check(!(col("user_id") <=> someUser))
+    // UNKNOWN OR TRUE = TRUE: null-user rows with status 500 must survive
+    check(col("user_id") === someUser || col("status_code") === 500)
+    // And-under-Or, mixed types
+    check((col("user_id") > someUser && col("latency_ms") < 100) ||
+      col("endpoint") >= "/api/p")
+    // NOT over IN with nulls underneath
+    check(!col("status_code").isin(500) || col("user_id").isNull)
+  }
+
+  test("a past-cap OR chain stays a FilterExec and still answers correctly") {
+    val events = Tables.events(spark, dir)
+    val out = tmpDir("orcap")
+    Gavro.write(events
+      .select(AvroCodec.requestLogRec.as("rec"))
+      .select(expr("to_avro_graft(rec, 'request_log')").as("bin")), out)
+    val g = spark.read.format("gavro")
+      .option("schema", "request_log").load(out)
+    val ids = events.select(col("event_id")).orderBy(col("event_id"))
+      .limit(40).collect().map(_.getLong(0))
+    // 80 leaves across two columns (alternating so no In-rewrite applies)
+    // > TreeLeafMax = 64: the filter must stay with Spark, results exact.
+    val chain = ids.map(v =>
+      col("id") === v || col("latency_ms") === (v % 500).toInt)
+      .reduce(_ || _)
+    assert(graft.sources.GavroPred.leafCount(
+      org.apache.spark.sql.sources.Or(
+        org.apache.spark.sql.sources.EqualTo("a", 1),
+        org.apache.spark.sql.sources.EqualTo("b", 2))) == 2)
+    val got = g.filter(chain)
+    assert(got.queryExecution.executedPlan.collect {
+      case fe: org.apache.spark.sql.execution.FilterExec => fe }.nonEmpty,
+      "an 80-leaf OR must NOT serialize into the scan")
+    val want = events.select(AvroCodec.requestLogRec.as("rec"))
+      .select(col("rec.*")).filter(chain)
+    assert(got.count() == want.count() && got.count() > 0)
+  }
+
+  test("block counters: trackBlockReads and driver metrics agree with the plan") {
+    val events = Tables.events(spark, dir)
+    val out = tmpDir("blockmetrics")
+    Gavro.write(events
+      .select(AvroCodec.requestLogRec.as("rec"))
+      .select(expr("to_avro_graft(rec, 'request_log')").as("bin"),
+        col("rec.id").as("id"))
+      .orderBy(col("id")).coalesce(1), out,
+      blockBytes = 8192L, statCols = Seq("id"))
+    val ids = events.select(col("event_id")).orderBy(col("event_id"))
+      .collect().map(_.getLong(0))
+    val filtered = spark.read.format("gavro")
+      .option("schema", "request_log").load(out)
+      .filter(col("id") < ids(ids.length / 4)).select(col("id"))
+    val scan = filtered.queryExecution.executedPlan.collect {
+      case b: BatchScanExec => b }.head
+    val plannedBlocks = scan.inputRDD.getNumPartitions
+    val total = graft.sources.Gavro.totalBlocks(out)
+    assert(total > plannedBlocks,
+      s"pruned scan must read fewer blocks than the table holds " +
+        s"($plannedBlocks of $total)")
+    // The reader-side tap counts one read per planned block…
+    val (_, reads) = graft.sources.Gavro.trackBlockReads {
+      filtered.count()
+    }
+    assert(reads.values.sum == plannedBlocks.toLong,
+      s"tap ${reads.values.sum} != planned $plannedBlocks")
+    // …and the scan's DRIVER metrics report the same pair for the UI.
+    val dm = scan.scan.asInstanceOf[graft.sources.GavroScan]
+      .reportDriverMetrics().map(m => m.name() -> m.value()).toMap
+    assert(dm("gavroBlocksRead") == plannedBlocks.toLong, dm.toString)
+    assert(dm("gavroBlocksTotal") == total, dm.toString)
+  }
+
+  test("tree skip proof is sound: exclusion implies no in-range value satisfies") {
+    import graft.sources.{GavroColStat, GavroPred, GavroSkip, GavroSortedVals}
+    val rnd = new scala.util.Random(20260816L)
+    // Reference three-valued evaluator over Option[Long]: 1/0/-1,
+    // written straight off the SQL truth tables.
+    def evalLeafRef(p: GavroPred, v: Option[Long]): Int = p.op match {
+      case "isnull" => if (v.isEmpty) 1 else 0
+      case "notnull" => if (v.isDefined) 1 else 0
+      case "<=>" => if (v.contains(p.value.asInstanceOf[Long])) 1 else 0
+      case op => v match {
+        case None => -1
+        case Some(x) => p.value match {
+          case GavroSortedVals(vs) => if (vs.contains(x)) 1 else 0
+          case vs: Seq[_] => if (vs.contains(x)) 1 else 0
+          case w: Long => op match {
+            case "=" => if (x == w) 1 else 0
+            case ">" => if (x > w) 1 else 0
+            case ">=" => if (x >= w) 1 else 0
+            case "<" => if (x < w) 1 else 0
+            case "<=" => if (x <= w) 1 else 0
+          }
+        }
+      }
+    }
+    def evalRef3(p: GavroPred, v: Option[Long]): Int = p.op match {
+      case "not" => evalRef3(p.value.asInstanceOf[GavroPred], v) match {
+        case 1 => 0
+        case 0 => 1
+        case _ => -1
+      }
+      case "or" =>
+        val ks = p.value.asInstanceOf[Vector[GavroPred]].map(evalRef3(_, v))
+        if (ks.contains(1)) 1 else if (ks.contains(-1)) -1 else 0
+      case "and" =>
+        val ks = p.value.asInstanceOf[Vector[GavroPred]].map(evalRef3(_, v))
+        if (ks.contains(0)) 0 else if (ks.contains(-1)) -1 else 1
+      case _ => evalLeafRef(p, v)
+    }
+    def randLeaf(): GavroPred = rnd.nextInt(9) match {
+      case 0 => GavroPred("k", "=", rnd.nextInt(120).toLong)
+      case 1 => GavroPred("k", ">", rnd.nextInt(120).toLong)
+      case 2 => GavroPred("k", ">=", rnd.nextInt(120).toLong)
+      case 3 => GavroPred("k", "<", rnd.nextInt(120).toLong)
+      case 4 => GavroPred("k", "<=", rnd.nextInt(120).toLong)
+      case 5 => GavroPred("k", "<=>", rnd.nextInt(120).toLong)
+      case 6 => GavroPred("k", "in", GavroSortedVals.build(
+        Seq.fill(1 + rnd.nextInt(4))(rnd.nextInt(120).toLong)))
+      case 7 => GavroPred("k", "isnull", null)
+      case _ => GavroPred("k", "notnull", null)
+    }
+    def randTree(depth: Int): GavroPred =
+      if (depth == 0 || rnd.nextInt(3) == 0) randLeaf()
+      else rnd.nextInt(3) match {
+        case 0 => GavroPred("", "or",
+          Vector.fill(2 + rnd.nextInt(2))(randTree(depth - 1)))
+        case 1 => GavroPred("", "and",
+          Vector.fill(2 + rnd.nextInt(2))(randTree(depth - 1)))
+        case _ => GavroPred("", "not", randTree(depth - 1))
+      }
+    var excludes = 0
+    (1 to 600).foreach { _ =>
+      val mn = rnd.nextInt(100).toLong
+      val mx = mn + rnd.nextInt(20)
+      val stats = Map("k" -> GavroColStat(0, mn, mx))
+      val tree = randTree(3)
+      if (GavroSkip.exclude(stats, Seq(tree))) {
+        excludes += 1
+        // SOUND: every value the stats admit — and the null row — fails.
+        (mn to mx).foreach(x => assert(evalRef3(tree, Some(x)) != 1,
+          s"excluded but $x in [$mn,$mx] satisfies $tree"))
+        assert(evalRef3(tree, None) != 1,
+          s"excluded but NULL satisfies $tree")
+      }
+    }
+    assert(excludes > 20, s"proof never fired ($excludes) — vacuous fuzz")
+  }
 }
