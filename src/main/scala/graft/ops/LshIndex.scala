@@ -494,6 +494,19 @@ object LshIndex {
     val memberCols = Seq(col("doc_id"), col("band_idx"), col("band_key"))
     val persistedMembers = loadBands(spark, dir, slots = slots, keys = keys)
       .join(broadcast(okKeys), bucketCols).select(memberCols: _*)
+    // DESIGN RECORD (r16): wave fusion — replacing this eager checkpoint
+    // with a lazy persist() populated by the candSigs broadcast's first
+    // xIds scan and released after xS materializes — was built, measured
+    // same-run (both variants registered in one Bench invocation, the
+    // r15 fast-path method), and REMOVED: across three paired sf0.1
+    // invocations the fused wall was +0.05 s / +0.16 s / +4.2 s AGAINST,
+    // never ahead, with shuffle bytes deterministic on both sides
+    // (488,483 vs 487,712 B — no data-flow change to win on). The
+    // scheduling latency the fusion hoped to save just moves into the
+    // broadcast job's lazy cache population; at production delta sizes
+    // the waves amortize regardless (this was a small-serve latency
+    // idea, not a scale item). Answers were oracle-hash-equal while the
+    // twin existed (lsh_index_probe_fused, removed with this record).
     val xRows = deltaBands
       .map(db => persistedMembers.unionByName(
         db.join(broadcast(okKeys), bucketCols).select(memberCols: _*)))
