@@ -226,11 +226,12 @@ object ScaleSmoke {
     println(s"corpus: ${corpus.count()} docs (${replicas}x sf0.1)")
     val dir = java.nio.file.Files.createTempDirectory("smoke-lsh-r15").toString
     val t0 = System.nanoTime()
-    // 64 KiB blocks put the fixture in the PRODUCTION pruning regime
+    // 32 KiB blocks put the fixture in the PRODUCTION pruning regime
     // (blocks-per-file >> probe-keys-per-file — at 100 TB that holds at
     // any block size; at fixture scale the 1 MiB default inverts it and
     // every block contains a probed key by pigeonhole).
-    LshIndex.buildAndWrite(corpus, dir, blockBytes = 64L << 10)
+    val smokeBlockBytes = 32L << 10
+    LshIndex.buildAndWrite(corpus, dir, blockBytes = smokeBlockBytes)
     println(f"build ${(System.nanoTime() - t0) / 1e9}%.2f s")
     val floor = 1000000000L
     // 90 collision-free novel docs + 10 near-dups: ~600 touched buckets
@@ -270,7 +271,7 @@ object ScaleSmoke {
           .getOrElse(0)},""" +
       s""""band_blocks_read":$bandBlocksRead,""" +
       s""""band_blocks_total":$bandBlocksTotal,""" +
-      s""""block_bytes":${64L << 10},"pairs":$pairs,""" +
+      s""""block_bytes":$smokeBlockBytes,"pairs":$pairs,""" +
       s""""wall_s":${(System.nanoTime() - t1) / 1e9}}""")
     assert(touched > 64 && touched <= Gavro.InPushMax,
       s"mid-size delta touched $touched buckets — outside the shape under test")

@@ -280,31 +280,58 @@ object LshIndex {
     * that keeps a small probe's I/O flat as the corpus grows. */
   def loadBands(spark: SparkSession, dir: String,
       keyed: Boolean = false, slots: Option[Seq[Int]] = None,
-      keys: Option[Seq[String]] = None): DataFrame = {
+      keys: Option[Seq[String]] = None,
+      slotKeys: Option[Seq[(Int, Seq[String])]] = None): DataFrame = {
     val r = spark.read.format("gavro").option("schema", "lsh_bands")
     val loaded = (if (keyed) r.option("partitionKey", "band_idx") else r)
       .load(s"$dir/bands")
-    val bySlot = slots.fold(loaded)(ss =>
-      loaded.filter(col("slot").isin(ss.map(Int.box): _*)))
-    // `keys` (≤ [[Gavro.InPushMax]] — the IN-pushdown cap) reaches the
-    // reader too: within a surviving slot file, non-candidate records
-    // drop at decode and the band_key-sorted blocks skip wholesale on
-    // their footer ranges (binary-search proof per block).
-    keys.fold(bySlot)(ks => bySlot.filter(col("band_key").isin(ks: _*)))
+    // `slotKeys` is the strongest pruning form (r16, rides the reader's
+    // disjunctive pushdown): `(slot = s AND band_key IN keys_of_s) OR …`.
+    // A flat `band_key IN (all keys)` admits nearly every BLOCK once the
+    // probe is mid-size — each slot file spans the whole md5 keyspace
+    // (slot = hash), so ~keys/blocksPerKeyspace land in every block
+    // range. Scoping keys to their own slot kills 47 of 48 branches per
+    // file on the slot equality (footer min = max = slot), leaving only
+    // that file's ~keys/48 to test against its block ranges — block
+    // admission drops from ~1 to ~keysPerSlot/blocksPerFile, the ratio
+    // that stays tiny as the corpus (and blocksPerFile) grows.
+    slotKeys.map(sk => loaded.filter(slotKeysPred(sk)))
+      .getOrElse {
+        val bySlot = slots.fold(loaded)(ss =>
+          loaded.filter(col("slot").isin(ss.map(Int.box): _*)))
+        // `keys` (≤ [[Gavro.InPushMax]] — the IN-pushdown cap) reaches
+        // the reader too: non-candidate records drop at decode.
+        keys.fold(bySlot)(ks => bySlot.filter(col("band_key").isin(ks: _*)))
+      }
       .select(col("doc_id"), col("band_idx"), col("band_key"))
   }
+
+  /** The slot-scoped disjunction: one Or branch per touched slot, each
+    * `slot = s AND band_key IN (that slot's keys, sorted)`. Leaf count is
+    * ≤ 2 · NumBands · SaltM = 96 — under the reader's
+    * [[Gavro.TreeLeafMax]] — and each IN is its slot's share of the
+    * (≤ [[Gavro.InPushMax]]) touched-bucket keys. */
+  private def slotKeysPred(sk: Seq[(Int, Seq[String])])
+      : org.apache.spark.sql.Column =
+    sk.map { case (s, ks) =>
+      col("slot") === s && col("band_key").isin(ks: _*)
+    }.reduce(_ || _)
 
   /** Bucket occupancy read back, one row per (bucket, commit):
     * (band_idx, band_key, n, max_doc). `slots`/`keys` prune like
     * [[loadBands]]'s. */
   def loadBuckets(spark: SparkSession, dir: String,
       slots: Option[Seq[Int]] = None,
-      keys: Option[Seq[String]] = None): DataFrame = {
+      keys: Option[Seq[String]] = None,
+      slotKeys: Option[Seq[(Int, Seq[String])]] = None): DataFrame = {
     val loaded = spark.read.format("gavro").option("schema", "lsh_buckets")
       .load(s"$dir/buckets")
-    val bySlot = slots.fold(loaded)(ss =>
-      loaded.filter(col("slot").isin(ss.map(Int.box): _*)))
-    keys.fold(bySlot)(ks => bySlot.filter(col("band_key").isin(ks: _*)))
+    slotKeys.map(sk => loaded.filter(slotKeysPred(sk)))
+      .getOrElse {
+        val bySlot = slots.fold(loaded)(ss =>
+          loaded.filter(col("slot").isin(ss.map(Int.box): _*)))
+        keys.fold(bySlot)(ks => bySlot.filter(col("band_key").isin(ks: _*)))
+      }
       .select(col("band_idx"), col("band_key"), col("n"), col("max_doc"))
   }
 
@@ -457,16 +484,24 @@ object LshIndex {
     // When the touched BUCKET set fits the reader's IN cap
     // ([[Gavro.InPushMax]] — binary-search skip proofs and hashed row
     // eval keep the big list cheap; pre-r15 the cap was 64 and every
-    // mid-size probe lost this), push the band keys too: non-candidate
-    // records in a surviving slot file drop at decode, and the
-    // band_key-sorted block layout skips whole blocks on footer ranges.
-    val hotBandKeys = hotCollected.map(_._2).distinct.sorted.toSeq
-    val keys = if (hotBandKeys.nonEmpty &&
-        hotBandKeys.length <= Gavro.InPushMax) Some(hotBandKeys) else None
+    // mid-size probe lost this), push the keys SLOT-SCOPED (r16, riding
+    // the reader's new disjunctive pushdown): `(slot = s AND band_key IN
+    // keys_of_s) OR …`. The flat one-IN-for-all-keys form proved
+    // block-blind for mid-size probes — every slot file spans the whole
+    // md5 keyspace, so a 600-key list intersects every block range
+    // (measured 981/986 blocks read at 50×); scoping each slot's keys to
+    // its own branch restores block admission ≈ keysPerSlot /
+    // blocksPerFile (see [[loadBands]]).
+    val hotBandKeys = hotCollected.map(_._2).distinct
+    val slotKeys = if (hotBandKeys.nonEmpty &&
+        hotBandKeys.length <= Gavro.InPushMax)
+      Some(hotCollected.groupBy(_._3).toSeq.sortBy(_._1)
+        .map { case (s, ts) => s -> ts.map(_._2).distinct.sorted.toSeq })
+    else None
     val hotKeys = hotCollected.map(t => (t._1, t._2)).toSeq
       .toDF("band_idx", "band_key")
     val bucketCols = Seq("band_idx", "band_key")
-    val pn = loadBuckets(spark, dir, slots, keys)
+    val pn = loadBuckets(spark, dir, slots, slotKeys = slotKeys)
       .join(broadcast(hotKeys), bucketCols)
       .groupBy(col("band_idx"), col("band_key")).agg(sum(col("n")).as("pn"))
     val totals = deltaBands.map(_.groupBy(col("band_idx"), col("band_key"))
@@ -492,7 +527,8 @@ object LshIndex {
     // hot-set driver collect; every wave is fixed per-trigger latency on
     // the serve path.
     val memberCols = Seq(col("doc_id"), col("band_idx"), col("band_key"))
-    val persistedMembers = loadBands(spark, dir, slots = slots, keys = keys)
+    val persistedMembers = loadBands(spark, dir, slots = slots,
+        slotKeys = slotKeys)
       .join(broadcast(okKeys), bucketCols).select(memberCols: _*)
     // DESIGN RECORD (r16): wave fusion — replacing this eager checkpoint
     // with a lazy persist() populated by the candSigs broadcast's first

@@ -1991,11 +1991,14 @@ object Gavro {
   /** Max LEAVES in one pushed predicate TREE (Or/And/Not). Each leaf is
     * one stats lookup per file/block proof and one slot eval per row —
     * linear, cheap — but an IN inside a tree multiplies by its own list,
-    * so the caps compose multiplicatively in the worst case; 64 covers
-    * every hand-written disjunction while keeping the serialized pred and
-    * the per-row worst case bounded. Past the cap the filter simply stays
-    * with Spark as a FilterExec (correct, just unpushed). */
-  val TreeLeafMax: Int = 64
+    * so the caps compose multiplicatively in the worst case. 128 covers
+    * every hand-written disjunction AND the LSH probe's slot-scoped key
+    * push (`(slot = s AND band_key IN …) OR …` — 2 leaves × 48 slots =
+    * 96, the shape that restores block skipping for mid-size probes)
+    * while keeping the serialized pred and the per-row worst case
+    * bounded. Past the cap the filter simply stays with Spark as a
+    * FilterExec (correct, just unpushed). */
+  val TreeLeafMax: Int = 128
 
   /** Commit-manifest directory name inside a gavro table path. */
   val CommitsDir = "_graft_commits"

@@ -1815,6 +1815,62 @@ class GavroSourceSpec extends SparkSpec {
     assert(covering.count() == ids.length.toLong)
   }
 
+  test("slot-scoped key disjunction skips blocks a flat IN cannot") {
+    // The LSH probe's r16 pushdown shape on its exact layout: files
+    // single-valued on a hash slot, rows key-sorted within, block stats
+    // on both. A flat `key IN (all keys)` admits ~every block (each
+    // slot file spans the whole keyspace); `(slot = s AND key IN
+    // keys_of_s) OR …` kills foreign branches on the slot equality and
+    // tests only ~keys/slots per file.
+    val events = Tables.events(spark, dir)
+    val out = tmpDir("slotkeys")
+    val base = events.select(
+      md5(col("event_id").cast("string")).as("band_key"))
+      .withColumn("slot", pmod(xxhash64(col("band_key")), lit(4)).cast("int"))
+    Gavro.write(graft.sources.Gavro.exactPartition(
+        base.select(col("band_key"), col("slot"), lit(0L).as("doc_id"),
+          lit(0).as("band_idx")), "slot", 4)
+        .sortWithinPartitions(col("band_key"))
+        .select(expr(
+          "to_avro_graft(struct(doc_id, band_idx, band_key, slot), 'lsh_bands')")
+          .as("bin"), col("slot"), col("band_key")), out,
+      blockBytes = 1024L, statCols = Seq("slot", "band_key"))
+    // Stride-sample the keys UNIFORMLY across the keyspace (the probe's
+    // real shape — touched buckets are hash-scattered): clustered keys
+    // would let even the flat IN skip on block ranges.
+    val allKeys = base.select(col("band_key"), col("slot")).distinct()
+      .orderBy(col("band_key")).collect()
+      .map(r => (r.getString(0), r.getInt(1)))
+    val keys = (0 until 12).map(i => allKeys(i * allKeys.length / 12))
+    val bySlot = keys.groupBy(_._2).toSeq.sortBy(_._1)
+      .map { case (s, ks) => s -> ks.map(_._1).toSeq }
+    def readWith(pred: org.apache.spark.sql.Column) = {
+      val d = spark.read.format("gavro").option("schema", "lsh_bands")
+        .load(out).filter(pred).select(col("band_key"))
+      assert(d.queryExecution.executedPlan.collect {
+        case f: org.apache.spark.sql.execution.FilterExec => f }.isEmpty,
+        s"must fully push: $pred")
+      val (rows, reads) = graft.sources.Gavro.trackBlockReads {
+        d.collect().map(_.getString(0)).sorted.toSeq
+      }
+      (rows, reads.values.sum)
+    }
+    val flat = col("band_key").isin(keys.map(_._1): _*)
+    val scoped = bySlot.map { case (s, ks) =>
+      col("slot") === s && col("band_key").isin(ks: _*)
+    }.reduce(_ || _)
+    val (flatRows, flatBlocks) = readWith(flat)
+    val (scopedRows, scopedBlocks) = readWith(scoped)
+    assert(flatRows == scopedRows && scopedRows.nonEmpty,
+      "scoping must not change the answer")
+    val total = graft.sources.Gavro.totalBlocks(out)
+    assert(scopedBlocks < flatBlocks,
+      s"slot scoping must skip more: scoped $scopedBlocks, flat " +
+        s"$flatBlocks, total $total")
+    assert(scopedBlocks * 2 < total,
+      s"scoped probe must read a minority of blocks: $scopedBlocks of $total")
+  }
+
   test("OR filters compose with aggregate pushdown") {
     val events = Tables.events(spark, dir)
     val out = tmpDir("oragg")
@@ -1897,9 +1953,10 @@ class GavroSourceSpec extends SparkSpec {
     val g = spark.read.format("gavro")
       .option("schema", "request_log").load(out)
     val ids = events.select(col("event_id")).orderBy(col("event_id"))
-      .limit(40).collect().map(_.getLong(0))
-    // 80 leaves across two columns (alternating so no In-rewrite applies)
-    // > TreeLeafMax = 64: the filter must stay with Spark, results exact.
+      .limit(70).collect().map(_.getLong(0))
+    // 140 leaves across two columns (alternating so no In-rewrite
+    // applies) > TreeLeafMax = 128: the filter must stay with Spark,
+    // results exact.
     val chain = ids.map(v =>
       col("id") === v || col("latency_ms") === (v % 500).toInt)
       .reduce(_ || _)
@@ -1910,7 +1967,7 @@ class GavroSourceSpec extends SparkSpec {
     val got = g.filter(chain)
     assert(got.queryExecution.executedPlan.collect {
       case fe: org.apache.spark.sql.execution.FilterExec => fe }.nonEmpty,
-      "an 80-leaf OR must NOT serialize into the scan")
+      "a 140-leaf OR must NOT serialize into the scan")
     val want = events.select(AvroCodec.requestLogRec.as("rec"))
       .select(col("rec.*")).filter(chain)
     assert(got.count() == want.count() && got.count() > 0)
