@@ -19,8 +19,16 @@ Conventions:
   - Each sub-run is graft.Bench itself (its own 2-timed-runs-min per
     query, noop-write materialization, contention rerun guard), so a
     paired cell is min over (rounds × 2) full executions per side.
-  - Sub-runs alternate A,B within each round: ambient drift hits both
-    sides of a pair, not one.
+  - Run order MIRRORS between rounds (A,B then B,A then A,B …): a
+    monotonic within-session drift (cache warmth, thermal, tenant load
+    ramping) hits each side first and second equally often — plain
+    alternation systematically biases against whichever side runs
+    second in every pair (measured: +9% uniform on the second side
+    across 204 queries with ZERO shuffle-byte deltas).
+  - A cooldown before every sub-run waits for the PREVIOUS run's load
+    to drain (l1 back under the gate, bounded wait): without it, every
+    run after the first inherits the prior suite's loadavg and stamps
+    canonical:false structurally rather than meaningfully.
   - The artifact is canonical only if EVERY sub-run stamped canonical
     (each Bench JVM re-reads loadavg at its own start).
 """
@@ -127,9 +135,16 @@ def main():
 
     gate = wait_idle()
     runs_a, runs_b = [], []
+    order = []
     for r in range(args.rounds):
-        runs_a.append(run_bench(side_a, args.sf, queries, f"a{r}"))
-        runs_b.append(run_bench(side_b, args.sf, queries, f"b{r}"))
+        pair = [("a", side_a, runs_a), ("b", side_b, runs_b)]
+        if r % 2 == 1:
+            pair.reverse()  # mirror: each side runs first equally often
+        for tag, side, sink in pair:
+            if order:  # drain the previous run's load before the next
+                wait_idle(l1_max=1.2, l5_max=4.0, timeout_s=240)
+            sink.append(run_bench(side, args.sf, queries, f"{tag}{r}"))
+            order.append(f"{tag}{r}")
 
     def best(runs, key):
         per = {}
@@ -151,7 +166,7 @@ def main():
         "harness": "bench_ab", "sf": args.sf, "rounds": args.rounds,
         "sha_a": sha_a, "sha_b": sha_b,
         "label_a": args.label_a or sha_a, "label_b": args.label_b or sha_b,
-        "canonical": canonical, "loadavg_gate": gate,
+        "canonical": canonical, "loadavg_gate": gate, "run_order": order,
         "run_stamps": [{"side": s, "git_sha": r.get("git_sha"),
                         "canonical": r.get("canonical"),
                         "loadavg_start": r.get("loadavg_start"),
