@@ -2007,6 +2007,60 @@ class GavroSourceSpec extends SparkSpec {
     assert(dm("gavroBlocksTotal") == total, dm.toString)
   }
 
+  test("random predicate trees agree with Spark's own FilterExec end-to-end") {
+    // The strongest oracle for the reader's three-valued eval + tree
+    // skip proof TOGETHER: random trees over four columns (one with
+    // planted nulls), each applied to the gavro scan (pushed) AND to
+    // the identical in-memory frame (Spark's FilterExec semantics).
+    // Any unsound skip or eval divergence breaks count/sum equality.
+    val events = Tables.events(spark, dir)
+    val out = tmpDir("treefuzz")
+    Gavro.write(events
+      .select(AvroCodec.requestLogRec.as("rec"))
+      .select(expr("to_avro_graft(rec, 'request_log')").as("bin"),
+        col("rec.id").as("id"), col("rec.endpoint").as("endpoint"))
+      .orderBy(col("id")).coalesce(1), out,
+      blockBytes = 8192L, statCols = Seq("id", "endpoint"))
+    val g = spark.read.format("gavro")
+      .option("schema", "request_log").load(out)
+    val ref = events.select(AvroCodec.requestLogRec.as("rec"))
+      .select(col("rec.*"))
+    val maxId = events.agg(max(col("event_id"))).head.getLong(0)
+    val rnd = new scala.util.Random(16L)
+    def leaf(): org.apache.spark.sql.Column = rnd.nextInt(8) match {
+      case 0 => col("id") < rnd.nextLong(maxId + 1)
+      case 1 => col("id") >= rnd.nextLong(maxId + 1)
+      case 2 => col("user_id") === rnd.nextLong(200)
+      case 3 => col("user_id") <=> rnd.nextLong(200)
+      case 4 => col("user_id").isNull
+      case 5 => col("status_code") === (if (rnd.nextBoolean()) 200 else 500)
+      case 6 => col("endpoint") >= s"/api/${('a' + rnd.nextInt(26)).toChar}"
+      case _ => col("latency_ms").isin(
+        Seq.fill(1 + rnd.nextInt(5))(rnd.nextInt(500)).map(Int.box): _*)
+    }
+    def tree(depth: Int): org.apache.spark.sql.Column =
+      if (depth == 0 || rnd.nextInt(3) == 0) leaf()
+      else rnd.nextInt(4) match {
+        case 0 => tree(depth - 1) || tree(depth - 1)
+        case 1 => tree(depth - 1) && tree(depth - 1)
+        case 2 => !tree(depth - 1)
+        case _ => tree(depth - 1) || (tree(depth - 1) && tree(depth - 1))
+      }
+    var nonEmpty = 0
+    (1 to 20).foreach { i =>
+      val f = tree(3)
+      val got = g.filter(f)
+        .agg(count(lit(1)), sum(col("id")), count(col("user_id"))).head
+      val want = ref.filter(f)
+        .agg(count(lit(1)), sum(col("id")), count(col("user_id"))).head
+      assert(got.getLong(0) == want.getLong(0) &&
+        got.get(1) == want.get(1) && got.getLong(2) == want.getLong(2),
+        s"tree #$i diverged: got $got want $want for $f")
+      if (got.getLong(0) > 0) nonEmpty += 1
+    }
+    assert(nonEmpty > 5, s"fuzz too vacuous: only $nonEmpty non-empty results")
+  }
+
   test("tree skip proof is sound: exclusion implies no in-range value satisfies") {
     import graft.sources.{GavroColStat, GavroPred, GavroSkip, GavroSortedVals}
     val rnd = new scala.util.Random(20260816L)
