@@ -91,6 +91,39 @@ class GavroStreamSpec extends SparkSpec {
     assert(seen.asScala.toSet == Set(8L, 9L, 10L), seen.toString)
   }
 
+  test("disjunctive and NOT filters ride the streaming reader with SQL semantics") {
+    // The tree pushdown's STREAMING path: the micro-batch scan shares
+    // GavroScanBuilder, so Or/Not trees reach planFile + the reader's
+    // three-valued eval per trigger. Semantics pinned against the same
+    // filter on the equivalent batch read.
+    val dir = java.nio.file.Files.createTempDirectory("gavro-stream-or").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("gavro-stream-orck").toString
+    writeFile(dir, "part-00000.gavro", 1L to 20L)
+    val pred = (col("id") < 4L && col("id") =!= 2L) ||
+      col("id") >= 17L || !(col("id") <=> 10L) && col("id").isin(9L, 10L, 11L)
+    val want = spark.read.format("gavro")
+      .option("schema", "system_metrics").load(dir)
+      .filter(pred).select(col("id"))
+      .collect().map(_.getLong(0)).toSet
+    assert(want.nonEmpty && !want.contains(10L) && want.contains(9L))
+    val seen = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val q = spark.readStream.format("gavro")
+      .option("schema", "system_metrics").load(dir)
+      .filter(pred)
+      .select(col("id"))
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        df.collect().foreach(r => seen.add(r.getLong(0)))
+        ()
+      }
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    import scala.jdk.CollectionConverters._
+    assert(seen.asScala.toSet == want, s"stream ${seen} vs batch $want")
+  }
+
   test("streaming gavro sink publishes per-epoch files the source can tail") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
