@@ -1871,6 +1871,59 @@ class GavroSourceSpec extends SparkSpec {
       s"scoped probe must read a minority of blocks: $scopedBlocks of $total")
   }
 
+  test("multi-prefix OR (startsWith branches) block-skips via per-branch range proofs") {
+    // The URL-shape disjunction: each branch carries its own
+    // [p, upper(p)) prefix-range proof; the Or excludes a block iff
+    // EVERY branch's range misses it. Also pins a branch over a column
+    // with NO stats: that branch can never be proven impossible, so the
+    // Or must admit everything (soundness under missing stats).
+    val events = Tables.events(spark, dir)
+    val out = tmpDir("orprefix")
+    Gavro.write(events
+      .select(AvroCodec.requestLogRec.as("rec"))
+      .select(expr("to_avro_graft(rec, 'request_log')").as("bin"),
+        col("rec.endpoint").as("endpoint"))
+      .orderBy(col("endpoint")).coalesce(1), out,
+      blockBytes = 8192L, statCols = Seq("endpoint"))
+    def scanOf(d: org.apache.spark.sql.DataFrame) =
+      d.queryExecution.executedPlan.collect {
+        case b: BatchScanExec => b }.head
+    val all = spark.read.format("gavro")
+      .option("schema", "request_log").load(out).select(col("endpoint"))
+    val totalBlocks = scanOf(all).inputRDD.getNumPartitions
+    assert(totalBlocks > 3, s"need a multi-block file, got $totalBlocks")
+    val pred = col("endpoint").startsWith("/api/a") ||
+      col("endpoint").startsWith("/api/z")
+    val filtered = spark.read.format("gavro")
+      .option("schema", "request_log").load(out)
+      .filter(pred).select(col("endpoint"))
+    assert(filtered.queryExecution.executedPlan.collect {
+      case f: org.apache.spark.sql.execution.FilterExec => f }.isEmpty)
+    val opened = scanOf(filtered).inputRDD.getNumPartitions
+    assert(opened < totalBlocks,
+      s"expected per-branch prefix pruning, opened $opened of $totalBlocks")
+    val want = events.select(AvroCodec.requestLogRec.as("rec"))
+      .select(col("rec.endpoint").as("endpoint"))
+      .filter(pred).collect().map(_.getString(0)).sorted.toSeq
+    assert(filtered.collect().map(_.getString(0)).sorted.toSeq == want)
+    // A branch on a stats-less column (latency_ms not in statCols)
+    // disables skipping for the whole Or — but results stay exact.
+    val mixed = spark.read.format("gavro")
+      .option("schema", "request_log").load(out)
+      .filter(col("endpoint").startsWith("/api/z") ||
+        col("latency_ms") === 499)
+      .select(col("endpoint"))
+    assert(scanOf(mixed).inputRDD.getNumPartitions == totalBlocks,
+      "a stats-less branch must disable skipping, not mis-skip")
+    val wantMixed = events.select(AvroCodec.requestLogRec.as("rec"))
+      .select(col("rec.endpoint").as("endpoint"),
+        col("rec.latency_ms").as("latency_ms"))
+      .filter(col("endpoint").startsWith("/api/z") ||
+        col("latency_ms") === 499)
+      .count()
+    assert(mixed.count() == wantMixed && wantMixed > 0)
+  }
+
   test("OR filters compose with aggregate pushdown") {
     val events = Tables.events(spark, dir)
     val out = tmpDir("oragg")
