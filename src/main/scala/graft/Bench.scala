@@ -3,8 +3,10 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 /** Benchmark main: times every registered query at SPARK_GRAFT_SF_DIR and
-  * prints ONE JSON line. A failing query is reported in an "errors" map
-  * (name → message) instead of being silently timed as a fast failure.
+  * prints the full per-query JSON line followed by a compact summary line
+  * (the summary is LAST so a bounded stdout-tail capture keeps it whole).
+  * A failing query is reported in an "errors" map (name → message)
+  * instead of being silently timed as a fast failure.
   *
   * Each query is materialized with a noop-format write so the timed work
   * includes the full projection the Verify dump would write (a bare
@@ -156,11 +158,27 @@ object Bench {
     // their "unit" prefix. Full runs only — a filtered run (args non-empty)
     // must not clobber the suite-wide baseline that BenchGateSpec and
     // tools/bench_compare.py read.
-    if (args.isEmpty) {
-      val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_SELF_latest.json")
-      java.nio.file.Files.write(java.nio.file.Paths.get(out),
-        (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    }
+    val outFile: Option[String] =
+      if (args.nonEmpty) None
+      else {
+        val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_SELF_latest.json")
+        java.nio.file.Files.write(java.nio.file.Paths.get(out),
+          (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        Some(out)
+      }
+    // Compact summary as the LAST stdout line: the driver keeps only a
+    // ~2 kB stdout TAIL, which truncates the full line above mid-object —
+    // every round's BENCH_r*.json landed "parsed": null, losing the
+    // driver-side wall-time record. A short self-contained closing line
+    // survives any tail window whole. It deliberately carries no
+    // per-query "queries" map, so tools/bench_ab.py (last line matching
+    // "metric"+"queries") and tools/bench_compare.py (FIRST line matching
+    // "metric") both still select the full line; the full map lives in
+    // the file named by "full_out".
+    def r3(v: Double): Double = math.round(v * 1000) / 1000.0
+    val slowest = times.sortBy(-_._2).take(5)
+      .map { case (k, v) => s"${jstr(k)}:${r3(v)}" }.mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","nq":${times.length},"n_err":${errors.length},"slowest":$slowest,"canonical":$canonical,"git_sha":${jstr(gitSha)},"cpus":$cpus,"sf":${jstr(sfDir)},"full_out":${outFile.map(jstr).getOrElse("null")}}""")
     spark.stop()
   }
 }

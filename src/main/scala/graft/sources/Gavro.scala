@@ -673,13 +673,13 @@ class GavroScan(path: String, schemaName: String, required: StructType,
       case None =>
         (files.flatMap { f =>
           val meta = GavroFooter.read(f)
-          blocksTotal += math.max(1, meta.blocks.length)
+          blocksTotal += GavroSkip.liveBlocks(meta)
           GavroSkip.planFile(f, preds, meta)
         }.map(p => p: InputPartition).toArray, 0)
       case Some(field) =>
         val perFile = files.map { f =>
           val meta = GavroFooter.read(f)
-          blocksTotal += math.max(1, meta.blocks.length)
+          blocksTotal += GavroSkip.liveBlocks(meta)
           val single = meta.stats.get(field.name)
             .filter(s => s.min == s.max)
             .map(s => GavroScan.toCatalystKey(s.min, field.dataType))
@@ -1534,6 +1534,16 @@ object GavroSkip {
   def planFile(file: java.io.File, preds: Seq[GavroPred]): Seq[GavroInputPartition] =
     planFile(file, preds, GavroFooter.read(file))
 
+  /** Blocks that COULD become read tasks: positive-extent only, the same
+    * `end > start` filter [[planFile]] applies. An empty file's single
+    * zero-extent block can never be a partition, so counting it in the
+    * gavroBlocksTotal denominator would make an unfiltered scan report
+    * read < total. */
+  def liveBlocks(meta: GavroFileMeta): Long = {
+    val bounds = meta.blocks :+ meta.dataEnd
+    (0 until meta.blocks.length).count(i => bounds(i + 1) > bounds(i)).toLong
+  }
+
   /** The footer-supplied variant for callers that already read the footer
     * (the keyed scan needs the stats for the partition key too — one tail
     * read per file, not two). */
@@ -1827,7 +1837,11 @@ class GavroPartitionReader(part: GavroInputPartition, schemaName: String,
       case "<=>" =>
         if (v == null) 0
         else cmpVals(v, w) match {
-          case CmpDrift => 0 // a differently-typed value is not the value
+          // Type drift: UNKNOWN, same as every other comparison — a FALSE
+          // here would flip to TRUE under NOT and admit the row.
+          // Unreachable for well-typed plans (the builder gates
+          // column/literal types), kept consistent anyway.
+          case CmpDrift => -1
           case c => b(c == 0)
         }
       case _ if v == null => -1

@@ -57,15 +57,30 @@ def resolve(sha):
 
 
 def worktree_for(sha):
-    """Detached worktree at the SHA (reused if present and clean)."""
+    """Detached worktree at the SHA (reused only when verifiably still AT
+    the SHA and clean — a stale or locally-edited worktree would silently
+    bench the wrong code)."""
     full = sh(["git", "rev-parse", sha])
     head = sh(["git", "rev-parse", "HEAD"])
     dirty = sh(["git", "status", "--porcelain", "--", "src", "build.sbt"])
     if full == head and not dirty:
         return REPO  # measuring the repo's own clean HEAD: no copy needed
     path = f"/tmp/graft_ab_{resolve(sha)}"
-    if not os.path.isdir(path):
-        sh(["git", "worktree", "add", "--detach", path, sha])
+    if os.path.isdir(path):
+        try:
+            at_sha = sh(["git", "rev-parse", "HEAD"], cwd=path) == full
+            clean = not sh(["git", "status", "--porcelain",
+                            "--", "src", "build.sbt"], cwd=path)
+            if at_sha and clean:
+                return path
+        except RuntimeError:
+            pass
+        print(f"[bench_ab] stale/dirty worktree at {path}; recreating",
+              flush=True)
+        subprocess.run(["git", "worktree", "remove", "--force", path],
+                       cwd=REPO, capture_output=True)
+        subprocess.run(["rm", "-rf", path], capture_output=True)
+    sh(["git", "worktree", "add", "--detach", path, sha])
     return path
 
 
