@@ -310,12 +310,27 @@ object LshIndex {
     * `slot = s AND band_key IN (that slot's keys, sorted)`. Leaf count is
     * ≤ 2 · NumBands · SaltM = 96 — under the reader's
     * [[Gavro.TreeLeafMax]] — and each IN is its slot's share of the
-    * (≤ [[Gavro.InPushMax]]) touched-bucket keys. */
-  private def slotKeysPred(sk: Seq[(Int, Seq[String])])
+    * (≤ [[Gavro.InPushMax]]) touched-bucket keys.
+    *
+    * Over-cap degrade: a layout with more touched slots than the tree cap
+    * admits (2 leaves per slot) must NOT emit the tree — `pushFilters`
+    * rejects an over-cap tree WHOLE, which would strip every level of
+    * reader-side pruning (file skip, block skip, decode-time drop) and
+    * leave a bare FilterExec over an unfiltered scan. Instead emit the
+    * flat conjunction `slot IN (slots) AND band_key IN (all keys)`:
+    * Catalyst splits conjuncts before pushdown, so the slot IN always
+    * pushes (file-level pruning survives any slot count) and the key IN
+    * pushes whenever it fits [[Gavro.InPushMax]] — a graceful ladder
+    * instead of a cliff. */
+  private[graft] def slotKeysPred(sk: Seq[(Int, Seq[String])])
       : org.apache.spark.sql.Column =
-    sk.map { case (s, ks) =>
-      col("slot") === s && col("band_key").isin(ks: _*)
-    }.reduce(_ || _)
+    if (2 * sk.length > Gavro.TreeLeafMax)
+      col("slot").isin(sk.map(s => Int.box(s._1)): _*) &&
+        col("band_key").isin(sk.flatMap(_._2): _*)
+    else
+      sk.map { case (s, ks) =>
+        col("slot") === s && col("band_key").isin(ks: _*)
+      }.reduce(_ || _)
 
   /** Bucket occupancy read back, one row per (bucket, commit):
     * (band_idx, band_key, n, max_doc). `slots`/`keys` prune like

@@ -1729,6 +1729,24 @@ object GavroPartitionReader {
   sealed trait CPred
   final case class CLeaf(slot: Int, op: String, w: Any) extends CPred
   final case class CTree(op: String, kids: Array[CPred]) extends CPred
+
+  /** TOP-LEVEL-ONLY compiled form of the slot-scoped probe disjunction
+    * `(part = s1 AND key IN K1) OR (part = s2 AND key IN K2) OR …`
+    * (the shape [[graft.ops.LshIndex]] pushes): ONE hash probe on the
+    * partition column's value dispatches to that branch's hashed key
+    * set — O(1) per row instead of the generic Or-walk's O(branches)
+    * leaf evals. Duplicate partition values merge their key sets
+    * (`(s=v AND k∈A) OR (s=v AND k∈B)` ≡ `s=v AND k∈(A∪B)`).
+    *
+    * Soundness is TOP-LEVEL-ONLY: the dispatch returns FALSE where the
+    * generic tree returns UNKNOWN (null part/key, absent slot, type
+    * drift). At the top of the pushed conjunction FALSE and UNKNOWN both
+    * drop the row — identical outcomes — but under a NOT they differ,
+    * so [[GavroPartitionReader]] applies this rewrite only to preds that
+    * ARE a whole pushed conjunct, never to subtrees. */
+  final case class CSlotMap(partIdx: Int, keyIdx: Int,
+      map: java.util.HashMap[java.lang.Long, java.util.HashSet[UTF8String]])
+    extends CPred
 }
 
 class GavroPartitionReader(part: GavroInputPartition, schemaName: String,
@@ -1786,7 +1804,64 @@ class GavroPartitionReader(part: GavroInputPartition, schemaName: String,
       }
       GavroPartitionReader.CLeaf(extNames.indexOf(p.name), p.op, v)
   }
-  private val compiled: Array[GavroPartitionReader.CPred] = preds.map(compile)
+  /** Detect the slot-scoped probe shape on a WHOLE pushed conjunct and
+    * compile it to [[GavroPartitionReader.CSlotMap]] (see its scaladoc
+    * for the shape and the top-level-only soundness argument). Every
+    * branch must be `intCol = lit AND strCol IN (strings)` over the SAME
+    * two distinct columns; anything else falls back to the generic tree
+    * compile, bit-for-bit unchanged. */
+  private def toSlotMap(p: GavroPred): Option[GavroPartitionReader.CSlotMap] =
+    p match {
+      case GavroPred(_, "or", branches: Vector[GavroPred] @unchecked)
+          if branches.length >= 2 =>
+        val m = new java.util.HashMap[java.lang.Long,
+          java.util.HashSet[UTF8String]](branches.length * 2)
+        var eqCol: String = null
+        var inCol: String = null
+        val ok = branches.forall {
+          case GavroPred(_, "and", kids: Vector[GavroPred] @unchecked)
+              if kids.length == 2 =>
+            (kids.find(_.op == "="), kids.find(_.op == "in")) match {
+              case (Some(eq), Some(in)) =>
+                val part: Option[Long] = eq.value match {
+                  case i: Int => Some(i.toLong)
+                  case l: Long => Some(l)
+                  case _ => None
+                }
+                val keys: Option[Seq[String]] = (in.value match {
+                  case GavroSortedVals(vs) => vs
+                  case vs: Seq[_] => vs
+                  case _ => Seq(new Object)
+                }) match {
+                  case vs if vs.nonEmpty && vs.forall(_.isInstanceOf[String]) =>
+                    Some(vs.asInstanceOf[Seq[String]])
+                  case _ => None
+                }
+                val colsOk = eq.name != in.name &&
+                  (eqCol == null || eqCol == eq.name) &&
+                  (inCol == null || inCol == in.name)
+                (part, keys) match {
+                  case (Some(s), Some(ks)) if colsOk =>
+                    eqCol = eq.name; inCol = in.name
+                    val set = m.computeIfAbsent(s,
+                      _ => new java.util.HashSet[UTF8String](ks.length * 2))
+                    ks.foreach(k => set.add(UTF8String.fromString(k)))
+                    true
+                  case _ => false
+                }
+              case _ => false
+            }
+          case _ => false
+        }
+        if (ok) {
+          Gavro.noteSlotMapCompile()
+          Some(GavroPartitionReader.CSlotMap(
+            extNames.indexOf(eqCol), extNames.indexOf(inCol), m))
+        } else None
+      case _ => None
+    }
+  private val compiled: Array[GavroPartitionReader.CPred] =
+    preds.map(p => toSlotMap(p).getOrElse(compile(p)))
   // Only this task's block range is read — a range read against local FS
   // here, a positioned Hadoop FS read at scale. Block bounds are
   // record-aligned by the footer contract, so the slice starts at a length
@@ -1901,6 +1976,21 @@ class GavroPartitionReader(part: GavroInputPartition, schemaName: String,
   private def evalPred(c: GavroPartitionReader.CPred, r: InternalRow): Byte =
     c match {
       case GavroPartitionReader.CLeaf(slot, op, w) => evalLeaf(slot, op, w, r)
+      // Slot-map dispatch: two hash probes replace the O(branches)
+      // Or-walk. FALSE stands in for UNKNOWN — sound because this form
+      // is only compiled for a WHOLE top-level conjunct (see CSlotMap).
+      case GavroPartitionReader.CSlotMap(pi, ki, m) =>
+        if (r.isNullAt(pi) || r.isNullAt(ki)) 0
+        else {
+          val set = r.get(pi, null) match {
+            case i: java.lang.Integer => m.get(java.lang.Long.valueOf(i.longValue))
+            case l: java.lang.Long => m.get(l)
+            case _ => null // type drift: no branch can be TRUE
+          }
+          val kv = r.get(ki, null)
+          if (set != null && kv.isInstanceOf[UTF8String] &&
+              set.contains(kv.asInstanceOf[UTF8String])) 1 else 0
+        }
       case GavroPartitionReader.CTree("or", kids) =>
         var unknown = false
         var i = 0
@@ -2107,10 +2197,30 @@ object Gavro {
   }
 
   /** Total footer-indexed blocks across a table's current data files —
-    * the denominator for [[trackBlockReads]] ratios. */
+    * the denominator for [[trackBlockReads]] ratios. Positive-extent
+    * blocks only ([[GavroSkip.liveBlocks]]), matching the scan's
+    * gavroBlocksTotal driver metric. */
   private[graft] def totalBlocks(dir: String): Long =
-    listDataFiles(dir).map(f =>
-      math.max(1, GavroFooter.read(f).blocks.length).toLong).sum
+    listDataFiles(dir).map(f => GavroSkip.liveBlocks(GavroFooter.read(f))).sum
+
+  /** LOCAL-MODE test seam: while installed by [[trackSlotMapCompiles]],
+    * every reader that compiles a pushed disjunction into the
+    * [[GavroPartitionReader.CSlotMap]] hash-dispatch form counts here —
+    * the spec-side proof that the probe's fast path actually engaged
+    * (result equality alone can't distinguish it from the generic walk). */
+  private val slotMapTap = new java.util.concurrent.atomic.AtomicReference[
+    java.util.concurrent.atomic.LongAdder](null)
+
+  private[sources] def noteSlotMapCompile(): Unit = {
+    val t = slotMapTap.get()
+    if (t != null) t.increment()
+  }
+
+  private[graft] def trackSlotMapCompiles[A](body: => A): (A, Long) = {
+    val t = new java.util.concurrent.atomic.LongAdder
+    slotMapTap.set(t)
+    try { val a = body; (a, t.sum()) } finally slotMapTap.set(null)
+  }
 
   /** Run `body` and return it with the set of distinct data-file paths
     * opened by gavro readers during it. Not reentrant; test-only. */

@@ -2190,4 +2190,87 @@ class GavroSourceSpec extends SparkSpec {
     }
     assert(excludes > 20, s"proof never fired ($excludes) — vacuous fuzz")
   }
+
+  test("slot-scoped disjunction compiles to the hash-map dispatch, matches FilterExec") {
+    val events = Tables.events(spark, dir)
+    val out = tmpDir("slotmap")
+    Gavro.write(events
+      .select(AvroCodec.requestLogRec.as("rec"))
+      .select(expr("to_avro_graft(rec, 'request_log')").as("bin")), out)
+    val g = spark.read.format("gavro")
+      .option("schema", "request_log").load(out)
+    val ref = events.select(AvroCodec.requestLogRec.as("rec"))
+      .select(col("rec.*"))
+    // Rows kept by the pushed scan vs Spark's OWN FilterExec over the
+    // identical frame; the tap proves the CSlotMap rewrite ENGAGED
+    // (result equality alone can't distinguish it from the generic walk).
+    def run(pred: org.apache.spark.sql.Column): (Long, Long) = {
+      val ((cnt, sm), compiles) = Gavro.trackSlotMapCompiles {
+        val r = g.filter(pred).agg(count(lit(1)), sum(col("id"))).head
+        (r.getLong(0), r.get(1))
+      }
+      val w = ref.filter(pred).agg(count(lit(1)), sum(col("id"))).head
+      assert(cnt == w.getLong(0) && sm == w.get(1),
+        s"scan diverged from FilterExec for $pred: got ($cnt,$sm) want $w")
+      (cnt, compiles)
+    }
+    def check(pred: org.apache.spark.sql.Column): Unit = {
+      val (cnt, compiles) = run(pred)
+      assert(compiles > 0, s"hash-map dispatch did not engage for $pred")
+      assert(cnt > 0, s"vacuous check for $pred")
+    }
+    def checkGeneric(pred: org.apache.spark.sql.Column): Unit =
+      assert(run(pred)._2 == 0, s"dispatch over-matched $pred")
+
+    // int = lit AND string IN (…) branches — the LSH probe's exact shape,
+    // over genuinely co-occurring (latency, session) pairs plus decoys so
+    // both hit and miss paths execute.
+    val pairs = ref.select(col("latency_ms"), col("session_id")).distinct()
+      .orderBy(col("latency_ms"), col("session_id")).limit(400).collect()
+      .map(r => (r.getInt(0), r.getString(1)))
+    // Decoys come from latencies OUTSIDE the sampled slots: shared decoys
+    // that swallow a branch's own keys make two branches' IN lists EQUAL,
+    // and Catalyst then factors the common IN out of the Or — a legal
+    // rewrite that is legitimately not the dispatch shape.
+    val decoys = pairs.map(_._2).distinct.takeRight(6).toSeq
+    val bySlot = pairs.groupBy(_._1).toSeq.sortBy(_._1).take(10)
+      .map { case (l, a) => l -> (a.map(_._2).sorted.take(8).toSeq ++ decoys) }
+      .filter(_._2.length >= 2)
+    assert(bySlot.length >= 2, "fixture too narrow for the dispatch shape")
+    check(bySlot.map { case (l, ks) =>
+      col("latency_ms") === l && col("session_id").isin(ks: _*)
+    }.reduce(_ || _))
+
+    // long = lit over the PLANTED-NULL column (user_id % 11 → NULL): the
+    // dispatch's FALSE must agree with the tree's UNKNOWN at top level.
+    val uPairs = ref.filter(col("user_id").isNotNull)
+      .select(col("user_id"), col("session_id")).distinct()
+      .orderBy(col("user_id"), col("session_id")).limit(200).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val uBySlot = uPairs.groupBy(_._1).toSeq.sortBy(_._1).take(6)
+      .map { case (u, a) => u -> (a.map(_._2).sorted.take(8).toSeq ++ decoys) }
+    check(uBySlot.map { case (u, ks) =>
+      col("user_id") === u && col("session_id").isin(ks: _*)
+    }.reduce(_ || _))
+
+    // Planted-null STRING key column (region_name % 5 → NULL): null keys
+    // drop on both paths.
+    check(Seq(200 -> Seq("r1", "r2"), 500 -> Seq("r3", "r4", "r1"))
+      .map { case (c, ks) =>
+        col("status_code") === c && col("region_name").isin(ks: _*)
+      }.reduce(_ || _))
+
+    // Guard against over-matching: a NOT branch, a cross-branch column
+    // swap, and a bare Or of equalities must all stay on the generic
+    // tree compile (tap == 0) yet still answer exactly.
+    val (l0, k0) = (bySlot.head._1, bySlot.head._2.take(3))
+    val (l1, k1) = (bySlot.last._1, bySlot.last._2.take(3))
+    checkGeneric(
+      !(col("latency_ms") === l0 && col("session_id").isin(k0: _*)) ||
+        (col("latency_ms") === l1 && col("session_id").isin(k1: _*)))
+    checkGeneric(
+      (col("latency_ms") === l0 && col("session_id").isin(k0: _*)) ||
+        (col("latency_ms") === l1 && col("method").isin(k1: _*)))
+    checkGeneric(col("latency_ms") === l0 || col("latency_ms") === l1)
+  }
 }

@@ -595,4 +595,51 @@ class LshIndexSpec extends SparkSpec {
       s"band slice planned ${planned.length}/${all.length}")
     assert(planned.nonEmpty)
   }
+
+  test("over-cap slotKeys degrades to the flat pushdown pair, never a bare FilterExec") {
+    // The r16 cliff: a slotKeys tree past Gavro.TreeLeafMax (any future
+    // SaltM/NumBands bump) was rejected WHOLE by pushFilters, silently
+    // losing file pruning, block skipping AND decode-time drops. The
+    // degrade must instead push the flat `slot IN + band_key IN` pair —
+    // equivalent on index data because slot = hash(band_key): a key only
+    // ever lives in its own slot, so the cross terms the flat form
+    // admits match nothing.
+    val dir = LshIndex.ensure(spark, sfDir)
+    val raw = spark.read.format("gavro").option("schema", "lsh_bands")
+      .load(s"$dir/bands").select(col("slot"), col("band_key")).distinct()
+      .collect().map(r => (r.getInt(0), r.getString(1)))
+    val bySlot = raw.groupBy(_._1).toSeq.sortBy(_._1)
+      .map { case (s, a) => s -> a.map(_._2).sorted.toSeq }
+    // 12 touched slots, each's keys split into 6 entries → 72 entries =
+    // 144 leaves, past the 128 cap; the MERGED 12-entry form stays under
+    // it and is the semantic reference.
+    val touched = bySlot.zipWithIndex.collect {
+      case ((s, ks), i) if i % 4 == 0 && ks.length >= 6 => s -> ks.take(12)
+    }.take(12)
+    assert(touched.length == 12, s"fixture holds ${touched.length} wide slots")
+    val overCap = touched.flatMap { case (s, ks) =>
+      ks.grouped(math.max(1, ks.length / 6)).map(s -> _).toSeq
+    }
+    assert(2 * overCap.length > graft.sources.Gavro.TreeLeafMax,
+      s"${overCap.length} entries do not exceed the cap")
+    def rows(sk: Seq[(Int, Seq[String])]) =
+      LshIndex.loadBands(spark, dir, slotKeys = Some(sk))
+    val want = rows(touched).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+    val df = rows(overCap)
+    // Full pushdown survives the degrade: both flat conjuncts serialize
+    // into the scan, so no FilterExec remains above it…
+    assert(df.queryExecution.executedPlan.collect {
+      case fe: org.apache.spark.sql.execution.FilterExec => fe }.isEmpty,
+      "over-cap slotKeys left a post-scan FilterExec")
+    // …file-level pruning survives (12 of the 48 slot files open)…
+    val (got, opened) = graft.sources.Gavro.trackFileOpens {
+      df.collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+    }
+    val bandOpens = opened.count(_.contains("/bands/"))
+    assert(bandOpens <= touched.length,
+      s"flat degrade opened $bandOpens band files for ${touched.length} slots")
+    // …and the answer is exactly the tree form's.
+    assert(got == want && got.nonEmpty)
+  }
 }
