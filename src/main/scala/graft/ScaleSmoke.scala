@@ -58,6 +58,7 @@ object ScaleSmoke {
     if (section == "round13") round13Section(spark, replicas)
     if (section == "round14") round14Section(spark, replicas)
     if (section == "round15") round15Section(spark, replicas)
+    if (section == "round17") round17Section(spark, replicas)
     val loadavgEnd = Canonical.readLoadavg()
     emit(s"""{"harness":"scale_smoke","section":"$section",""" +
       s""""replicas":$replicas,""" +
@@ -214,6 +215,92 @@ object ScaleSmoke {
     * Measured against the 2-doc shape on the same index: file opens stay
     * bounded by the touched slots, shuffle stays O(Δ), answers pinned by
     * the pair count. */
+  /** Round-17 additions — two waiver-to-number measurements. (a) FOOTER
+    * PROOF WALL: [[graft.ops.IvfPqIndex.maintainIncremental]]'s
+    * single-cell proof reads every codes-file footer driver-side —
+    * O(files), the r15/r16 numbered waiver. Measure the EXACT proof loop
+    * at the steady-state file count and at ~50× it, so "corpus-flat" is
+    * a per-file cost and a wall number instead of an argument.
+    * (b) FOOTER AMORTIZATION: per-block stats grow the footer as blocks
+    * shrink; write one fixed corpus at 1 KiB / 4 KiB / 32 KiB / 1 MiB
+    * blocks and record footer bytes + a full plan walk per size — the
+    * datapoint that decides whether a sub-4 KiB guard is needed. */
+  private def round17Section(spark: SparkSession, replicas: Int): Unit = {
+    import graft.sources.{AvroCodec, Gavro, GavroFooter, GavroPred, GavroSkip, Tables}
+
+    // ---- (a) the maintainIncremental footer proof, timed at file scale.
+    val codesDir = java.nio.file.Files
+      .createTempDirectory("smoke-proof").toString + "/codes"
+    def appendBatch(i: Int): Unit =
+      Gavro.exactPartitionSalted(
+        spark.range(256).select(
+          (col("id") + i * 1000L).as("vec_id"),
+          pmod(col("id"), lit(graft.ops.Quantize.CoarseK)).cast("int").as("cell"),
+          pmod(col("id"), lit(4)).cast("int").as("sub_idx"),
+          pmod(col("id") * 7 + i, lit(256)).cast("int").as("code")),
+        "cell", graft.ops.Quantize.CoarseK, "vec_id", graft.ops.IvfPqIndex.SaltM)
+        .write.format("gavro").option("schema", "ivf_codes")
+        .mode("append").save(codesDir)
+    // The EXACT driver-side loop maintainIncremental runs as its
+    // single-cell layout proof (footer stats, min == max on `cell`).
+    def proof(): (Int, Double) = {
+      val t0 = System.nanoTime()
+      val slotted = Gavro.listDataFiles(codesDir).map { f =>
+        (f.getName,
+          GavroFooter.read(f).stats.get("cell")
+            .filter(s => s.min.asInstanceOf[Number].longValue ==
+              s.max.asInstanceOf[Number].longValue)
+            .map(_.min.asInstanceOf[Number].intValue),
+          Gavro.dataStore.length(f))
+      }
+      assert(slotted.forall(_._2.isDefined), "proof must hold on this layout")
+      (slotted.length, (System.nanoTime() - t0) / 1e9)
+    }
+    (1 to 2).foreach(appendBatch)
+    val (files1, wall1) = proof()
+    val target = math.max(10, replicas * 5 / 2) // 50 appends at replicas=20
+    (3 to target).foreach(appendBatch)
+    val (files50, wall50) = proof()
+    emit(s"""{"harness":"scale_smoke","metric":"ivfpq_footer_proof",""" +
+      s""""files_steady":$files1,"proof_wall_s_steady":${f"$wall1%.4f"},""" +
+      s""""files_50x":$files50,"proof_wall_s_50x":${f"$wall50%.4f"},""" +
+      s""""per_file_us_50x":${f"${wall50 * 1e6 / math.max(1, files50)}%.1f"}}""")
+    assert(files50 >= files1 * 20, s"fixture too small: $files1 -> $files50")
+    assert(wall50 < 10.0,
+      f"footer proof took $wall50%.2f s at $files50 files — waiver premise broken")
+
+    // ---- (b) footer weight + plan-walk wall vs block size.
+    val events = Tables.events(spark, "/root/testdata/sf0.1")
+    val bins = events.select(AvroCodec.requestLogRec.as("rec"))
+      .select(expr("to_avro_graft(rec, 'request_log')").as("bin"),
+        col("rec.id").as("id"), col("rec.endpoint").as("endpoint"))
+      .localCheckpoint(true)
+    val midId = events.selectExpr("percentile_approx(event_id, 0.5)")
+      .head.getLong(0)
+    Seq(1L << 10, 4L << 10, 32L << 10, 1L << 20).foreach { bb =>
+      val dir = java.nio.file.Files
+        .createTempDirectory(s"smoke-footer-$bb").toString
+      Gavro.write(bins, dir, blockBytes = bb, statCols = Seq("id", "endpoint"))
+      val metas = Gavro.listDataFiles(dir).map(f =>
+        (GavroFooter.read(f), Gavro.dataStore.length(f)))
+      val dataBytes = metas.map(_._1.dataEnd).sum
+      val footerBytes = metas.map { case (m, len) => len - m.dataEnd }.sum
+      val blocks = metas.map(_._1.blocks.length.toLong).sum
+      // One full listing + two-level skip walk with a representative
+      // comparison pred — the planning cost a scan pays at this size.
+      val t0 = System.nanoTime()
+      val planned = Gavro.listDataFiles(dir).flatMap(f =>
+        GavroSkip.planFile(f, Seq(GavroPred("id", "<", midId))))
+      val planWall = (System.nanoTime() - t0) / 1e9
+      emit(s"""{"harness":"scale_smoke","metric":"footer_amortization",""" +
+        s""""block_bytes":$bb,"files":${metas.length},"blocks":$blocks,""" +
+        s""""data_bytes":$dataBytes,"footer_bytes":$footerBytes,""" +
+        s""""footer_frac":${f"${footerBytes.toDouble / math.max(1L, dataBytes)}%.4f"},""" +
+        s""""planned_blocks":${planned.length},""" +
+        s""""plan_wall_s":${f"$planWall%.4f"}}""")
+    }
+  }
+
   private def round15Section(spark: SparkSession, replicas: Int): Unit = {
     import graft.ops.LshIndex
     import graft.sources.Gavro
