@@ -1747,6 +1747,153 @@ object GavroPartitionReader {
   final case class CSlotMap(partIdx: Int, keyIdx: Int,
       map: java.util.HashMap[java.lang.Long, java.util.HashSet[UTF8String]])
     extends CPred
+
+  // Evaluation lives on the companion: it is a pure function of
+  // (compiled pred, row), and the spec-side eval microbenchmark drives
+  // it directly to compare compiled forms on identical rows.
+  // Linear IN fallback: any listed value equal under the same compare
+  // rules the comparison ops use (exact double semantics preserved).
+  private def inLinear(v: Any, els: Seq[Any]): Boolean = els.exists { el =>
+    (v, el) match {
+      case (a: Int, b: Number) => a.toLong == b.longValue
+      case (a: Long, b: Number) => a == b.longValue
+      case (a: Double, b: Number) =>
+        Gavro.compareSparkDoubles(a, b.doubleValue) == 0
+      case (a: Boolean, b: Boolean) => a == b
+      case (a: UTF8String, b: UTF8String) => a == b
+      case _ => false
+    }
+  }
+
+  // SQL THREE-VALUED evaluation: 1 = TRUE, 0 = FALSE, -1 = UNKNOWN. At
+  // the TOP level (a conjunction) FALSE and UNKNOWN both drop the row —
+  // exactly what the FilterExec this pushdown replaced would have done;
+  // PERMISSIVE all-null rows survive only null-tests, same as with
+  // spark-avro + a WHERE clause. INSIDE a tree the distinction is
+  // load-bearing: OR treats UNKNOWN as "maybe" (TRUE wins over it), NOT
+  // maps UNKNOWN to UNKNOWN (never to TRUE).
+  private def b(x: Boolean): Byte = if (x) 1 else 0
+  private[graft] def evalLeaf(slot: Int, op: String, w: Any, r: InternalRow): Byte = {
+    val v = if (r.isNullAt(slot)) null
+      else r.get(slot, null) // GenericInternalRow ignores the type arg
+    op match {
+      case "isnull" => b(v == null)
+      case "notnull" => b(v != null)
+      // <=> is SQL's one null-definite comparison: NULL operand = FALSE,
+      // never UNKNOWN (the literal is non-null by the builder's gate).
+      case "<=>" =>
+        if (v == null) 0
+        else cmpVals(v, w) match {
+          // Type drift: UNKNOWN, same as every other comparison — a FALSE
+          // here would flip to TRUE under NOT and admit the row.
+          // Unreachable for well-typed plans (the builder gates
+          // column/literal types), kept consistent anyway.
+          case CmpDrift => -1
+          case c => b(c == 0)
+        }
+      case _ if v == null => -1
+      case "in" => w match {
+        case InHashStr(set) => v match {
+          case a: UTF8String => b(set.contains(a))
+          case _ => 0 // non-string value vs string list: no match
+        }
+        case InHashLong(set, linear) => v match {
+          case a: Int => b(set.contains(a.toLong))
+          case a: Long => b(set.contains(a))
+          case _ => b(inLinear(v, linear)) // e.g. double column, int list
+        }
+        case linear: Seq[_] => b(inLinear(v, linear.asInstanceOf[Seq[Any]]))
+        case _ => 0
+      }
+      // String predicates: UTF8String's binary ops match Spark's exact
+      // semantics (a UTF-8 byte prefix IS a string prefix).
+      case "starts" => (v, w) match {
+        case (a: UTF8String, p: UTF8String) => b(a.startsWith(p))
+        case _ => -1
+      }
+      case "ends" => (v, w) match {
+        case (a: UTF8String, p: UTF8String) => b(a.endsWith(p))
+        case _ => -1
+      }
+      case "contains" => (v, w) match {
+        case (a: UTF8String, p: UTF8String) => b(a.contains(p))
+        case _ => -1
+      }
+      case _ =>
+        cmpVals(v, w) match {
+          // Type drift (impossible for a well-typed plan): UNKNOWN — the
+          // most conservative verdict at top level AND under NOT.
+          case CmpDrift => -1
+          case c => op match {
+            case "=" => b(c == 0)
+            case ">" => b(c > 0)
+            case ">=" => b(c >= 0)
+            case "<" => b(c < 0)
+            case "<=" => b(c <= 0)
+          }
+        }
+    }
+  }
+  private final val CmpDrift = Int.MinValue
+  private def cmpVals(v: Any, w: Any): Int = (v, w) match {
+    case (a: Int, b: Number) => java.lang.Long.compare(a.toLong, b.longValue)
+    case (a: Long, b: Number) => java.lang.Long.compare(a, b.longValue)
+    case (a: Double, b: Number) =>
+      Gavro.compareSparkDoubles(a, b.doubleValue)
+    case (a: Boolean, b: Boolean) => java.lang.Boolean.compare(a, b)
+    case (a: UTF8String, b: UTF8String) =>
+      Integer.signum(a.compareTo(b)) // signum: keep CmpDrift unreachable
+    case _ => CmpDrift
+  }
+  private[graft] def evalPred(c: CPred, r: InternalRow): Byte =
+    c match {
+      case CLeaf(slot, op, w) => evalLeaf(slot, op, w, r)
+      // Slot-map dispatch: two hash probes replace the O(branches)
+      // Or-walk. FALSE stands in for UNKNOWN — sound because this form
+      // is only compiled for a WHOLE top-level conjunct (see CSlotMap).
+      case CSlotMap(pi, ki, m) =>
+        if (r.isNullAt(pi) || r.isNullAt(ki)) 0
+        else {
+          val set = r.get(pi, null) match {
+            case i: java.lang.Integer => m.get(java.lang.Long.valueOf(i.longValue))
+            case l: java.lang.Long => m.get(l)
+            case _ => null // type drift: no branch can be TRUE
+          }
+          val kv = r.get(ki, null)
+          if (set != null && kv.isInstanceOf[UTF8String] &&
+              set.contains(kv.asInstanceOf[UTF8String])) 1 else 0
+        }
+      case CTree("or", kids) =>
+        var unknown = false
+        var i = 0
+        while (i < kids.length) {
+          evalPred(kids(i), r) match {
+            case 1 => return 1
+            case -1 => unknown = true
+            case _ => ()
+          }
+          i += 1
+        }
+        if (unknown) -1 else 0
+      case CTree("and", kids) =>
+        var unknown = false
+        var i = 0
+        while (i < kids.length) {
+          evalPred(kids(i), r) match {
+            case 0 => return 0
+            case -1 => unknown = true
+            case _ => ()
+          }
+          i += 1
+        }
+        if (unknown) -1 else 1
+      case CTree(_, kids) => // "not"
+        evalPred(kids(0), r) match {
+          case 1 => 0
+          case 0 => 1
+          case _ => -1
+        }
+    }
 }
 
 class GavroPartitionReader(part: GavroInputPartition, schemaName: String,
@@ -1879,153 +2026,10 @@ class GavroPartitionReader(part: GavroInputPartition, schemaName: String,
   private var pos = 0
   private var row: InternalRow = _
 
-  // Linear IN fallback: any listed value equal under the same compare
-  // rules the comparison ops use (exact double semantics preserved).
-  private def inLinear(v: Any, els: Seq[Any]): Boolean = els.exists { el =>
-    (v, el) match {
-      case (a: Int, b: Number) => a.toLong == b.longValue
-      case (a: Long, b: Number) => a == b.longValue
-      case (a: Double, b: Number) =>
-        Gavro.compareSparkDoubles(a, b.doubleValue) == 0
-      case (a: Boolean, b: Boolean) => a == b
-      case (a: UTF8String, b: UTF8String) => a == b
-      case _ => false
-    }
-  }
-
-  // SQL THREE-VALUED evaluation: 1 = TRUE, 0 = FALSE, -1 = UNKNOWN. At
-  // the TOP level (a conjunction) FALSE and UNKNOWN both drop the row —
-  // exactly what the FilterExec this pushdown replaced would have done;
-  // PERMISSIVE all-null rows survive only null-tests, same as with
-  // spark-avro + a WHERE clause. INSIDE a tree the distinction is
-  // load-bearing: OR treats UNKNOWN as "maybe" (TRUE wins over it), NOT
-  // maps UNKNOWN to UNKNOWN (never to TRUE).
-  private def b(x: Boolean): Byte = if (x) 1 else 0
-  private def evalLeaf(slot: Int, op: String, w: Any, r: InternalRow): Byte = {
-    val v = if (r.isNullAt(slot)) null
-      else r.get(slot, null) // GenericInternalRow ignores the type arg
-    op match {
-      case "isnull" => b(v == null)
-      case "notnull" => b(v != null)
-      // <=> is SQL's one null-definite comparison: NULL operand = FALSE,
-      // never UNKNOWN (the literal is non-null by the builder's gate).
-      case "<=>" =>
-        if (v == null) 0
-        else cmpVals(v, w) match {
-          // Type drift: UNKNOWN, same as every other comparison — a FALSE
-          // here would flip to TRUE under NOT and admit the row.
-          // Unreachable for well-typed plans (the builder gates
-          // column/literal types), kept consistent anyway.
-          case CmpDrift => -1
-          case c => b(c == 0)
-        }
-      case _ if v == null => -1
-      case "in" => w match {
-        case GavroPartitionReader.InHashStr(set) => v match {
-          case a: UTF8String => b(set.contains(a))
-          case _ => 0 // non-string value vs string list: no match
-        }
-        case GavroPartitionReader.InHashLong(set, linear) => v match {
-          case a: Int => b(set.contains(a.toLong))
-          case a: Long => b(set.contains(a))
-          case _ => b(inLinear(v, linear)) // e.g. double column, int list
-        }
-        case linear: Seq[_] => b(inLinear(v, linear.asInstanceOf[Seq[Any]]))
-        case _ => 0
-      }
-      // String predicates: UTF8String's binary ops match Spark's exact
-      // semantics (a UTF-8 byte prefix IS a string prefix).
-      case "starts" => (v, w) match {
-        case (a: UTF8String, p: UTF8String) => b(a.startsWith(p))
-        case _ => -1
-      }
-      case "ends" => (v, w) match {
-        case (a: UTF8String, p: UTF8String) => b(a.endsWith(p))
-        case _ => -1
-      }
-      case "contains" => (v, w) match {
-        case (a: UTF8String, p: UTF8String) => b(a.contains(p))
-        case _ => -1
-      }
-      case _ =>
-        cmpVals(v, w) match {
-          // Type drift (impossible for a well-typed plan): UNKNOWN — the
-          // most conservative verdict at top level AND under NOT.
-          case CmpDrift => -1
-          case c => op match {
-            case "=" => b(c == 0)
-            case ">" => b(c > 0)
-            case ">=" => b(c >= 0)
-            case "<" => b(c < 0)
-            case "<=" => b(c <= 0)
-          }
-        }
-    }
-  }
-  private final val CmpDrift = Int.MinValue
-  private def cmpVals(v: Any, w: Any): Int = (v, w) match {
-    case (a: Int, b: Number) => java.lang.Long.compare(a.toLong, b.longValue)
-    case (a: Long, b: Number) => java.lang.Long.compare(a, b.longValue)
-    case (a: Double, b: Number) =>
-      Gavro.compareSparkDoubles(a, b.doubleValue)
-    case (a: Boolean, b: Boolean) => java.lang.Boolean.compare(a, b)
-    case (a: UTF8String, b: UTF8String) =>
-      Integer.signum(a.compareTo(b)) // signum: keep CmpDrift unreachable
-    case _ => CmpDrift
-  }
-  private def evalPred(c: GavroPartitionReader.CPred, r: InternalRow): Byte =
-    c match {
-      case GavroPartitionReader.CLeaf(slot, op, w) => evalLeaf(slot, op, w, r)
-      // Slot-map dispatch: two hash probes replace the O(branches)
-      // Or-walk. FALSE stands in for UNKNOWN — sound because this form
-      // is only compiled for a WHOLE top-level conjunct (see CSlotMap).
-      case GavroPartitionReader.CSlotMap(pi, ki, m) =>
-        if (r.isNullAt(pi) || r.isNullAt(ki)) 0
-        else {
-          val set = r.get(pi, null) match {
-            case i: java.lang.Integer => m.get(java.lang.Long.valueOf(i.longValue))
-            case l: java.lang.Long => m.get(l)
-            case _ => null // type drift: no branch can be TRUE
-          }
-          val kv = r.get(ki, null)
-          if (set != null && kv.isInstanceOf[UTF8String] &&
-              set.contains(kv.asInstanceOf[UTF8String])) 1 else 0
-        }
-      case GavroPartitionReader.CTree("or", kids) =>
-        var unknown = false
-        var i = 0
-        while (i < kids.length) {
-          evalPred(kids(i), r) match {
-            case 1 => return 1
-            case -1 => unknown = true
-            case _ => ()
-          }
-          i += 1
-        }
-        if (unknown) -1 else 0
-      case GavroPartitionReader.CTree("and", kids) =>
-        var unknown = false
-        var i = 0
-        while (i < kids.length) {
-          evalPred(kids(i), r) match {
-            case 0 => return 0
-            case -1 => unknown = true
-            case _ => ()
-          }
-          i += 1
-        }
-        if (unknown) -1 else 1
-      case GavroPartitionReader.CTree(_, kids) => // "not"
-        evalPred(kids(0), r) match {
-          case 1 => 0
-          case 0 => 1
-          case _ => -1
-        }
-    }
   private def pass(r: InternalRow): Boolean = {
     var i = 0
     while (i < compiled.length) {
-      if (evalPred(compiled(i), r) != 1) return false
+      if (GavroPartitionReader.evalPred(compiled(i), r) != 1) return false
       i += 1
     }
     true
