@@ -1311,7 +1311,8 @@ case class GavroColStat(tpe: Byte, min: Any, max: Any) extends Serializable
 case class GavroFileMeta(blocks: Array[Long], dataEnd: Long,
     stats: Map[String, GavroColStat],
     blockStats: Array[Map[String, GavroColStat]] = Array.empty,
-    codec: Byte = 0)
+    codec: Byte = 0,
+    blockBlooms: Array[Map[String, GavroBloom]] = Array.empty)
 
 /** The `.gavro` footer: appended after the data so the record stream stays
   * a plain append (an archiver can crash mid-write and the footer is
@@ -1323,6 +1324,11 @@ case class GavroFileMeta(blocks: Array[Long], dataEnd: Long,
   * [statCount: 4B] per stat: [nameLen 2B][name][tpe 1B][min][max]
   * [blockStatFlag: 1B] — if 1, blockCount repetitions of
   *   [statCount: 4B][stats as above], aligned with the offsets
+  * [codec: 1B] — 0 none, 1 deflate, 2 snappy (absent in legacy files)
+  * [bloomFlag: 1B] — optional (absent in pre-bloom files); if 1:
+  *   [colCount: 4B] per col: [nameLen 2B][name][tpe 1B], then
+  *   blockCount × colCount blooms in block-major declaration order:
+  *   [k: 1B][words: 4B][words × 8B bit words]  ([[GavroBloom]])
   * [footerLen: 4B  — bytes from footer start THROUGH the magic]
   * [magic: 8B "GAVROIX1"]
   * }}}
@@ -1378,9 +1384,12 @@ object GavroFooter {
   def write(out: java.io.OutputStream, blocks: Seq[Long],
       stats: Seq[(String, GavroColStat)],
       blockStats: Seq[Seq[(String, GavroColStat)]] = Seq.empty,
-      codec: Byte = 0): Unit = {
+      codec: Byte = 0,
+      blockBlooms: Seq[Seq[(String, GavroBloom)]] = Seq.empty): Unit = {
     require(blockStats.isEmpty || blockStats.length == blocks.length,
       "blockStats must align with blocks")
+    require(blockBlooms.isEmpty || blockBlooms.length == blocks.length,
+      "blockBlooms must align with blocks")
     val bos = new java.io.ByteArrayOutputStream()
     val d = new java.io.DataOutputStream(bos)
     d.writeInt(blocks.length)
@@ -1389,6 +1398,28 @@ object GavroFooter {
     d.writeByte(if (blockStats.nonEmpty) 1 else 0)
     blockStats.foreach(writeStats(d, _))
     d.writeByte(codec) // block codec: 0 = none, 1 = deflate
+    // Bloom section — appended AFTER every pre-bloom field so the layout
+    // stays backward- and forward-compatible the same way the codec byte
+    // did: an old reader stops before it, a new reader finds the marker
+    // or EOF. Column set is uniform across blocks (the writer's
+    // bloomCols); each block then carries one bloom per column in
+    // declaration order.
+    if (blockBlooms.nonEmpty) {
+      val cols = blockBlooms.head.map { case (n, b) => (n, b.tpe) }
+      require(blockBlooms.forall(_.map(e => (e._1, e._2.tpe)) == cols),
+        "bloom columns must be uniform across blocks")
+      d.writeByte(1)
+      d.writeInt(cols.length)
+      cols.foreach { case (n, tpe) =>
+        val nb = n.getBytes("UTF-8")
+        d.writeShort(nb.length); d.write(nb); d.writeByte(tpe)
+      }
+      blockBlooms.foreach(_.foreach { case (_, b) =>
+        d.writeByte(b.k)
+        d.writeInt(b.bits.length)
+        b.bits.foreach(d.writeLong)
+      })
+    }
     d.writeInt(bos.size() + 4 + Magic.length) // footerLen incl. self + magic
     d.write(Magic)
     d.flush()
@@ -1420,8 +1451,25 @@ object GavroFooter {
         // Codec byte rides after the block stats; files written before the
         // codec existed simply end here and read as uncompressed.
         val codec: Byte = if (in.available() > 0) in.readByte() else 0
+        // Bloom section rides after the codec byte; absent in files
+        // written before blooms existed (and whenever bloomCols was
+        // empty) — those simply never bloom-skip.
+        val blockBlooms: Array[Map[String, GavroBloom]] =
+          if (in.available() > 0 && in.readByte() == 1) {
+            val cols = Array.fill(in.readInt()) {
+              val nb = new Array[Byte](in.readUnsignedShort()); in.readFully(nb)
+              (new String(nb, "UTF-8"), in.readByte())
+            }
+            Array.fill(blocks.length) {
+              cols.map { case (name, tpe) =>
+                val k = in.readByte()
+                val bits = Array.fill(in.readInt())(in.readLong())
+                name -> GavroBloom(tpe, k, bits)
+              }.toMap
+            }
+          } else Array.empty
         GavroFileMeta(if (blocks.isEmpty) Array(0L) else blocks, start, stats,
-          blockStats, codec)
+          blockStats, codec, blockBlooms)
       }
     }
   }
@@ -1453,8 +1501,9 @@ object GavroSkip {
   /** True iff `stats` prove no record in the file can satisfy ALL the
     * pushed conjuncts (they are a conjunction: one impossible conjunct
     * excludes the file). */
-  def exclude(stats: Map[String, GavroColStat], preds: Seq[GavroPred]): Boolean =
-    preds.exists(cannotMatch(stats, _))
+  def exclude(stats: Map[String, GavroColStat], preds: Seq[GavroPred],
+      blooms: Map[String, GavroBloom] = Map.empty): Boolean =
+    preds.exists(cannotMatch(stats, blooms, _))
 
   /** Recursive proof that no record under `stats` can make `p` TRUE. A
     * tree is impossible iff: OR — every branch is (a row satisfying the
@@ -1465,14 +1514,40 @@ object GavroSkip {
     * impossibility over the non-null population is impossibility,
     * period. */
   private def cannotMatch(stats: Map[String, GavroColStat],
-      p: GavroPred): Boolean = p.op match {
+      blooms: Map[String, GavroBloom], p: GavroPred): Boolean = p.op match {
     case "or" =>
-      p.value.asInstanceOf[Vector[GavroPred]].forall(cannotMatch(stats, _))
+      p.value.asInstanceOf[Vector[GavroPred]]
+        .forall(cannotMatch(stats, blooms, _))
     case "and" =>
-      p.value.asInstanceOf[Vector[GavroPred]].exists(cannotMatch(stats, _))
+      p.value.asInstanceOf[Vector[GavroPred]]
+        .exists(cannotMatch(stats, blooms, _))
     case "not" => false
-    case _ => cannotMatchLeaf(stats, p)
+    case _ => cannotMatchLeaf(stats, p) || bloomExcludesLeaf(blooms, p)
   }
+
+  /** Bloom-side leaf proof, independent of the range proof: an equality
+    * (or IN — every listed value) whose value is DEFINITELY ABSENT from
+    * the block's bloom cannot be TRUE on any record (nulls can't satisfy
+    * these leaves either — [[GavroBloom]]'s soundness note). Applies
+    * exactly where min/max is blind: point probes on value-unclustered
+    * columns. */
+  private def bloomExcludesLeaf(blooms: Map[String, GavroBloom],
+      p: GavroPred): Boolean =
+    blooms.nonEmpty && (blooms.get(p.name) match {
+      case Some(b) => p.op match {
+        case "=" | "<=>" => b.definitelyAbsent(p.value)
+        case "in" => (p.value match {
+          case GavroSortedVals(vs) => vs
+          case vs: Seq[_] => vs.asInstanceOf[Seq[Any]]
+          case _ => Seq.empty
+        }) match {
+          case vs if vs.nonEmpty => vs.forall(b.definitelyAbsent)
+          case _ => false
+        }
+        case _ => false
+      }
+      case None => false
+    })
 
   private def cannotMatchLeaf(stats: Map[String, GavroColStat],
       p: GavroPred): Boolean =
@@ -1553,8 +1628,13 @@ object GavroSkip {
     else {
       val bounds = meta.blocks :+ meta.dataEnd
       (0 until meta.blocks.length)
-        .filterNot(i => meta.blockStats.nonEmpty &&
-          exclude(meta.blockStats(i), preds))
+        .filterNot { i =>
+          val bs = if (meta.blockStats.nonEmpty) meta.blockStats(i)
+            else Map.empty[String, GavroColStat]
+          val bb = if (meta.blockBlooms.nonEmpty) meta.blockBlooms(i)
+            else Map.empty[String, GavroBloom]
+          (bs.nonEmpty || bb.nonEmpty) && exclude(bs, preds, bb)
+        }
         .map(i => GavroInputPartition(file.getAbsolutePath, bounds(i), bounds(i + 1),
           meta.codec))
         .filter(p => p.end > p.start)
@@ -3168,7 +3248,26 @@ object Gavro {
         if (bin.forall(b => b._2.blockStats.length == b._2.blocks.length))
           bin.flatMap(_._2.blockStats.map(_.toSeq.sortBy(_._1)))
         else Seq.empty
-      GavroFooter.write(out, blocks.toSeq, stats, blockStats, codec)
+      // Blooms carry through the raw merge like block stats do — blocks
+      // are copied verbatim, so each block's bloom stays exactly right.
+      // Column set must be uniform across every merged block (the footer
+      // section is one column list); inputs written with different
+      // bloomCols drop to the shared intersection, empty intersection
+      // drops the section (sound: absent bloom never skips).
+      val bloomShared: Seq[(String, Byte)] =
+        if (bin.forall(b => b._2.blockBlooms.length == b._2.blocks.length) &&
+            bin.nonEmpty && bin.head._2.blockBlooms.nonEmpty)
+          bin.flatMap(_._2.blockBlooms)
+            .map(_.map { case (n, b) => (n, b.tpe) }.toSet)
+            .reduce(_ intersect _).toSeq.sortBy(_._1)
+        else Seq.empty
+      val blockBlooms: Seq[Seq[(String, GavroBloom)]] =
+        if (bloomShared.nonEmpty)
+          bin.flatMap(_._2.blockBlooms.map(m =>
+            bloomShared.map { case (n, _) => n -> m(n) }))
+        else Seq.empty
+      GavroFooter.write(out, blocks.toSeq, stats, blockStats, codec,
+        blockBlooms)
     } finally out.close()
     (landNextPart(d, tmp), ranges.toSeq)
   }
@@ -3713,7 +3812,8 @@ object Gavro {
   def write(bins: DataFrame, dir: String,
       blockBytes: Long = DefaultBlockBytes,
       statCols: Seq[String] = Seq.empty,
-      blockCodec: String = "none"): Unit = {
+      blockCodec: String = "none",
+      bloomCols: Seq[String] = Seq.empty): Unit = {
     val d = new java.io.File(dir)
     d.mkdirs()
     dataStore.list(d).filter(_.getName.endsWith(".gavro"))
@@ -3721,11 +3821,17 @@ object Gavro {
     store.list(new java.io.File(d, CommitsDir)).foreach(store.delete)
     val codec = codecByte(blockCodec)
     val statTypes = statTypesOf(bins, statCols)
+    // Bloom columns: point-probe skipping for value-UNCLUSTERED columns
+    // (md5 keys, hashed ids) where min/max stats are blind; doubles are
+    // rejected — float equality is not a probe shape worth footer bytes.
+    val bloomTypes = statTypesOf(bins, bloomCols)
+    bloomTypes.find(_._2 == 1).foreach(c => throw new IllegalArgumentException(
+      s"gavro bloom column ${c._1}: double columns carry no bloom"))
     bins.foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
       if (it.hasNext) {
         val pid = org.apache.spark.TaskContext.getPartitionId()
         writeRowsFile(it, new java.io.File(dir, f"part-$pid%05d.gavro"),
-          blockBytes, statTypes, codec)
+          blockBytes, statTypes, codec, bloomTypes)
       }
     }
     // Driver-side visibility point after every task finished: one commit
@@ -3756,16 +3862,26 @@ object Gavro {
     * codec). */
   private[sources] def writeRowsFile(it: Iterator[org.apache.spark.sql.Row],
       f: java.io.File, blockBytes: Long,
-      statTypes: Seq[(String, Byte)], codec: Byte): Unit = {
+      statTypes: Seq[(String, Byte)], codec: Byte,
+      bloomTypes: Seq[(String, Byte)] = Seq.empty): Unit = {
     val out = Gavro.dataStore.create(f)
     val blocks = scala.collection.mutable.ArrayBuffer(0L)
     val blockStats =
       scala.collection.mutable.ArrayBuffer.empty[Seq[(String, GavroColStat)]]
+    val blockBlooms =
+      scala.collection.mutable.ArrayBuffer.empty[Seq[(String, GavroBloom)]]
     var fileOffset = 0L
     var blockBuf = new java.io.ByteArrayOutputStream(
       math.min(blockBytes, 4L << 20).toInt)
     val fileAcc = new GavroStatAcc(statTypes)
     var blockAcc = new GavroStatAcc(statTypes)
+    def newBlooms() = bloomTypes.map(t => t._1 -> new GavroBloom.Builder(t._2))
+    var bloomAcc = newBlooms()
+    def absorbBlooms(r: org.apache.spark.sql.Row): Unit =
+      bloomAcc.foreach { case (name, b) =>
+        val v = r.getAs[Any](name)
+        if (v != null) b.add(v)
+      }
     def flushBlock(): Unit = if (blockBuf.size() > 0) {
       val payload = compress(codec, blockBuf.toByteArray)
       out.write(payload)
@@ -3779,17 +3895,21 @@ object Gavro {
           flushBlock()
           blocks += fileOffset
           blockStats += blockAcc.result(); blockAcc = new GavroStatAcc(statTypes)
+          blockBlooms += bloomAcc.map(e => e._1 -> e._2.result())
+          bloomAcc = newBlooms()
         }
         val b = r.getAs[Array[Byte]](0)
         blockBuf.write(Array[Byte]((b.length >>> 24).toByte, (b.length >>> 16).toByte,
           (b.length >>> 8).toByte, b.length.toByte))
         blockBuf.write(b)
-        fileAcc.absorb(r); blockAcc.absorb(r)
+        fileAcc.absorb(r); blockAcc.absorb(r); absorbBlooms(r)
       }
       flushBlock()
       blockStats += blockAcc.result()
+      blockBlooms += bloomAcc.map(e => e._1 -> e._2.result())
       GavroFooter.write(out, blocks.toSeq, fileAcc.result(),
-        if (statTypes.nonEmpty) blockStats.toSeq else Seq.empty, codec)
+        if (statTypes.nonEmpty) blockStats.toSeq else Seq.empty, codec,
+        if (bloomTypes.nonEmpty) blockBlooms.toSeq else Seq.empty)
     } finally out.close()
   }
 
@@ -4028,8 +4148,36 @@ object Gavro {
       .orderBy(col("endpoint"))
   }
 
+  /** Point lookup through the PER-BLOCK BLOOM skip: session_id is
+    * md5(event_id) — value-unclustered by construction, so every block's
+    * [min, max] spans ~the whole keyspace and the range proof admits
+    * everything; the bloom is the only structure that can skip. The
+    * oracle recomputes the same IN from `events` in DuckDB (md5 agrees
+    * lowercase-hex on both engines), so a hash match proves bloom
+    * exclusion never drops a matching block — the spec side separately
+    * proves it actually skips (blocks read ≪ total). */
+  def gavroBloomScan(spark: SparkSession, sfDir: String): DataFrame = {
+    val events = Tables.events(spark, sfDir)
+    val dir = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_gavro_bloom_" + Integer.toHexString(sfDir.hashCode)).getAbsolutePath
+    write(events
+      .select(AvroCodec.requestLogRec.as("rec"))
+      .select(expr("to_avro_graft(rec, 'request_log')").as("bin"),
+        col("rec.session_id").as("session_id")), dir,
+      blockBytes = 8192L, bloomCols = Seq("session_id"))
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val keys = Seq("8", "21", "42").map(md5hex) :+ "not-a-session-key"
+    spark.read.format("gavro").option("schema", "request_log").load(dir)
+      .filter(col("session_id").isin(keys: _*))
+      .select(col("session_id"), col("endpoint"), col("latency_ms"))
+      .orderBy(col("session_id"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "gavro_scan" -> ((s, d) => gavroScan(s, d)),
+    "gavro_bloom_scan" -> ((s, d) => gavroBloomScan(s, d)),
     "gavro_or_pushdown" -> ((s, d) => gavroOrPushdown(s, d)),
     "gavro_not_semantics" -> ((s, d) => gavroNotSemantics(s, d)),
     "gavro_optimize_scan" -> ((s, d) => gavroOptimizeScan(s, d)),
@@ -4041,6 +4189,14 @@ object Gavro {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "gavro_bloom_scan" ->
+      """SELECT md5(event_id::VARCHAR) AS session_id,
+        |  '/api/' || event_type AS endpoint,
+        |  (event_id % 500)::INT AS latency_ms
+        |FROM events
+        |WHERE md5(event_id::VARCHAR)
+        |  IN (md5('8'), md5('21'), md5('42'), 'not-a-session-key')
+        |ORDER BY session_id""".stripMargin,
     "gavro_scan" ->
       """SELECT '/api/' || event_type AS endpoint,
         |  count(*) AS n,

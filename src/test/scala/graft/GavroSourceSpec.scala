@@ -2273,4 +2273,151 @@ class GavroSourceSpec extends SparkSpec {
         (col("latency_ms") === l1 && col("method").isin(k1: _*)))
     checkGeneric(col("latency_ms") === l0 || col("latency_ms") === l1)
   }
+
+  test("bloom block skipping: point probes on an unclustered column read a small minority of blocks") {
+    val events = Tables.events(spark, dir)
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val bins = events.select(AvroCodec.requestLogRec.as("rec"))
+      .select(expr("to_avro_graft(rec, 'request_log')").as("bin"),
+        col("rec.session_id").as("session_id"),
+        col("rec.user_id").as("user_id"))
+      .coalesce(1)
+    val bloomDir = tmpDir("bloom")
+    Gavro.write(bins, bloomDir, blockBytes = 1024L,
+      statCols = Seq("session_id"), bloomCols = Seq("session_id", "user_id"))
+    val plainDir = tmpDir("bloomless")
+    Gavro.write(bins, plainDir, blockBytes = 1024L,
+      statCols = Seq("session_id"))
+    val ref = events.select(AvroCodec.requestLogRec.as("rec"))
+      .select(col("rec.*"))
+    val keys = Seq("3", "57", "201").map(md5hex) ++
+      Seq("absent-one", "absent-two")
+    def probe(d: String): (Long, Long) = {
+      val scan = spark.read.format("gavro")
+        .option("schema", "request_log").load(d)
+        .filter(col("session_id").isin(keys: _*))
+      val (cnt, reads) = Gavro.trackBlockReads(scan.count())
+      (cnt, reads.values.sum)
+    }
+    val total = Gavro.totalBlocks(bloomDir)
+    assert(total > 40, s"fixture too coarse: $total blocks")
+    val want = ref.filter(col("session_id").isin(keys: _*)).count()
+    assert(want == 3)
+    // min/max is BLIND on md5 keys: the bloom-less twin reads everything…
+    val (cntPlain, readPlain) = probe(plainDir)
+    assert(cntPlain == want)
+    assert(readPlain == Gavro.totalBlocks(plainDir),
+      s"control read $readPlain of ${Gavro.totalBlocks(plainDir)} — " +
+        "unclustered fixture assumption broken")
+    // …the bloom side reads ~|keys| blocks (+ ~1% fp slack).
+    val (cntBloom, readBloom) = probe(bloomDir)
+    assert(cntBloom == want)
+    // ~12 values per 1 KiB block → 128-bit blooms, whose fp runs a few
+    // per-cent (not the asymptotic 1%); the bound still pins a ~85%+
+    // block-skip rate where the control reads 100%.
+    assert(readBloom <= keys.length + total / 8,
+      s"bloom read $readBloom of $total blocks")
+    // Equality and null-safe-equality leaves skip too; a planted-null
+    // long column blooms its non-null population.
+    val someUser = ref.filter(col("user_id").isNotNull)
+      .select(col("user_id")).head.getLong(0)
+    def one(pred: org.apache.spark.sql.Column): (Long, Long) = {
+      val s = spark.read.format("gavro")
+        .option("schema", "request_log").load(bloomDir).filter(pred)
+      val (c, r) = Gavro.trackBlockReads(s.count())
+      (c, r.values.sum)
+    }
+    val (cEq, rEq) = one(col("session_id") === keys.head)
+    assert(cEq == ref.filter(col("session_id") === keys.head).count() &&
+      cEq == 1 && rEq <= 1 + total / 20)
+    val (cNse, rNse) = one(col("session_id") <=> "definitely-absent")
+    assert(cNse == 0 && rNse <= total / 20)
+    val (cUser, rUser) = one(col("user_id") === someUser)
+    assert(cUser == ref.filter(col("user_id") === someUser).count() &&
+      cUser > 0)
+    val (cGone, rGone) = one(col("user_id") === 999999999L)
+    assert(cGone == 0 && rGone <= total / 20, s"absent user read $rGone blocks")
+    assert(rUser >= 1)
+  }
+
+  test("bloom soundness: random present/absent IN probes agree with FilterExec; no false negatives at the unit level") {
+    // Unit level: inserted values are NEVER reported absent; absent
+    // values stay under a loose fp ceiling.
+    val rnd = new scala.util.Random(171)
+    (0 until 20).foreach { _ =>
+      val tpe: Byte = if (rnd.nextBoolean()) 2 else 0
+      val n = 1 + rnd.nextInt(400)
+      val b = new graft.sources.GavroBloom.Builder(tpe)
+      val vals: Seq[Any] =
+        if (tpe == 2) (0 until n).map(i => s"v${rnd.nextInt(1 << 24)}_$i")
+        else (0 until n).map(_ => rnd.nextLong())
+      vals.foreach(b.add)
+      val bloom = b.result()
+      vals.foreach(v => assert(!bloom.definitelyAbsent(v),
+        s"false negative on inserted $v"))
+      val absent = (0 until 2000).map(i =>
+        if (tpe == 2) s"absent_${rnd.nextInt(1 << 24)}_$i": Any
+        else rnd.nextLong() + 1000000007L * (i + 1))
+      val fp = absent.count(v => !bloom.definitelyAbsent(v))
+      assert(fp < 100, s"fp rate ${fp / 2000.0} at n=$n") // < 5%
+      // kind mismatch never excludes
+      assert(!bloom.definitelyAbsent(if (tpe == 2) 42L else "x"))
+    }
+    // End-to-end: random IN mixes over the bloom archive equal Spark's
+    // own FilterExec on the identical frame.
+    val events = Tables.events(spark, dir)
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val out = tmpDir("bloomfuzz")
+    Gavro.write(events.select(AvroCodec.requestLogRec.as("rec"))
+      .select(expr("to_avro_graft(rec, 'request_log')").as("bin"),
+        col("rec.session_id").as("session_id")).coalesce(1),
+      out, blockBytes = 4096L, bloomCols = Seq("session_id"))
+    val g = spark.read.format("gavro")
+      .option("schema", "request_log").load(out)
+    val ref = events.select(AvroCodec.requestLogRec.as("rec"))
+      .select(col("rec.*"))
+    val maxId = events.agg(max(col("event_id"))).head.getLong(0)
+    (1 to 12).foreach { _ =>
+      val present = (0 until 1 + rnd.nextInt(4))
+        .map(_ => md5hex(rnd.nextLong().abs.%(maxId + 1).toString))
+      val absent = (0 until rnd.nextInt(4)).map(_ => s"zz${rnd.nextInt(1 << 20)}")
+      val keys = rnd.shuffle(present ++ absent)
+      val got = g.filter(col("session_id").isin(keys: _*)).count()
+      val want = ref.filter(col("session_id").isin(keys: _*)).count()
+      assert(got == want, s"IN$keys: got $got want $want")
+      assert(got == present.distinct.length)
+    }
+  }
+
+  test("blooms survive OPTIMIZE's raw merge and keep skipping") {
+    val events = Tables.events(spark, dir)
+    val out = tmpDir("bloomopt")
+    Gavro.write(events.select(AvroCodec.requestLogRec.as("rec"))
+      .select(expr("to_avro_graft(rec, 'request_log')").as("bin"),
+        col("rec.session_id").as("session_id")).repartition(4),
+      out, blockBytes = 4096L, bloomCols = Seq("session_id"))
+    val before = graft.sources.Gavro.listDataFiles(out).length
+    assert(before == 4)
+    Gavro.optimize(out)
+    val files = graft.sources.Gavro.listDataFiles(out)
+    assert(files.length == 1, s"optimize left ${files.length} files")
+    val meta = graft.sources.GavroFooter.read(files.head)
+    assert(meta.blockBlooms.length == meta.blocks.length,
+      "merged footer lost its blooms")
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val probe = spark.read.format("gavro")
+      .option("schema", "request_log").load(out)
+      .filter(col("session_id") === md5hex("7"))
+    val (cnt, reads) = Gavro.trackBlockReads(probe.count())
+    val total = Gavro.totalBlocks(out)
+    assert(cnt == 1)
+    assert(reads.values.sum * 10 < total,
+      s"post-optimize probe read ${reads.values.sum} of $total blocks")
+  }
 }
