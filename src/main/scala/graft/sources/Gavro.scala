@@ -121,7 +121,13 @@ class GavroTable(tableSchema: StructType, path: String, schemaName: String,
     new GavroWriteBuilder(path, schemaName, info.schema(),
       Option(info.options.get("blockBytes")).map(_.toLong)
         .getOrElse(Gavro.DefaultBlockBytes),
-      Gavro.codecByte(Option(info.options.get("blockCodec")).getOrElse("none")))
+      Gavro.codecByte(Option(info.options.get("blockCodec")).getOrElse("none")),
+      // option("bloomCols", "a,b"): per-block bloom filters on the named
+      // fields ([[GavroBloom]]) — the sink-side switch for point-probe
+      // skipping on value-unclustered columns in APPENDED archives (the
+      // landing-zone shape Gavro.write's truncate semantics can't serve).
+      Option(info.options.get("bloomCols")).toSeq
+        .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty))
 }
 
 class GavroScanBuilder(full: StructType, path: String, schemaName: String,
@@ -300,9 +306,12 @@ class GavroScanBuilder(full: StructType, path: String, schemaName: String,
   * through `SupportsTruncate`: existing data files are deleted at commit
   * time, after every task has succeeded — never before. */
 class GavroWriteBuilder(path: String, schemaName: String, in: StructType,
-    blockBytes: Long, codec: Byte = 0)
+    blockBytes: Long, codec: Byte = 0, bloomCols: Seq[String] = Seq.empty)
     extends org.apache.spark.sql.connector.write.WriteBuilder
     with org.apache.spark.sql.connector.write.SupportsTruncate {
+  // Fail on the driver, at build time: an unknown or double bloom column
+  // is a caller bug, not something to discover per task.
+  Gavro.bloomFieldsOf(AvroCodec.schemaByName(schemaName), bloomCols)
   private var overwrite = false
   override def truncate(): org.apache.spark.sql.connector.write.WriteBuilder = {
     overwrite = true; this
@@ -315,7 +324,8 @@ class GavroWriteBuilder(path: String, schemaName: String, in: StructType,
         a.name == b.name && a.dataType == b.dataType },
       s"gavro write: frame schema ${in.simpleString} does not match " +
         s"'$schemaName' ${expected.simpleString}")
-    new GavroBatchWrite(path, schemaName, overwrite, blockBytes, codec)
+    new GavroBatchWrite(path, schemaName, overwrite, blockBytes, codec,
+      bloomCols)
   }
 
   /** Streaming sink: the archiver itself as `writeStream.format("gavro")`.
@@ -335,17 +345,17 @@ class GavroWriteBuilder(path: String, schemaName: String, in: StructType,
         a.name == b.name && a.dataType == b.dataType },
       s"gavro write: frame schema ${in.simpleString} does not match " +
         s"'$schemaName' ${expected.simpleString}")
-    new GavroStreamingWrite(path, schemaName, blockBytes, codec)
+    new GavroStreamingWrite(path, schemaName, blockBytes, codec, bloomCols)
   }
 }
 
 class GavroStreamingWrite(path: String, schemaName: String, blockBytes: Long,
-    codec: Byte = 0)
+    codec: Byte = 0, bloomCols: Seq[String] = Seq.empty)
     extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
   override def createStreamingWriterFactory(
       info: org.apache.spark.sql.connector.write.PhysicalWriteInfo)
       : org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory =
-    GavroStreamingWriterFactory(path, schemaName, blockBytes, codec)
+    GavroStreamingWriterFactory(path, schemaName, blockBytes, codec, bloomCols)
 
   override def commit(epochId: Long,
       messages: Array[org.apache.spark.sql.connector.write.WriterCommitMessage]): Unit = {
@@ -374,11 +384,12 @@ case class GavroEpochTempFile(tmp: String, partitionId: Int)
     extends org.apache.spark.sql.connector.write.WriterCommitMessage
 
 case class GavroStreamingWriterFactory(path: String, schemaName: String,
-    blockBytes: Long, codec: Byte = 0)
+    blockBytes: Long, codec: Byte = 0, bloomCols: Seq[String] = Seq.empty)
     extends org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long, epochId: Long)
       : org.apache.spark.sql.connector.write.DataWriter[InternalRow] =
-    new GavroDataWriter(path, schemaName, partitionId, taskId, blockBytes, codec) {
+    new GavroDataWriter(path, schemaName, partitionId, taskId, blockBytes,
+        codec, bloomCols) {
       override def commitMessage(tmpPath: String)
           : org.apache.spark.sql.connector.write.WriterCommitMessage =
         GavroEpochTempFile(tmpPath, partitionId)
@@ -393,12 +404,12 @@ case class GavroTempFile(tmp: String)
     extends org.apache.spark.sql.connector.write.WriterCommitMessage
 
 class GavroBatchWrite(path: String, schemaName: String, overwrite: Boolean,
-    blockBytes: Long, codec: Byte = 0)
+    blockBytes: Long, codec: Byte = 0, bloomCols: Seq[String] = Seq.empty)
     extends org.apache.spark.sql.connector.write.BatchWrite {
   override def createBatchWriterFactory(
       info: org.apache.spark.sql.connector.write.PhysicalWriteInfo)
       : org.apache.spark.sql.connector.write.DataWriterFactory =
-    GavroWriterFactory(path, schemaName, blockBytes, codec)
+    GavroWriterFactory(path, schemaName, blockBytes, codec, bloomCols)
 
   override def commit(
       messages: Array[org.apache.spark.sql.connector.write.WriterCommitMessage]): Unit = {
@@ -445,16 +456,17 @@ class GavroBatchWrite(path: String, schemaName: String, overwrite: Boolean,
 }
 
 case class GavroWriterFactory(path: String, schemaName: String,
-    blockBytes: Long, codec: Byte = 0)
+    blockBytes: Long, codec: Byte = 0, bloomCols: Seq[String] = Seq.empty)
     extends org.apache.spark.sql.connector.write.DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long)
       : org.apache.spark.sql.connector.write.DataWriter[InternalRow] =
-    new GavroDataWriter(path, schemaName, partitionId, taskId, blockBytes, codec)
+    new GavroDataWriter(path, schemaName, partitionId, taskId, blockBytes,
+      codec, bloomCols)
 }
 
 class GavroDataWriter(path: String, schemaName: String, partitionId: Int,
     taskId: Long, blockBytes: Long = Gavro.DefaultBlockBytes,
-    codec: Byte = 0)
+    codec: Byte = 0, bloomCols: Seq[String] = Seq.empty)
     extends org.apache.spark.sql.connector.write.DataWriter[InternalRow] {
   private val record = AvroCodec.schemaByName(schemaName)
   private val types = AvroCodec.sqlType(record).fields.map(_.dataType)
@@ -492,6 +504,28 @@ class GavroDataWriter(path: String, schemaName: String, partitionId: Int,
     math.min(blockBytes, 4L << 20).toInt)
   private var fileAcc = new GavroWriteStatAcc(record, statFields)
   private var blockAcc = new GavroWriteStatAcc(record, statFields)
+  // Per-block bloom builders over the requested columns ([[GavroBloom]]);
+  // value access mirrors the stat acc's typed ordinal reads.
+  private val bloomFields: Array[(Int, Byte)] =
+    Gavro.bloomFieldsOf(record, bloomCols)
+  private val blockBlooms =
+    scala.collection.mutable.ArrayBuffer.empty[Seq[(String, GavroBloom)]]
+  private def newBloomAcc() = bloomFields.map { case (ord, tpe) =>
+    record.fields(ord).name -> new GavroBloom.Builder(tpe) }
+  private var bloomAcc = newBloomAcc()
+  private def absorbBlooms(row: InternalRow): Unit = {
+    var i = 0
+    while (i < bloomFields.length) {
+      val (ord, tpe) = bloomFields(i)
+      if (!row.isNullAt(ord)) bloomAcc(i)._2.add(tpe match {
+        case 0 => row.getLong(ord)
+        case 2 => row.getUTF8String(ord)
+        case 3 => row.getBoolean(ord)
+        case 4 => row.getInt(ord)
+      })
+      i += 1
+    }
+  }
 
   private def flushBlock(): Unit = if (blockBuf.size() > 0) {
     // empty-buffer guard: a codec applied to zero bytes still emits a
@@ -511,13 +545,15 @@ class GavroDataWriter(path: String, schemaName: String, partitionId: Int,
       blocks += fileOffset
       blockStats += blockAcc.result()
       blockAcc = new GavroWriteStatAcc(record, statFields)
+      blockBlooms += bloomAcc.map(e => e._1 -> e._2.result()).toSeq
+      bloomAcc = newBloomAcc()
     }
     val b = AvroCodec.encode(record, i => row.get(i, types(i)), row.isNullAt)
     blockBuf.write(Array[Byte]((b.length >>> 24).toByte, (b.length >>> 16).toByte,
       (b.length >>> 8).toByte, b.length.toByte))
     blockBuf.write(b)
     wroteAny = true
-    fileAcc.absorb(row); blockAcc.absorb(row)
+    fileAcc.absorb(row); blockAcc.absorb(row); absorbBlooms(row)
   }
 
   /** Hook: the streaming factory wraps the temp path in an epoch-aware
@@ -540,8 +576,10 @@ class GavroDataWriter(path: String, schemaName: String, partitionId: Int,
     }
     flushBlock()
     blockStats += blockAcc.result()
+    blockBlooms += bloomAcc.map(e => e._1 -> e._2.result()).toSeq
     GavroFooter.write(out, blocks.toSeq, fileAcc.result(),
-      if (statFields.nonEmpty) blockStats.toSeq else Seq.empty, codec)
+      if (statFields.nonEmpty) blockStats.toSeq else Seq.empty, codec,
+      if (bloomFields.nonEmpty) blockBlooms.toSeq else Seq.empty)
     out.close()
     commitMessage(tmp.getAbsolutePath)
   }
@@ -3840,6 +3878,26 @@ object Gavro {
       .map(_.getName).filter(_.endsWith(".gavro")).sorted
     commitBatch(dir, written.toSeq)
   }
+
+  /** Resolve the DSv2 sink's bloom columns against the record schema:
+    * (field ordinal, footer stat type code) per name. Unknown names and
+    * double fields error at the driver — float equality is not a probe
+    * shape worth footer bytes, and a typo'd column must not silently
+    * write bloom-less files. */
+  private[sources] def bloomFieldsOf(record: AvroCodec.ARecord,
+      cols: Seq[String]): Array[(Int, Byte)] = cols.map { c =>
+    val i = record.fields.indexWhere(_.name == c)
+    require(i >= 0, s"gavro bloom column $c: no such field in the schema")
+    val tpe = AvroCodec.unwrapNull(record.fields(i).tpe) match {
+      case AvroCodec.ALong => 0: Byte
+      case AvroCodec.AString => 2: Byte
+      case AvroCodec.ABoolean => 3: Byte
+      case AvroCodec.AInt => 4: Byte
+      case other => throw new IllegalArgumentException(
+        s"gavro bloom column $c: unsupported type $other")
+    }
+    (i, tpe)
+  }.toArray
 
   /** Resolve stat column types at the driver; the byte codes ship to
     * tasks. */

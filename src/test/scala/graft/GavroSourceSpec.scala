@@ -2393,6 +2393,41 @@ class GavroSourceSpec extends SparkSpec {
     }
   }
 
+  test("DSv2 sink bloomCols option: appended archives bloom-skip; bad columns fail at the driver") {
+    val events = Tables.events(spark, dir)
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val out = tmpDir("bloomsink")
+    val rows = events.select(AvroCodec.requestLogRec.as("rec"))
+      .select(col("rec.*"))
+    // Two APPEND commits — the landing-zone shape Gavro.write (truncate
+    // semantics) cannot serve; every committed file carries blooms.
+    Seq(0, 1).foreach { half =>
+      rows.filter(pmod(col("id"), lit(2)) === half).coalesce(1)
+        .write.format("gavro").option("schema", "request_log")
+        .option("blockBytes", "1024").option("bloomCols", "session_id")
+        .mode("append").save(out)
+    }
+    val total = Gavro.totalBlocks(out)
+    assert(total > 40, s"fixture too coarse: $total blocks")
+    val probe = spark.read.format("gavro")
+      .option("schema", "request_log").load(out)
+      .filter(col("session_id").isin(md5hex("12"), md5hex("13"), "zz-absent"))
+    val (cnt, reads) = Gavro.trackBlockReads(probe.count())
+    assert(cnt == 2)
+    assert(reads.values.sum <= 2 + total / 8,
+      s"sink-written blooms read ${reads.values.sum} of $total blocks")
+    // Driver-side failure on a typo'd or double column.
+    Seq("no_such_col").foreach { bad =>
+      val e = intercept[Exception] {
+        rows.limit(1).write.format("gavro").option("schema", "request_log")
+          .option("bloomCols", bad).mode("append").save(tmpDir("bloombad"))
+      }
+      assert(e.getMessage != null)
+    }
+  }
+
   test("blooms survive OPTIMIZE's raw merge and keep skipping") {
     val events = Tables.events(spark, dir)
     val out = tmpDir("bloomopt")
