@@ -299,6 +299,58 @@ object ScaleSmoke {
         s""""planned_blocks":${planned.length},""" +
         s""""plan_wall_s":${f"$planWall%.4f"}}""")
     }
+
+    // ---- (c) clusterTable at replica scale: a 2-D range probe against
+    // a value-unclustered landing zone (md5-shuffled write order) reads
+    // ~every block — per-block min/max is structurally blind when each
+    // block spans the value range — then the Z-ORDER rewrite makes the
+    // same probe a minority read. The admission model for the control:
+    // ~320 rows per 32 KiB block × a ~1% 2-D box → P(block holds a
+    // match) ≈ 1-(0.99)^320 ≈ 96%, so "reads ~all" is the EXPECTED
+    // number, not an assumption.
+    val replRows = events.crossJoin(spark.range(replicas).toDF("rep"))
+      .select((col("event_id") * replicas + col("rep")).as("event_id"),
+        col("user_id"), col("event_type"), col("ts"))
+    val clBins = replRows.select(AvroCodec.requestLogRec.as("rec"))
+      .withColumn("k", md5(col("rec.id").cast("string")))
+      .repartition(32, col("k"))
+      .sortWithinPartitions("k")
+      .select(expr("to_avro_graft(rec, 'request_log')").as("bin"),
+        col("rec.user_id").as("user_id"),
+        col("rec.latency_ms").as("latency_ms"))
+    val clDir = java.nio.file.Files
+      .createTempDirectory("smoke-cluster").toString
+    Gavro.write(clBins, clDir, blockBytes = 32L << 10,
+      statCols = Seq("user_id", "latency_ms"))
+    def rangeProbe(): (Long, Long) = {
+      val scan = spark.read.format("gavro")
+        .option("schema", "request_log").load(clDir)
+        .filter(col("user_id") >= 100L && col("user_id") < 240L &&
+          col("latency_ms") >= 200 && col("latency_ms") < 250)
+      val (cnt, reads) = Gavro.trackBlockReads(scan.count())
+      (cnt, reads.values.sum)
+    }
+    val preTotal = Gavro.totalBlocks(clDir)
+    val totalRows = replRows.count()
+    val (preCnt, preRead) = rangeProbe()
+    val tCl = System.nanoTime()
+    Gavro.clusterTable(spark, clDir, "request_log",
+      Seq("user_id", "latency_ms"), zorder = true,
+      blockBytes = 32L << 10)
+    val clusterWall = (System.nanoTime() - tCl) / 1e9
+    val postTotal = Gavro.totalBlocks(clDir)
+    val (postCnt, postRead) = rangeProbe()
+    emit(s"""{"harness":"scale_smoke","metric":"cluster_range_probe",""" +
+      s""""replicas":$replicas,"rows":$totalRows,""" +
+      s""""probe_rows":$preCnt,"blocks_read_pre":$preRead,""" +
+      s""""blocks_total_pre":$preTotal,"blocks_read_post":$postRead,""" +
+      s""""blocks_total_post":$postTotal,""" +
+      s""""cluster_wall_s":${f"$clusterWall%.2f"}}""")
+    assert(postCnt == preCnt, "cluster rewrite changed the probe answer")
+    assert(preRead >= preTotal * 3 / 5,
+      s"control read $preRead of $preTotal — shuffled fixture broken")
+    assert(postRead <= postTotal / 8,
+      s"z-ordered probe read $postRead of $postTotal — layout not skipping")
   }
 
   private def round15Section(spark: SparkSession, replicas: Int): Unit = {

@@ -109,6 +109,12 @@ object Bucketing {
     * same thing as OPTIMIZE ZORDER BY / sort-order transforms); the
     * `repartitionByRange` gives one contiguous key range per output file,
     * which is exactly the property the pruning relies on.
+    *
+    * The gavro table format gets the same layout via
+    * [[Gavro.clusterTable]], whose key ([[graft.functions.ZOrder]])
+    * generalizes this one to n ≤ 4 dimensions and timestamp/date
+    * canonicalization, and whose write is a transactional in-place
+    * rewrite instead of a fresh directory.
     */
   def writeZOrdered(df: DataFrame, path: String, x: String, y: String,
       numFiles: Int): Unit = {

@@ -1,0 +1,263 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.functions.ZOrder
+import graft.sources.{AvroCodec, Gavro, Tables}
+
+/** Clustered rewrite ([[Gavro.clusterTable]]) and the Z-order key it
+  * sorts by: the layout leg of the skip stack. The counter-first shape
+  * mirrors the bloom spec — every skip claim is a measured
+  * blocks-read ratio against a control that provably cannot skip, and
+  * every rewrite asserts row parity with the pre-cluster snapshot. */
+class GavroClusterSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.01"
+
+  private def tmpDir(tag: String): String = {
+    val d = java.nio.file.Files.createTempDirectory(s"gavro_cluster_$tag").toFile
+    d.deleteOnExit()
+    d.getAbsolutePath
+  }
+
+  /** The value-UNCLUSTERED fixture: request_log rows in md5 order, so
+    * every block's latency/user/session values span ~the full range and
+    * min/max stats are provably blind pre-cluster. */
+  private def writeShuffled(out: String, blockBytes: Long): Unit = {
+    val events = Tables.events(spark, dir)
+    val bins = events.select(AvroCodec.requestLogRec.as("rec"))
+      .withColumn("k", md5(col("rec.id").cast("string")))
+      .orderBy(col("k"))
+      .select(expr("to_avro_graft(rec, 'request_log')").as("bin"),
+        col("rec.user_id").as("user_id"),
+        col("rec.latency_ms").as("latency_ms"))
+      .coalesce(1)
+    Gavro.write(bins, out, blockBytes = blockBytes,
+      statCols = Seq("user_id", "latency_ms"))
+  }
+
+  private def readAll(out: String) = spark.read.format("gavro")
+    .option("schema", "request_log").load(out)
+
+  private def probeBlocks(df: => org.apache.spark.sql.DataFrame): (Long, Long) = {
+    val (cnt, reads) = Gavro.trackBlockReads(df.count())
+    (cnt, reads.values.sum)
+  }
+
+  // ------------------------------------------------------------ z key
+
+  /** Independent Morton reference: same bucket formula, bit-by-bit
+    * interleave over BigInt — agreement pins the Column arithmetic. */
+  private def refZ(vals: Seq[Option[Double]], bounds: Seq[(Double, Double)],
+      n: Int): Long = {
+    val k = if (n == 1) 63 else 64 / n
+    val cells = (1L << k) - 1
+    val buckets = vals.zip(bounds).map { case (v, (lo, hi)) =>
+      if (!(hi > lo)) 0L
+      else v.map { x =>
+        val s = math.floor((x - lo) / (hi - lo) * cells.toDouble).toLong
+        math.min(math.max(s, 0L), cells)
+      }.getOrElse(0L)
+    }
+    val z =
+      if (n == 1) buckets.head
+      else (0 until n).map { i =>
+        (0 until k).map { j =>
+          ((buckets(i) >>> j) & 1L) << (j * n + i)
+        }.reduce(_ | _)
+      }.reduce(_ | _)
+    z ^ Long.MinValue
+  }
+
+  test("zvalue matches an independent Morton reference on random values") {
+    val rnd = new scala.util.Random(1017)
+    val rows = (1 to 400).map { i =>
+      val a = if (i % 19 == 0) null else Long.box(rnd.nextLong() % 100000L)
+      val b = if (i % 23 == 0) null
+        else Int.box(rnd.nextInt(2000) - 1000)
+      (a, b)
+    }
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.map(r => org.apache.spark.sql.Row(r._1, r._2)), 2),
+      StructType(Seq(StructField("a", LongType, nullable = true),
+        StructField("b", IntegerType, nullable = true))))
+    val bounds = Seq((-100000.0, 100000.0), (-1000.0, 1000.0))
+    val z = ZOrder.zvalue(
+      Seq((col("a"), LongType), (col("b"), IntegerType)), bounds)
+    val got = df.select(col("a"), col("b"), z.as("z")).collect()
+    got.foreach { r =>
+      val a = if (r.isNullAt(0)) None else Some(r.getLong(0).toDouble)
+      val b = if (r.isNullAt(1)) None else Some(r.getInt(1).toDouble)
+      val want = refZ(Seq(a, b), bounds, 2)
+      assert(r.getLong(2) == want, s"z(${a}, ${b})")
+    }
+  }
+
+  test("zvalue is monotone per dimension and interleaves fairly") {
+    val rows = (0 until 64).map(i => org.apache.spark.sql.Row(Long.box(i)))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1),
+      StructType(Seq(StructField("a", LongType, nullable = false))))
+    val bounds2 = Seq((0.0, 63.0), (0.0, 63.0))
+    // dimension a sweeps, dimension b pinned: z must be non-decreasing
+    val zs = df.select(ZOrder.zvalue(
+        Seq((col("a"), LongType), (lit(7L), LongType)), bounds2).as("z"))
+      .collect().map(_.getLong(0))
+    assert(zs.zip(zs.tail).forall { case (x, y) => x <= y })
+    // and symmetrically for b
+    val zsB = df.select(ZOrder.zvalue(
+        Seq((lit(7L), LongType), (col("a"), LongType)), bounds2).as("z"))
+      .collect().map(_.getLong(0))
+    assert(zsB.zip(zsB.tail).forall { case (x, y) => x <= y })
+    // fairness: both dimensions move the key — neither ordering is a
+    // plain lexicographic sort of (a, b) or (b, a)
+    assert(zs.toSeq != zsB.toSeq)
+    // degenerate bounds pin the dimension to cell 0: key becomes constant
+    val zConst = df.select(ZOrder.zvalue(
+        Seq((col("a"), LongType)), Seq((5.0, 5.0))).as("z"))
+      .collect().map(_.getLong(0)).distinct
+    assert(zConst.length == 1)
+  }
+
+  test("zvalue rejects strings, doubles and over-wide column lists") {
+    intercept[IllegalArgumentException] {
+      ZOrder.zvalue(Seq((col("s"), StringType)), Seq((0.0, 1.0)))
+    }
+    intercept[IllegalArgumentException] {
+      ZOrder.zvalue(Seq((col("d"), DoubleType)), Seq((0.0, 1.0)))
+    }
+    intercept[IllegalArgumentException] {
+      ZOrder.zvalue((1 to 5).map(i => (col(s"c$i"), LongType)),
+        (1 to 5).map(_ => (0.0, 1.0)))
+    }
+  }
+
+  // ------------------------------------------------- linear clustering
+
+  test("linear clusterTable: a range probe on an unclustered column reads " +
+      "~all blocks before and a small minority after") {
+    val out = tmpDir("linear")
+    writeShuffled(out, blockBytes = 2048L)
+    val want = readAll(out).collect().map(_.toString).sorted.toSeq
+
+    def probe() = probeBlocks(readAll(out).filter(col("latency_ms") < 25))
+    val totalBefore = Gavro.totalBlocks(out)
+    assert(totalBefore > 100, s"fixture too coarse: $totalBefore blocks")
+    val (cntBefore, readBefore) = probe()
+    // admission model: ~20 random latencies per 2 KiB block, 5% probe →
+    // 1-(0.95)^20 ≈ 64% of blocks hold a match; block min<25 admits more
+    assert(readBefore >= totalBefore * 2 / 5,
+      s"control read $readBefore of $totalBefore — unclustered fixture " +
+        "assumption broken")
+
+    Gavro.clusterTable(spark, out, "request_log", Seq("latency_ms"),
+      blockBytes = 2048L, targetFileBytes = 64L << 10)
+
+    val totalAfter = Gavro.totalBlocks(out)
+    val (cntAfter, readAfter) = probe()
+    assert(cntAfter == cntBefore)
+    // sorted layout: matching rows pack into ~5% of blocks (+ boundary)
+    assert(readAfter <= totalAfter / 8,
+      s"clustered probe read $readAfter of $totalAfter blocks")
+    assert(readAfter.toDouble / totalAfter < 0.5 * readBefore / totalBefore)
+    // the rewrite is row-preserving, bit for bit
+    val got = readAll(out).collect().map(_.toString).sorted.toSeq
+    assert(got == want)
+  }
+
+  // ------------------------------------------------------ Z-order
+
+  test("zorder clusterTable: range probes on EACH dimension skip; the " +
+      "linear twin pays one block per leading-value run on the trailing one") {
+    val zDir = tmpDir("zorder")
+    val linDir = tmpDir("lextwin")
+    writeShuffled(zDir, blockBytes = 2048L)
+    writeShuffled(linDir, blockBytes = 2048L)
+    val want = readAll(zDir).collect().map(_.toString).sorted.toSeq
+
+    Gavro.clusterTable(spark, zDir, "request_log",
+      Seq("user_id", "latency_ms"), zorder = true,
+      blockBytes = 2048L, targetFileBytes = 64L << 10)
+    Gavro.clusterTable(spark, linDir, "request_log",
+      Seq("user_id", "latency_ms"), zorder = false,
+      blockBytes = 2048L, targetFileBytes = 64L << 10)
+
+    val zTotal = Gavro.totalBlocks(zDir)
+    val linTotal = Gavro.totalBlocks(linDir)
+
+    // leading dimension: both layouts skip
+    def uProbe(d: String) =
+      probeBlocks(readAll(d).filter(col("user_id") >= 30L &&
+        col("user_id") < 60L))
+    val (uCntZ, uReadZ) = uProbe(zDir)
+    val (uCntL, uReadL) = uProbe(linDir)
+    assert(uCntZ == uCntL)
+    assert(uReadZ <= zTotal / 2, s"zorder user probe $uReadZ of $zTotal")
+    assert(uReadL <= linTotal / 2, s"linear user probe $uReadL of $linTotal")
+
+    // trailing dimension: the z layout gives latency its own bits, so a
+    // 10% latency probe touches ~that fraction of blocks (+ curve
+    // boundary). The lexicographic twin pays ≥ ONE block per leading-
+    // value run instead (~150 user runs of ~67 rows over ~20-row blocks
+    // here → ~a third of all blocks), a cost that scales with leading-
+    // column cardinality — at a unique leading key every run is every
+    // block and the trailing dimension is fully blind. The fixture's
+    // 150-value leading column makes the twin partially lucky; the
+    // assertions encode the RUN model, not a blindness it doesn't have.
+    def lProbe(d: String) =
+      probeBlocks(readAll(d).filter(col("latency_ms") < 50))
+    val (lCntZ, lReadZ) = lProbe(zDir)
+    val (lCntL, lReadL) = lProbe(linDir)
+    assert(lCntZ == lCntL)
+    assert(lReadL >= linTotal / 4,
+      s"linear twin read $lReadL of $linTotal on the trailing dimension " +
+        "— below even the one-block-per-run floor")
+    assert(lReadZ <= zTotal / 4,
+      s"zorder latency probe $lReadZ of $zTotal")
+    assert(lReadZ.toDouble / zTotal < 0.6 * lReadL / linTotal,
+      s"zorder ($lReadZ/$zTotal) should beat linear ($lReadL/$linTotal) " +
+        "materially on the trailing dimension")
+
+    // row parity through the z rewrite (planted nulls included)
+    val got = readAll(zDir).collect().map(_.toString).sorted.toSeq
+    assert(got == want)
+  }
+
+  test("clusterTable re-blooms displaced key columns on request") {
+    val out = tmpDir("rebloom")
+    writeShuffled(out, blockBytes = 2048L)
+    Gavro.clusterTable(spark, out, "request_log", Seq("latency_ms"),
+      blockBytes = 2048L, targetFileBytes = 64L << 10,
+      bloomCols = Seq("session_id"))
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val keys = Seq("12", "345", "6789").map(md5hex) :+ "absent-key"
+    val total = Gavro.totalBlocks(out)
+    val (cnt, read) = probeBlocks(
+      readAll(out).filter(col("session_id").isin(keys: _*)))
+    assert(cnt == 3)
+    assert(read <= keys.length + total / 8,
+      s"bloom-through-rewrite read $read of $total blocks")
+  }
+
+  test("clusterTable swap keeps time travel to the pre-cluster commit") {
+    val out = tmpDir("asof")
+    writeShuffled(out, blockBytes = 2048L)
+    val pre = new java.io.File(out, Gavro.CommitsDir).listFiles()
+      .map(_.getName).filter(_.endsWith(".commit")).max
+      .stripSuffix(".commit")
+    val want = readAll(out).count()
+    Gavro.clusterTable(spark, out, "request_log", Seq("latency_ms"),
+      blockBytes = 2048L, targetFileBytes = 64L << 10)
+    assert(readAll(out).count() == want)
+    // the cluster swap is a checkpoint: history below it is retired, so
+    // as-of the pre-cluster commit must fail LOUDLY, not partially
+    val e = intercept[Exception] {
+      spark.read.format("gavro").option("schema", "request_log")
+        .option("asOfCommit", pre).load(out).count()
+    }
+    assert(e.getMessage.contains("asOfCommit"))
+  }
+}
