@@ -226,7 +226,8 @@ object ScaleSmoke {
     * blocks and record footer bytes + a full plan walk per size — the
     * datapoint that decides whether a sub-4 KiB guard is needed. */
   private def round17Section(spark: SparkSession, replicas: Int): Unit = {
-    import graft.sources.{AvroCodec, Gavro, GavroFooter, GavroPred, GavroSkip, Tables}
+    import graft.sources.{AvroCodec, Gavro, GavroFooter, GavroPred,
+      GavroSkip, GavroSortedVals, Tables}
 
     // ---- (a) the maintainIncremental footer proof, timed at file scale.
     val codesDir = java.nio.file.Files
@@ -351,6 +352,71 @@ object ScaleSmoke {
       s"control read $preRead of $preTotal — shuffled fixture broken")
     assert(postRead <= postTotal / 8,
       s"z-ordered probe read $postRead of $postTotal — layout not skipping")
+
+    // ---- (d) bloom IN-proof planning cost at the pushdown cap: the
+    // watch item's O(values × blocks) hash passes, measured. Two timings
+    // in one JVM: the shipped planFile walk, and the raw
+    // per-(block, value) definitelyAbsent loop — the cost an unmemoized
+    // proof pays (and the counterfactual once a memo exists).
+    def md5hexS(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val bpDir = java.nio.file.Files
+      .createTempDirectory("smoke-bloomplan").toString
+    val bpBins = events.select(AvroCodec.requestLogRec.as("rec"))
+      .select(expr("to_avro_graft(rec, 'request_log')").as("bin"),
+        col("rec.session_id").as("session_id"))
+    Gavro.write(bpBins, bpDir, blockBytes = 1024L,
+      bloomCols = Seq("session_id"))
+    val bpFiles = Gavro.listDataFiles(bpDir)
+    val bpBlocks = bpFiles.map(f =>
+      GavroSkip.liveBlocks(GavroFooter.read(f))).sum
+    def bpLine(vals: Seq[Any], tag: String): (Int, Double) = {
+      val pred = GavroPred("session_id", "in", GavroSortedVals.build(vals))
+      def timePlan(): (Double, Int) = {
+        val t0 = System.nanoTime()
+        val k = bpFiles.map(f => GavroSkip.planFile(f, Seq(pred)).length).sum
+        ((System.nanoTime() - t0) / 1e9, k)
+      }
+      def timeRawHashLoop(): Double = {
+        val metas = bpFiles.map(GavroFooter.read)
+        val t0 = System.nanoTime()
+        var excluded = 0L
+        metas.foreach(_.blockBlooms.foreach { bb =>
+          bb.get("session_id").foreach { b =>
+            if (vals.forall(b.definitelyAbsent)) excluded += 1
+          }
+        })
+        val w = (System.nanoTime() - t0) / 1e9
+        assert(excluded >= 0) // keep the loop un-eliminated
+        w
+      }
+      timePlan(); timeRawHashLoop() // warm (footer cache, JIT)
+      val planWalls = (1 to 3).map(_ => timePlan())
+      val rawWall = (1 to 3).map(_ => timeRawHashLoop()).min
+      emit(s"""{"harness":"scale_smoke","metric":"bloom_plan_cost",""" +
+        s""""regime":"$tag","values":${vals.length},"blocks":$bpBlocks,""" +
+        s""""planned_blocks":${planWalls.head._2},""" +
+        s""""plan_wall_s":${f"${planWalls.map(_._1).min}%.4f"},""" +
+        s""""raw_hash_loop_wall_s":${f"$rawWall%.4f"}}""")
+      (planWalls.head._2, planWalls.map(_._1).min)
+    }
+    // At the push cap the all-values-absent conjunction is fp-collapsed
+    // (P ≈ 0.992^1024): the bounded proof DECLINES, so planning must be
+    // ~free while the raw loop shows the cost declining saves.
+    val (capPlanned, capWall) = bpLine(
+      (0 until Gavro.InPushMax).map(i => md5hexS((i * 37).toString)), "cap")
+    // At the bound, with truly-absent keys, the proof still wins on
+    // ~(1-fp)^64 ≈ 60% of blocks.
+    val (boundPlanned, _) = bpLine(
+      (0 until graft.sources.GavroBloom.InProofMax)
+        .map(i => md5hexS(s"absent-${i * 37}")), "bound")
+    assert(capPlanned == bpBlocks.toInt,
+      "fp-collapse premise broken: the cap-size IN excluded blocks")
+    assert(capWall < 0.02,
+      f"declined proof still cost $capWall%.3f s at the cap")
+    assert(boundPlanned <= bpBlocks * 3 / 4,
+      s"bounded proof excluded too little: $boundPlanned of $bpBlocks")
   }
 
   private def round15Section(spark: SparkSession, replicas: Int): Unit = {

@@ -1579,7 +1579,11 @@ object GavroSkip {
           case vs: Seq[_] => vs.asInstanceOf[Seq[Any]]
           case _ => Seq.empty
         }) match {
-          case vs if vs.nonEmpty => vs.forall(b.definitelyAbsent)
+          // Bounded at [[GavroBloom.InProofMax]]: past it the all-values-
+          // absent conjunction is fp-collapsed (it can essentially never
+          // hold) and the walk would pay O(values × blocks) for nothing.
+          case vs if vs.nonEmpty && vs.length <= GavroBloom.InProofMax =>
+            vs.forall(b.definitelyAbsent)
           case _ => false
         }
         case _ => false

@@ -63,6 +63,19 @@ object GavroBloom {
   val BitsPerValue: Int = 10
   val K: Int = 7
 
+  /** IN-proof size bound. A block with NO true match is excluded only
+    * when EVERY listed value probes definitely-absent, so the win
+    * probability collapses geometrically with the list:
+    * P(exclude) = (1−fp)^|IN| ≈ e^(−|IN|·fp). At this sizing's ~0.8%
+    * fp that is ~0.6 at 64 values and ~0.0003 at the 1024 push cap —
+    * measured at the cap (SCALESMOKE_r17 `bloom_plan_cost`): 8378 of
+    * 8378 blocks admitted, every one through a false positive, after
+    * ~100 ms of hash passes. Past this bound the proof is declined:
+    * it cannot win often enough to pay for its own O(values × blocks)
+    * planning walk. The range proof on the same IN stays O(log values)
+    * and unbounded. */
+  val InProofMax: Int = 64
+
   private def fnv64(bytes: Array[Byte], basis: Long): Long = {
     var h = basis
     var i = 0

@@ -2455,4 +2455,50 @@ class GavroSourceSpec extends SparkSpec {
     assert(reads.values.sum * 10 < total,
       s"post-optimize probe read ${reads.values.sum} of $total blocks")
   }
+
+  test("bloom IN proof is bounded: over-bound lists decline (rows exact), " +
+      "bounded absent lists still skip") {
+    // The all-values-absent conjunction behind an IN exclusion collapses
+    // geometrically with list size — P(exclude) = (1-fp)^|IN| — so past
+    // GavroBloom.InProofMax the proof can essentially never win and the
+    // reader declines it rather than paying O(values × blocks) hashing
+    // for nothing (measured at the 1024 cap: 8378/8378 blocks admitted,
+    // all via false positives — SCALESMOKE_r17 bloom_plan_cost).
+    val events = Tables.events(spark, dir)
+    val out = tmpDir("bloombound")
+    Gavro.write(events.select(AvroCodec.requestLogRec.as("rec"))
+      .select(expr("to_avro_graft(rec, 'request_log')").as("bin"),
+        col("rec.session_id").as("session_id")).coalesce(1),
+      out, blockBytes = 1024L, bloomCols = Seq("session_id"))
+    val total = Gavro.totalBlocks(out)
+    assert(total > 50)
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val ref = events.select(AvroCodec.requestLogRec.as("rec"))
+      .select(col("rec.*"))
+    def probe(keys: Seq[String]): (Long, Long) = {
+      val s = spark.read.format("gavro")
+        .option("schema", "request_log").load(out)
+        .filter(col("session_id").isin(keys: _*))
+      val (c, r) = Gavro.trackBlockReads(s.count())
+      (c, r.values.sum)
+    }
+    // Bounded, truly-absent keys: the proof engages and wins on
+    // ~(1-fp)^|IN| of blocks — assert a material minority skipped.
+    val absentKeys = (0 until graft.sources.GavroBloom.InProofMax)
+      .map(i => md5hex(s"nope-$i"))
+    val (cA, rA) = probe(absentKeys)
+    assert(cA == 0)
+    assert(rA <= total * 3 / 4,
+      s"bounded absent IN read $rA of $total — proof not engaging")
+    // One value over the bound: the proof declines — every block reads —
+    // and the answer is still exactly the reference's.
+    val overKeys = (0 to graft.sources.GavroBloom.InProofMax)
+      .map(i => md5hex((i * 3).toString))
+    val (cO, rO) = probe(overKeys)
+    assert(cO == ref.filter(col("session_id").isin(overKeys: _*)).count())
+    assert(rO == total,
+      s"over-bound IN read $rO of $total — expected a declined proof")
+  }
 }
