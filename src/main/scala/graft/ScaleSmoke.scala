@@ -353,6 +353,42 @@ object ScaleSmoke {
     assert(postRead <= postTotal / 8,
       s"z-ordered probe read $postRead of $postTotal — layout not skipping")
 
+    // …and the INCREMENTAL cadence at the same scale: append a ~2%
+    // drizzle (one sf0.1 replica, shuffled — the day's landing-zone
+    // accretion), cluster ONLY it. The claim under test is that the
+    // rewrite wall scales with the delta, not the corpus, while probe
+    // admission stays a minority across generations.
+    val drizzle = events.select(AvroCodec.requestLogRec.as("rec"))
+      .withColumn("k", md5(col("rec.id").cast("string")))
+      .repartition(8, col("k")).sortWithinPartitions("k")
+      .select(col("rec.*"))
+    drizzle.write.format("gavro").option("schema", "request_log")
+      .option("blockBytes", (32L << 10).toString)
+      .mode("append").save(clDir)
+    val drizzleRows = events.count()
+    val (midCnt, midRead) = rangeProbe()
+    val tInc = System.nanoTime()
+    val incStaged = Gavro.clusterIncremental(spark, clDir, "request_log",
+      Seq("user_id", "latency_ms"), zorder = true, blockBytes = 32L << 10)
+    val incWall = (System.nanoTime() - tInc) / 1e9
+    val incTotal = Gavro.totalBlocks(clDir)
+    val (incCnt, incRead) = rangeProbe()
+    emit(s"""{"harness":"scale_smoke","metric":"cluster_incremental",""" +
+      s""""corpus_rows":$totalRows,"drizzle_rows":$drizzleRows,""" +
+      s""""staged_files":${incStaged.length},""" +
+      s""""blocks_read_mid":$midRead,"blocks_read_post":$incRead,""" +
+      s""""blocks_total_post":$incTotal,""" +
+      s""""incr_wall_s":${f"$incWall%.2f"},""" +
+      s""""full_wall_s":${f"$clusterWall%.2f"}}""")
+    assert(incCnt == midCnt, "incremental cluster changed the probe answer")
+    assert(incStaged.nonEmpty && incRead < midRead,
+      s"incremental pass did not tighten admission ($midRead -> $incRead)")
+    assert(incRead <= incTotal / 8,
+      s"cross-generation probe read $incRead of $incTotal")
+    assert(incWall < clusterWall / 5,
+      f"incremental wall $incWall%.1f s vs full $clusterWall%.1f s — " +
+        "not delta-scaled")
+
     // ---- (d) bloom IN-proof planning cost at the pushdown cap: the
     // watch item's O(values × blocks) hash passes, measured. Two timings
     // in one JVM: the shipped planFile walk, and the raw

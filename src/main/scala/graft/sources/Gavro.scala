@@ -2839,45 +2839,118 @@ object Gavro {
     rewriteTable(path, pin => {
       val df = spark.read.format("gavro").option("schema", schemaName)
         .option("asOfCommit", pin).load(path)
-      cols.foreach(c => require(df.columns.contains(c),
-        s"gavro clusterTable: no column $c in schema $schemaName"))
-      val keep = (cols ++ statCols ++ bloomCols).distinct
-      val quoted = df.columns.map(c => s"`$c`").mkString(", ")
-      // `bin` MUST stay ordinal 0 — the staging writer's row contract.
-      val encoded = df.select(
-        expr(s"to_avro_graft(struct($quoted), '$schemaName')").as("bin")
-          +: keep.map(col): _*)
-      val pinnedBytes = listDataFiles(path, Some(pin))
+      val bytes = listDataFiles(path, Some(pin))
         .map(f => GavroFooter.read(f).dataEnd).sum
-      val n = math.max(1, math.ceil(
-        pinnedBytes.toDouble / targetFileBytes).toInt)
-      if (zorder) {
-        // The grid bounds: one min/max agg over the pinned snapshot on
-        // the RAW columns, so the reader's aggregate pushdown answers it
-        // from per-file footer accumulation — O(groups) rows cross the
-        // scan, the collect is exactly one row. Bounds must come from
-        // the data (not type ranges): interleaving raw bit patterns
-        // leaves low-range columns constant in their top bits and the
-        // key collapses (see [[graft.functions.ZOrder]]).
-        val dts = cols.map(c => df.schema(c).dataType)
-        val aggs = cols.flatMap(c => Seq(min(col(c)), max(col(c))))
-        val row = df.agg(aggs.head, aggs.tail: _*).head()
-        val bounds = cols.zip(dts).zipWithIndex.map { case ((_, dt), i) =>
-          (graft.functions.ZOrder.boundOf(row.get(2 * i), dt).getOrElse(0.0),
-            graft.functions.ZOrder.boundOf(row.get(2 * i + 1), dt).getOrElse(0.0))
-        }
-        val z = graft.functions.ZOrder.zvalue(
-          cols.zip(dts).map { case (c, dt) => (col(c), dt) }, bounds)
-        encoded.withColumn("__graft_z", z)
-          .repartitionByRange(n, col("__graft_z"))
-          .sortWithinPartitions("__graft_z")
-          .drop("__graft_z")
-      } else {
-        encoded.repartitionByRange(n, cols.map(col): _*)
-          .sortWithinPartitions(cols.map(col): _*)
+      clusterPlan(df, schemaName, cols, zorder, bytes, targetFileBytes,
+        statCols, bloomCols)
+    }, blockBytes, statCols = (cols ++ statCols).distinct, blockCodec,
+      bloomCols = bloomCols)
+  }
+
+  /** [[clusterTable]]'s INCREMENTAL form — the 100 TB cadence: cluster
+    * only what landed since the last clustered GENERATION, not the
+    * corpus. The previous cluster (or semantic rewrite) swap checkpoint
+    * (`…-r`) marks the generation boundary; the files committed after it
+    * are exactly the unclustered debt, read through the change feed
+    * (`sinceCommit` = that checkpoint) and re-laid-out into a NEW
+    * generation of clustered files. Untouched generations keep their
+    * names and bytes; probes then see range-tight blocks in EVERY
+    * generation, so block admission stays a minority while the rewrite
+    * cost scales with the day's appends. No debt = no-op.
+    *
+    * Falls back to a FULL [[clusterTable]] pass when the boundary is
+    * unusable: no `-r` checkpoint yet (never clustered), or a LATER
+    * checkpoint exists above it (an OPTIMIZE or log compaction merged /
+    * obscured the generations — their byte-copied outputs interleave
+    * clustered and unclustered rows, so re-baselining is the correct
+    * response, the same full-rewrite fallback `maintainIncremental`
+    * takes on a foreign layout). On clustered tables run THIS instead
+    * of optimize: the generation rewrite already packs small files, and
+    * optimize's raw merge would destroy the boundary it needs. */
+  def clusterIncremental(spark: SparkSession, path: String,
+      schemaName: String, cols: Seq[String], zorder: Boolean = false,
+      blockBytes: Long = DefaultBlockBytes,
+      targetFileBytes: Long = OptimizeTargetBytes,
+      blockCodec: String = "none",
+      statCols: Seq[String] = Seq.empty,
+      bloomCols: Seq[String] = Seq.empty): Seq[String] = {
+    require(cols.nonEmpty,
+      "gavro clusterIncremental: at least one cluster column")
+    rewritePartial(path, (pin, committedAtPin) => {
+      val commits = new java.io.File(path, CommitsDir)
+      val cps = logEntries(commits, ".checkpoint")
+        .map(_.getName.stripSuffix(".checkpoint"))
+      val lastRw = cps.filter(_.endsWith("-r")).maxOption
+      lastRw match {
+        case Some(cut) if cps.forall(_ <= cut) =>
+          val debt = listDataFiles(path, Some(pin), Some(cut))
+          if (debt.isEmpty) (Set.empty[String], spark.emptyDataFrame)
+          else {
+            val df = spark.read.format("gavro").option("schema", schemaName)
+              .option("asOfCommit", pin).option("sinceCommit", cut).load(path)
+            val bytes = debt.map(f => GavroFooter.read(f).dataEnd).sum
+            (debt.map(_.getName).toSet,
+              clusterPlan(df, schemaName, cols, zorder, bytes,
+                targetFileBytes, statCols, bloomCols))
+          }
+        case _ =>
+          val df = spark.read.format("gavro").option("schema", schemaName)
+            .option("asOfCommit", pin).load(path)
+          val bytes = listDataFiles(path, Some(pin))
+            .map(f => GavroFooter.read(f).dataEnd).sum
+          (committedAtPin,
+            clusterPlan(df, schemaName, cols, zorder, bytes,
+              targetFileBytes, statCols, bloomCols))
       }
     }, blockBytes, statCols = (cols ++ statCols).distinct, blockCodec,
       bloomCols = bloomCols)
+  }
+
+  /** The shared clustered-layout plan: re-encode `df`'s rows with the
+    * layout columns riding alongside, range-partition into
+    * `bytes / targetFileBytes` output files, sort within partitions —
+    * lexicographic on `cols`, or by the normalized Morton key
+    * ([[graft.functions.ZOrder]]) when `zorder`. */
+  private def clusterPlan(df: DataFrame, schemaName: String,
+      cols: Seq[String], zorder: Boolean, bytes: Long,
+      targetFileBytes: Long, statCols: Seq[String],
+      bloomCols: Seq[String]): DataFrame = {
+    cols.foreach(c => require(df.columns.contains(c),
+      s"gavro cluster: no column $c in schema $schemaName"))
+    val keep = (cols ++ statCols ++ bloomCols).distinct
+    val quoted = df.columns.map(c => s"`$c`").mkString(", ")
+    // `bin` MUST stay ordinal 0 — the staging writer's row contract.
+    val encoded = df.select(
+      expr(s"to_avro_graft(struct($quoted), '$schemaName')").as("bin")
+        +: keep.map(col): _*)
+    val n = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
+    if (zorder) {
+      // The grid bounds: one min/max agg over the SAME rows being
+      // re-laid-out, on the RAW columns, so the reader's aggregate
+      // pushdown answers it from per-file footer accumulation —
+      // O(groups) rows cross the scan, the collect is exactly one row.
+      // Bounds must come from the data (not type ranges): interleaving
+      // raw bit patterns leaves low-range columns constant in their top
+      // bits and the key collapses (see [[graft.functions.ZOrder]]).
+      // Each generation normalizes against its own bounds — sound, the
+      // key orders layout within the generation only.
+      val dts = cols.map(c => df.schema(c).dataType)
+      val aggs = cols.flatMap(c => Seq(min(col(c)), max(col(c))))
+      val row = df.agg(aggs.head, aggs.tail: _*).head()
+      val bounds = cols.zip(dts).zipWithIndex.map { case ((_, dt), i) =>
+        (graft.functions.ZOrder.boundOf(row.get(2 * i), dt).getOrElse(0.0),
+          graft.functions.ZOrder.boundOf(row.get(2 * i + 1), dt).getOrElse(0.0))
+      }
+      val z = graft.functions.ZOrder.zvalue(
+        cols.zip(dts).map { case (c, dt) => (col(c), dt) }, bounds)
+      encoded.withColumn("__graft_z", z)
+        .repartitionByRange(n, col("__graft_z"))
+        .sortWithinPartitions("__graft_z")
+        .drop("__graft_z")
+    } else {
+      encoded.repartitionByRange(n, cols.map(col): _*)
+        .sortWithinPartitions(cols.map(col): _*)
+    }
   }
 
   /** [[rewriteTable]]'s INCREMENTAL form: `plan` receives the pinned

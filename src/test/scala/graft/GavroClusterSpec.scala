@@ -242,6 +242,77 @@ class GavroClusterSpec extends SparkSpec {
       s"bloom-through-rewrite read $read of $total blocks")
   }
 
+  test("clusterIncremental: only the appended generation rewrites; " +
+      "probes skip across generations; optimize above the boundary " +
+      "falls back to full") {
+    val out = tmpDir("incr")
+    val events = Tables.events(spark, dir)
+    def recs(p: org.apache.spark.sql.Column) = events.filter(p)
+      .select(AvroCodec.requestLogRec.as("rec"))
+      .withColumn("k", md5(col("rec.id").cast("string")))
+      .orderBy(col("k"))
+    // generation 1: even-user rows, written shuffled then clustered
+    Gavro.write(recs(pmod(col("user_id"), lit(2)) === 0)
+      .select(expr("to_avro_graft(rec, 'request_log')").as("bin"))
+      .coalesce(1), out, blockBytes = 2048L)
+    Gavro.clusterTable(spark, out, "request_log", Seq("latency_ms"),
+      blockBytes = 2048L, targetFileBytes = 64L << 10)
+    val gen1 = Gavro.listDataFiles(out).map(_.getName).toSet
+
+    def probe(): (Long, Long) = {
+      val s = readAll(out).filter(col("latency_ms") < 25)
+      val (c, r) = Gavro.trackBlockReads(s.count())
+      (c, r.values.sum)
+    }
+    val (_, gen1Read) = probe()
+
+    // drizzle: three appended commits of shuffled odd-user rows — the
+    // unclustered debt a landing zone accretes between maintenances
+    (0 until 3).foreach { i =>
+      recs(pmod(col("user_id"), lit(2)) === 1 &&
+          pmod(col("event_id"), lit(3)) === i)
+        .select(col("rec.*")).coalesce(1)
+        .write.format("gavro").option("schema", "request_log")
+        .option("blockBytes", "2048").mode("append").save(out)
+    }
+    val want = readAll(out).collect().map(_.toString).sorted.toSeq
+    val (cntDrizzle, readDrizzle) = probe()
+    assert(readDrizzle > gen1Read,
+      s"drizzle added no admitted blocks ($gen1Read -> $readDrizzle)")
+
+    // incremental pass: ONLY the drizzle rewrites; generation-1 names
+    // survive untouched
+    val staged = Gavro.clusterIncremental(spark, out, "request_log",
+      Seq("latency_ms"), blockBytes = 2048L, targetFileBytes = 64L << 10)
+    assert(staged.nonEmpty)
+    val after = Gavro.listDataFiles(out).map(_.getName).toSet
+    assert(gen1.subsetOf(after), "incremental pass touched cold generations")
+    val total = Gavro.totalBlocks(out)
+    val (cntAfter, readAfter) = probe()
+    assert(cntAfter == cntDrizzle)
+    assert(readAfter <= total / 6,
+      s"cross-generation probe read $readAfter of $total blocks")
+    assert(readAll(out).collect().map(_.toString).sorted.toSeq == want)
+
+    // no new debt: the next pass is a no-op
+    assert(Gavro.clusterIncremental(spark, out, "request_log",
+      Seq("latency_ms"), blockBytes = 2048L,
+      targetFileBytes = 64L << 10).isEmpty)
+
+    // an OPTIMIZE above the boundary byte-merges the generations —
+    // incremental cannot trust the cut anymore and re-baselines fully
+    Gavro.optimize(out, targetBytes = 1L << 20)
+    val fullPass = Gavro.clusterIncremental(spark, out, "request_log",
+      Seq("latency_ms"), blockBytes = 2048L, targetFileBytes = 64L << 10)
+    assert(fullPass.nonEmpty)
+    assert(Gavro.listDataFiles(out).map(_.getName).toSet == fullPass.toSet,
+      "full fallback should replace the whole live set")
+    assert(readAll(out).collect().map(_.toString).sorted.toSeq == want)
+    val (cntFull, readFull) = probe()
+    assert(cntFull == cntDrizzle)
+    assert(readFull <= Gavro.totalBlocks(out) / 6)
+  }
+
   test("clusterTable swap keeps time travel to the pre-cluster commit") {
     val out = tmpDir("asof")
     writeShuffled(out, blockBytes = 2048L)
