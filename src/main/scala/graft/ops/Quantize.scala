@@ -90,44 +90,31 @@ object Quantize {
     import spark.implicits._
     val n = qemb.count()
     val every = math.max(1L, (n + maxTrain - 1) / maxTrain)
-    val sample = subvecsQ(
+    val sampled =
       if (every == 1L) qemb
       else qemb.filter(expr(
-        s"conv(substring(md5(cast(vec_id as string)), 1, 15), 16, 10) % $every = 0")))
-      .persist()
+        s"conv(substring(md5(cast(vec_id as string)), 1, 15), 16, 10) % $every = 0"))
+    // ONE bounded collect of the whole training sample (md5-mod-capped at
+    // ~maxTrain rows × dim integral doubles at ANY corpus scale); the M
+    // per-subspace Lloyd recursions then run driver-side in the identical
+    // exact integer arithmetic (see [[Lloyd]]) instead of as per-iteration
+    // Spark jobs — 5 serial collect barriers of a previous version become
+    // this single one. Subspace slicing is driver-side array slicing of
+    // the SQL-quantized values (never re-quantized).
+    val rows: Array[(String, Array[Long])] = sampled
+      .select(col("vec_id"), col("qv")).collect()
+      .map(r => (Lloyd.md5Hex(r.getLong(0).toString),
+        r.getSeq[Double](1).map(_.toLong).toArray))
+      .sortBy(_._1)
     // Seeds: the K hash-smallest sampled vectors seed EVERY subspace with
-    // their respective subvectors (one global pick, no per-subspace window).
-    // The collected rows arrive in md5 order, so rank = position (0-based).
-    val seedRank = sample.select(col("vec_id")).distinct()
-      .withColumn("h", md5(col("vec_id").cast("string")))
-      .orderBy(col("h")).limit(K)
-      .collect().map(_.getAs[Long]("vec_id")).zipWithIndex.toMap
-    var books: Seq[(Int, Int, Vector[Double])] = sample
-      .filter(col("vec_id").isin(seedRank.keys.toSeq: _*)).collect()
-      .map(r => (r.getAs[Int]("sub_idx"),
-        seedRank(r.getAs[Long]("vec_id")),
-        r.getSeq[Double](r.fieldIndex("sv")).toVector))
-      .toSeq.sortBy(t => (t._1, t._2))
-    for (_ <- 0 until iters) {
-      val cdf = books.toDF("sub_idx", "c_id", "cv")
-      val assigned = assign(sample, cdf)
-      // Integer mean per (subspace, centroid, component): `sum div n` is
-      // order-free — the step that makes the recursion oracle-mirrorable.
-      val updated = assigned
-        .select(col("sub_idx"), col("c_id"), posexplode(col("sv")))
-        .toDF("sub_idx", "c_id", "pos", "x")
-        .groupBy(col("sub_idx"), col("c_id"), col("pos"))
-        .agg(expr("cast(sum(cast(x as bigint)) div count(1) as double)").as("m"))
-        .groupBy(col("sub_idx"), col("c_id"))
-        .agg(expr("transform(array_sort(collect_list(struct(pos, m))), s -> s.m)").as("cv"))
-        .collect()
-        .map(r => (r.getAs[Int]("sub_idx"), r.getAs[Int]("c_id")) ->
-          r.getSeq[Double](r.fieldIndex("cv")).toVector)
-        .toMap
-      // A centroid that lost all members keeps its previous position.
-      books = books.map { case (s, c, old) => (s, c, updated.getOrElse((s, c), old)) }
+    // their respective subvectors; rank = hash order (0-based).
+    val bySub: Array[Array[Array[Long]]] = Array.tabulate(M) { m =>
+      rows.map(_._2.slice(m * SubDim, (m + 1) * SubDim))
     }
-    sample.unpersist()
+    val books: Seq[(Int, Int, Vector[Double])] = (0 until M).flatMap { m =>
+      Lloyd.run(bySub(m), bySub(m).take(K), iters)
+        .zipWithIndex.map { case (cv, c) => (m, c, cv.map(_.toDouble).toVector) }
+    }
     books.toDF("sub_idx", "c_id", "cv")
   }
 

@@ -340,49 +340,33 @@ object Similarity {
   def kmeansCentroids(emb: DataFrame, k: Int = 8, iters: Int = 3,
       maxTrain: Int = 512): DataFrame = {
     val spark = emb.sparkSession
-    import org.apache.spark.sql.expressions.Window
     val embAll = emb.select(col("vec_id"), quantCol("v").as("qv"))
     val n = embAll.count()
     val every = math.max(1L, (n + maxTrain - 1) / maxTrain)
     val embD =
       if (every == 1L) embAll
       else embAll.filter(
-        expr(s"cast(conv(substring(md5(cast(vec_id as string)), 1, 15), 16, 10) as bigint) % $every = 0")
-      ).persist()
-    // Seed ids are assigned driver-side over the already-collected K rows —
-    // a row_number window here would be unpartitioned (single-task WindowExec,
-    // the plan shape this codebase bans) for zero benefit.
-    val seeds = embD
-      .withColumn("h", md5(col("vec_id").cast("string")))
-      .orderBy(col("h"))
-      .limit(k)
-      .select(col("h"), col("qv").as("cv"))
-    var cents = seeds.collect()
-      .sortBy(_.getAs[String]("h"))
-      .zipWithIndex
-      .map { case (r, i) => (i + 1, r.getSeq[Double](r.fieldIndex("cv")).toVector) }
-    for (_ <- 0 until iters) {
-      val cdf = spark.createDataFrame(cents.toSeq).toDF("c_id", "cv")
-      val assigned = embD.join(broadcast(cdf), lit(true))
-        .select(col("vec_id"), col("qv"), col("c_id"), qDist("qv", "cv").as("c_dist"))
-        .withColumn("crnk", row_number().over(
-          Window.partitionBy(col("vec_id")).orderBy(col("c_dist").asc, col("c_id").asc)))
-        .filter(col("crnk") === 1)
-      val updated = assigned
-        .select(col("c_id"), posexplode(col("qv")))
-        .toDF("c_id", "pos", "x")
-        .groupBy(col("c_id"), col("pos"))
-        .agg(expr("sum(cast(x as bigint)) div count(1)").as("m"))
-        .groupBy(col("c_id"))
-        .agg(expr("transform(array_sort(collect_list(struct(pos, m))), s -> cast(s.m as double))")
-          .as("cv"))
-        .collect()
-        .map(r => (r.getAs[Int]("c_id"), r.getSeq[Double](r.fieldIndex("cv")).toVector))
-      // A centroid that lost all members keeps its previous position.
-      val byId = updated.toMap
-      cents = cents.map { case (id, old) => (id, byId.getOrElse(id, old)) }
-    }
-    if (every != 1L) embD.unpersist()
+        expr(s"cast(conv(substring(md5(cast(vec_id as string)), 1, 15), 16, 10) as bigint) % $every = 0"))
+    // ONE bounded collect of the whole training sample: the md5-mod cap
+    // guarantees ~maxTrain rows × dim integral doubles (a few hundred KB)
+    // INDEPENDENT of corpus size — the distributed filter scan is the only
+    // corpus-scale work. The Lloyd recursion then runs driver-side in the
+    // same exact integer arithmetic the DataFrame loop computed (seeds =
+    // k hash-smallest; argmin on (dist, c_id); update = sum div n, where
+    // Spark's bigint `div` truncates toward zero exactly like Long `/`),
+    // so the trained centroids are bit-identical — pinned by
+    // SimilaritySpec/QuantizeSpec determinism and the DuckDB unroll — while
+    // the per-iteration job launches (3 collect barriers of a previous
+    // version, each a full Spark job over a ≤512-row frame) disappear.
+    val sample: Array[Array[Long]] = embD.collect()
+      .map { r =>
+        (Lloyd.md5Hex(r.getLong(r.fieldIndex("vec_id")).toString),
+          r.getSeq[Double](r.fieldIndex("qv")).map(_.toLong).toArray)
+      }.sortBy(_._1).map(_._2)
+    // Seed ids are 1-based in hash order (the previous orderBy(h).limit(k)
+    // + zipWithIndex contract).
+    val cents = Lloyd.run(sample, sample.take(k), iters)
+      .zipWithIndex.map { case (cv, i) => (i + 1, cv.map(_.toDouble).toVector) }
     spark.createDataFrame(cents.toSeq).toDF("c_id", "cv")
   }
 
