@@ -703,17 +703,44 @@ class GavroScan(path: String, schemaName: String, required: StructType,
     * to the Catalyst representation of the column's SQL type so Spark's
     * partition grouping compares them correctly. */
   @volatile private var blocksTotalPlanned = 0L
+  @volatile private var blocksReadPlanned = 0L
+
+  /** Split-packing target via Spark's own file-split formula
+    * (`FilePartition.maxSplitBytes`): honor
+    * `spark.sql.files.maxPartitionBytes`, floor at `openCostInBytes`,
+    * but never leave cores idle on a small snapshot — the admitted bytes
+    * divide by `filesMinPartitionNum` (default parallelism). Scale-
+    * adaptive by construction: at 100 TB the division lands far above
+    * `maxPartitionBytes` so the cap rules; on a small fixture the core
+    * count rules. Specs that need block-granular tasks set
+    * `maxPartitionBytes` to 1 — the same escape Spark's own file sources
+    * honor. */
+  private def maxSplitBytes(perFile: Seq[Seq[GavroInputPartition]]): Long = {
+    val session = org.apache.spark.sql.SparkSession.active
+    val conf = session.sessionState.conf
+    val openCost = conf.filesOpenCostInBytes
+    val minParts = conf.filesMinPartitionNum
+      .getOrElse(session.sparkContext.defaultParallelism)
+    val totalBytes = perFile
+      .map(ps => ps.map(p => p.end - p.start).sum + openCost).sum
+    val bytesPerCore = totalBytes / math.max(1, minParts)
+    math.min(conf.filesMaxPartitionBytes, math.max(openCost, bytesPerCore))
+  }
+
   private lazy val planned: (Array[InputPartition], Int) = {
     val preds = pushed.map(GavroPred.from).toSeq
     val files = Gavro.listDataFiles(path, asOfCommit, sinceCommit)
     var blocksTotal = 0L
     val res: (Array[InputPartition], Int) = keyField match {
       case None =>
-        (files.flatMap { f =>
+        val perFile = files.map { f =>
           val meta = GavroFooter.read(f)
           blocksTotal += GavroSkip.liveBlocks(meta)
           GavroSkip.planFile(f, preds, meta)
-        }.map(p => p: InputPartition).toArray, 0)
+        }
+        val target = maxSplitBytes(perFile)
+        (perFile.flatMap(ps => GavroSkip.pack(ps, target))
+          .map(p => p: InputPartition).toArray, 0)
       case Some(field) =>
         val perFile = files.map { f =>
           val meta = GavroFooter.read(f)
@@ -723,16 +750,29 @@ class GavroScan(path: String, schemaName: String, required: StructType,
             .map(s => GavroScan.toCatalystKey(s.min, field.dataType))
           (GavroSkip.planFile(f, preds, meta), single)
         }.filter(_._1.nonEmpty)
+        val target = maxSplitBytes(perFile.map(_._1))
         if (perFile.nonEmpty && perFile.forall(_._2.isDefined)) {
           val keys = perFile.flatMap(_._2).distinct.length
           (perFile.flatMap { case (parts, single) =>
-            parts.map(p => GavroKeyedPartition(p, single.get): InputPartition)
+            GavroSkip.pack(parts, target)
+              .map(p => GavroKeyedPartition(p, single.get): InputPartition)
           }, keys)
-        } else (perFile.flatMap(_._1).map(p => p: InputPartition), 0)
+        } else (perFile.flatMap(t => GavroSkip.pack(t._1, target))
+          .map(p => p: InputPartition), 0)
     }
     blocksTotalPlanned = blocksTotal
+    blocksReadPlanned = res._1.iterator.map {
+      case k: GavroKeyedPartition => k.part.inner.length + 1L
+      case p: GavroInputPartition => p.inner.length + 1L
+      case _ => 1L
+    }.sum
     res
   }
+
+  /** Footer blocks the planned partitions will read (≥ partition count
+    * once [[GavroSkip.pack]] merges contiguous admitted blocks) — the
+    * numerator specs and the driver metric share. */
+  private[graft] def plannedBlocks: Long = { planned; blocksReadPlanned }
 
   override def outputPartitioning()
       : org.apache.spark.sql.connector.read.partitioning.Partitioning = {
@@ -794,7 +834,7 @@ class GavroScan(path: String, schemaName: String, required: StructType,
     * pruning — a pushed key list can open every file yet read a minority
     * of each file's blocks, and this ratio is where that shows. */
   override def reportDriverMetrics(): Array[CustomTaskMetric] = Array(
-    GavroMetrics.Task("gavroBlocksRead", planned._1.length.toLong),
+    GavroMetrics.Task("gavroBlocksRead", plannedBlocks),
     GavroMetrics.Task("gavroBlocksTotal", blocksTotalPlanned))
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
@@ -1318,9 +1358,13 @@ object GavroScan {
 /** One scan task: a record-aligned byte range of one file. `start`/`end`
   * come from the footer's block index (or [0, fileLen) for footer-less
   * legacy files), so a single large landing file fans out across the
-  * cluster instead of pinning one task. */
+  * cluster instead of pinning one task. A task may cover SEVERAL
+  * consecutive admitted blocks ([[GavroSkip.pack]]): `inner` holds the
+  * interior block boundaries (offsets strictly between `start` and
+  * `end`), which per-block codecs need to decompress block-by-block;
+  * block count = `inner.length + 1`. */
 case class GavroInputPartition(file: String, start: Long, end: Long,
-    codec: Byte = 0)
+    codec: Byte = 0, inner: Seq[Long] = Seq.empty)
     extends InputPartition
 
 /** A scan task whose file is PROVEN single-valued on the reported
@@ -1680,6 +1724,30 @@ object GavroSkip {
         .map(i => GavroInputPartition(file.getAbsolutePath, bounds(i), bounds(i + 1),
           meta.codec))
         .filter(p => p.end > p.start)
+    }
+  }
+
+  /** Pack CONTIGUOUS admitted blocks of one file into multi-block read
+    * tasks of up to `target` bytes — input-split sizing (the
+    * `maxPartitionBytes` idea) applied to the block index: a small-block
+    * table (the 8 KiB probe layouts) otherwise plans one task per block
+    * and per-task scheduling overhead dwarfs the read (measured: a 9 MB
+    * snapshot planned 1113 tasks × 3 passes in `clusterTable`). A pruning
+    * gap ends the run — a packed task never reads a skipped block — and
+    * the interior boundaries ride along so per-block codecs keep the
+    * block as the decompression unit. */
+  def pack(parts: Seq[GavroInputPartition], target: Long): Seq[GavroInputPartition] = {
+    if (parts.length <= 1) parts
+    else {
+      val out = Vector.newBuilder[GavroInputPartition]
+      var cur = parts.head
+      parts.tail.foreach { p =>
+        if (cur.end == p.start && p.end - cur.start <= target)
+          cur = cur.copy(end = p.end, inner = cur.inner :+ p.start)
+        else { out += cur; cur = p }
+      }
+      out += cur
+      out.result()
     }
   }
 }
@@ -2139,11 +2207,29 @@ class GavroPartitionReader(part: GavroInputPartition, schemaName: String,
   // both splitting AND decompression, the parquet row-group design point).
   private val bytes: Array[Byte] = {
     val f = new java.io.File(part.file)
-    Gavro.noteFileOpen(part.file)
-    val end = math.min(part.end, Gavro.dataStore.length(f))
-    val raw = Gavro.dataStore.readRange(f, part.start,
-      (end - part.start).toInt)
-    Gavro.decompress(part.codec, raw)
+    Gavro.noteFileOpen(part.file, part.inner.length + 1L)
+    val len = Gavro.dataStore.length(f)
+    def range(s: Long, e: Long): Array[Byte] = {
+      val e2 = math.min(e, len)
+      if (e2 <= s) Array.emptyByteArray
+      else Gavro.decompress(part.codec,
+        Gavro.dataStore.readRange(f, s, (e2 - s).toInt))
+    }
+    // Packed multi-block range: uncompressed blocks are contiguous record
+    // streams, so one positioned read covers them all; a per-block codec
+    // keeps the block as the decompression unit, so inflate block-wise.
+    if (part.inner.isEmpty || part.codec == 0) range(part.start, part.end)
+    else {
+      val starts = part.start +: part.inner
+      val ends = part.inner :+ part.end
+      val segs = starts.indices.map(i => range(starts(i), ends(i)))
+      val out = new Array[Byte](segs.iterator.map(_.length).sum)
+      var off = 0
+      segs.foreach { s =>
+        System.arraycopy(s, 0, out, off, s.length); off += s.length
+      }
+      out
+    }
   }
   private var pos = 0
   private var row: InternalRow = _
@@ -2291,13 +2377,13 @@ object Gavro {
   private val openTap =
     new java.util.concurrent.atomic.AtomicReference[java.util.Set[String]](null)
 
-  private[sources] def noteFileOpen(path: String): Unit = {
+  private[sources] def noteFileOpen(path: String, blocks: Long = 1L): Unit = {
     val s = openTap.get()
     if (s != null) { s.add(path); () }
     val b = blockTap.get()
     if (b != null) {
       b.computeIfAbsent(path, _ => new java.util.concurrent.atomic.LongAdder)
-        .increment()
+        .add(blocks)
     }
   }
 
@@ -2306,7 +2392,8 @@ object Gavro {
       String, java.util.concurrent.atomic.LongAdder]](null)
 
   /** Like [[trackFileOpens]] but counting BLOCK reads per file (each
-    * planned partition = one footer block = one reader instantiation):
+    * reader instantiation adds its partition's block count, so packed
+    * multi-block tasks report the same totals as block-per-task plans):
     * the in-file pruning the file-level set is blind to — a scan that
     * opens every file can still be skipping most of each file's blocks,
     * and at 100 TB that block ratio IS the I/O story. Not reentrant;
@@ -2920,9 +3007,16 @@ object Gavro {
     val keep = (cols ++ statCols ++ bloomCols).distinct
     val quoted = df.columns.map(c => s"`$c`").mkString(", ")
     // `bin` MUST stay ordinal 0 — the staging writer's row contract.
+    // Persisted: `repartitionByRange`'s boundary-sampling pass otherwise
+    // re-runs the whole decode+re-encode pipeline before the real
+    // shuffle does it again (two full codec passes, measured at sf0.1).
+    // The persisted unit is the rewrite's own working set — at 100 TB
+    // this is the stage you would checkpoint between read and re-layout
+    // anyway (and MEMORY_AND_DISK spills rather than OOMs).
     val encoded = df.select(
       expr(s"to_avro_graft(struct($quoted), '$schemaName')").as("bin")
         +: keep.map(col): _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val n = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
     if (zorder) {
       // The grid bounds: one min/max agg over the SAME rows being

@@ -20,6 +20,22 @@ class GavroSourceSpec extends SparkSpec {
     d.getAbsolutePath
   }
 
+  /** Block-granular task planning for assertions that equate partitions
+    * with footer blocks: `maxPartitionBytes = 1` disables
+    * [[graft.sources.GavroSkip.pack]]'s contiguous-run merging — the same
+    * conf escape Spark's own file sources honor. Packed-mode behavior is
+    * pinned separately ("packing merges contiguous blocks..."). */
+  private def blockTasks[A](body: => A): A = {
+    val k = "spark.sql.files.maxPartitionBytes"
+    val prev = spark.conf.getOption(k)
+    spark.conf.set(k, "4096")
+    try body
+    finally prev match {
+      case Some(v) => spark.conf.set(k, v)
+      case None => spark.conf.unset(k)
+    }
+  }
+
   test("write then scan round-trips every field of every record") {
     val events = Tables.events(spark, dir)
     val out = tmpDir("roundtrip")
@@ -373,7 +389,7 @@ class GavroSourceSpec extends SparkSpec {
     assert(total == Tables.events(spark, dir).count())
   }
 
-  test("a single multi-block file splits into multiple partitions, results unchanged") {
+  test("a single multi-block file splits into multiple partitions, results unchanged")(blockTasks {
     val events = Tables.events(spark, dir)
     val out = tmpDir("blocks")
     // ONE file (coalesce(1)) with 8 KiB blocks: the footer index must fan
@@ -396,7 +412,7 @@ class GavroSourceSpec extends SparkSpec {
     assert(scanned.count() == events.count())
     assert(scanned.agg(sum(col("id"))).head.getLong(0) ==
       events.agg(sum(col("event_id"))).head.getLong(0))
-  }
+  })
 
   test("footer min/max stats skip files a pushed predicate excludes") {
     val events = Tables.events(spark, dir)
@@ -441,7 +457,7 @@ class GavroSourceSpec extends SparkSpec {
       events.filter(pmod(col("event_id"), lit(7)) === 0).count())
   }
 
-  test("per-block stats prune blocks inside one clustered file") {
+  test("per-block stats prune blocks inside one clustered file")(blockTasks {
     val events = Tables.events(spark, dir)
     val out = tmpDir("blockskip")
     // ONE file, sorted by endpoint, small blocks: each block covers a
@@ -471,9 +487,9 @@ class GavroSourceSpec extends SparkSpec {
     val expected = events.select(AvroCodec.requestLogRec.as("rec"))
       .filter(col("rec.endpoint") >= "/api/p").count()
     assert(filtered.count() == expected)
-  }
+  })
 
-  test("IN lists past 64 values push: blocks skip, no residual filter, rows exact") {
+  test("IN lists past 64 values push: blocks skip, no residual filter, rows exact")(blockTasks {
     val events = Tables.events(spark, dir)
     val out = tmpDir("bigin")
     // One id-sorted file with small blocks: a clustered 200-value IN list
@@ -525,9 +541,9 @@ class GavroSourceSpec extends SparkSpec {
     assert(sFiltered.queryExecution.executedPlan.collect {
       case f: org.apache.spark.sql.execution.FilterExec => f }.isEmpty)
     assert(sFiltered.collect().map(_.getString(0)).toSet == keys.toSet)
-  }
+  })
 
-  test("startsWith pushes with prefix-range block skip; ends/contains evaluate in-reader") {
+  test("startsWith pushes with prefix-range block skip; ends/contains evaluate in-reader")(blockTasks {
     val events = Tables.events(spark, dir)
     val out = tmpDir("strpush")
     Gavro.write(events
@@ -587,7 +603,7 @@ class GavroSourceSpec extends SparkSpec {
     // ends/contains never skip, whatever the stats say
     assert(!GavroSkip.exclude(st, Seq(GavroPred("k", "ends", "zzz"))))
     assert(!GavroSkip.exclude(st, Seq(GavroPred("k", "contains", "zzz"))))
-  }
+  })
 
   test("IN proof fuzz: sorted binary search ≡ linear over seeded random windows") {
     import graft.sources.{GavroColStat, GavroPred, GavroSkip, GavroSortedVals}
@@ -740,7 +756,7 @@ class GavroSourceSpec extends SparkSpec {
     }
   }
 
-  test("DSv2 write emits footer stats and blocks the scan can split and skip") {
+  test("DSv2 write emits footer stats and blocks the scan can split and skip")(blockTasks {
     val events = Tables.events(spark, dir)
     val out = tmpDir("dsv2writestats")
     // One sorted partition, small blocks: written footer must let the
@@ -764,7 +780,7 @@ class GavroSourceSpec extends SparkSpec {
     assert(opened < total, s"expected block pruning, opened $opened of $total")
     assert(filtered.count() == events.select(AvroCodec.requestLogRec.as("rec"))
       .filter(col("rec.endpoint") >= "/api/p").count())
-  }
+  })
 
   test("stats skip decisions are exact on every operator and boundary") {
     import graft.sources.{GavroColStat, GavroPred, GavroSkip}
@@ -791,7 +807,7 @@ class GavroSourceSpec extends SparkSpec {
     assert(ex("l", "=", 9) && !ex("l", "=", 15))
   }
 
-  test("block codecs (deflate, snappy): round-trip, split, skip, smaller files") {
+  test("block codecs (deflate, snappy): round-trip, split, skip, smaller files")(blockTasks {
     val events = Tables.events(spark, dir)
     val frame = events
       .select(AvroCodec.requestLogRec.as("rec"))
@@ -837,7 +853,7 @@ class GavroSourceSpec extends SparkSpec {
         events.select(AvroCodec.requestLogRec.as("rec"))
           .filter(col("rec.endpoint") >= "/api/p").count(), codec)
     }
-  }
+  })
 
   test("commit manifest gives snapshot isolation: uncommitted files are invisible") {
     val out = tmpDir("manifest")
@@ -1082,7 +1098,7 @@ class GavroSourceSpec extends SparkSpec {
     frame.unpersist()
   }
 
-  test("optimize bin-packs small files losslessly and swaps the snapshot atomically") {
+  test("optimize bin-packs small files losslessly and swaps the snapshot atomically")(blockTasks {
     val out = tmpDir("optimize")
     val events = Tables.events(spark, dir)
     Gavro.write(events.repartition(6)
@@ -1182,7 +1198,7 @@ class GavroSourceSpec extends SparkSpec {
       new java.io.File(out, merged.head)).blocks.length
     val extraBlocks = graft.sources.GavroFooter.read(extra).blocks.length
     assert(planned.head.inputRDD.getNumPartitions == mergedBlocks + extraBlocks)
-  }
+  })
 
   test("a crashed optimize retire heals before vacuum destroys anything") {
     val out = tmpDir("heal")
@@ -1770,7 +1786,7 @@ class GavroSourceSpec extends SparkSpec {
       plainRes.collect().map(_.toString).sorted.toSeq)
   }
 
-  test("OR trees push: no FilterExec, both-branch block skip, rows exact") {
+  test("OR trees push: no FilterExec, both-branch block skip, rows exact")(blockTasks {
     val events = Tables.events(spark, dir)
     val out = tmpDir("ortree")
     // One id-sorted file with small blocks: a two-band disjunction must
@@ -1813,7 +1829,7 @@ class GavroSourceSpec extends SparkSpec {
       .filter(col("id") < mid || col("id") >= mid).select(col("id"))
     assert(noFilterExec(covering))
     assert(covering.count() == ids.length.toLong)
-  }
+  })
 
   test("slot-scoped key disjunction skips blocks a flat IN cannot") {
     // The LSH probe's r16 pushdown shape on its exact layout: files
@@ -1871,7 +1887,7 @@ class GavroSourceSpec extends SparkSpec {
       s"scoped probe must read a minority of blocks: $scopedBlocks of $total")
   }
 
-  test("multi-prefix OR (startsWith branches) block-skips via per-branch range proofs") {
+  test("multi-prefix OR (startsWith branches) block-skips via per-branch range proofs")(blockTasks {
     // The URL-shape disjunction: each branch carries its own
     // [p, upper(p)) prefix-range proof; the Or excludes a block iff
     // EVERY branch's range misses it. Also pins a branch over a column
@@ -1922,7 +1938,7 @@ class GavroSourceSpec extends SparkSpec {
         col("latency_ms") === 499)
       .count()
     assert(mixed.count() == wantMixed && wantMixed > 0)
-  }
+  })
 
   test("OR filters compose with aggregate pushdown") {
     val events = Tables.events(spark, dir)
@@ -2042,22 +2058,64 @@ class GavroSourceSpec extends SparkSpec {
       .filter(col("id") < ids(ids.length / 4)).select(col("id"))
     val scan = filtered.queryExecution.executedPlan.collect {
       case b: BatchScanExec => b }.head
-    val plannedBlocks = scan.inputRDD.getNumPartitions
+    val gs = scan.scan.asInstanceOf[graft.sources.GavroScan]
+    val plannedBlocks = gs.plannedBlocks
     val total = graft.sources.Gavro.totalBlocks(out)
     assert(total > plannedBlocks,
       s"pruned scan must read fewer blocks than the table holds " +
         s"($plannedBlocks of $total)")
-    // The reader-side tap counts one read per planned block…
+    // Packing may merge contiguous admitted blocks into one task, but the
+    // planned BLOCK count is partition-shape-independent…
+    assert(scan.inputRDD.getNumPartitions <= plannedBlocks)
+    // …the reader-side tap counts every block of every packed task…
     val (_, reads) = graft.sources.Gavro.trackBlockReads {
       filtered.count()
     }
-    assert(reads.values.sum == plannedBlocks.toLong,
+    assert(reads.values.sum == plannedBlocks,
       s"tap ${reads.values.sum} != planned $plannedBlocks")
     // …and the scan's DRIVER metrics report the same pair for the UI.
-    val dm = scan.scan.asInstanceOf[graft.sources.GavroScan]
-      .reportDriverMetrics().map(m => m.name() -> m.value()).toMap
-    assert(dm("gavroBlocksRead") == plannedBlocks.toLong, dm.toString)
+    val dm = gs.reportDriverMetrics().map(m => m.name() -> m.value()).toMap
+    assert(dm("gavroBlocksRead") == plannedBlocks, dm.toString)
     assert(dm("gavroBlocksTotal") == total, dm.toString)
+  }
+
+  test("packing merges contiguous admitted blocks; results, skip and codecs unchanged") {
+    val events = Tables.events(spark, dir)
+    for (codec <- Seq("none", "deflate")) {
+      val out = tmpDir(s"pack_$codec")
+      Gavro.write(events
+        .select(AvroCodec.requestLogRec.as("rec"))
+        .select(expr("to_avro_graft(rec, 'request_log')").as("bin"),
+          col("rec.id").as("id"))
+        .orderBy(col("id")).coalesce(1), out,
+        blockBytes = 2048L, statCols = Seq("id"), blockCodec = codec)
+      val total = Gavro.totalBlocks(out)
+      assert(total > 4, s"need a multi-block file, got $total")
+      // Unfiltered scan: every block planned, but packed into far fewer
+      // tasks (default parallelism, not one task per 2 KiB block).
+      val all = spark.read.format("gavro")
+        .option("schema", "request_log").load(out).select(col("id"))
+      val allScan = all.queryExecution.executedPlan.collect {
+        case b: BatchScanExec => b }.head
+      assert(allScan.scan.asInstanceOf[graft.sources.GavroScan]
+        .plannedBlocks == total)
+      assert(allScan.inputRDD.getNumPartitions < total,
+        s"$codec: expected packed tasks, got one per block")
+      // Row set identical through the packed (and per-block-inflated) read.
+      assert(all.count() == events.count())
+      assert(all.agg(sum(col("id"))).head.getLong(0) ==
+        events.agg(sum(col("event_id"))).head.getLong(0))
+      // Block pruning composes with packing: a skipped block never joins
+      // a packed task, so the pruned plan reads a strict block minority.
+      val ids = events.agg(max(col("event_id"))).head.getLong(0)
+      val pruned = spark.read.format("gavro")
+        .option("schema", "request_log").load(out)
+        .filter(col("id") <= ids / 4).select(col("id"))
+      val (got, reads) = Gavro.trackBlockReads(pruned.count())
+      assert(got == events.filter(col("event_id") <= ids / 4).count())
+      assert(reads.values.sum < total / 2,
+        s"$codec: pruned read ${reads.values.sum} of $total blocks")
+    }
   }
 
   test("random predicate trees agree with Spark's own FilterExec end-to-end") {

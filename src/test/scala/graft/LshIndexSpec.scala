@@ -515,9 +515,13 @@ class LshIndexSpec extends SparkSpec {
     // the probe's hot-bucket discovery shape: max_doc >= recent floor.
     // Post-maintain every slot file spans all history, so FILE stats
     // can't skip — the sorted blocks must.
-    def partitions(d: org.apache.spark.sql.DataFrame): Int =
+    // Counted as BLOCKS (partition-shape-independent): split packing may
+    // merge contiguous admitted blocks into one task, but the skip claim
+    // here is about block admission, which plannedBlocks reports exactly.
+    def partitions(d: org.apache.spark.sql.DataFrame): Long =
       d.queryExecution.executedPlan.collect {
-        case b: BatchScanExec => b }.head.inputRDD.getNumPartitions
+        case b: BatchScanExec => b }.head.scan
+        .asInstanceOf[graft.sources.GavroScan].plannedBlocks
     val all = spark.read.format("gavro").option("schema", "lsh_buckets")
       .load(s"$dir/buckets").select(col("band_idx"), col("band_key"))
     val hot = spark.read.format("gavro").option("schema", "lsh_buckets")
