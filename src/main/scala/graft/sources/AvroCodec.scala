@@ -690,6 +690,23 @@ object AvroCodec {
 
   // -------------------------------------------------------------- queries
 
+  /** Fan the wire-codec pipeline across the session's cores and compute
+    * it ONCE. Two measured local[32] pathologies share this fix (profiled
+    * at sf0.1, r17): the fixture parquet is a single small file, so the
+    * scan plans ONE task and the per-row encode+decode (the dominant
+    * cost, ~2 s per 100 k rows) serializes on one core; and the final
+    * global `orderBy`'s range-partitioner SAMPLING pass re-runs the
+    * whole pipeline a second time. `fan` round-robins the narrow RAW
+    * rows over `defaultParallelism` before the codec runs (cores-adaptive,
+    * not a constant; at 100 TB the scan already fans out and the extra
+    * exchange of key columns is noise), and `once` persists the decoded
+    * projection so the sort samples a materialized result instead of
+    * re-decoding. Bench clears the cache between runs, so every timed
+    * run still pays the full decode exactly once. */
+  private def fan(df: DataFrame): DataFrame =
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+  private def once(df: DataFrame): DataFrame = df.persist()
+
   /** S3 closed end-to-end in-plan: synthesize request_log records from the
     * events fixture, serialize each through the Avro wire format, plant a
     * deterministic truncation (1-in-13), decode PERMISSIVE, and surface the
@@ -723,7 +740,7 @@ object AvroCodec {
   }
 
   def avroRoundtrip(events: DataFrame): DataFrame = {
-    events
+    once(fan(events)
       .select(col("event_id"), requestLogRec.as("rec"))
       .select(col("event_id"), expr("to_avro_graft(rec, 'request_log')").as("bin"))
       .select(col("event_id"),
@@ -741,7 +758,7 @@ object AvroCodec {
         col("d.region_name").as("region_name"),
         col("d.user_display_name").as("user_display_name"),
         col("d.platform").as("platform"),
-        unix_millis(col("d.created_at")).as("created_ms"))
+        unix_millis(col("d.created_at")).as("created_ms")))
       .orderBy(col("event_id"))
   }
 
@@ -755,7 +772,7 @@ object AvroCodec {
       col("event_type").as("metric_name"),
       col("value").as("metric_value"),
       col("ts").as("recorded_at"))
-    events
+    once(fan(events)
       .select(col("event_id"), rec.as("rec"))
       .select(col("event_id"), expr("to_avro_graft(rec, 'system_metrics')").as("bin"))
       .select(col("event_id"), expr("from_avro_graft(bin, 'system_metrics')").as("d"))
@@ -764,7 +781,7 @@ object AvroCodec {
         col("d.node_name").as("node_name"),
         col("d.metric_name").as("metric_name"),
         col("d.metric_value").as("metric_value"),
-        unix_millis(col("d.recorded_at")).as("recorded_ms"))
+        unix_millis(col("d.recorded_at")).as("recorded_ms")))
       .orderBy(col("event_id"))
   }
 
@@ -775,7 +792,7 @@ object AvroCodec {
     * exercising PERMISSIVE through the resolved path. The oracle computes
     * the evolved view directly from `events`. */
   def avroEvolution(events: DataFrame): DataFrame = {
-    events
+    once(fan(events)
       .select(col("event_id"), requestLogRec.as("rec"))
       .select(col("event_id"), expr("to_avro_graft(rec, 'request_log')").as("bin"))
       .select(col("event_id"),
@@ -792,7 +809,7 @@ object AvroCodec {
         col("d.latency_ms").as("latency_ms"),
         col("d.user_id").as("user_id"),
         col("d.trace_id").as("trace_id"),
-        unix_millis(col("d.created_at")).as("created_ms"))
+        unix_millis(col("d.created_at")).as("created_ms")))
       .orderBy(col("event_id"))
   }
 
@@ -840,7 +857,7 @@ object AvroCodec {
     * handling, the ZonedTimestamp string round-trip, and the metadata
     * tail all decode exactly. */
   def cdcAvroDecode(orders: DataFrame): DataFrame = {
-    orders
+    once(fan(orders)
       .select(col("o_orderkey"), ordersCdcRec.as("rec"))
       .select(col("o_orderkey"), expr("to_avro_graft(rec, 'orders_cdc')").as("bin"))
       .select(
@@ -857,7 +874,7 @@ object AvroCodec {
         col("d.user_display_name").as("user_display_name"),
         col("d.platform").as("platform"),
         substring(col("d.created_at"), 1, 10).as("created_day"),
-        col("d.__source_ts_ms").as("src_ms"))
+        col("d.__source_ts_ms").as("src_ms")))
       .orderBy(col("id"))
   }
 
@@ -904,7 +921,7 @@ object AvroCodec {
     * truncated for the PERMISSIVE channel, decoded, deleted-filtered, and
     * every surviving column recomputed by the oracle from `events`. */
   def cdcSessionsDecode(events: DataFrame): DataFrame = {
-    events
+    once(fan(events)
       .select(col("event_id"), sessionsCdcRec.as("rec"))
       .select(col("event_id"), expr("to_avro_graft(rec, 'sessions_cdc')").as("bin"))
       .select(col("event_id"),
@@ -923,7 +940,7 @@ object AvroCodec {
         col("d.region_name").as("region_name"),
         col("d.is_active").as("is_active"),
         col("d.__op").as("op"),
-        col("d.__source_ts_ms").as("src_ms"))
+        col("d.__source_ts_ms").as("src_ms")))
       .orderBy(col("event_id"))
   }
 
