@@ -79,8 +79,21 @@ object Corpus {
     * map-side-combinable pair count. No collect, no windows, no
     * broadcast of anything data-sized.
     */
+  /** Fan documents over the session's cores before the shingle explode —
+    * the fixture parquet is one small file, so the scan otherwise plans a
+    * single task for the dominant md5-per-shingle map work (profiled at
+    * sf0.1). Cores-adaptive; at 100 TB the scan fans out on its own and
+    * the extra narrow exchange is noise. */
+  private def fan(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
   def sourceOverlap(documents: DataFrame): DataFrame = {
-    val s = shingleSet(documents).select(col("source"), col("sh")).distinct()
+    // The shingled source set feeds three plan arms (sizes + both sides
+    // of the self-join) — persist so the explode+distinct pass runs once
+    // (profiled: the unpersisted form re-ran the ~2 s shingle stage per
+    // arm at sf0.1). Same pattern as Curation.docShingles.
+    val s = shingleSet(fan(documents)).select(col("source"), col("sh")).distinct()
+      .persist()
     val sizes = s.groupBy(col("source")).agg(count(lit(1)).as("n"))
     val shared = s.as("a")
       .join(s.as("b"), col("a.sh") === col("b.sh") &&
@@ -128,7 +141,11 @@ object Corpus {
     * thresholds cross-multiplied integers; no floats.
     */
   def containmentPairs(documents: DataFrame): DataFrame = {
-    val sh = shingleSet(documents).select(col("doc_id"), col("sh"))
+    // Five plan arms consume the shingle table (sizes, df counts, both
+    // candidate sides, both replay sides) — persist so the
+    // explode+distinct runs once, not per arm (profiled: two identical
+    // ~2.2 s single-file shingle stages at sf0.1 before the persist).
+    val sh = shingleSet(fan(documents)).select(col("doc_id"), col("sh")).persist()
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
       .filter(col("n_sh") >= ContainMinShingles)
     val rare = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
@@ -176,7 +193,8 @@ object Corpus {
     */
   def containmentTopN(documents: DataFrame,
       topN: Int = ContainTopN): DataFrame = {
-    val sh = shingleSet(documents).select(col("doc_id"), col("sh"))
+    // Same persist rationale as [[containmentPairs]].
+    val sh = shingleSet(fan(documents)).select(col("doc_id"), col("sh")).persist()
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
       .filter(col("n_sh") >= ContainMinShingles)
     val rare = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))

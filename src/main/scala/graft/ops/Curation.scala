@@ -417,11 +417,20 @@ object Curation {
     * `observe()` metrics hang on a single pass instead).
     */
   def curationFunnel(documents: DataFrame): DataFrame = {
+    // Fan the corpus over the session's cores before the regex/tokenize
+    // stages: the fixture parquet is one small file, so the scan plans a
+    // single task and every stage persist below would otherwise
+    // materialize its full-body regex/explode pass on ONE core (profiled:
+    // the top funnel stages ran tasks=1 at sf0.1). Cores-adaptive, not a
+    // constant; at 100 TB the scan fans out on its own and this exchange
+    // of raw rows is one narrow pass.
+    val docs = documents
+      .repartition(documents.sparkSession.sparkContext.defaultParallelism)
     // Scrub feeds two arms (the repetition gate's bigram explode and the
     // survivor join) — persisted so the PII regex pass over full document
     // bodies runs once, not per arm.
-    val scrub = piiCorpus(documents)
-      .join(documents.select(col("doc_id"), col("lang")), "doc_id")
+    val scrub = piiCorpus(docs)
+      .join(docs.select(col("doc_id"), col("lang")), "doc_id")
       .select(col("doc_id"), col("lang"),
         regexp_replace(regexp_replace(col("text"), EmailRe, "<EMAIL>"),
           PhoneRe, "<PHONE>").as("text"))
