@@ -26,6 +26,19 @@ object Dedup {
   /** 60-bit integer from an md5 hex prefix — the shared hash family. */
   private[ops] val md5i = "cast(conv(substring(md5(%s), 1, 15), 16, 10) as bigint)"
 
+  /** Fan a corpus over the session's cores before a CPU-heavy
+    * tokenize/explode pass. The fixture parquet is a single small file,
+    * so the scan plans 1-2 tasks and the md5/shingle map work — the
+    * dominant per-document cost — serializes on a couple of cores
+    * (profiled at sf0.1). Cores-adaptive, not a constant; at 100 TB the
+    * scan fans out on its own and this extra exchange of raw rows is one
+    * narrow pass (it can then be dropped, or kept — a round-robin of
+    * (id, text) rows is noise next to the sketch shuffle). Batch entry
+    * points only: the streaming micro-batch sketch path keeps its
+    * arrival partitioning. */
+  private def fan(df: DataFrame): DataFrame =
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
   /** Exact-dup corpus: planted exact duplicates (case-folded) 1-in-20. */
   def exactCorpus(documents: DataFrame): DataFrame =
     documents.select(col("doc_id"), col("text"))
@@ -130,7 +143,7 @@ object Dedup {
     // band self-join, both sides of the est-jaccard join); persist it so the
     // md5 sketch pipeline runs once. At cluster scale this is the sketch
     // table you would checkpoint/bucket to storage between stages.
-    val sigs = minhashSignatures(corpus).select("doc_id", "sig").persist()
+    val sigs = minhashSignatures(fan(corpus)).select("doc_id", "sig").persist()
     val allBands = bands(sigs)
     val b = allBands
       .withColumn("bucket_n", count(lit(1))
@@ -173,7 +186,7 @@ object Dedup {
     * doc_id so it rides the signature table without a join.
     */
   def splitLeakage(corpus: DataFrame, heldoutMod: Int = 10): DataFrame = {
-    val sigs = minhashSignatures(corpus)
+    val sigs = minhashSignatures(fan(corpus))
       .withColumn("ho", expr(
         s"cast(conv(substring(md5(cast(doc_id as string)), 1, 15), 16, 10) as bigint) % $heldoutMod = 0"))
       .persist()
@@ -220,7 +233,7 @@ object Dedup {
     * duplicates against the standing corpus.
     */
   def minhashIncremental(corpus: DataFrame, newFrom: Long = 10000L): DataFrame = {
-    val sigs = minhashSignatures(corpus).select("doc_id", "sig").persist()
+    val sigs = minhashSignatures(fan(corpus)).select("doc_id", "sig").persist()
     bandProbe(sigs, bands(sigs), newFrom)
   }
 
@@ -263,7 +276,7 @@ object Dedup {
     * near-dup pipeline): |A∩B| / |A∪B| on distinct shingle sets.
     */
   def ngramJaccard(corpus: DataFrame): DataFrame = {
-    val sh = shingleSets(corpus)
+    val sh = shingleSets(fan(corpus))
       .select(col("doc_id"), col("shingles").as("sh"))
       .persist()
     val cands = minhashCandidates(corpus).select("doc_a", "doc_b")
@@ -292,7 +305,7 @@ object Dedup {
     // Hash BEFORE the distinct: the dedup shuffle then carries 8-byte longs
     // rather than bigram strings (same result — equal bigrams hash equal;
     // 2^60 collisions negligible).
-    val hashed = corpus
+    val hashed = fan(corpus)
       .withColumn("toks", split(col("text"), " "))
       .filter(size(col("toks")) >= 2)
       .select(col("doc_id"), col("toks"), posexplode(col("toks")))
@@ -362,9 +375,14 @@ object Dedup {
     // one join + one agg, constant-size. At cluster scale use
     // `spark.sparkContext.setCheckpointDir` + `.checkpoint()` (reliable
     // storage) instead of the executor-local variant.
-    val edges = pairs
-      .unionByName(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
-      .localCheckpoint(true)
+    // Checkpoint the CANDIDATES before the symmetric closure: both union
+    // branches reference `pairs`, so an un-materialized plan would run
+    // the full MinHash-candidate pipeline twice (profiled: the sketch
+    // stages appeared doubled at sf0.1). The closure itself stays a lazy
+    // view over the checkpoint — each loop round reads it for pennies.
+    val p = pairs.localCheckpoint(true)
+    val edges = p
+      .unionByName(p.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
     var labels = edges.select(col("doc_a").as("doc_id")).distinct()
       .withColumn("label", col("doc_id")).localCheckpoint(true)
     var changed = 1L
@@ -486,7 +504,7 @@ object Dedup {
     */
   def duplicateSpans(corpus: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val grams = corpus
+    val grams = fan(corpus)
       .withColumn("toks", split(col("text"), " "))
       .filter(size(col("toks")) >= SpanGram)
       .select(col("doc_id"), col("toks"), posexplode(col("toks")))
@@ -616,12 +634,21 @@ object Dedup {
     // sides of the verification join) — persist it so the explode runs
     // once. At cluster scale this is the doc-token table you'd
     // checkpoint/bucket between stages (same note as minhashCandidates).
-    val toks = corpus
+    val toks = fan(corpus)
       .select(col("doc_id"), explode(array_distinct(split(col("text"), " "))).as("tok"))
       .persist()
     val withDf = toks.join(
       toks.groupBy(col("tok")).agg(count(lit(1)).as("df")), "tok")
+    // Explicit doc_id repartition ahead of the two windows: they are
+    // CPU-bound (sort + rank over every token), and AQE's byte-targeted
+    // coalescing otherwise squeezes the ~6 MB token table into a handful
+    // of tasks (profiled: 6 tasks × ~2.3 s at sf0.1 on 32 cores). A
+    // user repartition is exempt from coalescing, and both windows (and
+    // nothing else) consume this exchange. Cores-adaptive, not a
+    // constant.
     val ranked = withDf
+      .repartition(toks.sparkSession.sparkContext.defaultParallelism,
+        col("doc_id"))
       .withColumn("rnk", row_number().over(
         Window.partitionBy(col("doc_id")).orderBy(col("df"), col("tok"))))
       .withColumn("n", count(lit(1)).over(Window.partitionBy(col("doc_id"))))
