@@ -75,13 +75,19 @@ object Alerts {
   // ---------------------------------------------------------------- registry
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    // The rule fan-out references the KPI frame once per rule; persist the
-    // (small) aggregated frame so the windowed aggregation runs once, not
-    // |rules| times.
-    "alert_rules" -> ((s, d) => alertFrame(Frames.kpiFrame(Tables.events(s, d)).persist())
+    // The rule fan-out references the KPI frame once per rule. A lazy
+    // persist() did NOT achieve "aggregate once": the three union arms
+    // materialize as CONCURRENT stage jobs, and all three computed the
+    // not-yet-cached KPI plan from scratch (profiled: 3 × ~2 s identical
+    // scan+window stages at sf0.1). The eager localCheckpoint runs the
+    // aggregation exactly once before the fan-out; the checkpointed frame
+    // is windows-grain tiny at any corpus size.
+    "alert_rules" -> ((s, d) => alertFrame(
+      Frames.kpiFrame(Tables.events(s, d)).localCheckpoint(true))
       .orderBy(col("updatedAt"), col("id"))),
     "alert_summary" -> ((s, d) =>
-      alertSummary(alertFrame(Frames.kpiFrame(Tables.events(s, d)).persist()))),
+      alertSummary(alertFrame(
+        Frames.kpiFrame(Tables.events(s, d)).localCheckpoint(true)))),
   )
 
   /** Oracle: re-derive the KPI frame CTE (same as Frames.kpi_sliding), then

@@ -93,7 +93,7 @@ object Corpus {
     // (profiled: the unpersisted form re-ran the ~2 s shingle stage per
     // arm at sf0.1). Same pattern as Curation.docShingles.
     val s = shingleSet(fan(documents)).select(col("source"), col("sh")).distinct()
-      .persist()
+      .localCheckpoint(true) // eager: concurrent arms race a lazy cache
     val sizes = s.groupBy(col("source")).agg(count(lit(1)).as("n"))
     val shared = s.as("a")
       .join(s.as("b"), col("a.sh") === col("b.sh") &&
@@ -145,7 +145,8 @@ object Corpus {
     // candidate sides, both replay sides) — persist so the
     // explode+distinct runs once, not per arm (profiled: two identical
     // ~2.2 s single-file shingle stages at sf0.1 before the persist).
-    val sh = shingleSet(fan(documents)).select(col("doc_id"), col("sh")).persist()
+    val sh = shingleSet(fan(documents)).select(col("doc_id"), col("sh"))
+      .localCheckpoint(true) // eager: concurrent arms race a lazy cache
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
       .filter(col("n_sh") >= ContainMinShingles)
     val rare = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
@@ -193,8 +194,9 @@ object Corpus {
     */
   def containmentTopN(documents: DataFrame,
       topN: Int = ContainTopN): DataFrame = {
-    // Same persist rationale as [[containmentPairs]].
-    val sh = shingleSet(fan(documents)).select(col("doc_id"), col("sh")).persist()
+    // Same rationale as [[containmentPairs]] (eager, race-free).
+    val sh = shingleSet(fan(documents)).select(col("doc_id"), col("sh"))
+      .localCheckpoint(true)
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
       .filter(col("n_sh") >= ContainMinShingles)
     val rare = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))

@@ -417,15 +417,15 @@ object Curation {
     * `observe()` metrics hang on a single pass instead).
     */
   def curationFunnel(documents: DataFrame): DataFrame = {
-    // Fan the corpus over the session's cores before the regex/tokenize
-    // stages: the fixture parquet is one small file, so the scan plans a
-    // single task and every stage persist below would otherwise
-    // materialize its full-body regex/explode pass on ONE core (profiled:
-    // the top funnel stages ran tasks=1 at sf0.1). Cores-adaptive, not a
-    // constant; at 100 TB the scan fans out on its own and this exchange
-    // of raw rows is one narrow pass.
+    // NO fan here, deliberately (measured): the funnel is JOB-CHAIN bound
+    // — five dependent stage persists plus five count branches plan ~39
+    // AQE stage-jobs whose per-job overhead, not map CPU, dominates
+    // (profiled warm: 9.6 s wall ≈ 8.8 s jobWallSum, no stage over 1 s).
+    // Fanning the corpus to defaultParallelism inflated every cached
+    // stage to 32 tiny tasks and measured 1.18× AGAINST in the batch-1
+    // same-session A/B. The heavier per-doc passes (regex, explodes) are
+    // already amortized across the chain's persists.
     val docs = documents
-      .repartition(documents.sparkSession.sparkContext.defaultParallelism)
     // Scrub feeds two arms (the repetition gate's bigram explode and the
     // survivor join) — persisted so the PII regex pass over full document
     // bodies runs once, not per arm.
@@ -434,7 +434,7 @@ object Curation {
       .select(col("doc_id"), col("lang"),
         regexp_replace(regexp_replace(col("text"), EmailRe, "<EMAIL>"),
           PhoneRe, "<PHONE>").as("text"))
-      .persist()
+      .localCheckpoint(true)
     val repKeep = scrub.filter(size(toks()) >= 2)
       .select(col("doc_id"), toks().as("tk"))
       .select(col("doc_id"), explode(expr("""transform(sequence(1, size(tk) - 1),
@@ -443,10 +443,12 @@ object Curation {
       .groupBy(col("doc_id")).agg(sum(col("c")).as("n"), max(col("c")).as("m"))
       .filter(round(col("m") / col("n").cast("double"), 4) <= 0.2)
       .select(col("doc_id"))
-    // Stage frames are persisted: each is both a funnel branch and the next
-    // stage's input, and exactly this caching is the production shape too
-    // (stage outputs are the run's checkpoint artifacts).
-    val s2 = scrub.join(repKeep, "doc_id").persist()
+    // Stage frames are EAGERLY checkpointed: each is both a funnel branch
+    // and the next stage's input, and the five count branches materialize
+    // as concurrent stage jobs — a lazy persist() raced its own cache and
+    // re-computed stages per branch (the alert_rules pattern). Stage
+    // outputs as materialized artifacts is the production shape too.
+    val s2 = scrub.join(repKeep, "doc_id").localCheckpoint(true)
     val lines = s2
       .select(col("doc_id"), toks().as("tk"))
       .select(col("doc_id"), posexplode(expr(
@@ -456,7 +458,7 @@ object Curation {
       .toDF("doc_id", "pos", "line")
       .withColumn("line_h",
         expr("cast(conv(substring(md5(line), 1, 15), 16, 10) as bigint)"))
-      .persist() // feeds the boilerplate count AND the anti-join
+      .localCheckpoint(true) // feeds the boilerplate count AND the anti-join
     val boiler = lines.groupBy(col("line_h"))
       .agg(countDistinct(col("doc_id")).as("nd")).filter(col("nd") > MaxLineDocs)
       .select(col("line_h"))
@@ -465,7 +467,7 @@ object Curation {
       .agg(expr("array_join(transform(array_sort(collect_list(struct(pos, line))), s -> s.line), ' ')")
         .as("text"))
       .join(s2.select(col("doc_id"), col("lang")), "doc_id")
-      .persist()
+      .localCheckpoint(true)
     val shingled = s3.filter(size(toks()) >= ShingleTokens)
       .select(col("doc_id"), toks().as("tk"))
       .select(col("doc_id"), explode(expr(
@@ -473,7 +475,7 @@ object Curation {
            |  i -> cast(conv(substring(md5(
            |    array_join(slice(tk, i, $ShingleTokens), ' ')), 1, 15), 16, 10) as bigint))"""
           .stripMargin)).as("sh"))
-      .persist() // eval arm + train arm
+      .localCheckpoint(true) // eval arm + train arm
     val eval_ = shingled.filter(pmod(col("doc_id"), lit(EvalMod)) === 0)
       .select(col("sh")).distinct().withColumn("hit", lit(1))
     val cleanIds = shingled.filter(pmod(col("doc_id"), lit(EvalMod)) =!= 0)
@@ -481,7 +483,7 @@ object Curation {
       .groupBy(col("doc_id"))
       .agg(sum(coalesce(col("hit"), lit(0))).as("nc"))
       .filter(col("nc") === 0).select(col("doc_id"))
-    val s4 = s3.join(cleanIds, "doc_id").persist()
+    val s4 = s3.join(cleanIds, "doc_id").localCheckpoint(true)
     val counted = s4.groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
       .withColumn("p", when(col("lang") === "en", 4).when(col("lang") === "de", 2)
         .when(col("lang") === "es", 2).when(col("lang") === "fr", 1)

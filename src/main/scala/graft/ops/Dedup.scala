@@ -143,7 +143,11 @@ object Dedup {
     // band self-join, both sides of the est-jaccard join); persist it so the
     // md5 sketch pipeline runs once. At cluster scale this is the sketch
     // table you would checkpoint/bucket to storage between stages.
-    val sigs = minhashSignatures(fan(corpus)).select("doc_id", "sig").persist()
+    // Eager (localCheckpoint), not lazy persist: the est-jaccard arms
+    // materialize as concurrent stage jobs and raced the cache population,
+    // re-running the sketch pipeline per arm (the alert_rules pattern).
+    val sigs = minhashSignatures(fan(corpus)).select("doc_id", "sig")
+      .localCheckpoint(true)
     val allBands = bands(sigs)
     val b = allBands
       .withColumn("bucket_n", count(lit(1))
@@ -189,7 +193,7 @@ object Dedup {
     val sigs = minhashSignatures(fan(corpus))
       .withColumn("ho", expr(
         s"cast(conv(substring(md5(cast(doc_id as string)), 1, 15), 16, 10) as bigint) % $heldoutMod = 0"))
-      .persist()
+      .localCheckpoint(true) // eager: see minhashCandidates' race note
     val b = bands(sigs)
       .withColumn("bucket_n", count(lit(1))
         .over(org.apache.spark.sql.expressions.Window
@@ -233,7 +237,8 @@ object Dedup {
     * duplicates against the standing corpus.
     */
   def minhashIncremental(corpus: DataFrame, newFrom: Long = 10000L): DataFrame = {
-    val sigs = minhashSignatures(fan(corpus)).select("doc_id", "sig").persist()
+    val sigs = minhashSignatures(fan(corpus)).select("doc_id", "sig")
+      .localCheckpoint(true) // eager: see minhashCandidates' race note
     bandProbe(sigs, bands(sigs), newFrom)
   }
 
@@ -278,7 +283,7 @@ object Dedup {
   def ngramJaccard(corpus: DataFrame): DataFrame = {
     val sh = shingleSets(fan(corpus))
       .select(col("doc_id"), col("shingles").as("sh"))
-      .persist()
+      .localCheckpoint(true) // eager: see minhashCandidates' race note
     val cands = minhashCandidates(corpus).select("doc_a", "doc_b")
     cands
       .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
@@ -636,7 +641,7 @@ object Dedup {
     // checkpoint/bucket between stages (same note as minhashCandidates).
     val toks = fan(corpus)
       .select(col("doc_id"), explode(array_distinct(split(col("text"), " "))).as("tok"))
-      .persist()
+      .localCheckpoint(true) // eager: see minhashCandidates' race note
     val withDf = toks.join(
       toks.groupBy(col("tok")).agg(count(lit(1)).as("df")), "tok")
     // Explicit doc_id repartition ahead of the two windows: they are

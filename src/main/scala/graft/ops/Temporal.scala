@@ -473,16 +473,18 @@ object Temporal {
     // Anchor = the corpus's newest purchase: a broadcast 1-row aggregate,
     // so "days since" is reproducible (no wall clock in the plan).
     val anchor = purchases.agg(max(col("us")).as("anchor_us"))
-    // `per` feeds the output AND all three quartile histograms — persist
-    // so the purchase scan + user rollup runs once, not four times
-    // (Verify/Bench clearCache() between queries).
+    // `per` feeds the output AND all three quartile histograms. Lazy
+    // persist() raced: the three quartile subtrees broadcast as CONCURRENT
+    // jobs and each re-computed the un-cached rollup (profiled: 44 jobs,
+    // 135 s of queued stage wall at sf0.1). The eager localCheckpoint
+    // materializes the per-user rollup exactly once before the fan-out.
     val per = purchases.groupBy(col("user_id"))
       .agg(count(lit(1)).as("freq"), sum(col("cents")).as("cents"),
         max(col("us")).as("last_us"))
       .crossJoin(broadcast(anchor))
       .withColumn("rec_days", expr(s"(anchor_us - last_us) div $DayUs"))
       .withColumn("mon_grain", expr("cents div 100"))
-      .persist()
+      .localCheckpoint(true)
     // Quartile index of each distinct metric value: (4 · |users with a
     // strictly smaller value|) div n, clamped to 0..3.
     def grainQuartile(metric: String): DataFrame = {
@@ -616,11 +618,14 @@ object Temporal {
     // engines' cumulative counts (hence medians) aligned on nullable input.
     // `e` feeds the med histogram, the dev join, and the output — persist
     // so the event scan runs once (Verify/Bench clearCache() per query).
+    // Eager, not lazy persist: `med` materializes as a concurrent
+    // broadcast job and raced the main arm's cache population, scanning
+    // events twice (the alert_rules/rfm persist-race pattern).
     val e = Synth.eventTime(events)
       .filter(col("value").isNotNull)
       .select(col("event_id"), col("event_type"),
         floor(col("value") * 100).cast("long").as("cents"))
-      .persist()
+      .localCheckpoint(true)
     // percentile_disc(0.5) of `v` per event_type, on the value grain.
     def discMedian(df: DataFrame, v: String): DataFrame =
       df.groupBy(col("event_type"), col(v)).agg(count(lit(1)).as("cnt"))
@@ -632,10 +637,10 @@ object Temporal {
         .filter(col("cum") * 2 >= col("n"))
         .groupBy(col("event_type")).agg(min(col(v)).as(s"med_$v"))
     val med = discMedian(e, "cents")
-    // `dev` feeds the mad histogram and the output join — persist too.
+    // `dev` feeds the mad histogram and the output join — eager too.
     val dev = e.join(broadcast(med), "event_type")
       .withColumn("dev", abs(col("cents") - col("med_cents")))
-      .persist()
+      .localCheckpoint(true)
     val mad = discMedian(dev, "dev")
       .withColumnRenamed("med_dev", "mad_cents")
     dev.join(broadcast(mad), "event_type")

@@ -250,7 +250,9 @@ object Tpch {
     * rescan once per column.
     */
   def orderProfile(orders: DataFrame): DataFrame =
-    orders
+    // fan: the 4-way stack unpivot + distinct-count map pass ran on the
+    // single scan task (profiled: 3.5 s single-task stage at sf0.1).
+    Par.fan(orders)
       // doubles render via DECIMAL(18,2): Java and DuckDB double→string
       // rendering can disagree (exponent forms); decimal strings are exact
       // and identical on both engines.

@@ -772,7 +772,12 @@ object AvroCodec {
       col("event_type").as("metric_name"),
       col("value").as("metric_value"),
       col("ts").as("recorded_at"))
-    once(fan(events)
+    // No fan/once here: this is the LIGHTEST codec (5 fields, no unions
+    // beyond the record) — the batch-1 A/B measured the fan+persist
+    // overhead at 1.66× AGAINST on this query while the heavy CDC codecs
+    // won 0.48-0.60× with the same treatment. Overhead must stay below
+    // the work it parallelizes.
+    events
       .select(col("event_id"), rec.as("rec"))
       .select(col("event_id"), expr("to_avro_graft(rec, 'system_metrics')").as("bin"))
       .select(col("event_id"), expr("from_avro_graft(bin, 'system_metrics')").as("d"))
@@ -781,7 +786,7 @@ object AvroCodec {
         col("d.node_name").as("node_name"),
         col("d.metric_name").as("metric_name"),
         col("d.metric_value").as("metric_value"),
-        unix_millis(col("d.recorded_at")).as("recorded_ms")))
+        unix_millis(col("d.recorded_at")).as("recorded_ms"))
       .orderBy(col("event_id"))
   }
 
