@@ -193,7 +193,7 @@ object Dedup {
     val sigs = minhashSignatures(fan(corpus))
       .withColumn("ho", expr(
         s"cast(conv(substring(md5(cast(doc_id as string)), 1, 15), 16, 10) as bigint) % $heldoutMod = 0"))
-      .localCheckpoint(true) // eager: see minhashCandidates' race note
+      .persist() // lazy on purpose: eager measured 1.09 -> 1.81 s here
     val b = bands(sigs)
       .withColumn("bucket_n", count(lit(1))
         .over(org.apache.spark.sql.expressions.Window
@@ -238,7 +238,7 @@ object Dedup {
     */
   def minhashIncremental(corpus: DataFrame, newFrom: Long = 10000L): DataFrame = {
     val sigs = minhashSignatures(fan(corpus)).select("doc_id", "sig")
-      .localCheckpoint(true) // eager: see minhashCandidates' race note
+      .persist() // lazy on purpose: eager measured 1.21 -> 1.89 s here
     bandProbe(sigs, bands(sigs), newFrom)
   }
 
@@ -283,7 +283,7 @@ object Dedup {
   def ngramJaccard(corpus: DataFrame): DataFrame = {
     val sh = shingleSets(fan(corpus))
       .select(col("doc_id"), col("shingles").as("sh"))
-      .localCheckpoint(true) // eager: see minhashCandidates' race note
+      .persist() // lazy on purpose: eager measured 2.49 -> 2.78 s here
     val cands = minhashCandidates(corpus).select("doc_a", "doc_b")
     cands
       .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
@@ -639,21 +639,21 @@ object Dedup {
     // sides of the verification join) — persist it so the explode runs
     // once. At cluster scale this is the doc-token table you'd
     // checkpoint/bucket between stages (same note as minhashCandidates).
-    val toks = fan(corpus)
+    val toks = corpus
       .select(col("doc_id"), explode(array_distinct(split(col("text"), " "))).as("tok"))
-      .localCheckpoint(true) // eager: see minhashCandidates' race note
+      .persist()
     val withDf = toks.join(
       toks.groupBy(col("tok")).agg(count(lit(1)).as("df")), "tok")
-    // Explicit doc_id repartition ahead of the two windows: they are
-    // CPU-bound (sort + rank over every token), and AQE's byte-targeted
-    // coalescing otherwise squeezes the ~6 MB token table into a handful
-    // of tasks (profiled: 6 tasks × ~2.3 s at sf0.1 on 32 cores). A
-    // user repartition is exempt from coalescing, and both windows (and
-    // nothing else) consume this exchange. Cores-adaptive, not a
-    // constant.
+    // DESIGN RECORD (r17): three "obvious" accelerations of this plan —
+    // fanning the token explode, eager-checkpointing the token table, and
+    // an explicit doc_id repartition ahead of the windows — were each
+    // built and measured (same-session, idle host): the combination read
+    // 5.0-6.2 s against the lazy-persist original's 3.2 s. The query is a
+    // chain of many SMALL stages; lazy persists let AQE overlap them
+    // (occasionally duplicating cheap subtrees), while eager waves
+    // serialize the chain and the extra exchanges cost more than the
+    // parallelism they buy at this scale. Reverted whole.
     val ranked = withDf
-      .repartition(toks.sparkSession.sparkContext.defaultParallelism,
-        col("doc_id"))
       .withColumn("rnk", row_number().over(
         Window.partitionBy(col("doc_id")).orderBy(col("df"), col("tok"))))
       .withColumn("n", count(lit(1)).over(Window.partitionBy(col("doc_id"))))
