@@ -707,24 +707,37 @@ class GavroScan(path: String, schemaName: String, required: StructType,
 
   /** Split-packing target via Spark's own file-split formula
     * (`FilePartition.maxSplitBytes`): honor
-    * `spark.sql.files.maxPartitionBytes`, floor at `openCostInBytes`,
-    * but never leave cores idle on a small snapshot — the admitted bytes
+    * `spark.sql.files.maxPartitionBytes`, floor at the OPEN cost, and
+    * never leave cores idle on a small snapshot — the admitted bytes
     * divide by `filesMinPartitionNum` (default parallelism). Scale-
     * adaptive by construction: at 100 TB the division lands far above
     * `maxPartitionBytes` so the cap rules; on a small fixture the core
     * count rules. Specs that need block-granular tasks set
     * `maxPartitionBytes` to 1 — the same escape Spark's own file sources
-    * honor. */
+    * honor.
+    *
+    * The open cost is [[GavroOpenCostBytes]], NOT Spark's 4 MB
+    * `openCostInBytes` default: a gavro split open is one positioned
+    * range read against a footer the PLANNER already parsed (no footer
+    * re-read, no remote-store handshake), so 64 KiB amortizes it
+    * hundreds of times over. Measured consequence of using the 4 MB
+    * default here: small hot tables (the LSH occupancy table) packed to
+    * one task per file and their decode-bound aggregations serialized —
+    * lsh_bucket_stats ran 2.05× slower in the packing A/B. With the
+    * 64 KiB floor a tiny table keeps near-block-granular fan-out while
+    * the 1113-task pathology stays fixed (a 9 MB snapshot still packs
+    * to ~core-count tasks via the bytesPerCore term). */
   private def maxSplitBytes(perFile: Seq[Seq[GavroInputPartition]]): Long = {
     val session = org.apache.spark.sql.SparkSession.active
     val conf = session.sessionState.conf
-    val openCost = conf.filesOpenCostInBytes
     val minParts = conf.filesMinPartitionNum
       .getOrElse(session.sparkContext.defaultParallelism)
     val totalBytes = perFile
-      .map(ps => ps.map(p => p.end - p.start).sum + openCost).sum
+      .map(ps => ps.map(p => p.end - p.start).sum + Gavro.GavroOpenCostBytes)
+      .sum
     val bytesPerCore = totalBytes / math.max(1, minParts)
-    math.min(conf.filesMaxPartitionBytes, math.max(openCost, bytesPerCore))
+    math.min(conf.filesMaxPartitionBytes,
+      math.max(Gavro.GavroOpenCostBytes, bytesPerCore))
   }
 
   private lazy val planned: (Array[InputPartition], Int) = {
@@ -2293,6 +2306,16 @@ object Gavro {
     * the split/skip granularity contract is about decoded work per task,
     * not disk bytes. */
   val DefaultBlockBytes: Long = 1L << 20
+
+  /** Effective cost of opening one more gavro read task, in bytes of
+    * equivalent scan work — the open-cost term of the split-packing
+    * formula ([[GavroScan]]): one positioned range read, footer already
+    * parsed at planning. 64 KiB ≈ hundreds of times the real open
+    * latency on the local data store; deliberately far below Spark's
+    * 4 MB remote-open default so small hot tables keep their fan-out
+    * (see the formula's scaladoc for the measured 2× consequence of the
+    * 4 MB value). */
+  val GavroOpenCostBytes: Long = 64L << 10
 
   /** Pushable IN-list cap. The historical 64 guarded two linear costs:
     * the per-file/per-block skip proof and the per-row eval. Both are now
